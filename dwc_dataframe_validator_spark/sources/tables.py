@@ -1,0 +1,58 @@
+"""Driver test-table loaders (/root/testdata/sf*/... parquet).
+
+The only wrinkle: ``events.parquet`` stores TIMESTAMP(NANOS), which
+Spark 4 rejects by default.  We read it with
+``spark.sql.legacy.parquet.nanosAsLong`` and convert the raw
+nanoseconds to a proper TimestampType column (microsecond precision —
+Spark's native resolution).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; normalizes events.ts to TimestampType."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def local_session(app: str = "dwc-validator-spark", cpus: int | None = None) -> SparkSession:
+    """Session for local testing; on a real cluster, callers bring their
+    own session and these configs come from spark-submit."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
+        .getOrCreate()
+    )
