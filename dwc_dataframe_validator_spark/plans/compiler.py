@@ -42,14 +42,20 @@ class MetricPlan:
     def names(self) -> list[str]:
         return list(self._exprs)
 
+    def aggregate_dataframe(self, df: DataFrame) -> DataFrame:
+        """The single-job aggregate as a LAZY one-row DataFrame (metric
+        names as m<idx> aliases).  ``execute`` collects it; callers that
+        want to stay lazy (e.g. the driver's ``entry()``) use this."""
+        aliased = [
+            expr.alias(f"m{i}") for i, expr in enumerate(self._exprs.values())
+        ]
+        return df.agg(*aliased)
+
     def execute(self, df: DataFrame) -> dict[str, Any]:
         """One ``df.agg(*exprs)`` job → {metric name: scalar}."""
         if not self._exprs:
             return {}
-        aliased = [
-            expr.alias(f"m{i}") for i, expr in enumerate(self._exprs.values())
-        ]
-        row = df.agg(*aliased).collect()[0]
+        row = self.aggregate_dataframe(df).collect()[0]
         self._row = {
             name: row[f"m{i}"] for i, name in enumerate(self._exprs)
         }
