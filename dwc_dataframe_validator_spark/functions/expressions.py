@@ -79,11 +79,16 @@ def valid_range_count(col: Column | str, lo: float, hi: float) -> Column:
 
 def group_populated_count(cols: Sequence[Column | str]) -> Column:
     """A5 — rows with ANY of the group columns populated
-    (reference validate.py:134-159 ``notnull().any(axis=1)``)."""
+    (reference validate.py:134-159 ``notnull().any(axis=1)``).
+
+    OR-reduction over ``isNotNull`` rather than ``coalesce(*cols)``:
+    coalesce requires one common type, which crashes on mixed-type
+    groups (eventDate timestamp + year int) — the boolean reduction is
+    type-agnostic and costs the same in codegen."""
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     if not cols:
         return F.lit(0).cast("long")
-    return F.count(F.when(F.coalesce(*cols).isNotNull(), 1))
+    return F.count(F.when(_any_not_null(cols), 1))
 
 
 def distinct_count(col: Column | str) -> Column:
@@ -121,10 +126,18 @@ def in_range(col: Column | str, lo: float, hi: float) -> Column:
     return to_double(col).between(lo, hi)
 
 
+def _any_not_null(cols: Sequence[Column]) -> Column:
+    out = cols[0].isNotNull()
+    for c in cols[1:]:
+        out = out | c.isNotNull()
+    return out
+
+
 def any_populated(cols: Sequence[Column | str]) -> Column:
-    """P5 — any-of-group populated."""
+    """P5 — any-of-group populated (type-agnostic OR reduction; see
+    group_populated_count for why not ``coalesce``)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.coalesce(*cols).isNotNull()
+    return _any_not_null(cols)
 
 
 def vocab_member(col: Column | str, vocab_lowered: Iterable[str]) -> Column:
@@ -168,38 +181,42 @@ def top_k_values(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     )
 
 
-def date_part_histograms(df: DataFrame, date_col: str) -> dict[str, DataFrame]:
-    """A13 — year/month/day histograms from a lenient-parsed date column
-    (reference breakdown.py:77-102).  One projected+filtered frame feeds
-    three small hash-agg jobs; caller may cache it when the source scan is
-    expensive."""
+def date_parts_histogram(df: DataFrame, date_col: str) -> DataFrame:
+    """A13 — combined (year, month, day) histogram from a lenient-parsed
+    date column (reference breakdown.py:77-102).
+
+    ONE job — ``groupBy(year, month, day).count()`` — instead of three
+    separate scans; output cardinality is at most |years|·12·31, so the
+    three marginal histograms roll up driver-side for free.  At 100 TB
+    this is the difference between one full scan and three."""
     parsed = (
         df.select(to_timestamp_lenient(date_col).alias("_ts"))
         .filter(F.col("_ts").isNotNull())
     )
-    out: dict[str, DataFrame] = {}
-    for name, extractor in (
-        ("year", F.year), ("month", F.month), ("day", F.dayofmonth),
-    ):
-        out[name] = (
-            parsed.groupBy(extractor("_ts").cast("string").alias("value"))
-            .agg(F.count(F.lit(1)).alias("count"))
-        )
-    return out
+    return (
+        parsed.groupBy(
+            F.year("_ts").alias("year"),
+            F.month("_ts").alias("month"),
+            F.dayofmonth("_ts").alias("day"),
+        ).agg(F.count(F.lit(1)).alias("count"))
+    )
 
 
 def offending_values_sample(
     df: DataFrame, col: str, vocab_lowered: Iterable[str], limit: int = 10
 ) -> DataFrame:
     """A14 — lexicographically-first ``limit`` distinct non-matching raw
-    values (reference validate.py:297-300: ``numpy.unique`` sorts, then
-    first 10, then the literal string 'nan' is dropped).  distinct →
-    TakeOrderedAndProject; never a full sort."""
+    values (reference validate.py:297-300: ``numpy.unique`` sorts, takes
+    the first 10, THEN drops the literal string 'nan').  The 'nan' strip
+    happens AFTER the limit, mirroring the reference — so a 'nan' value
+    that sorts within the first ``limit`` shrinks the result, exactly as
+    pandas does.  distinct → TakeOrderedAndProject; never a full sort."""
     c = F.col(col).cast("string")
     return (
-        df.filter(vocab_non_member(c, vocab_lowered) & (c != F.lit("nan")))
+        df.filter(vocab_non_member(c, vocab_lowered))
         .select(c.alias("value"))
         .distinct()
         .orderBy("value")
         .limit(limit)
+        .filter(F.col("value") != F.lit("nan"))
     )

@@ -29,10 +29,23 @@ from pyspark.sql import DataFrame
 from ..functions import expressions as E
 
 
-def simple_breakdown(df: DataFrame, field: str) -> dict[str, int]:
+def simple_breakdown(
+    df: DataFrame, field: str, max_values: int = 100_000
+) -> dict[str, int]:
     """value→count histogram, null-excluding (breakdown.py:65-74).
-    Key order is irrelevant (dict)."""
-    rows = E.value_histogram(df, field).collect()
+    Key order is irrelevant (dict).
+
+    ``max_values`` caps the collect: the dict form is only sane for
+    bounded-cardinality columns (year/month/day — the reference's only
+    use).  A high-cardinality column raises instead of OOMing the
+    driver; use ``functions.expressions.value_histogram`` (a DataFrame)
+    for those."""
+    rows = E.value_histogram(df, field).limit(max_values + 1).collect()
+    if len(rows) > max_values:
+        raise ValueError(
+            f"simple_breakdown({field!r}): >{max_values} distinct values; "
+            "use functions.expressions.value_histogram for a DataFrame form"
+        )
     return {r["value"]: r["count"] for r in rows}
 
 
@@ -45,15 +58,22 @@ def top_values_breakdown(df: DataFrame, field: str, limit: int) -> dict[str, int
 
 def generate_event_date_breakdown(
     df: DataFrame, date_col: str = "eventDate"
-) -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
+) -> tuple[dict[int, int], dict[int, int], dict[int, int]]:
     """year/month/day histograms of lenient-parsed dates
-    (breakdown.py:77-102).  One projected frame feeds three small jobs."""
-    hists = E.date_part_histograms(df, date_col)
-    out = []
-    for name in ("year", "month", "day"):
-        rows = hists[name].collect()
-        out.append({r["value"]: r["count"] for r in rows})
-    return tuple(out)
+    (breakdown.py:77-102).  ONE ``groupBy(year, month, day)`` job —
+    bounded output (≤ |years|·12·31 rows) — then the three marginals
+    roll up driver-side.  Keys are ints, matching the reference's
+    in-memory dict shape (breakdown.py:95-102; only simple_breakdown
+    str-casts its keys)."""
+    rows = E.date_parts_histogram(df, date_col).collect()
+    year_bd: dict[int, int] = {}
+    month_bd: dict[int, int] = {}
+    day_bd: dict[int, int] = {}
+    for r in rows:
+        year_bd[r["year"]] = year_bd.get(r["year"], 0) + r["count"]
+        month_bd[r["month"]] = month_bd.get(r["month"], 0) + r["count"]
+        day_bd[r["day"]] = day_bd.get(r["day"], 0) + r["count"]
+    return year_bd, month_bd, day_bd
 
 
 def generate_breakdowns(df: DataFrame) -> dict[str, dict[str, int]]:

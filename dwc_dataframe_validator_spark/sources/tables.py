@@ -32,9 +32,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integer division: epoch-nanos exceed double's 2^53 mantissa, so
+        # `/ 1000` through double rounds ±1 µs; `div` stays in long.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 
