@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the validator's single-pass
+occurrence-metrics aggregate over a synthetic occurrence view of the
+sf0.001 ``events`` table).  ``queries()`` / ``oracle_sql()`` expose
+every implemented operator from SURVEY.md §2 plus the LLM-pipeline
+extensions; oracles are exact DuckDB equivalents (see
+dwc_dataframe_validator_spark/registry.py for the decimal/double
+determinism rules that make the comparison bit-exact).
 """
 
 from __future__ import annotations
@@ -13,26 +15,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dwc_dataframe_validator_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return registry.QUERIES["occurrence_validation_metrics"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Every computed/aggregate column is aliased identically in the
+    matching ``oracle_sql`` entry.
     """
-    return {}
+    return registry.get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL for each SQL-expressible query.  Keys
+    absent here (MinHash LSH, SimHash, HLL) are genuinely not portable
+    SQL (engine-specific hash functions); the driver records rows-only
+    checks for those and pytest covers their semantics with planted
+    duplicates.
     """
-    return {}
+    return registry.get_oracles()

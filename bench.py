@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count).
+The headline set covers every execution shape: single-pass aggregate,
+star join, window, LSH dedup, ANN, text profiling, streaming twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from dwc_dataframe_validator_spark import registry
+from dwc_dataframe_validator_spark.sources.tables import local_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_top_orders_by_revenue",
+    "q_nation_revenue",
+    "occurrence_validation_metrics",
+    "a2_column_counts",
+    "a13_date_parts",
+    "fk_lineitem_orders",
+    "dedup_exact_keepers",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_quality",
+    "ann_cosine_topk_arrow",
+    "sessionize",
+    "stream_window_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = local_session("dwc-validator-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.get_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen path once with a trivial job
+    spark.range(1).count()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

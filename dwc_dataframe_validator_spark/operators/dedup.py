@@ -1,0 +1,268 @@
+"""Deduplication operators — exact and near-duplicate — for
+training-data-scale corpora.
+
+Exact dedup is a hash shuffle on the key (or a windowed keeper when a
+deterministic survivor is required).  Near-dup is MinHash + banded LSH:
+shingles → k minhashes → b bands of r rows → bucket join → candidate
+pairs → exact-Jaccard verification of candidates only.  All pure
+Catalyst expressions (xxhash64 + modular arithmetic) — no Python UDFs,
+no all-pairs product anywhere.
+
+Scale notes (100 TB):
+- ``exact_dedup_keepers`` shuffles once on the key columns;
+  ``dropDuplicates`` is cheaper when ANY survivor is acceptable
+  (map-side partial dedup before the shuffle).
+- MinHash signatures: one explode + one groupBy(id) — the shuffle
+  carries k longs per doc, independent of document length.
+- LSH bucket join: band×bucket is the join key; bucket skew (a
+  degenerate bucket holding half the corpus) is the classic failure —
+  ``max_bucket_size`` drops pathological buckets, mirroring the
+  shingle-df cap in operators.text.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters: h_i(x) = (a_i * x32 + b_i) mod P, with x32 the
+# 32-bit-folded xxhash64 of the shingle.  P is the Mersenne prime
+# 2^61-1; a_i < 2^29 keeps a_i * x32 + b_i < 2^62 — no long overflow.
+_MERSENNE_P = (1 << 61) - 1
+_A_MUL = 0x9E3779B1  # golden-ratio odd constant → well-spread a_i, b_i
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    return [
+        (((_A_MUL * (2 * i + 1)) & ((1 << 29) - 1)) | 1,
+         (_A_MUL * (7 * i + 3)) & ((1 << 31) - 1))
+        for i in range(k)
+    ]
+
+
+def exact_dedup_keepers(
+    df: DataFrame,
+    keys: Sequence[str],
+    tiebreak: Sequence[str],
+) -> DataFrame:
+    """Deterministic survivor per duplicate group: the first row under
+    ``tiebreak`` ordering within each ``keys`` partition
+    (row_number() == 1).  One shuffle on the keys."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in tiebreak])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_any_survivor(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``dropDuplicates(keys)`` — nondeterministic survivor, but cheaper
+    at scale: partial (map-side) dedup runs before the shuffle."""
+    return df.dropDuplicates(list(keys))
+
+
+def duplicate_groups(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Offender listing: key groups occurring more than once, with
+    counts.  groupBy → filter; output cardinality = |dup groups|."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    k: int = 32,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """k-permutation MinHash signature per document from exploded
+    (id, shingle) rows (operators.text.word_ngrams output).
+
+    Per-row: k modular-hash columns off one xxhash64; then ONE
+    groupBy(id) with k min() aggregates — shuffle state is k longs per
+    document regardless of length.
+    """
+    x32 = F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(1 << 32))
+    hash_cols = [
+        F.pmod(F.lit(a) * x32 + F.lit(b), F.lit(_MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    per_row = shingles.select(F.col(id_col), *hash_cols)
+    return per_row.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: split the k-column signature into
+    ``bands`` bands, hash each band to a bucket, self-join per
+    (band, bucket).  Never an all-pairs product — only same-bucket
+    pairs are generated.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. the
+    all-identical-boilerplate bucket) whose pair fan-out is quadratic.
+    """
+    sig_cols = [c for c in signatures.columns if c.startswith("mh")]
+    if len(sig_cols) % bands:
+        raise ValueError(f"{len(sig_cols)} signature columns not divisible into {bands} bands")
+    r = len(sig_cols) // bands
+    band_frames = []
+    for bi in range(bands):
+        cols = sig_cols[bi * r : (bi + 1) * r]
+        band_frames.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionAll(bf)
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bs"))
+            .filter(F.col("bs") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"])
+    a = buckets.select(F.col(id_col).alias("ida"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("idb"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+
+
+def verify_candidates_jaccard(
+    candidates: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates only (join back to
+    the shingle index; work is |candidates| · avg shingles, not N²)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = shingles.select(F.col(id_col).alias("ida"), "shingle")
+    b = shingles.select(F.col(id_col).alias("idb"), "shingle")
+    common = (
+        candidates.join(a, "ida")
+        .join(b, ["idb", "shingle"])
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("ida"), F.col("nsh").alias("na")), "ida")
+        .join(sizes.select(F.col(id_col).alias("idb"), F.col("nsh").alias("nb")), "idb")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle → MinHash(k) → LSH(bands)
+    → exact-Jaccard verify ≥ threshold.  The standard corpus-dedup
+    shape; every stage is a bounded shuffle."""
+    from .text import word_ngrams
+
+    sh = word_ngrams(df, n=n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    return verify_candidates_jaccard(cands, sh, threshold, id_col=id_col)
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Exploded (id, word, cnt) rows → for each bit b a signed vote
+    sum(cnt if bit set else -cnt) → ONE groupBy(id) with 64 sum()
+    aggregates → bits reassembled into a BIGINT (two's-complement bit
+    pattern; bit 63 may set the sign — that is fine, it is a hash).
+    Near-identical documents differ in O(1) bits (compare via hamming
+    distance or band the 64 bits into 4×16 for bucketing).
+    """
+    t = F.trim(F.col(text_col))
+    words = (
+        df.filter(t != F.lit(""))
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_band_pairs(
+    simhashes: DataFrame,
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Candidate pairs whose SimHash matches exactly on at least one
+    16-bit band — catches pairs within small hamming distance without
+    an all-pairs scan (same banding trick as MinHash LSH)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    frames = [
+        simhashes.select(
+            F.col(id_col),
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for bi in range(nbands)
+    ]
+    buckets = frames[0]
+    for bf in frames[1:]:
+        buckets = buckets.unionAll(bf)
+    a = buckets.select(F.col(id_col).alias("ida"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("idb"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )

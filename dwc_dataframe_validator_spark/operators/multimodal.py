@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side contract is real and tested — binary content column,
+metadata struct, Arrow-batched ``mapInPandas`` decode/feature plumbing
+with explicit output schemas — while the actual media decoding is
+STUBBED: the container has no image/audio libraries, so ``decode_images``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder derives dimensions from the bytes (stable
+for tests; swap the inner function for PIL/ffmpeg in production).
+
+Scale notes (100 TB):
+- binary payloads ride in parquet as BYTE_ARRAY; metadata-only queries
+  (size, hash, mime) never deserialize the payload thanks to column
+  pruning — keep metadata in separate columns, not inside the blob.
+- decode is a map-side Arrow batch pipeline: no shuffle, batch size
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it
+  so batch_rows × avg_blob_bytes fits the executor Arrow buffer.
+- frame sampling EXPANDS rows (1 video → n frames); the output schema
+  carries (id, frame_idx) so downstream repartition can spread frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_META_SCHEMA = "id long, width int, height int, channels int, ok boolean"
+FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
+
+
+def attach_text_blob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Demo blob builder: UTF-8 bytes of a text column as the binary
+    payload plus a typed metadata struct — the same shape a real
+    image/audio table would use."""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("id"),
+        blob.alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(blob).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def blob_metadata(df: DataFrame, content_col: str = "content", id_col: str = "id") -> DataFrame:
+    """Metadata-only projection: size + sha256 — all built-ins, no
+    Python, and the blob column is the only payload read."""
+    c = F.col(content_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_bytes"),
+        F.sha2(c, 256).alias("sha256_hex"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake: dimensions derived from a stable digest of
+    the payload.  Replace with PIL.Image.open in production."""
+    d = hashlib.sha256(payload).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    fake: bool = False,
+) -> DataFrame:
+    """Arrow-batched image decode returning (id, width, height,
+    channels, ok).  Real decoding requires an image library not present
+    in this container — pass ``fake=True`` for the deterministic stub
+    (plumbing, schema, and batching are identical either way)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires PIL/opencv (not installed); "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                w, h, ch = _fake_decode(bytes(payload))
+                rows.append((i, w, h, ch, True))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "channels", "ok"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        run, BLOB_META_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_frames: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Row-expanding frame sampler (1 blob → n frames); frame count is
+    derived deterministically in the stub.  Demonstrates the expanding
+    mapInPandas shape a video pipeline needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires ffmpeg (not installed); "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload)
+                n = 1 + (len(b) % max_frames)
+                step = max(1, len(b) // n)
+                for f_idx in range(n):
+                    rows.append((i, f_idx, b[f_idx * step : f_idx * step + 16]))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_bytes"])
+
+    return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        run, FRAME_SCHEMA
+    )

@@ -1,0 +1,276 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Everything here is built-in Catalyst expressions — no Python UDFs — so
+the whole surface stays inside whole-stage codegen and scales linearly
+with executors.  These extend the reference validator (which has no
+text surface) to the document-profiling checks an LLM training-data
+pipeline needs: token statistics, quality scoring, language ID,
+fingerprinting, and shingle-based near-duplicate analysis.
+
+Scale notes (100 TB):
+- token/quality/langid/fingerprint are narrow per-row projections: no
+  shuffle at all, pure map-side, pushdown-friendly (only ``text`` and
+  the id column are read from parquet).
+- the shingle inverted index (``word_ngrams`` → ``jaccard_top_neighbor``)
+  shuffles by shingle; hyper-common shingles create skew, so
+  ``max_shingle_df`` drops shingles whose document frequency exceeds a
+  cap (standard practice — a shingle in >X% of docs carries no signal
+  and quadratically explodes its bucket).  For corpus-scale near-dup,
+  prefer operators.dedup.minhash_lsh_pairs (banded LSH, never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Stopword alternations used for quality scoring and the language-ID
+# heuristic.  Tiny fixed sets — these are regex literals folded by
+# Catalyst's ConstantFolding, not data-side joins.
+EN_STOPWORDS = r"\b(the|a|of|and|to|in|is)\b"
+LANG_STOPWORDS = {
+    "en": r"\b(the|a|of|and|is|to)\b",
+    "de": r"\b(der|die|das|und|ist|zu)\b",
+    "fr": r"\b(le|la|et|est|les|un)\b",
+    "es": r"\b(el|los|de|y|es|una)\b",
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for blank/empty strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == F.lit(""), F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token/byte/character-class statistics.
+
+    Pure projection — zero shuffles; Catalyst prunes the parquet scan
+    to (id, text).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(F.encode(t, "UTF-8")).alias("n_bytes"),
+        n_chars.alias("n_chars_computed"),
+        (n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))).alias("n_alpha"),
+        (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).alias("n_digit"),
+        (n_chars - F.length(F.regexp_replace(t, r"[.!?,;:]", ""))).alias("n_punct"),
+        (n_chars - F.length(F.regexp_replace(t, r"\s", ""))).alias("n_ws"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """Heuristic document-quality gate (length bounds, alphabetic ratio,
+    stopword presence) — the standard cheap pre-filter before expensive
+    dedup/model scoring in a training-data pipeline."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    stop_hits = F.regexp_count(t, F.lit(EN_STOPWORDS))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stopword_hits"),
+        alpha_ratio.alias("alpha_ratio"),
+        (
+            n_tokens.between(min_tokens, max_tokens)
+            & (stop_hits >= 1)
+            & (alpha_ratio >= min_alpha_ratio)
+        ).alias("quality_ok"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """N-gram/stopword-heuristic language ID.
+
+    Counts stopword hits per candidate language and picks the max with
+    a fixed precedence (en > de > fr > es > und) on ties.  This is the
+    classic cheap heuristic; a production pipeline would swap in a
+    fastText-style classifier behind the same column contract.
+    """
+    t = F.col(text_col)
+    hits = {k: F.regexp_count(F.lower(t), F.lit(pat)) for k, pat in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["de"] == best, F.lit("de"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        F.col(id_col),
+        *[h.alias(f"hits_{k}") for k, h in hits.items()],
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text.  Exact-dedup key that is
+    robust to case and whitespace variation."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def word_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded to
+    (id, shingle) rows — the input of the Jaccard inverted index and
+    the MinHash signature builder.
+
+    Built with ``zip_with`` over shifted slices (no UDF): for n=2,
+    zip(words, words[1:]) with null-padding on the shorter side; the
+    trailing null pair concats to null and is filtered.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    if n == 1:
+        grams = words
+    else:
+        grams = words
+        for i in range(1, n):
+            shifted = F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0)))
+            grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        # zip_with pads the shorter array with nulls; concat_ws skips
+        # nulls, so trailing entries are partial (n-1)-grams — drop by
+        # slicing to the exact gram count.
+        grams = F.slice(
+            grams, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))
+        )
+    return (
+        df.filter(t != F.lit(""))
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def jaccard_top_neighbor(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Top-1 near-duplicate neighbor per document by word-n-gram Jaccard.
+
+    Inverted-index plan (never a naive all-pairs cross join):
+      shingles → self-join on shingle (pairs sharing ≥1 shingle) →
+      common-count per pair → jaccard = common / (|A|+|B|-common) →
+      row_number over each doc (jaccard desc, neighbor asc) → rank 1.
+
+    ``max_shingle_df`` drops shingles with document frequency above the
+    cap before pairing — the skew guard that keeps bucket fan-out
+    sub-quadratic at corpus scale.
+    """
+    sh = word_ngrams(df, n, text_col, id_col).alias("sh")
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+
+    a = sh.select(F.col(id_col).alias("ida"), "shingle")
+    b = sh.select(F.col(id_col).alias("idb"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    pairs = (
+        pairs.join(sizes.select(F.col(id_col).alias("ida"), F.col("nsh").alias("na")), "ida")
+        .join(sizes.select(F.col(id_col).alias("idb"), F.col("nsh").alias("nb")), "idb")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+    )
+    both = pairs.select(
+        F.col("ida").alias(id_col), F.col("idb").alias("neighbor_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("idb").alias(id_col), F.col("ida").alias("neighbor_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("neighbor_id"))
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard ≥ threshold, via the
+    same inverted-index plan as jaccard_top_neighbor."""
+    sh = word_ngrams(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col(id_col).alias("ida"), "shingle")
+    b = sh.select(F.col(id_col).alias("idb"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.select(F.col(id_col).alias("ida"), F.col("nsh").alias("na")), "ida")
+        .join(sizes.select(F.col(id_col).alias("idb"), F.col("nsh").alias("nb")), "idb")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "jaccard")
+    )

@@ -266,6 +266,27 @@ def _validate_dataframe(
     )
 
 
+def occurrence_metrics_dataframe(
+    df: DataFrame,
+    id_fields: Optional[Sequence[str]] = None,
+    id_term: str = "",
+) -> DataFrame:
+    """The validator's single-pass aggregate as a LAZY one-row
+    DataFrame (every scalar metric of validate_occurrence_dataframe,
+    un-collected).  This is the driver-contract hook: callers that
+    want the plan rather than the report (e.g. ``entry()``) use this."""
+    plan = MetricPlan()
+    _register_metrics(
+        plan, df, id_fields, id_term,
+        vocab_fields=[
+            ("basisOfRecord", basis_of_record_vocabulary),
+            ("geodeticDatum", geodetic_datum_vocabulary),
+        ],
+        taxonomy=True,
+    )
+    return plan.aggregate_dataframe(df)
+
+
 def validate_occurrence_dataframe(
     df: DataFrame,
     id_fields: Optional[Sequence[str]] = None,

@@ -1,0 +1,743 @@
+"""Driver-contract registry: every implemented operator as a
+(spark, sf_dir) → DataFrame query plus, where SQL-expressible, an
+exactly-equivalent DuckDB oracle.
+
+Design rules that make the oracle comparison exact (not approximate):
+- money/quantity aggregations cast to DECIMAL(18,2/4) BEFORE summing —
+  decimal addition is exact and order-independent, then one final cast
+  to DOUBLE (values ≤ 2^53, lossless);
+- float similarity (cosine) accumulates sequentially in DOUBLE on both
+  engines (Spark ``aggregate``/``zip_with`` vs DuckDB
+  ``list_sum``/``list_zip``) — verified bit-exact;
+- every computed column is aliased identically on both sides (the
+  driver sorts columns by name before hashing);
+- ties in any top-k / row_number are broken by a unique id column;
+- ``events.ts`` is TIMESTAMP(NANOS) in parquet: Spark loads it via
+  ``sources.tables.load_table`` (long → ``timestamp_micros(ts div
+  1000)``), the oracle uses ``CAST(ts AS TIMESTAMP)`` — both exact
+  because the generator emits whole microseconds.
+
+Queries without an oracle entry (MinHash LSH, SimHash, HLL) are
+genuinely not expressible in portable SQL (engine-specific hash
+functions); the driver records rows-only checks for them and pytest
+covers their semantics with planted duplicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, integrity, multimodal, similarity, text
+from .operators.validate import occurrence_metrics_dataframe
+from .functions import expressions as E
+from .sources.tables import load_table
+from .vocab import basis_of_record_vocabulary, lowered
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_BOR_LOWER = sorted(lowered(basis_of_record_vocabulary))
+_BOR_SQL = ", ".join(f"'{v}'" for v in _BOR_LOWER)
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# synthetic occurrence view (flagship validation target over driver data)
+# --------------------------------------------------------------------------
+
+def occurrence_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-shaped view over the ``events`` driver table: mixed
+    valid/invalid coordinates, a partially-recognised basisOfRecord,
+    ISO eventDate strings — the realistic profile the validator exists
+    for."""
+    ev = load_table(spark, sf_dir, "events")
+    bor = (
+        F.when(F.col("event_type") == "click", F.lit("HumanObservation"))
+        .when(F.col("event_type") == "view", F.lit("Observation"))
+        .when(F.col("event_type") == "purchase", F.lit("MaterialSample"))
+        .when(F.col("event_type") == "signup", F.lit("BOGUS"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("occurrenceID"),
+        (F.col("value") / 3 - 50).alias("decimalLatitude"),
+        (F.col("value") - 200).alias("decimalLongitude"),
+        F.col("event_type").alias("scientificName"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("eventDate"),
+        bor.alias("basisOfRecord"),
+        F.col("user_id").cast("string").alias("recordedBy"),
+    )
+
+_OCC_VIEW_SQL = """
+    SELECT CAST(event_id AS VARCHAR) AS occurrenceID,
+           "value" / 3 - 50  AS decimalLatitude,
+           "value" - 200     AS decimalLongitude,
+           event_type        AS scientificName,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS eventDate,
+           CASE event_type WHEN 'click' THEN 'HumanObservation'
+                           WHEN 'view' THEN 'Observation'
+                           WHEN 'purchase' THEN 'MaterialSample'
+                           WHEN 'signup' THEN 'BOGUS'
+                           ELSE NULL END AS basisOfRecord,
+           CAST(user_id AS VARCHAR) AS recordedBy
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavor: single-scan groupBy aggregation on lineitem.
+    Decimal-accumulated sums (exact), derived double averages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "*",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+    )
+
+
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    return (
+        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
+        .select("o_orderkey", "o_orderdate", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact lineitem→orders, then broadcast dims
+    (customer/nation/region are dimension-sized by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def a1_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(
+        E.record_count().alias("record_count")
+    )
+
+
+def a2_column_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        *[E.populated_count(c).alias(f"cnt_{c}") for c in orders.columns]
+    )
+
+
+def a4_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        E.populated_count("value").alias("populated"),
+        E.valid_range_count("value", 2, 8).alias("in_range"),
+    )
+
+
+def a5_group_populated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        E.group_populated_count(["text", "lang"]).alias("any_populated"),
+        E.record_count().alias("record_count"),
+    )
+
+
+def a8_a9_distinct_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        E.populated_count("l_orderkey").alias("populated"),
+        E.distinct_count("l_orderkey").alias("distinct_cnt"),
+        E.duplicate_count("l_orderkey").alias("duplicate_cnt"),
+    )
+
+
+def a10_vocab_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vocab = ["a", "r"]
+    return li.agg(
+        E.record_count().alias("record_count"),
+        E.null_count("l_returnflag").alias("null_cnt"),
+        E.vocab_recognised_count("l_returnflag", vocab).alias("recognised"),
+    ).select(
+        "*",
+        (F.col("record_count") - F.col("null_cnt") - F.col("recognised")).alias("unrecognised"),
+    )
+
+
+def a11_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return E.value_histogram(li, "l_returnflag").withColumnRenamed("count", "cnt")
+
+
+def a12_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return E.top_k_values(part, "p_brand", 20).withColumnRenamed("count", "cnt")
+
+
+def a13_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return E.date_parts_histogram(orders, "o_orderdate").withColumnRenamed("count", "cnt")
+
+
+def a14_offender_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return E.offending_values_sample(docs, "lang", ["en", "de"], 10)
+
+
+def p4_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(E.in_range("c_acctbal", 0, 1000)).select("c_custkey", "c_acctbal")
+
+
+def p6_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(E.vocab_member("event_type", ["error", "signup"])).select("event_id")
+
+
+def p8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("cnt_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def occurrence_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validator's scalar metrics over the synthetic occurrence
+    view, spelled as one explicit aggregate so the oracle can replicate
+    it metric-for-metric."""
+    occ = occurrence_view(spark, sf_dir)
+    return occ.agg(
+        E.record_count().alias("record_count"),
+        E.distinct_count("occurrenceID").alias("occurrence_id_distinct"),
+        E.populated_count("decimalLatitude").alias("lat_populated"),
+        E.valid_range_count("decimalLatitude", -90, 90).alias("lat_valid"),
+        E.valid_range_count("decimalLongitude", -180, 180).alias("lon_valid"),
+        E.vocab_recognised_count("basisOfRecord", _BOR_LOWER).alias("bor_recognised"),
+        E.null_count("basisOfRecord").alias("bor_null"),
+        E.group_populated_count(["eventDate"]).alias("temporal_populated"),
+        E.group_populated_count(["scientificName"]).alias("taxonomy_populated"),
+    )
+
+
+def fk_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return integrity.fk_orphan_count(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey", "c_custkey", broadcast_parent=True,
+    )
+
+
+def fk_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return integrity.fk_orphan_count(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        "l_orderkey", "o_orderkey",
+    )
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.duplicate_groups(ev, ["user_id", "event_type"])
+
+
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_dedup_keepers(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("event_id")
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (rows-only check: xxhash64 has
+    no portable SQL equivalent; semantics covered by planted-duplicate
+    pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("ida", "idb")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(docs)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def text_ngram_top_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.jaccard_top_neighbor(load_table(spark, sf_dir, "documents"), n=2)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force variant; sim omitted from the output so
+    the oracle (which checks ranks) matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_arrow(emb, emb.filter("vec_id < 8"), k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter("vec_id < 8"), k=3)
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windowed_check_counts — the exact same
+    code path runs on a bounded frame (no watermark branch), which is
+    what makes the streaming surface oracle-checkable.  Hourly tumbling
+    windows align to epoch hours, so the oracle is date_trunc('hour')."""
+    from .streaming.validation import windowed_check_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_check_counts(
+        ev,
+        checks={
+            "value_in_range": E.in_range("value", 2, 8),
+            "is_error": E.vocab_member("event_type", ["error"]),
+        },
+        ts_col="ts",
+        window="1 hour",
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user: lag +
+    cumulative-sum window — one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("_new", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.blob_metadata(multimodal.attach_text_blob(docs))
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — deterministic for a given input
+    but engine-specific, so rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        E.approx_distinct_count("user_id").alias("approx_users"),
+        E.distinct_count("user_id").alias("exact_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q_top_orders_by_revenue": q_top_orders_by_revenue,
+    "q_nation_revenue": q_nation_revenue,
+    "a1_record_count": a1_record_count,
+    "a2_column_counts": a2_column_counts,
+    "a4_range_count": a4_range_count,
+    "a5_group_populated": a5_group_populated,
+    "a8_a9_distinct_duplicates": a8_a9_distinct_duplicates,
+    "a10_vocab_membership": a10_vocab_membership,
+    "a11_value_histogram": a11_value_histogram,
+    "a12_top_k": a12_top_k,
+    "a13_date_parts": a13_date_parts,
+    "a14_offender_sample": a14_offender_sample,
+    "p4_range_filter": p4_range_filter,
+    "p6_membership_filter": p6_membership_filter,
+    "p8_json_extract": p8_json_extract,
+    "occurrence_validation_metrics": occurrence_validation_metrics,
+    "fk_orders_customer": fk_orders_customer,
+    "fk_lineitem_orders": fk_lineitem_orders,
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_exact_keepers": dedup_exact_keepers,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_language_id": text_language_id,
+    "text_ngram_top_neighbor": text_ngram_top_neighbor,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
+    "ann_ivf_topk": ann_ivf_topk,
+    "stream_window_counts": stream_window_counts,
+    "sessionize": sessionize,
+    "multimodal_blob_meta": multimodal_blob_meta,
+    "hll_distinct_users": hll_distinct_users,
+}
+
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        WITH agg AS (
+          SELECT l_returnflag, l_linestatus,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+            count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY 1, 2)
+        SELECT *, sum_qty / count_order AS avg_qty,
+               sum_base_price / count_order AS avg_price
+        FROM agg
+    """,
+    "q_top_orders_by_revenue": """
+        WITH rev AS (
+          SELECT l_orderkey,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM lineitem GROUP BY 1)
+        SELECT o_orderkey, o_orderdate, revenue
+        FROM rev JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q_nation_revenue": """
+        SELECT n_name,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "a1_record_count": "SELECT count(*) AS record_count FROM lineitem",
+    "a2_column_counts": """
+        SELECT count(o_orderkey) AS cnt_o_orderkey,
+               count(o_custkey) AS cnt_o_custkey,
+               count(o_orderstatus) AS cnt_o_orderstatus,
+               count(o_totalprice) AS cnt_o_totalprice,
+               count(o_orderdate) AS cnt_o_orderdate,
+               count(o_orderpriority) AS cnt_o_orderpriority
+        FROM orders
+    """,
+    "a4_range_count": """
+        SELECT count("value") AS populated,
+               count(*) FILTER (WHERE TRY_CAST("value" AS DOUBLE) BETWEEN 2 AND 8) AS in_range
+        FROM events
+    """,
+    "a5_group_populated": """
+        SELECT count(*) FILTER (WHERE text IS NOT NULL OR lang IS NOT NULL) AS any_populated,
+               count(*) AS record_count
+        FROM documents
+    """,
+    "a8_a9_distinct_duplicates": """
+        SELECT count(l_orderkey) AS populated,
+               count(DISTINCT l_orderkey) AS distinct_cnt,
+               count(l_orderkey) - count(DISTINCT l_orderkey) AS duplicate_cnt
+        FROM lineitem
+    """,
+    "a10_vocab_membership": """
+        SELECT count(*) AS record_count,
+               count(*) - count(l_returnflag) AS null_cnt,
+               count(*) FILTER (WHERE lower(CAST(l_returnflag AS VARCHAR)) IN ('a','r')) AS recognised,
+               count(*) - (count(*) - count(l_returnflag))
+                        - count(*) FILTER (WHERE lower(CAST(l_returnflag AS VARCHAR)) IN ('a','r')) AS unrecognised
+        FROM lineitem
+    """,
+    "a11_value_histogram": """
+        SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS cnt
+        FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+    """,
+    "a12_top_k": """
+        SELECT value, cnt FROM (
+          SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS cnt,
+                 row_number() OVER (ORDER BY count(*) DESC, CAST(p_brand AS VARCHAR) ASC) AS rn
+          FROM part WHERE p_brand IS NOT NULL GROUP BY 1)
+        WHERE rn <= 20
+    """,
+    "a13_date_parts": """
+        SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+               day(o_orderdate) AS day, count(*) AS cnt
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2, 3
+    """,
+    "a14_offender_sample": """
+        SELECT value FROM (
+          SELECT DISTINCT CAST(lang AS VARCHAR) AS value FROM documents
+          WHERE lang IS NOT NULL AND lower(CAST(lang AS VARCHAR)) NOT IN ('en','de')
+          ORDER BY value LIMIT 10)
+        WHERE value <> 'nan'
+    """,
+    "p4_range_filter": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE TRY_CAST(c_acctbal AS DOUBLE) BETWEEN 0 AND 1000
+    """,
+    "p6_membership_filter": """
+        SELECT event_id FROM events
+        WHERE lower(CAST(event_type AS VARCHAR)) IN ('error','signup')
+    """,
+    "p8_json_extract": """
+        SELECT CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS cnt_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    """,
+    "occurrence_validation_metrics": f"""
+        WITH occ AS ({_OCC_VIEW_SQL})
+        SELECT count(*) AS record_count,
+               count(DISTINCT occurrenceID) AS occurrence_id_distinct,
+               count(decimalLatitude) AS lat_populated,
+               count(*) FILTER (WHERE TRY_CAST(decimalLatitude AS DOUBLE) BETWEEN -90 AND 90) AS lat_valid,
+               count(*) FILTER (WHERE TRY_CAST(decimalLongitude AS DOUBLE) BETWEEN -180 AND 180) AS lon_valid,
+               count(*) FILTER (WHERE lower(CAST(basisOfRecord AS VARCHAR)) IN ({_BOR_SQL})) AS bor_recognised,
+               count(*) - count(basisOfRecord) AS bor_null,
+               count(*) FILTER (WHERE eventDate IS NOT NULL) AS temporal_populated,
+               count(*) FILTER (WHERE scientificName IS NOT NULL) AS taxonomy_populated
+        FROM occ
+    """,
+    "fk_orders_customer": """
+        SELECT count(*) AS orphan_count FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    "fk_lineitem_orders": """
+        SELECT count(*) AS orphan_count FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    "dedup_exact_groups": """
+        SELECT user_id, event_type, count(*) AS cnt FROM events
+        GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+    "dedup_exact_keepers": """
+        SELECT event_id FROM (
+          SELECT event_id, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events)
+        WHERE rn = 1
+    """,
+    "dedup_fingerprint": r"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+               length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_len
+        FROM documents
+    """,
+    "text_token_stats": r"""
+        SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          octet_length(encode(text)) AS n_bytes,
+          length(text) AS n_chars_computed,
+          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+          length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+          length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws
+        FROM documents
+    """,
+    "text_quality": r"""
+        WITH s AS (
+          SELECT doc_id,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+            len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stopword_hits,
+            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS alpha_ratio
+          FROM documents)
+        SELECT doc_id, n_tokens, stopword_hits, alpha_ratio,
+               (n_tokens BETWEEN 5 AND 10000) AND stopword_hits >= 1
+                 AND alpha_ratio >= 0.5 AS quality_ok
+        FROM s
+    """,
+    "text_language_id": r"""
+        WITH h AS (
+          SELECT doc_id,
+            len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) AS hits_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|zu)\b')) AS hits_de,
+            len(regexp_extract_all(lower(text), '\b(le|la|et|est|les|un)\b')) AS hits_fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|de|y|es|una)\b')) AS hits_es
+          FROM documents)
+        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+          CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+               WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+               WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+               WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+               ELSE 'es' END AS lang_guess
+        FROM h
+    """,
+    "text_ngram_top_neighbor": r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+          FROM words),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+          FROM grams a JOIN grams b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        j AS (
+          SELECT ida, idb,
+            CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = ida
+          JOIN sizes sb ON sb.doc_id = idb),
+        sides AS (
+          SELECT ida AS doc_id, idb AS neighbor_id, jaccard FROM j
+          UNION ALL
+          SELECT idb AS doc_id, ida AS neighbor_id, jaccard FROM j)
+        SELECT doc_id, neighbor_id, jaccard FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id ASC) AS rn
+          FROM sides)
+        WHERE rn = 1
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        s AS (
+          SELECT qid AS query_id, e.vec_id AS neighbor_id,
+            list_sum(list_transform(list_zip(qe, e.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          FROM q, embeddings e WHERE e.vec_id <> qid)
+        SELECT query_id, neighbor_id, rank, sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+        WHERE rank <= 5
+    """,
+    "ann_cosine_topk_arrow": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        s AS (
+          SELECT qid AS query_id, e.vec_id AS neighbor_id,
+            list_sum(list_transform(list_zip(qe, e.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          FROM q, embeddings e WHERE e.vec_id <> qid)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+        WHERE rank <= 5
+    """,
+    "ann_ivf_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id < 8),
+        s AS (
+          SELECT qid AS query_id, e.vec_id AS neighbor_id,
+            list_sum(list_transform(list_zip(qe, e.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> qid)
+        SELECT query_id, neighbor_id, rank, sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+        WHERE rank <= 3
+    """,
+    "stream_window_counts": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+               count(*) AS cnt,
+               count(*) FILTER (WHERE TRY_CAST("value" AS DOUBLE) BETWEEN 2 AND 8) AS value_in_range,
+               count(*) FILTER (WHERE lower(CAST(event_type AS VARCHAR)) IN ('error')) AS is_error
+        FROM events GROUP BY 1
+    """,
+    "sessionize": """
+        WITH d AS (
+          SELECT user_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM d GROUP BY 1
+    """,
+    "multimodal_blob_meta": """
+        SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256_hex
+        FROM documents
+    """,
+}
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)
