@@ -17,6 +17,7 @@ from .model import (
     report_to_dict,
     report_to_json,
 )
+from .operators.archive import validate_archive
 from .operators.breakdown import field_populated_counts, generate_breakdowns
 from .operators.validate import (
     validate_event_dataframe,
@@ -37,6 +38,7 @@ __all__ = [
     "geodetic_datum_vocabulary",
     "report_to_dict",
     "report_to_json",
+    "validate_archive",
     "validate_event_dataframe",
     "validate_occurrence_dataframe",
 ]

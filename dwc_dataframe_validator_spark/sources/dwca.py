@@ -1,0 +1,211 @@
+"""Darwin Core Archive (DwC-A) source — SURVEY.md §2.1 S1-S3.
+
+A DwC-A is a directory (or zip) holding one core CSV table, N extension
+CSV tables, and a ``meta.xml`` descriptor declaring row types, the
+column-index→term mapping, and the CSV dialect (reference
+``validate_dwca.py:27-28,78-82``; descriptor examples
+``test/occurrence_archives/dwca-simple/meta.xml``).
+
+Spark mapping:
+- ``meta.xml`` is tiny driver-side metadata → ``xml.etree.ElementTree``
+  (S3), no Spark involved;
+- each table scan is a distributed ``spark.read.csv`` with options
+  derived from the descriptor dialect and an ALL-STRING schema named
+  from the descriptor terms (S1/S2).  All-string mirrors the
+  reference's ``pd_read(..., parse_dates=False)`` semantics
+  (SURVEY.md §1.2): values stay raw until a check coerces them.
+  No ``inferSchema`` — schema inference would cost a second full pass
+  over a 100 TB archive for types we would immediately discard.
+
+Column naming replicates python-dwca-reader: the ``<id>``/``<coreid>``
+index materializes as a literal ``id``/``coreid`` column (winning over
+any ``<field>`` at the same index), every other ``<field index>`` is
+named by the term-URI tail, and index-less fields with a ``default``
+become constant columns.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+_NS = "{http://rs.tdwg.org/dwc/text/}"
+
+# meta.xml attribute values are XML-escaped control sequences
+_ESCAPES = {"\\t": "\t", "\\n": "\n", "\\r": "\r", "\\r\\n": "\r\n"}
+
+
+def _unescape(v: str) -> str:
+    return _ESCAPES.get(v, v)
+
+
+def term_tail(term: str) -> str:
+    """Strip the DwC URI namespace (reference validate_dwca.py:36,117:
+    ``qualified_term.rsplit("/", 1)[-1]``)."""
+    return term.rsplit("/", 1)[-1]
+
+
+@dataclass
+class FieldSpec:
+    index: Optional[int]
+    term: str
+    default: Optional[str] = None
+
+
+@dataclass
+class TableSpec:
+    """One ``<core>`` or ``<extension>`` element of meta.xml."""
+
+    row_type: str
+    locations: list[str]
+    fields: list[FieldSpec]
+    id_index: Optional[int] = None      # <id index> (core) / <coreid index> (ext)
+    is_core: bool = True
+    delimiter: str = ","
+    quote: str = ""                     # fieldsEnclosedBy; "" = no quoting
+    encoding: str = "utf-8"
+    ignore_header_lines: int = 0
+
+    @property
+    def type_tail(self) -> str:
+        return term_tail(self.row_type)
+
+    def column_names(self) -> list[str]:
+        """Positional column names: id/coreid wins its index, fields
+        take their term tail; collisions get a positional suffix."""
+        by_index: dict[int, str] = {}
+        for f in self.fields:
+            if f.index is not None:
+                by_index[f.index] = term_tail(f.term)
+        if self.id_index is not None:
+            by_index[self.id_index] = "id" if self.is_core else "coreid"
+        n = max(by_index) + 1 if by_index else 0
+        names, seen = [], set()
+        for i in range(n):
+            name = by_index.get(i, f"_c{i}")
+            if name in seen:
+                name = f"{name}_{i}"
+            seen.add(name)
+            names.append(name)
+        return names
+
+    def default_columns(self) -> list[tuple[str, str]]:
+        """(name, value) for index-less fields with a declared default —
+        python-dwca-reader appends these as constant columns."""
+        return [
+            (term_tail(f.term), f.default)
+            for f in self.fields
+            if f.index is None and f.default is not None
+        ]
+
+
+@dataclass
+class ArchiveDescriptor:
+    """Parsed meta.xml (S3)."""
+
+    core: TableSpec
+    extensions: list[TableSpec] = dc_field(default_factory=list)
+    base_dir: str = ""
+
+
+def _parse_table(el: ElementTree.Element, is_core: bool) -> TableSpec:
+    locations = [
+        loc.text.strip()
+        for files in el.findall(f"{_NS}files")
+        for loc in files.findall(f"{_NS}location")
+        if loc.text
+    ]
+    fields = [
+        FieldSpec(
+            index=int(f.get("index")) if f.get("index") is not None else None,
+            term=f.get("term", ""),
+            default=f.get("default"),
+        )
+        for f in el.findall(f"{_NS}field")
+    ]
+    id_el = el.find(f"{_NS}id" if is_core else f"{_NS}coreid")
+    id_index = int(id_el.get("index")) if id_el is not None and id_el.get("index") else None
+    return TableSpec(
+        row_type=el.get("rowType", ""),
+        locations=locations,
+        fields=fields,
+        id_index=id_index,
+        is_core=is_core,
+        delimiter=_unescape(el.get("fieldsTerminatedBy", ",")) or ",",
+        quote=_unescape(el.get("fieldsEnclosedBy", "")),
+        encoding=el.get("encoding", "utf-8"),
+        ignore_header_lines=int(el.get("ignoreHeaderLines", "0")),
+    )
+
+
+def read_descriptor(archive_path: str) -> ArchiveDescriptor:
+    """Parse ``meta.xml`` from an archive directory or zip.  Zips are
+    extracted to a temp dir driver-side — a convenience for small
+    archives; at scale, archives live pre-extracted on distributed
+    storage and this function takes the directory."""
+    if archive_path.endswith(".zip") and zipfile.is_zipfile(archive_path):
+        tmp = tempfile.mkdtemp(prefix="dwca_")
+        with zipfile.ZipFile(archive_path) as zf:
+            zf.extractall(tmp)
+        archive_path = tmp
+    meta = os.path.join(archive_path, "meta.xml")
+    root = ElementTree.parse(meta).getroot()
+    core_el = root.find(f"{_NS}core")
+    if core_el is None:
+        raise ValueError(f"{meta}: no <core> element")
+    return ArchiveDescriptor(
+        core=_parse_table(core_el, is_core=True),
+        extensions=[_parse_table(e, is_core=False) for e in root.findall(f"{_NS}extension")],
+        base_dir=archive_path,
+    )
+
+
+def read_archive_table(
+    spark: SparkSession, descriptor: ArchiveDescriptor, table: TableSpec
+) -> DataFrame:
+    """S1/S2 — distributed CSV scan of one archive table with the
+    descriptor's dialect and an all-string schema."""
+    paths = [os.path.join(descriptor.base_dir, loc) for loc in table.locations]
+    names = table.column_names()
+    schema = StructType([StructField(n, StringType(), True) for n in names])
+    if table.ignore_header_lines not in (0, 1):
+        raise NotImplementedError(
+            f"ignoreHeaderLines={table.ignore_header_lines}: only 0/1 supported"
+        )
+    reader = (
+        spark.read.options(
+            header=table.ignore_header_lines == 1,
+            sep=table.delimiter,
+            encoding=table.encoding,
+            # disable quoting entirely when fieldsEnclosedBy is empty
+            quote=table.quote if table.quote else "\u0000",
+            enforceSchema=True,
+            mode="PERMISSIVE",
+        )
+        .schema(schema)
+    )
+    df = reader.csv(paths)
+    for name, value in table.default_columns():
+        df = df.withColumn(name, F.lit(value))
+    return df
+
+
+def get_id_dwc_term(columns: list[str], fields: list[FieldSpec]) -> Optional[str]:
+    """Recover which DwC term the conventional ``id`` column represents
+    (reference validate_dwca.py:101-118): find the field declared at the
+    ``id`` column's position and take its term tail."""
+    if "id" not in columns:
+        return None
+    col_idx = columns.index("id")
+    for f in fields:
+        if f.index == col_idx and f.term:
+            return term_tail(f.term)
+    return None

@@ -1,0 +1,261 @@
+"""Semantic tests for the LLM-pipeline operators: planted duplicates
+for dedup/LSH, planted nearest neighbors for similarity, known strings
+for text analysis, deterministic stubs for multimodal, and a real
+Structured Streaming run checked against its batch twin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwc_dataframe_validator_spark.functions import expressions as E
+from dwc_dataframe_validator_spark.operators import (
+    dedup,
+    integrity,
+    multimodal,
+    similarity,
+    text,
+)
+from dwc_dataframe_validator_spark.streaming.validation import (
+    streaming_dedup,
+    windowed_check_counts,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog and runs far away tonight"
+)
+OTHER = "completely different content about databases and distributed systems"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),          # near-duplicate of 1
+        (3, OTHER),
+        (4, "short text"),
+        (5, BASE),          # exact duplicate of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_exact_dedup_keepers(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], ["id", "k", "ts"]
+    )
+    kept = dedup.exact_dedup_keepers(df, ["k"], ["ts", "id"])
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3]
+    groups = dedup.duplicate_groups(df, ["k"]).collect()
+    assert len(groups) == 1 and groups[0]["k"] == "a" and groups[0]["cnt"] == 2
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    pairs = {
+        (r["ida"], r["idb"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0   # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5   # near dup
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[1] == sh[5]
+    ham_near = bin((sh[1] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
+    # exact dup always collides; the near dup needs bands > hamming
+    # distance (pigeonhole), so use 16 bands of 4 bits for recall
+    band_pairs = {
+        (r["ida"], r["idb"])
+        for r in dedup.simhash_band_pairs(dedup.simhash64(docs)).collect()
+    }
+    assert (1, 5) in band_pairs
+    fine_pairs = {
+        (r["ida"], r["idb"])
+        for r in dedup.simhash_band_pairs(
+            dedup.simhash64(docs), band_bits=4
+        ).collect()
+    }
+    assert (1, 2) in fine_pairs
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = {
+        (r["ida"], r["idb"]): r["jaccard"]
+        for r in text.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got[(1, 5)] == 1.0
+    assert (1, 2) in got
+    top = {
+        r["doc_id"]: r["neighbor_id"]
+        for r in text.jaccard_top_neighbor(docs).collect()
+    }
+    assert top[1] == 5  # exact dup wins over near dup (jaccard 1.0)
+
+
+# --- similarity ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.1, 0.0], "a"),   # nearest to 0
+        (2, [0.0, 1.0, 0.0], "a"),
+        (3, [0.0, 0.0, 1.0], "b"),
+        (4, [0.5, 0.5, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_cosine_topk_planted_neighbor(vectors):
+    out = similarity.cosine_topk(vectors, vectors.filter("vec_id = 0"), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 1
+    # float32 storage perturbs the inputs; compare loosely
+    assert rows[0]["sim"] == pytest.approx(0.99498743, abs=1e-3)
+
+
+def test_cosine_topk_arrow_agrees(vectors):
+    expr = similarity.cosine_topk(vectors, vectors.filter("vec_id < 2"), k=3)
+    arrow = similarity.cosine_topk_arrow(vectors, vectors.filter("vec_id < 2"), k=3)
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in expr.collect()}
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in arrow.collect()}
+    assert e == a
+
+
+def test_ivf_topk_restricted_to_cell(vectors):
+    out = similarity.ivf_topk(vectors, vectors.filter("vec_id = 0"), k=5)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert neighbors == {1, 2}  # only label 'a' cell, self excluded
+
+
+# --- text ------------------------------------------------------------------
+
+def test_token_stats_known_string(spark):
+    df = spark.createDataFrame([(1, "Hello world 42!"), (2, ""), (3, "   ")],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.token_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["n_alpha"] == 10
+    assert rows[1]["n_digit"] == 2
+    assert rows[1]["n_punct"] == 1
+    assert rows[2]["n_tokens"] == 0 and rows[3]["n_tokens"] == 0
+
+
+def test_quality_and_langid(docs, spark):
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert q[1]["quality_ok"] is True
+    assert q[4]["quality_ok"] is False  # too short
+    lang = {r["doc_id"]: r["lang_guess"] for r in text.language_id(docs).collect()}
+    assert lang[1] == "en"
+    de = spark.createDataFrame(
+        [(9, "der hund und die katze ist zu haus")], ["doc_id", "text"])
+    assert text.language_id(de).collect()[0]["lang_guess"] == "de"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"])
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --- integrity -------------------------------------------------------------
+
+def test_fk_orphans(spark):
+    child = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], ["id", "fk"])
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    orphans = integrity.fk_orphans(child, parent, "fk", "pk", broadcast_parent=True)
+    assert [r["id"] for r in orphans.collect()] == [3]
+    cnt = integrity.fk_orphan_count(child, parent, "fk", "pk").collect()[0]
+    assert cnt["orphan_count"] == 1
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_multimodal_stub_pipeline(docs):
+    blobs = multimodal.attach_text_blob(docs)
+    meta = {r["id"]: r for r in multimodal.blob_metadata(blobs).collect()}
+    assert meta[1]["n_bytes"] == len(BASE.encode())
+    decoded = {r["id"]: r for r in multimodal.decode_images(blobs, fake=True).collect()}
+    again = {r["id"]: r for r in multimodal.decode_images(blobs, fake=True).collect()}
+    assert decoded[1]["ok"] and decoded == again  # deterministic
+    frames = multimodal.sample_frames(blobs, fake=True).collect()
+    assert len(frames) >= len(decoded)
+    assert {f["id"] for f in frames} == set(decoded)
+
+
+def test_multimodal_real_decode_raises(docs):
+    blobs = multimodal.attach_text_blob(docs)
+    with pytest.raises(Exception):
+        multimodal.decode_images(blobs).collect()
+
+
+# --- streaming -------------------------------------------------------------
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    checks = {
+        "value_in_range": E.in_range("value", 2, 8),
+        "is_error": E.vocab_member("event_type", ["error"]),
+    }
+    batch = {
+        r["w_start"]: (r["cnt"], r["value_in_range"], r["is_error"])
+        for r in windowed_check_counts(
+            spark.read.parquet(src), checks, window="1 hour"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_check_counts(stream, checks, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["w_start"]: (r["cnt"], r["value_in_range"], r["is_error"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "a", t0),
+        (2, "a", t0 + datetime.timedelta(minutes=5)),   # dup key within watermark
+        (3, "b", t0 + datetime.timedelta(minutes=10)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts"])
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = streaming_dedup(stream, keys=("k",), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r["k"] for r in kept) == ["a", "b"]
