@@ -116,19 +116,15 @@ def lsh_candidate_pairs(
     if len(sig_cols) % bands:
         raise ValueError(f"{len(sig_cols)} signature columns not divisible into {bands} bands")
     r = len(sig_cols) // bands
-    band_frames = []
-    for bi in range(bands):
-        cols = sig_cols[bi * r : (bi + 1) * r]
-        band_frames.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
-            )
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionAll(bf)
+    # ONE pass: per-row array of band buckets, posexploded — vs a union
+    # of `bands` scans of the signature frame (bands× the read cost)
+    band_buckets = F.array(*[
+        F.xxhash64(*[F.col(c) for c in sig_cols[bi * r : (bi + 1) * r]])
+        for bi in range(bands)
+    ])
+    buckets = signatures.select(
+        F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
+    )
     if max_bucket_size is not None:
         ok = (
             buckets.groupBy("band", "bucket")
@@ -177,6 +173,44 @@ def verify_candidates_jaccard(
     )
 
 
+def estimate_filter_candidates(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cheap signature-agreement prefilter between banding and exact
+    verification: estimate Jaccard as the fraction of matching minhash
+    components and keep pairs within ~2σ of the threshold (the k-sample
+    Bernoulli-mean error, σ = √(J(1−J)/k) ≤ ½/√k).
+
+    Banding over-generates hugely on corpora with shared boilerplate
+    (one lucky band ⇒ candidate); this filter costs two joins against
+    the |docs|-row signature table — orders of magnitude cheaper than
+    running the shingle-index verify join on every candidate.  The 1σ
+    margin trades a few percent recall at the threshold for pruning
+    the sub-threshold background mass that banding lets through."""
+    sig_cols = [c for c in signatures.columns if c.startswith("mh")]
+    k = len(sig_cols)
+    margin = 0.5 / (k ** 0.5)  # 1σ at the J(1-J) ≤ 1/4 worst case
+    sa = signatures.select(
+        F.col(id_col).alias("ida"), *[F.col(c).alias(f"_a{c}") for c in sig_cols]
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("idb"), *[F.col(c).alias(f"_b{c}") for c in sig_cols]
+    )
+    matches = sum(
+        (F.col(f"_a{c}") == F.col(f"_b{c}")).cast("int") for c in sig_cols
+    )
+    return (
+        candidates.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn("_est", matches / F.lit(float(k)))
+        .filter(F.col("_est") >= threshold - margin)
+        .select("ida", "idb")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -187,13 +221,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → MinHash(k) → LSH(bands)
-    → exact-Jaccard verify ≥ threshold.  The standard corpus-dedup
-    shape; every stage is a bounded shuffle."""
+    → signature-estimate prefilter → exact-Jaccard verify ≥ threshold.
+    The standard corpus-dedup shape; every stage is a bounded shuffle
+    and the expensive shingle-join verify only sees pairs whose
+    estimated Jaccard is already near the threshold."""
     from .text import word_ngrams
 
-    sh = word_ngrams(df, n=n, text_col=text_col, id_col=id_col)
-    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+    # the shingle index feeds BOTH the signature builder and the
+    # Jaccard verify join — cache it so the explode runs once
+    sh = word_ngrams(df, n=n, text_col=text_col, id_col=id_col).cache()
+    sigs = minhash_signatures(sh, k=k, id_col=id_col).cache()
     cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    cands = estimate_filter_candidates(cands, sigs, threshold, id_col=id_col)
     return verify_candidates_jaccard(cands, sh, threshold, id_col=id_col)
 
 
@@ -246,18 +285,13 @@ def simhash_band_pairs(
     an all-pairs scan (same banding trick as MinHash LSH)."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    frames = [
-        simhashes.select(
-            F.col(id_col),
-            F.lit(bi).alias("band"),
-            F.shiftright(F.col("simhash"), bi * band_bits)
-            .bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
+    band_buckets = F.array(*[
+        F.shiftright(F.col("simhash"), bi * band_bits).bitwiseAND(F.lit(mask))
         for bi in range(nbands)
-    ]
-    buckets = frames[0]
-    for bf in frames[1:]:
-        buckets = buckets.unionAll(bf)
+    ])
+    buckets = simhashes.select(
+        F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
+    )
     a = buckets.select(F.col(id_col).alias("ida"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("idb"), "band", "bucket")
     return (
