@@ -141,6 +141,42 @@ def cosine_topk_arrow(
     )
 
 
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by a coarse
+    quantizer cell: self-equi-join on the cell column (never an
+    all-pairs cross product), cosine ≥ threshold within each block.
+
+    At 100 TB the cell column comes from a trained coarse quantizer
+    (k-means centroid id); near-identical embeddings land in the same
+    cell, so the quadratic blow-up is confined to cell-local pairs —
+    the same blocking trick as LSH banding for text."""
+    a = corpus.select(
+        F.col(id_col).alias("ida"),
+        F.col(vec_col).alias("_va"),
+        F.col(cell_col).alias("_cell"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col(cell_col).alias("_cell"),
+    )
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            cosine_sim(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -45,6 +45,21 @@ def token_count(col: Column | str) -> Column:
     )
 
 
+# BPE-ish pre-tokenization: letter runs, single digits, single
+# non-space symbols — the GPT-style split shape, restricted to
+# lookahead-free RE2 syntax so the same pattern runs on any engine.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count (letter runs + digits + symbols) — the
+    cheap proxy for a BPE tokenizer's token count in a training-data
+    pipeline (real BPE would be a Pandas UDF behind this same column
+    contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def token_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -58,6 +73,7 @@ def token_stats(
     return df.select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
         F.length(F.encode(t, "UTF-8")).alias("n_bytes"),
         n_chars.alias("n_chars_computed"),
         (n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))).alias("n_alpha"),

@@ -350,6 +350,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter("vec_id < 8"), k=3)
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(emb, threshold=0.4)
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.windowed_check_counts — the exact same
     code path runs on a bounded frame (no watermark branch), which is
@@ -439,6 +444,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_ivf_topk": ann_ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "stream_window_counts": stream_window_counts,
     "sessionize": sessionize,
     "multimodal_blob_meta": multimodal_blob_meta,
@@ -595,6 +601,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
           CASE WHEN trim(text) = '' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
           octet_length(encode(text)) AS n_bytes,
           length(text) AS n_chars_computed,
           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
@@ -714,6 +721,18 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE TRY_CAST("value" AS DOUBLE) BETWEEN 2 AND 8) AS value_in_range,
                count(*) FILTER (WHERE lower(CAST(event_type AS VARCHAR)) IN ('error')) AS is_error
         FROM events GROUP BY 1
+    """,
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
     """,
     "sessionize": """
         WITH d AS (

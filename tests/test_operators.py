@@ -130,6 +130,12 @@ def test_cosine_topk_arrow_agrees(vectors):
     assert e == a
 
 
+def test_embedding_dup_pairs_blocked(vectors):
+    out = similarity.embedding_dup_pairs(vectors, threshold=0.9)
+    pairs = {(r["ida"], r["idb"]) for r in out.collect()}
+    assert pairs == {(0, 1)}  # planted near-identical pair, same cell
+
+
 def test_ivf_topk_restricted_to_cell(vectors):
     out = similarity.ivf_topk(vectors, vectors.filter("vec_id = 0"), k=5)
     neighbors = {r["neighbor_id"] for r in out.collect()}
@@ -143,6 +149,8 @@ def test_token_stats_known_string(spark):
                                ["doc_id", "text"])
     rows = {r["doc_id"]: r for r in text.token_stats(df).collect()}
     assert rows[1]["n_tokens"] == 3
+    # "Hello world 42!" → Hello, world, 4, 2, ! = 5 BPE-ish pieces
+    assert rows[1]["n_tokens_bpe"] == 5
     assert rows[1]["n_alpha"] == 10
     assert rows[1]["n_digit"] == 2
     assert rows[1]["n_punct"] == 1
