@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, integrity, multimodal, similarity, text
+from .operators import annotate, dedup, integrity, multimodal, similarity, text
 from .operators.validate import occurrence_metrics_dataframe
 from .functions import expressions as E
 from .sources.tables import load_table
@@ -355,6 +355,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dup_pairs(emb, threshold=0.4)
 
 
+def _occurrence_checks() -> dict[str, F.Column]:
+    return {
+        "lat_range": E.in_range("decimalLatitude", -90, 90),
+        "lon_range": E.in_range("decimalLongitude", -180, 180),
+        "bor_vocab": E.vocab_member("basisOfRecord", _BOR_LOWER),
+        "recorded_by": F.col("recordedBy").isNotNull(),
+    }
+
+
+def annotate_row_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level failed-check annotation over the occurrence view;
+    errors joined to a string so the oracle hash is representation-
+    stable."""
+    occ = occurrence_view(spark, sf_dir)
+    out = annotate.annotate_errors(occ, _occurrence_checks())
+    return out.select(
+        "occurrenceID",
+        F.array_join("errors", ",").alias("error_list"),
+        F.size("errors").alias("n_errors"),
+    )
+
+
+def quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = occurrence_view(spark, sf_dir)
+    valid, quarantined = annotate.split_valid(occ, _occurrence_checks())
+    v = valid.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("valid").alias("bucket"), "cnt")
+    q = quarantined.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("quarantined").alias("bucket"), "cnt")
+    return v.unionAll(q)
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window (30-min gap) check counts per user — batch twin
+    of streaming.session_check_counts (same code path)."""
+    from .streaming.validation import session_check_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_check_counts(
+        ev,
+        checks={"is_error": E.vocab_member("event_type", ["error"])},
+        ts_col="ts",
+        gap="30 minutes",
+        group_cols=("user_id",),
+    )
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.windowed_check_counts — the exact same
     code path runs on a bounded frame (no watermark branch), which is
@@ -445,7 +490,10 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "annotate_row_errors": annotate_row_errors,
+    "quarantine_counts": quarantine_counts,
     "stream_window_counts": stream_window_counts,
+    "stream_session_counts": stream_session_counts,
     "sessionize": sessionize,
     "multimodal_blob_meta": multimodal_blob_meta,
     "hll_distinct_users": hll_distinct_users,
@@ -714,6 +762,51 @@ ORACLES: dict[str, str] = {
             PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM s)
         WHERE rank <= 3
+    """,
+    "annotate_row_errors": f"""
+        WITH occ AS ({_OCC_VIEW_SQL}),
+        flags AS (
+          SELECT occurrenceID,
+            list_filter([
+              CASE WHEN NOT coalesce(TRY_CAST(decimalLatitude AS DOUBLE) BETWEEN -90 AND 90, false) THEN 'lat_range' END,
+              CASE WHEN NOT coalesce(TRY_CAST(decimalLongitude AS DOUBLE) BETWEEN -180 AND 180, false) THEN 'lon_range' END,
+              CASE WHEN NOT coalesce(lower(CAST(basisOfRecord AS VARCHAR)) IN ({_BOR_SQL}), false) THEN 'bor_vocab' END,
+              CASE WHEN recordedBy IS NULL THEN 'recorded_by' END
+            ], x -> x IS NOT NULL) AS errs
+          FROM occ)
+        SELECT occurrenceID, coalesce(array_to_string(errs, ','), '') AS error_list,
+               len(errs) AS n_errors
+        FROM flags
+    """,
+    "quarantine_counts": f"""
+        WITH occ AS ({_OCC_VIEW_SQL}),
+        j AS (
+          SELECT coalesce(TRY_CAST(decimalLatitude AS DOUBLE) BETWEEN -90 AND 90, false)
+             AND coalesce(TRY_CAST(decimalLongitude AS DOUBLE) BETWEEN -180 AND 180, false)
+             AND coalesce(lower(CAST(basisOfRecord AS VARCHAR)) IN ({_BOR_SQL}), false)
+             AND recordedBy IS NOT NULL AS ok
+          FROM occ)
+        SELECT 'valid' AS bucket, count(*) FILTER (WHERE ok) AS cnt FROM j
+        UNION ALL
+        SELECT 'quarantined' AS bucket, count(*) FILTER (WHERE NOT ok) AS cnt FROM j
+    """,
+    "stream_session_counts": """
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 lower(CAST(event_type AS VARCHAR)) IN ('error') AS err
+          FROM events),
+        d AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+        SELECT min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+               user_id, count(*) AS cnt, count(*) FILTER (WHERE err) AS is_error
+        FROM s GROUP BY user_id, sid
     """,
     "stream_window_counts": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -28,9 +28,11 @@ def windowed_check_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = (),
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts of rows passing each boolean check, plus
-    the window total — the streaming twin of the batch MetricPlan.
+    """Tumbling (or, with ``slide``, sliding) window counts of rows
+    passing each boolean check, plus the window total — the streaming
+    twin of the batch MetricPlan.
 
     ``checks`` maps metric name → boolean row predicate (build them
     from functions.expressions: in_range, vocab_member, any_populated).
@@ -43,10 +45,44 @@ def windowed_check_counts(
     src = stream
     if stream.isStreaming:
         src = stream.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return src.groupBy(
-        F.window(F.col(ts_col), window).start.alias("w_start"),
+        win.start.alias("w_start"),
         *[F.col(c) for c in group_cols],
     ).agg(*aggs)
+
+
+def session_check_counts(
+    stream: DataFrame,
+    checks: Mapping[str, Column],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Session-window (gap-based) check counts per group — sessions
+    close after ``gap`` of inactivity.  State per open session only;
+    watermark bounds it on streams."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for name, predicate in checks.items():
+        aggs.append(F.count(F.when(predicate, 1)).alias(name))
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    w = F.session_window(F.col(ts_col), gap)
+    return src.groupBy(
+        w, *[F.col(c) for c in group_cols]
+    ).agg(*aggs).select(
+        F.col("session_window.start").alias("s_start"),
+        F.col("session_window.end").alias("s_end"),
+        *[F.col(c) for c in group_cols],
+        "cnt",
+        *[F.col(name) for name in checks.keys()],
+    )
 
 
 def streaming_dedup(

@@ -207,6 +207,28 @@ def test_multimodal_real_decode_raises(docs):
         multimodal.decode_images(blobs).collect()
 
 
+# --- annotate --------------------------------------------------------------
+
+def test_annotate_and_split(spark):
+    from dwc_dataframe_validator_spark.operators import annotate
+
+    df = spark.createDataFrame(
+        [(1, "50", "WGS84"), (2, "95", "WGS84"), (3, None, "GIRAFFE")],
+        ["id", "lat", "datum"],
+    )
+    checks = {
+        "lat_range": E.in_range("lat", -90, 90),
+        "datum_vocab": E.vocab_member("datum", ["wgs84"]),
+    }
+    rows = {r["id"]: r["errors"] for r in annotate.annotate_errors(df, checks).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["lat_range"]
+    assert rows[3] == ["lat_range", "datum_vocab"]  # null fails both
+    valid, quarantined = annotate.split_valid(df, checks)
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert "errors" in quarantined.columns and quarantined.count() == 2
+
+
 # --- streaming -------------------------------------------------------------
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
@@ -241,6 +263,55 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_session_window_counts(spark):
+    import datetime
+
+    from dwc_dataframe_validator_spark.streaming.validation import (
+        session_check_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", t0, "ok"),
+        ("u1", t0 + datetime.timedelta(minutes=10), "error"),
+        ("u1", t0 + datetime.timedelta(minutes=70), "ok"),  # new session
+        ("u2", t0, "ok"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = session_check_counts(
+        df,
+        checks={"is_error": E.vocab_member("event_type", ["error"])},
+        gap="30 minutes",
+        group_cols=("user_id",),
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user["u1"]) == 2 and len(by_user["u2"]) == 1
+    first = min(by_user["u1"], key=lambda r: r["s_start"])
+    assert first["cnt"] == 2 and first["is_error"] == 1
+    # session end = last event + gap
+    assert (first["s_end"] - first["s_start"]).total_seconds() == 40 * 60
+
+
+def test_sliding_window_counts(spark):
+    import datetime
+
+    from dwc_dataframe_validator_spark.streaming.validation import (
+        windowed_check_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t0), (2, t0 + datetime.timedelta(minutes=40))], ["id", "ts"]
+    )
+    out = windowed_check_counts(
+        df, checks={}, window="1 hour", slide="30 minutes"
+    ).collect()
+    # each event lands in 2 sliding windows
+    assert sum(r["cnt"] for r in out) == 4
 
 
 def test_streaming_dedup(spark, tmp_path):
