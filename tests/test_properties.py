@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the aggregate-count
+identities the report derivations rely on (SURVEY.md §5: e.g.
+``recognised + unrecognised + nulls == record_count`` from reference
+validate.py:313)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dwc_dataframe_validator_spark.functions import expressions as E
+
+VOCAB = ["wgs84", "epsg:4326"]
+
+value_st = st.one_of(
+    st.none(),
+    st.sampled_from(["WGS84", "EPSG:4326", "GIRAFFE", "nan", "", "12.5", "-91"]),
+    st.floats(min_value=-200, max_value=200, allow_nan=False).map(str),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(values=st.lists(value_st, min_size=0, max_size=30))
+def test_count_identities(spark, values):
+    df = spark.createDataFrame(
+        [(v,) for v in values], "v: string"
+    )
+    row = df.agg(
+        E.record_count().alias("n"),
+        E.populated_count("v").alias("pop"),
+        E.null_count("v").alias("nulls"),
+        E.valid_numeric_count("v").alias("numeric"),
+        E.valid_range_count("v", -90, 90).alias("in_range"),
+        E.distinct_count("v").alias("distinct"),
+        E.duplicate_count("v").alias("dups"),
+        E.vocab_recognised_count("v", VOCAB).alias("recognised"),
+        E.group_populated_count(["v"]).alias("grp"),
+    ).collect()[0]
+
+    n = len(values)
+    n_null = sum(1 for v in values if v is None)
+    assert row["n"] == n
+    assert row["pop"] == n - n_null
+    assert row["nulls"] == n_null
+    # vocab identity: recognised + unrecognised + nulls == record_count
+    unrecognised = row["n"] - (row["nulls"] + row["recognised"])
+    assert 0 <= row["recognised"] <= row["pop"]
+    assert unrecognised == sum(
+        1 for v in values if v is not None and v.lower() not in VOCAB
+    )
+    # range counts are bounded by numeric-coercible, bounded by populated
+    assert row["in_range"] <= row["numeric"] <= row["pop"]
+    # distinct + duplicates == populated
+    assert row["distinct"] + row["dups"] == row["pop"]
+    # single-column group-populated equals populated
+    assert row["grp"] == row["pop"]
+    # cross-check recognised against Python
+    assert row["recognised"] == sum(
+        1 for v in values if v is not None and v.lower() in VOCAB
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lists=st.lists(
+        st.tuples(value_st, value_st), min_size=0, max_size=20
+    )
+)
+def test_group_populated_matches_python(spark, lists):
+    df = spark.createDataFrame(lists, "a: string, b: string")
+    row = df.agg(
+        E.group_populated_count(["a", "b"]).alias("grp"),
+        E.record_count().alias("n"),
+    ).collect()[0]
+    expected = sum(1 for a, b in lists if a is not None or b is not None)
+    assert row["grp"] == expected
+    assert row["grp"] <= row["n"]
