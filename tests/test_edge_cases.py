@@ -1,0 +1,115 @@
+"""Robustness probes: empty frames, typed (non-string) columns, odd
+column names, and bad strings under Spark 4 ANSI mode."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from dwc_dataframe_validator_spark import (
+    field_populated_counts,
+    generate_breakdowns,
+    validate_event_dataframe,
+    validate_occurrence_dataframe,
+)
+from dwc_dataframe_validator_spark.functions import expressions as E
+
+
+def test_empty_dataframe(spark):
+    schema = StructType([
+        StructField("occurrenceID", StringType()),
+        StructField("decimalLatitude", StringType()),
+        StructField("decimalLongitude", StringType()),
+        StructField("basisOfRecord", StringType()),
+    ])
+    df = spark.createDataFrame([], schema)
+    rep = validate_occurrence_dataframe(df)
+    assert rep.record_count == 0
+    assert rep.record_error_count == 0
+    # empty + coordinates present: all-valid path → (True, 0, 0)
+    assert rep.coordinates_report.has_coordinates_fields is True
+    assert rep.coordinates_report.invalid_decimal_latitude_count == 0
+    bor = next(v for v in rep.vocab_reports if v.field == "basisOfRecord")
+    assert bor.recognised_count == 0 and bor.unrecognised_count == 0
+    assert generate_breakdowns(df) == {}
+
+
+def test_no_known_columns(spark):
+    df = spark.createDataFrame([("x", "y")], ["foo", "bar"])
+    # id_fields=None (DataFrame entry point) skips the id check entirely
+    # (reference validate.py:223-224); the archive path supplies the
+    # default ['occurrenceID']
+    rep = validate_occurrence_dataframe(df)
+    assert rep.record_count == 1
+    assert rep.coordinates_report.has_coordinates_fields is False
+    assert rep.records_with_taxonomy_count == 0
+    assert rep.column_counts == {"foo": 1, "bar": 1}
+    assert rep.record_error_count == 0 and rep.errors == []
+    # with the archive default spelled explicitly: missing id column →
+    # every row errors (reference early-return accounting)
+    rep2 = validate_occurrence_dataframe(df, id_fields=["occurrenceID"])
+    assert rep2.record_error_count == 1
+    assert "MISSING_OCCURRENCEID_FIELD" in rep2.errors
+
+
+def test_typed_columns_mixed(spark):
+    """Typed parquet-style frames must validate without crashing
+    (reference only handles all-string; our expressions unify both)."""
+    schema = StructType([
+        StructField("occurrenceID", IntegerType()),
+        StructField("decimalLatitude", DoubleType()),
+        StructField("decimalLongitude", DoubleType()),
+        StructField("eventDate", TimestampType()),
+        StructField("year", IntegerType()),
+    ])
+    import datetime
+
+    rows = [
+        (1, 45.0, 100.0, datetime.datetime(2023, 1, 1), 2023),
+        (2, 95.0, -200.0, None, 2023),
+        (3, None, None, datetime.datetime(2023, 5, 2), None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    rep = validate_occurrence_dataframe(df)
+    assert rep.record_count == 3
+    assert rep.coordinates_report.invalid_decimal_latitude_count == 1
+    assert rep.coordinates_report.invalid_decimal_longitude_count == 1
+    # mixed-type temporal group (timestamp + int) — the coalesce crash
+    # class from round 1 — must count rows with ANY populated
+    assert rep.records_with_temporal_count == 3
+
+
+def test_column_names_with_spaces_and_dots(spark):
+    df = spark.createDataFrame(
+        [("a", "b")], ["weird name", "dotted.name"]
+    )
+    counts = field_populated_counts(df)
+    assert counts == {"weird name": 1, "dotted.name": 1}
+    rep = validate_event_dataframe(df)
+    assert rep.record_count == 1
+    assert rep.column_counts["dotted.name"] == 1
+
+
+def test_bad_strings_ansi_safe(spark):
+    """ANSI mode is on in Spark 4 — lenient coercions must not raise."""
+    df = spark.createDataFrame(
+        [("abc",), ("1e309",), ("-91",), ("2023-13-45",), (" 42 ",)],
+        ["decimalLatitude"],
+    )
+    row = df.agg(
+        E.valid_numeric_count("decimalLatitude").alias("num"),
+        E.valid_range_count("decimalLatitude", -90, 90).alias("rng"),
+    ).collect()[0]
+    # "1e309" overflows to Infinity (coercible, out of range), " 42 " trims
+    assert row["num"] == 3
+    assert row["rng"] == 1
+    parsed = df.select(
+        E.to_timestamp_lenient("decimalLatitude").alias("ts")
+    ).collect()
+    assert all(r["ts"] is None for r in parsed)
