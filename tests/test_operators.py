@@ -314,6 +314,31 @@ def test_sliding_window_counts(spark):
     assert sum(r["cnt"] for r in out) == 4
 
 
+def test_stateful_running_invalid_counts(spark, tmp_path):
+    from dwc_dataframe_validator_spark.streaming.stateful import (
+        running_invalid_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", 5.0), ("u1", 100.0), ("u2", 3.0)], ["user_id", "value"]
+    )
+    src = str(tmp_path / "stateful_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = running_invalid_counts(stream, "user_id", ~E.in_range("value", 2, 8))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM running_counts").collect()}
+    assert rows["u1"]["n_total"] == 2 and rows["u1"]["n_invalid"] == 1
+    assert rows["u2"]["n_total"] == 1 and rows["u2"]["n_invalid"] == 0
+
+
 def test_streaming_dedup(spark, tmp_path):
     import datetime
 
