@@ -126,13 +126,15 @@ def lsh_candidate_pairs(
         F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
     )
     if max_bucket_size is not None:
-        ok = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("bs"))
-            .filter(F.col("bs") <= max_bucket_size)
-            .select("band", "bucket")
+        # window count over the join key: ONE shuffle (vs groupBy +
+        # join-back = two), and the downstream self-join on
+        # (band, bucket) reuses the resulting hash partitioning
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
         )
-        buckets = buckets.join(ok, ["band", "bucket"])
     a = buckets.select(F.col(id_col).alias("ida"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("idb"), "band", "bucket")
     return (
