@@ -221,20 +221,27 @@ def minhash_lsh_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    estimate_prefilter: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → MinHash(k) → LSH(bands)
-    → signature-estimate prefilter → exact-Jaccard verify ≥ threshold.
-    The standard corpus-dedup shape; every stage is a bounded shuffle
-    and the expensive shingle-join verify only sees pairs whose
-    estimated Jaccard is already near the threshold."""
+    → [signature-estimate prefilter] → exact-Jaccard verify ≥ threshold.
+    The standard corpus-dedup shape; every stage is a bounded shuffle.
+
+    ``estimate_prefilter`` pays off when documents are long (shingles
+    per doc ≫ k, so the k-long signature join is much cheaper than the
+    shingle-index verify join); for short documents the direct verify
+    is already cheap — disable it and skip the two extra joins."""
     from .text import word_ngrams
 
     # the shingle index feeds BOTH the signature builder and the
     # Jaccard verify join — cache it so the explode runs once
     sh = word_ngrams(df, n=n, text_col=text_col, id_col=id_col).cache()
-    sigs = minhash_signatures(sh, k=k, id_col=id_col).cache()
+    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+    if estimate_prefilter:
+        sigs = sigs.cache()
     cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
-    cands = estimate_filter_candidates(cands, sigs, threshold, id_col=id_col)
+    if estimate_prefilter:
+        cands = estimate_filter_candidates(cands, sigs, threshold, id_col=id_col)
     return verify_candidates_jaccard(cands, sh, threshold, id_col=id_col)
 
 

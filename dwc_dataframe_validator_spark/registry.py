@@ -307,7 +307,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no portable SQL equivalent; semantics covered by planted-duplicate
     pytest)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5).orderBy("ida", "idb")
+    # driver docs are short (~70 words): the signature-estimate
+    # prefilter's joins cost more than the verify join they save
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, estimate_prefilter=False
+    ).orderBy("ida", "idb")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +447,16 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(multimodal.attach_text_blob(docs))
 
 
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing over binary blobs (deterministic
+    stub decoder — rows-only check; the container has no image libs,
+    SURVEY.md north-star multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_images(
+        multimodal.attach_text_blob(docs), fake=True
+    )
+
+
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — deterministic for a given input
     but engine-specific, so rows-only."""
@@ -496,6 +510,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_counts": stream_session_counts,
     "sessionize": sessionize,
     "multimodal_blob_meta": multimodal_blob_meta,
+    "multimodal_decode_stub": multimodal_decode_stub,
     "hll_distinct_users": hll_distinct_users,
 }
 
