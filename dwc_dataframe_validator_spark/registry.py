@@ -442,6 +442,41 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count and value sum ordered by time —
+    the cumulative-window shape (one shuffle on user_id; ordering is
+    within-partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("running_value"),
+    )
+
+
+def rollup_date_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, month): per-month, per-year and grand-total
+    counts in one pass (Expand + single aggregation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.blob_metadata(multimodal.attach_text_blob(docs))
@@ -509,6 +544,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_window_counts": stream_window_counts,
     "stream_session_counts": stream_session_counts,
     "sessionize": sessionize,
+    "window_running_totals": window_running_totals,
+    "rollup_date_counts": rollup_date_counts,
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_decode_stub": multimodal_decode_stub,
     "hll_distinct_users": hll_distinct_users,
@@ -853,6 +890,20 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM d GROUP BY 1
+    """,
+    "window_running_totals": """
+        SELECT event_id, user_id,
+          count(*) OVER w AS running_n,
+          CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "rollup_date_counts": """
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (1, 2)
     """,
     "multimodal_blob_meta": """
         SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
