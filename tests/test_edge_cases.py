@@ -96,6 +96,30 @@ def test_column_names_with_spaces_and_dots(spark):
     assert rep.column_counts["dotted.name"] == 1
 
 
+def test_validate_is_single_pass(spark):
+    """The whole scalar-metric battery must execute as ONE Spark job
+    (one scan) when no offender sampling is needed — the core
+    architectural claim vs the reference's >=10 passes.  AQE is
+    disabled for the probe because it splits one query into per-stage
+    jobs."""
+    df = spark.createDataFrame(
+        [("1", "Aus bus", "10.0", "20.0", "WGS84", "HumanObservation")],
+        ["occurrenceID", "scientificName", "decimalLatitude",
+         "decimalLongitude", "geodeticDatum", "basisOfRecord"],
+    )
+    sc = spark.sparkContext
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("single-pass-probe", "validate")
+        validate_occurrence_dataframe(df, ["occurrenceID"])
+        job_ids = sc.statusTracker().getJobIdsForGroup("single-pass-probe")
+        assert len(job_ids) == 1, f"expected 1 job, saw {len(job_ids)}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        sc.setJobGroup("", "")
+
+
 def test_bad_strings_ansi_safe(spark):
     """ANSI mode is on in Spark 4 — lenient coercions must not raise."""
     df = spark.createDataFrame(
