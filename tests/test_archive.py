@@ -118,6 +118,16 @@ def test_validate_event_ok(spark):
     assert "year" in rep.breakdowns and "month" in rep.breakdowns
 
 
+def test_zip_archive(spark, tmp_path):
+    import shutil
+
+    zip_base = str(tmp_path / "dwca-simple")
+    shutil.make_archive(zip_base, "zip", f"{OCC}/dwca-simple")
+    rep = validate_archive(spark, zip_base + ".zip", ["occurrenceID"])
+    assert rep.core.record_count == 5
+    assert rep.valid
+
+
 def test_unsupported_core_type(spark, tmp_path):
     meta = """<?xml version="1.0" encoding="UTF-8"?>
 <archive xmlns="http://rs.tdwg.org/dwc/text/">
