@@ -198,6 +198,22 @@ def read_archive_table(
     return df
 
 
+def register_archive_views(
+    spark: SparkSession, archive_path: str, prefix: str = "dwca_"
+) -> list[str]:
+    """Register the core and every extension table of an archive as
+    temp views (``<prefix>core``, ``<prefix><RowTypeTail>``) so archive
+    contents are queryable from ``spark.sql``."""
+    desc = read_descriptor(archive_path)
+    names = [f"{prefix}core"]
+    read_archive_table(spark, desc, desc.core).createOrReplaceTempView(names[0])
+    for ext in desc.extensions:
+        name = f"{prefix}{ext.type_tail}"
+        read_archive_table(spark, desc, ext).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def get_id_dwc_term(columns: list[str], fields: list[FieldSpec]) -> Optional[str]:
     """Recover which DwC term the conventional ``id`` column represents
     (reference validate_dwca.py:101-118): find the field declared at the

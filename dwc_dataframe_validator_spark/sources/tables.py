@@ -42,6 +42,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def register_temp_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every driver table as a temp view so the full surface
+    is reachable from ``spark.sql`` as well as the DataFrame API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)
+
+
 def local_session(app: str = "dwc-validator-spark", cpus: int | None = None) -> SparkSession:
     """Session for local testing; on a real cluster, callers bring their
     own session and these configs come from spark-submit."""

@@ -118,6 +118,19 @@ def test_validate_event_ok(spark):
     assert "year" in rep.breakdowns and "month" in rep.breakdowns
 
 
+def test_register_archive_views(spark):
+    from dwc_dataframe_validator_spark.sources.dwca import register_archive_views
+
+    names = register_archive_views(spark, f"{EVT}/dwca-simple")
+    assert names[0] == "dwca_core"
+    assert "dwca_Occurrence" in names and "dwca_MeasurementOrFact" in names
+    assert spark.sql("SELECT count(*) AS n FROM dwca_core").collect()[0]["n"] == 5
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM dwca_core c JOIN dwca_Occurrence o ON o.coreid = c.id"
+    ).collect()[0]["n"]
+    assert joined > 0
+
+
 def test_zip_archive(spark, tmp_path):
     import shutil
 

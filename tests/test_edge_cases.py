@@ -120,6 +120,32 @@ def test_validate_is_single_pass(spark):
         sc.setJobGroup("", "")
 
 
+def test_date_breakdowns_single_job(spark):
+    """year/month/day histograms must come from ONE combined
+    groupBy(year, month, day) job, not three scans (the reference
+    triple-scans; round-1 review required proving the fix)."""
+    from dwc_dataframe_validator_spark.operators.breakdown import (
+        generate_event_date_breakdown,
+    )
+
+    df = spark.createDataFrame(
+        [("2023-01-0%d" % (i % 9 + 1),) for i in range(20)], ["eventDate"]
+    )
+    sc = spark.sparkContext
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("date-bd-probe", "breakdown")
+        year_bd, month_bd, day_bd = generate_event_date_breakdown(df)
+        job_ids = sc.statusTracker().getJobIdsForGroup("date-bd-probe")
+        assert len(job_ids) == 1, f"expected 1 job, saw {len(job_ids)}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        sc.setJobGroup("", "")
+    assert year_bd == {2023: 20}
+    assert sum(day_bd.values()) == 20
+
+
 def test_bad_strings_ansi_safe(spark):
     """ANSI mode is on in Spark 4 — lenient coercions must not raise."""
     df = spark.createDataFrame(
