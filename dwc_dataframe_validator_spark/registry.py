@@ -442,6 +442,24 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile: count/min/max, exact decimal sum, and
+    exact interpolated quartiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — both sort-based, deterministic; mean/stddev over
+    doubles are order-dependent and deliberately excluded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return li.agg(
+        F.count("l_extendedprice").alias("cnt"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total"),
+        p.getItem(0).alias("p25"),
+        p.getItem(1).alias("p50"),
+        p.getItem(2).alias("p75"),
+    )
+
+
 def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count and value sum ordered by time —
     the cumulative-window shape (one shuffle on user_id; ordering is
@@ -544,6 +562,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_window_counts": stream_window_counts,
     "stream_session_counts": stream_session_counts,
     "sessionize": sessionize,
+    "numeric_profile": numeric_profile,
     "window_running_totals": window_running_totals,
     "rollup_date_counts": rollup_date_counts,
     "multimodal_blob_meta": multimodal_blob_meta,
@@ -890,6 +909,16 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM d GROUP BY 1
+    """,
+    "numeric_profile": """
+        SELECT count(l_extendedprice) AS cnt,
+               min(l_extendedprice) AS mn,
+               max(l_extendedprice) AS mx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75
+        FROM lineitem
     """,
     "window_running_totals": """
         SELECT event_id, user_id,
