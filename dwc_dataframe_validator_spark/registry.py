@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import annotate, dedup, integrity, multimodal, similarity, text
+from .operators import annotate, dedup, integrity, multimodal, similarity, skew, text
 from .operators.validate import occurrence_metrics_dataframe
 from .functions import expressions as E
 from .sources.tables import load_table
@@ -442,6 +442,16 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on the (skewed, tiny-domain)
+    event_type key — result identical to a plain groupBy count, max
+    per-reducer load divided by the salt factor."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_groupby_count(
+        ev, ["event_type"], salt_buckets=16, salt_source=["event_id"]
+    )
+
+
 def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric column profile: count/min/max, exact decimal sum, and
     exact interpolated quartiles (Spark ``percentile`` ≡ DuckDB
@@ -563,6 +573,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_counts": stream_session_counts,
     "sessionize": sessionize,
     "numeric_profile": numeric_profile,
+    "salted_event_type_counts": salted_event_type_counts,
     "window_running_totals": window_running_totals,
     "rollup_date_counts": rollup_date_counts,
     "multimodal_blob_meta": multimodal_blob_meta,
@@ -909,6 +920,9 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM d GROUP BY 1
+    """,
+    "salted_event_type_counts": """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
     """,
     "numeric_profile": """
         SELECT count(l_extendedprice) AS cnt,

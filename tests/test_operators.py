@@ -187,6 +187,34 @@ def test_fk_orphans(spark):
     assert cnt["orphan_count"] == 1
 
 
+# --- skew ------------------------------------------------------------------
+
+def test_salted_groupby_matches_plain(spark):
+    from dwc_dataframe_validator_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(200)], ["id", "k"]
+    )
+    salted = {
+        r["k"]: r["cnt"]
+        for r in skew.salted_groupby_count(df, ["k"], salt_buckets=8).collect()
+    }
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from dwc_dataframe_validator_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], ["id", "fk"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["pk", "v"])
+    out = skew.salted_join(big, small, "fk", "pk", salt_buckets=4)
+    assert out.count() == 100
+    assert out.filter("v = 'a'").count() == big.filter("fk = 0").count()
+
+
 # --- multimodal ------------------------------------------------------------
 
 def test_multimodal_stub_pipeline(docs):
