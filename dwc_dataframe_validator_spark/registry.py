@@ -452,6 +452,35 @@ def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per (day-of-week × event_type).  The pivot value
+    list is supplied explicitly — an unlisted pivot would need an extra
+    distinct scan to discover the columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofweek("ts").alias("dow"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations having customers INTERSECT nations
+    having suppliers, UNION-tagged with nations having customers but no
+    suppliers (EXCEPT)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey")
+    c = cust.withColumnRenamed("c_nationkey", "nk").distinct()
+    s = supp.withColumnRenamed("s_nationkey", "nk").distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nk")
+    only_c = c.exceptAll(s).select(F.lit("customers_only").alias("tag"), "nk")
+    return both.unionAll(only_c)
+
+
 def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric column profile: count/min/max, exact decimal sum, and
     exact interpolated quartiles (Spark ``percentile`` ≡ DuckDB
@@ -574,6 +603,8 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": sessionize,
     "numeric_profile": numeric_profile,
     "salted_event_type_counts": salted_event_type_counts,
+    "pivot_event_types": pivot_event_types,
+    "set_ops_nations": set_ops_nations,
     "window_running_totals": window_running_totals,
     "rollup_date_counts": rollup_date_counts,
     "multimodal_blob_meta": multimodal_blob_meta,
@@ -923,6 +954,22 @@ ORACLES: dict[str, str] = {
     """,
     "salted_event_type_counts": """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+    """,
+    "pivot_event_types": """
+        SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS "view"
+        FROM events GROUP BY 1
+    """,
+    "set_ops_nations": """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        SELECT 'both' AS tag, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        UNION ALL
+        SELECT 'customers_only' AS tag, nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
     """,
     "numeric_profile": """
         SELECT count(l_extendedprice) AS cnt,
