@@ -141,6 +141,53 @@ def cosine_topk_arrow(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train a coarse quantizer (k-means) over the corpus and return
+    (corpus + ``cell`` column, fitted model).  This is the real IVF
+    build step: at 100 TB the model trains on a sample and assignment
+    is a map-side transform; the ``cell`` column then drives
+    cell-blocked search (``ivf_topk``) and near-dup blocking
+    (``embedding_dup_pairs``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    return assigned, model
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end trained-IVF search: fit the coarse quantizer on the
+    corpus, assign both sides to cells with the same model, search only
+    the query's cell (nprobe=1)."""
+    from pyspark.ml.functions import array_to_vector
+
+    indexed, model = build_ivf_index(corpus, n_cells, id_col, vec_col, seed)
+    q_assigned = model.transform(
+        queries.withColumn("_features", array_to_vector(F.col(vec_col)))
+    ).drop("_features")
+    return ivf_topk(
+        indexed, q_assigned, k=k, id_col=id_col, vec_col=vec_col, cell_col="cell"
+    )
+
+
 def embedding_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -354,6 +354,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter("vec_id < 8"), k=3)
 
 
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF (k-means cells, nprobe=1) — rows-only
+    check: k-means has no portable SQL equivalent; recall semantics are
+    covered by the planted-cluster pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_trained(
+        emb, emb.filter("vec_id < 8"), k=3, n_cells=8
+    ).orderBy("query_id", "rank")
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_dup_pairs(emb, threshold=0.4)
@@ -595,6 +605,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained": ann_ivf_trained,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "annotate_row_errors": annotate_row_errors,
     "quarantine_counts": quarantine_counts,

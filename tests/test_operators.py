@@ -136,6 +136,27 @@ def test_embedding_dup_pairs_blocked(vectors):
     assert pairs == {(0, 1)}  # planted near-identical pair, same cell
 
 
+def test_ivf_trained_finds_planted_neighbor(spark):
+    import math
+
+    # two well-separated clusters; nearest neighbor within each
+    rows = []
+    for cid, base in [(0, (10.0, 0.0)), (1, (0.0, 10.0))]:
+        for i in range(6):
+            ang = i * 0.05
+            rows.append((cid * 10 + i,
+                         [base[0] + math.cos(ang), base[1] + math.sin(ang)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = similarity.ivf_topk_trained(
+        df, df.filter("vec_id = 0"), k=1, n_cells=2
+    ).collect()
+    assert len(out) == 1
+    # nearest must come from the same geometric cluster (ids 1..5)
+    assert out[0]["neighbor_id"] in {1, 2, 3, 4, 5}
+
+
 def test_ivf_topk_restricted_to_cell(vectors):
     out = similarity.ivf_topk(vectors, vectors.filter("vec_id = 0"), k=5)
     neighbors = {r["neighbor_id"] for r in out.collect()}
