@@ -144,24 +144,32 @@ def cosine_topk_arrow(
 def build_ivf_index(
     corpus: DataFrame,
     n_cells: int = 16,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cell_col: str = "cell",
+    fit_fraction: float | None = None,
 ):
     """Train a coarse quantizer (k-means) over the corpus and return
-    (corpus + ``cell`` column, fitted model).  This is the real IVF
-    build step: at 100 TB the model trains on a sample and assignment
-    is a map-side transform; the ``cell`` column then drives
-    cell-blocked search (``ivf_topk``) and near-dup blocking
-    (``embedding_dup_pairs``)."""
+    (corpus + ``cell_col`` column, fitted model).  Assignment is a
+    map-side transform; the cell column then drives cell-blocked search
+    (``ivf_topk``) and near-dup blocking (``embedding_dup_pairs``).
+
+    ``fit_fraction`` fits the quantizer on a seeded sample — at corpus
+    scale the centroids converge on a small fraction of the data and
+    the full pass is only the (cheap) assignment transform.  Existing
+    ``cell_col``/feature columns are replaced, not collided with, so
+    re-indexing an already-indexed frame is safe."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = corpus.withColumn("_features", array_to_vector(F.col(vec_col)))
+    feat_col = f"_features_{cell_col}"
+    corpus = corpus.drop(cell_col, feat_col)
+    feat = corpus.withColumn(feat_col, array_to_vector(F.col(vec_col)))
+    fit_input = feat.sample(fit_fraction, seed=seed) if fit_fraction else feat
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
-    ).fit(feat)
-    assigned = model.transform(feat).drop("_features")
+        k=n_cells, seed=seed, featuresCol=feat_col, predictionCol=cell_col
+    ).fit(fit_input)
+    assigned = model.transform(feat).drop(feat_col)
     return assigned, model
 
 
@@ -173,18 +181,24 @@ def ivf_topk_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cell_col: str = "cell",
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """End-to-end trained-IVF search: fit the coarse quantizer on the
     corpus, assign both sides to cells with the same model, search only
     the query's cell (nprobe=1)."""
     from pyspark.ml.functions import array_to_vector
 
-    indexed, model = build_ivf_index(corpus, n_cells, id_col, vec_col, seed)
+    indexed, model = build_ivf_index(
+        corpus, n_cells, vec_col, seed, cell_col, fit_fraction
+    )
+    feat_col = f"_features_{cell_col}"
     q_assigned = model.transform(
-        queries.withColumn("_features", array_to_vector(F.col(vec_col)))
-    ).drop("_features")
+        queries.drop(cell_col, feat_col)
+        .withColumn(feat_col, array_to_vector(F.col(vec_col)))
+    ).drop(feat_col)
     return ivf_topk(
-        indexed, q_assigned, k=k, id_col=id_col, vec_col=vec_col, cell_col="cell"
+        indexed, q_assigned, k=k, id_col=id_col, vec_col=vec_col, cell_col=cell_col
     )
 
 
