@@ -234,7 +234,10 @@ def minhash_lsh_pairs(
     from .text import word_ngrams
 
     # the shingle index feeds BOTH the signature builder and the
-    # Jaccard verify join — cache it so the explode runs once
+    # Jaccard verify join — cache it so the explode runs once.  The
+    # cache is session-owned: callers running many corpora through one
+    # session should spark.catalog.clearCache() (or unpersist) between
+    # runs to release executor storage.
     sh = word_ngrams(df, n=n, text_col=text_col, id_col=id_col).cache()
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     if estimate_prefilter:

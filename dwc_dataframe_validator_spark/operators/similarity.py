@@ -110,7 +110,7 @@ def cosine_topk_arrow(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
 
     def batch_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -123,12 +123,15 @@ def cosine_topk_arrow(
             sims[:, :] = np.where(ids[None, :] == qids[:, None], -np.inf, sims)
             kk = min(k, sims.shape[1])
             idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out = {
+            top_sims = np.take_along_axis(sims, idx, axis=1).ravel()
+            out = pd.DataFrame({
                 "query_id": np.repeat(qids, kk),
                 "neighbor_id": ids[idx].ravel(),
-                "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(out)
+                "sim": top_sims,
+            })
+            # drop masked self-matches (-inf) so small corpora match
+            # the expression path and the SQL oracle exactly
+            yield out[np.isfinite(top_sims)]
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         batch_topk, "query_id long, neighbor_id long, sim double"

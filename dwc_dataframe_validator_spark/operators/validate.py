@@ -273,8 +273,9 @@ def occurrence_metrics_dataframe(
 ) -> DataFrame:
     """The validator's single-pass aggregate as a LAZY one-row
     DataFrame (every scalar metric of validate_occurrence_dataframe,
-    un-collected).  This is the driver-contract hook: callers that
-    want the plan rather than the report (e.g. ``entry()``) use this."""
+    un-collected, one column per metric aliased by metric name).  For
+    callers that want the plan rather than the report — registered as
+    the ``occurrence_full_metrics`` driver query."""
     plan = MetricPlan()
     _register_metrics(
         plan, df, id_fields, id_term,

@@ -32,9 +32,6 @@ class MetricPlan:
         """Register an aggregate expression under a unique name."""
         if name in self._exprs:
             raise ValueError(f"duplicate metric name: {name}")
-        # Positional alias: metric names may contain characters that are
-        # awkward in Catalyst attribute names; use stable m<idx> aliases
-        # and map back on collect.
         self._exprs[name] = expr
         return name
 
@@ -43,11 +40,12 @@ class MetricPlan:
         return list(self._exprs)
 
     def aggregate_dataframe(self, df: DataFrame) -> DataFrame:
-        """The single-job aggregate as a LAZY one-row DataFrame (metric
-        names as m<idx> aliases).  ``execute`` collects it; callers that
-        want to stay lazy (e.g. the driver's ``entry()``) use this."""
+        """The single-job aggregate as a LAZY one-row DataFrame, one
+        column per metric, aliased by metric name (Spark aliases accept
+        arbitrary characters).  ``execute`` collects it; callers that
+        want to stay lazy use this."""
         aliased = [
-            expr.alias(f"m{i}") for i, expr in enumerate(self._exprs.values())
+            expr.alias(name) for name, expr in self._exprs.items()
         ]
         return df.agg(*aliased)
 
@@ -56,9 +54,7 @@ class MetricPlan:
         if not self._exprs:
             return {}
         row = self.aggregate_dataframe(df).collect()[0]
-        self._row = {
-            name: row[f"m{i}"] for i, name in enumerate(self._exprs)
-        }
+        self._row = {name: row[name] for name in self._exprs}
         return self._row
 
     def __getitem__(self, name: str) -> Any:

@@ -252,6 +252,15 @@ def p8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def occurrence_full_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY scalar metric of the occurrence validator over the
+    synthetic view in one lazy aggregate (rows-only: metric-name
+    columns like cc_0 are engine-internal; the SQL-oracled subset is
+    ``occurrence_validation_metrics``)."""
+    occ = occurrence_view(spark, sf_dir)
+    return occurrence_metrics_dataframe(occ, ["occurrenceID"], "")
+
+
 def occurrence_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The validator's scalar metrics over the synthetic occurrence
     view, spelled as one explicit aggregate so the oracle can replicate
@@ -591,6 +600,7 @@ QUERIES: dict[str, QueryFn] = {
     "p6_membership_filter": p6_membership_filter,
     "p8_json_extract": p8_json_extract,
     "occurrence_validation_metrics": occurrence_validation_metrics,
+    "occurrence_full_metrics": occurrence_full_metrics,
     "fk_orders_customer": fk_orders_customer,
     "fk_lineitem_orders": fk_lineitem_orders,
     "dedup_exact_groups": dedup_exact_groups,

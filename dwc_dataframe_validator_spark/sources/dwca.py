@@ -26,6 +26,7 @@ become constant columns.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -152,9 +153,24 @@ def read_descriptor(archive_path: str) -> ArchiveDescriptor:
     archives; at scale, archives live pre-extracted on distributed
     storage and this function takes the directory."""
     if archive_path.endswith(".zip") and zipfile.is_zipfile(archive_path):
-        tmp = tempfile.mkdtemp(prefix="dwca_")
-        with zipfile.ZipFile(archive_path) as zf:
-            zf.extractall(tmp)
+        # deterministic extraction dir keyed on (path, mtime, size):
+        # repeated validations of the same zip reuse one extraction
+        # instead of growing /tmp monotonically
+        st = os.stat(archive_path)
+        digest = hashlib.sha1(
+            f"{os.path.abspath(archive_path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:16]
+        tmp = os.path.join(tempfile.gettempdir(), f"dwca_{digest}")
+        if not os.path.isdir(tmp):
+            staging = tempfile.mkdtemp(prefix="dwca_stage_")
+            with zipfile.ZipFile(archive_path) as zf:
+                zf.extractall(staging)
+            try:
+                os.rename(staging, tmp)  # atomic publish; loser cleans up
+            except OSError:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
         archive_path = tmp
     meta = os.path.join(archive_path, "meta.xml")
     root = ElementTree.parse(meta).getroot()

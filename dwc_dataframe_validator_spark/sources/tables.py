@@ -60,6 +60,9 @@ def local_session(app: str = "dwc-validator-spark", cpus: int | None = None) -> 
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
+        # pin the session TZ: date rendering/extraction must not depend
+        # on the machine zone (oracles compute on naive timestamps)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
         .getOrCreate()

@@ -101,4 +101,4 @@ def streaming_dedup(
     src = stream.withWatermark(ts_col, watermark)
     if within_watermark:
         return src.dropDuplicatesWithinWatermark(list(keys))
-    return src.dropDuplicates(list(keys) + [ts_col])
+    return src.dropDuplicates(list(keys))
