@@ -461,6 +461,35 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most
+    recent click at or before it.  Clicks are pre-deduplicated to one
+    per (user, ts) so tie semantics are well-defined on both engines."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("click_ts", "ts"),
+        key="user_id",
+        ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_click_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
 def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation on the (skewed, tiny-domain)
     event_type key — result identical to a plain groupBy count, max
@@ -624,6 +653,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": sessionize,
     "numeric_profile": numeric_profile,
     "salted_event_type_counts": salted_event_type_counts,
+    "asof_purchase_last_click": asof_purchase_last_click,
     "pivot_event_types": pivot_event_types,
     "set_ops_nations": set_ops_nations,
     "window_running_totals": window_running_totals,
@@ -975,6 +1005,18 @@ ORACLES: dict[str, str] = {
     """,
     "salted_event_type_counts": """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+    """,
+    "asof_purchase_last_click": """
+        WITH p AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+                 max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
     """,
     "pivot_event_types": """
         SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,

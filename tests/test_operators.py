@@ -236,6 +236,24 @@ def test_salted_join_matches_plain(spark):
     assert out.filter("v = 'a'").count() == big.filter("fk = 0").count()
 
 
+# --- asof ------------------------------------------------------------------
+
+def test_asof_join(spark):
+    from dwc_dataframe_validator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 50), (3, "v", 10)], ["lid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 40), (11, "u", 100), (12, "u", 120), (13, "w", 5)],
+        ["rid", "k", "t"],
+    )
+    out = {r["lid"]: r for r in asof_join(left, right, "k", "t").collect()}
+    assert out[1]["r_rid"] == 11   # equal ts matches (inclusive)
+    assert out[2]["r_rid"] == 10   # latest at-or-before 50
+    assert out[3]["r_rid"] is None  # no right rows for key v
+
+
 # --- multimodal ------------------------------------------------------------
 
 def test_multimodal_stub_pipeline(docs):
