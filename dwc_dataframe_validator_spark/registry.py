@@ -490,6 +490,32 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: error events matched into their user's
+    session interval (intervals from the session-window operator) — the
+    equi-join formulation of ts BETWEEN s_start AND s_end."""
+    from .operators.rangejoin import interval_join
+    from .streaming.validation import session_check_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_check_counts(
+        ev, checks={}, ts_col="ts", gap="30 minutes", group_cols=("user_id",)
+    ).select(
+        F.col("user_id").alias("s_user"), "s_start", "s_end", "cnt"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("s_user"), "ts"
+    )
+    out = interval_join(
+        errors, sessions, ts_col="ts", start_col="s_start",
+        end_col="s_end", key="s_user", bucket_width="1 hour",
+    )
+    return out.select(
+        "event_id", F.col("s_user").alias("user_id"), "s_start",
+        F.col("cnt").alias("session_events"),
+    )
+
+
 def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation on the (skewed, tiny-domain)
     event_type key — result identical to a plain groupBy count, max
@@ -654,6 +680,7 @@ QUERIES: dict[str, QueryFn] = {
     "numeric_profile": numeric_profile,
     "salted_event_type_counts": salted_event_type_counts,
     "asof_purchase_last_click": asof_purchase_last_click,
+    "range_join_event_sessions": range_join_event_sessions,
     "pivot_event_types": pivot_event_types,
     "set_ops_nations": set_ops_nations,
     "window_running_totals": window_running_totals,
@@ -1005,6 +1032,30 @@ ORACLES: dict[str, str] = {
     """,
     "salted_event_type_counts": """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+    """,
+    "range_join_event_sessions": """
+        WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events),
+        d AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d),
+        sessions AS (
+          SELECT user_id, min(ts) AS s_start,
+                 max(ts) + INTERVAL '30 minutes' AS s_end,
+                 count(*) AS session_events
+          FROM s GROUP BY user_id, sid)
+        SELECT e.event_id, e.user_id, sess.s_start, sess.session_events
+        FROM e JOIN sessions sess
+          ON e.user_id = sess.user_id
+         AND e.ts BETWEEN sess.s_start AND sess.s_end
+        WHERE e.event_type = 'error'
     """,
     "asof_purchase_last_click": """
         WITH p AS (

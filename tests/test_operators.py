@@ -254,6 +254,33 @@ def test_asof_join(spark):
     assert out[3]["r_rid"] is None  # no right rows for key v
 
 
+# --- range join ------------------------------------------------------------
+
+def test_interval_join(spark):
+    import datetime
+
+    from dwc_dataframe_validator_spark.operators.rangejoin import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    points = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(90)), (3, ts(300))], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [(100, ts(0), ts(60)), (101, ts(60), ts(120)), (102, ts(0), ts(120))],
+        ["iid", "lo", "hi"],
+    )
+    out = interval_join(points, intervals, "ts", "lo", "hi",
+                        bucket_width="30 minutes")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # point 1 ∈ [0,60] and [0,120]; point 2 ∈ [60,120] and [0,120];
+    # point 3 in none; boundary inclusivity covered by interval 101/2
+    assert got == [(1, 100), (1, 102), (2, 101), (2, 102)]
+
+
 # --- multimodal ------------------------------------------------------------
 
 def test_multimodal_stub_pipeline(docs):
