@@ -29,14 +29,19 @@ def asof_join(
     key: str,
     ts: str,
     right_prefix: str = "r_",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the columns of the
     latest ``right`` row with ``right.ts <= left.ts`` for the same key
     (nulls when no such row).  Right columns come back prefixed.
 
-    Ties inside ``right`` on (key, ts) are broken by keeping the row
-    that sorts last under the remaining right columns — deterministic,
-    and callers needing a specific survivor should pre-deduplicate."""
+    Ties inside ``right`` on (key, ts) are broken by the extra
+    ``tiebreak`` columns (right-side column names, ascending): the row
+    sorting last wins.  With no tiebreak, which duplicate survives is
+    unspecified — callers needing a specific survivor should either
+    pass ``tiebreak`` or pre-deduplicate.  All key/ts/tiebreak columns
+    must be of orderable types; payload columns may be anything
+    (maps, binaries) since they are never sorted on."""
     l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("_lp")
     r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_rp")
     r_type = right.select(r_payload).schema["_rp"].dataType
@@ -55,9 +60,15 @@ def asof_join(
         r_payload,
     )
     combined = lhs.unionByName(rhs)
+    # Sort only on scalar columns — never the full payload struct, which
+    # could carry unorderable types (maps) and widens the sort for nothing.
+    # Tiebreak fields are read out of _rp (null on the left side, where
+    # intra-ts order is irrelevant: left rows all sort after right rows).
+    order = [F.col("_ts"), F.col("_side")]
+    order += [F.col(f"_rp.{c}") for c in (tiebreak or [])]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_rp")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = combined.withColumn(

@@ -183,7 +183,7 @@ def estimate_filter_candidates(
 ) -> DataFrame:
     """Cheap signature-agreement prefilter between banding and exact
     verification: estimate Jaccard as the fraction of matching minhash
-    components and keep pairs within ~2σ of the threshold (the k-sample
+    components and keep pairs within 1σ of the threshold (the k-sample
     Bernoulli-mean error, σ = √(J(1−J)/k) ≤ ½/√k).
 
     Banding over-generates hugely on corpora with shared boilerplate
@@ -291,10 +291,15 @@ def simhash_band_pairs(
     simhashes: DataFrame,
     id_col: str = "doc_id",
     band_bits: int = 16,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs whose SimHash matches exactly on at least one
     16-bit band — catches pairs within small hamming distance without
-    an all-pairs scan (same banding trick as MinHash LSH)."""
+    an all-pairs scan (same banding trick as MinHash LSH).
+
+    ``max_bucket_size`` drops degenerate (band, value) buckets — e.g.
+    a band that is 0 for every near-empty document — whose pair
+    fan-out is quadratic in the bucket population."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     band_buckets = F.array(*[
@@ -304,6 +309,15 @@ def simhash_band_pairs(
     buckets = simhashes.select(
         F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        # same one-shuffle window cap as lsh_candidate_pairs: the count
+        # partitioning is reused by the self-join on (band, bucket)
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
     a = buckets.select(F.col(id_col).alias("ida"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("idb"), "band", "bucket")
     return (

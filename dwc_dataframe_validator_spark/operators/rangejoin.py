@@ -45,7 +45,12 @@ def interval_join(
     p = points.withColumn(
         "_b", F.floor(F.unix_micros(F.col(ts_col)) / width_us)
     )
-    i = intervals.withColumn(
+    # Drop malformed intervals (end < start) BEFORE the explode:
+    # sequence(hi, lo) generates a DESCENDING range, so a garbage
+    # interval would be replicated into every bucket it "spans"
+    # backwards — the BETWEEN filter discards the rows, but only after
+    # paying the fan-out.
+    i = intervals.filter(F.col(start_col) <= F.col(end_col)).withColumn(
         "_b",
         F.explode(
             F.sequence(

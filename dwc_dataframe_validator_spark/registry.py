@@ -341,7 +341,15 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_ngram_top_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.jaccard_top_neighbor(load_table(spark, sf_dir, "documents"), n=2)
+    """Inverted-index Jaccard WITH the document-frequency skew guard:
+    shingles present in more than max(5, N/10) documents are dropped
+    before pairing — a hyper-common shingle ("of the") would otherwise
+    put a constant fraction of the corpus into one join bucket and the
+    pair fan-out is quadratic in that bucket.  The oracle applies the
+    same HAVING cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = max(5, docs.count() // 10)
+    return text.jaccard_top_neighbor(docs, n=2, max_shingle_df=cap)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,10 +633,19 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — deterministic for a given input
-    but engine-specific, so rows-only."""
+    but engine-specific, so rows-only.  The exact half lives in
+    ``exact_distinct_users`` where it gets a hash-checked oracle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
         E.approx_distinct_count("user_id").alias("approx_users"),
+    )
+
+
+def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count — the SQL-expressible half of the HLL
+    query, split out so it sits behind the hard oracle gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
         E.distinct_count("user_id").alias("exact_users"),
     )
 
@@ -688,6 +705,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_decode_stub": multimodal_decode_stub,
     "hll_distinct_users": hll_distinct_users,
+    "exact_distinct_users": exact_distinct_users,
 }
 
 
@@ -883,10 +901,16 @@ ORACLES: dict[str, str] = {
         WITH words AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
           FROM documents WHERE trim(text) <> ''),
-        grams AS (
+        grams0 AS (
           SELECT doc_id, unnest(list_distinct(
             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
           FROM words),
+        -- same df skew guard as the Spark side: drop shingles in more
+        -- than max(5, N/10) documents before pairing
+        keep AS (
+          SELECT shingle FROM grams0 GROUP BY shingle
+          HAVING count(*) <= greatest(5, (SELECT count(*) FROM documents) // 10)),
+        grams AS (SELECT g.* FROM grams0 g JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
         pairs AS (
           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
@@ -1113,6 +1137,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
                sha256(text) AS sha256_hex
         FROM documents
+    """,
+    "exact_distinct_users": """
+        SELECT count(DISTINCT user_id) AS exact_users FROM events
     """,
 }
 

@@ -99,6 +99,49 @@ def test_ngram_jaccard_pairs(docs):
     assert top[1] == 5  # exact dup wins over near dup (jaccard 1.0)
 
 
+def test_simhash_band_cap_bounds_degenerate_bucket(spark):
+    # 40 documents with identical text -> identical simhash -> every
+    # band bucket holds all 40 docs.  Uncapped, the band self-join fans
+    # out quadratically; the cap drops those buckets entirely.
+    df = spark.createDataFrame(
+        [(i, "same text everywhere for everyone") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    sh = dedup.simhash64(df)
+    uncapped = dedup.simhash_band_pairs(sh, max_bucket_size=None).count()
+    assert uncapped == 40 * 39 // 2
+    capped = dedup.simhash_band_pairs(sh, max_bucket_size=10).count()
+    assert capped == 0
+
+
+def test_ngram_shingle_df_cap_bounds_common_shingle(spark):
+    # every doc shares the hyper-common bigram "of the" but is otherwise
+    # unique: uncapped, that one shingle alone pairs all docs (quadratic
+    # in corpus size); the df cap removes it before pairing.
+    # each doc also shares a RARE bigram with exactly one partner
+    # (pair 2i, 2i+1), so the cap must kill only the common shingle
+    rows = [
+        (i, f"of the pairmark{i // 2} shared{i // 2} solo{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = text.ngram_jaccard_pairs(df, threshold=0.0).count()
+    assert uncapped == 30 * 29 // 2
+    capped = {
+        (r["ida"], r["idb"])
+        for r in text.ngram_jaccard_pairs(
+            df, threshold=0.0, max_shingle_df=5
+        ).collect()
+    }
+    assert capped == {(2 * i, 2 * i + 1) for i in range(15)}
+    # the registered-query shape keeps the partner as top neighbor
+    top = {
+        r["doc_id"]: r["neighbor_id"]
+        for r in text.jaccard_top_neighbor(df, max_shingle_df=5).collect()
+    }
+    assert len(top) == 30 and top[0] == 1 and top[1] == 0
+
+
 # --- similarity ------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -254,6 +297,35 @@ def test_asof_join(spark):
     assert out[3]["r_rid"] is None  # no right rows for key v
 
 
+def test_asof_join_unorderable_payload_and_tiebreak(spark):
+    # the window must never sort on the payload struct: a map-typed
+    # right column would fail analysis under the old full-struct orderBy
+    from pyspark.sql.types import (
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dwc_dataframe_validator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "u", 100)], ["lid", "k", "t"])
+    schema = StructType([
+        StructField("rid", IntegerType()),
+        StructField("k", StringType()),
+        StructField("t", IntegerType()),
+        StructField("attrs", MapType(StringType(), StringType())),
+    ])
+    right = spark.createDataFrame(
+        [(10, "u", 50, {"a": "x"}), (11, "u", 50, {"b": "y"})], schema
+    )
+    out = {r["lid"]: r for r in
+           asof_join(left, right, "k", "t", tiebreak=["rid"]).collect()}
+    assert out[1]["r_rid"] == 11          # highest tiebreak wins the tie
+    assert out[1]["r_attrs"] == {"b": "y"}
+
+
 # --- range join ------------------------------------------------------------
 
 def test_interval_join(spark):
@@ -270,7 +342,8 @@ def test_interval_join(spark):
         [(1, ts(10)), (2, ts(90)), (3, ts(300))], ["pid", "ts"]
     )
     intervals = spark.createDataFrame(
-        [(100, ts(0), ts(60)), (101, ts(60), ts(120)), (102, ts(0), ts(120))],
+        [(100, ts(0), ts(60)), (101, ts(60), ts(120)), (102, ts(0), ts(120)),
+         (103, ts(600), ts(0))],   # malformed: end < start, dropped pre-explode
         ["iid", "lo", "hi"],
     )
     out = interval_join(points, intervals, "ts", "lo", "hi",
