@@ -25,6 +25,7 @@ covers their semantics with planted duplicates.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -651,6 +652,50 @@ def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DwC-A archive source (S1-S3) — reads the repo-shipped fixture archive,
+# so the driver's oracle gate finally sees the CSV-dialect/meta.xml path
+# (reference entry point validate_dwca.py:15-98).  sf_dir is unused: the
+# archive is the data.
+# --------------------------------------------------------------------------
+
+_DWCA_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "dwca-profile",
+)
+
+
+def dwca_archive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the fixture archive: multi-``<location>`` core scan
+    (two CSV files, per-file header skip), the ``<id index>`` column,
+    an index-less default-valued field, and the extension table —
+    every S1-S3 semantic in one oracled row.
+
+    The oracle reads the same files with DuckDB ``read_csv``
+    (header=true, tab-delimited, quoting disabled, null_padding for the
+    deliberately short row r9)."""
+    from .sources.dwca import read_archive_table, read_descriptor
+
+    desc = read_descriptor(_DWCA_FIXTURE)
+    core = read_archive_table(spark, desc, desc.core)
+    ext = read_archive_table(spark, desc, desc.extensions[0])
+    core_agg = core.agg(
+        E.record_count().alias("record_count"),
+        E.distinct_count("occurrenceID").alias("occ_id_distinct"),
+        E.populated_count("scientificName").alias("sci_name_populated"),
+        E.null_count("eventDate").alias("event_date_null"),
+        E.valid_range_count("decimalLatitude", -90.0, 90.0).alias("lat_valid"),
+        F.count_if(~F.lower(F.col("basisOfRecord")).isin(_BOR_LOWER))
+        .alias("bor_unrecognised"),
+        F.min("countryCode").alias("country_default"),
+    )
+    ext_agg = ext.agg(
+        E.record_count().alias("ext_rows"),
+        E.distinct_count("coreid").alias("ext_core_ids"),
+    )
+    return core_agg.crossJoin(ext_agg)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -706,6 +751,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_decode_stub": multimodal_decode_stub,
     "hll_distinct_users": hll_distinct_users,
     "exact_distinct_users": exact_distinct_users,
+    "dwca_archive_profile": dwca_archive_profile,
 }
 
 
@@ -1140,6 +1186,35 @@ ORACLES: dict[str, str] = {
     """,
     "exact_distinct_users": """
         SELECT count(DISTINCT user_id) AS exact_users FROM events
+    """,
+    "dwca_archive_profile": f"""
+        WITH core AS (
+          SELECT * FROM read_csv(
+            ['{_DWCA_FIXTURE}/occurrence_1.txt',
+             '{_DWCA_FIXTURE}/occurrence_2.txt'],
+            header=true, delim='\t', quote='', all_varchar=true,
+            null_padding=true)),
+        ext AS (
+          SELECT * FROM read_csv('{_DWCA_FIXTURE}/multimedia.txt',
+            header=true, delim='\t', quote='', all_varchar=true)),
+        core_agg AS (
+          SELECT count(*) AS record_count,
+                 count(DISTINCT occurrenceID) AS occ_id_distinct,
+                 count(scientificName) AS sci_name_populated,
+                 count(*) - count(eventDate) AS event_date_null,
+                 count(*) FILTER (
+                   WHERE try_cast(decimalLatitude AS DOUBLE)
+                         BETWEEN -90.0 AND 90.0) AS lat_valid,
+                 count(*) FILTER (
+                   WHERE lower(basisOfRecord) NOT IN ({_BOR_SQL}))
+                   AS bor_unrecognised,
+                 min('AU') AS country_default
+          FROM core),
+        ext_agg AS (
+          SELECT count(*) AS ext_rows,
+                 count(DISTINCT coreid) AS ext_core_ids
+          FROM ext)
+        SELECT * FROM core_agg CROSS JOIN ext_agg
     """,
 }
 

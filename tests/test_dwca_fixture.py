@@ -1,0 +1,55 @@
+"""Tests over the repo-shipped DwC-A fixture (tests/fixtures/dwca-profile):
+multi-<location> core, per-file header skip, <id index> materialization,
+index-less default field, extension scan — plus the registered
+``dwca_archive_profile`` query pinned to its expected literal values
+(the DuckDB oracle only proves Spark≡DuckDB; this proves both are
+*right*)."""
+
+import os
+
+from dwc_dataframe_validator_spark.registry import QUERIES, _DWCA_FIXTURE
+from dwc_dataframe_validator_spark.sources.dwca import (
+    read_archive_table,
+    read_descriptor,
+)
+
+
+def test_fixture_descriptor_multi_location():
+    desc = read_descriptor(_DWCA_FIXTURE)
+    assert desc.core.locations == ["occurrence_1.txt", "occurrence_2.txt"]
+    assert desc.core.delimiter == "\t"
+    assert desc.core.ignore_header_lines == 1
+    assert desc.core.default_columns() == [("countryCode", "AU")]
+    assert [e.type_tail for e in desc.extensions] == ["Multimedia"]
+
+
+def test_fixture_core_scan_spans_locations(spark):
+    desc = read_descriptor(_DWCA_FIXTURE)
+    core = read_archive_table(spark, desc, desc.core)
+    rows = {r["id"]: r for r in core.collect()}
+    # 5 rows per file, header skipped in EACH file
+    assert len(rows) == 10 and "id" not in rows
+    assert rows["r6"]["scientificName"] == "Telopea speciosissima"
+    # short row r9: missing trailing field -> null, not a parse error
+    assert rows["r9"]["eventDate"] is None
+    # empty unquoted field -> null
+    assert rows["r3"]["scientificName"] is None
+    # index-less default field materializes as a constant column
+    assert rows["r1"]["countryCode"] == "AU"
+
+
+def test_fixture_profile_values(spark):
+    row = QUERIES["dwca_archive_profile"](spark, "unused").collect()[0]
+    assert row["record_count"] == 10
+    assert row["occ_id_distinct"] == 9      # occ:001 repeats across files
+    assert row["sci_name_populated"] == 9   # r3 empty
+    assert row["event_date_null"] == 1      # r9 short row
+    assert row["lat_valid"] == 8            # r4 out of range, r5 empty
+    assert row["bor_unrecognised"] == 1     # r4 'badvalue'; r9 null skipped
+    assert row["country_default"] == "AU"
+    assert row["ext_rows"] == 4
+    assert row["ext_core_ids"] == 3
+
+
+def test_fixture_path_exists():
+    assert os.path.isfile(os.path.join(_DWCA_FIXTURE, "meta.xml"))
