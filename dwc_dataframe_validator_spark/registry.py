@@ -32,10 +32,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import annotate, dedup, integrity, multimodal, similarity, skew, text
-from .operators.validate import occurrence_metrics_dataframe
+from .operators.validate import (
+    NUMERIC_FIELDS,
+    RECORDED_BY_FIELDS,
+    TAXONOMY_FIELDS,
+    TEMPORAL_FIELDS,
+    occurrence_metrics_dataframe,
+)
 from .functions import expressions as E
 from .sources.tables import load_table
-from .vocab import basis_of_record_vocabulary, lowered
+from .vocab import (
+    basis_of_record_vocabulary,
+    geodetic_datum_vocabulary,
+    lowered,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -88,6 +98,80 @@ _OCC_VIEW_SQL = """
            CAST(user_id AS VARCHAR) AS recordedBy
     FROM events
 """
+
+
+# The occurrence view's column order, as produced by occurrence_view():
+# metric names like cc_3 are positional in this list, so the oracle walk
+# below must see the identical sequence.
+_OCC_VIEW_COLUMNS = [
+    "occurrenceID", "decimalLatitude", "decimalLongitude",
+    "scientificName", "eventDate", "basisOfRecord", "recordedBy",
+]
+
+
+def _full_metrics_oracle_sql() -> str:
+    """DuckDB mirror of ``operators.validate._register_metrics`` over
+    the occurrence view — the same walk, one SELECT item per metric,
+    identically aliased, so ``occurrence_full_metrics`` (the flagship
+    "every scalar metric in one pass" aggregate) sits behind the hard
+    hash gate instead of a rows-only check.
+
+    Shares the field-list constants with the Spark walk; a metric added
+    to ``_register_metrics`` without a translation here shows up as a
+    schema mismatch, not a silent gap."""
+    cols = _OCC_VIEW_COLUMNS
+    colset = set(cols)
+    id_fields = ["occurrenceID"]
+
+    def q(c: str) -> str:
+        return f'"{c}"'
+
+    items: list[str] = ["count(*) AS record_count"]
+    for i, c in enumerate(cols):
+        items.append(f"count({q(c)}) AS cc_{i}")
+    for i, field in enumerate(id_fields):
+        if field in colset:
+            items.append(f"count({q(field)}) AS id_pop_{i}")
+            if len(id_fields) == 1:
+                items.append(f"count(DISTINCT {q(field)}) AS id_dist_{i}")
+    for i, field in enumerate(NUMERIC_FIELDS):
+        if field in colset:
+            items.append(
+                f"count(TRY_CAST({q(field)} AS DOUBLE)) AS num_valid_{i}"
+            )
+    for name, group in [
+        ("taxonomy", TAXONOMY_FIELDS),
+        ("temporal", TEMPORAL_FIELDS),
+        ("recorded_by", RECORDED_BY_FIELDS),
+    ]:
+        present = [f for f in group if f in colset]
+        if present:
+            pred = " OR ".join(f"{q(f)} IS NOT NULL" for f in present)
+            items.append(f"count(*) FILTER (WHERE {pred}) AS {name}")
+    if "decimalLatitude" in colset and "decimalLongitude" in colset:
+        items.append('count("decimalLatitude") AS lat_pop')
+        items.append('count("decimalLongitude") AS lon_pop')
+        items.append(
+            'count(*) FILTER (WHERE TRY_CAST("decimalLatitude" AS DOUBLE)'
+            " BETWEEN -90 AND 90) AS lat_valid"
+        )
+        items.append(
+            'count(*) FILTER (WHERE TRY_CAST("decimalLongitude" AS DOUBLE)'
+            " BETWEEN -180 AND 180) AS lon_valid"
+        )
+    for field, vocab in [
+        ("basisOfRecord", basis_of_record_vocabulary),
+        ("geodeticDatum", geodetic_datum_vocabulary),
+    ]:
+        if field in colset:
+            in_list = ", ".join(f"'{v}'" for v in sorted(lowered(vocab)))
+            items.append(f"count(*) - count({q(field)}) AS vnull_{field}")
+            items.append(
+                f"count(*) FILTER (WHERE lower(CAST({q(field)} AS VARCHAR))"
+                f" IN ({in_list})) AS vrec_{field}"
+            )
+    select = ",\n               ".join(items)
+    return f"WITH occ AS ({_OCC_VIEW_SQL})\n        SELECT {select}\n        FROM occ"
 
 
 # --------------------------------------------------------------------------
@@ -861,6 +945,7 @@ ORACLES: dict[str, str] = {
                min(k) AS min_k, max(k) AS max_k
         FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
     """,
+    "occurrence_full_metrics": _full_metrics_oracle_sql(),
     "occurrence_validation_metrics": f"""
         WITH occ AS ({_OCC_VIEW_SQL})
         SELECT count(*) AS record_count,

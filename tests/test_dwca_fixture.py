@@ -53,3 +53,32 @@ def test_fixture_profile_values(spark):
 
 def test_fixture_path_exists():
     assert os.path.isfile(os.path.join(_DWCA_FIXTURE, "meta.xml"))
+
+
+def test_full_metrics_oracle_tracks_view_and_walk(spark):
+    """The occurrence_full_metrics oracle is generated from
+    _OCC_VIEW_COLUMNS + the shared field lists; if occurrence_view or
+    _register_metrics drift, positional metric names (cc_i,
+    num_valid_i) silently shift.  Pin both couplings."""
+    import duckdb
+
+    from dwc_dataframe_validator_spark.registry import (
+        ORACLES,
+        _OCC_VIEW_COLUMNS,
+        occurrence_view,
+    )
+
+    view = occurrence_view(spark, "/root/testdata/sf0.001")
+    assert view.columns == _OCC_VIEW_COLUMNS
+    spark_cols = QUERIES["occurrence_full_metrics"](
+        spark, "/root/testdata/sf0.001"
+    ).columns
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    oracle_cols = [
+        d[0] for d in con.execute(ORACLES["occurrence_full_metrics"]).description
+    ]
+    assert sorted(spark_cols) == sorted(oracle_cols)
