@@ -176,6 +176,93 @@ def build_ivf_index(
     return assigned, model
 
 
+def probe_cells(
+    queries: DataFrame,
+    centers: list,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each query its ``nprobe`` nearest coarse-quantizer
+    centers (squared euclidean, matching k-means assignment): the
+    recall knob of IVF search.  Returns one row per (query, probed
+    cell): (query_id, _qvec, <cell_col>).
+
+    ``centers`` is the fitted model's ``clusterCenters()`` — n_cells ×
+    dim scalars, driver-side by design (a quantizer small enough to
+    broadcast is the premise of IVF).  The query×centers cross join is
+    |Q|·n_cells rows, both sides tiny by contract."""
+    spark = queries.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        schema=f"{cell_col} int, _center array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_qvec"),
+            F.col("_center"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc(cell_col))
+    return (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qvec", cell_col)
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF top-k with nprobe > 1: each query scans its ``nprobe``
+    nearest cells instead of exactly one, recovering the true neighbors
+    that sit just across a cell boundary.  Cost scales linearly in
+    nprobe (~nprobe/C of the corpus per query); recall rises toward
+    brute force as nprobe → C.
+
+    Still a cell equi-join: the probe set replaces the single assigned
+    cell, and because every corpus row lives in exactly one cell, no
+    candidate is generated twice — no dedup pass needed."""
+    probes = probe_cells(queries, centers, nprobe, id_col, vec_col, cell_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col(cell_col).alias("_ccell"),
+    )
+    sims = (
+        F.broadcast(probes)
+        .join(c, F.col(cell_col) == F.col("_ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ivf_topk_trained(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,15 +273,22 @@ def ivf_topk_trained(
     seed: int = 42,
     cell_col: str = "cell",
     fit_fraction: float | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """End-to-end trained-IVF search: fit the coarse quantizer on the
-    corpus, assign both sides to cells with the same model, search only
-    the query's cell (nprobe=1)."""
+    corpus, assign the corpus to cells, then search the query's
+    ``nprobe`` nearest cells (nprobe=1 degenerates to the classic
+    single-cell scan)."""
     from pyspark.ml.functions import array_to_vector
 
     indexed, model = build_ivf_index(
         corpus, n_cells, vec_col, seed, cell_col, fit_fraction
     )
+    if nprobe > 1:
+        return ivf_topk_multiprobe(
+            indexed, queries, model.clusterCenters(), k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+        )
     feat_col = f"_features_{cell_col}"
     q_assigned = model.transform(
         queries.drop(cell_col, feat_col)

@@ -457,12 +457,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-quantizer IVF (k-means cells, nprobe=1) — rows-only
-    check: k-means has no portable SQL equivalent; recall semantics are
-    covered by the planted-cluster pytest."""
+    """Trained-quantizer IVF (k-means cells) with nprobe=2: each query
+    scans its two nearest cells, recovering neighbors across cell
+    boundaries.  Rows-only check: k-means has no portable SQL
+    equivalent; recall-vs-nprobe semantics are covered by the
+    planted-boundary pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_trained(
-        emb, emb.filter("vec_id < 8"), k=3, n_cells=8
+        emb, emb.filter("vec_id < 8"), k=3, n_cells=8, nprobe=2
     ).orderBy("query_id", "rank")
 
 

@@ -200,6 +200,52 @@ def test_ivf_trained_finds_planted_neighbor(spark):
     assert out[0]["neighbor_id"] in {1, 2, 3, 4, 5}
 
 
+def test_ivf_nprobe_recall_rises(spark):
+    import math
+
+    # 4 angular clusters on the unit circle; query vectors sit near the
+    # cluster boundaries, so their true nearest neighbors straddle two
+    # k-means cells — exactly the case nprobe=1 loses.
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = c * (math.pi / 2)
+        for i in range(8):
+            ang = base + (i - 3.5) * 0.15
+            rows.append((vid, [math.cos(ang), math.sin(ang)]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    # queries at the MIDPOINT between adjacent clusters: their top-3
+    # necessarily spans two cells, whichever single cell they assign to
+    qrows = []
+    for c in range(4):
+        ang = c * (math.pi / 2) + math.pi / 4
+        qrows.append((100 + c, [math.cos(ang), math.sin(ang)]))
+    queries = spark.createDataFrame(qrows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk_trained(
+                corpus, queries, k=3, n_cells=4, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r2 > r1          # boundary queries need the second cell
+    assert r4 == 1.0        # probing every cell IS brute force
+
+
 def test_ivf_topk_restricted_to_cell(vectors):
     out = similarity.ivf_topk(vectors, vectors.filter("vec_id = 0"), k=5)
     neighbors = {r["neighbor_id"] for r in out.collect()}
