@@ -464,7 +464,8 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-boundary pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_trained(
-        emb, emb.filter("vec_id < 8"), k=3, n_cells=8, nprobe=2
+        emb, emb.filter("vec_id < 8"), k=3, n_cells=8, nprobe=2,
+        fit_fraction=0.5, max_iter=10,
     ).orderBy("query_id", "rank")
 
 
