@@ -83,6 +83,51 @@ def token_stats(
     )
 
 
+def token_stats_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges_path: str | None = None,
+) -> DataFrame:
+    """Real-BPE token counts next to the regex proxy: (id, n_tokens_bpe,
+    n_tokens_bpe_real) per document.
+
+    ``n_tokens_bpe`` (the lookahead-free regex count) stays the
+    engine-portable oracle column; ``n_tokens_bpe_real`` runs the
+    greedy merge loop of ``functions.bpe`` over the repo-shipped merge
+    table.  Physical shape: Arrow-batched ``mapInPandas`` — the merge
+    table loads once per task (not per row), each batch is one Python
+    pass, and the schema is declared up front so Catalyst still prunes
+    the scan to (id, text).  Never a row-at-a-time Python UDF.
+
+    An unmergeable word costs len(word)+0 tokens (character fallback),
+    so real ≥ 1 token per pre-token and real ≥ proxy count always —
+    asserted in pytest."""
+    from ..functions import bpe as _bpe
+
+    path = merges_path or _bpe.DEFAULT_MERGES_PATH
+    projected = df.select(
+        F.col(id_col), F.col(text_col).alias("_text"),
+        # null text counts 0 tokens on both columns (regexp_count
+        # propagates null; the real encoder returns 0)
+        F.coalesce(
+            bpe_ish_token_count(F.col(text_col)), F.lit(0)
+        ).alias("n_tokens_bpe"),
+    )
+
+    def batches(it):
+        ranks = _bpe.load_merges(path)  # once per task, not per row
+        for pdf in it:
+            pdf["n_tokens_bpe_real"] = [
+                _bpe.token_count(t, ranks) if isinstance(t, str) else 0
+                for t in pdf["_text"]
+            ]
+            yield pdf.drop(columns=["_text"])
+
+    schema = f"{id_col} long, n_tokens_bpe int, n_tokens_bpe_real long"
+    return projected.mapInPandas(batches, schema=schema)
+
+
 def quality_score(
     df: DataFrame,
     text_col: str = "text",

@@ -417,6 +417,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
 
+def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-BPE token counts (greedy merge loop over the repo-shipped
+    vocabulary) via Arrow-batched mapInPandas — rows-only: the merge
+    loop is not SQL-expressible; semantics are pytest-pinned against
+    hand-computed encodings and the regex proxy lower bound."""
+    return text.token_stats_bpe(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -813,6 +823,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "text_token_stats": text_token_stats,
+    "text_token_stats_bpe": text_token_stats_bpe,
     "text_quality": text_quality,
     "text_language_id": text_language_id,
     "text_ngram_top_neighbor": text_ngram_top_neighbor,

@@ -1,0 +1,70 @@
+"""BPE tokenizer tests: trainer determinism, greedy-encode semantics
+against hand-computed merges, the shipped vocabulary, and the Spark
+mapInPandas surface vs the regex proxy and the driver-side encoder."""
+
+from pyspark.sql import functions as F
+
+from dwc_dataframe_validator_spark.functions import bpe
+from dwc_dataframe_validator_spark.operators import text
+
+
+def test_train_learns_frequent_pairs():
+    merges = bpe.train_bpe(["the the the cat sat on the mat"], n_merges=10)
+    # (t,h) and (h,e</w>) tie at 4 occurrences; ties break
+    # lexicographically so (h,e</w>) lands first, then (t,he</w>)
+    # completes the word — 'the' becomes one token either way
+    assert merges[:2] == [("h", "e</w>"), ("t", "he</w>")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert bpe.encode_word("the", ranks) == ["the</w>"]
+
+
+def test_train_deterministic():
+    corpus = ["banana bandana cabana", "a banana and a bandana"]
+    assert bpe.train_bpe(corpus, 50) == bpe.train_bpe(corpus, 50)
+
+
+def test_encode_follows_merge_ranks():
+    # hand-built ranks: 'h'+'e</w>' (rank 0) beats 't'+'h' (rank 1) —
+    # greedy must pick the LOWEST rank first, yielding t + he</w>
+    ranks = {("h", "e</w>"): 0, ("t", "h"): 1}
+    assert bpe.encode_word("the", ranks) == ["t", "he</w>"]
+    # reversed ranks: th merges first, and (th, e</w>) is unranked
+    ranks2 = {("t", "h"): 0, ("h", "e</w>"): 1}
+    assert bpe.encode_word("the", ranks2) == ["th", "e</w>"]
+
+
+def test_encode_unknown_word_falls_back_to_chars():
+    assert bpe.encode_word("xyz", {}) == ["x", "y", "z</w>"]
+    assert bpe.token_count("xyz 7 !", {}) == 3 + 1 + 1
+
+
+def test_shipped_vocab_compresses_english():
+    ranks = bpe.load_merges()
+    assert len(ranks) >= 50
+    # 'the' must be a single token under any English BPE vocabulary
+    assert bpe.encode_word("the", ranks) == ["the</w>"]
+    english = "the water in the river and the wind over the bridge"
+    gibberish = "qqxz vvkj wwpq zzrt qqxz vvkj wwpq zzrt qqxz vvkj"
+    # real-BPE compresses in-domain text, not random consonant soup
+    assert bpe.token_count(english, ranks) < bpe.token_count(gibberish, ranks)
+    # character fallback bounds: pre-token count <= tokens <= char count
+    assert len(bpe.pretokenize(english)) <= bpe.token_count(english, ranks)
+
+
+def test_spark_surface_matches_driver_encoder(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "counting tokens in the water"),
+        (3, ""),
+        (4, None),
+        (5, "7 cats, 9 dogs!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.token_stats_bpe(df).collect()}
+    ranks = bpe.load_merges()
+    for doc_id, t in rows:
+        want = bpe.token_count(t, ranks) if t else 0
+        assert got[doc_id]["n_tokens_bpe_real"] == want
+    # the regex proxy is a lower bound: every pre-token is >= 1 token
+    for r in got.values():
+        assert r["n_tokens_bpe_real"] >= r["n_tokens_bpe"]
