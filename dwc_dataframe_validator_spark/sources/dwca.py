@@ -192,10 +192,11 @@ def read_archive_table(
     paths = [os.path.join(descriptor.base_dir, loc) for loc in table.locations]
     names = table.column_names()
     schema = StructType([StructField(n, StringType(), True) for n in names])
-    if table.ignore_header_lines not in (0, 1):
-        raise NotImplementedError(
-            f"ignoreHeaderLines={table.ignore_header_lines}: only 0/1 supported"
-        )
+    if table.ignore_header_lines > 1:
+        df = _read_skipping_lines(spark, paths, table, schema)
+        for name, value in table.default_columns():
+            df = df.withColumn(name, F.lit(value))
+        return df
     reader = (
         spark.read.options(
             header=table.ignore_header_lines == 1,
@@ -214,17 +215,70 @@ def read_archive_table(
     return df
 
 
+def _read_skipping_lines(
+    spark: SparkSession,
+    paths: list[str],
+    table: TableSpec,
+    schema: StructType,
+) -> DataFrame:
+    """CSV scan skipping the first N>1 lines of EACH file — Spark's
+    ``header`` option only skips one.
+
+    Physical shape: distributed ``textFile`` per location,
+    ``zipWithIndex`` (one counting pass per file — the known cost of a
+    global line index), drop indexes < N, then parse surviving lines
+    with ``from_csv`` so dialect/schema handling matches the fast path.
+    Restriction: lines are split before CSV parsing, so quoted embedded
+    newlines are unsupported here — rejected explicitly below."""
+    n = table.ignore_header_lines
+    if table.quote:
+        raise NotImplementedError(
+            "ignoreHeaderLines>1 with fieldsEnclosedBy quoting: line "
+            "splitting would break on quoted embedded newlines"
+        )
+    # quoting disabled (this path rejects declared quoting above, and
+    # bare quote characters inside fields must stay literal)
+    opts = {"sep": table.delimiter, "quote": "\u0000", "mode": "PERMISSIVE"}
+    frames = []
+    for path in paths:
+        body = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda kv, _n=n: kv[1] >= _n)
+            .map(lambda kv: (kv[0],))
+        )
+        lines = spark.createDataFrame(body, "value string")
+        ddl = ", ".join(f"`{f.name}` STRING" for f in schema.fields)
+        frames.append(
+            lines.select(
+                F.from_csv(F.col("value"), F.lit(ddl), opts).alias("_r")
+            ).select("_r.*")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def register_archive_views(
     spark: SparkSession, archive_path: str, prefix: str = "dwca_"
 ) -> list[str]:
     """Register the core and every extension table of an archive as
     temp views (``<prefix>core``, ``<prefix><RowTypeTail>``) so archive
-    contents are queryable from ``spark.sql``."""
+    contents are queryable from ``spark.sql``.
+
+    Two extensions may legally share a row type (DwC-A allows it); a
+    repeated type tail gets a positional suffix instead of silently
+    overwriting the earlier view."""
     desc = read_descriptor(archive_path)
     names = [f"{prefix}core"]
     read_archive_table(spark, desc, desc.core).createOrReplaceTempView(names[0])
-    for ext in desc.extensions:
+    seen = set(names)
+    for i, ext in enumerate(desc.extensions):
         name = f"{prefix}{ext.type_tail}"
+        if name in seen:
+            name = f"{name}_{i}"
+        seen.add(name)
         read_archive_table(spark, desc, ext).createOrReplaceTempView(name)
         names.append(name)
     return names

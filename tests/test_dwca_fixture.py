@@ -55,6 +55,83 @@ def test_fixture_path_exists():
     assert os.path.isfile(os.path.join(_DWCA_FIXTURE, "meta.xml"))
 
 
+def test_ignore_header_lines_gt1(spark, tmp_path):
+    # ignoreHeaderLines=3: a title line, a comment line, AND the column
+    # header — all three must be skipped in EACH file
+    meta = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
+  <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"
+        fieldsTerminatedBy="," ignoreHeaderLines="3">
+    <files><location>a.csv</location><location>b.csv</location></files>
+    <id index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/scientificName"/>
+  </core>
+</archive>"""
+    (tmp_path / "meta.xml").write_text(meta)
+    (tmp_path / "a.csv").write_text(
+        "export title\n# comment\nid,scientificName\n1,Ursus arctos\n2,Lynx lynx\n"
+    )
+    (tmp_path / "b.csv").write_text(
+        "export title\n# comment\nid,scientificName\n3,Alces alces\n"
+    )
+    desc = read_descriptor(str(tmp_path))
+    df = read_archive_table(spark, desc, desc.core)
+    rows = {r["id"]: r["scientificName"] for r in df.collect()}
+    assert rows == {"1": "Ursus arctos", "2": "Lynx lynx", "3": "Alces alces"}
+
+
+def test_ignore_header_lines_gt1_rejects_quoting(spark, tmp_path):
+    import pytest
+
+    meta = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
+  <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"
+        fieldsTerminatedBy="," fieldsEnclosedBy="&quot;"
+        ignoreHeaderLines="2">
+    <files><location>a.csv</location></files>
+    <id index="0" />
+  </core>
+</archive>"""
+    (tmp_path / "meta.xml").write_text(meta)
+    (tmp_path / "a.csv").write_text('x\ny\n"1"\n')
+    desc = read_descriptor(str(tmp_path))
+    with pytest.raises(NotImplementedError, match="quot"):
+        read_archive_table(spark, desc, desc.core).collect()
+
+
+def test_duplicate_extension_rowtype_views(spark, tmp_path):
+    from dwc_dataframe_validator_spark.sources.dwca import (
+        register_archive_views,
+    )
+
+    meta = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
+  <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"
+        fieldsTerminatedBy="," ignoreHeaderLines="1">
+    <files><location>occ.csv</location></files>
+    <id index="0" />
+  </core>
+  <extension rowType="http://rs.gbif.org/terms/1.0/Multimedia"
+             fieldsTerminatedBy="," ignoreHeaderLines="1">
+    <files><location>img.csv</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://purl.org/dc/terms/identifier"/>
+  </extension>
+  <extension rowType="http://rs.gbif.org/terms/1.0/Multimedia"
+             fieldsTerminatedBy="," ignoreHeaderLines="1">
+    <files><location>audio.csv</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://purl.org/dc/terms/identifier"/>
+  </extension>
+</archive>"""
+    (tmp_path / "meta.xml").write_text(meta)
+    (tmp_path / "occ.csv").write_text("id\n1\n")
+    (tmp_path / "img.csv").write_text("coreid,identifier\n1,img.jpg\n")
+    (tmp_path / "audio.csv").write_text("coreid,identifier\n1,a.wav\n1,b.wav\n")
+    names = register_archive_views(spark, str(tmp_path), prefix="dup_")
+    assert names == ["dup_core", "dup_Multimedia", "dup_Multimedia_1"]
+    # both views live — the second did not overwrite the first
+    assert spark.sql("SELECT count(*) c FROM dup_Multimedia").collect()[0]["c"] == 1
+    assert spark.sql("SELECT count(*) c FROM dup_Multimedia_1").collect()[0]["c"] == 2
+
+
 def test_full_metrics_oracle_tracks_view_and_walk(spark):
     """The occurrence_full_metrics oracle is generated from
     _OCC_VIEW_COLUMNS + the shared field lists; if occurrence_view or
