@@ -39,10 +39,13 @@ def to_double(col: Column | str) -> Column:
 
 def to_timestamp_lenient(col: Column | str) -> Column:
     """string→timestamp with null-on-failure (pandas ``to_datetime(errors='coerce')``,
-    reference breakdown.py:86).  ISO-8601 only — fixtures and driver data
-    are ISO; non-ISO pandas-isms are documented as out of scope."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c.cast("string"))
+    reference breakdown.py:86).  Delegates to the multi-format parser
+    (functions/dates.py) so non-ISO strings pandas accepts — ``1/5/2023``,
+    ``Jan 5, 2023``, ``20230105`` — parse here too; the supported matrix
+    is pinned by a three-engine (Spark/DuckDB/pandas) parity test."""
+    from .dates import to_timestamp_multiformat
+
+    return to_timestamp_multiformat(col)
 
 
 # --------------------------------------------------------------------------

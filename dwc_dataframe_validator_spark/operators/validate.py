@@ -24,9 +24,12 @@ Documented deviations from the reference (SURVEY.md §2.11):
    non-string typed columns pandas' ``.str.lower()`` would yield NaN
    (never matching).  String data — the entire parity surface — behaves
    identically.
-3. pandas ``to_datetime`` parses more date formats than Spark
-   ``try_to_timestamp``; all reference fixtures are ISO-8601, which
-   both parse identically.
+3. pandas ``to_datetime`` parses more date formats than bare Spark
+   ``try_to_timestamp``.  Closed (round 3) by the multi-format parser in
+   ``functions/dates.py`` — a coalesce of format attempts covering the
+   common non-ISO shapes (``1/5/2023``, ``20230105``, ``Jan 5, 2023``…),
+   still pure Catalyst expressions.  Full dateutil inference is NOT
+   claimed; the pinned matrix is tested against pandas engine-for-engine.
 """
 
 from __future__ import annotations

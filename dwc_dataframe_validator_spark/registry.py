@@ -40,6 +40,7 @@ from .operators.validate import (
     occurrence_metrics_dataframe,
 )
 from .functions import expressions as E
+from .functions.dates import multiformat_oracle_sql
 from .sources.tables import load_table
 from .vocab import (
     basis_of_record_vocabulary,
@@ -748,6 +749,43 @@ def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-parity lenient date parsing (closes SURVEY §7 hard-part c):
+    render event dates in four different textual formats plus garbage,
+    parse them all back with ``to_timestamp_multiformat`` — one coalesce
+    of ``try_to_timestamp`` attempts, whole-stage-codegen'd, no UDF —
+    and profile the parse per format bucket.  The oracle runs the
+    equivalent DuckDB coalesce GENERATED FROM THE SAME FORMAT TABLE
+    (functions/dates.py), so parser drift fails the hash check."""
+    from .functions.dates import to_timestamp_multiformat
+
+    ev = load_table(spark, sf_dir, "events")
+    y = F.year("ts").cast("string")
+    m = F.month("ts").cast("string")
+    d = F.dayofmonth("ts").cast("string")
+    m2 = F.lpad(m, 2, "0")
+    d2 = F.lpad(d, 2, "0")
+    raw = (
+        F.when(F.col("fmt_bucket") == 0, F.concat(y, F.lit("-"), m2, F.lit("-"), d2))
+        .when(F.col("fmt_bucket") == 1, F.concat(m, F.lit("/"), d, F.lit("/"), y))
+        .when(F.col("fmt_bucket") == 2, F.concat(y, m2, d2))
+        .when(F.col("fmt_bucket") == 3, F.concat(y, F.lit("/"), m, F.lit("/"), d))
+        .otherwise(F.lit("not a date"))
+    )
+    return (
+        ev.select((F.col("event_id") % 5).alias("fmt_bucket"), F.col("ts"))
+        .select("fmt_bucket", raw.alias("raw"))
+        .select("fmt_bucket", to_timestamp_multiformat(F.col("raw")).alias("parsed"))
+        .groupBy("fmt_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("parsed").alias("parsed_cnt"),
+            F.min("parsed").alias("min_ts"),
+            F.max("parsed").alias("max_ts"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DwC-A archive source (S1-S3) — reads the repo-shipped fixture archive,
 # so the driver's oracle gate finally sees the CSV-dialect/meta.xml path
@@ -849,6 +887,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_decode_stub": multimodal_decode_stub,
     "hll_distinct_users": hll_distinct_users,
     "exact_distinct_users": exact_distinct_users,
+    "date_multiformat_parse": date_multiformat_parse,
     "dwca_archive_profile": dwca_archive_profile,
 }
 
@@ -1285,6 +1324,31 @@ ORACLES: dict[str, str] = {
     """,
     "exact_distinct_users": """
         SELECT count(DISTINCT user_id) AS exact_users FROM events
+    """,
+    # the parse expression is GENERATED from functions/dates.py's format
+    # table — the Spark parser and this oracle cannot drift apart
+    "date_multiformat_parse": f"""
+        WITH base AS (
+          SELECT event_id % 5 AS fmt_bucket,
+                 CAST(year(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS y,
+                 CAST(month(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS m,
+                 CAST(day(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS d
+          FROM events),
+        rendered AS (
+          SELECT fmt_bucket,
+            CASE fmt_bucket
+              WHEN 0 THEN y || '-' || lpad(m, 2, '0') || '-' || lpad(d, 2, '0')
+              WHEN 1 THEN m || '/' || d || '/' || y
+              WHEN 2 THEN y || lpad(m, 2, '0') || lpad(d, 2, '0')
+              WHEN 3 THEN y || '/' || m || '/' || d
+              ELSE 'not a date'
+            END AS raw
+          FROM base),
+        parsed AS (
+          SELECT fmt_bucket, {multiformat_oracle_sql('raw')} AS p FROM rendered)
+        SELECT fmt_bucket, count(*) AS total, count(p) AS parsed_cnt,
+               min(p) AS min_ts, max(p) AS max_ts
+        FROM parsed GROUP BY fmt_bucket
     """,
     "dwca_archive_profile": f"""
         WITH core AS (

@@ -576,3 +576,37 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     kept = spark.sql("SELECT k FROM dedup_out").collect()
     assert sorted(r["k"] for r in kept) == ["a", "b"]
+
+
+def test_multiformat_dates_match_pandas_and_duckdb(spark):
+    """Three-engine parity for the lenient date parser: the pinned
+    format matrix must give identical results in Spark (the engine),
+    DuckDB (the oracle), and pandas (the reference's parser)."""
+    import duckdb
+    import pandas as pd
+
+    from dwc_dataframe_validator_spark.functions.dates import (
+        multiformat_oracle_sql,
+        to_timestamp_multiformat,
+    )
+
+    strings = [
+        "2024-03-09", "2024-03-09 10:11:12", "3/9/2024", "03/09/2024",
+        "12/31/2024", "3/9/2024 4:5:6", "20240309", "2024/3/9",
+        "Mar 9, 2024", "9 Mar 2024", "bad", "20241399", "99/99/9999",
+        "", None,
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["p"]
+        for r in df.select("s", to_timestamp_multiformat("s").alias("p")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        oracle = con.execute(
+            f"SELECT {multiformat_oracle_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        ref = pd.to_datetime(s, errors="coerce") if s is not None else None
+        ref = None if ref is None or pd.isna(ref) else ref.to_pydatetime()
+        assert got[s] == oracle, f"spark vs duckdb drift on {s!r}"
+        assert got[s] == ref, f"spark vs pandas drift on {s!r}"
