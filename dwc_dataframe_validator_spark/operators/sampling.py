@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference has no sampling surface (SURVEY §2 — none); these are the
+north-star operations a 100 TB corpus pipeline needs when "give me 1%"
+must mean the SAME 1% on every run, every engine, and every partitioning:
+
+- ``hash_sample``      — Bernoulli sampling by content hash.  Unlike
+  ``DataFrame.sample`` (seed + partition-layout dependent, so a
+  repartition or speculative retry changes the sample), the md5
+  threshold depends only on the key VALUE: stable across runs, engines,
+  cluster sizes, and incremental loads (a re-ingested row samples
+  identically).  Pure map-side filter — no shuffle, no UDF, codegen'd.
+- ``stratified_sample`` — exactly ``n`` rows per group (fewer if the
+  group is smaller), chosen by hash order so the per-group subset is
+  also value-deterministic.  One shuffle on the group key; a skewed
+  group costs a single window pass over its partition, never a driver
+  collect.  For n ≪ group size, pass ``prefilter_fraction`` to
+  hash-prune rows map-side BEFORE the shuffle (safe whenever the
+  surviving fraction still leaves ≥ n rows per group — the filter keeps
+  the hash-smallest rows, which is exactly the set the window keeps).
+
+Both are portable to the DuckDB oracle verbatim (md5 hex is md5 hex),
+so the registry checks them value-for-value, not statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # compare on the first 8 hex chars = 32-bit resolution
+
+
+def hash_threshold(fraction: float, digits: int = _HEX_DIGITS) -> str:
+    """The hex-string threshold t such that P[md5_prefix < t] ≈ fraction
+    for a uniform hash.  Lexicographic comparison of same-length
+    lowercase hex equals numeric comparison, in Spark and DuckDB both."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(int(fraction * (16**digits)), f"0{digits}x")
+
+
+def _hash_prefix(key_col: Column | str) -> Column:
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, _HEX_DIGITS)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ≈``fraction`` Bernoulli sample keyed on
+    ``key_col``'s value.  Rows with equal keys sample together (useful:
+    sampling by ``user_id`` keeps whole users)."""
+    return df.filter(_hash_prefix(key_col) < F.lit(hash_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """The ``n_per_group`` hash-smallest rows of each group, with the
+    rank exposed as ``sample_rank`` (1-based).  Ties on the hash prefix
+    (birthday-rare at 32 bits) break on the raw key value, so the result
+    is fully deterministic."""
+    if prefilter_fraction is not None:
+        df = hash_sample(df, key_col, prefilter_fraction)
+    h = _hash_prefix(key_col)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )

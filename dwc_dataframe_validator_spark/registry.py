@@ -31,7 +31,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import annotate, dedup, integrity, multimodal, similarity, skew, text
+from .operators import (
+    annotate,
+    dedup,
+    integrity,
+    multimodal,
+    sampling,
+    similarity,
+    skew,
+    text,
+)
 from .operators.validate import (
     NUMERIC_FIELDS,
     RECORDED_BY_FIELDS,
@@ -786,6 +795,31 @@ def date_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of events by event_id hash
+    (operators/sampling.py) — profiled, not listed, so the check scales.
+    Value-deterministic: the oracle applies the identical md5 threshold
+    and must reproduce the EXACT same subset."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sampling.hash_sample(ev, "event_id", 0.1)
+    return s.agg(
+        F.count(F.lit(1)).alias("sampled_rows"),
+        E.distinct_count("user_id").alias("sampled_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 hash-chosen rows per event_type (operators/sampling.py)
+    — the full sampled row set crosses the oracle gate, rank included."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sampling.stratified_sample(ev, "event_type", "event_id", 20)
+    return s.select(
+        "event_type", "event_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # DwC-A archive source (S1-S3) — reads the repo-shipped fixture archive,
 # so the driver's oracle gate finally sees the CSV-dialect/meta.xml path
@@ -888,6 +922,8 @@ QUERIES: dict[str, QueryFn] = {
     "hll_distinct_users": hll_distinct_users,
     "exact_distinct_users": exact_distinct_users,
     "date_multiformat_parse": date_multiformat_parse,
+    "sample_hash_events": sample_hash_events,
+    "sample_stratified_events": sample_stratified_events,
     "dwca_archive_profile": dwca_archive_profile,
 }
 
@@ -1324,6 +1360,25 @@ ORACLES: dict[str, str] = {
     """,
     "exact_distinct_users": """
         SELECT count(DISTINCT user_id) AS exact_users FROM events
+    """,
+    # same md5 threshold/ordering as operators/sampling.py — md5 hex is
+    # engine-portable, so the sample is checked value-for-value
+    "sample_hash_events": """
+        SELECT count(*) AS sampled_rows,
+               count(DISTINCT user_id) AS sampled_users,
+               min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '19999999'
+    """,
+    "sample_stratified_events": """
+        SELECT event_type, event_id, sample_rank FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+                            event_id) AS sample_rank
+          FROM events)
+        WHERE sample_rank <= 20
     """,
     # the parse expression is GENERATED from functions/dates.py's format
     # table — the Spark parser and this oracle cannot drift apart

@@ -610,3 +610,42 @@ def test_multiformat_dates_match_pandas_and_duckdb(spark):
         ref = None if ref is None or pd.isna(ref) else ref.to_pydatetime()
         assert got[s] == oracle, f"spark vs duckdb drift on {s!r}"
         assert got[s] == ref, f"spark vs pandas drift on {s!r}"
+
+
+def test_hash_sample_partition_invariant(spark):
+    from dwc_dataframe_validator_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, "k", 0.2).collect())
+    b = sorted(
+        r["k"] for r in hash_sample(df.repartition(17), "k", 0.2).collect()
+    )
+    assert a == b and 0 < len(a) < 5000
+    # roughly the asked-for fraction (binomial, 5σ bound)
+    assert abs(len(a) / 5000 - 0.2) < 0.03
+
+
+def test_stratified_sample_exact_n_and_prefilter(spark):
+    from dwc_dataframe_validator_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k")
+    )
+    s = stratified_sample(df, "g", "k", 10)
+    per_group = {
+        r["g"]: r["c"]
+        for r in s.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert per_group == {0: 10, 1: 10, 2: 10}
+    # prefilter keeps the hash-smallest rows, so the result is identical
+    plain = sorted((r["g"], r["k"]) for r in s.collect())
+    pre = sorted(
+        (r["g"], r["k"])
+        for r in stratified_sample(df, "g", "k", 10, prefilter_fraction=0.5).collect()
+    )
+    assert plain == pre
+    # a group smaller than n returns the whole group
+    tiny = spark.createDataFrame([("a", 1), ("a", 2)], ["g", "k"])
+    assert stratified_sample(tiny, "g", "k", 10).count() == 2
