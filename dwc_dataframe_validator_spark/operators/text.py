@@ -335,3 +335,109 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("ida", "idb", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary building / term weighting (training-data pipeline surface)
+# --------------------------------------------------------------------------
+
+# Word tokenization shared by term_frequencies / tfidf_top_terms.  Kept
+# to RE2-safe syntax so the DuckDB oracle runs the IDENTICAL pattern.
+WORD_PATTERN = r"[a-z0-9]+"
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary with collection term frequency and document
+    frequency: ``(term, term_freq, doc_freq)``.
+
+    Plan: one projection (lower + regexp_extract_all — codegen'd, no
+    UDF), one explode, one hash aggregation on ``term``.  The explode
+    fan-out is the corpus token count, but partial (map-side) aggregation
+    collapses each partition to its local vocabulary before the shuffle,
+    so shuffle volume is per-partition-vocab, not tokens.  At 100 TB the
+    reducer-side state is the global vocabulary — millions of keys, well
+    within executor memory, and AQE coalesces the post-shuffle
+    partitions."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("_doc").alias("doc_freq"),
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The ``k`` most frequent terms (ties break term-ascending) —
+    ``TakeOrderedAndProject`` over the vocabulary aggregate, no full
+    sort."""
+    return (
+        term_frequencies(df, text_col, id_col)
+        .orderBy(F.desc("term_freq"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weighting: str = "log",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf:
+    ``(doc_id, term, tf, doc_freq, weight)``.
+
+    ``weighting='log'`` scores ``tf * (ln((N+1)/(doc_freq+1)) + 1)``
+    (smoothed idf — what a user wants).  ``weighting='integer'`` scores
+    ``tf * (N - doc_freq + 1)`` in exact int64: same monotonicity in tf
+    and rarity, but bit-identical across engines — the registry uses it
+    because ``ln`` differs in the last ulp between libm and the JVM and
+    a one-ulp flip near a tie would swap the selected rows.
+
+    Plan: per-doc term counts (one shuffle on (doc, term)), document
+    frequencies derived from the SAME aggregate (no second pass over the
+    tokens), a shuffle join on ``term`` (the doc-frequency side is
+    vocabulary-sized — broadcast when small, sort-merge when not: left
+    to AQE), then a per-doc top-k window.  Ties break term-ascending."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+            ).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n_docs")
+    )
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(total))
+    if weighting == "integer":
+        weight = (
+            F.col("tf") * (F.col("_n_docs") - F.col("doc_freq") + F.lit(1))
+        ).cast("long")
+    elif weighting == "log":
+        weight = F.col("tf") * (
+            F.log((F.col("_n_docs") + 1) / (F.col("doc_freq") + 1)) + F.lit(1.0)
+        )
+    else:
+        raise ValueError(f"weighting must be 'log' or 'integer', got {weighting!r}")
+    w = Window.partitionBy("doc").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("weight", weight)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", "tf", "doc_freq", "weight"
+        )
+    )

@@ -795,6 +795,24 @@ def date_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder (operators/text.py
+    ``term_frequencies``): top-100 terms with collection and document
+    frequencies — explode → map-side partial agg → one shuffle →
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_top_terms(docs, 100)
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf
+    (operators/text.py ``tfidf_top_terms``), integer rare-term weighting
+    so the oracle comparison is bit-exact (see the operator docstring
+    for why ``ln`` is kept out of the oracled shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3, weighting="integer")
+
+
 def sample_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% Bernoulli sample of events by event_id hash
     (operators/sampling.py) — profiled, not listed, so the check scales.
@@ -922,6 +940,8 @@ QUERIES: dict[str, QueryFn] = {
     "hll_distinct_users": hll_distinct_users,
     "exact_distinct_users": exact_distinct_users,
     "date_multiformat_parse": date_multiformat_parse,
+    "text_vocab_top_terms": text_vocab_top_terms,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_hash_events": sample_hash_events,
     "sample_stratified_events": sample_stratified_events,
     "dwca_archive_profile": dwca_archive_profile,
@@ -1360,6 +1380,38 @@ ORACLES: dict[str, str] = {
     """,
     "exact_distinct_users": """
         SELECT count(DISTINCT user_id) AS exact_users FROM events
+    """,
+    # identical WORD_PATTERN tokenization on both sides (operators/text.py)
+    "text_vocab_top_terms": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        v AS (
+          SELECT term, count(*) AS term_freq,
+                 count(DISTINCT doc_id) AS doc_freq
+          FROM toks GROUP BY term)
+        SELECT term, term_freq, doc_freq FROM v
+        ORDER BY term_freq DESC, term ASC LIMIT 100
+    """,
+    "text_tfidf_top_terms": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id AS doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc, term, tf, doc_freq,
+                 CAST(tf * (n_docs - doc_freq + 1) AS BIGINT) AS weight,
+                 row_number() OVER (
+                   PARTITION BY doc
+                   ORDER BY tf * (n_docs - doc_freq + 1) DESC, term ASC) AS rn
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc AS doc_id, term, tf, doc_freq, weight
+        FROM scored WHERE rn <= 3
     """,
     # same md5 threshold/ordering as operators/sampling.py — md5 hex is
     # engine-portable, so the sample is checked value-for-value

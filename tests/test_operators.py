@@ -649,3 +649,40 @@ def test_stratified_sample_exact_n_and_prefilter(spark):
     # a group smaller than n returns the whole group
     tiny = spark.createDataFrame([("a", 1), ("a", 2)], ["g", "k"])
     assert stratified_sample(tiny, "g", "k", 10).count() == 2
+
+
+def test_term_frequencies_and_tfidf(spark):
+    from dwc_dataframe_validator_spark.operators.text import (
+        term_frequencies,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana cherry durian"),
+            (4, ""),  # empty doc: contributes no tokens
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = {
+        r["term"]: (r["term_freq"], r["doc_freq"])
+        for r in term_frequencies(docs).collect()
+    }
+    assert vocab == {
+        "apple": (3, 2),
+        "banana": (3, 3),
+        "cherry": (2, 2),
+        "durian": (1, 1),
+    }
+    # log weighting: doc 1's top term must be 'apple' (tf=2, rarer than
+    # banana) and every weight is positive
+    top = tfidf_top_terms(docs, k=1, weighting="log").collect()
+    by_doc = {r["doc_id"]: r for r in top}
+    assert by_doc[1]["term"] == "apple" and by_doc[1]["weight"] > 0
+    assert by_doc[3]["term"] == "durian"  # unique term wins
+    import pytest
+
+    with pytest.raises(ValueError, match="weighting"):
+        tfidf_top_terms(docs, weighting="bogus")
