@@ -1,0 +1,93 @@
+"""Count-min sketch: sublinear frequency estimation for heavy hitters.
+
+The reference has no sketching surface (SURVEY §2 — none; its
+distinct/duplicate checks are exact).  At 100 TB, "how often does each
+of these values occur" over an unbounded key space wants a fixed-size
+summary: the count-min sketch (Cormode & Muthukrishnan 2005) keeps a
+``depth × width`` grid of counters; every row increments one counter
+per hash row, and a point estimate is the MIN over its ``depth``
+counters — an overestimate by at most ``ε·N`` with probability
+``1 − (1/2)^depth`` for ``width = e/ε``.
+
+Design choices that make this Spark- and oracle-friendly:
+
+- **The sketch is a DataFrame** of ``(row, bucket, cnt)`` cells, not a
+  driver-side array: built with one scan (posexplode of the ``depth``
+  bucket ids — map-side partial aggregation collapses each partition to
+  ≤ depth·width cells before the shuffle), merged by plain ``SUM``
+  (commutative ⇒ the sketch is independent of partitioning and retries,
+  hence deterministic), and at most ``depth·width`` rows total —
+  broadcastable by construction.  Sketches of different data slices
+  union+re-aggregate into the sketch of the union, the streaming-merge
+  property that makes CMS work in a distributed setting.
+- **Hashing is md5-prefix mod width** — engine-portable (identical in
+  DuckDB), so estimates are value-reproducible and the registry checks
+  the WHOLE sketch pipeline against an exact SQL oracle, not just
+  "estimate ≥ exact".  No Python UDF anywhere: ``md5``/``conv``/``pmod``
+  are codegen'd built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, j: int, width: int) -> Column:
+    """Hash row ``j``'s bucket for a value: first 8 hex chars of
+    ``md5('<j>:' || value)`` as an int, mod width.  32-bit prefix —
+    collision behavior is the point of a sketch, not a hazard."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), col.cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return h % width
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the sketch over ``value_col``: a ``(row, bucket, cnt)``
+    DataFrame with ≤ depth·width rows.  One scan, one shuffle of
+    ≤ depth·width rows per input partition."""
+    c = F.col(value_col)
+    buckets = F.array(*[_bucket(c, j, width) for j in range(depth)])
+    return (
+        df.filter(c.isNotNull())
+        .select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each distinct value in ``queries[value_col]``:
+    min over the value's ``depth`` sketch cells.  The sketch side is
+    ≤ depth·width rows — broadcast, so this is a map-side join plus a
+    tiny aggregation; a cell absent from the sketch means 0.  Output:
+    ``(value_col, cms_est)``, an overestimate of the true count."""
+    c = F.col(value_col)
+    buckets = F.array(*[_bucket(c, j, width) for j in range(depth)])
+    q = queries.select(c).distinct().select(
+        c, F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        q.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .select(value_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

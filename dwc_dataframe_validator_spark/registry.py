@@ -39,6 +39,7 @@ from .operators import (
     sampling,
     similarity,
     skew,
+    sketch,
     text,
 )
 from .operators.validate import (
@@ -813,6 +814,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch end-to-end (operators/sketch.py): build a 4×8
+    sketch over event_type — width 8 forces REAL collisions among the 5
+    types — estimate each type from the sketch, and emit estimate next
+    to exact.  The md5-mod hashing is engine-portable, so the oracle
+    recomputes the whole sketch pipeline exactly: cell values, min-over-
+    rows, everything behind the hash gate (not a weaker est ≥ exact
+    check)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketch.cms_build(ev, "event_type", depth=4, width=8)
+    est = sketch.cms_estimate(sk, ev, "event_type", depth=4, width=8)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_cnt", "cms_est"
+    )
+
+
 def sample_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% Bernoulli sample of events by event_id hash
     (operators/sampling.py) — profiled, not listed, so the check scales.
@@ -942,6 +960,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "cms_event_type_counts": cms_event_type_counts,
     "sample_hash_events": sample_hash_events,
     "sample_stratified_events": sample_stratified_events,
     "dwca_archive_profile": dwca_archive_profile,
@@ -1412,6 +1431,29 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    # exact SQL replay of the count-min pipeline: same md5-mod buckets
+    # (operators/sketch.py), cell sums, and min-over-rows estimate
+    "cms_event_type_counts": """
+        WITH ex AS (
+          SELECT event_type, count(*) AS exact_cnt
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        js AS (SELECT range AS j FROM range(4)),
+        kb AS (
+          SELECT ex.event_type, js.j,
+                 CAST(CAST(('0x' || substr(
+                     md5(CAST(js.j AS VARCHAR) || ':' || ex.event_type),
+                     1, 8)) AS UBIGINT) % 8 AS BIGINT) AS bucket
+          FROM ex CROSS JOIN js),
+        cells AS (
+          SELECT kb.j, kb.bucket, CAST(sum(e2.exact_cnt) AS BIGINT) AS cnt
+          FROM kb JOIN ex e2 USING (event_type) GROUP BY 1, 2),
+        est AS (
+          SELECT kb.event_type, min(cells.cnt) AS cms_est
+          FROM kb JOIN cells ON kb.j = cells.j AND kb.bucket = cells.bucket
+          GROUP BY 1)
+        SELECT ex.event_type, ex.exact_cnt, est.cms_est
+        FROM ex JOIN est USING (event_type)
     """,
     # same md5 threshold/ordering as operators/sampling.py — md5 hex is
     # engine-portable, so the sample is checked value-for-value

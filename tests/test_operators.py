@@ -686,3 +686,34 @@ def test_term_frequencies_and_tfidf(spark):
 
     with pytest.raises(ValueError, match="weighting"):
         tfidf_top_terms(docs, weighting="bogus")
+
+
+def test_cms_overestimates_and_merges(spark):
+    from dwc_dataframe_validator_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 7 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_build(df, "v", depth=4, width=4)  # tiny width → collisions
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(sk, df, "v", depth=4, width=4).collect()
+    }
+    exact = {"a": 100, "b": 50, "c": 7, "d": 1}
+    for v, e in exact.items():
+        assert est[v] >= e, f"CMS must never underestimate ({v})"
+        assert est[v] <= sum(exact.values())
+    # merge property: sketches of two halves, unioned and re-summed,
+    # equal the sketch of the whole — the distributed-correctness core
+    h1 = cms_build(spark.createDataFrame(rows[:80], "v string"), "v", 4, 4)
+    h2 = cms_build(spark.createDataFrame(rows[80:], "v string"), "v", 4, 4)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = sorted(map(tuple, sk.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
