@@ -1,0 +1,95 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair generators (operators/dedup.py, operators/similarity.py) emit
+EDGES — "A duplicates B" — but a training-data pipeline needs
+CLUSTERS: transitive groups sharing one survivor.  A–B and B–C must
+collapse to one keeper even though A–C was never emitted.  The
+reference has nothing comparable (SURVEY §2.5/2.7 — none).
+
+Algorithm: iterative min-label propagation.  Every node starts
+labelled with itself; each round replaces a node's label with the min
+of its own and its neighbors' labels; at fixpoint the label is the
+component's minimum id.  Rounds needed = the largest component's
+diameter.  That termination bound is why this fits the dedup use-case
+specifically: candidate-pair generators cap bucket sizes (skew guards),
+so components are small and shallow — a handful of rounds.  For
+general graphs with long chains, the O(log n)-round alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014) would replace the loop body; the
+per-round plumbing (self-joins + min-aggregates + checkpointing) is
+identical.
+
+Scale notes: state is (node, label) for nodes that appear in SOME pair
+— a small fraction of the corpus, orders of magnitude below the input.
+Each round is one shuffle join (edges ⋈ labels) + one min-aggregate +
+one join back.  ``localCheckpoint`` truncates lineage every round so plans
+stay flat; the convergence check is a count aggregate per round — the
+unavoidable driver sync point of any iterate-to-fixpoint algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "ida",
+    dst: str = "idb",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Component assignment ``(node, cluster)`` for every node in the
+    edge list; ``cluster`` is the component's minimum node id.  Raises
+    if the fixpoint isn't reached in ``max_iterations`` rounds (a
+    pathological chain — see module docstring)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = (
+            updated.select("node", F.col("new_label").alias("label"))
+            .localCheckpoint()
+        )
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iterations} rounds — "
+        "component diameter exceeds the bound; raise max_iterations or use "
+        "guarded pair generation to cap cluster sizes"
+    )
+
+
+def cluster_summary(components: DataFrame) -> DataFrame:
+    """Per-cluster size and keeper (= the min-id label itself):
+    ``(cluster, size, n_dropped)``.  The dedup contract: keep ``cluster``
+    (one row per group), drop the other ``size − 1``."""
+    return (
+        components.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .withColumn("n_dropped", F.col("size") - F.lit(1))
+    )

@@ -60,6 +60,21 @@ from .vocab import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Shared by the dedup_embedding_cosine oracle and the dedup_clusters
+# recursive-closure oracle — one definition, so the edge sets can't drift.
+_EMB_PAIRS_SQL = """
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
+"""
+
 _BOR_LOWER = sorted(lowered(basis_of_record_vocabulary))
 _BOR_SQL = ", ".join(f"'{v}'" for v in _BOR_LOWER)
 
@@ -814,6 +829,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters (operators/graph.py): embedding
+    near-dup pairs → connected components → (node, cluster=min id).
+    The oracle replays the closure with a recursive CTE over the same
+    edge SQL, so the iterative algorithm sits behind the hash gate."""
+    from .operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.4)
+    return graph.connected_components(pairs)
+
+
 def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch end-to-end (operators/sketch.py): build a 4×8
     sketch over event_type — width 8 forces REAL collisions among the 5
@@ -960,6 +987,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "dedup_clusters": dedup_clusters,
     "cms_event_type_counts": cms_event_type_counts,
     "sample_hash_events": sample_hash_events,
     "sample_stratified_events": sample_stratified_events,
@@ -1289,17 +1317,20 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE lower(CAST(event_type AS VARCHAR)) IN ('error')) AS is_error
         FROM events GROUP BY 1
     """,
-    "dedup_embedding_cosine": """
-        SELECT a.vec_id AS ida, b.vec_id AS idb,
-          list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
+    "dedup_embedding_cosine": _EMB_PAIRS_SQL,
+    # iterative min-label propagation (operators/graph.py) checked
+    # against a recursive-CTE transitive closure over the SAME edge SQL
+    "dedup_clusters": f"""
+        WITH RECURSIVE edges AS ({_EMB_PAIRS_SQL}),
+        und AS (
+          SELECT ida AS a, idb AS b FROM edges
+          UNION
+          SELECT idb AS a, ida AS b FROM edges),
+        comp(node, label) AS (
+          SELECT DISTINCT a, a FROM und
+          UNION
+          SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b)
+        SELECT node, min(label) AS cluster FROM comp GROUP BY node
     """,
     "sessionize": """
         WITH d AS (

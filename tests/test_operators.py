@@ -717,3 +717,40 @@ def test_cms_overestimates_and_merges(spark):
     a = sorted(map(tuple, sk.collect()))
     b = sorted(map(tuple, merged.collect()))
     assert a == b
+
+
+def test_connected_components_transitive(spark):
+    from dwc_dataframe_validator_spark.operators.graph import (
+        cluster_summary,
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (no direct 1-4 edge), pair 10-11, isolated via no edge
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["ida", "idb"]
+    )
+    comp = {
+        r["node"]: r["cluster"] for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    sizes = {
+        r["cluster"]: (r["size"], r["n_dropped"])
+        for r in cluster_summary(connected_components(edges)).collect()
+    }
+    assert sizes == {1: (4, 3), 10: (2, 1)}
+
+
+def test_connected_components_iteration_bound(spark):
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["ida", "idb"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iterations=2)
+    ok = connected_components(chain, max_iterations=10)
+    assert set(r["cluster"] for r in ok.collect()) == {0}
