@@ -385,3 +385,108 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# --------------------------------------------------------------------------
+# signed-random-projection LSH (hyperplane hashing for cosine)
+# --------------------------------------------------------------------------
+
+def rp_signature(
+    vec_col: Column,
+    hyperplanes: list[list[float]],
+) -> Column:
+    """Sign-bit array of ``vec · r_j`` for each hyperplane ``r_j``
+    (Charikar 2002: P[bit_a = bit_b] = 1 − θ(a,b)/π).  The hyperplanes
+    are driver-generated constants folded into the plan — each bit is a
+    codegen'd zip_with/aggregate dot product, no UDF, no shuffle."""
+    bits = [
+        (
+            dot_double(
+                vec_col, F.array(*[F.lit(float(x)) for x in plane])
+            )
+            >= 0
+        ).cast("int")
+        for plane in hyperplanes
+    ]
+    return F.array(*bits)
+
+
+def random_hyperplanes(n_bits: int, dim: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed ⇒ reproducible
+    signatures across runs and cluster sizes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def rp_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_bits: int = 32,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 13,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Cosine near-duplicate pairs WITHOUT a precomputed cell column:
+    band the ``n_bits`` sign bits into ``bands`` bands (rows agreeing on
+    ALL bits of some band become candidates — banded LSH exactly as in
+    operators/dedup.py's MinHash pipeline), then verify true cosine ≥
+    threshold on candidates only.
+
+    Scale shape mirrors minhash_lsh_pairs: one signature projection,
+    ONE posexplode over bands, an equi-join on (band, band-bits) — never
+    all-pairs — with the same window-count ``max_bucket_size`` skew
+    guard (a degenerate band value, e.g. many near-zero vectors, would
+    otherwise fan out quadratically).  Recall rises with ``bands``
+    (more, shorter bands ⇒ more candidates); precision comes from the
+    exact verify step, so the knob trades compute for recall only."""
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    r = n_bits // bands
+    planes = random_hyperplanes(n_bits, dim, seed)
+    sig = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        rp_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_vec",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        *[F.col("_sig").getItem(b * r + i) for i in range(r)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    w = Window.partitionBy("band", "key")
+    banded = banded.withColumn("_bs", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bs") <= max_bucket_size
+    )
+    a = banded.select(
+        F.col("band"), F.col("key"), F.col("_id").alias("ida"), F.col("_vec").alias("_va")
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"), F.col("_id").alias("idb"), F.col("_vec").alias("_vb")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "_va", "_vb")
+        .dropDuplicates(["ida", "idb"])
+    )
+    return (
+        cand.select(
+            "ida", "idb", cosine_sim(F.col("_va"), F.col("_vb")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -829,6 +829,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def ann_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH cosine pairs (operators/similarity.py
+    ``rp_lsh_pairs``): banded sign-bit signatures → bucket equi-join →
+    exact cosine verify.  Rows-only (the banding is engine-specific);
+    recall vs brute force is pinned by pytest with planted near-dups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_lsh_pairs(emb, threshold=0.4, n_bits=32, bands=8)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters (operators/graph.py): embedding
     near-dup pairs → connected components → (node, cluster=min id).
@@ -987,6 +996,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "ann_rp_lsh_pairs": ann_rp_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "cms_event_type_counts": cms_event_type_counts,
     "sample_hash_events": sample_hash_events,

@@ -754,3 +754,51 @@ def test_connected_components_iteration_bound(spark):
         connected_components(chain, max_iterations=2)
     ok = connected_components(chain, max_iterations=10)
     assert set(r["cluster"] for r in ok.collect()) == {0}
+
+
+def test_rp_lsh_recall_on_planted_pairs(spark):
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        rp_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.standard_normal((40, dim))
+    rows = []
+    planted = set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate of every 4th vector, ids 1000+i
+        if i % 4 == 0:
+            dup = v + rng.standard_normal(dim) * 0.02
+            rows.append((1000 + i, [float(x) for x in dup]))
+            planted.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["ida"], r["idb"])
+        for r in rp_lsh_pairs(
+            df, threshold=0.95, n_bits=32, bands=8, dim=dim
+        ).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall} below bound; got {got}"
+    # precision is exact by construction: the verify step recomputes
+    # true cosine, so nothing below threshold may appear
+    assert all(p in planted or p[0] < p[1] for p in got)
+
+
+def test_rp_lsh_bucket_cap_bounds_candidates(spark):
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        rp_lsh_pairs,
+    )
+
+    # degenerate corpus: identical vectors → one bucket per band;
+    # the cap must suppress the quadratic fan-out entirely
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = rp_lsh_pairs(
+        df, threshold=0.5, n_bits=16, bands=4, dim=8, max_bucket_size=10
+    )
+    assert out.count() == 0
