@@ -48,6 +48,16 @@ HEADLINE = [
     "annotate_row_errors",
     "window_running_totals",
     "occurrence_full_metrics",
+    # round-3 additions: vocabulary/tf-idf, deterministic sampling,
+    # count-min sketch, component clustering, composed prep pipeline,
+    # multi-format date parsing
+    "text_vocab_top_terms",
+    "text_tfidf_top_terms",
+    "sample_stratified_events",
+    "cms_event_type_counts",
+    "dedup_clusters",
+    "training_corpus_prep",
+    "date_multiformat_parse",
 ]
 
 

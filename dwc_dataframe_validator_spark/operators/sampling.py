@@ -37,6 +37,12 @@ def hash_threshold(fraction: float, digits: int = _HEX_DIGITS) -> str:
     lowercase hex equals numeric comparison, in Spark and DuckDB both."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        # 16**digits would render one char wider ('100000000') and the
+        # LEXICOGRAPHIC compare against an 8-char prefix would then drop
+        # every prefix starting above '1'.  'g' sorts after every hex
+        # digit, so prefix < 'g' keeps all rows.
+        return "g"
     return format(int(fraction * (16**digits)), f"0{digits}x")
 
 

@@ -829,6 +829,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pipeline (operators/pipeline.py): quality gate →
+    fingerprint dedup → deterministic 50% sample, one oracle across all
+    three stages and their interactions."""
+    from .operators.pipeline import prepare_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_training_corpus(docs, sample_fraction=0.5)
+
+
 def ann_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH cosine pairs (operators/similarity.py
     ``rp_lsh_pairs``): banded sign-bit signatures → bucket equi-join →
@@ -996,6 +1006,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "training_corpus_prep": training_corpus_prep,
     "ann_rp_lsh_pairs": ann_rp_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "cms_event_type_counts": cms_event_type_counts,
@@ -1472,6 +1483,32 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    # composed three-stage pipeline, one oracle: quality gate (same
+    # expressions as text_quality), fingerprint keeper window (same md5
+    # normalization as dedup_fingerprint), md5 sample threshold 0.5
+    "training_corpus_prep": r"""
+        WITH q AS (
+          SELECT doc_id,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+            len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS alpha_ratio,
+            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+          FROM documents),
+        f AS (
+          SELECT * FROM q
+          WHERE n_tokens BETWEEN 5 AND 10000 AND stop_hits >= 1
+            AND alpha_ratio >= 0.5),
+        k AS (
+          SELECT doc_id, fingerprint, n_tokens,
+                 row_number() OVER (
+                   PARTITION BY fingerprint ORDER BY doc_id) AS rn
+          FROM f)
+        SELECT doc_id, fingerprint, n_tokens FROM k
+        WHERE rn = 1
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
     """,
     # exact SQL replay of the count-min pipeline: same md5-mod buckets
     # (operators/sketch.py), cell sums, and min-over-rows estimate

@@ -802,3 +802,27 @@ def test_rp_lsh_bucket_cap_bounds_candidates(spark):
         df, threshold=0.5, n_bits=16, bands=4, dim=8, max_bucket_size=10
     )
     assert out.count() == 0
+
+
+def test_training_corpus_prep_stages_interact(spark):
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "  THE   quick brown fox jumps over the lazy dog again and again "),
+            (3, "x"),                      # fails the quality gate
+            (4, good + " entirely different tail of words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_corpus(docs, sample_fraction=1.0)
+    rows = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    # 2 normalizes to 1's fingerprint → only keeper 1 survives; 3 is
+    # gated out; 4 is distinct
+    assert set(rows) == {1, 4}
+    # sample_fraction=0 keeps nothing
+    assert prepare_training_corpus(docs, sample_fraction=0.0).count() == 0
