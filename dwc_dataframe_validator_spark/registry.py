@@ -829,6 +829,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated quartiles — the grouped form of
+    ``numeric_profile`` (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    both sort-based deterministic).  One hash-aggregate shuffle on the
+    group key; percentile state is per-group sorted values, bounded by
+    group size."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        p.getItem(0).alias("q1"),
+        p.getItem(1).alias("q2"),
+        p.getItem(2).alias("q3"),
+    )
+
+
+def dwca_orphan_multimedia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 referential integrity ON THE ARCHIVE PATH: extension rows
+    whose ``coreid`` has no core ``id`` (the linkage the reference
+    declares but never checks, validate_dwca.py:76-89).  The fixture
+    ships one deliberate orphan (multimedia r99).  Broadcast anti join —
+    the core id set is the small side here; at scale leave
+    ``broadcast_parent=False`` and AQE decides."""
+    from .sources.dwca import read_archive_table, read_descriptor
+
+    desc = read_descriptor(_DWCA_FIXTURE)
+    core = read_archive_table(spark, desc, desc.core)
+    ext = read_archive_table(spark, desc, desc.extensions[0])
+    return integrity.fk_orphan_count(
+        ext, core, "coreid", "id", broadcast_parent=True
+    )
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event-type sequences (operators/sequences.py):
+    the groupBy-collect step between logs and sequence-model training
+    examples.  Joined to a comma string so the oracle compares the
+    exact order."""
+    from .operators.sequences import event_sequences
+
+    ev = load_table(spark, sf_dir, "events")
+    s = event_sequences(ev, "user_id", "ts", "event_type", "event_id")
+    return s.select("user_id", "n_events", F.concat_ws(",", "seq").alias("seq"))
+
+
 def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED pipeline (operators/pipeline.py): quality gate →
     fingerprint dedup → deterministic 50% sample, one oracle across all
@@ -1006,6 +1051,9 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "quantiles_by_event_type": quantiles_by_event_type,
+    "dwca_orphan_multimedia": dwca_orphan_multimedia,
+    "user_event_sequences": user_event_sequences,
     "training_corpus_prep": training_corpus_prep,
     "ann_rp_lsh_pairs": ann_rp_lsh_pairs,
     "dedup_clusters": dedup_clusters,
@@ -1483,6 +1531,32 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    "quantiles_by_event_type": """
+        SELECT event_type, count(*) AS n,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.5) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY 1
+    """,
+    "dwca_orphan_multimedia": f"""
+        SELECT count(*) AS orphan_count
+        FROM read_csv('{_DWCA_FIXTURE}/multimedia.txt',
+                      header=true, delim='\t', quote='', all_varchar=true) e
+        LEFT JOIN (
+          SELECT id FROM read_csv(
+            ['{_DWCA_FIXTURE}/occurrence_1.txt',
+             '{_DWCA_FIXTURE}/occurrence_2.txt'],
+            header=true, delim='\t', quote='', all_varchar=true,
+            null_padding=true)) c
+        ON e.coreid = c.id
+        WHERE c.id IS NULL
+    """,
+    "user_event_sequences": """
+        SELECT user_id, count(*) AS n_events,
+               string_agg(event_type, ','
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        FROM events GROUP BY 1
     """,
     # composed three-stage pipeline, one oracle: quality gate (same
     # expressions as text_quality), fingerprint keeper window (same md5

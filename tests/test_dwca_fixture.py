@@ -47,8 +47,8 @@ def test_fixture_profile_values(spark):
     assert row["lat_valid"] == 8            # r4 out of range, r5 empty
     assert row["bor_unrecognised"] == 1     # r4 'badvalue'; r9 null skipped
     assert row["country_default"] == "AU"
-    assert row["ext_rows"] == 4
-    assert row["ext_core_ids"] == 3
+    assert row["ext_rows"] == 5
+    assert row["ext_core_ids"] == 4  # includes the deliberate orphan r99
 
 
 def test_fixture_path_exists():
@@ -159,3 +159,10 @@ def test_full_metrics_oracle_tracks_view_and_walk(spark):
         d[0] for d in con.execute(ORACLES["occurrence_full_metrics"]).description
     ]
     assert sorted(spark_cols) == sorted(oracle_cols)
+
+
+def test_orphan_multimedia_count_is_one(spark):
+    from dwc_dataframe_validator_spark.registry import QUERIES
+
+    row = QUERIES["dwca_orphan_multimedia"](spark, "unused").collect()[0]
+    assert row["orphan_count"] == 1  # exactly the planted r99

@@ -826,3 +826,32 @@ def test_training_corpus_prep_stages_interact(spark):
     assert set(rows) == {1, 4}
     # sample_fraction=0 keeps nothing
     assert prepare_training_corpus(docs, sample_fraction=0.0).count() == 0
+
+
+def test_event_sequences_order_and_truncation(spark):
+    import datetime
+
+    from dwc_dataframe_validator_spark.operators.sequences import (
+        event_sequences,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(minutes=m), m, f"e{m}") for m in (3, 1, 2)
+    ] + [(2, t0, 0, "solo")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {
+        r["user_id"]: (r["n_events"], r["seq"])
+        for r in event_sequences(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert out[1] == (3, ["e1", "e2", "e3"])  # time order, not input order
+    assert out[2] == (1, ["solo"])
+    trunc = {
+        r["user_id"]: r["seq"]
+        for r in event_sequences(
+            df, "user_id", "ts", "event_type", "event_id", max_len=2
+        ).collect()
+    }
+    assert trunc[1] == ["e1", "e2"]  # FIRST max_len after the sort
