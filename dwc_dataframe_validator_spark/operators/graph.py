@@ -69,12 +69,13 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("new_label"),
             )
-        )
-        changed = updated.filter(F.col("new_label") < F.col("label")).count()
-        labels = (
-            updated.select("node", F.col("new_label").alias("label"))
+            # checkpoint BEFORE the convergence count: one materialization
+            # of the round's join feeds both the count and the next
+            # round's labels (counting first would recompute the join)
             .localCheckpoint()
         )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster"))
     raise RuntimeError(

@@ -163,3 +163,38 @@ def test_bad_strings_ansi_safe(spark):
         E.to_timestamp_lenient("decimalLatitude").alias("ts")
     ).collect()
     assert all(r["ts"] is None for r in parsed)
+
+
+def test_round3_operators_on_empty_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators.graph import (
+        connected_components,
+    )
+    from dwc_dataframe_validator_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+    from dwc_dataframe_validator_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from dwc_dataframe_validator_spark.operators.text import term_frequencies
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert term_frequencies(empty_docs).count() == 0
+
+    empty_edges = spark.createDataFrame([], "ida long, idb long")
+    assert connected_components(empty_edges).count() == 0
+
+    empty_v = spark.createDataFrame([], "v string")
+    sk = cms_build(empty_v, "v", depth=2, width=4)
+    assert sk.count() == 0
+    # estimating against an empty sketch yields 0, not an error
+    q = spark.createDataFrame([("x",)], "v string")
+    est = cms_estimate(sk, q, "v", depth=2, width=4).collect()
+    assert est[0]["cms_est"] == 0
+
+    empty_e = spark.createDataFrame([], "g string, k long")
+    assert hash_sample(empty_e, "k", 0.5).count() == 0
+    assert stratified_sample(empty_e, "g", "k", 3).count() == 0
