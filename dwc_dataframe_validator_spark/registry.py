@@ -829,6 +829,58 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+_JSONL_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "docs.jsonl",
+)
+
+
+def jsonl_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (sources/jsonl.py) behind the oracle gate:
+    explicit schema, missing-field → NULL, unicode text, embedded
+    escapes — profiled over the repo-shipped fixture (sf_dir unused;
+    the fixture is the data, like dwca_archive_profile)."""
+    from .sources.jsonl import read_jsonl
+
+    df = read_jsonl(
+        spark, _JSONL_FIXTURE, "doc_id long, text string, lang string"
+    )
+    return df.agg(
+        E.record_count().alias("n_rows"),
+        E.populated_count("text").alias("text_populated"),
+        E.populated_count("lang").alias("lang_populated"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def numeric_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile: bounds = q1/q3 ± 1.5·IQR from exact
+    interpolated quartiles (deterministic — see numeric_profile), then
+    one filtered aggregate.  Two scans by necessity (the bounds are
+    data-dependent); the single-row bounds broadcast into the second
+    scan's filter, map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25, 0.75))")
+    bounds = (
+        ev.agg(p.getItem(0).alias("q1"), p.getItem(1).alias("q3"))
+        .select(
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("value").alias("min_out"),
+            F.max("value").alias("max_out"),
+        )
+    )
+
+
 def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact interpolated quartiles — the grouped form of
     ``numeric_profile`` (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
@@ -1051,6 +1103,8 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "jsonl_source_profile": jsonl_source_profile,
+    "numeric_outliers_iqr": numeric_outliers_iqr,
     "quantiles_by_event_type": quantiles_by_event_type,
     "dwca_orphan_multimedia": dwca_orphan_multimedia,
     "user_event_sequences": user_event_sequences,
@@ -1531,6 +1585,28 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    "jsonl_source_profile": f"""
+        SELECT count(*) AS n_rows, count(text) AS text_populated,
+               count(lang) AS lang_populated,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited',
+                       columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                 'lang': 'VARCHAR'}})
+    """,
+    "numeric_outliers_iqr": """
+        WITH b AS (
+          SELECT quantile_cont(value, 0.25) AS q1,
+                 quantile_cont(value, 0.75) AS q3
+          FROM events),
+        bounds AS (
+          SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+          FROM b)
+        SELECT count(*) AS n_outliers, min(value) AS min_out,
+               max(value) AS max_out
+        FROM events, bounds
+        WHERE value < lo OR value > hi
     """,
     "quantiles_by_event_type": """
         SELECT event_type, count(*) AS n,

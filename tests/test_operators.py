@@ -855,3 +855,20 @@ def test_event_sequences_order_and_truncation(spark):
         ).collect()
     }
     assert trunc[1] == ["e1", "e2"]  # FIRST max_len after the sort
+
+
+def test_read_jsonl_corrupt_record_handling(spark, tmp_path):
+    from dwc_dataframe_validator_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    rows = {r["doc_id"]: r["text"] for r in df.collect() if r["doc_id"] is not None}
+    assert rows == {1: "ok", 2: None}  # missing field -> NULL
+    kept = read_jsonl(spark, str(p), "doc_id long, text string", keep_corrupt=True)
+    bad = [r["_corrupt_record"] for r in kept.collect() if r["_corrupt_record"]]
+    assert bad == ["this is not json"]
