@@ -58,6 +58,9 @@ HEADLINE = [
     "dedup_clusters",
     "training_corpus_prep",
     "date_multiformat_parse",
+    "user_event_sequences",
+    "quantiles_by_event_type",
+    "numeric_outliers_iqr",
 ]
 
 
