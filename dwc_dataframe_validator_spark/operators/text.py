@@ -447,3 +447,43 @@ def tfidf_top_terms(
             F.col("doc").alias(id_col), "term", "tf", "doc_freq", "weight"
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the chunking
+    step between cleaned corpus and LM training examples:
+    ``(id_col, chunk_id, chunk_text, n_tokens)``, chunk_ids 0-based in
+    order, last chunk ragged.
+
+    Pure expressions: whitespace split, one ``sequence``/``slice``
+    projection per row, ONE posexplode — fan-out is ceil(tokens/chunk),
+    map-side, no shuffle, no UDF.  Empty/blank docs produce zero chunks
+    (nothing to train on), matching ``token_count`` = 0 semantics."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(n / F.lit(chunk_tokens)).cast("int") - F.lit(1)
+        ),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return (
+        df.filter(t != F.lit(""))
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+        )
+    )

@@ -829,6 +829,54 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-training chunking (operators/text.py ``chunk_documents``):
+    64-token windows per document, one map-side posexplode, no shuffle.
+    chunk_id/n_tokens cast to long for the cross-engine schema match."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = text.chunk_documents(docs, 64)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: doc counts, exact token totals, quality
+    pass-rate numerator, language spread — the per-provider scorecard a
+    corpus pipeline publishes.  Single hash-aggregate on ``source``;
+    means are derived from exact integer sums (never accumulated in
+    floating point — order-dependence would break the oracle and the
+    report's reproducibility)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = text.token_count(t)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    stop_hits = F.regexp_count(t, F.lit(text.EN_STOPWORDS))
+    alpha_ratio = (
+        n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    quality_ok = (
+        n_tokens.between(5, 10_000) & (stop_hits >= 1) & (alpha_ratio >= 0.5)
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("total_tokens"),
+            F.count_if(quality_ok).alias("n_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .withColumn(
+            "mean_tokens",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
 _JSONL_FIXTURE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests", "fixtures", "docs.jsonl",
@@ -1103,6 +1151,8 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "doc_chunks": doc_chunks,
+    "source_quality_report": source_quality_report,
     "jsonl_source_profile": jsonl_source_profile,
     "numeric_outliers_iqr": numeric_outliers_iqr,
     "quantiles_by_event_type": quantiles_by_event_type,
@@ -1585,6 +1635,40 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    "doc_chunks": r"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE trim(text) <> ''),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_id
+          FROM d)
+        SELECT doc_id, chunk_id,
+               array_to_string(
+                 list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64),
+                 ' ') AS chunk_text,
+               CAST(len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64))
+                    AS BIGINT) AS n_tokens
+        FROM c
+    """,
+    "source_quality_report": r"""
+        WITH s AS (
+          SELECT source, lang,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+            len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS alpha_ratio
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(*) FILTER (WHERE n_tokens BETWEEN 5 AND 10000
+                                  AND stop_hits >= 1
+                                  AND alpha_ratio >= 0.5) AS n_quality,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
+        FROM s GROUP BY source
     """,
     "jsonl_source_profile": f"""
         SELECT count(*) AS n_rows, count(text) AS text_populated,

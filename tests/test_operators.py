@@ -872,3 +872,30 @@ def test_read_jsonl_corrupt_record_handling(spark, tmp_path):
     kept = read_jsonl(spark, str(p), "doc_id long, text string", keep_corrupt=True)
     bad = [r["_corrupt_record"] for r in kept.collect() if r["_corrupt_record"]]
     assert bad == ["this is not json"]
+
+
+def test_chunk_documents_ragged_and_empty(spark):
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens -> chunks of 3: 3,3,1
+            (2, "x"),
+            (3, "   "),            # blank: no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, 3).collect()
+    )
+    assert out == [
+        (1, 0, "a b c", 3),
+        (1, 1, "d e f", 3),
+        (1, 2, "g", 1),
+        (2, 0, "x", 1),
+    ]
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, 0)
