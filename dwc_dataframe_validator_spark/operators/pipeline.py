@@ -71,3 +71,94 @@ def prepare_training_corpus(
         < F.lit(hash_threshold(sample_fraction))
     )
     return sampled.select(id_col, "fingerprint", "n_tokens")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents whose normalized
+    fingerprint (operators/text.py semantics) also appears in a heldout
+    / benchmark set — the rows to DROP before training so eval data
+    doesn't leak into the corpus.  Returns ``(id_col, fingerprint)``.
+
+    Plan: fingerprints are map-side projections on both sides; the
+    heldout side is distinct-ed and BROADCAST (benchmarks are small by
+    definition), so the check is a broadcast LEFT SEMI join — no
+    shuffle of the corpus, no row fan-out, linear in corpus size.  For
+    a heldout set too big to broadcast, drop the explicit broadcast and
+    AQE falls back to shuffle semi-join."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    c = corpus.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    h = heldout.select(F.md5(norm).alias("fingerprint")).distinct()
+    return c.join(F.broadcast(h), "fingerprint", "left_semi").select(
+        id_col, "fingerprint"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """N-gram-overlap decontamination — the industry-standard check
+    exact fingerprints miss: corpus documents whose word-n-gram Jaccard
+    against ANY heldout/benchmark document reaches ``threshold``.
+    Returns ``(id_col, contaminant_id, jaccard)``, one row per
+    contaminated corpus doc with its best-matching benchmark doc
+    (ties: contaminant-id ascending).
+
+    Plan: one shingle projection per side (operators/text.py
+    ``word_ngrams``), the shared ``max_shingle_df`` skew guard computed
+    over BOTH sides (a hyper-common shingle would put a constant
+    fraction of corpus×heldout into one bucket), an inverted-index
+    equi-join on shingle restricted to corpus×heldout (never
+    corpus×corpus), then per-doc max via window.  Candidate fan-out is
+    bounded by shingle co-occurrence, not |corpus|·|heldout|."""
+    from .text import word_ngrams
+
+    sh_c = word_ngrams(corpus, n, text_col, id_col)
+    sh_h = word_ngrams(heldout, n, text_col, id_col)
+    if max_shingle_df is not None:
+        both = sh_c.unionByName(sh_h)
+        keep = (
+            both.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh_c = sh_c.join(F.broadcast(keep), "shingle")
+        sh_h = sh_h.join(F.broadcast(keep), "shingle")
+    size_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na"))
+    size_h = sh_h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nb"))
+    a = sh_c.select(F.col(id_col).alias("_ida"), "shingle")
+    b = sh_h.select(F.col(id_col).alias("_idb"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .groupBy("_ida", "_idb")
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .join(size_c.select(F.col(id_col).alias("_ida"), "_na"), "_ida")
+        .join(size_h.select(F.col(id_col).alias("_idb"), "_nb"), "_idb")
+        .withColumn(
+            "jaccard",
+            F.col("_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("_ida").orderBy(F.desc("jaccard"), F.asc("_idb"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_ida").alias(id_col),
+            F.col("_idb").alias("contaminant_id"),
+            "jaccard",
+        )
+    )

@@ -829,6 +829,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
 
 
+def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/pipeline.py
+    ``ngram_contamination``): split documents into a 30% hash-held-out
+    "benchmark" and the 70% train remainder, then flag train docs whose
+    bigram Jaccard against any benchmark doc reaches 0.5 — the overlap
+    check exact fingerprints miss (this corpus's planted dups are
+    near-dups, not byte-identical).  Same df skew guard as
+    text_ngram_top_neighbor."""
+    from .operators.pipeline import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    held = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.3))
+    cap = max(5, docs.count() // 10)
+    return ngram_contamination(
+        docs.filter(~held), docs.filter(held), threshold=0.5, max_shingle_df=cap
+    )
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-training chunking (operators/text.py ``chunk_documents``):
     64-token windows per document, one map-side posexplode, no shuffle.
@@ -1151,6 +1171,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "contamination_hits": contamination_hits,
     "doc_chunks": doc_chunks,
     "source_quality_report": source_quality_report,
     "jsonl_source_profile": jsonl_source_profile,
@@ -1635,6 +1656,40 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    "contamination_hits": r"""
+        WITH docs AS (
+          SELECT doc_id, text,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
+          FROM documents),
+        words AS (
+          SELECT doc_id, held, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM docs WHERE trim(text) <> ''),
+        grams0 AS (
+          SELECT doc_id, held, unnest(list_distinct(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+          FROM words),
+        keep AS (
+          SELECT shingle FROM grams0 GROUP BY shingle
+          HAVING count(*) <= greatest(5, (SELECT count(*) FROM documents) // 10)),
+        grams AS (SELECT g.* FROM grams0 g JOIN keep USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+          FROM grams a JOIN grams b USING (shingle)
+          WHERE NOT a.held AND b.held GROUP BY 1, 2),
+        j AS (
+          SELECT ida, idb,
+            CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = ida
+          JOIN sizes sb ON sb.doc_id = idb
+          WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5)
+        SELECT ida AS doc_id, idb AS contaminant_id, jaccard FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY ida ORDER BY jaccard DESC, idb ASC) AS rn
+          FROM j)
+        WHERE rn = 1
     """,
     "doc_chunks": r"""
         WITH d AS (

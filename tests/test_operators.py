@@ -899,3 +899,35 @@ def test_chunk_documents_ragged_and_empty(spark):
     ]
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(docs, 0)
+
+
+def test_contamination_exact_and_ngram(spark):
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        contamination_report,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (100, "What is the capital of France Paris is"),
+            (101, "unrelated benchmark question about chemistry topics"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "what is THE capital   of france paris is"),  # exact after norm
+            (2, "What is the capital of France Paris is maybe"),  # near-dup
+            (3, "completely different training document text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r["doc_id"] for r in contamination_report(corpus, bench).collect()}
+    assert exact == {1}  # normalization catches case/whitespace only
+    ngram = {
+        r["doc_id"]: r["contaminant_id"]
+        for r in ngram_contamination(corpus, bench, threshold=0.5).collect()
+    }
+    # the near-dup shares 7 of its 8+7-7 bigrams with doc 100
+    assert 2 in ngram and ngram[2] == 100
+    assert 3 not in ngram
