@@ -61,6 +61,8 @@ HEADLINE = [
     "user_event_sequences",
     "quantiles_by_event_type",
     "numeric_outliers_iqr",
+    "doc_chunks",
+    "contamination_hits",
 ]
 
 
