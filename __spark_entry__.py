@@ -36,10 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each SQL-expressible query.  Keys
-    absent here (MinHash LSH, SimHash, HLL) are genuinely not portable
-    SQL (engine-specific hash functions); the driver records rows-only
-    checks for those and pytest covers their semantics with planted
-    duplicates.
+    """DuckDB-equivalent SQL for each SQL-expressible query.  The few
+    keys absent here (MinHash LSH, SimHash, hyperplane rp-LSH, HLL,
+    trained-IVF, real-BPE counts, media decode stub) are genuinely not
+    portable SQL — engine-specific hashing, iterative k-means, or an
+    honest stub; the driver records rows-only checks for those and
+    pytest pins their semantics (planted duplicates/clusters, recall
+    bounds, stub determinism).
     """
     return registry.get_oracles()

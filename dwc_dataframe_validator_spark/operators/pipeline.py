@@ -123,8 +123,11 @@ def ngram_contamination(
     bounded by shingle co-occurrence, not |corpus|·|heldout|."""
     from .text import word_ngrams
 
-    sh_c = word_ngrams(corpus, n, text_col, id_col)
-    sh_h = word_ngrams(heldout, n, text_col, id_col)
+    # each side's shingle index feeds the guard, the size aggregate, AND
+    # the pair join — cache so the split+explode runs once per side
+    # (session-owned, same policy as operators/dedup.py's LSH cache)
+    sh_c = word_ngrams(corpus, n, text_col, id_col).cache()
+    sh_h = word_ngrams(heldout, n, text_col, id_col).cache()
     if max_shingle_df is not None:
         both = sh_c.unionByName(sh_h)
         keep = (
@@ -133,8 +136,9 @@ def ngram_contamination(
             .filter(F.col("_df") <= max_shingle_df)
             .select("shingle")
         )
-        sh_c = sh_c.join(F.broadcast(keep), "shingle")
-        sh_h = sh_h.join(F.broadcast(keep), "shingle")
+        # the guarded sides are each read twice more (sizes + pair join)
+        sh_c = sh_c.join(F.broadcast(keep), "shingle").cache()
+        sh_h = sh_h.join(F.broadcast(keep), "shingle").cache()
     size_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na"))
     size_h = sh_h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nb"))
     a = sh_c.select(F.col(id_col).alias("_ida"), "shingle")
