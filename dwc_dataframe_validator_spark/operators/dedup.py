@@ -98,6 +98,46 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    shingles: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Engine-portable MinHash signatures: permutation ``j`` hashes a
+    shingle to the 32-bit md5 prefix of ``'<j>:' || shingle`` — the same
+    portable primitive as operators/sketch.py — instead of
+    xxhash64+modular permutation.  No arithmetic to overflow, identical
+    in DuckDB, so the SIGNATURES themselves sit behind the exact oracle
+    gate (banded pair generation remains engine-specific, rows-only).
+
+    Same plan shape as ``minhash_signatures``: k hash columns per
+    (id, shingle) row, ONE groupBy(id) with k min aggregates — shuffle
+    state is k longs per document regardless of document length.  md5
+    costs more per row than xxhash64: prefer ``minhash_signatures`` when
+    cross-engine reproducibility is not required."""
+    hash_cols = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{j}:"), F.col(shingle_col)).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"h{j}")
+        for j in range(k)
+    ]
+    per_row = shingles.select(F.col(id_col), *hash_cols)
+    return per_row.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)]
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,

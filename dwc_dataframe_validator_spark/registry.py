@@ -574,6 +574,23 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window twin (2-hour windows every hour): every event
+    lands in exactly two windows, which the oracle reproduces by
+    exploding each row to both epoch-aligned window starts.  Same
+    batch≡stream code path as stream_window_counts."""
+    from .streaming.validation import windowed_check_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_check_counts(
+        ev,
+        checks={"is_purchase": E.vocab_member("event_type", ["purchase"])},
+        ts_col="ts",
+        window="2 hours",
+        slide="1 hour",
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user: lag +
     cumulative-sum window — one shuffle on user_id."""
@@ -827,6 +844,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     for why ``ln`` is kept out of the oracled shape)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3, weighting="integer")
+
+
+def minhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash MinHash signatures (operators/dedup.py
+    ``minhash_signatures_portable``) behind the EXACT oracle gate — the
+    one MinHash stage that is cross-engine reproducible (banding stays
+    rows-only).  k=8 permutations over distinct bigram shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = text.word_ngrams(docs, n=2)
+    return dedup.minhash_signatures_portable(sh, k=8)
 
 
 def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,6 +1198,8 @@ QUERIES: dict[str, QueryFn] = {
     "date_multiformat_parse": date_multiformat_parse,
     "text_vocab_top_terms": text_vocab_top_terms,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "stream_sliding_counts": stream_sliding_counts,
+    "minhash_signature_check": minhash_signature_check,
     "contamination_hits": contamination_hits,
     "doc_chunks": doc_chunks,
     "source_quality_report": source_quality_report,
@@ -1656,6 +1685,36 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    "stream_sliding_counts": """
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        w AS (
+          SELECT date_trunc('hour', ts) AS w_start, event_type FROM e
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM e)
+        SELECT w_start, count(*) AS cnt,
+               count(*) FILTER (
+                 WHERE lower(CAST(event_type AS VARCHAR)) IN ('purchase')
+               ) AS is_purchase
+        FROM w GROUP BY 1
+    """,
+    # identical md5-prefix permutation hashes as
+    # dedup.minhash_signatures_portable — MinHash behind the hash gate
+    "minhash_signature_check": r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+          FROM words)
+        SELECT doc_id,
+    """ + ",\n".join(
+        f"""          min(CAST(CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8))
+            AS UBIGINT) AS BIGINT)) AS mh{j}"""
+        for j in range(8)
+    ) + """
+        FROM grams GROUP BY doc_id
     """,
     "contamination_hits": r"""
         WITH docs AS (

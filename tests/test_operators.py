@@ -931,3 +931,43 @@ def test_contamination_exact_and_ngram(spark):
     # the near-dup shares 7 of its 8+7-7 bigrams with doc 100
     assert 2 in ngram and ngram[2] == 100
     assert 3 not in ngram
+
+
+def test_sliding_window_counts_on_real_stream(spark, tmp_path):
+    import datetime
+
+    from dwc_dataframe_validator_spark.streaming.validation import (
+        windowed_check_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 30)
+    rows = [(1, t0, "purchase"), (2, t0 + datetime.timedelta(hours=1), "click")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    src = str(tmp_path / "slide_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = windowed_check_counts(
+        stream,
+        checks={"is_purchase": F.lower(F.col("event_type")) == "purchase"},
+        ts_col="ts",
+        window="2 hours",
+        slide="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["w_start"]: (r["cnt"], r["is_purchase"])
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    # event@10:30 -> windows starting 09:00, 10:00; event@11:30 -> 10:00, 11:00
+    assert got == {
+        datetime.datetime(2024, 1, 1, 9): (1, 1),
+        datetime.datetime(2024, 1, 1, 10): (2, 1),
+        datetime.datetime(2024, 1, 1, 11): (1, 0),
+    }
