@@ -327,6 +327,50 @@ def simhash64(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Engine-portable SimHash: the per-token hash is the 32-bit md5
+    prefix (same primitive as ``minhash_signatures_portable``), so the
+    whole signature — token counts, signed bit votes, reassembly — is
+    reproducible in DuckDB and sits behind the exact oracle gate.
+
+    Same plan shape as ``simhash64``: explode → (id, word) count →
+    ONE groupBy(id) with ``bits`` sum aggregates.  Capped at 32 bits
+    (the md5 prefix width); prefer ``simhash64`` (xxhash64, 64 bits)
+    when cross-engine reproducibility is not required."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    t = F.trim(F.col(text_col))
+    words = (
+        df.filter(t != F.lit(""))
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash32"))
+
+
 def simhash_band_pairs(
     simhashes: DataFrame,
     id_col: str = "doc_id",

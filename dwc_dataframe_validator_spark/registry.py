@@ -856,6 +856,14 @@ def minhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures_portable(sh, k=8)
 
 
+def simhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash 32-bit SimHash (operators/dedup.py
+    ``simhash_portable``) behind the EXACT oracle gate: token counts,
+    signed bit votes, and bit reassembly all reproduced in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_portable(docs)
+
+
 def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/pipeline.py
     ``ngram_contamination``): split documents into a 30% hash-held-out
@@ -1200,6 +1208,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "stream_sliding_counts": stream_sliding_counts,
     "minhash_signature_check": minhash_signature_check,
+    "simhash_signature_check": simhash_signature_check,
     "contamination_hits": contamination_hits,
     "doc_chunks": doc_chunks,
     "source_quality_report": source_quality_report,
@@ -1715,6 +1724,34 @@ ORACLES: dict[str, str] = {
         for j in range(8)
     ) + """
         FROM grams GROUP BY doc_id
+    """,
+    # portable SimHash: same md5-prefix token hash, signed votes, and
+    # bit reassembly as dedup.simhash_portable
+    "simhash_signature_check": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents WHERE trim(text) <> ''),
+        words AS (
+          SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        h AS (
+          SELECT doc_id, cnt,
+                 CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
+                      AS BIGINT) AS hv
+          FROM words),
+        v AS (
+          SELECT doc_id,
+    """ + ",\n".join(
+        f"""            sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"""
+        for b in range(32)
+    ) + """
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST(
+    """ + " +\n".join(
+        f"""          (CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"""
+        for b in range(32)
+    ) + """
+        AS BIGINT) AS simhash32
+        FROM v
     """,
     "contamination_hits": r"""
         WITH docs AS (

@@ -971,3 +971,24 @@ def test_sliding_window_counts_on_real_stream(spark, tmp_path):
         datetime.datetime(2024, 1, 1, 10): (2, 1),
         datetime.datetime(2024, 1, 1, 11): (1, 0),
     }
+
+
+def test_simhash_portable_hamming_locality(spark):
+    from dwc_dataframe_validator_spark.operators.dedup import simhash_portable
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra token"),        # near-dup: few bits differ
+            (3, "completely unrelated words about spark catalyst planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash32"] for r in simhash_portable(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert hamming(sigs[1], sigs[2]) <= 6
+    assert hamming(sigs[1], sigs[3]) > hamming(sigs[1], sigs[2])
