@@ -143,6 +143,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
+    portable_buckets: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: split the k-column signature into
     ``bands`` bands, hash each band to a bucket, self-join per
@@ -151,6 +152,14 @@ def lsh_candidate_pairs(
 
     ``max_bucket_size`` drops degenerate buckets (e.g. the
     all-identical-boilerplate bucket) whose pair fan-out is quadratic.
+
+    ``portable_buckets=True`` keys buckets on the concatenated band
+    values instead of their xxhash64 — identical exact-match banding
+    semantics (the hash only compacts the key), but reproducible in
+    SQL, which lets the registry oracle the WHOLE LSH pipeline when
+    combined with ``minhash_signatures_portable``.  The xxhash64 key is
+    smaller on the wire; prefer it when cross-engine reproducibility is
+    not required.
     """
     sig_cols = [c for c in signatures.columns if c.startswith("mh")]
     if len(sig_cols) % bands:
@@ -158,10 +167,16 @@ def lsh_candidate_pairs(
     r = len(sig_cols) // bands
     # ONE pass: per-row array of band buckets, posexploded — vs a union
     # of `bands` scans of the signature frame (bands× the read cost)
-    band_buckets = F.array(*[
-        F.xxhash64(*[F.col(c) for c in sig_cols[bi * r : (bi + 1) * r]])
-        for bi in range(bands)
-    ])
+    if portable_buckets:
+        band_buckets = F.array(*[
+            F.concat_ws("-", *[F.col(c) for c in sig_cols[bi * r : (bi + 1) * r]])
+            for bi in range(bands)
+        ])
+    else:
+        band_buckets = F.array(*[
+            F.xxhash64(*[F.col(c) for c in sig_cols[bi * r : (bi + 1) * r]])
+            for bi in range(bands)
+        ])
     buckets = signatures.select(
         F.col(id_col), F.posexplode(band_buckets).alias("band", "bucket")
     )

@@ -856,6 +856,22 @@ def minhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures_portable(sh, k=8)
 
 
+def minhash_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE banded-LSH near-dup pipeline behind the exact oracle
+    gate: portable MinHash signatures (k=16) → concat-keyed banding
+    (4 bands × 4 rows) with the window bucket cap → exact-Jaccard
+    verify at 0.5.  Every stage — signature mins, bucket membership,
+    cap, candidate join, verification — is replayed in SQL; only the
+    xxhash64-keyed production variant stays rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = text.word_ngrams(docs, n=2).cache()
+    sigs = dedup.minhash_signatures_portable(sh, k=16)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=4, max_bucket_size=100, portable_buckets=True
+    )
+    return dedup.verify_candidates_jaccard(cands, sh, threshold=0.5)
+
+
 def simhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash 32-bit SimHash (operators/dedup.py
     ``simhash_portable``) behind the EXACT oracle gate: token counts,
@@ -1208,6 +1224,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "stream_sliding_counts": stream_sliding_counts,
     "minhash_signature_check": minhash_signature_check,
+    "minhash_lsh_check": minhash_lsh_check,
     "simhash_signature_check": simhash_signature_check,
     "contamination_hits": contamination_hits,
     "doc_chunks": doc_chunks,
@@ -1724,6 +1741,64 @@ ORACLES: dict[str, str] = {
         for j in range(8)
     ) + """
         FROM grams GROUP BY doc_id
+    """,
+    # full SQL replay of the banded-LSH pipeline: portable signature
+    # mins, concat band keys, window bucket cap, candidate self-join,
+    # exact-Jaccard verify — stage for stage with minhash_lsh_check
+    "minhash_lsh_check": r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+          FROM words),
+        sigs AS (
+          SELECT doc_id,
+    """ + ",\n".join(
+        f"""            min(CAST(CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8))
+              AS UBIGINT) AS BIGINT)) AS mh{j}"""
+        for j in range(16)
+    ) + """
+          FROM grams GROUP BY doc_id),
+        bandkeys AS (
+          SELECT doc_id, band,
+            CASE band
+    """ + "\n".join(
+        "              WHEN {b} THEN {key}".format(
+            b=b,
+            key=" || '-' || ".join(
+                f"CAST(mh{b * 4 + i} AS VARCHAR)" for i in range(4)
+            ),
+        )
+        for b in range(4)
+    ) + """
+            END AS bucket
+          FROM sigs CROSS JOIN (SELECT range AS band FROM range(4)) bs),
+        capped AS (
+          SELECT doc_id, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+            FROM bandkeys)
+          WHERE bsz <= 100),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM capped a JOIN capped b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
+        cmn AS (
+          SELECT c.ida, c.idb, count(*) AS common
+          FROM cands c
+          JOIN grams ga ON ga.doc_id = c.ida
+          JOIN grams gb ON gb.doc_id = c.idb AND gb.shingle = ga.shingle
+          GROUP BY 1, 2)
+        SELECT ida, idb,
+               CAST(common AS DOUBLE)
+                 / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
+        FROM cmn
+        JOIN sizes sa ON sa.doc_id = ida
+        JOIN sizes sb ON sb.doc_id = idb
+        WHERE CAST(common AS DOUBLE)
+                / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5
     """,
     # portable SimHash: same md5-prefix token hash, signed votes, and
     # bit reassembly as dedup.simhash_portable
