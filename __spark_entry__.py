@@ -37,11 +37,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query.  The few
-    keys absent here (MinHash LSH, SimHash, hyperplane rp-LSH, HLL,
-    trained-IVF, real-BPE counts, media decode stub) are genuinely not
-    portable SQL — engine-specific hashing, iterative k-means, or an
-    honest stub; the driver records rows-only checks for those and
-    pytest pins their semantics (planted duplicates/clusters, recall
-    bounds, stub determinism).
+    keys absent here (xxhash64 MinHash LSH / SimHash, hyperplane
+    rp-LSH, HLL, trained-IVF, real-BPE counts, media decode stub) are
+    genuinely not portable SQL — engine-specific hashing, iterative
+    k-means, or an honest stub.  Each has an ORACLED sibling of the
+    same semantics family (minhash_lsh_check / simhash_signature_check
+    via portable md5 hashing, dedup_embedding_cosine, ann_ivf_topk,
+    exact_distinct_users, text_token_stats), and pytest pins the
+    rows-only variants with planted duplicates/clusters, recall bounds,
+    and stub determinism.
     """
     return registry.get_oracles()
