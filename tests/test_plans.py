@@ -1,0 +1,51 @@
+"""Plan-shape regression guards: the optimizations the round-3 plan
+audit established (single-shuffle aggregates, one token pass for
+tf-idf, broadcast contamination guard) must not silently regress.
+Counts come from the pre-execution formatted plan's numbered nodes —
+stable across AQE re-planning, which only rewrites at runtime."""
+
+import re
+
+from dwc_dataframe_validator_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nodes(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return re.findall(r"^\(\d+\) (\S+)", plan, flags=re.MULTILINE)
+
+
+def test_single_shuffle_aggregates(spark):
+    # one Exchange: the groupBy itself — anything more means a stray
+    # repartition or join crept in
+    for name in ("user_event_sequences", "quantiles_by_event_type"):
+        nodes = _nodes(spark, name)
+        assert nodes.count("Exchange") == 1, (name, nodes)
+
+
+def test_training_corpus_prep_one_wide_stage(spark):
+    nodes = _nodes(spark, "training_corpus_prep")
+    # the fingerprint-dedup window is the pipeline's ONLY shuffle; the
+    # quality gate and sample stay map-side
+    assert nodes.count("Exchange") == 1, nodes
+    # rank pushdown keeps per-partition state bounded before the shuffle
+    assert "WindowGroupLimit" in nodes
+
+
+def test_tfidf_single_token_pass(spark):
+    nodes = _nodes(spark, "text_tfidf_top_terms")
+    # one corpus scan for the explode + one tiny scan for the doc count;
+    # a third means the dfreq branch re-reads the corpus again
+    assert nodes.count("Scan") == 2, nodes
+
+
+def test_vocab_top_terms_is_topk_not_sort(spark):
+    nodes = _nodes(spark, "text_vocab_top_terms")
+    # orderBy().limit() must plan TakeOrderedAndProject, never a global Sort
+    assert "TakeOrderedAndProject" in nodes and "Sort" not in nodes, nodes

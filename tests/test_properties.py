@@ -81,3 +81,39 @@ def test_group_populated_matches_python(spark, lists):
     expected = sum(1 for a, b in lists if a is not None or b is not None)
     assert row["grp"] == expected
     assert row["grp"] <= row["n"]
+
+
+def test_hash_sample_fraction_monotone_subset(spark):
+    """The md5 threshold is monotone in fraction, so a smaller sample is
+    EXACTLY a subset of a larger one — the invariant that makes
+    deterministic sampling composable across pipeline stages."""
+    from dwc_dataframe_validator_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", 0.4).collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_cms_monotone_under_more_data(spark):
+    """Adding rows can only raise (never lower) any CMS estimate —
+    counters only increment."""
+    from dwc_dataframe_validator_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    base = [("a",)] * 30 + [("b",)] * 10
+    extra = base + [("c",)] * 25
+    d1 = spark.createDataFrame(base, "v string")
+    d2 = spark.createDataFrame(extra, "v string")
+    e1 = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(cms_build(d1, "v", 3, 4), d2, "v", 3, 4).collect()
+    }
+    e2 = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(cms_build(d2, "v", 3, 4), d2, "v", 3, 4).collect()
+    }
+    assert all(e2[v] >= e1[v] for v in e1)
