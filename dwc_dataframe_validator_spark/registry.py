@@ -772,6 +772,49 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-EXPANDING multimodal plumbing (1 blob → n frames) via
+    Arrow-batched mapInPandas with the deterministic stub sampler —
+    rows-only (binary frame bytes; no portable SQL), frame counts
+    pinned by pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_text_blob(docs), fake=True
+    )
+
+
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of event value — the step behind score
+    calibration / threshold sweeps.  Deliberately NOT ``ntile(10)``
+    over a global window (a single-partition sort — a scale-killer):
+    boundaries come from one exact-percentile aggregate, broadcast into
+    a map-side bucket assignment, then one groupBy.  Ties sharing a
+    boundary land in the same bucket (value-boundary deciles, the
+    standard large-scale formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [i / 10 for i in range(1, 10)]
+    p = F.expr(f"percentile(value, array({', '.join(map(str, qs))}))")
+    bounds = ev.agg(*[p.getItem(i).alias(f"b{i}") for i in range(9)])
+    decile = (
+        sum(
+            (F.col("value") > F.col(f"b{i}")).cast("int")
+            for i in range(9)
+        )
+        + F.lit(1)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value"), decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — deterministic for a given input
     but engine-specific, so rows-only.  The exact half lives in
@@ -1217,6 +1260,8 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_date_counts": rollup_date_counts,
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_decode_stub": multimodal_decode_stub,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "value_deciles": value_deciles,
     "hll_distinct_users": hll_distinct_users,
     "exact_distinct_users": exact_distinct_users,
     "date_multiformat_parse": date_multiformat_parse,
@@ -1711,6 +1756,24 @@ ORACLES: dict[str, str] = {
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         SELECT doc AS doc_id, term, tf, doc_freq, weight
         FROM scored WHERE rn <= 3
+    """,
+    "value_deciles": """
+        WITH b AS (
+          SELECT quantile_cont(value, 0.1) AS b0, quantile_cont(value, 0.2) AS b1,
+                 quantile_cont(value, 0.3) AS b2, quantile_cont(value, 0.4) AS b3,
+                 quantile_cont(value, 0.5) AS b4, quantile_cont(value, 0.6) AS b5,
+                 quantile_cont(value, 0.7) AS b6, quantile_cont(value, 0.8) AS b7,
+                 quantile_cont(value, 0.9) AS b8
+          FROM events)
+        SELECT CAST(
+                 (value > b0)::INT + (value > b1)::INT + (value > b2)::INT
+               + (value > b3)::INT + (value > b4)::INT + (value > b5)::INT
+               + (value > b6)::INT + (value > b7)::INT + (value > b8)::INT + 1
+               AS BIGINT) AS decile,
+               count(*) AS n, min(value) AS lo, max(value) AS hi
+        FROM events, b
+        WHERE value IS NOT NULL
+        GROUP BY 1
     """,
     "stream_sliding_counts": """
         WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
