@@ -713,7 +713,9 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric column profile: count/min/max, exact decimal sum, and
     exact interpolated quartiles (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont`` — both sort-based, deterministic; mean/stddev over
-    doubles are order-dependent and deliberately excluded)."""
+    doubles are order-dependent and deliberately excluded).
+    Percentile state is the whole column: at 100 TB use the bounded-state
+    twin ``numeric_profile_approx`` (operators/quantiles.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     return li.agg(
@@ -725,6 +727,18 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.getItem(1).alias("p50"),
         p.getItem(2).alias("p75"),
     )
+
+
+def numeric_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state twin of ``numeric_profile``: approx_percentile
+    (Greenwald-Khanna sketch) instead of exact sort-based percentile —
+    THE form to use on a 100 TB column (exact percentile buffers every
+    value in the aggregation state).  Rows-only: the sketch is
+    engine-specific; the rank-error bound |rank/n − q| ≤ 1/accuracy is
+    pinned by tests/test_quantiles.py against the exact sibling."""
+    from .operators.quantiles import numeric_profile_approx as _npa
+
+    return _npa(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
 def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,7 +809,8 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries come from one exact-percentile aggregate, broadcast into
     a map-side bucket assignment, then one groupBy.  Ties sharing a
     boundary land in the same bucket (value-boundary deciles, the
-    standard large-scale formulation)."""
+    standard large-scale formulation).  Exact boundaries buffer the
+    column; at 100 TB use ``operators.quantiles.value_deciles_approx``."""
     ev = load_table(spark, sf_dir, "events")
     qs = [i / 10 for i in range(1, 10)]
     p = F.expr(f"percentile(value, array({', '.join(map(str, qs))}))")
@@ -1027,7 +1042,8 @@ def numeric_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated quartiles (deterministic — see numeric_profile), then
     one filtered aggregate.  Two scans by necessity (the bounds are
     data-dependent); the single-row bounds broadcast into the second
-    scan's filter, map-side."""
+    scan's filter, map-side.  Exact quartiles buffer the column; at
+    100 TB use ``operators.quantiles.iqr_outliers_approx``."""
     ev = load_table(spark, sf_dir, "events")
     p = F.expr("percentile(value, array(0.25, 0.75))")
     bounds = (
@@ -1053,7 +1069,8 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``numeric_profile`` (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
     both sort-based deterministic).  One hash-aggregate shuffle on the
     group key; percentile state is per-group sorted values, bounded by
-    group size."""
+    group size — for skewed/huge groups use
+    ``operators.quantiles.grouped_quantiles_approx`` (sketch state)."""
     ev = load_table(spark, sf_dir, "events")
     p = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
     return ev.groupBy("event_type").agg(
@@ -1303,6 +1320,8 @@ QUERIES: dict[str, QueryFn] = {
     "hll_distinct_users": hll_distinct_users,
     "multimodal_decode_stub": multimodal_decode_stub,
     "multimodal_frame_sample": multimodal_frame_sample,
+    # --- round-4 additions (append-only from here) --------------------------
+    "numeric_profile_approx": numeric_profile_approx,
 }
 
 
