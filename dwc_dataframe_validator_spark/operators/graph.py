@@ -22,9 +22,11 @@ identical.
 Scale notes: state is (node, label) for nodes that appear in SOME pair
 — a small fraction of the corpus, orders of magnitude below the input.
 Each round is one shuffle join (edges ⋈ labels) + one min-aggregate +
-one join back.  ``localCheckpoint`` truncates lineage every round so plans
-stay flat; the convergence check is a count aggregate per round — the
-unavoidable driver sync point of any iterate-to-fixpoint algorithm.
+one join back.  Per-round checkpointing truncates lineage so plans stay
+flat — ``localCheckpoint`` by default (local mode), a reliable
+``checkpoint()`` when ``checkpoint_dir`` is given (clusters: survives
+executor loss); the convergence check is a count aggregate per round —
+the unavoidable driver sync point of any iterate-to-fixpoint algorithm.
 """
 
 from __future__ import annotations
@@ -38,21 +40,39 @@ def connected_components(
     src: str = "ida",
     dst: str = "idb",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component assignment ``(node, cluster)`` for every node in the
     edge list; ``cluster`` is the component's minimum node id.  Raises
     if the fixpoint isn't reached in ``max_iterations`` rounds (a
-    pathological chain — see module docstring)."""
+    pathological chain — see module docstring).
+
+    ``checkpoint_dir``: on a real cluster pass a RELIABLE (HDFS/object
+    store) directory — per-round truncation then uses ``checkpoint()``,
+    which survives executor loss.  The default ``localCheckpoint``
+    stores blocks on executors: fast, and fine on local mode, but a
+    single executor failure mid-loop kills the job with no lineage to
+    recompute."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    und = und.localCheckpoint()
-    labels = (
+    und = _ckpt(und)
+    labels = _ckpt(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -69,11 +89,11 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("new_label"),
             )
-            # checkpoint BEFORE the convergence count: one materialization
-            # of the round's join feeds both the count and the next
-            # round's labels (counting first would recompute the join)
-            .localCheckpoint()
         )
+        # checkpoint BEFORE the convergence count: one materialization
+        # of the round's join feeds both the count and the next
+        # round's labels (counting first would recompute the join)
+        updated = _ckpt(updated)
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:

@@ -105,7 +105,7 @@ def ngram_contamination(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: "int | DataFrame | None" = None,
 ) -> DataFrame:
     """N-gram-overlap decontamination — the industry-standard check
     exact fingerprints miss: corpus documents whose word-n-gram Jaccard
@@ -114,31 +114,31 @@ def ngram_contamination(
     contaminated corpus doc with its best-matching benchmark doc
     (ties: contaminant-id ascending).
 
-    Plan: one shingle projection per side (operators/text.py
-    ``word_ngrams``), the shared ``max_shingle_df`` skew guard computed
-    over BOTH sides (a hyper-common shingle would put a constant
-    fraction of corpus×heldout into one bucket), an inverted-index
-    equi-join on shingle restricted to corpus×heldout (never
-    corpus×corpus), then per-doc max via window.  Candidate fan-out is
-    bounded by shingle co-occurrence, not |corpus|·|heldout|."""
-    from .text import word_ngrams
+    Plan: ONE shingle union of both sides, the shared ``max_shingle_df``
+    skew guard as a count window over ``shingle`` (a hyper-common
+    shingle would put a constant fraction of corpus×heldout into one
+    bucket; an int literal or an in-plan ``text.df_cap_frame``), an
+    inverted-index equi-join on shingle restricted to corpus×heldout
+    (never corpus×corpus), then per-doc max via window.  Candidate
+    fan-out is bounded by shingle co-occurrence, not |corpus|·|heldout|.
 
-    # each side's shingle index feeds the guard, the size aggregate, AND
-    # the pair join — cache so the split+explode runs once per side
-    # (session-owned, same policy as operators/dedup.py's LSH cache)
-    sh_c = word_ngrams(corpus, n, text_col, id_col).cache()
-    sh_h = word_ngrams(heldout, n, text_col, id_col).cache()
-    if max_shingle_df is not None:
-        both = sh_c.unionByName(sh_h)
-        keep = (
-            both.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
-        )
-        # the guarded sides are each read twice more (sizes + pair join)
-        sh_c = sh_c.join(F.broadcast(keep), "shingle").cache()
-        sh_h = sh_h.join(F.broadcast(keep), "shingle").cache()
+    The union's shingle shuffle is the plan's backbone: the window
+    guard sorts it once and every consumer — both pair-join sides and
+    both size aggregates — picks it up via ReusedExchange, so the
+    explode+shuffle runs ONCE with no caching (nothing left pinned in
+    executor storage after the query, unlike a cache-based formulation).
+    """
+    from .text import _apply_df_guard, word_ngrams
+
+    sh_c = word_ngrams(corpus, n, text_col, id_col).withColumn(
+        "_held", F.lit(False)
+    )
+    sh_h = word_ngrams(heldout, n, text_col, id_col).withColumn(
+        "_held", F.lit(True)
+    )
+    both = _apply_df_guard(sh_c.unionByName(sh_h), max_shingle_df)
+    sh_c = both.filter(~F.col("_held")).drop("_held")
+    sh_h = both.filter(F.col("_held")).drop("_held")
     size_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na"))
     size_h = sh_h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nb"))
     a = sh_c.select(F.col(id_col).alias("_ida"), "shingle")

@@ -237,12 +237,53 @@ def word_ngrams(
     )
 
 
+def df_cap_frame(
+    df: DataFrame, min_cap: int = 5, frac: float = 0.1
+) -> DataFrame:
+    """One-row frame ``(_df_cap,)`` = max(min_cap, floor(N·frac)) with N
+    the row count of ``df`` — the document-frequency skew cap computed
+    INSIDE the plan.  Pass it as ``max_shingle_df``: the guard cross-joins
+    this single broadcast row instead of running a separate ``count()``
+    job on the driver before the query even starts."""
+    return df.agg(
+        F.greatest(
+            F.lit(min_cap).cast("long"),
+            F.floor(F.count(F.lit(1)) * F.lit(frac)).cast("long"),
+        ).alias("_df_cap")
+    )
+
+
+def _apply_df_guard(
+    sh: DataFrame, max_shingle_df: "int | DataFrame | None"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap, via a
+    count window over ``shingle`` — ONE shuffle whose partitioning the
+    downstream pair join on ``shingle`` reuses (ReusedExchange).  The
+    groupBy-then-join-back alternative would broadcast the kept
+    vocabulary — nearly ALL distinct shingles, gigabytes at corpus
+    scale.  ``max_shingle_df`` is an int literal or a one-row
+    ``df_cap_frame`` (in-plan cap, single broadcast row)."""
+    if max_shingle_df is None:
+        return sh
+    w = Window.partitionBy("shingle")
+    sh = sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    if isinstance(max_shingle_df, DataFrame):
+        sh = (
+            sh.crossJoin(F.broadcast(max_shingle_df))
+            .filter(F.col("_df") <= F.col("_df_cap"))
+            .drop("_df_cap")
+        )
+    else:
+        sh = sh.filter(F.col("_df") <= F.lit(max_shingle_df))
+    return sh.drop("_df")
+
+
 def jaccard_top_neighbor(
     df: DataFrame,
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: "int | DataFrame | None" = None,
 ) -> DataFrame:
     """Top-1 near-duplicate neighbor per document by word-n-gram Jaccard.
 
@@ -253,17 +294,11 @@ def jaccard_top_neighbor(
 
     ``max_shingle_df`` drops shingles with document frequency above the
     cap before pairing — the skew guard that keeps bucket fan-out
-    sub-quadratic at corpus scale.
+    sub-quadratic at corpus scale.  Pass an int, or a one-row
+    ``df_cap_frame`` to derive the cap from the corpus size in-plan
+    (no driver-side count job).
     """
-    sh = word_ngrams(df, n, text_col, id_col).alias("sh")
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(keep), "shingle")
+    sh = _apply_df_guard(word_ngrams(df, n, text_col, id_col), max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
 
     a = sh.select(F.col(id_col).alias("ida"), "shingle")
@@ -304,19 +339,12 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: "int | DataFrame | None" = None,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard ≥ threshold, via the
-    same inverted-index plan as jaccard_top_neighbor."""
-    sh = word_ngrams(df, n, text_col, id_col)
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(keep), "shingle")
+    same inverted-index plan (and df skew guard) as
+    jaccard_top_neighbor."""
+    sh = _apply_df_guard(word_ngrams(df, n, text_col, id_col), max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.select(F.col(id_col).alias("ida"), "shingle")
     b = sh.select(F.col(id_col).alias("idb"), "shingle")

@@ -470,10 +470,13 @@ def text_ngram_top_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     before pairing — a hyper-common shingle ("of the") would otherwise
     put a constant fraction of the corpus into one join bucket and the
     pair fan-out is quadratic in that bucket.  The oracle applies the
-    same HAVING cap."""
+    same HAVING cap.  The cap itself is computed IN-PLAN
+    (``text.df_cap_frame``, one broadcast row) — no driver-side count
+    job before the query starts."""
     docs = load_table(spark, sf_dir, "documents")
-    cap = max(5, docs.count() // 10)
-    return text.jaccard_top_neighbor(docs, n=2, max_shingle_df=cap)
+    return text.jaccard_top_neighbor(
+        docs, n=2, max_shingle_df=text.df_cap_frame(docs)
+    )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,9 +960,13 @@ def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
     ) < F.lit(sampling.hash_threshold(0.3))
-    cap = max(5, docs.count() // 10)
+    # cap over the FULL table (both splits), computed in-plan — matches
+    # the oracle's scalar subquery, no driver-side count job
     return ngram_contamination(
-        docs.filter(~held), docs.filter(held), threshold=0.5, max_shingle_df=cap
+        docs.filter(~held),
+        docs.filter(held),
+        threshold=0.5,
+        max_shingle_df=text.df_cap_frame(docs),
     )
 
 

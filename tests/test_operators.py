@@ -740,6 +740,28 @@ def test_connected_components_transitive(spark):
     assert sizes == {1: (4, 3), 10: (2, 1)}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    import os
+
+    from dwc_dataframe_validator_spark.operators.graph import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["ida", "idb"]
+    )
+    comp = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the reliable branch actually wrote checkpoint data to the dir
+    assert any(files for _, _, files in os.walk(ckpt)), (
+        "reliable checkpoint_dir was never written"
+    )
+
+
 def test_connected_components_iteration_bound(spark):
     import pytest
 

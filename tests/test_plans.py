@@ -49,3 +49,43 @@ def test_vocab_top_terms_is_topk_not_sort(spark):
     nodes = _nodes(spark, "text_vocab_top_terms")
     # orderBy().limit() must plan TakeOrderedAndProject, never a global Sort
     assert "TakeOrderedAndProject" in nodes and "Sort" not in nodes, nodes
+
+
+def test_df_cap_is_in_plan_no_driver_job(spark):
+    # the shingle-df cap must come from a one-row in-plan aggregate:
+    # BUILDING the guarded operators may not run any Spark job (the old
+    # formulation ran docs.count() on the driver first).  Tables are
+    # pre-loaded outside the job group — parquet schema inference runs
+    # its own job and isn't what this guards.
+    from dwc_dataframe_validator_spark.operators import text
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        ngram_contamination,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-build-cap", "plan construction")
+    cap = text.df_cap_frame(docs)
+    text.jaccard_top_neighbor(docs, n=2, max_shingle_df=cap)
+    ngram_contamination(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        threshold=0.5,
+        max_shingle_df=cap,
+    )
+    jobs = sc.statusTracker().getJobIdsForGroup("plan-build-cap")
+    sc.setJobGroup(None, None)
+    assert jobs == [], jobs
+
+
+def test_contamination_reuses_shingle_exchange(spark):
+    # the union's shingle shuffle backbone is computed once and shared
+    # across consumers — no caches needed.  AQE inserts ReusedExchange
+    # at runtime, so assert on the FINAL adaptive plan after execution.
+    df = QUERIES["contamination_hits"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().toString()
+    phys = plan[plan.index("== Physical Plan =="):]
+    assert "isFinalPlan=true" in phys
+    assert phys.count("ReusedExchange") >= 1, phys[:2000]
