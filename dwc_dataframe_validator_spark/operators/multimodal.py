@@ -120,6 +120,10 @@ def sample_frames(
                 )
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
+                if payload is None:
+                    # null blob → zero frames, matching the null-tolerant
+                    # semantics of the other blob operators
+                    continue
                 b = bytes(payload)
                 n = 1 + (len(b) % max_frames)
                 step = max(1, len(b) // n)

@@ -448,10 +448,24 @@ def rp_lsh_pairs(
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
     r = n_bits // bands
     planes = random_hyperplanes(n_bits, dim, seed)
+    # fail fast on a vector whose length disagrees with dim: zip_with
+    # would pad with NULLs and silently shorten band keys (aliasing
+    # genuinely different signatures into one bucket)
+    vec_checked = F.when(
+        F.size(F.col(vec_col)) == dim, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("rp_lsh_pairs: embedding length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != dim={dim}"),
+            )
+        )
+    )
     sig = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        rp_signature(F.col(vec_col), planes).alias("_sig"),
+        rp_signature(vec_checked, planes).alias("_sig"),
     )
     banded = sig.select(
         "_id",
@@ -461,7 +475,19 @@ def rp_lsh_pairs(
                 *[
                     F.concat_ws(
                         "",
-                        *[F.col("_sig").getItem(b * r + i) for i in range(r)],
+                        # NULL elements inside a right-length vector
+                        # yield NULL bits; concat_ws would skip them
+                        # (shortened, aliasing key) — map to a sentinel
+                        # outside the 0/1 alphabet instead.  Such rows
+                        # only ever pair with other malformed rows, and
+                        # the exact-cosine verify (NULL sim) drops them.
+                        *[
+                            F.coalesce(
+                                F.col("_sig").getItem(b * r + i).cast("string"),
+                                F.lit("N"),
+                            )
+                            for i in range(r)
+                        ],
                     )
                     for b in range(bands)
                 ]

@@ -2047,7 +2047,8 @@ ORACLES: dict[str, str] = {
     "user_event_sequences": """
         SELECT user_id, count(*) AS n_events,
                string_agg(event_type, ','
-                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+                          ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                                   event_id NULLS FIRST) AS seq
         FROM events GROUP BY 1
     """,
     # composed three-stage pipeline, one oracle: quality gate (same
@@ -2113,8 +2114,9 @@ ORACLES: dict[str, str] = {
           SELECT event_type, event_id,
                  row_number() OVER (
                    PARTITION BY event_type
-                   ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
-                            event_id) AS sample_rank
+                   ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                              NULLS FIRST,
+                            event_id NULLS FIRST) AS sample_rank
           FROM events)
         WHERE sample_rank <= 20
     """,

@@ -1014,3 +1014,31 @@ def test_simhash_portable_hamming_locality(spark):
 
     assert hamming(sigs[1], sigs[2]) <= 6
     assert hamming(sigs[1], sigs[3]) > hamming(sigs[1], sigs[2])
+
+
+def test_rp_lsh_wrong_dim_fails_fast(spark):
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        rp_lsh_pairs,
+    )
+
+    # a vector of the wrong length must raise, not silently alias band
+    # keys (zip_with would pad with NULLs and shorten the key)
+    rows = [(1, [1.0] * 8), (2, [1.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="embedding length"):
+        rp_lsh_pairs(
+            df, threshold=0.5, n_bits=16, bands=4, dim=8
+        ).collect()
+
+
+def test_sample_frames_null_payload(spark):
+    from dwc_dataframe_validator_spark.operators import multimodal
+
+    blobs = spark.createDataFrame(
+        [(1, b"0123456789abcdef"), (2, None)], "id long, content binary"
+    )
+    frames = multimodal.sample_frames(blobs, fake=True).collect()
+    # null blob contributes zero frames instead of a TypeError
+    assert {f["id"] for f in frames} == {1}
