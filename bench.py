@@ -26,6 +26,11 @@ import time
 from dwc_dataframe_validator_spark import registry
 from dwc_dataframe_validator_spark.sources.tables import local_session
 
+# FROZEN as of round 4: this 33-query set with the noop-sink timing is
+# the per-query self-baseline recorded in BASELINE.md — compare new
+# rounds query-by-query against that table, and do not change the set
+# or the sink methodology (r2→r3 showed why: a sink change invalidates
+# round-over-round comparison).
 HEADLINE = [
     "q1_pricing_summary",
     "q_top_orders_by_revenue",
