@@ -13,9 +13,23 @@ Each entry is a (Spark pattern, DuckDB ``strptime`` pattern) pair kept
 in lockstep so the registry can generate an exactly-equivalent DuckDB
 oracle from the same table.  The format set is the one pandas infers
 most often on biodiversity data; full pandas ``dateutil`` coverage is
-explicitly NOT claimed (e.g. '5th of Jan 2023' stays unparsed) — the
-supported matrix is pinned by tests/test_operators.py comparing all
-three engines value-for-value.
+explicitly NOT claimed — the supported matrix is pinned by
+tests/test_operators.py comparing all three engines value-for-value.
+
+Known deviations from pandas ``to_datetime(errors='coerce')`` — strings
+pandas parses that THIS parser leaves NULL (each judged rare on
+ISO-dominant archives; extend the table if a real corpus hits one):
+
+- ordinal/dateutil free text: ``'5th of Jan 2023'``, ``'Jan 5th 2023'``
+- weekday-prefixed: ``'Thu Jan 5 2023'``, RFC-2822 ``'Thu, 05 Jan 2023
+  10:11:12 +0000'``
+- two-digit years: ``'1/5/23'`` (ambiguous century — deliberately
+  excluded rather than guessed)
+- day-first forms like ``'31/12/2023'``: pandas itself only accepts
+  them with ``dayfirst=True``, which the reference does not pass, so
+  excluding them MATCHES the reference
+- time-only strings (``'10:11:12'``): pandas anchors to today's date —
+  non-deterministic across runs, deliberately excluded
 """
 
 from __future__ import annotations
@@ -33,6 +47,10 @@ LENIENT_TIMESTAMP_FORMATS: list[tuple[str, str]] = [
     ("MMM d, yyyy", "%b %d, %Y"),
     ("d MMM yyyy", "%d %b %Y"),
     ("yyyy/M/d", "%Y/%m/%d"),
+    # round-4 widening (each with three-engine parity in pytest):
+    ("MMMM d, yyyy", "%B %d, %Y"),   # January 5, 2023
+    ("d MMMM yyyy", "%d %B %Y"),     # 5 January 2023
+    ("yyyy.M.d", "%Y.%m.%d"),        # 2023.1.5
 ]
 
 

@@ -224,17 +224,45 @@ def _read_skipping_lines(
     """CSV scan skipping the first N>1 lines of EACH file — Spark's
     ``header`` option only skips one.
 
-    Physical shape: distributed ``textFile`` per location,
+    Unquoted dialect: distributed ``textFile`` per location,
     ``zipWithIndex`` (one counting pass per file — the known cost of a
     global line index), drop indexes < N, then parse surviving lines
     with ``from_csv`` so dialect/schema handling matches the fast path.
-    Restriction: lines are split before CSV parsing, so quoted embedded
-    newlines are unsupported here — rejected explicitly below."""
+
+    Quoted dialect (``fieldsEnclosedBy`` declared): line splitting
+    would break on quoted embedded newlines, so the CSV parser itself
+    must delimit records — read with ``multiLine=true`` and drop the
+    first N RECORDS per file.  ``multiLine`` makes each file one
+    unsplittable partition (the cost every engine pays for quoted
+    newlines; at scale, ship many files, not one giant one), which
+    also makes ``monotonically_increasing_id`` file-ordered, so the
+    per-file ``row_number`` skip is exact.  Assumes the header lines
+    themselves contain balanced quotes (a lone quote in a header
+    would swallow following records — pathological for a header)."""
     n = table.ignore_header_lines
     if table.quote:
-        raise NotImplementedError(
-            "ignoreHeaderLines>1 with fieldsEnclosedBy quoting: line "
-            "splitting would break on quoted embedded newlines"
+        from pyspark.sql import Window
+
+        df = (
+            spark.read.options(
+                header=False,
+                sep=table.delimiter,
+                encoding=table.encoding,
+                quote=table.quote,
+                multiLine=True,
+                enforceSchema=True,
+                mode="PERMISSIVE",
+            )
+            .schema(schema)
+            .csv(paths)
+            .select("*", F.col("_metadata.file_path").alias("_file"))
+            .withColumn("_ord", F.monotonically_increasing_id())
+        )
+        w = Window.partitionBy("_file").orderBy("_ord")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > n)
+            .drop("_file", "_ord", "_rn")
         )
     # quoting disabled (this path rejects declared quoting above, and
     # bare quote characters inside fields must stay literal)

@@ -79,22 +79,36 @@ def test_ignore_header_lines_gt1(spark, tmp_path):
     assert rows == {"1": "Ursus arctos", "2": "Lynx lynx", "3": "Alces alces"}
 
 
-def test_ignore_header_lines_gt1_rejects_quoting(spark, tmp_path):
-    import pytest
-
+def test_ignore_header_lines_gt1_with_quoting(spark, tmp_path):
+    # the once-rejected dialect: N>1 header lines AND declared quoting,
+    # including a quoted field with an EMBEDDED NEWLINE (the case that
+    # makes naive line splitting impossible), across two files
     meta = """<archive xmlns="http://rs.tdwg.org/dwc/text/">
   <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"
         fieldsTerminatedBy="," fieldsEnclosedBy="&quot;"
         ignoreHeaderLines="2">
-    <files><location>a.csv</location></files>
+    <files><location>a.csv</location><location>b.csv</location></files>
     <id index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceRemarks"/>
   </core>
 </archive>"""
     (tmp_path / "meta.xml").write_text(meta)
-    (tmp_path / "a.csv").write_text('x\ny\n"1"\n')
+    (tmp_path / "a.csv").write_text(
+        'export title\nid,occurrenceRemarks\n'
+        '"1","seen at\ndusk, near creek"\n'
+        '"2","plain remark"\n'
+    )
+    (tmp_path / "b.csv").write_text(
+        'export title\nid,occurrenceRemarks\n"3","third, quoted"\n'
+    )
     desc = read_descriptor(str(tmp_path))
-    with pytest.raises(NotImplementedError, match="quot"):
-        read_archive_table(spark, desc, desc.core).collect()
+    df = read_archive_table(spark, desc, desc.core)
+    rows = {r["id"]: r["occurrenceRemarks"] for r in df.collect()}
+    assert rows == {
+        "1": "seen at\ndusk, near creek",
+        "2": "plain remark",
+        "3": "third, quoted",
+    }
 
 
 def test_duplicate_extension_rowtype_views(spark, tmp_path):

@@ -594,6 +594,7 @@ def test_multiformat_dates_match_pandas_and_duckdb(spark):
         "2024-03-09", "2024-03-09 10:11:12", "3/9/2024", "03/09/2024",
         "12/31/2024", "3/9/2024 4:5:6", "20240309", "2024/3/9",
         "Mar 9, 2024", "9 Mar 2024", "bad", "20241399", "99/99/9999",
+        "March 9, 2024", "9 March 2024", "2024.3.9", "2024.13.9",
         "", None,
     ]
     df = spark.createDataFrame([(s,) for s in strings], "s string")
