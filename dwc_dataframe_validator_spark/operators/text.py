@@ -515,3 +515,105 @@ def chunk_documents(
             "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# repetition signals / PII scrubbing (training-data quality surface)
+# --------------------------------------------------------------------------
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher-style quality rules
+    (Rae et al. 2021, "Scaling Language Models", table A1) that catch
+    boilerplate/spam the length+stopword gate of ``quality_score``
+    misses: ``(id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_word_frac)``.
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line
+      (occurrences after the first / total lines);
+    - ``dup_line_char_frac``: fraction of characters sitting in those
+      repeated lines;
+    - ``top_word_frac``: share of the most frequent word in the total
+      word count (near 1 ⇒ one token repeated over and over).
+
+    Plan: two explode→groupBy pyramids (lines, words) that each reduce
+    map-side to one row per (doc, value), then one row per doc —
+    partial aggregation keeps shuffle state bounded by DISTINCT lines/
+    words per doc, not document length.  The two per-doc frames join on
+    the id (both sides already hash-partitioned by it from their final
+    aggregates).  Pure expressions, fully SQL-portable (exact DuckDB
+    oracle in the registry)."""
+    t = F.trim(F.col(text_col))
+    lines = (
+        df.filter(t != F.lit(""))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_lines"),
+            (F.sum(F.col("c") - 1).cast("double") / F.sum("c")).alias(
+                "dup_line_frac"
+            ),
+            (
+                F.sum(F.length("line") * (F.col("c") - 1)).cast("double")
+                / F.greatest(F.sum(F.length("line") * F.col("c")), F.lit(1))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    words = (
+        df.filter(t != F.lit(""))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+                )
+            ).alias("w"),
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
+        )
+    )
+    return lines.join(words, id_col, "left")
+
+
+# PII patterns shared by the Spark scrubber and the DuckDB oracle —
+# RE2-safe syntax only (no lookarounds/backrefs), so Java regex and RE2
+# agree.  Replacement order matters (emails contain word chars a later
+# pattern could clip): email → ipv4 → phone, identical on both engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pattern-based PII redaction — the pre-training scrub step:
+    ``(id, n_email, n_ipv4, n_phone, scrubbed)`` with every match
+    replaced by its placeholder.
+
+    One map-side projection (regexp_count + chained regexp_replace per
+    pattern, whole-stage-codegen'd, no UDF, no shuffle) — at 100 TB
+    this runs at scan speed.  Patterns are shared constants with the
+    DuckDB oracle; counts are computed BEFORE any replacement so
+    pattern overlap cannot double-count."""
+    t = F.col(text_col)
+    counts = [
+        F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

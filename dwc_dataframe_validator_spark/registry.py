@@ -744,6 +744,23 @@ def numeric_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _npa(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality signals (operators/text.py
+    ``repetition_profile``): duplicate-line fraction, duplicate-line
+    character fraction, and top-word share per document — the
+    boilerplate/spam signals a quality gate needs beyond length ratios.
+    Fully SQL-portable, exact oracle."""
+    return text.repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based PII scrub (operators/text.py ``pii_scrub``):
+    email/IPv4/phone match counts plus the redacted text, one map-side
+    projection.  Patterns are shared constants with the oracle (RE2-safe
+    so Java regex and DuckDB RE2 agree)."""
+    return text.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
 def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count and value sum ordered by time —
     the cumulative-window shape (one shuffle on user_id; ordering is
@@ -1329,6 +1346,8 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample": multimodal_frame_sample,
     # --- round-4 additions (append-only from here) --------------------------
     "numeric_profile_approx": numeric_profile_approx,
+    "text_repetition": text_repetition,
+    "pii_scrub_stats": pii_scrub_stats,
 }
 
 
@@ -2174,7 +2193,50 @@ ORACLES: dict[str, str] = {
           FROM ext)
         SELECT * FROM core_agg CROSS JOIN ext_agg
     """,
+    "text_repetition": r"""
+        WITH nz AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+        l0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM nz),
+        lc AS (SELECT doc_id, line, count(*) AS c FROM l0 GROUP BY 1, 2),
+        lagg AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_lines,
+                 CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                   AS dup_line_frac,
+                 CAST(sum(length(line) * (c - 1)) AS DOUBLE)
+                   / greatest(CAST(sum(length(line) * c) AS DOUBLE), 1)
+                   AS dup_line_char_frac
+          FROM lc GROUP BY 1),
+        w0 AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+               FROM nz),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w0 GROUP BY 1, 2),
+        wagg AS (SELECT doc_id,
+                        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                          AS top_word_frac
+                 FROM wc GROUP BY 1)
+        SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+               w.top_word_frac
+        FROM lagg l LEFT JOIN wagg w ON l.doc_id = w.doc_id
+    """,
 }
+
+
+def _pii_oracle_sql() -> str:
+    """Generated from operators.text.PII_PATTERNS — the same constants
+    the Spark scrubber folds into its plan — so the two can never
+    drift (same policy as functions/dates.multiformat_oracle_sql)."""
+    counts = ", ".join(
+        f"CAST(coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, repl in text.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {counts}, {scrub} AS scrubbed FROM documents"
+
+
+ORACLES["pii_scrub_stats"] = _pii_oracle_sql()
 
 
 def get_queries() -> dict[str, QueryFn]:

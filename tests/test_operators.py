@@ -1043,3 +1043,47 @@ def test_sample_frames_null_payload(spark):
     frames = multimodal.sample_frames(blobs, fake=True).collect()
     # null blob contributes zero frames instead of a TypeError
     assert {f["id"] for f in frames} == {1}
+
+
+def test_repetition_profile_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),
+            (2, "unique one\nunique two"),
+            (3, "spam spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_profile(docs).collect()}
+    # doc 1: 4 lines, "alpha beta" repeats twice after the first
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["dup_line_frac"] == pytest.approx(2 / 4)
+    # chars in repeats-after-first (2 x "alpha beta" = 20) over all
+    # line chars (3 x 10 + len("gamma delta") = 41)
+    assert rows[1]["dup_line_char_frac"] == pytest.approx(20 / 41)
+    # doc 2: no repetition at all
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["dup_line_char_frac"] == 0.0
+    # doc 3: one word repeated -> top word owns the whole mass
+    assert rows[3]["top_word_frac"] == 1.0
+    assert rows[1]["top_word_frac"] == pytest.approx(3 / 8)
+
+
+def test_pii_scrub_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or call +1 415 555 0199"),
+            (2, "server at 10.0.42.7 responded"),
+            (3, "nothing sensitive here"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["scrubbed"] and "<PHONE>" in rows[1]["scrubbed"]
+    assert "jane" not in rows[1]["scrubbed"] and "0199" not in rows[1]["scrubbed"]
+    assert rows[2]["n_ipv4"] == 1 and "<IP>" in rows[2]["scrubbed"]
+    assert "10.0.42.7" not in rows[2]["scrubbed"]
+    assert rows[3]["scrubbed"] == "nothing sensitive here"
+    assert rows[4]["n_email"] == 0 and rows[4]["scrubbed"] is None
