@@ -77,3 +77,57 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates in ONE map-side filter — the
+    data-mixture step of a training pipeline ("web at 3%, books at
+    50%, code at 100%"), expressed as a single CASE over the stratum
+    column so no per-source scan or union is needed.
+
+    Strata absent from ``fractions`` sample at ``default_fraction``
+    (0.0 = drop, the safe default for an explicit mixture).  Same
+    value-determinism contract as ``hash_sample``: the subset depends
+    only on key values, so re-runs, repartitions, and incremental loads
+    all agree, and the DuckDB oracle replays the identical thresholds.
+    No shuffle, no UDF; at 100 TB this is a codegen'd scan-filter that
+    reads only ``stratum_col``/``key_col`` plus requested columns.
+    """
+    thr: Column = F.lit(hash_threshold(default_fraction))
+    for stratum, fraction in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(stratum),
+            F.lit(hash_threshold(fraction)),
+        ).otherwise(thr)
+    return df.filter(_hash_prefix(key_col) < thr)
+
+
+def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    export: ``shard = md5_int(key) mod n_shards`` and ``shard_pos`` =
+    the full md5 hex digest, an order key that is uniform-random with
+    respect to any natural ordering of the data (the "shuffle" a data
+    loader needs) yet stable across runs and engines.
+
+    Downstream: ``df.repartition(n_shards, "shard").sortWithinPartitions
+    ("shard_pos")`` then ``write.partitionBy("shard")`` gives one
+    deterministic, internally-shuffled file set per shard — the exact
+    layout a streaming data loader consumes.  Map-side only here; the
+    single shuffle is the repartition the caller explicitly pays at
+    write time.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    c = F.col(key_col).cast("string").cast("binary")
+    digest = F.md5(c)
+    shard = (
+        F.conv(F.substring(digest, 1, _HEX_DIGITS), 16, 10).cast("long")
+        % n_shards
+    )
+    return df.withColumn("shard", shard).withColumn("shard_pos", digest)

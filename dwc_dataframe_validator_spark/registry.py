@@ -36,6 +36,7 @@ from .operators import (
     dedup,
     integrity,
     multimodal,
+    packing,
     sampling,
     similarity,
     skew,
@@ -761,6 +762,57 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the document corpus into 128-token training sequences
+    across 8 hash buckets (operators/packing.py) and summarize per
+    bucket.  Value-deterministic end to end (md5 bucket, id-order
+    stream, exact dyadic fill ratios) — the oracle replays the whole
+    assignment.  One shuffle + per-bucket window; ``n_buckets`` is the
+    parallelism knob at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = packing.pack_sequences(
+        docs, "doc_id", "n_tokens", seq_budget=128, n_buckets=8
+    )
+    return packing.packing_stats(packed, "n_tokens", seq_budget=128)
+
+
+_MIXTURE = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling (operators/sampling.py ``mixture_sample``):
+    four sources at explicit rates, everything else dropped, in ONE
+    map-side CASE filter — then a per-source survival profile.  The
+    oracle applies the identical md5 thresholds, so the sampled subset
+    (not just its size) is pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.mixture_sample(docs, "source", "doc_id", _MIXTURE)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(F.col("n_chars")).cast("long").alias("sampled_chars"),
+    )
+
+
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export
+    (operators/sampling.py ``assign_shards``): md5 shard id and
+    full-digest shuffle position over the events table, profiled per
+    shard (row count, distinct users, first position in shuffle order).
+    The write-side layout contract lives in sources/sinks.py; this
+    checks the assignment itself value-for-value."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sampling.assign_shards(ev, "event_id", n_shards=16)
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        E.distinct_count("user_id").alias("n_users"),
+        F.min("shard_pos").alias("first_pos"),
+    )
+
+
 def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count and value sum ordered by time —
     the cumulative-window shape (one shuffle on user_id; ordering is
@@ -1348,6 +1400,9 @@ QUERIES: dict[str, QueryFn] = {
     "numeric_profile_approx": numeric_profile_approx,
     "text_repetition": text_repetition,
     "pii_scrub_stats": pii_scrub_stats,
+    "sequence_packing_stats": sequence_packing_stats,
+    "mixture_sample_stats": mixture_sample_stats,
+    "shard_assignment_stats": shard_assignment_stats,
 }
 
 
@@ -2237,6 +2292,76 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLES["pii_scrub_stats"] = _pii_oracle_sql()
+
+# Sequence packing: replay the md5 bucket, the id-ordered running token
+# offset, and floor(offset/budget) — the whole assignment, not just the
+# shape.  Token expression is the shared whitespace-count twin from
+# text_token_stats.
+ORACLES["sequence_packing_stats"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 8 AS BIGINT) AS pack_bucket
+      FROM documents),
+    p AS (
+      SELECT pack_bucket, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (
+          PARTITION BY pack_bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_offset
+      FROM t),
+    seqs AS (
+      SELECT pack_bucket,
+             CAST(floor(start_offset / 128.0) AS BIGINT) AS pack_seq,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+      FROM p GROUP BY 1, 2)
+    SELECT pack_bucket,
+           count(*) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           max(seq_tokens / 128.0) AS max_fill,
+           avg(seq_tokens / 128.0) AS avg_fill
+    FROM seqs GROUP BY 1
+"""
+
+
+def _mixture_oracle_sql() -> str:
+    """Thresholds GENERATED from the same _MIXTURE dict +
+    ``sampling.hash_threshold`` the Spark query uses — the two sides
+    cannot drift."""
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{sampling.hash_threshold(f)}'"
+        for s, f in sorted(_MIXTURE.items())
+    )
+    default = sampling.hash_threshold(0.0)
+    return f"""
+        SELECT source, count(*) AS sampled_docs,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE source {arms} ELSE '{default}' END
+        GROUP BY 1
+    """
+
+
+ORACLES["mixture_sample_stats"] = _mixture_oracle_sql()
+
+ORACLES["shard_assignment_stats"] = """
+    WITH s AS (
+      SELECT user_id,
+        CAST(CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 16 AS BIGINT) AS shard,
+        md5(CAST(event_id AS VARCHAR)) AS shard_pos
+      FROM events)
+    SELECT shard, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           min(shard_pos) AS first_pos
+    FROM s GROUP BY 1
+"""
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -1087,3 +1087,96 @@ def test_pii_scrub_planted(spark):
     assert "10.0.42.7" not in rows[2]["scrubbed"]
     assert rows[3]["scrubbed"] == "nothing sensitive here"
     assert rows[4]["n_email"] == 0 and rows[4]["scrubbed"] is None
+
+
+def test_pack_sequences_stream_semantics(spark):
+    from dwc_dataframe_validator_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([50, 60, 30, 200, 10, 40])],
+        ["doc_id", "n_tokens"],
+    )
+    # one bucket -> the whole corpus is one token stream in id order
+    rows = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(
+            docs, "doc_id", "n_tokens", seq_budget=100, n_buckets=1
+        ).collect()
+    }
+    offsets = [rows[i]["start_offset"] for i in range(6)]
+    assert offsets == [0, 50, 110, 140, 340, 350]
+    # doc 1 STARTS inside seq 0 (offset 50) even though it crosses the
+    # boundary; the 200-token doc 3 owns seq 1 onward from offset 140
+    assert [rows[i]["pack_seq"] for i in range(6)] == [0, 0, 1, 1, 3, 3]
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from dwc_dataframe_validator_spark.operators import packing
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    a = packing.pack_sequences(docs, "doc_id", "n_tokens", 64, n_buckets=4)
+    b = packing.pack_sequences(
+        docs.repartition(13), "doc_id", "n_tokens", 64, n_buckets=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every row landed in a real bucket and sequence
+    bounds = a.agg(
+        F.min("pack_bucket"), F.max("pack_bucket"), F.min("pack_seq")
+    ).first()
+    assert bounds[0] >= 0 and bounds[1] <= 3 and bounds[2] == 0
+
+
+def test_packing_stats_conserves_tokens(spark):
+    from dwc_dataframe_validator_spark.operators import packing
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 91 + 5).alias("n_tokens")
+    )
+    total = docs.agg(F.sum("n_tokens")).first()[0]
+    packed = packing.pack_sequences(docs, "doc_id", "n_tokens", 128, n_buckets=8)
+    stats = packing.packing_stats(packed, "n_tokens", 128)
+    agg = stats.agg(
+        F.sum("total_tokens"), F.sum("n_docs"), F.sum("n_seqs")
+    ).first()
+    assert agg[0] == total and agg[1] == 500
+    # average stream fill must be near 1 (only each bucket's tail
+    # sequence can be short); max_fill may exceed 1 by < one doc
+    fills = stats.agg(F.min("avg_fill"), F.max("max_fill")).first()
+    assert fills[0] > 0.5 and fills[1] < 2.0
+
+
+def test_mixture_sample_rates(spark):
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    rows = [(i, "keep" if i % 3 == 0 else ("half" if i % 3 == 1 else "other"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out = sampling.mixture_sample(df, "src", "k", {"keep": 1.0, "half": 0.5})
+    by_src = {r["src"]: r["cnt"] for r in
+              out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert by_src["keep"] == 1000            # fraction 1.0 keeps every row
+    assert "other" not in by_src             # default 0.0 drops the stratum
+    assert 380 <= by_src.get("half", 0) <= 620   # ~Binomial(1000, .5)
+    # value-determinism: partitioning must not change the subset
+    again = sampling.mixture_sample(
+        df.repartition(11), "src", "k", {"keep": 1.0, "half": 0.5})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_assign_shards_deterministic_and_uniform(spark):
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    s = sampling.assign_shards(df, "k", n_shards=8)
+    counts = [r["c"] for r in
+              s.groupBy("shard").agg(F.count("*").alias("c")).collect()]
+    assert len(counts) == 8 and min(counts) > 300  # uniform-ish, 500 expected
+    one = s.filter(F.col("k") == 42).first()
+    import hashlib
+
+    assert one["shard_pos"] == hashlib.md5(b"42").hexdigest()
+    assert one["shard"] == int(one["shard_pos"][:8], 16) % 8
+    with pytest.raises(ValueError):
+        sampling.assign_shards(df, "k", 0)
