@@ -158,6 +158,56 @@ def quality_score(
     )
 
 
+# Linear quality model: fixed feature order + weights, shared with the
+# generated DuckDB oracle.  Transcendental-free on purpose — every
+# feature and the logit are IEEE +,*,/ in a fixed evaluation order, so
+# Spark (JVM) and DuckDB (C) produce bit-identical doubles and the
+# score crosses the exact-hash gate.  Swap in trained weights (e.g. a
+# fastText/DCLM-style quality classifier distilled to a linear head)
+# without touching the plan shape.
+QUALITY_MODEL_INTERCEPT = -3.5
+QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("alpha_ratio", 3.0),    # alphabetic chars / chars
+    ("stopword_frac", 4.0),  # stopword hits / tokens
+    ("len_norm", 1.0),       # min(tokens, 1000) / 1000
+)
+
+
+def model_quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality scoring — the "classifier filter" step of a
+    modern training-data pipeline (quality classifiers à la DCLM /
+    FineWeb-Edu), here a linear head over cheap text features:
+    ``(id, features..., quality_logit, quality_pred)``.
+
+    One map-side projection, no shuffle, no UDF — model inference at
+    scan speed, which is the whole point of distilling a quality model
+    to features the engine can compute in codegen.  At 100 TB this
+    scores every document in the same pass that reads it."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    feats = {
+        "alpha_ratio": n_alpha.cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double"),
+        "stopword_frac": F.regexp_count(t, F.lit(EN_STOPWORDS)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        "len_norm": F.least(n_tokens, F.lit(1000)).cast("double")
+        / F.lit(1000.0),
+    }
+    logit = F.lit(QUALITY_MODEL_INTERCEPT)
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        logit = logit + F.lit(w) * feats[name]
+    return df.select(
+        F.col(id_col),
+        *[feats[name].alias(name) for name, _ in QUALITY_MODEL_WEIGHTS],
+        logit.alias("quality_logit"),
+        (logit > F.lit(0.0)).alias("quality_pred"),
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -762,6 +762,15 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model inference at scan speed (operators/text.py
+    ``model_quality_score``): transcendental-free features × shared
+    weight constants → bit-identical doubles on both engines, so even
+    the model SCORE crosses the exact-hash gate.  The oracle's feature
+    and logit SQL is generated from the same constants."""
+    return text.model_quality_score(load_table(spark, sf_dir, "documents"))
+
+
 def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the document corpus into 128-token training sequences
     across 8 hash buckets (operators/packing.py) and summarize per
@@ -1403,6 +1412,7 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_packing_stats": sequence_packing_stats,
     "mixture_sample_stats": mixture_sample_stats,
     "shard_assignment_stats": shard_assignment_stats,
+    "quality_model_scores": quality_model_scores,
 }
 
 
@@ -2349,6 +2359,43 @@ def _mixture_oracle_sql() -> str:
 
 
 ORACLES["mixture_sample_stats"] = _mixture_oracle_sql()
+
+def _quality_model_oracle_sql() -> str:
+    """Feature SQL + logit arithmetic GENERATED from
+    ``text.QUALITY_MODEL_WEIGHTS`` in the same fixed evaluation order
+    as the Spark expression tree — IEEE +,*,/ only, so the doubles are
+    bit-identical and the weights cannot drift between engines."""
+    feats = {
+        "alpha_ratio": (
+            "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
+            " AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+        ),
+        "stopword_frac": (
+            f"CAST(len(regexp_extract_all(text, '{text.EN_STOPWORDS}')) AS DOUBLE)"
+            " / CAST(greatest(n_tokens, 1) AS DOUBLE)"
+        ),
+        "len_norm": "CAST(least(n_tokens, 1000) AS DOUBLE) / 1000.0",
+    }
+    logit = f"({text.QUALITY_MODEL_INTERCEPT!r})"
+    for name, w in text.QUALITY_MODEL_WEIGHTS:
+        logit = f"({logit} + ({w!r} * {name}))"
+    cols = ", ".join(name for name, _ in text.QUALITY_MODEL_WEIGHTS)
+    feat_sql = ", ".join(f"{expr} AS {name}" for name, expr in feats.items())
+    return rf"""
+        WITH s AS (
+          SELECT doc_id, text,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM documents),
+        f AS (SELECT doc_id, {feat_sql} FROM s)
+        SELECT doc_id, {cols},
+               {logit} AS quality_logit,
+               {logit} > 0.0 AS quality_pred
+        FROM f
+    """
+
+
+ORACLES["quality_model_scores"] = _quality_model_oracle_sql()
 
 ORACLES["shard_assignment_stats"] = """
     WITH s AS (

@@ -1180,3 +1180,104 @@ def test_assign_shards_deterministic_and_uniform(spark):
     assert one["shard"] == int(one["shard_pos"][:8], 16) % 8
     with pytest.raises(ValueError):
         sampling.assign_shards(df, "k", 0)
+
+
+def test_interval_join_batch_semantics(spark):
+    import datetime
+
+    from dwc_dataframe_validator_spark.streaming.joins import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    clicks = spark.createDataFrame(
+        [(1, m(0), "c1"), (1, m(90), "c2"), (2, m(0), "c3")],
+        ["user_id", "ts", "click_id"],
+    )
+    buys = spark.createDataFrame(
+        [(1, m(30), "b1"), (1, m(95), "b2"), (2, m(200), "b3"), (3, m(10), "b4")],
+        ["user_id", "ts", "buy_id"],
+    )
+    out = interval_join(
+        clicks, buys, key="user_id", lower="0 seconds", upper="1 hour"
+    ).select("l.click_id", "r.buy_id")
+    got = sorted(map(tuple, out.collect()))
+    # c1@0 matches b1@30 (not b2@95, >1h); c2@90 matches b2@95;
+    # c3 user2: b3@200 outside window; user 3 has no click
+    assert got == [("c1", "b1"), ("c2", "b2")]
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    import datetime
+
+    from dwc_dataframe_validator_spark.streaming.joins import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    rows_l = [(u, t0 + datetime.timedelta(minutes=7 * i), i)
+              for u in (1, 2, 3) for i in range(12)]
+    rows_r = [(u, t0 + datetime.timedelta(minutes=5 * i + 2), 100 + i)
+              for u in (1, 2) for i in range(15)]
+    left = spark.createDataFrame(rows_l, ["user_id", "ts", "lid"])
+    right = spark.createDataFrame(rows_r, ["user_id", "ts", "rid"])
+    batch = sorted(
+        map(tuple, interval_join(left, right, key="user_id",
+                                 upper="15 minutes")
+            .select("lid", "rid").collect())
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lsrc)
+    right.write.parquet(rsrc)
+    ls = spark.readStream.schema(left.schema).parquet(lsrc)
+    rs = spark.readStream.schema(right.schema).parquet(rsrc)
+    out = interval_join(ls, rs, key="user_id", upper="15 minutes",
+                        watermark="30 minutes").select("lid", "rid")
+    q = (out.writeStream.format("memory").queryName("ij_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ij_out").collect()))
+    assert got == batch and len(batch) > 0
+
+
+def test_model_quality_score_linear_head(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it is a fine day in the sun"),
+            (2, "@@@@ #### $$$$ %%%%"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.model_quality_score(docs).collect()}
+    from dwc_dataframe_validator_spark.operators.text import (
+        QUALITY_MODEL_INTERCEPT,
+        QUALITY_MODEL_WEIGHTS,
+    )
+
+    r1 = rows[1]
+    expect = QUALITY_MODEL_INTERCEPT
+    for name, wt in QUALITY_MODEL_WEIGHTS:
+        expect = expect + wt * r1[name]
+    assert r1["quality_logit"] == expect  # exact, not approx: fixed order
+    assert r1["quality_pred"] == (expect > 0)
+    assert r1["alpha_ratio"] > 0.5 and r1["stopword_frac"] > 0
+    # symbol soup: zero alpha, zero stopwords -> deep negative logit
+    r2 = rows[2]
+    assert r2["alpha_ratio"] == 0.0 and r2["quality_pred"] is False
+    assert r2["quality_logit"] < 0
+    # null text propagates null score, never a crash
+    assert rows[3]["quality_logit"] is None and rows[3]["quality_pred"] is None
+
+
+def test_orc_roundtrip_preserves_table(spark, tmp_path):
+    # ORC is the second columnar format Spark ships natively; the
+    # engine's sources must not be parquet-only.
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
