@@ -516,3 +516,46 @@ def rp_lsh_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization to ``bits``-bit integer
+    codes: ``(id, qvec: array<int>, scale: double)`` with
+    ``x ≈ q · scale``.  At 100 TB this is the shuffle-diet move — int8
+    codes cut every ANN/dedup exchange and the vector cache footprint
+    4× vs float32 (16× vs float64), at <1% cosine error for typical
+    embedding distributions.
+
+    Map-side ``transform``/``array_max`` expressions only — no UDF, no
+    shuffle.  Rounding is the explicit ``floor(x/scale + 0.5)`` formula
+    rather than an engine ``round()`` (HALF_UP vs HALF_EVEN varies by
+    engine); every step is IEEE-exact, so codes are bit-identical on
+    any engine and the DuckDB oracle checks them value-for-value.
+    All-zero vectors get ``scale = 0`` and all-zero codes (guarded —
+    0/0 would be NaN and an ANSI cast error)."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (absmax / F.lit(qmax)).alias("scale")
+    code = F.when(
+        F.col("scale") == F.lit(0.0),
+        F.transform(v, lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                x.cast("double") / F.col("scale") + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), v, scale)
+        .select(F.col(id_col), code.alias("qvec"), "scale")
+    )

@@ -762,6 +762,47 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def corpus_pack_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline in one plan: quality gate →
+    exact dedup (fingerprint, keep min id) → deterministic 50% sample
+    (operators/pipeline.py ``prepare_training_corpus``) → sequence
+    packing into 128-token streams over 4 hash buckets
+    (operators/packing.py) → per-bucket packing stats.
+
+    Three shuffles total for five pipeline stages (fingerprint window,
+    pack-bucket window — the sample is a map-side filter between them —
+    and nothing else: both aggregations reuse the pack-bucket
+    partitioning).  The oracle replays every stage in one WITH chain,
+    so the cross-stage interaction — not just each stage alone — sits
+    behind the exact-hash gate."""
+    from .operators.pipeline import prepare_training_corpus
+
+    corpus = prepare_training_corpus(load_table(spark, sf_dir, "documents"))
+    packed = packing.pack_sequences(
+        corpus, "doc_id", "n_tokens", seq_budget=128, n_buckets=4
+    )
+    return packing.packing_stats(packed, "n_tokens", seq_budget=128)
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization of the embedding column
+    (operators/similarity.py ``quantize_embeddings``) — the 4× shuffle/
+    cache diet for vector workloads at 100 TB.  Codes use the explicit
+    ``floor(x/scale + 0.5)`` rounding formula (engine round() tie rules
+    differ) so the oracle checks every code value-for-value; the array
+    is comma-joined to a string for the hash gate (same convention as
+    the MinHash signature columns)."""
+    from .operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.size("qvec").alias("dim"),
+        F.concat_ws(",", F.col("qvec")).alias("qvec_str"),
+        "scale",
+    )
+
+
 def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-model inference at scan speed (operators/text.py
     ``model_quality_score``): transcendental-free features × shared
@@ -1413,6 +1454,8 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_sample_stats": mixture_sample_stats,
     "shard_assignment_stats": shard_assignment_stats,
     "quality_model_scores": quality_model_scores,
+    "embedding_quantization": embedding_quantization,
+    "corpus_pack_end_to_end": corpus_pack_end_to_end,
 }
 
 
@@ -2396,6 +2439,78 @@ def _quality_model_oracle_sql() -> str:
 
 
 ORACLES["quality_model_scores"] = _quality_model_oracle_sql()
+
+# Every stage of the composed pipeline replayed in one WITH chain:
+# quality gate -> fingerprint dedup -> 50% hash sample (the
+# training_corpus_prep oracle) -> md5 pack bucket -> running offset ->
+# sequence assignment -> per-bucket stats (the sequence_packing oracle).
+ORACLES["corpus_pack_end_to_end"] = r"""
+    WITH q AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS alpha_ratio,
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM documents),
+    f AS (
+      SELECT * FROM q
+      WHERE n_tokens BETWEEN 5 AND 10000 AND stop_hits >= 1
+        AND alpha_ratio >= 0.5),
+    k AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (
+               PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM f),
+    corpus AS (
+      SELECT doc_id, n_tokens FROM k
+      WHERE rn = 1
+        AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+    b AS (
+      SELECT doc_id, n_tokens,
+        CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 4 AS BIGINT) AS pack_bucket
+      FROM corpus),
+    p AS (
+      SELECT pack_bucket, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (
+          PARTITION BY pack_bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_offset
+      FROM b),
+    seqs AS (
+      SELECT pack_bucket,
+             CAST(floor(start_offset / 128.0) AS BIGINT) AS pack_seq,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+      FROM p GROUP BY 1, 2)
+    SELECT pack_bucket,
+           count(*) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           max(seq_tokens / 128.0) AS max_fill,
+           avg(seq_tokens / 128.0) AS avg_fill
+    FROM seqs GROUP BY 1
+"""
+
+ORACLES["embedding_quantization"] = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings)
+    SELECT vec_id,
+           len(embedding) AS dim,
+           array_to_string(
+             CASE WHEN scale = 0.0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                 AS BIGINT)) END, ',') AS qvec_str,
+           scale
+    FROM s
+"""
 
 ORACLES["shard_assignment_stats"] = """
     WITH s AS (

@@ -1281,3 +1281,29 @@ def test_orc_roundtrip_preserves_table(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == docs.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_quantize_embeddings_roundtrip_error(spark):
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [100.0, 0.0, -50.0, 25.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),       # zero vector: scale 0, codes 0
+        (4, [1e-6, -1e-6, 5e-7, 0.0]),   # tiny magnitudes still resolve
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[3]["scale"] == 0.0 and rows[3]["qvec"] == [0, 0, 0, 0]
+    for vid, vec in vecs:
+        q, s = rows[vid]["qvec"], rows[vid]["scale"]
+        assert all(-127 <= c <= 127 for c in q), (vid, q)
+        # dequantized value within half a quantization step
+        for x, c in zip(vec, q):
+            assert abs(c * s - x) <= s / 2 + 1e-12, (vid, x, c, s)
+    # max-magnitude component always maps to ±127
+    assert max(abs(c) for c in rows[2]["qvec"]) == 127
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, bits=1)

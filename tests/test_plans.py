@@ -89,3 +89,26 @@ def test_contamination_reuses_shingle_exchange(spark):
     phys = plan[plan.index("== Physical Plan =="):]
     assert "isFinalPlan=true" in phys
     assert phys.count("ReusedExchange") >= 1, phys[:2000]
+
+
+def test_packing_reuses_bucket_partitioning(spark):
+    # pack window shuffles on pack_bucket ONCE; both stats aggregations
+    # must pick that partitioning up (grouping keys are prefixed by it)
+    nodes = _nodes(spark, "sequence_packing_stats")
+    assert nodes.count("Exchange") == 1, nodes
+
+
+def test_corpus_pack_end_to_end_three_shuffles(spark):
+    # five pipeline stages, exactly three wide ops: fingerprint-dedup
+    # window, pack-bucket window (sample is a map-side filter between
+    # them) — the packing aggregations reuse the bucket partitioning
+    nodes = _nodes(spark, "corpus_pack_end_to_end")
+    assert nodes.count("Exchange") == 2, nodes
+
+
+def test_map_side_model_and_quantization(spark):
+    # model scoring and quantization are scan-speed projections: no
+    # exchange anywhere in either plan
+    for name in ("quality_model_scores", "embedding_quantization"):
+        nodes = _nodes(spark, name)
+        assert nodes.count("Exchange") == 0, (name, nodes)
