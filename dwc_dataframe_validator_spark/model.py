@@ -77,3 +77,81 @@ def report_to_dict(report: Any) -> dict[str, Any]:
 def report_to_json(report: Any, indent: int | None = 2) -> str:
     """JSON form of any report dataclass (reference README.md:58)."""
     return json.dumps(asdict(report), indent=indent, default=str)
+
+
+def merge_df_reports(
+    a: DFValidationReport,
+    b: DFValidationReport,
+    max_vocab_samples: int = 10,
+) -> DFValidationReport:
+    """Exact merge of two slice reports — the incremental-validation
+    path at 100 TB: validate each partition/day slice independently
+    (embarrassingly parallel, no cross-slice shuffle), then fold the
+    reports.  Every DFValidationReport field is additive (counts sum,
+    lists union), so merge-then-report equals report-on-union exactly
+    — pinned by tests/test_sinks.py.  Distinct/duplicate counts are
+    deliberately NOT part of the report dataclass (they live in the
+    metrics queries, where merging needs HLL sketch union, not ints).
+
+    ``non_matching_values`` follows the reference's first-N
+    lexicographic sample contract (validate.py A14 semantics): union,
+    sort, cap — identical to what a single pass over the union emits
+    because the sample is the N smallest distinct values.
+    """
+    if a.record_type != b.record_type:
+        raise ValueError(
+            f"cannot merge reports of different record types: "
+            f"{a.record_type!r} vs {b.record_type!r}"
+        )
+    cols = dict(a.column_counts)
+    for k, v in b.column_counts.items():
+        cols[k] = cols.get(k, 0) + v
+    coords = None
+    if a.coordinates_report or b.coordinates_report:
+        ca, cb = a.coordinates_report, b.coordinates_report
+        zero = CoordinatesReport(False, 0, 0)
+        ca, cb = ca or zero, cb or zero
+        coords = CoordinatesReport(
+            has_coordinates_fields=ca.has_coordinates_fields
+            or cb.has_coordinates_fields,
+            invalid_decimal_latitude_count=ca.invalid_decimal_latitude_count
+            + cb.invalid_decimal_latitude_count,
+            invalid_decimal_longitude_count=ca.invalid_decimal_longitude_count
+            + cb.invalid_decimal_longitude_count,
+        )
+    vb = {r.field: r for r in b.vocab_reports}
+    vocab = []
+    for ra in a.vocab_reports:
+        rb = vb.pop(ra.field, None)
+        if rb is None:
+            vocab.append(ra)
+            continue
+        vocab.append(
+            VocabularyReport(
+                field=ra.field,
+                has_field=ra.has_field or rb.has_field,
+                recognised_count=ra.recognised_count + rb.recognised_count,
+                unrecognised_count=ra.unrecognised_count
+                + rb.unrecognised_count,
+                non_matching_values=sorted(
+                    set(ra.non_matching_values) | set(rb.non_matching_values)
+                )[:max_vocab_samples],
+            )
+        )
+    vocab.extend(vb.values())
+    return DFValidationReport(
+        record_type=a.record_type,
+        record_count=a.record_count + b.record_count,
+        errors=a.errors + [e for e in b.errors if e not in a.errors],
+        warnings=a.warnings + [w for w in b.warnings if w not in a.warnings],
+        coordinates_report=coords,
+        column_counts=cols,
+        record_error_count=a.record_error_count + b.record_error_count,
+        records_with_taxonomy_count=a.records_with_taxonomy_count
+        + b.records_with_taxonomy_count,
+        records_with_temporal_count=a.records_with_temporal_count
+        + b.records_with_temporal_count,
+        records_with_recorded_by_count=a.records_with_recorded_by_count
+        + b.records_with_recorded_by_count,
+        vocab_reports=vocab,
+    )

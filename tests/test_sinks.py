@@ -53,3 +53,88 @@ def test_write_bucketed_join_skips_shuffle(spark):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_merge_reports_equals_full_validation(spark):
+    # incremental validation: validate two slices independently, merge
+    # the reports — must equal one validation over the union, exactly
+    from dwc_dataframe_validator_spark import (
+        report_to_dict,
+        validate_occurrence_dataframe,
+    )
+    from dwc_dataframe_validator_spark.model import merge_df_reports
+
+    cols = ["occurrenceID", "scientificName", "decimalLatitude",
+            "decimalLongitude", "eventDate", "recordedBy",
+            "geodeticDatum", "basisOfRecord"]
+    slice_a = [
+        ("1", "Ursus arctos", "51.0", "-1.1", "2023-01-01", "A", "WGS84", "HumanObservation"),
+        ("2", None, "99.0", "-1.2", "2023-01-02", "B", "WGS84", "BadBasis"),
+    ]
+    slice_b = [
+        ("3", "Vulpes vulpes", "53.0", "-200.0", "2023-01-03", None, "WGS84", "Observation"),
+        ("4", "Vulpes vulpes", "54.0", "-1.4", None, "D", "WGS84", "WorseBasis"),
+        ("5", None, None, None, "2023-01-05", "E", "WGS84", "MaterialSample"),
+    ]
+    ra = validate_occurrence_dataframe(
+        spark.createDataFrame(slice_a, cols), ["occurrenceID"])
+    rb = validate_occurrence_dataframe(
+        spark.createDataFrame(slice_b, cols), ["occurrenceID"])
+    full = validate_occurrence_dataframe(
+        spark.createDataFrame(slice_a + slice_b, cols), ["occurrenceID"])
+    merged = merge_df_reports(ra, rb)
+    assert report_to_dict(merged) == report_to_dict(full)
+
+
+def test_merge_reports_rejects_type_mismatch():
+    import pytest
+
+    from dwc_dataframe_validator_spark.model import (
+        DFValidationReport,
+        merge_df_reports,
+    )
+
+    a = DFValidationReport(record_type="Occurrence", record_count=1)
+    b = DFValidationReport(record_type="Event", record_count=1)
+    with pytest.raises(ValueError):
+        merge_df_reports(a, b)
+
+
+def test_streaming_validation_report_sink(spark, tmp_path):
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches; the
+    # folded report must equal one batch validation over everything
+    from dwc_dataframe_validator_spark import (
+        report_to_dict,
+        validate_occurrence_dataframe,
+    )
+    from dwc_dataframe_validator_spark.streaming.report_sink import (
+        RunningReport,
+        validation_report_sink,
+    )
+
+    cols = ["occurrenceID", "scientificName", "decimalLatitude",
+            "decimalLongitude", "eventDate", "recordedBy",
+            "geodeticDatum", "basisOfRecord"]
+    part1 = [("1", "Ursus arctos", "51.0", "-1.1", "2023-01-01", "A",
+              "WGS84", "HumanObservation"),
+             ("2", None, "99.0", "-1.2", "2023-01-02", "B",
+              "WGS84", "BadBasis")]
+    part2 = [("3", "Vulpes vulpes", "53.0", "-200.0", "2023-01-03",
+              None, "WGS84", "Observation")]
+    src = str(tmp_path / "stream_src")
+    d1 = spark.createDataFrame(part1, cols)
+    d2 = spark.createDataFrame(part2, cols)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(d1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    running = RunningReport()
+    q = validation_report_sink(stream, ["occurrenceID"], running)
+    q.awaitTermination(120)
+    assert running.n_batches == 2
+    full = validate_occurrence_dataframe(
+        spark.createDataFrame(part1 + part2, cols), ["occurrenceID"])
+    got, want = report_to_dict(running.report), report_to_dict(full)
+    # fold order is micro-batch arrival order; sample lists stay sorted
+    # and capped, counts are additive -> dicts must match exactly
+    assert got == want
