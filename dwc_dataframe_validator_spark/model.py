@@ -84,14 +84,26 @@ def merge_df_reports(
     b: DFValidationReport,
     max_vocab_samples: int = 10,
 ) -> DFValidationReport:
-    """Exact merge of two slice reports — the incremental-validation
-    path at 100 TB: validate each partition/day slice independently
+    """Merge of two slice reports — the incremental-validation path at
+    100 TB: validate each partition/day slice independently
     (embarrassingly parallel, no cross-slice shuffle), then fold the
-    reports.  Every DFValidationReport field is additive (counts sum,
-    lists union), so merge-then-report equals report-on-union exactly
-    — pinned by tests/test_sinks.py.  Distinct/duplicate counts are
-    deliberately NOT part of the report dataclass (they live in the
-    metrics queries, where merging needs HLL sketch union, not ints).
+    reports.  Counts sum, lists union — pinned by tests/test_sinks.py.
+
+    CONTRACT — duplicate-ID errors are per-slice only.  The reference's
+    ``check_id_fields`` (validate.py:246-249) counts duplicates within
+    the validated frame; an ID appearing once in slice A and once in
+    slice B is a duplicate of the union but of neither slice, so the
+    merged ``record_error_count`` can undercount versus one validation
+    over the union.  Merge-then-report equals report-on-union exactly
+    IFF ID values are unique across slices (e.g. slicing by ingest file
+    where IDs don't repeat across files); otherwise run a dedicated
+    global uniqueness pass (operators/dedup.exact duplicates on the ID
+    column — one shuffle) alongside the fold.  All OTHER fields
+    (populated counts, coordinate bounds, vocab, temporal/taxonomy
+    flags) are row-local, hence exactly additive regardless.
+    Distinct/duplicate counts are deliberately NOT part of the report
+    dataclass (they live in the metrics queries, where merging needs
+    HLL sketch union, not ints).
 
     ``non_matching_values`` follows the reference's first-N
     lexicographic sample contract (validate.py A14 semantics): union,

@@ -5,9 +5,12 @@ This closes the loop between the batch validator and the streaming
 surface: every micro-batch is validated with the SAME
 ``validate_occurrence_dataframe`` code path (no streaming-specific
 metric logic to drift), and the per-batch reports fold with
-``model.merge_df_reports`` — exact because every report field is
-additive (merge-then-report ≡ report-on-union, pinned in
-tests/test_sinks.py).
+``model.merge_df_reports`` — exact for all row-local metrics
+(merge-then-report ≡ report-on-union, pinned in tests/test_sinks.py),
+with one documented caveat: duplicate-ID errors are counted per
+micro-batch, so an ID repeated ACROSS batches is not flagged (see
+``merge_df_reports``' contract; run a global exact-dedup pass on the
+ID column if cross-batch uniqueness matters).
 
 At 100 TB-scale ingestion this is the validation pattern: each
 micro-batch/partition/day validates independently (embarrassingly
@@ -26,13 +29,30 @@ from ..model import DFValidationReport, merge_df_reports
 
 class RunningReport:
     """Driver-side fold state for streaming validation.  ``report`` is
-    None until the first non-empty batch; ``n_batches`` counts folds."""
+    None until the first non-empty batch; ``n_batches`` counts folds.
+
+    ``foreachBatch`` is at-least-once: on recovery from a checkpoint a
+    micro-batch can be re-delivered with the same ``batch_id``.  The
+    fold tracks the last folded id and skips replays so every additive
+    metric is counted exactly once (batch ids are monotonically
+    increasing within a streaming query)."""
 
     def __init__(self) -> None:
         self.report: Optional[DFValidationReport] = None
         self.n_batches = 0
+        self.last_batch_id: Optional[int] = None
 
-    def fold(self, batch_report: DFValidationReport) -> None:
+    def fold(
+        self, batch_report: DFValidationReport, batch_id: int | None = None
+    ) -> None:
+        if (
+            batch_id is not None
+            and self.last_batch_id is not None
+            and batch_id <= self.last_batch_id
+        ):
+            return  # replayed micro-batch: already folded
+        if batch_id is not None:
+            self.last_batch_id = batch_id
         self.n_batches += 1
         if self.report is None:
             self.report = batch_report
@@ -59,7 +79,8 @@ def validation_report_sink(
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             running.fold(
-                validate_occurrence_dataframe(batch_df, list(id_fields))
+                validate_occurrence_dataframe(batch_df, list(id_fields)),
+                batch_id=batch_id,
             )
 
     return (

@@ -100,6 +100,66 @@ def test_merge_reports_rejects_type_mismatch():
         merge_df_reports(a, b)
 
 
+def test_merge_reports_cross_slice_duplicate_ids(spark):
+    # documented contract: duplicate-ID errors are per-slice only.  The
+    # same occurrenceID once in each slice is a duplicate of the union
+    # but of neither slice, so merged record_error_count undercounts
+    # versus report-on-union — by design; a global uniqueness check is
+    # a separate exact-dedup pass.
+    from dwc_dataframe_validator_spark import validate_occurrence_dataframe
+    from dwc_dataframe_validator_spark.model import merge_df_reports
+
+    cols = ["occurrenceID", "scientificName", "decimalLatitude",
+            "decimalLongitude", "eventDate", "recordedBy",
+            "geodeticDatum", "basisOfRecord"]
+    slice_a = [("DUP", "Ursus arctos", "51.0", "-1.1", "2023-01-01",
+                "A", "WGS84", "HumanObservation")]
+    slice_b = [("DUP", "Vulpes vulpes", "53.0", "-1.3", "2023-01-03",
+                "C", "WGS84", "HumanObservation")]
+    ra = validate_occurrence_dataframe(
+        spark.createDataFrame(slice_a, cols), ["occurrenceID"])
+    rb = validate_occurrence_dataframe(
+        spark.createDataFrame(slice_b, cols), ["occurrenceID"])
+    full = validate_occurrence_dataframe(
+        spark.createDataFrame(slice_a + slice_b, cols), ["occurrenceID"])
+    merged = merge_df_reports(ra, rb)
+    # union: populated - distinct = 2 - 1 = 1 duplicate error
+    assert full.record_error_count == 1
+    assert "DUPLICATE_OCCURRENCEID_VALUES" in full.errors
+    assert merged.record_error_count == 0  # per-slice: no within-slice dup
+    # every row-local metric still merges exactly
+    assert merged.record_count == full.record_count
+    assert merged.column_counts == full.column_counts
+    assert (merged.records_with_taxonomy_count
+            == full.records_with_taxonomy_count)
+
+
+def test_running_report_skips_replayed_batch():
+    # foreachBatch is at-least-once: a re-delivered batch_id must not
+    # double-count.  Folding batches 0,1 then a replay of 1 must equal
+    # exactly-once delivery of 0,1.
+    from dwc_dataframe_validator_spark.model import DFValidationReport
+    from dwc_dataframe_validator_spark.streaming.report_sink import (
+        RunningReport,
+    )
+
+    def rep(n):
+        return DFValidationReport(
+            record_type="Occurrence", record_count=n,
+            column_counts={"occurrenceID": n})
+
+    once = RunningReport()
+    once.fold(rep(2), batch_id=0)
+    once.fold(rep(3), batch_id=1)
+    replayed = RunningReport()
+    replayed.fold(rep(2), batch_id=0)
+    replayed.fold(rep(3), batch_id=1)
+    replayed.fold(rep(3), batch_id=1)  # recovery re-delivery
+    assert replayed.n_batches == 2
+    assert replayed.report.record_count == once.report.record_count == 5
+    assert replayed.report.column_counts == once.report.column_counts
+
+
 def test_streaming_validation_report_sink(spark, tmp_path):
     # two files -> maxFilesPerTrigger=1 forces two micro-batches; the
     # folded report must equal one batch validation over everything
@@ -123,7 +183,9 @@ def test_streaming_validation_report_sink(spark, tmp_path):
               None, "WGS84", "Observation")]
     src = str(tmp_path / "stream_src")
     d1 = spark.createDataFrame(part1, cols)
-    d2 = spark.createDataFrame(part2, cols)
+    # part2 is a single row with a None recordedBy -> type inference
+    # would see an all-null column; build with the explicit schema
+    d2 = spark.createDataFrame(part2, d1.schema)
     d1.coalesce(1).write.mode("append").parquet(src)
     d2.coalesce(1).write.mode("append").parquet(src)
     stream = (spark.readStream.schema(d1.schema)
