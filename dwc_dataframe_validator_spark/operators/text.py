@@ -635,12 +635,29 @@ def repetition_profile(
 
 # PII patterns shared by the Spark scrubber and the DuckDB oracle —
 # RE2-safe syntax only (no lookarounds/backrefs), so Java regex and RE2
-# agree.  Replacement order matters (emails contain word chars a later
-# pattern could clip): email → ipv4 → phone, identical on both engines.
+# agree (both leftmost-first).  Replacement order matters (emails
+# contain word chars a later pattern could clip): email → ipv4 → phone,
+# identical on both engines.
+#
+# Phone shape (can't digit-count across groups without lookahead, so
+# the bound is structural): either a compact international number
+# (`+` then 7-15 digits), or 3-5 groups of 2-4 digits joined by single
+# space/hyphen separators, optionally `+`-prefixed / parenthesized,
+# word-boundary-anchored on both ends.  The anchors + group shape stop
+# the false positives the old `\+?\d[\d() -]{7,}\d` had: bare digit
+# runs inside IDs, single-digit space lists, 5+-digit ID chunk lists,
+# and dotted coordinates no longer redact.  Known remaining ambiguity:
+# `YYYY-MM-DD` dates share the grouped shape and still match (as they
+# did before); excluding them needs lookahead, which RE2 lacks.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+    (
+        "phone",
+        r"\+\d{7,15}\b"
+        r"|(\+\(?\d{2,4}\)?|\(\d{2,4}\)|\b\d{2,4})([ -]\d{2,4}){2,4}\b",
+        "<PHONE>",
+    ),
 ]
 
 

@@ -1089,6 +1089,35 @@ def test_pii_scrub_planted(spark):
     assert rows[4]["n_email"] == 0 and rows[4]["scrubbed"] is None
 
 
+def test_pii_phone_pattern_bounds(spark):
+    # the tightened phone shape: real phone formats redact; bare digit
+    # runs, single-digit lists, 5-digit ID chunks and dotted
+    # coordinates do not (the VERDICT-flagged false positives)
+    phones = [
+        "(555) 123-4567",
+        "+44 20 7946 0958",
+        "+14155552671",
+        "555-123-4567",
+    ]
+    not_phones = [
+        "record id 123456789 stored",
+        "1 2 3 4 5 6 7 8 9",
+        "ids 12345 67890 11223 44556",
+        "at 60.169 24.938 today",
+        "run 123456789 12 34 end",
+    ]
+    texts = phones + not_phones
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    for i, t in enumerate(phones):
+        assert rows[i]["n_phone"] >= 1, t
+        assert "<PHONE>" in rows[i]["scrubbed"], t
+    for j, t in enumerate(not_phones, start=len(phones)):
+        assert rows[j]["n_phone"] == 0, t
+        assert rows[j]["scrubbed"] == t, t
+
+
 def test_pack_sequences_stream_semantics(spark):
     from dwc_dataframe_validator_spark.operators import packing
 
