@@ -559,3 +559,111 @@ def quantize_embeddings(
         df.select(F.col(id_col), v, scale)
         .select(F.col(id_col), code.alias("qvec"), "scale")
     )
+
+
+def ivf_trained_check(
+    emb: DataFrame,
+    n_take: int = 200,
+    n_cells: int = 8,
+    dim: int = 16,
+    scale: int = 1000,
+    seed_str: str = "ivf5:",
+) -> DataFrame:
+    """Engine-portable exact twin of the trained-IVF path
+    (``ivf_topk_trained``): a deterministic quantizer fit — seeded
+    farthest-from-nothing init (first ``n_cells`` vectors in
+    md5-of-id order) plus ONE Lloyd iteration — whose every step is
+    replayable in ANSI SQL, so a DuckDB oracle can verify centroid
+    *training* and *assignment* value-for-value, the way
+    ``minhash_lsh_check`` replays LSH banding.
+
+    Exactness recipe (why this hash-matches across engines):
+    - elements are quantized up front: ``q = floor(x·scale + 0.5)`` as
+      BIGINT — a single IEEE multiply+floor per value, no
+      accumulation, so both engines get identical ints;
+    - all cross-row arithmetic (centroid sums, distances) is then
+      INTEGER — order-free, exact on any engine;
+    - the one division (centroid mean) is a single double op on exact
+      integer inputs, identical everywhere, immediately re-floored to
+      the integer grid: ``m = floor(S·scale/n + 0.5)``;
+    - argmin ties break on cell id.
+
+    Scale story: this is the *verification twin*, run on a reduced
+    slice (``dim`` leading dimensions, ``n_take`` md5-sampled rows) —
+    the production path is ``ivf_topk_trained`` (sampled MLlib fit,
+    broadcast multiprobe).  The same plan shape still scales: one
+    broadcast join per assignment, one (cell, pos) partial aggregate.
+
+    Returns (vec_id, cell_init, cell_final, d2_scaled) — the cell
+    after init-assignment, after the Lloyd step, and the final integer
+    distance at scale² · 1e6.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed_str), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    q = F.transform(
+        F.slice(F.col("embedding"), 1, dim),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+    )
+    w = Window.orderBy("h", "vec_id")
+    sub = (
+        emb.select(F.col("vec_id"), q.alias("q"), h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_take)
+        .select("vec_id", "q", "rn")
+    )
+    cent0 = sub.filter(F.col("rn") <= n_cells).select(
+        (F.col("rn") - 1).alias("cell"), F.col("q").alias("c")
+    )
+
+    def d2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    w_min = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
+    assign0 = (
+        sub.crossJoin(F.broadcast(cent0))
+        .withColumn("_d", d2(F.col("q"), F.col("c")))
+        .withColumn("_r", F.row_number().over(w_min))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "q", F.col("cell").alias("cell_init"))
+    )
+    ex = assign0.select(
+        "vec_id", "cell_init", F.posexplode("q").alias("pos", "qd")
+    )
+    cent1 = (
+        ex.groupBy("cell_init", "pos")
+        .agg(F.sum("qd").alias("S"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "m",
+            F.floor(
+                F.col("S").cast("double") * scale / F.col("n") + F.lit(0.5)
+            ),
+        )
+        .groupBy(F.col("cell_init").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t["m"],
+            ).alias("c")
+        )
+    )
+    return (
+        assign0.crossJoin(F.broadcast(cent1))
+        .withColumn(
+            "_d", d2(F.transform("q", lambda x: x * scale), F.col("c"))
+        )
+        .withColumn("_r", F.row_number().over(w_min))
+        .filter(F.col("_r") == 1)
+        .select(
+            "vec_id",
+            "cell_init",
+            F.col("cell").alias("cell_final"),
+            F.col("_d").alias("d2_scaled"),
+        )
+    )

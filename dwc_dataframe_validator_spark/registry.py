@@ -2526,6 +2526,113 @@ ORACLES["shard_assignment_stats"] = """
 """
 
 
+# --- round-5 additions (append-only: driver window stability, ADVICE #5) ---
+
+
+def ann_ivf_trained_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle twin of the trained-IVF path
+    (operators/similarity.py ``ivf_trained_check``): deterministic
+    seeded init + one integer-arithmetic Lloyd iteration, every step
+    SQL-replayable — verifies quantizer TRAINING and assignment
+    value-for-value (``ann_ivf_trained`` itself stays rows-only: MLlib
+    k-means float reductions aren't order-free)."""
+    from .operators.similarity import ivf_trained_check as _check
+
+    return _check(load_table(spark, sf_dir, "embeddings"))
+
+
+def multimodal_frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-offset oracle for the row-expanding frame sampler
+    (operators/multimodal.py ``sample_frames``): the stub's frame
+    count (1 + len%4), stride (max(1, len//n)) and 16-byte slices are
+    pure byte arithmetic, so DuckDB can replay them on the hex form of
+    the UTF-8 blob (this DuckDB build has no BLOB substr; a byte slice
+    [a, a+16) is hex chars [2a+1, 2a+32]) — value-exact including the
+    frame payloads, compared as uppercase hex on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.attach_text_blob(docs), fake=True
+    )
+    return frames.select(
+        "id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
+
+
+QUERIES["ann_ivf_trained_check"] = ann_ivf_trained_check
+QUERIES["multimodal_frame_sample_check"] = multimodal_frame_sample_check
+
+# Trained-IVF replay: md5-seeded subset + init, element quantization to
+# the integer grid, integer distances, one Lloyd mean re-floored to the
+# grid — the same constants as operators/similarity.ivf_trained_check
+# (n_take=200, n_cells=8, dim=16, scale=1000, seed 'ivf5:').
+ORACLES["ann_ivf_trained_check"] = """
+    WITH sub AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5('ivf5:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings
+      QUALIFY rn <= 200),
+    ex AS (
+      SELECT vec_id, rn, CAST(r.i - 1 AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
+                        + 0.5) AS BIGINT) AS qd
+      FROM sub, range(1, 17) r(i)),
+    cent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cell, pos, qd AS cd
+      FROM ex WHERE rn <= 8),
+    a0 AS (
+      SELECT e.vec_id, c.cell,
+             CAST(sum((e.qd - c.cd) * (e.qd - c.cd)) AS BIGINT) AS d0
+      FROM ex e JOIN cent0 c USING (pos) GROUP BY 1, 2),
+    assign0 AS (
+      SELECT vec_id, cell AS cell_init FROM a0
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d0, cell) = 1),
+    s AS (
+      SELECT a.cell_init, e.pos,
+             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
+      FROM assign0 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+    m AS (
+      SELECT cell_init AS cell, pos,
+             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
+               AS md
+      FROM s),
+    a1 AS (
+      SELECT e.vec_id, m.cell,
+             CAST(sum((e.qd * 1000 - m.md) * (e.qd * 1000 - m.md))
+                  AS BIGINT) AS d1
+      FROM ex e JOIN m USING (pos) GROUP BY 1, 2)
+    SELECT a.vec_id, a0.cell_init, CAST(a.cell AS INT) AS cell_final,
+           a.d1 AS d2_scaled
+    FROM a1 a JOIN assign0 a0 USING (vec_id)
+    QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY a.d1, a.cell) = 1
+"""
+
+# Frame-sampler replay: n = 1 + len%4, step = max(1, len//n), frame f
+# is bytes [f*step, f*step+16) — byte arithmetic replayed on the hex
+# string of the UTF-8 blob (2 hex chars per byte).
+ORACLES["multimodal_frame_sample_check"] = """
+    WITH b AS (
+      SELECT doc_id AS id, encode(text) AS blob
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT id, hex(blob) AS h, octet_length(blob) AS n_bytes,
+             1 + octet_length(blob) % 4 AS n_frames
+      FROM b),
+    s AS (
+      SELECT id, h, n_frames,
+             CASE WHEN n_bytes // n_frames < 1 THEN 1
+                  ELSE n_bytes // n_frames END AS step
+      FROM p)
+    SELECT s.id, CAST(r.i AS INT) AS frame_idx,
+           substr(h, r.i * step * 2 + 1, 32) AS frame_hex
+    FROM s, range(0, 4) r(i)
+    WHERE r.i < n_frames
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
