@@ -3,11 +3,11 @@ columns with typed metadata.
 
 The Spark-side contract is real and tested — binary content column,
 metadata struct, Arrow-batched ``mapInPandas`` decode/feature plumbing
-with explicit output schemas — while the actual media decoding is
-STUBBED: the container has no image/audio libraries, so ``decode_images``
+with explicit output schemas.  ``decode_images`` uses PIL when it is
+importable (guarded import — no hard dependency); without PIL it
 raises ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic fake decoder derives dimensions from the bytes (stable
-for tests; swap the inner function for PIL/ffmpeg in production).
+for tests).  Video frame sampling stays a stub (no ffmpeg binding).
 
 Scale notes (100 TB):
 - binary payloads ride in parquet as BYTE_ARRAY; metadata-only queries
@@ -69,6 +69,28 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int, bool]:
+    """Real decode path: PIL header read (``Image.open`` is lazy — it
+    parses the header only, no full pixel decode for metadata)."""
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), True
+    except Exception:  # noqa: BLE001 — corrupt blob → ok=False row
+        return 0, 0, 0, False
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",
@@ -76,21 +98,34 @@ def decode_images(
     fake: bool = False,
 ) -> DataFrame:
     """Arrow-batched image decode returning (id, width, height,
-    channels, ok).  Real decoding requires an image library not present
-    in this container — pass ``fake=True`` for the deterministic stub
-    (plumbing, schema, and batching are identical either way)."""
+    channels, ok).
+
+    Backend choice, in order: ``fake=True`` forces the deterministic
+    stub (stable for tests, any container); otherwise PIL is used if
+    importable (corrupt payloads yield ``ok=False`` rows, not task
+    failures); otherwise ``NotImplementedError``.  Plumbing, schema and
+    Arrow batching are identical on every branch — swapping the decoder
+    never changes the plan."""
+    use_pil = not fake and _pil_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and not use_pil:
                 raise NotImplementedError(
                     "image decoding requires PIL/opencv (not installed); "
                     "pass fake=True for the deterministic stub"
                 )
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
-                w, h, ch = _fake_decode(bytes(payload))
-                rows.append((i, w, h, ch, True))
+                if payload is None:
+                    rows.append((i, 0, 0, 0, False))
+                    continue
+                if use_pil:
+                    w, h, ch, ok = _pil_decode(bytes(payload))
+                else:
+                    w, h, ch = _fake_decode(bytes(payload))
+                    ok = True
+                rows.append((i, w, h, ch, ok))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "channels", "ok"]
             )

@@ -414,10 +414,48 @@ def test_multimodal_stub_pipeline(docs):
     assert {f["id"] for f in frames} == set(decoded)
 
 
-def test_multimodal_real_decode_raises(docs):
+def test_multimodal_decode_backend_guard(spark, docs):
+    # import-guarded backend: with PIL installed the non-fake path does
+    # a real header decode (valid PNG -> dims, garbage -> ok=False);
+    # without PIL it raises NotImplementedError.  Either branch runs
+    # cleanly in whatever container executes the suite.
+    from dwc_dataframe_validator_spark.operators.multimodal import (
+        _pil_available,
+    )
+
     blobs = multimodal.attach_text_blob(docs)
-    with pytest.raises(Exception):
-        multimodal.decode_images(blobs).collect()
+    if not _pil_available():
+        with pytest.raises(Exception):
+            multimodal.decode_images(blobs).collect()
+        return
+    # 1x1 red PNG + one garbage blob through the PIL branch
+    import base64
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+        b"nGP4z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "id long, content binary",
+    )
+    rows = {r["id"]: r for r in multimodal.decode_images(df).collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (1, 1)
+    assert not rows[2]["ok"]
+
+
+def test_multimodal_decode_null_payload(docs):
+    # null blob -> (0,0,0,ok=False) row on the stub path, no crash
+    import pyspark.sql.functions as SF
+
+    blobs = multimodal.attach_text_blob(docs).withColumn(
+        "content",
+        SF.when(SF.col("id") == 1, SF.lit(None).cast("binary"))
+        .otherwise(SF.col("content")),
+    )
+    rows = {r["id"]: r for r in
+            multimodal.decode_images(blobs, fake=True).collect()}
+    assert not rows[1]["ok"] and rows[1]["width"] == 0
+    assert all(r["ok"] for i, r in rows.items() if i != 1)
 
 
 # --- annotate --------------------------------------------------------------
