@@ -6,18 +6,19 @@ CLUSTERS: transitive groups sharing one survivor.  A–B and B–C must
 collapse to one keeper even though A–C was never emitted.  The
 reference has nothing comparable (SURVEY §2.5/2.7 — none).
 
-Algorithm: iterative min-label propagation.  Every node starts
-labelled with itself; each round replaces a node's label with the min
-of its own and its neighbors' labels; at fixpoint the label is the
-component's minimum id.  Rounds needed = the largest component's
-diameter.  That termination bound is why this fits the dedup use-case
-specifically: candidate-pair generators cap bucket sizes (skew guards),
-so components are small and shallow — a handful of rounds.  For
-general graphs with long chains, the O(log n)-round alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC 2014) would replace the loop body; the
-per-round plumbing (self-joins + min-aggregates + checkpointing) is
-identical.
+Algorithm: iterative min-label propagation WITH pointer doubling.
+Every node starts labelled with itself; each round (1) replaces a
+node's label with the min of its own and its neighbors' labels, then
+(2) shortcuts: replaces the label with the label's OWN current label
+(labels are node ids, so this is one self-join lookup).  Step (1)
+alone needs O(diameter) rounds — a 10× scale spot-check found exactly
+that failure: near-threshold noise edges chained components into
+diameters past 25 and the loop never converged.  The shortcut step
+compresses label paths geometrically (the Shiloach–Vishkin idea, same
+effect as the large-star/small-star alternation of Kiveris et al.,
+SoCC 2014), so convergence is O(log diameter) rounds — 25 rounds
+covers diameters ~2^25 — at the cost of one extra shuffle join per
+round.
 
 Scale notes: state is (node, label) for nodes that appear in SOME pair
 — a small fraction of the corpus, orders of magnitude below the input.
@@ -80,13 +81,31 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
                 "label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("mid_label"),
+            )
+        )
+        # pointer doubling: follow the new label one hop (labels are
+        # node ids, and every label value exists as a node).  Labels
+        # only ever decrease, so the lookup can only improve — this is
+        # what makes long chains collapse in O(log d) rounds.
+        lookup = stepped.select(
+            F.col("node").alias("_ln"), F.col("mid_label").alias("_ll")
+        )
+        updated = (
+            stepped.join(lookup, stepped["mid_label"] == lookup["_ln"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("mid_label"),
+                    F.coalesce(F.col("_ll"), F.col("mid_label")),
                 ).alias("new_label"),
             )
         )

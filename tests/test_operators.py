@@ -817,6 +817,22 @@ def test_connected_components_iteration_bound(spark):
     assert set(r["cluster"] for r in ok.collect()) == {0}
 
 
+def test_connected_components_long_chain(spark):
+    # regression for the 10x scale spot-check failure: a path graph
+    # whose diameter (200) far exceeds the round bound (25) must still
+    # converge — pointer doubling makes rounds O(log diameter)
+    from dwc_dataframe_validator_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["ida", "idb"]
+    )
+    comp = connected_components(chain).collect()
+    assert len(comp) == 201
+    assert set(r["cluster"] for r in comp) == {0}
+
+
 def test_rp_lsh_recall_on_planted_pairs(spark):
     import numpy as np
 
