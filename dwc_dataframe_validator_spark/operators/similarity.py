@@ -324,7 +324,17 @@ def embedding_dup_pairs(
     At 100 TB the cell column comes from a trained coarse quantizer
     (k-means centroid id); near-identical embeddings land in the same
     cell, so the quadratic blow-up is confined to cell-local pairs —
-    the same blocking trick as LSH banding for text."""
+    the same blocking trick as LSH banding for text.
+
+    SCALE CONTRACT — cell granularity must grow with the corpus.  The
+    within-cell term is quadratic in cell size, so a FIXED cell count
+    makes this operator O(n²/C): the round-5 10× spot-check measured
+    51× runtime at 10× rows when the corpus was scaled but the 10
+    label cells were not (BASELINE.md appendix).  Keep cells at a
+    target size by fitting the quantizer with ``n_cells ≈ n /
+    target_cell_size`` (``build_ivf_index``; re-fit or split cells as
+    the corpus grows) — then cosine work per cell is constant and the
+    total is linear in n."""
     a = corpus.select(
         F.col(id_col).alias("ida"),
         F.col(vec_col).alias("_va"),
