@@ -1,10 +1,13 @@
 """Driver test-table loaders (/root/testdata/sf*/... parquet).
 
-The only wrinkle: ``events.parquet`` stores TIMESTAMP(NANOS), which
-Spark 4 rejects by default.  We read it with
-``spark.sql.legacy.parquet.nanosAsLong`` and convert the raw
-nanoseconds to a proper TimestampType column (microsecond precision —
-Spark's native resolution).
+The only wrinkle: ``events.parquet``'s ``ts`` physical type has varied
+across driver data generations — TIMESTAMP(NANOS) (which Spark 4
+rejects by default) in some, TIMESTAMP(MICROS) in others.  The loader
+handles both: it reads with ``spark.sql.legacy.parquet.nanosAsLong``
+enabled and normalizes whatever comes back (raw nano longs, or a
+timestamp/timestamp_ntz) to a proper TimestampType column at
+microsecond precision — Spark's native resolution — so every consumer
+sees one stable schema.
 """
 
 from __future__ import annotations
@@ -32,9 +35,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        # Integer division: epoch-nanos exceed double's 2^53 mantissa, so
-        # `/ 1000` through double rounds ±1 µs; `div` stays in long.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as raw longs.  Integer division:
+            # epoch-nanos exceed double's 2^53 mantissa, so `/ 1000`
+            # through double rounds ±1 µs; `div` stays in long.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # MICROS generation: arrives as timestamp/timestamp_ntz; cast
+        # to TimestampType (session TZ is pinned UTC, so wall-clock
+        # values are unchanged) for one stable schema either way.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
