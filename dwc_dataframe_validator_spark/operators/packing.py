@@ -84,6 +84,41 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    packed: DataFrame, id_col: str, token_col: str
+) -> DataFrame:
+    """The training-export manifest: one row per packed sequence with
+    its document composition in stream order — ``(pack_bucket,
+    pack_seq, n_docs, seq_tokens, doc_ids_csv, token_counts_csv)``.
+    This is the artifact a sequence-writer job consumes to emit actual
+    token shards; keeping it as (csv-string) manifests rather than
+    re-reading text keeps the export stage metadata-only.
+
+    Stream order within a sequence is the packer's order (``id``
+    ascending — the window order of ``pack_sequences``), rebuilt here
+    with ``array_sort(collect_list(struct(id, tokens)))`` so the
+    manifest is value-deterministic and the DuckDB oracle reproduces it
+    with ``string_agg(... ORDER BY id)``.  No new shuffle: the groupBy
+    keys start with ``pack_bucket``, so the window's hash partitioning
+    already satisfies the aggregation's clustering requirement."""
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col(token_col)))
+    )
+    return (
+        packed.groupBy("pack_bucket", "pack_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("long").alias("seq_tokens"),
+            F.concat_ws(
+                ",", F.transform(pairs, lambda t: t[id_col].cast("string"))
+            ).alias("doc_ids_csv"),
+            F.concat_ws(
+                ",", F.transform(pairs, lambda t: t[token_col].cast("string"))
+            ).alias("token_counts_csv"),
+        )
+    )
+
+
 def packing_stats(packed: DataFrame, token_col: str, seq_budget: int) -> DataFrame:
     """Per-bucket packing summary: sequence count, document count,
     total tokens, and exact fill statistics.

@@ -2558,8 +2558,53 @@ def multimodal_frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest (operators/packing.py
+    ``materialize_sequences``): the per-sequence document composition
+    the shard writer consumes — same 128-token / 8-bucket packing as
+    ``sequence_packing_stats``, now materialized per sequence with
+    stream-ordered doc-id and token-count lists (csv strings for
+    engine-portable comparison).  Exact oracle: the same md5 bucket +
+    running offset replay, grouped with ``string_agg(... ORDER BY
+    doc_id)``."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = packing.pack_sequences(
+        docs, "doc_id", "n_tokens", seq_budget=128, n_buckets=8
+    )
+    return packing.materialize_sequences(packed, "doc_id", "n_tokens")
+
+
 QUERIES["ann_ivf_trained_check"] = ann_ivf_trained_check
 QUERIES["multimodal_frame_sample_check"] = multimodal_frame_sample_check
+QUERIES["packed_sequences_manifest"] = packed_sequences_manifest
+
+ORACLES["packed_sequences_manifest"] = r"""
+    WITH b AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 8 AS BIGINT) AS pack_bucket
+      FROM documents),
+    p AS (
+      SELECT doc_id, n_tokens, pack_bucket,
+        CAST(COALESCE(sum(n_tokens) OVER (
+          PARTITION BY pack_bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_offset
+      FROM b)
+    SELECT pack_bucket,
+           CAST(floor(start_offset / 128.0) AS BIGINT) AS pack_seq,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS doc_ids_csv,
+           string_agg(CAST(n_tokens AS VARCHAR), ',' ORDER BY doc_id)
+             AS token_counts_csv
+    FROM p GROUP BY 1, 2
+"""
 
 # Trained-IVF replay: md5-seeded subset + init, element quantization to
 # the integer grid, integer distances, one Lloyd mean re-floored to the

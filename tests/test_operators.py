@@ -1193,6 +1193,33 @@ def test_pack_sequences_stream_semantics(spark):
     assert [rows[i]["pack_seq"] for i in range(6)] == [0, 0, 1, 1, 3, 3]
 
 
+def test_materialize_sequences_manifest(spark):
+    from dwc_dataframe_validator_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([50, 60, 30, 200, 10, 40])],
+        ["doc_id", "n_tokens"],
+    )
+    packed = packing.pack_sequences(
+        docs, "doc_id", "n_tokens", seq_budget=100, n_buckets=1
+    )
+    rows = {
+        (r["pack_bucket"], r["pack_seq"]): r
+        for r in packing.materialize_sequences(
+            packed, "doc_id", "n_tokens"
+        ).collect()
+    }
+    # same placement as test_pack_sequences_stream_semantics: seq 0
+    # holds docs 0,1; seq 1 holds 2,3; seq 3 holds 4,5 (doc 3's 200
+    # tokens spill across seq 2, which therefore owns no doc START)
+    assert rows[(0, 0)]["doc_ids_csv"] == "0,1"
+    assert rows[(0, 0)]["token_counts_csv"] == "50,60"
+    assert rows[(0, 1)]["doc_ids_csv"] == "2,3"
+    assert rows[(0, 3)]["doc_ids_csv"] == "4,5"
+    assert (0, 2) not in rows
+    assert rows[(0, 1)]["seq_tokens"] == 230 and rows[(0, 1)]["n_docs"] == 2
+
+
 def test_pack_sequences_partition_invariant(spark):
     from dwc_dataframe_validator_spark.operators import packing
 
