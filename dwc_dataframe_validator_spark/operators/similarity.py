@@ -677,3 +677,127 @@ def ivf_trained_check(
             F.col("_d").alias("d2_scaled"),
         )
     )
+
+
+def pq_adc_check(
+    emb: DataFrame,
+    n_codes: int = 8,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    n_queries: int = 8,
+    k: int = 3,
+    scale: int = 1000,
+    seed_str: str = "pq5:",
+) -> DataFrame:
+    """Product-quantization ADC search, engine-portable and exact —
+    the PQ member of the ANN family (brute / Arrow-BLAS / IVF /
+    trained-IVF / RP-LSH), as a fully SQL-replayable twin built on the
+    same integer-grid recipe as ``ivf_trained_check``:
+
+    1. TRAIN: split vectors into ``n_subspaces`` contiguous subvectors;
+       per subspace fit ``n_codes`` codewords — seeded init (subvectors
+       of the first ``n_codes`` rows in md5-of-id order) + ONE Lloyd
+       step, all arithmetic on the ``floor(x·scale+0.5)`` integer grid
+       (cross-row sums integer, the one mean division re-floored).
+    2. ENCODE: each vector → per-subspace argmin codeword id (integer
+       distances, ties to the smaller code).
+    3. ADC: per (query, subspace, code) an integer lookup-table
+       distance; a candidate's approx d² is the sum of its codes' LUT
+       entries — one integer sum, then top-k per query (ties to the
+       smaller neighbor id).  Queries are rows ``n_codes+1 ..
+       n_codes+n_queries`` in md5 order (disjoint from the init rows).
+
+    Production mapping (this function is the verification twin): train
+    on a sample with MLlib per-subspace k-means, broadcast the M×K×d/M
+    codebook, encode map-side, and ADC-join candidates on (subspace,
+    code) with the LUT broadcast — compute per candidate is M integer
+    adds instead of d multiplies, and the code table is 8× smaller
+    than int8 vectors (log2(K)·M bits).
+
+    Returns (query_id, neighbor_id, rank, d2_pq) — d2_pq at
+    scale²·1e6."""
+    sub_dim = dim // n_subspaces
+    if sub_dim * n_subspaces != dim:
+        raise ValueError(f"n_subspaces={n_subspaces} must divide dim={dim}")
+    h = F.md5(
+        F.concat(F.lit(seed_str), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    w = Window.orderBy("h", "vec_id")
+    base = (
+        emb.select(F.col("vec_id"), F.col("embedding"), h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("vec_id", "embedding", "rn")
+    )
+    ex = base.select(
+        "vec_id",
+        "rn",
+        F.posexplode(F.slice(F.col("embedding"), 1, dim)).alias("pos", "_x"),
+    ).select(
+        "vec_id",
+        "rn",
+        (F.col("pos") / sub_dim).cast("int").alias("ss"),
+        "pos",
+        F.floor(F.col("_x").cast("double") * scale + F.lit(0.5)).alias("qd"),
+    )
+    cent0 = ex.filter(F.col("rn") <= n_codes).select(
+        (F.col("rn") - 1).cast("int").alias("code"),
+        "ss",
+        "pos",
+        F.col("qd").alias("cd"),
+    )
+    w_vs = Window.partitionBy("vec_id", "ss").orderBy(F.asc("_d"), F.asc("code"))
+    asg0 = (
+        ex.join(F.broadcast(cent0), ["ss", "pos"])
+        .groupBy("vec_id", "ss", "code")
+        .agg(
+            F.sum((F.col("qd") - F.col("cd")) * (F.col("qd") - F.col("cd")))
+            .alias("_d")
+        )
+        .withColumn("_r", F.row_number().over(w_vs))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "ss", "code")
+    )
+    m = (
+        asg0.join(ex, ["vec_id", "ss"])
+        .groupBy("ss", "code", "pos")
+        .agg(F.sum("qd").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "ss",
+            "code",
+            "pos",
+            F.floor(
+                F.col("sq").cast("double") * scale / F.col("n") + F.lit(0.5)
+            ).alias("md"),
+        )
+    )
+    d1 = (F.col("qd") * scale - F.col("md")) * (F.col("qd") * scale - F.col("md"))
+    enc = (
+        ex.join(F.broadcast(m), ["ss", "pos"])
+        .groupBy("vec_id", "ss", "code")
+        .agg(F.sum(d1).alias("_d"))
+        .withColumn("_r", F.row_number().over(w_vs))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "ss", "code")
+    )
+    q = ex.filter(
+        (F.col("rn") > n_codes) & (F.col("rn") <= n_codes + n_queries)
+    ).select(F.col("vec_id").alias("query_id"), "ss", "pos", "qd")
+    lut = (
+        q.join(F.broadcast(m), ["ss", "pos"])
+        .groupBy("query_id", "ss", "code")
+        .agg(F.sum(d1).alias("ld"))
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_pq"), F.asc("neighbor_id")
+    )
+    return (
+        enc.join(F.broadcast(lut), ["ss", "code"])
+        .groupBy(F.col("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("d2_pq"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2_pq")
+    )

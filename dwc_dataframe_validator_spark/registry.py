@@ -2576,9 +2576,93 @@ def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.materialize_sequences(packed, "doc_id", "n_tokens")
 
 
+def ann_pq_adc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/similarity.py
+    ``pq_adc_check``): per-subspace codebook fit (seeded init + one
+    integer-grid Lloyd step), encode, LUT-based approximate top-k —
+    the entire PQ pipeline behind an exact DuckDB oracle via the same
+    integer-arithmetic recipe as ``ann_ivf_trained_check``."""
+    from .operators.similarity import pq_adc_check as _check
+
+    return _check(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES["ann_ivf_trained_check"] = ann_ivf_trained_check
 QUERIES["multimodal_frame_sample_check"] = multimodal_frame_sample_check
 QUERIES["packed_sequences_manifest"] = packed_sequences_manifest
+QUERIES["ann_pq_adc_check"] = ann_pq_adc_check
+
+# PQ replay: subspace = pos//16; per-subspace seeded init + one Lloyd
+# step on the integer grid; encode = per-subspace argmin; ADC = sum of
+# per-(query, subspace, code) integer LUT entries.  Same constants as
+# operators/similarity.pq_adc_check (8 codes, 4 subspaces of 16 dims,
+# scale 1000, seed 'pq5:', queries = md5 ranks 9-16, k=3).
+ORACLES["ann_pq_adc_check"] = """
+    WITH sub AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5('pq5:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings),
+    ex AS (
+      SELECT vec_id, rn,
+             CAST((r.i - 1) // 16 AS INT) AS ss,
+             CAST(r.i - 1 AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
+                        + 0.5) AS BIGINT) AS qd
+      FROM sub, range(1, 65) r(i)),
+    cent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS code, ss, pos, qd AS cd
+      FROM ex WHERE rn <= 8),
+    a0 AS (
+      SELECT e.vec_id, e.ss, c.code,
+             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
+      FROM ex e JOIN cent0 c ON e.ss = c.ss AND e.pos = c.pos
+      GROUP BY 1, 2, 3),
+    asg0 AS (
+      SELECT vec_id, ss, code FROM a0
+      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
+                                 ORDER BY d0, code) = 1),
+    s AS (
+      SELECT a.ss, a.code, e.pos,
+             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
+      FROM asg0 a JOIN ex e ON a.vec_id = e.vec_id AND a.ss = e.ss
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT ss, code, pos,
+             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
+               AS md
+      FROM s),
+    encd AS (
+      SELECT e.vec_id, e.ss, m.code,
+             sum((e.qd * 1000 - m.md) * (e.qd * 1000 - m.md)) AS d1
+      FROM ex e JOIN m ON e.ss = m.ss AND e.pos = m.pos
+      GROUP BY 1, 2, 3),
+    enc AS (
+      SELECT vec_id, ss, code FROM encd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
+                                 ORDER BY d1, code) = 1),
+    q AS (
+      SELECT vec_id AS query_id, ss, pos, qd
+      FROM ex WHERE rn > 8 AND rn <= 16),
+    lut AS (
+      SELECT q.query_id, m.ss, m.code,
+             sum((q.qd * 1000 - m.md) * (q.qd * 1000 - m.md)) AS ld
+      FROM q JOIN m ON q.ss = m.ss AND q.pos = m.pos
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(sum(l.ld) AS BIGINT) AS d2_pq
+      FROM enc e JOIN lut l ON e.ss = l.ss AND e.code = l.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, d2_pq
+    FROM (
+      SELECT query_id, neighbor_id, d2_pq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2_pq, neighbor_id) AS rnk
+      FROM adc WHERE query_id != neighbor_id)
+    WHERE rnk <= 3
+"""
 
 ORACLES["packed_sequences_manifest"] = r"""
     WITH b AS (

@@ -817,6 +817,33 @@ def test_connected_components_iteration_bound(spark):
     assert set(r["cluster"] for r in ok.collect()) == {0}
 
 
+def test_pq_adc_check_semantics(spark):
+    # PQ ADC: deterministic (value-dependent only), self-excluding,
+    # rank-complete, with integer distances monotone within a query
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        pq_adc_check,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = pq_adc_check(emb).collect()
+    again = pq_adc_check(emb.repartition(7)).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["query_id"] != r["neighbor_id"]
+        assert r["d2_pq"] >= 0
+    assert len(by_q) == 8
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert all(
+            rs[i]["d2_pq"] <= rs[i + 1]["d2_pq"] for i in range(len(rs) - 1)
+        )
+
+
 def test_connected_components_long_chain(spark):
     # regression for the 10x scale spot-check failure: a path graph
     # whose diameter (200) far exceeds the round bound (25) must still
