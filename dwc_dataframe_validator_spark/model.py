@@ -96,9 +96,10 @@ def merge_df_reports(
     merged ``record_error_count`` can undercount versus one validation
     over the union.  Merge-then-report equals report-on-union exactly
     IFF ID values are unique across slices (e.g. slicing by ingest file
-    where IDs don't repeat across files); otherwise run a dedicated
-    global uniqueness pass (operators/dedup.exact duplicates on the ID
-    column — one shuffle) alongside the fold.  All OTHER fields
+    where IDs don't repeat across files); otherwise run the dedicated
+    global pass — ``operators.integrity.global_duplicate_ids`` (one
+    shuffle; same populated−distinct error accounting, pinned with
+    this merge in tests/test_sinks.py) — alongside the fold.  All OTHER fields
     (populated counts, coordinate bounds, vocab, temporal/taxonomy
     flags) are row-local, hence exactly additive regardless.
     Distinct/duplicate counts are deliberately NOT part of the report

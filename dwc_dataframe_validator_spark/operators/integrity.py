@@ -46,3 +46,45 @@ def fk_orphan_count(
     return fk_orphans(child, parent, child_key, parent_key, broadcast_parent).agg(
         F.count(F.lit(1)).alias("orphan_count")
     )
+
+
+def global_duplicate_ids(
+    df: DataFrame, id_col: str, sample_cap: int = 10
+) -> DataFrame:
+    """Corpus-wide ID-uniqueness report — the companion pass the
+    incremental-validation sink points at (``model.merge_df_reports``
+    contract: per-slice reports cannot see an ID repeated ACROSS
+    slices).  One row: total rows, distinct/duplicated-value counts,
+    the duplicate-row count in the reference's accounting
+    (populated − distinct, ``check_id_fields`` validate.py:246-249),
+    and the first ``sample_cap`` offending values lexicographically
+    (the A14 sample contract).
+
+    One shuffle on the ID value (partial-aggregated count per value),
+    then a tiny two-phase rollup; the sample is a sorted ``slice`` on
+    ≤ ``sample_cap`` survivors per partial — never a global sort of
+    all offenders.  NULL ids are excluded (they are 'missing', not
+    'duplicated' — the reference errors on them separately)."""
+    per_value = (
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(F.col(id_col).cast("string").alias("_idv"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dups = per_value.filter(F.col("_n") > 1)
+    stats = dups.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("duplicate_rows"),
+        F.count(F.lit(1)).alias("duplicated_values"),
+        (F.coalesce(F.sum("_n"), F.lit(0)) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("duplicate_error_count"),
+    )
+    sample = (
+        dups.orderBy("_idv")
+        .limit(sample_cap)  # TakeOrderedAndProject — partial top-N
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("_idv"))
+            ).alias("sample_values_csv")
+        )
+    )
+    return stats.crossJoin(sample)

@@ -2587,10 +2587,43 @@ def ann_pq_adc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _check(load_table(spark, sf_dir, "embeddings"))
 
 
+def global_duplicate_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide ID-uniqueness report (operators/integrity.py
+    ``global_duplicate_ids``) — the cross-slice companion to the
+    incremental validation sink: per-slice reports can never see an ID
+    repeated ACROSS slices (``merge_df_reports`` contract), so this one
+    global pass closes that gap.  Demonstrated on the deliberately
+    duplicate-heavy ``events.user_id``."""
+    from .operators.integrity import global_duplicate_ids
+
+    return global_duplicate_ids(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
 QUERIES["ann_ivf_trained_check"] = ann_ivf_trained_check
 QUERIES["multimodal_frame_sample_check"] = multimodal_frame_sample_check
 QUERIES["packed_sequences_manifest"] = packed_sequences_manifest
 QUERIES["ann_pq_adc_check"] = ann_pq_adc_check
+QUERIES["global_duplicate_user_ids"] = global_duplicate_user_ids
+
+ORACLES["global_duplicate_user_ids"] = """
+    WITH pv AS (
+      SELECT CAST(user_id AS VARCHAR) AS idv, count(*) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    d AS (SELECT * FROM pv WHERE n > 1),
+    stats AS (
+      SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS duplicate_rows,
+             count(*) AS duplicated_values,
+             CAST(COALESCE(sum(n), 0) - count(*) AS BIGINT)
+               AS duplicate_error_count
+      FROM d),
+    smp AS (
+      SELECT COALESCE(string_agg(idv, ',' ORDER BY idv), '')
+               AS sample_values_csv
+      FROM (SELECT idv FROM d ORDER BY idv LIMIT 10))
+    SELECT * FROM stats, smp
+"""
 
 # PQ replay: subspace = pos//16; per-subspace seeded init + one Lloyd
 # step on the integer grid; encode = per-subspace argmin; ADC = sum of

@@ -127,6 +127,16 @@ def test_merge_reports_cross_slice_duplicate_ids(spark):
     assert full.record_error_count == 1
     assert "DUPLICATE_OCCURRENCEID_VALUES" in full.errors
     assert merged.record_error_count == 0  # per-slice: no within-slice dup
+    # the documented companion pass DOES see the cross-slice duplicate
+    from dwc_dataframe_validator_spark.operators.integrity import (
+        global_duplicate_ids,
+    )
+
+    rep = global_duplicate_ids(
+        spark.createDataFrame(slice_a + slice_b, cols), "occurrenceID"
+    ).collect()[0]
+    assert rep["duplicate_error_count"] == full.record_error_count == 1
+    assert rep["sample_values_csv"] == "DUP"
     # every row-local metric still merges exactly
     assert merged.record_count == full.record_count
     assert merged.column_counts == full.column_counts
