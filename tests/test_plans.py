@@ -98,6 +98,14 @@ def test_packing_reuses_bucket_partitioning(spark):
     assert nodes.count("Exchange") == 1, nodes
 
 
+def test_manifest_reuses_bucket_partitioning(spark):
+    # the sequence manifest groups by (pack_bucket, pack_seq): the
+    # window's pack_bucket hash partitioning satisfies that clustering,
+    # so materialization adds NO exchange beyond the bucket shuffle
+    nodes = _nodes(spark, "packed_sequences_manifest")
+    assert nodes.count("Exchange") == 1, nodes
+
+
 def test_corpus_pack_end_to_end_three_shuffles(spark):
     # five pipeline stages, exactly three wide ops: fingerprint-dedup
     # window, pack-bucket window (sample is a map-side filter between
