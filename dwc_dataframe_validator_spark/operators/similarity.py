@@ -679,6 +679,241 @@ def ivf_trained_check(
     )
 
 
+def ivfpq_check(
+    emb: DataFrame,
+    n_take: int = 200,
+    n_cells: int = 4,
+    n_codes: int = 8,
+    n_subspaces: int = 4,
+    dim: int = 16,
+    n_queries: int = 8,
+    shortlist: int = 10,
+    k: int = 3,
+    scale: int = 1000,
+    seed_str: str = "ivfpq6:",
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the production ANN architecture
+    at 100 TB (coarse quantize → per-cell PQ-ADC shortlist → exact
+    re-rank of the shortlist), composed from the two oracled recipes
+    ``ivf_trained_check`` (coarse stage) and ``pq_adc_check`` (PQ
+    stage) so the ENTIRE composed pipeline replays in ANSI SQL:
+
+    1. COARSE: seeded init (first ``n_cells`` rows in md5-of-id
+       order) + one integer-grid Lloyd step; every vector (and hence
+       every query — queries are md5 ranks ``n_codes+1 ..
+       n_codes+n_queries``, disjoint from both init sets) gets a
+       ``cell_final``.  nprobe=1: candidates = the query's cell.
+    2. PQ: per-subspace codebooks (seeded init rows ``1..n_codes``,
+       one integer-grid Lloyd step), encode all vectors to
+       ``n_subspaces`` code ids.
+    3. ADC SHORTLIST: per (query, subspace, code) integer LUT; a
+       candidate's approximate d² is the sum of its codes' LUT
+       entries; keep the ``shortlist`` closest per query (ties to the
+       smaller neighbor id).
+    4. RE-RANK: exact integer d² on the full ``dim``-slice grid for
+       shortlist members only; top-``k`` per query.
+
+    Production mapping: the coarse fit is a sampled MLlib k-means with
+    broadcast centroids (``build_ivf_index``); PQ codebooks are
+    likewise sample-trained and broadcast (M×K×(d/M) scalars); encode
+    and LUT build are map-side; the ADC join moves only (candidate ×
+    M) code ids — 8× smaller than int8 vectors — and the exact re-rank
+    touches ``shortlist`` full vectors per query instead of the cell's
+    thousands.  ``n_take`` caps the verification slice via one
+    TakeOrderedAndProject (no full-corpus global sort; see
+    ``pq_adc_check`` for the contrast).
+
+    Returns (query_id, neighbor_id, rank, d2_exact, d2_pq): rank by
+    exact distance, with the ADC estimate kept for recall analysis.
+    """
+    sub_dim = dim // n_subspaces
+    if sub_dim * n_subspaces != dim:
+        raise ValueError(f"n_subspaces={n_subspaces} must divide dim={dim}")
+    if n_codes < n_cells:
+        raise ValueError("n_codes must be >= n_cells (query ranks disjoint)")
+    h = F.md5(
+        F.concat(F.lit(seed_str), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    qarr = F.transform(
+        F.slice(F.col("embedding"), 1, dim),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+    )
+    # cap FIRST via orderBy+limit — TakeOrderedAndProject, a distributed
+    # partial top-k, not a single-partition global sort; the rank window
+    # then runs over n_take rows only
+    capped = (
+        emb.select(F.col("vec_id"), qarr.alias("q"), h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_take)
+    )
+    base = capped.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h", "vec_id"))
+    ).select("vec_id", "q", "rn")
+
+    def d2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # --- stage 1: coarse quantizer (ivf_trained_check recipe) -----------
+    cent0 = base.filter(F.col("rn") <= n_cells).select(
+        (F.col("rn") - 1).alias("cell"), F.col("q").alias("c")
+    )
+    w_min = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
+    assign0 = (
+        base.crossJoin(F.broadcast(cent0))
+        .withColumn("_d", d2(F.col("q"), F.col("c")))
+        .withColumn("_r", F.row_number().over(w_min))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "q", "rn", F.col("cell").alias("cell_init"))
+    )
+    ex0 = assign0.select(
+        "vec_id", "cell_init", F.posexplode("q").alias("pos", "qd")
+    )
+    cent1 = (
+        ex0.groupBy("cell_init", "pos")
+        .agg(F.sum("qd").alias("S"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "m",
+            F.floor(
+                F.col("S").cast("double") * scale / F.col("n") + F.lit(0.5)
+            ),
+        )
+        .groupBy(F.col("cell_init").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t["m"],
+            ).alias("c")
+        )
+    )
+    assign_f = (
+        assign0.crossJoin(F.broadcast(cent1))
+        .withColumn(
+            "_d", d2(F.transform("q", lambda x: x * scale), F.col("c"))
+        )
+        .withColumn("_r", F.row_number().over(w_min))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "q", "rn", F.col("cell").alias("cell_final"))
+    )
+
+    # --- stage 2: PQ codebooks + encode (pq_adc_check recipe) -----------
+    ex = assign_f.select(
+        "vec_id", "rn", F.posexplode("q").alias("pos", "qd")
+    ).withColumn("ss", (F.col("pos") / sub_dim).cast("int"))
+    pcent0 = ex.filter(F.col("rn") <= n_codes).select(
+        (F.col("rn") - 1).cast("int").alias("code"),
+        "ss",
+        "pos",
+        F.col("qd").alias("cd"),
+    )
+    w_vs = Window.partitionBy("vec_id", "ss").orderBy(F.asc("_d"), F.asc("code"))
+    pasg0 = (
+        ex.join(F.broadcast(pcent0), ["ss", "pos"])
+        .groupBy("vec_id", "ss", "code")
+        .agg(
+            F.sum((F.col("qd") - F.col("cd")) * (F.col("qd") - F.col("cd")))
+            .alias("_d")
+        )
+        .withColumn("_r", F.row_number().over(w_vs))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "ss", "code")
+    )
+    pm = (
+        pasg0.join(ex, ["vec_id", "ss"])
+        .groupBy("ss", "code", "pos")
+        .agg(F.sum("qd").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "ss",
+            "code",
+            "pos",
+            F.floor(
+                F.col("sq").cast("double") * scale / F.col("n") + F.lit(0.5)
+            ).alias("md"),
+        )
+    )
+    d1 = (F.col("qd") * scale - F.col("md")) * (F.col("qd") * scale - F.col("md"))
+    enc = (
+        ex.join(F.broadcast(pm), ["ss", "pos"])
+        .groupBy("vec_id", "ss", "code")
+        .agg(F.sum(d1).alias("_d"))
+        .withColumn("_r", F.row_number().over(w_vs))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "ss", "code")
+    )
+
+    # --- stage 3: per-cell ADC shortlist --------------------------------
+    qrows = ex.filter(
+        (F.col("rn") > n_codes) & (F.col("rn") <= n_codes + n_queries)
+    ).select(F.col("vec_id").alias("query_id"), "ss", "pos", "qd")
+    lut = (
+        qrows.join(F.broadcast(pm), ["ss", "pos"])
+        .groupBy("query_id", "ss", "code")
+        .agg(F.sum(d1).alias("ld"))
+    )
+    qcell = assign_f.filter(
+        (F.col("rn") > n_codes) & (F.col("rn") <= n_codes + n_queries)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cell_final").alias("_qc")
+    )
+    cand = (
+        F.broadcast(qcell)
+        .join(
+            assign_f.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cell_final").alias("_nc"),
+            ),
+            F.col("_qc") == F.col("_nc"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_pq"), F.asc("neighbor_id")
+    )
+    sl = (
+        cand.join(
+            enc.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "ss", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").alias("d2_pq"))
+        .withColumn("_r", F.row_number().over(w_sl))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id", "d2_pq")
+    )
+
+    # --- stage 4: exact re-rank of the shortlist ------------------------
+    qarrs = assign_f.select("vec_id", "q")
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_exact"), F.asc("neighbor_id")
+    )
+    return (
+        sl.join(
+            F.broadcast(
+                qarrs.select(
+                    F.col("vec_id").alias("query_id"), F.col("q").alias("_qq")
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            qarrs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("q").alias("_nq")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("d2_exact", d2(F.col("_qq"), F.col("_nq")))
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2_exact", "d2_pq")
+    )
+
+
 def pq_adc_check(
     emb: DataFrame,
     n_codes: int = 8,

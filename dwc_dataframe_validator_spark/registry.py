@@ -2795,6 +2795,151 @@ ORACLES["multimodal_frame_sample_check"] = """
 """
 
 
+# --------------------------------------------------------------------------
+# round-6 additions (append-only)
+# --------------------------------------------------------------------------
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking (operators/similarity.py
+    ``ivfpq_check``) — the composed production ANN architecture:
+    coarse quantizer (seeded init + one integer-grid Lloyd step)
+    routes each query to its cell, PQ-ADC integer lookup tables
+    shortlist within the cell, and an exact integer d² re-ranks the
+    shortlist.  Every stage replays in ANSI SQL, so the full composed
+    pipeline — training, encoding, shortlisting, re-ranking — sits
+    behind the exact value-hash gate."""
+    from .operators.similarity import ivfpq_check as _check
+
+    return _check(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
+
+# IVF-PQ replay: coarse cells per ann_ivf_trained_check (4 cells, one
+# Lloyd step), PQ codebooks per ann_pq_adc_check (8 codes, 4 subspaces
+# of 4 dims), ADC shortlist of 10 within the query's cell, exact
+# integer re-rank to k=3.  Constants mirror
+# operators/similarity.ivfpq_check (n_take=200, dim=16, scale=1000,
+# seed 'ivfpq6:', queries = md5 ranks 9-16).
+ORACLES["ann_ivfpq_topk"] = """
+    WITH sub AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5('ivfpq6:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings
+      QUALIFY rn <= 200),
+    ex AS (
+      SELECT vec_id, rn,
+             CAST(r.i - 1 AS INT) AS pos,
+             CAST((r.i - 1) // 4 AS INT) AS ss,
+             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
+                        + 0.5) AS BIGINT) AS qd
+      FROM sub, range(1, 17) r(i)),
+    cent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cell, pos, qd AS cd
+      FROM ex WHERE rn <= 4),
+    a0 AS (
+      SELECT e.vec_id, c.cell,
+             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
+      FROM ex e JOIN cent0 c USING (pos) GROUP BY 1, 2),
+    assign0 AS (
+      SELECT vec_id, cell AS cell_init FROM a0
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d0, cell) = 1),
+    cs AS (
+      SELECT a.cell_init, e.pos,
+             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
+      FROM assign0 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+    cm AS (
+      SELECT cell_init AS cell, pos,
+             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
+               AS md
+      FROM cs),
+    a1 AS (
+      SELECT e.vec_id, cm.cell,
+             sum((e.qd * 1000 - cm.md) * (e.qd * 1000 - cm.md)) AS d1
+      FROM ex e JOIN cm USING (pos) GROUP BY 1, 2),
+    assignf AS (
+      SELECT vec_id, cell AS cell_final FROM a1
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d1, cell) = 1),
+    pcent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS code, ss, pos, qd AS cd
+      FROM ex WHERE rn <= 8),
+    pa0 AS (
+      SELECT e.vec_id, e.ss, c.code,
+             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
+      FROM ex e JOIN pcent0 c ON e.ss = c.ss AND e.pos = c.pos
+      GROUP BY 1, 2, 3),
+    pasg0 AS (
+      SELECT vec_id, ss, code FROM pa0
+      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
+                                 ORDER BY d0, code) = 1),
+    ps AS (
+      SELECT a.ss, a.code, e.pos,
+             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
+      FROM pasg0 a JOIN ex e ON a.vec_id = e.vec_id AND a.ss = e.ss
+      GROUP BY 1, 2, 3),
+    pm AS (
+      SELECT ss, code, pos,
+             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
+               AS md
+      FROM ps),
+    encd AS (
+      SELECT e.vec_id, e.ss, pm.code,
+             sum((e.qd * 1000 - pm.md) * (e.qd * 1000 - pm.md)) AS d1
+      FROM ex e JOIN pm ON e.ss = pm.ss AND e.pos = pm.pos
+      GROUP BY 1, 2, 3),
+    enc AS (
+      SELECT vec_id, ss, code FROM encd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
+                                 ORDER BY d1, code) = 1),
+    q AS (
+      SELECT vec_id AS query_id, ss, pos, qd
+      FROM ex WHERE rn > 8 AND rn <= 16),
+    lut AS (
+      SELECT q.query_id, pm.ss, pm.code,
+             sum((q.qd * 1000 - pm.md) * (q.qd * 1000 - pm.md)) AS ld
+      FROM q JOIN pm ON q.ss = pm.ss AND q.pos = pm.pos
+      GROUP BY 1, 2, 3),
+    qc AS (
+      SELECT qq.query_id, af.cell_final AS qcell
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      JOIN assignf af ON af.vec_id = qq.query_id),
+    cand AS (
+      SELECT qc.query_id, af.vec_id AS neighbor_id
+      FROM qc JOIN assignf af ON af.cell_final = qc.qcell
+      WHERE af.vec_id != qc.query_id),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(sum(l.ld) AS BIGINT) AS d2_pq
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id
+                AND l.ss = e.ss AND l.code = e.code
+      GROUP BY 1, 2),
+    sl AS (
+      SELECT query_id, neighbor_id, d2_pq FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2_pq, neighbor_id) <= 10),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id, s.d2_pq,
+             CAST(sum((a.qd - b.qd) * (a.qd - b.qd)) AS BIGINT) AS d2_exact
+      FROM sl s
+      JOIN ex a ON a.vec_id = s.query_id
+      JOIN ex b ON b.vec_id = s.neighbor_id AND b.pos = a.pos
+      GROUP BY 1, 2, 3)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+           d2_exact, d2_pq
+    FROM (
+      SELECT query_id, neighbor_id, d2_exact, d2_pq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2_exact, neighbor_id) AS rnk
+      FROM rr)
+    WHERE rnk <= 3
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

