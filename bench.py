@@ -68,6 +68,11 @@ HEADLINE = [
     "numeric_outliers_iqr",
     "doc_chunks",
     "contamination_hits",
+    # round-6 addition (BASELINE.md addendum: not part of the frozen r3
+    # 33-query total — compare this entry only against its own r6 time):
+    # the scale-safe clustering form, trained cells ∝ corpus, so the
+    # benched query and the 100 TB path are the same code
+    "dedup_clusters_scaled",
 ]
 
 

@@ -679,6 +679,129 @@ def ivf_trained_check(
     )
 
 
+def trained_cells(
+    emb: DataFrame,
+    n_cells: int,
+    dim: int = 64,
+    scale: int = 1000,
+    seed_str: str = "cells6:",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Deterministic trained coarse quantizer over the FULL corpus:
+    seeded init (the ``n_cells`` smallest rows by md5-of-id — one
+    TakeOrderedAndProject, no global sort) + one integer-grid Lloyd
+    step, then every row assigned to its nearest centroid.  Returns
+    the input columns + ``cell_col``.
+
+    This is the scale-safe cell generator for cell-blocked operators
+    (``embedding_dup_pairs``): callers size ``n_cells ∝ corpus`` so
+    cell populations stay constant as the corpus grows (BASELINE.md
+    finding 2 — a FIXED cell count makes within-cell work quadratic).
+    Unlike the MLlib fit in ``build_ivf_index``, every arithmetic step
+    here is on the ``floor(x·scale+0.5)`` integer grid (cross-row sums
+    exact, the one mean division re-floored), so cell assignments are
+    bit-identical on any engine and a DuckDB oracle can verify them —
+    which puts downstream cluster output behind the exact hash gate.
+
+    Plan shape: centroids live driver-side (a quantizer small enough
+    to ship is the IVF premise — same contract as ``probe_cells``),
+    and assignment is a per-row argmin FOLD over the centroid literal:
+    map-side, whole-stage-codegen'd, NO shuffle and NO window — the
+    corpus is touched by exactly two passes (one to compute the Lloyd
+    means, one by the consumer of the returned frame).  Only the
+    n_cells seed rows (one TakeOrderedAndProject) and the n_cells×dim
+    Lloyd means ever reach the driver.
+
+    Scale note: per-row work is n_cells·dim integer ops.  With
+    n_cells ∝ corpus that grows quadratically in total — at extreme
+    scale swap in a two-level (residual) quantizer: route through
+    √n_cells coarse cells, then assign within the routed subtree,
+    keeping per-row work at 2·√n_cells distances.  The blocking
+    contract downstream is unchanged."""
+    h = F.md5(
+        F.concat(F.lit(seed_str), F.col(id_col).cast("string")).cast("binary")
+    )
+    qarr = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+    )
+
+    def argmin_cell(qcol: Column, cents: list[tuple[int, list[int]]]) -> Column:
+        """Fold over the centroid literal: running (best_d, best_cell),
+        strict < so ties keep the earliest (= smallest) cell id —
+        identical to an ORDER BY (d, cell) argmin."""
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cell).alias("cell"),
+                    F.array(*[F.lit(int(v)) for v in c]).alias("c"),
+                )
+                for cell, c in cents
+            ]
+        )
+        acc0 = F.struct(
+            F.lit(2**62).cast("long").alias("bd"), F.lit(-1).alias("bc")
+        )
+
+        def step(acc: Column, s: Column) -> Column:
+            d = F.aggregate(
+                F.zip_with(qcol, s["c"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            better = d < acc["bd"]
+            return F.struct(
+                F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+                F.when(better, s["cell"]).otherwise(acc["bc"]).alias("bc"),
+            )
+
+        return F.aggregate(arr, acc0, step)["bc"]
+
+    # seed centroids: n_cells smallest md5 ranks — distributed top-k,
+    # then the tiny result to the driver
+    init_rows = (
+        emb.select(F.col(id_col).alias("_iid"), qarr.alias("_iq"), h.alias("_ih"))
+        .orderBy("_ih", "_iid")
+        .limit(n_cells)
+        .collect()
+    )
+    cent0 = [(i, [int(v) for v in r["_iq"]]) for i, r in enumerate(init_rows)]
+
+    # one Lloyd step: map-side init assignment, one (cell, pos)
+    # aggregate, means re-floored to the scale² grid; n_cells×dim rows
+    # back to the driver
+    mean_rows = (
+        emb.select(qarr.alias("_q"))
+        .withColumn("_cell0", argmin_cell(F.col("_q"), cent0))
+        .select("_cell0", F.posexplode("_q").alias("_pos", "_qd"))
+        .groupBy("_cell0", "_pos")
+        .agg(F.sum("_qd").alias("_S"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_cell0",
+            "_pos",
+            F.floor(
+                F.col("_S").cast("double") * scale / F.col("_n") + F.lit(0.5)
+            ).alias("_m"),
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in mean_rows:
+        by_cell.setdefault(r["_cell0"], {})[r["_pos"]] = int(r["_m"])
+    # empty cells vanish (no assigned rows → no mean): exactly as an
+    # ORDER BY argmin over the aggregated table would drop them
+    cent1 = [
+        (cell, [means[p] for p in sorted(means)])
+        for cell, means in sorted(by_cell.items())
+    ]
+    return emb.withColumn(
+        cell_col,
+        argmin_cell(F.transform(qarr, lambda x: x * scale), cent1),
+    )
+
+
 def ivfpq_check(
     emb: DataFrame,
     n_take: int = 200,

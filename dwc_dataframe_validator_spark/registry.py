@@ -2940,6 +2940,108 @@ ORACLES["ann_ivfpq_topk"] = """
 """
 
 
+def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over TRAINED quantizer cells sized to
+    the corpus (operators/similarity.py ``trained_cells`` with
+    ``n_cells = max(8, n/50)``) — the scale-safe form of
+    ``dedup_clusters``: that entry blocks on the table's 10 fixed
+    ``label`` cells, which the round-5 10× spot-check measured
+    quadratic (BASELINE.md finding 2); here cell count grows with the
+    corpus so within-cell pair work stays linear.  The deterministic
+    integer-grid fit makes the trained cells — and therefore the final
+    cluster assignment — replayable in DuckDB, so the 100 TB path and
+    the benched/oracled query are the same code."""
+    from .operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = max(8, emb.count() // 50)
+    # materialize the assigned corpus once: the blocked self-join reads
+    # it from both sides, and the component loop again — without this
+    # the map-side assignment re-runs per consumer.  At 100 TB the
+    # equivalent is writing the assigned corpus to storage (it is the
+    # artifact you keep anyway); local mode uses a localCheckpoint.
+    cells = similarity.trained_cells(emb, n_cells=n_cells).localCheckpoint()
+    pairs = similarity.embedding_dup_pairs(
+        cells, threshold=0.4, cell_col="cell"
+    )
+    return graph.connected_components(pairs)
+
+
+QUERIES["dedup_clusters_scaled"] = dedup_clusters_scaled
+
+# Trained-cell replay (similarity.trained_cells: md5-seeded init of
+# greatest(8, n/50) centroids, one integer-grid Lloyd step, full-corpus
+# assignment) + the same double-cosine edge SQL as dedup_embedding_cosine
+# blocked on the trained cell, closed with a recursive CTE as in
+# dedup_clusters.
+ORACLES["dedup_clusters_scaled"] = """
+    WITH RECURSIVE nc AS (
+      SELECT greatest(8, count(*) // 50) AS k FROM embeddings),
+    sub AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5('cells6:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings),
+    ex AS (
+      SELECT vec_id, rn, CAST(r.i - 1 AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
+                        + 0.5) AS BIGINT) AS qd
+      FROM sub, range(1, 65) r(i)),
+    cent0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cell, pos, qd AS cd
+      FROM ex, nc WHERE rn <= nc.k),
+    a0 AS (
+      SELECT e.vec_id, c.cell,
+             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
+      FROM ex e JOIN cent0 c USING (pos) GROUP BY 1, 2),
+    assign0 AS (
+      SELECT vec_id, cell AS cell0 FROM a0
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d0, cell) = 1),
+    cs AS (
+      SELECT a.cell0, e.pos,
+             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
+      FROM assign0 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+    cm AS (
+      SELECT cell0 AS cell, pos,
+             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
+               AS md
+      FROM cs),
+    a1 AS (
+      SELECT e.vec_id, cm.cell,
+             sum((e.qd * 1000 - cm.md) * (e.qd * 1000 - cm.md)) AS d1
+      FROM ex e JOIN cm USING (pos) GROUP BY 1, 2),
+    assignf AS (
+      SELECT vec_id, cell FROM a1
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d1, cell) = 1),
+    emb2 AS (
+      SELECT e.vec_id, e.embedding, af.cell
+      FROM embeddings e JOIN assignf af USING (vec_id)),
+    edges AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM emb2 a JOIN emb2 b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            >= 0.4),
+    und AS (
+      SELECT ida AS a, idb AS b FROM edges
+      UNION
+      SELECT idb AS a, ida AS b FROM edges),
+    comp(node, label) AS (
+      SELECT DISTINCT a, a FROM und
+      UNION
+      SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b)
+    SELECT node, min(label) AS cluster FROM comp GROUP BY node
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1519,3 +1519,24 @@ def test_ivfpq_recall_and_rerank_contract(spark):
     for key, dist in d2.items():
         if key in true_d2:
             assert dist == true_d2[key], key
+
+
+def test_trained_cells_partition_and_scale_contract(spark):
+    """trained_cells (similarity): every corpus row gets exactly one
+    cell, cell ids are in [0, n_cells), and re-running is
+    deterministic (seeded init + integer-grid arithmetic)."""
+    from dwc_dataframe_validator_spark.operators.similarity import trained_cells
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    out = trained_cells(emb, n_cells=10)
+    rows = out.select("vec_id", "cell").collect()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    cells = {r.cell for r in rows}
+    assert cells <= set(range(10))
+    assert len(cells) > 1  # the fit actually spreads the corpus
+    again = {(r.vec_id, r.cell) for r in
+             trained_cells(emb, n_cells=10).select("vec_id", "cell").collect()}
+    assert again == {(r.vec_id, r.cell) for r in rows}
