@@ -277,6 +277,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     estimate_prefilter: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → MinHash(k) → LSH(bands)
     → [signature-estimate prefilter] → exact-Jaccard verify ≥ threshold.
@@ -285,22 +286,37 @@ def minhash_lsh_pairs(
     ``estimate_prefilter`` pays off when documents are long (shingles
     per doc ≫ k, so the k-long signature join is much cheaper than the
     shingle-index verify join); for short documents the direct verify
-    is already cheap — disable it and skip the two extra joins."""
+    is already cheap — disable it and skip the two extra joins.
+
+    Cache hygiene: the shingle index feeds the signature builder AND
+    the Jaccard verify join (4 consumers), so it is cached for the
+    run.  With ``eager=True`` (default) the verified pairs — small by
+    nature: banding + bucket caps bound them — are materialized via
+    one eager ``localCheckpoint`` and the big intermediates are
+    unpersisted (blocking) before returning: a long-lived session
+    running many corpora accumulates NO executor storage beyond each
+    call's own small result.  ``eager=False`` restores the fully lazy
+    plan and transfers cache ownership to the caller (unpersist or
+    ``spark.catalog.clearCache()`` between corpora)."""
     from .text import word_ngrams
 
-    # the shingle index feeds BOTH the signature builder and the
-    # Jaccard verify join — cache it so the explode runs once.  The
-    # cache is session-owned: callers running many corpora through one
-    # session should spark.catalog.clearCache() (or unpersist) between
-    # runs to release executor storage.
     sh = word_ngrams(df, n=n, text_col=text_col, id_col=id_col).cache()
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     if estimate_prefilter:
         sigs = sigs.cache()
-    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
-    if estimate_prefilter:
-        cands = estimate_filter_candidates(cands, sigs, threshold, id_col=id_col)
-    return verify_candidates_jaccard(cands, sh, threshold, id_col=id_col)
+    try:
+        cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+        if estimate_prefilter:
+            cands = estimate_filter_candidates(cands, sigs, threshold, id_col=id_col)
+        result = verify_candidates_jaccard(cands, sh, threshold, id_col=id_col)
+        if eager:
+            result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        if eager:
+            sh.unpersist(blocking=True)
+            if estimate_prefilter:
+                sigs.unpersist(blocking=True)
 
 
 def simhash64(

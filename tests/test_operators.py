@@ -1540,3 +1540,22 @@ def test_trained_cells_partition_and_scale_contract(spark):
     again = {(r.vec_id, r.cell) for r in
              trained_cells(emb, n_cells=10).select("vec_id", "cell").collect()}
     assert again == {(r.vec_id, r.cell) for r in rows}
+
+
+def test_minhash_lsh_cache_self_cleaning(spark):
+    """minhash_lsh_pairs must not leak executor storage across
+    invocations: the shingle/signature caches are unpersisted inside
+    the call (eager materialization of the small verified-pair set),
+    so two consecutive runs leave at most their two small checkpointed
+    results behind — not 2 big caches per run."""
+    from dwc_dataframe_validator_spark.operators.dedup import minhash_lsh_pairs
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_persistent = lambda: spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: E731
+    base = n_persistent()
+    n1 = minhash_lsh_pairs(docs, threshold=0.5).count()
+    n2 = minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert n1 == n2 and n1 > 0
+    growth = n_persistent() - base
+    assert growth <= 2, f"leaked {growth} persistent RDDs across two runs"
