@@ -120,3 +120,79 @@ def test_map_side_model_and_quantization(spark):
     for name in ("quality_model_scores", "embedding_quantization"):
         nodes = _nodes(spark, name)
         assert nodes.count("Exchange") == 0, (name, nodes)
+
+
+# The driver's correctness gate verifies only the FIRST 50 registry
+# entries (its per-round window).  Ordering is append-only by policy
+# since round 4; this pin makes an accidental insertion — which would
+# silently evict a driver-verified query from the window, as nearly
+# happened in round 3 — a test failure instead of a silent coverage
+# loss.  Changing the window is a deliberate one-line edit HERE plus
+# the registry, never a side effect.
+DRIVER_WINDOW = [
+    "q1_pricing_summary",
+    "q_top_orders_by_revenue",
+    "a1_record_count",
+    "a2_column_counts",
+    "a4_range_count",
+    "a5_group_populated",
+    "a8_a9_distinct_duplicates",
+    "a10_vocab_membership",
+    "a11_value_histogram",
+    "a12_top_k",
+    "a13_date_parts",
+    "a14_offender_sample",
+    "p6_membership_filter",
+    "p8_json_extract",
+    "occurrence_validation_metrics",
+    "occurrence_full_metrics",
+    "fk_orders_customer",
+    "dwca_archive_profile",
+    "dwca_orphan_multimedia",
+    "date_multiformat_parse",
+    "dedup_exact_keepers",
+    "dedup_fingerprint",
+    "minhash_lsh_check",
+    "simhash_signature_check",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_ngram_top_neighbor",
+    "text_tfidf_top_terms",
+    "doc_chunks",
+    "contamination_hits",
+    "training_corpus_prep",
+    "ann_cosine_topk_arrow",
+    "ann_ivf_topk",
+    "sample_hash_events",
+    "sample_stratified_events",
+    "cms_event_type_counts",
+    "annotate_row_errors",
+    "stream_window_counts",
+    "sessionize",
+    "numeric_profile",
+    "asof_purchase_last_click",
+    "range_join_event_sessions",
+    "pivot_event_types",
+    "window_running_totals",
+    "rollup_date_counts",
+    "multimodal_blob_meta",
+    "jsonl_source_profile",
+]
+
+
+def test_driver_window_is_frozen():
+    from dwc_dataframe_validator_spark import registry
+
+    assert list(registry.QUERIES)[:50] == DRIVER_WINDOW
+
+
+def test_every_driver_window_query_is_oracled():
+    """Everything inside the verified window must have an exact oracle
+    — a window slot spent on a rows-only check is a wasted slot."""
+    from dwc_dataframe_validator_spark import registry
+
+    missing = [k for k in DRIVER_WINDOW if k not in registry.ORACLES]
+    assert not missing, missing
