@@ -1046,6 +1046,7 @@ def pq_adc_check(
     k: int = 3,
     scale: int = 1000,
     seed_str: str = "pq5:",
+    n_take: int = 200,
 ) -> DataFrame:
     """Product-quantization ADC search, engine-portable and exact —
     the PQ member of the ANN family (brute / Arrow-BLAS / IVF /
@@ -1072,6 +1073,11 @@ def pq_adc_check(
     adds instead of d multiplies, and the code table is 8× smaller
     than int8 vectors (log2(K)·M bits).
 
+    ``n_take`` bounds the verification slice to the smallest md5
+    ranks via one orderBy+limit — a distributed TakeOrderedAndProject,
+    not a single-partition global sort over the whole corpus (same
+    contract as ``ivf_trained_check`` / ``ivfpq_check``).
+
     Returns (query_id, neighbor_id, rank, d2_pq) — d2_pq at
     scale²·1e6."""
     sub_dim = dim // n_subspaces
@@ -1082,12 +1088,14 @@ def pq_adc_check(
             "binary"
         )
     )
-    w = Window.orderBy("h", "vec_id")
-    base = (
+    capped = (
         emb.select(F.col("vec_id"), F.col("embedding"), h.alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("vec_id", "embedding", "rn")
+        .orderBy("h", "vec_id")
+        .limit(n_take)
     )
+    base = capped.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h", "vec_id"))
+    ).select("vec_id", "embedding", "rn")
     ex = base.select(
         "vec_id",
         "rn",

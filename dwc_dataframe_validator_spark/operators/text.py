@@ -649,6 +649,17 @@ def repetition_profile(
 # and dotted coordinates no longer redact.  Known remaining ambiguity:
 # `YYYY-MM-DD` dates share the grouped shape and still match (as they
 # did before); excluding them needs lookahead, which RE2 lacks.
+#
+# KNOWN FALSE NEGATIVE (deliberate): a compact NATIONAL number with no
+# separators and no `+` (e.g. `5551234567`) does NOT redact — only the
+# `+`-prefixed compact alternative matches unseparated runs.  A bare
+# `\b\d{10}\b` alternative would redact every 10-digit identifier
+# (order numbers, user ids, EPOCH-ish values), and on this engine's
+# target corpora ID-shaped digit runs vastly outnumber unformatted
+# phone numbers.  Corpora where that trade goes the other way should
+# append `\b\d{10}\b` to the phone alternatives — the scrubber and the
+# oracle share this constant, so one edit keeps them in lockstep.
+# Pinned by test_pii_scrub_known_phone_leak.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),

@@ -12,10 +12,11 @@ Design rules that make the oracle comparison exact (not approximate):
 - every computed column is aliased identically on both sides (the
   driver sorts columns by name before hashing);
 - ties in any top-k / row_number are broken by a unique id column;
-- ``events.ts`` is TIMESTAMP(NANOS) in parquet: Spark loads it via
-  ``sources.tables.load_table`` (long → ``timestamp_micros(ts div
-  1000)``), the oracle uses ``CAST(ts AS TIMESTAMP)`` — both exact
-  because the generator emits whole microseconds.
+- ``events.ts`` arrives as TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+  depending on how the driver data was generated: Spark loads it via
+  ``sources.tables.load_table`` (normalizes either physical layout to
+  TimestampType), the oracle uses ``CAST(ts AS TIMESTAMP)`` — both
+  exact because the generator emits whole microseconds.
 
 Queries without an oracle entry (MinHash LSH, SimHash, HLL) are
 genuinely not expressible in portable SQL (engine-specific hash
@@ -2629,14 +2630,16 @@ ORACLES["global_duplicate_user_ids"] = """
 # step on the integer grid; encode = per-subspace argmin; ADC = sum of
 # per-(query, subspace, code) integer LUT entries.  Same constants as
 # operators/similarity.pq_adc_check (8 codes, 4 subspaces of 16 dims,
-# scale 1000, seed 'pq5:', queries = md5 ranks 9-16, k=3).
+# scale 1000, seed 'pq5:', queries = md5 ranks 9-16, k=3, slice capped
+# at the 200 smallest md5 ranks).
 ORACLES["ann_pq_adc_check"] = """
     WITH sub AS (
       SELECT vec_id, embedding,
              row_number() OVER (
                ORDER BY md5('pq5:' || CAST(vec_id AS VARCHAR)), vec_id
              ) AS rn
-      FROM embeddings),
+      FROM embeddings
+      QUALIFY rn <= 200),
     ex AS (
       SELECT vec_id, rn,
              CAST((r.i - 1) // 16 AS INT) AS ss,

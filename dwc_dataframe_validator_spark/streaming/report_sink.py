@@ -31,11 +31,20 @@ class RunningReport:
     """Driver-side fold state for streaming validation.  ``report`` is
     None until the first non-empty batch; ``n_batches`` counts folds.
 
-    ``foreachBatch`` is at-least-once: on recovery from a checkpoint a
-    micro-batch can be re-delivered with the same ``batch_id``.  The
-    fold tracks the last folded id and skips replays so every additive
-    metric is counted exactly once (batch ids are monotonically
-    increasing within a streaming query)."""
+    ``foreachBatch`` is at-least-once: a micro-batch can be
+    re-delivered with the same ``batch_id``.  The fold tracks the last
+    folded id and skips replays so every additive metric is counted
+    exactly once (batch ids are monotonically increasing within a
+    streaming query).
+
+    SCOPE: the guard covers re-delivery WITHIN one driver process —
+    retried/replayed micro-batches of a live query.  The fold state
+    itself lives on this driver, not in the streaming checkpoint, so
+    after a driver restart the engine replays from its checkpoint into
+    a FRESH ``RunningReport`` (starting over, not double-counting).
+    Resuming an accumulated report across restarts requires the caller
+    to persist this object (e.g. its ``__dict__`` next to the
+    checkpoint dir) and restore it before re-attaching the sink."""
 
     def __init__(self) -> None:
         self.report: Optional[DFValidationReport] = None

@@ -1559,3 +1559,24 @@ def test_minhash_lsh_cache_self_cleaning(spark):
     assert n1 == n2 and n1 > 0
     growth = n_persistent() - base
     assert growth <= 2, f"leaked {growth} persistent RDDs across two runs"
+
+
+def test_pii_scrub_known_phone_leak(spark):
+    """Documented false negative of the structural phone pattern
+    (operators/text.py PII_PATTERNS): a compact national number with
+    no separators and no '+' is indistinguishable from a 10-digit ID
+    without lookahead, so it deliberately does NOT redact.  This pin
+    makes the trade visible — if the pattern is ever widened with a
+    bare \\b\\d{10}\\b alternative, this test flips and the docs/oracle
+    must move together."""
+    leaks = ["call me at 5551234567 ok", "5551234567"]
+    redacts = ["+5551234567"]  # '+'-prefixed compact DOES redact
+    docs = spark.createDataFrame(
+        list(enumerate(leaks + redacts)), ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    for i, t in enumerate(leaks):
+        assert rows[i]["n_phone"] == 0, t
+        assert rows[i]["scrubbed"] == t, t
+    for j, t in enumerate(redacts, start=len(leaks)):
+        assert rows[j]["n_phone"] == 1, t
+        assert "<PHONE>" in rows[j]["scrubbed"], t
