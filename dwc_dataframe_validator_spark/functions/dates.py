@@ -23,13 +23,19 @@ ISO-dominant archives; extend the table if a real corpus hits one):
 - ordinal/dateutil free text: ``'5th of Jan 2023'``, ``'Jan 5th 2023'``
 - weekday-prefixed: ``'Thu Jan 5 2023'``, RFC-2822 ``'Thu, 05 Jan 2023
   10:11:12 +0000'``
-- two-digit years: ``'1/5/23'`` (ambiguous century — deliberately
-  excluded rather than guessed)
 - day-first forms like ``'31/12/2023'``: pandas itself only accepts
   them with ``dayfirst=True``, which the reference does not pass, so
   excluding them MATCHES the reference
 - time-only strings (``'10:11:12'``): pandas anchors to today's date —
   non-deterministic across runs, deliberately excluded
+- two-digit-year slash dates (``'1/5/23'``) ARE parsed (round 6), with
+  the C ``strptime`` century pivot: 00-68 → 20xx, 69-99 → 19xx —
+  DuckDB's ``%y`` natively, Spark via a regex century rewrite (Java's
+  ``yy`` would pivot 2000-2099).  pandas instead slides the century
+  window with the CURRENT year (dateutil: now±50), so for years in
+  [69, (now.year+50) % 100] pandas says 20xx where this parser says
+  19xx.  A time-dependent pivot cannot be matched deterministically;
+  the C convention is the stable, engine-portable choice.
 """
 
 from __future__ import annotations
@@ -51,7 +57,31 @@ LENIENT_TIMESTAMP_FORMATS: list[tuple[str, str]] = [
     ("MMMM d, yyyy", "%B %d, %Y"),   # January 5, 2023
     ("d MMMM yyyy", "%d %B %Y"),     # 5 January 2023
     ("yyyy.M.d", "%Y.%m.%d"),        # 2023.1.5
+    # round-6 widening — DD-Mon-YYYY and time-suffixed variants of the
+    # existing date-only shapes (specific-before-prefix ordering kept):
+    ("d-MMM-yyyy H:m:s", "%d-%b-%Y %H:%M:%S"),   # 05-Jan-2023 10:11:12
+    ("d-MMM-yyyy", "%d-%b-%Y"),                  # 05-Jan-2023
+    ("yyyy/M/d H:m:s", "%Y/%m/%d %H:%M:%S"),     # 2023/1/5 10:11:12
+    ("yyyy.M.d H:m:s", "%Y.%m.%d %H:%M:%S"),     # 2023.1.5 10:11:12
+    ("d MMM yyyy H:m:s", "%d %b %Y %H:%M:%S"),   # 5 Jan 2023 10:11:12
+    ("MMM d, yyyy H:m:s", "%b %d, %Y %H:%M:%S"), # Jan 5, 2023 10:11:12
 ]
+
+# Two-digit-year slash dates, optionally time-suffixed.  Spark's 'yy'
+# maps 00-99 → 2000-2099 (DateTimeFormatter reduced-value base 2000),
+# which disagrees with DuckDB's C-strptime '%y' pivot (00-68 → 20xx,
+# 69-99 → 19xx); instead of parsing 'yy' the century is materialized by
+# regex BEFORE a plain 4-digit parse, so both engines express the SAME
+# pivot.  Ungated is safe: a 4-digit-year string passes through the
+# rewrites unchanged and was already handled (identically on both
+# engines) by the earlier 'M/d/yyyy' attempts in the coalesce.
+_Y2_RE_19 = r"^(\d{1,2}/\d{1,2}/)(69|[7-9]\d)($| .*$)"
+_Y2_RE_20 = r"^(\d{1,2}/\d{1,2}/)([0-5]\d|6[0-8])($| .*$)"
+# Java replacement '$119$2$3' reads '$11' greedily only while the group
+# exists — group 11 doesn't, so it resolves to $1 then literal '19'
+# (pinned by the parity test).
+_Y2_SPARK_FORMATS = ["M/d/yyyy H:m:s", "M/d/yyyy"]
+_Y2_DUCKDB_FORMATS = ["%m/%d/%y %H:%M:%S", "%m/%d/%y"]
 
 
 def to_timestamp_multiformat(col: Column | str) -> Column:
@@ -64,15 +94,72 @@ def to_timestamp_multiformat(col: Column | str) -> Column:
     attempts += [
         F.try_to_timestamp(c, F.lit(fmt)) for fmt, _ in LENIENT_TIMESTAMP_FORMATS
     ]
+    y2 = F.regexp_replace(
+        F.regexp_replace(c, _Y2_RE_19, r"$119$2$3"), _Y2_RE_20, r"$120$2$3"
+    )
+    attempts += [F.try_to_timestamp(y2, F.lit(fmt)) for fmt in _Y2_SPARK_FORMATS]
     return F.coalesce(*attempts)
+
+
+# strptime directive → the regex of strings Spark's matching pattern
+# letter accepts.  DuckDB's %Y is LAXER than Spark's 'yyyy' (it takes
+# 1-3 digit years: '1/5/69' parses as year 69), so every oracle attempt
+# is gated on the format translated to an anchored regex — the gate
+# removes DuckDB-only successes, which are exactly the latent
+# cross-engine drifts.  Unknown directives raise (fail loud on table
+# widening, never silently unguarded).
+_STRPTIME_TOKEN_RE: dict[str, str] = {
+    "%Y": r"\d{4}",
+    "%y": r"\d{2}",
+    "%m": r"\d{1,2}",
+    "%d": r"\d{1,2}",
+    "%H": r"\d{1,2}",
+    "%M": r"\d{1,2}",
+    "%S": r"\d{1,2}",
+    "%b": "[A-Za-z]{3}",
+    "%B": "[A-Za-z]{3,}",
+}
+
+
+def _format_guard_regex(fmt: str) -> str:
+    import re
+
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            out.append(_STRPTIME_TOKEN_RE[fmt[i : i + 2]])
+            i += 2
+        else:
+            out.append(re.escape(fmt[i]))
+            i += 1
+    return "^" + "".join(out) + "$"
 
 
 def multiformat_oracle_sql(col_sql: str) -> str:
     """The DuckDB expression computing exactly what
     ``to_timestamp_multiformat`` computes over the same strings —
-    generated from the same format table so the two can never drift."""
-    attempts = [f"try_cast({col_sql} AS TIMESTAMP)"]
-    attempts += [
-        f"try_strptime({col_sql}, '{fmt}')" for _, fmt in LENIENT_TIMESTAMP_FORMATS
+    generated from the same format table so the two can never drift.
+    Each ``try_strptime`` attempt is gated on a regex derived from its
+    own format (see ``_STRPTIME_TOKEN_RE``)."""
+
+    def guarded(fmt: str) -> str:
+        return (
+            f"CASE WHEN regexp_matches({col_sql}, '{_format_guard_regex(fmt)}')"
+            f" THEN try_strptime({col_sql}, '{fmt}') END"
+        )
+
+    # DuckDB's bare timestamp cast is laxer than Spark's ISO parser
+    # too ('1/5/23' casts to year 1!) — gate it on a superset of the
+    # shapes Spark's default to_timestamp accepts: 4-6 digit year,
+    # dash-separated, optional space/T time tail, surrounding blanks.
+    iso_guard = (
+        r"^\s*[+-]?\d{4,6}(-\d{1,2}(-\d{1,2}([ T].*)?)?)?\s*$"
+    )
+    attempts = [
+        f"CASE WHEN regexp_matches({col_sql}, '{iso_guard}')"
+        f" THEN try_cast({col_sql} AS TIMESTAMP) END"
     ]
+    attempts += [guarded(fmt) for _, fmt in LENIENT_TIMESTAMP_FORMATS]
+    attempts += [guarded(fmt) for fmt in _Y2_DUCKDB_FORMATS]
     return "coalesce(" + ", ".join(attempts) + ")"

@@ -634,6 +634,17 @@ def test_multiformat_dates_match_pandas_and_duckdb(spark):
         "Mar 9, 2024", "9 Mar 2024", "bad", "20241399", "99/99/9999",
         "March 9, 2024", "9 March 2024", "2024.3.9", "2024.13.9",
         "", None,
+        # round-6 widening: DD-Mon-YYYY, time-suffixed shapes, and
+        # two-digit years OUTSIDE pandas' time-dependent deviation
+        # window [69, (now.year+50) % 100] (see dates.py docstring and
+        # test_two_digit_year_century_pivot for the in-window pin)
+        "05-Jan-2023", "5-Jan-2023", "05-Jan-2023 10:11:12",
+        "2024/3/9 10:11:12", "2024.3.9 10:11:12", "9 Mar 2024 10:11:12",
+        "Mar 9, 2024 10:11:12", "1/5/23", "1/5/00", "12/31/99",
+        # '13/1/23' excluded: pandas/dateutil silently falls back to
+        # DAY-first when month > 12 — the documented day-first
+        # deviation class (dates.py docstring)
+        "1/5/23 10:11:12", "1/5/203", "99/99/99",
     ]
     df = spark.createDataFrame([(s,) for s in strings], "s string")
     got = {
@@ -1580,3 +1591,33 @@ def test_pii_scrub_known_phone_leak(spark):
     for j, t in enumerate(redacts, start=len(leaks)):
         assert rows[j]["n_phone"] == 1, t
         assert "<PHONE>" in rows[j]["scrubbed"], t
+
+
+def test_two_digit_year_century_pivot(spark):
+    """Inside pandas' sliding-window deviation range ([69, now+50 mod
+    100]) the parser uses the deterministic C pivot: 69-99 → 19xx on
+    BOTH engines.  pandas (dateutil, now±50 window) would say 20xx for
+    the early part of that range — the documented, time-dependent
+    deviation this pin makes visible."""
+    import datetime
+
+    import duckdb
+
+    from dwc_dataframe_validator_spark.functions.dates import (
+        multiformat_oracle_sql,
+        to_timestamp_multiformat,
+    )
+
+    df = spark.createDataFrame([("1/5/69",), ("6/30/76",)], "s string")
+    got = {
+        r["s"]: r["p"]
+        for r in df.select("s", to_timestamp_multiformat("s").alias("p")).collect()
+    }
+    assert got["1/5/69"] == datetime.datetime(1969, 1, 5)
+    assert got["6/30/76"] == datetime.datetime(1976, 6, 30)
+    con = duckdb.connect()
+    for s in got:
+        oracle = con.execute(
+            f"SELECT {multiformat_oracle_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got[s] == oracle, f"spark vs duckdb drift on {s!r}"
