@@ -26,7 +26,7 @@ def windowed_check_counts(
     checks: Mapping[str, Column],
     ts_col: str = "ts",
     window: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     group_cols: tuple[str, ...] = (),
     slide: str | None = None,
 ) -> DataFrame:
@@ -38,12 +38,16 @@ def windowed_check_counts(
     from functions.expressions: in_range, vocab_member, any_populated).
     Works identically on a batch DataFrame (same code path, full-table
     'stream') — that equivalence is what the DuckDB oracle checks.
+
+    ``watermark=None`` means the stream is ALREADY watermarked
+    upstream (chained stateful pipelines, e.g. after
+    ``streaming_dedup`` — Spark disallows redefining a watermark).
     """
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for name, predicate in checks.items():
         aggs.append(F.count(F.when(predicate, 1)).alias(name))
     src = stream
-    if stream.isStreaming:
+    if stream.isStreaming and watermark is not None:
         src = stream.withWatermark(ts_col, watermark)
     win = (
         F.window(F.col(ts_col), window, slide)
@@ -61,17 +65,18 @@ def session_check_counts(
     checks: Mapping[str, Column],
     ts_col: str = "ts",
     gap: str = "30 minutes",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Session-window (gap-based) check counts per group — sessions
     close after ``gap`` of inactivity.  State per open session only;
-    watermark bounds it on streams."""
+    watermark bounds it on streams.  ``watermark=None``: stream is
+    already watermarked upstream (see ``windowed_check_counts``)."""
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for name, predicate in checks.items():
         aggs.append(F.count(F.when(predicate, 1)).alias(name))
     src = stream
-    if stream.isStreaming:
+    if stream.isStreaming and watermark is not None:
         src = stream.withWatermark(ts_col, watermark)
     w = F.session_window(F.col(ts_col), gap)
     return src.groupBy(

@@ -210,3 +210,106 @@ def test_streaming_validation_report_sink(spark, tmp_path):
     # fold order is micro-batch arrival order; sample lists stay sorted
     # and capped, counts are additive -> dicts must match exactly
     assert got == want
+
+
+def test_streaming_dedup_checks_sink_end_to_end(spark, tmp_path):
+    """Composition of the whole streaming surface into ONE pipeline:
+    file source → streaming exact dedup (bounded state) → (a) windowed
+    check counts and (b) the replay-safe incremental report sink, both
+    off the deduped stream — with the final folded report AND the
+    windowed counts equal to the batch engine run on the same deduped
+    data.  This is the ingestion-validation pattern the pieces exist
+    for; each piece is tested alone elsewhere, this pins the
+    composition (chained stateful operators included)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark import (
+        report_to_dict,
+        validate_occurrence_dataframe,
+    )
+    from dwc_dataframe_validator_spark.functions import expressions as E
+    from dwc_dataframe_validator_spark.streaming.report_sink import (
+        RunningReport,
+        validation_report_sink,
+    )
+    from dwc_dataframe_validator_spark.streaming.validation import (
+        streaming_dedup,
+        windowed_check_counts,
+    )
+    from dwc_dataframe_validator_spark.vocab import (
+        basis_of_record_vocabulary,
+        lowered,
+    )
+
+    t0 = datetime.datetime(2023, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    cols = ["occurrenceID", "decimalLatitude", "decimalLongitude",
+            "basisOfRecord", "recordedBy", "ts"]
+    # duplicates are IDENTICAL rows (true duplicates), so the batch
+    # dropDuplicates survivor carries the same values whichever row wins
+    r1 = ("1", "51.0", "-1.1", "HumanObservation", "A", ts(0))
+    r2 = ("2", "99.0", "-1.2", "BadBasis", None, ts(10))       # bad lat+vocab
+    r3 = ("3", "53.0", "-200.0", "Observation", "C", ts(75))   # bad lon
+    r4 = ("4", None, None, "MaterialSample", "D", ts(80))
+    part1 = [r1, r2, r2]          # duplicate within the first file
+    part2 = [r3, r4, r1]          # r1 duplicated ACROSS micro-batches
+    src = str(tmp_path / "e2e_src")
+    d1 = spark.createDataFrame(part1, cols)
+    d2 = spark.createDataFrame(part2, d1.schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(d1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = streaming_dedup(stream, keys=("occurrenceID",),
+                              ts_col="ts", watermark="2 hours")
+
+    checks = {
+        "lat_range": E.in_range("decimalLatitude", -90, 90),
+        "bor_vocab": E.vocab_member(
+            "basisOfRecord", lowered(basis_of_record_vocabulary)),
+        "recorded_by": F.col("recordedBy").isNotNull(),
+    }
+    # sink (a): windowed check counts off the DEDUPED stream — a
+    # chained stateful pipeline (dedup state + window agg state)
+    counts_q = (
+        windowed_check_counts(deduped, checks, ts_col="ts",
+                              window="1 hour", watermark=None)
+        .writeStream.format("memory").queryName("e2e_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    # sink (b): the incremental report fold off the same deduped stream
+    running = RunningReport()
+    report_q = validation_report_sink(
+        deduped.drop("ts"), ["occurrenceID"], running,
+        queryName="e2e_reports")
+    counts_q.awaitTermination(180)
+    report_q.awaitTermination(180)
+
+    # batch twin on the same data: dedup → validate / window-count
+    batch = spark.createDataFrame(part1 + part2, d1.schema)
+    batch_dedup = batch.dropDuplicates(["occurrenceID"])
+    assert batch_dedup.count() == 4
+
+    want = report_to_dict(validate_occurrence_dataframe(
+        batch_dedup.drop("ts"), ["occurrenceID"]))
+    got = report_to_dict(running.report)
+    assert got == want
+
+    stream_counts = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT w_start, cnt, lat_range, bor_vocab, recorded_by "
+            "FROM e2e_counts").collect()
+    )
+    batch_counts = sorted(
+        tuple(r) for r in windowed_check_counts(
+            batch_dedup, checks, ts_col="ts", window="1 hour"
+        ).select("w_start", "cnt", "lat_range", "bor_vocab",
+                 "recorded_by").collect()
+    )
+    assert stream_counts == batch_counts and len(batch_counts) == 2
