@@ -7,7 +7,9 @@ with explicit output schemas.  ``decode_images`` uses PIL when it is
 importable (guarded import — no hard dependency); without PIL it
 raises ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic fake decoder derives dimensions from the bytes (stable
-for tests).  Video frame sampling stays a stub (no ffmpeg binding).
+for tests).  Video frame sampling mirrors the same pattern: imageio
+(+pyav/ffmpeg) when importable, else the deterministic byte-offset
+stub behind ``fake=True`` / ``NotImplementedError``.
 
 Scale notes (100 TB):
 - binary payloads ride in parquet as BYTE_ARRAY; metadata-only queries
@@ -135,6 +137,49 @@ def decode_images(
     )
 
 
+def _video_backend_available() -> bool:
+    """imageio v3 with any decodable plugin (pyav/ffmpeg) — guarded
+    import, mirroring ``_pil_available``."""
+    try:
+        import imageio.v3  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _imageio_frames(
+    payload: bytes, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """Real frame sampling: decode the container with imageio
+    (pyav/ffmpeg underneath), sample up to ``max_frames`` frames with
+    an even stride over the available frames, and re-encode each
+    sampled frame as PNG bytes for the binary output column.  A
+    corrupt/undecodable payload yields ZERO frames (the row-expanding
+    analogue of ``_pil_decode``'s ok=False — bad blobs never fail the
+    task)."""
+    import io
+
+    import imageio.v3 as iio
+
+    try:
+        frames = iio.imread(io.BytesIO(payload), index=None)
+    except Exception:  # noqa: BLE001 — undecodable blob → no frames
+        return []
+    if frames.ndim == 3:  # single image decodes as (h, w, c)
+        frames = frames[None, ...]
+    n_avail = frames.shape[0]
+    if n_avail == 0:
+        return []
+    n = min(max_frames, n_avail)
+    step = max(1, n_avail // n)
+    out = []
+    for k in range(n):
+        buf = io.BytesIO()
+        iio.imwrite(buf, frames[k * step], extension=".png")
+        out.append((k, buf.getvalue()))
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -142,16 +187,23 @@ def sample_frames(
     max_frames: int = 4,
     fake: bool = False,
 ) -> DataFrame:
-    """Row-expanding frame sampler (1 blob → n frames); frame count is
-    derived deterministically in the stub.  Demonstrates the expanding
-    mapInPandas shape a video pipeline needs."""
+    """Row-expanding frame sampler (1 blob → n frames).
+
+    Backend choice mirrors ``decode_images``: ``fake=True`` forces the
+    deterministic byte-arithmetic stub (stable for tests and the exact
+    byte-offset oracle — registry ``multimodal_frame_sample_check``);
+    otherwise imageio(+pyav/ffmpeg) is used when importable (sampled
+    frames re-encoded as PNG bytes, undecodable blobs yield zero
+    frames); otherwise ``NotImplementedError``.  Plumbing, output
+    schema and Arrow batching are identical on every branch."""
+    use_video = not fake and _video_backend_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and not use_video:
                 raise NotImplementedError(
-                    "video decoding requires ffmpeg (not installed); "
-                    "pass fake=True for the deterministic stub"
+                    "video decoding requires imageio/pyav/ffmpeg (not "
+                    "installed); pass fake=True for the deterministic stub"
                 )
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
@@ -160,6 +212,11 @@ def sample_frames(
                     # semantics of the other blob operators
                     continue
                 b = bytes(payload)
+                if use_video:
+                    rows.extend(
+                        (i, f_idx, fb) for f_idx, fb in _imageio_frames(b, max_frames)
+                    )
+                    continue
                 n = 1 + (len(b) % max_frames)
                 step = max(1, len(b) // n)
                 for f_idx in range(n):

@@ -1621,3 +1621,41 @@ def test_two_digit_year_century_pivot(spark):
             f"SELECT {multiformat_oracle_sql('s')} FROM (SELECT ? AS s)", [s]
         ).fetchone()[0]
         assert got[s] == oracle, f"spark vs duckdb drift on {s!r}"
+
+
+def test_sample_frames_backend_branches(spark):
+    """Frame sampler backend contract, exercising whichever branch the
+    environment supports (mirrors the PIL test pattern): with a video
+    backend importable, real decode produces (id, frame_idx, PNG
+    bytes); without one, fake=False must fail loudly with
+    NotImplementedError and the deterministic stub must keep its exact
+    byte-offset semantics (oracled in the registry)."""
+    from dwc_dataframe_validator_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world frame payload"), (2, None)], ["doc_id", "text"]
+    )
+    blobs = multimodal.attach_text_blob(docs)
+
+    if multimodal._video_backend_available():
+        rows = multimodal.sample_frames(blobs).collect()
+        # text bytes are not a decodable container → zero frames, no
+        # task failure (the corrupt-blob contract)
+        assert rows == []
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception) as exc:
+            multimodal.sample_frames(blobs).collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+
+    # the stub branch is identical regardless of backend presence
+    stub = {(r.id, r.frame_idx): bytes(r.frame_bytes)
+            for r in multimodal.sample_frames(blobs, fake=True).collect()}
+    b = "hello world frame payload".encode()
+    n = 1 + (len(b) % 4)
+    step = max(1, len(b) // n)
+    want = {(1, i): b[i * step : i * step + 16] for i in range(n)}
+    assert stub == want
