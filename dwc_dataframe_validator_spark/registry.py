@@ -231,14 +231,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by revenue.  The per-order revenue sums on an
+    exact LONG grid (cents × basis points = 1e-4 units) instead of
+    DECIMAL: both are exact and order-independent on the 2-decimal
+    driver prices, but a decimal(18,4) sum widens its accumulator to
+    decimal(28,4), which is not long-backed — with groups ∝ rows
+    (one per order; millions at scale, unlike q1's six) the per-group
+    BigDecimal state made this aggregate 16× slower than a long sum
+    in the round-6 10× spot-check (BASELINE.md appendix).  The final
+    ``sum/10000.0`` is one IEEE division of an exact integer —
+    bit-identical on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    disc_bp = F.floor(F.col("l_discount") * 100 + F.lit(0.5))
     rev = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(
-                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
-            ).cast("double").alias("revenue")
+            (
+                F.sum(cents * (F.lit(100) - disc_bp)) / F.lit(10000.0)
+            ).alias("revenue")
         )
     )
     return (
@@ -1478,7 +1490,9 @@ ORACLES: dict[str, str] = {
     "q_top_orders_by_revenue": """
         WITH rev AS (
           SELECT l_orderkey,
-            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS DOUBLE) / 10000.0 AS revenue
           FROM lineitem GROUP BY 1)
         SELECT o_orderkey, o_orderdate, revenue
         FROM rev JOIN orders ON l_orderkey = o_orderkey

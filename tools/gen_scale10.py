@@ -16,6 +16,20 @@ workload quadratically instead of scaling it):
   within-replica neighbor structure is preserved exactly.
 - lineitem: key-offset replication (q1 is a pure scan-aggregate).
 
+Round-6 widening for the JOIN-heavy spot-check (orders/customer/
+events/nation/region):
+- orders replicate with the SAME orderkey offset as lineitem, so
+  lineitem↔orders FK integrity holds across replicas; o_custkey
+  offsets to each replica's own customers (per-customer order fan-out
+  stays constant — the realistic scale-up).
+- customer replicates with offset custkeys, nationkeys unchanged:
+  dims nation/region stay TINY (copied verbatim) — exactly the
+  broadcast-dimension premise being tested.
+- events replicate with offset event_ids AND offset user_ids, same
+  timestamps: per-user event counts/sessions stay constant, so the
+  as-of union-window and interval-bucket joins scale by USERS (more
+  groups), not by per-group state.
+
 Usage: python tools/gen_scale10.py [out_dir]
 """
 
@@ -68,7 +82,35 @@ def main() -> None:
       FROM read_parquet('{SRC}/lineitem.parquet'), range(0,10) r(rep)
     ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
     """)
-    for t in ["documents", "embeddings", "lineitem"]:
+    con.execute(f"""
+    COPY (
+      SELECT o_orderkey + rep*6000000 AS o_orderkey,
+             o_custkey + rep*1000000 AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{SRC}/orders.parquet'), range(0,10) r(rep)
+    ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT c_custkey + rep*1000000 AS c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM read_parquet('{SRC}/customer.parquet'), range(0,10) r(rep)
+    ) TO '{out}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT event_id + rep*1000000 AS event_id, ts,
+             user_id + rep*100000 AS user_id, event_type, value, props
+      FROM read_parquet('{SRC}/events.parquet'), range(0,10) r(rep)
+    ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in ["nation", "region"]:
+        con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
+        TO '{out}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    for t in ["documents", "embeddings", "lineitem", "orders",
+              "customer", "events", "nation", "region"]:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
