@@ -688,6 +688,7 @@ def trained_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    backend: str | None = None,
 ) -> DataFrame:
     """Deterministic trained coarse quantizer over the FULL corpus:
     seeded init (the ``n_cells`` smallest rows by md5-of-id — one
@@ -714,12 +715,30 @@ def trained_cells(
     n_cells seed rows (one TakeOrderedAndProject) and the n_cells×dim
     Lloyd means ever reach the driver.
 
-    Scale note: per-row work is n_cells·dim integer ops.  With
-    n_cells ∝ corpus that grows quadratically in total — at extreme
-    scale swap in a two-level (residual) quantizer: route through
-    √n_cells coarse cells, then assign within the routed subtree,
-    keeping per-row work at 2·√n_cells distances.  The blocking
-    contract downstream is unchanged."""
+    Backend (``backend=None`` auto-selects, overridable for tests):
+    - ``'fold'`` (n_cells·dim ≤ 2048): the centroid literal folds into
+      a Catalyst expression — zero serialization, fine for small k.
+      Interpreted higher-order-function cost scales with the LITERAL
+      size, so past ~2k scalars this path degrades sharply (the
+      round-6 10× check measured a 400-cell fold effectively hung).
+    - ``'arrow'`` (larger k): mapInPandas with the centroid matrix in
+      the task closure; per batch ONE int64 matmul computes
+      ``-2·q·cᵀ + |c|²`` (the |q|² term is row-constant, argmin-
+      irrelevant) and an argmin picks first-minimal = smallest cell
+      id — bit-identical to the fold (all arithmetic stays in int64;
+      float64 would overflow 2^53 here).  This is the production
+      shape for corpus-proportional k.
+
+    Scale note: per-row work is n_cells·dim integer ops either way.
+    With n_cells ∝ corpus that grows quadratically in total — at
+    extreme scale swap in a two-level (residual) quantizer: route
+    through √n_cells coarse cells, then assign within the routed
+    subtree, keeping per-row work at 2·√n_cells distances.  The
+    blocking contract downstream is unchanged."""
+    if backend is None:
+        backend = "fold" if n_cells * dim <= 2048 else "arrow"
+    if backend not in ("fold", "arrow"):
+        raise ValueError(f"unknown backend {backend!r}")
     h = F.md5(
         F.concat(F.lit(seed_str), F.col(id_col).cast("string")).cast("binary")
     )
@@ -727,6 +746,35 @@ def trained_cells(
         F.slice(F.col(vec_col), 1, dim),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
     )
+
+    def argmin_arrow(
+        df: DataFrame, q_col: str, cents: list[tuple[int, list[int]]], out_col: str
+    ) -> DataFrame:
+        import numpy as np
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cell_ids = np.array([c for c, _ in cents], dtype=np.int32)
+        cmat = np.array([v for _, v in cents], dtype=np.int64)
+        cnorm = (cmat * cmat).sum(axis=1)
+
+        def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                out = pdf.copy()
+                if pdf.empty:
+                    out[out_col] = pd.Series([], dtype="int32")
+                else:
+                    q = np.array(pdf[q_col].tolist(), dtype=np.int64)
+                    scores = -2 * (q @ cmat.T) + cnorm[None, :]
+                    out[out_col] = cell_ids[scores.argmin(axis=1)]
+                yield out
+
+        # list concat, NOT StructType(...).add(...): add() mutates the
+        # field list in place, and the constructor shares it with the
+        # input frame's cached schema
+        schema = StructType(
+            df.schema.fields + [StructField(out_col, IntegerType())]
+        )
+        return df.mapInPandas(run, schema)
 
     def argmin_cell(qcol: Column, cents: list[tuple[int, list[int]]]) -> Column:
         """Fold over the centroid literal: running (best_d, best_cell),
@@ -759,6 +807,16 @@ def trained_cells(
 
         return F.aggregate(arr, acc0, step)["bc"]
 
+    def assign(
+        df: DataFrame, q_expr: Column, cents: list[tuple[int, list[int]]],
+        out_col: str,
+    ) -> DataFrame:
+        if backend == "fold":
+            return df.withColumn(out_col, argmin_cell(q_expr, cents))
+        return argmin_arrow(
+            df.withColumn("_qtmp", q_expr), "_qtmp", cents, out_col
+        ).drop("_qtmp")
+
     # seed centroids: n_cells smallest md5 ranks — distributed top-k,
     # then the tiny result to the driver
     init_rows = (
@@ -773,8 +831,7 @@ def trained_cells(
     # aggregate, means re-floored to the scale² grid; n_cells×dim rows
     # back to the driver
     mean_rows = (
-        emb.select(qarr.alias("_q"))
-        .withColumn("_cell0", argmin_cell(F.col("_q"), cent0))
+        assign(emb.select(qarr.alias("_q")), F.col("_q"), cent0, "_cell0")
         .select("_cell0", F.posexplode("_q").alias("_pos", "_qd"))
         .groupBy("_cell0", "_pos")
         .agg(F.sum("_qd").alias("_S"), F.count(F.lit(1)).alias("_n"))
@@ -796,9 +853,8 @@ def trained_cells(
         (cell, [means[p] for p in sorted(means)])
         for cell, means in sorted(by_cell.items())
     ]
-    return emb.withColumn(
-        cell_col,
-        argmin_cell(F.transform(qarr, lambda x: x * scale), cent1),
+    return assign(
+        emb, F.transform(qarr, lambda x: x * scale), cent1, cell_col
     )
 
 

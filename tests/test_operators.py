@@ -1659,3 +1659,22 @@ def test_sample_frames_backend_branches(spark):
     step = max(1, len(b) // n)
     want = {(1, i): b[i * step : i * step + 16] for i in range(n)}
     assert stub == want
+
+
+def test_trained_cells_backends_agree(spark):
+    """The expression-fold and Arrow-matmul assignment backends of
+    trained_cells must be bit-identical (both integer-exact) — the
+    auto-switch at large n_cells must never change results."""
+    from dwc_dataframe_validator_spark.operators.similarity import trained_cells
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fold = {(r.vec_id, r.cell) for r in
+            trained_cells(emb, n_cells=10, backend="fold")
+            .select("vec_id", "cell").collect()}
+    arrow = {(r.vec_id, r.cell) for r in
+             trained_cells(emb, n_cells=10, backend="arrow")
+             .select("vec_id", "cell").collect()}
+    assert fold == arrow
+    with pytest.raises(ValueError):
+        trained_cells(emb, n_cells=10, backend="bogus")
