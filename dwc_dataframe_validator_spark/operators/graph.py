@@ -42,11 +42,24 @@ def connected_components(
     dst: str = "idb",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Component assignment ``(node, cluster)`` for every node in the
     edge list; ``cluster`` is the component's minimum node id.  Raises
     if the fixpoint isn't reached in ``max_iterations`` rounds (a
     pathological chain — see module docstring).
+
+    SCALE-ADAPTIVE STRATEGY: when the (deduplicated, undirected) edge
+    set has ≤ ``local_threshold`` rows, the closure is solved with a
+    driver-side union-find instead of the iterative join loop — the
+    edge list is the SMALL output of a near-dup pair generator
+    (banding/thresholds bound it), so like a broadcast join this is a
+    bounded driver structure by contract (100k edges ≈ a few MB), and
+    it replaces ~log(diameter) driver-synced shuffle rounds with one
+    collect.  Results are identical (min-label semantics both ways).
+    Pass ``local_threshold=0`` to force the distributed loop; raise it
+    when the driver has memory to spare.  At 100 TB the pair graph
+    can exceed any driver, and the loop below is the path that scales.
 
     ``checkpoint_dir``: on a real cluster pass a RELIABLE (HDFS/object
     store) directory — per-round truncation then uses ``checkpoint()``,
@@ -70,6 +83,11 @@ def connected_components(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     und = _ckpt(und)
+    if local_threshold:
+        # und is materialized (checkpoint above): the count is free-ish
+        n_und = und.count()
+        if n_und <= local_threshold:
+            return _local_components(spark, und)
     labels = _ckpt(
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -122,6 +140,44 @@ def connected_components(
         "component diameter exceeds the bound; raise max_iterations or use "
         "guarded pair generation to cap cluster sizes"
     )
+
+
+def _local_components(spark, und: DataFrame) -> DataFrame:
+    """Driver-side union-find over a bounded undirected edge list,
+    labelling every node with its component's minimum id — the same
+    output contract as the distributed loop.  Path-halving find +
+    union by root keeps this near-linear; the result ships back as a
+    (node, cluster) frame with the edge column's own type."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in und.collect():
+        a, b = r["a"], r["b"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict = {}
+    for v in parent:
+        roots.setdefault(find(v), []).append(v)
+    rows = []
+    for members in roots.values():
+        lo = min(members)
+        rows.extend((v, lo) for v in members)
+    node_t = und.schema["a"].dataType
+    out_schema = StructType(
+        [StructField("node", node_t), StructField("cluster", node_t)]
+    )
+    return spark.createDataFrame(rows, out_schema)
 
 
 def cluster_summary(components: DataFrame) -> DataFrame:

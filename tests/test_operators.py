@@ -822,9 +822,10 @@ def test_connected_components_iteration_bound(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["ida", "idb"]
     )
+    # local_threshold=0 forces the distributed loop (the bound under test)
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(chain, max_iterations=2)
-    ok = connected_components(chain, max_iterations=10)
+        connected_components(chain, max_iterations=2, local_threshold=0)
+    ok = connected_components(chain, max_iterations=10, local_threshold=0)
     assert set(r["cluster"] for r in ok.collect()) == {0}
 
 
@@ -866,7 +867,7 @@ def test_connected_components_long_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], ["ida", "idb"]
     )
-    comp = connected_components(chain).collect()
+    comp = connected_components(chain, local_threshold=0).collect()
     assert len(comp) == 201
     assert set(r["cluster"] for r in comp) == {0}
 
@@ -1678,3 +1679,26 @@ def test_trained_cells_backends_agree(spark):
     assert fold == arrow
     with pytest.raises(ValueError):
         trained_cells(emb, n_cells=10, backend="bogus")
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    """The driver union-find fast path (edge set under local_threshold)
+    and the distributed label-propagation loop must produce identical
+    (node, cluster) assignments — same min-label contract."""
+    import random
+
+    from dwc_dataframe_validator_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 tiny pairs
+    edges += [(100 + i, 100 + i + 1) for i in range(30)]   # one long chain
+    edges += [(rng.randrange(200, 240), rng.randrange(200, 240))
+              for _ in range(50)]                          # random blob(s)
+    df = spark.createDataFrame(edges, ["ida", "idb"]).filter("ida != idb")
+    local = {(r["node"], r["cluster"]) for r in
+             connected_components(df).collect()}
+    dist = {(r["node"], r["cluster"]) for r in
+            connected_components(df, local_threshold=0).collect()}
+    assert local == dist and len(local) > 0
