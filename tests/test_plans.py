@@ -196,3 +196,19 @@ def test_every_driver_window_query_is_oracled():
 
     missing = [k for k in DRIVER_WINDOW if k not in registry.ORACLES]
     assert not missing, missing
+
+
+def test_trained_cells_assignment_is_map_side(spark):
+    """The scale claim of trained_cells: once the (tiny) centroids are
+    driver-side, assignment adds NO shuffle — the returned frame is
+    scan + projection (fold backend) or scan + Arrow map (arrow
+    backend).  An Exchange here would mean the n×k assignment work
+    got shuffled, which is exactly what the design avoids."""
+    from dwc_dataframe_validator_spark.operators.similarity import trained_cells
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for backend in ("fold", "arrow"):
+        out = trained_cells(emb, n_cells=10, backend=backend)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (backend, plan[:500])
