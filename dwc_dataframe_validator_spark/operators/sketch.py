@@ -91,3 +91,67 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — approximate set membership (Bloom 1970).  Completes the
+# sketch family: CMS answers "how often", HLL "how many distinct", Bloom
+# "have I seen this".  The 100 TB use case is a semi-join against a set
+# too big to broadcast exactly but whose BITS fit anywhere: k·ln2 bits
+# per member at the target false-positive rate (≈ 14.4 bits/member for
+# 0.1%), e.g. a 10^9-member reference set in ~1.7 GB — streamed once,
+# probed map-side with zero shuffle.
+#
+# Same representation discipline as the CMS: the filter is a DataFrame
+# of SET BIT POSITIONS (≤ m rows), not a driver-side bitset — built
+# with one scan + one distinct (map-side partials collapse each
+# partition to ≤ m positions before the shuffle), merged with plain
+# UNION/DISTINCT (filters of slices combine into the filter of the
+# union), and broadcast for probing.  Hashing reuses `_bucket`'s
+# md5-prefix scheme, so the whole build+probe pipeline is reproducible
+# in DuckDB and sits behind an exact value-level oracle — including
+# which probes are FALSE POSITIVES, not just "no false negatives".
+# --------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, k: int = 5, m: int = 4096
+) -> DataFrame:
+    """Build the filter over ``value_col``: a single-column DataFrame
+    ``(pos)`` of distinct set bit positions, ≤ m rows.  Each non-null
+    value sets ``k`` bits, position ``j`` = md5-prefix of ``'<j>:' ||
+    value`` mod ``m`` (identical to the CMS bucket hash)."""
+    c = F.col(value_col)
+    positions = F.array(*[_bucket(c, j, m) for j in range(k)])
+    return (
+        df.filter(c.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    filter_df: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    k: int = 5,
+    m: int = 4096,
+) -> DataFrame:
+    """Probe each distinct ``probes[value_col]`` against the filter:
+    ``(value_col, bloom_positive)`` where positive ⇔ all ``k`` bit
+    positions are set.  The filter side is ≤ m rows — broadcast hash
+    join, so probing is map-side with no shuffle on the probe stream
+    beyond the final per-value aggregation.  No false negatives by
+    construction; false positives at the classic (1−e^{−kn/m})^k
+    rate."""
+    c = F.col(value_col)
+    positions = F.array(*[_bucket(c, j, m) for j in range(k)])
+    q = probes.filter(c.isNotNull()).select(c).distinct().select(
+        c, F.explode(positions).alias("pos")
+    )
+    hit = filter_df.withColumn("set_bit", F.lit(1))
+    return (
+        q.join(F.broadcast(hit), "pos", "left")
+        .groupBy(value_col)
+        .agg((F.count("set_bit") == F.lit(k)).alias("bloom_positive"))
+    )

@@ -42,6 +42,7 @@ from .operators import (
     similarity,
     skew,
     sketch,
+    spans,
     text,
 )
 from .operators.validate import (
@@ -3056,6 +3057,144 @@ ORACLES["dedup_clusters_scaled"] = """
       UNION
       SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b)
     SELECT node, min(label) AS cluster FROM comp GROUP BY node
+"""
+
+
+def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window span-level duplicate report (operators/spans.py):
+    every 8-token window of every document is md5-fingerprinted; a
+    window is duplicated when its fingerprint occurs ≥ 2 times anywhere
+    in the corpus; per-document output counts duplicated windows and
+    the EXACT union size of their [pos, pos+8) token intervals.
+    Catches the partial duplication (boilerplate, quoted passages)
+    that whole-doc fingerprints and MinHash miss.  The md5-over-window
+    fingerprint is engine-portable, so the full pipeline — windowing,
+    duplication decision, interval merge — is value-checked against
+    DuckDB."""
+    return spans.duplicated_span_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
+    )
+
+
+QUERIES["span_dup_stats"] = span_dup_stats
+
+ORACLES["span_dup_stats"] = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tokens
+      FROM documents),
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    grams AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    occ AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS occ
+      FROM grams),
+    dup AS (
+      SELECT doc_id, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM occ WHERE occ >= 2),
+    merged AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(CASE WHEN nxt IS NULL THEN 8
+                           ELSE least(8, nxt - pos) END) AS BIGINT)
+               AS dup_tokens
+      FROM dup GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(greatest(0, b.n_tokens - 8 + 1) AS BIGINT) AS n_windows,
+           coalesce(m.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(m.dup_tokens, 0) AS dup_tokens
+    FROM base b LEFT JOIN merged m USING (doc_id)
+"""
+
+
+def bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter end-to-end (operators/sketch.py): build a k=5,
+    m=1024 filter over the 150 distinct event user ids, probe all
+    1500 customer keys, and emit the confusion-matrix counts.  m is
+    sized small on purpose — ~0.73 set-bit load yields a few percent
+    false positives among the 1350 non-member probes, so the oracle
+    exercises REAL collisions, and false_negatives = 0 verifies the
+    no-false-negative guarantee.  The md5-mod bit positions are
+    engine-portable: DuckDB recomputes the exact bitset and the exact
+    per-probe verdicts, so even which keys collide is value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    filt = sketch.bloom_build(ev, "user_id", k=5, m=1024)
+    probes = cust.select(F.col("c_custkey").alias("user_id"))
+    verdicts = sketch.bloom_contains(filt, probes, "user_id", k=5, m=1024)
+    members = (
+        ev.select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    both = verdicts.join(members, "user_id", "left").select(
+        "user_id",
+        "bloom_positive",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("probes"),
+        F.sum(F.col("is_member").cast("long")).alias("exact_members"),
+        F.sum(F.col("bloom_positive").cast("long")).alias("bloom_positives"),
+        F.sum(
+            (F.col("bloom_positive") & ~F.col("is_member")).cast("long")
+        ).alias("false_positives"),
+        F.sum(
+            (~F.col("bloom_positive") & F.col("is_member")).cast("long")
+        ).alias("false_negatives"),
+    )
+
+
+QUERIES["bloom_membership_check"] = bloom_membership_check
+
+# Same md5-prefix bit positions as sketch._bucket (and the CMS oracle):
+# '<j>:' || value, first 8 hex chars, mod m.
+ORACLES["bloom_membership_check"] = """
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    bits AS (
+      SELECT DISTINCT
+        CAST(CAST(('0x' || substr(
+            md5(CAST(r.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+            1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS pos
+      FROM members, range(5) r(j)),
+    probes AS (
+      SELECT DISTINCT c_custkey AS user_id FROM customer
+      WHERE c_custkey IS NOT NULL),
+    ppos AS (
+      SELECT user_id,
+        CAST(CAST(('0x' || substr(
+            md5(CAST(r.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+            1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS pos
+      FROM probes, range(5) r(j)),
+    verdicts AS (
+      SELECT p.user_id, count(b.pos) = 5 AS bloom_positive
+      FROM ppos p LEFT JOIN bits b USING (pos)
+      GROUP BY 1),
+    joined AS (
+      SELECT v.user_id, v.bloom_positive,
+             m.user_id IS NOT NULL AS is_member
+      FROM verdicts v LEFT JOIN members m USING (user_id))
+    SELECT CAST(count(*) AS BIGINT) AS probes,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_members,
+           CAST(sum(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_positives,
+           CAST(sum(CASE WHEN bloom_positive AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+           CAST(sum(CASE WHEN is_member AND NOT bloom_positive
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+    FROM joined
 """
 
 

@@ -1702,3 +1702,74 @@ def test_connected_components_local_and_distributed_agree(spark):
     dist = {(r["node"], r["cluster"]) for r in
             connected_components(df, local_threshold=0).collect()}
     assert local == dist and len(local) > 0
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from dwc_dataframe_validator_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    members = [(f"m{i}",) for i in range(60)]
+    others = [(f"x{i}",) for i in range(200)]
+    mdf = spark.createDataFrame(members, "v string")
+    filt = bloom_build(mdf, "v", k=5, m=256)  # heavy load → real FPs
+    probes = spark.createDataFrame(members + others, "v string")
+    verdicts = {
+        r["v"]: r["bloom_positive"]
+        for r in bloom_contains(filt, probes, "v", k=5, m=256).collect()
+    }
+    for (v,) in members:
+        assert verdicts[v], f"false negative on member {v}"
+    fps = sum(verdicts[v] for (v,) in others)
+    assert fps < len(others), "a bloom filter saying yes to everything is no filter"
+    # merge property: filters of two halves, unioned+distinct, equal
+    # the filter of the whole — what makes per-shard builds combinable
+    h1 = bloom_build(spark.createDataFrame(members[:30], "v string"), "v", 5, 256)
+    h2 = bloom_build(spark.createDataFrame(members[30:], "v string"), "v", 5, 256)
+    merged = h1.unionByName(h2).distinct()
+    assert sorted(r["pos"] for r in filt.collect()) == sorted(
+        r["pos"] for r in merged.collect()
+    )
+
+
+def test_span_dup_stats_planted(spark):
+    from dwc_dataframe_validator_spark.operators.spans import (
+        duplicated_span_stats,
+        window_fingerprints,
+    )
+
+    boiler = "all rights reserved copyright two thousand twenty four inc"  # 9 toks
+    uniq_a = " ".join(f"alpha{i}" for i in range(10))
+    uniq_b = " ".join(f"beta{i}" for i in range(10))
+    rows = [
+        (1, f"{uniq_a} {boiler}"),          # shares boiler with doc 2
+        (2, f"{boiler} {uniq_b}"),
+        (3, "gamma " * 20),                  # self-repetition only
+        (4, "short doc only"),               # < w tokens → no windows
+        (5, ""),                             # empty
+        (6, None),                           # null
+        (7, " ".join(f"delta{i}" for i in range(15))),  # all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           duplicated_span_stats(df, "doc_id", "text", w=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}, "every doc appears, null/empty included"
+    # the 9-token boiler passage shared by docs 1 and 2 yields 2
+    # duplicated 8-gram windows each (positions 10..11 / 0..1), whose
+    # interval union is exactly the 9 boiler tokens
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] == 2
+        assert out[d]["dup_tokens"] == 9
+    # "gamma"×20: every window identical → all 13 windows duplicated,
+    # union covers the whole doc
+    assert out[3]["n_dup_windows"] == 13
+    assert out[3]["dup_tokens"] == 20
+    for d in (4, 5, 6):
+        assert out[d]["n_windows"] == 0 and out[d]["dup_tokens"] == 0
+    assert out[7]["n_dup_windows"] == 0 and out[7]["n_tokens"] == 15
+    # fingerprint layer: doc 1's window at pos 10 equals doc 2's at pos 0
+    fps = window_fingerprints(df, "doc_id", "text", w=8)
+    h1 = fps.filter("doc_id = 1 AND pos = 10").collect()[0]["h"]
+    h2 = fps.filter("doc_id = 2 AND pos = 0").collect()[0]["h"]
+    assert h1 == h2
