@@ -62,6 +62,14 @@ def window_fingerprints(
     per document — the map-side cost is O(total tokens × w) with no
     shuffle.
     """
+    # The window-hash map work is O(total tokens × w) — by far the
+    # dominant cost — and runs BEFORE any exchange, so it inherits the
+    # scan's partitioning; spread a degenerate single-split scan
+    # (see operators/text.py spread_small_scan).
+    from .text import spread_small_scan
+
+    df = spread_small_scan(df, id_col)
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     idx = F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(

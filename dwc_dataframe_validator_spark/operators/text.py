@@ -250,6 +250,23 @@ def fingerprint(
     )
 
 
+def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition ``df`` by ``key_col`` ONLY when its scan has fewer
+    splits than half the cluster's parallelism.  The per-token /
+    per-shingle hash work in this module runs map-side BEFORE any
+    exchange, so it inherits the scan's partitioning: a small corpus in
+    one parquet file would serialize the whole pass on a single core.
+    On a real cluster the scan has >> defaultParallelism splits and
+    this is a no-op — an unconditional repartition would add a full
+    shuffle of the raw text, the most expensive column in the corpus.
+    Value-neutral: every consumer hashes rows deterministically, so
+    results are partitioning-independent."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 2):
+        return df.repartition(sc.defaultParallelism, F.col(key_col))
+    return df
+
+
 def word_ngrams(
     df: DataFrame,
     n: int = 2,
@@ -282,7 +299,7 @@ def word_ngrams(
             grams, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))
         )
     return (
-        df.filter(t != F.lit(""))
+        spread_small_scan(df.filter(t != F.lit("")), id_col)
         .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
