@@ -73,6 +73,11 @@ HEADLINE = [
     # the scale-safe clustering form, trained cells ∝ corpus, so the
     # benched query and the 100 TB path are the same code
     "dedup_clusters_scaled",
+    # round-6 additions (same addendum rule): span-level duplicate
+    # detection (rolling-window fingerprints) and the bloom-filter
+    # membership sketch
+    "span_dup_stats",
+    "bloom_membership_check",
 ]
 
 

@@ -1000,7 +1000,12 @@ def date_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/dates.py), so parser drift fails the hash check."""
     from .functions.dates import to_timestamp_multiformat
 
-    ev = load_table(spark, sf_dir, "events")
+    # the try_to_timestamp coalesce is the dominant per-row CPU and runs
+    # map-side before the 5-group aggregate — spread a single-split scan
+    # (operators/text.py spread_small_scan; measured 3× at sf0.1)
+    ev = text.spread_small_scan(
+        load_table(spark, sf_dir, "events"), "event_id"
+    )
     y = F.year("ts").cast("string")
     m = F.month("ts").cast("string")
     d = F.dayofmonth("ts").cast("string")
