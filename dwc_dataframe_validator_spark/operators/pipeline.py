@@ -166,3 +166,92 @@ def ngram_contamination(
             "jaccard",
         )
     )
+
+
+def span_contamination(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    w: int = 8,
+    k: int = 5,
+    m: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Window-level decontamination with a Bloom-bits prescreen — the
+    n-gram overlap check (GPT-3/PaLM style: "does a training document
+    share any w-token window with the benchmark set?") at the cost
+    structure a 100 TB corpus needs.
+
+    The two existing contamination forms both make the corpus meet the
+    heldout set in a JOIN (broadcast hash relation or shingle shuffle).
+    Here the heldout side is compiled down to m BLOOM BITS
+    (operators/sketch.py): heldout window fingerprints → k md5-grid bit
+    positions → packed words in the probe expression's task closure —
+    ~14 bits per distinct window at 0.1% FP, e.g. a benchmark suite of
+    10^8 windows in ~170 MB of bits where the exact fingerprint set
+    would be tens of GB.  Screening the corpus is then ONE scan of
+    pure codegen expressions (``bloom_test``) — no shuffle, no join,
+    no row fan-out; only the bloom-positive windows (true overlaps + a
+    controlled FP trickle) reach the exact verification join against
+    the broadcast heldout fingerprint set, which prunes every false
+    positive.
+
+    Returns one row per corpus document:
+    ``(id_col, n_windows, candidate_windows, confirmed_windows)`` —
+    candidate = bloom-positive window occurrences, confirmed = exactly
+    present in the heldout set.  candidate ≥ confirmed always; a doc
+    with confirmed_windows > 0 is contaminated.
+
+    Shuffle budget: heldout windows → distinct (small side, one
+    shuffle) → ≤ m bit positions collected once (bounded driver
+    structure, broadcast-side contract); corpus windows are screened
+    map-side and aggregated per document (one shuffle).  Both engines
+    replay the bloom verdicts exactly — md5-grid hashing — so even
+    which windows are FALSE positives sits behind the DuckDB oracle.
+    """
+    from . import sketch
+    from .spans import window_fingerprints
+
+    hw = (
+        window_fingerprints(heldout, id_col, text_col, w)
+        .select("h")
+        .distinct()
+    )
+    words = sketch.bloom_pack(sketch.bloom_build(hw, "h", k=k, m=m), m)
+
+    cw = window_fingerprints(corpus, id_col, text_col, w)
+    cand = cw.filter(sketch.bloom_test(F.col("h"), words, k, m))
+    verified = cand.join(
+        F.broadcast(hw.withColumn("_hit", F.lit(1))), "h", "left"
+    )
+    per_doc = verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("candidate_windows"),
+        F.count("_hit").alias("confirmed_windows"),
+    )
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = corpus.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.lit(0),
+        )
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("_n_tokens"),
+    ).select(
+        id_col,
+        F.greatest(F.lit(0), F.col("_n_tokens") - F.lit(w) + 1)
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce(F.col("candidate_windows"), F.lit(0))
+        .cast("long")
+        .alias("candidate_windows"),
+        F.coalesce(F.col("confirmed_windows"), F.lit(0))
+        .cast("long")
+        .alias("confirmed_windows"),
+    )

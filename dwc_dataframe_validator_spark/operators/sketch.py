@@ -155,3 +155,37 @@ def bloom_contains(
         .groupBy(value_col)
         .agg((F.count("set_bit") == F.lit(k)).alias("bloom_positive"))
     )
+
+
+def bloom_pack(filter_df: DataFrame, m: int) -> list:
+    """Fold the filter's ≤ m set-bit positions into ``m/64`` signed
+    64-bit words on the driver — a BOUNDED collect (the same contract
+    as a broadcast side: the filter's size is m bits by construction,
+    independent of how many values were inserted).  The packed words
+    are what ships to executors inside the probe expression — the
+    "broadcast-able model state belongs in a task closure" rule from
+    BASELINE.md finding 4."""
+    words = [0] * ((m + 63) // 64)
+    for row in filter_df.collect():
+        p = row["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into Spark's signed LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_test(col: Column, words: list, k: int, m: int) -> Column:
+    """MAP-SIDE membership test against packed filter words: AND over
+    the value's ``k`` md5-grid bit positions, each read with
+    ``getbit`` from an array-of-longs literal.  Pure whole-stage-
+    codegen expressions — no join, no shuffle, no per-row Python — so
+    screening a 100 TB corpus against a benchmark set costs exactly
+    one scan.  Expression size is m/64 literals: fine to the few-
+    hundred-KB range; past that (finding 4's ~2k-scalar rule) move the
+    words into an Arrow ``mapInPandas`` closure instead."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for j in range(k):
+        pos = _bucket(col, j, m)
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        cond = cond & (F.getbit(word, pos % 64) == 1)
+    return cond

@@ -3203,6 +3203,85 @@ ORACLES["bloom_membership_check"] = """
 """
 
 
+def span_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prescreened window-level decontamination
+    (operators/pipeline.py ``span_contamination``): the heldout 30%
+    split's 8-token-window fingerprints compile to m=65536 bloom bits
+    carried IN the probe expression (operators/sketch.py
+    ``bloom_pack``/``bloom_test``), the 70% train split is screened
+    map-side in one scan, and only bloom-positive windows reach the
+    exact verification join.  m is sized to leave a ~1-2% FP rate so
+    candidate_windows genuinely exceeds confirmed_windows — the oracle
+    replays the md5-grid bloom verdicts and value-checks BOTH counts,
+    false positives included."""
+    from .operators.pipeline import span_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    held = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.3))
+    return span_contamination(
+        docs.filter(~held), docs.filter(held), w=8, k=5, m=65536
+    )
+
+
+QUERIES["span_contamination_check"] = span_contamination_check
+
+ORACLES["span_contamination_check"] = r"""
+    WITH full_t AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
+      FROM documents),
+    tok AS (
+      SELECT doc_id, held, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM full_t WHERE text IS NOT NULL AND trim(text) <> ''),
+    grams AS (
+      SELECT doc_id, held,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    hh AS (SELECT DISTINCT h FROM grams WHERE held),
+    bits AS (
+      SELECT DISTINCT
+        CAST(CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || h),
+                                  1, 8)) AS UBIGINT) % 65536 AS BIGINT) AS pos
+      FROM hh, range(5) r(j)),
+    ch AS (SELECT DISTINCT h FROM grams WHERE NOT held),
+    cpos AS (
+      SELECT h,
+        CAST(CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || h),
+                                  1, 8)) AS UBIGINT) % 65536 AS BIGINT) AS pos
+      FROM ch, range(5) r(j)),
+    verdict AS (
+      SELECT c.h, count(b.pos) = 5 AS bloom_pos
+      FROM cpos c LEFT JOIN bits b USING (pos) GROUP BY c.h),
+    scr AS (
+      SELECT g.doc_id, v.bloom_pos, hh2.h IS NOT NULL AS confirmed
+      FROM grams g
+      JOIN verdict v USING (h)
+      LEFT JOIN hh hh2 ON hh2.h = g.h
+      WHERE NOT g.held),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (bloom_pos) AS BIGINT)
+               AS candidate_windows,
+             CAST(count(*) FILTER (bloom_pos AND confirmed) AS BIGINT)
+               AS confirmed_windows
+      FROM scr GROUP BY 1),
+    base AS (
+      SELECT doc_id,
+             CAST(greatest(0,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END - 8 + 1) AS BIGINT) AS n_windows
+      FROM full_t WHERE NOT held)
+    SELECT b.doc_id, b.n_windows,
+           coalesce(p.candidate_windows, 0) AS candidate_windows,
+           coalesce(p.confirmed_windows, 0) AS confirmed_windows
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

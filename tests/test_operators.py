@@ -1773,3 +1773,36 @@ def test_span_dup_stats_planted(spark):
     h1 = fps.filter("doc_id = 1 AND pos = 10").collect()[0]["h"]
     h2 = fps.filter("doc_id = 2 AND pos = 0").collect()[0]["h"]
     assert h1 == h2
+
+
+def test_span_contamination_planted(spark):
+    from dwc_dataframe_validator_spark.operators.pipeline import span_contamination
+
+    bench_passage = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    heldout = spark.createDataFrame(
+        [(100, f"benchmark question {bench_passage} answer choices")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words here {bench_passage} closing words"),  # leaks
+            (2, " ".join(f"clean{i}" for i in range(20))),           # clean
+            (3, "tiny doc"),                                         # no windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           span_contamination(corpus, heldout, w=8, k=5, m=4096).collect()}
+    # 10-token shared passage → 3 overlapping 8-gram windows, all
+    # bloom-positive (no false negatives) and all exactly confirmed
+    assert out[1]["confirmed_windows"] == 3
+    assert out[1]["candidate_windows"] >= 3  # FPs may add, never subtract
+    assert out[2]["confirmed_windows"] == 0
+    assert out[3]["n_windows"] == 0 and out[3]["candidate_windows"] == 0
+    # tiny m → heavy FP load, but verification must still prune to the
+    # exact overlap set
+    noisy = {r["doc_id"]: r.asDict() for r in
+             span_contamination(corpus, heldout, w=8, k=5, m=64).collect()}
+    assert noisy[1]["confirmed_windows"] == 3
+    assert noisy[2]["confirmed_windows"] == 0
+    assert noisy[2]["candidate_windows"] >= 0  # bloom noise allowed here

@@ -212,3 +212,22 @@ def test_trained_cells_assignment_is_map_side(spark):
         out = trained_cells(emb, n_cells=10, backend=backend)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (backend, plan[:500])
+
+
+def test_spread_small_scan_is_noop_on_wide_input(spark):
+    """spread_small_scan's contract: repartition ONLY a degenerate
+    under-split scan.  An input already at defaultParallelism must
+    pass through with NO Exchange (on a real cluster the scan has
+    plenty of splits and the repartition would shuffle the raw text);
+    a single-partition input must gain exactly one round-robin-by-key
+    Exchange to defaultParallelism."""
+    from dwc_dataframe_validator_spark.operators.text import spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 100, 1, par).selectExpr("id AS doc_id", "'x' AS text")
+    out = spread_small_scan(wide, "doc_id")
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    narrow = spark.range(0, 100, 1, 1).selectExpr("id AS doc_id", "'x' AS text")
+    spread = spread_small_scan(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == par
