@@ -712,3 +712,78 @@ def pii_scrub(
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM quality score on an exact integer-log2 grid —
+    CCNet-style perplexity filtering's decision signal, made
+    cross-engine reproducible.
+
+    Per token, surprisal ≈ −log2 P(token) = log2 N − log2 c(token)
+    under the corpus's own unigram model.  Real perplexity filters use
+    natural-log floats; ``ln`` is not IEEE-correctly-rounded, so
+    engines can differ in the last ulp and floor/compare boundaries —
+    this repo's oracle discipline (see the tf-idf integer weighting)
+    instead quantizes to FLOOR-log2: ``floor(log2 c) = len(bin(c)) −
+    1``, an exact integer both engines compute from the binary-string
+    length.  The per-document score is then an exact long (sum of
+    per-token bit gaps) and one final long/long division — the only
+    double in the output, identical bits on both engines.  Coarser
+    than ln by construction; the ranking it induces is what the
+    filter consumes.
+
+    Returns ``(id_col, n_tokens, surprisal_bits, bits_per_token)`` for
+    every document (zero-token docs: 0, 0, NULL).
+
+    Plan: ONE tokenize pass → per-(doc,term) counts (shuffle 1 on the
+    compact pairs) → corpus term count as a SUM WINDOW over the same
+    aggregate partitioned by term (shuffle 2, never a second corpus
+    scan/explode — the tf-idf lesson) → per-doc aggregate (shuffle 3).
+    Corpus total-token count joins in as a broadcast single-row
+    aggregate from its own column-pruned map-only scan.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+    tf = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
+        .groupBy("_doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c_term = F.sum("tf").over(Window.partitionBy("term"))
+    total = df.agg(
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("_n_total")
+    )
+    flog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    scored = (
+        tf.withColumn("_c", c_term)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_bits",
+            F.col("tf") * (flog2(F.col("_n_total")) - flog2(F.col("_c"))),
+        )
+    )
+    per_doc = scored.groupBy("_doc").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum("_bits").cast("long").alias("surprisal_bits"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0)).alias(
+                "surprisal_bits"
+            ),
+            F.when(
+                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0),
+                F.col("surprisal_bits").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("bits_per_token"),
+        )
+    )

@@ -3282,6 +3282,46 @@ ORACLES["span_contamination_check"] = r"""
 """
 
 
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring on the exact integer-log2 grid
+    (operators/text.py ``unigram_surprisal``) — the perplexity-filter
+    decision signal with floor-log2 quantization instead of
+    non-portable ``ln``, so the whole model fit (corpus term counts)
+    AND the per-document scores cross the exact value gate."""
+    return text.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["unigram_surprisal_scores"] = unigram_surprisal_scores
+
+# floor(log2 c) = length of the binary rendering − 1 on both engines
+ORACLES["unigram_surprisal_scores"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             tf.tf * ( (length(format('{:b}', tot.n_total)) - 1)
+                     - (length(format('{:b}', ct.c)) - 1) ) AS bits
+      FROM tf JOIN ct USING (term) CROSS JOIN tot),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(bits) AS BIGINT) AS surprisal_bits
+      FROM scored GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.surprisal_bits, 0) AS surprisal_bits,
+           CASE WHEN p.n_tokens > 0
+                THEN CAST(p.surprisal_bits AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE)
+           END AS bits_per_token
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

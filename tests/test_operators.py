@@ -1806,3 +1806,44 @@ def test_span_contamination_planted(spark):
     assert noisy[1]["confirmed_windows"] == 3
     assert noisy[2]["confirmed_windows"] == 0
     assert noisy[2]["candidate_windows"] >= 0  # bloom noise allowed here
+
+
+def test_unigram_surprisal_semantics(spark):
+    from dwc_dataframe_validator_spark.operators.text import unigram_surprisal
+
+    # corpus: 'common' appears 8 times, 'rare' once, N = 16 tokens
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common common"),
+        (3, "rare common word word"),
+        (4, "word word word"),
+        (5, ""),            # zero tokens
+        (6, None),          # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in unigram_surprisal(df).collect()}
+    # N=15 tokens total -> floor(log2 15)=3; c(common)=6? recompute below
+    # counts: common=6, rare=1, word=5+3? doc3 has 2 'word', doc4 has 3
+    # => common 4+4? doc1/doc2 have 4 each = 8, doc3 1 -> common=9? keep
+    # assertions structural instead of hand-counted where fragile:
+    n_total = sum(out[d]["n_tokens"] for d in out)
+    # rare token must contribute the maximal per-token bit gap
+    import math
+    flog2 = lambda c: int(math.floor(math.log2(c))) if c > 0 else 0
+    # recompute expected from first principles
+    toks = {}
+    for _, t in rows:
+        for w in (t or "").lower().split():
+            toks[w] = toks.get(w, 0) + 1
+    N = sum(toks.values())
+    for d, t in rows:
+        ws = (t or "").lower().split()
+        exp_bits = sum(flog2(N) - flog2(toks[w]) for w in ws)
+        assert out[d]["surprisal_bits"] == exp_bits, (d, out[d], exp_bits)
+        assert out[d]["n_tokens"] == len(ws)
+        if ws:
+            assert abs(out[d]["bits_per_token"] - exp_bits / len(ws)) < 1e-12
+        else:
+            assert out[d]["bits_per_token"] is None
+    # ranking property: the all-common doc scores below the rare-token doc
+    assert out[3]["bits_per_token"] > out[1]["bits_per_token"]
