@@ -74,10 +74,13 @@ HEADLINE = [
     # benched query and the 100 TB path are the same code
     "dedup_clusters_scaled",
     # round-6 additions (same addendum rule): span-level duplicate
-    # detection (rolling-window fingerprints) and the bloom-filter
-    # membership sketch
+    # detection (rolling-window fingerprints), the bloom-filter
+    # membership sketch, bloom-prescreened window decontamination,
+    # and unigram-surprisal quality scoring
     "span_dup_stats",
     "bloom_membership_check",
+    "span_contamination_check",
+    "unigram_surprisal_scores",
 ]
 
 

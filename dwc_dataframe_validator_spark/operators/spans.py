@@ -146,3 +146,82 @@ def duplicated_span_stats(
             ),
         )
     )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """The actionable half of span dedup: materialize documents with
+    their duplicated spans REMOVED, keeping exactly one occurrence of
+    each duplicated window corpus-wide.
+
+    Keeper policy (deterministic): for every duplicated fingerprint,
+    the occurrence with the smallest ``(doc, pos)`` survives; every
+    other occurrence's ``[pos, pos+w)`` token interval is stripped
+    from its document.  Output ``(id_col, clean_text, n_tokens,
+    n_tokens_kept)``; ``clean_text`` is whitespace-normalized (tokens
+    re-joined with single spaces — the span machinery tokenizes on
+    ``\\s+``, so original spacing is not recoverable by design).
+
+    Plan (all linear, no per-document quadratic):
+    fingerprints → keeper choice as a row_number window over the
+    fingerprint (shuffle 1) → non-keeper windows fan out to their w
+    token indices (``posexplode(sequence)``, ≤ w rows per stripped
+    window) → distinct removed (doc, token-index) pairs → token
+    positions LEFT ANTI join removed (shuffle 2, on the doc id) →
+    per-doc ordered reassembly via ``sort_array(collect_list(struct
+    (pos, token)))`` (reuses the doc partitioning).  A naive
+    per-token ``exists()`` over a strip-position array is O(tokens ×
+    strips) per document — degenerate docs (every window duplicated)
+    make that quadratic; the explode keeps it O(tokens + w·strips).
+    """
+    grams = window_fingerprints(df, id_col, text_col, w)
+    wh = Window.partitionBy("h")
+    keeper = Window.partitionBy("h").orderBy(id_col, "pos")
+    strips = (
+        grams.withColumn("_occ", F.count(F.lit(1)).over(wh))
+        .withColumn("_rk", F.row_number().over(keeper))
+        .filter((F.col("_occ") >= 2) & (F.col("_rk") > 1))
+        .select(id_col, "pos")
+    )
+    removed = strips.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias(
+            "_ti"
+        ),
+    ).distinct()
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    positions = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), F.posexplode(toks).alias("_ti", "_tok"))
+    kept = positions.join(removed, [id_col, "_ti"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_ti", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.lit(0),
+        )
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("long").alias(
+            "n_tokens_kept"
+        ),
+    )

@@ -3322,6 +3322,64 @@ ORACLES["unigram_surprisal_scores"] = r"""
 """
 
 
+def span_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of span dedup (operators/spans.py
+    ``scrub_duplicated_spans``): materialized documents with duplicated
+    8-token spans REMOVED — smallest-(doc,pos) occurrence of each
+    duplicated window survives, every other occurrence's interval is
+    stripped.  The CLEAN TEXT itself crosses the value gate: the
+    oracle rebuilds every scrubbed document string and the hash
+    compares them character-for-character."""
+    from .operators.spans import scrub_duplicated_spans
+
+    return scrub_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
+    )
+
+
+QUERIES["span_scrub_corpus"] = span_scrub_corpus
+
+ORACLES["span_scrub_corpus"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    grams AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      FROM grams),
+    strips AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rk > 1),
+    removed AS (
+      SELECT DISTINCT doc_id, CAST(r.i AS BIGINT) AS ti
+      FROM strips, LATERAL (SELECT unnest(range(pos, pos + 8)) AS i) r),
+    positions AS (
+      SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS ti, t[CAST(r.i AS INT)] AS tok
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+    kept AS (
+      SELECT p.doc_id, p.ti, p.tok
+      FROM positions p ANTI JOIN removed r USING (doc_id, ti)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_tokens_kept
+      FROM kept GROUP BY 1),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tokens
+      FROM documents)
+    SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(r.n_tokens_kept, 0) AS n_tokens_kept
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1847,3 +1847,31 @@ def test_unigram_surprisal_semantics(spark):
             assert out[d]["bits_per_token"] is None
     # ranking property: the all-common doc scores below the rare-token doc
     assert out[3]["bits_per_token"] > out[1]["bits_per_token"]
+
+
+def test_scrub_duplicated_spans_planted(spark):
+    from dwc_dataframe_validator_spark.operators.spans import (
+        scrub_duplicated_spans,
+    )
+
+    boiler = "one two three four five six seven eight"  # exactly w=8 tokens
+    a = " ".join(f"alpha{i}" for i in range(8))
+    b = " ".join(f"beta{i}" for i in range(8))
+    rows = [
+        (1, f"{a} {boiler}"),   # smallest (doc,pos) occurrence → keeper
+        (2, f"{boiler} {b}"),   # loses the boiler window
+        (3, "solo text only"),  # < w tokens, untouched
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           scrub_duplicated_spans(df, "doc_id", "text", w=8).collect()}
+    # doc 1 keeps everything (its boiler occurrence is the keeper)
+    assert out[1]["clean_text"] == f"{a} {boiler}"
+    assert out[1]["n_tokens_kept"] == 16
+    # doc 2 loses exactly the 8 boiler tokens, keeps its unique tail
+    assert out[2]["clean_text"] == b
+    assert out[2]["n_tokens_kept"] == 8 and out[2]["n_tokens"] == 16
+    # short/null docs unchanged (normalized join for the short one)
+    assert out[3]["clean_text"] == "solo text only"
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
