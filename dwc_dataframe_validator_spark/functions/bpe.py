@@ -55,8 +55,23 @@ def train_bpe(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, str]
     words = Counter()
     for t in texts:
         words.update(pretokenize(t))
+    return train_bpe_from_counts(words, n_merges)
+
+
+def train_bpe_from_counts(
+    word_counts: dict, n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """The merge loop itself, from an aggregated ``{word: count}``
+    table.  This is the contract the DISTRIBUTED trainer
+    (operators/text.py ``learn_bpe_merges``) feeds: BPE training only
+    ever needs word counts, so the corpus pass is a Spark aggregate
+    and this sequential loop runs over the (vocab-bounded) count
+    table — the same architecture real tokenizer trainers use.
+    Deterministic: ties in pair frequency break lexicographically,
+    so a Spark-aggregated count table and a driver-side Counter
+    produce IDENTICAL merges (pytest-pinned equivalence)."""
     seqs: dict[tuple[str, ...], int] = {
-        _word_symbols(w): c for w, c in words.items() if w
+        _word_symbols(w): c for w, c in word_counts.items() if w
     }
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

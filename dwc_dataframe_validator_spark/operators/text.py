@@ -787,3 +787,82 @@ def unigram_surprisal(
             ).alias("bits_per_token"),
         )
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_vocab: int = 100_000,
+) -> list:
+    """Distributed BPE tokenizer TRAINING: the corpus pass is a Spark
+    word-count aggregate (explode of the shared pre-token pattern →
+    one groupBy with map-side partials), and the inherently sequential
+    merge loop (functions/bpe.py ``train_bpe_from_counts``) runs on
+    the driver over the aggregated ``{word: count}`` table — the
+    architecture real tokenizer trainers use, since BPE only ever
+    consumes word counts, never the corpus itself.
+
+    The driver structure is bounded by ``max_vocab``: words are capped
+    to the most frequent (count desc, word asc — deterministic), the
+    standard trainer practice that also caps the collect at 100 TB
+    (distinct-word growth is sub-linear but unbounded; 100k words ≈ a
+    few MB).  Returns the ordered merge list; feed it to
+    ``token_stats_bpe_learned`` or ``functions.bpe.save_merges``.
+
+    Determinism pin (pytest): equals ``functions.bpe.train_bpe`` run
+    single-machine on the same texts whenever the vocab cap is not
+    hit, because the merge loop breaks frequency ties
+    lexicographically."""
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)),
+                    F.lit(BPE_ISH_PATTERN),
+                    0,
+                )
+            ).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    from ..functions import bpe as _bpe
+
+    return _bpe.train_bpe_from_counts({r["_w"]: r["_c"] for r in counts}, n_merges)
+
+
+def token_stats_bpe_learned(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a LEARNED in-memory merge table (the
+    output of ``learn_bpe_merges``): same Arrow ``mapInPandas`` shape
+    as ``token_stats_bpe``, with the ranks shipped in the task closure
+    instead of read from a file — the train→apply loop closed inside
+    one session."""
+    from ..functions import bpe as _bpe
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    projected = df.select(
+        F.col(id_col), F.col(text_col).alias("_text"),
+        F.coalesce(
+            bpe_ish_token_count(F.col(text_col)), F.lit(0)
+        ).alias("n_tokens_bpe"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            pdf["n_tokens_bpe_real"] = [
+                _bpe.token_count(t, ranks) if isinstance(t, str) else 0
+                for t in pdf["_text"]
+            ]
+            yield pdf.drop(columns=["_text"])
+
+    schema = f"{id_col} long, n_tokens_bpe int, n_tokens_bpe_real long"
+    return projected.mapInPandas(batches, schema=schema)

@@ -3380,6 +3380,27 @@ ORACLES["span_scrub_corpus"] = r"""
 """
 
 
+def bpe_learned_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train→apply closed in one query (operators/text.py
+    ``learn_bpe_merges`` + ``token_stats_bpe_learned``): the corpus
+    word counts aggregate distributed, the sequential merge loop runs
+    driver-side over the vocab-bounded count table (the architecture
+    real BPE trainers use), and the learned table encodes the corpus
+    through the same Arrow ``mapInPandas`` path as the shipped
+    vocabulary.  Rows-only by nature (iterative training is not
+    SQL-expressible); the distributed≡single-machine merge equivalence
+    and encode semantics are pytest-pinned
+    (tests/test_bpe.py::test_learn_bpe_merges_matches_single_machine).
+    No trailing sort: a global orderBy would re-run the Python encoder
+    for the range-partition sampling pass (the r3 lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.learn_bpe_merges(docs, n_merges=100)
+    return text.token_stats_bpe_learned(docs, merges)
+
+
+QUERIES["bpe_learned_token_stats"] = bpe_learned_token_stats
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

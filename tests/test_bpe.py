@@ -68,3 +68,45 @@ def test_spark_surface_matches_driver_encoder(spark):
     # the regex proxy is a lower bound: every pre-token is >= 1 token
     for r in got.values():
         assert r["n_tokens_bpe_real"] >= r["n_tokens_bpe"]
+
+
+def test_learn_bpe_merges_matches_single_machine(spark):
+    """The distributed trainer's contract: Spark-aggregated word
+    counts fed to the merge loop produce IDENTICAL merges to the
+    single-machine trainer on the same texts (deterministic tie
+    breaks), and the learned table actually compresses."""
+    from dwc_dataframe_validator_spark.functions.bpe import (
+        token_count as bpe_token_count,
+        train_bpe,
+    )
+    from dwc_dataframe_validator_spark.operators.text import (
+        learn_bpe_merges,
+        token_stats_bpe_learned,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "low lower lowest slower slowest",
+        "the the the cat cat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    learned = learn_bpe_merges(df, n_merges=30)
+    single = train_bpe(texts, n_merges=30)
+    assert learned == single
+
+    out = {r["doc_id"]: r.asDict()
+           for r in token_stats_bpe_learned(df, learned).collect()}
+    ranks = {tuple(m): i for i, m in enumerate(learned)}
+    for i, t in enumerate(texts):
+        assert out[i]["n_tokens_bpe_real"] == bpe_token_count(t, ranks)
+    # merging must never increase the token count vs zero merges
+    zero = {r["doc_id"]: r["n_tokens_bpe_real"]
+            for r in token_stats_bpe_learned(df, []).collect()}
+    assert all(out[i]["n_tokens_bpe_real"] <= zero[i] for i in range(len(texts)))
+    # vocab cap determinism: capping to a tiny vocab still runs and
+    # yields a deterministic (possibly shorter) merge list
+    capped = learn_bpe_merges(df, n_merges=30, max_vocab=3)
+    assert capped == learn_bpe_merges(df, n_merges=30, max_vocab=3)
