@@ -212,15 +212,25 @@ def span_contamination(
     from . import sketch
     from .spans import window_fingerprints
 
+    # materialize the distinct heldout fingerprints ONCE: both
+    # consumers (bloom build+collect, exact-verify broadcast) would
+    # otherwise re-run the heldout scan+explode+distinct.  Small by
+    # the benchmark-set contract — the 100 TB equivalent is writing
+    # the benchmark fingerprint set to storage, the artifact you keep.
     hw = (
         window_fingerprints(heldout, id_col, text_col, w)
         .select("h")
         .distinct()
+        .localCheckpoint()
     )
-    words = sketch.bloom_pack(sketch.bloom_build(hw, "h", k=k, m=m), m)
+    # fingerprints are already md5 hex → Kirsch-Mitzenmacher position
+    # derivation (two 32-bit slices of the existing digest) instead of
+    # k fresh md5s per window: the corpus screen costs two
+    # substring-convs per window, not k digests
+    words = sketch.bloom_pack(sketch.bloom_build_hex(hw, "h", k=k, m=m), m)
 
     cw = window_fingerprints(corpus, id_col, text_col, w)
-    cand = cw.filter(sketch.bloom_test(F.col("h"), words, k, m))
+    cand = cw.filter(sketch.bloom_test_hex(F.col("h"), words, k, m))
     verified = cand.join(
         F.broadcast(hw.withColumn("_hit", F.lit(1))), "h", "left"
     )

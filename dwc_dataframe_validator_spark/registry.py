@@ -3241,16 +3241,20 @@ ORACLES["span_contamination_check"] = r"""
                                  ' ')) AS h
       FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
     hh AS (SELECT DISTINCT h FROM grams WHERE held),
+    -- Kirsch-Mitzenmacher positions from the existing digest: two
+    -- 32-bit slices, h2 forced odd, pos_j = (h1 + j*h2) mod m
     bits AS (
       SELECT DISTINCT
-        CAST(CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || h),
-                                  1, 8)) AS UBIGINT) % 65536 AS BIGINT) AS pos
+        CAST((CAST(('0x' || substr(h, 1, 8)) AS UBIGINT)
+              + r.j * (CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) | 1))
+             % 65536 AS BIGINT) AS pos
       FROM hh, range(5) r(j)),
     ch AS (SELECT DISTINCT h FROM grams WHERE NOT held),
     cpos AS (
       SELECT h,
-        CAST(CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || h),
-                                  1, 8)) AS UBIGINT) % 65536 AS BIGINT) AS pos
+        CAST((CAST(('0x' || substr(h, 1, 8)) AS UBIGINT)
+              + r.j * (CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) | 1))
+             % 65536 AS BIGINT) AS pos
       FROM ch, range(5) r(j)),
     verdict AS (
       SELECT c.h, count(b.pos) = 5 AS bloom_pos
