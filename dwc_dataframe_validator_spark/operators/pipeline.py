@@ -265,3 +265,85 @@ def span_contamination(
         .cast("long")
         .alias("confirmed_windows"),
     )
+
+
+def pretraining_pipeline_v2(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    w: int = 8,
+    k: int = 5,
+    m: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """The round-6 operators composed the way a modern pre-training
+    pipeline runs them: **span scrub → quality gate → exact dedup →
+    bloom-prescreened decontamination**.  v1
+    (``prepare_training_corpus``) is gate→dedup→sample; this chains
+    the span-level machinery in front and the benchmark screen behind,
+    so one query exercises every stage interaction — scrubbing changes
+    fingerprints, which changes the dedup groups, which changes what
+    the contamination screen sees.
+
+    Returns the surviving corpus: ``(id_col, fingerprint, n_tokens)``
+    per document that (1) after duplicated-span removal passes the
+    quality gate on its SCRUBBED text, (2) wins its scrubbed-
+    fingerprint dedup group (min id), and (3) shares no w-token window
+    with the heldout set.
+
+    Scale shape: scrub is the linear span machinery (two shuffles),
+    the gate is a map-side filter on the scrubbed rows, dedup is ONE
+    shuffle on the fingerprint, and the decontamination screen is the
+    map-side bloom bits + broadcast verify — no stage enumerates
+    pairs, no stage shuffles the corpus more than once.
+    """
+    from .spans import scrub_duplicated_spans
+
+    scrub = scrub_duplicated_spans(corpus, id_col, text_col, w)
+    t = F.col("clean_text")
+    n_tokens = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    stop_hits = F.regexp_count(t, F.lit(EN_STOPWORDS))
+    alpha_ratio = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    ).cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+    gated = (
+        scrub.select(
+            F.col(id_col),
+            t,
+            n_tokens.alias("n_tokens"),
+            stop_hits.alias("_stop"),
+            alpha_ratio.alias("_alpha"),
+            F.md5(
+                F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+            ).alias("fingerprint"),
+        )
+        .filter(
+            F.col("n_tokens").between(min_tokens, max_tokens)
+            & (F.col("_stop") >= 1)
+            & (F.col("_alpha") >= min_alpha_ratio)
+        )
+    )
+    win = Window.partitionBy("fingerprint").orderBy(id_col)
+    kept = (
+        gated.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "clean_text", "fingerprint", "n_tokens")
+    )
+    screen = span_contamination(
+        kept.select(F.col(id_col), F.col("clean_text").alias(text_col)),
+        heldout,
+        w=w,
+        k=k,
+        m=m,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    clean_ids = screen.filter(F.col("confirmed_windows") == 0).select(id_col)
+    return kept.join(clean_ids, id_col).select(
+        id_col, "fingerprint", F.col("n_tokens").cast("long").alias("n_tokens")
+    )

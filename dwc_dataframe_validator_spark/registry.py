@@ -3405,6 +3405,111 @@ def bpe_learned_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["bpe_learned_token_stats"] = bpe_learned_token_stats
 
 
+def pretraining_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operators composed end-to-end (operators/pipeline.py
+    ``pretraining_pipeline_v2``): span scrub → quality gate on the
+    SCRUBBED text → exact dedup on the scrubbed fingerprint →
+    bloom-prescreened window decontamination against the 30% heldout
+    split.  The oracle replays every stage interaction — scrubbing
+    changes fingerprints changes dedup groups changes the screen's
+    input — and checks the surviving (doc, fingerprint, n_tokens)
+    rows.  The bloom layer is deliberately NOT replayed here (no false
+    negatives ⇒ survivors are bloom-independent; the bloom verdicts
+    themselves are oracled by span_contamination_check)."""
+    from .operators.pipeline import pretraining_pipeline_v2
+
+    docs = load_table(spark, sf_dir, "documents")
+    held = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.3))
+    return pretraining_pipeline_v2(docs.filter(~held), docs.filter(held))
+
+
+QUERIES["pretraining_pipeline_v2_check"] = pretraining_pipeline_v2_check
+
+ORACLES["pretraining_pipeline_v2_check"] = r"""
+    WITH full_t AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
+      FROM documents),
+    -- stage 1: span scrub WITHIN the 70% corpus split
+    ctok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM full_t WHERE NOT held AND text IS NOT NULL AND trim(text) <> ''),
+    cgrams AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM ctok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      FROM cgrams),
+    strips AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rk > 1),
+    removed AS (
+      SELECT DISTINCT doc_id, CAST(r.i AS BIGINT) AS ti
+      FROM strips, LATERAL (SELECT unnest(range(pos, pos + 8)) AS i) r),
+    positions AS (
+      SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS ti, t[CAST(r.i AS INT)] AS tok
+      FROM ctok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+    kept_tok AS (
+      SELECT p.doc_id, p.ti, p.tok
+      FROM positions p ANTI JOIN removed r USING (doc_id, ti)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text
+      FROM kept_tok GROUP BY 1),
+    scrubbed AS (
+      SELECT f.doc_id, coalesce(r.clean_text, '') AS ct
+      FROM full_t f LEFT JOIN rebuilt r USING (doc_id)
+      WHERE NOT f.held),
+    -- stage 2: quality gate on the SCRUBBED text
+    q AS (
+      SELECT doc_id, ct,
+        CASE WHEN trim(ct) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(ct), '\s+')) END AS n_tokens,
+        len(regexp_extract_all(ct, '\b(the|a|of|and|to|in|is)\b'))
+          AS stop_hits,
+        CAST(length(ct) - length(regexp_replace(ct, '[A-Za-z]', '', 'g'))
+             AS DOUBLE) / greatest(length(ct), 1) AS alpha_ratio,
+        md5(lower(trim(regexp_replace(ct, '\s+', ' ', 'g')))) AS fingerprint
+      FROM scrubbed),
+    f AS (
+      SELECT * FROM q
+      WHERE n_tokens BETWEEN 5 AND 10000 AND stop_hits >= 1
+        AND alpha_ratio >= 0.5),
+    -- stage 3: exact dedup on the scrubbed fingerprint, min-id keeper
+    kpt AS (
+      SELECT doc_id, ct, fingerprint, n_tokens,
+             row_number() OVER (
+               PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM f),
+    survivors0 AS (SELECT * FROM kpt WHERE rn = 1),
+    -- stage 4: window decontamination vs the 30% heldout split (bloom
+    -- has no false negatives, so survivors are bloom-independent)
+    htok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM full_t WHERE held AND text IS NOT NULL AND trim(text) <> ''),
+    hh AS (
+      SELECT DISTINCT
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM htok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    stok AS (
+      SELECT doc_id, regexp_split_to_array(trim(ct), '\s+') AS t
+      FROM survivors0 WHERE trim(ct) <> ''),
+    sgrams AS (
+      SELECT doc_id,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM stok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    dirty AS (
+      SELECT DISTINCT g.doc_id FROM sgrams g JOIN hh USING (h))
+    SELECT s.doc_id, s.fingerprint, CAST(s.n_tokens AS BIGINT) AS n_tokens
+    FROM survivors0 s ANTI JOIN dirty d USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

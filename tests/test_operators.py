@@ -1875,3 +1875,35 @@ def test_scrub_duplicated_spans_planted(spark):
     # short/null docs unchanged (normalized join for the short one)
     assert out[3]["clean_text"] == "solo text only"
     assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_pretraining_pipeline_v2_stages(spark):
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        pretraining_pipeline_v2,
+    )
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks, no stops
+    good = "the cat sat on a mat of straw and the dog slept in the sun"
+    dup = "the quick fox ran to a den in the woods by the old mill"
+    heldout = spark.createDataFrame(
+        [(100, f"benchmark intro {bench} outro text")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, good),                         # clean survivor
+            (2, dup),                          # dedup winner (min id)
+            (3, dup),                          # dedup loser
+            (4, f"the story begins {bench} and then ends"),  # contaminated
+            (5, "x1 x2 x3"),                   # quality fail: too short
+            (6, "zz " * 200),                  # quality fail: no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           pretraining_pipeline_v2(corpus, heldout).collect()}
+    assert 1 in out and 2 in out, "clean docs survive"
+    assert 3 not in out, "exact-dup loser removed"
+    assert 4 not in out, "benchmark-window doc decontaminated"
+    assert 5 not in out and 6 not in out, "quality gate holds on scrubbed text"
+    assert out[2]["fingerprint"] is not None and out[1]["n_tokens"] > 0
