@@ -117,3 +117,77 @@ def test_cms_monotone_under_more_data(spark):
         for r in cms_estimate(cms_build(d2, "v", 3, 4), d2, "v", 3, 4).collect()
     }
     assert all(e2[v] >= e1[v] for v in e1)
+
+
+# --- round-6 operators: span dedup coverage + bloom membership -----------
+
+token_st = st.sampled_from(["a", "b", "c", "dog", "cat", "xy"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(token_st, min_size=0, max_size=24), min_size=1, max_size=6
+    ),
+    w=st.integers(min_value=2, max_value=5),
+)
+def test_span_dup_stats_matches_bruteforce(spark, docs, w):
+    """dup_tokens must equal the brute-force union of duplicated
+    [pos, pos+w) intervals, for arbitrary corpora and window sizes —
+    the LEAD-window interval merge against first principles."""
+    from collections import Counter
+
+    from dwc_dataframe_validator_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in duplicated_span_stats(df, "doc_id", "text", w=w).collect()}
+
+    occ = Counter()
+    for toks in docs:
+        for i in range(max(0, len(toks) - w + 1)):
+            occ[" ".join(toks[i:i + w])] += 1
+    for d, toks in enumerate(docs):
+        covered, ndw = set(), 0
+        for i in range(max(0, len(toks) - w + 1)):
+            if occ[" ".join(toks[i:i + w])] >= 2:
+                ndw += 1
+                covered.update(range(i, i + w))
+        assert out[d]["n_dup_windows"] == ndw, (d, docs, w)
+        assert out[d]["dup_tokens"] == len(covered), (d, docs, w)
+        assert out[d]["n_tokens"] == len(toks)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=500), max_size=40),
+    probes=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    m=st.sampled_from([64, 256, 1024]),
+)
+def test_bloom_never_false_negative(spark, members, probes, m):
+    """For ANY member/probe sets and filter size: every member probe is
+    positive (the structural bloom guarantee the decontamination
+    pipeline's survivors depend on)."""
+    from dwc_dataframe_validator_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    mdf = spark.createDataFrame([(v,) for v in members] or [(None,)], "v int")
+    pdf = spark.createDataFrame([(v,) for v in probes], "v int")
+    filt = bloom_build(mdf, "v", k=4, m=m)
+    got = {r["v"]: r["bloom_positive"]
+           for r in bloom_contains(filt, pdf, "v", k=4, m=m).collect()}
+    for v in probes & members:
+        assert got[v], (v, m, sorted(members))
