@@ -1223,3 +1223,69 @@ def pq_adc_check(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2_pq")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF index persistence — fit once, save, reload, query without refit
+# --------------------------------------------------------------------------
+
+def save_ivf_index(
+    assigned: DataFrame, model, path: str, cell_col: str = "cell"
+) -> None:
+    """Persist a fitted IVF index: the cell-assigned corpus as parquet
+    PARTITIONED BY the cell column, plus the MLlib quantizer model.
+
+    The partitioning IS the index: at query time only the probed
+    cells' directories are read (partition pruning — ``PartitionFilters``
+    in the scan, pinned in tests), so a top-k probe over C cells reads
+    ~nprobe/C of a 100 TB corpus instead of scanning it.  Fitting is
+    the expensive step at scale; this is what "build the index once,
+    serve many query batches" looks like in plain Spark — no index
+    server, just a layout."""
+    assigned.write.partitionBy(cell_col).mode("overwrite").parquet(
+        f"{path}/corpus"
+    )
+    model.write().overwrite().save(f"{path}/quantizer")
+
+
+def load_ivf_index(spark, path: str):
+    """Reload ``save_ivf_index`` output: (cell-assigned corpus
+    DataFrame, fitted KMeansModel).  The corpus scan stays lazy — a
+    downstream cell filter prunes partitions before any file is
+    read."""
+    from pyspark.ml.clustering import KMeansModel
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    model = KMeansModel.load(f"{path}/quantizer")
+    return corpus, model
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Query a PERSISTED index: assign each query to its cell with the
+    reloaded quantizer (map-side transform of the tiny query side),
+    then run the cell-blocked ``ivf_topk`` against the partitioned
+    corpus — the equi-join on the partition column reaches the scan as
+    a partition filter, so only the probed cells' files are read."""
+    from pyspark.ml.functions import array_to_vector
+
+    corpus, model = load_ivf_index(spark, path)
+    feat = f"_features_{cell_col}"
+    q = (
+        model.transform(
+            queries.drop(cell_col, feat).withColumn(
+                feat, array_to_vector(F.col(vec_col))
+            )
+        )
+        .drop(feat)
+    )
+    return ivf_topk(
+        corpus, q, k=k, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    )

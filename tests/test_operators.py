@@ -1907,3 +1907,36 @@ def test_pretraining_pipeline_v2_stages(spark):
     assert 4 not in out, "benchmark-window doc decontaminated"
     assert 5 not in out and 6 not in out, "quality gate holds on scrubbed text"
     assert out[2]["fingerprint"] is not None and out[1]["n_tokens"] > 0
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """Persisted-index contract: save → load → query equals the
+    in-session cell-blocked result, and the query plan prunes corpus
+    partitions on the cell column (the layout IS the index)."""
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, model = build_ivf_index(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, model, path)
+
+    queries = assigned.filter(F.col("vec_id") < 5)
+    want = sorted(map(tuple, ivf_topk(assigned, queries, k=3, cell_col="cell").collect()))
+    got_df = ivf_topk_from_index(spark, path, queries.drop("cell"), k=3)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+
+    # partition pruning: filtering the reloaded corpus by cell must
+    # reach the scan as a partition filter, not a post-scan filter
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        load_ivf_index,
+    )
+    corpus, _ = load_ivf_index(spark, path)
+    plan = corpus.filter(F.col("cell") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan[:600]
