@@ -1,0 +1,324 @@
+"""Incremental corpus ingestion: dedup and decontaminate a SLICE
+against persisted index artifacts instead of re-processing the corpus.
+
+A 100 TB corpus is not built in one job — it is ingested in slices
+(a crawl snapshot, a vendor drop, a day of logs).  Re-running global
+dedup over corpus+slice for every slice costs O(corpus) per slice,
+O(corpus²/slice) overall; the production pattern is to persist a
+COMPACT artifact of the corpus once and screen each slice against it
+at O(slice) cost:
+
+- **Exact-dedup fingerprint store** — one 32-hex md5 per kept
+  document (operators/text.py ``fingerprint``: whitespace-normalized,
+  lowercased text), parquet PARTITIONED BY ``fp_bucket`` (first hex
+  byte, 256 directories).  ~16 bytes/doc: a billion-document corpus
+  is a ~30 GB store next to 100 TB of text.
+- **Bloom bits over the store** — the same Kirsch-Mitzenmacher
+  md5-grid filter as the decontamination screen
+  (operators/sketch.py), persisted as set-bit positions.  Bloom
+  union is bitwise OR, so the update path is append-only: new
+  positions are appended and deduplicated on load.
+
+Screening a slice is then:
+
+1. collapse the slice internally (first-per-fingerprint — one
+   shuffle on the 16-byte key, slice-sized);
+2. test each surviving fingerprint against the corpus bloom
+   MAP-SIDE (packed words in the task closure — no join, no shuffle,
+   no scan of the store);
+3. only the bloom-POSITIVE residue (true duplicates + the controlled
+   false-positive trickle, ~0.1% of novel docs at the default
+   geometry) pays the exact anti-join against the store — and because
+   positives carry ≤ 256 distinct ``fp_bucket`` values, the store
+   scan is pruned to the touched partitions (``PartitionFilters``,
+   pinned in tests) after a BOUNDED ≤ 256-row driver collect;
+4. survivors (bloom-negatives + verified positives) append their
+   fingerprints back to the store and their bit positions to the
+   bloom — the artifacts stay current without a rewrite.
+
+Bloom filters have no false negatives, so survivors are EXACTLY the
+set the pure anti-join would produce — the bloom only changes how
+much of the store is read.  That makes the whole operator
+value-deterministic and lets the registry check
+(``incremental_dedup_check``) sit behind an exact DuckDB oracle while
+the persistence round-trip, append path, and partition pruning are
+pinned in pytest.
+
+Reference parity: none — the reference validator
+(/root/reference/dwc_validator/validate.py) is single-archive,
+single-pass; incremental ingestion extends the LLM-pipeline family
+(SURVEY.md "beyond the reference" brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import sketch
+from .text import fingerprint
+
+#: bloom geometry defaults — k hash probes over m bits.  m must be a
+#: power of two (km_positions relies on it) and sized ~14 bits per
+#: expected distinct fingerprint for ~0.1% FP; at 100 TB you size m to
+#: the corpus the same way BASELINE.md sizes IVF cells.
+DEFAULT_K = 5
+DEFAULT_M = 1 << 16
+
+
+def _fp_bucket(fp) -> F.Column:
+    """Partition bucket = first hex byte of the digest (0..255).
+    Derived from the fingerprint itself, so both engines and both
+    sides of any join agree without storing anything extra."""
+    return F.conv(F.substring(fp, 1, 2), 16, 10).cast("int")
+
+
+def fingerprint_store(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus's compact dedup artifact as a DataFrame:
+    ``(fingerprint, fp_bucket)`` distinct.  One shuffle (the
+    distinct); 16 bytes + 4 per kept document."""
+    fps = (
+        fingerprint(df, text_col, id_col)
+        .select("fingerprint")
+        .filter(F.col("fingerprint").isNotNull())
+        .distinct()
+    )
+    return fps.withColumn("fp_bucket", _fp_bucket(F.col("fingerprint")))
+
+
+def save_fingerprint_index(
+    store: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+) -> None:
+    """Persist the dedup artifact: the fingerprint store partitioned
+    by ``fp_bucket`` plus the bloom set-bit positions.
+
+    ``mode="append"`` is the update path — new fingerprints land in
+    per-bucket files and new bloom positions are appended (bloom union
+    = OR, so append + distinct-on-load is exact).  No rewrite of
+    existing data either way."""
+    store.write.partitionBy("fp_bucket").mode(mode).parquet(
+        f"{path}/fingerprints"
+    )
+    bits = sketch.bloom_build_hex(store, "fingerprint", k=k, m=m)
+    bits.write.mode(mode).parquet(f"{path}/bloom")
+
+
+def load_fingerprint_index(spark: SparkSession, path: str):
+    """Reload ``save_fingerprint_index`` output: (store DataFrame —
+    lazy, partition-prunable; packed bloom words — a bounded ≤ m-bit
+    driver structure, same contract as a broadcast side)."""
+    store = spark.read.parquet(f"{path}/fingerprints")
+    bits = spark.read.parquet(f"{path}/bloom").distinct()
+    return store, bits
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    bloom_words: list | None = None,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_store_partitions: bool = False,
+) -> DataFrame:
+    """Survivors of ``batch`` against a corpus fingerprint ``store``:
+    ``(id_col, fingerprint, batch_copies)`` — first-per-fingerprint
+    within the batch (lowest id), minus fingerprints already in the
+    store.  ``batch_copies`` is how many batch rows collapsed into the
+    keeper.
+
+    With ``bloom_words`` (from ``sketch.bloom_pack`` over the store's
+    bits), only bloom-positive keepers join the store; negatives
+    short-circuit as definitely-new map-side.  Without it, every
+    keeper joins — same rows either way (no false negatives), which is
+    what the exact oracle checks.
+
+    ``prune_store_partitions`` additionally collects the positives'
+    distinct ``fp_bucket`` values (BOUNDED: ≤ 256 rows by
+    construction) and pushes them as a partition filter on the store
+    scan — only meaningful when the store is the persisted
+    partitioned-parquet form."""
+    fps = fingerprint(batch, text_col, id_col).select(id_col, "fingerprint")
+    fps = fps.filter(F.col("fingerprint").isNotNull())
+    w = Window.partitionBy("fingerprint")
+    keep = (
+        fps.withColumn(
+            "batch_copies", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .withColumn(
+            "_rk", F.row_number().over(w.orderBy(F.col(id_col)))
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+    if bloom_words is None:
+        candidates, negatives = keep, None
+    else:
+        # the collapsed keepers feed BOTH bloom branches (and the
+        # bucket collect below): checkpoint once so the slice-sized
+        # collapse shuffle runs once, then both filters are map-side
+        # passes over the materialized keepers
+        keep = keep.localCheckpoint(eager=True)
+        hit = sketch.bloom_test_hex(
+            F.col("fingerprint"), bloom_words, k, m
+        )
+        candidates = keep.filter(hit)
+        negatives = keep.filter(~hit)
+
+    if "fp_bucket" in store.columns:
+        store_keyed = store.select("fingerprint", "fp_bucket")
+    else:
+        store_keyed = store.select(
+            "fingerprint",
+            _fp_bucket(F.col("fingerprint")).alias("fp_bucket"),
+        )
+    if prune_store_partitions and bloom_words is not None:
+        buckets = [
+            r["fp_bucket"]
+            for r in candidates.select(
+                _fp_bucket(F.col("fingerprint")).alias("fp_bucket")
+            )
+            .distinct()
+            .collect()  # bounded: fp_bucket has ≤ 256 values
+        ]
+        store_keyed = store_keyed.filter(F.col("fp_bucket").isin(buckets))
+
+    fresh = candidates.join(
+        store_keyed.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    survivors = fresh if negatives is None else negatives.unionByName(fresh)
+    return survivors.select(id_col, "fingerprint", "batch_copies")
+
+
+def ingest_slice(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full per-slice ingestion step against a PERSISTED index:
+    screen ``batch``, append the survivors' fingerprints and bloom
+    positions back to the index, return the survivors (materialized —
+    the append must not observe its own output).
+
+    This is the loop body of 100 TB corpus construction: each slice
+    pays one slice-sized shuffle, one map-side bloom screen, and a
+    store read pruned to the touched buckets — never a scan of the
+    accumulated corpus text."""
+    store, bits = load_fingerprint_index(spark, path)
+    words = sketch.bloom_pack(bits, m)
+    survivors = incremental_dedup(
+        batch,
+        store,
+        bloom_words=words,
+        k=k,
+        m=m,
+        text_col=text_col,
+        id_col=id_col,
+        prune_store_partitions=True,
+    ).localCheckpoint(eager=True)
+    new_store = survivors.select("fingerprint").distinct().withColumn(
+        "fp_bucket", _fp_bucket(F.col("fingerprint"))
+    )
+    save_fingerprint_index(new_store, path, mode="append", k=k, m=m)
+    return survivors
+
+
+def save_heldout_index(
+    heldout: DataFrame,
+    path: str,
+    w: int = 8,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the decontamination artifact: the heldout/benchmark
+    set's distinct w-token window fingerprints plus their bloom
+    positions — what ``operators/pipeline.py span_contamination``
+    derives inline, written once so every future slice reuses it.
+    The benchmark set changes rarely; its artifact should outlive any
+    single ingestion job."""
+    from .spans import window_fingerprints
+
+    hw = (
+        window_fingerprints(heldout, id_col, text_col, w)
+        .select("h")
+        .distinct()
+        .localCheckpoint()
+    )
+    hw.write.mode("overwrite").parquet(f"{path}/windows")
+    sketch.bloom_build_hex(hw, "h", k=k, m=m).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bloom")
+
+
+def screen_slice_contamination(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    w: int = 8,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``span_contamination`` of ``batch`` against a PERSISTED heldout
+    index: same output contract ``(id_col, n_windows,
+    candidate_windows, confirmed_windows)``, but the heldout side is
+    two small parquet reads instead of a re-derivation — the slice
+    pays its own scan plus the map-side bloom screen, nothing else.
+    Equality with the inline form is pinned in pytest."""
+    hw = spark.read.parquet(f"{path}/windows")
+    words = sketch.bloom_pack(
+        spark.read.parquet(f"{path}/bloom").distinct(), m
+    )
+
+    from .spans import window_fingerprints
+
+    cw = window_fingerprints(batch, id_col, text_col, w)
+    cand = cw.filter(sketch.bloom_test_hex(F.col("h"), words, k, m))
+    verified = cand.join(
+        F.broadcast(hw.withColumn("_hit", F.lit(1))), "h", "left"
+    )
+    per_doc = verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("candidate_windows"),
+        F.count("_hit").alias("confirmed_windows"),
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = batch.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.lit(0),
+        )
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("_n_tokens"),
+    ).select(
+        id_col,
+        F.greatest(F.lit(0), F.col("_n_tokens") - F.lit(w) + 1)
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce(F.col("candidate_windows"), F.lit(0))
+        .cast("long")
+        .alias("candidate_windows"),
+        F.coalesce(F.col("confirmed_windows"), F.lit(0))
+        .cast("long")
+        .alias("confirmed_windows"),
+    )

@@ -3510,6 +3510,68 @@ ORACLES["pretraining_pipeline_v2_check"] = r"""
 """
 
 
+def incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (operators/incremental.py): split
+    documents 60/40 by md5(doc_id) into an accumulated "corpus" and an
+    incoming "slice"; build the corpus fingerprint store + bloom bits,
+    collapse the slice internally, screen it map-side against the
+    bloom, and anti-join only the positives against the store.  Bloom
+    filters have no false negatives, so the survivors are EXACTLY the
+    pure anti-join result the oracle computes — the bloom only changes
+    how much of the store the exact join reads.  The persisted form
+    (partitioned store, append-on-ingest, partition pruning) is pinned
+    in tests/test_operators.py."""
+    from .operators import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_batch = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.4))
+    corpus, batch = docs.filter(~in_batch), docs.filter(in_batch)
+    # materialize the store once — it feeds both the bloom build
+    # (bounded collect) and the exact verify join, the same
+    # "artifact you keep" contract as span_contamination's heldout set
+    store = incremental.fingerprint_store(corpus).localCheckpoint()
+    words = sketch.bloom_pack(
+        sketch.bloom_build_hex(store, "fingerprint", k=5, m=65536), 65536
+    )
+    return incremental.incremental_dedup(
+        batch, store, bloom_words=words, k=5, m=65536
+    )
+
+
+QUERIES["incremental_dedup_check"] = incremental_dedup_check
+
+ORACLES["incremental_dedup_check"] = r"""
+    WITH split AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '66666666'
+               AS in_batch
+      FROM documents),
+    corpus_fp AS (
+      SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM split WHERE NOT in_batch AND text IS NOT NULL),
+    batch_fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM split WHERE in_batch AND text IS NOT NULL),
+    keep AS (
+      SELECT doc_id, fingerprint,
+             CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS batch_copies,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+               AS rk
+      FROM batch_fp)
+    SELECT k.doc_id, k.fingerprint, k.batch_copies
+    FROM keep k
+    ANTI JOIN corpus_fp c ON k.fingerprint = c.fingerprint
+    WHERE k.rk = 1
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

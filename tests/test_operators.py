@@ -1940,3 +1940,103 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     corpus, _ = load_ivf_index(spark, path)
     plan = corpus.filter(F.col("cell") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cell" in plan, plan[:600]
+
+
+def test_incremental_dedup_ingest_roundtrip(spark, tmp_path):
+    """Incremental ingestion contract (operators/incremental.py):
+    slice survivors = within-slice keepers minus store hits; the
+    store grows by each slice's survivors (append, no rewrite); the
+    bloom screen changes nothing about WHICH rows survive (no false
+    negatives); and the persisted store scan prunes on fp_bucket."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        incremental_dedup,
+        ingest_slice,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "fpidx")
+    save_fingerprint_index(fingerprint_store(corpus), path)
+
+    slice1 = spark.createDataFrame(
+        [
+            (10, "  ALPHA   beta GAMMA "),   # corpus dup (norm-equal to 1)
+            (11, "eta theta iota"),          # novel, duplicated in-slice
+            (12, "eta  THETA   iota"),       # in-slice dup of 11
+            (13, "kappa lambda mu"),         # novel
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in ingest_slice(spark, path, slice1).collect()}
+    assert set(got) == {11, 13}, got
+    assert got[11]["batch_copies"] == 2 and got[13]["batch_copies"] == 1
+
+    # second slice: repeats slice1's novel doc -> now a store hit
+    slice2 = spark.createDataFrame(
+        [(20, "eta theta iota"), (21, "nu xi omicron")],
+        ["doc_id", "text"],
+    )
+    got2 = {r["doc_id"] for r in ingest_slice(spark, path, slice2).collect()}
+    assert got2 == {21}, got2
+
+    # bloom path and pure anti-join produce identical survivors
+    store, bits = load_fingerprint_index(spark, path)
+    from dwc_dataframe_validator_spark.operators import sketch
+
+    words = sketch.bloom_pack(bits, 1 << 16)
+    pure = incremental_dedup(slice1, store)
+    bloomed = incremental_dedup(slice1, store, bloom_words=words)
+    assert sorted(map(tuple, pure.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
+
+    # the persisted layout IS the index: a bucket filter reaches the
+    # scan as a partition filter
+    plan = (
+        store.filter(F.col("fp_bucket") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(fp_bucket" in plan, plan[:600]
+
+
+def test_heldout_index_screen_matches_inline(spark, tmp_path):
+    """Persisted decontamination artifact: screening a slice against
+    the saved heldout index returns exactly what the inline
+    span_contamination computes on the same data."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        save_heldout_index,
+        screen_slice_contamination,
+    )
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        span_contamination,
+    )
+
+    heldout = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "zz one two three four five six seven eight nine yy"),
+            (2, "totally unrelated words with no benchmark overlap at all"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "heldidx")
+    save_heldout_index(heldout, path, w=8)
+    got = sorted(
+        map(tuple, screen_slice_contamination(spark, path, batch, w=8).collect())
+    )
+    want = sorted(map(tuple, span_contamination(batch, heldout, w=8).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][3] > 0, "overlapping doc confirmed contaminated"
+    assert by_id[2][3] == 0 and by_id[3][1] == 0
