@@ -1,0 +1,152 @@
+"""Continuous corpus construction: a streaming source of documents
+ingested slice-by-slice against the persisted fingerprint index.
+
+Each micro-batch is one ingestion slice (operators/incremental.py):
+screened against the corpus fingerprint store + bloom, survivors
+materialized to a per-batch output directory, fingerprints and bloom
+positions appended back to the index.  This is the streaming face of
+the same O(slice)-per-slice design — a crawl feed or log tail becomes
+a deduplicated corpus without ever rescanning the accumulated text.
+
+Replay safety (``foreachBatch`` is at-least-once) uses the standard
+commit-marker recipe rather than in-process state, so it survives
+driver restarts — stronger than the report sink's same-process guard
+(streaming/report_sink.py):
+
+1. compute survivors against the CURRENT store and overwrite
+   ``{out}/batch_id=N`` — UNLESS that directory already exists with a
+   ``_SUCCESS`` commit file, in which case it is read back as the
+   authoritative survivor set (it was computed before the store
+   absorbed this batch; recomputing NOW would find zero survivors and
+   wipe it).  A directory without ``_SUCCESS`` is a torn write — the
+   store cannot have absorbed the batch yet, so recomputing is exact;
+2. append the survivor fingerprints + bloom positions to the index —
+   re-appending rows that are already present cannot change any
+   future screen (the anti-join and the bloom OR are idempotent in
+   the VALUE domain; a replayed append costs at most one batch of
+   duplicate store rows, never a wrong survivor set);
+3. write the ``_commits/N`` marker LAST; a batch whose marker exists
+   is skipped outright.
+
+Every crash window is covered: before the survivors commit → exact
+recompute; between commit and marker → survivors re-read from the
+directory (the WAL), append replayed harmlessly; after the marker →
+no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import incremental, sketch
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _exists(spark, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def _touch(spark, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.create(hpath, True).close()
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    k: int = incremental.DEFAULT_K,
+    m: int = incremental.DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One replay-safe ingestion step — the ``foreachBatch`` body,
+    exposed for direct testing of the marker protocol."""
+    spark = batch_df.sparkSession
+    marker = f"{out_path}/_commits/{batch_id}"
+    if _exists(spark, marker):
+        return
+    if batch_df.isEmpty():
+        _touch(spark, marker)
+        return
+
+    batch_dir = f"{out_path}/batch_id={batch_id}"
+    if _exists(spark, f"{batch_dir}/_SUCCESS"):
+        # replay after a committed survivors write: the directory is
+        # the WAL — recomputing against the possibly-updated store
+        # would find zero survivors and wipe it
+        survivors = spark.read.parquet(batch_dir)
+    else:
+        store, bits = incremental.load_fingerprint_index(
+            spark, index_path
+        )
+        words = sketch.bloom_pack(bits, m)
+        survivors = incremental.incremental_dedup(
+            batch_df,
+            store,
+            bloom_words=words,
+            k=k,
+            m=m,
+            text_col=text_col,
+            id_col=id_col,
+            prune_store_partitions=True,
+        ).localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(batch_dir)
+    new_store = (
+        survivors.select("fingerprint")
+        .distinct()
+        .withColumn(
+            "fp_bucket", incremental._fp_bucket(F.col("fingerprint"))
+        )
+    )
+    incremental.save_fingerprint_index(
+        new_store, index_path, mode="append", k=k, m=m
+    )
+    _touch(spark, marker)
+
+
+def corpus_ingest_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    k: int = incremental.DEFAULT_K,
+    m: int = incremental.DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    queryName: str = "corpus_ingest",
+    checkpoint_path: str | None = None,
+):
+    """Attach the continuous-ingestion sink to a document stream and
+    return the started StreamingQuery (caller owns lifecycle).  The
+    index at ``index_path`` must exist (seed it with
+    ``save_fingerprint_index`` — an empty corpus frame is a valid
+    seed); survivors land under ``{out_path}/batch_id=N``.  Pass
+    ``checkpoint_path`` so source progress (which files are consumed)
+    survives restarts — the commit markers make the BATCH step
+    restart-safe; the checkpoint makes the SOURCE restart-safe."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            out_path,
+            k=k,
+            m=m,
+            text_col=text_col,
+            id_col=id_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(body).queryName(queryName)
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.trigger(availableNow=True).start()

@@ -313,3 +313,89 @@ def test_streaming_dedup_checks_sink_end_to_end(spark, tmp_path):
                  "recorded_by").collect()
     )
     assert stream_counts == batch_counts and len(batch_counts) == 2
+
+
+def test_streaming_corpus_ingest_end_to_end(spark, tmp_path):
+    """Continuous corpus construction (streaming/ingest.py): each
+    micro-batch ingests against the persisted fingerprint index;
+    survivors land per-batch; the commit-marker protocol makes
+    replayed batches no-ops and the survivors directory acts as the
+    WAL for the crash window between store append and marker."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        incremental_dedup,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        ingest_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    save_fingerprint_index(fingerprint_store(corpus), idx)
+
+    slice1 = spark.createDataFrame(
+        [
+            (10, "ALPHA beta   gamma"),  # store dup of doc 1
+            (11, "eta theta iota"),      # novel, duplicated in-slice
+            (12, "eta THETA iota"),      # in-slice dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    slice1.coalesce(1).write.mode("append").parquet(src)
+    q = corpus_ingest_sink(
+        spark.readStream.schema(slice1.schema).parquet(src),
+        idx, out, checkpoint_path=ckpt,
+    )
+    q.awaitTermination()
+    b0 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{out}/batch_id=0").collect()}
+    assert set(b0) == {11} and b0[11]["batch_copies"] == 2
+
+    # second availableNow run off the same checkpoint: only the new
+    # file is consumed, and the index has absorbed batch 0's survivor
+    slice2 = spark.createDataFrame(
+        [(20, "eta theta iota"), (21, "nu xi omicron")],
+        ["doc_id", "text"],
+    )
+    slice2.coalesce(1).write.mode("append").parquet(src)
+    q2 = corpus_ingest_sink(
+        spark.readStream.schema(slice1.schema).parquet(src),
+        idx, out, checkpoint_path=ckpt,
+    )
+    q2.awaitTermination()
+    b1 = {r["doc_id"] for r in
+          spark.read.parquet(f"{out}/batch_id=1").collect()}
+    assert b1 == {21}, b1
+
+    # replay with marker present: a full no-op
+    ingest_batch(slice2, 1, idx, out)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/batch_id=1").collect()} == {21}
+
+    # crash window between store append and marker: marker gone, but
+    # the committed survivors dir is the WAL — re-running must NOT
+    # wipe it (a naive recompute would now find zero survivors)
+    import os
+
+    os.remove(f"{out}/_commits/1")
+    ingest_batch(slice2, 1, idx, out)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/batch_id=1").collect()} == {21}
+    assert os.path.exists(f"{out}/_commits/1")
+
+    # the store stays correct even with the replayed (duplicate)
+    # append: a third slice repeating doc 21 yields no survivors
+    store, _ = load_fingerprint_index(spark, idx)
+    slice3 = spark.createDataFrame(
+        [(30, "nu xi omicron")], ["doc_id", "text"]
+    )
+    assert incremental_dedup(slice3, store).count() == 0
