@@ -24,7 +24,8 @@ Screening a slice is then:
 1. collapse the slice internally (first-per-fingerprint — one
    shuffle on the 16-byte key, slice-sized);
 2. test each surviving fingerprint against the corpus bloom
-   MAP-SIDE (packed words in the task closure — no join, no shuffle,
+   MAP-SIDE (one byte-packed filter literal in the probe expression
+   — no join, no shuffle,
    no scan of the store);
 3. only the bloom-POSITIVE residue (true duplicates + the controlled
    false-positive trickle, ~0.1% of novel docs at the default
@@ -111,8 +112,8 @@ def save_fingerprint_index(
 
 def load_fingerprint_index(spark: SparkSession, path: str):
     """Reload ``save_fingerprint_index`` output: (store DataFrame —
-    lazy, partition-prunable; packed bloom words — a bounded ≤ m-bit
-    driver structure, same contract as a broadcast side)."""
+    lazy, partition-prunable; the bloom set-bit positions frame —
+    pack with ``sketch.bloom_pack_bytes`` before probing)."""
     store = spark.read.parquet(f"{path}/fingerprints")
     bits = spark.read.parquet(f"{path}/bloom").distinct()
     return store, bits
@@ -121,7 +122,7 @@ def load_fingerprint_index(spark: SparkSession, path: str):
 def incremental_dedup(
     batch: DataFrame,
     store: DataFrame,
-    bloom_words: list | None = None,
+    bloom_blob: bytes | None = None,
     k: int = DEFAULT_K,
     m: int = DEFAULT_M,
     text_col: str = "text",
@@ -134,8 +135,10 @@ def incremental_dedup(
     store.  ``batch_copies`` is how many batch rows collapsed into the
     keeper.
 
-    With ``bloom_words`` (from ``sketch.bloom_pack`` over the store's
-    bits), only bloom-positive keepers join the store; negatives
+    With ``bloom_blob`` (from ``sketch.bloom_pack_bytes`` over the
+    store's bits — the one-literal packing; the word-list form's
+    k*m/64 expression nodes blow up driver-side planning at large m),
+    only bloom-positive keepers join the store; negatives
     short-circuit as definitely-new map-side.  Without it, every
     keeper joins — same rows either way (no false negatives), which is
     what the exact oracle checks.
@@ -159,7 +162,7 @@ def incremental_dedup(
         .drop("_rk")
     )
 
-    if bloom_words is None:
+    if bloom_blob is None:
         candidates, negatives = keep, None
     else:
         # the collapsed keepers feed BOTH bloom branches (and the
@@ -167,8 +170,8 @@ def incremental_dedup(
         # collapse shuffle runs once, then both filters are map-side
         # passes over the materialized keepers
         keep = keep.localCheckpoint(eager=True)
-        hit = sketch.bloom_test_hex(
-            F.col("fingerprint"), bloom_words, k, m
+        hit = sketch.bloom_test_hex_bytes(
+            F.col("fingerprint"), bloom_blob, k, m
         )
         candidates = keep.filter(hit)
         negatives = keep.filter(~hit)
@@ -180,7 +183,7 @@ def incremental_dedup(
             "fingerprint",
             _fp_bucket(F.col("fingerprint")).alias("fp_bucket"),
         )
-    if prune_store_partitions and bloom_words is not None:
+    if prune_store_partitions and bloom_blob is not None:
         buckets = [
             r["fp_bucket"]
             for r in candidates.select(
@@ -217,11 +220,11 @@ def ingest_slice(
     store read pruned to the touched buckets — never a scan of the
     accumulated corpus text."""
     store, bits = load_fingerprint_index(spark, path)
-    words = sketch.bloom_pack(bits, m)
+    blob = sketch.bloom_pack_bytes(bits, m)
     survivors = incremental_dedup(
         batch,
         store,
-        bloom_words=words,
+        bloom_blob=blob,
         k=k,
         m=m,
         text_col=text_col,
@@ -281,14 +284,14 @@ def screen_slice_contamination(
     pays its own scan plus the map-side bloom screen, nothing else.
     Equality with the inline form is pinned in pytest."""
     hw = spark.read.parquet(f"{path}/windows")
-    words = sketch.bloom_pack(
+    blob = sketch.bloom_pack_bytes(
         spark.read.parquet(f"{path}/bloom").distinct(), m
     )
 
     from .spans import window_fingerprints
 
     cw = window_fingerprints(batch, id_col, text_col, w)
-    cand = cw.filter(sketch.bloom_test_hex(F.col("h"), words, k, m))
+    cand = cw.filter(sketch.bloom_test_hex_bytes(F.col("h"), blob, k, m))
     verified = cand.join(
         F.broadcast(hw.withColumn("_hit", F.lit(1))), "h", "left"
     )

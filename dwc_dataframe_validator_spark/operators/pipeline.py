@@ -227,10 +227,10 @@ def span_contamination(
     # derivation (two 32-bit slices of the existing digest) instead of
     # k fresh md5s per window: the corpus screen costs two
     # substring-convs per window, not k digests
-    words = sketch.bloom_pack(sketch.bloom_build_hex(hw, "h", k=k, m=m), m)
+    blob = sketch.bloom_pack_bytes(sketch.bloom_build_hex(hw, "h", k=k, m=m), m)
 
     cw = window_fingerprints(corpus, id_col, text_col, w)
-    cand = cw.filter(sketch.bloom_test_hex(F.col("h"), words, k, m))
+    cand = cw.filter(sketch.bloom_test_hex_bytes(F.col("h"), blob, k, m))
     verified = cand.join(
         F.broadcast(hw.withColumn("_hit", F.lit(1))), "h", "left"
     )

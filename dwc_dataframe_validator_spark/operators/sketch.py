@@ -215,6 +215,56 @@ def bloom_pack(filter_df: DataFrame, m: int) -> list:
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def bloom_pack_bytes(filter_df: DataFrame, m: int) -> bytes:
+    """``bloom_pack`` to a SINGLE byte string instead of a word list:
+    bit ``p`` lives at byte ``p >> 3``, in-byte offset ``p & 7`` —
+    the little-endian layout of the packed words, so the two forms are
+    bit-identical (parity pytest-pinned).
+
+    Why a second packing exists: the word-list probe embeds the filter
+    as ``k × m/64`` expression-tree NODES (an array literal per
+    probe), and driver-side analysis of that tree goes superlinear —
+    the round-6 10× spot-check measured a 9 s FIXED planning cost at
+    m = 2^20 that dwarfed the per-row work (0.8 s for 50k rows).  A
+    byte string is ONE literal node regardless of m, so planning cost
+    is flat and the filter scales to the tens-of-MB range before the
+    next boundary (plan-serialization size per task — past that, drop
+    the bloom and rely on the exact co-partitioned anti-join, which
+    the incremental-dedup contract already makes correct-without-it).
+    """
+    words = bloom_pack(filter_df, m)
+    ba = bytearray(len(words) * 8)
+    for i, w in enumerate(words):
+        ba[i * 8 : (i + 1) * 8] = (w & ((1 << 64) - 1)).to_bytes(
+            8, "little"
+        )
+    return bytes(ba)
+
+
+_BYTE_MASKS = [1 << b for b in range(8)]
+
+
+def bloom_test_hex_bytes(
+    col: Column, blob: bytes, k: int, m: int
+) -> Column:
+    """``bloom_test_hex`` against a ``bloom_pack_bytes`` filter: same
+    Kirsch-Mitzenmacher bit positions, same verdicts bit-for-bit, but
+    the filter is one binary literal — use this form whenever m can
+    grow with the data (the corpus-store screen); the word-list form
+    is only fine for small fixed m."""
+    bin_lit = F.lit(blob)
+    masks = F.array(*[F.lit(b) for b in _BYTE_MASKS])
+    cond = F.lit(True)
+    for pos in km_positions(col, k, m):
+        byte_idx = F.shiftright(pos, 3).cast("int")
+        byte = F.conv(
+            F.hex(F.substring(bin_lit, byte_idx + 1, 1)), 16, 10
+        ).cast("int")
+        mask = F.element_at(masks, F.pmod(pos, F.lit(8)).cast("int") + 1)
+        cond = cond & (byte.bitwiseAND(mask) != 0)
+    return cond
+
+
 def bloom_test(col: Column, words: list, k: int, m: int) -> Column:
     """MAP-SIDE membership test against packed filter words: AND over
     the value's ``k`` md5-grid bit positions, each read with

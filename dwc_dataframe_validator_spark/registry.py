@@ -3532,11 +3532,11 @@ def incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bounded collect) and the exact verify join, the same
     # "artifact you keep" contract as span_contamination's heldout set
     store = incremental.fingerprint_store(corpus).localCheckpoint()
-    words = sketch.bloom_pack(
+    blob = sketch.bloom_pack_bytes(
         sketch.bloom_build_hex(store, "fingerprint", k=5, m=65536), 65536
     )
     return incremental.incremental_dedup(
-        batch, store, bloom_words=words, k=5, m=65536
+        batch, store, bloom_blob=blob, k=5, m=65536
     )
 
 

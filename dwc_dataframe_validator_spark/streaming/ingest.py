@@ -89,11 +89,11 @@ def ingest_batch(
         store, bits = incremental.load_fingerprint_index(
             spark, index_path
         )
-        words = sketch.bloom_pack(bits, m)
+        blob = sketch.bloom_pack_bytes(bits, m)
         survivors = incremental.incremental_dedup(
             batch_df,
             store,
-            bloom_words=words,
+            bloom_blob=blob,
             k=k,
             m=m,
             text_col=text_col,

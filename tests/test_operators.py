@@ -1988,9 +1988,9 @@ def test_incremental_dedup_ingest_roundtrip(spark, tmp_path):
     store, bits = load_fingerprint_index(spark, path)
     from dwc_dataframe_validator_spark.operators import sketch
 
-    words = sketch.bloom_pack(bits, 1 << 16)
+    blob = sketch.bloom_pack_bytes(bits, 1 << 16)
     pure = incremental_dedup(slice1, store)
-    bloomed = incremental_dedup(slice1, store, bloom_words=words)
+    bloomed = incremental_dedup(slice1, store, bloom_blob=blob)
     assert sorted(map(tuple, pure.collect())) == sorted(
         map(tuple, bloomed.collect())
     )
@@ -2040,3 +2040,44 @@ def test_heldout_index_screen_matches_inline(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[1][3] > 0, "overlapping doc confirmed contaminated"
     assert by_id[2][3] == 0 and by_id[3][1] == 0
+
+
+def test_bloom_bytes_form_bit_identical(spark):
+    """The one-literal byte packing (sketch.bloom_pack_bytes /
+    bloom_test_hex_bytes) must give the SAME verdict as the word-list
+    form for every probe — members (no false negatives) and
+    non-members (identical false-positive trickle), since the
+    incremental/contamination oracles rely on verdict replay."""
+    from dwc_dataframe_validator_spark.operators.sketch import (
+        bloom_build_hex,
+        bloom_pack,
+        bloom_pack_bytes,
+        bloom_test_hex,
+        bloom_test_hex_bytes,
+    )
+    import hashlib
+
+    members = spark.createDataFrame(
+        [(hashlib.md5(str(i).encode()).hexdigest(),) for i in range(200)],
+        "h string",
+    )
+    probes = spark.createDataFrame(
+        [(hashlib.md5(str(i).encode()).hexdigest(),)
+         for i in range(150, 600)],
+        "h string",
+    )
+    for m in (1 << 10, 1 << 16):
+        bits = bloom_build_hex(members, "h", k=5, m=m).localCheckpoint()
+        words = bloom_pack(bits, m)
+        blob = bloom_pack_bytes(bits, m)
+        got = probes.select(
+            "h",
+            bloom_test_hex(F.col("h"), words, 5, m).alias("w"),
+            bloom_test_hex_bytes(F.col("h"), blob, 5, m).alias("b"),
+        ).collect()
+        assert all(r["w"] == r["b"] for r in got), m
+        hits = {r["h"] for r in got if r["b"]}
+        want_members = {
+            hashlib.md5(str(i).encode()).hexdigest() for i in range(150, 200)
+        }
+        assert want_members <= hits, "false negative in bytes form"
