@@ -81,6 +81,11 @@ HEADLINE = [
     "bloom_membership_check",
     "span_contamination_check",
     "unigram_surprisal_scores",
+    # late round-6 addition (same addendum rule): incremental slice
+    # ingestion — in-memory store + byte-packed bloom screen + exact
+    # anti-join of the positive residue (the per-slice loop body of
+    # slice-by-slice corpus construction)
+    "incremental_dedup_check",
 ]
 
 

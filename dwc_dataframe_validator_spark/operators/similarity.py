@@ -1289,3 +1289,42 @@ def ivf_topk_from_index(
     return ivf_topk(
         corpus, q, k=k, id_col=id_col, vec_col=vec_col, cell_col=cell_col
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> None:
+    """Grow a persisted IVF index without rebuilding: assign the new
+    vectors to cells with the SAVED quantizer (a map-side transform of
+    the new slice only) and append them to the cell-partitioned
+    corpus — the append lands in the touched cells' directories,
+    existing files untouched.  The ANN sibling of the fingerprint-
+    store append (operators/incremental.py): slice-by-slice corpus
+    growth at O(slice) cost.
+
+    Contract: the quantizer is FROZEN at fit time, so probes after N
+    appends return exactly what a one-pass index assigned with the
+    same model would (pytest-pinned) — but cell balance degrades if
+    the data distribution drifts from the fit sample; re-fitting
+    (``build_ivf_index`` + ``save_ivf_index``) is the periodic
+    rebuild, the same size-to-corpus maintenance as re-sizing bloom
+    geometry or cell count as the corpus grows."""
+    from pyspark.ml.functions import array_to_vector
+
+    _, model = load_ivf_index(spark, path)
+    feat = f"_features_{cell_col}"
+    assigned = (
+        model.transform(
+            new_vectors.drop(cell_col, feat).withColumn(
+                feat, array_to_vector(F.col(vec_col))
+            )
+        )
+        .drop(feat)
+    )
+    assigned.write.partitionBy(cell_col).mode("append").parquet(
+        f"{path}/corpus"
+    )

@@ -2081,3 +2081,41 @@ def test_bloom_bytes_form_bit_identical(spark):
             hashlib.md5(str(i).encode()).hexdigest() for i in range(150, 200)
         }
         assert want_members <= hits, "false negative in bytes form"
+
+
+def test_ivf_index_append_equals_one_pass(spark, tmp_path):
+    """Appending a slice to a persisted IVF index (frozen quantizer)
+    must serve exactly the probes a one-pass index over the full
+    corpus (assigned with the same model) would serve."""
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    assigned, model = build_ivf_index(first, n_cells=8)
+    inc_path = str(tmp_path / "ivf_inc")
+    save_ivf_index(assigned, model, inc_path)
+    append_to_ivf_index(spark, inc_path, rest)
+
+    # one-pass reference: the SAME model assigns the full corpus
+    feat = "_features_cell"
+    full = model.transform(
+        emb.withColumn(feat, array_to_vector(F.col("embedding")))
+    ).drop(feat)
+    full_path = str(tmp_path / "ivf_full")
+    save_ivf_index(full, model, full_path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple,
+        ivf_topk_from_index(spark, inc_path, queries, k=3).collect()))
+    want = sorted(map(tuple,
+        ivf_topk_from_index(spark, full_path, queries, k=3).collect()))
+    assert got == want and len(got) > 0
