@@ -113,9 +113,21 @@ def save_fingerprint_index(
 def load_fingerprint_index(spark: SparkSession, path: str):
     """Reload ``save_fingerprint_index`` output: (store DataFrame —
     lazy, partition-prunable; the bloom set-bit positions frame —
-    pack with ``sketch.bloom_pack_bytes`` before probing)."""
-    store = spark.read.parquet(f"{path}/fingerprints")
-    bits = spark.read.parquet(f"{path}/bloom").distinct()
+    pack with ``sketch.bloom_pack_bytes`` before probing).
+
+    Schemas are explicit so an EMPTY seed is a valid index: an empty
+    partitioned write produces no data files, and schema inference
+    would fail on them — but "start the corpus from nothing and let
+    ingestion build it" is exactly the bootstrap the streaming sink
+    documents."""
+    store = spark.read.schema("fingerprint string, fp_bucket int").parquet(
+        f"{path}/fingerprints"
+    )
+    bits = (
+        spark.read.schema("pos bigint")
+        .parquet(f"{path}/bloom")
+        .distinct()
+    )
     return store, bits
 
 

@@ -2119,3 +2119,34 @@ def test_ivf_index_append_equals_one_pass(spark, tmp_path):
     want = sorted(map(tuple,
         ivf_topk_from_index(spark, full_path, queries, k=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_empty_seed_bootstrap(spark, tmp_path):
+    """"Start the corpus from nothing": an empty seed index is valid
+    (explicit load schemas — an empty partitioned write has no data
+    files to infer from), and ingestion builds the corpus up from the
+    first slice."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        ingest_slice,
+        save_fingerprint_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "seed")
+    save_fingerprint_index(fingerprint_store(empty), path)
+
+    s1 = ingest_slice(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "a  B c")], "doc_id long, text string"
+        ),
+    )
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1]
+    s2 = ingest_slice(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "a b c"), (4, "x y z")], "doc_id long, text string"
+        ),
+    )
+    assert sorted(r["doc_id"] for r in s2.collect()) == [4]
