@@ -231,3 +231,56 @@ def test_spread_small_scan_is_noop_on_wide_input(spark):
     narrow = spark.range(0, 100, 1, 1).selectExpr("id AS doc_id", "'x' AS text")
     spread = spread_small_scan(narrow, "doc_id")
     assert spread.rdd.getNumPartitions() == par
+
+
+def test_incremental_dedup_screen_plan_shape(spark):
+    """incremental_dedup's bloom path must plan as: checkpointed
+    keepers → map-side bloom filters (no Exchange above them) → the
+    bloom-NEGATIVE branch unioned directly, and only the POSITIVE
+    branch paying an anti-join against the store.  One binary blob
+    literal per probe, never a per-word literal array (the round-6
+    planning-blowup finding)."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+    from dwc_dataframe_validator_spark.operators import sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(20)], "doc_id long, text string"
+    )
+    store = fingerprint_store(docs.filter("doc_id < 10")).localCheckpoint()
+    blob = sketch.bloom_pack_bytes(
+        sketch.bloom_build_hex(store, "fingerprint", k=5, m=1 << 16), 1 << 16
+    )
+    out = incremental_dedup(docs.filter("doc_id >= 10"), store, bloom_blob=blob)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "LeftAnti" in plan, plan[:400]
+    # the bloom-NEGATIVE branch (the bulk of a novel-heavy slice)
+    # short-circuits to the Union with NO shuffle: only the positive
+    # residue may pay join exchanges (broadcast when the store is
+    # small, shuffled anti-join on fingerprint when it is not)
+    import re
+
+    lines = plan.splitlines()
+    union_at = next(i for i, ln in enumerate(lines) if "Union" in ln)
+    # the first Union child is printed ":-" at some column S; its
+    # subtree keeps ":" at column S until the last child's "+-"
+    head = lines[union_at + 1]
+    col = head.index(":-")
+    assert head.lstrip().startswith(":-"), head
+    first_branch = [head]
+    for ln in lines[union_at + 2:]:
+        if len(ln) <= col or ln[col] != ":":
+            break
+        first_branch.append(ln)
+    assert not any("Exchange" in ln for ln in first_branch), first_branch
+    # any non-broadcast exchange in the join branch must be on the
+    # join key (fingerprint), never a re-shuffle of the raw batch
+    for ln in lines:
+        m = re.search(r"Exchange hashpartitioning\((\w+)#", ln)
+        if m:
+            assert m.group(1) == "fingerprint", ln
+    # the filter embeds the packed bytes, not a 1024-element array
+    assert re.search(r"0x[0-9A-Fa-f]{1000,}", plan), "no blob literal"
+    assert not re.search(r"\[-?\d+(,-?\d+){100,}\]", plan), "word-array literal leaked"

@@ -191,3 +191,77 @@ def test_bloom_never_false_negative(spark, members, probes, m):
            for r in bloom_contains(filt, pdf, "v", k=4, m=m).collect()}
     for v in probes & members:
         assert got[v], (v, m, sorted(members))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.sampled_from(["a b", "a  B ", "c d", "e f g", "C D", "h", ""]),
+        min_size=0,
+        max_size=16,
+    ),
+    cut=st.tuples(
+        st.integers(min_value=0, max_value=16),
+        st.integers(min_value=0, max_value=16),
+    ),
+)
+def test_incremental_dedup_converges_to_global(spark, texts, cut):
+    """For ANY corpus and ANY split into (up to three) ingestion
+    slices: the union of per-slice survivors carries exactly the
+    corpus's distinct fingerprints, and each fingerprint's surviving
+    doc is the lowest id in the EARLIEST slice containing it — i.e.
+    slice-by-slice construction converges to the global dedup result
+    regardless of how the data was sliced."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+    from dwc_dataframe_validator_spark.operators.text import fingerprint
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    a, b = sorted(min(c, len(rows)) for c in cut)
+    slices = [s for s in (rows[:a], rows[a:b], rows[b:]) if s]
+
+    schema = "doc_id long, text string"
+    store = spark.createDataFrame([], "fingerprint string")
+    survivors: dict[str, int] = {}
+    for chunk in slices:
+        batch = spark.createDataFrame(chunk, schema)
+        got = incremental_dedup(batch, store).collect()
+        for r in got:
+            assert r["fingerprint"] not in survivors, "re-admitted dup"
+            survivors[r["fingerprint"]] = r["doc_id"]
+        new = spark.createDataFrame(
+            [(fp,) for fp in (r["fingerprint"] for r in got)],
+            "fingerprint string",
+        )
+        store = store.unionByName(new).distinct().localCheckpoint()
+
+    full = spark.createDataFrame(rows or [(0, "x")], schema)
+    if not rows:
+        assert survivors == {}
+        return
+    fps = fingerprint(full).collect()
+    want: dict[str, int] = {}
+    order = {id_: pos for pos, (id_, _) in enumerate(
+        [r for s in slices for r in s]
+    )}
+    for r in sorted(fps, key=lambda r: (order[r["doc_id"]],)):
+        want.setdefault(r["fingerprint"], None)
+    assert set(survivors) == set(want), "fingerprint coverage mismatch"
+    # earliest-slice, lowest-id winner
+    slice_of = {}
+    for si, s in enumerate(slices):
+        for id_, _ in s:
+            slice_of[id_] = si
+    by_fp: dict[str, list[int]] = {}
+    for r in fps:
+        by_fp.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    for fp, ids in by_fp.items():
+        first_slice = min(slice_of[i] for i in ids)
+        expect = min(i for i in ids if slice_of[i] == first_slice)
+        assert survivors[fp] == expect, (fp, ids, survivors[fp], expect)
