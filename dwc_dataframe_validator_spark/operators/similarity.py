@@ -1328,3 +1328,107 @@ def append_to_ivf_index(
     assigned.write.partitionBy(cell_col).mode("append").parquet(
         f"{path}/corpus"
     )
+
+
+def rp_lsh_check(
+    emb: DataFrame,
+    n_take: int = 200,
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int = 16,
+    threshold: float = 0.45,
+    scale: int = 1000,
+    seed_str: str = "rplsh6:",
+) -> DataFrame:
+    """Exact verification twin of ``rp_lsh_pairs`` (hyperplane LSH for
+    cosine): the same pipeline — sign-bit signatures → banded bucket
+    join → exact-cosine verify — on the INTEGER GRID, so every stage
+    replays in ANSI SQL and the whole operator sits behind a DuckDB
+    value-hash (completing the exact-twin discipline: this was the
+    last rows-only family without an oracled sibling).
+
+    Grid recipe (same style as ``ivf_trained_check``/``pq_adc_check``):
+    hyperplane coefficient r[j][d] = (md5int(seed‖j‖':'‖d) mod 2001) −
+    1000 — integers, replayable by both engines; vectors floor to
+    scale·x grid.  All dot products are sums of ≤ 3·10⁶-magnitude
+    INTEGER terms held in doubles, so accumulation order cannot change
+    a bit and the sign of every signature bit (and the final cosine,
+    computed as dot/(√na·√nb) in the identical operation order) is
+    engine-identical.  The production form keeps Gaussian hyperplanes
+    (better angular resolution per bit); recall semantics for it are
+    pinned by the planted-neighbor pytest, and THIS twin proves the
+    banding/bucketing/verify machinery value-exact."""
+    import hashlib
+
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    r = n_bits // bands
+    planes = [
+        [
+            float(
+                (
+                    int(
+                        hashlib.md5(
+                            f"{seed_str}{j}:{d}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 2001
+                )
+                - 1000
+            )
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+    h = F.md5(
+        F.concat(F.lit(seed_str), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    grid = F.transform(
+        F.slice(F.col("embedding"), 1, dim),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+    )
+    capped = (
+        emb.select(F.col("vec_id"), grid.alias("q"), h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_take)
+        .drop("h")
+    )
+    sig = capped.select(
+        F.col("vec_id").alias("_id"),
+        F.col("q").alias("_vec"),
+        rp_signature(F.col("q"), planes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_vec",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        *[
+                            F.col("_sig").getItem(b * r + i).cast("string")
+                            for i in range(r)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select("band", "key", F.col("_id").alias("ida"),
+                      F.col("_vec").alias("_va"))
+    b = banded.select("band", "key", F.col("_id").alias("idb"),
+                      F.col("_vec").alias("_vb"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "_va", "_vb")
+        .dropDuplicates(["ida", "idb"])
+    )
+    return cand.select(
+        "ida", "idb", cosine_sim(F.col("_va"), F.col("_vb")).alias("sim")
+    ).filter(F.col("sim") >= threshold)

@@ -3572,6 +3572,72 @@ ORACLES["incremental_dedup_check"] = r"""
 """
 
 
+def ann_rp_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-grid exact twin of the hyperplane-LSH pair pipeline
+    (operators/similarity.py ``rp_lsh_check``): md5-grid hyperplanes,
+    sign-bit signatures, banded bucket join, exact-cosine verify —
+    every stage value-replayed by the DuckDB oracle.  Completes the
+    exact-twin discipline: ``ann_rp_lsh_pairs`` (Gaussian planes,
+    recall-pytested) was the last rows-only family without an oracled
+    sibling."""
+    return similarity.rp_lsh_check(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["ann_rp_lsh_check"] = ann_rp_lsh_check
+
+ORACLES["ann_rp_lsh_check"] = """
+    WITH sub AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY md5('rplsh6:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings
+      QUALIFY rn <= 200),
+    ex AS (
+      SELECT vec_id, CAST(r.i - 1 AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
+                        + 0.5) AS BIGINT) AS qd
+      FROM sub, range(1, 17) r(i)),
+    planes AS (
+      SELECT CAST(j.x AS INT) AS j, CAST(d.x AS INT) AS pos,
+             (CAST(CAST(('0x' || substr(md5('rplsh6:' || CAST(j.x AS VARCHAR)
+                                        || ':' || CAST(d.x AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS BIGINT) % 2001) - 1000 AS r
+      FROM range(0, 16) j(x), range(0, 16) d(x)),
+    bits AS (
+      SELECT e.vec_id, p.j,
+             CASE WHEN sum(e.qd * p.r) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM ex e JOIN planes p USING (pos)
+      GROUP BY 1, 2),
+    keys AS (
+      SELECT vec_id, CAST(j // 4 AS INT) AS band,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS key
+      FROM bits GROUP BY vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      FROM keys a
+      JOIN keys b ON a.band = b.band AND a.key = b.key
+                 AND a.vec_id < b.vec_id),
+    norms AS (
+      SELECT vec_id, sum(qd * qd) AS n2 FROM ex GROUP BY 1),
+    dots AS (
+      SELECT c.ida, c.idb, sum(ea.qd * eb.qd) AS dot
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.ida
+      JOIN ex eb ON eb.vec_id = c.idb AND eb.pos = ea.pos
+      GROUP BY 1, 2)
+    SELECT * FROM (
+      SELECT d.ida, d.idb,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.ida
+      JOIN norms nb ON nb.vec_id = d.idb)
+    WHERE sim >= 0.45
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
