@@ -1432,3 +1432,275 @@ def rp_lsh_check(
     return cand.select(
         "ida", "idb", cosine_sim(F.col("_va"), F.col("_vb")).alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# persisted IVF-PQ: the served form of the production ANN architecture
+# --------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: an independent k-means per
+    vector SUBSPACE (Jégou et al. 2011) via MLlib, fit on a seeded
+    sample.  Returns ``n_subspaces`` lists of ``n_codes`` sub-dim
+    centroids — M·K·(d/M) scalars, a few KB: task-closure-sized model
+    state (BASELINE.md finding 4), persisted as a tiny parquet by
+    ``save_ivfpq_index``.
+
+    The driver loop runs M SMALL fits, not one big one — each fit's
+    input is the corpus sliced to d/M columns; at 100 TB you fit on a
+    sample (``fit_fraction``) exactly like the coarse quantizer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"n_subspaces={n_subspaces} must divide dim={dim}"
+        )
+    sub = dim // n_subspaces
+    src = corpus.select(vec_col)
+    if fit_fraction:
+        src = src.sample(fit_fraction, seed=seed).coalesce(4)
+    books = []
+    for m in range(n_subspaces):
+        sliced = src.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * sub + 1, sub)
+            ).alias("_f")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + m, featuresCol="_f",
+            predictionCol="_c", maxIter=max_iter,
+        ).fit(sliced)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Map-side PQ encoding: for each subspace, the argmin-distance
+    codebook id — pure codegen expressions (M·K small d² aggregates
+    folded into the plan; the codebooks are a few KB of literals, far
+    under the one-literal rule's boundary).  Adds ``code_col`` as
+    ``array<int>`` of length M; no shuffle, no UDF."""
+    n_subspaces = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def d2(a: Column, cent: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for m, book in enumerate(codebooks):
+        sl = F.slice(F.col(vec_col), m * sub + 1, sub)
+        dists = F.array(*[d2(sl, cent) for cent in book])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def save_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> None:
+    """Build and persist the full IVF-PQ index — the 100 TB serving
+    layout:
+
+    - ``codes/``  — (id, M int8-sized codes) PARTITIONED BY cell:
+      the ADC scan reads THIS tree only — 8-32× smaller than the
+      vectors, and partition-pruned to the probed cells;
+    - ``vectors/`` — (id, full vector): touched only by the exact
+      re-rank, which fetches ``shortlist`` rows per query by id;
+    - ``quantizer/`` + ``codebooks/`` — the frozen models (MLlib
+      k-means; M·K sub-centroids as a tiny parquet).
+
+    Splitting codes from vectors is the point: ANN throughput at
+    corpus scale is bounded by bytes scanned per probe, and the code
+    tree is the only thing a probe scans."""
+    assigned, model = build_ivf_index(
+        corpus, n_cells=n_cells, vec_col=vec_col, seed=seed,
+        fit_fraction=fit_fraction,
+    )
+    books = train_pq_codebooks(
+        corpus, n_subspaces=n_subspaces, n_codes=n_codes,
+        vec_col=vec_col, seed=seed, fit_fraction=fit_fraction,
+    )
+    coded = encode_pq(assigned, books, vec_col=vec_col)
+    coded.select(id_col, "codes", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/codes")
+    # vectors partitioned by a 256-way id-hash bucket: the re-rank
+    # collects the shortlist's distinct buckets (BOUNDED ≤ 256) and
+    # prunes the fetch to the touched directories — the same
+    # partition-pruned point-lookup layout as the fingerprint store
+    corpus.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(256))
+        .cast("int")
+        .alias("vb"),
+    ).write.partitionBy("vb").mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+    model.write().overwrite().save(f"{path}/quantizer")
+    rows = [
+        (m, c, books[m][c])
+        for m in range(n_subspaces)
+        for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        rows, "m int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a persisted IVF-PQ index: assign each query's
+    cell with the frozen quantizer (map-side, tiny side) → scan ONLY
+    the probed cells of the CODE tree (partition pruning) → ADC: per
+    (query, subspace, code) distance LUT joined against the candidate
+    codes (moves M small ints per candidate, never a vector) →
+    ``shortlist`` best per query → exact-cosine re-rank fetching just
+    those ids from the vector tree.
+
+    Returns (query_id, neighbor_id, rank, sim) — rank by exact cosine
+    over the shortlist; with ``shortlist`` ≥ cell size this equals the
+    cell-exact ``ivf_topk`` result (pytest-pinned), smaller shortlists
+    trade recall for re-rank I/O."""
+    from pyspark.ml.clustering import KMeansModel
+    from pyspark.ml.functions import array_to_vector
+
+    model = KMeansModel.load(f"{path}/quantizer")
+    books_df = spark.read.parquet(f"{path}/codebooks")
+    feat = "_features_cell"  # build_ivf_index's features column
+    q = (
+        model.transform(
+            queries.drop("cell", feat).withColumn(
+                feat, array_to_vector(F.col(vec_col))
+            )
+        )
+        .drop(feat)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.col("cell").alias("_qcell"),
+        )
+        .localCheckpoint(eager=True)  # small by contract; reused 3×
+    )
+    sub = books_df.select(F.size("centroid")).first()[0]
+    # per (query, m, code) ADC LUT: Q×M×K rows, broadcast-sized
+    lut = (
+        q.crossJoin(F.broadcast(books_df))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_qvec"), F.col("m") * sub + 1, sub),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_d"),
+        )
+    )
+    cells = [r["_qcell"] for r in q.select("_qcell").distinct().collect()]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    cand = (
+        q.select("query_id", "_qcell")
+        .join(codes, F.col("_qcell") == F.col("cell"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("d2_pq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_pq"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .drop("_r")
+        .withColumn(
+            "vb",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(256)).cast(
+                "int"
+            ),
+        )
+        .localCheckpoint(eager=True)  # Q×shortlist rows, small
+    )
+    buckets = [
+        r["vb"] for r in short.select("vb").distinct().collect()
+    ]  # bounded: ≤ 256 by construction
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("vb").isin(buckets))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nvec"),
+        )
+    )
+    ranked = (
+        short.drop("vb").join(vecs, "neighbor_id")
+        .join(q.select("query_id", "_qvec"), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("_qvec"), F.col("_nvec")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -2150,3 +2150,63 @@ def test_incremental_dedup_empty_seed_bootstrap(spark, tmp_path):
         ),
     )
     assert sorted(r["doc_id"] for r in s2.collect()) == [4]
+
+
+def test_ivfpq_index_serves_cell_exact_with_full_shortlist(spark, tmp_path):
+    """Persisted IVF-PQ contract: with shortlist >= cell size the ADC
+    stage cannot drop a true neighbor, so serving from the index
+    (codes tree + pruned vector fetch + exact re-rank) equals the
+    cell-exact ivf_topk over the same coarse assignment; and both
+    trees prune partitions on their keys."""
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivfpq_topk_from_index,
+        save_ivfpq_index,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(spark, emb, path, n_cells=4, n_subspaces=4, n_codes=8)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_topk_from_index(
+                spark, path, queries, k=3, shortlist=10_000
+            ).select("query_id", "neighbor_id", "rank").collect(),
+        )
+    )
+    assigned, _ = build_ivf_index(emb, n_cells=4)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                assigned,
+                assigned.filter(F.col("vec_id") < 5),
+                k=3,
+                cell_col="cell",
+            ).select("query_id", "neighbor_id", "rank").collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # a small shortlist still returns k rows per query (recall trade,
+    # not a correctness cliff)
+    small = ivfpq_topk_from_index(spark, path, queries, k=3, shortlist=5)
+    per_q = {r["query_id"] for r in small.collect()}
+    assert per_q == {r["vec_id"] for r in queries.collect()}
+
+    # partition pruning on both trees
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin([1, 2])
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan, plan[:400]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("vb").isin([3, 4])
+    )
+    plan = vecs._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [vb" in plan or "PartitionFilters: [isnotnull(vb" in plan, plan[:400]
