@@ -337,3 +337,45 @@ def screen_slice_contamination(
         .cast("long")
         .alias("confirmed_windows"),
     )
+
+
+def compact_fingerprint_index(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> None:
+    """Operational hygiene for the append-only store: every
+    ``ingest_slice`` lands one small file per touched bucket (plus
+    bloom-position rows), so N slices leave O(N·256) files — and at
+    some point file-open overhead, not bytes, dominates the store
+    scan.  Compaction rewrites each tree once: fingerprints
+    de-duplicated (replayed appends may have left value-duplicates —
+    harmless for correctness, wasted bytes) and coalesced to
+    ``files_per_bucket`` files per partition; bloom positions
+    distinct-ed into one file.  Correctness is unchanged by
+    construction (both trees are VALUE sets); the rewrite stages into
+    a sibling directory and swaps via rename so a crashed compaction
+    leaves the original store intact."""
+    store, bits = load_fingerprint_index(spark, path)
+    tmp = f"{path}/_compact_tmp"
+    (
+        store.distinct()
+        .repartition("fp_bucket")
+        .coalesce(256 * files_per_bucket)
+        .write.partitionBy("fp_bucket")
+        .mode("overwrite")
+        .parquet(f"{tmp}/fingerprints")
+    )
+    bits.write.mode("overwrite").parquet(f"{tmp}/bloom")
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for tree in ("fingerprints", "bloom"):
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{tree}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{tree}")
+        fs = dst.getFileSystem(conf)
+        old = jvm.org.apache.hadoop.fs.Path(f"{path}/_old_{tree}")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(dst, old)
+        fs.rename(src, dst)
+        fs.delete(old, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)

@@ -2210,3 +2210,54 @@ def test_ivfpq_index_serves_cell_exact_with_full_shortlist(spark, tmp_path):
     )
     plan = vecs._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [vb" in plan or "PartitionFilters: [isnotnull(vb" in plan, plan[:400]
+
+
+def test_compact_fingerprint_index(spark, tmp_path):
+    """Compaction contract: after N appends the store answers
+    identically but with (far) fewer files; value-duplicates from
+    replayed appends are dropped; a query mid-compaction semantics is
+    out of scope (staged rename keeps the original until the swap)."""
+    import glob
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        compact_fingerprint_index,
+        fingerprint_store,
+        incremental_dedup,
+        ingest_slice,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = [(i, f"text number {i}") for i in range(40)]
+    save_fingerprint_index(
+        fingerprint_store(
+            spark.createDataFrame(docs[:10], "doc_id long, text string")
+        ),
+        path,
+    )
+    for lo in range(10, 40, 10):
+        ingest_slice(
+            spark, path,
+            spark.createDataFrame(
+                docs[lo : lo + 10], "doc_id long, text string"
+            ),
+        )
+    before_files = len(glob.glob(f"{path}/fingerprints/**/*.parquet",
+                                 recursive=True))
+    store_b, bits_b = load_fingerprint_index(spark, path)
+    want_fps = sorted(r["fingerprint"] for r in store_b.collect())
+    want_bits = sorted(r["pos"] for r in bits_b.collect())
+
+    compact_fingerprint_index(spark, path)
+    after_files = len(glob.glob(f"{path}/fingerprints/**/*.parquet",
+                                recursive=True))
+    assert after_files < before_files, (before_files, after_files)
+    store_a, bits_a = load_fingerprint_index(spark, path)
+    assert sorted(r["fingerprint"] for r in store_a.collect()) == want_fps
+    assert sorted(r["pos"] for r in bits_a.collect()) == want_bits
+    # the compacted store still screens correctly
+    again = spark.createDataFrame(docs[:5] + [(99, "brand new doc")],
+                                  "doc_id long, text string")
+    surv = incremental_dedup(again, store_a).collect()
+    assert {r["doc_id"] for r in surv} == {99}
