@@ -379,3 +379,68 @@ def compact_fingerprint_index(
         fs.rename(src, dst)
         fs.delete(old, True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+
+def decontaminate_batch(
+    batch: DataFrame,
+    heldout_windows: DataFrame,
+    bloom_blob: bytes,
+    w: int = 8,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CLEAN subset of ``batch``: documents sharing NO w-token
+    window with the heldout set survive.  Same screen as
+    ``screen_slice_contamination`` but shaped as a filter — the bloom
+    prescreen keeps the corpus-side cost one map-side scan, the exact
+    broadcast verify kills bloom false positives, and only confirmed
+    doc ids reach the anti-join.  Bloom has no false negatives, so the
+    surviving SET is bloom-independent (exact-oracle-able)."""
+    from .spans import window_fingerprints
+
+    cw = window_fingerprints(batch, id_col, text_col, w)
+    cand = cw.filter(
+        sketch.bloom_test_hex_bytes(F.col("h"), bloom_blob, k, m)
+    )
+    dirty = (
+        cand.join(F.broadcast(heldout_windows.select("h")), "h")
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(dirty, id_col, "left_anti")
+
+
+def ingest_slice_clean(
+    spark: SparkSession,
+    index_path: str,
+    heldout_path: str,
+    batch: DataFrame,
+    w: int = 8,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed per-slice loop body: decontaminate against the
+    persisted heldout index, THEN dedup against the persisted
+    fingerprint store and grow it — slice in, clean novel survivors
+    out, both artifacts current.  Decontamination runs first so
+    dropped documents never pay fingerprint work and never enter the
+    store — the store stays a registry of CLEAN text only, which is
+    what later slices should dedup against."""
+    hw = spark.read.schema("h string").parquet(f"{heldout_path}/windows")
+    blob = sketch.bloom_pack_bytes(
+        spark.read.schema("pos bigint")
+        .parquet(f"{heldout_path}/bloom")
+        .distinct(),
+        m,
+    )
+    clean = decontaminate_batch(
+        batch, hw, blob, w=w, k=k, m=m, text_col=text_col, id_col=id_col
+    )
+    return ingest_slice(
+        spark, index_path, clean, k=k, m=m, text_col=text_col,
+        id_col=id_col,
+    )

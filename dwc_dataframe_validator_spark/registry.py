@@ -3638,6 +3638,103 @@ ORACLES["ann_rp_lsh_check"] = """
 """
 
 
+def incremental_pipeline_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-slice ingestion loop body
+    (operators/incremental.py ``ingest_slice_clean`` in its pure
+    form): 20/40/40 md5 split into heldout / accumulated corpus /
+    incoming slice; the slice is DECONTAMINATED against the heldout
+    window set (bloom prescreen + exact verify), then DEDUPED against
+    the corpus fingerprint store (bloom prescreen + exact anti-join).
+    Both bloom layers have no false negatives, so the surviving rows
+    are exactly what the oracle's pure window-join + anti-join
+    computes — the whole two-stage pipeline behind one value hash."""
+    from .operators import incremental
+    from .operators.spans import window_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    h8 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    )
+    heldout = docs.filter(h8 < "33333333")
+    corpus = docs.filter((h8 >= "33333333") & (h8 < "99999999"))
+    slice_ = docs.filter(h8 >= "99999999")
+
+    hw = (
+        window_fingerprints(heldout, "doc_id", "text", 8)
+        .select("h")
+        .distinct()
+        .localCheckpoint()
+    )
+    hblob = sketch.bloom_pack_bytes(
+        sketch.bloom_build_hex(hw, "h", k=5, m=65536), 65536
+    )
+    clean = incremental.decontaminate_batch(slice_, hw, hblob)
+    store = incremental.fingerprint_store(corpus).localCheckpoint()
+    sblob = sketch.bloom_pack_bytes(
+        sketch.bloom_build_hex(store, "fingerprint", k=5, m=65536), 65536
+    )
+    return incremental.incremental_dedup(
+        clean, store, bloom_blob=sblob, k=5, m=65536
+    )
+
+
+QUERIES["incremental_pipeline_check"] = incremental_pipeline_check
+
+ORACLES["incremental_pipeline_check"] = r"""
+    WITH split AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+      FROM documents),
+    htok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM split
+      WHERE h8 < '33333333' AND text IS NOT NULL AND trim(text) <> ''),
+    hh AS (
+      SELECT DISTINCT
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM htok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    stok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM split
+      WHERE h8 >= '99999999' AND text IS NOT NULL AND trim(text) <> ''),
+    sgrams AS (
+      SELECT doc_id,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM stok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    dirty AS (
+      SELECT DISTINCT g.doc_id FROM sgrams g JOIN hh USING (h)),
+    clean AS (
+      SELECT s.doc_id, s.text
+      FROM split s
+      ANTI JOIN dirty d ON s.doc_id = d.doc_id
+      WHERE s.h8 >= '99999999'),
+    corpus_fp AS (
+      SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM split
+      WHERE h8 >= '33333333' AND h8 < '99999999' AND text IS NOT NULL),
+    batch_fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM clean WHERE text IS NOT NULL),
+    keep AS (
+      SELECT doc_id, fingerprint,
+             CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS batch_copies,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+               AS rk
+      FROM batch_fp)
+    SELECT k.doc_id, k.fingerprint, k.batch_copies
+    FROM keep k
+    ANTI JOIN corpus_fp c ON k.fingerprint = c.fingerprint
+    WHERE k.rk = 1
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

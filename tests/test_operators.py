@@ -2261,3 +2261,53 @@ def test_compact_fingerprint_index(spark, tmp_path):
                                   "doc_id long, text string")
     surv = incremental_dedup(again, store_a).collect()
     assert {r["doc_id"] for r in surv} == {99}
+
+
+def test_ingest_slice_clean_composed(spark, tmp_path):
+    """Composed persisted loop body (decontaminate -> dedup -> grow
+    store): contaminated docs are dropped BEFORE fingerprints, store
+    dups are dropped after, clean novel docs survive and enter the
+    store."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        incremental_dedup,
+        ingest_slice_clean,
+        load_fingerprint_index,
+        save_fingerprint_index,
+        save_heldout_index,
+    )
+
+    heldout = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    hpath = str(tmp_path / "held")
+    save_heldout_index(heldout, hpath, w=8)
+
+    corpus = spark.createDataFrame(
+        [(1, "existing corpus document text")], ["doc_id", "text"]
+    )
+    ipath = str(tmp_path / "idx")
+    save_fingerprint_index(fingerprint_store(corpus), ipath)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "zz one two three four five six seven eight nine"),  # contaminated
+            (11, "EXISTING corpus   document text"),                  # store dup
+            (12, "a genuinely new clean document"),                   # survivor
+            (13, "a GENUINELY new   clean document"),                 # in-slice dup of 12
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           ingest_slice_clean(spark, ipath, hpath, batch).collect()}
+    assert set(got) == {12} and got[12]["batch_copies"] == 2, got
+
+    # the contaminated doc did NOT enter the store: a later clean doc
+    # with the same text still survives
+    store, _ = load_fingerprint_index(spark, ipath)
+    later = spark.createDataFrame(
+        [(20, "zz one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    assert incremental_dedup(later, store).count() == 1
