@@ -86,6 +86,11 @@ HEADLINE = [
     # anti-join of the positive residue (the per-slice loop body of
     # slice-by-slice corpus construction)
     "incremental_dedup_check",
+    # late round-6 additions (same addendum rule): the composed
+    # decontaminate→dedup loop body, and the integer-grid hyperplane
+    # LSH twin
+    "incremental_pipeline_check",
+    "ann_rp_lsh_check",
 ]
 
 
