@@ -68,9 +68,17 @@ def ingest_batch(
     m: int = incremental.DEFAULT_M,
     text_col: str = "text",
     id_col: str = "doc_id",
+    heldout_path: str | None = None,
+    w: int = 8,
 ) -> None:
     """One replay-safe ingestion step — the ``foreachBatch`` body,
-    exposed for direct testing of the marker protocol."""
+    exposed for direct testing of the marker protocol.  With
+    ``heldout_path`` the batch is decontaminated against the persisted
+    heldout window index BEFORE dedup (the streaming face of
+    ``incremental.ingest_slice_clean``): contaminated docs never enter
+    the store or the survivors directory.  Decontamination is a pure
+    deterministic filter, so it does not change the replay argument —
+    a re-run filters to the same clean subset."""
     spark = batch_df.sparkSession
     marker = f"{out_path}/_commits/{batch_id}"
     if _exists(spark, marker):
@@ -78,6 +86,20 @@ def ingest_batch(
     if batch_df.isEmpty():
         _touch(spark, marker)
         return
+    if heldout_path is not None:
+        hw = spark.read.schema("h string").parquet(
+            f"{heldout_path}/windows"
+        )
+        hblob = sketch.bloom_pack_bytes(
+            spark.read.schema("pos bigint")
+            .parquet(f"{heldout_path}/bloom")
+            .distinct(),
+            m,
+        )
+        batch_df = incremental.decontaminate_batch(
+            batch_df, hw, hblob, w=w, k=k, m=m,
+            text_col=text_col, id_col=id_col,
+        )
 
     batch_dir = f"{out_path}/batch_id={batch_id}"
     if _exists(spark, f"{batch_dir}/_SUCCESS"):
@@ -124,6 +146,8 @@ def corpus_ingest_sink(
     id_col: str = "doc_id",
     queryName: str = "corpus_ingest",
     checkpoint_path: str | None = None,
+    heldout_path: str | None = None,
+    w: int = 8,
 ):
     """Attach the continuous-ingestion sink to a document stream and
     return the started StreamingQuery (caller owns lifecycle).  The
@@ -144,6 +168,8 @@ def corpus_ingest_sink(
             m=m,
             text_col=text_col,
             id_col=id_col,
+            heldout_path=heldout_path,
+            w=w,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)

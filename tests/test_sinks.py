@@ -399,3 +399,54 @@ def test_streaming_corpus_ingest_end_to_end(spark, tmp_path):
         [(30, "nu xi omicron")], ["doc_id", "text"]
     )
     assert incremental_dedup(slice3, store).count() == 0
+
+
+def test_streaming_corpus_ingest_with_decontamination(spark, tmp_path):
+    """The streaming sink's heldout_path option mirrors
+    ingest_slice_clean: contaminated docs are dropped before dedup and
+    never reach the survivors directory or the store."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        save_fingerprint_index,
+        save_heldout_index,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        corpus_ingest_sink,
+    )
+
+    idx = str(tmp_path / "idx")
+    held = str(tmp_path / "held")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+
+    save_fingerprint_index(
+        fingerprint_store(
+            spark.createDataFrame([], "doc_id long, text string")
+        ),
+        idx,
+    )
+    save_heldout_index(
+        spark.createDataFrame(
+            [(100, "one two three four five six seven eight nine ten")],
+            ["doc_id", "text"],
+        ),
+        held,
+        w=8,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "zz one two three four five six seven eight nine"),  # contaminated
+            (2, "a clean novel document entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+    q = corpus_ingest_sink(
+        spark.readStream.schema(batch.schema).parquet(src),
+        idx, out, heldout_path=held,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    surv = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/batch_id=0").collect()}
+    assert surv == {2}, surv
