@@ -258,13 +258,19 @@ def save_heldout_index(
     m: int = DEFAULT_M,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "overwrite",
 ) -> None:
     """Persist the decontamination artifact: the heldout/benchmark
     set's distinct w-token window fingerprints plus their bloom
     positions — what ``operators/pipeline.py span_contamination``
     derives inline, written once so every future slice reuses it.
-    The benchmark set changes rarely; its artifact should outlive any
-    single ingestion job."""
+
+    ``mode="append"`` grows the suite (a new benchmark added to the
+    heldout set) without rewriting: both trees are VALUE sets, so
+    readers de-duplicate on load — ``load_heldout_index`` is the one
+    sanctioned read path; a raw ``spark.read`` of the windows tree
+    after appends would double-count overlapping windows in the
+    verify join."""
     from .spans import window_fingerprints
 
     hw = (
@@ -273,10 +279,28 @@ def save_heldout_index(
         .distinct()
         .localCheckpoint()
     )
-    hw.write.mode("overwrite").parquet(f"{path}/windows")
+    hw.write.mode(mode).parquet(f"{path}/windows")
     sketch.bloom_build_hex(hw, "h", k=k, m=m).write.mode(
-        "overwrite"
+        mode
     ).parquet(f"{path}/bloom")
+
+
+def load_heldout_index(spark: SparkSession, path: str):
+    """Reload ``save_heldout_index`` output, de-duplicated (appends
+    may overlap): (distinct window-fingerprint frame, distinct bloom
+    set-bit positions frame).  Explicit schemas for the same
+    empty-seed reason as ``load_fingerprint_index``."""
+    hw = (
+        spark.read.schema("h string")
+        .parquet(f"{path}/windows")
+        .distinct()
+    )
+    bits = (
+        spark.read.schema("pos bigint")
+        .parquet(f"{path}/bloom")
+        .distinct()
+    )
+    return hw, bits
 
 
 def screen_slice_contamination(
@@ -295,10 +319,8 @@ def screen_slice_contamination(
     two small parquet reads instead of a re-derivation — the slice
     pays its own scan plus the map-side bloom screen, nothing else.
     Equality with the inline form is pinned in pytest."""
-    hw = spark.read.parquet(f"{path}/windows")
-    blob = sketch.bloom_pack_bytes(
-        spark.read.parquet(f"{path}/bloom").distinct(), m
-    )
+    hw, bits = load_heldout_index(spark, path)
+    blob = sketch.bloom_pack_bytes(bits, m)
 
     from .spans import window_fingerprints
 
@@ -430,13 +452,8 @@ def ingest_slice_clean(
     dropped documents never pay fingerprint work and never enter the
     store — the store stays a registry of CLEAN text only, which is
     what later slices should dedup against."""
-    hw = spark.read.schema("h string").parquet(f"{heldout_path}/windows")
-    blob = sketch.bloom_pack_bytes(
-        spark.read.schema("pos bigint")
-        .parquet(f"{heldout_path}/bloom")
-        .distinct(),
-        m,
-    )
+    hw, hbits = load_heldout_index(spark, heldout_path)
+    blob = sketch.bloom_pack_bytes(hbits, m)
     clean = decontaminate_batch(
         batch, hw, blob, w=w, k=k, m=m, text_col=text_col, id_col=id_col
     )

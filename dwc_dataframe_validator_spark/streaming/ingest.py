@@ -87,15 +87,8 @@ def ingest_batch(
         _touch(spark, marker)
         return
     if heldout_path is not None:
-        hw = spark.read.schema("h string").parquet(
-            f"{heldout_path}/windows"
-        )
-        hblob = sketch.bloom_pack_bytes(
-            spark.read.schema("pos bigint")
-            .parquet(f"{heldout_path}/bloom")
-            .distinct(),
-            m,
-        )
+        hw, hbits = incremental.load_heldout_index(spark, heldout_path)
+        hblob = sketch.bloom_pack_bytes(hbits, m)
         batch_df = incremental.decontaminate_batch(
             batch_df, hw, hblob, w=w, k=k, m=m,
             text_col=text_col, id_col=id_col,

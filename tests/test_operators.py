@@ -2311,3 +2311,42 @@ def test_ingest_slice_clean_composed(spark, tmp_path):
         ["doc_id", "text"],
     )
     assert incremental_dedup(later, store).count() == 1
+
+
+def test_heldout_index_append_grows_suite(spark, tmp_path):
+    """Growing the benchmark suite by appending to the heldout index:
+    after the append the screen flags overlaps with EITHER benchmark,
+    and re-appending overlapping material cannot double-count
+    confirmed windows (readers de-duplicate on load)."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        save_heldout_index,
+        screen_slice_contamination,
+    )
+
+    path = str(tmp_path / "held")
+    bench1 = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    bench2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    save_heldout_index(bench1, path, w=8)
+    save_heldout_index(bench2, path, w=8, mode="append")
+    # duplicate append: same windows again — must not change verdicts
+    save_heldout_index(bench1, path, w=8, mode="append")
+
+    batch = spark.createDataFrame(
+        [
+            (10, "xx one two three four five six seven eight nine"),
+            (11, "yy alpha beta gamma delta epsilon zeta eta theta xx"),
+            (12, "totally unrelated clean words with no benchmark text"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {r["doc_id"]: r for r in
+           screen_slice_contamination(spark, path, batch, w=8).collect()}
+    assert rep[10]["confirmed_windows"] == 2  # two windows of bench1
+    assert rep[11]["confirmed_windows"] == 1  # one window of bench2
+    assert rep[12]["confirmed_windows"] == 0
