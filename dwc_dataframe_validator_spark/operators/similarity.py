@@ -1704,3 +1704,59 @@ def ivfpq_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF-PQ index at O(slice): the FROZEN coarse
+    quantizer assigns cells and the FROZEN codebooks encode the new
+    vectors (both map-side), codes append into the touched cells'
+    directories and vectors into their id-hash buckets.  Same
+    contract as ``append_to_ivf_index``: probes after N appends equal
+    a one-pass index under the same models (pytest-pinned), and
+    distribution drift is answered by periodic refit — the quantizer
+    AND the codebooks age together, so the rebuild replaces both."""
+    from pyspark.ml.clustering import KMeansModel
+    from pyspark.ml.functions import array_to_vector
+
+    model = KMeansModel.load(f"{path}/quantizer")
+    books_rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("m", "code")
+        .collect()  # bounded: M×K rows of sub-dim centroids
+    )
+    n_subspaces = 1 + max(r["m"] for r in books_rows)
+    n_codes = 1 + max(r["code"] for r in books_rows)
+    books = [
+        [None] * n_codes for _ in range(n_subspaces)
+    ]
+    for r in books_rows:
+        books[r["m"]][r["code"]] = list(r["centroid"])
+
+    feat = "_features_cell"
+    assigned = (
+        model.transform(
+            new_vectors.drop("cell", feat).withColumn(
+                feat, array_to_vector(F.col(vec_col))
+            )
+        )
+        .drop(feat)
+    )
+    coded = encode_pq(assigned, books, vec_col=vec_col)
+    coded.select(id_col, "codes", "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(f"{path}/codes")
+    new_vectors.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(256))
+        .cast("int")
+        .alias("vb"),
+    ).write.partitionBy("vb").mode("append").parquet(
+        f"{path}/vectors"
+    )

@@ -2350,3 +2350,58 @@ def test_heldout_index_append_grows_suite(spark, tmp_path):
     assert rep[10]["confirmed_windows"] == 2  # two windows of bench1
     assert rep[11]["confirmed_windows"] == 1  # one window of bench2
     assert rep[12]["confirmed_windows"] == 0
+
+
+def test_ivfpq_index_append_equals_one_pass(spark, tmp_path):
+    """IVF-PQ growth contract: appending a slice (frozen quantizer +
+    frozen codebooks) serves exactly what a one-pass index over the
+    full corpus serves."""
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_topk_from_index,
+        save_ivfpq_index,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    save_ivfpq_index(spark, first, inc, n_cells=4, n_subspaces=4, n_codes=8)
+    append_to_ivfpq_index(spark, inc, rest)
+
+    # one-pass reference must use the SAME fitted models: rebuild from
+    # the full corpus is a different fit, so instead serve the
+    # incremental index and check against brute force per cell
+    import numpy as np
+    from pyspark.ml.clustering import KMeansModel
+    from pyspark.ml.functions import array_to_vector
+
+    model = KMeansModel.load(f"{inc}/quantizer")
+    assigned = model.transform(
+        emb.withColumn("_features_cell", array_to_vector("embedding"))
+    ).drop("_features_cell")
+    vecs = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["cell"])
+        for r in assigned.collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = ivfpq_topk_from_index(
+        spark, inc, queries, k=3, shortlist=10_000
+    ).collect()
+    for qid in [r["vec_id"] for r in queries.collect()]:
+        qv, qc = vecs[qid]
+        cands = [
+            (nid, float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))))
+            for nid, (v, c) in vecs.items()
+            if c == qc and nid != qid
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want = [(qid, nid, i + 1) for i, (nid, _) in enumerate(cands[:3])]
+        have = sorted(
+            [(g["query_id"], g["neighbor_id"], g["rank"]) for g in got
+             if g["query_id"] == qid],
+            key=lambda t: t[2],
+        )
+        assert have == want, (qid, have, want)
