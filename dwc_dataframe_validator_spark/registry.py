@@ -3735,6 +3735,76 @@ ORACLES["incremental_pipeline_check"] = r"""
 """
 
 
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/selection.py): score
+    every document with the linear quality model, then fill a
+    15k-token budget with the best documents — the maximal
+    (score DESC, id ASC) prefix whose running token sum fits.  The
+    Spark side runs the two-phase bucketed algorithm (no global
+    sort); the oracle runs the naive running-sum window.  Equality is
+    the point: the scale-honest plan must compute EXACTLY the naive
+    semantics."""
+    from .operators import selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.model_quality_score(docs).select(
+        "doc_id", "quality_logit"
+    )
+    toks = docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    j = scored.join(toks, "doc_id")
+    sel = selection.select_token_budget(
+        j, 15000, "quality_logit", "n_tokens"
+    )
+    return sel.select("doc_id", "quality_logit", "n_tokens")
+
+
+QUERIES["token_budget_selection"] = token_budget_selection
+
+
+def _token_budget_oracle_sql(budget: int = 15000) -> str:
+    """Naive running-sum selection over the SAME generated logit
+    arithmetic as ``quality_model_scores`` — the oracle is the naive
+    O(n log n) global sort the Spark side refuses to run."""
+    feats = {
+        "alpha_ratio": (
+            "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
+            " AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
+        ),
+        "stopword_frac": (
+            f"CAST(len(regexp_extract_all(text, '{text.EN_STOPWORDS}')) AS DOUBLE)"
+            " / CAST(greatest(n_tokens, 1) AS DOUBLE)"
+        ),
+        "len_norm": "CAST(least(n_tokens, 1000) AS DOUBLE) / 1000.0",
+    }
+    logit = f"({text.QUALITY_MODEL_INTERCEPT!r})"
+    for name, w in text.QUALITY_MODEL_WEIGHTS:
+        logit = f"({logit} + ({w!r} * {name}))"
+    feat_sql = ", ".join(f"{expr} AS {name}" for name, expr in feats.items())
+    return rf"""
+        WITH s AS (
+          SELECT doc_id, text,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM documents),
+        f AS (SELECT doc_id, n_tokens, {feat_sql} FROM s),
+        scored AS (
+          SELECT doc_id, n_tokens, {logit} AS quality_logit FROM f),
+        cum AS (
+          SELECT doc_id, quality_logit, n_tokens,
+                 sum(n_tokens) OVER (
+                   ORDER BY quality_logit DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM scored)
+        SELECT doc_id, quality_logit, n_tokens
+        FROM cum WHERE c <= {budget}
+    """
+
+
+ORACLES["token_budget_selection"] = _token_budget_oracle_sql()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -2405,3 +2405,44 @@ def test_ivfpq_index_append_equals_one_pass(spark, tmp_path):
             key=lambda t: t[2],
         )
         assert have == want, (qid, have, want)
+
+
+def test_select_token_budget_edges(spark):
+    """Two-phase budget selection equals the naive prefix on crafted
+    edges: boundary bucket split mid-way, exact-fit budget, zero
+    budget, budget beyond the corpus, tied scores ordered by id."""
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget,
+    )
+    import pytest as _pytest
+
+    rows = [
+        # (doc_id, score, tokens)
+        (1, 0.9000, 10),
+        (2, 0.9000, 10),   # tie with 1: id order decides
+        (3, 0.5004, 10),   # same bucket as 4 at granularity 0.001
+        (4, 0.5001, 10),
+        (5, 0.1000, 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, tokens long")
+
+    def picked(budget):
+        return sorted(
+            r["doc_id"]
+            for r in select_token_budget(
+                df, budget, "score", "tokens"
+            ).collect()
+        )
+
+    assert picked(0) == []
+    assert picked(10) == [1]
+    assert picked(20) == [1, 2]          # tie broken by id
+    assert picked(35) == [1, 2, 3]       # boundary bucket split: 3 over 4
+    assert picked(40) == [1, 2, 3, 4]
+    assert picked(45) == [1, 2, 3, 4]    # 5 doesn't fit (45 < 50)
+    assert picked(1_000) == [1, 2, 3, 4, 5]
+    with _pytest.raises(ValueError):
+        select_token_budget(df, -1, "score", "tokens")
+
+    empty = spark.createDataFrame([], "doc_id long, score double, tokens long")
+    assert select_token_budget(empty, 100, "score", "tokens").count() == 0
