@@ -91,6 +91,9 @@ HEADLINE = [
     # LSH twin
     "incremental_pipeline_check",
     "ann_rp_lsh_check",
+    # late round-6 addition (same addendum rule): two-phase
+    # token-budget selection (no global sort)
+    "token_budget_selection",
 ]
 
 

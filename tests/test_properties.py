@@ -265,3 +265,47 @@ def test_incremental_dedup_converges_to_global(spark, texts, cut):
         first_slice = min(slice_of[i] for i in ids)
         expect = min(i for i in ids if slice_of[i] == first_slice)
         assert survivors[fp] == expect, (fp, ids, survivors[fp], expect)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
+                      allow_infinity=False),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    budget=st.integers(min_value=0, max_value=400),
+)
+def test_token_budget_selection_matches_naive(spark, rows, budget):
+    """For ANY scores/token-counts/budget: the two-phase bucketed
+    selection equals the naive (score DESC, id ASC) running-sum
+    prefix computed in plain Python."""
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget,
+    )
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data or [(0, 0.0, 0)], "doc_id long, score double, tokens long"
+    )
+    if not data:
+        df = df.filter("doc_id < 0")
+    got = sorted(
+        r["doc_id"]
+        for r in select_token_budget(df, budget, "score", "tokens").collect()
+    )
+    cum, want = 0, []
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        if cum + t > budget:
+            break
+        cum += t
+        want.append(i)
+    assert got == sorted(want), (rows, budget, got, want)
