@@ -284,3 +284,26 @@ def test_incremental_dedup_screen_plan_shape(spark):
     # the filter embeds the packed bytes, not a 1024-element array
     assert re.search(r"0x[0-9A-Fa-f]{1000,}", plan), "no blob literal"
     assert not re.search(r"\[-?\d+(,-?\d+){100,}\]", plan), "word-array literal leaked"
+
+
+def test_token_budget_selection_no_global_sort(spark):
+    """The two-phase selection's whole point: the bulk of the corpus
+    is selected by a map-side bucket filter, and the ONLY sort in the
+    plan is the running-sum window over the boundary bucket — never a
+    global sort of the full frame."""
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget,
+    )
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS doc_id",
+        "CAST(pmod(id * 37, 100) AS DOUBLE) / 100.0 AS score",
+        "CAST(5 + pmod(id, 7) AS BIGINT) AS tokens",
+    )
+    out = select_token_budget(df, 800, "score", "tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    sorts = [ln for ln in plan.splitlines() if "Sort " in ln]
+    assert len(sorts) == 1, plan[:600]
+    # and that sort sits above a boundary-bucket Filter, i.e. the
+    # full-inclusion branch reaches the Union unsorted
+    assert "Union" in plan
