@@ -461,3 +461,50 @@ def ingest_slice_clean(
         spark, index_path, clean, k=k, m=m, text_col=text_col,
         id_col=id_col,
     )
+
+
+def fingerprint_index_stats(
+    spark: SparkSession,
+    path: str,
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+) -> dict:
+    """Health report for a persisted index — the numbers that trigger
+    maintenance:
+
+    - ``n_fingerprints`` (distinct) and ``n_rows`` (with append
+      duplicates): a widening gap says run ``compact_fingerprint_index``;
+    - ``bloom_fill_ratio`` = set bits / m and the implied
+      ``bloom_fp_rate`` ≈ fill^k: the docstrings' "size m to the
+      corpus" contract, measured — past ~50% fill the FP trickle
+      stops being a trickle and the bloom should be rebuilt at a
+      larger m (rebuild = one pass over the compact store, never the
+      corpus);
+    - ``max_bucket_skew`` = largest bucket / mean: md5 buckets should
+      sit near 1.0; drift says the fingerprint inputs are degenerate.
+
+    Driver-side result (a handful of scalars from two aggregates) —
+    this is a monitoring probe, not a data path."""
+    store, bits = load_fingerprint_index(spark, path)
+    row = store.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("fingerprint").alias("fps"),
+    ).collect()[0]
+    n_rows, n_fps = row["rows"], row["fps"]
+    n_bits = bits.count()
+    per_bucket = (
+        store.groupBy("fp_bucket").count().agg(F.max("count")).collect()
+    )[0][0]
+    mean_bucket = n_rows / 256 if n_rows else 0
+    fill = n_bits / m
+    return {
+        "n_rows": n_rows,
+        "n_fingerprints": n_fps,
+        "duplicate_rows": n_rows - n_fps,
+        "bloom_set_bits": n_bits,
+        "bloom_fill_ratio": fill,
+        "bloom_fp_rate": fill**k,
+        "max_bucket_skew": (per_bucket / mean_bucket) if mean_bucket else 0.0,
+        "needs_compaction": n_rows > 1.2 * n_fps if n_fps else False,
+        "needs_bloom_resize": fill > 0.5,
+    }

@@ -2446,3 +2446,40 @@ def test_select_token_budget_edges(spark):
 
     empty = spark.createDataFrame([], "doc_id long, score double, tokens long")
     assert select_token_budget(empty, 100, "score", "tokens").count() == 0
+
+
+def test_fingerprint_index_stats(spark, tmp_path):
+    """The maintenance triggers fire when they should: duplicate
+    appends raise needs_compaction; a deliberately tiny m raises
+    needs_bloom_resize; a healthy index raises neither."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        compact_fingerprint_index,
+        fingerprint_index_stats,
+        fingerprint_store,
+        save_fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    store = fingerprint_store(docs)
+    save_fingerprint_index(store, path)
+    s = fingerprint_index_stats(spark, path)
+    assert s["n_fingerprints"] == 50 and not s["needs_compaction"]
+    assert 0 < s["bloom_fp_rate"] < 1e-4 and not s["needs_bloom_resize"]
+
+    # duplicate append -> compaction trigger; compaction clears it
+    save_fingerprint_index(store, path, mode="append")
+    s2 = fingerprint_index_stats(spark, path)
+    assert s2["duplicate_rows"] == 50 and s2["needs_compaction"]
+    assert s2["n_fingerprints"] == 50
+    compact_fingerprint_index(spark, path)
+    s3 = fingerprint_index_stats(spark, path)
+    assert s3["duplicate_rows"] == 0 and not s3["needs_compaction"]
+
+    # undersized bloom -> resize trigger
+    tiny = str(tmp_path / "tiny")
+    save_fingerprint_index(store, tiny, m=256)
+    assert fingerprint_index_stats(spark, tiny, m=256)["needs_bloom_resize"]
