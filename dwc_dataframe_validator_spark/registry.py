@@ -3805,6 +3805,83 @@ def _token_budget_oracle_sql(budget: int = 15000) -> str:
 ORACLES["token_budget_selection"] = _token_budget_oracle_sql()
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard: documents, distinct
+    fingerprints, within-source duplicate count/rate, and how many of
+    the source's fingerprints also appear under ANOTHER source
+    (cross-source duplication — the number that tells you two feeds
+    overlap).  One fingerprint pass + two grouped aggregates; the
+    cross-source join runs on the distinct (source, fingerprint)
+    pairs, never on documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text.fingerprint(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per_src = fps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+    )
+    pairs = fps.select("source", "fingerprint").distinct()
+    other = (
+        pairs.alias("a")
+        .join(
+            pairs.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .select(F.col("a.source").alias("source"),
+                F.col("a.fingerprint").alias("fingerprint"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cross_source_fps"))
+    )
+    return (
+        per_src.join(other, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_fingerprints",
+            (F.col("n_docs") - F.col("n_fingerprints")).alias("dup_docs"),
+            (
+                (F.col("n_docs") - F.col("n_fingerprints")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            F.coalesce(F.col("cross_source_fps"), F.lit(0))
+            .cast("long")
+            .alias("cross_source_fps"),
+        )
+    )
+
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+
+ORACLES["dedup_rate_by_source"] = r"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents),
+    per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT fingerprint) AS n_fingerprints
+      FROM fps GROUP BY source),
+    pairs AS (SELECT DISTINCT source, fingerprint FROM fps),
+    other AS (
+      SELECT a.source, count(DISTINCT a.fingerprint) AS cross_source_fps
+      FROM pairs a JOIN pairs b
+        ON a.fingerprint = b.fingerprint AND a.source <> b.source
+      GROUP BY a.source)
+    SELECT p.source, p.n_docs, p.n_fingerprints,
+           p.n_docs - p.n_fingerprints AS dup_docs,
+           CAST(p.n_docs - p.n_fingerprints AS DOUBLE)
+             / CAST(p.n_docs AS DOUBLE) AS dup_rate,
+           CAST(coalesce(o.cross_source_fps, 0) AS BIGINT)
+             AS cross_source_fps
+    FROM per_src p LEFT JOIN other o USING (source)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -2483,3 +2483,32 @@ def test_fingerprint_index_stats(spark, tmp_path):
     tiny = str(tmp_path / "tiny")
     save_fingerprint_index(store, tiny, m=256)
     assert fingerprint_index_stats(spark, tiny, m=256)["needs_bloom_resize"]
+
+
+def test_dedup_rate_by_source_cross_source(spark):
+    """The driver data has no cross-source duplicates, so pin the
+    non-zero path here: planted shared texts across sources count
+    once per (source, fingerprint), and within-source dup rates are
+    exact."""
+    from dwc_dataframe_validator_spark.registry import dedup_rate_by_source
+    import tempfile, os
+
+    rows = [
+        (1, "shared text one", "web"),
+        (2, "SHARED   text one", "books"),   # cross-source dup of 1
+        (3, "shared text one", "web"),       # within-source dup of 1
+        (4, "unique web doc", "web"),
+        (5, "unique books doc", "books"),
+        (6, "shared text one", "code"),      # third source, same text
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["source"]: r for r in dedup_rate_by_source(spark, d).collect()}
+    assert got["web"]["n_docs"] == 3 and got["web"]["n_fingerprints"] == 2
+    assert got["web"]["dup_docs"] == 1
+    assert got["web"]["cross_source_fps"] == 1
+    assert got["books"]["cross_source_fps"] == 1
+    assert got["code"]["cross_source_fps"] == 1
+    assert got["books"]["dup_docs"] == 0
