@@ -3882,6 +3882,70 @@ ORACLES["dedup_rate_by_source"] = r"""
 """
 
 
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination dashboard over the 30% heldout split:
+    documents screened, documents sharing ≥1 exact 8-token window
+    with the heldout set, the rate, and total confirmed window
+    occurrences.  Runs the bloom-prescreened screen
+    (operators/pipeline.py span_contamination) and aggregates by
+    source; confirmed counts are bloom-independent (no false
+    negatives), so the oracle replays the pure window join — which
+    feeds "source X is 4% benchmark-contaminated, cut or clean it"
+    decisions."""
+    from .operators.pipeline import span_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    held = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.3))
+    rep = span_contamination(docs.filter(~held), docs.filter(held))
+    j = rep.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("confirmed_windows") > 0).alias(
+            "contaminated_docs"
+        ),
+        (
+            F.count_if(F.col("confirmed_windows") > 0).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contamination_rate"),
+        F.sum("confirmed_windows").alias("confirmed_windows"),
+    )
+
+
+QUERIES["contamination_rate_by_source"] = contamination_rate_by_source
+
+ORACLES["contamination_rate_by_source"] = r"""
+    WITH full_t AS (
+      SELECT doc_id, text, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
+      FROM documents),
+    tok AS (
+      SELECT doc_id, held, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM full_t WHERE text IS NOT NULL AND trim(text) <> ''),
+    grams AS (
+      SELECT doc_id, held,
+             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
+                                 ' ')) AS h
+      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
+    hh AS (SELECT DISTINCT h FROM grams WHERE held),
+    scr AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS cw
+      FROM grams g JOIN hh USING (h)
+      WHERE NOT g.held GROUP BY 1)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (coalesce(c.cw, 0) > 0) AS BIGINT)
+             AS contaminated_docs,
+           CAST(count(*) FILTER (coalesce(c.cw, 0) > 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS contamination_rate,
+           CAST(sum(coalesce(c.cw, 0)) AS BIGINT) AS confirmed_windows
+    FROM (SELECT doc_id, source FROM full_t WHERE NOT held) s
+    LEFT JOIN scr c USING (doc_id)
+    GROUP BY s.source
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
