@@ -18,6 +18,14 @@ at O(slice) cost:
   (operators/sketch.py), persisted as set-bit positions.  Bloom
   union is bitwise OR, so the update path is append-only: new
   positions are appended and deduplicated on load.
+- **``_meta.json``** — the index's GEOMETRY (k, m, window width w for
+  heldout indexes, format version, bloom generation), written with
+  the index and enforced on every load.  Probing a bloom with a
+  different (k, m) than it was built with produces FALSE NEGATIVES —
+  silently wrong survivor sets, the exact failure class this design
+  exists to exclude — so geometry is never an argument the caller can
+  get wrong: readers take it from the meta, and an explicitly passed
+  value that disagrees raises instead of corrupting.
 
 Screening a slice is then:
 
@@ -53,6 +61,8 @@ single-pass; incremental ingestion extends the LLM-pipeline family
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +75,129 @@ from .text import fingerprint
 #: the corpus the same way BASELINE.md sizes IVF cells.
 DEFAULT_K = 5
 DEFAULT_M = 1 << 16
+
+#: persisted-index format version, recorded in _meta.json so a future
+#: layout change can be detected instead of misread
+INDEX_FORMAT = 1
+
+
+# ---------------------------------------------------------------------------
+# filesystem + metadata plumbing (Hadoop FileSystem API — works on any
+# FS Spark can reach, not just the local disk the tests use)
+# ---------------------------------------------------------------------------
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return fs.exists(p)
+
+
+def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
+    """Commit a tiny file via stage-then-rename: write ``<path>.tmp``
+    fully, delete the destination, rename tmp into place.  HDFS-style
+    renames are atomic; the one crash window (between delete and
+    rename) leaves the .tmp, which ``_read_small_file`` falls back
+    to — so a reader always sees a complete old or complete new file,
+    never a torn one."""
+    fs, dst = _fs_path(spark, path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Read a ``_write_small_file`` artifact, falling back to the
+    staged ``.tmp`` if the commit rename was interrupted.  Returns
+    None when neither exists."""
+    fs, p = _fs_path(spark, path)
+    jvm = spark._jvm
+    for cand in (p, jvm.org.apache.hadoop.fs.Path(path + ".tmp")):
+        if fs.exists(cand):
+            stream = fs.open(cand)
+            try:
+                return jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+    return None
+
+
+def write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    _write_small_file(
+        spark, f"{path}/_meta.json", json.dumps(meta, sort_keys=True)
+    )
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    """The index's geometry record.  Raises (rather than assuming
+    defaults) when missing: silently probing with guessed geometry is
+    the bloom-false-negative footgun the meta exists to close."""
+    raw = _read_small_file(spark, f"{path}/_meta.json")
+    if raw is None:
+        raise FileNotFoundError(
+            f"no _meta.json under index path {path!r} — not a persisted "
+            "index (or written by a pre-geometry version; re-save it "
+            "with save_fingerprint_index / save_heldout_index)"
+        )
+    return json.loads(raw)
+
+
+def _check_geometry(meta: dict, path: str, **given) -> None:
+    """Raise when an explicitly passed geometry argument disagrees
+    with what the index was built with.  ``None`` means "use the
+    index's own value" and always passes."""
+    for name, val in given.items():
+        if val is not None and val != meta.get(name):
+            raise ValueError(
+                f"index at {path!r} was built with {name}={meta.get(name)}"
+                f" but {name}={val} was requested — mismatched bloom "
+                "geometry yields silent false negatives (wrong survivor "
+                "sets); drop the argument to use the persisted geometry, "
+                "or rebuild_bloom/re-save the index"
+            )
+
+
+def _require_pow2(m: int) -> None:
+    if m <= 0 or (m & (m - 1)) != 0:
+        raise ValueError(f"bloom m must be a power of two, got {m}")
+
+
+def _bloom_tree(meta: dict) -> str:
+    """The CURRENT bloom directory name.  ``rebuild_bloom`` writes
+    each rebuild to a fresh generation directory and commits by
+    meta swap, so the tree name is part of the geometry record."""
+    gen = meta.get("bloom_gen", 0)
+    return "bloom" if gen == 0 else f"bloom_g{gen}"
+
+
+def _resolve_tree(spark: SparkSession, path: str, tree: str) -> str:
+    """Crash-safe tree resolution: ``compact_index`` swaps trees via
+    rename (dst → _old_<tree>; staged → dst), so a crash between the
+    two renames leaves the data ONLY under ``_old_<tree>``.  Loads
+    fall back to it, making a half-swapped store readable without
+    manual repair; the next compaction (or any successful load-path
+    write) restores the canonical name."""
+    primary = f"{path}/{tree}"
+    if _fs_exists(spark, primary):
+        return primary
+    fallback = f"{path}/_old_{tree}"
+    if _fs_exists(spark, fallback):
+        return fallback
+    return primary
 
 
 def _fp_bucket(fp) -> F.Column:
@@ -93,42 +226,65 @@ def save_fingerprint_index(
     store: DataFrame,
     path: str,
     mode: str = "overwrite",
-    k: int = DEFAULT_K,
-    m: int = DEFAULT_M,
+    k: int | None = None,
+    m: int | None = None,
 ) -> None:
     """Persist the dedup artifact: the fingerprint store partitioned
-    by ``fp_bucket`` plus the bloom set-bit positions.
+    by ``fp_bucket``, the bloom set-bit positions, and the geometry
+    meta (``_meta.json`` — k, m, format version, bloom generation).
 
     ``mode="append"`` is the update path — new fingerprints land in
     per-bucket files and new bloom positions are appended (bloom union
-    = OR, so append + distinct-on-load is exact).  No rewrite of
-    existing data either way."""
+    = OR, so append + distinct-on-load is exact).  Appends take their
+    geometry FROM the meta; passing k/m that disagree raises instead
+    of appending positions the existing filter cannot contain."""
+    spark = store.sparkSession
+    if mode == "append":
+        meta = read_index_meta(spark, path)
+        _check_geometry(meta, path, k=k, m=m)
+        k, m = meta["k"], meta["m"]
+    else:
+        k = DEFAULT_K if k is None else k
+        m = DEFAULT_M if m is None else m
+        _require_pow2(m)
+        meta = {
+            "format": INDEX_FORMAT,
+            "kind": "fingerprint",
+            "k": k,
+            "m": m,
+            "bloom_gen": 0,
+        }
     store.write.partitionBy("fp_bucket").mode(mode).parquet(
         f"{path}/fingerprints"
     )
     bits = sketch.bloom_build_hex(store, "fingerprint", k=k, m=m)
-    bits.write.mode(mode).parquet(f"{path}/bloom")
+    bits.write.mode(mode).parquet(f"{path}/{_bloom_tree(meta)}")
+    if mode != "append":
+        write_index_meta(spark, path, meta)
 
 
 def load_fingerprint_index(spark: SparkSession, path: str):
     """Reload ``save_fingerprint_index`` output: (store DataFrame —
     lazy, partition-prunable; the bloom set-bit positions frame —
-    pack with ``sketch.bloom_pack_bytes`` before probing).
+    pack with ``sketch.bloom_pack_bytes`` before probing; the
+    geometry meta dict — k/m MUST come from here, never from the
+    caller's memory).
 
     Schemas are explicit so an EMPTY seed is a valid index: an empty
     partitioned write produces no data files, and schema inference
     would fail on them — but "start the corpus from nothing and let
     ingestion build it" is exactly the bootstrap the streaming sink
     documents."""
+    meta = read_index_meta(spark, path)
     store = spark.read.schema("fingerprint string, fp_bucket int").parquet(
-        f"{path}/fingerprints"
+        _resolve_tree(spark, path, "fingerprints")
     )
     bits = (
         spark.read.schema("pos bigint")
-        .parquet(f"{path}/bloom")
+        .parquet(_resolve_tree(spark, path, _bloom_tree(meta)))
         .distinct()
     )
-    return store, bits
+    return store, bits, meta
 
 
 def incremental_dedup(
@@ -153,7 +309,9 @@ def incremental_dedup(
     only bloom-positive keepers join the store; negatives
     short-circuit as definitely-new map-side.  Without it, every
     keeper joins — same rows either way (no false negatives), which is
-    what the exact oracle checks.
+    what the exact oracle checks.  k and m here MUST be the geometry
+    the blob was packed with — path-based callers (``ingest_slice``)
+    take them from the index meta.
 
     ``prune_store_partitions`` additionally collects the positives'
     distinct ``fp_bucket`` values (BOUNDED: ≤ 256 rows by
@@ -217,8 +375,8 @@ def ingest_slice(
     spark: SparkSession,
     path: str,
     batch: DataFrame,
-    k: int = DEFAULT_K,
-    m: int = DEFAULT_M,
+    k: int | None = None,
+    m: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -227,11 +385,17 @@ def ingest_slice(
     positions back to the index, return the survivors (materialized —
     the append must not observe its own output).
 
+    Geometry comes from the index's ``_meta.json``; k/m exist only so
+    a caller asserting a particular geometry fails loudly on mismatch
+    instead of probing a filter that cannot answer.
+
     This is the loop body of 100 TB corpus construction: each slice
     pays one slice-sized shuffle, one map-side bloom screen, and a
     store read pruned to the touched buckets — never a scan of the
     accumulated corpus text."""
-    store, bits = load_fingerprint_index(spark, path)
+    store, bits, meta = load_fingerprint_index(spark, path)
+    _check_geometry(meta, path, k=k, m=m)
+    k, m = meta["k"], meta["m"]
     blob = sketch.bloom_pack_bytes(bits, m)
     survivors = incremental_dedup(
         batch,
@@ -246,16 +410,16 @@ def ingest_slice(
     new_store = survivors.select("fingerprint").distinct().withColumn(
         "fp_bucket", _fp_bucket(F.col("fingerprint"))
     )
-    save_fingerprint_index(new_store, path, mode="append", k=k, m=m)
+    save_fingerprint_index(new_store, path, mode="append")
     return survivors
 
 
 def save_heldout_index(
     heldout: DataFrame,
     path: str,
-    w: int = 8,
-    k: int = DEFAULT_K,
-    m: int = DEFAULT_M,
+    w: int | None = None,
+    k: int | None = None,
+    m: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
@@ -264,6 +428,9 @@ def save_heldout_index(
     set's distinct w-token window fingerprints plus their bloom
     positions — what ``operators/pipeline.py span_contamination``
     derives inline, written once so every future slice reuses it.
+    The geometry meta records (w, k, m); appends and probes take
+    their values from it (a window width different from the one the
+    index was built with would silently miss every overlap).
 
     ``mode="append"`` grows the suite (a new benchmark added to the
     heldout set) without rewriting: both trees are VALUE sets, so
@@ -273,6 +440,24 @@ def save_heldout_index(
     verify join."""
     from .spans import window_fingerprints
 
+    spark = heldout.sparkSession
+    if mode == "append":
+        meta = read_index_meta(spark, path)
+        _check_geometry(meta, path, w=w, k=k, m=m)
+        w, k, m = meta["w"], meta["k"], meta["m"]
+    else:
+        w = 8 if w is None else w
+        k = DEFAULT_K if k is None else k
+        m = DEFAULT_M if m is None else m
+        _require_pow2(m)
+        meta = {
+            "format": INDEX_FORMAT,
+            "kind": "heldout",
+            "w": w,
+            "k": k,
+            "m": m,
+            "bloom_gen": 0,
+        }
     hw = (
         window_fingerprints(heldout, id_col, text_col, w)
         .select("h")
@@ -282,34 +467,37 @@ def save_heldout_index(
     hw.write.mode(mode).parquet(f"{path}/windows")
     sketch.bloom_build_hex(hw, "h", k=k, m=m).write.mode(
         mode
-    ).parquet(f"{path}/bloom")
+    ).parquet(f"{path}/{_bloom_tree(meta)}")
+    if mode != "append":
+        write_index_meta(spark, path, meta)
 
 
 def load_heldout_index(spark: SparkSession, path: str):
     """Reload ``save_heldout_index`` output, de-duplicated (appends
     may overlap): (distinct window-fingerprint frame, distinct bloom
-    set-bit positions frame).  Explicit schemas for the same
-    empty-seed reason as ``load_fingerprint_index``."""
+    set-bit positions frame, geometry meta).  Explicit schemas for
+    the same empty-seed reason as ``load_fingerprint_index``."""
+    meta = read_index_meta(spark, path)
     hw = (
         spark.read.schema("h string")
-        .parquet(f"{path}/windows")
+        .parquet(_resolve_tree(spark, path, "windows"))
         .distinct()
     )
     bits = (
         spark.read.schema("pos bigint")
-        .parquet(f"{path}/bloom")
+        .parquet(_resolve_tree(spark, path, _bloom_tree(meta)))
         .distinct()
     )
-    return hw, bits
+    return hw, bits, meta
 
 
 def screen_slice_contamination(
     spark: SparkSession,
     path: str,
     batch: DataFrame,
-    w: int = 8,
-    k: int = DEFAULT_K,
-    m: int = DEFAULT_M,
+    w: int | None = None,
+    k: int | None = None,
+    m: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -318,8 +506,12 @@ def screen_slice_contamination(
     candidate_windows, confirmed_windows)``, but the heldout side is
     two small parquet reads instead of a re-derivation — the slice
     pays its own scan plus the map-side bloom screen, nothing else.
-    Equality with the inline form is pinned in pytest."""
-    hw, bits = load_heldout_index(spark, path)
+    Window width and bloom geometry come from the index meta (passed
+    values are mismatch assertions only).  Equality with the inline
+    form is pinned in pytest."""
+    hw, bits, meta = load_heldout_index(spark, path)
+    _check_geometry(meta, path, w=w, k=k, m=m)
+    w, k, m = meta["w"], meta["k"], meta["m"]
     blob = sketch.bloom_pack_bytes(bits, m)
 
     from .spans import window_fingerprints
@@ -361,46 +553,123 @@ def screen_slice_contamination(
     )
 
 
-def compact_fingerprint_index(
+def _value_tree(meta: dict) -> tuple[str, str, bool]:
+    """(tree name, value column, partitioned-by-bucket?) for the
+    index kind — the one place the two layouts differ."""
+    if meta.get("kind") == "heldout":
+        return "windows", "h", False
+    return "fingerprints", "fingerprint", True
+
+
+def compact_index(
     spark: SparkSession, path: str, files_per_bucket: int = 1
 ) -> None:
     """Operational hygiene for the append-only store: every
     ``ingest_slice`` lands one small file per touched bucket (plus
     bloom-position rows), so N slices leave O(N·256) files — and at
     some point file-open overhead, not bytes, dominates the store
-    scan.  Compaction rewrites each tree once: fingerprints
-    de-duplicated (replayed appends may have left value-duplicates —
-    harmless for correctness, wasted bytes) and coalesced to
-    ``files_per_bucket`` files per partition; bloom positions
-    distinct-ed into one file.  Correctness is unchanged by
-    construction (both trees are VALUE sets); the rewrite stages into
-    a sibling directory and swaps via rename so a crashed compaction
-    leaves the original store intact."""
-    store, bits = load_fingerprint_index(spark, path)
+    scan.  Compaction rewrites each tree once: values de-duplicated
+    (replayed appends may have left value-duplicates — harmless for
+    correctness, wasted bytes) and coalesced; bloom positions
+    distinct-ed into one file.  Works on either index kind (the
+    heldout windows tree is unpartitioned, the fingerprint tree keeps
+    its 256 ``fp_bucket`` partitions).
+
+    Correctness is unchanged by construction (both trees are VALUE
+    sets).  The rewrite stages into a sibling directory and swaps via
+    two renames; a crash between them leaves the data under
+    ``_old_<tree>``, which the loaders fall back to — so a crashed
+    compaction is readable without manual repair, and re-running
+    compaction completes the swap."""
+    meta = read_index_meta(spark, path)
+    tree, col, bucketed = _value_tree(meta)
+    bloom = _bloom_tree(meta)
+    if meta.get("kind") == "heldout":
+        data, bits, _ = load_heldout_index(spark, path)
+    else:
+        data, bits, _ = load_fingerprint_index(spark, path)
     tmp = f"{path}/_compact_tmp"
-    (
-        store.distinct()
-        .repartition("fp_bucket")
-        .coalesce(256 * files_per_bucket)
-        .write.partitionBy("fp_bucket")
-        .mode("overwrite")
-        .parquet(f"{tmp}/fingerprints")
-    )
-    bits.write.mode("overwrite").parquet(f"{tmp}/bloom")
+    writer = data.distinct()
+    if bucketed:
+        (
+            writer.repartition("fp_bucket")
+            .coalesce(256 * files_per_bucket)
+            .write.partitionBy("fp_bucket")
+            .mode("overwrite")
+            .parquet(f"{tmp}/{tree}")
+        )
+    else:
+        writer.coalesce(files_per_bucket).write.mode("overwrite").parquet(
+            f"{tmp}/{tree}"
+        )
+    bits.write.mode("overwrite").parquet(f"{tmp}/{bloom}")
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    for tree in ("fingerprints", "bloom"):
-        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{tree}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{tree}")
+    for t in (tree, bloom):
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{t}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{t}")
         fs = dst.getFileSystem(conf)
-        old = jvm.org.apache.hadoop.fs.Path(f"{path}/_old_{tree}")
+        old = jvm.org.apache.hadoop.fs.Path(f"{path}/_old_{t}")
+        # order matters for crash-safety: the live copy (dst, or old
+        # after a previous half-swap) is never deleted until the new
+        # dst is in place — every crash window leaves dst or _old_<t>
+        # readable, and _resolve_tree checks both
+        if fs.exists(dst):
+            if fs.exists(old):
+                fs.delete(old, True)
+            fs.rename(dst, old)
+        fs.rename(src, dst)
         if fs.exists(old):
             fs.delete(old, True)
-        fs.rename(dst, old)
-        fs.rename(src, dst)
-        fs.delete(old, True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+
+#: historical name — compaction originally existed only for the
+#: fingerprint store; the generic form dispatches on the meta kind
+compact_fingerprint_index = compact_index
+
+
+def rebuild_bloom(
+    spark: SparkSession,
+    path: str,
+    m_new: int | None = None,
+    k_new: int | None = None,
+) -> dict:
+    """The ACTION behind ``index_stats``'s ``needs_bloom_resize``
+    trigger: rebuild the bloom filter from the compact value tree
+    (one pass over fingerprints/windows — never the corpus) at a
+    larger geometry, and commit by meta swap.  Defaults to doubling
+    m; returns the new meta.
+
+    Crash-safe by ordering: the new filter is written COMPLETELY to a
+    fresh generation directory (``bloom_g<n>``), then the meta —
+    whose ``bloom_gen``/``m``/``k`` name that directory — is swapped
+    via the staged-rename protocol of ``write_index_meta``.  A reader
+    therefore always sees a (meta, bloom) pair built together: crash
+    before the meta swap leaves the old pair live (the orphan
+    directory is retried/cleaned next rebuild); there is no window
+    where a filter is probed with geometry it wasn't built with."""
+    meta = read_index_meta(spark, path)
+    m_new = (2 * meta["m"]) if m_new is None else m_new
+    k_new = meta["k"] if k_new is None else k_new
+    _require_pow2(m_new)
+    tree, col, _ = _value_tree(meta)
+    values = spark.read.schema(f"{col} string").parquet(
+        _resolve_tree(spark, path, tree)
+    )
+    gen = meta.get("bloom_gen", 0) + 1
+    new_tree = f"bloom_g{gen}"
+    sketch.bloom_build_hex(values.distinct(), col, k=k_new, m=m_new).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{new_tree}")
+    old_tree = _bloom_tree(meta)
+    new_meta = {**meta, "k": k_new, "m": m_new, "bloom_gen": gen}
+    write_index_meta(spark, path, new_meta)  # the commit point
+    fs, old_path = _fs_path(spark, f"{path}/{old_tree}")
+    if fs.exists(old_path):
+        fs.delete(old_path, True)
+    return new_meta
 
 
 def decontaminate_batch(
@@ -419,7 +688,9 @@ def decontaminate_batch(
     prescreen keeps the corpus-side cost one map-side scan, the exact
     broadcast verify kills bloom false positives, and only confirmed
     doc ids reach the anti-join.  Bloom has no false negatives, so the
-    surviving SET is bloom-independent (exact-oracle-able)."""
+    surviving SET is bloom-independent (exact-oracle-able).  When the
+    heldout side comes from a persisted index, (w, k, m) must be the
+    loaded meta's values — the path-based wrappers enforce that."""
     from .spans import window_fingerprints
 
     cw = window_fingerprints(batch, id_col, text_col, w)
@@ -439,72 +710,92 @@ def ingest_slice_clean(
     index_path: str,
     heldout_path: str,
     batch: DataFrame,
-    w: int = 8,
-    k: int = DEFAULT_K,
-    m: int = DEFAULT_M,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The composed per-slice loop body: decontaminate against the
     persisted heldout index, THEN dedup against the persisted
     fingerprint store and grow it — slice in, clean novel survivors
-    out, both artifacts current.  Decontamination runs first so
-    dropped documents never pay fingerprint work and never enter the
-    store — the store stays a registry of CLEAN text only, which is
-    what later slices should dedup against."""
-    hw, hbits = load_heldout_index(spark, heldout_path)
-    blob = sketch.bloom_pack_bytes(hbits, m)
+    out, both artifacts current.  Each index supplies its OWN
+    geometry from its meta (they need not match).  Decontamination
+    runs first so dropped documents never pay fingerprint work and
+    never enter the store — the store stays a registry of CLEAN text
+    only, which is what later slices should dedup against."""
+    hw, hbits, hmeta = load_heldout_index(spark, heldout_path)
+    blob = sketch.bloom_pack_bytes(hbits, hmeta["m"])
     clean = decontaminate_batch(
-        batch, hw, blob, w=w, k=k, m=m, text_col=text_col, id_col=id_col
+        batch, hw, blob,
+        w=hmeta["w"], k=hmeta["k"], m=hmeta["m"],
+        text_col=text_col, id_col=id_col,
     )
     return ingest_slice(
-        spark, index_path, clean, k=k, m=m, text_col=text_col,
-        id_col=id_col,
+        spark, index_path, clean, text_col=text_col, id_col=id_col
     )
 
 
-def fingerprint_index_stats(
-    spark: SparkSession,
-    path: str,
-    k: int = DEFAULT_K,
-    m: int = DEFAULT_M,
-) -> dict:
-    """Health report for a persisted index — the numbers that trigger
-    maintenance:
+def index_stats(spark: SparkSession, path: str) -> dict:
+    """Health report for a persisted index (either kind — the
+    fingerprint store or the heldout window index share the layout:
+    a value tree plus bloom bits plus geometry meta) — the numbers
+    that trigger maintenance:
 
-    - ``n_fingerprints`` (distinct) and ``n_rows`` (with append
-      duplicates): a widening gap says run ``compact_fingerprint_index``;
+    - ``n_values`` (distinct) and ``n_rows`` (with append
+      duplicates): a widening gap says run ``compact_index``;
     - ``bloom_fill_ratio`` = set bits / m and the implied
       ``bloom_fp_rate`` ≈ fill^k: the docstrings' "size m to the
       corpus" contract, measured — past ~50% fill the FP trickle
-      stops being a trickle and the bloom should be rebuilt at a
-      larger m (rebuild = one pass over the compact store, never the
-      corpus);
-    - ``max_bucket_skew`` = largest bucket / mean: md5 buckets should
-      sit near 1.0; drift says the fingerprint inputs are degenerate.
+      stops being a trickle and ``rebuild_bloom`` should double m
+      (one pass over the compact value tree, never the corpus);
+    - ``max_bucket_skew`` = largest bucket / mean over the 256
+      md5-derived buckets (first hex byte — computed for both kinds;
+      only the fingerprint tree is physically partitioned by it):
+      should sit near 1.0; drift says the inputs are degenerate.
 
     Driver-side result (a handful of scalars from two aggregates) —
     this is a monitoring probe, not a data path."""
-    store, bits = load_fingerprint_index(spark, path)
-    row = store.agg(
+    meta = read_index_meta(spark, path)
+    tree, col, _ = _value_tree(meta)
+    k, m = meta["k"], meta["m"]
+    data = spark.read.schema(f"{col} string").parquet(
+        _resolve_tree(spark, path, tree)
+    )
+    bits = (
+        spark.read.schema("pos bigint")
+        .parquet(_resolve_tree(spark, path, _bloom_tree(meta)))
+        .distinct()
+    )
+    row = data.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.countDistinct("fingerprint").alias("fps"),
+        F.countDistinct(col).alias("vals"),
     ).collect()[0]
-    n_rows, n_fps = row["rows"], row["fps"]
+    n_rows, n_vals = row["rows"], row["vals"]
     n_bits = bits.count()
     per_bucket = (
-        store.groupBy("fp_bucket").count().agg(F.max("count")).collect()
+        data.groupBy(_fp_bucket(F.col(col)).alias("_b"))
+        .count()
+        .agg(F.max("count"))
+        .collect()
     )[0][0]
     mean_bucket = n_rows / 256 if n_rows else 0
     fill = n_bits / m
     return {
+        "kind": meta.get("kind", "fingerprint"),
+        "k": k,
+        "m": m,
         "n_rows": n_rows,
-        "n_fingerprints": n_fps,
-        "duplicate_rows": n_rows - n_fps,
+        "n_values": n_vals,
+        # historical aliases for the fingerprint-store probe
+        "n_fingerprints": n_vals,
+        "duplicate_rows": n_rows - n_vals,
         "bloom_set_bits": n_bits,
         "bloom_fill_ratio": fill,
         "bloom_fp_rate": fill**k,
         "max_bucket_skew": (per_bucket / mean_bucket) if mean_bucket else 0.0,
-        "needs_compaction": n_rows > 1.2 * n_fps if n_fps else False,
+        "needs_compaction": n_rows > 1.2 * n_vals if n_vals else False,
         "needs_bloom_resize": fill > 0.5,
     }
+
+
+#: historical name — the stats probe originally existed only for the
+#: fingerprint store; the generic form dispatches on the meta kind
+fingerprint_index_stats = index_stats

@@ -7,6 +7,9 @@ materialized to a per-batch output directory, fingerprints and bloom
 positions appended back to the index.  This is the streaming face of
 the same O(slice)-per-slice design — a crawl feed or log tail becomes
 a deduplicated corpus without ever rescanning the accumulated text.
+Bloom/window geometry always comes from each index's ``_meta.json``
+(operators/incremental.py) — a sink cannot be misconfigured into
+probing with the wrong (k, m, w).
 
 Replay safety (``foreachBatch`` is at-least-once) uses the standard
 commit-marker recipe rather than in-process state, so it survives
@@ -64,12 +67,9 @@ def ingest_batch(
     batch_id: int,
     index_path: str,
     out_path: str,
-    k: int = incremental.DEFAULT_K,
-    m: int = incremental.DEFAULT_M,
     text_col: str = "text",
     id_col: str = "doc_id",
     heldout_path: str | None = None,
-    w: int = 8,
 ) -> None:
     """One replay-safe ingestion step — the ``foreachBatch`` body,
     exposed for direct testing of the marker protocol.  With
@@ -87,10 +87,13 @@ def ingest_batch(
         _touch(spark, marker)
         return
     if heldout_path is not None:
-        hw, hbits = incremental.load_heldout_index(spark, heldout_path)
-        hblob = sketch.bloom_pack_bytes(hbits, m)
+        hw, hbits, hmeta = incremental.load_heldout_index(
+            spark, heldout_path
+        )
+        hblob = sketch.bloom_pack_bytes(hbits, hmeta["m"])
         batch_df = incremental.decontaminate_batch(
-            batch_df, hw, hblob, w=w, k=k, m=m,
+            batch_df, hw, hblob,
+            w=hmeta["w"], k=hmeta["k"], m=hmeta["m"],
             text_col=text_col, id_col=id_col,
         )
 
@@ -101,16 +104,16 @@ def ingest_batch(
         # would find zero survivors and wipe it
         survivors = spark.read.parquet(batch_dir)
     else:
-        store, bits = incremental.load_fingerprint_index(
+        store, bits, meta = incremental.load_fingerprint_index(
             spark, index_path
         )
-        blob = sketch.bloom_pack_bytes(bits, m)
+        blob = sketch.bloom_pack_bytes(bits, meta["m"])
         survivors = incremental.incremental_dedup(
             batch_df,
             store,
             bloom_blob=blob,
-            k=k,
-            m=m,
+            k=meta["k"],
+            m=meta["m"],
             text_col=text_col,
             id_col=id_col,
             prune_store_partitions=True,
@@ -124,7 +127,7 @@ def ingest_batch(
         )
     )
     incremental.save_fingerprint_index(
-        new_store, index_path, mode="append", k=k, m=m
+        new_store, index_path, mode="append"
     )
     _touch(spark, marker)
 
@@ -133,14 +136,12 @@ def corpus_ingest_sink(
     stream: DataFrame,
     index_path: str,
     out_path: str,
-    k: int = incremental.DEFAULT_K,
-    m: int = incremental.DEFAULT_M,
     text_col: str = "text",
     id_col: str = "doc_id",
     queryName: str = "corpus_ingest",
     checkpoint_path: str | None = None,
     heldout_path: str | None = None,
-    w: int = 8,
+    trigger: dict | None = None,
 ):
     """Attach the continuous-ingestion sink to a document stream and
     return the started StreamingQuery (caller owns lifecycle).  The
@@ -149,7 +150,14 @@ def corpus_ingest_sink(
     seed); survivors land under ``{out_path}/batch_id=N``.  Pass
     ``checkpoint_path`` so source progress (which files are consumed)
     survives restarts — the commit markers make the BATCH step
-    restart-safe; the checkpoint makes the SOURCE restart-safe."""
+    restart-safe; the checkpoint makes the SOURCE restart-safe.
+
+    ``trigger`` is passed through to ``writeStream.trigger`` (e.g.
+    ``{"processingTime": "1 minute"}`` for a live feed).  The default
+    ``{"availableNow": True}`` drains what is available and STOPS —
+    right for tests and for cron-style catch-up ingestion; a
+    continuously arriving feed needs a processing-time trigger or the
+    caller must re-invoke the sink per drain cycle."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
@@ -157,15 +165,14 @@ def corpus_ingest_sink(
             batch_id,
             index_path,
             out_path,
-            k=k,
-            m=m,
             text_col=text_col,
             id_col=id_col,
             heldout_path=heldout_path,
-            w=w,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
-    return writer.trigger(availableNow=True).start()
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()

@@ -1985,7 +1985,7 @@ def test_incremental_dedup_ingest_roundtrip(spark, tmp_path):
     assert got2 == {21}, got2
 
     # bloom path and pure anti-join produce identical survivors
-    store, bits = load_fingerprint_index(spark, path)
+    store, bits, meta = load_fingerprint_index(spark, path)
     from dwc_dataframe_validator_spark.operators import sketch
 
     blob = sketch.bloom_pack_bytes(bits, 1 << 16)
@@ -2245,7 +2245,7 @@ def test_compact_fingerprint_index(spark, tmp_path):
         )
     before_files = len(glob.glob(f"{path}/fingerprints/**/*.parquet",
                                  recursive=True))
-    store_b, bits_b = load_fingerprint_index(spark, path)
+    store_b, bits_b, _mb = load_fingerprint_index(spark, path)
     want_fps = sorted(r["fingerprint"] for r in store_b.collect())
     want_bits = sorted(r["pos"] for r in bits_b.collect())
 
@@ -2253,7 +2253,7 @@ def test_compact_fingerprint_index(spark, tmp_path):
     after_files = len(glob.glob(f"{path}/fingerprints/**/*.parquet",
                                 recursive=True))
     assert after_files < before_files, (before_files, after_files)
-    store_a, bits_a = load_fingerprint_index(spark, path)
+    store_a, bits_a, _ma = load_fingerprint_index(spark, path)
     assert sorted(r["fingerprint"] for r in store_a.collect()) == want_fps
     assert sorted(r["pos"] for r in bits_a.collect()) == want_bits
     # the compacted store still screens correctly
@@ -2305,7 +2305,7 @@ def test_ingest_slice_clean_composed(spark, tmp_path):
 
     # the contaminated doc did NOT enter the store: a later clean doc
     # with the same text still survives
-    store, _ = load_fingerprint_index(spark, ipath)
+    store, _, _meta = load_fingerprint_index(spark, ipath)
     later = spark.createDataFrame(
         [(20, "zz one two three four five six seven eight nine")],
         ["doc_id", "text"],
@@ -2482,7 +2482,7 @@ def test_fingerprint_index_stats(spark, tmp_path):
     # undersized bloom -> resize trigger
     tiny = str(tmp_path / "tiny")
     save_fingerprint_index(store, tiny, m=256)
-    assert fingerprint_index_stats(spark, tiny, m=256)["needs_bloom_resize"]
+    assert fingerprint_index_stats(spark, tiny)["needs_bloom_resize"]
 
 
 def test_dedup_rate_by_source_cross_source(spark):
@@ -2512,3 +2512,192 @@ def test_dedup_rate_by_source_cross_source(spark):
     assert got["books"]["cross_source_fps"] == 1
     assert got["code"]["cross_source_fps"] == 1
     assert got["books"]["dup_docs"] == 0
+
+
+def test_index_geometry_enforced(spark, tmp_path):
+    """The round-7 footgun closure: every persisted index carries its
+    bloom geometry in _meta.json, and a probe or append asserting a
+    DIFFERENT geometry raises instead of silently producing bloom
+    false negatives (wrong survivor sets)."""
+    import pytest
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        ingest_slice,
+        read_index_meta,
+        save_fingerprint_index,
+        save_heldout_index,
+        screen_slice_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    save_fingerprint_index(fingerprint_store(docs), path, k=5, m=1 << 12)
+    meta = read_index_meta(spark, path)
+    assert (meta["kind"], meta["k"], meta["m"]) == ("fingerprint", 5, 1 << 12)
+
+    batch = spark.createDataFrame(
+        [(2, "novel words here")], "doc_id long, text string"
+    )
+    # matching geometry (or none at all) passes; a mismatch raises
+    assert ingest_slice(spark, path, batch, k=5, m=1 << 12).count() == 1
+    with pytest.raises(ValueError, match="false negatives"):
+        ingest_slice(spark, path, batch, m=1 << 16)
+    with pytest.raises(ValueError, match="k=5"):
+        save_fingerprint_index(
+            fingerprint_store(batch), path, mode="append", k=7
+        )
+    # m must be a power of two (km_positions' cycling argument)
+    with pytest.raises(ValueError, match="power of two"):
+        save_fingerprint_index(fingerprint_store(docs), str(tmp_path / "bad"), m=1000)
+
+    held = str(tmp_path / "held")
+    save_heldout_index(
+        spark.createDataFrame(
+            [(9, "one two three four five six seven eight nine")],
+            "doc_id long, text string",
+        ),
+        held,
+        w=8,
+    )
+    hmeta = read_index_meta(spark, held)
+    assert (hmeta["kind"], hmeta["w"]) == ("heldout", 8)
+    with pytest.raises(ValueError, match="w=8"):
+        screen_slice_contamination(spark, held, batch, w=6)
+    # a pre-geometry tree (no _meta.json) is refused, not guessed at
+    import os
+
+    os.makedirs(str(tmp_path / "legacy"), exist_ok=True)
+    with pytest.raises(FileNotFoundError, match="_meta.json"):
+        ingest_slice(spark, str(tmp_path / "legacy"), batch)
+
+
+def test_rebuild_bloom_resize_action(spark, tmp_path):
+    """rebuild_bloom is the action behind needs_bloom_resize: plant an
+    overfull filter, rebuild, the fill drops and the trigger clears;
+    the survivor set of a subsequent ingest_slice is IDENTICAL before
+    and after (blooms have no false negatives at any geometry — the
+    rebuild only changes the FP trickle)."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        index_stats,
+        ingest_slice,
+        read_index_meta,
+        rebuild_bloom,
+        save_fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    save_fingerprint_index(fingerprint_store(docs), path, m=1 << 10)
+    s = index_stats(spark, path)
+    assert s["needs_bloom_resize"], s
+
+    batch = spark.createDataFrame(
+        [(1000, "corpus document number 3"), (1001, "a genuinely new doc"),
+         (1002, "another fresh document")],
+        "doc_id long, text string",
+    )
+    # survivor set computed at the OLD geometry (on a copy of the index)
+    import shutil
+
+    copy = str(tmp_path / "idx_copy")
+    shutil.copytree(path, copy)
+    before = sorted(
+        r["doc_id"] for r in ingest_slice(spark, copy, batch).collect()
+    )
+
+    new_meta = rebuild_bloom(spark, path)
+    assert new_meta["m"] == 1 << 11 and new_meta["bloom_gen"] == 1
+    assert read_index_meta(spark, path)["m"] == 1 << 11
+    s2 = index_stats(spark, path)
+    assert s2["bloom_fill_ratio"] < s["bloom_fill_ratio"]
+    assert s2["m"] == 1 << 11
+
+    after = sorted(
+        r["doc_id"] for r in ingest_slice(spark, path, batch).collect()
+    )
+    assert before == after == [1001, 1002]
+
+    # rebuild to an explicit larger m clears the trigger outright
+    rebuild_bloom(spark, path, m_new=1 << 16)
+    s3 = index_stats(spark, path)
+    assert not s3["needs_bloom_resize"] and s3["m"] == 1 << 16
+
+
+def test_compaction_crash_window_recovers(spark, tmp_path):
+    """ADVICE r6: a crash between compact_index's two renames used to
+    leave no fingerprints/ dir at the load path.  Loads now fall back
+    to _old_<tree>, so the half-swapped store stays readable, and a
+    re-run of compaction completes the swap."""
+    import os
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        compact_index,
+        fingerprint_store,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    save_fingerprint_index(fingerprint_store(docs), path)
+    want = sorted(
+        r["fingerprint"]
+        for r in load_fingerprint_index(spark, path)[0].collect()
+    )
+
+    # simulate the crash window: dst renamed away, staged copy never
+    # renamed in (the staged tmp is also gone — worst case)
+    os.rename(f"{path}/fingerprints", f"{path}/_old_fingerprints")
+    store, bits, meta = load_fingerprint_index(spark, path)
+    assert sorted(r["fingerprint"] for r in store.collect()) == want
+    assert bits.count() > 0
+
+    # re-running compaction completes the swap and removes the relic
+    compact_index(spark, path)
+    assert os.path.isdir(f"{path}/fingerprints")
+    assert not os.path.exists(f"{path}/_old_fingerprints")
+    store2, _, _ = load_fingerprint_index(spark, path)
+    assert sorted(r["fingerprint"] for r in store2.collect()) == want
+
+
+def test_heldout_index_stats_and_compaction(spark, tmp_path):
+    """Round-7 ask: the stats probe and compaction generalize to the
+    heldout (decontamination) index — same bloom-fill and
+    append-duplicate triggers over the windows tree."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        compact_index,
+        index_stats,
+        load_heldout_index,
+        save_heldout_index,
+    )
+
+    heldout = spark.createDataFrame(
+        [(i, f"benchmark question {i} asks about topic {i} in depth now")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "held")
+    save_heldout_index(heldout, path, w=8)
+    s = index_stats(spark, path)
+    assert s["kind"] == "heldout" and s["n_values"] > 0
+    assert not s["needs_compaction"]
+
+    # duplicate append -> trigger; compaction clears it and the
+    # de-duplicated load is value-identical
+    save_heldout_index(heldout, path, mode="append")
+    s2 = index_stats(spark, path)
+    assert s2["needs_compaction"] and s2["duplicate_rows"] == s2["n_values"]
+    want = sorted(r["h"] for r in load_heldout_index(spark, path)[0].collect())
+    compact_index(spark, path)
+    s3 = index_stats(spark, path)
+    assert not s3["needs_compaction"] and s3["duplicate_rows"] == 0
+    got = sorted(r["h"] for r in load_heldout_index(spark, path)[0].collect())
+    assert got == want

@@ -394,7 +394,7 @@ def test_streaming_corpus_ingest_end_to_end(spark, tmp_path):
 
     # the store stays correct even with the replayed (duplicate)
     # append: a third slice repeating doc 21 yields no survivors
-    store, _ = load_fingerprint_index(spark, idx)
+    store, _, _meta = load_fingerprint_index(spark, idx)
     slice3 = spark.createDataFrame(
         [(30, "nu xi omicron")], ["doc_id", "text"]
     )
