@@ -20,7 +20,9 @@ Two-phase algorithm (no global sort):
    (score_range / granularity rows; quality logits span a few units,
    so the default granularity keeps it in the low thousands) and is
    collected to the driver — the same bounded-collect contract as a
-   broadcast side.
+   broadcast side.  The contract is ENFORCED, not assumed: the
+   collect is capped at ``max_buckets + 1`` rows and a wider range /
+   tinier granularity raises instead of OOMing the driver.
 2. **Driver prefix** over buckets sorted descending: buckets whose
    cumulative sum fits entirely are included WHOLESALE (a map-side
    filter ``b > b*`` — no sort, no shuffle); the single BOUNDARY
@@ -31,16 +33,52 @@ Floor-bucketing is monotone in score, so a document in a higher
 bucket always precedes one in a lower bucket in the exact order, and
 equal scores share a bucket — the two-phase result is therefore
 EXACTLY the naive prefix, which is what the DuckDB oracle computes
-(`token_budget_selection`).  Residual: a point-mass score
-distribution degenerates to one boundary bucket (the full window);
-granularity is the knob, and the bucket histogram from phase 1 tells
-you before phase 2 runs.
+(`token_budget_selection`).
+
+**Degenerate distributions** (a point-mass score, or a granularity
+coarser than the spread) concentrate the corpus in ONE boundary
+bucket, turning phase 2 into the global window the design bans.  The
+phase-1 histogram reveals that before any window runs, so when the
+boundary bucket exceeds ``boundary_cap`` rows the operator recurses
+ONE level with the same histogram-prefix trick:
+
+- scores vary inside the bucket → re-bucket 4096× finer and prefix
+  again (monotone in score, so still exact);
+- a true point mass (every score equal) orders by ``id`` ASC inside
+  the bucket, and floor-bucketing the NUMERIC id range is monotone in
+  that order — so the same wholesale-prefix + one-sub-bucket-window
+  shape applies to the tie-break key.  A non-numeric id on a
+  too-large point mass raises with the measured mass instead of
+  silently sorting it on one partition.
+
+Rows with a NULL score or NULL token count are excluded up front:
+they can never be part of the (score DESC) prefix, matching the
+naive oracle's NULLS-LAST ordering, and a NULL would otherwise
+poison both the driver prefix arithmetic and the running sum.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _driver_prefix(hist, budget, bucket_key, descending):
+    """The shared phase-2 arithmetic: walk buckets in selection order,
+    include whole buckets while they fit, return (boundary bucket
+    value, boundary row count, remaining budget).  Boundary None means
+    every bucket fits."""
+    hist = sorted(hist, key=lambda r: r[bucket_key], reverse=descending)
+    running = 0
+    for row in hist:
+        if running + row["_toks"] <= budget:
+            running += row["_toks"]
+        else:
+            return row[bucket_key], row["_n"], budget - running
+    return None, 0, budget - running
 
 
 def select_token_budget(
@@ -50,45 +88,126 @@ def select_token_budget(
     tokens_col: str,
     id_col: str = "doc_id",
     granularity: float = 0.001,
+    max_buckets: int = 100_000,
+    boundary_cap: int = 1_000_000,
 ) -> DataFrame:
     """The maximal prefix of ``df`` in (``score_col`` DESC,
     ``id_col`` ASC) order with cumulative ``tokens_col`` ≤
-    ``budget``.  See the module docstring for the two-phase shape;
-    returns the selected rows with their original columns."""
+    ``budget``.  See the module docstring for the two-phase shape and
+    the degenerate-distribution guard; returns the selected rows with
+    their original columns.  Rows with NULL score or NULL tokens are
+    never selected."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    valid = df.filter(
+        F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull()
+    )
     b = F.floor(F.col(score_col) / F.lit(float(granularity)))
-    bucketed = df.withColumn("_b", b)
+    bucketed = valid.withColumn("_b", b)
     hist = (
         bucketed.groupBy("_b")
-        .agg(F.sum(F.col(tokens_col)).alias("_toks"))
-        .collect()  # bounded: score_range / granularity rows
+        .agg(
+            F.sum(F.col(tokens_col)).alias("_toks"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .limit(max_buckets + 1)  # driver holds at most this many rows
+        .collect()
     )
-    hist.sort(key=lambda r: r["_b"], reverse=True)
-    running = 0
-    boundary = None
-    remaining = budget
-    full_above = None
-    for row in hist:
-        if running + row["_toks"] <= budget:
-            running += row["_toks"]
-            full_above = row["_b"]
-        else:
-            boundary = row["_b"]
-            remaining = budget - running
-            break
+    if len(hist) > max_buckets:
+        raise ValueError(
+            f"score bucketing produced more than max_buckets="
+            f"{max_buckets} buckets (score range / granularity="
+            f"{granularity} too wide) — coarsen granularity or raise "
+            "max_buckets; refusing an unbounded driver collect"
+        )
+    boundary, boundary_n, remaining = _driver_prefix(
+        hist, budget, "_b", descending=True
+    )
     if boundary is None:
-        # every bucket fits: the whole frame is selected
+        # every bucket fits: the whole (non-null) frame is selected
         return bucketed.drop("_b")
+
     full = bucketed.filter(F.col("_b") > F.lit(boundary))
+    boundary_rows = bucketed.filter(F.col("_b") == F.lit(boundary))
+    extra_full = None
+
+    if boundary_n > boundary_cap:
+        # one refinement level before the window: same histogram-
+        # prefix trick over a finer monotone key inside the bucket
+        stats = boundary_rows.agg(
+            F.min(score_col).alias("smin"),
+            F.max(score_col).alias("smax"),
+            F.min(id_col).alias("imin"),
+            F.max(id_col).alias("imax"),
+        ).collect()[0]
+        if stats["smin"] < stats["smax"]:
+            g2 = float(granularity) / 4096.0
+            b2 = F.floor(F.col(score_col) / F.lit(g2))
+            sub = boundary_rows.withColumn("_b2", b2)
+            hist2 = (
+                sub.groupBy("_b2")
+                .agg(
+                    F.sum(F.col(tokens_col)).alias("_toks"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .limit(4097)  # ≤ 4096 sub-buckets of one coarse bucket
+                .collect()
+            )
+            boundary2, _, remaining = _driver_prefix(
+                hist2, remaining, "_b2", descending=True
+            )
+            # boundary2 cannot be None: the coarse bucket didn't fit
+            extra_full = sub.filter(F.col("_b2") > F.lit(boundary2)).drop("_b2")
+            boundary_rows = sub.filter(F.col("_b2") == F.lit(boundary2)).drop(
+                "_b2"
+            )
+        else:
+            # true point mass: selection order inside the bucket is
+            # id ASC — range-bucket the numeric id span (monotone)
+            id_type = dict(df.dtypes).get(id_col, "")
+            if not isinstance(
+                df.schema[id_col].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.DecimalType),
+            ):
+                raise ValueError(
+                    f"boundary score bucket holds {boundary_n} rows "
+                    f"(> boundary_cap={boundary_cap}) at a single score "
+                    f"value, and id column {id_col!r} ({id_type}) is not "
+                    "numeric — cannot range-refine the tie-break; raise "
+                    "boundary_cap or provide a numeric id"
+                )
+            imin, imax = stats["imin"], stats["imax"]
+            g_id = max(1, math.ceil((int(imax) - int(imin) + 1) / 4096))
+            b2 = F.floor(
+                (F.col(id_col).cast("long") - F.lit(int(imin)))
+                / F.lit(g_id)
+            )
+            sub = boundary_rows.withColumn("_b2", b2)
+            hist2 = (
+                sub.groupBy("_b2")
+                .agg(
+                    F.sum(F.col(tokens_col)).alias("_toks"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .limit(4097)
+                .collect()
+            )
+            boundary2, _, remaining = _driver_prefix(
+                hist2, remaining, "_b2", descending=False  # id ASC
+            )
+            extra_full = sub.filter(F.col("_b2") < F.lit(boundary2)).drop("_b2")
+            boundary_rows = sub.filter(F.col("_b2") == F.lit(boundary2)).drop(
+                "_b2"
+            )
+
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     partial = (
-        bucketed.filter(F.col("_b") == F.lit(boundary))
-        .withColumn("_cum", F.sum(F.col(tokens_col)).over(w))
+        boundary_rows.withColumn("_cum", F.sum(F.col(tokens_col)).over(w))
         .filter(F.col("_cum") <= F.lit(remaining))
         .drop("_cum")
     )
-    # full_above unused beyond documentation: full-set filter is on
-    # the boundary, which phase 1 proved is the crossing point
-    _ = full_above
-    return full.unionByName(partial).drop("_b")
+    out = full.unionByName(partial)
+    if extra_full is not None:
+        out = out.unionByName(extra_full)
+    return out.drop("_b")

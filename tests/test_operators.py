@@ -2701,3 +2701,84 @@ def test_heldout_index_stats_and_compaction(spark, tmp_path):
     assert not s3["needs_compaction"] and s3["duplicate_rows"] == 0
     got = sorted(r["h"] for r in load_heldout_index(spark, path)[0].collect())
     assert got == want
+
+
+def test_select_token_budget_degenerate_guards(spark):
+    """Round-7 hardening of the two-phase selection: NULL scores or
+    token counts are never selected (matching the oracle's NULLS-LAST
+    order); a bucket blowup raises instead of OOMing the driver; and
+    a degenerate boundary bucket (point-mass scores) is range-refined
+    on the id tie-break so the final window sees a bounded sub-bucket,
+    not the corpus."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget,
+    )
+
+    # NULLs excluded, result unchanged otherwise
+    rows = [(1, 0.9, 10), (2, None, 10), (3, 0.8, None), (4, 0.7, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, tokens long")
+    got = sorted(
+        r["doc_id"] for r in select_token_budget(df, 20, "score", "tokens").collect()
+    )
+    assert got == [1, 4]
+
+    # bucket-count cap: a huge score range at tiny granularity raises
+    wide = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "CAST(id * 1000 AS DOUBLE) AS score",
+        "CAST(1 AS BIGINT) AS tokens",
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        select_token_budget(
+            wide, 10, "score", "tokens", granularity=0.001, max_buckets=1000
+        )
+
+    # point-mass scores: every row lands in ONE boundary bucket; with
+    # boundary_cap exceeded the operator refines on the id range, the
+    # result is still the exact (score DESC, id ASC) prefix, the plan
+    # keeps exactly one Sort, and the sub-bucket filter shows up in it
+    const = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "CAST(0.5 AS DOUBLE) AS score",
+        "CAST(3 AS BIGINT) AS tokens",
+    )
+    out = select_token_budget(
+        const, 3 * 120, "score", "tokens", boundary_cap=50
+    )
+    # pin the plan pre-execution (post-collect AQE prints re-optimized
+    # fragments that double-count the same Sort)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len([ln for ln in plan.splitlines() if "Sort " in ln]) == 1
+    # the sub-bucket column is pruned into its FLOOR(id-range) filter
+    # expression (the coarse score bucket constant-folds away, so any
+    # FLOOR in this plan is the refinement)
+    assert "FLOOR(" in plan, "id-range refinement did not engage"
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(120))
+
+    # varying scores inside one coarse bucket: refine on finer score
+    # buckets (still exact, still one Sort)
+    finely = spark.range(0, 400).selectExpr(
+        "id AS doc_id",
+        # all scores inside [0.5, 0.5005): one bucket at granularity .001
+        "0.5 + CAST(pmod(id * 7, 500) AS DOUBLE) / 1e6 AS score",
+        "CAST(2 AS BIGINT) AS tokens",
+    )
+    naive = [
+        r["doc_id"]
+        for r in finely.orderBy(F.desc("score"), F.asc("doc_id")).collect()
+    ][:150]
+    out2 = select_token_budget(
+        finely, 2 * 150, "score", "tokens", boundary_cap=50
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert len([ln for ln in plan2.splitlines() if "Sort " in ln]) == 1
+    assert sorted(r["doc_id"] for r in out2.collect()) == sorted(naive)
+
+    # non-numeric id on an over-cap point mass: loud failure with the
+    # measured mass, never a silent single-partition global sort
+    strid = spark.range(0, 200).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "CAST(0.5 AS DOUBLE) AS score",
+        "CAST(1 AS BIGINT) AS tokens",
+    )
+    with pytest.raises(ValueError, match="not numeric"):
+        select_token_budget(strid, 10, "score", "tokens", boundary_cap=50)
