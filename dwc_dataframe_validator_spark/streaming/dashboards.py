@@ -1,0 +1,171 @@
+"""Streaming faces of the per-source corpus dashboards: duplication
+and benchmark-contamination rates folded micro-batch by micro-batch.
+
+The batch dashboards (registry ``dedup_rate_by_source`` /
+``contamination_rate_by_source``) answer "which feed is redundant /
+contaminated" with one pass over the corpus.  On a live ingest that
+pass would rescan the accumulated corpus per refresh; the streaming
+face instead RECORDS a compact per-batch statistics slice as each
+micro-batch flows through the ingest sink, and folds the slices on
+read:
+
+- ``docs/batch_id=N``  — per-source document counts (additive);
+- ``pairs/batch_id=N`` — the batch's DISTINCT (source, fingerprint)
+  pairs.  Distinct-fingerprint and cross-source-overlap counts are
+  NOT additive, but they are exactly computable from the union of
+  per-batch pair sets, and the pair tree is bounded by distinct
+  fingerprints — the fingerprint-store size, never the corpus;
+- ``contam/batch_id=N`` — per-source contamination aggregates
+  (documents screened, documents with a confirmed heldout window
+  overlap, total confirmed windows).  Each document lives in exactly
+  one batch, so these ARE additive.
+
+Replay safety inherits the ingest sink's shape: slices are keyed by
+``batch_id`` and written with overwrite, so an at-least-once replay
+rewrites the same directory with the same deterministic content —
+the folded dashboards are value-idempotent.  Fold-equals-batch is
+pinned in pytest (tests/test_sinks.py): driving N batches through the
+sink and folding gives EXACTLY the batch dashboard over the
+concatenated input.
+
+Reference parity: none — dashboards extend the LLM-pipeline family
+(SURVEY.md "beyond the reference" brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import fingerprint
+
+
+def record_batch_stats(
+    batch_df: DataFrame,
+    batch_id: int,
+    stats_path: str,
+    heldout_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> None:
+    """Write one micro-batch's dashboard slice.  Computed over the
+    RAW batch (before decontamination/dedup filtering — the dashboards
+    report on what ARRIVED, the same population the batch dashboards
+    scan).  Cost: one fingerprint pass plus, with ``heldout_path``,
+    the same bloom-prescreened window screen the sink already pays."""
+    fps = fingerprint(batch_df, text_col, id_col).join(
+        batch_df.select(id_col, source_col), id_col
+    )
+    (
+        fps.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .write.mode("overwrite")
+        .parquet(f"{stats_path}/docs/batch_id={batch_id}")
+    )
+    (
+        fps.filter(F.col("fingerprint").isNotNull())
+        .select(source_col, "fingerprint")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{stats_path}/pairs/batch_id={batch_id}")
+    )
+    if heldout_path is not None:
+        from ..operators.incremental import screen_slice_contamination
+
+        screened = screen_slice_contamination(
+            batch_df.sparkSession,
+            heldout_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+        ).join(batch_df.select(id_col, source_col), id_col)
+        (
+            screened.groupBy(source_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_if(F.col("confirmed_windows") > 0).alias(
+                    "contaminated_docs"
+                ),
+                F.sum("confirmed_windows").alias("confirmed_windows"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{stats_path}/contam/batch_id={batch_id}")
+        )
+
+
+def dedup_dashboard(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Fold the recorded slices into the per-source duplication
+    dashboard — same schema and values as the batch
+    ``dedup_rate_by_source`` over the concatenated batches.  Runs on
+    the compact pair tree (distinct fingerprints), never the corpus
+    text."""
+    docs = spark.read.parquet(f"{stats_path}/docs")
+    pairs = spark.read.parquet(f"{stats_path}/pairs")
+    per_src_docs = docs.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    # a fingerprint seen in several batches collapses here, exactly as
+    # a corpus-wide countDistinct would
+    dedup_pairs = pairs.select("source", "fingerprint").distinct()
+    per_src_fps = dedup_pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_fingerprints")
+    )
+    other = (
+        dedup_pairs.alias("a")
+        .join(
+            dedup_pairs.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.fingerprint").alias("fingerprint"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cross_source_fps"))
+    )
+    return (
+        per_src_docs.join(per_src_fps, "source", "left")
+        .join(other, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_fingerprints"), F.lit(0))
+            .cast("long")
+            .alias("n_fingerprints"),
+            (F.col("n_docs") - F.coalesce(F.col("n_fingerprints"), F.lit(0)))
+            .cast("long")
+            .alias("dup_docs"),
+            (
+                (
+                    F.col("n_docs")
+                    - F.coalesce(F.col("n_fingerprints"), F.lit(0))
+                ).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            F.coalesce(F.col("cross_source_fps"), F.lit(0))
+            .cast("long")
+            .alias("cross_source_fps"),
+        )
+    )
+
+
+def contamination_dashboard(
+    spark: SparkSession, stats_path: str
+) -> DataFrame:
+    """Fold the recorded contamination slices: per-source documents
+    screened, contaminated documents, rate, confirmed windows — same
+    schema as the batch ``contamination_rate_by_source``.  Pure sums:
+    every document belongs to exactly one batch."""
+    contam = spark.read.parquet(f"{stats_path}/contam")
+    return contam.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("contaminated_docs").cast("long").alias("contaminated_docs"),
+        (
+            F.sum("contaminated_docs").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("contamination_rate"),
+        F.sum("confirmed_windows").cast("long").alias("confirmed_windows"),
+    )

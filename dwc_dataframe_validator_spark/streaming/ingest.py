@@ -70,6 +70,8 @@ def ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     heldout_path: str | None = None,
+    stats_path: str | None = None,
+    source_col: str = "source",
 ) -> None:
     """One replay-safe ingestion step — the ``foreachBatch`` body,
     exposed for direct testing of the marker protocol.  With
@@ -78,7 +80,13 @@ def ingest_batch(
     ``incremental.ingest_slice_clean``): contaminated docs never enter
     the store or the survivors directory.  Decontamination is a pure
     deterministic filter, so it does not change the replay argument —
-    a re-run filters to the same clean subset."""
+    a re-run filters to the same clean subset.
+
+    With ``stats_path`` the batch also records its per-source
+    dashboard slice (streaming/dashboards.py) over the RAW batch,
+    before any filtering — slices are batch-id-keyed overwrites, so a
+    replay rewrites identical content and the folded dashboards stay
+    value-idempotent."""
     spark = batch_df.sparkSession
     marker = f"{out_path}/_commits/{batch_id}"
     if _exists(spark, marker):
@@ -86,6 +94,18 @@ def ingest_batch(
     if batch_df.isEmpty():
         _touch(spark, marker)
         return
+    if stats_path is not None:
+        from .dashboards import record_batch_stats
+
+        record_batch_stats(
+            batch_df,
+            batch_id,
+            stats_path,
+            heldout_path=heldout_path,
+            text_col=text_col,
+            id_col=id_col,
+            source_col=source_col,
+        )
     if heldout_path is not None:
         hw, hbits, hmeta = incremental.load_heldout_index(
             spark, heldout_path
@@ -142,6 +162,8 @@ def corpus_ingest_sink(
     checkpoint_path: str | None = None,
     heldout_path: str | None = None,
     trigger: dict | None = None,
+    stats_path: str | None = None,
+    source_col: str = "source",
 ):
     """Attach the continuous-ingestion sink to a document stream and
     return the started StreamingQuery (caller owns lifecycle).  The
@@ -168,6 +190,8 @@ def corpus_ingest_sink(
             text_col=text_col,
             id_col=id_col,
             heldout_path=heldout_path,
+            stats_path=stats_path,
+            source_col=source_col,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)

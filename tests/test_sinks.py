@@ -450,3 +450,162 @@ def test_streaming_corpus_ingest_with_decontamination(spark, tmp_path):
     surv = {r["doc_id"] for r in
             spark.read.parquet(f"{out}/batch_id=0").collect()}
     assert surv == {2}, surv
+
+
+def test_streaming_dashboards_fold_equals_batch(spark, tmp_path):
+    """Round-7 ask: the per-source dup/contamination dashboards get a
+    streaming face.  Drive two micro-batches through the ingest sink
+    with stats recording on; the folded dashboards must EQUAL the
+    batch dashboards computed over the concatenated input (distinct
+    fingerprints and cross-source overlap collapse across batches),
+    and a replayed slice write changes nothing (idempotent fold)."""
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        save_fingerprint_index,
+        save_heldout_index,
+    )
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        span_contamination,
+    )
+    from dwc_dataframe_validator_spark.operators.text import fingerprint
+    from dwc_dataframe_validator_spark.streaming.dashboards import (
+        contamination_dashboard,
+        dedup_dashboard,
+        record_batch_stats,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        corpus_ingest_sink,
+    )
+
+    idx = str(tmp_path / "idx")
+    held = str(tmp_path / "held")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    stats = str(tmp_path / "stats")
+
+    heldout = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    save_fingerprint_index(
+        fingerprint_store(
+            spark.createDataFrame([], "doc_id long, text string")
+        ),
+        idx,
+    )
+    save_heldout_index(heldout, held, w=8)
+
+    schema = "doc_id long, text string, source string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "shared doc text", "web"),
+            (2, "web only text", "web"),
+            (3, "zz one two three four five six seven eight nine", "books"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (4, "SHARED   doc text", "books"),   # cross-source dup of 1
+            (5, "shared doc text", "web"),       # cross-BATCH dup within web
+            (6, "books only text", "books"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = corpus_ingest_sink(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        idx, out, heldout_path=held, stats_path=stats,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q2 = corpus_ingest_sink(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        idx, out, heldout_path=held, stats_path=stats,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+
+    # --- batch twins over the concatenated input ---
+    all_docs = batch1.unionByName(batch2)
+    fps = fingerprint(all_docs).join(
+        all_docs.select("doc_id", "source"), "doc_id"
+    )
+    per_src = fps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+    )
+    pairs = fps.select("source", "fingerprint").distinct()
+    other = (
+        pairs.alias("a")
+        .join(
+            pairs.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .select(F.col("a.source").alias("source"), F.col("a.fingerprint"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cross_source_fps"))
+    )
+    want_dedup = sorted(
+        map(
+            tuple,
+            per_src.join(other, "source", "left")
+            .select(
+                "source", "n_docs", "n_fingerprints",
+                (F.col("n_docs") - F.col("n_fingerprints")).cast("long"),
+                (
+                    (F.col("n_docs") - F.col("n_fingerprints")).cast("double")
+                    / F.col("n_docs").cast("double")
+                ),
+                F.coalesce(F.col("cross_source_fps"), F.lit(0)).cast("long"),
+            )
+            .collect(),
+        )
+    )
+    got_dedup = sorted(map(tuple, dedup_dashboard(spark, stats).collect()))
+    assert got_dedup == want_dedup
+
+    want_contam = sorted(
+        map(
+            tuple,
+            span_contamination(all_docs, heldout)
+            .join(all_docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count_if(F.col("confirmed_windows") > 0)
+                .cast("long")
+                .alias("contaminated_docs"),
+                (
+                    F.count_if(F.col("confirmed_windows") > 0).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("contamination_rate"),
+                F.sum("confirmed_windows").cast("long").alias(
+                    "confirmed_windows"
+                ),
+            )
+            .collect(),
+        )
+    )
+    got_contam = sorted(
+        map(tuple, contamination_dashboard(spark, stats).collect())
+    )
+    assert got_contam == want_contam
+    # the books doc sharing an 8-token window with the heldout set is
+    # counted; fully clean sources show rate 0
+    by_src = {t[0]: t for t in got_contam}
+    assert by_src["books"][1] == 3 and by_src["books"][2] == 1
+    assert by_src["web"][2] == 0
+
+    # replayed slice write -> identical fold (idempotence)
+    record_batch_stats(batch2, 1, stats, heldout_path=held)
+    assert sorted(map(tuple, dedup_dashboard(spark, stats).collect())) == want_dedup
+    assert (
+        sorted(map(tuple, contamination_dashboard(spark, stats).collect()))
+        == want_contam
+    )
