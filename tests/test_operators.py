@@ -2782,3 +2782,103 @@ def test_select_token_budget_degenerate_guards(spark):
     )
     with pytest.raises(ValueError, match="not numeric"):
         select_token_budget(strid, 10, "score", "tokens", boundary_cap=50)
+
+
+def test_multi_slice_ingest_soak(spark, tmp_path):
+    """Round-7 soak: the production loop is N slices with maintenance
+    interleaved, not one slice against a big store.  Drive 12 slices
+    through ingest_slice_clean with compaction and bloom rebuilds
+    fired by the stats triggers mid-loop; the accumulated survivor set
+    must equal the ONE-SHOT global dedup+decontamination of the
+    concatenated slices, and the store's file count stays bounded."""
+    import glob
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        compact_index,
+        fingerprint_store,
+        index_stats,
+        ingest_slice_clean,
+        load_fingerprint_index,
+        rebuild_bloom,
+        save_fingerprint_index,
+        save_heldout_index,
+    )
+    from dwc_dataframe_validator_spark.operators.pipeline import (
+        span_contamination,
+    )
+    from dwc_dataframe_validator_spark.operators.text import fingerprint
+
+    ipath, hpath = str(tmp_path / "idx"), str(tmp_path / "held")
+    heldout = spark.createDataFrame(
+        [(9001, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    save_heldout_index(heldout, hpath, w=8)
+    # deliberately tiny bloom so the resize trigger fires mid-soak
+    save_fingerprint_index(
+        fingerprint_store(spark.createDataFrame([], "doc_id long, text string")),
+        ipath, m=1 << 9,
+    )
+
+    def slice_rows(s):
+        base = s * 100
+        rows = [
+            (base + i, f"slice {s} unique document number {i}")
+            for i in range(10)
+        ]
+        rows.append((base + 50, f"slice {s} unique document number 3"))  # in-slice dup
+        if s > 0:
+            rows.append((base + 60, f"slice {s-1} unique document number 7"))  # cross-slice dup
+        rows.append((base + 70, "every slice repeats this exact shared text"))
+        rows.append(
+            (base + 80,
+             f"padding {s} alpha beta gamma delta epsilon zeta eta theta iota more")
+        )  # contaminated: shares an 8-token window with the heldout doc
+        return rows
+
+    all_rows, got_survivors = [], set()
+    compactions = rebuilds = 0
+    for s in range(12):
+        rows = slice_rows(s)
+        all_rows += rows
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = ingest_slice_clean(spark, ipath, hpath, batch)
+        got_survivors |= {r["doc_id"] for r in surv.collect()}
+        stats = index_stats(spark, ipath)
+        if stats["needs_bloom_resize"]:
+            rebuild_bloom(spark, ipath)
+            rebuilds += 1
+        if stats["needs_compaction"]:
+            compact_index(spark, ipath)
+            compactions += 1
+    assert rebuilds >= 1, "soak never crossed the bloom fill trigger"
+
+    # one-shot oracle: decontaminate everything, then min-id per
+    # fingerprint (ids increase across slices, so first-seen = min id)
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    contaminated = {
+        r["doc_id"]
+        for r in span_contamination(docs, heldout)
+        .filter("confirmed_windows > 0")
+        .collect()
+    }
+    clean = docs.filter(~F.col("doc_id").isin(list(contaminated)))
+    want = {
+        r["keeper"]
+        for r in fingerprint(clean)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"))
+        .collect()
+    }
+    assert got_survivors == want
+
+    # the store equals the survivor fingerprints exactly, and stays
+    # compact: final file count far below the 12-slice * 256-bucket
+    # append worst case
+    compact_index(spark, ipath)
+    store, _, _ = load_fingerprint_index(spark, ipath)
+    assert store.count() == len(want)
+    n_files = len(glob.glob(f"{ipath}/fingerprints/**/*.parquet", recursive=True))
+    assert n_files <= 256, n_files
+    s_final = index_stats(spark, ipath)
+    assert not s_final["needs_compaction"] and not s_final["needs_bloom_resize"]
