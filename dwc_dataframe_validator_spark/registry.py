@@ -3404,6 +3404,107 @@ def bpe_learned_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bpe_learned_token_stats"] = bpe_learned_token_stats
 
+# The learned merge table at the driver's correctness scale (sf0.01,
+# n_merges=100; training stops at 93 when no pair count reaches 2),
+# PINNED so the iterative trainer's output can be replayed by a pure
+# SQL oracle.  Provenance: ``text.learn_bpe_merges(documents, 100)``
+# over /root/testdata/sf0.01 — equality is pinned in
+# tests/test_bpe.py::test_pinned_sf001_merges_match_trainer, so any
+# drift in the trainer or the data fails loudly instead of silently
+# desyncing the oracle.
+_BPE_SF001_MERGES = [
+    ('e', 'r</w>'), ('o', 'w</w>'), ('t', 'o'), ('a', 't'),
+    ('l', 'u'), ('a', 's'), ('i', 'n'), ('e', 'r'),
+    ('o', 'r'), ('a', 'r'), ('p', 'ar'), ('i', 'n</w>'),
+    ('j', 'o'), ('jo', 'in</w>'), ('as', 'h</w>'), ('h', 'ash</w>'),
+    ('r', 'ow</w>'), ('at', 'c'), ('atc', 'h</w>'), ('b', 'atch</w>'),
+    ('a', 'n</w>'), ('c', 'an</w>'), ('s', 'can</w>'), ('c', 'o'),
+    ('c', 'u'), ('co', 'lu'), ('colu', 'm'), ('colum', 'n</w>'),
+    ('cu', 's'), ('cus', 'to'), ('custo', 'm'), ('custom', 'er</w>'),
+    ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er</w>'),
+    ('a', 'l'), ('al', 'l</w>'), ('m', 'all</w>'), ('s', 'mall</w>'),
+    ('er', 'g'), ('erg', 'e</w>'), ('l', 'ow</w>'), ('m', 'erge</w>'),
+    ('s', 'low</w>'), ('c', 'to'), ('cto', 'r</w>'), ('d', 'er</w>'),
+    ('e', 'ctor</w>'), ('or', 'der</w>'), ('v', 'ector</w>'), ('in', 'e</w>'),
+    ('l', 'ine</w>'), ('a', 'b'), ('ab', 'l'), ('abl', 'e</w>'),
+    ('at', 'a</w>'), ('d', 'ata</w>'), ('t', 'able</w>'), ('u', 'p</w>'),
+    ('a', 'g'), ('ag', 'g</w>'), ('a', 'lu'), ('alu', 'e</w>'),
+    ('v', 'alue</w>'), ('e', 'y</w>'), ('k', 'ey</w>'), ('a', 'm</w>'),
+    ('e', 'am</w>'), ('r', 'eam</w>'), ('s', 't'), ('st', 'ream</w>'),
+    ('d', 'ow</w>'), ('in', 'dow</w>'), ('w', 'indow</w>'), ('par', 'k</w>'),
+    ('s', 'park</w>'), ('g', 'r'), ('gr', 'o'), ('gro', 'up</w>'),
+    ('par', 't</w>'), ('b', 'i'), ('bi', 'g</w>'), ('or', 't</w>'),
+    ('s', 'ort</w>'), ('er', 'y</w>'), ('q', 'u'), ('qu', 'ery</w>'),
+    ('as', 't</w>'), ('f', 'ast</w>'), ('h', 'e</w>'), ('t', 'he</w>'),
+    ('d', 'up</w>'),
+]
+
+
+def _bpe_learned_oracle_sql() -> str:
+    """Exact SQL replay of the learned-BPE ENCODE over the pinned
+    merge table — the last rows-only query gaining a value oracle.
+
+    Greedy lowest-rank encoding (functions/bpe.py ``encode_word``)
+    equals applying the merge list IN RANK ORDER, one left-to-right
+    pass each: a merge can only create pairs involving its output
+    symbol, which later-ranked merges own (and this table has no
+    duplicate-product compositions that could alias an earlier pair —
+    checked at pin time).  Each pass is ONE ``replace()`` over a
+    separator-framed symbol string: symbols are joined with a DOUBLE
+    U+001F separator and the pattern consumes one separator from each
+    side, so back-to-back occurrences match in the same pass exactly
+    like the Python scan (overlapping self-pairs correctly skip —
+    'aaa' encodes as [aa, a] in both).  93 nested replaces over the
+    DISTINCT words (the corpus vocabulary), then token counts fan
+    back to documents via per-doc word counts.  The whole construction
+    is word-level-pinned against the Python encoder in
+    tests/test_bpe.py::test_oracle_merge_chain_matches_encoder."""
+    s = "\x1f"
+    ds = s + s
+
+    def q(lit: str) -> str:
+        return lit.replace("'", "''")
+
+    chain = "s0"
+    for a, b in _BPE_SF001_MERGES:
+        chain = (
+            f"replace({chain}, '{q(s + a + ds + b + s)}', "
+            f"'{q(s + a + b + s)}')"
+        )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS word
+          FROM documents WHERE text IS NOT NULL),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+        init AS (
+          SELECT word,
+                 '{ds}' || array_to_string(
+                    list_append(
+                      regexp_split_to_array(word, '')[1:length(word)-1],
+                      regexp_split_to_array(word, '')[length(word)]
+                        || '</w>'),
+                    '{ds}') || '{ds}' AS s0
+          FROM (SELECT DISTINCT word FROM wc)),
+        enc AS (
+          SELECT word,
+                 (length(e) - length(replace(e, '{ds}', ''))) / 2 - 1 AS tc
+          FROM (SELECT word, {{chain}} AS e FROM init)),
+        per_doc AS (
+          SELECT wc.doc_id, sum(wc.c * enc.tc) AS n_real
+          FROM wc JOIN enc USING (word) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(len(regexp_extract_all(d.text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0) AS INT)
+                 AS n_tokens_bpe,
+               CAST(coalesce(p.n_real, 0) AS BIGINT) AS n_tokens_bpe_real
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """.replace("{chain}", chain)
+
+
+ORACLES["bpe_learned_token_stats"] = _bpe_learned_oracle_sql()
+
 
 def pretraining_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 operators composed end-to-end (operators/pipeline.py

@@ -110,3 +110,79 @@ def test_learn_bpe_merges_matches_single_machine(spark):
     # yields a deterministic (possibly shorter) merge list
     capped = learn_bpe_merges(df, n_merges=30, max_vocab=3)
     assert capped == learn_bpe_merges(df, n_merges=30, max_vocab=3)
+
+
+def test_pinned_sf001_merges_match_trainer(spark):
+    """The bpe_learned_token_stats oracle replays encode over a PINNED
+    merge table (registry._BPE_SF001_MERGES, learned at the driver's
+    correctness scale).  Re-learn from the same data through the
+    distributed trainer: any drift in trainer, pretokenizer, or data
+    must fail here, loudly, before it silently desyncs the oracle."""
+    from dwc_dataframe_validator_spark.registry import (
+        _BPE_SF001_MERGES,
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    learned = text.learn_bpe_merges(docs, n_merges=100)
+    assert [tuple(m) for m in learned] == list(_BPE_SF001_MERGES)
+    # the rank-order-replay equivalence additionally needs no two
+    # merges composing to the same product string (an aliased product
+    # could resurrect an earlier rank after its pass)
+    products = [a + b for a, b in _BPE_SF001_MERGES]
+    assert len(products) == len(set(products))
+
+
+def test_oracle_merge_chain_matches_encoder():
+    """Word-level pin of the oracle's encode construction: the nested
+    replace chain over the double-U+001F-framed symbol string yields
+    the SAME token count as the Python greedy encoder for every word
+    in the sf0.01 vocabulary AND for crafted repeat-run words (the
+    overlap cases where a naive single-separator framing diverges)."""
+    import duckdb
+
+    from dwc_dataframe_validator_spark.registry import _BPE_SF001_MERGES
+
+    ranks = {p: i for i, p in enumerate(_BPE_SF001_MERGES)}
+    con = duckdb.connect()
+    words = [
+        t[0]
+        for t in con.execute(
+            "SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+            r"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) "
+            "FROM '/root/testdata/sf0.01/documents.parquet' "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    ]
+    # overlap torture: self-pair runs under a table where (t,o) and
+    # chains over it exist; plus single chars and the EOW edge
+    words += ["tototo", "ttttt", "oo", "a", "scan"]
+
+    s = "\x1f"
+    ds = s + s
+    chain = "s0"
+    for a, b in _BPE_SF001_MERGES:
+        pat = (s + a + ds + b + s).replace("'", "''")
+        rep = (s + a + b + s).replace("'", "''")
+        chain = f"replace({chain}, '{pat}', '{rep}')"
+    con.execute("CREATE TABLE w(word VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    got = dict(
+        con.execute(
+            f"""
+        WITH init AS (
+          SELECT word,
+                 '{ds}' || array_to_string(
+                    list_append(
+                      regexp_split_to_array(word, '')[1:length(word)-1],
+                      regexp_split_to_array(word, '')[length(word)] || '</w>'),
+                    '{ds}') || '{ds}' AS s0
+          FROM w)
+        SELECT word,
+               (length(e) - length(replace(e, '{ds}', ''))) / 2 - 1
+        FROM (SELECT word, {chain} AS e FROM init)
+        """
+        ).fetchall()
+    )
+    for w in words:
+        assert got[w] == len(bpe.encode_word(w, ranks)), w
