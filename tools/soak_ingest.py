@@ -17,7 +17,11 @@ maintenance interleaved.  This tool drives the full loop at sf0.1+:
   (exact set equality), and per-slice times are reported so flatness
   is a read-off, not a claim.
 
-Usage: python tools/soak_ingest.py [sf_dir] [n_slices]
+Usage: python tools/soak_ingest.py [sf_dir] [n_slices] [log2_m]
+``log2_m`` seeds the bloom geometry (default 15 — deliberately small
+at sf0.1 so the resize trigger + rebuild path exercises in-run; pass
+the sized-to-corpus value, e.g. 21 for ~100k fingerprints, to read
+slice-time flatness without bloom-churn noise).
 Prints one JSON line: {"slices": [...], "maintenance": [...],
 "flat_ratio": last/first, "survivors_match": bool, ...}
 """
@@ -43,6 +47,7 @@ from dwc_dataframe_validator_spark.sources.tables import local_session, load_tab
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    log2_m = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     spark = local_session("soak_ingest")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -56,14 +61,13 @@ def main() -> None:
 
     d = tempfile.mkdtemp(prefix="soak_")
     ipath, hpath = f"{d}/idx", f"{d}/held"
-    # m sized small enough that the resize trigger fires mid-soak
     inc.save_heldout_index(heldout, hpath, w=8)
     inc.save_fingerprint_index(
         inc.fingerprint_store(
             spark.createDataFrame([], "doc_id long, text string")
         ),
         ipath,
-        m=1 << 15,
+        m=1 << log2_m,
     )
 
     slices, maintenance = [], []
