@@ -36,6 +36,12 @@ ISO-dominant archives; extend the table if a real corpus hits one):
   [69, (now.year+50) % 100] pandas says 20xx where this parser says
   19xx.  A time-dependent pivot cannot be matched deterministically;
   the C convention is the stable, engine-portable choice.
+
+Round 7: ``to_timestamp_pandas_permissive`` closes the free-text gap
+as an OPT-IN — pandas' own per-element parser behind an Arrow
+pandas_udf, reference-parity-pinned, for archives where the deviation
+list above actually bites.  It is deliberately NOT the default and
+never on the oracle path (dateutil inference is not engine-replayable).
 """
 
 from __future__ import annotations
@@ -163,3 +169,51 @@ def multiformat_oracle_sql(col_sql: str) -> str:
     attempts += [guarded(fmt) for _, fmt in LENIENT_TIMESTAMP_FORMATS]
     attempts += [guarded(fmt) for fmt in _Y2_DUCKDB_FORMATS]
     return "coalesce(" + ", ".join(attempts) + ")"
+
+
+def to_timestamp_pandas_permissive(col: Column | str) -> Column:
+    """string → timestamp through pandas itself — byte-for-byte the
+    reference's parse (``pd.to_datetime(col, errors='coerce')``,
+    reference breakdown.py:86), as an Arrow-vectorized pandas_udf.
+
+    This is the OPT-IN escape hatch for archives full of dateutil
+    free text (``'5th of Jan 2023'``, ``'Thu Jan 5 2023'``, RFC-2822)
+    that the deterministic format table deliberately leaves NULL (see
+    the module docstring's deviation list — several dateutil behaviors
+    are time-dependent, so this path can never sit behind a value
+    oracle and is NOT the default).  Use
+    ``to_timestamp_multiformat`` on the oracled path; reach for this
+    when reference-exact permissiveness matters more than
+    engine-replayable determinism.  Parity with the reference call is
+    pinned in tests/test_operators.py::test_pandas_permissive_parse.
+
+    Scale shape: one Arrow batch transfer per task, one vectorized
+    ``pd.to_datetime`` per batch — the documented fast-UDF exception
+    class, never row-at-a-time Python."""
+    import pandas as pd
+
+    def _parse(s):
+        # format="mixed" = per-ELEMENT dateutil inference.  Bare
+        # pd.to_datetime on a whole pandas-2.x column infers the format
+        # from the FIRST non-null element and coerces the rest — a
+        # column-order-dependent semantics that cannot be distributed
+        # (each Arrow batch would infer its own format).  Per-element
+        # inference is the pandas-1.x behavior the reference was
+        # written against and the only deterministic reading.
+        out = pd.to_datetime(s, errors="coerce", format="mixed")
+        # mixed tz-aware/naive inputs come back as object dtype; the
+        # reference feeds the result straight into .dt accessors, so
+        # normalize aware values to naive UTC the way pandas does when
+        # the whole column is aware
+        if out.dtype == object:
+            out = pd.to_datetime(s, errors="coerce", format="mixed", utc=True)
+        if getattr(out.dtype, "tz", None) is not None:
+            out = out.dt.tz_convert("UTC").dt.tz_localize(None)
+        return out
+
+    # real (non-string) annotations: this module's `from __future__
+    # import annotations` would stringify inline hints, which the
+    # pandas_udf signature inference cannot resolve
+    _parse.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_parse, "timestamp")
+    return udf(F.col(col) if isinstance(col, str) else col)

@@ -2882,3 +2882,52 @@ def test_multi_slice_ingest_soak(spark, tmp_path):
     assert n_files <= 256, n_files
     s_final = index_stats(spark, ipath)
     assert not s_final["needs_compaction"] and not s_final["needs_bloom_resize"]
+
+
+def test_pandas_permissive_parse(spark):
+    """The opt-in permissive date parser is byte-equal to the
+    reference's pd.to_datetime(errors='coerce') — including the
+    dateutil free-text strings the deterministic format table
+    deliberately leaves NULL — and the format-table path is a strict
+    subset of it on the supported matrix."""
+    import pandas as pd
+
+    from dwc_dataframe_validator_spark.functions.dates import (
+        to_timestamp_multiformat,
+        to_timestamp_pandas_permissive,
+    )
+
+    strings = [
+        "2023-01-05", "2023-01-05 10:11:12", "1/5/2023", "20230105",
+        "Jan 5, 2023", "5 January 2023", "2023.1.5",
+        # dateutil-only shapes (format table → NULL by design)
+        "5th of Jan 2023", "Jan 5th 2023", "Thu Jan 5 2023",
+        "not a date", "", None,
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)],
+                               "i long, s string")
+    got = {
+        r["i"]: r["ts"]
+        for r in df.select(
+            "i", to_timestamp_pandas_permissive("s").alias("ts")
+        ).collect()
+    }
+    # reference semantics at ELEMENT granularity: pandas-2.x whole-
+    # column calls infer the format from the first element (order-
+    # dependent, undistributable); per-element inference is what the
+    # pandas-1.x-era reference call meant and what the udf implements
+    for i, s in enumerate(strings):
+        ref = pd.to_datetime(pd.Series([s]), errors="coerce", format="mixed")
+        want = None if pd.isna(ref[0]) else ref[0].to_pydatetime()
+        assert got[i] == want, (s, got[i], want)
+
+    # format-table results never disagree with pandas where both parse
+    both = df.select(
+        to_timestamp_multiformat("s").alias("a"),
+        to_timestamp_pandas_permissive("s").alias("b"),
+    ).collect()
+    for r in both:
+        if r["a"] is not None and r["b"] is not None:
+            assert r["a"] == r["b"]
+    # and the dateutil-only rows now parse
+    assert got[7] is not None and got[9] is not None
