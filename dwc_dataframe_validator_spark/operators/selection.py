@@ -211,3 +211,99 @@ def select_token_budget(
     if extra_full is not None:
         out = out.unionByName(extra_full)
     return out.drop("_b")
+
+
+def select_token_budget_by_group(
+    df: DataFrame,
+    budgets: dict,
+    score_col: str,
+    tokens_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    granularity: float = 0.001,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Mixture construction: fill a SEPARATE token budget per group
+    (source/domain/language) with each group's best documents — the
+    "2:1 web:code at fixed token counts" step of corpus assembly.
+    For every group g in ``budgets``, the result is the maximal
+    (``score_col`` DESC, ``id_col`` ASC) prefix of g's rows with
+    cumulative ``tokens_col`` ≤ ``budgets[g]``; groups not in
+    ``budgets`` are dropped (budget 0).
+
+    Same two-phase shape as ``select_token_budget``, vectorized over
+    groups: ONE histogram on (group, bucket) — bounded by
+    ``max_buckets`` total collected rows, enforced — a driver prefix
+    per group, then a single plan where whole buckets enter through a
+    broadcast-joined map-side filter and only each group's boundary
+    bucket pays the running-sum window.  The window PARTITIONS BY
+    GROUP, so even the boundary work distributes across the cluster —
+    there is no single-partition sort anywhere (one Sort node, keyed
+    (group, score, id), pinned in tests).  Rows with NULL score or
+    tokens are never selected (matching the oracle's NULLS-LAST
+    order).  A point-mass score distribution inside ONE group
+    degenerates that group's boundary to its full membership — if a
+    single group dominates the corpus, select it separately with
+    ``select_token_budget``'s boundary refinement."""
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget must be >= 0 for group {g!r}, got {b}")
+    spark = df.sparkSession
+    valid = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(tokens_col).isNotNull()
+        & F.col(group_col).isin(list(budgets))
+    )
+    bucketed = valid.withColumn(
+        "_b", F.floor(F.col(score_col) / F.lit(float(granularity)))
+    )
+    hist = (
+        bucketed.groupBy(group_col, "_b")
+        .agg(
+            F.sum(F.col(tokens_col)).alias("_toks"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .limit(max_buckets + 1)  # driver holds at most this many rows
+        .collect()
+    )
+    if len(hist) > max_buckets:
+        raise ValueError(
+            f"(group, bucket) histogram exceeded max_buckets="
+            f"{max_buckets} (groups × score range / granularity too "
+            "wide) — coarsen granularity or raise max_buckets; "
+            "refusing an unbounded driver collect"
+        )
+    by_group: dict = {}
+    for row in hist:
+        by_group.setdefault(row[group_col], []).append(row)
+    bounds = []
+    for g, rows in by_group.items():
+        boundary, _, remaining = _driver_prefix(
+            rows, budgets[g], "_b", descending=True
+        )
+        # fits_all: every bucket of g fits -> no boundary window at all
+        bounds.append(
+            (g, boundary if boundary is not None else 0,
+             remaining, boundary is None)
+        )
+    if not bounds:
+        return bucketed.drop("_b")
+    bnd = spark.createDataFrame(
+        bounds, f"{group_col} {dict(df.dtypes)[group_col]}, "
+                "_boundary long, _remaining long, _fits_all boolean"
+    )
+    joined = bucketed.join(F.broadcast(bnd), group_col)
+    full = joined.filter(
+        F.col("_fits_all") | (F.col("_b") > F.col("_boundary"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    partial = (
+        joined.filter(~F.col("_fits_all") & (F.col("_b") == F.col("_boundary")))
+        .withColumn("_cum", F.sum(F.col(tokens_col)).over(w))
+        .filter(F.col("_cum") <= F.col("_remaining"))
+        .drop("_cum")
+    )
+    drop = ["_b", "_boundary", "_remaining", "_fits_all"]
+    return full.unionByName(partial).drop(*drop)
