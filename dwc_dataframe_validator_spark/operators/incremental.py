@@ -200,6 +200,27 @@ def _resolve_tree(spark: SparkSession, path: str, tree: str) -> str:
     return primary
 
 
+def _heal_tree(spark: SparkSession, path: str, tree: str) -> None:
+    """Complete a crashed ``compact_index`` half-swap BEFORE a write
+    lands: if the primary tree is missing but ``_old_<tree>`` exists,
+    rename it back to the primary name.  ``_resolve_tree`` makes a
+    half-swapped store READABLE, but an append that wrote to the
+    missing primary would create a fresh tree holding only that
+    slice's values — which ``_resolve_tree`` then prefers, silently
+    shadowing the accumulated store until the next compaction deletes
+    ``_old_<tree>`` and makes the loss permanent.  Every append-mode
+    write path calls this first, so the swap is finished before any
+    new data lands."""
+    primary = f"{path}/{tree}"
+    if _fs_exists(spark, primary):
+        return
+    fs, old = _fs_path(spark, f"{path}/_old_{tree}")
+    if fs.exists(old):
+        fs.rename(
+            old, spark._jvm.org.apache.hadoop.fs.Path(primary)
+        )
+
+
 def _fp_bucket(fp) -> F.Column:
     """Partition bucket = first hex byte of the digest (0..255).
     Derived from the fingerprint itself, so both engines and both
@@ -220,6 +241,39 @@ def fingerprint_store(
         .distinct()
     )
     return fps.withColumn("fp_bucket", _fp_bucket(F.col("fingerprint")))
+
+
+def _append_bloom_checked(
+    spark: SparkSession, path: str, values: DataFrame, col: str, meta: dict
+) -> None:
+    """Append ``values``'s bloom positions to the CURRENT-generation
+    bloom tree, then re-read the meta and RETRY at the new geometry if
+    a concurrent ``rebuild_bloom`` committed a new generation in the
+    window — otherwise the appended fingerprints would be absent from
+    the live filter (bloom false negatives, so those documents' future
+    duplicates are silently admitted).  Positions written to a
+    superseded generation directory are harmless: the rebuild deletes
+    it, and readers only consult the tree the meta names.
+
+    Residual window this re-check cannot close: a rebuild whose
+    value-tree snapshot predates this append but whose meta swap lands
+    after the re-read still drops the positions.  Maintenance
+    operations (``rebuild_bloom``, ``compact_index``) therefore
+    require NO concurrent ingest — single maintenance writer — as
+    their docstrings state."""
+    for _ in range(5):
+        bits = sketch.bloom_build_hex(values, col, k=meta["k"], m=meta["m"])
+        bits.write.mode("append").parquet(f"{path}/{_bloom_tree(meta)}")
+        meta2 = read_index_meta(spark, path)
+        if meta2.get("bloom_gen", 0) == meta.get("bloom_gen", 0):
+            return
+        meta = meta2
+    raise RuntimeError(
+        f"bloom generation at {path!r} kept changing during an append "
+        "(a rebuild_bloom loop running concurrently?) — positions were "
+        "written to every observed generation but the meta never "
+        "settled; quiesce maintenance and re-run the append"
+    )
 
 
 def save_fingerprint_index(
@@ -243,6 +297,8 @@ def save_fingerprint_index(
         meta = read_index_meta(spark, path)
         _check_geometry(meta, path, k=k, m=m)
         k, m = meta["k"], meta["m"]
+        _heal_tree(spark, path, "fingerprints")
+        _heal_tree(spark, path, _bloom_tree(meta))
     else:
         k = DEFAULT_K if k is None else k
         m = DEFAULT_M if m is None else m
@@ -257,9 +313,11 @@ def save_fingerprint_index(
     store.write.partitionBy("fp_bucket").mode(mode).parquet(
         f"{path}/fingerprints"
     )
-    bits = sketch.bloom_build_hex(store, "fingerprint", k=k, m=m)
-    bits.write.mode(mode).parquet(f"{path}/{_bloom_tree(meta)}")
-    if mode != "append":
+    if mode == "append":
+        _append_bloom_checked(spark, path, store, "fingerprint", meta)
+    else:
+        bits = sketch.bloom_build_hex(store, "fingerprint", k=k, m=m)
+        bits.write.mode(mode).parquet(f"{path}/{_bloom_tree(meta)}")
         write_index_meta(spark, path, meta)
 
 
@@ -445,6 +503,8 @@ def save_heldout_index(
         meta = read_index_meta(spark, path)
         _check_geometry(meta, path, w=w, k=k, m=m)
         w, k, m = meta["w"], meta["k"], meta["m"]
+        _heal_tree(spark, path, "windows")
+        _heal_tree(spark, path, _bloom_tree(meta))
     else:
         w = 8 if w is None else w
         k = DEFAULT_K if k is None else k
@@ -465,10 +525,12 @@ def save_heldout_index(
         .localCheckpoint()
     )
     hw.write.mode(mode).parquet(f"{path}/windows")
-    sketch.bloom_build_hex(hw, "h", k=k, m=m).write.mode(
-        mode
-    ).parquet(f"{path}/{_bloom_tree(meta)}")
-    if mode != "append":
+    if mode == "append":
+        _append_bloom_checked(spark, path, hw, "h", meta)
+    else:
+        sketch.bloom_build_hex(hw, "h", k=k, m=m).write.mode(
+            mode
+        ).parquet(f"{path}/{_bloom_tree(meta)}")
         write_index_meta(spark, path, meta)
 
 
@@ -579,8 +641,14 @@ def compact_index(
     sets).  The rewrite stages into a sibling directory and swaps via
     two renames; a crash between them leaves the data under
     ``_old_<tree>``, which the loaders fall back to — so a crashed
-    compaction is readable without manual repair, and re-running
-    compaction completes the swap."""
+    compaction is readable without manual repair, and the next
+    append-mode write or compaction completes the swap
+    (``_heal_tree``).
+
+    SINGLE MAINTENANCE WRITER: run compaction with no concurrent
+    ``ingest_slice``/``save_*_index(mode="append")`` — an append that
+    lands between the snapshot read and the swap is deleted with the
+    pre-compaction tree."""
     meta = read_index_meta(spark, path)
     tree, col, bucketed = _value_tree(meta)
     bloom = _bloom_tree(meta)
@@ -649,7 +717,14 @@ def rebuild_bloom(
     therefore always sees a (meta, bloom) pair built together: crash
     before the meta swap leaves the old pair live (the orphan
     directory is retried/cleaned next rebuild); there is no window
-    where a filter is probed with geometry it wasn't built with."""
+    where a filter is probed with geometry it wasn't built with.
+
+    SINGLE MAINTENANCE WRITER: run rebuilds with no concurrent
+    ingest.  Appends re-check the bloom generation after writing
+    (``_append_bloom_checked``) which closes the commit-then-append
+    window, but a rebuild whose value snapshot predates an in-flight
+    append and whose meta swap lands after that append's re-check
+    would still drop the append's positions from the live filter."""
     meta = read_index_meta(spark, path)
     m_new = (2 * meta["m"]) if m_new is None else m_new
     k_new = meta["k"] if k_new is None else k_new

@@ -59,11 +59,24 @@ poison both the driver prefix arithmetic and the running sum.
 
 from __future__ import annotations
 
+import itertools
 import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _bounded_collect(df: DataFrame, cap: int) -> list:
+    """Collect at most ``cap`` rows to the driver WITHOUT the
+    single-partition ``GlobalLimit`` exchange a ``.limit(cap)`` before
+    ``.collect()`` forces (the r7 bench regression on
+    ``token_budget_selection``): stream partitions through
+    ``toLocalIterator`` and stop pulling after ``cap`` rows — same
+    driver-memory bound, no extra exchange in the plan."""
+    return list(
+        itertools.islice(df.toLocalIterator(prefetchPartitions=True), cap)
+    )
 
 
 def _driver_prefix(hist, budget, bucket_key, descending):
@@ -104,14 +117,12 @@ def select_token_budget(
     )
     b = F.floor(F.col(score_col) / F.lit(float(granularity)))
     bucketed = valid.withColumn("_b", b)
-    hist = (
-        bucketed.groupBy("_b")
-        .agg(
+    hist = _bounded_collect(
+        bucketed.groupBy("_b").agg(
             F.sum(F.col(tokens_col)).alias("_toks"),
             F.count(F.lit(1)).alias("_n"),
-        )
-        .limit(max_buckets + 1)  # driver holds at most this many rows
-        .collect()
+        ),
+        max_buckets + 1,  # driver holds at most this many rows
     )
     if len(hist) > max_buckets:
         raise ValueError(
@@ -142,17 +153,31 @@ def select_token_budget(
         ).collect()[0]
         if stats["smin"] < stats["smax"]:
             g2 = float(granularity) / 4096.0
-            b2 = F.floor(F.col(score_col) / F.lit(g2))
+            # floor(score/g2) is computed independently of the coarse
+            # floor(score/granularity), so IEEE rounding at bucket
+            # edges can land a row's sub-bucket just outside the
+            # nominal [boundary*4096, (boundary+1)*4096) span.  Clamp
+            # to that span: clamping a monotone key is monotone (ties
+            # still share a sub-bucket), so exactness is preserved,
+            # and the histogram is ≤ 4096 rows BY CONSTRUCTION — no
+            # limit that could silently drop buckets.
+            lo, hi = boundary * 4096, (boundary + 1) * 4096 - 1
+            b2 = F.greatest(
+                F.lit(lo),
+                F.least(F.lit(hi), F.floor(F.col(score_col) / F.lit(g2))),
+            )
             sub = boundary_rows.withColumn("_b2", b2)
-            hist2 = (
-                sub.groupBy("_b2")
-                .agg(
+            hist2 = _bounded_collect(
+                sub.groupBy("_b2").agg(
                     F.sum(F.col(tokens_col)).alias("_toks"),
                     F.count(F.lit(1)).alias("_n"),
-                )
-                .limit(4097)  # ≤ 4096 sub-buckets of one coarse bucket
-                .collect()
+                ),
+                4097,
             )
+            if len(hist2) > 4096:  # impossible given the clamp
+                raise AssertionError(
+                    "clamped sub-bucketing produced >4096 buckets"
+                )
             boundary2, _, remaining = _driver_prefix(
                 hist2, remaining, "_b2", descending=True
             )
@@ -179,20 +204,33 @@ def select_token_budget(
                 )
             imin, imax = stats["imin"], stats["imax"]
             g_id = max(1, math.ceil((int(imax) - int(imin) + 1) / 4096))
-            b2 = F.floor(
-                (F.col(id_col).cast("long") - F.lit(int(imin)))
-                / F.lit(g_id)
+            # integer DIV keeps the bucket id exact (the `/` operator
+            # promotes longs to double and can mis-round near 2^53);
+            # clamp to [0, 4095] for the same monotone-safety reason
+            # as the score refinement — the histogram is then bounded
+            # by construction, no silent-drop limit.
+            b2 = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(4095),
+                    F.expr(
+                        f"(cast(`{id_col}` as bigint) - {int(imin)}L) "
+                        f"div {g_id}L"
+                    ),
+                ),
             )
             sub = boundary_rows.withColumn("_b2", b2)
-            hist2 = (
-                sub.groupBy("_b2")
-                .agg(
+            hist2 = _bounded_collect(
+                sub.groupBy("_b2").agg(
                     F.sum(F.col(tokens_col)).alias("_toks"),
                     F.count(F.lit(1)).alias("_n"),
-                )
-                .limit(4097)
-                .collect()
+                ),
+                4097,
             )
+            if len(hist2) > 4096:  # impossible given the clamp
+                raise AssertionError(
+                    "clamped id sub-bucketing produced >4096 buckets"
+                )
             boundary2, _, remaining = _driver_prefix(
                 hist2, remaining, "_b2", descending=False  # id ASC
             )
@@ -257,14 +295,12 @@ def select_token_budget_by_group(
     bucketed = valid.withColumn(
         "_b", F.floor(F.col(score_col) / F.lit(float(granularity)))
     )
-    hist = (
-        bucketed.groupBy(group_col, "_b")
-        .agg(
+    hist = _bounded_collect(
+        bucketed.groupBy(group_col, "_b").agg(
             F.sum(F.col(tokens_col)).alias("_toks"),
             F.count(F.lit(1)).alias("_n"),
-        )
-        .limit(max_buckets + 1)  # driver holds at most this many rows
-        .collect()
+        ),
+        max_buckets + 1,  # driver holds at most this many rows
     )
     if len(hist) > max_buckets:
         raise ValueError(
@@ -282,15 +318,21 @@ def select_token_budget_by_group(
             rows, budgets[g], "_b", descending=True
         )
         # fits_all: every bucket of g fits -> no boundary window at all
+        # _boundary is a Spark floor() result (integral by contract);
+        # _remaining is budget - sum(tokens) which is a FLOAT whenever
+        # the tokens column (or the budget) is floating — ship it as
+        # double so createDataFrame never type-errors, and cast the
+        # values explicitly (Spark's schema verifier rejects a Python
+        # int in a double field).
         bounds.append(
-            (g, boundary if boundary is not None else 0,
-             remaining, boundary is None)
+            (g, int(boundary) if boundary is not None else 0,
+             float(remaining), boundary is None)
         )
     if not bounds:
         return bucketed.drop("_b")
     bnd = spark.createDataFrame(
         bounds, f"{group_col} {dict(df.dtypes)[group_col]}, "
-                "_boundary long, _remaining long, _fits_all boolean"
+                "_boundary long, _remaining double, _fits_all boolean"
     )
     joined = bucketed.join(F.broadcast(bnd), group_col)
     full = joined.filter(

@@ -3906,6 +3906,72 @@ def _token_budget_oracle_sql(budget: int = 15000) -> str:
 ORACLES["token_budget_selection"] = _token_budget_oracle_sql()
 
 
+#: per-source budgets for the mixture-construction query — a mix of
+#: sizes plus a tiny budget (partial boundary) and an absent source
+#: (src4+ dropped entirely)
+_GROUP_BUDGETS = {"src0": 4000, "src1": 2500, "src2": 6000, "src3": 120}
+
+
+def token_budget_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction (operators/selection.py:
+    select_token_budget_by_group): fill a SEPARATE token budget per
+    source with that source's best documents — the "2:1 web:code at
+    fixed token counts" step of corpus assembly.  One (source,
+    bucket) histogram, a driver prefix per source, and a single plan
+    whose only sort is the group-PARTITIONED boundary window — no
+    global sort, no per-group job loop, so 10 000 sources cost the
+    same plan as 4.  Sources without a budget are dropped."""
+    from .operators import selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.model_quality_score(docs).select(
+        "doc_id", "quality_logit"
+    )
+    base = docs.select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    j = scored.join(base, "doc_id")
+    sel = selection.select_token_budget_by_group(
+        j, _GROUP_BUDGETS, "quality_logit", "n_tokens", group_col="source"
+    )
+    return sel.select("doc_id", "source", "quality_logit", "n_tokens")
+
+
+QUERIES["token_budget_by_group"] = token_budget_by_group
+
+
+def _token_budget_by_group_oracle_sql() -> str:
+    """Naive per-group running-sum selection — the window the Spark
+    side refuses to run globally, partitioned by source here so the
+    oracle is the straightforward O(n log n) statement."""
+    base = _token_budget_oracle_sql()
+    scored_prefix = base.split("cum AS")[0]
+    in_list = ", ".join(f"'{g}'" for g in _GROUP_BUDGETS)
+    budget_case = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in _GROUP_BUDGETS.items()
+    )
+    return rf"""
+        {scored_prefix}
+        src AS (
+          SELECT s.doc_id, d.source, s.quality_logit, s.n_tokens
+          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+          WHERE d.source IN ({in_list})),
+        cum AS (
+          SELECT doc_id, source, quality_logit, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality_logit DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM src)
+        SELECT doc_id, source, quality_logit, n_tokens
+        FROM cum
+        WHERE c <= CASE source {budget_case} END
+    """
+
+
+ORACLES["token_budget_by_group"] = _token_budget_by_group_oracle_sql()
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication dashboard: documents, distinct
     fingerprints, within-source duplicate count/rate, and how many of

@@ -2668,6 +2668,105 @@ def test_compaction_crash_window_recovers(spark, tmp_path):
     assert sorted(r["fingerprint"] for r in store2.collect()) == want
 
 
+def test_append_after_crash_heals_half_swap(spark, tmp_path):
+    """ADVICE r7 (medium): an append-mode write used to target the
+    primary tree unconditionally, so the first post-crash
+    ingest_slice created a fresh fingerprints/ holding only that
+    slice — which _resolve_tree then preferred, silently shadowing
+    the accumulated store, and the next compaction made the loss
+    permanent.  Appends now complete the half-swap first."""
+    import os
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        compact_index,
+        fingerprint_store,
+        ingest_slice,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    save_fingerprint_index(fingerprint_store(docs), path)
+
+    # crash window: primary renamed away, staged copy lost
+    os.rename(f"{path}/fingerprints", f"{path}/_old_fingerprints")
+    os.rename(f"{path}/bloom", f"{path}/_old_bloom")
+
+    # post-crash ingest: one duplicate of the old corpus + one new doc
+    batch = spark.createDataFrame(
+        [(100, "doc 3"), (101, "a brand new doc")],
+        "doc_id long, text string",
+    )
+    survivors = sorted(r["doc_id"] for r in ingest_slice(spark, path, batch).collect())
+    assert survivors == [101]  # doc 3 recognized as a duplicate
+
+    # the heal renamed the accumulated store back before appending:
+    # primary tree holds old + new, relic is gone
+    assert os.path.isdir(f"{path}/fingerprints")
+    assert not os.path.exists(f"{path}/_old_fingerprints")
+    store, _, _ = load_fingerprint_index(spark, path)
+    assert store.count() == 21
+
+    # compaction no longer deletes anything irreplaceable, and a
+    # re-ingest of the same batch admits nothing
+    compact_index(spark, path)
+    again = ingest_slice(spark, path, batch).collect()
+    assert again == []
+
+
+def test_append_bloom_generation_race_retries(spark, tmp_path):
+    """ADVICE r7: an append racing rebuild_bloom could write its bloom
+    positions to a superseded generation — false negatives forever
+    after.  _append_bloom_checked re-reads the meta after the write
+    and retries at the new geometry, so an append holding a STALE meta
+    still lands its positions in the live filter."""
+    from dwc_dataframe_validator_spark.operators import sketch
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        _append_bloom_checked,
+        fingerprint_store,
+        incremental_dedup,
+        load_fingerprint_index,
+        read_index_meta,
+        rebuild_bloom,
+        save_fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    save_fingerprint_index(fingerprint_store(docs), path)
+    stale = read_index_meta(spark, path)  # bloom_gen 0
+
+    rebuild_bloom(spark, path)  # commits bloom_gen 1, deletes bloom/
+    assert read_index_meta(spark, path)["bloom_gen"] == 1
+
+    # the racing append: value tree write + bloom append with the
+    # stale gen-0 meta — the re-check must route it to bloom_g1
+    new = spark.createDataFrame(
+        [(200, "late append doc")], "doc_id long, text string"
+    )
+    new_store = fingerprint_store(new)
+    new_store.write.partitionBy("fp_bucket").mode("append").parquet(
+        f"{path}/fingerprints"
+    )
+    _append_bloom_checked(spark, path, new_store, "fingerprint", stale)
+
+    # live-filter probe: the appended fingerprint must be bloom-
+    # positive (no false negative), i.e. a re-ingest of the same text
+    # is screened out even through the bloom prescreen
+    store, bits, meta = load_fingerprint_index(spark, path)
+    blob = sketch.bloom_pack_bytes(bits, meta["m"])
+    dup = spark.createDataFrame(
+        [(201, "late append doc")], "doc_id long, text string"
+    )
+    out = incremental_dedup(dup, store, bloom_blob=blob, k=meta["k"], m=meta["m"])
+    assert out.collect() == []
+
+
 def test_heldout_index_stats_and_compaction(spark, tmp_path):
     """Round-7 ask: the stats probe and compaction generalize to the
     heldout (decontamination) index — same bloom-fill and
@@ -2751,8 +2850,11 @@ def test_select_token_budget_degenerate_guards(spark):
     assert len([ln for ln in plan.splitlines() if "Sort " in ln]) == 1
     # the sub-bucket column is pruned into its FLOOR(id-range) filter
     # expression (the coarse score bucket constant-folds away, so any
-    # FLOOR in this plan is the refinement)
-    assert "FLOOR(" in plan, "id-range refinement did not engage"
+    # clamped integer-div in this plan is the refinement (r8: the
+    # id sub-bucket moved from double FLOOR to exact `div` + clamp)
+    assert "least(4095" in plan and " div " in plan, (
+        "id-range refinement did not engage: " + plan[:600]
+    )
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(120))
 
     # varying scores inside one coarse bucket: refine on finer score

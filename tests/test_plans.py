@@ -307,3 +307,63 @@ def test_token_budget_selection_no_global_sort(spark):
     # and that sort sits above a boundary-bucket Filter, i.e. the
     # full-inclusion branch reaches the Union unsorted
     assert "Union" in plan
+
+
+def _naive_group_prefix(rows, budgets):
+    """Reference semantics: per group, the maximal (score DESC,
+    id ASC) prefix with cumulative tokens <= the group's budget."""
+    want = set()
+    by_g = {}
+    for r in rows:
+        if r["score"] is None or r["tokens"] is None:
+            continue
+        by_g.setdefault(r["grp"], []).append(r)
+    for g, members in by_g.items():
+        if g not in budgets:
+            continue
+        members.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        run = 0
+        for r in members:
+            if run + r["tokens"] <= budgets[g]:
+                run += r["tokens"]
+                want.add(r["doc_id"])
+            else:
+                break
+    return want
+
+
+def test_token_budget_by_group_float_tokens_and_plan(spark):
+    """ADVICE r7 (low): the broadcast bounds schema hardcoded
+    `_remaining long`, so a floating-point tokens column made
+    createDataFrame raise a TypeError.  Pin: float tokens AND float
+    budgets work, the result is exactly the per-group naive prefix,
+    NULLs are never selected, and the only Sort in the plan is the
+    group-partitioned boundary window (no global sort)."""
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    df = spark.range(0, 600).selectExpr(
+        "id AS doc_id",
+        "concat('g', pmod(id, 3)) AS grp",
+        # NULL score every 97th row; NULL tokens every 89th
+        "CASE WHEN pmod(id, 97) = 0 THEN NULL "
+        "  ELSE CAST(pmod(id * 37, 100) AS DOUBLE) / 100.0 END AS score",
+        "CASE WHEN pmod(id, 89) = 0 THEN NULL "
+        "  ELSE CAST(5 + pmod(id, 7) AS DOUBLE) + 0.25 END AS tokens",
+    )
+    budgets = {"g0": 350.5, "g1": 0, "g2": 777.75}  # g with 0, no "g3"
+    out = select_token_budget_by_group(
+        df, budgets, "score", "tokens", group_col="grp"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    want = _naive_group_prefix(df.collect(), budgets)
+    assert got == want and len(want) > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE may print the window's sort at two nesting levels; the pin
+    # is that EVERY Sort is the group-partitioned boundary window
+    # (leading key = grp), i.e. no global sort anywhere
+    sorts = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sorts and all("Sort [grp" in ln for ln in sorts), plan[:800]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
