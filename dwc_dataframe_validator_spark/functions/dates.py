@@ -171,6 +171,31 @@ def multiformat_oracle_sql(col_sql: str) -> str:
     return "coalesce(" + ", ".join(attempts) + ")"
 
 
+def resolve_timestamp_parser(parser):
+    """Map a ``date_parser=`` argument to a column function.
+
+    ``"multiformat"`` (the default everywhere) is the deterministic,
+    oracle-exact Catalyst format table; ``"pandas"`` is the
+    reference-exact dateutil free-text path
+    (``to_timestamp_pandas_permissive`` — Arrow-vectorized, NOT
+    SQL-oracleable).  A callable passes through, so custom parsers
+    (e.g. a site-specific format list) plug into the same
+    ``validate_archive``/``generate_breakdowns`` seam."""
+    if callable(parser):
+        return parser
+    table = {
+        "multiformat": to_timestamp_multiformat,
+        "pandas": to_timestamp_pandas_permissive,
+    }
+    try:
+        return table[parser]
+    except KeyError:
+        raise ValueError(
+            f"unknown date_parser {parser!r}: expected one of "
+            f"{sorted(table)} or a callable Column -> Column"
+        ) from None
+
+
 def to_timestamp_pandas_permissive(col: Column | str) -> Column:
     """string → timestamp through pandas itself — byte-for-byte the
     reference's parse (``pd.to_datetime(col, errors='coerce')``,

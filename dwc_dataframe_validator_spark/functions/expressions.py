@@ -184,16 +184,29 @@ def top_k_values(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     )
 
 
-def date_parts_histogram(df: DataFrame, date_col: str) -> DataFrame:
+def date_parts_histogram(
+    df: DataFrame, date_col: str, date_parser="multiformat"
+) -> DataFrame:
     """A13 — combined (year, month, day) histogram from a lenient-parsed
     date column (reference breakdown.py:77-102).
 
     ONE job — ``groupBy(year, month, day).count()`` — instead of three
     separate scans; output cardinality is at most |years|·12·31, so the
     three marginal histograms roll up driver-side for free.  At 100 TB
-    this is the difference between one full scan and three."""
+    this is the difference between one full scan and three.
+
+    ``date_parser`` selects the parse (functions/dates.py
+    ``resolve_timestamp_parser``): ``"multiformat"`` (deterministic
+    default) or ``"pandas"`` (reference-exact dateutil free text)."""
+    from .dates import resolve_timestamp_parser
+
+    parse = (
+        to_timestamp_lenient
+        if date_parser == "multiformat"
+        else resolve_timestamp_parser(date_parser)
+    )
     parsed = (
-        df.select(to_timestamp_lenient(date_col).alias("_ts"))
+        df.select(parse(date_col).alias("_ts"))
         .filter(F.col("_ts").isNotNull())
     )
     return (

@@ -39,12 +39,19 @@ def validate_archive(
     archive_path: str,
     id_fields: Optional[Sequence[str]] = None,
     numeric_warnings: bool = False,
+    date_parser: str = "multiformat",
 ) -> DwCAValidationReport:
     """Validate a DwC-A directory or zip.
 
     ``numeric_warnings`` defaults to False here (byte-parity with the
     reference archive path, whose numeric check can never fire —
     SURVEY.md §2.11.1); pass True for the intended-semantics warnings.
+
+    ``date_parser`` reaches the eventDate breakdown parse:
+    ``"multiformat"`` (deterministic default) or ``"pandas"`` —
+    the reference's own ``pd.to_datetime`` free-text behavior
+    (reference breakdown.py:86) for archives whose dates are dateutil
+    prose the format table leaves NULL.
     """
     desc = read_descriptor(archive_path)
     core_df = read_archive_table(spark, desc, desc.core)
@@ -78,7 +85,7 @@ def validate_archive(
         )
 
     breakdowns: dict = {}
-    breakdowns.update(generate_breakdowns(core_df))
+    breakdowns.update(generate_breakdowns(core_df, date_parser=date_parser))
 
     extension_reports: list[DFValidationReport] = []
     if desc.core.type_tail == _EVENT and desc.extensions:
@@ -90,7 +97,9 @@ def validate_archive(
                         ext_df, id_fields, numeric_warnings=numeric_warnings
                     )
                 )
-                breakdowns.update(generate_breakdowns(ext_df))
+                breakdowns.update(
+                    generate_breakdowns(ext_df, date_parser=date_parser)
+                )
 
     return DwCAValidationReport(
         valid=len(core_report.errors) == 0,

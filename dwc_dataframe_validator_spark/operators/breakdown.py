@@ -57,15 +57,20 @@ def top_values_breakdown(df: DataFrame, field: str, limit: int) -> dict[str, int
 
 
 def generate_event_date_breakdown(
-    df: DataFrame, date_col: str = "eventDate"
+    df: DataFrame, date_col: str = "eventDate", date_parser="multiformat"
 ) -> tuple[dict[int, int], dict[int, int], dict[int, int]]:
     """year/month/day histograms of lenient-parsed dates
     (breakdown.py:77-102).  ONE ``groupBy(year, month, day)`` job —
     bounded output (≤ |years|·12·31 rows) — then the three marginals
     roll up driver-side.  Keys are ints, matching the reference's
     in-memory dict shape (breakdown.py:95-102; only simple_breakdown
-    str-casts its keys)."""
-    rows = E.date_parts_histogram(df, date_col).collect()
+    str-casts its keys).
+
+    ``date_parser="pandas"`` runs the reference's own parse
+    (``pd.to_datetime`` free text, breakdown.py:86) instead of the
+    deterministic format table — for archives full of dateutil text
+    like ``'5th of Jan 2023'`` that the default leaves NULL."""
+    rows = E.date_parts_histogram(df, date_col, date_parser).collect()
     year_bd: dict[int, int] = {}
     month_bd: dict[int, int] = {}
     day_bd: dict[int, int] = {}
@@ -76,9 +81,13 @@ def generate_event_date_breakdown(
     return year_bd, month_bd, day_bd
 
 
-def generate_breakdowns(df: DataFrame) -> dict[str, dict[str, int]]:
+def generate_breakdowns(
+    df: DataFrame, date_parser="multiformat"
+) -> dict[str, dict[str, int]]:
     """Reference breakdown.py:9-34, including the eventDate-overwrites-
-    raw-columns quirk."""
+    raw-columns quirk.  ``date_parser`` (default the deterministic
+    format table) reaches the eventDate parse; pass ``"pandas"`` for
+    the reference-exact dateutil free-text behavior."""
     breakdowns: dict[str, dict[str, int]] = {}
     cols = set(df.columns)
     if "year" in cols:
@@ -92,7 +101,9 @@ def generate_breakdowns(df: DataFrame) -> dict[str, dict[str, int]]:
     if "family" in cols:
         breakdowns["family"] = top_values_breakdown(df, "family", 20)
     if "eventDate" in cols:
-        year_bd, month_bd, day_bd = generate_event_date_breakdown(df)
+        year_bd, month_bd, day_bd = generate_event_date_breakdown(
+            df, date_parser=date_parser
+        )
         breakdowns["year"] = year_bd
         breakdowns["month"] = month_bd
         breakdowns["day"] = day_bd
