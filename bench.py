@@ -94,6 +94,11 @@ HEADLINE = [
     # late round-6 addition (same addendum rule): two-phase
     # token-budget selection (no global sort)
     "token_budget_selection",
+    # round-8 additions (same addendum rule): per-group mixture
+    # selection (group-partitioned boundary window), and policy-driven
+    # exact dedup (priority CASE + one row_number shuffle)
+    "token_budget_by_group",
+    "dedup_priority_keepers",
 ]
 
 

@@ -58,6 +58,49 @@ def exact_dedup_keepers(
     )
 
 
+def exact_dedup_keepers_by_priority(
+    df: DataFrame,
+    keys: Sequence[str],
+    source_col: str,
+    priority: dict,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Policy-driven survivor per duplicate group — what production
+    corpus builds actually do: among copies of the same content, keep
+    the one from the most-trusted feed, breaking ties by quality and
+    then id, rather than ``exact_dedup_keepers``'s lowest-id rule.
+
+    ``priority`` maps source value → rank (lower wins); unlisted
+    sources rank AFTER every listed one.  Ordering inside each
+    ``keys`` group: priority rank ASC, then ``score_col`` DESC NULLS
+    LAST (when given), then ``id_col`` ASC.  Same single-shuffle
+    row_number shape as ``exact_dedup_keepers`` — the policy is one
+    map-side CASE expression, so 100 TB cost is identical.  The
+    priority dict must be small (it compiles into the expression);
+    hundreds of sources are fine, millions belong in a broadcast-join
+    dimension instead."""
+    if not priority:
+        raise ValueError("priority must map at least one source to a rank")
+    rank = F.when(
+        F.col(source_col) == F.lit(next(iter(priority))),
+        F.lit(priority[next(iter(priority))]),
+    )
+    for s, r in list(priority.items())[1:]:
+        rank = rank.when(F.col(source_col) == F.lit(s), F.lit(r))
+    rank = rank.otherwise(F.lit(max(priority.values()) + 1))
+    order = [rank.asc()]
+    if score_col is not None:
+        order.append(F.col(score_col).desc_nulls_last())
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def dedup_any_survivor(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """``dropDuplicates(keys)`` — nondeterministic survivor, but cheaper
     at scale: partial (map-side) dedup runs before the shuffle."""

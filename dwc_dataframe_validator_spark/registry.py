@@ -3972,6 +3972,45 @@ def _token_budget_by_group_oracle_sql() -> str:
 ORACLES["token_budget_by_group"] = _token_budget_by_group_oracle_sql()
 
 
+def dedup_priority_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven exact dedup (operators/dedup.py:
+    exact_dedup_keepers_by_priority): among copies of the same
+    normalized text, keep the copy from the most-trusted source
+    (src3 ≻ src1 ≻ src0 ≻ everything else), then the longest, then
+    the lowest id — the "prefer the curated feed over the crawl"
+    rule of production corpus builds.  Single shuffle on the
+    fingerprint; the policy is one map-side CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text.fingerprint(docs).select("doc_id", "fingerprint")
+    j = docs.select("doc_id", "source", "n_chars").join(fps, "doc_id")
+    keep = dedup.exact_dedup_keepers_by_priority(
+        j, ["fingerprint"], "source",
+        {"src3": 0, "src1": 1, "src0": 2},
+        score_col="n_chars",
+    )
+    return keep.select("doc_id", "source", "fingerprint")
+
+
+QUERIES["dedup_priority_keepers"] = dedup_priority_keepers
+
+ORACLES["dedup_priority_keepers"] = r"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents)
+    SELECT doc_id, source, fingerprint FROM (
+      SELECT doc_id, source, fingerprint,
+             row_number() OVER (
+               PARTITION BY fingerprint
+               ORDER BY CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1
+                                    WHEN 'src0' THEN 2 ELSE 3 END,
+                        n_chars DESC NULLS LAST, doc_id) AS rn
+      FROM fp)
+    WHERE rn = 1
+"""
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication dashboard: documents, distinct
     fingerprints, within-source duplicate count/rate, and how many of

@@ -52,6 +52,45 @@ def test_exact_dedup_keepers(spark):
     assert len(groups) == 1 and groups[0]["k"] == "a" and groups[0]["cnt"] == 2
 
 
+def test_exact_dedup_keepers_by_priority(spark):
+    """Policy keeper: source priority beats score, score (DESC, NULLS
+    LAST) beats id, unlisted sources rank after every listed one, and
+    an empty policy raises."""
+    import pytest
+
+    rows = [
+        # group "a": crawl doc is longest, but curated source wins
+        (1, "a", "crawl", 99),
+        (2, "a", "curated", 10),
+        # group "b": same source -> higher score wins
+        (3, "b", "crawl", 5),
+        (4, "b", "crawl", 8),
+        # group "c": NULL score loses to scored; id breaks exact ties
+        (5, "c", "crawl", None),
+        (6, "c", "crawl", 3),
+        (7, "c", "crawl", 3),
+        # group "d": only an unlisted source -> still exactly one kept
+        (8, "d", "mystery", 1),
+        (9, "d", "mystery", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, k string, source string, score long"
+    )
+    kept = dedup.exact_dedup_keepers_by_priority(
+        df, ["k"], "source", {"curated": 0, "crawl": 1}, score_col="score"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 6, 9]
+
+    # without a score column: priority then id
+    kept2 = dedup.exact_dedup_keepers_by_priority(
+        df, ["k"], "source", {"curated": 0, "crawl": 1}
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 5, 8]
+
+    with pytest.raises(ValueError, match="priority"):
+        dedup.exact_dedup_keepers_by_priority(df, ["k"], "source", {})
+
+
 def test_minhash_lsh_finds_planted_near_dup(docs):
     pairs = {
         (r["ida"], r["idb"]): r["jaccard"]
