@@ -174,7 +174,10 @@ QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
 
 
 def model_quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Model-based quality scoring — the "classifier filter" step of a
     modern training-data pipeline (quality classifiers à la DCLM /
@@ -184,7 +187,13 @@ def model_quality_score(
     One map-side projection, no shuffle, no UDF — model inference at
     scan speed, which is the whole point of distilling a quality model
     to features the engine can compute in codegen.  At 100 TB this
-    scores every document in the same pass that reads it."""
+    scores every document in the same pass that reads it.
+
+    ``keep_cols`` are passed through unchanged, so downstream steps
+    that need both the score AND other columns (token counts, source)
+    get them from this same single pass — joining two projections of
+    the same table back together on ``id_col`` costs a full shuffle
+    the projection never needed."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -205,6 +214,7 @@ def model_quality_score(
         *[feats[name].alias(name) for name, _ in QUALITY_MODEL_WEIGHTS],
         logit.alias("quality_logit"),
         (logit > F.lit(0.0)).alias("quality_pred"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

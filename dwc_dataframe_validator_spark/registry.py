@@ -3848,13 +3848,13 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import selection
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.model_quality_score(docs).select(
-        "doc_id", "quality_logit"
-    )
-    toks = docs.select(
-        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
-    )
-    j = scored.join(toks, "doc_id")
+    # score + token count in ONE scan pass (keep_cols) — joining two
+    # projections of the same table back on doc_id would pay a full
+    # shuffle for columns the projection already had
+    j = text.model_quality_score(
+        docs.withColumn("n_tokens", text.token_count(F.col("text"))),
+        keep_cols=("n_tokens",),
+    ).select("doc_id", "quality_logit", "n_tokens")
     sel = selection.select_token_budget(
         j, 15000, "quality_logit", "n_tokens"
     )
@@ -3924,13 +3924,11 @@ def token_budget_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import selection
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.model_quality_score(docs).select(
-        "doc_id", "quality_logit"
-    )
-    base = docs.select(
-        "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
-    )
-    j = scored.join(base, "doc_id")
+    # one scan pass: score, token count, and source together
+    j = text.model_quality_score(
+        docs.withColumn("n_tokens", text.token_count(F.col("text"))),
+        keep_cols=("n_tokens", "source"),
+    ).select("doc_id", "source", "quality_logit", "n_tokens")
     sel = selection.select_token_budget_by_group(
         j, _GROUP_BUDGETS, "quality_logit", "n_tokens", group_col="source"
     )
