@@ -95,10 +95,12 @@ HEADLINE = [
     # token-budget selection (no global sort)
     "token_budget_selection",
     # round-8 additions (same addendum rule): per-group mixture
-    # selection (group-partitioned boundary window), and policy-driven
-    # exact dedup (priority CASE + one row_number shuffle)
+    # selection (group-partitioned boundary window), policy-driven
+    # exact dedup (priority CASE + one row_number shuffle), and
+    # temperature-weighted mixture sampling (bounded agg + CASE filter)
     "token_budget_by_group",
     "dedup_priority_keepers",
+    "temperature_mixture_stats",
 ]
 
 

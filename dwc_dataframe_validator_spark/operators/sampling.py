@@ -108,6 +108,103 @@ def mixture_sample(
     return df.filter(_hash_prefix(key_col) < thr)
 
 
+#: weight quantization scale for temperature_fractions — a POWER OF
+#: TWO so `weight * _W_SCALE` is exact in IEEE double on both engines
+_W_SCALE = 1 << 20
+
+
+def temperature_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_strata: int = 100_000,
+) -> dict:
+    """Per-stratum sampling rates from the corpus's own token mass —
+    the temperature-weighting step of mixture construction (GPT-3 /
+    multilingual-style): stratum s with token mass T_s gets weight
+    w_s ∝ T_s^alpha, a share ``token_budget · w_s / Σw`` of the
+    budget, and therefore Bernoulli rate
+    ``min(1, budget·w_s / (Σw · T_s))``.  alpha < 1 up-weights small
+    strata (alpha=0 → equal budgets, alpha=1 → proportional =
+    uniform over documents).
+
+    One bounded-output aggregation (≤ ``max_strata`` rows, enforced)
+    — the corpus is never collected.  Feed the result straight to
+    ``mixture_sample`` (or use ``temperature_mixture_sample``).
+
+    CROSS-ENGINE DETERMINISM: weights are quantized to integers
+    (``floor(T^alpha · 2^20)``) so their SUM is exact in any
+    accumulation order, and the remaining arithmetic is a pinned
+    sequence of individually-correctly-rounded double ops — with
+    ``alpha=0.5`` (sqrt is correctly rounded by IEEE 754; ``pow`` is
+    not) the fractions are BIT-IDENTICAL in Python, Spark, and
+    DuckDB, which is what lets the registry oracle replay the exact
+    thresholds.  Bounds: token sums and Σw must stay below 2^53
+    (10^15 tokens per stratum — petabyte-of-text territory)."""
+    import itertools
+    import math
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    sums = df.filter(F.col(tokens_col).isNotNull()).groupBy(stratum_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("_toks")
+    )
+    rows = list(
+        itertools.islice(
+            sums.toLocalIterator(prefetchPartitions=True), max_strata + 1
+        )
+    )
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"more than max_strata={max_strata} strata — refusing an "
+            "unbounded driver collect; raise max_strata if intended"
+        )
+    masses = {
+        r[stratum_col]: int(r["_toks"])
+        for r in rows
+        if r["_toks"] and r["_toks"] > 0
+    }
+    weights = {
+        s: int(math.floor(float(t) ** alpha * _W_SCALE))
+        for s, t in masses.items()
+    }
+    sum_w = sum(weights.values())
+    if sum_w == 0:
+        return {s: 0.0 for s in masses}
+    return {
+        # pinned op order: (budget·w) / Σw / T — each step correctly
+        # rounded, so the oracle reproduces it bit-for-bit
+        s: min(1.0, float(token_budget) * weights[s] / sum_w / masses[s])
+        for s in masses
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    tokens_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """``temperature_fractions`` composed with ``mixture_sample``:
+    deterministic Bernoulli sampling whose per-stratum rates are
+    derived from the corpus's own token mass, targeting
+    ``token_budget`` total tokens in expectation.  One aggregation
+    pass (bounded output) + one map-side CASE filter — no corpus
+    shuffle anywhere."""
+    fr = temperature_fractions(
+        df, stratum_col, tokens_col, token_budget,
+        alpha=alpha, max_strata=max_strata,
+    )
+    return mixture_sample(df, stratum_col, key_col, fr)
+
+
 def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """Deterministic global shuffle + sharding for training-data
     export: ``shard = md5_int(key) mod n_shards`` and ``shard_pos`` =

@@ -3991,6 +3991,70 @@ def dedup_priority_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_priority_keepers"] = dedup_priority_keepers
 
+#: temperature-mixture token budget (total chars across sources);
+#: sf0.01 documents hold ~149k chars, so this samples roughly a third
+_TEMP_BUDGET = 50_000
+
+
+def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (operators/sampling.py:
+    temperature_fractions / temperature_mixture_sample): per-source
+    Bernoulli rates derived from each source's own token mass with
+    alpha=0.5 up-weighting of small sources, targeting a fixed total
+    token budget — the source-weighting step of corpus assembly.  One
+    bounded aggregation + one map-side CASE filter; the weights are
+    integer-quantized so the fractions (and therefore the md5
+    thresholds) are BIT-IDENTICAL across Spark and DuckDB — the
+    oracle replays the exact sampled subset, not a statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.temperature_mixture_sample(
+        docs, "source", "doc_id", "n_chars", _TEMP_BUDGET
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+QUERIES["temperature_mixture_stats"] = temperature_mixture_stats
+
+ORACLES["temperature_mixture_stats"] = f"""
+    WITH t AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source),
+    w AS (
+      SELECT source, toks,
+             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576.0) AS BIGINT)
+               AS ws
+      FROM t WHERE toks > 0),
+    tot AS (SELECT CAST(sum(ws) AS BIGINT) AS sum_ws FROM w),
+    f AS (
+      SELECT source,
+             least(1.0,
+                   CAST({_TEMP_BUDGET} AS DOUBLE) * ws / sum_ws / toks)
+               AS frac
+      FROM w, tot),
+    thr AS (
+      SELECT source,
+             CASE WHEN frac >= 1.0 THEN 'g'
+                  ELSE printf('%08x',
+                              CAST(floor(frac * 4294967296.0) AS BIGINT))
+             END AS thr
+      FROM f)
+    SELECT d.source,
+           count(*) AS sampled_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,
+           min(d.doc_id) AS min_doc_id,
+           max(d.doc_id) AS max_doc_id
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+    GROUP BY d.source
+"""
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

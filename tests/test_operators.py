@@ -1353,6 +1353,57 @@ def test_mixture_sample_rates(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_temperature_fractions_semantics(spark):
+    """alpha endpoints, the rate-1 cap, null exclusion, and the guard
+    rails of temperature-weighted mixture construction."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    # three strata with token masses 100, 400, 1600 (+ null rows)
+    rows = []
+    for s, (n, per) in {"a": (10, 10), "b": (20, 20), "c": (40, 40)}.items():
+        rows += [(f"{s}{i}", s, per) for i in range(n)]
+    rows += [("x0", "a", None)]
+    df = spark.createDataFrame(rows, "k string, src string, toks long")
+    # masses: a=100, b=400, c=1600 (null excluded)
+
+    # alpha=1: weights ∝ mass -> every stratum gets the SAME rate
+    # budget/total (uniform over tokens)
+    fr1 = sampling.temperature_fractions(df, "src", "toks", 525, alpha=1.0)
+    assert set(fr1) == {"a", "b", "c"}
+    assert max(fr1.values()) - min(fr1.values()) < 1e-12
+    assert abs(fr1["a"] - 525 / 2100) < 1e-12
+
+    # alpha=0: equal weights -> equal token BUDGET per stratum, so the
+    # small stratum's rate is 16x the large one's
+    fr0 = sampling.temperature_fractions(df, "src", "toks", 300, alpha=0.0)
+    assert abs(fr0["a"] / fr0["c"] - 16.0) < 1e-9
+
+    # alpha=0.5 lands between, monotone decreasing in mass
+    frh = sampling.temperature_fractions(df, "src", "toks", 300)
+    assert frh["a"] > frh["b"] > frh["c"]
+    assert fr0["a"] > frh["a"] > fr1["a"]
+
+    # rate cap: a budget beyond the corpus saturates at 1.0
+    frbig = sampling.temperature_fractions(df, "src", "toks", 10_000_000)
+    assert set(frbig.values()) == {1.0}
+    # and the composed sample keeps every row of every saturated
+    # stratum — null-token rows contribute no MASS but still ride
+    # their stratum's rate (they are stratum members)
+    out = sampling.temperature_mixture_sample(
+        df, "src", "k", "toks", 10_000_000
+    )
+    assert out.count() == 71
+
+    with pytest.raises(ValueError, match="token_budget"):
+        sampling.temperature_fractions(df, "src", "toks", -1)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_fractions(df, "src", "toks", 10, alpha=-0.5)
+    with pytest.raises(ValueError, match="max_strata"):
+        sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
+
+
 def test_assign_shards_deterministic_and_uniform(spark):
     from dwc_dataframe_validator_spark.operators import sampling
 
