@@ -168,10 +168,20 @@ def temperature_fractions(
         for r in rows
         if r["_toks"] and r["_toks"] > 0
     }
-    weights = {
-        s: int(math.floor(float(t) ** alpha * _W_SCALE))
-        for s, t in masses.items()
-    }
+    # alpha=0.5 goes through sqrt EXPLICITLY: IEEE 754 requires sqrt
+    # correctly rounded, but pow(x, 0.5) carries no such guarantee —
+    # and the cross-engine bit-parity contract rests on every step
+    # being correctly rounded
+    if alpha == 0.5:
+        weights = {
+            s: int(math.floor(math.sqrt(float(t)) * _W_SCALE))
+            for s, t in masses.items()
+        }
+    else:
+        weights = {
+            s: int(math.floor(float(t) ** alpha * _W_SCALE))
+            for s, t in masses.items()
+        }
     sum_w = sum(weights.values())
     if sum_w == 0:
         return {s: 0.0 for s in masses}

@@ -309,3 +309,62 @@ def test_token_budget_selection_matches_naive(spark, rows, budget):
         cum += t
         want.append(i)
     assert got == sorted(want), (rows, budget, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=10**13),
+)
+def test_temperature_fraction_bit_parity_with_duckdb(masses, budget):
+    """The cross-engine determinism contract of temperature_fractions
+    (alpha=0.5): for ANY stratum masses and budget, the Python-side
+    fractions and md5 thresholds are BIT-IDENTICAL to the same
+    arithmetic evaluated by DuckDB — integer-quantized weights
+    (order-independent exact sum) + a pinned sequence of correctly-
+    rounded double ops (sqrt, *, /, min)."""
+    import math
+
+    import duckdb
+
+    from dwc_dataframe_validator_spark.operators.sampling import (
+        _W_SCALE,
+        hash_threshold,
+    )
+
+    # Python side — the exact arithmetic of temperature_fractions
+    # after the (exact, integer) token-sum aggregation
+    ws = {i: int(math.floor(math.sqrt(float(t)) * _W_SCALE))
+          for i, t in enumerate(masses)}
+    sum_w = sum(ws.values())
+    frs = {i: min(1.0, float(budget) * ws[i] / sum_w / t)
+           for i, t in enumerate(masses)}
+    thrs = {i: hash_threshold(f) for i, f in frs.items()}
+
+    values = ", ".join(f"({i}, {t})" for i, t in enumerate(masses))
+    rows = duckdb.sql(f"""
+        WITH t(s, toks) AS (VALUES {values}),
+        w AS (
+          SELECT s, toks,
+                 CAST(floor(sqrt(CAST(toks AS DOUBLE)) * {_W_SCALE}.0)
+                      AS BIGINT) AS ws
+          FROM t),
+        tot AS (SELECT CAST(sum(ws) AS BIGINT) AS sum_ws FROM w)
+        SELECT s,
+               least(1.0, CAST({budget} AS DOUBLE) * ws / sum_ws / toks)
+                 AS frac,
+               CASE WHEN least(1.0, CAST({budget} AS DOUBLE) * ws / sum_ws
+                          / toks) >= 1.0 THEN 'g'
+                    ELSE printf('%08x', CAST(floor(
+                      least(1.0, CAST({budget} AS DOUBLE) * ws / sum_ws
+                            / toks) * 4294967296.0) AS BIGINT))
+               END AS thr
+        FROM w, tot
+    """).fetchall()
+    for s, frac, thr in rows:
+        assert frs[s] == frac, (s, masses[s], budget, frs[s], frac)
+        assert thrs[s] == thr, (s, masses[s], budget, thrs[s], thr)
