@@ -101,6 +101,7 @@ HEADLINE = [
     "token_budget_by_group",
     "dedup_priority_keepers",
     "temperature_mixture_stats",
+    "epoch_repeat_stats",
 ]
 
 

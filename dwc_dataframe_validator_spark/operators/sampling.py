@@ -143,6 +143,28 @@ def temperature_fractions(
     DuckDB, which is what lets the registry oracle replay the exact
     thresholds.  Bounds: token sums and Σw must stay below 2^53
     (10^15 tokens per stratum — petabyte-of-text territory)."""
+    masses, weights, sum_w = _stratum_weights(
+        df, stratum_col, tokens_col, token_budget, alpha, max_strata
+    )
+    if sum_w == 0:
+        return {s: 0.0 for s in masses}
+    return {
+        # pinned op order: (budget·w) / Σw / T — each step correctly
+        # rounded, so the oracle reproduces it bit-for-bit
+        s: min(1.0, float(token_budget) * weights[s] / sum_w / masses[s])
+        for s in masses
+    }
+
+
+def _stratum_weights(
+    df, stratum_col, tokens_col, token_budget, alpha, max_strata
+):
+    """Shared front half of the temperature planners: exact integer
+    token masses per stratum (bounded collect, enforced) and the
+    integer-quantized weights.  alpha=0.5 goes through sqrt
+    EXPLICITLY — IEEE 754 requires sqrt correctly rounded, pow(x, 0.5)
+    carries no such guarantee, and the cross-engine bit-parity
+    contract rests on every step being correctly rounded."""
     import itertools
     import math
 
@@ -168,10 +190,6 @@ def temperature_fractions(
         for r in rows
         if r["_toks"] and r["_toks"] > 0
     }
-    # alpha=0.5 goes through sqrt EXPLICITLY: IEEE 754 requires sqrt
-    # correctly rounded, but pow(x, 0.5) carries no such guarantee —
-    # and the cross-engine bit-parity contract rests on every step
-    # being correctly rounded
     if alpha == 0.5:
         weights = {
             s: int(math.floor(math.sqrt(float(t)) * _W_SCALE))
@@ -182,15 +200,7 @@ def temperature_fractions(
             s: int(math.floor(float(t) ** alpha * _W_SCALE))
             for s, t in masses.items()
         }
-    sum_w = sum(weights.values())
-    if sum_w == 0:
-        return {s: 0.0 for s in masses}
-    return {
-        # pinned op order: (budget·w) / Σw / T — each step correctly
-        # rounded, so the oracle reproduces it bit-for-bit
-        s: min(1.0, float(token_budget) * weights[s] / sum_w / masses[s])
-        for s in masses
-    }
+    return masses, weights, sum(weights.values())
 
 
 def temperature_mixture_sample(
@@ -213,6 +223,100 @@ def temperature_mixture_sample(
         alpha=alpha, max_strata=max_strata,
     )
     return mixture_sample(df, stratum_col, key_col, fr)
+
+
+def temperature_plan(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_strata: int = 100_000,
+    max_epochs: int = 100,
+) -> dict:
+    """Multi-epoch extension of ``temperature_fractions``: when a
+    stratum's temperature share EXCEEDS its token mass, a Bernoulli
+    rate saturates at 1.0 and silently under-delivers — real pipelines
+    instead REPEAT small high-quality sources across epochs (the
+    LLaMA-style repeat-factor table).  Per stratum s with mass T_s and
+    target ``budget·w_s/Σw``: ``q = target/T_s``, emitted as
+    ``n_epochs = floor(q)`` full passes plus a deterministic
+    hash-sample of the remainder fraction ``q - floor(q)``.
+
+    Returns ``{stratum: (n_epochs, rem_fraction)}``.  With no
+    saturation anywhere this degenerates to ``temperature_fractions``
+    (all n_epochs 0, rem = the Bernoulli rate).  Same bounded-collect
+    and cross-engine bit-determinism contract (alpha=0.5): q, floor(q)
+    and the remainder are pinned sequences of correctly-rounded double
+    ops over integer-quantized weights.  ``max_epochs`` guards the
+    materializer against a budget orders beyond the corpus (an
+    explode blowup) — raise it only deliberately."""
+    import math
+
+    masses, weights, sum_w = _stratum_weights(
+        df, stratum_col, tokens_col, token_budget, alpha, max_strata
+    )
+    plan = {}
+    for s, t in masses.items():
+        if sum_w == 0:
+            plan[s] = (0, 0.0)
+            continue
+        # pinned op order mirrored by the SQL oracle
+        q = float(token_budget) * weights[s] / sum_w / t
+        n_epochs = int(math.floor(q))
+        if n_epochs > max_epochs:
+            raise ValueError(
+                f"stratum {s!r} would repeat {n_epochs} epochs "
+                f"(> max_epochs={max_epochs}) — the budget is orders "
+                "beyond this stratum's share of the corpus; raise "
+                "max_epochs only if the explode cost is intended"
+            )
+        plan[s] = (n_epochs, q - n_epochs)
+    return plan
+
+
+def epoch_repeat_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    tokens_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_strata: int = 100_000,
+    max_epochs: int = 100,
+) -> DataFrame:
+    """Materialize a ``temperature_plan``: every row of stratum s is
+    emitted once per full epoch (``epoch`` = 1..n_epochs, via an
+    exploded sequence — a generator, NO shuffle) and rows passing the
+    remainder-fraction hash filter are emitted once more with
+    ``epoch = n_epochs + 1``.  Expected emitted tokens ≈
+    ``token_budget``; strata the plan drops (zero mass) emit nothing.
+    Null-token rows carry no mass but are stratum members and repeat
+    with their stratum.  Wholly map-side: one bounded aggregation
+    (inside the plan) + CASE literals + explode."""
+    plan = temperature_plan(
+        df, stratum_col, tokens_col, token_budget,
+        alpha=alpha, max_strata=max_strata, max_epochs=max_epochs,
+    )
+    if not plan:
+        return df.withColumn("epoch", F.lit(1)).filter(F.lit(False))
+    ne: Column = F.lit(-1)
+    thr: Column = F.lit("")  # nothing < '' — unplanned strata drop
+    for s, (n, rem) in sorted(plan.items()):
+        cond = F.col(stratum_col) == F.lit(s)
+        ne = F.when(cond, F.lit(n)).otherwise(ne)
+        thr = F.when(cond, F.lit(hash_threshold(rem))).otherwise(thr)
+    base = df.withColumn("_ne", ne)
+    full = (
+        base.filter(F.col("_ne") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_ne"))))
+    )
+    partial = (
+        base.filter(F.col("_ne") >= 0)
+        .filter(_hash_prefix(key_col) < thr)
+        .withColumn("epoch", F.col("_ne") + 1)
+    )
+    return full.unionByName(partial).drop("_ne")
 
 
 def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:

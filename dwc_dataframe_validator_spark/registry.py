@@ -4055,6 +4055,81 @@ ORACLES["temperature_mixture_stats"] = f"""
 """
 
 
+#: epoch-repeat budget — ~4× the sf0.01 corpus mass, so small sources
+#: repeat for several epochs while large ones get fewer (alpha=0.5)
+_EPOCH_BUDGET = 600_000
+
+
+def epoch_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch corpus repetition (operators/sampling.py:
+    temperature_plan / epoch_repeat_sample): a token budget BEYOND the
+    corpus is delivered as floor(q) full passes per source plus a
+    deterministic hash-sample of the remainder — the repeat-factor
+    table of data recipes that up-sample small curated sources.
+    Profiled per (source, epoch): the oracle replays the exact plan
+    (bit-identical q, epochs, thresholds) and the exact partial-epoch
+    subsets, so repeated-row materialization is value-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.epoch_repeat_sample(
+        docs, "source", "doc_id", "n_chars", _EPOCH_BUDGET
+    )
+    return s.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_emitted"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+QUERIES["epoch_repeat_stats"] = epoch_repeat_stats
+
+ORACLES["epoch_repeat_stats"] = f"""
+    WITH t AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source),
+    w AS (
+      SELECT source, toks,
+             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576.0) AS BIGINT)
+               AS ws
+      FROM t WHERE toks > 0),
+    tot AS (SELECT CAST(sum(ws) AS BIGINT) AS sum_ws FROM w),
+    plan AS (
+      SELECT source,
+             CAST(floor(CAST({_EPOCH_BUDGET} AS DOUBLE) * ws / sum_ws
+                        / toks) AS BIGINT) AS n_epochs,
+             (CAST({_EPOCH_BUDGET} AS DOUBLE) * ws / sum_ws / toks)
+               - floor(CAST({_EPOCH_BUDGET} AS DOUBLE) * ws / sum_ws
+                       / toks) AS rem
+      FROM w, tot),
+    thr AS (
+      SELECT source, n_epochs,
+             CASE WHEN rem >= 1.0 THEN 'g'
+                  ELSE printf('%08x',
+                              CAST(floor(rem * 4294967296.0) AS BIGINT))
+             END AS thr
+      FROM plan),
+    emitted AS (
+      SELECT source, epoch, doc_id, n_chars FROM (
+        SELECT d.source,
+               unnest(generate_series(1, CAST(p.n_epochs AS BIGINT)))
+                 AS epoch,
+               d.doc_id, d.n_chars
+        FROM documents d
+        JOIN thr p USING (source))
+      UNION ALL
+      SELECT d.source, p.n_epochs + 1 AS epoch, d.doc_id, d.n_chars
+      FROM documents d
+      JOIN thr p USING (source)
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < p.thr)
+    SELECT source, epoch,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_emitted,
+           min(doc_id) AS min_doc_id
+    FROM emitted
+    GROUP BY source, epoch
+"""
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

@@ -1404,6 +1404,57 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_epoch_repeat_plan_and_materializer(spark):
+    """Multi-epoch repetition: the plan is floor(q) full passes plus a
+    remainder hash-sample; with no saturation it degenerates to
+    temperature_fractions; the materializer's counts follow the plan
+    exactly and survive repartitioning; max_epochs guards the explode."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    rows = []
+    for s, (n, per) in {"a": (10, 10), "b": (20, 20), "c": (40, 40)}.items():
+        rows += [(f"{s}{i}", s, per) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, src string, toks long")
+    # masses: a=100, b=400, c=1600; total 2100
+
+    # small budget: nobody saturates -> plan == fractions with 0 epochs
+    fr = sampling.temperature_fractions(df, "src", "toks", 300)
+    plan = sampling.temperature_plan(df, "src", "toks", 300)
+    assert {s: p[0] for s, p in plan.items()} == {"a": 0, "b": 0, "c": 0}
+    assert {s: p[1] for s, p in plan.items()} == fr
+
+    # 4x-the-corpus budget: every stratum repeats; small strata more
+    big = sampling.temperature_plan(df, "src", "toks", 8400)
+    assert big["a"][0] > big["c"][0] >= 1
+
+    out = sampling.epoch_repeat_sample(df, "src", "k", "toks", 8400)
+    by = {
+        (r["src"], r["epoch"]): r["cnt"]
+        for r in out.groupBy("src", "epoch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    sizes = {"a": 10, "b": 20, "c": 40}
+    for s, (n, rem) in big.items():
+        for e in range(1, n + 1):  # full epochs emit every row
+            assert by[(s, e)] == sizes[s], (s, e)
+        partial = by.get((s, n + 1), 0)  # remainder epoch is a subset
+        assert 0 <= partial <= sizes[s]
+        assert (s, n + 2) not in by
+    # value-determinism under repartitioning
+    again = sampling.epoch_repeat_sample(
+        df.repartition(13), "src", "k", "toks", 8400
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.temperature_plan(df, "src", "toks", 10_000_000)
+
+
 def test_assign_shards_deterministic_and_uniform(spark):
     from dwc_dataframe_validator_spark.operators import sampling
 
