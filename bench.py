@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_priority_keepers",
     "temperature_mixture_stats",
     "epoch_repeat_stats",
+    "hash_split_stats",
 ]
 
 

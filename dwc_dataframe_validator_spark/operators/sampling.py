@@ -319,6 +319,45 @@ def epoch_repeat_sample(
     return full.unionByName(partial).drop("_ne")
 
 
+def hash_split(
+    df: DataFrame, key_col: str, splits: dict, other: str | None = None
+) -> DataFrame:
+    """Deterministic named partitioning of a corpus — the
+    train/val/test split step: each split name gets a DISJOINT
+    interval of the md5-prefix space sized to its fraction, assigned
+    in sorted-name order, so every row lands in exactly one split (or
+    ``other``/is dropped when fractions sum below 1).  Value-keyed
+    like every sampler here: re-runs, repartitions, engines, and
+    incremental loads all agree, rows with equal keys travel together,
+    and ADDING a split later leaves existing assignments stable only
+    if appended at the end of the name order — document your split
+    names.  Appends a ``split`` column; rows past the covered interval
+    get ``other`` (or are dropped when ``other`` is None).
+
+    One map-side CASE over the hash prefix — no shuffle, no sampling
+    pass, and exactly reproducible in the SQL oracle."""
+    if not splits:
+        raise ValueError("splits must name at least one fraction")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bounds = []
+    cum = 0.0
+    for name in sorted(splits):
+        if splits[name] < 0:
+            raise ValueError(f"negative fraction for split {name!r}")
+        cum = cum + splits[name]
+        bounds.append((name, hash_threshold(min(cum, 1.0))))
+    h = _hash_prefix(key_col)
+    expr = F.lit(other).cast("string") if other is not None else F.lit(None).cast("string")
+    for name, upper in reversed(bounds):
+        expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
+    out = df.withColumn("split", expr)
+    if other is None:
+        out = out.filter(F.col("split").isNotNull())
+    return out
+
+
 def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """Deterministic global shuffle + sharding for training-data
     export: ``shard = md5_int(key) mod n_shards`` and ``shard_pos`` =

@@ -4130,6 +4130,56 @@ ORACLES["epoch_repeat_stats"] = f"""
 """
 
 
+#: train/val/test fractions for the deterministic split query
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py:
+    hash_split): disjoint md5-prefix intervals sized to the fractions,
+    one map-side CASE, no shuffle or sampling pass — profiled per
+    split.  The oracle replays the identical interval bounds, so the
+    ASSIGNMENT (not just split sizes) is value-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.hash_split(docs, "doc_id", _SPLITS)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+QUERIES["hash_split_stats"] = hash_split_stats
+
+
+def _hash_split_oracle_sql() -> str:
+    """Interval bounds GENERATED from the same _SPLITS dict +
+    ``sampling.hash_threshold`` cumulative arithmetic the Spark side
+    uses — the two sides cannot drift."""
+    arms = []
+    cum = 0.0
+    for name in sorted(_SPLITS):
+        cum = cum + _SPLITS[name]
+        thr = sampling.hash_threshold(min(cum, 1.0))
+        arms.append(
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}' "
+            f"THEN '{name}'"
+        )
+    case = "CASE " + " ".join(arms) + " END"
+    return f"""
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM (SELECT doc_id, source, {case} AS split FROM documents)
+        WHERE split IS NOT NULL
+        GROUP BY split
+    """
+
+
+ORACLES["hash_split_stats"] = _hash_split_oracle_sql()
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

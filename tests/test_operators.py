@@ -1404,6 +1404,52 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_hash_split_partition_and_guards(spark):
+    """Deterministic named split: total partition (with `other`),
+    disjointness, sub-1 fraction drop semantics, value-stability under
+    repartitioning, equal keys travel together, and the guards."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    df = spark.range(0, 3000).select(F.col("id").alias("k"))
+    out = sampling.hash_split(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    by = {r["split"]: r["cnt"] for r in
+          out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(by.values()) == 3000          # total partition, no drops
+    assert set(by) == {"train", "val", "test"}
+    assert by["train"] > 5 * max(by["val"], by["test"])
+
+    # fractions below 1 without `other`: the residue is dropped;
+    # with `other`: labelled
+    part = sampling.hash_split(df, "k", {"train": 0.5})
+    rest = sampling.hash_split(df, "k", {"train": 0.5}, other="held")
+    n_train = part.count()
+    assert rest.count() == 3000
+    assert rest.filter("split = 'held'").count() == 3000 - n_train
+
+    # stability: repartitioning changes nothing; equal keys co-travel
+    again = sampling.hash_split(
+        df.repartition(17), "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    dup = spark.createDataFrame([(7,), (7,)], ["k"])
+    labels = {r["split"] for r in
+              sampling.hash_split(dup, "k", {"a": 0.5, "b": 0.5}).collect()}
+    assert len(labels) == 1
+
+    with pytest.raises(ValueError, match="sum"):
+        sampling.hash_split(df, "k", {"a": 0.7, "b": 0.7})
+    with pytest.raises(ValueError, match="at least one"):
+        sampling.hash_split(df, "k", {})
+    with pytest.raises(ValueError, match="negative"):
+        sampling.hash_split(df, "k", {"a": -0.1, "b": 0.5})
+
+
 def test_epoch_repeat_plan_and_materializer(spark):
     """Multi-epoch repetition: the plan is floor(q) full passes plus a
     remainder hash-sample; with no saturation it degenerates to
