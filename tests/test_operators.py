@@ -2976,9 +2976,19 @@ def test_heldout_index_stats_and_compaction(spark, tmp_path):
     assert s["kind"] == "heldout" and s["n_values"] > 0
     assert not s["needs_compaction"]
 
+    # half-swap crash window on the heldout index: the append-mode
+    # write must heal the rename before landing (r8, same contract as
+    # the fingerprint tree) — without it this append would shadow the
+    # accumulated windows tree
+    import os as _os
+
+    _os.rename(f"{path}/windows", f"{path}/_old_windows")
+
     # duplicate append -> trigger; compaction clears it and the
     # de-duplicated load is value-identical
     save_heldout_index(heldout, path, mode="append")
+    assert _os.path.isdir(f"{path}/windows")
+    assert not _os.path.exists(f"{path}/_old_windows")
     s2 = index_stats(spark, path)
     assert s2["needs_compaction"] and s2["duplicate_rows"] == s2["n_values"]
     want = sorted(r["h"] for r in load_heldout_index(spark, path)[0].collect())

@@ -367,3 +367,25 @@ def test_token_budget_by_group_float_tokens_and_plan(spark):
     sorts = [ln for ln in plan.splitlines() if "Sort [" in ln]
     assert sorts and all("Sort [grp" in ln for ln in sorts), plan[:800]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_epoch_repeat_sample_is_shuffle_free(spark):
+    """The epoch materializer's 100 TB claim: after the (bounded)
+    planning aggregation, materialization is WHOLLY map-side — CASE
+    literals + an exploded sequence + a hash filter + union.  The
+    executed plan must contain no Exchange at all."""
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators.sampling import (
+        epoch_repeat_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.pmod("id", 4)).alias("src"),
+        (F.pmod("id", 7) + 1).alias("toks"),
+    )
+    out = epoch_repeat_sample(df, "src", "k", "toks", 20_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    assert "Generate explode" in plan or "Generate" in plan  # the sequence

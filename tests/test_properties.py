@@ -368,3 +368,51 @@ def test_temperature_fraction_bit_parity_with_duckdb(masses, budget):
     for s, frac, thr in rows:
         assert frs[s] == frac, (s, masses[s], budget, frs[s], frac)
         assert thrs[s] == thr, (s, masses[s], budget, thrs[s], thr)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=0, max_value=10**13),
+)
+def test_epoch_plan_bit_parity_with_duckdb(masses, budget):
+    """temperature_plan's epoch counts and remainder fractions follow
+    the same bit-parity contract as the rates: floor(q) and q-floor(q)
+    evaluate identically in Python and DuckDB for any masses/budget."""
+    import math
+
+    import duckdb
+
+    from dwc_dataframe_validator_spark.operators.sampling import _W_SCALE
+
+    ws = {i: int(math.floor(math.sqrt(float(t)) * _W_SCALE))
+          for i, t in enumerate(masses)}
+    sum_w = sum(ws.values())
+    plan = {}
+    for i, t in enumerate(masses):
+        q = float(budget) * ws[i] / sum_w / t
+        plan[i] = (int(math.floor(q)), q - int(math.floor(q)))
+
+    values = ", ".join(f"({i}, {t})" for i, t in enumerate(masses))
+    rows = duckdb.sql(f"""
+        WITH t(s, toks) AS (VALUES {values}),
+        w AS (
+          SELECT s, toks,
+                 CAST(floor(sqrt(CAST(toks AS DOUBLE)) * {_W_SCALE}.0)
+                      AS BIGINT) AS ws
+          FROM t),
+        tot AS (SELECT CAST(sum(ws) AS BIGINT) AS sum_ws FROM w)
+        SELECT s,
+               CAST(floor(CAST({budget} AS DOUBLE) * ws / sum_ws / toks)
+                    AS BIGINT) AS n_epochs,
+               (CAST({budget} AS DOUBLE) * ws / sum_ws / toks)
+                 - floor(CAST({budget} AS DOUBLE) * ws / sum_ws / toks)
+                 AS rem
+        FROM w, tot
+    """).fetchall()
+    for s, n, rem in rows:
+        assert plan[s] == (n, rem), (s, masses[s], budget, plan[s], (n, rem))
