@@ -103,6 +103,7 @@ HEADLINE = [
     "temperature_mixture_stats",
     "epoch_repeat_stats",
     "hash_split_stats",
+    "mixture_drift_by_source",
 ]
 
 

@@ -358,6 +358,58 @@ def hash_split(
     return out
 
 
+def mixture_drift(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Recipe-vs-reality report: each stratum's OBSERVED token share
+    against the TEMPERATURE-TARGET share ``w_s/Σw`` (w ∝ T^alpha) —
+    the monitoring face of mixture construction ("is the crawl feed
+    drowning the curated sources relative to the recipe?").  Output
+    per stratum: token mass, target share, observed share, drift
+    (observed − target) and ratio.
+
+    WHOLLY Spark-side, bounded output (= |strata|): one aggregation,
+    quantized weights as Catalyst expressions (JVM ``Math.sqrt`` is
+    IEEE-correctly-rounded, ×2^20 exact, floor exact → integer
+    weights whose sum is order-independent), then a broadcast of the
+    1-row totals — no driver collect, no window over a single
+    partition.  The same pinned arithmetic as the planners, so the
+    oracle replays every double bit-for-bit (alpha=0.5)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    agg = (
+        df.filter(F.col(tokens_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.sum(F.col(tokens_col)).cast("long").alias("toks"))
+        .filter(F.col("toks") > 0)
+    )
+    t_dbl = F.col("toks").cast("double")
+    if alpha == 0.5:
+        ws = F.floor(F.sqrt(t_dbl) * F.lit(float(_W_SCALE)))
+    else:
+        ws = F.floor(F.pow(t_dbl, F.lit(alpha)) * F.lit(float(_W_SCALE)))
+    weighted = agg.withColumn("_ws", ws)
+    totals = weighted.agg(
+        F.sum("_ws").alias("_sum_ws"), F.sum("toks").alias("_sum_toks")
+    )
+    target = F.col("_ws") / F.col("_sum_ws")
+    observed = F.col("toks") / F.col("_sum_toks")
+    return (
+        weighted.crossJoin(F.broadcast(totals))  # 1-row totals
+        .select(
+            stratum_col,
+            "toks",
+            target.alias("target_share"),
+            observed.alias("observed_share"),
+            (observed - target).alias("drift"),
+            (observed / target).alias("drift_ratio"),
+        )
+    )
+
+
 def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """Deterministic global shuffle + sharding for training-data
     export: ``shard = md5_int(key) mod n_shards`` and ``shard_pos`` =

@@ -4180,6 +4180,44 @@ def _hash_split_oracle_sql() -> str:
 ORACLES["hash_split_stats"] = _hash_split_oracle_sql()
 
 
+def mixture_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe-vs-reality mixture monitoring (operators/sampling.py:
+    mixture_drift): per-source observed token share vs the
+    temperature-target share (alpha=0.5), wholly Spark-side — one
+    bounded aggregation + a broadcast 1-row totals join, no driver
+    collect.  The oracle replays the quantized-weight arithmetic
+    bit-for-bit, doubles included."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_drift(docs, "source", "n_chars")
+
+
+QUERIES["mixture_drift_by_source"] = mixture_drift_by_source
+
+ORACLES["mixture_drift_by_source"] = """
+    WITH t AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source HAVING CAST(sum(n_chars) AS BIGINT) > 0),
+    w AS (
+      SELECT source, toks,
+             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576.0) AS BIGINT)
+               AS ws
+      FROM t),
+    tot AS (
+      SELECT CAST(sum(ws) AS BIGINT) AS sum_ws,
+             CAST(sum(toks) AS BIGINT) AS sum_toks
+      FROM w)
+    SELECT source, toks,
+           CAST(ws AS DOUBLE) / sum_ws AS target_share,
+           CAST(toks AS DOUBLE) / sum_toks AS observed_share,
+           (CAST(toks AS DOUBLE) / sum_toks)
+             - (CAST(ws AS DOUBLE) / sum_ws) AS drift,
+           (CAST(toks AS DOUBLE) / sum_toks)
+             / (CAST(ws AS DOUBLE) / sum_ws) AS drift_ratio
+    FROM w, tot
+"""
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

@@ -1404,6 +1404,35 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_mixture_drift_semantics(spark):
+    """Drift report: shares each sum to 1, alpha<1 makes small strata
+    under-represented relative to target (negative drift) and large
+    ones over-represented, alpha=1 zeroes drift (up to weight
+    quantization), and the plan broadcasts the 1-row totals."""
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    rows = []
+    for s, (n, per) in {"a": (10, 10), "b": (20, 20), "c": (40, 40)}.items():
+        rows += [(f"{s}{i}", s, per) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, src string, toks long")
+    out = {r["src"]: r for r in sampling.mixture_drift(df, "src", "toks").collect()}
+    assert abs(sum(r["target_share"] for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r["observed_share"] for r in out.values()) - 1.0) < 1e-9
+    assert out["a"]["drift"] < 0 < out["c"]["drift"]
+    assert out["a"]["drift_ratio"] < 1 < out["c"]["drift_ratio"]
+    assert abs(sum(r["drift"] for r in out.values())) < 1e-9
+
+    flat = sampling.mixture_drift(df, "src", "toks", alpha=1.0).collect()
+    assert all(abs(r["drift"]) < 1e-5 for r in flat)
+
+    plan = (
+        sampling.mixture_drift(df, "src", "toks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_hash_split_partition_and_guards(spark):
     """Deterministic named split: total partition (with `other`),
     disjointness, sub-1 fraction drop semantics, value-stability under
