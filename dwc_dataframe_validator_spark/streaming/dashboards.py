@@ -55,11 +55,22 @@ def record_batch_stats(
     scan).  Cost: one fingerprint pass plus, with ``heldout_path``,
     the same bloom-prescreened window screen the sink already pays."""
     fps = fingerprint(batch_df, text_col, id_col).join(
-        batch_df.select(id_col, source_col), id_col
+        batch_df.select(
+            id_col, source_col, F.length(text_col).alias("_chars")
+        ),
+        id_col,
     )
     (
         fps.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # additive token-mass proxy for the mixture-drift fold
+            # (r8); chars, not the regex token count — a per-batch
+            # stats slice should cost a length(), not a regex pass
+            F.coalesce(F.sum("_chars"), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+        )
         .write.mode("overwrite")
         .parquet(f"{stats_path}/docs/batch_id={batch_id}")
     )
@@ -150,6 +161,26 @@ def dedup_dashboard(spark: SparkSession, stats_path: str) -> DataFrame:
             .alias("cross_source_fps"),
         )
     )
+
+
+def mixture_drift_dashboard(
+    spark: SparkSession, stats_path: str, alpha: float = 0.5
+) -> DataFrame:
+    """Fold the recorded per-batch (source, chars) slices into the
+    recipe-vs-reality mixture report — same schema and arithmetic as
+    the batch ``operators.sampling.mixture_drift`` over the
+    concatenated batches, with chars as the token-mass proxy the
+    slices record.  Char sums are additive (each document lives in
+    exactly one batch), so the fold is exact; cost is the docs tree
+    (|sources| × batches rows), never the corpus.
+
+    Slices written before round 8 lack the ``n_chars`` column —
+    reading them raises; re-record or backfill (the dashboards are
+    derived artifacts, regenerable from the corpus)."""
+    from ..operators.sampling import mixture_drift
+
+    docs = spark.read.parquet(f"{stats_path}/docs")
+    return mixture_drift(docs, "source", "n_chars", alpha=alpha)
 
 
 def contamination_dashboard(

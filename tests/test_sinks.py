@@ -696,10 +696,38 @@ def test_streaming_dashboards_fold_equals_batch(spark, tmp_path):
     assert by_src["books"][1] == 3 and by_src["books"][2] == 1
     assert by_src["web"][2] == 0
 
+    # the mixture-drift fold equals the batch operator over the
+    # concatenated input with chars as the recorded mass (r8)
+    from dwc_dataframe_validator_spark.operators.sampling import (
+        mixture_drift,
+    )
+    from dwc_dataframe_validator_spark.streaming.dashboards import (
+        mixture_drift_dashboard,
+    )
+
+    want_drift = sorted(
+        map(
+            tuple,
+            mixture_drift(
+                all_docs.withColumn("n_chars", F.length("text")),
+                "source",
+                "n_chars",
+            ).collect(),
+        )
+    )
+    got_drift = sorted(
+        map(tuple, mixture_drift_dashboard(spark, stats).collect())
+    )
+    assert got_drift == want_drift
+
     # replayed slice write -> identical fold (idempotence)
     record_batch_stats(batch2, 1, stats, heldout_path=held)
     assert sorted(map(tuple, dedup_dashboard(spark, stats).collect())) == want_dedup
     assert (
         sorted(map(tuple, contamination_dashboard(spark, stats).collect()))
         == want_contam
+    )
+    assert (
+        sorted(map(tuple, mixture_drift_dashboard(spark, stats).collect()))
+        == want_drift
     )
