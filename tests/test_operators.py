@@ -1404,6 +1404,43 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_round8_samplers_on_empty_and_degenerate_input(spark):
+    """Empty corpora and all-null token columns flow through the new
+    samplers/planners without errors: empty plans, empty outputs,
+    never a divide-by-zero or a lost schema."""
+    from dwc_dataframe_validator_spark.operators import sampling
+
+    empty = spark.createDataFrame([], "k string, src string, toks long")
+    assert sampling.temperature_fractions(empty, "src", "toks", 100) == {}
+    assert sampling.temperature_plan(empty, "src", "toks", 100) == {}
+    out = sampling.temperature_mixture_sample(empty, "src", "k", "toks", 100)
+    assert out.count() == 0
+    rep = sampling.epoch_repeat_sample(empty, "src", "k", "toks", 100)
+    assert rep.count() == 0 and "epoch" in rep.columns
+    assert sampling.mixture_drift(empty, "src", "toks").count() == 0
+    assert sampling.hash_split(empty, "k", {"train": 1.0}).count() == 0
+
+    # all-null tokens: no mass anywhere -> empty plan, zero-rate
+    # sample; the split (mass-independent) still assigns every row
+    nulls = spark.createDataFrame(
+        [("a", "s1", None), ("b", "s2", None)], "k string, src string, toks long"
+    )
+    assert sampling.temperature_fractions(nulls, "src", "toks", 100) == {}
+    assert (
+        sampling.temperature_mixture_sample(nulls, "src", "k", "toks", 100)
+        .count() == 0
+    )
+    assert sampling.mixture_drift(nulls, "src", "toks").count() == 0
+    assert sampling.hash_split(nulls, "k", {"train": 1.0}).count() == 2
+
+    # single stratum: target share is exactly 1, drift exactly 0
+    one = spark.createDataFrame(
+        [("a", "s", 10), ("b", "s", 20)], "k string, src string, toks long"
+    )
+    row = sampling.mixture_drift(one, "src", "toks").collect()[0]
+    assert row["target_share"] == 1.0 and row["drift"] == 0.0
+
+
 def test_mixture_drift_semantics(spark):
     """Drift report: shares each sum to 1, alpha<1 makes small strata
     under-represented relative to target (negative drift) and large
