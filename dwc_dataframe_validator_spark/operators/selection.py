@@ -260,6 +260,7 @@ def select_token_budget_by_group(
     id_col: str = "doc_id",
     granularity: float = 0.001,
     max_buckets: int = 100_000,
+    boundary_cap: int = 1_000_000,
 ) -> DataFrame:
     """Mixture construction: fill a SEPARATE token budget per group
     (source/domain/language) with each group's best documents — the
@@ -279,10 +280,22 @@ def select_token_budget_by_group(
     there is no single-partition sort anywhere (one Sort node, keyed
     (group, score, id), pinned in tests).  Rows with NULL score or
     tokens are never selected (matching the oracle's NULLS-LAST
-    order).  A point-mass score distribution inside ONE group
-    degenerates that group's boundary to its full membership — if a
-    single group dominates the corpus, select it separately with
-    ``select_token_budget``'s boundary refinement."""
+    order).
+
+    A group whose boundary bucket exceeds ``boundary_cap`` rows (a
+    dominant group with near-point-mass scores — a classifier that
+    emits 0.0 for half the corpus) would otherwise funnel its whole
+    membership into that group's single window partition.  Such
+    groups are REFINED one level before the window, exactly like
+    ``select_token_budget``: re-bucket 4096× finer (clamped to the
+    coarse bucket's span — monotone, so still exact), prefix the
+    sub-histogram driver-side, and let only the sub-boundary bucket
+    pay the window.  All refined groups share ONE extra bounded
+    histogram job and ONE plan.  A TRUE point mass inside a group
+    (every score identical — one sub-bucket) cannot be score-refined
+    and raises with the measured mass; select that group separately
+    with ``select_token_budget``, whose id-range refinement handles
+    the tie-break key."""
     for g, b in budgets.items():
         if b < 0:
             raise ValueError(f"budget must be >= 0 for group {g!r}, got {b}")
@@ -313,10 +326,14 @@ def select_token_budget_by_group(
     for row in hist:
         by_group.setdefault(row[group_col], []).append(row)
     bounds = []
+    remaining_by_group: dict = {}
     for g, rows in by_group.items():
-        boundary, _, remaining = _driver_prefix(
+        boundary, boundary_n, remaining = _driver_prefix(
             rows, budgets[g], "_b", descending=True
         )
+        remaining_by_group[g] = remaining
+        refine = boundary is not None and boundary_n > boundary_cap
+        lo = (int(boundary) * 4096) if refine else 0
         # fits_all: every bucket of g fits -> no boundary window at all
         # _boundary is a Spark floor() result (integral by contract);
         # _remaining is budget - sum(tokens) which is a FLOAT whenever
@@ -326,26 +343,98 @@ def select_token_budget_by_group(
         # int in a double field).
         bounds.append(
             (g, int(boundary) if boundary is not None else 0,
-             float(remaining), boundary is None)
+             float(remaining), boundary is None,
+             refine, lo, lo + 4095)
         )
     if not bounds:
         return bucketed.drop("_b")
+    gtype = dict(df.dtypes)[group_col]
     bnd = spark.createDataFrame(
-        bounds, f"{group_col} {dict(df.dtypes)[group_col]}, "
-                "_boundary long, _remaining double, _fits_all boolean"
+        bounds, f"{group_col} {gtype}, "
+                "_boundary long, _remaining double, _fits_all boolean, "
+                "_refine boolean, _lo long, _hi long"
     )
     joined = bucketed.join(F.broadcast(bnd), group_col)
     full = joined.filter(
         F.col("_fits_all") | (F.col("_b") > F.col("_boundary"))
     )
+    boundary_rows = joined.filter(
+        ~F.col("_fits_all") & (F.col("_b") == F.col("_boundary"))
+    )
+    drop = ["_b", "_boundary", "_remaining", "_fits_all",
+            "_refine", "_lo", "_hi"]
     w = Window.partitionBy(group_col).orderBy(
         F.desc(score_col), F.asc(id_col)
     )
-    partial = (
-        joined.filter(~F.col("_fits_all") & (F.col("_b") == F.col("_boundary")))
-        .withColumn("_cum", F.sum(F.col(tokens_col)).over(w))
-        .filter(F.col("_cum") <= F.col("_remaining"))
-        .drop("_cum")
+
+    if not any(b[4] for b in bounds):
+        partial = (
+            boundary_rows.withColumn("_cum", F.sum(F.col(tokens_col)).over(w))
+            .filter(F.col("_cum") <= F.col("_remaining"))
+            .drop("_cum")
+        )
+        return full.unionByName(partial).drop(*drop)
+
+    # --- one refinement level for every over-cap group at once ---
+    g2 = float(granularity) / 4096.0
+    # clamp to the group's own coarse-bucket span (broadcast columns):
+    # monotone, ties co-bucketed — same exactness argument as the
+    # flat version's refinement
+    b2 = F.greatest(
+        F.col("_lo"),
+        F.least(F.col("_hi"), F.floor(F.col(score_col) / F.lit(g2))),
     )
-    drop = ["_b", "_boundary", "_remaining", "_fits_all"]
-    return full.unionByName(partial).drop(*drop)
+    unref_rows = boundary_rows.filter(~F.col("_refine"))
+    sub = boundary_rows.filter(F.col("_refine")).withColumn("_b2", b2)
+    hist2 = _bounded_collect(
+        sub.groupBy(group_col, "_b2").agg(
+            F.sum(F.col(tokens_col)).alias("_toks"),
+            F.count(F.lit(1)).alias("_n"),
+        ),
+        max_buckets + 1,  # ≤ 4096 × |refined groups|, and capped
+    )
+    if len(hist2) > max_buckets:
+        raise ValueError(
+            f"(group, sub-bucket) refinement histogram exceeded "
+            f"max_buckets={max_buckets} — raise max_buckets or "
+            "boundary_cap; refusing an unbounded driver collect"
+        )
+    by2: dict = {}
+    for row in hist2:
+        by2.setdefault(row[group_col], []).append(row)
+    bounds2 = []
+    for g, rows2 in by2.items():
+        if len(rows2) == 1 and rows2[0]["_n"] > boundary_cap:
+            raise ValueError(
+                f"group {g!r} holds {rows2[0]['_n']} rows "
+                f"(> boundary_cap={boundary_cap}) at a single score "
+                "value — score refinement cannot split a point mass; "
+                "select this group separately with select_token_budget "
+                "(id-range refinement) or raise boundary_cap"
+            )
+        boundary2, _, rem2 = _driver_prefix(
+            rows2, remaining_by_group[g], "_b2", descending=True
+        )
+        # boundary2 cannot be None: the coarse bucket didn't fit
+        bounds2.append((g, int(boundary2), float(rem2)))
+    bnd2 = spark.createDataFrame(
+        bounds2, f"{group_col} {gtype}, _boundary2 long, _remaining2 double"
+    )
+    sub2 = sub.join(F.broadcast(bnd2), group_col)
+    extra_full = sub2.filter(F.col("_b2") > F.col("_boundary2")).drop(
+        "_b2", "_boundary2", "_remaining2"
+    )
+    refined_window = (
+        sub2.filter(F.col("_b2") == F.col("_boundary2"))
+        .withColumn("_rem", F.col("_remaining2"))
+        .drop("_b2", "_boundary2", "_remaining2")
+    )
+    win_in = unref_rows.withColumn("_rem", F.col("_remaining")).unionByName(
+        refined_window
+    )
+    partial = (
+        win_in.withColumn("_cum", F.sum(F.col(tokens_col)).over(w))
+        .filter(F.col("_cum") <= F.col("_rem"))
+        .drop("_cum", "_rem")
+    )
+    return full.unionByName(extra_full).unionByName(partial).drop(*drop)

@@ -369,6 +369,60 @@ def test_token_budget_by_group_float_tokens_and_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_token_budget_by_group_boundary_refinement(spark):
+    """r8: a dominant group whose boundary bucket exceeds boundary_cap
+    is refined one level (4096× finer, clamped to its own coarse
+    span) before the window — the result is still exactly the
+    per-group naive prefix, every Sort stays group-partitioned, and a
+    true point-mass group raises with guidance instead of silently
+    funnelling its membership into one window partition."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    df = spark.range(0, 900).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 600 THEN 'big' ELSE concat('g', pmod(id, 2)) END"
+        " AS grp",
+        # 'big': all scores inside [0.5, 0.5005) — ONE coarse bucket at
+        # granularity .001, but 500 distinct fine values
+        "CASE WHEN id < 600 THEN 0.5 + CAST(pmod(id * 7, 500) AS DOUBLE)"
+        " / 1e6 ELSE CAST(pmod(id * 37, 100) AS DOUBLE) / 100.0 END"
+        " AS score",
+        "CAST(2 + pmod(id, 3) AS DOUBLE) AS tokens",
+    )
+    budgets = {"big": 700.0, "g0": 120, "g1": 90}
+    out = select_token_budget_by_group(
+        df, budgets, "score", "tokens", group_col="grp", boundary_cap=50
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    want = _naive_group_prefix(df.collect(), budgets)
+    assert got == want and len(want) > 0
+    # the refined group contributed, and far fewer rows than its size
+    big_sel = sum(1 for i in got if i < 600)
+    assert 0 < big_sel < 600
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    sorts = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sorts and all("Sort [grp" in ln for ln in sorts), plan[:800]
+
+    # true point mass in a group over the cap: loud failure, never a
+    # degenerate window over the whole group
+    pm = spark.range(0, 300).selectExpr(
+        "id AS doc_id",
+        "'solid' AS grp",
+        "CAST(0.5 AS DOUBLE) AS score",
+        "CAST(1 AS DOUBLE) AS tokens",
+    )
+    with pytest.raises(ValueError, match="point mass"):
+        select_token_budget_by_group(
+            pm, {"solid": 10}, "score", "tokens", group_col="grp",
+            boundary_cap=50,
+        )
+
+
 def test_epoch_repeat_sample_is_shuffle_free(spark):
     """The epoch materializer's 100 TB claim: after the (bounded)
     planning aggregation, materialization is WHOLLY map-side — CASE
