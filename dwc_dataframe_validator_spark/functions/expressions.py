@@ -200,11 +200,7 @@ def date_parts_histogram(
     default) or ``"pandas"`` (reference-exact dateutil free text)."""
     from .dates import resolve_timestamp_parser
 
-    parse = (
-        to_timestamp_lenient
-        if date_parser == "multiformat"
-        else resolve_timestamp_parser(date_parser)
-    )
+    parse = resolve_timestamp_parser(date_parser)
     parsed = (
         df.select(parse(date_col).alias("_ts"))
         .filter(F.col("_ts").isNotNull())

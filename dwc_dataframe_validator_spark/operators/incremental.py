@@ -216,9 +216,18 @@ def _heal_tree(spark: SparkSession, path: str, tree: str) -> None:
         return
     fs, old = _fs_path(spark, f"{path}/_old_{tree}")
     if fs.exists(old):
-        fs.rename(
+        # Hadoop rename reports most failures via its RETURN VALUE,
+        # not an exception — proceeding after a false would recreate
+        # the silent-shadowing scenario this heal exists to prevent
+        if not fs.rename(
             old, spark._jvm.org.apache.hadoop.fs.Path(primary)
-        )
+        ):
+            raise IOError(
+                f"could not complete the half-swap heal: rename "
+                f"{path}/_old_{tree} -> {primary} failed; refusing to "
+                "append into a fresh tree that would shadow the "
+                "accumulated store"
+            )
 
 
 def _fp_bucket(fp) -> F.Column:

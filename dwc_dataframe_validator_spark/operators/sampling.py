@@ -146,8 +146,10 @@ def temperature_fractions(
     masses, weights, sum_w = _stratum_weights(
         df, stratum_col, tokens_col, token_budget, alpha, max_strata
     )
-    if sum_w == 0:
-        return {s: 0.0 for s in masses}
+    # every positive mass yields weight >= 2^20, so sum_w == 0 iff no
+    # strata survived — the empty dict states that directly
+    if not masses:
+        return {}
     return {
         # pinned op order: (budget·w) / Σw / T — each step correctly
         # rounded, so the oracle reproduces it bit-for-bit
@@ -164,7 +166,13 @@ def _stratum_weights(
     integer-quantized weights.  alpha=0.5 goes through sqrt
     EXPLICITLY — IEEE 754 requires sqrt correctly rounded, pow(x, 0.5)
     carries no such guarantee, and the cross-engine bit-parity
-    contract rests on every step being correctly rounded."""
+    contract rests on every step being correctly rounded.
+
+    NULL strata are excluded up front: a None key would break the
+    sorted CASE construction downstream (None is unorderable against
+    strings), and a null source is unassignable mass, not a stratum —
+    consistent with ``mixture_sample``, where an unlisted stratum
+    samples at the default rate."""
     import itertools
     import math
 
@@ -172,8 +180,12 @@ def _stratum_weights(
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    sums = df.filter(F.col(tokens_col).isNotNull()).groupBy(stratum_col).agg(
-        F.sum(F.col(tokens_col)).cast("long").alias("_toks")
+    sums = (
+        df.filter(
+            F.col(tokens_col).isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(stratum_col)
+        .agg(F.sum(F.col(tokens_col)).cast("long").alias("_toks"))
     )
     rows = list(
         itertools.islice(
@@ -256,11 +268,10 @@ def temperature_plan(
     masses, weights, sum_w = _stratum_weights(
         df, stratum_col, tokens_col, token_budget, alpha, max_strata
     )
+    # every positive mass yields weight >= 2^20, so sum_w > 0 whenever
+    # any stratum survived
     plan = {}
     for s, t in masses.items():
-        if sum_w == 0:
-            plan[s] = (0, 0.0)
-            continue
         # pinned op order mirrored by the SQL oracle
         q = float(token_budget) * weights[s] / sum_w / t
         n_epochs = int(math.floor(q))

@@ -415,19 +415,28 @@ def select_token_budget_by_group(
         boundary2, _, rem2 = _driver_prefix(
             rows2, remaining_by_group[g], "_b2", descending=True
         )
-        # boundary2 cannot be None: the coarse bucket didn't fit
-        bounds2.append((g, int(boundary2), float(rem2)))
+        # boundary2 is USUALLY non-None (the coarse bucket didn't
+        # fit), but with a floating tokens column the sub-bucket sums
+        # are independently rounded Spark doubles accumulated in a
+        # different order than phase 1 — a few ULPs can let every
+        # sub-bucket fit.  That just means the whole bucket is
+        # selected: flag fits-all instead of crashing on int(None).
+        bounds2.append(
+            (g, int(boundary2) if boundary2 is not None else 0,
+             float(rem2), boundary2 is None)
+        )
     bnd2 = spark.createDataFrame(
-        bounds2, f"{group_col} {gtype}, _boundary2 long, _remaining2 double"
+        bounds2, f"{group_col} {gtype}, _boundary2 long, "
+                 "_remaining2 double, _fits_all2 boolean"
     )
     sub2 = sub.join(F.broadcast(bnd2), group_col)
-    extra_full = sub2.filter(F.col("_b2") > F.col("_boundary2")).drop(
-        "_b2", "_boundary2", "_remaining2"
-    )
+    extra_full = sub2.filter(
+        F.col("_fits_all2") | (F.col("_b2") > F.col("_boundary2"))
+    ).drop("_b2", "_boundary2", "_remaining2", "_fits_all2")
     refined_window = (
-        sub2.filter(F.col("_b2") == F.col("_boundary2"))
+        sub2.filter(~F.col("_fits_all2") & (F.col("_b2") == F.col("_boundary2")))
         .withColumn("_rem", F.col("_remaining2"))
-        .drop("_b2", "_boundary2", "_remaining2")
+        .drop("_b2", "_boundary2", "_remaining2", "_fits_all2")
     )
     win_in = unref_rows.withColumn("_rem", F.col("_remaining")).unionByName(
         refined_window

@@ -209,6 +209,17 @@ def model_quality_score(
     logit = F.lit(QUALITY_MODEL_INTERCEPT)
     for name, w in QUALITY_MODEL_WEIGHTS:
         logit = logit + F.lit(w) * feats[name]
+    produced = (
+        {id_col, "quality_logit", "quality_pred"}
+        | {name for name, _ in QUALITY_MODEL_WEIGHTS}
+    )
+    clash = [c for c in keep_cols if c in produced]
+    if clash:
+        raise ValueError(
+            f"keep_cols {clash} collide with columns the projection "
+            "already emits — a duplicate output name raises "
+            "AMBIGUOUS_REFERENCE far from the call site; rename or drop"
+        )
     return df.select(
         F.col(id_col),
         *[feats[name].alias(name) for name, _ in QUALITY_MODEL_WEIGHTS],

@@ -174,12 +174,28 @@ def mixture_drift_dashboard(
     exactly one batch), so the fold is exact; cost is the docs tree
     (|sources| × batches rows), never the corpus.
 
-    Slices written before round 8 lack the ``n_chars`` column —
-    reading them raises; re-record or backfill (the dashboards are
-    derived artifacts, regenerable from the corpus)."""
+    Slices written before round 8 lack the ``n_chars`` column.  The
+    explicit-schema read surfaces them as NULL (never a schema-
+    inference lottery over which file gets sampled), and this fold
+    REFUSES to run over a mix — silently dropping the old batches
+    would report drift over a fraction of the corpus.  Re-record or
+    backfill (the dashboards are derived artifacts, regenerable from
+    the corpus)."""
     from ..operators.sampling import mixture_drift
 
-    docs = spark.read.parquet(f"{stats_path}/docs")
+    docs = spark.read.schema(
+        "source string, n_docs long, n_chars long"
+    ).parquet(f"{stats_path}/docs")
+    legacy = docs.filter(
+        F.col("n_chars").isNull() & F.col("n_docs").isNotNull()
+    ).limit(1)
+    if legacy.count() > 0:
+        raise ValueError(
+            f"{stats_path}/docs contains slices without the n_chars "
+            "column (recorded before the drift dashboard existed) — "
+            "folding only the newer batches would silently misreport "
+            "shares; re-record the stats or backfill the old slices"
+        )
     return mixture_drift(docs, "source", "n_chars", alpha=alpha)
 
 

@@ -1404,6 +1404,25 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_model_quality_score_keep_cols_clash_raises(spark):
+    """code-review r8: keep_cols naming a column the projection
+    already emits fails at the call site, not as a distant
+    AMBIGUOUS_REFERENCE."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators import text
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    for bad in ("doc_id", "quality_logit", "alpha_ratio"):
+        with pytest.raises(ValueError, match="collide"):
+            text.model_quality_score(df, keep_cols=(bad,))
+    # non-colliding passthrough still works
+    out = text.model_quality_score(
+        df.withColumn("extra", F.lit(1)), keep_cols=("extra",)
+    )
+    assert "extra" in out.columns
+
+
 def test_round8_samplers_on_empty_and_degenerate_input(spark):
     """Empty corpora and all-null token columns flow through the new
     samplers/planners without errors: empty plans, empty outputs,
@@ -1439,6 +1458,23 @@ def test_round8_samplers_on_empty_and_degenerate_input(spark):
     )
     row = sampling.mixture_drift(one, "src", "toks").collect()[0]
     assert row["target_share"] == 1.0 and row["drift"] == 0.0
+
+    # NULL stratum values (code-review r8): excluded as unassignable
+    # mass, never a None key that breaks the sorted CASE construction
+    mixed = spark.createDataFrame(
+        [("a", None, 50), ("b", "s1", 10), ("c", "s2", 40)],
+        "k string, src string, toks long",
+    )
+    fr = sampling.temperature_fractions(mixed, "src", "toks", 25)
+    assert set(fr) == {"s1", "s2"}
+    sampled = sampling.temperature_mixture_sample(mixed, "src", "k", "toks", 25)
+    assert all(r["src"] is not None for r in sampled.collect())
+    rep = sampling.epoch_repeat_sample(mixed, "src", "k", "toks", 200)
+    assert all(r["src"] is not None for r in rep.collect())
+    only_null = spark.createDataFrame(
+        [("a", None, 50)], "k string, src string, toks long"
+    )
+    assert sampling.temperature_fractions(only_null, "src", "toks", 25) == {}
 
 
 def test_mixture_drift_semantics(spark):

@@ -720,6 +720,19 @@ def test_streaming_dashboards_fold_equals_batch(spark, tmp_path):
     )
     assert got_drift == want_drift
 
+    # a pre-r8 slice (no n_chars) makes the drift fold REFUSE rather
+    # than silently report shares over a fraction of the corpus
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [("web", 3)], "source string, n_docs long"
+    ).write.mode("overwrite").parquet(f"{stats}/docs/batch_id=99")
+    with _pytest.raises(ValueError, match="n_chars"):
+        mixture_drift_dashboard(spark, stats)
+    import shutil
+
+    shutil.rmtree(f"{stats}/docs/batch_id=99")
+
     # replayed slice write -> identical fold (idempotence)
     record_batch_stats(batch2, 1, stats, heldout_path=held)
     assert sorted(map(tuple, dedup_dashboard(spark, stats).collect())) == want_dedup
