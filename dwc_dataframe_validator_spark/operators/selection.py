@@ -55,6 +55,12 @@ Rows with a NULL score or NULL token count are excluded up front:
 they can never be part of the (score DESC) prefix, matching the
 naive oracle's NULLS-LAST ordering, and a NULL would otherwise
 poison both the driver prefix arithmetic and the running sum.
+
+``select_token_budget_by_group`` vectorizes the same two phases over
+a per-group budget table, with the boundary window PARTITIONED BY
+GROUP and (since round 8) the same one-level score refinement for
+any group whose boundary bucket exceeds ``boundary_cap`` — see its
+docstring for the per-group shapes and the point-mass escape hatch.
 """
 
 from __future__ import annotations
