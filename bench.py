@@ -104,6 +104,7 @@ HEADLINE = [
     "epoch_repeat_stats",
     "hash_split_stats",
     "mixture_drift_by_source",
+    "corpus_diff_summary",
 ]
 
 

@@ -883,3 +883,85 @@ def index_stats(spark: SparkSession, path: str) -> dict:
 #: historical name — the stats probe originally existed only for the
 #: fingerprint store; the generic form dispatches on the meta kind
 fingerprint_index_stats = index_stats
+
+
+def corpus_diff_stats(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots — the review step of
+    iterative dataset building ("what did this recipe change?"):
+    distinct normalized-text fingerprints classified as ``added``
+    (new only), ``removed`` (old only), or ``retained`` (both), with
+    the DOCUMENT count each class carries on its relevant side (new
+    for added/retained, old for removed).
+
+    Scale shape: one fingerprint projection + grouped count per side
+    (the same hash-aggregate as exact dedup — no pairs), then a
+    full-outer join on the fingerprint.  Output cardinality is 3; the
+    join is fingerprint-keyed and shuffles each side once.  Nothing
+    driver-side, nothing quadratic — two 50 TB snapshots diff at the
+    cost of deduping each once."""
+    from .text import fingerprint as _fp
+
+    def side(df, label):
+        return (
+            _fp(df, text_col, id_col)
+            .filter(F.col("fingerprint").isNotNull())
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias(f"_docs_{label}"))
+        )
+
+    o, n = side(old, "old"), side(new, "new")
+    j = o.join(n, "fingerprint", "full_outer")
+    status = (
+        F.when(F.col("_docs_old").isNull(), F.lit("added"))
+        .when(F.col("_docs_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+    )
+    relevant_docs = F.when(
+        F.col("_docs_new").isNotNull(), F.col("_docs_new")
+    ).otherwise(F.col("_docs_old"))
+    return (
+        j.select(status.alias("status"), relevant_docs.alias("_docs"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def corpus_added(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The NEW snapshot's novel content as keeper documents: first
+    (lowest-id) new-side document of every fingerprint absent from the
+    old snapshot — what an incremental re-train actually consumes.
+    Anti-join on distinct old fingerprints + the standard keeper
+    window; same shapes as ``incremental_dedup`` against an in-memory
+    store."""
+    from .text import fingerprint as _fp
+    from pyspark.sql import Window
+
+    old_fps = (
+        _fp(old, text_col, id_col)
+        .filter(F.col("fingerprint").isNotNull())
+        .select("fingerprint")
+        .distinct()
+    )
+    new_fps = _fp(new, text_col, id_col).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    keepers = (
+        new_fps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return keepers.join(old_fps, "fingerprint", "left_anti")

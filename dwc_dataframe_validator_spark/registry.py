@@ -4218,6 +4218,82 @@ ORACLES["mixture_drift_by_source"] = """
 """
 
 
+def corpus_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/incremental.py: corpus_diff_stats):
+    two overlapping corpus versions (drop the 0-ending ids vs drop the
+    1-ending ids) classified into added / removed / retained content
+    fingerprints with their document counts — the "what did this
+    recipe change" review of iterative dataset building.  Two
+    dedup-shaped hash aggregates + one fingerprint-keyed full-outer
+    join; output cardinality 3."""
+    from .operators import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 1)
+    return incremental.corpus_diff_stats(old, new)
+
+
+QUERIES["corpus_diff_summary"] = corpus_diff_summary
+
+ORACLES["corpus_diff_summary"] = r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents WHERE text IS NOT NULL),
+    o AS (
+      SELECT fingerprint, count(*) AS docs_old
+      FROM fp WHERE doc_id % 10 <> 0 GROUP BY fingerprint),
+    n AS (
+      SELECT fingerprint, count(*) AS docs_new
+      FROM fp WHERE doc_id % 10 <> 1 GROUP BY fingerprint),
+    j AS (
+      SELECT CASE WHEN o.fingerprint IS NULL THEN 'added'
+                  WHEN n.fingerprint IS NULL THEN 'removed'
+                  ELSE 'retained' END AS status,
+             CASE WHEN n.fingerprint IS NOT NULL THEN n.docs_new
+                  ELSE o.docs_old END AS docs
+      FROM o FULL OUTER JOIN n ON o.fingerprint = n.fingerprint)
+    SELECT status, count(*) AS n_fingerprints,
+           CAST(sum(docs) AS BIGINT) AS n_docs
+    FROM j GROUP BY status
+"""
+
+
+def corpus_diff_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new snapshot's novel content as keeper documents
+    (operators/incremental.py: corpus_added) — what an incremental
+    re-train consumes.  Anti-join on the old snapshot's distinct
+    fingerprints + the standard first-per-fingerprint keeper window."""
+    from .operators import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 1)
+    return incremental.corpus_added(old, new).select("doc_id", "fingerprint")
+
+
+QUERIES["corpus_diff_added"] = corpus_diff_added
+
+ORACLES["corpus_diff_added"] = r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents WHERE text IS NOT NULL),
+    o AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+    keep AS (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+               AS rn
+      FROM fp WHERE doc_id % 10 <> 1)
+    SELECT k.doc_id, k.fingerprint
+    FROM keep k ANTI JOIN o ON k.fingerprint = o.fingerprint
+    WHERE k.rn = 1
+"""
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

@@ -1404,6 +1404,41 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_corpus_diff_semantics(spark):
+    """Snapshot diff: content identity (normalized text), not doc id —
+    a re-ingested identical document is retained, a reworded one is
+    added+removed, and the added-keepers frame is exactly the novel
+    content's first new-side documents."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        corpus_added,
+        corpus_diff_stats,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),    # retained (normalizes equal to 1)
+            (11, "brand new text"),  # added
+            (12, "brand NEW text"),  # same added content, second copy
+            (13, "kept text"),       # retained
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["status"]: (r["n_fingerprints"], r["n_docs"])
+             for r in corpus_diff_stats(old, new).collect()}
+    assert stats == {
+        "retained": (2, 2),  # alpha-beta + kept text; new-side docs
+        "added": (1, 2),     # one novel fingerprint, two new docs
+        "removed": (1, 1),   # gamma delta
+    }
+
+    added = corpus_added(old, new).collect()
+    assert [(r["doc_id"]) for r in added] == [11]  # keeper = lowest id
+
+
 def test_model_quality_score_keep_cols_clash_raises(spark):
     """code-review r8: keep_cols naming a column the projection
     already emits fails at the call site, not as a distant
