@@ -105,6 +105,7 @@ HEADLINE = [
     "hash_split_stats",
     "mixture_drift_by_source",
     "corpus_diff_summary",
+    "table_profile_orders",
 ]
 
 

@@ -4294,6 +4294,48 @@ ORACLES["corpus_diff_added"] = r"""
 """
 
 
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (operators/profile.py:
+    profile_table) over ``orders``: one aggregation pass emits a row
+    per column with non-null and distinct counts — the reference's
+    ``field_populated_counts`` generalized to any table.  The oracle
+    replays exact distincts; the default approx_count_distinct form
+    is the 100 TB path (no Expand)."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"), exact_distinct=True
+    )
+
+
+QUERIES["table_profile_orders"] = table_profile_orders
+
+
+def _table_profile_oracle_sql() -> str:
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        # Spark 4 reads parquet TIMESTAMP (isAdjustedToUTC=false) as
+        # TIMESTAMP_NTZ; the dtype literal mirrors the Spark schema
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ]
+    parts = [
+        f"""SELECT '{name}' AS "column", '{dtype}' AS dtype,
+               (SELECT count(*) FROM orders) AS n_rows,
+               count({name}) AS n_nonnull,
+               count(DISTINCT {name}) AS n_distinct
+            FROM orders"""
+        for name, dtype in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["table_profile_orders"] = _table_profile_oracle_sql()
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

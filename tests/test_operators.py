@@ -1404,6 +1404,43 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_profile_table_one_pass(spark):
+    """Whole-table profiler: per-column non-null/distinct in schema
+    order, exact vs approx variants agree on small data, the exact
+    plan carries the documented Expand, the approx plan does not, and
+    a zero-column frame raises."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (None, "b", 2.5), (4, None, 2.5)],
+        "k long, s string, v double",
+    )
+    rows = profile_table(df, exact_distinct=True).collect()
+    assert [r["column"] for r in rows] == ["k", "s", "v"]
+    assert [(r["n_rows"], r["n_nonnull"], r["n_distinct"]) for r in rows] == [
+        (4, 3, 3), (4, 3, 2), (4, 3, 2),
+    ]
+    assert [r["dtype"] for r in rows] == ["bigint", "string", "double"]
+
+    approx = profile_table(df).collect()  # HLL is exact at this size
+    assert [tuple(r) for r in approx] == [tuple(r) for r in rows]
+
+    exact_plan = (
+        profile_table(df, exact_distinct=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan        # the documented ×cols cost
+    assert "Expand" not in approx_plan   # the 100 TB path avoids it
+
+    with pytest.raises(ValueError, match="zero-column"):
+        profile_table(df.select())
+
+
 def test_corpus_diff_semantics(spark):
     """Snapshot diff: content identity (normalized text), not doc id —
     a re-ingested identical document is retained, a reworded one is
