@@ -106,6 +106,7 @@ HEADLINE = [
     "mixture_drift_by_source",
     "corpus_diff_summary",
     "table_profile_orders",
+    "bigram_surprisal_scores",
 ]
 
 

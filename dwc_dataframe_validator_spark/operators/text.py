@@ -810,6 +810,81 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM quality score on the same exact integer-log2 grid as
+    ``unigram_surprisal`` — the next step up the n-gram ladder for
+    perplexity-style filtering: per transition,
+    surprisal ≈ −log2 P(cur|prev) = floor_log2 c(prev·) −
+    floor_log2 c(prev,cur), where c(prev·) is the PREFIX count
+    (Σ_cur c(prev,cur)) — the proper MLE denominator, and free here:
+    it is a second sum-window over the same bigram aggregate, never a
+    separate unigram scan or join.
+
+    Returns ``(id_col, n_transitions, surprisal_bits,
+    bits_per_transition)`` for every document (docs with < 2 tokens:
+    0, 0, NULL).  All-integer until the one final division, so the
+    DuckDB oracle replays the values bit-for-bit.
+
+    Plan: ONE tokenize pass → map-side bigram zip (slice+arrays_zip,
+    no extra scan) → per-(doc, prev, cur) counts (shuffle 1) →
+    corpus bigram count and prefix count as TWO sum-windows over that
+    aggregate (shuffles 2-3, both on compact pair rows) → per-doc
+    aggregate (shuffle 4).  Nothing rescans text; state is the
+    distinct-bigram table, linear in corpus vocabulary usage."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+    base = df.select(F.col(id_col).alias("_doc"), toks.alias("_t"))
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_t"), 1, n1).alias("prev"),
+        F.slice(F.col("_t"), 2, n1).alias("cur"),
+    )
+    tf = (
+        base.select("_doc", F.explode(pairs).alias("_p"))
+        .select("_doc", F.col("_p.prev"), F.col("_p.cur"))
+        .groupBy("_doc", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c_big = F.sum("tf").over(Window.partitionBy("prev", "cur"))
+    c_prefix = F.sum("tf").over(Window.partitionBy("prev"))
+    flog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    scored = (
+        tf.withColumn("_cb", c_big)
+        .withColumn("_cp", c_prefix)
+        .withColumn(
+            "_bits", F.col("tf") * (flog2(F.col("_cp")) - flog2(F.col("_cb")))
+        )
+    )
+    per_doc = scored.groupBy("_doc").agg(
+        F.sum("tf").cast("long").alias("n_transitions"),
+        F.sum("_bits").cast("long").alias("surprisal_bits"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).alias(
+                "n_transitions"
+            ),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0)).alias(
+                "surprisal_bits"
+            ),
+            F.when(
+                F.col("n_transitions").isNotNull()
+                & (F.col("n_transitions") > 0),
+                F.col("surprisal_bits").cast("double")
+                / F.col("n_transitions").cast("double"),
+            ).alias("bits_per_transition"),
+        )
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     n_merges: int = 200,

@@ -4336,6 +4336,51 @@ def _table_profile_oracle_sql() -> str:
 ORACLES["table_profile_orders"] = _table_profile_oracle_sql()
 
 
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores (operators/text.py:
+    bigram_surprisal): per-document −log2 P(cur|prev) on the exact
+    integer-log2 grid, with the proper prefix-count denominator
+    computed as a second window over the same bigram aggregate — one
+    tokenize pass, no unigram join.  The oracle replays every value
+    bit-for-bit (all-integer until one final division)."""
+    return text.bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["bigram_surprisal_scores"] = bigram_surprisal_scores
+
+ORACLES["bigram_surprisal_scores"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents WHERE text IS NOT NULL),
+    pe AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(l) - 1)) AS i, l
+      FROM toks WHERE len(l) >= 2),
+    tf AS (
+      SELECT doc_id, l[i] AS prev, l[i + 1] AS cur, count(*) AS tf
+      FROM pe GROUP BY 1, 2, 3),
+    cb AS (
+      SELECT doc_id, tf,
+             CAST(sum(tf) OVER (PARTITION BY prev, cur) AS BIGINT) AS c_big,
+             CAST(sum(tf) OVER (PARTITION BY prev) AS BIGINT) AS c_prefix
+      FROM tf),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+             CAST(sum(tf * ( (length(format('{:b}', c_prefix)) - 1)
+                           - (length(format('{:b}', c_big)) - 1) ))
+                  AS BIGINT) AS surprisal_bits
+      FROM cb GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_transitions, 0) AS n_transitions,
+           coalesce(p.surprisal_bits, 0) AS surprisal_bits,
+           CASE WHEN p.n_transitions > 0
+                THEN CAST(p.surprisal_bits AS DOUBLE)
+                     / CAST(p.n_transitions AS DOUBLE)
+           END AS bits_per_transition
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

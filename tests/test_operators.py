@@ -1404,6 +1404,35 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_bigram_surprisal_hand_computed(spark):
+    """Bigram surprisal on the integer-log2 grid against a
+    hand-computed corpus: prefix-count denominators, repeated-bigram
+    tf weighting, and the <2-token NULL contract."""
+    from dwc_dataframe_validator_spark.operators.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "the cat"),
+            (3, "one"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in bigram_surprisal(df).collect()}
+    # corpus: c(the,cat)=3 with prefix c(the·)=3 -> 0 bits each;
+    # (cat,sat) and (cat,mat) are 1-of-prefix-2 -> 1 bit each;
+    # (sat,on), (on,the) are 1-of-1 -> 0 bits
+    assert got[1] == (6, 2, 2 / 6)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+
+    # single tokenize pass: exactly one scan of the input in the plan
+    plan = bigram_surprisal(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") <= 2  # zip builds, no rescan
+
+
 def test_profile_table_one_pass(spark):
     """Whole-table profiler: per-column non-null/distinct in schema
     order, exact vs approx variants agree on small data, the exact
