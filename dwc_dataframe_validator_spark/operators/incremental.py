@@ -943,11 +943,17 @@ def corpus_added(
     """The NEW snapshot's novel content as keeper documents: first
     (lowest-id) new-side document of every fingerprint absent from the
     old snapshot — what an incremental re-train actually consumes.
-    Anti-join on distinct old fingerprints + the standard keeper
-    window; same shapes as ``incremental_dedup`` against an in-memory
-    store."""
+
+    Deliberately NOT a delegation to ``incremental_dedup``, because
+    the operation orders differently for its data shape: that
+    operator collapses a SLICE first (slice ≪ store, so the window is
+    cheap and feeds the bloom screen), whereas here ``new`` is a full
+    snapshot that is MOSTLY RETAINED — so the anti-join runs FIRST,
+    and the keeper window sorts only the novel residue (the few
+    percent that changed), not the whole snapshot.  ``left_anti`` on
+    the fingerprint removes whole fingerprint groups, so filtering
+    before the per-fingerprint window is semantics-preserving."""
     from .text import fingerprint as _fp
-    from pyspark.sql import Window
 
     old_fps = (
         _fp(old, text_col, id_col)
@@ -955,13 +961,14 @@ def corpus_added(
         .select("fingerprint")
         .distinct()
     )
-    new_fps = _fp(new, text_col, id_col).filter(
-        F.col("fingerprint").isNotNull()
+    novel = (
+        _fp(new, text_col, id_col)
+        .filter(F.col("fingerprint").isNotNull())
+        .join(old_fps, "fingerprint", "left_anti")
     )
     w = Window.partitionBy("fingerprint").orderBy(id_col)
-    keepers = (
-        new_fps.withColumn("_rn", F.row_number().over(w))
+    return (
+        novel.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return keepers.join(old_fps, "fingerprint", "left_anti")

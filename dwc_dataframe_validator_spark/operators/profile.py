@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
@@ -42,7 +43,12 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     for i, f in enumerate(df.schema.fields):
         c = F.col(f"`{f.name}`")
         aggs.append(F.count(c).alias(f"_nn{i}"))
-        if exact_distinct:
+        if isinstance(f.dataType, T.MapType):
+            # Spark cannot hash/compare maps for distinct aggregation
+            # — profile the column's completeness and report NULL
+            # distincts rather than failing the whole table
+            aggs.append(F.lit(None).cast("long").alias(f"_nd{i}"))
+        elif exact_distinct:
             aggs.append(F.count_distinct(c).alias(f"_nd{i}"))
         else:
             aggs.append(F.approx_count_distinct(c).alias(f"_nd{i}"))

@@ -457,9 +457,28 @@ def ngram_jaccard_pairs(
 # vocabulary building / term weighting (training-data pipeline surface)
 # --------------------------------------------------------------------------
 
-# Word tokenization shared by term_frequencies / tfidf_top_terms.  Kept
-# to RE2-safe syntax so the DuckDB oracle runs the IDENTICAL pattern.
+# Word tokenization shared by term_frequencies / tfidf_top_terms and
+# the surprisal scorers.  Kept to RE2-safe syntax so the DuckDB oracle
+# runs the IDENTICAL pattern.
 WORD_PATTERN = r"[a-z0-9]+"
+
+
+def _word_tokens(text_col: str) -> Column:
+    """The shared lowercase word-token array expression — ONE
+    definition so every oracle-replayed tokenization stays
+    byte-identical across operators."""
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+
+
+def _flog2(c: Column) -> Column:
+    """Exact floor-log2 on the integer grid: ``len(bin(c)) − 1``.
+    This is the load-bearing cross-engine contract of the surprisal
+    scorers (both oracles replay ``length(format('{:b}', c)) - 1``) —
+    one definition so the grid cannot silently diverge between
+    operators."""
+    return (F.length(F.bin(c)) - 1).cast("long")
 
 
 def term_frequencies(
@@ -767,9 +786,7 @@ def unigram_surprisal(
     Corpus total-token count joins in as a broadcast single-row
     aggregate from its own column-pruned map-only scan.
     """
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
-    )
+    toks = _word_tokens(text_col)
     tf = (
         df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
         .groupBy("_doc", "term")
@@ -779,13 +796,12 @@ def unigram_surprisal(
     total = df.agg(
         F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("_n_total")
     )
-    flog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
     scored = (
         tf.withColumn("_c", c_term)
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_bits",
-            F.col("tf") * (flog2(F.col("_n_total")) - flog2(F.col("_c"))),
+            F.col("tf") * (_flog2(F.col("_n_total")) - _flog2(F.col("_c"))),
         )
     )
     per_doc = scored.groupBy("_doc").agg(
@@ -835,10 +851,9 @@ def bigram_surprisal(
     aggregate (shuffles 2-3, both on compact pair rows) → per-doc
     aggregate (shuffle 4).  Nothing rescans text; state is the
     distinct-bigram table, linear in corpus vocabulary usage."""
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    base = df.select(
+        F.col(id_col).alias("_doc"), _word_tokens(text_col).alias("_t")
     )
-    base = df.select(F.col(id_col).alias("_doc"), toks.alias("_t"))
     n1 = F.greatest(F.size("_t") - 1, F.lit(0))
     pairs = F.arrays_zip(
         F.slice(F.col("_t"), 1, n1).alias("prev"),
@@ -852,12 +867,12 @@ def bigram_surprisal(
     )
     c_big = F.sum("tf").over(Window.partitionBy("prev", "cur"))
     c_prefix = F.sum("tf").over(Window.partitionBy("prev"))
-    flog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
     scored = (
         tf.withColumn("_cb", c_big)
         .withColumn("_cp", c_prefix)
         .withColumn(
-            "_bits", F.col("tf") * (flog2(F.col("_cp")) - flog2(F.col("_cb")))
+            "_bits",
+            F.col("tf") * (_flog2(F.col("_cp")) - _flog2(F.col("_cb"))),
         )
     )
     per_doc = scored.groupBy("_doc").agg(
