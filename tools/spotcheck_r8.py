@@ -31,6 +31,14 @@ OPS = (
     "dedup_priority_keepers",
     "token_budget_by_group",
     "temperature_mixture_stats",
+    # late round-8 additions (documents-only readers, so the .scale100
+    # replication covers them): epoch planning (bounded agg + map-side
+    # explode), snapshot diff (two dedup-shaped aggs + one
+    # fingerprint-keyed full-outer join), bigram surprisal (compact
+    # pair aggregate + two windows over it)
+    "epoch_repeat_stats",
+    "corpus_diff_summary",
+    "bigram_surprisal_scores",
 )
 
 
