@@ -416,3 +416,41 @@ def test_epoch_plan_bit_parity_with_duckdb(masses, budget):
     """).fetchall()
     for s, n, rem in rows:
         assert plan[s] == (n, rem), (s, masses[s], budget, plan[s], (n, rem))
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_bigram_surprisal_matches_bruteforce(spark, docs):
+    """For ANY small corpus: bigram surprisal equals the brute-force
+    Python computation — prefix-count denominators, floor-log2 grid,
+    tf weighting, <2-token NULL contract."""
+    from collections import Counter
+
+    from dwc_dataframe_validator_spark.operators.text import bigram_surprisal
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in bigram_surprisal(df).collect()}
+
+    big = Counter()
+    for toks in docs:
+        big.update(zip(toks, toks[1:]))
+    prefix = Counter()
+    for (p, _), c in big.items():
+        prefix[p] += c
+    flog2 = lambda c: c.bit_length() - 1  # noqa: E731
+    for i, toks in enumerate(docs):
+        trans = list(zip(toks, toks[1:]))
+        bits = sum(flog2(prefix[p]) - flog2(big[(p, c)]) for p, c in trans)
+        n = len(trans)
+        want = (n, bits, bits / n if n else None)
+        assert got[i] == want, (i, toks, got[i], want)
