@@ -107,6 +107,7 @@ HEADLINE = [
     "corpus_diff_summary",
     "table_profile_orders",
     "bigram_surprisal_scores",
+    "top_fraction_by_source",
 ]
 
 

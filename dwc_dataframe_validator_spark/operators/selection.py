@@ -453,3 +453,43 @@ def select_token_budget_by_group(
         .drop("_cum", "_rem")
     )
     return full.unionByName(extra_full).unionByName(partial).drop(*drop)
+
+
+def select_top_fraction(
+    df: DataFrame,
+    fraction: float,
+    score_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Quantile-cutoff selection — "keep the best X% by score", the
+    fraction-based sibling of the token-budget selectors: every row
+    whose score is ≥ the (1 − fraction) quantile of the (non-null)
+    score distribution, optionally PER GROUP.
+
+    Exact and cheap at any scale: ONE interpolated-percentile
+    aggregate (cardinality 1, or |groups| with ``group_col``) feeds a
+    broadcast join, and selection is a map-side comparison — no sort,
+    no window over data rows.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` are both the sort-based interpolated estimator,
+    so the cutoff double (and therefore the selected SET) is
+    oracle-exact — the same cross-engine contract ``numeric_profile``
+    already pins.  Ties at the cutoff are all kept (≥), so the
+    selected fraction can exceed ``fraction`` on tied scores — the
+    deterministic reading of "top X%".
+
+    Percentile state is the group's score column; at extreme group
+    cardinality prefer ``approx_percentile`` behind the same shape
+    (the ``numeric_profile_approx`` pattern)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    valid = df.filter(F.col(score_col).isNotNull())
+    q = F.expr(f"percentile(`{score_col}`, {1.0 - fraction!r})").alias("_cut")
+    if group_col is None:
+        cut = valid.agg(q)
+        return valid.crossJoin(F.broadcast(cut)).filter(
+            F.col(score_col) >= F.col("_cut")
+        ).drop("_cut")
+    cuts = valid.groupBy(group_col).agg(q)
+    return valid.join(F.broadcast(cuts), group_col).filter(
+        F.col(score_col) >= F.col("_cut")
+    ).drop("_cut")

@@ -4381,6 +4381,49 @@ ORACLES["bigram_surprisal_scores"] = r"""
 """
 
 
+def top_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction-based selection (operators/selection.py:
+    select_top_fraction): the best 20% of documents per source by the
+    linear quality logit — one per-group percentile aggregate feeding
+    a broadcast join and a map-side ≥ comparison; no sort, no window
+    over data rows.  The cutoff doubles are oracle-exact (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the contract
+    ``numeric_profile`` already pins), so the selected SET crosses the
+    value gate."""
+    from .operators.selection import select_top_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.model_quality_score(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality_logit"
+    )
+    return select_top_fraction(
+        scored, 0.2, "quality_logit", group_col="source"
+    )
+
+
+QUERIES["top_fraction_by_source"] = top_fraction_by_source
+
+
+def _top_fraction_oracle_sql() -> str:
+    base = _token_budget_oracle_sql()
+    scored_prefix = base.split("cum AS")[0]
+    return f"""
+        {scored_prefix}
+        src AS (
+          SELECT s.doc_id, d.source, s.quality_logit
+          FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+        cuts AS (
+          SELECT source, quantile_cont(quality_logit, 0.8) AS cut
+          FROM src GROUP BY source)
+        SELECT s.doc_id, s.source, s.quality_logit
+        FROM src s JOIN cuts c USING (source)
+        WHERE s.quality_logit >= c.cut
+    """
+
+
+ORACLES["top_fraction_by_source"] = _top_fraction_oracle_sql()
+
+
 ORACLES["dedup_priority_keepers"] = r"""
     WITH fp AS (
       SELECT doc_id, source, n_chars,

@@ -1404,6 +1404,47 @@ def test_temperature_fractions_semantics(spark):
         sampling.temperature_fractions(df, "src", "toks", 10, max_strata=2)
 
 
+def test_select_top_fraction_semantics(spark):
+    """Quantile-cutoff selection: global and per-group, ties-kept
+    (≥ cutoff), NULL scores never selected, fraction bounds guarded,
+    and the plan is broadcast + map-side filter (no Sort/Window)."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_top_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i)) for i in range(100)]
+        + [(100, "g0", None)],
+        "doc_id long, grp string, score double",
+    )
+    top10 = select_top_fraction(df, 0.1, "score")
+    got = sorted(r["doc_id"] for r in top10.collect())
+    # (1-0.1) quantile of 0..99 interpolates to 89.1 -> scores >= 89.1
+    assert got == list(range(90, 100))
+
+    per = select_top_fraction(df, 0.5, "score", group_col="grp")
+    by = {r["grp"]: r["cnt"] for r in
+          per.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert by == {"g0": 25, "g1": 25}
+    assert not [r for r in per.collect() if r["score"] is None]
+
+    # everything / nothing
+    assert select_top_fraction(df, 1.0, "score").count() == 100
+    assert select_top_fraction(df, 0.0, "score").count() >= 1  # max ties
+
+    plan = (
+        select_top_fraction(df, 0.5, "score", group_col="grp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort [score" not in plan
+
+    with pytest.raises(ValueError, match="fraction"):
+        select_top_fraction(df, 1.5, "score")
+
+
 def test_bigram_surprisal_hand_computed(spark):
     """Bigram surprisal on the integer-log2 grid against a
     hand-computed corpus: prefix-count denominators, repeated-bigram
