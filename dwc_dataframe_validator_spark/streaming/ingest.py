@@ -72,6 +72,7 @@ def ingest_batch(
     heldout_path: str | None = None,
     stats_path: str | None = None,
     source_col: str = "source",
+    min_quality_logit: float | None = None,
 ) -> None:
     """One replay-safe ingestion step — the ``foreachBatch`` body,
     exposed for direct testing of the marker protocol.  With
@@ -81,6 +82,14 @@ def ingest_batch(
     the store or the survivors directory.  Decontamination is a pure
     deterministic filter, so it does not change the replay argument —
     a re-run filters to the same clean subset.
+
+    With ``min_quality_logit`` the batch first passes the linear
+    quality-model gate (operators/text.py ``model_quality_score``):
+    documents scoring below the threshold never pay decontamination
+    or fingerprint work and never enter the store — the full
+    gate → decontaminate → dedup pipeline, per micro-batch.  The gate
+    is a deterministic map-side projection+filter, so the replay
+    argument is unchanged.
 
     With ``stats_path`` the batch also records its per-source
     dashboard slice (streaming/dashboards.py) over the RAW batch,
@@ -105,6 +114,23 @@ def ingest_batch(
             text_col=text_col,
             id_col=id_col,
             source_col=source_col,
+        )
+    if min_quality_logit is not None:
+        from ..operators.text import model_quality_score
+
+        # pure map-side gate: score with the batch's other columns
+        # passed through (keep_cols), filter, restore the original
+        # column set — no join, no shuffle
+        cols = batch_df.columns
+        extra = tuple(c for c in cols if c != id_col)
+        batch_df = (
+            model_quality_score(
+                batch_df, text_col=text_col, id_col=id_col, keep_cols=extra
+            )
+            .filter(
+                F.col("quality_logit") >= F.lit(float(min_quality_logit))
+            )
+            .select(*cols)
         )
     if heldout_path is not None:
         hw, hbits, hmeta = incremental.load_heldout_index(
@@ -164,6 +190,7 @@ def corpus_ingest_sink(
     trigger: dict | None = None,
     stats_path: str | None = None,
     source_col: str = "source",
+    min_quality_logit: float | None = None,
 ):
     """Attach the continuous-ingestion sink to a document stream and
     return the started StreamingQuery (caller owns lifecycle).  The
@@ -192,6 +219,7 @@ def corpus_ingest_sink(
             heldout_path=heldout_path,
             stats_path=stats_path,
             source_col=source_col,
+            min_quality_logit=min_quality_logit,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)

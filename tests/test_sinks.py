@@ -495,6 +495,67 @@ def test_streaming_corpus_ingest_processing_time_trigger(spark, tmp_path):
     assert store.count() == 3  # seed + docs 11 and 21
 
 
+def test_streaming_corpus_ingest_with_quality_gate(spark, tmp_path):
+    """r8: the ingest sink's min_quality_logit option runs the linear
+    quality gate map-side before dedup — low-scoring docs never reach
+    the survivors directory or the fingerprint store, and the gate is
+    deterministic so replays stay idempotent."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        load_fingerprint_index,
+        save_fingerprint_index,
+    )
+    from dwc_dataframe_validator_spark.operators.text import (
+        model_quality_score,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        ingest_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    save_fingerprint_index(
+        fingerprint_store(
+            spark.createDataFrame([], "doc_id long, text string")
+        ),
+        idx,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and the dog is in the yard too"),
+            (2, "@@@@ #### %%%% 1 2 3"),  # junk: logit ~ -3.5
+            (3, "the quick brown fox is one of the good ones to keep"),
+        ],
+        "doc_id long, text string",
+    )
+    # verify the threshold separates the corpus as intended
+    logits = {r["doc_id"]: r["quality_logit"]
+              for r in model_quality_score(batch).collect()}
+    assert logits[2] < -1.0 < min(logits[1], logits[3])
+
+    batch.coalesce(1).write.mode("append").parquet(src)
+    q = corpus_ingest_sink(
+        spark.readStream.schema(batch.schema).parquet(src),
+        idx, out, checkpoint_path=str(tmp_path / "ckpt"),
+        min_quality_logit=-1.0,
+    )
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch_id=0").collect()}
+    assert kept == {1, 3}
+    store, _, _ = load_fingerprint_index(spark, idx)
+    assert store.count() == 2  # the junk doc's fingerprint never landed
+
+    # replay with the marker removed: deterministic gate -> same result
+    import os
+
+    os.remove(f"{out}/_commits/0")
+    ingest_batch(batch, 0, idx, out, min_quality_logit=-1.0)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/batch_id=0").collect()} == {1, 3}
+
+
 def test_streaming_corpus_ingest_with_decontamination(spark, tmp_path):
     """The streaming sink's heldout_path option mirrors
     ingest_slice_clean: contaminated docs are dropped before dedup and
