@@ -493,3 +493,36 @@ def select_top_fraction(
     return valid.join(F.broadcast(cuts), group_col).filter(
         F.col(score_col) >= F.col("_cut")
     ).drop("_cut")
+
+
+def select_top_fraction_approx(
+    df: DataFrame,
+    fraction: float,
+    score_col: str,
+    group_col: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Bounded-state twin of ``select_top_fraction`` for extreme
+    scales: the cutoff comes from ``approx_percentile``
+    (Greenwald-Khanna, O(accuracy) state per group instead of the
+    group's whole score column).  Same plan shape — tiny aggregate,
+    broadcast join, map-side ≥ — but the cutoff is an approximation
+    (rank error ≤ 1/accuracy), so the selected fraction can deviate
+    accordingly and the result is NOT SQL-oracle-exact; the error
+    bound is pinned in pytest instead (the ``numeric_profile_approx``
+    pattern)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    valid = df.filter(F.col(score_col).isNotNull())
+    q = F.expr(
+        f"approx_percentile(`{score_col}`, {1.0 - fraction!r}, {accuracy})"
+    ).alias("_cut")
+    if group_col is None:
+        cut = valid.agg(q)
+        return valid.crossJoin(F.broadcast(cut)).filter(
+            F.col(score_col) >= F.col("_cut")
+        ).drop("_cut")
+    cuts = valid.groupBy(group_col).agg(q)
+    return valid.join(F.broadcast(cuts), group_col).filter(
+        F.col(score_col) >= F.col("_cut")
+    ).drop("_cut")

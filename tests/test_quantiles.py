@@ -115,3 +115,35 @@ def test_approx_profile_empty_and_all_null(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     row = Q.numeric_profile_approx(nulls, "v").first()
     assert row["cnt"] == 0 and row["p50"] is None
+
+
+def test_select_top_fraction_approx_error_bound(spark):
+    """The bounded-state fraction selector's rank error is within the
+    Greenwald-Khanna contract: selected count within n/accuracy-ish of
+    the exact selector's, and every exactly-selected high scorer above
+    the approx cutoff's error band is included."""
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_top_fraction,
+        select_top_fraction_approx,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, 10_000).cast("double") / 100.0).alias("score"),
+    )
+    exact = select_top_fraction(df, 0.1, "score").count()
+    approx = select_top_fraction_approx(df, 0.1, "score", accuracy=10_000)
+    n = approx.count()
+    # rank error <= total/accuracy = 2; allow 10x slack for ties
+    assert abs(n - exact) <= 20, (n, exact)
+
+    per = select_top_fraction_approx(
+        df.withColumn("grp", F.pmod("doc_id", 4).cast("string")),
+        0.25, "score", group_col="grp",
+    )
+    by = {r["grp"]: r["cnt"] for r in
+          per.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    for g, c in by.items():
+        assert abs(c - 1250) <= 30, (g, c)
