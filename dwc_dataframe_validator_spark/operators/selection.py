@@ -482,17 +482,33 @@ def select_top_fraction(
     (the ``numeric_profile_approx`` pattern)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    valid = df.filter(F.col(score_col).isNotNull())
     q = F.expr(f"percentile(`{score_col}`, {1.0 - fraction!r})").alias("_cut")
+    return _apply_quantile_cutoff(df, q, score_col, group_col)
+
+
+def _apply_quantile_cutoff(df, q, score_col, group_col):
+    """Shared back half of the fraction selectors: aggregate the
+    cutoff (globally or per group), broadcast it, keep rows scoring
+    ≥ their cutoff.  The group join is NULL-SAFE: a NULL group value
+    is a legitimate group (missing source) and gets its own cutoff —
+    an equi-join would silently drop those rows."""
+    valid = df.filter(F.col(score_col).isNotNull())
     if group_col is None:
         cut = valid.agg(q)
         return valid.crossJoin(F.broadcast(cut)).filter(
             F.col(score_col) >= F.col("_cut")
         ).drop("_cut")
-    cuts = valid.groupBy(group_col).agg(q)
-    return valid.join(F.broadcast(cuts), group_col).filter(
-        F.col(score_col) >= F.col("_cut")
-    ).drop("_cut")
+    cuts = valid.groupBy(group_col).agg(q).withColumnRenamed(
+        group_col, "_cut_grp"
+    )
+    return (
+        valid.join(
+            F.broadcast(cuts),
+            F.col(group_col).eqNullSafe(F.col("_cut_grp")),
+        )
+        .filter(F.col(score_col) >= F.col("_cut"))
+        .drop("_cut", "_cut_grp")
+    )
 
 
 def select_top_fraction_approx(
@@ -513,16 +529,11 @@ def select_top_fraction_approx(
     pattern)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    valid = df.filter(F.col(score_col).isNotNull())
+    if not isinstance(accuracy, int) or accuracy <= 0:
+        raise ValueError(
+            f"accuracy must be a positive int, got {accuracy!r}"
+        )
     q = F.expr(
         f"approx_percentile(`{score_col}`, {1.0 - fraction!r}, {accuracy})"
     ).alias("_cut")
-    if group_col is None:
-        cut = valid.agg(q)
-        return valid.crossJoin(F.broadcast(cut)).filter(
-            F.col(score_col) >= F.col("_cut")
-        ).drop("_cut")
-    cuts = valid.groupBy(group_col).agg(q)
-    return valid.join(F.broadcast(cuts), group_col).filter(
-        F.col(score_col) >= F.col("_cut")
-    ).drop("_cut")
+    return _apply_quantile_cutoff(df, q, score_col, group_col)

@@ -4416,7 +4416,8 @@ def _top_fraction_oracle_sql() -> str:
           SELECT source, quantile_cont(quality_logit, 0.8) AS cut
           FROM src GROUP BY source)
         SELECT s.doc_id, s.source, s.quality_logit
-        FROM src s JOIN cuts c USING (source)
+        FROM src s JOIN cuts c
+          ON s.source IS NOT DISTINCT FROM c.source
         WHERE s.quality_logit >= c.cut
     """
 

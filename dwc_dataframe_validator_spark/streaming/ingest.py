@@ -116,22 +116,44 @@ def ingest_batch(
             source_col=source_col,
         )
     if min_quality_logit is not None:
-        from ..operators.text import model_quality_score
+        from ..operators.text import (
+            QUALITY_MODEL_WEIGHTS,
+            model_quality_score,
+        )
 
         # pure map-side gate: score with the batch's other columns
         # passed through (keep_cols), filter, restore the original
-        # column set — no join, no shuffle
+        # column set — no join, no shuffle.  Batch columns that share
+        # a name with the scorer's outputs (a stream carrying its own
+        # precomputed quality_logit, say) are renamed around the
+        # scorer instead of inheriting its collision ValueError.
         cols = batch_df.columns
-        extra = tuple(c for c in cols if c != id_col)
-        batch_df = (
+        reserved = {n for n, _ in QUALITY_MODEL_WEIGHTS} | {
+            "quality_logit", "quality_pred",
+        }
+        if text_col in reserved or id_col in reserved:
+            raise ValueError(
+                f"text_col/id_col may not use a scorer output name "
+                f"({sorted(reserved)}) when min_quality_logit is set"
+            )
+        mapping = {c: f"_gate_{c}" for c in cols if c in reserved}
+        gdf = batch_df
+        for orig, tmp in mapping.items():
+            gdf = gdf.withColumnRenamed(orig, tmp)
+        gcols = gdf.columns
+        kept = (
             model_quality_score(
-                batch_df, text_col=text_col, id_col=id_col, keep_cols=extra
+                gdf, text_col=text_col, id_col=id_col,
+                keep_cols=tuple(c for c in gcols if c != id_col),
             )
             .filter(
                 F.col("quality_logit") >= F.lit(float(min_quality_logit))
             )
-            .select(*cols)
+            .select(*gcols)
         )
+        for orig, tmp in mapping.items():
+            kept = kept.withColumnRenamed(tmp, orig)
+        batch_df = kept.select(*cols)
     if heldout_path is not None:
         hw, hbits, hmeta = incremental.load_heldout_index(
             spark, heldout_path

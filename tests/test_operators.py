@@ -1444,6 +1444,28 @@ def test_select_top_fraction_semantics(spark):
     with pytest.raises(ValueError, match="fraction"):
         select_top_fraction(df, 1.5, "score")
 
+    # NULL group value is a legitimate group with its own cutoff
+    # (code-review r8: the equi-join silently dropped those rows)
+    withnull = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "g", 5.0), (4, "g", 6.0)],
+        "doc_id long, grp string, score double",
+    )
+    kept = {r["doc_id"] for r in
+            select_top_fraction(withnull, 1.0, "score", group_col="grp")
+            .collect()}
+    assert kept == {1, 2, 3, 4}
+    top_half = {r["doc_id"] for r in
+                select_top_fraction(withnull, 0.5, "score", group_col="grp")
+                .collect()}
+    assert top_half == {2, 4}  # per-group medians, NULL group included
+
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_top_fraction_approx,
+    )
+
+    with pytest.raises(ValueError, match="accuracy"):
+        select_top_fraction_approx(df, 0.5, "score", accuracy=0)
+
 
 def test_bigram_surprisal_hand_computed(spark):
     """Bigram surprisal on the integer-log2 grid against a

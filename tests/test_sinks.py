@@ -555,6 +555,19 @@ def test_streaming_corpus_ingest_with_quality_gate(spark, tmp_path):
     assert {r["doc_id"] for r in
             spark.read.parquet(f"{out}/batch_id=0").collect()} == {1, 3}
 
+    # a stream carrying its own quality_logit column (a scorer output
+    # name) gates cleanly — the gate renames around the scorer instead
+    # of raising the keep_cols collision (code-review r8)
+    from pyspark.sql import functions as F
+
+    clash = batch.withColumn("quality_logit", F.lit(99.0))
+    out2 = str(tmp_path / "out2")
+    ingest_batch(clash, 0, idx, out2, min_quality_logit=-1.0)
+    got = spark.read.parquet(f"{out2}/batch_id=0")
+    # doc 1/3 were already ingested above, so only re-screening
+    # happens; the frame's schema survives intact either way
+    assert set(got.columns) == {"doc_id", "fingerprint", "batch_copies"}
+
 
 def test_streaming_corpus_ingest_with_decontamination(spark, tmp_path):
     """The streaming sink's heldout_path option mirrors
