@@ -330,6 +330,30 @@ def epoch_repeat_sample(
     return full.unionByName(partial).drop("_ne")
 
 
+def split_bounds(splits: dict) -> list:
+    """(name, upper_threshold) intervals for ``hash_split``, in sorted
+    name order.  Fractions that nominally sum to 1 can accumulate to
+    just under 1.0 in float, leaving a ~2^-32 sliver of the prefix
+    space unassigned — when the user clearly intends full coverage
+    (|Σf − 1| ≤ 1e-9), the last interval's upper bound is pinned to
+    cover the whole space ('g' sorts above every hex digit)."""
+    if not splits:
+        raise ValueError("splits must name at least one fraction")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bounds = []
+    cum = 0.0
+    for name in sorted(splits):
+        if splits[name] < 0:
+            raise ValueError(f"negative fraction for split {name!r}")
+        cum = cum + splits[name]
+        bounds.append((name, hash_threshold(min(cum, 1.0))))
+    if abs(total - 1.0) <= 1e-9:
+        bounds[-1] = (bounds[-1][0], hash_threshold(1.0))
+    return bounds
+
+
 def hash_split(
     df: DataFrame, key_col: str, splits: dict, other: str | None = None
 ) -> DataFrame:
@@ -347,18 +371,7 @@ def hash_split(
 
     One map-side CASE over the hash prefix — no shuffle, no sampling
     pass, and exactly reproducible in the SQL oracle."""
-    if not splits:
-        raise ValueError("splits must name at least one fraction")
-    total = sum(splits.values())
-    if total > 1.0 + 1e-9:
-        raise ValueError(f"split fractions sum to {total} > 1")
-    bounds = []
-    cum = 0.0
-    for name in sorted(splits):
-        if splits[name] < 0:
-            raise ValueError(f"negative fraction for split {name!r}")
-        cum = cum + splits[name]
-        bounds.append((name, hash_threshold(min(cum, 1.0))))
+    bounds = split_bounds(splits)
     h = _hash_prefix(key_col)
     expr = F.lit(other).cast("string") if other is not None else F.lit(None).cast("string")
     for name, upper in reversed(bounds):

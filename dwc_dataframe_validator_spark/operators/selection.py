@@ -421,6 +421,22 @@ def select_token_budget_by_group(
         boundary2, _, rem2 = _driver_prefix(
             rows2, remaining_by_group[g], "_b2", descending=True
         )
+        # the chosen SUB-boundary bucket is what the window actually
+        # pays for — a near-point-mass score can still concentrate the
+        # coarse bucket into one sub-bucket even when len(rows2) > 1,
+        # so gate on the selected bucket's row count, not the shape
+        if boundary2 is not None:
+            n_at_boundary = next(
+                (r["_n"] for r in rows2 if r["_b2"] == boundary2), 0
+            )
+            if n_at_boundary > boundary_cap:
+                raise ValueError(
+                    f"group {g!r}: refined sub-boundary bucket holds "
+                    f"{n_at_boundary} rows (> boundary_cap="
+                    f"{boundary_cap}) — near-point-mass scores; select "
+                    "this group separately with select_token_budget "
+                    "(id-range refinement) or raise boundary_cap"
+                )
         # boundary2 is USUALLY non-None (the coarse bucket didn't
         # fit), but with a floating tokens column the sub-bucket sums
         # are independently rounded Spark doubles accumulated in a

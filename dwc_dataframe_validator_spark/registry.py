@@ -4023,7 +4023,7 @@ QUERIES["temperature_mixture_stats"] = temperature_mixture_stats
 ORACLES["temperature_mixture_stats"] = f"""
     WITH t AS (
       SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
-      FROM documents WHERE n_chars IS NOT NULL
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
       GROUP BY source),
     w AS (
       SELECT source, toks,
@@ -4085,7 +4085,7 @@ QUERIES["epoch_repeat_stats"] = epoch_repeat_stats
 ORACLES["epoch_repeat_stats"] = f"""
     WITH t AS (
       SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
-      FROM documents WHERE n_chars IS NOT NULL
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
       GROUP BY source),
     w AS (
       SELECT source, toks,
@@ -4157,15 +4157,11 @@ def _hash_split_oracle_sql() -> str:
     """Interval bounds GENERATED from the same _SPLITS dict +
     ``sampling.hash_threshold`` cumulative arithmetic the Spark side
     uses — the two sides cannot drift."""
-    arms = []
-    cum = 0.0
-    for name in sorted(_SPLITS):
-        cum = cum + _SPLITS[name]
-        thr = sampling.hash_threshold(min(cum, 1.0))
-        arms.append(
-            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}' "
-            f"THEN '{name}'"
-        )
+    arms = [
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}' "
+        f"THEN '{name}'"
+        for name, thr in sampling.split_bounds(_SPLITS)
+    ]
     case = "CASE " + " ".join(arms) + " END"
     return f"""
         SELECT split, count(*) AS n_docs,

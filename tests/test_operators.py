@@ -1715,6 +1715,16 @@ def test_hash_split_partition_and_guards(spark):
     with pytest.raises(ValueError, match="negative"):
         sampling.hash_split(df, "k", {"a": -0.1, "b": 0.5})
 
+    # r9 (ADVICE): fractions summing to 1 only nominally — float cum
+    # lands at 0.9999999999999999 — must still cover the whole prefix
+    # space (last bound pinned to 'g'), so no ~2^-32 sliver of rows is
+    # silently dropped; an INTENTIONAL sub-1 sum keeps its real bound
+    sliver = {"a": 0.7, "b": 0.1, "c": 0.1, "d": 0.1}
+    assert sum(sliver.values()) < 1.0                      # float fact
+    assert sampling.split_bounds(sliver)[-1][1] == "g"
+    assert sampling.split_bounds({"a": 0.5})[-1][1] != "g"
+    assert sampling.hash_split(df, "k", sliver).count() == 3000
+
 
 def test_epoch_repeat_plan_and_materializer(spark):
     """Multi-epoch repetition: the plan is floor(q) full passes plus a

@@ -423,6 +423,35 @@ def test_token_budget_by_group_boundary_refinement(spark):
         )
 
 
+def test_token_budget_by_group_near_point_mass_guard(spark):
+    """r9 (ADVICE): a NEAR-point-mass group — ≥2 sub-buckets after
+    refinement but the chosen sub-boundary bucket still holds more
+    than boundary_cap rows — must raise like the exact point mass
+    does, not silently funnel the mass into one window partition."""
+    import pytest
+
+    from dwc_dataframe_validator_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    # 299 rows at score 0.5 plus one row 5e-7 above it: one coarse
+    # bucket (granularity .001) that refines into exactly TWO
+    # sub-buckets (sub-granularity .001/4096 ≈ 2.44e-7), with the
+    # boundary sub-bucket holding 299 rows > boundary_cap
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id",
+        "'near' AS grp",
+        "CASE WHEN id = 0 THEN CAST(0.5 + 5e-7 AS DOUBLE)"
+        " ELSE CAST(0.5 AS DOUBLE) END AS score",
+        "CAST(1 AS DOUBLE) AS tokens",
+    )
+    with pytest.raises(ValueError, match="near-point-mass"):
+        select_token_budget_by_group(
+            df, {"near": 10}, "score", "tokens", group_col="grp",
+            boundary_cap=50,
+        )
+
+
 def test_epoch_repeat_sample_is_shuffle_free(spark):
     """The epoch materializer's 100 TB claim: after the (bounded)
     planning aggregation, materialization is WHOLLY map-side — CASE
