@@ -4580,6 +4580,63 @@ ORACLES["contamination_rate_by_source"] = r"""
 """
 
 
+# --------------------------------------------------------------------------
+# round-9 additions (append-only)
+# --------------------------------------------------------------------------
+
+
+def multimodal_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free multimodal decode (operators/multimodal.py
+    ``decode_media_headers``): pure-byte PNG IHDR / JPEG SOFn / GIF /
+    BMP / WAV-fmt header parsing over binary blobs — no PIL, no stub.
+    The fixture builder plants VALID media bytes whose dimensions are
+    pure arithmetic in doc_id (ids % 17 == 0 get truncated headers →
+    ``ok=false`` with null fields), so the oracle states the expected
+    parse exactly while the Spark side must genuinely parse the
+    planted bytes to reproduce it.  Map-side only — no shuffle, O(1)
+    header scan per blob."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.attach_media_blob(docs, id_col="doc_id")
+    return multimodal.decode_media_headers(blobs)
+
+
+QUERIES["multimodal_header_meta"] = multimodal_header_meta
+
+# replays the builder's id→header arithmetic: format = id%5 (png jpeg
+# gif bmp wav), w = 16 + id%300, h = 16 + (id//7)%300, channels per
+# format (PNG color type [0,2,4,6][id%4] → [1,3,2,4] samples; JPEG
+# ncomp = 1 + (id%2)*2; BMP bitcount [8,24,32][id%3] → [1,3,4]); WAV
+# carries (channels, sample_rate) and no dimensions; id%17==0 blobs
+# are truncated to 6 bytes → all-null, ok=false
+ORACLES["multimodal_header_meta"] = """
+    SELECT doc_id AS id,
+      CASE WHEN doc_id % 17 = 0 THEN NULL
+           WHEN doc_id % 5 = 0 THEN 'image/png'
+           WHEN doc_id % 5 = 1 THEN 'image/jpeg'
+           WHEN doc_id % 5 = 2 THEN 'image/gif'
+           WHEN doc_id % 5 = 3 THEN 'image/bmp'
+           ELSE 'audio/wav' END AS mime,
+      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
+           ELSE CAST(16 + doc_id % 300 AS INT) END AS width,
+      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
+           ELSE CAST(16 + (doc_id // 7) % 300 AS INT) END AS height,
+      CASE WHEN doc_id % 17 = 0 THEN NULL
+           WHEN doc_id % 5 = 0 THEN
+             CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                  WHEN 2 THEN 2 ELSE 4 END AS INT)
+           WHEN doc_id % 5 = 1 THEN CAST(1 + (doc_id % 2) * 2 AS INT)
+           WHEN doc_id % 5 = 2 THEN 3
+           WHEN doc_id % 5 = 3 THEN
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                  ELSE 4 END AS INT)
+           ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
+           ELSE CAST(8000 * (1 + doc_id % 4) AS INT) END AS sample_rate,
+      doc_id % 17 <> 0 AS ok
+    FROM documents
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

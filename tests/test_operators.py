@@ -454,20 +454,10 @@ def test_multimodal_stub_pipeline(docs):
 
 
 def test_multimodal_decode_backend_guard(spark, docs):
-    # import-guarded backend: with PIL installed the non-fake path does
-    # a real header decode (valid PNG -> dims, garbage -> ok=False);
-    # without PIL it raises NotImplementedError.  Either branch runs
-    # cleanly in whatever container executes the suite.
-    from dwc_dataframe_validator_spark.operators.multimodal import (
-        _pil_available,
-    )
-
-    blobs = multimodal.attach_text_blob(docs)
-    if not _pil_available():
-        with pytest.raises(Exception):
-            multimodal.decode_images(blobs).collect()
-        return
-    # 1x1 red PNG + one garbage blob through the PIL branch
+    # r9: the non-fake path no longer needs PIL — with PIL installed it
+    # does a PIL header decode, without it the codec-free pure-byte
+    # header parser takes over.  The real-world 1x1 PNG + garbage probe
+    # must behave identically on EITHER branch.
     import base64
     png = base64.b64decode(
         b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
@@ -480,6 +470,96 @@ def test_multimodal_decode_backend_guard(spark, docs):
     rows = {r["id"]: r for r in multimodal.decode_images(df).collect()}
     assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (1, 1)
     assert not rows[2]["ok"]
+
+
+def test_parse_media_header_formats_and_adversarial():
+    """r9: the codec-free header parser on real-world fixture bytes
+    (known 1x1 PNG, minimal GIF89a) and adversarial layouts — JPEG
+    whose DHT (FFC4) precedes the SOF, JPEG with no SOF at all, BMP
+    with negative (top-down) height, WAV with a junk chunk before
+    fmt, truncations, empty, None.  Pure function — no Spark."""
+    import base64
+    import struct
+
+    from dwc_dataframe_validator_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    # real-world 1x1 PNG (the canonical tiny-PNG base64)
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+        b"nGP4z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    mime, w, h, ch, sr, ok = parse_media_header(png)
+    assert (mime, w, h, ok) == ("image/png", 1, 1, True) and sr is None
+
+    # minimal real GIF89a (1x1, trailer only)
+    gif = b"GIF89a" + struct.pack("<HH3B", 1, 1, 0, 0, 0) + b"\x3b"
+    assert parse_media_header(gif)[:4] == ("image/gif", 1, 1, 3)
+
+    # JPEG: DHT before SOF0 — C4 must not be mistaken for a SOF marker
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    sof = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 31, 47, 3)
+           + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    jpeg = b"\xff\xd8" + app0 + dht + sof + b"\xff\xd9"
+    assert parse_media_header(jpeg)[:4] == ("image/jpeg", 47, 31, 3)
+    # no SOF at all → malformed
+    assert parse_media_header(b"\xff\xd8" + app0 + b"\xff\xd9")[5] is False
+
+    # BMP with negative height (top-down DIB) → abs(height)
+    dib = struct.pack("<IiiHH6I", 40, 13, -9, 1, 24, 0, 0, 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+    assert parse_media_header(bmp)[:4] == ("image/bmp", 13, 9, 3)
+
+    # WAV with a junk chunk BEFORE fmt (odd size → word-align skip)
+    fmt_body = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+           + b"fmt " + struct.pack("<I", 16) + fmt_body)
+    mime, w, h, ch, sr, ok = parse_media_header(wav)
+    assert (mime, ch, sr, ok) == ("audio/wav", 2, 44100, True)
+    assert w is None and h is None
+
+    # truncations / garbage / empty / None — all not-ok, no exception
+    for bad in (png[:6], gif[:8], jpeg[:3], bmp[:20], wav[:10],
+                b"", None, b"not media at all"):
+        assert parse_media_header(bad)[5] is False
+
+
+def test_media_blob_builder_roundtrip(spark):
+    """r9: end-to-end Spark pipeline — deterministic REAL media bytes
+    (attach_media_blob) through decode_media_headers recovers exactly
+    the planted parameters for every format, and truncated blobs
+    (id % 17 == 0) come back all-null/ok=False."""
+    from dwc_dataframe_validator_spark.operators.multimodal import (
+        attach_media_blob,
+        decode_media_headers,
+    )
+
+    ids = spark.range(0, 200).selectExpr("id AS doc_id")
+    out = decode_media_headers(attach_media_blob(ids))
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    for i, r in rows.items():
+        if i % 17 == 0:
+            assert not r["ok"] and r["mime"] is None and r["width"] is None
+            continue
+        assert r["ok"]
+        fmt = i % 5
+        if fmt == 4:
+            assert r["mime"] == "audio/wav"
+            assert r["width"] is None and r["height"] is None
+            assert r["channels"] == 1 + i % 2
+            assert r["sample_rate"] == 8000 * (1 + i % 4)
+        else:
+            assert r["width"] == 16 + i % 300
+            assert r["height"] == 16 + (i // 7) % 300
+            assert r["sample_rate"] is None
+    # PNG channels follow the color-type cycle; BMP the bitcount cycle
+    assert rows[5]["channels"] == 3    # id 5: png, color type 2 → RGB
+    assert rows[3]["channels"] == 1    # id 3: bmp, bitcount 8
 
 
 def test_multimodal_decode_null_payload(docs):
