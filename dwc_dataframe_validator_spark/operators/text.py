@@ -900,6 +900,166 @@ def bigram_surprisal(
     )
 
 
+def trigram_surprisal(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram-LM quality score with STUPID BACKOFF on the exact
+    integer-log2 grid — the KenLM-shaped step up from
+    ``bigram_surprisal``, in the deployment shape real perplexity
+    filters use: the model is counted on ``model_df`` (a held-in
+    reference corpus, e.g. the curated slice) and applied to ``df``
+    (the candidate corpus), so unseen n-grams actually occur and the
+    backoff chain is live, not dead code.
+
+    Per scored position (full trigram context, i.e. tokens 3..n):
+
+    - trigram seen:  bits = flog2 c(p2,p1,·) − flog2 c(p2,p1,cur)
+    - else bigram:   bits = 1 + flog2 c(p1,·) − flog2 c(p1,cur)
+    - else unigram:  bits = 2 + flog2 N − flog2 c(cur)
+    - else OOV:      bits = 2 + flog2 N          (count-1 convention)
+
+    The +1/+2 terms are the backoff penalty λ = 1/2 per level —
+    stupid backoff's λ=0.4 rounded onto the integer-bit grid so every
+    value stays an exact long until the one final division (the same
+    cross-engine contract as the uni/bigram scorers; ``model_df=None``
+    scores the corpus under its own counts, where backoff never fires).
+
+    Returns ``(id_col, n_scored, surprisal_bits, n_backoff_bigram,
+    n_backoff_unigram, n_oov, bits_per_transition)`` for every
+    document of ``df`` (docs with < 3 tokens: zeros, NULL ratio).
+
+    Plan/scale: model-side counts are three aggregates over ONE
+    tokenize pass of the model corpus, each bounded by its distinct
+    n-gram vocabulary (state ∝ model corpus, not candidate corpus);
+    prefix denominators are sum-windows over the same aggregates —
+    never a second scan.  Scoring compresses the candidate corpus to
+    per-(doc, trigram) counts FIRST, then three left joins on compact
+    gram keys (AQE broadcasts them when the reference model is small —
+    the common case: curated slice ≪ crawl)."""
+    if model_df is None:
+        model_df = df
+
+    mbase = model_df.select(_word_tokens(text_col).alias("_t"))
+    n2 = F.greatest(F.size("_t") - 2, F.lit(0))
+    mtri = F.arrays_zip(
+        F.slice(F.col("_t"), 1, n2).alias("p2"),
+        F.slice(F.col("_t"), 2, n2).alias("p1"),
+        F.slice(F.col("_t"), 3, n2).alias("cur"),
+    )
+    tri3 = (
+        mbase.select(F.explode(mtri).alias("_g"))
+        .select("_g.p2", "_g.p1", "_g.cur")
+        .groupBy("p2", "p1", "cur")
+        .agg(F.count(F.lit(1)).alias("_c3"))
+        .withColumn(
+            "_c3p", F.sum("_c3").over(Window.partitionBy("p2", "p1"))
+        )
+    )
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    mbig = F.arrays_zip(
+        F.slice(F.col("_t"), 1, n1).alias("p1"),
+        F.slice(F.col("_t"), 2, n1).alias("cur"),
+    )
+    big2 = (
+        mbase.select(F.explode(mbig).alias("_g"))
+        .select("_g.p1", "_g.cur")
+        .groupBy("p1", "cur")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .withColumn("_c2p", F.sum("_c2").over(Window.partitionBy("p1")))
+    )
+    uni1 = (
+        mbase.select(F.explode("_t").alias("cur"))
+        .groupBy("cur")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    total = mbase.agg(
+        F.coalesce(F.sum(F.size("_t")), F.lit(0)).cast("long").alias("_n_total")
+    )
+
+    dbase = df.select(
+        F.col(id_col).alias("_doc"), _word_tokens(text_col).alias("_t")
+    )
+    dtri = F.arrays_zip(
+        F.slice(F.col("_t"), 1, n2).alias("p2"),
+        F.slice(F.col("_t"), 2, n2).alias("p1"),
+        F.slice(F.col("_t"), 3, n2).alias("cur"),
+    )
+    tf = (
+        dbase.select("_doc", F.explode(dtri).alias("_g"))
+        .select("_doc", "_g.p2", "_g.p1", "_g.cur")
+        .groupBy("_doc", "p2", "p1", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    joined = (
+        tf.join(tri3, ["p2", "p1", "cur"], "left")
+        .join(big2, ["p1", "cur"], "left")
+        .join(uni1, ["cur"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    bits = (
+        F.when(
+            F.col("_c3").isNotNull(),
+            _flog2(F.col("_c3p")) - _flog2(F.col("_c3")),
+        )
+        .when(
+            F.col("_c2").isNotNull(),
+            F.lit(1) + _flog2(F.col("_c2p")) - _flog2(F.col("_c2")),
+        )
+        .when(
+            F.col("_c1").isNotNull(),
+            F.lit(2) + _flog2(F.col("_n_total")) - _flog2(F.col("_c1")),
+        )
+        .otherwise(F.lit(2) + _flog2(F.col("_n_total")))
+    )
+    level = (
+        F.when(F.col("_c3").isNotNull(), F.lit(0))
+        .when(F.col("_c2").isNotNull(), F.lit(1))
+        .when(F.col("_c1").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    per_doc = joined.withColumn("_bits", F.col("tf") * bits).withColumn(
+        "_lvl", level
+    ).groupBy("_doc").agg(
+        F.sum("tf").cast("long").alias("n_scored"),
+        F.sum("_bits").cast("long").alias("surprisal_bits"),
+        F.sum(F.when(F.col("_lvl") == 1, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff_bigram"),
+        F.sum(F.when(F.col("_lvl") == 2, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff_unigram"),
+        F.sum(F.when(F.col("_lvl") == 3, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_scored"), F.lit(0)).alias("n_scored"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0)).alias(
+                "surprisal_bits"
+            ),
+            F.coalesce(F.col("n_backoff_bigram"), F.lit(0)).alias(
+                "n_backoff_bigram"
+            ),
+            F.coalesce(F.col("n_backoff_unigram"), F.lit(0)).alias(
+                "n_backoff_unigram"
+            ),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.when(
+                F.col("n_scored").isNotNull() & (F.col("n_scored") > 0),
+                F.col("surprisal_bits").cast("double")
+                / F.col("n_scored").cast("double"),
+            ).alias("bits_per_transition"),
+        )
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     n_merges: int = 200,

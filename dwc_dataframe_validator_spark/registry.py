@@ -4637,6 +4637,113 @@ ORACLES["multimodal_header_meta"] = """
 """
 
 
+def trigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM stupid-backoff quality scores (operators/text.py:
+    trigram_surprisal) in the real deployment shape: the model is
+    counted on a held-in 30% reference slice (deterministic md5 split)
+    and applied to the remaining 70%, so unseen n-grams exercise the
+    live backoff chain (trigram → +1 bit bigram → +2 bit unigram →
+    OOV).  All-integer on the floor-log2 grid until one final
+    division — the oracle replays every value bit-for-bit, including
+    the per-level backoff tallies."""
+    docs = load_table(spark, sf_dir, "documents")
+    held = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.3))
+    return text.trigram_surprisal(
+        docs.filter(~held), model_df=docs.filter(held)
+    )
+
+
+QUERIES["trigram_surprisal_scores"] = trigram_surprisal_scores
+
+ORACLES["trigram_surprisal_scores"] = r"""
+    WITH full_t AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
+      FROM documents),
+    toks AS (
+      SELECT doc_id, held,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM full_t WHERE text IS NOT NULL),
+    mt AS (
+      SELECT l[i] AS p2, l[i + 1] AS p1, l[i + 2] AS cur
+      FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i
+            FROM toks WHERE held AND len(l) >= 3)),
+    tri AS (
+      SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c3
+      FROM mt GROUP BY 1, 2, 3),
+    tri2 AS (
+      SELECT p2, p1, cur, c3,
+             CAST(sum(c3) OVER (PARTITION BY p2, p1) AS BIGINT) AS c3p
+      FROM tri),
+    mb AS (
+      SELECT l[i] AS p1, l[i + 1] AS cur
+      FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM toks WHERE held AND len(l) >= 2)),
+    big AS (
+      SELECT p1, cur, CAST(count(*) AS BIGINT) AS c2
+      FROM mb GROUP BY 1, 2),
+    big2 AS (
+      SELECT p1, cur, c2,
+             CAST(sum(c2) OVER (PARTITION BY p1) AS BIGINT) AS c2p
+      FROM big),
+    mu AS (SELECT unnest(l) AS cur FROM toks WHERE held),
+    uni AS (SELECT cur, CAST(count(*) AS BIGINT) AS c1 FROM mu GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM mu),
+    dt AS (
+      SELECT doc_id, l[i] AS p2, l[i + 1] AS p1, l[i + 2] AS cur
+      FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+            FROM toks WHERE NOT held AND len(l) >= 3)),
+    tf AS (
+      SELECT doc_id, p2, p1, cur, CAST(count(*) AS BIGINT) AS tf
+      FROM dt GROUP BY 1, 2, 3, 4),
+    sc AS (
+      SELECT tf.doc_id, tf.tf,
+             CASE WHEN t.c3 IS NOT NULL THEN
+                    (length(format('{:b}', t.c3p)) - 1)
+                    - (length(format('{:b}', t.c3)) - 1)
+                  WHEN b.c2 IS NOT NULL THEN
+                    1 + (length(format('{:b}', b.c2p)) - 1)
+                    - (length(format('{:b}', b.c2)) - 1)
+                  WHEN u.c1 IS NOT NULL THEN
+                    2 + (length(format('{:b}', n_total)) - 1)
+                    - (length(format('{:b}', u.c1)) - 1)
+                  ELSE 2 + (length(format('{:b}', n_total)) - 1)
+             END AS bits,
+             CASE WHEN t.c3 IS NOT NULL THEN 0
+                  WHEN b.c2 IS NOT NULL THEN 1
+                  WHEN u.c1 IS NOT NULL THEN 2 ELSE 3 END AS lvl
+      FROM tf
+      LEFT JOIN tri2 t USING (p2, p1, cur)
+      LEFT JOIN big2 b USING (p1, cur)
+      LEFT JOIN uni u USING (cur), tot),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_scored,
+             CAST(sum(tf * bits) AS BIGINT) AS surprisal_bits,
+             CAST(sum(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS BIGINT)
+               AS n_backoff_bigram,
+             CAST(sum(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS BIGINT)
+               AS n_backoff_unigram,
+             CAST(sum(CASE WHEN lvl = 3 THEN tf ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_scored, 0) AS n_scored,
+           coalesce(p.surprisal_bits, 0) AS surprisal_bits,
+           coalesce(p.n_backoff_bigram, 0) AS n_backoff_bigram,
+           coalesce(p.n_backoff_unigram, 0) AS n_backoff_unigram,
+           coalesce(p.n_oov, 0) AS n_oov,
+           CASE WHEN p.n_scored > 0
+                THEN CAST(p.surprisal_bits AS DOUBLE)
+                     / CAST(p.n_scored AS DOUBLE)
+           END AS bits_per_transition
+    FROM (SELECT doc_id FROM full_t WHERE NOT held) d
+    LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -454,3 +454,77 @@ def test_bigram_surprisal_matches_bruteforce(spark, docs):
         n = len(trans)
         want = (n, bits, bits / n if n else None)
         assert got[i] == want, (i, toks, got[i], want)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    model=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=6,
+    ),
+    target=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=6,
+    ),
+)
+def test_trigram_surprisal_matches_bruteforce(spark, model, target):
+    """r9: for ANY (model, target) corpus pair the stupid-backoff
+    trigram scorer equals the brute-force Python computation — live
+    backoff levels (target vocab ⊃ model vocab forces bigram/unigram
+    backoffs and OOVs), floor-log2 grid, +1-bit-per-level penalty,
+    <3-token zero contract, per-level tallies."""
+    from collections import Counter
+
+    from dwc_dataframe_validator_spark.operators.text import trigram_surprisal
+
+    mdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(model)],
+        "doc_id long, text string",
+    )
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(target)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in trigram_surprisal(tdf, model_df=mdf).collect()
+    }
+
+    tri, big, uni = Counter(), Counter(), Counter()
+    n_total = 0
+    for toks in model:
+        tri.update(zip(toks, toks[1:], toks[2:]))
+        big.update(zip(toks, toks[1:]))
+        uni.update(toks)
+        n_total += len(toks)
+    trip = Counter()
+    for (p2, p1, _), c in tri.items():
+        trip[(p2, p1)] += c
+    bigp = Counter()
+    for (p1, _), c in big.items():
+        bigp[p1] += c
+    # engine convention: bin(0) renders as "0" → flog2(0) = 0 (an
+    # all-empty model makes n_total = 0 on the OOV branch)
+    flog2 = lambda c: max(c.bit_length() - 1, 0)  # noqa: E731
+
+    for i, toks in enumerate(target):
+        grams = list(zip(toks, toks[1:], toks[2:]))
+        bits = n_b2 = n_b1 = n_oov = 0
+        for p2, p1, cur in grams:
+            if (p2, p1, cur) in tri:
+                bits += flog2(trip[(p2, p1)]) - flog2(tri[(p2, p1, cur)])
+            elif (p1, cur) in big:
+                bits += 1 + flog2(bigp[p1]) - flog2(big[(p1, cur)])
+                n_b2 += 1
+            elif cur in uni:
+                bits += 2 + flog2(n_total) - flog2(uni[cur])
+                n_b1 += 1
+            else:
+                bits += 2 + flog2(n_total)
+                n_oov += 1
+        n = len(grams)
+        want = (n, bits, n_b2, n_b1, n_oov, bits / n if n else None)
+        assert got[i] == want, (i, toks, got[i], want)
