@@ -238,6 +238,7 @@ def ivf_topk_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    predicate=None,
 ) -> DataFrame:
     """IVF top-k with nprobe > 1: each query scans its ``nprobe``
     nearest cells instead of exactly one, recovering the true neighbors
@@ -247,7 +248,14 @@ def ivf_topk_multiprobe(
 
     Still a cell equi-join: the probe set replaces the single assigned
     cell, and because every corpus row lives in exactly one cell, no
-    candidate is generated twice — no dedup pass needed."""
+    candidate is generated twice — no dedup pass needed.
+
+    ``predicate`` filters corpus rows beneath the search (same
+    contract as ``ivf_topk``) — this is the escalation path for
+    filtered serving when a selective predicate starves single-cell
+    probes below k survivors."""
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
     probes = probe_cells(queries, centers, nprobe, id_col, vec_col, cell_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -363,11 +371,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    predicate=None,
 ) -> DataFrame:
     """IVF-style top-k: candidates restricted to the query's cell
     (equi-join on the cell column instead of a cross join).  With a
     cell count of C this scans ~1/C of the corpus per query — the
-    standard ANN recall/throughput trade."""
+    standard ANN recall/throughput trade.
+
+    ``predicate`` (Column or SQL string) is a metadata filter pushed
+    BENEATH the search: corpus rows are filtered before the cell join,
+    so Catalyst lands it in the scan (PushedFilters) alongside any
+    partition pruning — filtered serving, not post-filtering of a
+    top-k that would return < k survivors.  Recall interaction: a
+    selective predicate can leave fewer than k candidates in the
+    probed cell; escalate with ``ivf_topk_multiprobe(..., predicate=)``
+    (more cells per query) when the application needs a full k."""
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -1268,15 +1288,28 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    predicate=None,
 ) -> DataFrame:
     """Query a PERSISTED index: assign each query to its cell with the
     reloaded quantizer (map-side transform of the tiny query side),
     then run the cell-blocked ``ivf_topk`` against the partitioned
     corpus — the equi-join on the partition column reaches the scan as
-    a partition filter, so only the probed cells' files are read."""
+    a partition filter, so only the probed cells' files are read.
+
+    ``predicate`` (Column or SQL string over the indexed corpus's
+    columns) enables predicate+vector serving: it is applied to the
+    corpus BEFORE the cell join, so it reaches the same pruned scan as
+    a PushedFilters data filter — PartitionFilters still prune to the
+    probed cells (pytest-pinned), and only predicate survivors are
+    ranked.  A selective predicate can leave < k survivors in a
+    query's cell; serve those queries again via
+    ``ivf_topk_multiprobe(..., predicate=)`` with nprobe > 1 (recall
+    escalation at linear cost), or re-fit with fewer cells."""
     from pyspark.ml.functions import array_to_vector
 
     corpus, model = load_ivf_index(spark, path)
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
     feat = f"_features_{cell_col}"
     q = (
         model.transform(
@@ -1591,6 +1624,7 @@ def ivfpq_topk_from_index(
     shortlist: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF-PQ index: assign each query's
     cell with the frozen quantizer (map-side, tiny side) → scan ONLY
@@ -1603,7 +1637,15 @@ def ivfpq_topk_from_index(
     Returns (query_id, neighbor_id, rank, sim) — rank by exact cosine
     over the shortlist; with ``shortlist`` ≥ cell size this equals the
     cell-exact ``ivf_topk`` result (pytest-pinned), smaller shortlists
-    trade recall for re-rank I/O."""
+    trade recall for re-rank I/O.
+
+    ``predicate`` (over the CODE tree's columns — metadata columns
+    must be materialized into the codes parquet at build/append time
+    to be filterable) is applied before the ADC join, i.e. BENEATH the
+    shortlist: survivors-only enter the LUT scoring, so the shortlist
+    is not silently eaten by rows the filter would discard afterwards.
+    Same recall note as ``ivf_topk_from_index``: selective predicates
+    can starve a cell below k — raise ``shortlist``/re-probe."""
     from pyspark.ml.clustering import KMeansModel
     from pyspark.ml.functions import array_to_vector
 
@@ -1648,6 +1690,8 @@ def ivfpq_topk_from_index(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(cells)
     )
+    if predicate is not None:
+        codes = codes.filter(predicate)
     cand = (
         q.select("query_id", "_qcell")
         .join(codes, F.col("_qcell") == F.col("cell"))

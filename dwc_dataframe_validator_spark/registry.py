@@ -4744,6 +4744,43 @@ ORACLES["trigram_surprisal_scores"] = r"""
 """
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate+vector serving (operators/similarity.py ``ivf_topk``
+    with ``predicate=``): a metadata filter pushed BENEATH the ANN
+    search — corpus rows are filtered before the cell join, so only
+    predicate survivors are ranked and the filter reaches the scan,
+    instead of post-filtering a top-k down to < k rows.  Exact oracle:
+    the same cell equi-join + predicate + rank replayed in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter("vec_id < 8"), k=3,
+        predicate="vec_id % 3 = 0",
+    )
+
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+
+ORACLES["ann_filtered_topk"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT qid AS query_id, e.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(qe, e.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(qe,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM q JOIN embeddings e
+        ON e.label = q.ql AND e.vec_id <> qid AND e.vec_id % 3 = 0)
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+    WHERE rank <= 3
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

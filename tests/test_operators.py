@@ -2484,6 +2484,28 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     plan = corpus.filter(F.col("cell") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cell" in plan, plan[:600]
 
+    # r9: FILTERED serving — a metadata predicate pushed beneath the
+    # search equals brute-force-filtered top-k within the probed cell,
+    # the predicate reaches the scan as a data filter (PushedFilters),
+    # and PartitionFilters still prune on the cell column
+    pred = "vec_id % 2 = 0"
+    wantf = sorted(map(tuple, ivf_topk(
+        assigned.filter(pred), queries, k=3, cell_col="cell"
+    ).collect()))
+    gotf_df = ivf_topk_from_index(
+        spark, path, queries.drop("cell"), k=3, predicate=pred
+    )
+    gotf = sorted(map(tuple, gotf_df.collect()))
+    assert gotf == wantf and len(gotf) > 0
+    fplan = gotf_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in fplan, fplan[:900]
+    assert "PushedFilters" in fplan, fplan[:900]
+    # the predicate must restrict candidates: an always-false filter
+    # yields no neighbors at all
+    assert ivf_topk_from_index(
+        spark, path, queries.drop("cell"), k=3, predicate="vec_id < 0"
+    ).count() == 0
+
 
 def test_incremental_dedup_ingest_roundtrip(spark, tmp_path):
     """Incremental ingestion contract (operators/incremental.py):
@@ -2741,6 +2763,19 @@ def test_ivfpq_index_serves_cell_exact_with_full_shortlist(spark, tmp_path):
     small = ivfpq_topk_from_index(spark, path, queries, k=3, shortlist=5)
     per_q = {r["query_id"] for r in small.collect()}
     assert per_q == {r["vec_id"] for r in queries.collect()}
+
+    # r9: filtered IVF-PQ serving — predicate beneath the shortlist
+    # (on the codes tree) with a full shortlist equals the cell-exact
+    # filtered result
+    pred = "vec_id % 2 = 0"
+    gotf = sorted(map(tuple, ivfpq_topk_from_index(
+        spark, path, queries, k=3, shortlist=10_000, predicate=pred
+    ).select("query_id", "neighbor_id", "rank").collect()))
+    wantf = sorted(map(tuple, ivf_topk(
+        assigned.filter(pred), assigned.filter(F.col("vec_id") < 5),
+        k=3, cell_col="cell",
+    ).select("query_id", "neighbor_id", "rank").collect()))
+    assert gotf == wantf and len(gotf) > 0
 
     # partition pruning on both trees
     codes = spark.read.parquet(f"{path}/codes").filter(
