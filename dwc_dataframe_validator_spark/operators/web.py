@@ -1,0 +1,228 @@
+"""URL/domain curation operators — the web-corpus half of corpus
+assembly: URL normalization, registrable-domain extraction, URL-keyed
+dedup and the per-domain mix dashboard (the "is one domain drowning
+the corpus?" monitoring view).
+
+Every transformation here is a Catalyst expression built from
+regexp_extract / regexp_replace / higher-order array functions — no
+Python in the hot path, and deliberately NOT `parse_url`: the Java
+URL parser has no DuckDB twin, while these anchored regexes evaluate
+identically in Spark (Java regex) and DuckDB (RE2), which is what
+makes the registry oracles value-exact.
+
+Normalization rules (the C4/CCNet-style canon):
+- scheme and host lowercased
+- userinfo stripped, default ports stripped (http:80, https:443)
+- fragment dropped
+- tracking params dropped (utm_*, gclid, fbclid), other params kept
+  in original order
+- empty path canonicalized to "/"
+- anything without a ``scheme://host`` shape → NULL (invalid)
+
+Scale notes (100 TB): normalization and domain extraction are
+map-side, codegen-friendly, shuffle-free.  ``url_dedup_keepers`` is
+ONE groupBy on the normalized URL; ``domain_mix_stats`` is ONE groupBy
+on the registrable domain — both partial-aggregated map-side first.
+Domain skew is real on web corpora (a crawler's top domain can be
+1000× the median); the dashboard exists precisely to catch that, and
+its aggregate is a two-level combine that never materializes a
+per-domain row list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one scheme grammar, reused by every extraction below
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+#: tracking query parameters stripped by normalization
+TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
+#: two-label public suffixes for the registrable-domain heuristic —
+#: a deliberately small, documented subset of the public-suffix list
+#: (full PSL integration is a data file swap, not a code change)
+MULTI_TLDS = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
+    "co.jp", "co.in", "com.br", "co.nz",
+)
+
+
+def url_is_valid(url: Column) -> Column:
+    """scheme://non-empty-host shape check — the gate for every other
+    extraction (invalid rows carry NULL through, never garbage)."""
+    return url.rlike(_SCHEME_RE + "[^/?#]")
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def _hostport(url: Column) -> Column:
+    auth = F.regexp_extract(url, _SCHEME_RE + "([^/?#]*)", 1)
+    return F.regexp_replace(auth, "^[^@]*@", "")  # strip userinfo
+
+
+def url_host(url: Column) -> Column:
+    return F.lower(F.regexp_replace(_hostport(url), ":[0-9]+$", ""))
+
+
+def url_port(url: Column) -> Column:
+    """Port as a string, '' when absent."""
+    return F.regexp_extract(_hostport(url), ":([0-9]+)$", 1)
+
+
+def url_path(url: Column) -> Column:
+    return F.regexp_extract(url, _SCHEME_RE + "[^/?#]*([^?#]*)", 1)
+
+
+def url_query(url: Column) -> Column:
+    """Query string without the '?', '' when absent.  The fragment is
+    cut FIRST so a '?' inside a fragment is never mistaken for one."""
+    return F.regexp_extract(
+        F.regexp_replace(url, "#.*$", ""), "\\?(.*)$", 1
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL string (NULL for invalid input) under the module
+    docstring's rules."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    path = url_path(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+        F.lit("")
+    )
+    params = F.filter(
+        F.split(url_query(url), "&"),
+        lambda t: (t != "") & ~t.rlike(TRACKING_PARAM_RE),
+    )
+    qn = F.array_join(params, "&")
+    q_part = F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit(""))
+    path_n = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(
+        url_is_valid(url),
+        F.concat(scheme, F.lit("://"), host, port_part, path_n, q_part),
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 heuristic: the last two host labels, or three when the
+    last two form a known multi-part public suffix (``MULTI_TLDS``).
+    NULL host → NULL."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        # explicit NULL gate: concat_ws never yields NULL (all-null
+        # args give ''), so a null host must short-circuit first
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(n <= 1, host)
+        .when((n >= 3) & last2.isin(*MULTI_TLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def normalize_urls(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Adds ``url_norm``, ``scheme``, ``host``, ``domain`` (registrable)
+    to every row — NULLs for invalid URLs.  Pure map-side projection."""
+    u = F.col(url_col)
+    valid = url_is_valid(u)
+    host = F.when(valid, url_host(u))
+    return df.select(
+        "*",
+        normalize_url(u).alias("url_norm"),
+        F.when(valid, url_scheme(u)).alias("scheme"),
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
+    )
+
+
+def url_dedup_keepers(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One keeper per NORMALIZED URL (min id — deterministic), the
+    URL-keyed sibling of the content-fingerprint dedup: re-crawls and
+    tracking-param variants of the same page collapse to one document.
+    Invalid-URL rows have no key and are all kept.  ONE shuffle on the
+    normalized-URL key."""
+    with_norm = df.select(
+        "*", normalize_url(F.col(url_col)).alias("_url_norm")
+    )
+    invalid = with_norm.filter(F.col("_url_norm").isNull()).drop("_url_norm")
+    keeper_ids = (
+        with_norm.filter(F.col("_url_norm").isNotNull())
+        .groupBy("_url_norm")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    kept = df.join(keeper_ids, id_col, "left_semi")
+    return kept.unionByName(invalid.select(df.columns))
+
+
+def domain_mix_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    tokens_col: str | None = None,
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Per-registrable-domain corpus mix dashboard: document count,
+    corpus share, optional token mass and share, optional duplicate
+    rate (1 − distinct fingerprints / docs — re-crawl pressure per
+    domain).  Invalid URLs roll up under domain NULL so dropped mass
+    stays visible rather than vanishing.
+
+    ONE aggregation over map-side-derived keys + a broadcast of the
+    1-row totals — bounded output (= |domains|), no driver collect."""
+    u = F.col(url_col)
+    host = F.when(url_is_valid(u), url_host(u))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if tokens_col is not None:
+        aggs.append(
+            F.sum(F.col(tokens_col)).cast("long").alias("n_tokens")
+        )
+    if fingerprint_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(fingerprint_col)).alias("n_distinct_fp")
+        )
+    per = df.select(
+        registrable_domain(host).alias("domain"), "*"
+    ).groupBy("domain").agg(*aggs)
+    totals = per.agg(
+        F.sum("n_docs").alias("_t_docs"),
+        *(
+            [F.sum("n_tokens").alias("_t_toks")]
+            if tokens_col is not None
+            else []
+        ),
+    )
+    out = per.crossJoin(F.broadcast(totals)).withColumn(
+        "doc_share",
+        F.col("n_docs").cast("double") / F.col("_t_docs").cast("double"),
+    )
+    if tokens_col is not None:
+        out = out.withColumn(
+            "token_share",
+            F.col("n_tokens").cast("double") / F.col("_t_toks").cast("double"),
+        ).drop("_t_toks")
+    if fingerprint_col is not None:
+        out = out.withColumn(
+            "dup_rate",
+            F.lit(1.0)
+            - F.col("n_distinct_fp").cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+    return out.drop("_t_docs")

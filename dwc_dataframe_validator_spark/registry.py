@@ -4781,6 +4781,218 @@ ORACLES["ann_filtered_topk"] = """
 """
 
 
+def _synthetic_url_col() -> F.Column:
+    """Deterministic messy-URL fixture: every curation rule gets
+    exercised — uppercase scheme/host, www, default and non-default
+    ports, userinfo, tracking params mixed with real ones, fragments,
+    multi-part TLDs, and invalid rows (doc_id % 4 == 3).  Case 0 omits
+    doc_id from the path on purpose, so re-crawl duplicates exist for
+    the URL dedup.  The SQL twin is ``_URL_FIXTURE_SQL``."""
+    d = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.News"), s(d % 20),
+                F.lit(".COM:80/story?utm_source=feed&fbclid=xyz"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://user:pw@Sub.Site"), s(d % 30),
+                F.lit(".CO.UK:443/a/b/"), s(d), F.lit("?id="), s(d),
+                F.lit("&utm_campaign=c#frag"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("http://blog.example"), s(d % 10),
+                F.lit(".org:8080/p/"), s(d), F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), s(d)))
+    )
+
+
+_URL_FIXTURE_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'HTTP://WWW.News' || CAST(doc_id % 20 AS VARCHAR)
+                    || '.COM:80/story?utm_source=feed&fbclid=xyz'
+        WHEN 1 THEN 'https://user:pw@Sub.Site' || CAST(doc_id % 30 AS VARCHAR)
+                    || '.CO.UK:443/a/b/' || CAST(doc_id AS VARCHAR)
+                    || '?id=' || CAST(doc_id AS VARCHAR)
+                    || '&utm_campaign=c#frag'
+        WHEN 2 THEN 'http://blog.example' || CAST(doc_id % 10 AS VARCHAR)
+                    || '.org:8080/p/' || CAST(doc_id AS VARCHAR)
+                    || '?a=1&b=2'
+        ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+      END"""
+
+# SQL replay of operators/web.py normalization — the same anchored
+# regexes evaluated by DuckDB's RE2, CTE chain ``b``(url) → ``dmn``
+# (url_norm, scheme, host, domain)
+_URL_NORM_SQL = r"""
+    p AS (
+      SELECT *,
+             regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]')
+               AS valid,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme0,
+             regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^[^@]*@', '') AS hostport
+      FROM b),
+    q AS (
+      SELECT *, lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host0,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+               '\?(.*)$', 1) AS qs
+      FROM p),
+    r AS (
+      SELECT *, CASE WHEN path = '' THEN '/' ELSE path END AS pathn,
+             CASE WHEN port <> '' AND NOT (scheme0 = 'http' AND port = '80')
+                       AND NOT (scheme0 = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END AS portpart,
+             array_to_string(list_filter(string_split(qs, '&'),
+               t -> t <> '' AND NOT regexp_matches(t,
+                    '^(utm_[^=]*|gclid|fbclid)(=.*)?$')), '&') AS qn
+      FROM q),
+    n AS (
+      SELECT *,
+             CASE WHEN valid THEN scheme0 || '://' || host0 || portpart
+                       || pathn
+                       || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+             END AS url_norm,
+             CASE WHEN valid THEN scheme0 END AS scheme,
+             CASE WHEN valid THEN host0 END AS host
+      FROM r),
+    dm0 AS (SELECT *, string_split(host, '.') AS l FROM n),
+    dmn AS (
+      SELECT *,
+             CASE WHEN host IS NULL THEN NULL
+                  WHEN len(l) <= 1 THEN host
+                  WHEN len(l) >= 3
+                       AND (l[len(l) - 1] || '.' || l[len(l)]) IN
+                           ('co.uk', 'ac.uk', 'gov.uk', 'org.uk',
+                            'com.au', 'net.au', 'co.jp', 'co.in',
+                            'com.br', 'co.nz')
+                  THEN l[len(l) - 2] || '.' || l[len(l) - 1] || '.'
+                       || l[len(l)]
+                  ELSE l[len(l) - 1] || '.' || l[len(l)]
+             END AS domain
+      FROM dm0)
+"""
+
+
+def url_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py ``normalize_urls``):
+    lowercased scheme/host, userinfo and default ports stripped,
+    fragments and tracking params dropped, empty path → '/',
+    registrable-domain extraction with multi-part-TLD handling,
+    invalid rows → NULLs — all Catalyst regex expressions replayed
+    verbatim by the oracle."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wurl = docs.withColumn("url", _synthetic_url_col())
+    return web.normalize_urls(wurl).select(
+        "doc_id", "url_norm", "scheme", "host", "domain"
+    )
+
+
+QUERIES["url_normalize_check"] = url_normalize_check
+
+ORACLES["url_normalize_check"] = f"""
+    WITH b AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
+    {_URL_NORM_SQL}
+    SELECT doc_id, url_norm, scheme, host, domain FROM dmn
+"""
+
+
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus mix dashboard (operators/web.py
+    ``domain_mix_stats``): doc count + share, token mass + share, and
+    duplicate rate (1 − distinct fingerprints / docs — re-crawl
+    pressure), invalid URLs rolled up under domain NULL.  One
+    aggregation + a broadcast 1-row totals join."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    wurl = docs.withColumn("url", _synthetic_url_col()).withColumn(
+        "fp", F.md5(F.col("text").cast("binary"))
+    )
+    return web.domain_mix_stats(
+        wurl, tokens_col="n_chars", fingerprint_col="fp"
+    )
+
+
+QUERIES["domain_mix_report"] = domain_mix_report
+
+ORACLES["domain_mix_report"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, n_chars, md5(text) AS fp,
+             {_URL_FIXTURE_SQL} AS url
+      FROM documents),
+    {_URL_NORM_SQL},
+    per AS (
+      SELECT domain, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+             count(DISTINCT fp) AS n_distinct_fp
+      FROM dmn GROUP BY domain),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS t_toks
+      FROM per)
+    SELECT domain, n_docs, n_tokens, n_distinct_fp,
+           CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
+           CAST(n_tokens AS DOUBLE) / CAST(t_toks AS DOUBLE) AS token_share,
+           1.0 - CAST(n_distinct_fp AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS dup_rate
+    FROM per, tot
+"""
+
+
+def url_dedup_keeper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup (operators/web.py ``url_dedup_keepers``): one
+    keeper (min doc_id) per NORMALIZED URL, so tracking-param /
+    default-port / case variants of the same page collapse; rows with
+    invalid URLs have no key and all survive.  ONE shuffle on the
+    normalized key; the oracle replays the normalization and the
+    min-id policy."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    wurl = docs.withColumn("url", _synthetic_url_col())
+    return web.url_dedup_keepers(wurl, "url", "doc_id")
+
+
+QUERIES["url_dedup_keeper_rows"] = url_dedup_keeper_rows
+
+ORACLES["url_dedup_keeper_rows"] = f"""
+    WITH b AS (
+      SELECT doc_id, source, {_URL_FIXTURE_SQL} AS url FROM documents),
+    {_URL_NORM_SQL},
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM dmn
+      WHERE url_norm IS NOT NULL GROUP BY url_norm
+      UNION ALL
+      SELECT doc_id FROM dmn WHERE url_norm IS NULL)
+    SELECT d.doc_id, d.source, d.url
+    FROM b d JOIN keepers USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

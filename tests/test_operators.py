@@ -577,6 +577,81 @@ def test_multimodal_decode_null_payload(docs):
     assert all(r["ok"] for i, r in rows.items() if i != 1)
 
 
+# --- web / URL curation ----------------------------------------------------
+
+def test_url_normalization_rules(spark):
+    """r9: the canonicalization table — case, ports, userinfo,
+    tracking params, fragments, empty path, multi-part TLDs, and the
+    invalid-input NULL contract."""
+    from dwc_dataframe_validator_spark.operators import web
+
+    cases = [
+        (1, "HTTP://WWW.Example.COM:80/A/B?x=1#frag",
+         "http://www.example.com/A/B?x=1", "example.com"),
+        (2, "https://a:b@Host.CO.UK:443",
+         "https://host.co.uk/", "host.co.uk"),
+        (3, "https://x.site.co.uk:8443/p?utm_source=s&q=2&gclid=g&r=3",
+         "https://x.site.co.uk:8443/p?q=2&r=3", "site.co.uk"),
+        (4, "http://one.example.org/path#?not=query",
+         "http://one.example.org/path", "example.org"),
+        (5, "ftp://Files.Example.net/pub",
+         "ftp://files.example.net/pub", "example.net"),
+        (6, "http://localhost/x", "http://localhost/x", "localhost"),
+        (7, "no scheme here", None, None),
+        (8, "http:///empty-host", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, *_ in cases], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r for r in web.normalize_urls(df).collect()}
+    for i, _, want_norm, want_dom in cases:
+        assert got[i]["url_norm"] == want_norm, (i, got[i])
+        assert got[i]["domain"] == want_dom, (i, got[i])
+
+    # dedup: case/port/tracking variants of one page collapse to the
+    # min id; invalid rows all survive
+    dup = spark.createDataFrame(
+        [
+            (10, "http://A.com/x?utm_source=1"),
+            (11, "HTTP://a.COM:80/x"),
+            (12, "http://a.com/x"),
+            (13, "http://a.com/y"),
+            (14, "garbage"),
+            (15, "more garbage"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in web.url_dedup_keepers(dup, "url").collect()
+    )
+    assert kept == [10, 13, 14, 15]
+
+
+def test_domain_mix_stats_shares(spark):
+    """r9: per-domain dashboard — shares sum to 1, dup_rate reflects
+    repeated fingerprints, invalid URLs roll up under NULL domain."""
+    from dwc_dataframe_validator_spark.operators import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/1", 10, "t1"),
+            (2, "http://b.a.com/2", 20, "t1"),
+            (3, "http://c.org/3", 30, "t3"),
+            (4, "bad", 40, "t4"),
+        ],
+        "doc_id long, url string, toks long, fp string",
+    )
+    rows = {r["domain"]: r for r in web.domain_mix_stats(
+        df, tokens_col="toks", fingerprint_col="fp"
+    ).collect()}
+    assert set(rows) == {"a.com", "c.org", None}
+    assert rows["a.com"]["n_docs"] == 2
+    assert rows["a.com"]["dup_rate"] == 0.5          # t1 twice
+    assert abs(sum(r["doc_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows[None]["n_docs"] == 1                 # invalid bucket
+
+
 # --- annotate --------------------------------------------------------------
 
 def test_annotate_and_split(spark):
