@@ -438,6 +438,31 @@ def incremental_dedup(
     return survivors.select(id_col, "fingerprint", "batch_copies")
 
 
+def append_profile_slice(
+    spark: SparkSession, path: str, df: DataFrame, slice_id: str
+) -> None:
+    """Persist one slice's mergeable profile state
+    (operators/profile.py ``profile_state``) under the index at
+    ``{path}/profiles`` — an append of |columns| rows per slice, so
+    corpus-lifetime column profiles never rescan ingested data."""
+    from .profile import profile_state
+
+    profile_state(df, slice_id).write.mode("append").parquet(
+        f"{path}/profiles"
+    )
+
+
+def corpus_profile(spark: SparkSession, path: str) -> DataFrame:
+    """Corpus-lifetime column profile from the persisted per-slice
+    states: read ``{path}/profiles``, merge algebraically
+    (``merge_profile_states``), estimate distincts — cost ∝ slices ×
+    columns, independent of corpus row count."""
+    from .profile import merge_profile_states, profile_estimate
+
+    states = spark.read.parquet(f"{path}/profiles")
+    return profile_estimate(merge_profile_states(states))
+
+
 def ingest_slice(
     spark: SparkSession,
     path: str,
@@ -446,6 +471,8 @@ def ingest_slice(
     m: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    profile: bool = False,
+    slice_id: str | None = None,
 ) -> DataFrame:
     """The full per-slice ingestion step against a PERSISTED index:
     screen ``batch``, append the survivors' fingerprints and bloom
@@ -478,6 +505,14 @@ def ingest_slice(
         "fp_bucket", _fp_bucket(F.col("fingerprint"))
     )
     save_fingerprint_index(new_store, path, mode="append")
+    if profile:
+        # survivors are already materialized (localCheckpoint above),
+        # so the profile pass re-reads the checkpoint, not the lineage
+        if slice_id is None:
+            import uuid
+
+            slice_id = f"slice-{uuid.uuid4().hex[:12]}"
+        append_profile_slice(spark, path, survivors, slice_id)
     return survivors
 
 

@@ -66,3 +66,143 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     return wide.select(
         F.explode(F.array(*structs)).alias("p")
     ).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# mergeable per-slice profiles (KLL/mergeable-state pattern)
+# --------------------------------------------------------------------------
+#
+# ``profile_table`` is one-shot: corpus-lifetime profiling would rescan
+# everything each batch.  The mergeable form splits profiling into
+# (1) per-slice STATE — exact counters plus a Datasketches HLL binary
+# per column — (2) an algebraic MERGE (sums, min/max, hll_union_agg)
+# and (3) a read-time ESTIMATE.  Every field except the distinct
+# estimate is exactly mergeable: counts and integer sums are
+# order-free longs, min/max are semilattice ops, and the HLL register
+# merge is the sketch's defining property — so merged-state profiles
+# equal the one-shot profile of the concatenated corpus (pytest-pinned
+# exactly for the exact fields).
+#
+# Type discipline for a long-form (one row per column) state:
+# - numeric columns: min/max/sum in ``*_num`` doubles (integral sums
+#   are exact longs in ``sum_long``; float sums are omitted — a
+#   float sum is order-dependent, and a "mergeable" field that changes
+#   with partitioning would poison the merged==oneshot contract)
+# - everything else: min/max as rendered strings in ``*_str`` (ISO
+#   timestamp/date rendering is order-preserving, as is 'false'<'true')
+# - map columns: no sketch (unhashable), counters only.
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile_state(
+    df: DataFrame, slice_id: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-slice mergeable profile state: one row per column —
+    ``(slice_id, column, dtype, n_rows, n_nonnull, sum_long, min_num,
+    max_num, min_str, max_str, hll)``.  ONE aggregation pass over the
+    slice; the HLL binaries are ~2^lg_k bytes per column."""
+    if not df.columns:
+        raise ValueError("cannot profile a zero-column DataFrame")
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("binary")
+    for i, f in enumerate(df.schema.fields):
+        c = F.col(f"`{f.name}`")
+        aggs.append(F.count(c).alias(f"_nn{i}"))
+        numeric = isinstance(f.dataType, _NUMERIC)
+        aggs.append(
+            (
+                F.sum(c).cast("long")
+                if isinstance(f.dataType, _INTEGRAL)
+                else null_l
+            ).alias(f"_sl{i}")
+        )
+        aggs.append(
+            (F.min(c).cast("double") if numeric else null_d).alias(f"_mn{i}")
+        )
+        aggs.append(
+            (F.max(c).cast("double") if numeric else null_d).alias(f"_mx{i}")
+        )
+        aggs.append(
+            (
+                null_s if numeric else F.min(c.cast("string"))
+            ).alias(f"_ms{i}")
+        )
+        aggs.append(
+            (
+                null_s if numeric else F.max(c.cast("string"))
+            ).alias(f"_xs{i}")
+        )
+        if isinstance(f.dataType, T.MapType):
+            aggs.append(null_b.alias(f"_h{i}"))
+        elif isinstance(f.dataType, _INTEGRAL):
+            aggs.append(F.hll_sketch_agg(c, lg_k).alias(f"_h{i}"))
+        else:
+            # hll_sketch_agg accepts int/long/string/binary only —
+            # sketch the rendered string for every other type (the
+            # rendering is deterministic, so merged ≡ one-shot holds)
+            aggs.append(
+                F.hll_sketch_agg(c.cast("string"), lg_k).alias(f"_h{i}")
+            )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(slice_id).alias("slice_id"),
+            F.lit(f.name).alias("column"),
+            F.lit(f.dataType.simpleString()).alias("dtype"),
+            F.col("_rows").alias("n_rows"),
+            F.col(f"_nn{i}").alias("n_nonnull"),
+            F.col(f"_sl{i}").alias("sum_long"),
+            F.col(f"_mn{i}").alias("min_num"),
+            F.col(f"_mx{i}").alias("max_num"),
+            F.col(f"_ms{i}").alias("min_str"),
+            F.col(f"_xs{i}").alias("max_str"),
+            F.col(f"_h{i}").alias("hll"),
+        )
+        for i, f in enumerate(df.schema.fields)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def merge_profile_states(states: DataFrame) -> DataFrame:
+    """Algebraic merge of any number of per-slice states into one
+    state row per column (``slice_id`` becomes the slice count).
+    Associative and commutative — merge order, partitioning and
+    incremental re-merges cannot change the result (HLL register
+    union included)."""
+    return states.groupBy("column", "dtype").agg(
+        F.count_distinct("slice_id").alias("n_slices"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_nonnull").cast("long").alias("n_nonnull"),
+        F.sum("sum_long").cast("long").alias("sum_long"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+        F.hll_union_agg("hll", True).alias("hll"),
+    )
+
+
+def profile_estimate(merged: DataFrame) -> DataFrame:
+    """Read-time view of a merged state: the exact counters plus the
+    HLL distinct estimate (NULL for sketch-less map columns)."""
+    return merged.select(
+        "column",
+        "dtype",
+        "n_slices",
+        "n_rows",
+        "n_nonnull",
+        "sum_long",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        F.when(
+            F.col("hll").isNotNull(),
+            F.hll_sketch_estimate("hll"),
+        ).alias("n_distinct_approx"),
+    )

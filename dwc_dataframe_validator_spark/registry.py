@@ -4993,6 +4993,78 @@ ORACLES["url_dedup_keeper_rows"] = f"""
 """
 
 
+#: orders schema for the merged-profile oracle generator — name must
+#: match Spark's simpleString rendering per column
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_orderpriority", "string"),
+]
+
+
+def merged_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-slice profiles (operators/profile.py
+    ``profile_state``/``merge_profile_states``): the orders table is
+    profiled as THREE independent slices (o_orderkey % 3) whose states
+    merge algebraically — the corpus-lifetime profiling pattern where
+    each ingest batch appends |columns| rows of state and the merged
+    profile never rescans data.  The oracle replays every EXACT field
+    (counts, integral sums, numeric and rendered-string min/max) from
+    the whole table — merged-state ≡ one-shot is the operator's
+    contract; the HLL distinct estimate is dropped here (sketch
+    internals are not SQL) and pinned in pytest instead."""
+    from .operators.profile import merge_profile_states, profile_estimate
+    from .operators.profile import profile_state
+
+    orders = load_table(spark, sf_dir, "orders")
+    states = None
+    for i in range(3):
+        s = profile_state(
+            orders.filter(F.col("o_orderkey") % 3 == i), f"s{i}"
+        )
+        states = s if states is None else states.unionByName(s)
+    return profile_estimate(merge_profile_states(states)).drop(
+        "n_distinct_approx"
+    )
+
+
+QUERIES["merged_profile_orders"] = merged_profile_orders
+
+
+def _merged_profile_oracle_sql() -> str:
+    parts = []
+    for name, dt in _ORDERS_PROFILE_COLS:
+        if dt == "bigint":
+            sl = f"CAST(sum({name}) AS BIGINT)"
+            mn, mx = f"CAST(min({name}) AS DOUBLE)", f"CAST(max({name}) AS DOUBLE)"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        elif dt == "double":
+            sl = "CAST(NULL AS BIGINT)"
+            mn, mx = f"min({name})", f"max({name})"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        else:
+            sl = "CAST(NULL AS BIGINT)"
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, xs = (
+                f"CAST(min({name}) AS VARCHAR)",
+                f"CAST(max({name}) AS VARCHAR)",
+            )
+        parts.append(
+            f"SELECT '{name}' AS \"column\", '{dt}' AS dtype, "
+            f"CAST(3 AS BIGINT) AS n_slices, count(*) AS n_rows, "
+            f"count({name}) AS n_nonnull, {sl} AS sum_long, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["merged_profile_orders"] = _merged_profile_oracle_sql()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

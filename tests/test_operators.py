@@ -577,6 +577,93 @@ def test_multimodal_decode_null_payload(docs):
     assert all(r["ok"] for i, r in rows.items() if i != 1)
 
 
+# --- mergeable profiles ----------------------------------------------------
+
+def test_mergeable_profile_equals_oneshot(spark):
+    """r9: merged per-slice profile states equal the one-shot state of
+    the concatenated data — every exact field exactly; the HLL
+    distinct estimate within sketch error of the true count (a sparse
+    sketch promotes to dense during union, so merged and one-shot
+    estimates may differ by a few counts — both must stay within the
+    lgK=12 error envelope)."""
+    from dwc_dataframe_validator_spark.operators.profile import (
+        merge_profile_states,
+        profile_estimate,
+        profile_state,
+    )
+    from dwc_dataframe_validator_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    # one-shot: a single "slice" covering everything
+    oneshot = profile_estimate(
+        merge_profile_states(profile_state(orders, "all"))
+    ).drop("n_slices")
+    # merged: four unequal slices (incl. one EMPTY slice — a batch
+    # with no survivors must not poison the merge)
+    parts = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ] + [orders.filter(F.lit(False))]
+    st = None
+    for i, p in enumerate(parts):
+        s = profile_state(p, f"s{i}")
+        st = s if st is None else st.unionByName(s)
+    merged = profile_estimate(merge_profile_states(st)).drop("n_slices")
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, oneshot.collect()))
+    assert [t[:-1] for t in got] == [t[:-1] for t in want]  # exact fields
+    true_nd = {
+        c: orders.select(c).distinct().count() for c in orders.columns
+    }
+    for row in merged.collect():
+        est, true = row["n_distinct_approx"], true_nd[row["column"]]
+        assert abs(est - true) <= max(3, 0.05 * true), (
+            row["column"], est, true,
+        )
+
+
+def test_ingest_slice_profile_wiring(spark, tmp_path):
+    """r9: ingest_slice(profile=True) appends per-slice profile state
+    under the index; corpus_profile's merged counters equal a direct
+    profile of all survivors — lifetime profiling without rescan."""
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        corpus_profile,
+        fingerprint_store,
+        ingest_slice,
+        save_fingerprint_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "store")
+    save_fingerprint_index(fingerprint_store(empty), path)
+    s1 = ingest_slice(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "a  B c"), (3, "d e f")],
+            "doc_id long, text string",
+        ),
+        profile=True, slice_id="s1",
+    )
+    s2 = ingest_slice(
+        spark, path,
+        spark.createDataFrame(
+            [(4, "a b c"), (5, "x y z")], "doc_id long, text string"
+        ),
+        profile=True, slice_id="s2",
+    )
+    surv = {r["doc_id"] for r in s1.collect()} | {
+        r["doc_id"] for r in s2.collect()
+    }
+    prof = {r["column"]: r for r in corpus_profile(spark, path).collect()}
+    assert prof["doc_id"]["n_slices"] == 2
+    assert prof["doc_id"]["n_rows"] == len(surv)
+    assert prof["doc_id"]["sum_long"] == sum(surv)
+    assert prof["doc_id"]["min_num"] == min(surv)
+    assert prof["doc_id"]["max_num"] == max(surv)
+    # survivors carry (doc_id, fingerprint, batch_copies)
+    assert prof["fingerprint"]["n_nonnull"] == len(surv)
+    assert prof["doc_id"]["n_distinct_approx"] == len(surv)  # tiny n: exact
+
+
 # --- web / URL curation ----------------------------------------------------
 
 def test_url_normalization_rules(spark):
