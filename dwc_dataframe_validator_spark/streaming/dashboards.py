@@ -54,6 +54,16 @@ def record_batch_stats(
     report on what ARRIVED, the same population the batch dashboards
     scan).  Cost: one fingerprint pass plus, with ``heldout_path``,
     the same bloom-prescreened window screen the sink already pays."""
+    from ..operators.profile import profile_state
+
+    # r9: per-batch mergeable profile slice — the streaming face of
+    # corpus-lifetime profiling (operators/profile.py).  Deterministic
+    # content + batch-id-keyed overwrite = value-idempotent on replay,
+    # like every other slice here.
+    profile_state(batch_df, f"batch-{batch_id}").write.mode(
+        "overwrite"
+    ).parquet(f"{stats_path}/profiles/batch_id={batch_id}")
+
     fps = fingerprint(batch_df, text_col, id_col).join(
         batch_df.select(
             id_col, source_col, F.length(text_col).alias("_chars")
@@ -197,6 +207,41 @@ def mixture_drift_dashboard(
             "shares; re-record the stats or backfill the old slices"
         )
     return mixture_drift(docs, "source", "n_chars", alpha=alpha)
+
+
+def profile_dashboard(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Cumulative column profile folded from the per-batch profile
+    slices — merge_profile_states over the ``profiles`` tree, so the
+    lifetime profile costs |batches| × |columns| state rows, never a
+    corpus rescan.  Cumulative ≡ batch-engine on the concatenated
+    batches for every exact field (pytest-pinned; the HLL distinct
+    estimate carries sketch error)."""
+    from ..operators.profile import merge_profile_states, profile_estimate
+
+    states = spark.read.parquet(f"{stats_path}/profiles")
+    return profile_estimate(
+        merge_profile_states(states.drop("batch_id"))
+    ).withColumnRenamed("n_slices", "n_batches")
+
+
+def quality_gate_dashboard(
+    spark: SparkSession, stats_path: str
+) -> DataFrame:
+    """Cumulative quality-gate report folded from the per-batch gate
+    slices (written by ``streaming.ingest.ingest_batch`` when both
+    ``min_quality_logit`` and ``stats_path`` are set): per source,
+    documents that arrived, documents the gate kept, and the kept
+    rate.  Counts are additive (each doc is gated in exactly one
+    batch), so the fold equals the batch engine on the concatenated
+    input exactly."""
+    gate = spark.read.parquet(f"{stats_path}/gate")
+    return gate.groupBy("source").agg(
+        F.sum("n_in").cast("long").alias("n_in"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+        (
+            F.sum("n_kept").cast("double") / F.sum("n_in").cast("double")
+        ).alias("kept_rate"),
+    )
 
 
 def contamination_dashboard(

@@ -153,7 +153,33 @@ def ingest_batch(
         )
         for orig, tmp in mapping.items():
             kept = kept.withColumnRenamed(tmp, orig)
-        batch_df = kept.select(*cols)
+        kept = kept.select(*cols)
+        if stats_path is not None:
+            # r9: per-batch gate slice for the cumulative dashboard
+            # (streaming/dashboards.py quality_gate_dashboard) —
+            # additive per-source arrived/kept counts, batch-id-keyed
+            # overwrite like every other slice
+            (
+                batch_df.groupBy(F.col(source_col).alias("source"))
+                .agg(F.count(F.lit(1)).alias("n_in"))
+                .join(
+                    kept.groupBy(F.col(source_col).alias("source")).agg(
+                        F.count(F.lit(1)).alias("n_kept")
+                    ),
+                    "source",
+                    "left",
+                )
+                .select(
+                    "source",
+                    "n_in",
+                    F.coalesce(F.col("n_kept"), F.lit(0))
+                    .cast("long")
+                    .alias("n_kept"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{stats_path}/gate/batch_id={batch_id}")
+            )
+        batch_df = kept
     if heldout_path is not None:
         hw, hbits, hmeta = incremental.load_heldout_index(
             spark, heldout_path

@@ -818,3 +818,104 @@ def test_streaming_dashboards_fold_equals_batch(spark, tmp_path):
         sorted(map(tuple, mixture_drift_dashboard(spark, stats).collect()))
         == want_drift
     )
+
+
+def test_streaming_profile_and_gate_dashboards(spark, tmp_path):
+    """r9: cumulative views off the persisted per-batch slices — the
+    profile dashboard (mergeable profile states) equals the one-shot
+    profile of the concatenated batches on every exact field, and the
+    quality-gate dashboard equals the batch engine's per-source
+    arrived/kept counts; both idempotent under slice replay."""
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        save_fingerprint_index,
+    )
+    from dwc_dataframe_validator_spark.operators.profile import (
+        merge_profile_states,
+        profile_estimate,
+        profile_state,
+    )
+    from dwc_dataframe_validator_spark.operators.text import (
+        model_quality_score,
+    )
+    from dwc_dataframe_validator_spark.streaming.dashboards import (
+        profile_dashboard,
+        quality_gate_dashboard,
+        record_batch_stats,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import ingest_batch
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    stats = str(tmp_path / "stats")
+    save_fingerprint_index(
+        fingerprint_store(
+            spark.createDataFrame([], "doc_id long, text string")
+        ),
+        idx,
+    )
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and the dog is in the yard too", "web"),
+            (2, "@@@@ #### %%%% 1 2 3", "web"),              # junk
+            (3, "the quick brown fox is one of the good ones", "books"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, "another fine document with many of the usual words", "web"),
+            (5, "#### !!!! 9 8 7", "books"),                 # junk
+            (6, None, "books"),                              # null text
+        ],
+        schema,
+    )
+    ingest_batch(b1, 0, idx, out, stats_path=stats, min_quality_logit=-1.0)
+    ingest_batch(b2, 1, idx, out, stats_path=stats, min_quality_logit=-1.0)
+
+    # --- profile dashboard == one-shot over concatenated batches ---
+    both = b1.unionByName(b2)
+    want = sorted(
+        map(
+            tuple,
+            profile_estimate(
+                merge_profile_states(profile_state(both, "all"))
+            ).drop("n_slices", "n_distinct_approx").collect(),
+        )
+    )
+    got_df = profile_dashboard(spark, stats)
+    got = sorted(
+        map(
+            tuple,
+            got_df.drop("n_batches", "n_distinct_approx").collect(),
+        )
+    )
+    assert got == want
+    assert {r["n_batches"] for r in got_df.collect()} == {2}
+
+    # --- gate dashboard == batch engine on the concatenated input ---
+    scored = model_quality_score(both.filter(F.col("text").isNotNull()))
+    kept_ids = {
+        r["doc_id"] for r in scored.filter("quality_logit >= -1.0").collect()
+    }
+    rows = {(r["source"]): r for r in
+            quality_gate_dashboard(spark, stats).collect()}
+    by_src_in = {r["source"]: 0 for r in both.collect()}
+    by_src_kept = dict(by_src_in)
+    for r in both.collect():
+        by_src_in[r["source"]] += 1
+        if r["doc_id"] in kept_ids:
+            by_src_kept[r["source"]] += 1
+    for src, want_in in by_src_in.items():
+        assert rows[src]["n_in"] == want_in, (src, rows[src])
+        assert rows[src]["n_kept"] == by_src_kept[src], (src, rows[src])
+
+    # --- replayed slice writes change nothing (idempotent folds) ---
+    record_batch_stats(b2, 1, stats)
+    assert sorted(
+        map(tuple, profile_dashboard(spark, stats)
+            .drop("n_batches", "n_distinct_approx").collect())
+    ) == want
