@@ -1,0 +1,67 @@
+"""100× scale spot-check for the round-9 operators (documents-only
+readers, so the ``.scale100`` replication covers them), plus the
+quiet-window recheck of ``corpus_diff_summary`` (measured 6.0× in
+round 8's degraded co-tenancy window — its two dedup-shaped
+aggregates + one fingerprint full-outer join should be ~linear).
+
+Expected shapes:
+- ``trigram_surprisal_scores`` — model-side counts bounded by the
+  model slice's distinct n-grams; candidate side compressed to
+  per-(doc, trigram) counts before three gram-key joins.  Cost grows
+  with distinct trigrams (cf. the bigram scorer's documented 14.9×),
+  sub-quadratic always.
+- ``url_normalize_check`` / ``url_dedup_keeper_rows`` /
+  ``domain_mix_report`` — map-side regex projections plus at most one
+  groupBy: ~linear.
+- ``multimodal_header_meta`` — Arrow batch build + O(1) header parse
+  per row: ~linear.
+- ``corpus_diff_summary`` — recheck (r8 measured in a noisy window).
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/spotcheck_r9.py [scale_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from dwc_dataframe_validator_spark import registry
+from dwc_dataframe_validator_spark.sources.tables import local_session
+
+OPS = (
+    "trigram_surprisal_scores",
+    "url_normalize_check",
+    "url_dedup_keeper_rows",
+    "domain_mix_report",
+    "multimodal_header_meta",
+    "corpus_diff_summary",
+)
+
+
+def main() -> None:
+    scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale100"
+    spark = local_session("spotcheck-r9")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.get_queries()
+    out = {}
+    for name in OPS:
+        row = {}
+        for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
+                              ("x100", scale_dir)):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[label] = round(time.time() - t0, 1)
+        row["ratio"] = round(row["x100"] / max(row["sf0.1"], 0.1), 1)
+        out[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
