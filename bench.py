@@ -108,6 +108,19 @@ HEADLINE = [
     "table_profile_orders",
     "bigram_surprisal_scores",
     "top_fraction_by_source",
+    # round-9 additions (same addendum rule): codec-free media header
+    # decode (Arrow map-side), held-out trigram stupid-backoff scoring
+    # (gram-key joins over compact aggregates), URL curation (regex
+    # map-side + one groupBy each), filtered ANN serving, and the
+    # merged per-slice profile (3 slice states + algebraic merge)
+    "multimodal_header_meta",
+    "trigram_surprisal_scores",
+    "url_normalize_check",
+    "url_dedup_keeper_rows",
+    "domain_mix_report",
+    "ann_filtered_topk",
+    "merged_profile_orders",
+    "histogram_quantiles_events",
 ]
 
 

@@ -27,7 +27,7 @@ data (only over the SCHEMA, which is driver-resident by definition).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -166,6 +166,108 @@ def profile_state(
         for i, f in enumerate(df.schema.fields)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def histogram_state(
+    df: DataFrame, cols: dict, slice_id: str
+) -> DataFrame:
+    """Per-slice mergeable NUMERIC HISTOGRAM state — the quantile half
+    of the mergeable-profile pattern (``profile_state`` carries
+    count/sum/min/max/HLL; this carries the distribution): for each
+    ``cols`` entry ``{column: granularity}``, rows ``(slice_id,
+    column, g, bucket, n)`` with ``bucket = floor(value / g)``.
+
+    Exactly mergeable (bucket counts are order-free sums) and exactly
+    cross-engine: choose ``g`` as a POWER OF TWO so ``value / g`` is
+    exact in binary floating point and the floor is bit-identical in
+    Spark and DuckDB.  State size is bounded by the value range / g
+    per column, independent of row count.  One map-side expand (a
+    |cols|-entry struct array) + ONE shuffle on the compact
+    (column, bucket) pairs."""
+    if not cols:
+        raise ValueError("cols must map at least one column to a granularity")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(float(g)).alias("g"),
+            F.floor(F.col(c).cast("double") / F.lit(float(g)))
+            .cast("long")
+            .alias("bucket"),
+        )
+        for c, g in cols.items()
+    ]
+    return (
+        df.select(F.explode(F.array(*structs)).alias("h"))
+        .select("h.*")
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("column", "g", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(slice_id).alias("slice_id"), "*")
+    )
+
+
+def merge_histogram_states(states: DataFrame) -> DataFrame:
+    """Algebraic merge of per-slice histogram states: sum the bucket
+    counts per (column, g, bucket).  Associative/commutative — merged
+    histograms equal the one-shot histogram of the concatenated data
+    EXACTLY (not approximately: the bucketing is deterministic and
+    counts are integers)."""
+    return states.groupBy("column", "g", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram: for each q, the
+    first bucket whose cumulative count reaches ``max(1, ceil(q ·
+    total))``, reported with its value bounds ``[bucket·g,
+    (bucket+1)·g)`` — the true q-quantile lies within the bucket, so
+    the estimate error is bounded by ``g`` by construction.
+
+    Deterministic integer/double arithmetic end-to-end (the rank rule
+    is pinned), so a DuckDB oracle replays the selected buckets
+    bit-for-bit.  The cumulative window is partitioned per column over
+    BUCKET rows (bounded by range/g), never data rows."""
+    w = (
+        Window.partitionBy("column", "g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("n").over(w))
+    tot = hist.groupBy("column", "g").agg(
+        F.sum("n").cast("long").alias("_total")
+    )
+    j = cum.join(tot, ["column", "g"])
+    outs = []
+    for q in qs:
+        rank = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(q)) * F.col("_total").cast("double")).cast(
+                "long"
+            ),
+        )
+        outs.append(
+            j.filter(F.col("_cum") >= rank)
+            .groupBy("column", "g")
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                "column",
+                F.lit(float(q)).alias("q"),
+                "bucket",
+                (F.col("bucket").cast("double") * F.col("g")).alias(
+                    "value_lo"
+                ),
+                ((F.col("bucket") + 1).cast("double") * F.col("g")).alias(
+                    "value_hi"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def merge_profile_states(states: DataFrame) -> DataFrame:

@@ -5065,6 +5065,63 @@ def _merged_profile_oracle_sql() -> str:
 ORACLES["merged_profile_orders"] = _merged_profile_oracle_sql()
 
 
+def histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable numeric-histogram quantiles (operators/profile.py
+    ``histogram_state``/``merge_histogram_states``/
+    ``histogram_quantiles``): events.value bucketed at a power-of-two
+    granularity (bit-exact floor across engines) as THREE independent
+    slice states, merged algebraically, then p50/p90/p99 read off the
+    cumulative histogram — quantiles with error ≤ g over any number of
+    ingest slices without rescanning or sorting data.  Exact oracle:
+    the bucketing, merge and pinned rank rule are all integer
+    arithmetic DuckDB replays bit-for-bit."""
+    from .operators.profile import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    st = None
+    for i in range(3):
+        s = histogram_state(
+            events.filter(F.col("event_id") % 3 == i),
+            {"value": 0.5},
+            f"s{i}",
+        )
+        st = s if st is None else st.unionByName(s)
+    return histogram_quantiles(merge_histogram_states(st))
+
+
+QUERIES["histogram_quantiles_events"] = histogram_quantiles_events
+
+ORACLES["histogram_quantiles_events"] = """
+    WITH h AS (
+      SELECT CAST(floor(CAST("value" AS DOUBLE) / 0.5) AS BIGINT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+    c AS (
+      SELECT bucket, n,
+             CAST(sum(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM h),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE))),
+    r AS (
+      SELECT q, greatest(CAST(1 AS BIGINT),
+               CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)) AS rnk
+      FROM qs, t)
+    SELECT 'value' AS "column", r.q, min(c.bucket) AS bucket,
+           CAST(min(c.bucket) AS DOUBLE) * 0.5 AS value_lo,
+           CAST(min(c.bucket) + 1 AS DOUBLE) * 0.5 AS value_hi
+    FROM r JOIN c ON c.cum >= r.rnk
+    GROUP BY r.q
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

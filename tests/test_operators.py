@@ -664,6 +664,45 @@ def test_ingest_slice_profile_wiring(spark, tmp_path):
     assert prof["doc_id"]["n_distinct_approx"] == len(surv)  # tiny n: exact
 
 
+def test_histogram_state_merge_and_quantile_bounds(spark):
+    """r9: numeric-histogram state — merged slices equal the one-shot
+    histogram EXACTLY (deterministic bucketing + integer counts), and
+    every quantile estimate brackets the true quantile within its
+    bucket (error ≤ g by construction), negatives and nulls included."""
+    from dwc_dataframe_validator_spark.operators.profile import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id",
+        # skewed, signed, with nulls: v in [-50, ~350]
+        "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN id % 7 = 0 THEN CAST(-(id % 100) / 2.0 AS DOUBLE) "
+        "ELSE CAST(pow(id % 60, 1.7) AS DOUBLE) END AS v",
+    )
+    g = 0.25
+    oneshot = merge_histogram_states(histogram_state(df, {"v": g}, "all"))
+    st = None
+    for i in range(4):
+        s = histogram_state(df.filter(F.col("id") % 4 == i), {"v": g}, f"s{i}")
+        st = s if st is None else st.unionByName(s)
+    merged = merge_histogram_states(st)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+    vals = sorted(r["v"] for r in df.collect() if r["v"] is not None)
+    import math
+
+    for row in histogram_quantiles(merged, qs=(0.1, 0.5, 0.9, 0.99)).collect():
+        rank = max(1, math.ceil(row["q"] * len(vals)))
+        true = vals[rank - 1]
+        assert row["value_lo"] <= true < row["value_hi"], (row, true)
+        assert abs(row["value_hi"] - row["value_lo"]) == g
+
+
 # --- web / URL curation ----------------------------------------------------
 
 def test_url_normalization_rules(spark):
