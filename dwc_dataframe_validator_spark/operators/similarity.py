@@ -1363,6 +1363,60 @@ def append_to_ivf_index(
     )
 
 
+def ivf_index_stats(spark, path: str, skew_threshold: float = 4.0) -> dict:
+    """Health report for a persisted IVF index — the ANN sibling of
+    the fingerprint store's ``index_stats`` maintenance probe
+    (operators/incremental.py): the numbers that say when the frozen
+    quantizer has drifted from the data and ``build_ivf_index`` +
+    ``save_ivf_index`` should re-fit.
+
+    - ``n_vectors``, ``n_cells_configured`` (quantizer k),
+      ``n_cells_used`` (non-empty partitions);
+    - ``min/mean/max_cell_size`` and ``cell_skew`` = max/mean: a
+      balanced index sits near 1; appends from a drifted distribution
+      pile into few cells, degrading probe cost toward a full scan on
+      exactly the queries that land there;
+    - ``needs_refit``: skew past ``skew_threshold`` or fewer than
+      half the configured cells in use — the same "geometry sized to
+      the corpus" contract as ``needs_bloom_resize``, measured.
+
+    Driver-side scalars from ONE aggregate over the cell column (the
+    partition key — column-pruned scan, no vector bytes read)."""
+    from pyspark.ml.clustering import KMeansModel
+
+    model = KMeansModel.load(f"{path}/quantizer")
+    n_conf = len(model.clusterCenters())
+    per_cell = (
+        spark.read.parquet(f"{path}/corpus")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_cells_used"),
+            F.min("n").alias("min_cell"),
+            F.max("n").alias("max_cell"),
+            F.avg("n").alias("mean_cell"),
+        )
+        .first()
+    )
+    n_vec = int(per_cell["n_vectors"] or 0)
+    used = int(per_cell["n_cells_used"] or 0)
+    mean = float(per_cell["mean_cell"] or 0.0)
+    skew = float(per_cell["max_cell"]) / mean if mean > 0 else 0.0
+    return {
+        "n_vectors": n_vec,
+        "n_cells_configured": n_conf,
+        "n_cells_used": used,
+        "min_cell_size": int(per_cell["min_cell"] or 0),
+        "max_cell_size": int(per_cell["max_cell"] or 0),
+        "mean_cell_size": mean,
+        "cell_skew": skew,
+        "needs_refit": bool(
+            n_vec > 0 and (skew > skew_threshold or used * 2 < n_conf)
+        ),
+    }
+
+
 def rp_lsh_check(
     emb: DataFrame,
     n_take: int = 200,

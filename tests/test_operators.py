@@ -2707,6 +2707,28 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
         spark, path, queries.drop("cell"), k=3, predicate="vec_id < 0"
     ).count() == 0
 
+    # r9: maintenance probe — balanced index reports healthy; piling
+    # a skewed append into one cell trips needs_refit, mirroring the
+    # bloom-geometry triggers (runs LAST: the appends mutate the index)
+    from dwc_dataframe_validator_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index_stats,
+    )
+
+    healthy = ivf_index_stats(spark, path)
+    assert healthy["n_vectors"] == emb.count()
+    assert healthy["n_cells_used"] <= healthy["n_cells_configured"] == 8
+    assert not healthy["needs_refit"]
+    # append many copies of ONE vector: they all land in a single cell
+    one = emb.limit(1).drop("cell")
+    for _ in range(3):
+        append_to_ivf_index(
+            spark, path,
+            one.crossJoin(spark.range(400)).drop("id"),
+        )
+    skewed = ivf_index_stats(spark, path)
+    assert skewed["cell_skew"] > 4.0 and skewed["needs_refit"]
+
 
 def test_incremental_dedup_ingest_roundtrip(spark, tmp_path):
     """Incremental ingestion contract (operators/incremental.py):
