@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_filtered_topk",
     "merged_profile_orders",
     "histogram_quantiles_events",
+    "target_mixture_stats",
 ]
 
 

@@ -330,6 +330,157 @@ def epoch_repeat_sample(
     return full.unionByName(partial).drop("_ne")
 
 
+def mixture_sample_hex(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    thresholds: dict,
+    default_hex: str = "00000000",
+) -> DataFrame:
+    """``mixture_sample`` with PRECOMPUTED hex thresholds instead of
+    float fractions — the exact-arithmetic entry point: solvers that
+    derive rates with integer arithmetic (``target_mixture_thresholds``)
+    hand their thresholds through unchanged, so no float rounding sits
+    between the solver and the sampled set.  Same one-CASE map-side
+    filter, same value-determinism contract."""
+    thr = F.lit(default_hex)
+    for stratum, hexthr in sorted(thresholds.items()):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(hexthr)
+        ).otherwise(thr)
+    return df.filter(_hash_prefix(key_col) < thr)
+
+
+def target_mixture_thresholds(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    target_weights: dict,
+    token_budget: int,
+    max_strata: int = 100_000,
+) -> dict:
+    """EXACT water-filling mixture solver: given per-stratum TARGET
+    shares (positive integer weights w_s — "web:1, books:3, code:2")
+    and a token budget B, the Bernoulli rates whose expected token
+    draw matches the recipe as closely as the corpus allows.
+
+    The naive rate ``min(1, B·w_s/(Σw·T_s))`` under-fills: a stratum
+    too small for its share caps at 1 and its unused budget vanishes.
+    Water-filling redistributes it: rates are ``min(1, a·w_s/T_s)``
+    with the water level ``a`` solving ``Σ_s min(T_s, a·w_s) =
+    min(B, ΣT)`` — small strata are taken whole, the remainder is
+    split across the rest proportional to their target weights.
+
+    Closed form, no iteration: sort strata by ``x_s = T_s/w_s``
+    (exact Fraction order), then the capped prefix k and level
+    ``a = (B* − Σ_{i≤k} T_i) / Σ_{i>k} w_i`` follow from prefix sums.
+    EVERYTHING is arbitrary-precision integer arithmetic on the
+    driver (masses and weights are ints, ``a`` a rational, each
+    threshold ``⌊a·w_s/T_s · 2^32⌋`` an exact integer) — no float
+    anywhere, so an engine-portable oracle can replay the solver with
+    128-bit integer SQL, and the sampled SET is value-pinned.
+
+    One bounded-output aggregation over the corpus (≤ ``max_strata``,
+    enforced); strata absent from ``target_weights`` get rate 0 (an
+    explicit recipe drops unlisted feeds).  Returns {stratum: 8-hex
+    threshold} for ``mixture_sample_hex``."""
+    import itertools
+    from fractions import Fraction
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    for s, w in target_weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(
+                f"target weight for {s!r} must be a positive int, got {w!r}"
+            )
+    sums = (
+        df.filter(
+            F.col(tokens_col).isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .filter(F.col(stratum_col).isin(*target_weights.keys()))
+        .groupBy(stratum_col)
+        .agg(F.sum(F.col(tokens_col)).cast("long").alias("_toks"))
+    )
+    rows = list(
+        itertools.islice(
+            sums.toLocalIterator(prefetchPartitions=True), max_strata + 1
+        )
+    )
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"more than max_strata={max_strata} strata — refusing an "
+            "unbounded driver collect; raise max_strata if intended"
+        )
+    masses = {
+        r[stratum_col]: int(r["_toks"])
+        for r in rows
+        if r["_toks"] and r["_toks"] > 0
+    }
+    if not masses:
+        return {}
+    total_t = sum(masses.values())
+    b_star = min(int(token_budget), total_t)
+    # sort by x_s = T_s/w_s ascending (exact), ties by stratum name
+    order = sorted(
+        masses, key=lambda s: (Fraction(masses[s], target_weights[s]), s)
+    )
+    n = len(order)
+    pref_t = [0] * (n + 1)
+    pref_w = [0] * (n + 1)
+    for i, s in enumerate(order):
+        pref_t[i + 1] = pref_t[i] + masses[s]
+        pref_w[i + 1] = pref_w[i] + target_weights[s]
+    w_total = pref_w[n]
+    chosen = None
+    for k in range(n + 1):
+        num = b_star - pref_t[k]          # a = num / den (den may be 0)
+        den = w_total - pref_w[k]
+        if k > 0:
+            s_k = order[k - 1]            # x_k <= a ?
+            if masses[s_k] * den > num * target_weights[s_k]:
+                continue
+        if k < n:
+            s_n = order[k]                # a < x_{k+1} ?
+            if not (num * target_weights[s_n] < masses[s_n] * den):
+                continue
+        chosen = (k, num, den)
+        break
+    assert chosen is not None, "water-filling level must exist"
+    k, num, den = chosen
+    out = {}
+    for i, s in enumerate(order):
+        if i < k:
+            out[s] = hash_threshold(1.0)  # taken whole
+        elif num <= 0:
+            out[s] = format(0, "08x")
+        else:
+            q = (num * target_weights[s] * (1 << 32)) // (den * masses[s])
+            out[s] = (
+                hash_threshold(1.0) if q >= (1 << 32) else format(q, "08x")
+            )
+    return out
+
+
+def target_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    tokens_col: str,
+    target_weights: dict,
+    token_budget: int,
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """``target_mixture_thresholds`` composed with
+    ``mixture_sample_hex``: one bounded aggregation + one map-side
+    CASE filter — recipe in, deterministic sampled corpus out."""
+    thr = target_mixture_thresholds(
+        df, stratum_col, tokens_col, target_weights, token_budget,
+        max_strata=max_strata,
+    )
+    return mixture_sample_hex(df, stratum_col, key_col, thr)
+
+
 def split_bounds(splits: dict) -> list:
     """(name, upper_threshold) intervals for ``hash_split``, in sorted
     name order.  Fractions that nominally sum to 1 can accumulate to

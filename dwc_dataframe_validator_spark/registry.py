@@ -5122,6 +5122,100 @@ ORACLES["histogram_quantiles_events"] = """
 """
 
 
+#: target-mixture budget — ~40% of the sf0.01 corpus token mass, so
+#: the water-filling solver produces a real mix of whole-taken small
+#: strata and rate-limited large ones
+_TGT_BUDGET = 60_000
+
+
+def target_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact water-filling mixture solver (operators/sampling.py
+    ``target_mixture_thresholds`` / ``target_mixture_sample``): given
+    TARGET shares (integer weights derived from the source name:
+    1 + src_index % 3) and a token budget, per-source Bernoulli rates
+    where too-small-for-their-share strata are taken WHOLE and their
+    unused budget redistributes to the rest proportional to target
+    weight — the recipe-driven sibling of temperature sampling.  The
+    solver is arbitrary-precision integer arithmetic end-to-end
+    (rational water level, exact ⌊a·w/T·2^32⌋ thresholds), and the
+    oracle replays it with 128-bit HUGEINT SQL: sort key T·(6//w) is
+    exact because every weight divides 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = [
+        r["source"]
+        for r in docs.select("source").distinct().collect()
+        if r["source"] is not None
+    ]
+    weights = {s: 1 + (int(s[3:]) % 3) for s in srcs}
+    samp = sampling.target_mixture_sample(
+        docs, "source", "doc_id", "n_chars", weights, _TGT_BUDGET
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+QUERIES["target_mixture_stats"] = target_mixture_stats
+
+ORACLES["target_mixture_stats"] = f"""
+    WITH t AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS T,
+             CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS w
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      GROUP BY source HAVING CAST(sum(n_chars) AS BIGINT) > 0),
+    tot AS (
+      SELECT CAST(sum(T) AS BIGINT) AS TT, CAST(sum(w) AS BIGINT) AS WW,
+             least(CAST({_TGT_BUDGET} AS BIGINT), CAST(sum(T) AS BIGINT))
+               AS BSTAR
+      FROM t),
+    p AS (
+      SELECT *, row_number() OVER (ORDER BY T * (6 // w), source) AS rn
+      FROM t),
+    c AS (
+      SELECT p.*, CAST(sum(T) OVER (ORDER BY rn) AS BIGINT) AS P,
+             CAST(sum(w) OVER (ORDER BY rn) AS BIGINT) AS V
+      FROM p),
+    ks AS (SELECT 0 AS k UNION ALL SELECT rn AS k FROM p),
+    cand AS (
+      SELECT k,
+             BSTAR - coalesce((SELECT P FROM c WHERE rn = k), 0) AS num,
+             WW - coalesce((SELECT V FROM c WHERE rn = k), 0) AS den
+      FROM ks, tot),
+    valid AS (
+      SELECT cand.k, cand.num, cand.den FROM cand
+      LEFT JOIN c ck ON ck.rn = cand.k
+      LEFT JOIN c cn ON cn.rn = cand.k + 1
+      WHERE (cand.k = 0 OR
+             CAST(ck.T AS HUGEINT) * cand.den
+               <= CAST(cand.num AS HUGEINT) * ck.w)
+        AND (cn.rn IS NULL OR
+             CAST(cand.num AS HUGEINT) * cn.w
+               < CAST(cn.T AS HUGEINT) * cand.den)
+      ORDER BY cand.k LIMIT 1),
+    thr AS (
+      SELECT c.source,
+             CASE WHEN c.rn <= v.k THEN 'g'
+                  WHEN v.num <= 0 THEN '00000000'
+                  ELSE printf('%08x', CAST(
+                    (CAST(v.num AS HUGEINT) * c.w * 4294967296)
+                    // (CAST(v.den AS HUGEINT) * c.T) AS BIGINT))
+             END AS thr
+      FROM c, valid v)
+    SELECT d.source,
+           count(*) AS sampled_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,
+           min(d.doc_id) AS min_doc_id,
+           max(d.doc_id) AS max_doc_id
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+    GROUP BY d.source
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -528,3 +528,78 @@ def test_trigram_surprisal_matches_bruteforce(spark, model, target):
         n = len(grams)
         want = (n, bits, n_b2, n_b1, n_oov, bits / n if n else None)
         assert got[i] == want, (i, toks, got[i], want)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50_000),   # mass
+            st.integers(min_value=1, max_value=7),        # target weight
+        ),
+        min_size=1, max_size=8,
+    ),
+    budget_frac=st.floats(min_value=0.0, max_value=1.5),
+)
+def test_target_mixture_waterfilling_invariants(spark, data, budget_frac):
+    """r9: for ANY (masses, weights, budget) the exact water-filling
+    solver satisfies the defining invariants — rates in [0,1], the
+    expected token draw hits min(B, ΣT) up to threshold quantization,
+    whole-taken strata are exactly those with the smallest T/w, and
+    uncapped strata share the SAME water level a = r·T/w."""
+    from fractions import Fraction
+
+    from dwc_dataframe_validator_spark.operators.sampling import (
+        target_mixture_thresholds,
+    )
+
+    masses = {f"s{i}": m for i, (m, _) in enumerate(data)}
+    weights = {f"s{i}": w for i, (_, w) in enumerate(data)}
+    total = sum(masses.values())
+    budget = int(budget_frac * total)
+    rows = [(s, m) for s, m in masses.items()]
+    df = spark.createDataFrame(rows, "src string, toks long")
+    thr = target_mixture_thresholds(df, "src", "toks", weights, budget)
+    assert set(thr) == set(masses)
+
+    def rate(s):
+        if thr[s] == "g":
+            return Fraction(1)
+        return Fraction(int(thr[s], 16), 1 << 32)
+
+    b_star = min(budget, total)
+    drawn = sum(rate(s) * masses[s] for s in masses)
+    # each uncapped threshold floors away < 2^-32 of rate: total
+    # shortfall < n·T_max/2^32 + 1
+    slack = len(masses) * max(masses.values()) / (1 << 32) + 1
+    assert b_star - slack <= drawn <= b_star, (thr, drawn, b_star)
+
+    capped = {s for s in masses if thr[s] == "g"}
+    x = {s: Fraction(masses[s], weights[s]) for s in masses}
+    if capped and capped != set(masses):
+        assert max(x[s] for s in capped) <= min(
+            x[s] for s in masses if s not in capped
+        )
+    # common water level across uncapped strata: thresholds are
+    # floor(a·w/T·2^32), so a is recoverable within 2^-32 resolution
+    levels = [
+        (rate(s) * masses[s] / weights[s], s)
+        for s in masses
+        if s not in capped and rate(s) > 0
+    ]
+    if len(levels) > 1:
+        lo = min(l for l, _ in levels)
+        hi = max(l for l, _ in levels)
+        tol = max(
+            Fraction(masses[s], (1 << 32) * weights[s]) for _, s in levels
+        )
+        assert hi - lo <= 2 * tol, (thr, levels)
+
+    # edges: budget >= corpus -> everything whole; zero budget -> none
+    assert set(target_mixture_thresholds(
+        df, "src", "toks", weights, total
+    ).values()) == {"g"}
+    assert set(target_mixture_thresholds(
+        df, "src", "toks", weights, 0
+    ).values()) == {format(0, "08x")}
