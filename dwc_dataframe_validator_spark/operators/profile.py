@@ -235,39 +235,37 @@ def histogram_quantiles(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.withColumn("_cum", F.sum("n").over(w))
-    tot = hist.groupBy("column", "g").agg(
-        F.sum("n").cast("long").alias("_total")
+    # total via a second window over the same partitioning — no
+    # separate aggregate+join, the exchange is shared
+    w_all = Window.partitionBy("column", "g")
+    cum = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_total", F.sum("n").over(w_all)
     )
-    j = cum.join(tot, ["column", "g"])
-    outs = []
-    for q in qs:
-        rank = F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(F.lit(float(q)) * F.col("_total").cast("double")).cast(
-                "long"
+    # ONE pass for every q: broadcast the literal q set against the
+    # bounded bucket frame instead of a union of per-q branches (the
+    # union form re-ran the whole cum pipeline per quantile)
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("q") * F.col("_total").cast("double")).cast("long"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_cum") >= rank)
+        .groupBy("column", "g", "q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "column",
+            "q",
+            "bucket",
+            (F.col("bucket").cast("double") * F.col("g")).alias("value_lo"),
+            ((F.col("bucket") + 1).cast("double") * F.col("g")).alias(
+                "value_hi"
             ),
         )
-        outs.append(
-            j.filter(F.col("_cum") >= rank)
-            .groupBy("column", "g")
-            .agg(F.min("bucket").alias("bucket"))
-            .select(
-                "column",
-                F.lit(float(q)).alias("q"),
-                "bucket",
-                (F.col("bucket").cast("double") * F.col("g")).alias(
-                    "value_lo"
-                ),
-                ((F.col("bucket") + 1).cast("double") * F.col("g")).alias(
-                    "value_hi"
-                ),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def merge_profile_states(states: DataFrame) -> DataFrame:
