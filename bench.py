@@ -122,6 +122,7 @@ HEADLINE = [
     "merged_profile_orders",
     "histogram_quantiles_events",
     "target_mixture_stats",
+    "quality_histogram_by_source",
 ]
 
 

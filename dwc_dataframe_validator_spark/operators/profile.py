@@ -169,7 +169,7 @@ def profile_state(
 
 
 def histogram_state(
-    df: DataFrame, cols: dict, slice_id: str
+    df: DataFrame, cols: dict, slice_id: str, group_col: str | None = None
 ) -> DataFrame:
     """Per-slice mergeable NUMERIC HISTOGRAM state — the quantile half
     of the mergeable-profile pattern (``profile_state`` carries
@@ -183,7 +183,12 @@ def histogram_state(
     Spark and DuckDB.  State size is bounded by the value range / g
     per column, independent of row count.  One map-side expand (a
     |cols|-entry struct array) + ONE shuffle on the compact
-    (column, bucket) pairs."""
+    (column, bucket) pairs.
+
+    ``group_col`` adds a ``grp`` dimension (per-source / per-domain
+    score distributions): state rows become ``(slice_id, grp, column,
+    g, bucket, n)`` and the merge/quantile stages key on it
+    automatically — state size × |groups|."""
     if not cols:
         raise ValueError("cols must map at least one column to a granularity")
     structs = [
@@ -196,11 +201,16 @@ def histogram_state(
         )
         for c, g in cols.items()
     ]
+    keys = ["column", "g", "bucket"]
+    sel = [F.explode(F.array(*structs)).alias("h")]
+    if group_col is not None:
+        sel = [F.col(group_col).alias("grp")] + sel
+        keys = ["grp"] + keys
     return (
-        df.select(F.explode(F.array(*structs)).alias("h"))
-        .select("h.*")
+        df.select(*sel)
+        .select(*([c for c in ("grp",) if group_col is not None] + ["h.*"]))
         .filter(F.col("bucket").isNotNull())
-        .groupBy("column", "g", "bucket")
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.lit(slice_id).alias("slice_id"), "*")
     )
@@ -211,10 +221,10 @@ def merge_histogram_states(states: DataFrame) -> DataFrame:
     counts per (column, g, bucket).  Associative/commutative — merged
     histograms equal the one-shot histogram of the concatenated data
     EXACTLY (not approximately: the bucketing is deterministic and
-    counts are integers)."""
-    return states.groupBy("column", "g", "bucket").agg(
-        F.sum("n").cast("long").alias("n")
-    )
+    counts are integers).  A ``grp`` dimension, when present, joins
+    the key automatically."""
+    keys = [c for c in ("grp", "column", "g", "bucket") if c in states.columns]
+    return states.groupBy(*keys).agg(F.sum("n").cast("long").alias("n"))
 
 
 def histogram_quantiles(
@@ -230,14 +240,15 @@ def histogram_quantiles(
     is pinned), so a DuckDB oracle replays the selected buckets
     bit-for-bit.  The cumulative window is partitioned per column over
     BUCKET rows (bounded by range/g), never data rows."""
+    part = [c for c in ("grp", "column", "g") if c in hist.columns]
     w = (
-        Window.partitionBy("column", "g")
+        Window.partitionBy(*part)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # total via a second window over the same partitioning — no
     # separate aggregate+join, the exchange is shared
-    w_all = Window.partitionBy("column", "g")
+    w_all = Window.partitionBy(*part)
     cum = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
         "_total", F.sum("n").over(w_all)
     )
@@ -254,10 +265,10 @@ def histogram_quantiles(
     return (
         cum.crossJoin(F.broadcast(qdf))
         .filter(F.col("_cum") >= rank)
-        .groupBy("column", "g", "q")
+        .groupBy(*part, "q")
         .agg(F.min("bucket").alias("bucket"))
         .select(
-            "column",
+            *part,
             "q",
             "bucket",
             (F.col("bucket").cast("double") * F.col("g")).alias("value_lo"),

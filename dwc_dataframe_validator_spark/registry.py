@@ -5216,6 +5216,72 @@ ORACLES["target_mixture_stats"] = f"""
 """
 
 
+def quality_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score distribution (operators/profile.py
+    grouped ``histogram_state`` + ``histogram_quantiles``): the linear
+    quality logit bucketed at g = 2^-2 per source, p50/p90 read off
+    the cumulative histogram — the "which feed's quality is drifting"
+    dashboard, mergeable across ingest slices like every histogram
+    state.  Exact oracle: the logit arithmetic is the pinned
+    bit-portable feature recipe and the bucket/rank rules are integer
+    arithmetic."""
+    from .operators.profile import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.model_quality_score(docs, keep_cols=("source",)).select(
+        "source", "quality_logit"
+    )
+    st = histogram_state(
+        scored, {"quality_logit": 0.25}, "all", group_col="source"
+    )
+    return histogram_quantiles(
+        merge_histogram_states(st), qs=(0.5, 0.9)
+    )
+
+
+QUERIES["quality_histogram_by_source"] = quality_histogram_by_source
+
+
+def _quality_histogram_oracle_sql() -> str:
+    base = _token_budget_oracle_sql()
+    scored_prefix = base.split("cum AS")[0]
+    return f"""
+        {scored_prefix}
+        src AS (
+          SELECT d.source,
+                 CAST(floor(s.quality_logit / 0.25) AS BIGINT) AS bucket
+          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+          WHERE s.quality_logit IS NOT NULL),
+        h AS (
+          SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM src GROUP BY 1, 2),
+        c AS (
+          SELECT source, bucket, n,
+                 CAST(sum(n) OVER (PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+          FROM h),
+        qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+        SELECT c.source AS grp, 'quality_logit' AS "column",
+               CAST(0.25 AS DOUBLE) AS g, q,
+               min(bucket) AS bucket,
+               CAST(min(bucket) AS DOUBLE) * 0.25 AS value_lo,
+               CAST(min(bucket) + 1 AS DOUBLE) * 0.25 AS value_hi
+        FROM c, qs
+        WHERE cum >= greatest(CAST(1 AS BIGINT),
+                              CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT))
+        GROUP BY c.source, q
+    """
+
+
+ORACLES["quality_histogram_by_source"] = _quality_histogram_oracle_sql()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
