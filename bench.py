@@ -123,6 +123,7 @@ HEADLINE = [
     "histogram_quantiles_events",
     "target_mixture_stats",
     "quality_histogram_by_source",
+    "quality_drift_tv_by_source",
 ]
 
 

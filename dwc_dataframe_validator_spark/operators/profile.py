@@ -279,6 +279,65 @@ def histogram_quantiles(
     )
 
 
+def histogram_tv_distance(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXACT total-variation distance between two histogram states —
+    the drift alert: ``TV = ½ Σ_b |p_b − q_b|`` per (grp?, column, g),
+    computed with an INTEGER numerator ``Σ_b |n_a·N_b − n_b·N_a|``
+    (decimal(38,0) — exact to counts ~10^18 a side) so the only
+    float is one final division with pinned operand order; a DuckDB
+    oracle replays it in HUGEINT bit-for-bit.  TV ∈ [0, 1]: 0 =
+    identical distributions, 1 = disjoint support.
+
+    Inputs are (merged) ``histogram_state`` frames over the same
+    granularity; buckets missing on one side count 0.  Cost: one
+    full-outer join on the bounded bucket keys + one aggregate —
+    never touches data rows."""
+    keys = [c for c in ("grp", "column", "g") if c in a.columns]
+    if [c for c in ("grp", "column", "g") if c in b.columns] != keys:
+        raise ValueError("histogram key shapes differ between sides")
+
+    def tot(df, name):
+        return df.groupBy(*keys).agg(
+            F.sum("n").cast("long").alias(name)
+        )
+
+    an = a.select(*keys, "bucket", F.col("n").alias("_na"))
+    bn = b.select(*keys, "bucket", F.col("n").alias("_nb"))
+    j = (
+        an.join(bn, keys + ["bucket"], "full_outer")
+        .na.fill({"_na": 0, "_nb": 0})
+        .join(tot(a, "_ta"), keys)
+        .join(tot(b, "_tb"), keys)
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("_na").cast(dec) * F.col("_tb").cast(dec)
+        - F.col("_nb").cast(dec) * F.col("_ta").cast(dec)
+    )
+    return (
+        # totals are constant within a key group — grouping on them is
+        # free and avoids a nondeterministic first()
+        j.groupBy(*keys, "_ta", "_tb")
+        .agg(F.sum(num).cast(dec).alias("tv_num"))
+        .withColumnRenamed("_ta", "n_a")
+        .withColumnRenamed("_tb", "n_b")
+        .select(
+            *keys,
+            "tv_num",
+            "n_a",
+            "n_b",
+            (
+                F.col("tv_num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("tv"),
+        )
+    )
+
+
 def merge_profile_states(states: DataFrame) -> DataFrame:
     """Algebraic merge of any number of per-slice states into one
     state row per column (``slice_id`` becomes the slice count).

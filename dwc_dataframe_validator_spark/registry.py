@@ -5282,6 +5282,88 @@ def _quality_histogram_oracle_sql() -> str:
 ORACLES["quality_histogram_by_source"] = _quality_histogram_oracle_sql()
 
 
+def quality_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift alert (operators/profile.py
+    ``histogram_tv_distance``): exact total-variation distance between
+    the per-source quality-logit histograms of two corpus snapshots
+    (deterministic md5 halves standing in for yesterday/today) — the
+    number a curation pipeline pages on when a feed's quality
+    distribution shifts.  Integer numerator (decimal(38,0) ↔ HUGEINT),
+    one final pinned-order division — value-exact across engines."""
+    from .operators.profile import histogram_state, histogram_tv_distance
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.model_quality_score(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality_logit"
+    )
+    half = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < F.lit(sampling.hash_threshold(0.5))
+    ha = histogram_state(
+        scored.filter(half), {"quality_logit": 0.25}, "a",
+        group_col="source",
+    )
+    hb = histogram_state(
+        scored.filter(~half), {"quality_logit": 0.25}, "b",
+        group_col="source",
+    )
+    return histogram_tv_distance(ha, hb)
+
+
+QUERIES["quality_drift_tv_by_source"] = quality_drift_tv_by_source
+
+
+def _quality_drift_oracle_sql() -> str:
+    base = _token_budget_oracle_sql()
+    scored_prefix = base.split("cum AS")[0]
+    return f"""
+        {scored_prefix}
+        src AS (
+          SELECT s.doc_id, d.source, s.quality_logit
+          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+          WHERE s.quality_logit IS NOT NULL),
+        lab AS (
+          SELECT source,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                   AS first_half,
+                 CAST(floor(quality_logit / 0.25) AS BIGINT) AS bucket
+          FROM src),
+        ha AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS na
+               FROM lab WHERE first_half GROUP BY 1, 2),
+        hb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS nb
+               FROM lab WHERE NOT first_half GROUP BY 1, 2),
+        ta AS (SELECT source, CAST(sum(na) AS BIGINT) AS tna
+               FROM ha GROUP BY 1),
+        tb AS (SELECT source, CAST(sum(nb) AS BIGINT) AS tnb
+               FROM hb GROUP BY 1),
+        j AS (
+          SELECT coalesce(ha.source, hb.source) AS source,
+                 coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+          FROM ha FULL OUTER JOIN hb
+            ON ha.source IS NOT DISTINCT FROM hb.source
+           AND ha.bucket = hb.bucket),
+        agg AS (
+          SELECT j.source,
+                 CAST(sum(abs(CAST(na AS HUGEINT) * tnb
+                              - CAST(nb AS HUGEINT) * tna)) AS HUGEINT)
+                   AS tv_num,
+                 tna, tnb
+          FROM j
+          JOIN ta ON j.source IS NOT DISTINCT FROM ta.source
+          JOIN tb ON j.source IS NOT DISTINCT FROM tb.source
+          GROUP BY j.source, tna, tnb)
+        SELECT source AS grp, 'quality_logit' AS "column",
+               CAST(0.25 AS DOUBLE) AS g, tv_num,
+               tna AS n_a, tnb AS n_b,
+               CAST(tv_num AS DOUBLE)
+                 / (2.0 * CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)) AS tv
+        FROM agg
+    """
+
+
+ORACLES["quality_drift_tv_by_source"] = _quality_drift_oracle_sql()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -703,6 +703,41 @@ def test_histogram_state_merge_and_quantile_bounds(spark):
         assert abs(row["value_hi"] - row["value_lo"]) == g
 
 
+def test_histogram_tv_distance_properties(spark):
+    """r9: exact TV distance — identical histograms give 0, disjoint
+    support gives 1, symmetry holds, and a hand-computed mixed case
+    matches, with the integer numerator exact."""
+    from dwc_dataframe_validator_spark.operators.profile import (
+        histogram_state,
+        histogram_tv_distance,
+    )
+
+    da = spark.createDataFrame(
+        [(1.0,)] * 3 + [(2.0,)] * 1, "v double"
+    )
+    db = spark.createDataFrame(
+        [(1.0,)] * 1 + [(2.0,)] * 3, "v double"
+    )
+    dc = spark.createDataFrame([(9.0,)] * 4, "v double")
+    g = 1.0
+    ha = histogram_state(da, {"v": g}, "a")
+    hb = histogram_state(db, {"v": g}, "b")
+    hc = histogram_state(dc, {"v": g}, "c")
+
+    same = histogram_tv_distance(ha, ha).collect()[0]
+    assert same["tv"] == 0.0 and int(same["tv_num"]) == 0
+
+    disjoint = histogram_tv_distance(ha, hc).collect()[0]
+    assert disjoint["tv"] == 1.0
+
+    # p = (3/4, 1/4), q = (1/4, 3/4): TV = 1/2 * (1/2 + 1/2) = 1/2;
+    # numerator = |3*4 - 1*4| + |1*4 - 3*4| = 16, denom 2*4*4
+    ab = histogram_tv_distance(ha, hb).collect()[0]
+    assert int(ab["tv_num"]) == 16 and ab["tv"] == 0.5
+    ba = histogram_tv_distance(hb, ha).collect()[0]
+    assert ba["tv"] == ab["tv"]                      # symmetry
+
+
 # --- web / URL curation ----------------------------------------------------
 
 def test_url_normalization_rules(spark):
