@@ -5114,7 +5114,8 @@ ORACLES["histogram_quantiles_events"] = """
       SELECT q, greatest(CAST(1 AS BIGINT),
                CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)) AS rnk
       FROM qs, t)
-    SELECT 'value' AS "column", r.q, min(c.bucket) AS bucket,
+    SELECT 'value' AS "column", CAST(0.5 AS DOUBLE) AS g, r.q,
+           min(c.bucket) AS bucket,
            CAST(min(c.bucket) AS DOUBLE) * 0.5 AS value_lo,
            CAST(min(c.bucket) + 1 AS DOUBLE) * 0.5 AS value_hi
     FROM r JOIN c ON c.cum >= r.rnk
