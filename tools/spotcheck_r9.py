@@ -38,6 +38,13 @@ OPS = (
     "domain_mix_report",
     "multimodal_header_meta",
     "corpus_diff_summary",
+    # late round-9 additions (documents-based): water-filling mixture
+    # (bounded agg + map-side CASE), grouped quality histogram
+    # (map-side bucketing + bounded-bucket windows), TV drift (two
+    # histograms + bounded full-outer join)
+    "target_mixture_stats",
+    "quality_histogram_by_source",
+    "quality_drift_tv_by_source",
 )
 
 
