@@ -104,18 +104,39 @@ def decode_images(
     content_col: str = "content",
     id_col: str = "id",
     fake: bool = False,
+    backend: str = "auto",
 ) -> DataFrame:
     """Arrow-batched image decode returning (id, width, height,
     channels, ok).
 
-    Backend choice, in order: ``fake=True`` forces the deterministic
-    stub (stable for tests, any container); otherwise PIL is used if
-    importable (corrupt payloads yield ``ok=False`` rows, not task
-    failures); otherwise the codec-free pure-byte header parser
-    (``parse_media_header`` — real dimensions for PNG/JPEG/GIF/BMP, no
-    library needed).  Plumbing, schema and Arrow batching are identical
-    on every branch — swapping the decoder never changes the plan."""
-    use_pil = not fake and _pil_available()
+    ``backend`` picks the decoder explicitly: ``"pil"`` (full decode —
+    corrupt payloads yield ``ok=False`` rows, not task failures;
+    raises ImportError up front if PIL is absent), ``"header"`` (the
+    codec-free pure-byte parser ``parse_media_header`` — real
+    dimensions for PNG/JPEG/GIF/BMP, runs in any container, but
+    validates HEADERS ONLY: a valid header over a truncated/corrupt
+    body still reads ``ok=True``), or ``"fake"`` (deterministic test
+    stub; ``fake=True`` is a back-compat alias).  Non-image payloads
+    (e.g. WAV audio) are ``ok=False`` on every backend — this is an
+    IMAGE decoder.
+
+    The default ``"auto"`` = PIL if importable else header — handy
+    interactively, but ``ok`` semantics then depend on which container
+    ran the job; pin ``backend`` explicitly in any pipeline whose
+    downstream gates key on ``ok``.  Plumbing, schema and Arrow
+    batching are identical on every branch — swapping the decoder
+    never changes the plan."""
+    if backend not in ("auto", "pil", "header", "fake"):
+        raise ValueError(f"unknown decode backend {backend!r}")
+    if fake:
+        backend = "fake"
+    elif backend == "pil" and not _pil_available():
+        raise ImportError(
+            "decode_images(backend='pil') requires PIL; install it or "
+            "pin backend='header' (header-only validation)"
+        )
+    elif backend == "auto":
+        backend = "pil" if _pil_available() else "header"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,13 +145,18 @@ def decode_images(
                 if payload is None:
                     rows.append((i, 0, 0, 0, False))
                     continue
-                if use_pil:
+                if backend == "pil":
                     w, h, ch, ok = _pil_decode(bytes(payload))
-                elif fake:
+                elif backend == "fake":
                     w, h, ch = _fake_decode(bytes(payload))
                     ok = True
                 else:
-                    _, w, h, ch, _, ok = parse_media_header(bytes(payload))
+                    mime, w, h, ch, _, ok = parse_media_header(
+                        bytes(payload)
+                    )
+                    # header backend: only image payloads decode ok —
+                    # a parseable WAV is still not an image
+                    ok = bool(ok) and (mime or "").startswith("image/")
                     if not ok:
                         w, h, ch = 0, 0, 0
                 rows.append((i, w, h, ch, ok))

@@ -289,25 +289,43 @@ def histogram_tv_distance(a: DataFrame, b: DataFrame) -> DataFrame:
     identical distributions, 1 = disjoint support.
 
     Inputs are (merged) ``histogram_state`` frames over the same
-    granularity; buckets missing on one side count 0.  Cost: one
-    full-outer join on the bounded bucket keys + one aggregate —
-    never touches data rows."""
+    granularity; buckets missing on one side count 0.  Group keys join
+    NULL-safely (a NULL grp — e.g. the NULL-domain bucket of
+    ``operators/web.py`` — is a real group, not droppable), and a
+    group present on only ONE side is reported with ``tv = 1.0``
+    (disjoint support — a vanished or brand-new source is the loudest
+    drift there is, ``tv_num`` is 0/undefined there by convention).
+    Cost: one full-outer join on the bounded bucket keys + a window
+    and an aggregate sharing that partitioning — never touches data
+    rows."""
     keys = [c for c in ("grp", "column", "g") if c in a.columns]
     if [c for c in ("grp", "column", "g") if c in b.columns] != keys:
         raise ValueError("histogram key shapes differ between sides")
 
-    def tot(df, name):
-        return df.groupBy(*keys).agg(
-            F.sum("n").cast("long").alias(name)
-        )
-
-    an = a.select(*keys, "bucket", F.col("n").alias("_na"))
-    bn = b.select(*keys, "bucket", F.col("n").alias("_nb"))
-    j = (
-        an.join(bn, keys + ["bucket"], "full_outer")
-        .na.fill({"_na": 0, "_nb": 0})
-        .join(tot(a, "_ta"), keys)
-        .join(tot(b, "_tb"), keys)
+    # dataframe aliases: a and b may share lineage (drift of a slice
+    # against itself / a superset), which breaks column-object
+    # resolution in a self-join
+    an = a.select(*keys, "bucket", F.col("n").alias("_na")).alias("_tvl")
+    bn = b.select(*keys, "bucket", F.col("n").alias("_nb")).alias("_tvr")
+    cond = None
+    for k in [*keys, "bucket"]:
+        c = F.col(f"_tvl.{k}").eqNullSafe(F.col(f"_tvr.{k}"))
+        cond = c if cond is None else cond & c
+    j = an.join(bn, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_tvl.{k}"), F.col(f"_tvr.{k}")).alias(k)
+            for k in keys
+        ],
+        F.coalesce(F.col("_tvl._na"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.col("_tvr._nb"), F.lit(0)).cast("long").alias("_nb"),
+    )
+    # group totals from the joined frame itself via a window over the
+    # key partitioning (shared exchange with the final groupBy; NULL
+    # and one-sided groups handled natively) — replaces two per-side
+    # aggregate+join legs that dropped both
+    w_keys = Window.partitionBy(*keys)
+    j = j.withColumn("_ta", F.sum("_na").over(w_keys)).withColumn(
+        "_tb", F.sum("_nb").over(w_keys)
     )
     dec = "decimal(38,0)"
     num = F.abs(
@@ -326,14 +344,18 @@ def histogram_tv_distance(a: DataFrame, b: DataFrame) -> DataFrame:
             "tv_num",
             "n_a",
             "n_b",
-            (
+            F.when(
+                (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(1.0)
+            )
+            .otherwise(
                 F.col("tv_num").cast("double")
                 / (
                     F.lit(2.0)
                     * F.col("n_a").cast("double")
                     * F.col("n_b").cast("double")
                 )
-            ).alias("tv"),
+            )
+            .alias("tv"),
         )
     )
 

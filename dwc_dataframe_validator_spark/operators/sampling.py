@@ -446,7 +446,12 @@ def target_mixture_thresholds(
                 continue
         chosen = (k, num, den)
         break
-    assert chosen is not None, "water-filling level must exist"
+    if chosen is None:  # input-dependent invariant — never assert
+        raise RuntimeError(
+            "water-filling level not found — boundary comparison "
+            "invariant violated (please report: masses="
+            f"{masses!r}, target_weights={target_weights!r})"
+        )
     k, num, den = chosen
     out = {}
     for i, s in enumerate(order):

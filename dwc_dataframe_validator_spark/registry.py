@@ -5333,31 +5333,35 @@ def _quality_drift_oracle_sql() -> str:
                FROM lab WHERE first_half GROUP BY 1, 2),
         hb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS nb
                FROM lab WHERE NOT first_half GROUP BY 1, 2),
-        ta AS (SELECT source, CAST(sum(na) AS BIGINT) AS tna
-               FROM ha GROUP BY 1),
-        tb AS (SELECT source, CAST(sum(nb) AS BIGINT) AS tnb
-               FROM hb GROUP BY 1),
         j AS (
           SELECT coalesce(ha.source, hb.source) AS source,
                  coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
           FROM ha FULL OUTER JOIN hb
             ON ha.source IS NOT DISTINCT FROM hb.source
            AND ha.bucket = hb.bucket),
+        jt AS (
+          SELECT source, na, nb,
+                 CAST(sum(na) OVER (PARTITION BY source) AS BIGINT)
+                   AS tna,
+                 CAST(sum(nb) OVER (PARTITION BY source) AS BIGINT)
+                   AS tnb
+          FROM j),
         agg AS (
-          SELECT j.source,
+          SELECT source,
                  CAST(sum(abs(CAST(na AS HUGEINT) * tnb
                               - CAST(nb AS HUGEINT) * tna)) AS HUGEINT)
                    AS tv_num,
                  tna, tnb
-          FROM j
-          JOIN ta ON j.source IS NOT DISTINCT FROM ta.source
-          JOIN tb ON j.source IS NOT DISTINCT FROM tb.source
-          GROUP BY j.source, tna, tnb)
+          FROM jt
+          GROUP BY source, tna, tnb)
         SELECT source AS grp, 'quality_logit' AS "column",
                CAST(0.25 AS DOUBLE) AS g, tv_num,
                tna AS n_a, tnb AS n_b,
-               CAST(tv_num AS DOUBLE)
-                 / (2.0 * CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)) AS tv
+               CASE WHEN tna = 0 OR tnb = 0 THEN 1.0
+                    ELSE CAST(tv_num AS DOUBLE)
+                         / (2.0 * CAST(tna AS DOUBLE)
+                            * CAST(tnb AS DOUBLE))
+               END AS tv
         FROM agg
     """
 

@@ -48,21 +48,27 @@ def record_batch_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    profile: bool = False,
 ) -> None:
     """Write one micro-batch's dashboard slice.  Computed over the
     RAW batch (before decontamination/dedup filtering — the dashboards
     report on what ARRIVED, the same population the batch dashboards
     scan).  Cost: one fingerprint pass plus, with ``heldout_path``,
-    the same bloom-prescreened window screen the sink already pays."""
-    from ..operators.profile import profile_state
+    the same bloom-prescreened window screen the sink already pays;
+    with ``profile=True`` additionally one full-batch aggregation +
+    write for the mergeable column-profile slice (opt-in, mirroring
+    ``ingest_slice``'s ``profile`` flag — callers that never fold
+    ``profile_dashboard`` should not pay it)."""
+    if profile:
+        from ..operators.profile import profile_state
 
-    # r9: per-batch mergeable profile slice — the streaming face of
-    # corpus-lifetime profiling (operators/profile.py).  Deterministic
-    # content + batch-id-keyed overwrite = value-idempotent on replay,
-    # like every other slice here.
-    profile_state(batch_df, f"batch-{batch_id}").write.mode(
-        "overwrite"
-    ).parquet(f"{stats_path}/profiles/batch_id={batch_id}")
+        # r9: per-batch mergeable profile slice — the streaming face
+        # of corpus-lifetime profiling (operators/profile.py).
+        # Deterministic content + batch-id-keyed overwrite =
+        # value-idempotent on replay, like every other slice here.
+        profile_state(batch_df, f"batch-{batch_id}").write.mode(
+            "overwrite"
+        ).parquet(f"{stats_path}/profiles/batch_id={batch_id}")
 
     fps = fingerprint(batch_df, text_col, id_col).join(
         batch_df.select(

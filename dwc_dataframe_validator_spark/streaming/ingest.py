@@ -73,6 +73,7 @@ def ingest_batch(
     stats_path: str | None = None,
     source_col: str = "source",
     min_quality_logit: float | None = None,
+    profile: bool = False,
 ) -> None:
     """One replay-safe ingestion step — the ``foreachBatch`` body,
     exposed for direct testing of the marker protocol.  With
@@ -95,7 +96,10 @@ def ingest_batch(
     dashboard slice (streaming/dashboards.py) over the RAW batch,
     before any filtering — slices are batch-id-keyed overwrites, so a
     replay rewrites identical content and the folded dashboards stay
-    value-idempotent."""
+    value-idempotent.  ``profile=True`` additionally writes the
+    mergeable column-profile slice that ``profile_dashboard`` folds —
+    opt-in, because it costs one extra full-batch aggregation + write
+    per micro-batch."""
     spark = batch_df.sparkSession
     marker = f"{out_path}/_commits/{batch_id}"
     if _exists(spark, marker):
@@ -114,6 +118,7 @@ def ingest_batch(
             text_col=text_col,
             id_col=id_col,
             source_col=source_col,
+            profile=profile,
         )
     if min_quality_logit is not None:
         from ..operators.text import (
@@ -141,45 +146,46 @@ def ingest_batch(
         for orig, tmp in mapping.items():
             gdf = gdf.withColumnRenamed(orig, tmp)
         gcols = gdf.columns
-        kept = (
+        scored = (
             model_quality_score(
                 gdf, text_col=text_col, id_col=id_col,
                 keep_cols=tuple(c for c in gcols if c != id_col),
             )
-            .filter(
-                F.col("quality_logit") >= F.lit(float(min_quality_logit))
+            .withColumn(
+                "_gate_pass",
+                F.col("quality_logit")
+                >= F.lit(float(min_quality_logit)),
             )
-            .select(*gcols)
+            .select(*gcols, "_gate_pass")
         )
-        for orig, tmp in mapping.items():
-            kept = kept.withColumnRenamed(tmp, orig)
-        kept = kept.select(*cols)
         if stats_path is not None:
+            # materialize the scored batch ONCE so the gate slice and
+            # the surviving rows both read it — without this the
+            # scorer's regex pass runs twice per micro-batch (once per
+            # consumer action)
+            scored = scored.localCheckpoint(eager=True)
             # r9: per-batch gate slice for the cumulative dashboard
             # (streaming/dashboards.py quality_gate_dashboard) —
-            # additive per-source arrived/kept counts, batch-id-keyed
+            # additive per-source arrived/kept counts from ONE
+            # aggregation (a join on source was null-unsafe: a NULL
+            # source's kept count silently read 0), batch-id-keyed
             # overwrite like every other slice
+            src = mapping.get(source_col, source_col)
             (
-                batch_df.groupBy(F.col(source_col).alias("source"))
-                .agg(F.count(F.lit(1)).alias("n_in"))
-                .join(
-                    kept.groupBy(F.col(source_col).alias("source")).agg(
-                        F.count(F.lit(1)).alias("n_kept")
-                    ),
-                    "source",
-                    "left",
-                )
-                .select(
-                    "source",
-                    "n_in",
-                    F.coalesce(F.col("n_kept"), F.lit(0))
+                scored.groupBy(F.col(src).alias("source"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_in"),
+                    F.count_if(F.col("_gate_pass"))
                     .cast("long")
                     .alias("n_kept"),
                 )
                 .write.mode("overwrite")
                 .parquet(f"{stats_path}/gate/batch_id={batch_id}")
             )
-        batch_df = kept
+        kept = scored.filter(F.col("_gate_pass")).select(*gcols)
+        for orig, tmp in mapping.items():
+            kept = kept.withColumnRenamed(tmp, orig)
+        batch_df = kept.select(*cols)
     if heldout_path is not None:
         hw, hbits, hmeta = incremental.load_heldout_index(
             spark, heldout_path
@@ -239,6 +245,7 @@ def corpus_ingest_sink(
     stats_path: str | None = None,
     source_col: str = "source",
     min_quality_logit: float | None = None,
+    profile: bool = False,
 ):
     """Attach the continuous-ingestion sink to a document stream and
     return the started StreamingQuery (caller owns lifecycle).  The
@@ -268,6 +275,7 @@ def corpus_ingest_sink(
             stats_path=stats_path,
             source_col=source_col,
             min_quality_logit=min_quality_logit,
+            profile=profile,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)

@@ -471,6 +471,23 @@ def test_multimodal_decode_backend_guard(spark, docs):
     assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (1, 1)
     assert not rows[2]["ok"]
 
+    # a parseable WAV is NOT an image: ok=False on the header backend
+    # (PIL would also reject it — ok semantics agree across backends)
+    import struct
+    fmt_body = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt_body)
+    wdf = spark.createDataFrame(
+        [(3, bytearray(wav))], "id long, content binary"
+    )
+    wrows = multimodal.decode_images(wdf, backend="header").collect()
+    assert not wrows[0]["ok"]
+
+    # unknown / unavailable backends fail fast, not mid-job
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.decode_images(df, backend="magick")
+
 
 def test_parse_media_header_formats_and_adversarial():
     """r9: the codec-free header parser on real-world fixture bytes
@@ -736,6 +753,28 @@ def test_histogram_tv_distance_properties(spark):
     assert int(ab["tv_num"]) == 16 and ab["tv"] == 0.5
     ba = histogram_tv_distance(hb, ha).collect()[0]
     assert ba["tv"] == ab["tv"]                      # symmetry
+
+    # grouped: NULL groups join null-safely (not dropped), and a
+    # group present on only ONE side reads tv=1.0 (disjoint support —
+    # a vanished/new source is maximal drift, not a missing row)
+    ga = spark.createDataFrame(
+        [("web", 1.0), ("web", 1.0), (None, 1.0), (None, 2.0),
+         ("gone", 5.0)],
+        "src string, v double",
+    )
+    gb = spark.createDataFrame(
+        [("web", 1.0), ("web", 2.0), (None, 1.0), (None, 2.0),
+         ("new", 7.0)],
+        "src string, v double",
+    )
+    hga = histogram_state(ga, {"v": g}, "a", group_col="src")
+    hgb = histogram_state(gb, {"v": g}, "b", group_col="src")
+    got = {r["grp"]: r for r in histogram_tv_distance(hga, hgb).collect()}
+    assert set(got) == {"web", None, "gone", "new"}
+    assert got[None]["tv"] == 0.0                    # identical NULL grp
+    assert got["web"]["tv"] == 0.5                   # (2,0) vs (1,1)
+    assert got["gone"]["tv"] == 1.0 and got["gone"]["n_b"] == 0
+    assert got["new"]["tv"] == 1.0 and got["new"]["n_a"] == 0
 
 
 # --- web / URL curation ----------------------------------------------------

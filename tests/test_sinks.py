@@ -873,8 +873,10 @@ def test_streaming_profile_and_gate_dashboards(spark, tmp_path):
         ],
         schema,
     )
-    ingest_batch(b1, 0, idx, out, stats_path=stats, min_quality_logit=-1.0)
-    ingest_batch(b2, 1, idx, out, stats_path=stats, min_quality_logit=-1.0)
+    ingest_batch(b1, 0, idx, out, stats_path=stats, min_quality_logit=-1.0,
+                 profile=True)
+    ingest_batch(b2, 1, idx, out, stats_path=stats, min_quality_logit=-1.0,
+                 profile=True)
 
     # --- profile dashboard == one-shot over concatenated batches ---
     both = b1.unionByName(b2)
@@ -914,7 +916,7 @@ def test_streaming_profile_and_gate_dashboards(spark, tmp_path):
         assert rows[src]["n_kept"] == by_src_kept[src], (src, rows[src])
 
     # --- replayed slice writes change nothing (idempotent folds) ---
-    record_batch_stats(b2, 1, stats)
+    record_batch_stats(b2, 1, stats, profile=True)
     assert sorted(
         map(tuple, profile_dashboard(spark, stats)
             .drop("n_batches", "n_distinct_approx").collect())
