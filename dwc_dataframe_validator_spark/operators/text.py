@@ -1060,6 +1060,112 @@ def trigram_surprisal(
     )
 
 
+def dsir_importance_scores(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scores — Data Selection via Importance
+    Resampling (Xie et al. 2023, arXiv:2302.03169): score every
+    document by how much more likely its hashed-token features are
+    under the TARGET distribution than under the RAW distribution, so
+    the corpus can be resampled toward a target domain (the standard
+    pretraining-mix curation move: "make the web crawl look more like
+    Wikipedia").
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target-domain exemplars (NULL counts as raw).  Features are
+    WORD_PATTERN tokens hashed to ``n_buckets`` buckets with the
+    repo's engine-portable md5-prefix hash (same contract as
+    operators/sketch.py).  Per-bucket add-one-smoothed log-ratio
+    weights live on the exact integer FLOOR-log2 grid of the
+    surprisal scorers::
+
+        w_b = [flog2(t_b+1) − flog2(T+B)] − [flog2(r_b+1) − flog2(R+B)]
+
+    (t/r = bucket counts in target/raw, T/R their totals, B =
+    n_buckets) — every term an exact integer both engines compute
+    from binary-string length, so per-doc scores are exact longs and
+    a DuckDB oracle replays them bit-for-bit.  Coarser than the
+    float ln-ratio of the paper; the induced ranking is what
+    selection consumes.  Positive = target-like.
+
+    Returns ``(id_col, n_tokens, dsir_bits, bits_per_token)`` for
+    every document (zero-token docs: 0, 0, NULL).
+
+    Plan: two passes over the exploded tokens, which is inherent to
+    the method (fit the two feature distributions, then score).
+    Pass 1 aggregates to the BOUNDED ``n_buckets``-row weight table
+    (map-side partials collapse each partition to ≤B rows before the
+    shuffle); pass 2 broadcast-joins that table onto the tokens and
+    aggregates per doc — one shuffle on ``id_col``, again with
+    map-side partials.  At 100 TB, fit the weights on a hash-sample
+    (``sampling.hash_sample``) instead of the full corpus — the
+    bucket distributions converge long before that — and score with
+    this function's second half unchanged."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.coalesce(target, F.lit(False)).alias("_is_target"),
+        F.explode(_word_tokens(text_col)).alias("term"),
+    ).withColumn(
+        "_bucket",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("term").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_buckets)),
+        ),
+    )
+    counts = toks.groupBy("_bucket").agg(
+        F.count_if(F.col("_is_target")).cast("long").alias("_t"),
+        F.count_if(~F.col("_is_target")).cast("long").alias("_r"),
+    )
+    # totals via a GLOBAL window over the bounded ≤n_buckets-row
+    # aggregate — a separate totals aggregate + crossJoin re-evaluates
+    # the counts lineage, i.e. a third full pass over the exploded
+    # tokens.  The single window partition holds ≤n_buckets rows.
+    w_all = Window.partitionBy()
+    tn = (F.sum("_t").over(w_all) + F.lit(int(n_buckets))).cast("long")
+    rn = (F.sum("_r").over(w_all) + F.lit(int(n_buckets))).cast("long")
+    weights = counts.select(
+        "_bucket",
+        (
+            (_flog2(F.col("_t") + 1) - _flog2(tn))
+            - (_flog2(F.col("_r") + 1) - _flog2(rn))
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(weights), "_bucket")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_w").cast("long").alias("dsir_bits"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("dsir_bits"), F.lit(0)).alias("dsir_bits"),
+            F.when(
+                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0),
+                F.col("dsir_bits").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("bits_per_token"),
+        )
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     n_merges: int = 200,

@@ -5369,6 +5369,69 @@ def _quality_drift_oracle_sql() -> str:
 ORACLES["quality_drift_tv_by_source"] = _quality_drift_oracle_sql()
 
 
+def dsir_scores_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (operators/text.py
+    ``dsir_importance_scores`` — Xie et al. 2023 hashed-n-gram
+    importance resampling, on the repo's exact integer-log2 grid):
+    score every document by target-vs-raw hashed-token likelihood
+    ratio with ``lang = 'en'`` documents as the target exemplars —
+    the "reshape the crawl toward a target domain" selection signal.
+    md5-prefix bucket hash and floor-log2 weights are both
+    engine-portable, so model fit AND per-document scores cross the
+    exact value gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.dsir_importance_scores(
+            docs, target=F.col("lang") == "en", n_buckets=256
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "dsir_bits", "bits_per_token")
+    )
+
+
+QUERIES["dsir_scores_lang"] = dsir_scores_lang
+
+# same md5-prefix bucket hash as operators/sketch.py; floor(log2 c) =
+# binary-string length − 1 — both engine-portable
+ORACLES["dsir_scores_lang"] = r"""
+    WITH toks AS (
+      SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    b AS (
+      SELECT doc_id, is_t,
+             CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT)
+                  % 256 AS BIGINT) AS bucket
+      FROM toks),
+    c AS (
+      SELECT bucket,
+             CAST(count(*) FILTER (is_t) AS BIGINT) AS t,
+             CAST(count(*) FILTER (NOT is_t) AS BIGINT) AS r
+      FROM b GROUP BY 1),
+    tot AS (SELECT CAST(sum(t) + 256 AS BIGINT) AS tn,
+                   CAST(sum(r) + 256 AS BIGINT) AS rn FROM c),
+    w AS (
+      SELECT bucket,
+             CAST(( (length(format('{:b}', t + 1)) - 1)
+                  - (length(format('{:b}', tn)) - 1) )
+                - ( (length(format('{:b}', r + 1)) - 1)
+                  - (length(format('{:b}', rn)) - 1) ) AS BIGINT) AS w
+      FROM c CROSS JOIN tot),
+    per_doc AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w.w) AS BIGINT) AS dsir_bits
+      FROM b JOIN w USING (bucket) GROUP BY 1)
+    SELECT d.doc_id, d.lang,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.dsir_bits, 0) AS dsir_bits,
+           CASE WHEN p.n_tokens > 0
+                THEN CAST(p.dsir_bits AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE)
+           END AS bits_per_token
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -3918,3 +3918,31 @@ def test_pandas_permissive_parse(spark):
             assert r["a"] == r["b"]
     # and the dateutil-only rows now parse
     assert got[7] is not None and got[9] is not None
+
+
+def test_dsir_importance_ranking(spark):
+    """r9: DSIR semantics — documents made of target-domain tokens
+    must out-score documents made of raw-domain tokens, an unseen doc
+    mixing both lands between, and a zero-token doc reads (0, 0,
+    NULL)."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        dsir_importance_scores,
+    )
+
+    rows = (
+        [(i, "wiki article reference citation " * 5, True)
+         for i in range(4)]
+        + [(10 + i, "click buy cheap deal " * 5, False) for i in range(4)]
+        + [(20, "wiki article reference citation", False),   # target-like
+           (21, "click buy cheap deal", False),              # raw-like
+           (22, "wiki article click buy", False),            # mixed
+           (23, "", False)]                                  # empty
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {r["doc_id"]: r for r in dsir_importance_scores(
+        df, F.col("is_t"), n_buckets=64).collect()}
+    assert got[20]["bits_per_token"] > got[22]["bits_per_token"] \
+        > got[21]["bits_per_token"]
+    assert got[20]["dsir_bits"] > 0 > got[21]["dsir_bits"]
+    assert (got[23]["n_tokens"], got[23]["dsir_bits"],
+            got[23]["bits_per_token"]) == (0, 0, None)

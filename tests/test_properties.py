@@ -603,3 +603,66 @@ def test_target_mixture_waterfilling_invariants(spark, data, budget_frac):
     assert set(target_mixture_thresholds(
         df, "src", "toks", weights, 0
     ).values()) == {format(0, "08x")}
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    tgt=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=5,
+    ),
+    raw=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "dd", "ee"]),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=5,
+    ),
+)
+def test_dsir_scores_match_bruteforce(spark, tgt, raw):
+    """r9: for ANY (target, raw) corpus pair the DSIR importance
+    scorer equals the brute-force Python computation — md5-prefix
+    bucket hash, add-one-smoothed floor-log2 weight grid, per-doc
+    long sums, zero-token NULL contract."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators.text import (
+        dsir_importance_scores,
+    )
+
+    B = 16
+    rows = [(i, " ".join(toks), True) for i, toks in enumerate(tgt)] + [
+        (len(tgt) + i, " ".join(toks), False)
+        for i, toks in enumerate(raw)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dsir_importance_scores(
+            df, F.col("is_t"), n_buckets=B
+        ).collect()
+    }
+
+    bucket = lambda t: int(  # noqa: E731
+        hashlib.md5(t.encode()).hexdigest()[:8], 16) % B
+    flog2 = lambda c: c.bit_length() - 1  # noqa: E731
+    t_c, r_c = Counter(), Counter()
+    for toks in tgt:
+        t_c.update(bucket(t) for t in toks)
+    for toks in raw:
+        r_c.update(bucket(t) for t in toks)
+    tn = sum(t_c.values()) + B
+    rn = sum(r_c.values()) + B
+    w = {
+        b: (flog2(t_c[b] + 1) - flog2(tn))
+        - (flog2(r_c[b] + 1) - flog2(rn))
+        for b in set(t_c) | set(r_c)
+    }
+    for i, toks in enumerate([*tgt, *raw]):
+        bits = sum(w[bucket(t)] for t in toks)
+        n = len(toks)
+        want = (n, bits, bits / n if n else None)
+        assert got[i] == want, (i, toks, got[i], want)
