@@ -1060,6 +1060,112 @@ def trigram_surprisal(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    min_chars: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate LINE detection — the CCNet /
+    RefinedWeb web-curation step that span dedup does not cover: nav
+    bars, cookie banners and footers repeat as whole lines across
+    many pages, and the curation move is to drop the LINE everywhere
+    (not keep one occurrence, as span/doc dedup would).
+
+    A line = a ``\\n``-separated segment; its identity is the TRIMMED
+    text; segments shorter than ``min_chars`` after trimming never
+    count (blank lines and stray fragments are not evidence).  Returns
+    ``(line, doc_freq)`` for lines appearing in ≥ ``min_doc_freq``
+    DISTINCT documents.
+
+    Plan: one explode → one hash aggregate on the line key with
+    map-side partials (each partition collapses to its local distinct
+    lines before the shuffle).  Hyper-common lines are single
+    aggregation keys, not row explosions — count_distinct handles the
+    skew in the standard two-stage expand."""
+    lines = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("_raw"),
+    )
+    return (
+        lines.select("_doc", F.trim(F.col("_raw")).alias("line"))
+        .filter(F.length("line") >= int(min_chars))
+        .groupBy("line")
+        .agg(F.countDistinct("_doc").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= int(min_doc_freq))
+    )
+
+
+def scrub_boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    min_chars: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the corpus with boilerplate lines REMOVED (every
+    occurrence — see ``boilerplate_lines`` for detection semantics):
+    ``(id_col, text_col, n_lines, n_removed)`` with surviving lines
+    rejoined by ``\\n`` in original order.  A document with no
+    boilerplate round-trips byte-identical; a document that was ALL
+    boilerplate becomes the empty string; NULL text stays NULL with
+    ``n_lines = 0``.
+
+    Plan: the detection aggregate, then ONE line-key equi-join of the
+    exploded corpus against the (already aggregated, distinct-keyed)
+    boilerplate table, then one groupBy(doc) reassembly — never
+    all-pairs.  The boilerplate table is corpus-dependent (can exceed
+    broadcast size on real crawls), so the join stays a shuffle join;
+    a hyper-common line makes the PROBE side skewed on one key, which
+    AQE's skew-join splitting handles (the build side holds one row
+    per key by construction)."""
+    boiler = boilerplate_lines(
+        df, min_doc_freq, min_chars, text_col, id_col
+    ).select(F.col("line").alias("_bline"))
+    lines = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_pos", "_raw"
+        ),
+    )
+    flagged = lines.join(
+        boiler, F.trim(F.col("_raw")) == F.col("_bline"), "left"
+    )
+    per_doc = flagged.groupBy("_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_if(F.col("_bline").isNotNull())
+        .cast("long")
+        .alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_bline").isNull(),
+                            F.struct("_pos", "_raw"),
+                        )
+                    )
+                ),
+                lambda s: s["_raw"],
+            ),
+        ).alias("_clean"),
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("_orig"))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            # NULL text never exploded: keep NULL, not ""
+            F.when(F.col("_orig").isNotNull(), F.col("_clean"))
+            .alias(text_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
 def dsir_importance_scores(
     df: DataFrame,
     target: Column,

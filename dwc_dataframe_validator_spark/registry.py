@@ -5432,6 +5432,82 @@ ORACLES["dsir_scores_lang"] = r"""
 """
 
 
+def _docs_as_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line view of the documents corpus: the
+    synthetic fixture text has no newlines, so both engines derive the
+    same line structure by rewriting the token ``' a '`` as ``\\n`` —
+    real repeated cross-document segments (the span-dup windows)
+    become repeated LINES, which is exactly the boilerplate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+
+
+def boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line detection (operators/text.py
+    ``boilerplate_lines``) — the CCNet/RefinedWeb nav-bar/footer
+    removal signal: trimmed lines ≥8 chars appearing in ≥2 distinct
+    documents of the derived multi-line corpus."""
+    return text.boilerplate_lines(
+        _docs_as_lines(spark, sf_dir), min_doc_freq=2, min_chars=8
+    )
+
+
+QUERIES["boilerplate_line_stats"] = boilerplate_line_stats
+
+ORACLES["boilerplate_line_stats"] = """
+    WITH d AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+               FROM documents),
+    lines AS (SELECT doc_id,
+                     trim(unnest(string_split(text, chr(10)))) AS line
+              FROM d)
+    SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM lines WHERE length(line) >= 8
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def boilerplate_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half (operators/text.py
+    ``scrub_boilerplate_lines``): the corpus with every occurrence of
+    a boilerplate line removed — unlike span dedup, no occurrence
+    survives.  The CLEAN TEXT crosses the value gate: the oracle
+    rebuilds every scrubbed document string character-for-character."""
+    return text.scrub_boilerplate_lines(
+        _docs_as_lines(spark, sf_dir), min_doc_freq=2, min_chars=8
+    )
+
+
+QUERIES["boilerplate_scrub_corpus"] = boilerplate_scrub_corpus
+
+# parallel unnests zip positionally in DuckDB — (line, ordinal) pairs
+ORACLES["boilerplate_scrub_corpus"] = """
+    WITH d AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+               FROM documents),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+           FROM d WHERE text IS NOT NULL),
+    lines AS (SELECT doc_id, unnest(l) AS ln,
+                     unnest(range(1, length(l) + 1)) AS ord
+              FROM ls),
+    b AS (SELECT trim(ln) AS line FROM lines
+          WHERE length(trim(ln)) >= 8
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    k AS (SELECT l.doc_id, l.ord, l.ln, (b.line IS NOT NULL) AS rm
+          FROM lines l LEFT JOIN b ON trim(l.ln) = b.line),
+    p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed,
+                 coalesce(string_agg(CASE WHEN NOT rm THEN ln END,
+                                     chr(10) ORDER BY ord), '') AS text
+          FROM k GROUP BY 1)
+    SELECT doc.doc_id, p.text AS text,
+           coalesce(p.n_lines, 0) AS n_lines,
+           coalesce(p.n_removed, 0) AS n_removed
+    FROM documents doc LEFT JOIN p USING (doc_id)
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -3946,3 +3946,39 @@ def test_dsir_importance_ranking(spark):
     assert got[20]["dsir_bits"] > 0 > got[21]["dsir_bits"]
     assert (got[23]["n_tokens"], got[23]["dsir_bits"],
             got[23]["bits_per_token"]) == (0, 0, None)
+
+
+def test_boilerplate_line_scrub_semantics(spark):
+    """r9: CCNet-style boilerplate line removal — a footer repeated
+    across docs is removed EVERYWHERE (unlike span dedup's
+    keep-first), short/blank lines are never evidence, clean docs
+    round-trip byte-identical, an all-boilerplate doc becomes empty,
+    NULL text stays NULL."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        boilerplate_lines,
+        scrub_boilerplate_lines,
+    )
+
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (1, f"real content one\n{footer}\nmore real text"),
+        (2, f"other article body\n\n{footer}"),
+        (3, f"{footer}"),                       # all boilerplate
+        (4, "unique page with no repeats\nok"),  # 'ok' too short to count
+        (5, "ok\nok"),                           # short lines repeat: kept
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = {r["line"]: r["doc_freq"]
+              for r in boilerplate_lines(df, 2, 8).collect()}
+    assert boiler == {footer: 3}
+
+    got = {r["doc_id"]: r for r in
+           scrub_boilerplate_lines(df, 2, 8).collect()}
+    assert got[1]["text"] == "real content one\nmore real text"
+    assert got[1]["n_lines"] == 3 and got[1]["n_removed"] == 1
+    assert got[2]["text"] == "other article body\n"
+    assert got[3]["text"] == "" and got[3]["n_removed"] == 1
+    assert got[4]["text"] == rows[3][1]          # byte-identical
+    assert got[5]["text"] == "ok\nok" and got[5]["n_removed"] == 0
+    assert got[6]["text"] is None and got[6]["n_lines"] == 0

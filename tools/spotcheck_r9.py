@@ -45,6 +45,9 @@ OPS = (
     "target_mixture_stats",
     "quality_histogram_by_source",
     "quality_drift_tv_by_source",
+    # DSIR: two token passes (bounded 256-bucket weight fit broadcast
+    # into the scoring join) — ~linear in corpus tokens
+    "dsir_scores_lang",
 )
 
 
