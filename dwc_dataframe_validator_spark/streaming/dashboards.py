@@ -49,6 +49,8 @@ def record_batch_stats(
     id_col: str = "doc_id",
     source_col: str = "source",
     profile: bool = False,
+    histograms: dict | None = None,
+    hist_group_col: str | None = None,
 ) -> None:
     """Write one micro-batch's dashboard slice.  Computed over the
     RAW batch (before decontamination/dedup filtering — the dashboards
@@ -69,6 +71,23 @@ def record_batch_stats(
         profile_state(batch_df, f"batch-{batch_id}").write.mode(
             "overwrite"
         ).parquet(f"{stats_path}/profiles/batch_id={batch_id}")
+
+    if histograms:
+        from ..operators.profile import histogram_state
+
+        # r9: per-batch mergeable NUMERIC HISTOGRAM slice (``{column:
+        # power-of-two granularity}``, optionally per ``hist_group_col``)
+        # — the distribution half of the profile, feeding the
+        # cumulative quantile and TV-drift dashboards.  Opt-in like
+        # ``profile``; same batch-id-keyed idempotent overwrite.
+        histogram_state(
+            batch_df,
+            histograms,
+            f"batch-{batch_id}",
+            group_col=hist_group_col,
+        ).write.mode("overwrite").parquet(
+            f"{stats_path}/hist/batch_id={batch_id}"
+        )
 
     fps = fingerprint(batch_df, text_col, id_col).join(
         batch_df.select(
@@ -267,3 +286,61 @@ def contamination_dashboard(
         ).alias("contamination_rate"),
         F.sum("confirmed_windows").cast("long").alias("confirmed_windows"),
     )
+
+
+def histogram_dashboard(
+    spark: SparkSession, stats_path: str, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Cumulative quantile estimates folded from the per-batch
+    histogram slices (written by ``record_batch_stats(histograms=...)``)
+    — corpus-lifetime score distributions without a rescan, error
+    bounded by each column's granularity ``g``.  Exactly equal to the
+    batch engine on the concatenated batches (bucket counts are
+    integer sums — pytest-pinned), state is |batches| × buckets."""
+    from ..operators.profile import (
+        histogram_quantiles,
+        merge_histogram_states,
+    )
+
+    states = spark.read.parquet(f"{stats_path}/hist")
+    return histogram_quantiles(
+        merge_histogram_states(states.drop("batch_id", "slice_id")), qs=qs
+    )
+
+
+def histogram_drift_dashboard(
+    spark: SparkSession, stats_path: str
+) -> DataFrame:
+    """Distribution-drift alert over the stream: exact total-variation
+    distance of the LATEST batch's histogram against the merged
+    history before it (``operators.profile.histogram_tv_distance`` —
+    NULL-safe groups, one-sided groups read tv=1.0).  The page-on
+    number for "this feed's score distribution just shifted", computed
+    entirely from bounded histogram state.  Needs ≥2 recorded batches
+    (raises otherwise — one batch has no history to drift from)."""
+    from ..operators.profile import (
+        histogram_tv_distance,
+        merge_histogram_states,
+    )
+
+    states = spark.read.parquet(f"{stats_path}/hist")
+    # bounded collect: one scalar — the newest batch id from the
+    # partition column
+    ids = [r[0] for r in states.select("batch_id").distinct().collect()]
+    if len(ids) < 2:
+        raise ValueError(
+            "histogram drift needs >=2 recorded batches, found "
+            f"{len(ids)}"
+        )
+    latest = max(ids)
+    prior = merge_histogram_states(
+        states.filter(F.col("batch_id") != latest).drop(
+            "batch_id", "slice_id"
+        )
+    )
+    newest = merge_histogram_states(
+        states.filter(F.col("batch_id") == latest).drop(
+            "batch_id", "slice_id"
+        )
+    )
+    return histogram_tv_distance(prior, newest)

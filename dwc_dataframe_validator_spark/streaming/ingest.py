@@ -74,6 +74,8 @@ def ingest_batch(
     source_col: str = "source",
     min_quality_logit: float | None = None,
     profile: bool = False,
+    histograms: dict | None = None,
+    hist_group_col: str | None = None,
 ) -> None:
     """One replay-safe ingestion step — the ``foreachBatch`` body,
     exposed for direct testing of the marker protocol.  With
@@ -119,6 +121,8 @@ def ingest_batch(
             id_col=id_col,
             source_col=source_col,
             profile=profile,
+            histograms=histograms,
+            hist_group_col=hist_group_col,
         )
     if min_quality_logit is not None:
         from ..operators.text import (
@@ -246,6 +250,8 @@ def corpus_ingest_sink(
     source_col: str = "source",
     min_quality_logit: float | None = None,
     profile: bool = False,
+    histograms: dict | None = None,
+    hist_group_col: str | None = None,
 ):
     """Attach the continuous-ingestion sink to a document stream and
     return the started StreamingQuery (caller owns lifecycle).  The
@@ -276,6 +282,8 @@ def corpus_ingest_sink(
             source_col=source_col,
             min_quality_logit=min_quality_logit,
             profile=profile,
+            histograms=histograms,
+            hist_group_col=hist_group_col,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)

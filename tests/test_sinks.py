@@ -921,3 +921,66 @@ def test_streaming_profile_and_gate_dashboards(spark, tmp_path):
         map(tuple, profile_dashboard(spark, stats)
             .drop("n_batches", "n_distinct_approx").collect())
     ) == want
+
+
+def test_streaming_histogram_and_drift_dashboards(spark, tmp_path):
+    """r9: per-batch histogram slices fold to EXACTLY the one-shot
+    histogram quantiles of the concatenated batches, and the TV-drift
+    dashboard equals histogram_tv_distance(prior, latest) computed
+    directly — including a shifted latest batch reading tv > 0."""
+    from dwc_dataframe_validator_spark.operators.profile import (
+        histogram_quantiles,
+        histogram_state,
+        histogram_tv_distance,
+        merge_histogram_states,
+    )
+    from dwc_dataframe_validator_spark.streaming.dashboards import (
+        histogram_dashboard,
+        histogram_drift_dashboard,
+        record_batch_stats,
+    )
+
+    stats = str(tmp_path / "stats")
+    schema = "doc_id long, text string, source string, score double"
+    b1 = spark.createDataFrame(
+        [(i, f"doc {i} words here", "web", float(i % 4)) for i in range(12)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"doc {100+i} words", "web", 8.0 + i % 2)
+         for i in range(8)],       # shifted distribution
+        schema,
+    )
+    g = {"score": 1.0}
+    record_batch_stats(b1, 0, stats, histograms=g, hist_group_col="source")
+    record_batch_stats(b2, 1, stats, histograms=g, hist_group_col="source")
+
+    both = b1.unionByName(b2)
+    want_q = sorted(map(tuple, histogram_quantiles(
+        merge_histogram_states(
+            histogram_state(both, g, "all", group_col="source")
+        )
+    ).collect()))
+    got_q = sorted(map(tuple, histogram_dashboard(spark, stats).collect()))
+    assert got_q == want_q
+
+    want_tv = sorted(map(tuple, histogram_tv_distance(
+        histogram_state(b1, g, "a", group_col="source"),
+        histogram_state(b2, g, "b", group_col="source"),
+    ).collect()))
+    got_tv_df = histogram_drift_dashboard(spark, stats)
+    got_tv = sorted(map(tuple, got_tv_df.collect()))
+    assert got_tv == want_tv
+    assert all(r["tv"] == 1.0 for r in got_tv_df.collect())  # disjoint shift
+
+    # replayed slice write changes nothing
+    record_batch_stats(b2, 1, stats, histograms=g, hist_group_col="source")
+    assert sorted(map(tuple,
+                      histogram_dashboard(spark, stats).collect())) == want_q
+
+    # single batch: no history to drift from
+    import pytest as _pytest
+    stats2 = str(tmp_path / "stats2")
+    record_batch_stats(b1, 0, stats2, histograms=g)
+    with _pytest.raises(ValueError):
+        histogram_drift_dashboard(spark, stats2)
