@@ -5508,6 +5508,67 @@ ORACLES["boilerplate_scrub_corpus"] = """
 """
 
 
+def warc_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip (sources/warc.py): serialize every
+    document as a WARC/1.0 response record IN-PLAN (header strings +
+    UTF-8 payload, Content-Length = octet length) and push the bytes
+    through the real record parser (``decode_warc_records`` —
+    Arrow-batched ``parse_warc_member``).  The oracle recomputes what
+    a correct parse must return from the documents table directly, so
+    header serialization, byte walking, Content-Length handling and
+    payload extraction are all value-checked on every row; NULL text
+    → NULL record → the parser's ok=false contract."""
+    from .sources import warc as warcmod
+
+    docs = load_table(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://corpus.example/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: text/plain\r\nContent-Length: "
+        ),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    ).cast("binary")
+    parsed = warcmod.decode_warc_records(
+        docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
+    )
+    return parsed.select(
+        F.col("id").alias("doc_id"),
+        "warc_type",
+        "target_uri",
+        "content_type",
+        "content_length",
+        F.col("payload").cast("string").alias("payload_text"),
+        "ok",
+    )
+
+
+QUERIES["warc_roundtrip_check"] = warc_roundtrip_check
+
+ORACLES["warc_roundtrip_check"] = """
+    SELECT doc_id,
+           CASE WHEN text IS NOT NULL THEN 'response' END AS warc_type,
+           CASE WHEN text IS NOT NULL
+                THEN 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+           END AS target_uri,
+           CASE WHEN text IS NOT NULL THEN 'text/plain' END
+             AS content_type,
+           CASE WHEN text IS NOT NULL
+                THEN CAST(octet_length(encode(text)) AS BIGINT)
+           END AS content_length,
+           text AS payload_text,
+           (text IS NOT NULL) AS ok
+    FROM documents
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,260 @@
+"""WARC (Web ARChive, ISO 28500) source — the file format the web
+arrives in.
+
+Common Crawl and every serious crawl pipeline ship WARC: a
+concatenation of records, each a ``WARC/1.x`` header block
+(``Name: value`` lines, CRLF-terminated, ending with a blank line)
+followed by ``Content-Length`` payload bytes and a ``\\r\\n\\r\\n``
+record separator.  Production archives are usually
+gzip-PER-RECORD (each record its own gzip member, so members can be
+decompressed independently); plain-text WARCs also exist.
+
+Reference parity: none — sources extend the LLM-pipeline family
+(SURVEY.md "beyond the reference" brief; the reference reads only
+DwC-A/CSV archives).
+
+Scale design: WARC files are NOT line-splittable, so the unit of
+parallelism is the FILE (Common Crawl ships ~1 GB segments — tens of
+thousands of files per dump, far more than any executor count).
+``read_warc`` uses ``spark.read.format("binaryFile")`` (one row per
+file, streamed through Arrow batches) and parses records per file in
+``mapInPandas`` — pure byte walking, no Python-per-row UDF, no
+driver-side work, and a malformed record yields an ``ok=false`` row
+rather than a task failure (one bad record in a 100 TB crawl must
+never kill the job).  Payload truncation is available at parse time
+(``max_payload``) so the scan never materializes bodies larger than
+the pipeline wants.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_RECORD_SCHEMA = (
+    "path string, record_index long, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, payload binary, ok boolean"
+)
+
+# headers the schema surfaces; everything else in the block is ignored
+_H_TYPE = b"warc-type"
+_H_URI = b"warc-target-uri"
+_H_DATE = b"warc-date"
+_H_CTYPE = b"content-type"
+_H_CLEN = b"content-length"
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _parse_header_block(block: bytes) -> dict | None:
+    """Parse one CRLF header block (first line ``WARC/x.y``).  Returns
+    the lowercased-name header dict or None if malformed."""
+    lines = block.split(b"\r\n")
+    if not lines or not lines[0].startswith(b"WARC/"):
+        return None
+    out = {}
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        name, sep, val = ln.partition(b":")
+        if not sep:
+            return None
+        out[name.strip().lower()] = val.strip()
+    return out
+
+
+def parse_warc_member(b: bytes):
+    """Parse ONE record from the head of ``b`` (already decompressed).
+    Returns ``(headers, payload, bytes_consumed)`` or ``(None, None,
+    0)`` on malformed input.  Never raises on bad bytes."""
+    end = b.find(b"\r\n\r\n")
+    if end < 0:
+        return None, None, 0
+    headers = _parse_header_block(b[:end])
+    if headers is None:
+        return None, None, 0
+    try:
+        clen = int(headers.get(_H_CLEN, b"").decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None, None, 0
+    start = end + 4
+    if clen < 0 or start + clen > len(b):
+        return None, None, 0
+    payload = b[start : start + clen]
+    consumed = start + clen
+    # the two CRLFs closing the record (tolerate their absence at EOF)
+    if b[consumed : consumed + 4] == b"\r\n\r\n":
+        consumed += 4
+    return headers, payload, consumed
+
+
+def iter_warc_records(raw: bytes):
+    """Yield ``(headers, payload, ok)`` for every record in a WARC
+    file's bytes.  Detects gzip (single-stream or per-record members —
+    ``gzip.decompress`` concatenates members, and a decompressed
+    member concatenation IS a plain WARC) by the leading magic, then
+    walks records by Content-Length.  A record that fails to parse
+    yields one ``(None, None, False)`` row and scanning stops —
+    without a valid Content-Length the next boundary is unknowable."""
+    if raw[:2] == _GZIP_MAGIC:
+        try:
+            raw = gzip.decompress(raw)
+        except OSError:
+            yield None, None, False
+            return
+    pos = 0
+    while pos < len(raw):
+        headers, payload, used = parse_warc_member(raw[pos:])
+        if headers is None:
+            yield None, None, False
+            return
+        yield headers, payload, True
+        pos += used
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str | list[str],
+    warc_types: tuple = ("response",),
+    max_payload: int | None = None,
+) -> DataFrame:
+    """Read WARC file(s) into ``WARC_RECORD_SCHEMA`` rows.
+
+    ``warc_types`` filters records by ``WARC-Type`` (crawl pipelines
+    want ``response``; pass ``None`` for everything).  ``max_payload``
+    truncates payload bytes AT PARSE TIME so oversized bodies never
+    cross the Arrow boundary.  One row per record; a malformed record
+    produces ``ok=false`` with NULL fields."""
+    files = spark.read.format("binaryFile").load(path)
+    keep = None if warc_types is None else {t.lower() for t in warc_types}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for i, (h, payload, ok) in enumerate(
+                    iter_warc_records(bytes(content))
+                ):
+                    if not ok:
+                        rows.append(
+                            (p, i, None, None, None, None, None, None,
+                             False)
+                        )
+                        continue
+                    wtype = h.get(_H_TYPE, b"").decode(
+                        "utf-8", "replace"
+                    )
+                    if keep is not None and wtype.lower() not in keep:
+                        continue
+                    if max_payload is not None:
+                        payload = payload[: int(max_payload)]
+                    rows.append(
+                        (
+                            p,
+                            i,
+                            wtype,
+                            h.get(_H_URI, b"").decode("utf-8", "replace")
+                            or None,
+                            h.get(_H_DATE, b"").decode("utf-8", "replace")
+                            or None,
+                            h.get(_H_CTYPE, b"").decode(
+                                "utf-8", "replace"
+                            )
+                            or None,
+                            len(payload),
+                            payload,
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_index", "warc_type", "target_uri",
+                    "warc_date", "content_type", "content_length",
+                    "payload", "ok",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, WARC_RECORD_SCHEMA
+    )
+
+
+WARC_COL_SCHEMA = (
+    "id long, warc_type string, target_uri string, warc_date string, "
+    "content_type string, content_length long, payload binary, "
+    "ok boolean"
+)
+
+
+def decode_warc_records(
+    df: DataFrame, content_col: str = "record", id_col: str = "id"
+) -> DataFrame:
+    """Parse a BINARY COLUMN of single WARC records — the
+    record-per-row shape a Kafka/stream feed or an exploded archive
+    delivers (``read_warc`` is the whole-file face; this is the
+    columnar one, same parser core).  Arrow-batched ``mapInPandas``,
+    one ``parse_warc_member`` call per blob; NULL or malformed blobs
+    yield ``ok=false`` rows with NULL fields, never task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = (None, None, None, None, None, None, False)
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    rows.append((i, *bad))
+                    continue
+                b = bytes(blob)
+                if b[:2] == _GZIP_MAGIC:
+                    try:
+                        b = gzip.decompress(b)
+                    except OSError:
+                        rows.append((i, *bad))
+                        continue
+                h, payload, _ = parse_warc_member(b)
+                if h is None:
+                    rows.append((i, *bad))
+                    continue
+                dec = lambda k: (  # noqa: E731
+                    h.get(k, b"").decode("utf-8", "replace") or None
+                )
+                rows.append(
+                    (i, dec(_H_TYPE), dec(_H_URI), dec(_H_DATE),
+                     dec(_H_CTYPE), len(payload), payload, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "warc_type", "target_uri", "warc_date",
+                         "content_type", "content_length", "payload",
+                         "ok"],
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[content_col].alias(content_col)
+    ).mapInPandas(run, WARC_COL_SCHEMA)
+
+
+def build_warc_record(
+    uri: str,
+    payload: bytes,
+    warc_type: str = "response",
+    date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "text/plain",
+) -> bytes:
+    """Serialize one plain (uncompressed) WARC record — the writer
+    half used by tests and the round-trip oracle; gzip-per-record
+    writing is ``gzip.compress`` of this."""
+    head = (
+        b"WARC/1.0\r\n"
+        + f"WARC-Type: {warc_type}\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"Content-Type: {content_type}\r\n".encode()
+        + f"Content-Length: {len(payload)}\r\n".encode()
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"

@@ -237,3 +237,78 @@ def test_validate_archive_pandas_date_parser(spark, tmp_path):
     # unknown parser name fails loudly
     with _pytest.raises(ValueError, match="date_parser"):
         validate_archive(spark, str(tmp_path), date_parser="nope")
+
+
+def test_warc_source_roundtrip_and_adversarial(spark, tmp_path):
+    """r9: WARC source — plain and gzip multi-record files parse to
+    the same rows through the real binaryFile + mapInPandas path;
+    record-type filtering, payload truncation, and malformed bytes
+    (bad Content-Length, truncated payload, garbage) yield ok=false
+    rows, never task failures."""
+    import gzip as _gzip
+
+    from dwc_dataframe_validator_spark.sources.warc import (
+        build_warc_record,
+        decode_warc_records,
+        read_warc,
+    )
+
+    recs = [
+        build_warc_record("http://a.example/1", b"hello world payload"),
+        build_warc_record("http://a.example/meta", b"ignored",
+                          warc_type="metadata"),
+        build_warc_record("http://b.example/2", b"\x00\xffbinary ok\x01"),
+    ]
+    plain = b"".join(recs)
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "a.warc").write_bytes(plain)
+    (tmp_path / "w" / "b.warc.gz").write_bytes(
+        b"".join(_gzip.compress(r) for r in recs)  # gzip-per-record
+    )
+
+    df = read_warc(spark, str(tmp_path / "w"))
+    rows = df.collect()
+    # 2 response records per file (metadata filtered), both encodings
+    assert len(rows) == 4
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r["target_uri"], []).append(r)
+    assert set(by_uri) == {"http://a.example/1", "http://b.example/2"}
+    for r in rows:
+        assert r["ok"] and r["warc_type"] == "response"
+    a1 = by_uri["http://a.example/1"][0]
+    assert bytes(a1["payload"]) == b"hello world payload"
+    assert a1["content_length"] == 19
+    b2 = by_uri["http://b.example/2"][0]
+    assert bytes(b2["payload"]) == b"\x00\xffbinary ok\x01"
+
+    # all types + truncation
+    allr = read_warc(spark, str(tmp_path / "w" / "a.warc"),
+                     warc_types=None, max_payload=5).collect()
+    assert {r["warc_type"] for r in allr} == {"response", "metadata"}
+    assert all(r["content_length"] <= 5 for r in allr)
+
+    # adversarial: valid record then garbage; oversized length; junk
+    (tmp_path / "bad").mkdir()
+    (tmp_path / "bad" / "t.warc").write_bytes(
+        recs[0] + b"WARC/1.0\r\nContent-Length: nope\r\n\r\n")
+    (tmp_path / "bad" / "u.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nshort")
+    (tmp_path / "bad" / "v.warc").write_bytes(b"not a warc at all")
+    bad = read_warc(spark, str(tmp_path / "bad"), warc_types=None).collect()
+    oks = [r for r in bad if r["ok"]]
+    fails = [r for r in bad if not r["ok"]]
+    assert len(oks) == 1 and oks[0]["target_uri"] == "http://a.example/1"
+    assert len(fails) == 3
+    assert all(r["target_uri"] is None for r in fails)
+
+    # columnar decoder: NULL + gzip blob contract
+    blob_df = spark.createDataFrame(
+        [(1, bytearray(recs[0])), (2, None),
+         (3, bytearray(_gzip.compress(recs[2])))],
+        "id long, record binary",
+    )
+    got = {r["id"]: r for r in decode_warc_records(blob_df).collect()}
+    assert got[1]["ok"] and got[1]["target_uri"] == "http://a.example/1"
+    assert not got[2]["ok"]
+    assert got[3]["ok"] and bytes(got[3]["payload"]).startswith(b"\x00\xff")
