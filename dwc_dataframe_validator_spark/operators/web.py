@@ -226,3 +226,89 @@ def domain_mix_stats(
             / F.col("n_docs").cast("double"),
         )
     return out.drop("_t_docs")
+
+
+# --------------------------------------------------------------------------
+# WET extraction: HTTP response split + HTML → text
+# --------------------------------------------------------------------------
+#
+# The step between a WARC response record (sources/warc.py) and a
+# document corpus: split the HTTP head from the body, keep HTML
+# payloads, strip markup to text — what Common Crawl ships as "WET"
+# files.  Real extractors (trafilatura/jusText) do DOM-aware main-
+# content detection; this is the regex tier every pipeline runs FIRST
+# (and at 100 TB, often the only tier the bulk of the crawl gets):
+# pure Catalyst regexp/replace expressions, codegen-friendly,
+# shuffle-free, and — because the patterns stay in the RE2 ∩ Java
+# regex intersection — value-replayable by the DuckDB oracles.
+
+_CRLF2 = "\r\n\r\n"
+
+
+def http_status(payload: Column) -> Column:
+    """Status code from an HTTP/1.x response string; NULL if the
+    payload does not start with a status line."""
+    s = F.regexp_extract(payload, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    return F.when(s != "", s.cast("int"))
+
+
+def http_header(payload: Column, name: str) -> Column:
+    """First value of header ``name`` (case-insensitive) from the head
+    block (before the blank line); NULL if absent."""
+    head = F.substring_index(payload, _CRLF2, 1)
+    v = F.regexp_extract(
+        head, r"(?im)^" + name + r":[ \t]*([^\r\n]*)", 1
+    )
+    return F.when(v != "", v)
+
+
+def http_body(payload: Column) -> Column:
+    """Everything after the first blank line; NULL when the payload
+    has no head/body separator (not an HTTP response)."""
+    pos = F.locate(_CRLF2, payload)
+    return F.when(pos > 0, F.substring(payload, pos + 4, 2**30))
+
+
+def strip_html(html: Column) -> Column:
+    """HTML → whitespace-normalized text: drop script/style blocks and
+    comments, strip tags, decode the six ubiquitous entities
+    (``&amp;`` last, so double-escaped text stays escaped — the
+    standard single-pass decode), collapse whitespace, trim.  Chained
+    ``regexp_replace``/``replace`` — one codegen projection, no UDF."""
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def wet_extract(
+    df: DataFrame,
+    payload_col: str = "payload_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WET extraction over a STRING column of HTTP response payloads:
+    ``(id_col, status, content_type, text)``.  ``text`` is the
+    stripped HTML body for 2xx ``text/html`` responses and NULL
+    otherwise (non-HTML, non-2xx, or not an HTTP response at all) —
+    the row is kept so the caller can count what was dropped and why.
+    One map-side projection; compose with ``sources/warc.read_warc``
+    (decode the binary payload first) for the full WARC→corpus path."""
+    p = F.col(payload_col)
+    status = http_status(p)
+    ctype = http_header(p, "content-type")
+    is_html = (
+        (status >= 200) & (status < 300)
+        & F.lower(F.coalesce(ctype, F.lit(""))).startswith("text/html")
+    )
+    return df.select(
+        F.col(id_col),
+        status.alias("status"),
+        ctype.alias("content_type"),
+        F.when(is_html, strip_html(http_body(p))).alias("text"),
+    )

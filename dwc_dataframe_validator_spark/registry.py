@@ -5569,6 +5569,58 @@ ORACLES["warc_roundtrip_check"] = """
 """
 
 
+def warc_wet_extract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET extraction (operators/web.py ``wet_extract`` — the
+    WARC→corpus text tier): wrap every document IN-PLAN as a full
+    ``HTTP/1.1 200`` ``text/html`` response (script + style + comment
+    boilerplate around the text), then split head/body and strip the
+    markup with the Catalyst regex chain.  The oracle computes the
+    EXPECTED clean text independently from the documents table —
+    status-line parse, header lookup, script/style/comment removal,
+    tag stripping, entity decode and whitespace collapse are all
+    value-checked on every row; NULL text → NULL payload → all-NULL
+    extraction."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            "Server: corpus\r\n\r\n"
+            "<html><head><title>d</title>"
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            "<style>p { color: red; }</style></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\r\n<p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p><!-- footer --></body></html>"),
+    )
+    return web.wet_extract(
+        docs.select("doc_id", payload.alias("payload_text"))
+    )
+
+
+QUERIES["warc_wet_extract_check"] = warc_wet_extract_check
+
+ORACLES["warc_wet_extract_check"] = r"""
+    SELECT doc_id,
+           CASE WHEN text IS NOT NULL THEN 200 END AS status,
+           CASE WHEN text IS NOT NULL
+                THEN 'text/html; charset=utf-8' END AS content_type,
+           CASE WHEN text IS NOT NULL THEN
+             -- 'd' is the <title> text: title content IS text (what
+             -- Common Crawl WET ships too), only markup is stripped
+             trim(regexp_replace(
+               'd Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                 || ' & more',
+               '\s+', ' ', 'g'))
+           END AS text
+    FROM documents
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -3982,3 +3982,42 @@ def test_boilerplate_line_scrub_semantics(spark):
     assert got[4]["text"] == rows[3][1]          # byte-identical
     assert got[5]["text"] == "ok\nok" and got[5]["n_removed"] == 0
     assert got[6]["text"] is None and got[6]["n_lines"] == 0
+
+
+def test_wet_extract_semantics(spark):
+    """r9: WET extraction — script/style/comment content never leaks
+    into text, entities decode single-pass (&amp;lt; stays &lt;),
+    non-HTML and non-2xx responses yield NULL text with their status
+    kept, and non-HTTP payloads yield all-NULLs."""
+    from dwc_dataframe_validator_spark.operators.web import wet_extract
+
+    html = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/HTML\r\n\r\n"
+        "<html><body><script>var leak = 'SECRET';</script>"
+        "<style>.x { color: SECRETCOLOR; }</style>"
+        "<!-- SECRETCOMMENT -->"
+        "<p>Tom &amp; Jerry say &amp;lt; is literal</p>"
+        "<div>multi\r\n  space   text</div></body></html>"
+    )
+    rows = [
+        (1, html),
+        (2, "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+            "<p>gone</p>"),
+        (3, "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n"
+            "{}"),
+        (4, "this is not an http response at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload_text string")
+    got = {r["doc_id"]: r for r in wet_extract(df).collect()}
+
+    assert got[1]["status"] == 200
+    assert got[1]["content_type"] == "text/HTML"   # case-insensitive match
+    assert got[1]["text"] == (
+        "Tom & Jerry say &lt; is literal multi space text"
+    )
+    assert "SECRET" not in got[1]["text"]
+    assert got[2]["status"] == 404 and got[2]["text"] is None
+    assert got[3]["status"] == 200 and got[3]["text"] is None
+    assert got[4]["status"] is None and got[4]["text"] is None
+    assert got[5]["status"] is None and got[5]["text"] is None
