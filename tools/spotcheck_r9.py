@@ -48,6 +48,12 @@ OPS = (
     # DSIR: two token passes (bounded 256-bucket weight fit broadcast
     # into the scoring join) — ~linear in corpus tokens
     "dsir_scores_lang",
+    # line explode + line-key aggregate (+ reassembly groupBy for the
+    # scrub); WARC/WET are map-side byte/regex projections — ~linear
+    "boilerplate_line_stats",
+    "boilerplate_scrub_corpus",
+    "warc_roundtrip_check",
+    "warc_wet_extract_check",
 )
 
 
