@@ -31,6 +31,8 @@ per-domain row list.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -245,28 +247,65 @@ def domain_mix_stats(
 _CRLF2 = "\r\n\r\n"
 
 
+def _head_end(payload: Column) -> Column:
+    """1-based position of the first blank line — ``\\r\\n\\r\\n`` or
+    bare ``\\n\\n`` (real servers emit LF-only responses and crawl
+    payloads are raw server bytes), whichever comes first; 0 when the
+    payload has no head/body split.  One definition shared by
+    ``http_header`` and ``http_body`` so head and body can never
+    overlap or disagree."""
+    pcr = F.locate(_CRLF2, payload)
+    plf = F.locate("\n\n", payload)
+    return (
+        F.when((pcr > 0) & ((plf == 0) | (pcr <= plf)), pcr)
+        .when(plf > 0, plf)
+        .otherwise(F.lit(0))
+    )
+
+
+def _sep_len(payload: Column) -> Column:
+    pcr = F.locate(_CRLF2, payload)
+    plf = F.locate("\n\n", payload)
+    return F.when(
+        (pcr > 0) & ((plf == 0) | (pcr <= plf)), F.lit(4)
+    ).otherwise(F.lit(2))
+
+
 def http_status(payload: Column) -> Column:
     """Status code from an HTTP/1.x response string; NULL if the
-    payload does not start with a status line."""
-    s = F.regexp_extract(payload, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    payload does not start with a status line.  The trailing
+    ``([^0-9]|$)`` anchors the 3-digit code without lookahead (RE2 has
+    none), so ``HTTP/1.1 2000`` is malformed, not status 200."""
+    s = F.regexp_extract(
+        payload, r"^HTTP/[0-9.]+ ([0-9]{3})([^0-9]|$)", 1
+    )
     return F.when(s != "", s.cast("int"))
 
 
 def http_header(payload: Column, name: str) -> Column:
     """First value of header ``name`` (case-insensitive) from the head
-    block (before the blank line); NULL if absent."""
-    head = F.substring_index(payload, _CRLF2, 1)
+    block (strictly BEFORE the blank line — a payload with no head/body
+    split has no headers); NULL if absent.  ``name`` must be an HTTP
+    token of ``[A-Za-z0-9-]`` — anything else would be interpolated
+    into the regex and is rejected up front."""
+    if not _re.fullmatch(r"[A-Za-z0-9-]+", name):
+        raise ValueError(f"not a plain HTTP header token: {name!r}")
+    pos = _head_end(payload)
+    head = F.substring(payload, 1, pos - 1)
     v = F.regexp_extract(
         head, r"(?im)^" + name + r":[ \t]*([^\r\n]*)", 1
     )
-    return F.when(v != "", v)
+    return F.when((pos > 0) & (v != ""), F.rtrim(v))
 
 
 def http_body(payload: Column) -> Column:
-    """Everything after the first blank line; NULL when the payload
-    has no head/body separator (not an HTTP response)."""
-    pos = F.locate(_CRLF2, payload)
-    return F.when(pos > 0, F.substring(payload, pos + 4, 2**30))
+    """Everything after the first blank line (CRLF or LF form); NULL
+    when the payload has no head/body separator (not an HTTP
+    response)."""
+    pos = _head_end(payload)
+    return F.when(
+        pos > 0, F.substring(payload, pos + _sep_len(payload), 2**30)
+    )
 
 
 def strip_html(html: Column) -> Column:

@@ -29,6 +29,7 @@ the pipeline wants.
 from __future__ import annotations
 
 import gzip
+import io
 from typing import Iterator
 
 import pandas as pd
@@ -52,68 +53,128 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 def _parse_header_block(block: bytes) -> dict | None:
     """Parse one CRLF header block (first line ``WARC/x.y``).  Returns
-    the lowercased-name header dict or None if malformed."""
+    the lowercased-name header dict or None if malformed.  Folded
+    continuation lines (leading space/tab — legal WARC/1.0 grammar)
+    append to the previous value; other junk lines are skipped
+    leniently (a stray line must not discard a record whose
+    Content-Length IS present and valid)."""
     lines = block.split(b"\r\n")
     if not lines or not lines[0].startswith(b"WARC/"):
         return None
     out = {}
+    last = None
     for ln in lines[1:]:
         if not ln:
             continue
+        if ln[:1] in (b" ", b"\t") and last is not None:
+            out[last] = out[last] + b" " + ln.strip()
+            continue
         name, sep, val = ln.partition(b":")
         if not sep:
-            return None
-        out[name.strip().lower()] = val.strip()
+            last = None          # junk line: skip, stay lenient
+            continue
+        last = name.strip().lower()
+        out[last] = val.strip()
     return out
+
+
+#: parse_warc_member_at verdicts
+_MALFORMED, _INCOMPLETE = 0, 1
+
+
+def parse_warc_member_at(buf, pos: int, eof: bool):
+    """Parse ONE record starting at offset ``pos`` of ``buf`` WITHOUT
+    copying the remaining tail (a tail copy per record is quadratic in
+    file size).  Returns ``(headers, payload, new_pos)`` on success,
+    ``(None, _INCOMPLETE, pos)`` when more bytes could complete the
+    record (only possible while ``eof`` is False), and ``(None,
+    _MALFORMED, pos)`` on bytes no suffix can repair.  Never raises."""
+    end = buf.find(b"\r\n\r\n", pos)
+    if end < 0:
+        return (None, _MALFORMED if eof else _INCOMPLETE, pos)
+    headers = _parse_header_block(bytes(buf[pos:end]))
+    if headers is None:
+        return None, _MALFORMED, pos
+    try:
+        clen = int(headers.get(_H_CLEN, b"").decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None, _MALFORMED, pos
+    start = end + 4
+    if clen < 0:
+        return None, _MALFORMED, pos
+    if start + clen > len(buf):
+        return (None, _MALFORMED if eof else _INCOMPLETE, pos)
+    payload = bytes(buf[start : start + clen])
+    consumed = start + clen
+    # the two CRLFs closing the record (tolerate their absence at EOF)
+    if buf[consumed : consumed + 4] == b"\r\n\r\n":
+        consumed += 4
+    return headers, payload, consumed
 
 
 def parse_warc_member(b: bytes):
     """Parse ONE record from the head of ``b`` (already decompressed).
     Returns ``(headers, payload, bytes_consumed)`` or ``(None, None,
     0)`` on malformed input.  Never raises on bad bytes."""
-    end = b.find(b"\r\n\r\n")
-    if end < 0:
-        return None, None, 0
-    headers = _parse_header_block(b[:end])
+    headers, payload, new_pos = parse_warc_member_at(b, 0, eof=True)
     if headers is None:
         return None, None, 0
-    try:
-        clen = int(headers.get(_H_CLEN, b"").decode("ascii"))
-    except (ValueError, UnicodeDecodeError):
-        return None, None, 0
-    start = end + 4
-    if clen < 0 or start + clen > len(b):
-        return None, None, 0
-    payload = b[start : start + clen]
-    consumed = start + clen
-    # the two CRLFs closing the record (tolerate their absence at EOF)
-    if b[consumed : consumed + 4] == b"\r\n\r\n":
-        consumed += 4
-    return headers, payload, consumed
+    return headers, payload, new_pos
+
+
+_CHUNK = 1 << 20
 
 
 def iter_warc_records(raw: bytes):
     """Yield ``(headers, payload, ok)`` for every record in a WARC
-    file's bytes.  Detects gzip (single-stream or per-record members —
-    ``gzip.decompress`` concatenates members, and a decompressed
-    member concatenation IS a plain WARC) by the leading magic, then
-    walks records by Content-Length.  A record that fails to parse
-    yields one ``(None, None, False)`` row and scanning stops —
-    without a valid Content-Length the next boundary is unknowable."""
+    file's bytes.  Gzip input (single-stream or per-record members) is
+    decompressed INCREMENTALLY — peak memory is the compressed input
+    plus one record plus one chunk, never the whole decompressed file.
+    Records are walked by Content-Length at offsets (no tail copies).
+    A record no further bytes can repair yields one ``(None, None,
+    False)`` row and scanning stops — without a valid Content-Length
+    the next boundary is unknowable."""
     if raw[:2] == _GZIP_MAGIC:
-        try:
-            raw = gzip.decompress(raw)
-        except OSError:
-            yield None, None, False
-            return
+        gz = gzip.GzipFile(fileobj=io.BytesIO(raw))
+        buf = bytearray()
+        pos = 0
+        eof = False
+        while True:
+            if not eof:
+                try:
+                    chunk = gz.read(_CHUNK)
+                except OSError:
+                    yield None, None, False
+                    return
+                if chunk:
+                    buf += chunk
+                else:
+                    eof = True
+            while pos < len(buf):
+                headers, payload, new_pos = parse_warc_member_at(
+                    buf, pos, eof
+                )
+                if headers is None:
+                    if payload == _INCOMPLETE:
+                        break        # need more decompressed bytes
+                    yield None, None, False
+                    return
+                yield headers, payload, True
+                pos = new_pos
+            if eof:
+                return
+            if pos:
+                del buf[:pos]        # drop consumed prefix, stay O(record)
+                pos = 0
+        return
     pos = 0
     while pos < len(raw):
-        headers, payload, used = parse_warc_member(raw[pos:])
+        headers, payload, new_pos = parse_warc_member_at(raw, pos, True)
         if headers is None:
             yield None, None, False
             return
         yield headers, payload, True
-        pos += used
+        pos = new_pos
 
 
 def read_warc(
@@ -184,13 +245,6 @@ def read_warc(
     )
 
 
-WARC_COL_SCHEMA = (
-    "id long, warc_type string, target_uri string, warc_date string, "
-    "content_type string, content_length long, payload binary, "
-    "ok boolean"
-)
-
-
 def decode_warc_records(
     df: DataFrame, content_col: str = "record", id_col: str = "id"
 ) -> DataFrame:
@@ -199,7 +253,15 @@ def decode_warc_records(
     delivers (``read_warc`` is the whole-file face; this is the
     columnar one, same parser core).  Arrow-batched ``mapInPandas``,
     one ``parse_warc_member`` call per blob; NULL or malformed blobs
-    yield ``ok=false`` rows with NULL fields, never task failures."""
+    yield ``ok=false`` rows with NULL fields, never task failures.
+    The id column keeps its name AND type (string keys from a Kafka
+    feed work as-is — the output schema is derived, not hardcoded)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, warc_type string, target_uri string, "
+        "warc_date string, content_type string, content_length long, "
+        "payload binary, ok boolean"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bad = (None, None, None, None, None, None, False)
@@ -229,14 +291,14 @@ def decode_warc_records(
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["id", "warc_type", "target_uri", "warc_date",
+                columns=[id_col, "warc_type", "target_uri", "warc_date",
                          "content_type", "content_length", "payload",
                          "ok"],
             )
 
     return df.select(
         df[id_col].alias(id_col), df[content_col].alias(content_col)
-    ).mapInPandas(run, WARC_COL_SCHEMA)
+    ).mapInPandas(run, out_schema)
 
 
 def build_warc_record(

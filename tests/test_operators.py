@@ -4021,3 +4021,83 @@ def test_wet_extract_semantics(spark):
     assert got[3]["status"] == 200 and got[3]["text"] is None
     assert got[4]["status"] is None and got[4]["text"] is None
     assert got[5]["status"] is None and got[5]["text"] is None
+
+
+def test_wet_extract_lf_and_malformed_status(spark):
+    """r9 review fixes: LF-only responses (real servers emit them)
+    split head/body consistently, a 4-digit status token is malformed
+    (not silently truncated to its first three digits), and headers
+    are never read from payloads lacking a head/body split."""
+    from dwc_dataframe_validator_spark.operators.web import (
+        http_header,
+        wet_extract,
+    )
+
+    rows = [
+        (1, "HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>lf body</p>"),
+        (2, "HTTP/1.1 2000 Weird\r\nContent-Type: text/html\r\n\r\n"
+            "<p>x</p>"),
+        (3, "no split here but content-type: text/html appears"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload_text string")
+    got = {r["doc_id"]: r for r in wet_extract(df).collect()}
+    assert got[1]["status"] == 200 and got[1]["text"] == "lf body"
+    assert got[2]["status"] is None and got[2]["text"] is None
+    assert got[3]["content_type"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        http_header(F.col("payload_text"), "accept(")
+
+
+def test_warc_folded_headers_and_streaming_gzip(spark, tmp_path):
+    """r9 review fixes: folded continuation headers (legal WARC/1.0)
+    parse instead of discarding the rest of the file, junk header
+    lines are skipped leniently, and a many-record gzip file parses
+    through the incremental decompressor."""
+    import gzip as _gzip
+
+    from dwc_dataframe_validator_spark.sources.warc import (
+        build_warc_record,
+        iter_warc_records,
+        read_warc,
+    )
+
+    folded = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example\r\n"
+        b"  /folded/path\r\n"          # continuation line
+        b"X-Junk-No-Colon-Line\r\n"    # junk: skipped, not fatal
+        b"Content-Length: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    after = build_warc_record("http://y.example/after", b"still here")
+    recs = list(iter_warc_records(folded + after))
+    assert [ok for _, _, ok in recs] == [True, True]
+    assert recs[0][0][b"warc-target-uri"] == b"http://x.example /folded/path"
+    assert recs[0][1] == b"hi"
+
+    # 500-record gzip stream through the incremental reader
+    many = b"".join(
+        build_warc_record(f"http://m.example/{i}", f"payload {i}".encode())
+        for i in range(500)
+    )
+    (tmp_path / "m.warc.gz").write_bytes(_gzip.compress(many))
+    rows = read_warc(spark, str(tmp_path / "m.warc.gz")).collect()
+    assert len(rows) == 500
+    assert all(r["ok"] for r in rows)
+    assert {r["target_uri"] for r in rows} == {
+        f"http://m.example/{i}" for i in range(500)
+    }
+
+    # string ids keep name and type in the columnar decoder
+    from dwc_dataframe_validator_spark.sources.warc import (
+        decode_warc_records,
+    )
+    blob = spark.createDataFrame(
+        [("k1", bytearray(build_warc_record("http://s.example", b"p")))],
+        "key string, record binary",
+    )
+    out = decode_warc_records(blob, id_col="key").collect()
+    assert out[0]["key"] == "k1" and out[0]["ok"]
