@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import re as _re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # one scheme grammar, reused by every extraction below
@@ -350,4 +350,60 @@ def wet_extract(
         status.alias("status"),
         ctype.alias("content_type"),
         F.when(is_html, strip_html(http_body(p))).alias("text"),
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 100,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    sub_buckets: int = 64,
+) -> DataFrame:
+    """Per-domain contribution cap — the Gopher/FineWeb de-bias move:
+    keep at most ``k`` documents per registrable domain so no single
+    site dominates the mixture.  Kept rows carry ``domain`` and
+    ``domain_rank`` (1..k).  Invalid URLs group under domain NULL and
+    are capped like any other group.
+
+    Selection order is TOTAL and deterministic: ``order_col``
+    DESCENDING first if given (keep the best-scoring k), then
+    ``md5(id)`` (an unbiased reproducible shuffle), then ``id``.
+
+    Scale: a naive per-domain window makes a mega-domain (a crawler's
+    top site can be 1000× the median) one hot single-task partition
+    over ALL its rows.  This runs the standard two-phase top-k
+    instead: phase 1 caps k within (domain, md5-sub-bucket) — the
+    window partitions are ~1/``sub_buckets`` of the domain — and
+    phase 2 re-ranks the ≤ ``sub_buckets``·k survivors per domain.  A
+    row in the true top-k is top-k within its sub-bucket, so the
+    result is EXACTLY the naive window's (the registry oracle replays
+    the naive form)."""
+    u = F.col(url_col)
+    host = F.when(url_is_valid(u), url_host(u))
+    idc = F.col(id_col)
+    hash_key = F.md5(idc.cast("string").cast("binary"))
+    order = (
+        ([F.col(order_col).desc()] if order_col is not None else [])
+        + [hash_key.asc(), idc.asc()]
+    )
+    base = df.withColumn("domain", registrable_domain(host)).withColumn(
+        "_sub",
+        F.pmod(
+            F.conv(F.substring(hash_key, 1, 4), 16, 10).cast("long"),
+            F.lit(int(sub_buckets)),
+        ),
+    )
+    w1 = Window.partitionBy("domain", "_sub").orderBy(*order)
+    phase1 = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= int(k))
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        phase1.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= int(k))
+        .drop("_sub")
     )

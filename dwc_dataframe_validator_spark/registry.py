@@ -5621,6 +5621,41 @@ ORACLES["warc_wet_extract_check"] = r"""
 """
 
 
+def domain_cap_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (operators/web.py
+    ``cap_per_domain`` — the Gopher/FineWeb de-bias move): keep at
+    most 2 documents per registrable domain of the synthetic URL
+    fixture, selected in the deterministic md5(doc_id) order.  The
+    operator runs the two-phase top-k (sub-bucketed windows so a
+    mega-domain never becomes one hot partition); the oracle replays
+    the NAIVE single-window semantics, pinning phase-1/phase-2
+    equivalence on real data."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wurl = docs.withColumn("url", _synthetic_url_col())
+    return web.cap_per_domain(wurl, k=2).select(
+        "doc_id", "domain", "domain_rank"
+    )
+
+
+QUERIES["domain_cap_keepers"] = domain_cap_keepers
+
+ORACLES["domain_cap_keepers"] = f"""
+    WITH b AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
+    {_URL_NORM_SQL}
+    SELECT doc_id, domain, domain_rank FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS domain_rank
+      FROM dmn)
+    WHERE domain_rank <= 2
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -4101,3 +4101,41 @@ def test_warc_folded_headers_and_streaming_gzip(spark, tmp_path):
     )
     out = decode_warc_records(blob, id_col="key").collect()
     assert out[0]["key"] == "k1" and out[0]["ok"]
+
+
+def test_cap_per_domain_semantics(spark):
+    """r9: per-domain cap — two-phase result equals the naive window
+    on a skewed corpus for every sub_buckets setting, score ordering
+    keeps the best-scoring k, and invalid-URL (NULL-domain) rows are
+    capped as their own group."""
+    from dwc_dataframe_validator_spark.operators.web import cap_per_domain
+
+    rows = (
+        [(i, "http://big.example/p%d" % i, float(i % 7)) for i in range(200)]
+        + [(500 + i, "http://tiny.example/x", 1.0) for i in range(3)]
+        + [(900 + i, "not a url", 0.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+
+    for sb in (1, 4, 64):
+        got = cap_per_domain(df, k=5, sub_buckets=sb)
+        rows_got = got.collect()
+        by_dom = {}
+        for r in rows_got:
+            by_dom.setdefault(r["domain"], []).append(r)
+        assert {len(v) for v in by_dom.values()} <= {3, 5}
+        assert len(by_dom["big.example"]) == 5
+        assert len(by_dom["tiny.example"]) == 3
+        assert len(by_dom[None]) == 5
+        if sb == 1:
+            baseline = sorted((r["doc_id"], r["domain_rank"])
+                              for r in rows_got)
+        else:  # two-phase == naive single window
+            assert sorted((r["doc_id"], r["domain_rank"])
+                          for r in rows_got) == baseline
+
+    # score ordering: the k kept docs are the k highest scores
+    scored = cap_per_domain(df, k=5, order_col="score").collect()
+    big = [r for r in scored if r["domain"] == "big.example"]
+    score_of = {i: s for i, _, s in rows}
+    assert all(score_of[r["doc_id"]] == 6.0 for r in big)
