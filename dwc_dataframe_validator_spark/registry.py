@@ -5656,6 +5656,102 @@ ORACLES["domain_cap_keepers"] = f"""
 """
 
 
+def web_corpus_pipeline_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED crawl-curation path, end-to-end: serialize each
+    document as a WARC response wrapping an HTTP/HTML payload →
+    ``decode_warc_records`` (real byte parser) → ``wet_extract``
+    (HTTP split + HTML strip) → URL-keyed dedup on the synthetic
+    messy-URL fixture → per-domain cap (k=3, two-phase) → per-domain
+    doc/token stats.  Every stage interaction is value-checked: the
+    oracle independently recomputes WET text, replays normalization /
+    keeper / naive-window cap semantics, and whitespace token counts.
+    The 100 TB shape: file-parallel parse, map-side extraction, one
+    shuffle per dedup/cap/agg stage."""
+    from .operators import web
+    from .operators.text import token_count
+    from .sources import warc as warcmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+            "<html><head><title>d</title>"
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            "<style>p { color: red; }</style></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\r\n<p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p><!-- footer --></body></html>"),
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://corpus.example/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "\r\nContent-Type: application/http\r\nContent-Length: "
+        ),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    ).cast("binary")
+    parsed = warcmod.decode_warc_records(
+        docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
+    ).filter("ok")
+    wet = web.wet_extract(
+        parsed.select(
+            F.col("id").alias("doc_id"),
+            F.col("payload").cast("string").alias("payload_text"),
+        )
+    ).filter(F.col("text").isNotNull())
+    wurl = wet.withColumn("url", _synthetic_url_col())
+    kept = web.url_dedup_keepers(wurl)
+    capped = web.cap_per_domain(kept, k=3)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+QUERIES["web_corpus_pipeline_check"] = web_corpus_pipeline_check
+
+ORACLES["web_corpus_pipeline_check"] = f"""
+    WITH b AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url,
+             trim(regexp_replace(
+               'd Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                 || ' & more',
+               '\\s+', ' ', 'g')) AS wet_text
+      FROM documents WHERE text IS NOT NULL),
+    {_URL_NORM_SQL},
+    keep AS (
+      SELECT doc_id, domain, wet_text FROM (
+        SELECT doc_id, domain, url_norm, wet_text,
+               row_number() OVER (
+                 PARTITION BY url_norm ORDER BY doc_id) AS rn
+        FROM dmn)
+      WHERE url_norm IS NULL OR rn = 1),
+    capped AS (
+      SELECT doc_id, domain, wet_text,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM keep)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN trim(wet_text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(wet_text),
+                                                '\\s+')) END)
+                AS BIGINT) AS n_tokens
+    FROM capped WHERE r <= 3
+    GROUP BY domain
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
