@@ -159,20 +159,25 @@ def url_dedup_keepers(
     """One keeper per NORMALIZED URL (min id — deterministic), the
     URL-keyed sibling of the content-fingerprint dedup: re-crawls and
     tracking-param variants of the same page collapse to one document.
-    Invalid-URL rows have no key and are all kept.  ONE shuffle on the
-    normalized-URL key."""
-    with_norm = df.select(
-        "*", normalize_url(F.col(url_col)).alias("_url_norm")
+    Invalid-URL rows have no key and are all kept.
+
+    ONE window pass over ONE shuffle — not a keeper-aggregate +
+    semi-join, which evaluates the input lineage twice more (fatal
+    when upstream is a WARC decode).  Invalid rows get a per-row
+    surrogate key (their id hash) so the NULL-key group never
+    concentrates into one window partition; their rank is trivially 1
+    and they all survive.  ``WindowGroupLimit`` pushes the rank-1
+    filter map-side."""
+    norm = normalize_url(F.col(url_col))
+    part_key = F.coalesce(
+        norm, F.md5(F.col(id_col).cast("string").cast("binary"))
     )
-    invalid = with_norm.filter(F.col("_url_norm").isNull()).drop("_url_norm")
-    keeper_ids = (
-        with_norm.filter(F.col("_url_norm").isNotNull())
-        .groupBy("_url_norm")
-        .agg(F.min(F.col(id_col)).alias(id_col))
-        .select(id_col)
+    w = Window.partitionBy(part_key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    kept = df.join(keeper_ids, id_col, "left_semi")
-    return kept.unionByName(invalid.select(df.columns))
 
 
 def domain_mix_stats(
