@@ -177,20 +177,14 @@ def iter_warc_records(raw: bytes):
         pos = new_pos
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str | list[str],
+def _parse_warc_files(
+    files: DataFrame,
     warc_types: tuple = ("response",),
     max_payload: int | None = None,
 ) -> DataFrame:
-    """Read WARC file(s) into ``WARC_RECORD_SCHEMA`` rows.
-
-    ``warc_types`` filters records by ``WARC-Type`` (crawl pipelines
-    want ``response``; pass ``None`` for everything).  ``max_payload``
-    truncates payload bytes AT PARSE TIME so oversized bodies never
-    cross the Arrow boundary.  One row per record; a malformed record
-    produces ``ok=false`` with NULL fields."""
-    files = spark.read.format("binaryFile").load(path)
+    """Shared per-file parse used by ``read_warc`` (batch) and
+    ``stream_warc`` (streaming) — one parser, so stream ≡ batch by
+    construction."""
     keep = None if warc_types is None else {t.lower() for t in warc_types}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,6 +237,23 @@ def read_warc(
     return files.select("path", "content").mapInPandas(
         run, WARC_RECORD_SCHEMA
     )
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str | list[str],
+    warc_types: tuple = ("response",),
+    max_payload: int | None = None,
+) -> DataFrame:
+    """Read WARC file(s) into ``WARC_RECORD_SCHEMA`` rows.
+
+    ``warc_types`` filters records by ``WARC-Type`` (crawl pipelines
+    want ``response``; pass ``None`` for everything).  ``max_payload``
+    truncates payload bytes AT PARSE TIME so oversized bodies never
+    cross the Arrow boundary.  One row per record; a malformed record
+    produces ``ok=false`` with NULL fields."""
+    files = spark.read.format("binaryFile").load(path)
+    return _parse_warc_files(files, warc_types, max_payload)
 
 
 def decode_warc_records(
@@ -320,3 +331,33 @@ def build_warc_record(
         + f"Content-Length: {len(payload)}\r\n".encode()
     )
     return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, "
+    "content binary"
+)
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str | list[str],
+    warc_types: tuple = ("response",),
+    max_payload: int | None = None,
+) -> DataFrame:
+    """STREAMING face of ``read_warc``: WARC files LANDING in ``path``
+    become a live record stream (same ``WARC_RECORD_SCHEMA`` rows,
+    same per-file Arrow parse — ``mapInPandas`` applies to streaming
+    frames unchanged).  Feed it straight into
+    ``streaming.ingest.corpus_ingest_sink`` for continuous
+    crawl→corpus construction; the file source's checkpoint tracks
+    which archives are consumed, and the sink's commit markers make
+    each batch replay-safe.  The streaming binaryFile source requires
+    an explicit schema — pinned here to the format's fixed columns.
+
+    Stream ≡ batch by construction (one shared parser); pinned in
+    pytest by draining a directory and comparing to ``read_warc``."""
+    files = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    ).load(path)
+    return _parse_warc_files(files, warc_types, max_payload)

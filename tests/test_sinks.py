@@ -984,3 +984,60 @@ def test_streaming_histogram_and_drift_dashboards(spark, tmp_path):
     record_batch_stats(b1, 0, stats2, histograms=g)
     with _pytest.raises(ValueError):
         histogram_drift_dashboard(spark, stats2)
+
+
+def test_stream_warc_equals_batch(spark, tmp_path):
+    """r9: the streaming WARC face drains a landing directory to
+    EXACTLY read_warc's rows (one shared parser), and feeds the
+    corpus ingest sink end-to-end (crawl files -> deduped corpus)."""
+    import gzip as _gzip
+
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        fingerprint_store,
+        save_fingerprint_index,
+    )
+    from dwc_dataframe_validator_spark.sources.warc import (
+        build_warc_record,
+        read_warc,
+        stream_warc,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        corpus_ingest_sink,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    recs = [build_warc_record(f"http://w.example/{i}",
+                              f"crawled page body {i} with words".encode())
+            for i in range(6)]
+    (land / "a.warc").write_bytes(b"".join(recs[:3]))
+    (land / "b.warc.gz").write_bytes(
+        b"".join(_gzip.compress(r) for r in recs[3:]))
+
+    want = sorted(
+        (r["target_uri"], bytes(r["payload"]), r["ok"])
+        for r in read_warc(spark, str(land)).collect())
+
+    got_batches = []
+    q = (stream_warc(spark, str(land))
+         .writeStream.foreachBatch(
+             lambda b, i: got_batches.append(b.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["target_uri"], bytes(r["payload"]), r["ok"])
+                 for batch in got_batches for r in batch)
+    assert got == want and len(got) == 6
+
+    # full crawl->corpus: stream records as documents into the sink
+    idx, out, ck = (str(tmp_path / "idx"), str(tmp_path / "out"),
+                    str(tmp_path / "ck"))
+    save_fingerprint_index(
+        fingerprint_store(
+            spark.createDataFrame([], "doc_id long, text string")), idx)
+    docs = stream_warc(spark, str(land)).selectExpr(
+        "record_index + 1000 * length(path) AS doc_id",
+        "CAST(payload AS STRING) AS text")
+    q2 = corpus_ingest_sink(docs, idx, out, checkpoint_path=ck)
+    q2.awaitTermination(120)
+    survivors = spark.read.parquet(f"{out}/batch_id=0")
+    assert survivors.count() == 6        # all unique bodies survive
