@@ -21,8 +21,10 @@ Normalization rules (the C4/CCNet-style canon):
 
 Scale notes (100 TB): normalization and domain extraction are
 map-side, codegen-friendly, shuffle-free.  ``url_dedup_keepers`` is
-ONE groupBy on the normalized URL; ``domain_mix_stats`` is ONE groupBy
-on the registrable domain — both partial-aggregated map-side first.
+ONE ``row_number`` window over ONE shuffle on the normalized URL
+(``WindowGroupLimit`` pushes the rank-1 filter map-side);
+``domain_mix_stats`` is ONE groupBy on the registrable domain,
+partial-aggregated map-side first.
 Domain skew is real on web corpora (a crawler's top domain can be
 1000× the median); the dashboard exists precisely to catch that, and
 its aggregate is a two-level combine that never materializes a
@@ -153,6 +155,15 @@ def normalize_urls(
     )
 
 
+def _id_hash(id_col: str) -> Column:
+    """Deterministic per-id md5 hex — the reproducible-shuffle key
+    shared by ``url_dedup_keepers`` and ``cap_per_domain``.  ONE
+    definition: the registry oracles replay
+    ``md5(CAST(id AS VARCHAR))`` verbatim, so a change here without
+    the oracles is a silent divergence."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
 def url_dedup_keepers(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -163,20 +174,34 @@ def url_dedup_keepers(
 
     ONE window pass over ONE shuffle — not a keeper-aggregate +
     semi-join, which evaluates the input lineage twice more (fatal
-    when upstream is a WARC decode).  Invalid rows get a per-row
-    surrogate key (their id hash) so the NULL-key group never
-    concentrates into one window partition; their rank is trivially 1
-    and they all survive.  ``WindowGroupLimit`` pushes the rank-1
-    filter map-side."""
+    when upstream is a WARC decode).  Invalid rows get a PER-ROW
+    surrogate partition key (a monotonic row id materialized in a
+    projection — never the doc id, which unions of crawl segments can
+    duplicate or NULL) so each invalid row is its own rank-1
+    partition and ALL survive, without a NULL-key group concentrating
+    into one partition.  The surrogate is nondeterministic but only
+    keys rows whose rank is always 1, so the OUTPUT is deterministic:
+    valid groups key on the normalized URL and keep min id, with NULL
+    ids sorting last (a NULL id never beats a real one).
+    ``WindowGroupLimit`` pushes the rank-1 filter map-side."""
     norm = normalize_url(F.col(url_col))
-    part_key = F.coalesce(
-        norm, F.md5(F.col(id_col).cast("string").cast("binary"))
+    with_key = df.withColumn(
+        "_pk",
+        F.coalesce(
+            norm,
+            F.concat(
+                F.lit("\x00"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        ),
     )
-    w = Window.partitionBy(part_key).orderBy(F.col(id_col).asc())
+    w = Window.partitionBy("_pk").orderBy(
+        F.col(id_col).asc_nulls_last()
+    )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        with_key.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_pk")
     )
 
 
@@ -385,10 +410,17 @@ def cap_per_domain(
     row in the true top-k is top-k within its sub-bucket, so the
     result is EXACTLY the naive window's (the registry oracle replays
     the naive form)."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if int(sub_buckets) < 1:
+        raise ValueError(
+            "sub_buckets must be >= 1 (0 would recreate the hot "
+            "single-partition plan this function exists to avoid)"
+        )
     u = F.col(url_col)
     host = F.when(url_is_valid(u), url_host(u))
     idc = F.col(id_col)
-    hash_key = F.md5(idc.cast("string").cast("binary"))
+    hash_key = _id_hash(id_col)
     order = (
         ([F.col(order_col).desc()] if order_col is not None else [])
         + [hash_key.asc(), idc.asc()]

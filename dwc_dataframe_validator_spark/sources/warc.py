@@ -341,7 +341,7 @@ _BINARYFILE_SCHEMA = (
 
 def stream_warc(
     spark: SparkSession,
-    path: str | list[str],
+    path: str,
     warc_types: tuple = ("response",),
     max_payload: int | None = None,
 ) -> DataFrame:
@@ -354,6 +354,10 @@ def stream_warc(
     which archives are consumed, and the sink's commit markers make
     each batch replay-safe.  The streaming binaryFile source requires
     an explicit schema — pinned here to the format's fixed columns.
+
+    Unlike the batch face, the STREAMING file source takes ONE path
+    (a directory or glob) — a list raises in
+    ``DataStreamReader.load``; attach one sink per landing directory.
 
     Stream ≡ batch by construction (one shared parser); pinned in
     pytest by draining a directory and comparing to ``read_warc``."""

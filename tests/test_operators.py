@@ -4139,3 +4139,24 @@ def test_cap_per_domain_semantics(spark):
     big = [r for r in scored if r["domain"] == "big.example"]
     score_of = {i: s for i, _, s in rows}
     assert all(score_of[r["doc_id"]] == 6.0 for r in big)
+
+
+def test_url_dedup_invalid_rows_survive_dup_and_null_ids(spark):
+    """r9 review fix: invalid-URL rows ALL survive even with duplicate
+    or NULL doc ids (unions of crawl segments produce both), and a
+    NULL id never beats a real id as a valid group's keeper."""
+    from dwc_dataframe_validator_spark.operators.web import (
+        url_dedup_keepers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "garbage"), (1, "other garbage"), (None, "also garbage"),
+         (None, "http://a.example/x"), (7, "http://a.example/x"),
+         (9, "http://a.example/x")],
+        "doc_id long, url string",
+    )
+    kept = url_dedup_keepers(df).collect()
+    bad = sorted(r["url"] for r in kept if not r["url"].startswith("http"))
+    assert bad == ["also garbage", "garbage", "other garbage"]
+    valid = [r for r in kept if r["url"].startswith("http")]
+    assert len(valid) == 1 and valid[0]["doc_id"] == 7  # not NULL
