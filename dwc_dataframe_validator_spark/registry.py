@@ -5752,6 +5752,68 @@ ORACLES["web_corpus_pipeline_check"] = f"""
 """
 
 
+def minhash_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY DEDUP end-to-end — the canonical LLM-corpus operation:
+    portable MinHash-LSH verified pairs (same stages as
+    ``minhash_lsh_check``) → connected components
+    (operators/graph.py — near-dup clusters) → keep ONE document per
+    cluster (the min id) plus every unclustered document.  Output:
+    kept ``(doc_id, cluster)`` rows, ``cluster`` NULL for documents
+    with no near-duplicate.  The oracle replays the whole chain —
+    shingles, signatures, banding, cap, Jaccard verify, then the
+    transitive closure as a recursive CTE and the keeper rule."""
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = text.word_ngrams(docs, n=2).cache()
+    sigs = dedup.minhash_signatures_portable(sh, k=16)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=4, max_bucket_size=100, portable_buckets=True
+    )
+    pairs = dedup.verify_candidates_jaccard(cands, sh, threshold=0.5)
+    comps = graph.connected_components(pairs, src="ida", dst="idb")
+    return (
+        docs.select("doc_id")
+        .join(comps, docs["doc_id"] == comps["node"], "left")
+        .filter(
+            F.col("node").isNull()
+            | (F.col("doc_id") == F.col("cluster"))
+        )
+        .select("doc_id", "cluster")
+    )
+
+
+QUERIES["minhash_dedup_keepers"] = minhash_dedup_keepers
+
+
+def _minhash_keepers_oracle() -> str:
+    base = ORACLES["minhash_lsh_check"]
+    i = base.rindex("SELECT ida, idb,")
+    ctes = base[:i].rstrip().rstrip(",")
+    final = base[i:].strip()
+    ctes = ctes.replace("WITH words", "WITH RECURSIVE words", 1)
+    return f"""
+        {ctes},
+        pairs AS ({final}),
+        und AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION
+          SELECT idb AS a, ida AS b FROM pairs),
+        comp(node, label) AS (
+          SELECT DISTINCT a, a FROM und
+          UNION
+          SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b),
+        clusters AS (
+          SELECT node, min(label) AS cluster FROM comp GROUP BY node)
+        SELECT d.doc_id, c.cluster
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+        WHERE c.node IS NULL OR d.doc_id = c.cluster
+    """
+
+
+ORACLES["minhash_dedup_keepers"] = _minhash_keepers_oracle()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

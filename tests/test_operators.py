@@ -4160,3 +4160,39 @@ def test_url_dedup_invalid_rows_survive_dup_and_null_ids(spark):
     assert bad == ["also garbage", "garbage", "other garbage"]
     valid = [r for r in kept if r["url"].startswith("http")]
     assert len(valid) == 1 and valid[0]["doc_id"] == 7  # not NULL
+
+
+def test_minhash_dedup_keepers_transitive(spark):
+    """r9: fuzzy dedup end-to-end — a transitive near-dup chain
+    (A~B, B~C, A!~C directly) collapses to ONE keeper (the min id),
+    and unrelated documents survive untouched."""
+    from dwc_dataframe_validator_spark.operators import dedup, graph
+    from dwc_dataframe_validator_spark.operators.text import word_ngrams
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega"
+    ).split()
+    mid = " ".join(words)
+    head = " ".join(["one", "two", "three"] + words[3:])
+    tail = " ".join(words[:-3] + ["seven", "eight", "nine"])
+    # deterministic with the portable md5 hashing: banding surfaces
+    # exactly (head,mid) and (mid,tail) — the chain — not (head,tail)
+    rows = [(1, head), (2, mid), (3, tail),
+            (9, "completely different text about spark query engines here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_ngrams(df, n=2).cache()
+    sigs = dedup.minhash_signatures_portable(sh, k=16)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=4, max_bucket_size=100, portable_buckets=True)
+    pairs = dedup.verify_candidates_jaccard(cands, sh, threshold=0.5)
+    got_pairs = {(r["ida"], r["idb"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    comps = graph.connected_components(pairs, src="ida", dst="idb")
+    kept = (df.select("doc_id")
+            .join(comps, df["doc_id"] == comps["node"], "left")
+            .filter(F.col("node").isNull()
+                    | (F.col("doc_id") == F.col("cluster")))
+            .select("doc_id").collect())
+    assert sorted(r["doc_id"] for r in kept) == [1, 9]
