@@ -124,6 +124,19 @@ HEADLINE = [
     "target_mixture_stats",
     "quality_histogram_by_source",
     "quality_drift_tv_by_source",
+    # late round-9 additions (same addendum rule): DSIR importance
+    # scoring (two token passes, broadcast bucket weights),
+    # boilerplate-line scrub (line-key join + per-doc reassembly),
+    # WARC round-trip + WET extraction (Arrow parse / regex chains),
+    # the composed crawl pipeline, per-domain cap (two-phase top-k),
+    # and end-to-end fuzzy dedup (LSH pairs → components → keepers)
+    "dsir_scores_lang",
+    "boilerplate_scrub_corpus",
+    "warc_roundtrip_check",
+    "warc_wet_extract_check",
+    "web_corpus_pipeline_check",
+    "domain_cap_keepers",
+    "minhash_dedup_keepers",
 ]
 
 
