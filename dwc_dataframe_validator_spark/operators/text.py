@@ -1349,3 +1349,112 @@ def token_stats_bpe_learned(
 
     schema = f"{id_col} long, n_tokens_bpe int, n_tokens_bpe_real long"
     return projected.mapInPandas(batches, schema=schema)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The DOCUMENT-LEVEL Gopher quality rules (Rae et al. 2021,
+    "Scaling Language Models", table A1) — the published rule set
+    every modern pretraining pipeline starts from.  Complements
+    ``repetition_profile`` (which carries the duplicate-line /
+    top-word rules from the same table): word-count bounds, mean word
+    length bounds, symbol-to-word ratio (``#`` and ellipses), bullet-
+    and ellipsis-line fractions, alphabetic-word fraction, and the
+    stopword floor.
+
+    Returns per document: the raw metrics, one boolean per rule
+    (True = rule VIOLATED), and ``gopher_pass`` = no violations.
+    Documents with no words fail the word-count rule and carry NULL
+    ratio metrics (nothing to measure), matching the filter intent.
+
+    ONE map-side projection — every metric is a Catalyst
+    regexp/array expression in the RE2 ∩ Java intersection, so the
+    registry oracle replays each flag bit-for-bit; at 100 TB this
+    scores in the scan, like ``model_quality_score``."""
+    t = F.trim(F.col(text_col))
+    words = F.when(t != "", F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_words = F.coalesce(F.size(words), F.lit(0))
+    sum_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len.cast("double") / n_words.cast("double")
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_word_frac = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words.cast("double")
+    )
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    symbol_word_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_line_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    )
+    ellipsis_line_frac = F.when(
+        n_lines > 0, n_ellipsis.cast("double") / n_lines.cast("double")
+    )
+    stop_hits = F.coalesce(
+        F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS)), F.lit(0)
+    )
+    flags = {
+        "flag_word_count": (n_words < min_words)
+        | (n_words > max_words),
+        "flag_mean_word_len": F.coalesce(
+            (mean_word_len < min_mean_word_len)
+            | (mean_word_len > max_mean_word_len),
+            F.lit(False),
+        ),
+        "flag_symbol_ratio": F.coalesce(
+            symbol_word_ratio > max_symbol_word_ratio, F.lit(False)
+        ),
+        "flag_bullet_lines": F.coalesce(
+            bullet_line_frac > max_bullet_line_frac, F.lit(False)
+        ),
+        "flag_ellipsis_lines": F.coalesce(
+            ellipsis_line_frac > max_ellipsis_line_frac, F.lit(False)
+        ),
+        "flag_alpha_words": F.coalesce(
+            alpha_word_frac < min_alpha_word_frac, F.lit(False)
+        ),
+        "flag_stopwords": stop_hits < min_stopword_hits,
+    }
+    no_violation = None
+    for c in flags.values():
+        no_violation = ~c if no_violation is None else (no_violation & ~c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        *[v.alias(k) for k, v in flags.items()],
+        no_violation.alias("gopher_pass"),
+    )

@@ -5814,6 +5814,79 @@ def _minhash_keepers_oracle() -> str:
 ORACLES["minhash_dedup_keepers"] = _minhash_keepers_oracle()
 
 
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level Gopher quality rules (operators/text.py
+    ``gopher_quality_flags`` — Rae et al. 2021 table A1): word-count
+    and mean-word-length bounds, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stopword floor — per-document
+    metrics, one violation flag per rule, and the overall pass bit,
+    every one replayed bit-for-bit by the oracle."""
+    return text.gopher_quality_flags(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+QUERIES["gopher_quality_report"] = gopher_quality_report
+
+ORACLES["gopher_quality_report"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) <> ''
+                  THEN string_split_regex(trim(text), '\s+')
+                  ELSE [] END AS words,
+             CASE WHEN text IS NOT NULL
+                  THEN string_split(text, chr(10)) END AS lines,
+             trim(text) AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(coalesce(len(words), 0) AS INT) AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS DOUBLE) / len(words) END AS mean_word_len,
+             CASE WHEN len(words) > 0 THEN
+               CAST(len(regexp_extract_all(t, '#|\.\.\.|…')) AS DOUBLE)
+                 / len(words) END AS symbol_word_ratio,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines,
+                 l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS DOUBLE)
+                 / len(lines) END AS bullet_line_frac,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines,
+                 l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                    AS DOUBLE) / len(lines) END AS ellipsis_line_frac,
+             CASE WHEN len(words) > 0 THEN
+               CAST(len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 / len(words) END AS alpha_word_frac,
+             CAST(coalesce(len(regexp_extract_all(lower(t),
+               '\b(the|a|of|and|to|in|is)\b')), 0) AS BIGINT)
+               AS stopword_hits
+      FROM w)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           stopword_hits,
+           (n_words < 50 OR n_words > 100000) AS flag_word_count,
+           coalesce(mean_word_len < 3.0 OR mean_word_len > 10.0,
+                    FALSE) AS flag_mean_word_len,
+           coalesce(symbol_word_ratio > 0.1, FALSE) AS flag_symbol_ratio,
+           coalesce(bullet_line_frac > 0.9, FALSE) AS flag_bullet_lines,
+           coalesce(ellipsis_line_frac > 0.3, FALSE)
+             AS flag_ellipsis_lines,
+           coalesce(alpha_word_frac < 0.8, FALSE) AS flag_alpha_words,
+           (stopword_hits < 2) AS flag_stopwords,
+           NOT ((n_words < 50 OR n_words > 100000)
+             OR coalesce(mean_word_len < 3.0 OR mean_word_len > 10.0,
+                         FALSE)
+             OR coalesce(symbol_word_ratio > 0.1, FALSE)
+             OR coalesce(bullet_line_frac > 0.9, FALSE)
+             OR coalesce(ellipsis_line_frac > 0.3, FALSE)
+             OR coalesce(alpha_word_frac < 0.8, FALSE)
+             OR (stopword_hits < 2)) AS gopher_pass
+    FROM m
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -4196,3 +4196,43 @@ def test_minhash_dedup_keepers_transitive(spark):
                     | (F.col("doc_id") == F.col("cluster")))
             .select("doc_id").collect())
     assert sorted(r["doc_id"] for r in kept) == [1, 9]
+
+
+def test_gopher_quality_flags_semantics(spark):
+    """r9: document-level Gopher rules — each rule trips on its
+    designed pathology and a clean document passes all of them."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = ("the cat sat of the mat and all is well in this fine place "
+            * 5).strip()
+    rows = [
+        (1, good),
+        (2, "short text"),                               # word count
+        (3, "aa " * 60),                                 # mean word len < 3
+        (4, ("# " + "the of and is to in " * 10).strip()
+            + " # # # # # # # # # #"),                   # symbol ratio
+        (5, "\n".join("- the item of note" for _ in range(10))),  # bullets
+        (6, "\n".join("the thing is to be continued..."
+                      for _ in range(10))),              # ellipses
+        (7, ("123 456 789 " * 20).strip()),              # alpha words
+        (8, ("lorem ipsum dolor sit amet " * 10).strip()),  # stopwords
+        (9, ""),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r["doc_id"]: r for r in
+         gopher_quality_flags(df, min_words=10).collect()}
+    assert g[1]["gopher_pass"] and not any(
+        g[1][c] for c in g[1].asDict() if c.startswith("flag_"))
+    assert g[2]["flag_word_count"]
+    assert g[3]["flag_mean_word_len"]
+    assert g[4]["flag_symbol_ratio"]
+    assert g[5]["flag_bullet_lines"] and not g[5]["gopher_pass"]
+    assert g[6]["flag_ellipsis_lines"]
+    assert g[7]["flag_alpha_words"]
+    assert g[8]["flag_stopwords"]
+    for i in (9, 10):
+        assert g[i]["flag_word_count"] and not g[i]["gopher_pass"]
+        assert g[i]["mean_word_len"] is None
