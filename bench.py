@@ -137,6 +137,11 @@ HEADLINE = [
     "web_corpus_pipeline_check",
     "domain_cap_keepers",
     "minhash_dedup_keepers",
+    # published-rule-set filters (same addendum rule): Gopher table-A1
+    # document rules and C4 line cleanup — both single map-side
+    # projections
+    "gopher_quality_report",
+    "c4_cleanup_corpus",
 ]
 
 

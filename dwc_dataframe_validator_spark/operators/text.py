@@ -1458,3 +1458,54 @@ def gopher_quality_flags(
         *[v.alias(k) for k, v in flags.items()],
         no_violation.alias("gopher_pass"),
     )
+
+
+def c4_line_cleanup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020, §2.2) —
+    the other published rule set modern pipelines start from,
+    complementing the document-level Gopher rules: keep only lines
+    that END IN TERMINAL PUNCTUATION (. ! ? or closing quote after
+    one) and have ≥ ``min_line_words`` words; drop the whole document
+    if it contains ``{`` (code), the phrase "lorem ipsum", or fewer
+    than ``min_kept_lines`` surviving lines.
+
+    Returns every input row as ``(id_col, text_col, n_lines, n_kept,
+    dropped, drop_reason)`` — ``text_col`` is the cleaned text (kept
+    lines rejoined) or NULL when the document is dropped;
+    ``drop_reason`` ∈ ('brace', 'lorem_ipsum', 'too_few_lines', NULL).
+    NULL input text → dropped with reason 'too_few_lines' (nothing
+    kept), so the accounting stays total.
+
+    ONE map-side projection: the line split, per-line predicate,
+    reassembly and document gates are all higher-order array
+    expressions (``filter``/``array_join``) — no explode, no shuffle,
+    no Python; the oracle replays every rule with ``list_filter``."""
+    line_ok = lambda ln: (  # noqa: E731
+        F.trim(ln).rlike(r"""[.!?]["'”’]?$""")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= int(min_line_words))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, line_ok)
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    n_kept = F.coalesce(F.size(kept), F.lit(0))
+    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    reason = (
+        F.when(F.coalesce(has_brace, F.lit(False)), F.lit("brace"))
+        .when(F.coalesce(has_lorem, F.lit(False)), F.lit("lorem_ipsum"))
+        .when(n_kept < int(min_kept_lines), F.lit("too_few_lines"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(reason.isNull(), F.array_join(kept, "\n")).alias(text_col),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        reason.isNotNull().alias("dropped"),
+        reason.alias("drop_reason"),
+    )

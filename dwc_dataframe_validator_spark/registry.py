@@ -5887,6 +5887,72 @@ ORACLES["gopher_quality_report"] = r"""
 """
 
 
+def c4_cleanup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/text.py ``c4_line_cleanup``
+    — Raffel et al. 2020 §2.2) over a deterministic line-structured
+    derivation of the documents corpus (the ``' a '``→newline rewrite
+    of the boilerplate fixture, each line closed with a period so the
+    terminal-punctuation rule has real work: short segments fail the
+    ≥5-word rule, documents whose every line fails are dropped).  The
+    CLEANED TEXT and the per-document drop accounting cross the value
+    gate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.replace(
+                    F.col("text"), F.lit(" a "), F.lit(".\n")
+                ),
+                F.lit("."),
+            ),
+        ).alias("text"),
+    )
+    return text.c4_line_cleanup(docs)
+
+
+QUERIES["c4_cleanup_corpus"] = c4_cleanup_corpus
+
+ORACLES["c4_cleanup_corpus"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL
+                  THEN replace(text, ' a ', '.' || chr(10)) || '.'
+             END AS text
+      FROM documents),
+    w AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NOT NULL
+                  THEN string_split(text, chr(10)) END AS lines
+      FROM d),
+    k AS (
+      SELECT doc_id, text, lines,
+             CASE WHEN lines IS NOT NULL THEN
+               list_filter(lines, l ->
+                 regexp_matches(trim(l), '[.!?]["''”’]?$')
+                 AND len(string_split_regex(trim(l), '\s+')) >= 5)
+             END AS kept
+      FROM w),
+    m AS (
+      SELECT doc_id, text, kept,
+             CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines,
+             CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
+             CASE
+               WHEN coalesce(contains(text, '{'), FALSE) THEN 'brace'
+               WHEN coalesce(contains(lower(text), 'lorem ipsum'),
+                             FALSE) THEN 'lorem_ipsum'
+               WHEN coalesce(len(kept), 0) < 1 THEN 'too_few_lines'
+             END AS drop_reason
+      FROM k)
+    SELECT doc_id,
+           CASE WHEN drop_reason IS NULL
+                THEN array_to_string(kept, chr(10)) END AS text,
+           n_lines, n_kept,
+           (drop_reason IS NOT NULL) AS dropped, drop_reason
+    FROM m
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

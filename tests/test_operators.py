@@ -4236,3 +4236,31 @@ def test_gopher_quality_flags_semantics(spark):
     for i in (9, 10):
         assert g[i]["flag_word_count"] and not g[i]["gopher_pass"]
         assert g[i]["mean_word_len"] is None
+
+
+def test_c4_line_cleanup_semantics(spark):
+    """r9: C4 line rules — unterminated and short lines are removed,
+    brace/lorem-ipsum documents drop whole, all-lines-filtered and
+    NULL documents drop with too_few_lines, clean docs keep order."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        c4_line_cleanup,
+    )
+
+    rows = [
+        (1, "This is a good first sentence here.\nno punctuation line\n"
+            "Too short.\nAnother proper sentence ends like this!"),
+        (2, "function foo() { return 1; }\nA real sentence here too."),
+        (3, "Lorem Ipsum dolor sit amet is filler text everywhere."),
+        (4, "fragment\nanother fragment"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r["doc_id"]: r for r in c4_line_cleanup(df).collect()}
+    assert g[1]["text"] == ("This is a good first sentence here.\n"
+                            "Another proper sentence ends like this!")
+    assert (g[1]["n_lines"], g[1]["n_kept"], g[1]["dropped"]) == (4, 2, False)
+    assert g[2]["dropped"] and g[2]["drop_reason"] == "brace"
+    assert g[2]["text"] is None
+    assert g[3]["drop_reason"] == "lorem_ipsum"
+    assert g[4]["drop_reason"] == "too_few_lines"
+    assert g[5]["dropped"] and g[5]["n_lines"] == 0
