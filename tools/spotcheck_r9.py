@@ -54,6 +54,11 @@ OPS = (
     "boilerplate_scrub_corpus",
     "warc_roundtrip_check",
     "warc_wet_extract_check",
+    # published rule sets + fuzzy dedup: map-side projections (Gopher,
+    # C4) and the pair-bounded LSH→components→keepers chain
+    "gopher_quality_report",
+    "c4_cleanup_corpus",
+    "minhash_dedup_keepers",
 )
 
 
