@@ -1384,8 +1384,13 @@ def gopher_quality_flags(
     registry oracle replays each flag bit-for-bit; at 100 TB this
     scores in the scan, like ``model_quality_score``."""
     t = F.trim(F.col(text_col))
-    words = F.when(t != "", F.split(t, r"\s+")).otherwise(
-        F.array().cast("array<string>")
+    # \S+ runs, not split-on-\s+: split keeps phantom empty tokens
+    # when the text starts/ends with non-space whitespace (a trailing
+    # newline would inflate n_words past the floor and deflate the
+    # alpha fraction)
+    words = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0),
+        F.array().cast("array<string>"),
     )
     n_words = F.coalesce(F.size(words), F.lit(0))
     sum_word_len = F.aggregate(
@@ -1406,11 +1411,16 @@ def gopher_quality_flags(
     )
     lines = F.split(F.col(text_col), "\n")
     n_lines = F.coalesce(F.size(lines), F.lit(0))
+    # \s*-padded anchors instead of trim + $: Java's non-MULTILINE $
+    # also matches before a final line terminator while RE2's does
+    # not, and F.trim strips only spaces — \s* + \z (absolute end,
+    # identical in both engines) keeps Spark and the oracle in
+    # lockstep on \r-terminated lines too
     n_bullet = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"))
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•‣▪]"))
     )
     n_ellipsis = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*\z"))
     )
     bullet_line_frac = F.when(
         n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
@@ -1418,8 +1428,17 @@ def gopher_quality_flags(
     ellipsis_line_frac = F.when(
         n_lines > 0, n_ellipsis.cast("double") / n_lines.cast("double")
     )
+    # the paper's own list ("the, be, to, of, and, that, have,
+    # with"), counted as DISTINCT words present — "the the" alone is
+    # one listed word, not two (the common reading, and the one the
+    # curation libraries implement)
     stop_hits = F.coalesce(
-        F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS)), F.lit(0)
+        sum(
+            F.lower(t).rlike(rf"\b{w}\b").cast("int")
+            for w in ("the", "be", "to", "of", "and", "that", "have",
+                      "with")
+        ),
+        F.lit(0),
     )
     flags = {
         "flag_word_count": (n_words < min_words)
@@ -1465,15 +1484,18 @@ def c4_line_cleanup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_line_words: int = 5,
-    min_kept_lines: int = 1,
+    min_kept_lines: int = 3,
 ) -> DataFrame:
     """The C4 line-level cleaning rules (Raffel et al. 2020, §2.2) —
     the other published rule set modern pipelines start from,
     complementing the document-level Gopher rules: keep only lines
-    that END IN TERMINAL PUNCTUATION (. ! ? or closing quote after
-    one) and have ≥ ``min_line_words`` words; drop the whole document
-    if it contains ``{`` (code), the phrase "lorem ipsum", or fewer
-    than ``min_kept_lines`` surviving lines.
+    that END IN TERMINAL PUNCTUATION — the paper's "period,
+    exclamation mark, question mark, or end quotation mark" (a
+    closing quote qualifies alone or after ``.!?``) — and have ≥
+    ``min_line_words`` words; drop the whole document if it contains
+    ``{`` (code), the phrase "lorem ipsum", or fewer than
+    ``min_kept_lines`` surviving lines (default 3, the paper's
+    ≥3-sentence page rule read at line granularity).
 
     Returns every input row as ``(id_col, text_col, n_lines, n_kept,
     dropped, drop_reason)`` — ``text_col`` is the cleaned text (kept
@@ -1486,9 +1508,16 @@ def c4_line_cleanup(
     reassembly and document gates are all higher-order array
     expressions (``filter``/``array_join``) — no explode, no shuffle,
     no Python; the oracle replays every rule with ``list_filter``."""
+    # \s*\z anchoring, not trim + $ (Java's $ matches before a final
+    # line terminator, RE2's does not — \z is identical in both); a
+    # bare end quotation mark is terminal per the paper.  Words are
+    # \S+ runs so empty fragments never count.
     line_ok = lambda ln: (  # noqa: E731
-        F.trim(ln).rlike(r"""[.!?]["'”’]?$""")
-        & (F.size(F.split(F.trim(ln), r"\s+")) >= int(min_line_words))
+        ln.rlike(r"""([.!?]["'”’]?|["”’])\s*\z""")
+        & (
+            F.size(F.regexp_extract_all(ln, F.lit(r"\S+"), 0))
+            >= int(min_line_words)
+        )
     )
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(lines, line_ok)

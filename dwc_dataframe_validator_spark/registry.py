@@ -5765,12 +5765,9 @@ def minhash_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = text.word_ngrams(docs, n=2).cache()
-    sigs = dedup.minhash_signatures_portable(sh, k=16)
-    cands = dedup.lsh_candidate_pairs(
-        sigs, bands=4, max_bucket_size=100, portable_buckets=True
-    )
-    pairs = dedup.verify_candidates_jaccard(cands, sh, threshold=0.5)
+    # ONE definition of the pair pipeline (k/bands/cap/threshold live
+    # in minhash_lsh_check, and this oracle derives from that one's)
+    pairs = minhash_lsh_check(spark, sf_dir)
     comps = graph.connected_components(pairs, src="ida", dst="idb")
     return (
         docs.select("doc_id")
@@ -5787,7 +5784,16 @@ QUERIES["minhash_dedup_keepers"] = minhash_dedup_keepers
 
 
 def _minhash_keepers_oracle() -> str:
+    # derived by marker-based surgery on the base oracle string; the
+    # markers are load-bearing — fail at import with a pointed message
+    # rather than emitting silently-wrong SQL if that oracle is
+    # reformatted
     base = ORACLES["minhash_lsh_check"]
+    if "SELECT ida, idb," not in base or "WITH words" not in base:
+        raise ValueError(
+            "minhash_lsh_check oracle was reformatted: update "
+            "_minhash_keepers_oracle's markers with it"
+        )
     i = base.rindex("SELECT ida, idb,")
     ctes = base[:i].rstrip().rstrip(",")
     final = base[i:].strip()
@@ -5831,9 +5837,7 @@ QUERIES["gopher_quality_report"] = gopher_quality_report
 ORACLES["gopher_quality_report"] = r"""
     WITH w AS (
       SELECT doc_id,
-             CASE WHEN trim(text) <> ''
-                  THEN string_split_regex(trim(text), '\s+')
-                  ELSE [] END AS words,
+             coalesce(regexp_extract_all(text, '\S+'), []) AS words,
              CASE WHEN text IS NOT NULL
                   THEN string_split(text, chr(10)) END AS lines,
              trim(text) AS t
@@ -5849,19 +5853,26 @@ ORACLES["gopher_quality_report"] = r"""
                  / len(words) END AS symbol_word_ratio,
              CASE WHEN len(lines) > 0 THEN
                CAST(len(list_filter(lines,
-                 l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS DOUBLE)
+                 l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE)
                  / len(lines) END AS bullet_line_frac,
              CASE WHEN len(lines) > 0 THEN
                CAST(len(list_filter(lines,
-                 l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                 l -> regexp_matches(l, '(\.\.\.|…)\s*\z')))
                     AS DOUBLE) / len(lines) END AS ellipsis_line_frac,
              CASE WHEN len(words) > 0 THEN
                CAST(len(list_filter(words,
                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
                  / len(words) END AS alpha_word_frac,
-             CAST(coalesce(len(regexp_extract_all(lower(t),
-               '\b(the|a|of|and|to|in|is)\b')), 0) AS BIGINT)
-               AS stopword_hits
+             CAST(coalesce(
+               CAST(regexp_matches(lower(t), '\bthe\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\bbe\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\bto\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\bof\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\band\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\bthat\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\bhave\b') AS INT)
+               + CAST(regexp_matches(lower(t), '\bwith\b') AS INT),
+               0) AS BIGINT) AS stopword_hits
       FROM w)
     SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
            bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
@@ -5929,8 +5940,8 @@ ORACLES["c4_cleanup_corpus"] = r"""
       SELECT doc_id, text, lines,
              CASE WHEN lines IS NOT NULL THEN
                list_filter(lines, l ->
-                 regexp_matches(trim(l), '[.!?]["''”’]?$')
-                 AND len(string_split_regex(trim(l), '\s+')) >= 5)
+                 regexp_matches(l, '([.!?]["''”’]?|["”’])\s*\z')
+                 AND len(regexp_extract_all(l, '\S+')) >= 5)
              END AS kept
       FROM w),
     m AS (
@@ -5941,7 +5952,7 @@ ORACLES["c4_cleanup_corpus"] = r"""
                WHEN coalesce(contains(text, '{'), FALSE) THEN 'brace'
                WHEN coalesce(contains(lower(text), 'lorem ipsum'),
                              FALSE) THEN 'lorem_ipsum'
-               WHEN coalesce(len(kept), 0) < 1 THEN 'too_few_lines'
+               WHEN coalesce(len(kept), 0) < 3 THEN 'too_few_lines'
              END AS drop_reason
       FROM k)
     SELECT doc_id,

@@ -4248,19 +4248,31 @@ def test_c4_line_cleanup_semantics(spark):
 
     rows = [
         (1, "This is a good first sentence here.\nno punctuation line\n"
-            "Too short.\nAnother proper sentence ends like this!"),
+            "Too short.\nAnother proper sentence ends like this!\n"
+            'He said "I will handle the matter tomorrow"'),  # end quote
         (2, "function foo() { return 1; }\nA real sentence here too."),
         (3, "Lorem Ipsum dolor sit amet is filler text everywhere."),
         (4, "fragment\nanother fragment"),
         (5, None),
+        (6, "Only one good sentence lives right here.\n"
+            "And a second full sentence follows it."),   # < 3 kept lines
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    g = {r["doc_id"]: r for r in c4_line_cleanup(df).collect()}
-    assert g[1]["text"] == ("This is a good first sentence here.\n"
-                            "Another proper sentence ends like this!")
-    assert (g[1]["n_lines"], g[1]["n_kept"], g[1]["dropped"]) == (4, 2, False)
+    g = {r["doc_id"]: r
+         for r in c4_line_cleanup(df, min_kept_lines=1).collect()}
+    assert g[1]["text"] == (
+        "This is a good first sentence here.\n"
+        "Another proper sentence ends like this!\n"
+        'He said "I will handle the matter tomorrow"')
+    assert (g[1]["n_lines"], g[1]["n_kept"], g[1]["dropped"]) == (5, 3, False)
     assert g[2]["dropped"] and g[2]["drop_reason"] == "brace"
     assert g[2]["text"] is None
     assert g[3]["drop_reason"] == "lorem_ipsum"
     assert g[4]["drop_reason"] == "too_few_lines"
     assert g[5]["dropped"] and g[5]["n_lines"] == 0
+    assert g[6]["dropped"] is False
+
+    # default follows the paper's >=3-sentence page rule
+    g3 = {r["doc_id"]: r for r in c4_line_cleanup(df).collect()}
+    assert g3[6]["dropped"] and g3[6]["drop_reason"] == "too_few_lines"
+    assert not g3[1]["dropped"]
