@@ -142,6 +142,7 @@ HEADLINE = [
     # projections
     "gopher_quality_report",
     "c4_cleanup_corpus",
+    "gopher_ngram_repetition",
 ]
 
 

@@ -1538,3 +1538,102 @@ def c4_line_cleanup(
         reason.isNotNull().alias("dropped"),
         reason.alias("drop_reason"),
     )
+
+
+def ngram_repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The n-gram half of Gopher's repetition rules (Rae et al. 2021
+    table A1), completing ``repetition_profile``'s line/word rules:
+    per document and per n, the fraction of characters covered by
+
+    - ``kind='top'`` (n ∈ ``top_ns``): the MOST FREQUENT word n-gram —
+      ``count · len(gram) / len(text)``;
+    - ``kind='dup'`` (n ∈ ``dup_ns``): ALL n-grams occurring ≥ 2
+      times — ``Σ count · len(gram) / len(text)``.
+
+    Occurrence counting, not overlap-deduplicated span coverage (the
+    standard implementation shape — overlapping occurrences can
+    double-count characters, so dup fractions may exceed 1 on
+    pathological repetition; Gopher thresholds them well below that).
+    Gram length counts the single joining spaces.  Tie-break for the
+    top gram: highest count, then lexicographically greatest gram —
+    total and engine-portable.
+
+    Returns long-format ``(id_col, n, kind, frac)`` — one row per
+    document per rule, docs with fewer than n words read 0.0 (nothing
+    repeated), so the accounting stays total.
+
+    Plan: ONE tokenize pass cached as (doc, words, n_chars); per n,
+    a map-side slice/concat expansion → explode → per-(doc, gram)
+    count with map-side partials (shuffle state is distinct grams,
+    not gram occurrences) → per-doc aggregate; the per-n frames union
+    (each one row per doc).  Linear in corpus tokens × |ns|."""
+    all_ns = sorted({*(int(n) for n in top_ns),
+                     *(int(n) for n in dup_ns)})
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("n-gram sizes must be >= 2")
+    top_set = {int(n) for n in top_ns}
+    dup_set = {int(n) for n in dup_ns}
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    base = df.select(
+        F.col(id_col).alias("_doc"),
+        words.alias("_w"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_n_chars"),
+    ).cache()
+    ids = base.select("_doc", "_n_chars")
+    parts = []
+    for n in all_ns:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+        )
+        counts = (
+            base.filter(F.size("_w") >= n)
+            .select("_doc", F.explode(grams).alias("_g"))
+            .groupBy("_doc", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        per_doc = counts.groupBy("_doc").agg(
+            F.max(F.struct("_c", "_g")).alias("_top"),
+            F.sum(
+                F.when(
+                    F.col("_c") >= 2, F.col("_c") * F.length("_g")
+                ).otherwise(F.lit(0))
+            ).alias("_dupchars"),
+        )
+        joined = ids.join(per_doc, "_doc", "left")
+        for kind, expr in (
+            (
+                "top",
+                F.col("_top._c").cast("double")
+                * F.length(F.col("_top._g")).cast("double"),
+            ),
+            ("dup", F.col("_dupchars").cast("double")),
+        ):
+            if (kind == "top" and n not in top_set) or (
+                kind == "dup" and n not in dup_set
+            ):
+                continue
+            parts.append(
+                joined.select(
+                    F.col("_doc").alias(id_col),
+                    F.lit(n).alias("n"),
+                    F.lit(kind).alias("kind"),
+                    F.coalesce(
+                        expr
+                        / F.greatest(F.col("_n_chars"), F.lit(1)).cast(
+                            "double"
+                        ),
+                        F.lit(0.0),
+                    ).alias("frac"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5964,6 +5964,60 @@ ORACLES["c4_cleanup_corpus"] = r"""
 """
 
 
+def gopher_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram repetition half of the Gopher rules
+    (operators/text.py ``ngram_repetition_profile``): per document,
+    the character fraction of the top {2,3,4}-gram and of duplicated
+    {5..10}-grams — every fraction replayed bit-for-bit (integer
+    counts and lengths, one final double division per row)."""
+    return text.ngram_repetition_profile(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+QUERIES["gopher_ngram_repetition"] = gopher_ngram_repetition
+
+
+def _ngram_rep_oracle() -> str:
+    branches = []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        kinds = (["top"] if n in (2, 3, 4) else []) + (
+            ["dup"] if n >= 5 else []
+        )
+        for kind in kinds:
+            val = (
+                "CAST(p.top.c AS DOUBLE) * length(p.top.g)"
+                if kind == "top"
+                else "CAST(p.dupchars AS DOUBLE)"
+            )
+            branches.append(f"""(
+        WITH w AS (
+          SELECT doc_id,
+                 coalesce(regexp_extract_all(text, '\\S+'), []) AS w,
+                 CAST(coalesce(length(text), 0) AS BIGINT) AS nc
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - {n} + 2),
+                   i -> array_to_string(w[i:i + {n} - 1], ' '))) AS g
+          FROM w WHERE len(w) >= {n}),
+        c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        p AS (
+          SELECT doc_id,
+                 max({{'c': c, 'g': g}}) AS top,
+                 sum(CASE WHEN c >= 2 THEN c * length(g)
+                     ELSE 0 END) AS dupchars
+          FROM c GROUP BY 1)
+        SELECT w.doc_id, {n} AS n, '{kind}' AS kind,
+               coalesce({val} / greatest(w.nc, 1), 0.0) AS frac
+        FROM w LEFT JOIN p USING (doc_id)
+      )""")
+    return "\n      UNION ALL\n      ".join(branches)
+
+
+ORACLES["gopher_ngram_repetition"] = _ngram_rep_oracle()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -4276,3 +4276,29 @@ def test_c4_line_cleanup_semantics(spark):
     g3 = {r["doc_id"]: r for r in c4_line_cleanup(df).collect()}
     assert g3[6]["dropped"] and g3[6]["drop_reason"] == "too_few_lines"
     assert not g3[1]["dropped"]
+
+
+def test_ngram_repetition_profile_hand_computed(spark):
+    """r9: Gopher n-gram repetition — hand-computed top/dup character
+    fractions, deterministic tie-break, and the short-doc zero
+    contract."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        ngram_repetition_profile,
+    )
+
+    # doc 1: "ab cd ab cd ab" — top 2-gram "ab cd" (count 2, len 5),
+    # text len 14 -> top2 = 10/14; dup 2-grams: "ab cd"x2 + "cd ab"x2
+    # (both len 5) -> dup2 = 20/14 (occurrence counting may exceed 1)
+    rows = [(1, "ab cd ab cd ab"), (2, "one two three"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["n"], r["kind"]): r["frac"]
+           for r in ngram_repetition_profile(
+               df, top_ns=(2,), dup_ns=(2, 5)).collect()}
+    assert abs(got[(1, 2, "top")] - 10 / 14) < 1e-12
+    assert abs(got[(1, 2, "dup")] - 20 / 14) < 1e-12
+    assert got[(1, 5, "dup")] == 0.0          # no repeated 5-gram
+    assert got[(2, 2, "top")] > 0.0           # unique grams: count 1
+    assert got[(2, 2, "dup")] == 0.0
+    for key in ((3, 2, "top"), (3, 2, "dup"), (3, 5, "dup")):
+        assert got[key] == 0.0                # NULL text reads zero
+    assert len(got) == 9                      # 3 docs x 3 rules
