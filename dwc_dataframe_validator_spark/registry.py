@@ -1068,12 +1068,24 @@ def minhash_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, candidate join, verification — is replayed in SQL; only the
     xxhash64-keyed production variant stays rows-only."""
     docs = load_table(spark, sf_dir, "documents")
+    # same cache hygiene as minhash_lsh_pairs(eager=True): the shingle
+    # index feeds two consumers, so cache it for THIS query, eagerly
+    # materialize the small verified-pair result, and release the big
+    # intermediate — a session running many registry queries (the
+    # correctness gate, the spot-check sweep) must not accumulate one
+    # pinned shingle frame per query until the heap dies
     sh = text.word_ngrams(docs, n=2).cache()
-    sigs = dedup.minhash_signatures_portable(sh, k=16)
-    cands = dedup.lsh_candidate_pairs(
-        sigs, bands=4, max_bucket_size=100, portable_buckets=True
-    )
-    return dedup.verify_candidates_jaccard(cands, sh, threshold=0.5)
+    try:
+        sigs = dedup.minhash_signatures_portable(sh, k=16)
+        cands = dedup.lsh_candidate_pairs(
+            sigs, bands=4, max_bucket_size=100, portable_buckets=True
+        )
+        pairs = dedup.verify_candidates_jaccard(
+            cands, sh, threshold=0.5
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist(blocking=False)
 
 
 def simhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:

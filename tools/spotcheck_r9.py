@@ -77,6 +77,13 @@ def main() -> None:
                 "overwrite"
             ).save()
             row[label] = round(time.time() - t0, 1)
+            # several registry queries cache intermediates for their
+            # own run (shingle indexes etc.) without a session-level
+            # unpersist; in this ONE-session sweep over 17 ops at 100×
+            # the accumulated executor storage OOMs the heap — drop it
+            # between measurements so each op is timed from a clean
+            # cache, like the per-round bench does per process
+            spark.catalog.clearCache()
         row["ratio"] = round(row["x100"] / max(row["sf0.1"], 0.1), 1)
         out[name] = row
         print(f"{name}: {row}", file=sys.stderr)
