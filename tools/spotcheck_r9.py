@@ -17,7 +17,10 @@ Expected shapes:
   per row: ~linear.
 - ``corpus_diff_summary`` — recheck (r8 measured in a noisy window).
 
-Usage: SPARK_GRAFT_CPUS=32 python tools/spotcheck_r9.py [scale_dir]
+Usage: SPARK_DRIVER_MEMORY=48g SPARK_GRAFT_CPUS=32 \
+    python tools/spotcheck_r9.py [scale_dir]
+(the 4 g default heap OOMs on the 100x near-dup sweep, same as the
+10x note in BASELINE.md)
 """
 
 from __future__ import annotations
