@@ -461,6 +461,12 @@ def ngram_jaccard_pairs(
 # the surprisal scorers.  Kept to RE2-safe syntax so the DuckDB oracle
 # runs the IDENTICAL pattern.
 WORD_PATTERN = r"[a-z0-9]+"
+#: RE2's \s is exactly [ \t\n\f\r]; Java's additionally matches
+#: U+000B (vertical tab).  The rule-set operators spell the class out
+#: so Spark and the DuckDB oracles agree on EVERY byte — a document
+#: containing \x0B must tokenize identically on both engines.
+PORTABLE_WS = r"[ \t\n\f\r]"
+PORTABLE_NONWS = r"[^ \t\n\f\r]"
 
 
 def _word_tokens(text_col: str) -> Column:
@@ -1384,12 +1390,15 @@ def gopher_quality_flags(
     registry oracle replays each flag bit-for-bit; at 100 TB this
     scores in the scan, like ``model_quality_score``."""
     t = F.trim(F.col(text_col))
-    # \S+ runs, not split-on-\s+: split keeps phantom empty tokens
-    # when the text starts/ends with non-space whitespace (a trailing
-    # newline would inflate n_words past the floor and deflate the
-    # alpha fraction)
+    # non-ws runs, not split-on-whitespace: split keeps phantom empty
+    # tokens when the text starts/ends with non-space whitespace (a
+    # trailing newline would inflate n_words past the floor and
+    # deflate the alpha fraction).  PORTABLE_NONWS, not \S — Java's
+    # \S excludes \x0B, RE2's does not.
     words = F.coalesce(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(PORTABLE_NONWS + "+"), 0
+        ),
         F.array().cast("array<string>"),
     )
     n_words = F.coalesce(F.size(words), F.lit(0))
@@ -1417,10 +1426,15 @@ def gopher_quality_flags(
     # identical in both engines) keeps Spark and the oracle in
     # lockstep on \r-terminated lines too
     n_bullet = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•‣▪]"))
+        F.filter(lines, lambda ln: ln.rlike("^" + PORTABLE_WS + "*[-*•‣▪]"))
     )
     n_ellipsis = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*\z"))
+        F.filter(
+            lines,
+            lambda ln: ln.rlike(
+                r"(\.\.\.|…)" + PORTABLE_WS + r"*\z"
+            ),
+        )
     )
     bullet_line_frac = F.when(
         n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
@@ -1433,10 +1447,14 @@ def gopher_quality_flags(
     # one listed word, not two (the common reading, and the one the
     # curation libraries implement)
     stop_hits = F.coalesce(
-        sum(
-            F.lower(t).rlike(rf"\b{w}\b").cast("int")
-            for w in ("the", "be", "to", "of", "and", "that", "have",
-                      "with")
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(t),
+                    F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
+                    0,
+                )
+            )
         ),
         F.lit(0),
     )
@@ -1490,8 +1508,9 @@ def c4_line_cleanup(
     the other published rule set modern pipelines start from,
     complementing the document-level Gopher rules: keep only lines
     that END IN TERMINAL PUNCTUATION — the paper's "period,
-    exclamation mark, question mark, or end quotation mark" (a
-    closing quote qualifies alone or after ``.!?``) — and have ≥
+    exclamation mark, question mark, or end quotation mark" (a curly
+    or double closing quote qualifies alone; the straight ``'`` only
+    after ``.!?`` — bare it is indistinguishable from an apostrophe) — and have ≥
     ``min_line_words`` words; drop the whole document if it contains
     ``{`` (code), the phrase "lorem ipsum", or fewer than
     ``min_kept_lines`` surviving lines (default 3, the paper's
@@ -1513,9 +1532,15 @@ def c4_line_cleanup(
     # bare end quotation mark is terminal per the paper.  Words are
     # \S+ runs so empty fragments never count.
     line_ok = lambda ln: (  # noqa: E731
-        ln.rlike(r"""([.!?]["'”’]?|["”’])\s*\z""")
+        ln.rlike(
+            r"""([.!?]["'”’]?|["”’])""" + PORTABLE_WS + r"*\z"
+        )
         & (
-            F.size(F.regexp_extract_all(ln, F.lit(r"\S+"), 0))
+            F.size(
+                F.regexp_extract_all(
+                    ln, F.lit(PORTABLE_NONWS + "+"), 0
+                )
+            )
             >= int(min_line_words)
         )
     )
@@ -1546,6 +1571,7 @@ def ngram_repetition_profile(
     id_col: str = "doc_id",
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    eager: bool = True,
 ) -> DataFrame:
     """The n-gram half of Gopher's repetition rules (Rae et al. 2021
     table A1), completing ``repetition_profile``'s line/word rules:
@@ -1572,19 +1598,38 @@ def ngram_repetition_profile(
     a map-side slice/concat expansion → explode → per-(doc, gram)
     count with map-side partials (shuffle state is distinct grams,
     not gram occurrences) → per-doc aggregate; the per-n frames union
-    (each one row per doc).  Linear in corpus tokens × |ns|."""
+    (each one row per doc).  Linear in corpus tokens × |ns|.
+
+    Cache hygiene mirrors ``minhash_lsh_pairs``: with ``eager=True``
+    (default) the small long-format result (|rules| rows per doc) is
+    materialized via one eager ``localCheckpoint`` and the tokenized
+    corpus cache is released before returning, so a session running
+    many registry queries accumulates no executor storage;
+    ``eager=False`` keeps the plan lazy and transfers cache ownership
+    to the caller."""
     all_ns = sorted({*(int(n) for n in top_ns),
                      *(int(n) for n in dup_ns)})
     if not all_ns or min(all_ns) < 2:
         raise ValueError("n-gram sizes must be >= 2")
     top_set = {int(n) for n in top_ns}
     dup_set = {int(n) for n in dup_ns}
-    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    words = F.regexp_extract_all(
+        F.col(text_col), F.lit(PORTABLE_NONWS + "+"), 0
+    )
     base = df.select(
         F.col(id_col).alias("_doc"),
         words.alias("_w"),
         F.coalesce(F.length(text_col), F.lit(0)).alias("_n_chars"),
     ).cache()
+    try:
+        return _ngram_rep_build(base, id_col, all_ns, top_set,
+                                dup_set, eager)
+    finally:
+        if eager:
+            base.unpersist(blocking=False)
+
+
+def _ngram_rep_build(base, id_col, all_ns, top_set, dup_set, eager):
     ids = base.select("_doc", "_n_chars")
     parts = []
     for n in all_ns:
@@ -1636,4 +1681,6 @@ def ngram_repetition_profile(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if eager:
+        out = out.localCheckpoint(eager=True)
     return out

@@ -5875,15 +5875,8 @@ ORACLES["gopher_quality_report"] = r"""
                CAST(len(list_filter(words,
                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
                  / len(words) END AS alpha_word_frac,
-             CAST(coalesce(
-               CAST(regexp_matches(lower(t), '\bthe\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\bbe\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\bto\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\bof\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\band\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\bthat\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\bhave\b') AS INT)
-               + CAST(regexp_matches(lower(t), '\bwith\b') AS INT),
+             CAST(coalesce(len(list_distinct(regexp_extract_all(
+               lower(t), '\b(the|be|to|of|and|that|have|with)\b'))),
                0) AS BIGINT) AS stopword_hits
       FROM w)
     SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,

@@ -61,6 +61,7 @@ OPS = (
     # C4) and the pair-bounded LSH→components→keepers chain
     "gopher_quality_report",
     "c4_cleanup_corpus",
+    "gopher_ngram_repetition",
     "minhash_dedup_keepers",
 )
 
