@@ -163,15 +163,56 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
+    frozen = HEADLINE[:33]  # the r3 frozen-baseline set (BASELINE.md)
+    frozen_total = round(sum(timings[n] for n in frozen), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # Full per-query detail goes to a committed file — the driver's
+    # tail capture truncates long stdout lines (BENCH_r9/r10 landed
+    # "parsed": null), so stdout carries only a compact summary the
+    # driver can always parse, plus the frozen-33 per-query dict
+    # (~1.3KB, the baseline-comparison set).
+    local_path = _local_bench_path()
+    with open(local_path, "w") as fh:
+        json.dump({
+            "metric": "headline_queries_total",
+            "value": total,
+            "frozen33_total": frozen_total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-    }))
+        "frozen33_total": frozen_total,
+        "n_queries": len(timings),
+        "detail_file": os.path.basename(local_path),
+        "queries": {n: round(timings[n], 3) for n in frozen},
+        "sf": sf_val,
+    }, separators=(",", ":")))
     spark.stop()
+
+
+def _local_bench_path() -> str:
+    """Committed per-round detail file next to bench.py: the round is
+    $SPARK_GRAFT_ROUND if set, else 1 + the highest driver-recorded
+    BENCH_r{N}.json in the repo root."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re
+
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(root)
+            for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
+            if m
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    return os.path.join(root, f"BENCH_LOCAL_r{int(rnd):02d}.json")
 
 
 if __name__ == "__main__":

@@ -1606,7 +1606,11 @@ def ngram_repetition_profile(
     corpus cache is released before returning, so a session running
     many registry queries accumulates no executor storage;
     ``eager=False`` keeps the plan lazy and transfers cache ownership
-    to the caller."""
+    to the caller: the tokenized-corpus cache is registered in a
+    module-level pool and stays pinned until the caller invokes
+    ``release_ngram_repetition_caches()`` (after materializing the
+    result), so repeated lazy calls cannot silently accumulate
+    executor storage with no unpersist path."""
     all_ns = sorted({*(int(n) for n in top_ns),
                      *(int(n) for n in dup_ns)})
     if not all_ns or min(all_ns) < 2:
@@ -1627,6 +1631,25 @@ def ngram_repetition_profile(
     finally:
         if eager:
             base.unpersist(blocking=False)
+        else:
+            _LAZY_NGRAM_CACHES.append(base)
+
+
+# Tokenized-corpus caches owned by ngram_repetition_profile(eager=False)
+# callers — see release_ngram_repetition_caches().
+_LAZY_NGRAM_CACHES: list = []
+
+
+def release_ngram_repetition_caches() -> int:
+    """Unpersist every tokenized-corpus cache handed out by
+    ``ngram_repetition_profile(eager=False)`` and return how many were
+    released.  Call after materializing the lazy result; safe to call
+    repeatedly (idempotent once the pool is drained)."""
+    n = 0
+    while _LAZY_NGRAM_CACHES:
+        _LAZY_NGRAM_CACHES.pop().unpersist(blocking=False)
+        n += 1
+    return n
 
 
 def _ngram_rep_build(base, id_col, all_ns, top_set, dup_set, eager):

@@ -218,21 +218,33 @@ def domain_mix_stats(
     stays visible rather than vanishing.
 
     ONE aggregation over map-side-derived keys + a broadcast of the
-    1-row totals — bounded output (= |domains|), no driver collect."""
+    1-row totals — bounded output (= |domains|), no driver collect.
+
+    The derived key is computed under a private ``_domain`` alias and
+    only renamed to ``domain`` in the output, so an input that already
+    carries a ``domain`` column cannot make the groupBy ambiguous;
+    only the columns the aggregates need are projected (column-pruned
+    scan)."""
     u = F.col(url_col)
     host = F.when(url_is_valid(u), url_host(u))
     aggs = [F.count(F.lit(1)).alias("n_docs")]
+    needed = []
     if tokens_col is not None:
         aggs.append(
             F.sum(F.col(tokens_col)).cast("long").alias("n_tokens")
         )
+        needed.append(tokens_col)
     if fingerprint_col is not None:
         aggs.append(
             F.countDistinct(F.col(fingerprint_col)).alias("n_distinct_fp")
         )
-    per = df.select(
-        registrable_domain(host).alias("domain"), "*"
-    ).groupBy("domain").agg(*aggs)
+        needed.append(fingerprint_col)
+    per = (
+        df.select(registrable_domain(host).alias("_domain"), *needed)
+        .groupBy("_domain")
+        .agg(*aggs)
+        .withColumnRenamed("_domain", "domain")
+    )
     totals = per.agg(
         F.sum("n_docs").alias("_t_docs"),
         *(

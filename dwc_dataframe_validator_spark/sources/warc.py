@@ -205,6 +205,11 @@ def _parse_warc_files(
                     )
                     if keep is not None and wtype.lower() not in keep:
                         continue
+                    # content_length reports the record's DECLARED
+                    # payload size even when max_payload truncates the
+                    # bytes we keep — truncation must not silently
+                    # shrink the reported length
+                    declared_len = len(payload)
                     if max_payload is not None:
                         payload = payload[: int(max_payload)]
                     rows.append(
@@ -220,7 +225,7 @@ def _parse_warc_files(
                                 "utf-8", "replace"
                             )
                             or None,
-                            len(payload),
+                            declared_len,
                             payload,
                             True,
                         )
@@ -250,8 +255,11 @@ def read_warc(
     ``warc_types`` filters records by ``WARC-Type`` (crawl pipelines
     want ``response``; pass ``None`` for everything).  ``max_payload``
     truncates payload bytes AT PARSE TIME so oversized bodies never
-    cross the Arrow boundary.  One row per record; a malformed record
-    produces ``ok=false`` with NULL fields."""
+    cross the Arrow boundary; ``content_length`` still reports the
+    record's declared (pre-truncation) payload size, so
+    ``content_length > length(payload)`` marks truncated rows.  One
+    row per record; a malformed record produces ``ok=false`` with NULL
+    fields."""
     files = spark.read.format("binaryFile").load(path)
     return _parse_warc_files(files, warc_types, max_payload)
 

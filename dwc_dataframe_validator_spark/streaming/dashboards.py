@@ -323,7 +323,12 @@ def histogram_drift_dashboard(
         merge_histogram_states,
     )
 
-    states = spark.read.parquet(f"{stats_path}/hist")
+    states = spark.read.parquet(f"{stats_path}/hist").withColumn(
+        # partition-column type inference may read batch_id as string,
+        # where max() picks lexicographically ("9" > "10") — force a
+        # numeric newest-batch selection
+        "batch_id", F.col("batch_id").cast("long")
+    )
     # bounded collect: one scalar — the newest batch id from the
     # partition column
     ids = [r[0] for r in states.select("batch_id").distinct().collect()]

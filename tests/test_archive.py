@@ -282,11 +282,17 @@ def test_warc_source_roundtrip_and_adversarial(spark, tmp_path):
     b2 = by_uri["http://b.example/2"][0]
     assert bytes(b2["payload"]) == b"\x00\xffbinary ok\x01"
 
-    # all types + truncation
+    # all types + truncation: payload bytes are capped at parse time,
+    # but content_length keeps reporting the DECLARED payload size so
+    # truncated rows stay detectable (content_length > len(payload))
     allr = read_warc(spark, str(tmp_path / "w" / "a.warc"),
                      warc_types=None, max_payload=5).collect()
     assert {r["warc_type"] for r in allr} == {"response", "metadata"}
-    assert all(r["content_length"] <= 5 for r in allr)
+    assert all(len(bytes(r["payload"])) <= 5 for r in allr)
+    trunc_a1 = next(r for r in allr
+                    if r["target_uri"] == "http://a.example/1")
+    assert trunc_a1["content_length"] == 19          # declared, not 5
+    assert bytes(trunc_a1["payload"]) == b"hello"
 
     # adversarial: valid record then garbage; oversized length; junk
     (tmp_path / "bad").mkdir()

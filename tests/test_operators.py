@@ -852,6 +852,25 @@ def test_domain_mix_stats_shares(spark):
     assert rows[None]["n_docs"] == 1                 # invalid bucket
 
 
+def test_domain_mix_stats_input_domain_column(spark):
+    """r11 (ADVICE): an input that already carries a ``domain`` column
+    must not make the derived-key groupBy ambiguous — the key is
+    computed under a private ``_domain`` alias."""
+    from dwc_dataframe_validator_spark.operators import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/1", "pre-existing"),
+            (2, "http://b.a.com/2", "junk"),
+            (3, "http://c.org/3", None),
+        ],
+        "doc_id long, url string, domain string",
+    )
+    rows = {r["domain"]: r["n_docs"]
+            for r in web.domain_mix_stats(df).collect()}
+    assert rows == {"a.com": 2, "c.org": 1}
+
+
 # --- annotate --------------------------------------------------------------
 
 def test_annotate_and_split(spark):
@@ -4302,3 +4321,32 @@ def test_ngram_repetition_profile_hand_computed(spark):
     for key in ((3, 2, "top"), (3, 2, "dup"), (3, 5, "dup")):
         assert got[key] == 0.0                # NULL text reads zero
     assert len(got) == 9                      # 3 docs x 3 rules
+
+
+def test_ngram_repetition_lazy_cache_release(spark):
+    """r11 (ADVICE): ``eager=False`` hands the tokenized-corpus cache
+    to the caller — ``release_ngram_repetition_caches()`` is the
+    unpersist path, and the lazy result matches the eager one."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        _LAZY_NGRAM_CACHES,
+        ngram_repetition_profile,
+        release_ngram_repetition_caches,
+    )
+
+    release_ngram_repetition_caches()         # drain any prior pool
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd ab"), (2, "one two three")],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, ngram_repetition_profile(
+        df, top_ns=(2,), dup_ns=(2,)).collect()))
+    lazy = ngram_repetition_profile(
+        df, top_ns=(2,), dup_ns=(2,), eager=False)
+    assert len(_LAZY_NGRAM_CACHES) == 1       # ownership transferred
+    cached = _LAZY_NGRAM_CACHES[0]
+    assert sorted(map(tuple, lazy.collect())) == want
+    assert cached.is_cached
+    assert release_ngram_repetition_caches() == 1
+    assert not cached.is_cached
+    assert not _LAZY_NGRAM_CACHES             # pool drained
+    assert release_ngram_repetition_caches() == 0   # idempotent

@@ -986,6 +986,41 @@ def test_streaming_histogram_and_drift_dashboards(spark, tmp_path):
         histogram_drift_dashboard(spark, stats2)
 
 
+def test_histogram_drift_numeric_batch_order(spark, tmp_path):
+    """r11 (ADVICE): newest-batch selection must be numeric even when
+    partition-column type inference reads batch_id as a string —
+    lexicographic max would pick batch "9" over batch "10"."""
+    from dwc_dataframe_validator_spark.streaming.dashboards import (
+        histogram_drift_dashboard,
+        record_batch_stats,
+    )
+
+    stats = str(tmp_path / "stats")
+    schema = "doc_id long, text string, source string, score double"
+    lo = [(i, f"doc {i}", "web", float(i % 4))
+          for i in range(12)]                              # values 0-3
+    hi = [(i, f"doc {i}", "web", 8.0 + i % 2)
+          for i in range(8)]                               # values 8-9
+    g = {"score": 1.0}
+    record_batch_stats(spark.createDataFrame(lo, schema), 2, stats,
+                       histograms=g)
+    record_batch_stats(spark.createDataFrame(lo, schema), 9, stats,
+                       histograms=g)
+    record_batch_stats(spark.createDataFrame(hi, schema), 10, stats,
+                       histograms=g)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")              # batch_id reads as string
+    try:
+        tv = histogram_drift_dashboard(spark, stats).collect()
+    finally:
+        spark.conf.set(key, prev)
+    # newest must be batch 10 (disjoint from 2 and 9): tv == 1.0; the
+    # lexicographic bug would pick 9 as newest (prior merges 2 and 10,
+    # overlapping) and read tv < 1
+    assert [r["tv"] for r in tv] == [1.0]
+
+
 def test_stream_warc_equals_batch(spark, tmp_path):
     """r9: the streaming WARC face drains a landing directory to
     EXACTLY read_warc's rows (one shared parser), and feeds the
