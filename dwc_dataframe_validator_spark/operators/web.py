@@ -33,7 +33,9 @@ per-domain row list.
 
 from __future__ import annotations
 
+import os as _os
 import re as _re
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,13 +44,55 @@ from pyspark.sql import functions as F
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 #: tracking query parameters stripped by normalization
 TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
-#: two-label public suffixes for the registrable-domain heuristic —
-#: a deliberately small, documented subset of the public-suffix list
-#: (full PSL integration is a data file swap, not a code change)
-MULTI_TLDS = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
-    "co.jp", "co.in", "com.br", "co.nz",
+#: public-suffix snapshot shipped with the package (publicsuffix.org
+#: format: normal rules, ``*.`` one-label wildcards, ``!`` exceptions,
+#: ``//`` comments).  Swap in the complete publicsuffix.org file to go
+#: from the curated snapshot to full coverage — the loader and both
+#: twins below are general over the format.
+PSL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "public_suffix_snapshot.dat",
 )
+
+#: IPv4-literal host shape — such hosts have no registrable domain and
+#: pass through whole (same pattern evaluates identically in Java
+#: regex and RE2, so the DuckDB twin replays it verbatim)
+IPV4_RE = "^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"
+
+
+@_lru_cache(maxsize=4)
+def _load_psl(path: str = PSL_PATH) -> tuple:
+    """Parse a publicsuffix.org-format file into per-label-count rule
+    groups: ``(normal, wild, exc, kmax)`` where ``normal[k]`` /
+    ``exc[k]`` are sorted tuples of k-label rules, ``wild[k]`` are
+    sorted tuples of the k-label BASES of ``*.base`` wildcard rules
+    (which therefore match k+1-label suffixes), and ``kmax`` is the
+    longest possible rule match.  Cached: the parsed grid is baked
+    into plan literals (an ``isin`` per label count), so the data file
+    ships with the PLAN to every executor — no join, no shuffle, no
+    side channel."""
+    normal: dict[int, set] = {}
+    wild: dict[int, set] = {}
+    exc: dict[int, set] = {}
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                rule = line[1:]
+                exc.setdefault(rule.count(".") + 1, set()).add(rule)
+            elif line.startswith("*."):
+                base = line[2:]
+                wild.setdefault(base.count(".") + 1, set()).add(base)
+            else:
+                normal.setdefault(line.count(".") + 1, set()).add(line)
+    kmax = max(
+        [k for k in normal] + [k for k in exc] + [k + 1 for k in wild],
+        default=1,
+    )
+    freeze = lambda d: {k: tuple(sorted(v)) for k, v in d.items()}
+    return freeze(normal), freeze(wild), freeze(exc), kmax
 
 
 def url_is_valid(url: Column) -> Column:
@@ -115,27 +159,141 @@ def normalize_url(url: Column) -> Column:
     )
 
 
+def _psl_suffix_len(labels: Column, n: Column) -> Column:
+    """Public-suffix length in labels for an already-lowercased host,
+    per the publicsuffix.org algorithm: a matching exception rule
+    prevails over everything (its suffix is the rule minus its
+    leftmost label); otherwise the longest matching rule wins; the
+    implicit ``*`` rule makes every unlisted TLD a 1-label suffix.
+
+    Pure Catalyst: one ``isin`` (compiled to an InSet hash probe) per
+    rule-length group, guarded by ``n >= k`` — Spark's ``And``
+    short-circuits left-to-right, so the suffix slice is never
+    evaluated on a host with fewer labels (same contract the original
+    heuristic relied on)."""
+    normal, wild, exc, kmax = _load_psl()
+
+    def sfx(k: int) -> Column:
+        # start clamped to 1: the n >= k guard already gates every use,
+        # but ANSI mode makes slice(start=0) a runtime error, so the
+        # expression must stay total even if a rewrite rule ever
+        # evaluates the right conjunct eagerly
+        start = F.greatest(n - F.lit(k - 1), F.lit(1))
+        return F.array_join(F.slice(labels, start, F.lit(k)), ".")
+
+    branches: list[tuple[Column, int]] = []
+    for k in sorted(exc, reverse=True):
+        branches.append(((n >= k) & sfx(k).isin(*exc[k]), k - 1))
+    for k in range(kmax, 0, -1):
+        if k in normal:
+            branches.append(((n >= k) & sfx(k).isin(*normal[k]), k))
+        if k >= 2 and (k - 1) in wild:
+            branches.append(((n >= k) & sfx(k - 1).isin(*wild[k - 1]), k))
+    out = F.lit(1)
+    for cond, val in reversed(branches):
+        out = F.when(cond, F.lit(val)).otherwise(out)
+    return out
+
+
 def registrable_domain(host: Column) -> Column:
-    """eTLD+1 heuristic: the last two host labels, or three when the
-    last two form a known multi-part public suffix (``MULTI_TLDS``).
-    NULL host → NULL."""
-    labels = F.split(host, "\\.")
+    """eTLD+1 of an already-lowercased host under the shipped
+    public-suffix snapshot (``PSL_PATH``): the public suffix plus one
+    label.  IP-literal hosts (dotted IPv4, bracketed IPv6) have no
+    registrable domain and pass through WHOLE — ``1.2.3.4`` is
+    ``1.2.3.4``, never ``3.4``.  A single trailing dot is ignored, per
+    the PSL algorithm.  A host that IS a public suffix (including a
+    bare TLD) also passes through whole rather than going NULL — a
+    deliberate deviation from the PSL's "no registrable domain" answer
+    so group keys stay non-null and dropped mass stays visible in the
+    mix dashboards.  NULL host → NULL.
+
+    The DuckDB oracle twin is generated from the SAME parsed rule file
+    by ``registrable_domain_sql`` — the two can only diverge if the
+    algorithm itself diverges, not the data."""
+    host_c = F.regexp_replace(host, "\\.$", "")
+    labels = F.split(host_c, "\\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
+    ps_len = _psl_suffix_len(labels, n)
+    # the clamped start makes the host-IS-a-public-suffix case free:
+    # when n <= ps_len the slice degenerates to all labels and the
+    # join rebuilds host_c, so no separate branch re-inlines the rule
+    # chain (which matters: ps_len embeds the full rule table, and a
+    # second occurrence pushed the codegen'd method past Janino's
+    # 64 KB limit, dropping whole stages to interpreted eval)
+    reg = F.array_join(
+        F.slice(labels, F.greatest(n - ps_len, F.lit(1)), ps_len + F.lit(1)),
+        ".",
     )
     return (
-        # explicit NULL gate: concat_ws never yields NULL (all-null
-        # args give ''), so a null host must short-circuit first
+        # explicit NULL gate first: downstream builders (concat_ws /
+        # array_join) never yield NULL, so a null host must short-circuit
         F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(n <= 1, host)
-        .when((n >= 3) & last2.isin(*MULTI_TLDS), last3)
-        .otherwise(last2)
+        .when(host_c.startswith("["), host_c)
+        .when(host_c.rlike(IPV4_RE), host_c)
+        .otherwise(reg)
     )
+
+
+def _sql_in(expr: str, values: tuple) -> str:
+    return "%s IN (%s)" % (expr, ", ".join("'%s'" % v for v in values))
+
+
+def psl_suffix_len_sql(l: str = "l") -> str:
+    """DuckDB twin of ``_psl_suffix_len`` as a SQL CASE expression over
+    a label list ``l`` (``string_split`` of the trailing-dot-stripped,
+    lowercased host), generated from the SAME ``_load_psl()`` rule grid
+    the Catalyst expression bakes into its plan.  Compute it ONCE in a
+    CTE (it inlines the full rule table) and feed the resulting column
+    to ``registrable_domain_sql``."""
+    normal, wild, exc, kmax = _load_psl()
+    nl = "len(%s)" % l
+
+    def sfx(k: int) -> str:
+        # DuckDB list slices clamp out of range, but guard with the
+        # label count anyway for strict parity with the Spark twin
+        return "array_to_string(%s[%s - %d:%s], '.')" % (l, nl, k - 1, nl)
+
+    branches: list[str] = []
+    for k in sorted(exc, reverse=True):
+        branches.append(
+            "WHEN %s >= %d AND %s THEN %d"
+            % (nl, k, _sql_in(sfx(k), exc[k]), k - 1)
+        )
+    for k in range(kmax, 0, -1):
+        if k in normal:
+            branches.append(
+                "WHEN %s >= %d AND %s THEN %d"
+                % (nl, k, _sql_in(sfx(k), normal[k]), k)
+            )
+        if k >= 2 and (k - 1) in wild:
+            branches.append(
+                "WHEN %s >= %d AND %s THEN %d"
+                % (nl, k, _sql_in(sfx(k - 1), wild[k - 1]), k)
+            )
+    return "(CASE %s ELSE 1 END)" % "\n            ".join(branches)
+
+
+def registrable_domain_sql(
+    host: str = "host", l: str = "l", ps: str = "ps_len"
+) -> str:
+    """DuckDB twin of ``registrable_domain``: the final CASE over a
+    lowercased ``host``, its label list ``l`` (trailing dot already
+    stripped before the split), and a ``ps`` column holding
+    ``psl_suffix_len_sql``'s result.  Split in two so the rule-table
+    CASE is evaluated once per row, mirroring the Spark plan."""
+    nl = "len(%s)" % l
+    hc = "array_to_string(%s, '.')" % l  # host with trailing dot stripped
+    # clamped start, mirroring the Spark twin: n <= ps_len degenerates
+    # to joining all labels, i.e. the host itself
+    reg = "array_to_string(%s[greatest(%s - %s, 1):%s], '.')" % (
+        l, nl, ps, nl,
+    )
+    return (
+        "CASE WHEN {host} IS NULL THEN NULL"
+        " WHEN {hc} LIKE '[%' THEN {hc}"
+        " WHEN regexp_matches({hc}, '{ipv4}') THEN {hc}"
+        " ELSE {reg} END"
+    ).format(host=host, hc=hc, ipv4=IPV4_RE, reg=reg)
 
 
 def normalize_urls(

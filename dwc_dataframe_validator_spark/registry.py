@@ -4886,22 +4886,27 @@ _URL_NORM_SQL = r"""
              CASE WHEN valid THEN scheme0 END AS scheme,
              CASE WHEN valid THEN host0 END AS host
       FROM r),
-    dm0 AS (SELECT *, string_split(host, '.') AS l FROM n),
+    dm0 AS (SELECT *,
+              string_split(regexp_replace(host, '\.$', ''), '.') AS l
+            FROM n),
+    dm1 AS (SELECT *, __PSL_SUFFIX_LEN__ AS ps_len FROM dm0),
     dmn AS (
-      SELECT *,
-             CASE WHEN host IS NULL THEN NULL
-                  WHEN len(l) <= 1 THEN host
-                  WHEN len(l) >= 3
-                       AND (l[len(l) - 1] || '.' || l[len(l)]) IN
-                           ('co.uk', 'ac.uk', 'gov.uk', 'org.uk',
-                            'com.au', 'net.au', 'co.jp', 'co.in',
-                            'com.br', 'co.nz')
-                  THEN l[len(l) - 2] || '.' || l[len(l) - 1] || '.'
-                       || l[len(l)]
-                  ELSE l[len(l) - 1] || '.' || l[len(l)]
-             END AS domain
-      FROM dm0)
+      SELECT *, __REGISTRABLE_DOMAIN__ AS domain
+      FROM dm1)
 """
+
+# splice in the registrable-domain twins GENERATED from the same
+# public-suffix snapshot the Catalyst expression bakes into its plan
+# (operators/web.py psl_suffix_len_sql / registrable_domain_sql) —
+# the rule file is the single source of truth for both engines
+from .operators import web as _web  # noqa: E402
+
+_URL_NORM_SQL = _URL_NORM_SQL.replace(
+    "__PSL_SUFFIX_LEN__", _web.psl_suffix_len_sql("l")
+).replace(
+    "__REGISTRABLE_DOMAIN__",
+    _web.registrable_domain_sql("host", "l", "ps_len"),
+)
 
 
 def url_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -827,6 +827,75 @@ def test_url_normalization_rules(spark):
     assert kept == [10, 13, 14, 15]
 
 
+def test_registrable_domain_psl_matrix(spark):
+    """r11: public-suffix-list registrable domains — multi-part ccTLD
+    suffixes (.com.cn, .co.kr), 3-label rules (k12.ca.us, the Japanese
+    city wildcards), wildcard ccTLDs with exceptions (*.ck / !www.ck),
+    private-section platform suffixes (github.io), IPv4/IPv6 literal
+    passthrough, trailing dots — and the DuckDB SQL twin generated
+    from the SAME rule file agrees host-for-host."""
+    import duckdb
+
+    from dwc_dataframe_validator_spark.operators import web
+
+    cases = [
+        # (host, expected registrable domain)
+        ("www.example.com", "example.com"),
+        ("a.b.shop.com.cn", "shop.com.cn"),      # multi-part ccTLD
+        ("news.co.kr", "news.co.kr"),
+        ("x.sh.cn", "x.sh.cn"),                  # province suffix
+        ("school.k12.ca.us", "school.k12.ca.us"),  # 3-label rule
+        ("a.school.k12.ca.us", "school.k12.ca.us"),
+        ("foo.kawasaki.jp", "foo.kawasaki.jp"),  # *.kawasaki.jp wildcard
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),  # !city exception
+        ("b.a.ck", "b.a.ck"),                    # *.ck wildcard
+        ("x.www.ck", "www.ck"),                  # !www.ck exception
+        ("user.github.io", "user.github.io"),    # private section
+        ("a.user.github.io", "user.github.io"),
+        ("1.2.3.4", "1.2.3.4"),                  # IPv4 whole, never "3.4"
+        ("[2001:db8::7]", "[2001:db8::7]"),      # bracketed IPv6
+        ("example.com.", "example.com"),         # trailing dot ignored
+        ("co.uk", "co.uk"),                      # bare public suffix
+        ("com", "com"),                          # bare TLD
+        ("localhost", "localhost"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", web.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+    # the generated DuckDB twin replays the identical rule grid
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES %s) v(i, host)"
+        % ", ".join(
+            "(%d, %s)" % (i, "NULL" if h is None else "'%s'" % h)
+            for i, (h, _) in enumerate(cases)
+        )
+    )
+    sql = """
+        WITH dm0 AS (
+          SELECT i, host,
+                 string_split(regexp_replace(host, '\\.$', ''), '.') AS l
+          FROM t),
+        dm1 AS (SELECT *, {ps} AS ps_len FROM dm0)
+        SELECT i, {dom} AS d FROM dm1
+    """.format(
+        ps=web.psl_suffix_len_sql("l"),
+        dom=web.registrable_domain_sql("host", "l", "ps_len"),
+    )
+    oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert oracle == got
+
+
 def test_domain_mix_stats_shares(spark):
     """r9: per-domain dashboard — shares sum to 1, dup_rate reflects
     repeated fingerprints, invalid URLs roll up under NULL domain."""
