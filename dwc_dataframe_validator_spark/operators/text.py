@@ -256,6 +256,175 @@ def language_id(
     )
 
 
+#: Unicode-script letter classes as EXPLICIT codepoint ranges (BMP
+#: only), not ``\p{script=...}`` properties: Java regex and RE2 spell
+#: script properties differently (``\p{IsHan}`` vs ``\p{Han}``) and
+#: resolve them against whatever Unicode table each engine ships, so
+#: property classes can silently disagree between Spark and the DuckDB
+#: oracle.  Literal ranges evaluate identically everywhere, forever.
+#: Latin excludes U+00D7/U+00F7 (multiplication/division signs sit in
+#: the middle of the Latin-1 letter block).
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}"
+             "\\x{00F8}-\\x{024F}]",
+    "han": "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]",
+    "hiragana": "[\\x{3040}-\\x{309F}]",
+    "katakana": "[\\x{30A0}-\\x{30FF}]",
+    "hangul": "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]",
+    "devanagari": "[\\x{0900}-\\x{097F}]",
+    "greek": "[\\x{0370}-\\x{03FF}]",
+    "hebrew": "[\\x{0590}-\\x{05FF}]",
+    "thai": "[\\x{0E00}-\\x{0E7F}]",
+}
+
+#: tie-break precedence for the dominant script (first listed wins);
+#: latin deliberately LAST so any non-Latin presence that ties Latin
+#: is surfaced — mixed pages lean toward the rarer signal
+SCRIPT_PRECEDENCE = (
+    "han", "hiragana", "katakana", "hangul", "cyrillic", "arabic",
+    "devanagari", "greek", "hebrew", "thai", "latin",
+)
+
+#: dominant script → language guess for the single-language scripts;
+#: han/kana and latin need extra logic (see ``language_id_v2``)
+_SCRIPT_LANG = {
+    "hangul": "ko", "cyrillic": "ru", "arabic": "ar",
+    "devanagari": "hi", "greek": "el", "hebrew": "he", "thai": "th",
+}
+
+
+def language_id_v2(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Script-aware language ID: per-document letter counts for the
+    eleven ``SCRIPT_RANGES`` Unicode scripts, a dominant-script guess,
+    and a language guess layered on top of it.
+
+    Classification rules (deterministic, both twins replay them):
+
+    1. ``script_guess`` — the ``SCRIPT_PRECEDENCE``-first script whose
+       letter count equals the max; ``und`` when every count is 0.
+    2. ``lang_guess`` —
+       - han-dominant: ``ja`` when any kana is present (Japanese text
+         mixes kanji with kana; Chinese text has none), else ``zh``;
+       - hiragana/katakana-dominant: ``ja``;
+       - single-language scripts map directly (hangul → ko, cyrillic →
+         ru, arabic → ar, devanagari → hi, greek → el, hebrew → he,
+         thai → th);
+       - latin-dominant: the ``LANG_STOPWORDS`` heuristic
+         (en/de/fr/es), ``und`` when no stopword hits;
+       - no letters at all: ``und``.
+
+    One map-side Catalyst projection — eleven ``regexp_count`` scans
+    over the text column, codegen-friendly, shuffle-free; at 100 TB
+    this is a pure scan-side rule like the Gopher/C4 filters.  A
+    production pipeline would swap a fastText-style classifier behind
+    the same column contract for long-tail languages; the script tier
+    is what routes 95 %+ of crawl bytes correctly and is exactly
+    replayable by the DuckDB oracle (explicit codepoint ranges — see
+    ``SCRIPT_RANGES``)."""
+    t = F.col(text_col)
+    counts = {
+        k: F.regexp_count(t, F.lit(pat)) for k, pat in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    script = F.when(best == 0, F.lit("und"))
+    for k in SCRIPT_PRECEDENCE:
+        script = script.when(counts[k] == best, F.lit(k))
+    # precedence chain is exhaustive: some count equals the max
+    kana = counts["hiragana"] + counts["katakana"]
+    lhits = {
+        k: F.regexp_count(F.lower(t), F.lit(p))
+        for k, p in LANG_STOPWORDS.items()
+    }
+    lbest = F.greatest(*lhits.values())
+    latin_lang = (
+        F.when(lbest == 0, F.lit("und"))
+        .when(lhits["en"] == lbest, F.lit("en"))
+        .when(lhits["de"] == lbest, F.lit("de"))
+        .when(lhits["fr"] == lbest, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    lang = (
+        F.when(best == 0, F.lit("und"))
+        .when(
+            counts["han"] == best,
+            F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")),
+        )
+        .when(counts["hiragana"] == best, F.lit("ja"))
+        .when(counts["katakana"] == best, F.lit("ja"))
+    )
+    for k, code in _SCRIPT_LANG.items():
+        lang = lang.when(counts[k] == best, F.lit(code))
+    lang = lang.otherwise(latin_lang)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        script.alias("script_guess"),
+        lang.alias("lang_guess"),
+    )
+
+
+def language_id_v2_sql(table: str = "documents", text: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``language_id_v2``, generated from the SAME
+    ``SCRIPT_RANGES`` /precedence tables so the two engines can only
+    diverge algorithmically, never by rule data."""
+    cnt = {
+        k: "len(regexp_extract_all(%s, '%s'))" % (text, pat)
+        for k, pat in SCRIPT_RANGES.items()
+    }
+    cols = ",\n            ".join(
+        "%s AS n_%s" % (e, k) for k, e in cnt.items()
+    )
+    best = "greatest(%s)" % ", ".join("n_%s" % k for k in SCRIPT_RANGES)
+    script = "CASE WHEN best = 0 THEN 'und' %s END" % " ".join(
+        "WHEN n_%s = best THEN '%s'" % (k, k) for k in SCRIPT_PRECEDENCE
+    )
+    lh = {
+        k: "len(regexp_extract_all(lower(%s), '%s'))" % (text, p)
+        for k, p in LANG_STOPWORDS.items()
+    }
+    latin = (
+        "CASE WHEN greatest({en}, {de}, {fr}, {es}) = 0 THEN 'und'"
+        " WHEN {en} = greatest({en}, {de}, {fr}, {es}) THEN 'en'"
+        " WHEN {de} = greatest({en}, {de}, {fr}, {es}) THEN 'de'"
+        " WHEN {fr} = greatest({en}, {de}, {fr}, {es}) THEN 'fr'"
+        " ELSE 'es' END"
+    ).format(**lh)
+    lang = (
+        "CASE WHEN best = 0 THEN 'und'"
+        " WHEN n_han = best THEN"
+        " (CASE WHEN n_hiragana + n_katakana > 0 THEN 'ja' ELSE 'zh' END)"
+        " WHEN n_hiragana = best THEN 'ja'"
+        " WHEN n_katakana = best THEN 'ja' %s ELSE %s END"
+        % (
+            " ".join(
+                "WHEN n_%s = best THEN '%s'" % (k, code)
+                for k, code in _SCRIPT_LANG.items()
+            ),
+            latin,
+        )
+    )
+    return """
+        WITH sc AS (
+          SELECT {id}, {text},
+            {cols}
+          FROM {table}),
+        sb AS (SELECT *, {best} AS best FROM sc)
+        SELECT {id}, {ncols},
+          {script} AS script_guess,
+          {lang} AS lang_guess
+        FROM sb
+    """.format(
+        id=id_col, text=text, cols=cols, table=table, best=best,
+        ncols=", ".join("n_%s" % k for k in SCRIPT_RANGES),
+        script=script, lang=lang,
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

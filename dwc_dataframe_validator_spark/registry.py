@@ -479,6 +479,51 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+#: multi-script fixture texts for language_id_v2 — ONE literal table
+#: shared by the Spark fixture column and the SQL twin, so the planted
+#: corpus can never drift between engines.  doc_id % 8 == 0 keeps the
+#: original (Latin) document text; 7 plants a Latin-dominant page with
+#: a katakana minority (the mixed-page tie rule).
+_MULTISCRIPT_TEXTS = {
+    1: "数据 管理 系统 的 设计 与 实现 文档 编号 ",
+    2: "日本語のテストです。データ処理システムの設計 ",
+    3: "한국어 문서입니다 데이터 처리 시스템 설계 ",
+    4: "это тестовый документ о системах обработки данных ",
+    5: "هذا مستند تجريبي حول أنظمة معالجة البيانات ",
+    6: "यह डेटा प्रोसेसिंग सिस्टम के बारे में एक परीक्षण दस्तावेज़ है ",
+    7: "the data processing system of the corpus テスト ",
+}
+
+
+def _multiscript_text_col() -> F.Column:
+    d = F.col("doc_id")
+    out = F.col("text")
+    for m, prefix in _MULTISCRIPT_TEXTS.items():
+        out = F.when(
+            d % 8 == m, F.concat(F.lit(prefix), d.cast("string"))
+        ).otherwise(out)
+    return out
+
+
+_MULTISCRIPT_TEXT_SQL = "CASE %s ELSE text END" % " ".join(
+    "WHEN doc_id %% 8 = %d THEN '%s' || CAST(doc_id AS VARCHAR)" % (m, s)
+    for m, s in _MULTISCRIPT_TEXTS.items()
+)
+
+
+def text_language_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID (operators/text.py ``language_id_v2``):
+    eleven explicit-codepoint-range Unicode script counters, dominant
+    script with fixed tie precedence, language guess with the han/kana
+    Japanese rule and the Latin stopword fallback.  Runs over the
+    documents table with a planted multi-script rotation (CJK, Hangul,
+    Cyrillic, Arabic, Devanagari, mixed pages) so every rule is
+    exercised on driver data; ONE map-side projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn("text", _multiscript_text_col())
+    return text.language_id_v2(planted)
+
+
 def text_ngram_top_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index Jaccard WITH the document-frequency skew guard:
     shingles present in more than max(5, N/10) documents are dropped
@@ -1428,6 +1473,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_language_id": text_language_id,
+    "text_language_id_v2": text_language_id_v2,
     "text_ngram_top_neighbor": text_ngram_top_neighbor,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "doc_chunks": doc_chunks,
@@ -1665,6 +1711,13 @@ ORACLES: dict[str, str] = {
                  AND alpha_ratio >= 0.5 AS quality_ok
         FROM s
     """,
+    # generated from the SAME SCRIPT_RANGES/precedence tables as the
+    # Catalyst expression; the planted multi-script rotation is the
+    # shared _MULTISCRIPT_TEXTS literal table
+    "text_language_id_v2": text.language_id_v2_sql(
+        table="(SELECT doc_id, %s AS text FROM documents) planted"
+        % _MULTISCRIPT_TEXT_SQL
+    ),
     "text_language_id": r"""
         WITH h AS (
           SELECT doc_id,

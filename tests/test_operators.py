@@ -317,6 +317,50 @@ def test_quality_and_langid(docs, spark):
     assert text.language_id(de).collect()[0]["lang_guess"] == "de"
 
 
+def test_language_id_v2_scripts(spark):
+    """r11: script-aware language ID — every classification rule from
+    the language_id_v2 docstring on planted text: the single-language
+    scripts, the han/kana Japanese rule both ways, Latin fallback to
+    the stopword heuristic, mixed-page dominance, and the empty/und
+    gates."""
+    cases = [
+        (1, "数据管理系统的设计与实现", "han", "zh"),  # pure Han → zh
+        # Han-DOMINANT but kana present → ja (the rule pure-Chinese
+        # text can never trigger)
+        (2, "日本語設計実装管理系統の", "han", "ja"),
+        (3, "これはひらがなのぶんしょうです", "hiragana", "ja"),
+        (4, "テスト データ システム", "katakana", "ja"),
+        (5, "한국어 문서입니다", "hangul", "ko"),
+        (6, "это тестовый документ", "cyrillic", "ru"),
+        (7, "هذا مستند تجريبي", "arabic", "ar"),
+        (8, "यह एक परीक्षण है", "devanagari", "hi"),
+        (9, "αυτό είναι ένα τεστ", "greek", "el"),
+        (10, "זהו מסמך בדיקה", "hebrew", "he"),
+        (11, "นี่คือการทดสอบ", "thai", "th"),
+        (12, "the cat sat on the mat and the dog is here", "latin", "en"),
+        (13, "der hund und die katze ist zu haus", "latin", "de"),
+        (14, "xyzzy plugh qwrt", "latin", "und"),  # Latin, no stopwords
+        (15, "12345 !!! ---", "und", "und"),       # no letters at all
+        (16, "", "und", "und"),
+        # mixed page: Latin majority with a katakana minority stays
+        # Latin; but a TIE surfaces the non-Latin script (precedence)
+        (17, "the data processing system of the corpus テスト", "latin",
+         "en"),
+        (18, "abc アイウエオカ", "katakana", "ja"),  # 6 v 3: kata wins
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in cases], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.language_id_v2(df).collect()}
+    for i, t, want_script, want_lang in cases:
+        assert got[i]["script_guess"] == want_script, (i, t, dict(got[i].asDict()))
+        assert got[i]["lang_guess"] == want_lang, (i, t, dict(got[i].asDict()))
+    # count columns are real letter counts, not just flags
+    assert got[1]["n_han"] == 12
+    assert got[5]["n_hangul"] == 8
+    assert got[17]["n_katakana"] == 3
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")],
