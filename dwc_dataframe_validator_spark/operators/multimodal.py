@@ -31,7 +31,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BLOB_META_SCHEMA = "id long, width int, height int, channels int, ok boolean"
@@ -518,4 +518,495 @@ def sample_frames(
 
     return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
         run, FRAME_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# codec-free REAL pixel decode: PNG (zlib + defilter) → perceptual hashes
+# --------------------------------------------------------------------------
+#
+# PNG needs no external codec: the stream is stdlib zlib, and the five
+# scanline filters (None/Sub/Up/Average/Paeth, spec §9) are byte
+# arithmetic — so full pixel decode is honest pure-Python/numpy work
+# inside the existing Arrow batch path.  JPEG-tier formats (DCT
+# entropy coding) genuinely need a codec and remain the ONLY stubbed
+# surface: ``png_decode_pixels`` raises ``NotImplementedError`` for
+# them, and the DataFrame operator flags such rows ``ok=False``
+# (documented) so a mixed corpus never kills the job.
+#
+# The perceptual hashes are the multimodal twin of MinHash: aHash
+# (8×8 mean threshold) and dHash (9×8 horizontal gradient), both on an
+# INTEGER luma/resize grid (sums and floor divisions only — no float
+# anywhere) so every engine, architecture and run produces identical
+# bits.
+
+#: samples per pixel by PNG color type (palette counts 1 pre-lookup)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_decode_pixels(b: bytes):
+    """Full PNG pixel decode → uint8 ndarray (h, w, channels), or
+    ``None`` for malformed input.  Supports bit depth 8, color types
+    0/2/3/4/6 (palette resolved to RGB), non-interlaced only.  Raises
+    ``NotImplementedError`` for OTHER IMAGE formats (JPEG/GIF/BMP —
+    codec- or LZW-tier work this repo deliberately stubs); returns
+    ``None`` for bytes that aren't a recognized image at all or for a
+    corrupt/truncated PNG."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        mime, *_ = parse_media_header(b)
+        if (mime or "").startswith("image/"):
+            raise NotImplementedError(
+                f"pixel decode for {mime} requires an entropy codec; "
+                "only PNG is decodable codec-free (header metadata for "
+                "all formats via decode_media_headers)"
+            )
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0 or ctype not in _PNG_SAMPLES:
+        return None
+    if w == 0 or h == 0 or w * h > 16_000_000:  # 16 MP sanity bound
+        return None
+    ch = _PNG_SAMPLES[ctype]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        prev = out[y - 1].astype(np.int32) if y else zero
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] —
+            # per-channel cumulative sum, mod distributes over the sum
+            rec = (row.reshape(w, bpp).cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average: sequential left dependency
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth predictor (spec §9.4)
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if ctype == 3:  # palette lookup → RGB
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            return None
+        px = pal[idx]
+    return px
+
+
+def _luma_grid(px) -> "object":
+    """Integer luma plane from a decoded pixel array: ITU-R BT.601
+    weights on an integer grid ((299R + 587G + 114B) // 1000) so the
+    gray values — and therefore the hash bits — are bit-identical on
+    every platform.  Gray / gray+alpha images use the gray channel."""
+    import numpy as np
+
+    px = px.astype(np.int64)
+    if px.shape[2] >= 3:
+        return (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return px[:, :, 0]
+
+
+def _cell_means(g, rows: int, cols: int):
+    """Deterministic integer downscale of a luma plane to rows×cols:
+    area mean (sum // count) over floor-boundary cells when the image
+    is at least grid-sized, nearest-pixel sampling otherwise."""
+    import numpy as np
+
+    h, w = g.shape
+    if h < rows or w < cols:
+        ri = (np.arange(rows) * h) // rows
+        ci = (np.arange(cols) * w) // cols
+        return g[np.ix_(ri, ci)]
+    out = np.zeros((rows, cols), dtype=np.int64)
+    rb = [(r * h) // rows for r in range(rows + 1)]
+    cb = [(c * w) // cols for c in range(cols + 1)]
+    for r in range(rows):
+        for c in range(cols):
+            cell = g[rb[r]:rb[r + 1], cb[c]:cb[c + 1]]
+            out[r, c] = int(cell.sum()) // cell.size
+    return out
+
+
+def image_ahash(px) -> int:
+    """64-bit aHash: 8×8 integer cell means, bit = cell >= integer
+    mean of the 64 cells; row-major, MSB first."""
+    cells = _cell_means(_luma_grid(px), 8, 8)
+    mean = int(cells.sum()) // 64
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | (1 if int(cells[r, c]) >= mean else 0)
+    return v
+
+
+def image_dhash(px) -> int:
+    """64-bit dHash: 8×9 integer cell means, bit = cell[r,c] >
+    cell[r,c+1] (horizontal gradient); row-major, MSB first.  Bit
+    index 8r+c — so a perturbation confined to the bottom grid rows
+    only touches the LOW bits, which is what lets the banded dedup
+    below guarantee recall for localized edits."""
+    cells = _cell_means(_luma_grid(px), 8, 9)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | (1 if int(cells[r, c]) > int(cells[r, c + 1]) else 0)
+    return v
+
+
+IMAGE_HASH_SCHEMA = (
+    "id long, width int, height int, channels int, "
+    "ahash string, dhash string, ok boolean"
+)
+
+
+def image_pixel_hashes(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, width, height, channels, ahash, dhash, ok) per blob via
+    REAL pixel decode (``png_decode_pixels``) — hashes as 16-hex-char
+    strings so the full unsigned 64-bit value survives every engine
+    (bigints sign-flip above 2^63).  Non-PNG/corrupt/null payloads →
+    ok=False with NULL hashes (including JPEG-tier formats whose pixel
+    decode is the repo's one documented stub).  Map-side Arrow batch
+    pipeline, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[content_col]):
+                px = None
+                if payload is not None:
+                    try:
+                        px = png_decode_pixels(bytes(payload))
+                    except NotImplementedError:
+                        px = None  # JPEG-tier: honest stub → flagged row
+                if px is None:
+                    rows.append((i, 0, 0, 0, None, None, False))
+                    continue
+                h, w, ch = px.shape
+                rows.append(
+                    (i, w, h, ch, format(image_ahash(px), "016x"),
+                     format(image_dhash(px), "016x"), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "channels",
+                         "ahash", "dhash", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, IMAGE_HASH_SCHEMA
+    )
+
+
+def hash_hex_bands(col: F.Column, n_bands: int = 4) -> list[F.Column]:
+    """16-bit integer bands of a 16-hex-char hash column — the LSH
+    bucketing key AND the portable Hamming-distance representation
+    (``conv(substr)`` has an exact DuckDB twin; 16-bit values never
+    overflow anything)."""
+    width = 16 // n_bands
+    return [
+        F.conv(F.substring(col, 1 + i * width, width), 16, 10).cast("int")
+        for i in range(n_bands)
+    ]
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 16-hex-char hash columns: XOR +
+    popcount per 16-bit band, summed — pure Catalyst (bitwise ops +
+    ``bit_count``), exact DuckDB twin."""
+    return sum(
+        F.bit_count(x.bitwiseXOR(y))
+        for x, y in zip(hash_hex_bands(a), hash_hex_bands(b))
+    )
+
+
+def image_phash_dedup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    threshold: int = 6,
+    n_bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate image clustering: real pixel decode → dHash →
+    banded LSH pairing → Hamming verify → connected components.
+    Returns (id, cluster) for every DECODABLE image, cluster = the
+    component's min id (undecodable rows are dropped — they have no
+    pixels to compare; route them through the exact byte-hash dedup
+    instead).
+
+    The banded-LSH recall contract is the MinHash one transplanted:
+    a pair is a candidate iff some 16-bit band of the two dHashes
+    matches exactly, so pairs with ≤ ``threshold`` differing bits that
+    straddle all ``n_bands`` bands can be missed; pairs whose edits
+    are localized (bits confined to ≤ 3 of the 4 bands — e.g. any
+    bottom-rows watermark/timestamp edit, by dHash bit layout) are
+    ALWAYS found.
+
+    Scale: identical hashes collapse FIRST (exact duplicates are the
+    bulk of any crawl's image mass — re-hosted logos/avatars repeat
+    millions of times, and collapsing makes the LSH graph's node
+    count |distinct hashes|, not |images|); banding/pairing then runs
+    over distinct hashes only, each hash represented by its min id so
+    component labels stay global min-ids.  The per-image work is
+    map-side Arrow decode + one groupBy on the 16-char hash; the pair
+    join shuffles 4 short rows per DISTINCT hash.  ``max_bucket_size``
+    caps degenerate band buckets (e.g. the shared band of a template
+    family with a per-site corner edit) — the same cap discipline as
+    minhash_lsh_pairs, applied AFTER the exact collapse so a billion
+    copies of one blank image are one node, not a capped bucket.
+    Components use the scale-adaptive closure (driver union-find on
+    bounded pair sets, iterative join loop beyond)."""
+    from . import graph
+
+    hashes = image_pixel_hashes(df, content_col, id_col).filter("ok")
+    reps = hashes.groupBy("dhash").agg(F.min("id").alias("rep"))
+    bands = reps.select(
+        "rep", "dhash",
+        F.posexplode(F.array(*hash_hex_bands(F.col("dhash")))).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    w = Window.partitionBy("band_idx", "band_val").orderBy("rep")
+    bands = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.rep") < F.col("b.rep"),
+            ],
+        )
+        .select(
+            F.col("a.rep").alias("ida"),
+            F.col("b.rep").alias("idb"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+        .filter(hamming64(F.col("ha"), F.col("hb")) <= threshold)
+        .select("ida", "idb")
+    )
+    comps = graph.connected_components(pairs)
+    rep_cluster = reps.join(
+        comps.withColumnRenamed("node", "rep"), "rep", "left"
+    ).select(
+        "dhash", F.coalesce(F.col("cluster"), F.col("rep")).alias("cluster")
+    )
+    # rep = min id of its hash group and cluster = min rep of the
+    # component, so cluster is the GLOBAL min id of the merged class
+    return hashes.select("id", "dhash").join(rep_cluster, "dhash").select(
+        "id", "cluster"
+    )
+
+
+def png_encode(px, palette: bytes | None = None) -> bytes:
+    """Minimal PNG encoder (stdlib zlib; bit depth 8) — the fixture
+    twin of ``png_decode_pixels``.  Cycles the scanline filter type
+    with the row (None/Sub/Up/Average/Paeth) so every decoder filter
+    path is exercised by round-trip tests, exactly like real encoder
+    output mixes filters.  ``palette``: raw RGB triples → color type 3
+    (``px`` must then be (h, w, 1) palette indexes)."""
+    import numpy as np
+
+    h, w, ch = px.shape
+    ctype = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride, bpp = w * ch, ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    zeros = np.zeros(bpp, dtype=np.int32)
+    lines, prev = [], np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        raw = flat[y]
+        left = np.concatenate([zeros, raw[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int32)
+        )
+        f = y % 5
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = (raw - left) % 256
+        elif f == 2:
+            filt = (raw - prev) % 256
+        elif f == 3:
+            filt = (raw - (left + prev) // 2) % 256
+        else:
+            ul = np.concatenate([zeros, prev[:-bpp]]) if stride > bpp else (
+                np.zeros(stride, dtype=np.int32)
+            )
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (raw - pred) % 256
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = raw
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", palette))
+    parts.append(chunk(b"IDAT", body))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+#: per-class linear-pattern coefficients for the image fixtures —
+#: 12 visually distinct 16×16 patterns cycling all four decodable
+#: color types (gray / RGB / palette / RGBA)
+#: chosen by a one-off separation search: with these, the 12 base
+#: patterns sit >= 15 dHash bits apart (even across noisy variants)
+#: while each noisy variant stays within 5 bits of its base — clean
+#: margins on both sides of the dedup threshold (6)
+_IMG_A = (193, 151, 67, 163, 89, 7, 97, 131, 53, 179, 47, 83)
+_IMG_B = (53, 127, 13, 101, 139, 197, 131, 157, 113, 107, 47, 149)
+
+
+def _png_fixture_pixels(cls: int):
+    """Deterministic 16×16 fixture image for class ``cls`` (0-23):
+    base pattern = cls % 12, and classes ≥ 12 are the NEAR-DUPLICATE
+    variant — the same base with the bottom two pixel rows perturbed,
+    i.e. an edit confined to dHash grid row 7 (the low band), the
+    localized-edit case the banded dedup guarantees recall for.
+    Returns (pixels, palette_or_None)."""
+    import numpy as np
+
+    base, noisy = cls % 12, cls >= 12
+    a, b2 = _IMG_A[base], _IMG_B[base]
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    kind = base % 4
+    pal = None
+    if kind == 0:  # grayscale
+        px = ((x * a + y * b2) % 256).astype(np.uint8)[:, :, None]
+    elif kind == 1:  # RGB
+        px = np.stack(
+            [(x * a + 0 * y) % 256, (y * b2 + 0 * x) % 256,
+             (x * y + a) % 256], axis=2
+        ).astype(np.uint8)
+    elif kind == 2:  # palette
+        idx = ((x + y + a) % 16).astype(np.uint8)[:, :, None]
+        pal = bytes(
+            v % 256
+            for i in range(16)
+            for v in (i * 16 + a, i * 7 + b2, i * 29)
+        )
+        px = idx
+    else:  # RGBA (alpha ignored by luma — pinned in tests)
+        px = np.stack(
+            [(x * a + y) % 256, (y * b2 + x) % 256, (x * y + b2) % 256,
+             ((x + y) * 8) % 256], axis=2
+        ).astype(np.uint8)
+    if noisy:
+        # column-VARYING perturbation: a constant shift would be
+        # invisible to dHash (horizontal gradients are shift-
+        # invariant); this changes gradients inside the bottom rows
+        px = px.copy()
+        if kind == 2:  # palette: re-index the bottom rows
+            px[14:, :, 0] = (px[14:, :, 0] + (x % 5)).astype(np.uint8) % 16
+        else:
+            px[14:, :, :] = (
+                (px[14:, :, :].astype(np.int32) + (x * 11 % 80)[:, :, None])
+                % 256
+            ).astype(np.uint8)
+    return px, pal
+
+
+def build_png_blob(doc_id: int) -> bytes:
+    """REAL image bytes for the pixel-decode fixtures: a full valid
+    PNG whose pixels depend ONLY on ``doc_id % 24`` (so the whole
+    corpus shares 24 distinct images and expected hashes are 24
+    pinnable constants), with two planted failure modes — ids
+    divisible by 17 truncate the PNG mid-chunk (corrupt → ok=False),
+    ids divisible by 13 get a JPEG instead (the documented
+    codec-stub → ok=False)."""
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        # minimal structurally-valid JPEG header (SOI+SOF0+EOI): the
+        # pixel decoder must route it to the NotImplementedError stub
+        sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+    px, pal = _png_fixture_pixels(doc_id % 24)
+    blob = png_encode(px, pal)
+    if doc_id % 17 == 0:
+        return blob[:20]  # truncated mid-IHDR → corrupt
+    return blob
+
+
+def attach_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with REAL deterministic PNG bytes per id — the
+    fixture generator for the pixel-decode path (production blobs come
+    straight off a parquet binary column instead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [build_png_blob(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
     )

@@ -6081,6 +6081,98 @@ def _ngram_rep_oracle() -> str:
 ORACLES["gopher_ngram_repetition"] = _ngram_rep_oracle()
 
 
+# --------------------------------------------------------------------------
+# round 11: real PNG pixel decode → perceptual image hashes → dedup
+# --------------------------------------------------------------------------
+
+
+def image_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image decode (operators/multimodal.py
+    ``png_decode_pixels``: stdlib zlib + all five PNG scanline filters,
+    gray/RGB/palette/RGBA) feeding integer-grid aHash/dHash
+    (``image_ahash``/``image_dhash``).  Fixtures are full valid PNGs
+    whose pixels depend only on doc_id % 24, with two planted failure
+    modes: doc_id % 17 = 0 truncates the PNG (corrupt → ok=false) and
+    doc_id % 13 = 0 plants a JPEG (the documented codec-stub →
+    ok=false).  The oracle pins the 24 expected (dims, ahash, dhash)
+    tuples — computed driver-side from the same fixture definitions;
+    decode CORRECTNESS itself is pinned by the pytest round-trips
+    (encoder cycles every filter type) and hand-computed hash cases."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(
+        multimodal.attach_png_blob(docs), "content", "id"
+    )
+
+
+def _png_pinned_oracle() -> str:
+    rows = {}
+    for cls in range(24):
+        px, pal = multimodal._png_fixture_pixels(cls)
+        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
+        h, w, ch = dec.shape
+        rows[cls] = (
+            w, h, ch,
+            format(multimodal.image_ahash(dec), "016x"),
+            format(multimodal.image_dhash(dec), "016x"),
+        )
+    chan = " ".join(
+        "WHEN doc_id %% 24 = %d THEN %d" % (c, v[2]) for c, v in rows.items()
+    )
+    ah = " ".join(
+        "WHEN doc_id %% 24 = %d THEN '%s'" % (c, v[3]) for c, v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN doc_id %% 24 = %d THEN '%s'" % (c, v[4]) for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
+               END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
+          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE dedup end-to-end (operators/multimodal.py
+    ``image_phash_dedup``): real pixel decode → dHash → exact-hash
+    collapse → banded LSH over distinct hashes → Hamming ≤ 6 verify →
+    connected components; summarized as (cluster, n_members).  The
+    fixture classes are built so each base pattern and its
+    bottom-rows-perturbed variant sit ≤ 5 bits apart CONFINED TO ONE
+    BAND (recall guaranteed) while distinct patterns sit ≥ 15 bits
+    apart (no false merges) — so the expected clustering is exactly
+    the base-pattern classes, which the oracle states independently
+    from doc_id arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.image_phash_dedup(
+        multimodal.attach_png_blob(docs), "content", "id"
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+QUERIES["image_pixel_hash_check"] = image_pixel_hash_check
+QUERIES["image_phash_dedup_clusters"] = image_phash_dedup_clusters
+
+ORACLES["image_pixel_hash_check"] = _png_pinned_oracle()
+
+ORACLES["image_phash_dedup_clusters"] = """
+    WITH v AS (
+      SELECT doc_id, doc_id % 12 AS cls FROM documents
+      WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
+    SELECT min(doc_id) AS cluster, CAST(count(*) AS BIGINT) AS n_members
+    FROM v GROUP BY cls
+"""
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

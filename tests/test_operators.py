@@ -4463,3 +4463,157 @@ def test_ngram_repetition_lazy_cache_release(spark):
     assert not cached.is_cached
     assert not _LAZY_NGRAM_CACHES             # pool drained
     assert release_ngram_repetition_caches() == 0   # idempotent
+
+
+# --- r11: PNG pixel decode + perceptual image hashes ------------------------
+
+def test_png_pixel_roundtrip_all_types():
+    """r11: full PNG decode — encoder cycles all five scanline filters
+    per image, so a bit-exact round-trip pins None/Sub/Up/Average/
+    Paeth defiltering across gray / RGB / RGBA / palette images."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for ch, ctype in ((1, "gray"), (3, "rgb"), (4, "rgba")):
+        px = rng.randint(0, 256, size=(13, 11, ch)).astype(np.uint8)
+        dec = mm.png_decode_pixels(mm.png_encode(px))
+        assert dec is not None and dec.shape == px.shape, ctype
+        assert (dec == px).all(), ctype
+    # palette: decode resolves indexes through PLTE to RGB
+    idx = rng.randint(0, 16, size=(9, 9, 1)).astype(np.uint8)
+    pal = bytes(rng.randint(0, 256, size=48).astype(np.uint8))
+    dec = mm.png_decode_pixels(mm.png_encode(idx, palette=pal))
+    want = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx[:, :, 0]]
+    assert (dec == want).all()
+
+
+def test_png_decode_malformed_and_stub():
+    """r11: corrupt PNGs → None; interlaced → None (unsupported, not
+    wrong); JPEG-tier formats → NotImplementedError (the documented
+    codec stub); non-image bytes → None."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    px = np.zeros((4, 4, 1), dtype=np.uint8)
+    blob = mm.png_encode(px)
+    assert mm.png_decode_pixels(blob[:20]) is None          # truncated
+    assert mm.png_decode_pixels(b"not an image") is None
+    bad_crc_body = bytearray(blob)
+    bad_crc_body[-5] ^= 0xFF  # corrupt inside IEND CRC — still parses
+    interlaced = bytearray(blob)
+    interlaced[28] = 1  # IHDR interlace flag
+    assert mm.png_decode_pixels(bytes(interlaced)) is None
+    jpeg = mm.build_png_blob(13)  # 13 % 13 == 0 → JPEG fixture
+    with _pytest.raises(NotImplementedError):
+        mm.png_decode_pixels(jpeg)
+    # zlib garbage inside a well-formed chunk layout
+    broken = blob.replace(b"IDAT", b"IDAT")  # keep layout, nuke stream
+    broken = broken[:41] + bytes(8) + broken[49:]
+    assert mm.png_decode_pixels(broken) is None
+
+
+def test_image_hash_known_values():
+    """r11: hash definitions on hand-computable images — a constant
+    image has every aHash bit set (cell >= mean) and dHash 0 (no
+    descending gradient); a strictly decreasing horizontal gradient
+    has dHash all-ones."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    const = np.full((16, 16, 1), 77, dtype=np.uint8)
+    assert mm.image_ahash(const) == 0xFFFFFFFFFFFFFFFF
+    assert mm.image_dhash(const) == 0
+    desc = (255 - np.arange(16) * 16).clip(0, 255).astype(np.uint8)
+    grad = np.repeat(desc[None, :], 16, axis=0)[:, :, None]
+    assert mm.image_dhash(grad) == 0xFFFFFFFFFFFFFFFF
+    asc = np.arange(16, dtype=np.uint8) * 16
+    grad2 = np.repeat(asc[None, :], 16, axis=0)[:, :, None]
+    assert mm.image_dhash(grad2) == 0
+    # luma ignores alpha: RGBA and RGB of the same colors hash equal
+    rgb = np.random.RandomState(3).randint(
+        0, 256, size=(16, 16, 3)
+    ).astype(np.uint8)
+    rgba = np.dstack([rgb, np.full((16, 16), 9, np.uint8)])
+    assert mm.image_ahash(rgb) == mm.image_ahash(rgba)
+    assert mm.image_dhash(rgb) == mm.image_dhash(rgba)
+
+
+def test_hamming64_matches_python(spark):
+    """r11: the Catalyst band-XOR-popcount Hamming equals Python's
+    bit_count on the full 64-bit values."""
+    import random
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.getrandbits(64), rng.getrandbits(64)) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, format(a, "016x"), format(b, "016x")) for i, a, b in rows],
+        "i long, ha string, hb string",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", mm.hamming64(F.col("ha"), F.col("hb")).alias("d")
+        ).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == bin(a ^ b).count("1"), i
+
+
+def test_image_phash_dedup_clusters(spark):
+    """r11: end-to-end image near-dup dedup on planted blobs — exact
+    duplicates, a bottom-rows-perturbed near-duplicate, and distinct
+    patterns; clusters = base-pattern classes with min-id labels, and
+    undecodable blobs are dropped."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    def blob(cls):
+        px, pal = mm._png_fixture_pixels(cls)
+        return mm.png_encode(px, pal)
+
+    rows = [
+        (1, blob(2)), (2, blob(2)),          # exact dups
+        (3, blob(14)),                       # near-dup of class 2
+        (4, blob(5)), (5, blob(17)),         # class 5 base + variant
+        (6, blob(7)),                        # singleton
+        (7, b"garbage"),                     # undecodable → dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r["id"]: r["cluster"]
+        for r in mm.image_phash_dedup(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_png_fixture_margins():
+    """r11: the dedup fixture contract the registry oracle rests on —
+    every noisy variant within the threshold of its base with the
+    difference confined to the LOW band (recall guaranteed by
+    construction), every cross-class distance comfortably above it."""
+    import itertools
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    dh = {}
+    for cls in range(24):
+        px, pal = mm._png_fixture_pixels(cls)
+        dh[cls] = mm.image_dhash(mm.png_decode_pixels(mm.png_encode(px, pal)))
+    for b in range(12):
+        d = bin(dh[b] ^ dh[b + 12]).count("1")
+        assert 1 <= d <= 6, (b, d)
+        assert (dh[b] >> 16) == (dh[b + 12] >> 16), b  # low band only
+    cross = min(
+        bin(dh[i] ^ dh[j]).count("1")
+        for i, j in itertools.combinations(range(24), 2)
+        if i % 12 != j % 12
+    )
+    assert cross > 6, cross
