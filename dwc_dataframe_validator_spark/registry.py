@@ -6173,6 +6173,240 @@ ORACLES["image_phash_dedup_clusters"] = """
 """
 
 
+# --------------------------------------------------------------------------
+# round 11: jusText-style main-content extraction tier
+# --------------------------------------------------------------------------
+
+#: stopword-rich tail planted on 2/3 of the fixture docs so every
+#: jusText class (good / neargood / bad / short) is represented on
+#: driver data — the raw synthetic document text is stopword-poor
+#: word salad that classifies almost uniformly bad
+_JUSTEXT_TAIL = (
+    " it was a good day and we were all of the opinion that this is as"
+    " it should have been for you and for them"
+)
+
+
+def _justext_payload_col() -> F.Column:
+    """HTTP/HTML fixture with four paragraph-generating blocks: a nav
+    bar of three links (bad: link density), a short heading, the main
+    paragraph (document text, tail-enriched by doc_id % 3), and a
+    copyright footer (bad: stopword-poor).  The SQL replay is
+    ``_JUSTEXT_FIXTURE_SQL``."""
+    from .operators.web import http_body  # noqa: F401 — twin anchor
+
+    d = F.col("doc_id")
+    m = (
+        F.when(d % 3 == 0, F.col("text"))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(_JUSTEXT_TAIL)))
+        .otherwise(
+            F.concat(F.substring(F.col("text"), 1, 100), F.lit(_JUSTEXT_TAIL))
+        )
+    )
+    return F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+            '<html><body><div><a href="/">Home</a> <a href="/a">About</a>'
+            ' <a href="/c">Contact</a></div><h1>Doc '
+        ),
+        d.cast("string"),
+        F.lit("</h1><p>"),
+        m,
+        F.lit(
+            "</p><div>Copyright 2026 corpus example site All rights"
+            " reserved</div></body></html>"
+        ),
+    )
+
+
+_JUSTEXT_FIXTURE_SQL = f"""
+    jt0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  WHEN doc_id % 3 = 1 THEN text || '{_JUSTEXT_TAIL}'
+                  ELSE substr(text, 1, 100) || '{_JUSTEXT_TAIL}'
+             END AS m
+      FROM documents WHERE text IS NOT NULL),
+    jt1 AS (
+      SELECT doc_id, trim(regexp_replace(m, '\\s+', ' ', 'g')) AS t2
+      FROM jt0),
+    jt2 AS (
+      SELECT doc_id, t2, length(t2) AS nc,
+             len(regexp_split_to_array(t2, '\\s+')) AS nw,
+             len(regexp_extract_all(t2, '{{stop_re}}')) AS ns
+      FROM jt1 WHERE t2 <> ''),
+    jtc AS (
+      SELECT *, CASE WHEN nc < 40 THEN 'short'
+                     WHEN ns * 100 >= nw * 18 AND nc > 160 THEN 'good'
+                     WHEN ns * 100 >= nw * 18 THEN 'neargood'
+                     ELSE 'bad' END AS cf2
+      FROM jt2)
+"""
+
+
+def wet_main_content_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style paragraph classification (operators/web.py
+    ``justext_paragraphs`` — the DOM-free main-content tier after
+    ``wet_extract``): block-tag paragraph segmentation with in-text
+    link marks, link-density / stopword-density / length features on
+    integer cross-multiplied thresholds, and the definite-neighbor
+    context pass.  The fixture plants a nav bar, a heading, the
+    document text (tail-enriched so all four classes appear on driver
+    data) and a copyright footer; the oracle restates every feature
+    and class independently."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return web.justext_paragraphs(
+        docs.select("doc_id", _justext_payload_col().alias("payload_text"))
+    ).select(
+        "doc_id", "para_pos", "para_text", "n_links", "n_chars",
+        "n_words", "n_stop", "cf_class", "final_class",
+    )
+
+
+def wet_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document main-content rollup (operators/web.py
+    ``wet_main_content``): good paragraphs reassembled in order,
+    boilerplate-only documents kept with NULL main_text (the
+    drop-accounting contract)."""
+    from .operators import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return web.wet_main_content(
+        docs.select("doc_id", _justext_payload_col().alias("payload_text"))
+    )
+
+
+def web_corpus_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl path WITH the main-content tier: WARC
+    serialize → ``decode_warc_records`` → ``wet_main_content``
+    (jusText-style boilerplate removal replaces the flat HTML strip)
+    → drop boilerplate-only pages → URL dedup → per-domain cap (k=3)
+    → per-domain doc/token stats.  v1 (``web_corpus_pipeline_check``)
+    keeps nav bars and footers in the text; this is the pipeline a
+    training corpus actually wants."""
+    from .operators import web
+    from .operators.text import token_count
+    from .sources import warc as warcmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    http = _justext_payload_col()
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://corpus.example/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    ).cast("binary")
+    parsed = warcmod.decode_warc_records(
+        docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
+    ).filter("ok")
+    main = web.wet_main_content(
+        parsed.select(
+            F.col("id").alias("doc_id"),
+            F.col("payload").cast("string").alias("payload_text"),
+        )
+    ).filter(F.col("main_text").isNotNull())
+    wurl = main.withColumn("url", _synthetic_url_col())
+    kept = web.url_dedup_keepers(wurl)
+    capped = web.cap_per_domain(kept, k=3)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("main_text"))).cast("long").alias("n_tokens"),
+    )
+
+
+QUERIES["wet_main_content_check"] = wet_main_content_check
+QUERIES["wet_main_content_docs"] = wet_main_content_docs
+QUERIES["web_corpus_pipeline_v2_check"] = web_corpus_pipeline_v2_check
+
+
+def _justext_oracles() -> None:
+    from .operators.web import JUSTEXT_STOPWORDS_RE
+
+    fixture = _JUSTEXT_FIXTURE_SQL.format(stop_re=JUSTEXT_STOPWORDS_RE)
+    ORACLES["wet_main_content_check"] = f"""
+        WITH {fixture}
+        SELECT doc_id, CAST(0 AS INTEGER) AS para_pos,
+               'Home About Contact' AS para_text,
+               CAST(3 AS INTEGER) AS n_links,
+               CAST(18 AS INTEGER) AS n_chars,
+               CAST(3 AS INTEGER) AS n_words,
+               CAST(0 AS INTEGER) AS n_stop,
+               'bad' AS cf_class, 'bad' AS final_class
+        FROM jt0
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INTEGER),
+               'Doc ' || CAST(doc_id AS VARCHAR), CAST(0 AS INTEGER),
+               CAST(4 + length(CAST(doc_id AS VARCHAR)) AS INTEGER),
+               CAST(2 AS INTEGER), CAST(0 AS INTEGER), 'short', 'bad'
+        FROM jt0
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INTEGER), t2, CAST(0 AS INTEGER),
+               CAST(nc AS INTEGER), CAST(nw AS INTEGER),
+               CAST(ns AS INTEGER), cf2,
+               CASE WHEN cf2 = 'good' THEN 'good' ELSE 'bad' END
+        FROM jtc
+        UNION ALL
+        SELECT j.doc_id,
+               CAST(CASE WHEN c.doc_id IS NULL THEN 2 ELSE 3 END
+                    AS INTEGER),
+               'Copyright 2026 corpus example site All rights reserved',
+               CAST(0 AS INTEGER), CAST(54 AS INTEGER),
+               CAST(8 AS INTEGER), CAST(0 AS INTEGER), 'bad', 'bad'
+        FROM jt0 j LEFT JOIN jtc c USING (doc_id)
+    """
+    ORACLES["wet_main_content_docs"] = f"""
+        WITH {fixture}
+        SELECT j.doc_id,
+               CASE WHEN c.cf2 = 'good' THEN c.t2 END AS main_text,
+               CAST(CASE WHEN c.doc_id IS NULL THEN 3 ELSE 4 END
+                    AS BIGINT) AS n_paras_total,
+               CAST(CASE WHEN c.cf2 = 'good' THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_paras_good,
+               CAST(CASE WHEN c.cf2 = 'good' THEN c.nc ELSE 0 END
+                    AS INTEGER) AS n_chars_main
+        FROM jt0 j LEFT JOIN jtc c USING (doc_id)
+    """
+    ORACLES["web_corpus_pipeline_v2_check"] = f"""
+        WITH {fixture},
+        b AS (
+          SELECT j.doc_id, {_URL_FIXTURE_SQL} AS url, c.t2 AS main_text,
+                 c.nw AS n_tokens
+          FROM jtc c JOIN jt0 j USING (doc_id)
+          WHERE c.cf2 = 'good'),
+        {_URL_NORM_SQL},
+        keep AS (
+          SELECT doc_id, domain, n_tokens FROM (
+            SELECT doc_id, domain, url_norm, n_tokens,
+                   row_number() OVER (
+                     PARTITION BY url_norm ORDER BY doc_id) AS rn
+            FROM dmn)
+          WHERE url_norm IS NULL OR rn = 1),
+        capped AS (
+          SELECT doc_id, domain, n_tokens,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+          FROM keep)
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM capped WHERE r <= 3
+        GROUP BY domain
+    """
+
+
+_justext_oracles()
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -4617,3 +4617,64 @@ def test_png_fixture_margins():
         if i % 12 != j % 12
     )
     assert cross > 6, cross
+
+
+# --- r11: jusText-style main-content extraction ------------------------------
+
+def test_justext_context_pass(spark):
+    """r11: paragraph classification end-to-end on crafted HTML — the
+    context-free rules AND the definite-neighbor context pass: a
+    neargood next to a good paragraph is rescued, a short heading
+    BETWEEN two goods is rescued, edge/bad-flanked ones are not."""
+    from dwc_dataframe_validator_spark.operators import web
+
+    good_para = ("it was a good day and we were all of the opinion that "
+                 "this is as it should have been for you and for them and "
+                 "the rest of the people who were there on that day by "
+                 "the sea with all of their friends")  # >160 chars, dense
+    near_para = ("we were of the opinion that it was good for them")  # <160
+    bad_para = "widget sprocket flange bracket gasket spindle manifold"
+    html = (
+        "<html><body>"
+        '<div><a href="/">Home</a> <a href="/x">Products</a> '
+        '<a href="/y">Blog</a></div>'
+        f"<p>{good_para}</p>"
+        "<h2>A heading here</h2>"      # short, between two goods → good
+        f"<p>{good_para} extra</p>"
+        f"<p>{near_para}</p>"          # neargood, next to good → good
+        f"<p>{bad_para}</p>"
+        f"<p>{near_para}</p>"          # neargood, flanked by bad → bad
+        "<h3>Tail heading</h3>"        # short, good-then-edge → bad
+        "</body></html>"
+    )
+    payload = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload_text string")
+    rows = web.justext_paragraphs(df).orderBy("para_pos").collect()
+    got = [(r["para_text"][:12], r["cf_class"], r["final_class"]) for r in rows]
+    assert got == [
+        ("Home Product", "bad", "bad"),
+        ("it was a goo", "good", "good"),
+        ("A heading he", "short", "good"),      # rescued: goods both sides
+        ("it was a goo", "good", "good"),
+        ("we were of t", "neargood", "good"),   # rescued: good neighbor
+        ("widget sproc", "bad", "bad"),
+        ("we were of t", "neargood", "bad"),    # flanked by bad
+        ("Tail heading", "short", "bad"),       # edge counts as not-good
+    ], got
+
+    # doc rollup stitches the good paragraphs in order
+    main = web.wet_main_content(df).collect()[0]
+    assert main["n_paras_total"] == 8 and main["n_paras_good"] == 4
+    assert main["main_text"].startswith("it was a good day")
+    assert "A heading here" in main["main_text"]
+    assert "widget" not in main["main_text"]
+
+    # non-HTML / non-2xx payloads yield no paragraphs
+    other = spark.createDataFrame(
+        [(2, "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n<p>x</p>"),
+         (3, "not http at all")],
+        "doc_id long, payload_text string",
+    )
+    assert web.justext_paragraphs(other).count() == 0
