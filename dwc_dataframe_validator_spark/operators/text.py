@@ -1235,6 +1235,119 @@ def trigram_surprisal(
     )
 
 
+def kneser_ney_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring on the exact integer
+    grid — the SMOOTHED companion to the stupid-backoff chain
+    (``bigram_surprisal``/``trigram_surprisal``): KN is the standard
+    n-gram smoother (Kneser & Ney 1995; Chen & Goodman 1999's
+    interpolated form), and its continuation probability — "how many
+    DISTINCT contexts does this word follow?" — is what separates
+    genuinely versatile words from ones that only ever appear inside
+    one frozen boilerplate phrase, a distinction raw counts miss.
+
+      P_KN(w|v) = max(c(vw) − D, 0)/c(v·)
+                  + D·N1+(v·)/c(v·) · N1+(·w)/N_B
+
+    with discount D = 3/4, c(v·) the prefix count, N1+(v·) the
+    distinct-continuation count of v, N1+(·w) the distinct-left-
+    context count of w, and N_B the distinct-bigram-type count.
+    Multiplying through by 4·c(v·)·N_B makes P an exact integer
+    ratio:
+
+      num = (4·c(vw) − 3)·N_B + 3·N1+(v·)·N1+(·w)
+      den = 4·c(v·)·N_B
+
+    and the per-transition surprisal is quantized to the repo's
+    floor-log2 grid: bits = flog2(den) − flog2(num) — exact longs the
+    DuckDB oracle replays bit-for-bit (no float ``ln`` divergence; see
+    ``unigram_surprisal`` for the rationale).  Scoring the corpus's
+    own transitions means c(vw) ≥ 1, so the max() never binds.
+
+    Integer-range contract: ``den`` must fit a long — fine up to
+    c(v·)·N_B < 2³⁰ · 2³¹ ≈ 2.3·10¹⁸ (e.g. a 10⁹-transition prefix in
+    a 10⁹-type model).  Beyond that, shard the LM (per-source models)
+    or move the two products to decimal(38,0); documented rather than
+    silently wrong.
+
+    Returns ``(id_col, n_transitions, kn_bits, bits_per_transition)``
+    (docs with < 2 tokens: 0, 0, NULL).
+
+    Plan: ONE tokenize pass → per-(doc, prev, cur) counts (shuffle 1)
+    → bigram-TYPE table by one more groupBy (shuffle 2, compact — one
+    row per distinct bigram) carrying c, prefix count and distinct-
+    continuation count as sum/count windows over prev (shuffle 3) and
+    the left-context count over cur (shuffle 4); N_B broadcasts as a
+    1-row aggregate (never an unpartitioned window — that would funnel
+    the type table through one task); re-join to the per-doc rows on
+    (prev, cur) and aggregate (shuffle 5).  Everything after
+    tokenization works on compact aggregate rows, linear in vocabulary
+    usage, never a second text scan."""
+    base = df.select(
+        F.col(id_col).alias("_doc"), _word_tokens(text_col).alias("_t")
+    )
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_t"), 1, n1).alias("prev"),
+        F.slice(F.col("_t"), 2, n1).alias("cur"),
+    )
+    tf = (
+        base.select("_doc", F.explode(pairs).alias("_p"))
+        .select("_doc", F.col("_p.prev"), F.col("_p.cur"))
+        .groupBy("_doc", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bt = tf.groupBy("prev", "cur").agg(F.sum("tf").cast("long").alias("c"))
+    bstat = (
+        bt.withColumn(
+            "cv", F.sum("c").over(Window.partitionBy("prev")).cast("long")
+        )
+        .withColumn(
+            "nv",
+            F.count(F.lit(1)).over(Window.partitionBy("prev")).cast("long"),
+        )
+        .withColumn(
+            "nw",
+            F.count(F.lit(1)).over(Window.partitionBy("cur")).cast("long"),
+        )
+    )
+    nb = bt.agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    num = (
+        (4 * F.col("c") - 3) * F.col("_nb")
+        + 3 * F.col("nv") * F.col("nw")
+    )
+    den = 4 * F.col("cv") * F.col("_nb")
+    scored = (
+        tf.join(bstat, ["prev", "cur"])
+        .crossJoin(F.broadcast(nb))
+        .withColumn("_bits", F.col("tf") * (_flog2(den) - _flog2(num)))
+    )
+    per_doc = scored.groupBy("_doc").agg(
+        F.sum("tf").cast("long").alias("n_transitions"),
+        F.sum("_bits").cast("long").alias("kn_bits"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).alias(
+                "n_transitions"
+            ),
+            F.coalesce(F.col("kn_bits"), F.lit(0)).alias("kn_bits"),
+            F.when(
+                F.col("n_transitions").isNotNull()
+                & (F.col("n_transitions") > 0),
+                F.col("kn_bits").cast("double")
+                / F.col("n_transitions").cast("double"),
+            ).alias("bits_per_transition"),
+        )
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     min_doc_freq: int = 2,

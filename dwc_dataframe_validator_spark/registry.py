@@ -4442,6 +4442,61 @@ ORACLES["bigram_surprisal_scores"] = r"""
 """
 
 
+def kn_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/text.py
+    ``kneser_ney_surprisal``): discount 3/4, continuation counts, all
+    exact-integer numerators/denominators on the shared floor-log2
+    grid — the smoothed companion to ``bigram_surprisal_scores``.  The
+    oracle replays tokenization, the bigram-type statistics and the
+    (num, den) integer forms bit-for-bit."""
+    return text.kneser_ney_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["kn_surprisal_scores"] = kn_surprisal_scores
+
+ORACLES["kn_surprisal_scores"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents WHERE text IS NOT NULL),
+    pe AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(l) - 1)) AS i, l
+      FROM toks WHERE len(l) >= 2),
+    tf AS (
+      SELECT doc_id, l[i] AS prev, l[i + 1] AS cur, count(*) AS tf
+      FROM pe GROUP BY 1, 2, 3),
+    bt AS (
+      SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c
+      FROM tf GROUP BY 1, 2),
+    bstat AS (
+      SELECT *,
+             CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT) AS cv,
+             CAST(count(*) OVER (PARTITION BY prev) AS BIGINT) AS nv,
+             CAST(count(*) OVER (PARTITION BY cur) AS BIGINT) AS nw,
+             (SELECT CAST(count(*) AS BIGINT) FROM bt) AS nb
+      FROM bt),
+    scored AS (
+      SELECT t.doc_id, t.tf,
+             (4 * s.c - 3) * s.nb + 3 * s.nv * s.nw AS num,
+             4 * s.cv * s.nb AS den
+      FROM tf t JOIN bstat s USING (prev, cur)),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+             CAST(sum(tf * ( (length(format('{:b}', den)) - 1)
+                           - (length(format('{:b}', num)) - 1) ))
+                  AS BIGINT) AS kn_bits
+      FROM scored GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_transitions, 0) AS n_transitions,
+           coalesce(p.kn_bits, 0) AS kn_bits,
+           CASE WHEN p.n_transitions > 0
+                THEN CAST(p.kn_bits AS DOUBLE)
+                     / CAST(p.n_transitions AS DOUBLE)
+           END AS bits_per_transition
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def top_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fraction-based selection (operators/selection.py:
     select_top_fraction): the best 20% of documents per source by the
