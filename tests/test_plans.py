@@ -159,6 +159,7 @@ DRIVER_WINDOW = [
     "text_token_stats",
     "text_quality",
     "text_language_id",
+    "text_language_id_v2",
     "text_ngram_top_neighbor",
     "text_tfidf_top_terms",
     "doc_chunks",
@@ -179,7 +180,6 @@ DRIVER_WINDOW = [
     "window_running_totals",
     "rollup_date_counts",
     "multimodal_blob_meta",
-    "jsonl_source_profile",
 ]
 
 
