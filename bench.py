@@ -143,7 +143,57 @@ HEADLINE = [
     "gopher_quality_report",
     "c4_cleanup_corpus",
     "gopher_ngram_repetition",
+    # round-12 additions (same addendum rule): the round-11 surface —
+    # real PNG pixel decode + perceptual-hash image dedup, jusText
+    # main-content extraction, the composed v2 crawl pipeline,
+    # script-aware language ID, and Kneser-Ney bigram surprisal
+    "image_pixel_hash_check",
+    "image_phash_dedup_clusters",
+    "wet_main_content_docs",
+    "web_corpus_pipeline_v2_check",
+    "text_language_id_v2",
+    "kn_surprisal_scores",
 ]
+
+# The r3 frozen-baseline comparison set (BASELINE.md), named
+# EXPLICITLY: slicing HEADLINE by position meant any future insertion
+# before index 33 would silently corrupt the baseline comparison.
+FROZEN33 = (
+    "q1_pricing_summary",
+    "q_top_orders_by_revenue",
+    "q_nation_revenue",
+    "occurrence_validation_metrics",
+    "a2_column_counts",
+    "a13_date_parts",
+    "fk_lineitem_orders",
+    "dedup_exact_keepers",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_quality",
+    "ann_cosine_topk_arrow",
+    "ann_ivf_trained",
+    "sessionize",
+    "stream_window_counts",
+    "asof_purchase_last_click",
+    "range_join_event_sessions",
+    "rollup_date_counts",
+    "annotate_row_errors",
+    "window_running_totals",
+    "occurrence_full_metrics",
+    "text_vocab_top_terms",
+    "text_tfidf_top_terms",
+    "sample_stratified_events",
+    "cms_event_type_counts",
+    "dedup_clusters",
+    "training_corpus_prep",
+    "date_multiformat_parse",
+    "user_event_sequences",
+    "quantiles_by_event_type",
+    "numeric_outliers_iqr",
+    "doc_chunks",
+    "contamination_hits",
+)
+assert len(FROZEN33) == 33 and set(FROZEN33) <= set(HEADLINE)
 
 
 def main() -> None:
@@ -163,7 +213,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 4)
-    frozen = HEADLINE[:33]  # the r3 frozen-baseline set (BASELINE.md)
+    frozen = FROZEN33  # the r3 frozen-baseline set (BASELINE.md)
     frozen_total = round(sum(timings[n] for n in frozen), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

@@ -720,7 +720,10 @@ def image_pixel_hashes(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, payload in zip(pdf[id_col], pdf[content_col]):
+            # the select below aliases id_col to "id" before the Arrow
+            # hop, so the batch frame always carries "id" regardless of
+            # the caller's column name
+            for i, payload in zip(pdf["id"], pdf[content_col]):
                 px = None
                 if payload is not None:
                     try:
@@ -751,6 +754,7 @@ def hash_hex_bands(col: F.Column, n_bands: int = 4) -> list[F.Column]:
     bucketing key AND the portable Hamming-distance representation
     (``conv(substr)`` has an exact DuckDB twin; 16-bit values never
     overflow anything)."""
+    assert 16 % n_bands == 0, "n_bands must divide the 16 hex chars"
     width = 16 // n_bands
     return [
         F.conv(F.substring(col, 1 + i * width, width), 16, 10).cast("int")
@@ -811,9 +815,9 @@ def image_phash_dedup(
     reps = hashes.groupBy("dhash").agg(F.min("id").alias("rep"))
     bands = reps.select(
         "rep", "dhash",
-        F.posexplode(F.array(*hash_hex_bands(F.col("dhash")))).alias(
-            "band_idx", "band_val"
-        ),
+        F.posexplode(
+            F.array(*hash_hex_bands(F.col("dhash"), n_bands))
+        ).alias("band_idx", "band_val"),
     )
     w = Window.partitionBy("band_idx", "band_val").orderBy("rep")
     bands = (

@@ -326,19 +326,39 @@ def language_id_v2(
     replayable by the DuckDB oracle (explicit codepoint ranges — see
     ``SCRIPT_RANGES``)."""
     t = F.col(text_col)
-    counts = {
-        k: F.regexp_count(t, F.lit(pat)) for k, pat in SCRIPT_RANGES.items()
-    }
+    # stage 1: materialize the expensive regexp_count scans ONCE as
+    # integer columns.  The classification ladders below reference
+    # each count many times — keeping them in one projection with the
+    # scans overflowed Janino's 64 KB method limit (interpreted-mode
+    # fallback, a scan-speed regression), and CollapseProject will NOT
+    # re-merge the two selects because the producer expressions are
+    # non-cheap and multiply referenced.
+    stage1 = df.select(
+        F.col(id_col),
+        t.isNull().alias("_no_text"),
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{k}")
+            for k, pat in SCRIPT_RANGES.items()
+        ],
+        *[
+            F.regexp_count(F.lower(t), F.lit(p)).alias(f"_lh_{k}")
+            for k, p in LANG_STOPWORDS.items()
+        ],
+    )
+    counts = {k: F.col(f"n_{k}") for k in SCRIPT_RANGES}
     best = F.greatest(*counts.values())
-    script = F.when(best == 0, F.lit("und"))
+    # NULL text must short-circuit to 'und' BEFORE any count test:
+    # every count is NULL for NULL text, so each WHEN is skipped and
+    # control would otherwise fall through to the latin-stopword
+    # fallback, whose final ELSE labelled NULL docs 'es'
+    script = F.when(F.col("_no_text"), F.lit("und")).when(
+        best == 0, F.lit("und")
+    )
     for k in SCRIPT_PRECEDENCE:
         script = script.when(counts[k] == best, F.lit(k))
     # precedence chain is exhaustive: some count equals the max
     kana = counts["hiragana"] + counts["katakana"]
-    lhits = {
-        k: F.regexp_count(F.lower(t), F.lit(p))
-        for k, p in LANG_STOPWORDS.items()
-    }
+    lhits = {k: F.col(f"_lh_{k}") for k in LANG_STOPWORDS}
     lbest = F.greatest(*lhits.values())
     latin_lang = (
         F.when(lbest == 0, F.lit("und"))
@@ -348,7 +368,8 @@ def language_id_v2(
         .otherwise(F.lit("es"))
     )
     lang = (
-        F.when(best == 0, F.lit("und"))
+        F.when(F.col("_no_text"), F.lit("und"))
+        .when(best == 0, F.lit("und"))
         .when(
             counts["han"] == best,
             F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")),
@@ -359,9 +380,9 @@ def language_id_v2(
     for k, code in _SCRIPT_LANG.items():
         lang = lang.when(counts[k] == best, F.lit(code))
     lang = lang.otherwise(latin_lang)
-    return df.select(
+    return stage1.select(
         F.col(id_col),
-        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        *[counts[k].alias(f"n_{k}") for k in SCRIPT_RANGES],
         script.alias("script_guess"),
         lang.alias("lang_guess"),
     )
@@ -380,8 +401,15 @@ def language_id_v2_sql(table: str = "documents", text: str = "text",
         "%s AS n_%s" % (e, k) for k, e in cnt.items()
     )
     best = "greatest(%s)" % ", ".join("n_%s" % k for k in SCRIPT_RANGES)
-    script = "CASE WHEN best = 0 THEN 'und' %s END" % " ".join(
-        "WHEN n_%s = best THEN '%s'" % (k, k) for k in SCRIPT_PRECEDENCE
+    script = (
+        "CASE WHEN %s IS NULL THEN 'und' WHEN best = 0 THEN 'und' %s END"
+        % (
+            text,
+            " ".join(
+                "WHEN n_%s = best THEN '%s'" % (k, k)
+                for k in SCRIPT_PRECEDENCE
+            ),
+        )
     )
     lh = {
         k: "len(regexp_extract_all(lower(%s), '%s'))" % (text, p)
@@ -395,7 +423,8 @@ def language_id_v2_sql(table: str = "documents", text: str = "text",
         " ELSE 'es' END"
     ).format(**lh)
     lang = (
-        "CASE WHEN best = 0 THEN 'und'"
+        "CASE WHEN " + text + " IS NULL THEN 'und'"
+        " WHEN best = 0 THEN 'und'"
         " WHEN n_han = best THEN"
         " (CASE WHEN n_hiragana + n_katakana > 0 THEN 'ja' ELSE 'zh' END)"
         " WHEN n_hiragana = best THEN 'ja'"

@@ -347,6 +347,10 @@ def test_language_id_v2_scripts(spark):
         (17, "the data processing system of the corpus テスト", "latin",
          "en"),
         (18, "abc アイウエオカ", "katakana", "ja"),  # 6 v 3: kata wins
+        # r12 (ADVICE): NULL text must gate to 'und' FIRST — every
+        # count is NULL so each WHEN is skipped, and before the fix
+        # control fell into the latin stopword chain whose ELSE is 'es'
+        (19, None, "und", "und"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, *_ in cases], "doc_id long, text string"
@@ -359,6 +363,28 @@ def test_language_id_v2_scripts(spark):
     assert got[1]["n_han"] == 12
     assert got[5]["n_hangul"] == 8
     assert got[17]["n_katakana"] == 3
+
+
+def test_language_id_v2_null_twin_agreement():
+    """r12 (ADVICE): the DuckDB twin must make the same NULL-first
+    decision as the Spark side — before the fix BOTH twins said 'es'
+    for NULL text, so the oracle could never catch the bug."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES"
+        " (1::BIGINT, NULL::VARCHAR), (2, 'the cat and the dog is here'))"
+        " t(doc_id, text)"
+    )
+    rows = {
+        r[0]: r
+        for r in con.execute(text.language_id_v2_sql()).fetchall()
+    }
+    hdr = [d[0] for d in con.description]
+    s_i, l_i = hdr.index("script_guess"), hdr.index("lang_guess")
+    assert rows[1][s_i] == "und" and rows[1][l_i] == "und"
+    assert rows[2][s_i] == "latin" and rows[2][l_i] == "en"
 
 
 def test_fingerprint_normalizes(spark):
@@ -4592,6 +4618,32 @@ def test_image_phash_dedup_clusters(spark):
         for r in mm.image_phash_dedup(df).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_image_phash_dedup_custom_id_col_and_bands(spark):
+    """r12 (ADVICE): image_pixel_hashes/image_phash_dedup must honor a
+    non-default id_col (the pandas fn used to KeyError on anything but
+    "id"), and n_bands must actually reach the LSH banding (it was
+    silently ignored; 8 narrower bands still find the planted
+    low-band near-dups)."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    def blob(cls):
+        px, pal = mm._png_fixture_pixels(cls)
+        return mm.png_encode(px, pal)
+
+    rows = [(1, blob(2)), (2, blob(2)), (3, blob(14)), (4, blob(5))]
+    df = spark.createDataFrame(rows, "blob_key long, content binary")
+    hashes = mm.image_pixel_hashes(df, id_col="blob_key").collect()
+    assert {r["id"] for r in hashes} == {1, 2, 3, 4}
+    assert all(r["ok"] for r in hashes)
+    got = {
+        r["id"]: r["cluster"]
+        for r in mm.image_phash_dedup(
+            df, id_col="blob_key", n_bands=8
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
 def test_png_fixture_margins():
