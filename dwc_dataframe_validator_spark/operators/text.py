@@ -1305,16 +1305,26 @@ def kneser_ney_surprisal(
     Returns ``(id_col, n_transitions, kn_bits, bits_per_transition)``
     (docs with < 2 tokens: 0, 0, NULL).
 
-    Plan: ONE tokenize pass → per-(doc, prev, cur) counts (shuffle 1)
-    → bigram-TYPE table by one more groupBy (shuffle 2, compact — one
-    row per distinct bigram) carrying c, prefix count and distinct-
-    continuation count as sum/count windows over prev (shuffle 3) and
-    the left-context count over cur (shuffle 4); N_B broadcasts as a
-    1-row aggregate (never an unpartitioned window — that would funnel
-    the type table through one task); re-join to the per-doc rows on
-    (prev, cur) and aggregate (shuffle 5).  Everything after
-    tokenization works on compact aggregate rows, linear in vocabulary
-    usage, never a second text scan."""
+    Plan: ONE tokenize pass feeding the whole per-pair state — like
+    ``bigram_surprisal``, every corpus statistic is annotated onto the
+    per-(doc, prev, cur) aggregate with WINDOWS instead of a separate
+    bigram-type branch joined back (the r11 join-back form re-evaluated
+    the tokenize lineage three times: Catalyst rewrote the N_B branch's
+    stacked aggregates into a direct distinct, which broke AQE stage
+    reuse, and the type-table join added a fourth shuffle).  Counts:
+    per-(doc, prev, cur) tf (shuffle 1); c(vw) plus a first-occurrence
+    flag as windows over (prev, cur) (shuffle 2); c(v·) and
+    N1+(v·) = sum of flags over prev (shuffle 3); N1+(·w) = sum of
+    flags over cur (shuffle 4) — the flag trick computes the distinct-
+    continuation counts without ``collect_set`` window buffers, so a
+    high-fan-out prefix like "the" costs a running sum, not a
+    million-entry set in one window frame.  N_B broadcasts as a 1-row
+    aggregate (never an unpartitioned window — that would funnel the
+    pair table through one task) whose subtree keeps tf's exact
+    shuffle so AQE stage reuse serves it from the same map output —
+    the text is tokenized ONCE at runtime.  Per-doc aggregate is
+    shuffle 5.  Everything after tokenization works on compact
+    aggregate rows, linear in vocabulary usage."""
     base = df.select(
         F.col(id_col).alias("_doc"), _word_tokens(text_col).alias("_t")
     )
@@ -1329,30 +1339,39 @@ def kneser_ney_surprisal(
         .groupBy("_doc", "prev", "cur")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    bt = tf.groupBy("prev", "cur").agg(F.sum("tf").cast("long").alias("c"))
-    bstat = (
-        bt.withColumn(
-            "cv", F.sum("c").over(Window.partitionBy("prev")).cast("long")
-        )
-        .withColumn(
-            "nv",
-            F.count(F.lit(1)).over(Window.partitionBy("prev")).cast("long"),
-        )
-        .withColumn(
-            "nw",
-            F.count(F.lit(1)).over(Window.partitionBy("cur")).cast("long"),
-        )
+    w_pair = Window.partitionBy("prev", "cur")
+    flagged = tf.select(
+        "*",
+        F.sum("tf").over(w_pair).cast("long").alias("c"),
+        (F.row_number().over(w_pair.orderBy("_doc")) == 1)
+        .cast("long")
+        .alias("_first"),
     )
-    nb = bt.agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    w_prev, w_cur = Window.partitionBy("prev"), Window.partitionBy("cur")
+    stats = (
+        flagged.withColumn("cv", F.sum("tf").over(w_prev).cast("long"))
+        .withColumn("nv", F.sum("_first").over(w_prev).cast("long"))
+        .withColumn("nw", F.sum("_first").over(w_cur).cast("long"))
+    )
+    # count(_c) instead of count(1): referencing the inner sum keeps
+    # the (doc, prev, cur) aggregate alive (Catalyst otherwise prunes
+    # the chain to a bare distinct over the raw explode), so this
+    # subtree's shuffle canonicalizes identically to tf's and AQE
+    # stage reuse serves it from the same map output — without it the
+    # N_B branch re-tokenized the whole corpus.  Exact: tf ≥ 1, so
+    # _c = sum(tf) is never NULL and count(_c) = N_B.
+    nb = (
+        tf.groupBy("prev", "cur")
+        .agg(F.sum("tf").alias("_c"))
+        .agg(F.count("_c").cast("long").alias("_nb"))
+    )
     num = (
         (4 * F.col("c") - 3) * F.col("_nb")
         + 3 * F.col("nv") * F.col("nw")
     )
     den = 4 * F.col("cv") * F.col("_nb")
-    scored = (
-        tf.join(bstat, ["prev", "cur"])
-        .crossJoin(F.broadcast(nb))
-        .withColumn("_bits", F.col("tf") * (_flog2(den) - _flog2(num)))
+    scored = stats.crossJoin(F.broadcast(nb)).withColumn(
+        "_bits", F.col("tf") * (_flog2(den) - _flog2(num))
     )
     per_doc = scored.groupBy("_doc").agg(
         F.sum("tf").cast("long").alias("n_transitions"),

@@ -2009,6 +2009,43 @@ def test_bigram_surprisal_hand_computed(spark):
     assert plan.count("regexp_extract_all") <= 2  # zip builds, no rescan
 
 
+def test_kneser_ney_surprisal_hand_computed(spark):
+    """r12: interpolated KN bigram scoring against a hand-computed
+    corpus on the exact integer grid.  Corpus bigrams: (a,b):3,
+    (b,a):2, (a,c):1 → N_B=3, c(a·)=4, c(b·)=2, N1+(a·)=2,
+    N1+(b·)=1, N1+(·b)=N1+(·a)=N1+(·c)=1.
+      (a,b): num=(12−3)·3+3·2·1=33, den=4·4·3=48 → 5−5=0 bits
+      (b,a): num=(8−3)·3+3·1·1=18,  den=4·2·3=24 → 4−4=0 bits
+      (a,c): num=(4−3)·3+3·2·1=9,   den=48       → 5−3=2 bits"""
+    from dwc_dataframe_validator_spark.operators.text import (
+        kneser_ney_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:] for r in kneser_ney_surprisal(df).collect()
+    }
+    assert got[1] == (5, 2, 2 / 5)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+
+    # one tokenize pass at RUNTIME: the N_B branch keeps tf's exact
+    # shuffle shape so AQE stage reuse serves it from the same map
+    # output — the final adaptive plan has exactly one Generate and a
+    # reused stage (before the r12 restructure the lineage tokenized
+    # the corpus three times)
+    out = kneser_ney_surprisal(df)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    main = final.split("== Initial Plan ==")[0]
+    assert main.count("Generate explode") == 1, main
+    assert main.count("Reused") >= 1, main
+
+
 def test_profile_table_one_pass(spark):
     """Whole-table profiler: per-column non-null/distinct in schema
     order, exact vs approx variants agree on small data, the exact

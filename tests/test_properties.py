@@ -456,6 +456,59 @@ def test_bigram_surprisal_matches_bruteforce(spark, docs):
         assert got[i] == want, (i, toks, got[i], want)
 
 
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_kneser_ney_surprisal_matches_bruteforce(spark, docs):
+    """r12: for ANY small corpus the interpolated Kneser-Ney bigram
+    scorer equals the brute-force Python computation of the exact
+    integer ratio — num = (4c−3)·N_B + 3·N1+(v·)·N1+(·w),
+    den = 4·c(v·)·N_B, bits = flog2(den) − flog2(num), tf-weighted;
+    <2-token docs get the (0, 0, NULL) contract."""
+    from collections import Counter, defaultdict
+
+    from dwc_dataframe_validator_spark.operators.text import (
+        kneser_ney_surprisal,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r)[1:] for r in kneser_ney_surprisal(df).collect()
+    }
+
+    big = Counter()
+    for toks in docs:
+        big.update(zip(toks, toks[1:]))
+    prefix, cont_right, cont_left = Counter(), defaultdict(set), defaultdict(set)
+    for (v, w), c in big.items():
+        prefix[v] += c
+        cont_right[v].add(w)
+        cont_left[w].add(v)
+    n_b = len(big)
+    flog2 = lambda c: c.bit_length() - 1  # noqa: E731
+    for i, toks in enumerate(docs):
+        trans = list(zip(toks, toks[1:]))
+        bits = 0
+        for v, w in trans:
+            num = (4 * big[(v, w)] - 3) * n_b + 3 * len(cont_right[v]) * len(
+                cont_left[w]
+            )
+            den = 4 * prefix[v] * n_b
+            bits += flog2(den) - flog2(num)
+        n = len(trans)
+        want = (n, bits, bits / n if n else None)
+        assert got[i] == want, (i, toks, got[i], want)
+
+
 @settings(max_examples=30, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
