@@ -544,6 +544,96 @@ def sample_frames(
 _PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _png_defilter(raw: bytes, h: int, w: int, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters (spec §9) over the
+    decompressed stream → uint8 ndarray (h, stride), or ``None`` on an
+    unknown filter type.
+
+    Kernel choice per row: None/Sub/Up are numpy-vectorized (direct
+    copy, per-lane cumsum mod 256, native uint8 wrap-add); Average and
+    Paeth have a LEFT data dependency, so they run as pure-Python
+    integer loops over lists — Python int arithmetic on list elements
+    is ~an order of magnitude faster than numpy scalar indexing, which
+    is what the r11 decoder did and what made real-encoder output
+    (mostly Average/Paeth rows) the crawl-scale throughput ceiling.
+    When PIL is importable the whole defilter is bypassed upstream
+    (``_pil_png_pixels``); this is the deterministic no-dependency
+    fallback."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, rows = arr[:, 0], arr[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            out[y] = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] —
+            # per-channel cumulative sum, mod distributes over the sum
+            out[y] = (
+                row.reshape(w, bpp).astype(np.int32).cumsum(axis=0) % 256
+            ).reshape(stride).astype(np.uint8)
+        elif f == 2:  # Up: native uint8 addition wraps mod 256
+            out[y] = row + out[y - 1] if y else row
+        elif f == 3:  # Average: sequential left dependency
+            prev = out[y - 1].tolist() if y else [0] * stride
+            rw = row.tolist()
+            rec = [0] * stride
+            for x in range(bpp):
+                rec[x] = (rw[x] + (prev[x] >> 1)) & 255
+            for x in range(bpp, stride):
+                rec[x] = (rw[x] + ((rec[x - bpp] + prev[x]) >> 1)) & 255
+            out[y] = rec
+        elif f == 4:  # Paeth predictor (spec §9.4)
+            prev = out[y - 1].tolist() if y else [0] * stride
+            rw = row.tolist()
+            rec = [0] * stride
+            for x in range(bpp):
+                # a = c = 0 → p = up, so the predictor is the up byte
+                rec[x] = (rw[x] + prev[x]) & 255
+            for x in range(bpp, stride):
+                a, up, c = rec[x - bpp], prev[x], prev[x - bpp]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                rec[x] = (
+                    rw[x]
+                    + (a if pa <= pb and pa <= pc else up if pb <= pc else c)
+                ) & 255
+            out[y] = rec
+        else:
+            return None
+    return out
+
+
+def _pil_png_pixels(b: bytes, w: int, h: int):
+    """PNG pixel plane via PIL when importable — PNG is lossless, so
+    the decoded bytes are bit-identical to ``_png_defilter``'s (pinned
+    by the backend-equivalence pytest in containers that have PIL).
+    Returns the SAME representation the pure path produces before
+    palette resolution — gray (h,w,1), gray+alpha (h,w,2), RGB/RGBA,
+    or the raw palette INDEX plane for color type 3 (palette lookup
+    and its out-of-range guard stay in ``png_decode_pixels``, one code
+    path for both backends).  ``None`` on any PIL failure or shape
+    surprise → caller falls through to the pure decoder."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(b))
+        im.load()
+    except Exception:
+        return None
+    if im.size != (w, h) or im.mode not in ("L", "LA", "RGB", "RGBA", "P"):
+        return None
+    arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def png_decode_pixels(b: bytes):
     """Full PNG pixel decode → uint8 ndarray (h, w, channels), or
     ``None`` for malformed input.  Supports bit depth 8, color types
@@ -551,7 +641,13 @@ def png_decode_pixels(b: bytes):
     ``NotImplementedError`` for OTHER IMAGE formats (JPEG/GIF/BMP —
     codec- or LZW-tier work this repo deliberately stubs); returns
     ``None`` for bytes that aren't a recognized image at all or for a
-    corrupt/truncated PNG."""
+    corrupt/truncated PNG.
+
+    Pixel engine: PIL when importable (lossless format → bit-identical
+    bytes, pinned by the backend-equivalence pytest), else the
+    deterministic zlib + ``_png_defilter`` path — every guard (IHDR
+    shape, depth, interlace, 16 MP bound, palette range) runs the same
+    on both."""
     import numpy as np
 
     if b[:8] != _PNG_SIG:
@@ -595,40 +691,15 @@ def png_decode_pixels(b: bytes):
     stride = w * ch
     if len(raw) != h * (stride + 1):
         return None
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = ch  # bytes per pixel at depth 8
-    zero = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f, row = int(ftypes[y]), rows[y]
-        prev = out[y - 1].astype(np.int32) if y else zero
-        if f == 0:  # None
-            rec = row
-        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] —
-            # per-channel cumulative sum, mod distributes over the sum
-            rec = (row.reshape(w, bpp).cumsum(axis=0) % 256).reshape(stride)
-        elif f == 2:  # Up
-            rec = (row + prev) % 256
-        elif f == 3:  # Average: sequential left dependency
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
-        elif f == 4:  # Paeth predictor (spec §9.4)
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
-        else:
+    px = _pil_png_pixels(b, w, h) if _pil_available() else None
+    if px is not None and px.shape != (h, w, ch):
+        px = None  # mode surprise → deterministic fallback
+    if px is None:
+        out = _png_defilter(raw, h, w, stride, bpp)
+        if out is None:
             return None
-        out[y] = rec.astype(np.uint8)
-    px = out.reshape(h, w, ch)
+        px = out.reshape(h, w, ch)
     if ctype == 3:  # palette lookup → RGB
         if plte is None or len(plte) % 3:
             return None

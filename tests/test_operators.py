@@ -4552,6 +4552,30 @@ def test_png_pixel_roundtrip_all_types():
     assert (dec == want).all()
 
 
+def test_png_decode_backend_equivalence(monkeypatch):
+    """r12: when PIL is importable the pixel decode routes through it;
+    PNG is lossless, so PIL pixels must be bit-identical to the pure
+    defilter on the filter-cycling fixtures (every filter type, every
+    color type incl. the palette index plane).  Skipped where PIL is
+    absent — there the pure path is the only path and the round-trip
+    test above pins it."""
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    if not mm._pil_available():
+        _pytest.skip("PIL not installed — pure defilter is the only path")
+    for cls in range(24):
+        px, pal = mm._png_fixture_pixels(cls)
+        blob = mm.png_encode(px, pal)
+        via_pil = mm.png_decode_pixels(blob)
+        with monkeypatch.context() as m:
+            m.setattr(mm, "_pil_available", lambda: False)
+            pure = mm.png_decode_pixels(blob)
+        assert via_pil.shape == pure.shape, cls
+        assert (via_pil == pure).all(), cls
+
+
 def test_png_decode_malformed_and_stub():
     """r11: corrupt PNGs → None; interlaced → None (unsupported, not
     wrong); JPEG-tier formats → NotImplementedError (the documented
