@@ -236,6 +236,202 @@ def ingest_batch(
     _touch(spark, marker)
 
 
+def crawl_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    url_index_path: str,
+    out_path: str,
+    record_col: str = "record",
+    id_col: str = "id",
+    gopher: dict | None = None,
+    c4: dict | None = None,
+) -> None:
+    """One replay-safe step of the STREAMING CRAWL STACK — the
+    ``foreachBatch`` body behind ``crawl_ingest_sink``, exposed for
+    direct testing of the marker protocol (same recipe as
+    ``ingest_batch``).  Each micro-batch is raw WARC record bytes:
+
+      decode_warc_records → wet_main_content (jusText boilerplate
+      removal; boilerplate-only pages dropped) → optional C4 line
+      cleanup → optional Gopher document gate → batch-internal URL
+      dedup (``url_dedup_keepers``: min id per normalized URL,
+      invalid URLs all kept) → screen against the PERSISTED URL index
+      (bloom prescreen + partition-pruned anti-join on
+      md5(normalized url) — the same fingerprint-index machinery as
+      content dedup, keyed on URLs) → survivors to
+      ``{out}/batch_id=N`` → new URL keys appended to the index.
+
+    This is the streaming face of the batch
+    ``web_corpus_pipeline_v2`` composition up to the per-domain cap.
+    The cap is deliberately NOT in the loop: its selection order is a
+    corpus-global md5 shuffle, so a later batch can displace an
+    earlier keeper — a retraction no append-only sink can express.
+    Cap at finalization instead (``cap_per_domain`` over the
+    accumulated survivors), which the stream≡batch pytest does.
+
+    Cross-batch URL semantics: the keeper is the first BATCH a
+    normalized URL appears in (min id within that batch).  For a
+    crawl feed with monotone capture ids this equals the batch
+    pipeline's global min-id keeper — the pin's ordering contract.
+    The extraction tiers and both gates are deterministic map-side
+    projections, so the replay argument of ``ingest_batch`` carries
+    over unchanged: recompute-before-commit is exact, the survivors
+    directory is the WAL afterwards, and re-appending URL keys cannot
+    change any future screen."""
+    from ..operators import web
+    from ..sources.warc import decode_warc_records
+
+    spark = batch_df.sparkSession
+    marker = f"{out_path}/_commits/{batch_id}"
+    if _exists(spark, marker):
+        return
+    if batch_df.isEmpty():
+        _touch(spark, marker)
+        return
+
+    batch_dir = f"{out_path}/batch_id={batch_id}"
+    if _exists(spark, f"{batch_dir}/_SUCCESS"):
+        survivors = spark.read.parquet(batch_dir)
+    else:
+        parsed = decode_warc_records(
+            batch_df.select(id_col, record_col),
+            content_col=record_col,
+            id_col=id_col,
+        ).filter("ok")
+        main = web.wet_main_content(
+            parsed.select(
+                F.col(id_col).alias("doc_id"),
+                F.col("payload").cast("string").alias("payload_text"),
+            )
+        ).filter(F.col("main_text").isNotNull())
+        # target_uri rides back in on the decode's doc-id partitioning
+        kept = main.join(
+            parsed.select(
+                F.col(id_col).alias("doc_id"),
+                F.col("target_uri").alias("url"),
+            ),
+            "doc_id",
+        ).select("doc_id", "url", "main_text")
+        if c4 is not None:
+            from ..operators.text import c4_line_cleanup
+
+            cleaned = c4_line_cleanup(
+                kept.select("doc_id", "main_text"),
+                text_col="main_text",
+                **c4,
+            )
+            kept = kept.drop("main_text").join(
+                cleaned.filter(~F.col("dropped")).select(
+                    "doc_id", "main_text"
+                ),
+                "doc_id",
+            )
+        if gopher is not None:
+            from ..operators.text import gopher_quality_flags
+
+            passed = gopher_quality_flags(
+                kept.select("doc_id", "main_text"),
+                text_col="main_text",
+                **gopher,
+            ).filter("gopher_pass")
+            kept = kept.join(passed.select("doc_id"), "doc_id", "left_semi")
+        dedup = web.url_dedup_keepers(kept, url_col="url", id_col="doc_id")
+        cand = dedup.withColumn(
+            "url_key", F.md5(web.normalize_url(F.col("url")))
+        ).localCheckpoint(eager=True)  # feeds both bloom branches
+
+        store, bits, meta = incremental.load_fingerprint_index(
+            spark, url_index_path
+        )
+        blob = sketch.bloom_pack_bytes(bits, meta["m"])
+        hit = sketch.bloom_test_hex_bytes(
+            F.col("url_key"), blob, meta["k"], meta["m"]
+        )
+        invalid = cand.filter(F.col("url_key").isNull())
+        valid = cand.filter(F.col("url_key").isNotNull())
+        candidates, negatives = valid.filter(hit), valid.filter(~hit)
+        buckets = [
+            r["b"]
+            for r in candidates.select(
+                incremental._fp_bucket(F.col("url_key")).alias("b")
+            )
+            .distinct()
+            .collect()  # bounded: ≤ 256 values
+        ]
+        fresh = candidates.join(
+            store.filter(F.col("fp_bucket").isin(buckets))
+            .select(F.col("fingerprint").alias("url_key"))
+            if buckets
+            else store.select(F.col("fingerprint").alias("url_key")),
+            "url_key",
+            "left_anti",
+        )
+        survivors = (
+            invalid.unionByName(negatives)
+            .unionByName(fresh)
+            .localCheckpoint(eager=True)
+        )
+        survivors.write.mode("overwrite").parquet(batch_dir)
+
+    new_keys = (
+        survivors.filter(F.col("url_key").isNotNull())
+        .select(F.col("url_key").alias("fingerprint"))
+        .distinct()
+        .withColumn(
+            "fp_bucket", incremental._fp_bucket(F.col("fingerprint"))
+        )
+    )
+    incremental.save_fingerprint_index(
+        new_keys, url_index_path, mode="append"
+    )
+    _touch(spark, marker)
+
+
+def crawl_ingest_sink(
+    stream: DataFrame,
+    url_index_path: str,
+    out_path: str,
+    record_col: str = "record",
+    id_col: str = "id",
+    queryName: str = "crawl_ingest",
+    checkpoint_path: str | None = None,
+    trigger: dict | None = None,
+    gopher: dict | None = None,
+    c4: dict | None = None,
+):
+    """Attach the streaming crawl stack to a stream of raw WARC
+    records and return the started StreamingQuery (caller owns
+    lifecycle) — ``corpus_ingest_sink``'s sibling for the web tier:
+    jusText main content, optional Gopher/C4 gates, and cross-batch
+    URL dedup against the persisted URL index at ``url_index_path``
+    (seed it with ``save_fingerprint_index`` over an empty
+    ``fingerprint string, fp_bucket int`` frame).  Survivors land
+    under ``{out_path}/batch_id=N``; run ``cap_per_domain`` over the
+    accumulated survivors at finalization (see ``crawl_batch`` for
+    why the cap cannot live in the loop).  Default trigger drains
+    available input and stops, same contract as
+    ``corpus_ingest_sink``."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        crawl_batch(
+            batch_df,
+            batch_id,
+            url_index_path,
+            out_path,
+            record_col=record_col,
+            id_col=id_col,
+            gopher=gopher,
+            c4=c4,
+        )
+
+    writer = stream.writeStream.foreachBatch(body).queryName(queryName)
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def corpus_ingest_sink(
     stream: DataFrame,
     index_path: str,

@@ -1076,3 +1076,198 @@ def test_stream_warc_equals_batch(spark, tmp_path):
     q2.awaitTermination(120)
     survivors = spark.read.parquet(f"{out}/batch_id=0")
     assert survivors.count() == 6        # all unique bodies survive
+
+
+def test_streaming_crawl_stack_stream_equals_batch(spark, tmp_path):
+    """r12: the streaming face of the crawl stack (streaming/ingest.py
+    ``crawl_ingest_sink``) — a two-batch streamed crawl (WARC decode →
+    jusText main content → cross-batch URL dedup against the persisted
+    URL index), folded and cap_per_domain'ed at finalization, equals
+    the batch v2 composition on the concatenated input.  Exercises:
+    batch-internal URL-variant collapse, a CROSS-batch URL duplicate
+    (dropped only because the index remembers batch 0), a
+    boilerplate-only page (dropped by jusText), an invalid URL (kept,
+    never indexed), and the per-domain cap displacing within a domain.
+    Also pins the Gopher gate variant stream≡batch."""
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators import web
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        save_fingerprint_index,
+    )
+    from dwc_dataframe_validator_spark.operators.text import token_count
+    from dwc_dataframe_validator_spark.sources.warc import (
+        decode_warc_records,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        crawl_batch,
+        crawl_ingest_sink,
+    )
+
+    prose = (
+        "The cat and the dog is here with the other animals in the house "
+        "because it is warm and the sun is up over the garden where the "
+        "children play with the ball and the kite in the wind all day."
+    )
+    # jusText-good (163 chars, 26% stopword density) but only 19
+    # words — below the Gopher-gate floor used further down
+    short = (
+        "The wonderful elephants and the magnificent crocodiles wandered "
+        "across the enormous grasslands while the thunderous waterfalls "
+        "cascaded extraordinarily downstream."
+    )
+
+    def html(body_para):
+        return (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            '\r\n\r\n<html><body><div><a href="/">Home</a> '
+            '<a href="/a">About</a> <a href="/c">Contact</a></div>'
+            + ("<p>" + body_para + "</p>" if body_para else "")
+            + "<div>Copyright 2026 corpus example site All rights"
+            " reserved</div></body></html>"
+        )
+
+    def rec(url, body_para):
+        payload = html(body_para)
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + url
+            + "\r\nContent-Type: application/http\r\nContent-Length: "
+            + str(len(payload.encode()))
+            + "\r\n\r\n"
+            + payload
+            + "\r\n\r\n"
+        ).encode()
+
+    rows = [
+        (1, rec("http://site-a.com/p1", prose)),
+        (2, rec("http://site-a.com/p1?utm_source=x", prose)),  # variant dup
+        (3, rec("http://site-b.com/p", prose + " Alpha.")),
+        (4, rec("http://site-c.com/x", None)),            # boilerplate-only
+        (5, rec("http://site-a.com/p1", prose)),          # CROSS-batch dup
+        (6, rec("http://site-b.com/q", prose + " Beta.")),
+        (7, rec("notaurl", prose + " Gamma.")),           # invalid URL
+        (8, rec("http://site-d.com/r", short)),           # fails Gopher gate
+    ]
+    schema = "id long, record binary"
+
+    def fold_and_cap(out_dir):
+        surv = spark.read.parquet(f"{out_dir}/batch_id=*")
+        return sorted(
+            (tuple(r)
+             for r in web.cap_per_domain(surv, k=1)
+            .groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(token_count(F.col("main_text")))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+            .collect()),
+            key=repr,  # NULL-domain row (invalid URL) is unorderable
+        )
+
+    def batch_truth(df, gopher=None):
+        parsed = decode_warc_records(df).filter("ok")
+        main = web.wet_main_content(
+            parsed.select(
+                F.col("id").alias("doc_id"),
+                F.col("payload").cast("string").alias("payload_text"),
+            )
+        ).filter(F.col("main_text").isNotNull())
+        kept = main.join(
+            parsed.select(
+                F.col("id").alias("doc_id"),
+                F.col("target_uri").alias("url"),
+            ),
+            "doc_id",
+        ).select("doc_id", "url", "main_text")
+        if gopher is not None:
+            from dwc_dataframe_validator_spark.operators.text import (
+                gopher_quality_flags,
+            )
+
+            passed = gopher_quality_flags(
+                kept.select("doc_id", "main_text"), text_col="main_text",
+                **gopher,
+            ).filter("gopher_pass")
+            kept = kept.join(passed.select("doc_id"), "doc_id", "left_semi")
+        dedup = web.url_dedup_keepers(kept)
+        return sorted(
+            (tuple(r)
+             for r in web.cap_per_domain(dedup, k=1)
+            .groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(token_count(F.col("main_text")))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+            .collect()),
+            key=repr,
+        )
+
+    idx, out, src, ck = (
+        str(tmp_path / "uidx"), str(tmp_path / "out"),
+        str(tmp_path / "src"), str(tmp_path / "ck"),
+    )
+    save_fingerprint_index(
+        spark.createDataFrame([], "fingerprint string, fp_bucket int"), idx
+    )
+    # two id-ordered micro-batches: one file per availableNow run off
+    # the same checkpoint (same recipe as the corpus-ingest test)
+    b1 = spark.createDataFrame(rows[:4], schema)
+    b2 = spark.createDataFrame(rows[4:], schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = crawl_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx, out,
+        checkpoint_path=ck,
+    )
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = crawl_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx, out,
+        checkpoint_path=ck,
+    )
+    q2.awaitTermination(120)
+
+    s0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch_id=0").collect()}
+    s1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch_id=1").collect()}
+    assert s0 == {1, 3}, s0          # 2 = variant dup of 1; 4 = boilerplate
+    assert s1 == {6, 7, 8}, s1       # 5 = cross-batch dup; 7 invalid kept
+
+    both = spark.createDataFrame(rows, schema)
+    assert fold_and_cap(out) == batch_truth(both)
+
+    # replay safety: marker present -> no-op; marker gone after the
+    # survivors commit -> the directory is the WAL, not recomputed
+    crawl_batch(b2, 1, idx, out)
+    import os
+
+    os.remove(f"{out}/_commits/1")
+    crawl_batch(b2, 1, idx, out)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    } == {6, 7, 8}
+    assert os.path.exists(f"{out}/_commits/1")
+
+    # Gopher-gated variant: the short page (doc 8) dies at the gate on
+    # BOTH faces; stream still equals batch
+    gop = {"min_words": 20, "min_stopword_hits": 1}
+    idx2, out2, ck2 = (
+        str(tmp_path / "uidx2"), str(tmp_path / "out2"), str(tmp_path / "ck2")
+    )
+    save_fingerprint_index(
+        spark.createDataFrame([], "fingerprint string, fp_bucket int"), idx2
+    )
+    q3 = crawl_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx2, out2,
+        checkpoint_path=ck2, gopher=gop,
+    )
+    q3.awaitTermination(120)
+    gated = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out2}/batch_id=*").collect()
+    }
+    assert 8 not in gated and 1 in gated
+    assert fold_and_cap(out2) == batch_truth(both, gopher=gop)
