@@ -850,6 +850,7 @@ def image_phash_dedup(
     threshold: int = 6,
     n_bands: int = 4,
     max_bucket_size: int = 200,
+    probe_ahash: bool = False,
 ) -> DataFrame:
     """Near-duplicate image clustering: real pixel decode → dHash →
     banded LSH pairing → Hamming verify → connected components.
@@ -865,6 +866,19 @@ def image_phash_dedup(
     are localized (bits confined to ≤ 3 of the 4 bands — e.g. any
     bottom-rows watermark/timestamp edit, by dHash bit layout) are
     ALWAYS found.
+
+    ``probe_ahash=True`` escalates recall for exactly those
+    straddling pairs at near-zero cost: each distinct-dHash rep also
+    buckets on its aHash bands (the hash is already computed — the
+    probe adds ``n_bands`` short rows per rep to the ONE existing
+    band shuffle, under distinct band indexes so the two probe
+    families never cross-match).  A gradient edit scattered across
+    the dHash grid usually leaves the 8×8 mean-threshold aHash bits
+    untouched, so such pairs meet in an aHash bucket instead.
+    Verification is unchanged — dHash Hamming ≤ ``threshold`` — so
+    the probe can only ADD true candidates, never a false merge; the
+    registry oracle is identical with it on or off by fixture
+    construction (cross-class distances ≫ threshold).
 
     Scale: identical hashes collapse FIRST (exact duplicates are the
     bulk of any crawl's image mass — re-hosted logos/avatars repeat
@@ -883,12 +897,19 @@ def image_phash_dedup(
     from . import graph
 
     hashes = image_pixel_hashes(df, content_col, id_col).filter("ok")
-    reps = hashes.groupBy("dhash").agg(F.min("id").alias("rep"))
+    reps = hashes.groupBy("dhash").agg(
+        F.min("id").alias("rep"),
+        # deterministic aHash representative for the probe tier (two
+        # images can share a dHash yet differ in aHash)
+        F.min("ahash").alias("_ah"),
+    )
+    probe_cols = list(hash_hex_bands(F.col("dhash"), n_bands))
+    if probe_ahash:
+        # offset indexes keep aHash buckets disjoint from dHash ones
+        probe_cols += list(hash_hex_bands(F.col("_ah"), n_bands))
     bands = reps.select(
         "rep", "dhash",
-        F.posexplode(
-            F.array(*hash_hex_bands(F.col("dhash"), n_bands))
-        ).alias("band_idx", "band_val"),
+        F.posexplode(F.array(*probe_cols)).alias("band_idx", "band_val"),
     )
     w = Window.partitionBy("band_idx", "band_val").orderBy("rep")
     bands = (

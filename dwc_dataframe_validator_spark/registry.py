@@ -6207,7 +6207,12 @@ def image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_id arithmetic."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = multimodal.image_phash_dedup(
-        multimodal.attach_png_blob(docs), "content", "id"
+        multimodal.attach_png_blob(docs), "content", "id",
+        # recall-escalation probe ON: the scale path should be the
+        # benched path; the oracle is identical with it off (fixture
+        # cross-class distances ≫ threshold, so extra candidates all
+        # fail the Hamming verify)
+        probe_ahash=True,
     )
     return clusters.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")

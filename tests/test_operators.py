@@ -4707,6 +4707,53 @@ def test_image_phash_dedup_custom_id_col_and_bands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_image_phash_dedup_ahash_probe_recall(spark):
+    """r12: recall escalation for band-straddling pairs.  The planted
+    variant differs from its base in exactly 4 dHash bits, ONE PER
+    16-bit BAND (a gradient flip in cell column 0 of rows 0/2/4/6),
+    with identical aHash — so dHash-band LSH provably misses the pair
+    while the aHash probe buckets them together; Hamming verify (4 ≤
+    6) then merges.  Pins: construction invariants, default miss,
+    probe hit."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    def cells_to_px(vals):
+        px = np.zeros((16, 18, 1), np.uint8)
+        for r in range(8):
+            for c in range(9):
+                px[2 * r: 2 * r + 2, 2 * c: 2 * c + 2, 0] = vals[r][c]
+        return px
+
+    base_vals = [[10 + 20 * c for c in range(9)] for _ in range(8)]
+    var_vals = [row[:] for row in base_vals]
+    for r in (0, 2, 4, 6):
+        var_vals[r][0] = 35  # > cell[r][1]=30 → flips dhash bit (r,0)
+    base, var = cells_to_px(base_vals), cells_to_px(var_vals)
+
+    dh_b, dh_v = mm.image_dhash(base), mm.image_dhash(var)
+    assert bin(dh_b ^ dh_v).count("1") == 4
+    for band in range(4):  # every 16-bit band differs → dHash LSH miss
+        shift = 48 - 16 * band
+        assert (dh_b >> shift) & 0xFFFF != (dh_v >> shift) & 0xFFFF, band
+    assert mm.image_ahash(base) == mm.image_ahash(var)
+
+    df = spark.createDataFrame(
+        [(1, mm.png_encode(base)), (2, mm.png_encode(var))],
+        "id long, content binary",
+    )
+    missed = {
+        r["id"]: r["cluster"] for r in mm.image_phash_dedup(df).collect()
+    }
+    assert missed == {1: 1, 2: 2}  # documented dHash-band blind spot
+    probed = {
+        r["id"]: r["cluster"]
+        for r in mm.image_phash_dedup(df, probe_ahash=True).collect()
+    }
+    assert probed == {1: 1, 2: 1}
+
+
 def test_png_fixture_margins():
     """r11: the dedup fixture contract the registry oracle rests on —
     every noisy variant within the threshold of its base with the
