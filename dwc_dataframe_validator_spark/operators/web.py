@@ -712,13 +712,30 @@ def justext_paragraphs(
       - ``bad``       otherwise (fluent-length, stopword-poor text is
                       navigation/boilerplate — the core jusText signal)
 
-    Context pass (one window over nearest DEFINITE neighbors):
-      - ``neargood`` → good if the nearest good/bad neighbor on
-        EITHER side is good, else bad
-      - ``short``    → good only if BOTH nearest definite neighbors
-        are good (a heading between two article paragraphs), else bad
-      - document edges count as not-good (jusText's implicit bad
-        boundary)"""
+    Context pass — the PUBLISHED jusText revision (Pomikálek 2011;
+    justext/core.py ``revise_paragraph_classification``, minus the
+    heading-promotion step, which needs tag identity this paragraph
+    model does not carry), in closed form:
+
+      1. ``short`` revision against the nearest ORIGINAL definite
+         (good/bad) neighbor each side (document edges count bad):
+         both good → good; both bad → bad; MIXED → good iff the bad
+         side's nearest non-short neighbor is a ``neargood`` (the
+         published "good on one side, neargood on the other"
+         exception), else bad.  Published justext applies all short
+         revisions after the scan, so this pass reads only original
+         classes — no recurrence.
+      2. ``neargood`` revision against the nearest POST-STEP-1
+         definite neighbor each side (revised shorts count; edges
+         bad): good on either side → good, else bad.  The published
+         in-place scan makes each revised neargood definite for the
+         next one — but within a consecutive neargood run between
+         definite L and R that recurrence collapses to "the whole run
+         is good iff L or R is good", so one window pass per side is
+         the exact fixpoint.
+
+    Both steps ride ONE exchange+sort (every window shares the
+    doc-id partitioning and paragraph order)."""
     p = F.col(payload_col)
     status = http_status(p)
     ctype = http_header(p, "content-type")
@@ -777,36 +794,54 @@ def justext_paragraphs(
         .otherwise(F.lit("bad"))
     )
     w = Window.partitionBy(id_col).orderBy("_pi")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
     definite = F.when(
         F.col("cf_class").isin("good", "bad"), F.col("cf_class")
     )
-    prev_ctx = F.last(definite, ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    nonshort = F.when(F.col("cf_class") != "short", F.col("cf_class"))
+    prev_d = F.coalesce(
+        F.last(definite, ignorenulls=True).over(before), F.lit("bad")
     )
-    next_ctx = F.first(definite, ignorenulls=True).over(
-        w.rowsBetween(1, Window.unboundedFollowing)
+    next_d = F.coalesce(
+        F.first(definite, ignorenulls=True).over(after), F.lit("bad")
     )
-    final = (
-        F.when(F.col("cf_class") == "good", F.lit("good"))
-        .when(F.col("cf_class") == "bad", F.lit("bad"))
-        .when(
-            F.col("cf_class") == "neargood",
-            F.when(
-                (prev_ctx == "good") | (next_ctx == "good"), F.lit("good")
-            ).otherwise(F.lit("bad")),
+    prev_ng = F.last(nonshort, ignorenulls=True).over(before)
+    next_ng = F.first(nonshort, ignorenulls=True).over(after)
+    short_new = (
+        F.when((prev_d == "good") & (next_d == "good"), F.lit("good"))
+        .when((prev_d == "bad") & (next_d == "bad"), F.lit("bad"))
+        .when(  # mixed {good, bad}: the published neargood exception
+            ((prev_d == "bad") & (prev_ng == "neargood"))
+            | ((next_d == "bad") & (next_ng == "neargood")),
+            F.lit("good"),
         )
-        .otherwise(  # short
-            F.when(
-                (prev_ctx == "good") & (next_ctx == "good"), F.lit("good")
-            ).otherwise(F.lit("bad"))
-        )
+        .otherwise(F.lit("bad"))
     )
-    return (
+    step1 = (
         feats.withColumn("cf_class", cf)
         .withColumn("para_pos", F.row_number().over(w) - 1)
-        .withColumn("final_class", final)
-        .drop("_pi")
+        .withColumn(
+            "_c2",
+            F.when(F.col("cf_class") == "short", short_new).otherwise(
+                F.col("cf_class")
+            ),
+        )
     )
+    definite2 = F.when(F.col("_c2").isin("good", "bad"), F.col("_c2"))
+    prev2 = F.coalesce(
+        F.last(definite2, ignorenulls=True).over(before), F.lit("bad")
+    )
+    next2 = F.coalesce(
+        F.first(definite2, ignorenulls=True).over(after), F.lit("bad")
+    )
+    final = F.when(
+        F.col("_c2") == "neargood",
+        F.when(
+            (prev2 == "good") | (next2 == "good"), F.lit("good")
+        ).otherwise(F.lit("bad")),
+    ).otherwise(F.col("_c2"))
+    return step1.withColumn("final_class", final).drop("_pi", "_c2")
 
 
 def wet_main_content(

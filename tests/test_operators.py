@@ -4838,3 +4838,52 @@ def test_justext_context_pass(spark):
         "doc_id long, payload_text string",
     )
     assert web.justext_paragraphs(other).count() == 0
+
+
+def test_justext_published_revision_exceptions(spark):
+    """r12: the PUBLISHED jusText revision details the old
+    single-pass simplification missed — the mixed-neighbor short with
+    a neargood on its bad side is rescued (justext core's "good on
+    one side, neargood on the other" exception, both directions), the
+    neargood then absorbs through the REVISED short (step-2 neighbors
+    are post-step-1), and the control without an adjacent neargood
+    stays bad."""
+    from dwc_dataframe_validator_spark.operators import web
+
+    good_para = ("it was a good day and we were all of the opinion that "
+                 "this is as it should have been for you and for them and "
+                 "the rest of the people who were there on that day by "
+                 "the sea with all of their friends")
+    near_para = "we were of the opinion that it was good for them"
+    bad_para = "widget sprocket flange bracket gasket spindle manifold"
+
+    def doc(doc_id, paras):
+        html = "<html><body>" + "".join(f"<p>{p}</p>" for p in paras) + \
+            "</body></html>"
+        return (doc_id,
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+
+    df = spark.createDataFrame(
+        [
+            # A: good, SHORT, neargood, bad — short's definite next
+            # (skipping neargood) is bad → mixed; the neargood on the
+            # bad side fires the exception; the neargood then sees the
+            # REVISED short (good) as its step-2 left neighbor
+            doc(1, [good_para, "Section header", near_para, bad_para]),
+            # B: mirror — exception fires on the prev side
+            doc(2, [bad_para, near_para, "Section header", good_para]),
+            # control: mixed neighbors, NO adjacent neargood → bad
+            doc(3, [good_para, "Section header", bad_para]),
+        ],
+        "doc_id long, payload_text string",
+    )
+    rows = web.justext_paragraphs(df).collect()
+    got = {
+        (r["doc_id"], r["para_pos"]): (r["cf_class"], r["final_class"])
+        for r in rows
+    }
+    assert got[(1, 1)] == ("short", "good")      # exception (next side)
+    assert got[(1, 2)] == ("neargood", "good")   # via the revised short
+    assert got[(2, 2)] == ("short", "good")      # exception (prev side)
+    assert got[(2, 1)] == ("neargood", "good")
+    assert got[(3, 1)] == ("short", "bad")       # control: no exception
