@@ -6467,6 +6467,27 @@ def _justext_oracles() -> None:
 _justext_oracles()
 
 
+# Driver-window rotation (round 12): move this round's newly pinned
+# operators into the first-50 verified window — registry order is
+# append-only by policy EXCEPT this deliberate block, which the
+# frozen-window pin in tests/test_plans.py mirrors in the same
+# commit.  Inserted after text_language_id_v2 (position 30);
+# displaced out the back of the window: window_running_totals,
+# rollup_date_counts, multimodal_blob_meta — all long-stable,
+# pytest-pinned, and still swept by tools/verify_local.py.
+_ROTATE_IN = (
+    "kn_surprisal_scores",
+    "wet_main_content_docs",
+    "image_phash_dedup_clusters",
+)
+_order = [n for n in QUERIES if n not in _ROTATE_IN]
+for _i, _n in enumerate(_ROTATE_IN):
+    _order.insert(30 + _i, _n)
+_rotated = {n: QUERIES[n] for n in _order}
+QUERIES.clear()
+QUERIES.update(_rotated)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

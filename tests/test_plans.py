@@ -160,6 +160,9 @@ DRIVER_WINDOW = [
     "text_quality",
     "text_language_id",
     "text_language_id_v2",
+    "kn_surprisal_scores",
+    "wet_main_content_docs",
+    "image_phash_dedup_clusters",
     "text_ngram_top_neighbor",
     "text_tfidf_top_terms",
     "doc_chunks",
@@ -177,9 +180,6 @@ DRIVER_WINDOW = [
     "asof_purchase_last_click",
     "range_join_event_sessions",
     "pivot_event_types",
-    "window_running_totals",
-    "rollup_date_counts",
-    "multimodal_blob_meta",
 ]
 
 
