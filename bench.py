@@ -153,6 +153,7 @@ HEADLINE = [
     "web_corpus_pipeline_v2_check",
     "text_language_id_v2",
     "kn_surprisal_scores",
+    "crawl_ingest_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -6383,9 +6383,56 @@ def web_corpus_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING crawl stack's per-slice body
+    (streaming/ingest.py ``crawl_survivors`` — the exact function the
+    ``foreachBatch`` sink runs), driven as two id-ordered slices with
+    the second screened against the first's URL keys, then folded and
+    finalized (``cap_per_domain`` k=3 + per-domain stats).  Because
+    the slice split is an id prefix, the first-batch-wins cross-slice
+    keeper IS the global min-id keeper, so the fold equals the batch
+    v2 composition exactly — same oracle, one shared code path with
+    the sink (the pytest stream≡batch pin is structural, and the
+    driver's value hash now covers it too).  Here the synthetic messy
+    URL rides in the WARC-Target-URI header instead of being attached
+    after extraction."""
+    from .operators import web
+    from .operators.text import token_count
+    from .streaming.ingest import crawl_survivors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    http = _justext_payload_col()
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        _synthetic_url_col(),
+        F.lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    ).cast("binary")
+    recs = docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
+    # id-prefix split: 250 covers the whole corpus at sf0.001 (an
+    # empty second slice is a valid batch) and halves it at sf0.01
+    empty = spark.createDataFrame([], "fingerprint string")
+    s1 = crawl_survivors(
+        recs.filter(F.col("id") < 250), empty
+    ).localCheckpoint(eager=True)
+    seen = s1.filter(F.col("url_key").isNotNull()).select(
+        F.col("url_key").alias("fingerprint")
+    )
+    s2 = crawl_survivors(recs.filter(F.col("id") >= 250), seen)
+    capped = web.cap_per_domain(s1.unionByName(s2), k=3)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("main_text"))).cast("long").alias("n_tokens"),
+    )
+
+
 QUERIES["wet_main_content_check"] = wet_main_content_check
 QUERIES["wet_main_content_docs"] = wet_main_content_docs
 QUERIES["web_corpus_pipeline_v2_check"] = web_corpus_pipeline_v2_check
+QUERIES["crawl_ingest_check"] = crawl_ingest_check
 
 
 def _justext_oracles() -> None:
@@ -6462,6 +6509,10 @@ def _justext_oracles() -> None:
         FROM capped WHERE r <= 3
         GROUP BY domain
     """
+    # the streamed two-slice fold equals the batch composition by the
+    # id-prefix-split argument (crawl_ingest_check docstring), so the
+    # SAME SQL is its oracle
+    ORACLES["crawl_ingest_check"] = ORACLES["web_corpus_pipeline_v2_check"]
 
 
 _justext_oracles()

@@ -236,6 +236,113 @@ def ingest_batch(
     _touch(spark, marker)
 
 
+def crawl_survivors(
+    batch_df: DataFrame,
+    store: DataFrame,
+    bloom_blob: bytes | None = None,
+    k: int | None = None,
+    m: int | None = None,
+    record_col: str = "record",
+    id_col: str = "id",
+    gopher: dict | None = None,
+    c4: dict | None = None,
+    prune_store_partitions: bool = False,
+) -> DataFrame:
+    """Survivors of one crawl slice of raw WARC records against a
+    URL-key ``store`` (rows with a ``fingerprint`` column of
+    md5(normalized url) hex): ``(doc_id, url, main_text, url_key)``.
+    The pure per-slice body shared by the streaming sink
+    (``crawl_batch``) and the registry's oracle-checked
+    ``crawl_ingest_check`` — ONE code path, so the stream≡batch
+    argument is structural, not coincidental.
+
+    Chain: ``decode_warc_records`` → ``wet_main_content`` (jusText;
+    boilerplate-only pages dropped) → optional C4 line cleanup →
+    optional Gopher document gate → batch-internal URL-variant
+    collapse (``url_dedup_keepers``: min id per normalized URL,
+    invalid URLs all kept) → bloom prescreen (when ``bloom_blob``
+    given, geometry k/m from the index meta) → anti-join against the
+    store (partition-pruned on ``fp_bucket`` when the store is the
+    persisted partitioned form and ``prune_store_partitions``).
+    Invalid-URL rows carry a NULL ``url_key``, survive every screen,
+    and must never be appended to the store."""
+    from ..operators import web
+    from ..sources.warc import decode_warc_records
+
+    parsed = decode_warc_records(
+        batch_df.select(id_col, record_col),
+        content_col=record_col,
+        id_col=id_col,
+    ).filter("ok")
+    main = web.wet_main_content(
+        parsed.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("payload").cast("string").alias("payload_text"),
+        )
+    ).filter(F.col("main_text").isNotNull())
+    # target_uri rides back in on the decode's doc-id partitioning
+    kept = main.join(
+        parsed.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("target_uri").alias("url"),
+        ),
+        "doc_id",
+    ).select("doc_id", "url", "main_text")
+    if c4 is not None:
+        from ..operators.text import c4_line_cleanup
+
+        cleaned = c4_line_cleanup(
+            kept.select("doc_id", "main_text"),
+            text_col="main_text",
+            **c4,
+        )
+        kept = kept.drop("main_text").join(
+            cleaned.filter(~F.col("dropped")).select("doc_id", "main_text"),
+            "doc_id",
+        )
+    if gopher is not None:
+        from ..operators.text import gopher_quality_flags
+
+        passed = gopher_quality_flags(
+            kept.select("doc_id", "main_text"),
+            text_col="main_text",
+            **gopher,
+        ).filter("gopher_pass")
+        kept = kept.join(passed.select("doc_id"), "doc_id", "left_semi")
+    dedup = web.url_dedup_keepers(kept, url_col="url", id_col="doc_id")
+    cand = dedup.withColumn(
+        "url_key", F.md5(web.normalize_url(F.col("url")))
+    )
+    invalid = cand.filter(F.col("url_key").isNull())
+    valid = cand.filter(F.col("url_key").isNotNull())
+    if bloom_blob is None:
+        candidates, negatives = valid, None
+    else:
+        # the collapsed keepers feed both bloom branches (and the
+        # bucket collect) — materialize once, same as incremental_dedup
+        cand = cand.localCheckpoint(eager=True)
+        invalid = cand.filter(F.col("url_key").isNull())
+        valid = cand.filter(F.col("url_key").isNotNull())
+        hit = sketch.bloom_test_hex_bytes(F.col("url_key"), bloom_blob, k, m)
+        candidates, negatives = valid.filter(hit), valid.filter(~hit)
+    store_keys = store.select(F.col("fingerprint").alias("url_key"))
+    if prune_store_partitions and bloom_blob is not None:
+        buckets = [
+            r["b"]
+            for r in candidates.select(
+                incremental._fp_bucket(F.col("url_key")).alias("b")
+            )
+            .distinct()
+            .collect()  # bounded: ≤ 256 values
+        ]
+        store_keys = store.filter(
+            F.col("fp_bucket").isin(buckets)
+        ).select(F.col("fingerprint").alias("url_key"))
+    fresh = candidates.join(store_keys, "url_key", "left_anti")
+    out = fresh if negatives is None else negatives.unionByName(fresh)
+    return invalid.unionByName(out)
+
+
 def crawl_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -278,9 +385,6 @@ def crawl_batch(
     over unchanged: recompute-before-commit is exact, the survivors
     directory is the WAL afterwards, and re-appending URL keys cannot
     change any future screen."""
-    from ..operators import web
-    from ..sources.warc import decode_warc_records
-
     spark = batch_df.sparkSession
     marker = f"{out_path}/_commits/{batch_id}"
     if _exists(spark, marker):
@@ -293,84 +397,22 @@ def crawl_batch(
     if _exists(spark, f"{batch_dir}/_SUCCESS"):
         survivors = spark.read.parquet(batch_dir)
     else:
-        parsed = decode_warc_records(
-            batch_df.select(id_col, record_col),
-            content_col=record_col,
-            id_col=id_col,
-        ).filter("ok")
-        main = web.wet_main_content(
-            parsed.select(
-                F.col(id_col).alias("doc_id"),
-                F.col("payload").cast("string").alias("payload_text"),
-            )
-        ).filter(F.col("main_text").isNotNull())
-        # target_uri rides back in on the decode's doc-id partitioning
-        kept = main.join(
-            parsed.select(
-                F.col(id_col).alias("doc_id"),
-                F.col("target_uri").alias("url"),
-            ),
-            "doc_id",
-        ).select("doc_id", "url", "main_text")
-        if c4 is not None:
-            from ..operators.text import c4_line_cleanup
-
-            cleaned = c4_line_cleanup(
-                kept.select("doc_id", "main_text"),
-                text_col="main_text",
-                **c4,
-            )
-            kept = kept.drop("main_text").join(
-                cleaned.filter(~F.col("dropped")).select(
-                    "doc_id", "main_text"
-                ),
-                "doc_id",
-            )
-        if gopher is not None:
-            from ..operators.text import gopher_quality_flags
-
-            passed = gopher_quality_flags(
-                kept.select("doc_id", "main_text"),
-                text_col="main_text",
-                **gopher,
-            ).filter("gopher_pass")
-            kept = kept.join(passed.select("doc_id"), "doc_id", "left_semi")
-        dedup = web.url_dedup_keepers(kept, url_col="url", id_col="doc_id")
-        cand = dedup.withColumn(
-            "url_key", F.md5(web.normalize_url(F.col("url")))
-        ).localCheckpoint(eager=True)  # feeds both bloom branches
-
         store, bits, meta = incremental.load_fingerprint_index(
             spark, url_index_path
         )
         blob = sketch.bloom_pack_bytes(bits, meta["m"])
-        hit = sketch.bloom_test_hex_bytes(
-            F.col("url_key"), blob, meta["k"], meta["m"]
-        )
-        invalid = cand.filter(F.col("url_key").isNull())
-        valid = cand.filter(F.col("url_key").isNotNull())
-        candidates, negatives = valid.filter(hit), valid.filter(~hit)
-        buckets = [
-            r["b"]
-            for r in candidates.select(
-                incremental._fp_bucket(F.col("url_key")).alias("b")
-            )
-            .distinct()
-            .collect()  # bounded: ≤ 256 values
-        ]
-        fresh = candidates.join(
-            store.filter(F.col("fp_bucket").isin(buckets))
-            .select(F.col("fingerprint").alias("url_key"))
-            if buckets
-            else store.select(F.col("fingerprint").alias("url_key")),
-            "url_key",
-            "left_anti",
-        )
-        survivors = (
-            invalid.unionByName(negatives)
-            .unionByName(fresh)
-            .localCheckpoint(eager=True)
-        )
+        survivors = crawl_survivors(
+            batch_df,
+            store,
+            bloom_blob=blob,
+            k=meta["k"],
+            m=meta["m"],
+            record_col=record_col,
+            id_col=id_col,
+            gopher=gopher,
+            c4=c4,
+            prune_store_partitions=True,
+        ).localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(batch_dir)
 
     new_keys = (
