@@ -771,6 +771,65 @@ def image_dhash(px) -> int:
     return v
 
 
+def decode_image_pixels(b: bytes, backend: str = "pure"):
+    """Pixel decode with an explicit BACKEND CONTRACT — the JPEG-tier
+    unlock behind the same integer hash grid:
+
+    - ``"pure"``: ``png_decode_pixels`` — PNG decodes codec-free and
+      deterministically in any container; JPEG/GIF/BMP raise
+      ``NotImplementedError`` (the documented entropy-codec stub).
+      This is the DEFAULT and what the registry oracle runs, so the
+      driver's value hash never depends on which container decoded.
+    - ``"pil"``: PNG still routes through ``png_decode_pixels`` (same
+      guards, bit-identical pixels — lossless); OTHER image formats
+      decode through PIL (palette/exotic modes converted to RGB,
+      16 MP bound applied before pixel access).  Raises ImportError
+      without PIL.  JPEG pixels are only as deterministic as the
+      installed codec — fine for hashing real corpora, wrong for a
+      cross-engine oracle, hence never the default.
+    - ``"auto"``: pil if importable else pure — interactive
+      convenience; pin explicitly in pipelines (same caveat as
+      ``decode_images``).
+
+    Returns uint8 ndarray (h, w, channels) or ``None`` for
+    undecodable/non-image bytes."""
+    if backend not in ("auto", "pil", "pure"):
+        raise ValueError(f"unknown pixel backend {backend!r}")
+    if backend == "auto":
+        backend = "pil" if _pil_available() else "pure"
+    if backend == "pure" or b[:8] == _PNG_SIG:
+        return png_decode_pixels(b)
+    if not _pil_available():
+        raise ImportError(
+            "decode_image_pixels(backend='pil') requires PIL; install "
+            "it or use backend='pure' (PNG-only, codec-free)"
+        )
+    mime, w, h, _ch, _extra, ok = parse_media_header(b)
+    if not (mime or "").startswith("image/"):
+        return None
+    if ok and w and h and w * h > 16_000_000:  # same bound as PNG path
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(b))
+        if im.size[0] * im.size[1] > 16_000_000:
+            return None
+        im.load()
+        if im.mode not in ("L", "LA", "RGB", "RGBA"):
+            im = im.convert("RGB")
+    except Exception:
+        return None
+    arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 IMAGE_HASH_SCHEMA = (
     "id long, width int, height int, channels int, "
     "ahash string, dhash string, ok boolean"
@@ -778,14 +837,20 @@ IMAGE_HASH_SCHEMA = (
 
 
 def image_pixel_hashes(
-    df: DataFrame, content_col: str = "content", id_col: str = "id"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    backend: str = "pure",
 ) -> DataFrame:
     """(id, width, height, channels, ahash, dhash, ok) per blob via
-    REAL pixel decode (``png_decode_pixels``) — hashes as 16-hex-char
+    REAL pixel decode (``decode_image_pixels``) — hashes as 16-hex-char
     strings so the full unsigned 64-bit value survives every engine
-    (bigints sign-flip above 2^63).  Non-PNG/corrupt/null payloads →
-    ok=False with NULL hashes (including JPEG-tier formats whose pixel
-    decode is the repo's one documented stub).  Map-side Arrow batch
+    (bigints sign-flip above 2^63).  Undecodable/null payloads →
+    ok=False with NULL hashes; under the default ``backend="pure"``
+    that includes JPEG-tier formats (the documented codec stub), while
+    ``backend="pil"`` hashes them too where PIL is installed — the
+    integer luma → cell-mean → aHash/dHash grid is identical either
+    way, only the pixel source changes.  Map-side Arrow batch
     pipeline, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -798,9 +863,9 @@ def image_pixel_hashes(
                 px = None
                 if payload is not None:
                     try:
-                        px = png_decode_pixels(bytes(payload))
+                        px = decode_image_pixels(bytes(payload), backend)
                     except NotImplementedError:
-                        px = None  # JPEG-tier: honest stub → flagged row
+                        px = None  # pure backend JPEG-tier → flagged row
                 if px is None:
                     rows.append((i, 0, 0, 0, None, None, False))
                     continue
@@ -851,6 +916,7 @@ def image_phash_dedup(
     n_bands: int = 4,
     max_bucket_size: int = 200,
     probe_ahash: bool = False,
+    backend: str = "pure",
 ) -> DataFrame:
     """Near-duplicate image clustering: real pixel decode → dHash →
     banded LSH pairing → Hamming verify → connected components.
@@ -896,7 +962,9 @@ def image_phash_dedup(
     bounded pair sets, iterative join loop beyond)."""
     from . import graph
 
-    hashes = image_pixel_hashes(df, content_col, id_col).filter("ok")
+    hashes = image_pixel_hashes(df, content_col, id_col, backend).filter(
+        "ok"
+    )
     reps = hashes.groupBy("dhash").agg(
         F.min("id").alias("rep"),
         # deterministic aHash representative for the probe tier (two

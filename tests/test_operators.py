@@ -4576,6 +4576,69 @@ def test_png_decode_backend_equivalence(monkeypatch):
         assert (via_pil == pure).all(), cls
 
 
+def test_decode_image_pixels_backend_contract():
+    """r12: the JPEG-tier backend switch — 'pure' (default, what the
+    registry oracle runs) keeps the deterministic contract: PNG
+    decodes, JPEG raises the documented stub, junk is None; 'pil'
+    without PIL raises ImportError instead of silently degrading;
+    unknown backends are rejected; PNG routes through the shared
+    guarded path on EVERY backend."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    png = mm.png_encode(px)
+    jpeg = mm.build_png_blob(13)  # the fixture's minimal valid JPEG
+    for backend in ("pure",) + (("pil", "auto") if mm._pil_available() else ()):
+        assert (mm.decode_image_pixels(png, backend) == px).all(), backend
+    assert mm.decode_image_pixels(b"junk") is None
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image_pixels(jpeg, "pure")
+    with _pytest.raises(ValueError):
+        mm.decode_image_pixels(png, "turbo")
+    if not mm._pil_available():
+        with _pytest.raises(ImportError):
+            mm.decode_image_pixels(jpeg, "pil")
+        # auto degrades to pure in a PIL-less container
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image_pixels(jpeg, "auto")
+
+
+def test_image_pixel_hashes_pil_backend_jpeg(spark):
+    """r12: with PIL installed, backend='pil' hashes JPEG-tier blobs
+    through the same integer hash grid (ok=true, 16-hex hashes) while
+    the default 'pure' run flags the same rows ok=false.  Skipped in
+    PIL-less containers — there the pure contract above is the whole
+    story."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    if not mm._pil_available():
+        _pytest.skip("PIL not installed — JPEG tier stays the honest stub")
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = (np.indices((32, 32)).sum(0) * 4 % 256).astype(np.uint8)
+    Image.fromarray(arr, "L").save(buf, format="JPEG")
+    rows = [(1, buf.getvalue()), (2, mm.png_encode(
+        np.arange(27, dtype=np.uint8).reshape(3, 3, 3)))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    pure = {r["id"]: r["ok"] for r in mm.image_pixel_hashes(df).collect()}
+    assert pure == {1: False, 2: True}
+    pil = {
+        r["id"]: r
+        for r in mm.image_pixel_hashes(df, backend="pil").collect()
+    }
+    assert pil[1]["ok"] and len(pil[1]["dhash"]) == 16
+    assert pil[2]["ok"]
+
+
 def test_png_decode_malformed_and_stub():
     """r11: corrupt PNGs → None; interlaced → None (unsupported, not
     wrong); JPEG-tier formats → NotImplementedError (the documented
