@@ -154,6 +154,7 @@ HEADLINE = [
     "text_language_id_v2",
     "kn_surprisal_scores",
     "crawl_ingest_check",
+    "pii_scrub_corpus",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named
