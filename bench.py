@@ -155,6 +155,7 @@ HEADLINE = [
     "kn_surprisal_scores",
     "crawl_ingest_check",
     "pii_scrub_corpus",
+    "audio_pcm_feature_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -1174,3 +1174,211 @@ def attach_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col)).mapInPandas(
         run, "id long, content binary"
     )
+
+
+# --------------------------------------------------------------------------
+# codec-free REAL audio decode: WAV PCM16 samples → integer features
+# --------------------------------------------------------------------------
+#
+# The audio tier of the same discipline as the PNG decoder: PCM16 WAV
+# is a plain byte layout (RIFF chunk walk + little-endian samples), so
+# full sample decode is honest dependency-free work.  Float/compressed
+# WAV encodings (IEEE float, ADPCM, MP3-in-RIFF) raise
+# ``NotImplementedError`` — the same honest-stub contract as the
+# JPEG tier — and the DataFrame operator flags such rows ok=false.
+
+def wav_decode_samples(b: bytes):
+    """Full WAV PCM16 decode → ``(sample_rate, n_channels, int16
+    ndarray (n_frames, n_channels))``, or ``None`` for malformed /
+    non-WAV bytes.  Word-aligned RIFF chunk walk (odd-length chunks
+    carry a pad byte, spec §4); only ``fmt`` code 1 with 16-bit
+    samples decodes — other encodings raise ``NotImplementedError``
+    (entropy/float tiers, the documented stub).  A 200M-sample sanity
+    bound mirrors the image path's 16 MP guard."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        ln = int.from_bytes(b[pos + 4:pos + 8], "little")
+        chunk = b[pos + 8:pos + 8 + ln]
+        if len(chunk) < ln:
+            return None
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels == 0 or rate == 0:
+        return None
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV sample decode is codec-free only for PCM16 "
+            f"(fmt={audio_fmt}, bits={bits}); float/compressed tiers "
+            "need a codec (header metadata via decode_media_headers)"
+        )
+    n = len(data) // (2 * channels)
+    if n * channels > 200_000_000:
+        return None
+    arr = np.frombuffer(
+        data[: n * 2 * channels], dtype="<i2"
+    ).reshape(n, channels)
+    return rate, channels, arr
+
+
+def audio_pcm_metrics(arr) -> tuple:
+    """Integer feature tuple from a decoded (n_frames, channels) int16
+    array: ``(n_frames, peak, abs_sum, zero_crossings)``.  peak and
+    abs_sum over ALL interleaved samples (int64 math — |−32768| is
+    32768, which overflows int16); zero crossings on channel 0 with
+    the x ≥ 0 sign convention.  Shared by the DataFrame operator and
+    the registry's pinned-oracle generator, so the engine and the
+    oracle can only diverge by fixture definition, never by feature
+    arithmetic."""
+    import numpy as np
+
+    n = int(arr.shape[0])
+    if n == 0:
+        return 0, 0, 0, 0
+    wide = np.abs(arr.astype(np.int64))
+    c0 = arr[:, 0] >= 0
+    return (
+        n,
+        int(wide.max()),
+        int(wide.sum()),
+        int(np.count_nonzero(c0[1:] != c0[:-1])),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_ms long, peak int, abs_sum long, zero_crossings long, "
+    "ok boolean"
+)
+
+
+def audio_pcm_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, sample_rate, n_channels, n_frames, duration_ms, peak,
+    abs_sum, zero_crossings, ok) per blob via REAL sample decode
+    (``wav_decode_samples``) — the audio twin of
+    ``image_pixel_hashes``: all-integer features (floor-division
+    duration) so every engine pins the same values.  Non-PCM16 /
+    malformed / null payloads → ok=false with zeroed features.
+    Map-side Arrow batch pipeline, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                dec = None
+                if payload is not None:
+                    try:
+                        dec = wav_decode_samples(bytes(payload))
+                    except NotImplementedError:
+                        dec = None  # float/compressed tier → flagged
+                if dec is None:
+                    rows.append((i, 0, 0, 0, 0, 0, 0, 0, False))
+                    continue
+                rate, ch, arr = dec
+                n, peak, abs_sum, zc = audio_pcm_metrics(arr)
+                rows.append(
+                    (i, rate, ch, n, n * 1000 // rate, peak, abs_sum,
+                     zc, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "n_channels", "n_frames",
+                         "duration_ms", "peak", "abs_sum",
+                         "zero_crossings", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def _wav_fixture_samples(cls: int):
+    """Deterministic int16 waveform for fixture class ``cls`` (0-7):
+    integer sawtooth-ish sequences, 1 or 2 channels, class-dependent
+    rate/length — all arithmetic in exact ints so expected features
+    are pinnable constants."""
+    import numpy as np
+
+    n = 240 + 17 * cls
+    ch = 1 + (cls % 2)
+    rate = 8000 + 1000 * (cls % 3)
+    idx = np.arange(n * ch, dtype=np.int64)
+    x = (((idx * (3 + cls) + 7 * cls) % 401) - 200) * 150
+    return rate, ch, x.astype(np.int16).reshape(n, ch)
+
+
+def wav_encode(rate: int, arr) -> bytes:
+    """Minimal PCM16 WAV encoder — the fixture twin of
+    ``wav_decode_samples`` (round-trip pinned in pytest)."""
+    ch = int(arr.shape[1])
+    data = arr.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little")
+        + (rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def build_wav_blob(doc_id: int) -> bytes:
+    """REAL audio bytes for the sample-decode fixtures: a full valid
+    PCM16 WAV whose samples depend ONLY on ``doc_id % 8``, with two
+    planted failure modes mirroring ``build_png_blob`` — ids divisible
+    by 17 truncate the stream mid-data (malformed → ok=false), ids
+    divisible by 13 get an IEEE-float WAV (the documented non-PCM16
+    stub → ok=false)."""
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        fmt = (
+            (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (4).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        )
+        body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+    rate, _ch, arr = _wav_fixture_samples(doc_id % 8)
+    blob = wav_encode(rate, arr)
+    if doc_id % 17 == 0:
+        return blob[:30]  # truncated mid-fmt → malformed
+    return blob
+
+
+def attach_wav_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with REAL deterministic WAV bytes per id — the
+    audio sibling of ``attach_png_blob``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [build_wav_blob(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )

@@ -6518,6 +6518,66 @@ def _justext_oracles() -> None:
 _justext_oracles()
 
 
+def _wav_pinned_oracle() -> str:
+    rows = {}
+    for cls in range(8):
+        rate, ch, arr = multimodal._wav_fixture_samples(cls)
+        r2, c2, dec = multimodal.wav_decode_samples(
+            multimodal.wav_encode(rate, arr)
+        )
+        n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(dec)
+        rows[cls] = (r2, c2, n, n * 1000 // r2, peak, abs_sum, zc)
+
+    def case(i):
+        return " ".join(
+            "WHEN doc_id %% 8 = %d THEN %d" % (c, v[i])
+            for c, v in rows.items()
+        )
+
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(0)} END)
+               END AS INTEGER) AS sample_rate,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(1)} END)
+               END AS INTEGER) AS n_channels,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(2)} END)
+               END AS BIGINT) AS n_frames,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(3)} END)
+               END AS BIGINT) AS duration_ms,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(4)} END)
+               END AS INTEGER) AS peak,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(5)} END)
+               END AS BIGINT) AS abs_sum,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(6)} END)
+               END AS BIGINT) AS zero_crossings,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def audio_pcm_feature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM16 sample decode (operators/multimodal.py
+    ``wav_decode_samples``: word-aligned RIFF chunk walk + LE int16
+    frames) feeding all-integer audio features
+    (``audio_pcm_metrics``: peak/abs-sum over all samples, channel-0
+    zero crossings, floor-division duration).  Fixtures are full
+    valid WAVs whose samples depend only on doc_id %% 8, with the two
+    planted failure modes mirroring the image fixtures: %% 17
+    truncates mid-fmt (malformed → ok=false), %% 13 plants an
+    IEEE-float WAV (the documented non-PCM16 stub → ok=false).  The
+    oracle pins the 8 expected feature tuples, computed driver-side
+    from the same fixture definitions through the same decode +
+    metric functions the executors run."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_pcm_features(multimodal.attach_wav_blob(docs))
+
+
+QUERIES["audio_pcm_feature_check"] = audio_pcm_feature_check
+ORACLES["audio_pcm_feature_check"] = _wav_pinned_oracle()
+
+
 _PII_TAILS = (
     " contact alice.b+spam@sub.mail-host.org today",
     " from 192.168.0.1 to 10.255.3.77",

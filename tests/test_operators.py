@@ -4862,6 +4862,64 @@ def test_image_phash_dedup_ahash_probe_recall(spark):
     assert probed == {1: 1, 2: 1}
 
 
+def test_wav_pcm_decode_and_features(spark):
+    """r12: real WAV PCM16 sample decode — bit-exact encode/decode
+    round-trip across all 8 fixture classes (mono + stereo, three
+    rates), hand-checked integer features (incl. the |−32768| = 32768
+    int64 edge and the x ≥ 0 zero-crossing convention), word-aligned
+    odd-length chunk walk, and the operator's planted failure modes
+    (truncated → ok=false, IEEE-float → the documented stub)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    for cls in range(8):
+        rate, ch, arr = mm._wav_fixture_samples(cls)
+        r2, c2, dec = mm.wav_decode_samples(mm.wav_encode(rate, arr))
+        assert (r2, c2) == (rate, ch) and (dec == arr).all(), cls
+
+    # hand-computed features: [-32768, 0, 1, -1] → peak 32768 (int64,
+    # would overflow int16 abs), abs_sum 32770, crossings at 0→0? the
+    # x>=0 convention: signs are [F,T,T,F] → 2 flips
+    arr = np.array([[-32768], [0], [1], [-1]], dtype=np.int16)
+    assert mm.audio_pcm_metrics(arr) == (4, 32768, 32770, 2)
+    # empty data chunk
+    assert mm.audio_pcm_metrics(np.zeros((0, 2), np.int16)) == (0, 0, 0, 0)
+
+    # odd-length chunk before data must be pad-byte aligned (RIFF §4)
+    rate, _, arr = mm._wav_fixture_samples(0)
+    blob = mm.wav_encode(rate, arr)
+    odd = (blob[:12] + b"junk" + (3).to_bytes(4, "little") + b"abc\x00"
+           + blob[12:])
+    odd = b"RIFF" + (len(odd) - 8).to_bytes(4, "little") + odd[8:]
+    r2, c2, dec = mm.wav_decode_samples(odd)
+    assert (dec == arr).all()
+
+    with _pytest.raises(NotImplementedError):
+        mm.wav_decode_samples(mm.build_wav_blob(13))   # IEEE float
+    assert mm.wav_decode_samples(mm.build_wav_blob(17)) is None
+    assert mm.wav_decode_samples(b"RIFFxxxxJUNK") is None
+    assert mm.wav_decode_samples(b"not audio") is None
+
+    # operator end-to-end: good rows carry exact features, planted
+    # failures flag ok=false with zeroed features
+    df = spark.createDataFrame([(i,) for i in (1, 13, 17, 2)], "doc_id long")
+    got = {
+        r["id"]: r
+        for r in mm.audio_pcm_features(mm.attach_wav_blob(df)).collect()
+    }
+    r1, c1, a1 = mm._wav_fixture_samples(1)
+    n, peak, abs_sum, zc = mm.audio_pcm_metrics(a1)
+    assert (got[1]["sample_rate"], got[1]["n_channels"]) == (r1, c1)
+    assert (got[1]["n_frames"], got[1]["peak"], got[1]["abs_sum"],
+            got[1]["zero_crossings"]) == (n, peak, abs_sum, zc)
+    assert got[1]["duration_ms"] == n * 1000 // r1
+    assert got[1]["ok"] and got[2]["ok"]
+    assert not got[13]["ok"] and not got[17]["ok"]
+    assert got[13]["abs_sum"] == 0
+
+
 def test_png_fixture_margins():
     """r11: the dedup fixture contract the registry oracle rests on —
     every noisy variant within the threshold of its base with the
