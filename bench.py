@@ -156,6 +156,7 @@ HEADLINE = [
     "crawl_ingest_check",
     "pii_scrub_corpus",
     "audio_pcm_feature_check",
+    "audio_hash_dedup_clusters",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

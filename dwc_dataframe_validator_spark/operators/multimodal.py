@@ -960,23 +960,49 @@ def image_phash_dedup(
     copies of one blank image are one node, not a capped bucket.
     Components use the scale-adaptive closure (driver union-find on
     bounded pair sets, iterative join loop beyond)."""
-    from . import graph
-
     hashes = image_pixel_hashes(df, content_col, id_col, backend).filter(
         "ok"
     )
-    reps = hashes.groupBy("dhash").agg(
-        F.min("id").alias("rep"),
-        # deterministic aHash representative for the probe tier (two
-        # images can share a dHash yet differ in aHash)
-        F.min("ahash").alias("_ah"),
+    return _hash_cluster(
+        hashes.select("id", "dhash", "ahash"),
+        "dhash",
+        threshold=threshold,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+        probe_col="ahash" if probe_ahash else None,
     )
-    probe_cols = list(hash_hex_bands(F.col("dhash"), n_bands))
-    if probe_ahash:
-        # offset indexes keep aHash buckets disjoint from dHash ones
-        probe_cols += list(hash_hex_bands(F.col("_ah"), n_bands))
+
+
+def _hash_cluster(
+    hashes: DataFrame,
+    hash_col: str,
+    threshold: int,
+    n_bands: int,
+    max_bucket_size: int,
+    probe_col: str | None = None,
+) -> DataFrame:
+    """Generic 64-bit perceptual-hash clustering core shared by the
+    image and audio dedup operators: exact-hash collapse FIRST (LSH
+    nodes = |distinct hashes|, each represented by its min id) →
+    banded pairing over ``hash_col`` (plus the optional second probe
+    family on ``probe_col``, under offset band indexes so the two
+    families never cross-match) → Catalyst Hamming ≤ ``threshold``
+    verify on ``hash_col`` → scale-adaptive connected components.
+    Input: (id, <hash_col>[, <probe_col>]) with 16-hex-char hashes;
+    output: (id, cluster = global min id of the merged class)."""
+    from . import graph
+
+    agg = [F.min("id").alias("rep")]
+    if probe_col:
+        # deterministic probe representative (two inputs can share
+        # hash_col yet differ in the probe hash)
+        agg.append(F.min(probe_col).alias("_ph"))
+    reps = hashes.groupBy(hash_col).agg(*agg)
+    probe_cols = list(hash_hex_bands(F.col(hash_col), n_bands))
+    if probe_col:
+        probe_cols += list(hash_hex_bands(F.col("_ph"), n_bands))
     bands = reps.select(
-        "rep", "dhash",
+        "rep", hash_col,
         F.posexplode(F.array(*probe_cols)).alias("band_idx", "band_val"),
     )
     w = Window.partitionBy("band_idx", "band_val").orderBy("rep")
@@ -998,8 +1024,8 @@ def image_phash_dedup(
         .select(
             F.col("a.rep").alias("ida"),
             F.col("b.rep").alias("idb"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
         )
         .distinct()
         .filter(hamming64(F.col("ha"), F.col("hb")) <= threshold)
@@ -1009,11 +1035,12 @@ def image_phash_dedup(
     rep_cluster = reps.join(
         comps.withColumnRenamed("node", "rep"), "rep", "left"
     ).select(
-        "dhash", F.coalesce(F.col("cluster"), F.col("rep")).alias("cluster")
+        hash_col,
+        F.coalesce(F.col("cluster"), F.col("rep")).alias("cluster"),
     )
     # rep = min id of its hash group and cluster = min rep of the
     # component, so cluster is the GLOBAL min id of the merged class
-    return hashes.select("id", "dhash").join(rep_cluster, "dhash").select(
+    return hashes.select("id", hash_col).join(rep_cluster, hash_col).select(
         "id", "cluster"
     )
 
@@ -1376,6 +1403,167 @@ def attach_wav_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "id": pdf[id_col],
                     "content": [build_wav_blob(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# audio near-dup dedup: envelope hash over decoded PCM → shared LSH core
+# --------------------------------------------------------------------------
+
+def audio_envelope_hash(arr) -> int:
+    """64-bit energy-envelope hash of a decoded (n_frames, channels)
+    int16 array — the audio twin of ``image_ahash``: channel-0 |x|
+    means over 64 floor-boundary windows, bit = window mean ≥ integer
+    mean of the 64 window means, MSB first.  Integer arithmetic only,
+    so the bits are platform- and engine-identical.  Fewer than 64
+    frames → nearest-frame sampling (the ``_cell_means`` convention);
+    zero frames → 0."""
+    import numpy as np
+
+    x = np.abs(arr[:, 0].astype(np.int64))
+    n = int(x.shape[0])
+    if n == 0:
+        return 0
+    if n < 64:
+        win = [int(x[(i * n) // 64]) for i in range(64)]
+    else:
+        b = [(i * n) // 64 for i in range(65)]
+        win = [int(x[b[i]:b[i + 1]].sum()) // (b[i + 1] - b[i])
+               for i in range(64)]
+    mean = sum(win) // 64
+    v = 0
+    for wv in win:
+        v = (v << 1) | (1 if wv >= mean else 0)
+    return v
+
+
+AUDIO_HASH_SCHEMA = (
+    "id long, sample_rate int, n_frames long, ehash string, ok boolean"
+)
+
+
+def audio_envelope_hashes(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, sample_rate, n_frames, ehash, ok) per blob via REAL PCM16
+    decode — hash as a 16-hex-char string (same carrier convention as
+    the image hashes).  Non-PCM16/malformed/null payloads → ok=false
+    with NULL hash.  Map-side Arrow batch pipeline, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                dec = None
+                if payload is not None:
+                    try:
+                        dec = wav_decode_samples(bytes(payload))
+                    except NotImplementedError:
+                        dec = None
+                if dec is None:
+                    rows.append((i, 0, 0, None, False))
+                    continue
+                rate, _ch, arr = dec
+                rows.append(
+                    (i, rate, int(arr.shape[0]),
+                     format(audio_envelope_hash(arr), "016x"), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "n_frames", "ehash", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, AUDIO_HASH_SCHEMA
+    )
+
+
+def audio_hash_dedup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    threshold: int = 6,
+    n_bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate AUDIO clustering — re-encoded/trimmed-tail
+    copies of the same clip share their energy envelope: real PCM
+    decode → envelope hash → the SAME exact-collapse-first banded-LSH
+    core as the image dedup (``_hash_cluster``), so every scale
+    property (distinct-hash node count, capped buckets, Catalyst
+    Hamming verify, min-id cluster labels) carries over verbatim.
+    Returns (id, cluster) for every DECODABLE clip; undecodable rows
+    are dropped (route them through exact byte-hash dedup)."""
+    hashes = audio_envelope_hashes(df, content_col, id_col).filter("ok")
+    return _hash_cluster(
+        hashes.select("id", "ehash"),
+        "ehash",
+        threshold=threshold,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def _wav_dedup_pattern(cls: int) -> int:
+    """64-bit envelope pattern for dedup fixture class ``cls`` (0-7):
+    md5-derived constants, pairwise Hamming ≥ 25 (pinned by pytest) —
+    the audio analogue of the image fixtures' searched margins."""
+    return int.from_bytes(
+        hashlib.md5(b"audio-fixture-%d" % (cls % 8)).digest()[:8], "big"
+    )
+
+
+#: low-band perturbation for the near-dup variants: 3 bits inside the
+#: LAST 16-bit band (bits 1, 5, 9), so band-0..2 equality guarantees
+#: LSH recall while Hamming distance stays 3 ≤ threshold
+_WAV_DEDUP_FLIP = 0x0000000000000222
+
+
+def _wav_dedup_samples(cls: int):
+    """Deterministic PCM16 waveform realizing envelope pattern
+    ``_wav_dedup_pattern(cls % 8)`` (classes 8-15 = the low-band
+    perturbed variants): window i of 16 frames holds alternating
+    ±30000 for a 1-bit, ±100 for a 0-bit.  Window means land exactly
+    on {100, 30000}; the 64-window integer mean sits in [11k, 19k]
+    for every popcount this fixture family can produce, so each bit
+    decision carries a ≥ 11k margin and the decoded hash equals the
+    pattern bit-for-bit."""
+    import numpy as np
+
+    pat = _wav_dedup_pattern(cls % 8)
+    if cls % 16 >= 8:
+        pat ^= _WAV_DEDUP_FLIP
+    amp = np.empty(1024, dtype=np.int64)
+    for i in range(64):
+        a = 30000 if (pat >> (63 - i)) & 1 else 100
+        amp[i * 16:(i + 1) * 16] = a
+    sign = np.where(np.arange(1024) % 2 == 0, 1, -1)
+    return 8000, 1, (amp * sign).astype(np.int16).reshape(1024, 1)
+
+
+def build_wav_dedup_blob(doc_id: int) -> bytes:
+    """REAL audio bytes for the dedup fixtures: class = doc_id % 16
+    (8 base envelopes + their perturbed variants)."""
+    rate, _ch, arr = _wav_dedup_samples(doc_id % 16)
+    return wav_encode(rate, arr)
+
+
+def attach_wav_dedup_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the dedup-fixture WAVs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_wav_dedup_blob(int(i)) for i in pdf[id_col]
+                    ],
                 }
             )
 

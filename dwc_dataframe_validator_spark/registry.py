@@ -6578,6 +6578,38 @@ QUERIES["audio_pcm_feature_check"] = audio_pcm_feature_check
 ORACLES["audio_pcm_feature_check"] = _wav_pinned_oracle()
 
 
+def audio_hash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO dedup end-to-end (operators/multimodal.py
+    ``audio_hash_dedup``): real PCM16 decode → 64-window energy-
+    envelope hash → the shared exact-collapse-first banded-LSH core →
+    Hamming ≤ 6 verify → components, summarized as (cluster,
+    n_members).  Fixture classes are md5-derived envelope patterns
+    pairwise ≥ 25 bits apart, each with a 3-bit LAST-BAND perturbed
+    variant (recall guaranteed by band equality; no false merges
+    possible at distance ≥ 22) — so the expected clustering is
+    exactly the 8 base-pattern classes, stated independently by the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.audio_hash_dedup(
+        multimodal.attach_wav_dedup_blob(docs), "content", "id"
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+QUERIES["audio_hash_dedup_clusters"] = audio_hash_dedup_clusters
+
+ORACLES["audio_hash_dedup_clusters"] = """
+    WITH m AS (
+      SELECT doc_id, CAST(doc_id % 16 AS INTEGER) % 8 AS cls
+      FROM documents)
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM m GROUP BY cls
+"""
+
+
 _PII_TAILS = (
     " contact alice.b+spam@sub.mail-host.org today",
     " from 192.168.0.1 to 10.255.3.77",

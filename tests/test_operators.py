@@ -4920,6 +4920,44 @@ def test_wav_pcm_decode_and_features(spark):
     assert got[13]["abs_sum"] == 0
 
 
+def test_audio_hash_dedup_clusters(spark):
+    """r12: audio near-dup dedup end-to-end — the fixture margin
+    contract (pairwise base-pattern Hamming ≥ 25; each variant exactly
+    3 bits from its base, confined to the LAST band so banded-LSH
+    recall is guaranteed), decoded-hash == pattern, and the expected
+    min-id clustering with exact dups, a near-dup variant, and an
+    undecodable row dropped."""
+    import itertools
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    pats = [mm._wav_dedup_pattern(c) for c in range(8)]
+    assert min(
+        bin(a ^ b).count("1") for a, b in itertools.combinations(pats, 2)
+    ) >= 25
+    for c in range(8):
+        v = pats[c] ^ mm._WAV_DEDUP_FLIP
+        assert bin(pats[c] ^ v).count("1") == 3
+        assert (pats[c] >> 16) == (v >> 16)  # last band only
+        _, _, arr = mm._wav_dedup_samples(c)
+        assert mm.audio_envelope_hash(arr) == pats[c]
+
+    def blob(cls):
+        return mm.build_wav_dedup_blob(cls)
+
+    rows = [
+        (1, blob(2)), (2, blob(2)),   # exact dups (class 2)
+        (3, blob(10)),                # class 2's perturbed variant
+        (4, blob(5)),                 # different class -> singleton
+        (5, b"not audio"),            # undecodable -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r["id"]: r["cluster"] for r in mm.audio_hash_dedup(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 def test_png_fixture_margins():
     """r11: the dedup fixture contract the registry oracle rests on —
     every noisy variant within the threshold of its base with the
