@@ -154,7 +154,6 @@ HEADLINE = [
     "text_language_id_v2",
     "kn_surprisal_scores",
     "crawl_ingest_check",
-    "pii_scrub_corpus",
     "audio_pcm_feature_check",
     "audio_hash_dedup_clusters",
 ]

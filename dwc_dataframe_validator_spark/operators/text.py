@@ -1433,60 +1433,6 @@ def boilerplate_lines(
     )
 
 
-#: PII detection patterns in the RE2 ∩ Java intersection (no
-#: lookaround, ASCII \d in both engines, \b supported by both) —
-#: applied IN THIS ORDER, each replacement feeding the next, so the
-#: DuckDB twin replays the sequence with nested CTEs.  Replacement
-#: tokens contain no digits or '@', so a later pattern can never
-#: match inside an earlier redaction.
-PII_PATTERNS = (
-    (
-        "email",
-        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}",
-        "<EMAIL>",
-    ),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (
-        "phone",
-        r"\+\d{9,15}\b|\(\d{3}\)[ ]?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b",
-        "<PHONE>",
-    ),
-)
-
-
-def pii_scrub(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """PII redaction — the BigScience/ROOTS-style curation step every
-    published pretraining pipeline applies before release: emails,
-    IPv4 literals and phone numbers (international +digits, US
-    (xxx) xxx-xxxx and xxx-xxx-xxxx forms) replaced by typed tokens,
-    with per-class match counts for the removal dashboard.
-
-    Returns ``(id_col, text_col scrubbed, n_email, n_ipv4, n_phone)``
-    — NULL text stays NULL with zero counts.  Patterns apply in the
-    fixed ``PII_PATTERNS`` order, each count measured on the text as
-    the previous replacements left it (the sequence is the contract:
-    an email's host can contain digits-and-dots that the IP rule
-    would otherwise double-count).  Idempotent: tokens contain
-    nothing any pattern matches, so a second pass is a no-op.
-
-    ONE map-side projection (three regexp_count + three
-    regexp_replace in whole-stage codegen) — scan-speed at 100 TB,
-    like the Gopher/C4 rules; the DuckDB oracle replays every pattern
-    byte-for-byte from this table."""
-    cur = F.col(text_col)
-    counts = []
-    for name, pat, rep in PII_PATTERNS:
-        counts.append(
-            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
-            .cast("long")
-            .alias(f"n_{name}")
-        )
-        cur = F.regexp_replace(cur, pat, rep)
-    return df.select(F.col(id_col), cur.alias(text_col), *counts)
-
-
 def scrub_boilerplate_lines(
     df: DataFrame,
     min_doc_freq: int = 2,

@@ -6610,68 +6610,6 @@ ORACLES["audio_hash_dedup_clusters"] = """
 """
 
 
-_PII_TAILS = (
-    " contact alice.b+spam@sub.mail-host.org today",
-    " from 192.168.0.1 to 10.255.3.77",
-    " call +14155550123 or 415-555-0123 or (212) 555-0188",
-)
-
-
-def pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction (operators/text.py ``pii_scrub``): emails, IPv4
-    literals and phone numbers replaced by typed tokens with per-class
-    counts, sequential-pattern semantics.  A doc_id%4 rotation plants
-    one tail per PII class (the fourth arm is PII-free control) so
-    every pattern — incl. all three phone alternates — fires on
-    driver data; the oracle replays the tails AND the patterns from
-    the same literal tables."""
-    d = F.col("doc_id")
-    planted = (
-        F.when(d % 4 == 0, F.concat(F.col("text"), F.lit(_PII_TAILS[0])))
-        .when(d % 4 == 1, F.concat(F.col("text"), F.lit(_PII_TAILS[1])))
-        .when(d % 4 == 2, F.concat(F.col("text"), F.lit(_PII_TAILS[2])))
-        .otherwise(F.col("text"))
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", planted.alias("text")
-    )
-    return text.pii_scrub(docs)
-
-
-QUERIES["pii_scrub_corpus"] = pii_scrub_corpus
-
-
-def _pii_oracle() -> str:
-    from .operators.text import PII_PATTERNS
-
-    stages, prev = [], "p"
-    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
-        stages.append(
-            f"s{i} AS (SELECT doc_id, "
-            f"CAST(coalesce(len(regexp_extract_all(text, '{pat}')), 0) "
-            f"AS BIGINT) AS n_{name}, "
-            + ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS[:i])
-            + (", " if i else "")
-            + f"regexp_replace(text, '{pat}', '{rep}', 'g') AS text "
-            f"FROM {prev})"
-        )
-        prev = f"s{i}"
-    cols = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
-    return f"""
-        WITH p AS (
-          SELECT doc_id,
-            CASE CAST(doc_id % 4 AS INTEGER)
-              WHEN 0 THEN text || '{_PII_TAILS[0]}'
-              WHEN 1 THEN text || '{_PII_TAILS[1]}'
-              WHEN 2 THEN text || '{_PII_TAILS[2]}'
-              ELSE text END AS text
-          FROM documents),
-        {", ".join(stages)}
-        SELECT doc_id, text, {cols} FROM {prev}
-    """
-
-
-ORACLES["pii_scrub_corpus"] = _pii_oracle()
 
 
 # Driver-window rotation (round 12): move this round's newly pinned
