@@ -156,6 +156,7 @@ HEADLINE = [
     "crawl_ingest_check",
     "audio_pcm_feature_check",
     "audio_hash_dedup_clusters",
+    "sentence_stats_docs",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -788,6 +788,67 @@ def tfidf_top_terms(
     )
 
 
+#: terminal-punctuated sentence run — RE2 ∩ Java (no lookaround); a
+#: trailing unterminated fragment is handled separately (see
+#: ``sentence_stats``).  Deliberately the deterministic tier:
+#: abbreviation-aware splitting ("Dr. Smith") needs a model; this is
+#: the cross-engine-exact signal the quality rules consume.
+SENTENCE_RE = r"[^.!?]+[.!?]+"
+#: anchored prefix of terminated sentences — what remains after
+#: replacing it once is the unterminated trailer
+_SENTENCE_PREFIX_RE = r"^(?:[^.!?]+[.!?]+)*"
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence segmentation stats — the sentence-level
+    quality signals (C4's ≥3-sentence page rule, mean/max words per
+    sentence) on the exact integer grid.
+
+    A sentence = a maximal ``[^.!?]+[.!?]+`` run; a non-empty
+    unterminated trailer counts as one final sentence (so
+    ``n_terminated ≤ n_sentences ≤ n_terminated + 1``).  Returns
+    ``(id_col, n_sentences, n_terminated, total_words,
+    mean_sentence_words, max_sentence_words)`` — words are
+    ``PORTABLE_NONWS`` runs, the mean is integer floor division, and
+    NULL/empty text yields all-zero counts with NULL mean/max.
+
+    ONE map-side projection (regexp array + higher-order transform /
+    aggregate — no explode, no shuffle, scan-speed at 100 TB); the
+    DuckDB oracle replays the split with the same two regexes and
+    ``list_transform``/``list_aggregate``."""
+    t = F.col(text_col)
+    words = lambda s: F.size(  # noqa: E731
+        F.regexp_extract_all(s, F.lit(PORTABLE_NONWS + "+"), 0)
+    )
+    sents = F.regexp_extract_all(t, F.lit(SENTENCE_RE), 0)
+    trailer = F.regexp_replace(t, _SENTENCE_PREFIX_RE, "")
+    all_sents = F.when(
+        F.length(F.trim(trailer)) > 0,
+        F.concat(sents, F.array(trailer)),
+    ).otherwise(sents)
+    wc = F.transform(all_sents, words)
+    n = F.coalesce(F.size(all_sents), F.lit(0))
+    total = F.coalesce(
+        F.aggregate(wc, F.lit(0), lambda a, x: a + x), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_sentences"),
+        F.coalesce(F.size(sents), F.lit(0)).cast("long").alias(
+            "n_terminated"
+        ),
+        total.cast("long").alias("total_words"),
+        F.when(n > 0, (total / n).cast("long")).alias(
+            "mean_sentence_words"
+        ),
+        F.when(n > 0, F.array_max(wc).cast("long")).alias(
+            "max_sentence_words"
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int,

@@ -6612,6 +6612,50 @@ ORACLES["audio_hash_dedup_clusters"] = """
 
 
 
+def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (operators/text.py
+    ``sentence_stats``): terminal-punctuated runs plus the
+    unterminated trailer, per-doc counts and integer mean/max words
+    per sentence — the deterministic sentence-level quality signals
+    (C4's ≥3-sentence rule's substrate).  One map-side projection;
+    the oracle replays the two regexes and the list aggregation."""
+    return text.sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["sentence_stats_docs"] = sentence_stats_docs
+
+ORACLES["sentence_stats_docs"] = """
+    WITH s AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
+             regexp_replace(text, '^([^.!?]+[.!?]+)*', '') AS trailer
+      FROM documents),
+    a AS (
+      SELECT doc_id, coalesce(len(sents), 0) AS n_term,
+             CASE WHEN length(trim(trailer)) > 0
+                  THEN list_append(sents, trailer) ELSE sents END AS alls
+      FROM s),
+    w AS (
+      SELECT doc_id, n_term, coalesce(len(alls), 0) AS n,
+             list_transform(
+               alls,
+               x -> len(regexp_extract_all(x, '{nonws}+'))) AS wc
+      FROM a)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_sentences,
+           CAST(n_term AS BIGINT) AS n_terminated,
+           CAST(coalesce(list_aggregate(wc, 'sum'), 0) AS BIGINT)
+             AS total_words,
+           CASE WHEN n > 0 THEN
+             CAST(coalesce(list_aggregate(wc, 'sum'), 0) // n AS BIGINT)
+           END AS mean_sentence_words,
+           CASE WHEN n > 0 THEN
+             CAST(list_aggregate(wc, 'max') AS BIGINT)
+           END AS max_sentence_words
+    FROM w
+""".replace("{nonws}", text.PORTABLE_NONWS)
+
+
 # Driver-window rotation (round 12): move this round's newly pinned
 # operators into the first-50 verified window — registry order is
 # append-only by policy EXCEPT this deliberate block, which the

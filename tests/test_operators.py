@@ -2046,6 +2046,37 @@ def test_pii_scrub_idempotent_and_map_side(spark):
     assert "Exchange" not in plan
 
 
+def test_sentence_stats_semantics(spark):
+    """r12: sentence segmentation — terminated runs, the unterminated
+    trailer counting as a final sentence, multi-terminal runs staying
+    one sentence, integer mean (floor), NULL/empty zeroing, and the
+    exchange-free plan."""
+    from dwc_dataframe_validator_spark.operators.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four five! Six"),
+            (2, "Wow!!! Ok then."),
+            (3, "no terminal punctuation at all"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in sentence_stats(df).collect()}
+    # doc 1: "One two." (2w) + " Three four five!" (3w) + trailer
+    # " Six" (1w) → 3 sentences, 2 terminated, 6 words, mean 2, max 3
+    assert got[1] == (3, 2, 6, 2, 3)
+    # doc 2: "Wow!!!" is ONE sentence; mean = floor(3/2) = 1
+    assert got[2] == (2, 2, 3, 1, 2)
+    assert got[3] == (1, 0, 5, 5, 5)      # trailer-only document
+    assert got[4] == (0, 0, 0, None, None)
+    assert got[5] == (0, 0, 0, None, None)
+
+    plan = sentence_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_kneser_ney_surprisal_hand_computed(spark):
     """r12: interpolated KN bigram scoring against a hand-computed
     corpus on the exact integer grid.  Corpus bigrams: (a,b):3,
