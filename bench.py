@@ -157,6 +157,7 @@ HEADLINE = [
     "audio_pcm_feature_check",
     "audio_hash_dedup_clusters",
     "sentence_stats_docs",
+    "gif_pixel_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

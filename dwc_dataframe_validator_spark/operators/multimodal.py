@@ -797,6 +797,9 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
         raise ValueError(f"unknown pixel backend {backend!r}")
     if backend == "auto":
         backend = "pil" if _pil_available() else "pure"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF is LZW dictionary coding — codec-free on every backend
+        return gif_decode_pixels(b)
     if backend == "pure" or b[:8] == _PNG_SIG:
         return png_decode_pixels(b)
     if not _pil_available():
@@ -1564,6 +1567,298 @@ def attach_wav_dedup_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "content": [
                         build_wav_dedup_blob(int(i)) for i in pdf[id_col]
                     ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# codec-free REAL GIF decode: hand-rolled LZW → palette RGB
+# --------------------------------------------------------------------------
+#
+# GIF is LZW dictionary coding — deterministic table growth, no
+# entropy coding — so, like PNG's deflate and WAV's PCM, full pixel
+# decode is honest dependency-free work.  With this tier the ONLY
+# remaining pixel stub is JPEG-class DCT+Huffman.
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW: variable code width (min+1 up to 12 bits,
+    LSB-first bit packing), CLEAR resets the table, END terminates.
+    Returns a list of palette indexes or ``None`` on a malformed
+    stream."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list = []
+    table: list = []
+    width = min_code_size + 1
+    prev = None
+    bitbuf = bitcnt = pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [(i,) for i in range(1 << min_code_size)] + [None, None]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        while bitcnt < width:
+            if pos >= len(data):
+                return None  # ran dry before END
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(table[prev] + (entry[0],))
+        elif code == len(table):
+            entry = table[prev] + (table[prev][0],)
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        # early-change synchronization: the decoder's table lags the
+        # encoder's by one entry, so it grows width at 2^width while
+        # the encoder grows at 2^width + 1
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = code
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+def _lzw_encode(indexes, min_code_size: int) -> bytes:
+    """Standard GIF LZW encoder — the fixture twin of ``_lzw_decode``
+    (round-trip pinned in pytest; real dictionary growth so the
+    decoder's table/width handling is exercised, not just literals)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(1 << min_code_size)}
+    next_code = end + 1
+    width = min_code_size + 1
+    outbits = []
+
+    def emit(code):
+        outbits.append((code, width))
+
+    emit(clear)
+    seq: tuple = ()
+    for px in indexes:
+        cand = seq + (int(px),)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(1 << min_code_size)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (int(px),)
+    if seq:
+        emit(table[seq])
+    emit(end)
+    buf = bitcnt = 0
+    by = bytearray()
+    for code, w in outbits:
+        buf |= code << bitcnt
+        bitcnt += w
+        while bitcnt >= 8:
+            by.append(buf & 0xFF)
+            buf >>= 8
+            bitcnt -= 8
+    if bitcnt:
+        by.append(buf & 0xFF)
+    return bytes(by)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode_pixels(b: bytes):
+    """Full GIF pixel decode → uint8 ndarray (h, w, 3) RGB via the
+    global/local color table, or ``None`` for malformed input.  First
+    image block only (an animated GIF yields its first frame);
+    interlaced images are de-interlaced per the four-pass schedule;
+    extensions are skipped.  Same 16 MP bound as the PNG path."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w = int.from_bytes(b[pos + 5:pos + 7], "little")
+            h = int.from_bytes(b[pos + 7:pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = b[pos:pos + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0 or w * h > 16_000_000:
+                return None
+            if pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), mcs, w * h)
+            if idx is None:
+                return None
+            arr = np.array(idx, dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:  # de-interlace
+                src = np.empty_like(arr)
+                rows = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)
+                ]
+                src[rows] = arr[range(h)]
+                arr = src
+            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            if int(arr.max()) >= len(palette):
+                return None
+            # GIF frames can be smaller than the logical screen; the
+            # frame is the image (sw/sh only bound-checked)
+            del sw, sh
+            return palette[arr]
+        elif blk == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def gif_encode(idx, palette: bytes, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder (global color table, one image block,
+    real LZW) — the fixture twin of ``gif_decode_pixels``."""
+    import numpy as np
+
+    h, w = idx.shape[0], idx.shape[1]
+    n_colors = len(palette) // 3
+    depth = max(1, (n_colors - 1).bit_length())
+    table_n = 1 << depth
+    pal = palette + b"\x00" * (3 * (table_n - n_colors))
+    mcs = max(2, depth)
+    flat = idx.reshape(h, w)
+    if interlace:
+        order = [
+            r
+            for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, h, step)
+        ]
+        flat = flat[order]
+    data = _lzw_encode(flat.reshape(-1).tolist(), mcs)
+    sub = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])
+        + pal
+        + b"\x2C" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+        + bytes([mcs]) + bytes(sub)
+        + b"\x3B"
+    )
+
+
+def _gif_fixture_frame(cls: int):
+    """Deterministic 16×16 16-color index frame + 48-byte palette for
+    fixture class ``cls`` (0-11) — pure integer arithmetic so the
+    expected hashes are pinnable constants."""
+    import numpy as np
+
+    idx = (
+        np.add.outer(
+            np.arange(16, dtype=np.int64) * (cls + 2),
+            np.arange(16, dtype=np.int64) * (2 * cls + 3),
+        )
+        % 16
+    ).astype(np.uint8)
+    pal = bytes(
+        ((np.arange(48, dtype=np.int64) * (7 + cls) + 13 * cls) % 256)
+        .astype(np.uint8)
+    )
+    return idx, pal
+
+
+def build_gif_blob(doc_id: int) -> bytes:
+    """REAL GIF bytes for the LZW-decode fixtures: frame depends only
+    on ``doc_id % 12``; odd ids encode INTERLACED (same pixels, so
+    the expected hashes are identical — both deinterlace paths run at
+    corpus scale).  Failure plants mirror ``build_png_blob``: %% 17
+    truncates inside the palette (malformed → ok=false), %% 13 plants
+    a JPEG (the remaining codec stub → ok=false)."""
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        sof = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+               + b"\x01\x11\x00")
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+    idx, pal = _gif_fixture_frame(doc_id % 12)
+    blob = gif_encode(idx, pal, interlace=bool(doc_id % 2))
+    if doc_id % 17 == 0:
+        return blob[:25]  # cut inside the global color table
+    return blob
+
+
+def attach_gif_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the GIF-decode fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [build_gif_blob(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -6612,6 +6612,54 @@ ORACLES["audio_hash_dedup_clusters"] = """
 
 
 
+def _gif_pinned_oracle() -> str:
+    rows = {}
+    for cls in range(12):
+        idx, pal = multimodal._gif_fixture_frame(cls)
+        dec = multimodal.gif_decode_pixels(multimodal.gif_encode(idx, pal))
+        rows[cls] = (
+            format(multimodal.image_ahash(dec), "016x"),
+            format(multimodal.image_dhash(dec), "016x"),
+        )
+    ah = " ".join(
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE 3 END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
+          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def gif_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode (operators/multimodal.py
+    ``gif_decode_pixels``: hand-rolled GIF-variant LZW with
+    early-change width synchronization and 4096-table resets, global
+    color table, four-pass de-interlace) feeding the same integer
+    aHash/dHash grid as the PNG tier.  Odd ids encode interlaced with
+    identical pixels, so both deinterlace paths run under one pinned
+    hash set; %% 17 truncates inside the palette, %% 13 plants a JPEG
+    (the one remaining codec stub).  The oracle pins the 12 expected
+    hash pairs computed driver-side through the same decode
+    functions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(multimodal.attach_gif_blob(docs))
+
+
+QUERIES["gif_pixel_hash_check"] = gif_pixel_hash_check
+ORACLES["gif_pixel_hash_check"] = _gif_pinned_oracle()
+
+
 def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats (operators/text.py
     ``sentence_stats``): terminal-punctuated runs plus the

@@ -4981,6 +4981,59 @@ def test_audio_hash_dedup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_gif_lzw_decode_roundtrip(spark):
+    """r12: hand-rolled GIF LZW + full GIF decode — encoder/decoder
+    round trips across code widths (dictionary growth, the
+    early-change width synchronization, the 4096-table reset on a
+    long low-entropy stream), interlaced and non-interlaced frames,
+    palette resolution, malformed inputs, and the operator
+    integration (GIF now hashes ok=true on the PURE backend while
+    JPEG stays the stub)."""
+    import random
+
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = random.Random(5)
+    for trial in range(40):
+        mcs = rng.choice([2, 3, 4, 7, 8])
+        n = rng.randint(1, 2000)
+        if trial % 3 == 0:
+            seq = [v % (1 << mcs) for v in ([1, 2, 3, 4] * n)[:n]]
+        else:
+            seq = [rng.randrange(1 << mcs) for _ in range(n)]
+        assert mm._lzw_decode(mm._lzw_encode(seq, mcs), mcs, n) == seq, trial
+    long_seq = [i % 4 for i in range(120_000)]  # forces the 4096 reset
+    assert mm._lzw_decode(
+        mm._lzw_encode(long_seq, 2), 2, len(long_seq)
+    ) == long_seq
+
+    nrng = np.random.RandomState(9)
+    for hh, ww, nc in ((13, 11, 4), (16, 16, 16), (40, 40, 128)):
+        idx = nrng.randint(0, nc, size=(hh, ww)).astype(np.uint8)
+        pal = bytes(nrng.randint(0, 256, size=3 * nc).astype(np.uint8))
+        want = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+        for inter in (False, True):
+            dec = mm.gif_decode_pixels(mm.gif_encode(idx, pal, inter))
+            assert (dec == want).all(), (hh, ww, nc, inter)
+
+    assert mm.gif_decode_pixels(b"GIF89a\x00") is None
+    assert mm.gif_decode_pixels(b"not a gif") is None
+    assert mm.gif_decode_pixels(mm.build_gif_blob(17)) is None  # truncated
+
+    # operator integration: pure backend hashes GIFs, interlace parity
+    # classes hash identically, failure plants flag ok=false
+    df = spark.createDataFrame([(i,) for i in (2, 3, 14, 13, 17)], "doc_id long")
+    got = {
+        r["id"]: r
+        for r in mm.image_pixel_hashes(mm.attach_gif_blob(df)).collect()
+    }
+    assert got[2]["ok"] and got[3]["ok"] and got[14]["ok"]
+    assert got[2]["dhash"] == got[14]["dhash"]  # both class 2 (14 % 12)
+    assert not got[13]["ok"] and not got[17]["ok"]
+
+
 def test_png_fixture_margins():
     """r11: the dedup fixture contract the registry oracle rests on —
     every noisy variant within the threshold of its base with the
