@@ -158,6 +158,7 @@ HEADLINE = [
     "audio_hash_dedup_clusters",
     "sentence_stats_docs",
     "gif_pixel_hash_check",
+    "bmp_pixel_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -800,6 +800,9 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
     if b[:6] in (b"GIF87a", b"GIF89a"):
         # GIF is LZW dictionary coding — codec-free on every backend
         return gif_decode_pixels(b)
+    if b[:2] == b"BM":
+        # uncompressed DIB rows — codec-free on every backend
+        return bmp_decode_pixels(b)
     if backend == "pure" or b[:8] == _PNG_SIG:
         return png_decode_pixels(b)
     if not _pil_available():
@@ -1859,6 +1862,132 @@ def attach_gif_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "id": pdf[id_col],
                     "content": [build_gif_blob(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# codec-free REAL BMP decode: uncompressed DIB rows → RGB
+# --------------------------------------------------------------------------
+
+def bmp_decode_pixels(b: bytes):
+    """Full BMP pixel decode → uint8 ndarray (h, w, 3) RGB, or
+    ``None`` for malformed/non-BMP bytes.  Supports uncompressed
+    (BI_RGB) BITMAPINFOHEADER DIBs at 24-bit BGR and 8-bit paletted
+    depths, bottom-up (positive height) and top-down (negative) row
+    orders, with 4-byte row padding.  RLE/bitfield compressions raise
+    ``NotImplementedError`` (run-length would be honest work too, but
+    real corpora are overwhelmingly BI_RGB; the stub keeps the
+    contract explicit).  Same 16 MP bound as the other decoders."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    dib_size = struct.unpack("<I", b[14:18])[0]
+    if dib_size < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    bitcount = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if w <= 0 or h_signed == 0 or w * abs(h_signed) > 16_000_000:
+        return None
+    if compression != 0 or bitcount not in (8, 24):
+        raise NotImplementedError(
+            f"BMP decode is codec-free only for BI_RGB 8/24-bit "
+            f"(compression={compression}, bits={bitcount})"
+        )
+    h = abs(h_signed)
+    pal = None
+    if bitcount == 8:
+        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        pal_bytes = b[14 + dib_size:14 + dib_size + 4 * n_colors]
+        if len(pal_bytes) < 4 * n_colors:
+            return None
+        quad = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)
+        pal = quad[:, [2, 1, 0]]  # BGRA quads → RGB
+    stride = ((w * bitcount // 8) + 3) & ~3
+    need = stride * h
+    raw = b[data_off:data_off + need]
+    if len(raw) < need:
+        return None
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down pixels
+    if bitcount == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()  # BGR→RGB
+        return px
+    idx = rows[:, :w]
+    if int(idx.max()) >= len(pal):
+        return None
+    return pal[idx]
+
+
+def bmp_encode(px, bottom_up: bool = True) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder — the fixture twin of
+    ``bmp_decode_pixels`` (``bottom_up=False`` writes a top-down DIB
+    via negative height, so both row orders round-trip)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = ((w * 3) + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    body = rows[::-1].tobytes() if bottom_up else rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return header + dib + body
+
+
+def _bmp_fixture_pixels(cls: int):
+    """Deterministic 16×16 RGB frame for BMP fixture class ``cls``
+    (0-11) — integer arithmetic only."""
+    import numpy as np
+
+    i = np.arange(16, dtype=np.int64)
+    r = (np.add.outer(i * (cls + 1), i * 3) % 256)
+    g = (np.add.outer(i * 2, i * (cls + 5)) % 256)
+    bch = (np.add.outer(i * (2 * cls + 1), i) % 256)
+    return np.stack([r, g, bch], axis=2).astype(np.uint8)
+
+
+def build_bmp_blob(doc_id: int) -> bytes:
+    """REAL BMP bytes for the decode fixtures: frame from
+    ``doc_id % 12``; odd ids write TOP-DOWN DIBs (same pixels → same
+    hashes, both row orders run at scale).  %% 17 truncates the pixel
+    body (malformed → ok=false); %% 13 plants an RLE8-compressed BMP
+    (the documented BI_RGB-only stub → ok=false)."""
+    import numpy as np
+
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        blob = bytearray(bmp_encode(np.zeros((4, 4, 3), np.uint8)))
+        blob[28:30] = (8).to_bytes(2, "little")
+        blob[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+        return bytes(blob)
+    blob = bmp_encode(
+        _bmp_fixture_pixels(doc_id % 12), bottom_up=not doc_id % 2
+    )
+    if doc_id % 17 == 0:
+        return blob[:60]  # cut just into the pixel body
+    return blob
+
+
+def attach_bmp_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the BMP-decode fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [build_bmp_blob(int(i)) for i in pdf[id_col]],
                 }
             )
 

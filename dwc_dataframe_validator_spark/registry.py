@@ -6660,6 +6660,53 @@ QUERIES["gif_pixel_hash_check"] = gif_pixel_hash_check
 ORACLES["gif_pixel_hash_check"] = _gif_pinned_oracle()
 
 
+def _bmp_pinned_oracle() -> str:
+    rows = {}
+    for cls in range(12):
+        dec = multimodal.bmp_decode_pixels(
+            multimodal.bmp_encode(multimodal._bmp_fixture_pixels(cls))
+        )
+        rows[cls] = (
+            format(multimodal.image_ahash(dec), "016x"),
+            format(multimodal.image_dhash(dec), "016x"),
+        )
+    ah = " ".join(
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE 3 END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
+          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def bmp_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP pixel decode (operators/multimodal.py
+    ``bmp_decode_pixels``: uncompressed BI_RGB DIB rows, 4-byte row
+    padding, bottom-up AND top-down orders, BGR→RGB, 8-bit palette
+    quads) through the shared hash grid.  Odd ids write top-down DIBs
+    with identical pixels; %% 17 truncates the pixel body, %% 13
+    plants an RLE8 BMP (the documented BI_RGB-only stub).  Oracle
+    pins the 12 hash pairs computed driver-side through the same
+    decode functions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(multimodal.attach_bmp_blob(docs))
+
+
+QUERIES["bmp_pixel_hash_check"] = bmp_pixel_hash_check
+ORACLES["bmp_pixel_hash_check"] = _bmp_pinned_oracle()
+
+
 def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats (operators/text.py
     ``sentence_stats``): terminal-punctuated runs plus the

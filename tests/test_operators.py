@@ -5034,6 +5034,52 @@ def test_gif_lzw_decode_roundtrip(spark):
     assert not got[13]["ok"] and not got[17]["ok"]
 
 
+def test_bmp_decode_roundtrip(spark):
+    """r12: real BMP decode — 24-bit round trips in BOTH row orders
+    (bottom-up and top-down DIBs), 8-bit palette resolution through
+    BGRA quads, row padding, the RLE stub, malformed handling, and
+    operator integration (row-order twins hash identically)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    for hh, ww in ((13, 11), (16, 16), (7, 33)):
+        px = rng.randint(0, 256, size=(hh, ww, 3)).astype(np.uint8)
+        for bu in (True, False):
+            dec = mm.bmp_decode_pixels(mm.bmp_encode(px, bottom_up=bu))
+            assert (dec == px).all(), (hh, ww, bu)
+
+    # hand-built 8-bit paletted BMP: 2×2 indexes through BGRA quads
+    pal = bytes([10, 20, 30, 0, 200, 150, 100, 0])  # BGRA × 2
+    rows = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # stride 4
+    dib = _struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 2, 0)
+    blob = (b"BM" + _struct.pack("<IHHI", 54 + 8 + 8, 0, 0, 62)
+            + dib + pal + rows)
+    dec = mm.bmp_decode_pixels(blob)
+    # bottom-up: stored row 0 is the BOTTOM pixel row
+    assert dec.shape == (2, 2, 3)
+    assert list(dec[1, 0]) == [30, 20, 10] and list(dec[1, 1]) == [100, 150, 200]
+    assert list(dec[0, 0]) == [100, 150, 200] and list(dec[0, 1]) == [30, 20, 10]
+
+    with _pytest.raises(NotImplementedError):
+        mm.bmp_decode_pixels(mm.build_bmp_blob(13))  # RLE8 plant
+    assert mm.bmp_decode_pixels(mm.build_bmp_blob(17)) is None
+    assert mm.bmp_decode_pixels(b"BMshort") is None
+
+    df = spark.createDataFrame([(i,) for i in (2, 3, 14, 13, 17)], "doc_id long")
+    got = {
+        r["id"]: r
+        for r in mm.image_pixel_hashes(mm.attach_bmp_blob(df)).collect()
+    }
+    assert got[2]["ok"] and got[3]["ok"]
+    assert got[2]["dhash"] == got[14]["dhash"]  # class 2, both row orders
+    assert not got[13]["ok"] and not got[17]["ok"]
+
+
 def test_png_fixture_margins():
     """r11: the dedup fixture contract the registry oracle rests on —
     every noisy variant within the threshold of its base with the
