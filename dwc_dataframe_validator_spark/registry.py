@@ -6723,7 +6723,8 @@ ORACLES["sentence_stats_docs"] = """
     WITH s AS (
       SELECT doc_id,
              regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
-             regexp_replace(text, '^([^.!?]+[.!?]+)*', '') AS trailer
+             reverse(regexp_extract(reverse(text), '^[^.!?]*'))
+               AS trailer
       FROM documents),
     a AS (
       SELECT doc_id, coalesce(len(sents), 0) AS n_term,
