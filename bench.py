@@ -159,6 +159,7 @@ HEADLINE = [
     "sentence_stats_docs",
     "gif_pixel_hash_check",
     "bmp_pixel_hash_check",
+    "robots_filter_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

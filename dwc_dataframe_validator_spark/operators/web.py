@@ -879,3 +879,149 @@ def wet_main_content(
         "n_paras_good",
         F.coalesce(F.length("_mt"), F.lit(0)).alias("n_chars_main"),
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt: REP parsing + longest-match URL filtering (RFC 9309)
+# --------------------------------------------------------------------------
+
+def parse_robots(
+    df: DataFrame, payload_col: str = "robots_txt", host_col: str = "host"
+) -> DataFrame:
+    """Parse robots.txt payloads into ``(host, agent, allow, rule)``
+    rows per the Robots Exclusion Protocol (RFC 9309): consecutive
+    ``User-agent`` lines open a group, ``Allow``/``Disallow`` lines
+    attach to every agent of the open group; comments (``#``), blank
+    lines and unknown directives (Crawl-delay, Sitemap, …) are
+    skipped; keys are case-insensitive; agents lowercase.  Empty-path
+    Disallow lines ("allow all") match nothing by definition and are
+    dropped here — a host whose rules all drop is simply
+    unrestricted.
+
+    Plan: one line explode → two windows on the same (host, line-pos)
+    sort (group boundary lag + running group id) → an agents×rules
+    join co-partitioned on (host, group).  Robots corpora are tiny
+    next to the URL sets they gate; the output is the broadcastable
+    rule table ``robots_filter`` consumes."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(payload_col), "\n")).alias(
+            "_pos", "_line"
+        ),
+    )
+    clean = F.trim(F.regexp_replace(F.col("_line"), "#.*", ""))
+    key = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
+    val = F.trim(F.regexp_extract(clean, "^[^:]+:(.*)", 1))
+    typed = (
+        lines.select(
+            "host", "_pos", key.alias("_key"), val.alias("_val")
+        )
+        .filter(F.col("_key").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("_pos")
+    is_ua = F.col("_key") == "user-agent"
+    boundary = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False)
+    )
+    grouped = typed.withColumn(
+        "_grp",
+        F.sum(boundary.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = grouped.filter(is_ua).select(
+        "host", "_grp", F.lower(F.col("_val")).alias("agent")
+    )
+    rules = grouped.filter(~is_ua & (F.col("_val") != "")).select(
+        "host", "_grp",
+        (F.col("_key") == "allow").alias("allow"),
+        F.col("_val").alias("rule"),
+    )
+    return agents.join(rules, ["host", "_grp"]).select(
+        "host", "agent", "allow", "rule"
+    )
+
+
+def _robots_rule_regex(rule: Column) -> Column:
+    """RFC 9309 path-pattern → anchored regex, as a Catalyst
+    expression over the rule column: ``$`` (final char only) anchors
+    the end, ``*`` matches any run, every other regex metacharacter
+    is escaped.  The same translation exists in Python
+    (``robots_rule_regex_py``) for oracle generation — one pinned
+    contract, two implementations, cross-checked by pytest."""
+    ends = rule.endswith("$")
+    body = F.when(
+        ends, F.substring(rule, 1, F.length(rule) - 1)
+    ).otherwise(rule)
+    esc = F.regexp_replace(
+        body, r"([.\[\]{}()+?^$|\\])", r"\\$1"
+    )
+    return F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def robots_rule_regex_py(rule: str) -> str:
+    """Python twin of ``_robots_rule_regex`` for oracle literals."""
+    import re as _re
+
+    ends = rule.endswith("$")
+    body = rule[:-1] if ends else rule
+    esc = _re.sub(r"([.\[\]{}()+?^$|\\])", r"\\\1", body)
+    return "^" + esc.replace("*", ".*") + ("$" if ends else "")
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots_rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop URLs the Robots Exclusion Protocol disallows for
+    ``agent`` — the retroactive robots pass corpus releases apply
+    (RefinedWeb-style): per host, the agent's OWN group replaces the
+    ``*`` group entirely when one exists (RFC 9309 group choice);
+    within the chosen group the LONGEST matching rule wins, allow
+    winning length ties; unmatched URLs, unknown hosts and invalid
+    URLs pass.  The path compared is ``url_path`` (query excluded,
+    '/' when empty) — document-level gating, not parameter-level.
+
+    Plan: rule table broadcast against the URL set (robots corpora
+    are per-host and tiny next to 100 TB of URLs), per-(url, rule)
+    regex match map-side, one groupBy per URL id for the
+    longest-match winner, and one anti-join to drop the blocked ids —
+    no shuffle touches URL payloads except that id anti-join."""
+    a = agent.lower()
+    own = robots_rules.filter(F.col("agent") == a)
+    eff = own.unionByName(
+        robots_rules.filter(F.col("agent") == "*").join(
+            own.select("host").distinct(), "host", "left_anti"
+        )
+    ).select(
+        "host", "allow", "rule", _robots_rule_regex(F.col("rule")).alias("_re")
+    )
+    u = urls.select(
+        F.col(id_col).alias("_id"),
+        F.lower(url_host(F.col(url_col))).alias("_host"),
+        F.coalesce(
+            F.nullif(url_path(F.col(url_col)), F.lit("")), F.lit("/")
+        ).alias("_path"),
+    )
+    j = u.join(F.broadcast(eff), u["_host"] == eff["host"], "left")
+    verdict = j.groupBy("_id").agg(
+        F.max(
+            F.when(
+                F.regexp_like(F.col("_path"), F.col("_re")),
+                F.struct(
+                    F.length("rule").alias("l"), F.col("allow").alias("a")
+                ),
+            )
+        ).alias("_w")
+    )
+    blocked = verdict.filter(
+        F.col("_w").isNotNull() & ~F.col("_w.a")
+    ).select(F.col("_id").alias(id_col))
+    return urls.join(blocked, id_col, "left_anti")

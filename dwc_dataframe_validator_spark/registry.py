@@ -6707,6 +6707,161 @@ QUERIES["bmp_pixel_hash_check"] = bmp_pixel_hash_check
 ORACLES["bmp_pixel_hash_check"] = _bmp_pinned_oracle()
 
 
+#: robots fixture rule table — the single source for the composed
+#: robots.txt payloads (Spark parses those), the effective-rule SQL
+#: literals (the oracle replays these) and the expected group
+#: semantics.  site-a defines a trainingbot-specific group (which
+#: REPLACES its * group for that agent), site-b exercises the $ and *
+#: pattern forms, site-c is an explicit allow-all.
+_ROBOTS_RULES = (
+    ("docs.site-a.com", "*", False, "/private/"),
+    ("docs.site-a.com", "*", True, "/private/ok/"),
+    ("docs.site-a.com", "trainingbot", False, "/bots/"),
+    ("cdn.site-b.com", "*", False, "/*.json$"),
+    ("cdn.site-b.com", "*", False, "/tmp*"),
+    ("www.site-c.com", "*", True, "/"),
+)
+
+_ROBOTS_HOSTS = (
+    "docs.site-a.com", "cdn.site-b.com", "www.site-c.com",
+    "off.site-d.com",  # no robots.txt at all
+)
+_ROBOTS_PATHS = (
+    "/private/x", "/private/ok/y", "/bots/z", "/data/file.json",
+    "/tmp123", "/public/p",
+)
+
+
+def _robots_payloads() -> list:
+    """Compose one robots.txt per fixture host from _ROBOTS_RULES,
+    with the parser hazards planted: comments, blank lines, MIXED-case
+    keys, an unknown directive, and an empty Disallow."""
+    out = []
+    for host in set(h for h, *_ in _ROBOTS_RULES):
+        lines = ["# synthetic robots fixture"]
+        for agent in ("*", "trainingbot"):
+            rules = [r for r in _ROBOTS_RULES if r[0] == host and r[1] == agent]
+            if not rules:
+                continue
+            lines.append("")
+            lines.append(f"User-Agent: {agent}")
+            for _h, _a, allow, rule in rules:
+                lines.append(("ALLOW: " if allow else "Disallow: ") + rule)
+            lines.append("Crawl-delay: 5")
+        lines.append("Disallow:")  # trailing empty rule -> dropped
+        out.append((host, "\n".join(lines)))
+    return out
+
+
+def _robots_effective(agent: str) -> list:
+    """RFC 9309 group choice over the fixture table: the agent's own
+    group replaces * per host."""
+    own = {h for h, a, *_ in _ROBOTS_RULES if a == agent}
+    return [
+        (h, allow, rule)
+        for h, a, allow, rule in _ROBOTS_RULES
+        if a == agent or (a == "*" and h not in own)
+    ]
+
+
+def robots_filter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt end-to-end (operators/web.py ``parse_robots`` +
+    ``robots_filter``): payloads composed from the fixture rule table
+    are PARSED by the Spark side (comments, mixed-case keys, unknown
+    directives, empty Disallow, multi-group files), then the URL set
+    (host×path rotation over documents) is filtered for BOTH the ``*``
+    agent and ``trainingbot`` — covering the agent-group replacement
+    (trainingbot on site-a ignores the * rules entirely), the
+    longest-match allow override (/private/ok/ beats /private/ for *),
+    the $ and * pattern forms, and a host with no robots.txt.  The
+    oracle never parses: it replays the effective rules as literals
+    (regexes via the shared Python translation) with the same
+    longest-match window — so a parser bug IS an oracle mismatch."""
+    from .operators import web
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, F.lit(_ROBOTS_HOSTS[0]))
+        .when(d % 4 == 1, F.lit(_ROBOTS_HOSTS[1]))
+        .when(d % 4 == 2, F.lit(_ROBOTS_HOSTS[2]))
+        .otherwise(F.lit(_ROBOTS_HOSTS[3]))
+    )
+    path = (
+        F.when(d % 6 == 0, F.lit(_ROBOTS_PATHS[0]))
+        .when(d % 6 == 1, F.lit(_ROBOTS_PATHS[1]))
+        .when(d % 6 == 2, F.lit(_ROBOTS_PATHS[2]))
+        .when(d % 6 == 3, F.lit(_ROBOTS_PATHS[3]))
+        .when(d % 6 == 4, F.lit(_ROBOTS_PATHS[4]))
+        .otherwise(F.lit(_ROBOTS_PATHS[5]))
+    )
+    urls = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", F.concat(F.lit("http://"), host, path))
+    )
+    robots = spark.createDataFrame(
+        _robots_payloads(), "host string, robots_txt string"
+    )
+    rules = web.parse_robots(robots)
+    parts = []
+    for agent in ("*", "trainingbot"):
+        parts.append(
+            web.robots_filter(urls, rules, agent=agent).withColumn(
+                "agent", F.lit(agent)
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+QUERIES["robots_filter_check"] = robots_filter_check
+
+
+def _robots_oracle() -> str:
+    from .operators.web import robots_rule_regex_py
+
+    hosts = " ".join(
+        "WHEN doc_id %% 4 = %d THEN '%s'" % (i, h)
+        for i, h in enumerate(_ROBOTS_HOSTS[:3])
+    )
+    paths = " ".join(
+        "WHEN doc_id %% 6 = %d THEN '%s'" % (i, p)
+        for i, p in enumerate(_ROBOTS_PATHS[:5])
+    )
+    parts = []
+    for agent in ("*", "trainingbot"):
+        vals = ", ".join(
+            "('%s', %s, %d, '%s')"
+            % (h, "TRUE" if allow else "FALSE", len(rule),
+               robots_rule_regex_py(rule))
+            for h, allow, rule in _robots_effective(agent)
+        )
+        parts.append(f"""
+        SELECT doc_id, url, '{agent}' AS agent FROM u
+        WHERE doc_id NOT IN (
+          SELECT doc_id FROM (
+            SELECT u.doc_id, r.allow,
+                   row_number() OVER (
+                     PARTITION BY u.doc_id
+                     ORDER BY r.rule_len DESC, r.allow DESC) AS rk
+            FROM u JOIN (VALUES {vals}) r(host, allow, rule_len, re)
+              ON u.host = r.host AND regexp_matches(u.path, r.re))
+          WHERE rk = 1 AND NOT allow)""")
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE {hosts} ELSE '{_ROBOTS_HOSTS[3]}' END AS host,
+                 CASE {paths} ELSE '{_ROBOTS_PATHS[5]}' END AS path,
+                 'http://' ||
+                 (CASE {hosts} ELSE '{_ROBOTS_HOSTS[3]}' END) ||
+                 (CASE {paths} ELSE '{_ROBOTS_PATHS[5]}' END) AS url
+          FROM documents)
+        {" UNION ALL ".join(parts)}
+    """
+
+
+ORACLES["robots_filter_check"] = _robots_oracle()
+
+
 def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats (operators/text.py
     ``sentence_stats``): terminal-punctuated runs plus the

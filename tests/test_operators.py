@@ -5166,6 +5166,65 @@ def test_justext_context_pass(spark):
     assert web.justext_paragraphs(other).count() == 0
 
 
+def test_robots_parse_and_filter(spark):
+    """r12: Robots Exclusion Protocol — parsing (mixed-case keys,
+    comments, unknown directives, empty Disallow dropped, consecutive
+    User-agent lines sharing one group) and filtering (agent group
+    REPLACES *, longest-match with allow winning ties, $ and *
+    pattern forms, unknown hosts and invalid URLs passing)."""
+    from dwc_dataframe_validator_spark.operators import web
+
+    robots = spark.createDataFrame(
+        [(
+            "ex.com",
+            "# hi\nUSER-AGENT: *\nUser-agent: OtherBot\n"
+            "Disallow: /a/\nallow: /a/b/\nCrawl-delay: 9\n\n"
+            "User-agent: GoodBot\nDisallow: /g*\nDisallow:\n",
+        )],
+        "host string, robots_txt string",
+    )
+    rules = sorted(tuple(r) for r in web.parse_robots(robots).collect())
+    assert rules == [
+        ("ex.com", "*", False, "/a/"),
+        ("ex.com", "*", True, "/a/b/"),
+        ("ex.com", "goodbot", False, "/g*"),
+        ("ex.com", "otherbot", False, "/a/"),
+        ("ex.com", "otherbot", True, "/a/b/"),
+    ]
+
+    rules_df = web.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://ex.com/a/x"),        # * : blocked
+            (2, "http://ex.com/a/b/x"),      # * : allow override (longer)
+            (3, "http://ex.com/gone"),       # * : no match -> kept
+            (4, "http://other.com/a/x"),     # unknown host -> kept
+            (5, "not a url"),                # invalid -> kept
+            (6, "HTTP://EX.COM/a/y"),        # case-folded host -> blocked
+        ],
+        "doc_id long, url string",
+    )
+    kept_star = {
+        r["doc_id"] for r in web.robots_filter(urls, rules_df).collect()
+    }
+    assert kept_star == {2, 3, 4, 5}
+    # GoodBot's own group replaces *: /a/ is fine, /g* is not
+    kept_good = {
+        r["doc_id"]
+        for r in web.robots_filter(urls, rules_df, agent="GoodBot").collect()
+    }
+    assert kept_good == {1, 2, 4, 5, 6}
+    # empty rule table: everything passes
+    empty = rules_df.filter("1 = 0")
+    assert web.robots_filter(urls, empty).count() == 6
+
+    # the $ form, via the shared regex translation on both faces
+    import re
+
+    assert re.match(web.robots_rule_regex_py("/*.json$"), "/d/f.json")
+    assert not re.match(web.robots_rule_regex_py("/*.json$"), "/f.jsonl")
+
+
 def test_justext_published_revision_exceptions(spark):
     """r12: the PUBLISHED jusText revision details the old
     single-pass simplification missed — the mixed-neighbor short with
