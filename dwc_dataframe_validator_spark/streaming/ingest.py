@@ -246,6 +246,8 @@ def crawl_survivors(
     id_col: str = "id",
     gopher: dict | None = None,
     c4: dict | None = None,
+    robots_rules=None,
+    robots_agent: str = "*",
     prune_store_partitions: bool = False,
 ) -> DataFrame:
     """Survivors of one crawl slice of raw WARC records against a
@@ -309,6 +311,12 @@ def crawl_survivors(
             **gopher,
         ).filter("gopher_pass")
         kept = kept.join(passed.select("doc_id"), "doc_id", "left_semi")
+    if robots_rules is not None:
+        # robots gate BEFORE URL dedup: a disallowed URL must not hold
+        # a keeper slot (same ordering a batch release pass uses)
+        kept = web.robots_filter(
+            kept, robots_rules, agent=robots_agent, id_col="doc_id"
+        )
     dedup = web.url_dedup_keepers(kept, url_col="url", id_col="doc_id")
     cand = dedup.withColumn(
         "url_key", F.md5(web.normalize_url(F.col("url")))
@@ -352,6 +360,8 @@ def crawl_batch(
     id_col: str = "id",
     gopher: dict | None = None,
     c4: dict | None = None,
+    robots_rules=None,
+    robots_agent: str = "*",
 ) -> None:
     """One replay-safe step of the STREAMING CRAWL STACK — the
     ``foreachBatch`` body behind ``crawl_ingest_sink``, exposed for
@@ -411,6 +421,8 @@ def crawl_batch(
             id_col=id_col,
             gopher=gopher,
             c4=c4,
+            robots_rules=robots_rules,
+            robots_agent=robots_agent,
             prune_store_partitions=True,
         ).localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(batch_dir)
@@ -440,6 +452,8 @@ def crawl_ingest_sink(
     trigger: dict | None = None,
     gopher: dict | None = None,
     c4: dict | None = None,
+    robots_rules=None,
+    robots_agent: str = "*",
 ):
     """Attach the streaming crawl stack to a stream of raw WARC
     records and return the started StreamingQuery (caller owns
@@ -464,6 +478,8 @@ def crawl_ingest_sink(
             id_col=id_col,
             gopher=gopher,
             c4=c4,
+            robots_rules=robots_rules,
+            robots_agent=robots_agent,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)

@@ -1271,3 +1271,60 @@ def test_streaming_crawl_stack_stream_equals_batch(spark, tmp_path):
     }
     assert 8 not in gated and 1 in gated
     assert fold_and_cap(out2) == batch_truth(both, gopher=gop)
+
+    # robots-gated variant: a Disallow kills site-b's /q on BOTH faces
+    # BEFORE URL dedup (a blocked URL must not hold a keeper slot)
+    robots = spark.createDataFrame(
+        [("site-b.com", "User-agent: *\nDisallow: /q")],
+        "host string, robots_txt string",
+    )
+    rrules = web.parse_robots(robots).localCheckpoint(eager=True)
+    idx3, out3, ck3 = (
+        str(tmp_path / "uidx3"), str(tmp_path / "out3"), str(tmp_path / "ck3")
+    )
+    save_fingerprint_index(
+        spark.createDataFrame([], "fingerprint string, fp_bucket int"), idx3
+    )
+    q4 = crawl_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx3, out3,
+        checkpoint_path=ck3, robots_rules=rrules,
+    )
+    q4.awaitTermination(120)
+    robo = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out3}/batch_id=*").collect()
+    }
+    assert 6 not in robo and 3 in robo
+
+    def batch_truth_robots(df):
+        parsed = decode_warc_records(df).filter("ok")
+        main = web.wet_main_content(
+            parsed.select(
+                F.col("id").alias("doc_id"),
+                F.col("payload").cast("string").alias("payload_text"),
+            )
+        ).filter(F.col("main_text").isNotNull())
+        kept = main.join(
+            parsed.select(
+                F.col("id").alias("doc_id"),
+                F.col("target_uri").alias("url"),
+            ),
+            "doc_id",
+        ).select("doc_id", "url", "main_text")
+        kept = web.robots_filter(kept, rrules)
+        dedup = web.url_dedup_keepers(kept)
+        return sorted(
+            (tuple(r)
+             for r in web.cap_per_domain(dedup, k=1)
+             .groupBy("domain")
+             .agg(
+                 F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(token_count(F.col("main_text")))
+                 .cast("long")
+                 .alias("n_tokens"),
+             )
+             .collect()),
+            key=repr,
+        )
+
+    assert fold_and_cap(out3) == batch_truth_robots(both)
