@@ -1704,8 +1704,8 @@ def gif_decode_pixels(b: bytes):
 
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         return None
-    sw = int.from_bytes(b[6:8], "little")
-    sh = int.from_bytes(b[8:10], "little")
+    # logical-screen dims (b[6:10]) are irrelevant to single-frame
+    # decode — the image descriptor carries the frame's own w/h
     flags = b[10]
     pos = 13
     gct = None
@@ -1766,8 +1766,7 @@ def gif_decode_pixels(b: bytes):
             if int(arr.max()) >= len(palette):
                 return None
             # GIF frames can be smaller than the logical screen; the
-            # frame is the image (sw/sh only bound-checked)
-            del sw, sh
+            # frame IS the image here
             return palette[arr]
         elif blk == 0x3B:  # trailer
             return None
