@@ -362,6 +362,7 @@ def crawl_batch(
     c4: dict | None = None,
     robots_rules=None,
     robots_agent: str = "*",
+    stats_path: str | None = None,
 ) -> None:
     """One replay-safe step of the STREAMING CRAWL STACK — the
     ``foreachBatch`` body behind ``crawl_ingest_sink``, exposed for
@@ -427,6 +428,35 @@ def crawl_batch(
         ).localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(batch_dir)
 
+    if stats_path is not None:
+        # per-batch DOMAIN slice over the (checkpointed) survivors —
+        # the crawl stack's dashboard substrate: batch-id-keyed
+        # overwrite, so a replay rewrites identical content and the
+        # fold stays value-idempotent (the ingest-sink discipline)
+        from ..operators import web
+        from ..operators.text import token_count
+
+        (
+            survivors.withColumn(
+                "domain",
+                web.registrable_domain(
+                    F.when(
+                        web.url_is_valid(F.col("url")),
+                        web.url_host(F.col("url")),
+                    )
+                ),
+            )
+            .groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(token_count(F.col("main_text")))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{stats_path}/domains/batch_id={batch_id}")
+        )
+
     new_keys = (
         survivors.filter(F.col("url_key").isNotNull())
         .select(F.col("url_key").alias("fingerprint"))
@@ -454,6 +484,7 @@ def crawl_ingest_sink(
     c4: dict | None = None,
     robots_rules=None,
     robots_agent: str = "*",
+    stats_path: str | None = None,
 ):
     """Attach the streaming crawl stack to a stream of raw WARC
     records and return the started StreamingQuery (caller owns
@@ -480,6 +511,7 @@ def crawl_ingest_sink(
             c4=c4,
             robots_rules=robots_rules,
             robots_agent=robots_agent,
+            stats_path=stats_path,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)
@@ -546,3 +578,18 @@ def corpus_ingest_sink(
     if trigger is None:
         trigger = {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def crawl_domain_dashboard(spark, stats_path: str) -> DataFrame:
+    """Cumulative per-domain view folded from the crawl sink's
+    batch-id-keyed domain slices: (domain, n_docs, n_tokens,
+    n_batches_seen).  Cost ∝ slices × domains — never a rescan of
+    survivor text.  This is the monitoring face behind the
+    finalization ``cap_per_domain`` decision: a domain's share is
+    visible while the crawl streams, the cap runs once at release."""
+    slices = spark.read.parquet(f"{stats_path}/domains")
+    return slices.groupBy("domain").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_batches_seen"),
+    )

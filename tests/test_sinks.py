@@ -1328,3 +1328,54 @@ def test_streaming_crawl_stack_stream_equals_batch(spark, tmp_path):
         )
 
     assert fold_and_cap(out3) == batch_truth_robots(both)
+
+    # dashboard slices: a stats_path-enabled run writes batch-id-keyed
+    # per-domain slices whose fold equals the batch domain stats of the
+    # concatenated survivors — and a replayed batch changes nothing
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        crawl_domain_dashboard,
+    )
+
+    idx4, out4, ck4, st4 = (
+        str(tmp_path / "uidx4"), str(tmp_path / "out4"),
+        str(tmp_path / "ck4"), str(tmp_path / "st4"),
+    )
+    save_fingerprint_index(
+        spark.createDataFrame([], "fingerprint string, fp_bucket int"), idx4
+    )
+    for _ in range(2):  # two availableNow drains, one file each
+        pass
+    q5 = crawl_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx4, out4,
+        checkpoint_path=ck4, stats_path=st4,
+    )
+    q5.awaitTermination(120)
+    dash = {
+        r["domain"]: (r["n_docs"], r["n_tokens"], r["n_batches_seen"])
+        for r in crawl_domain_dashboard(spark, st4).collect()
+    }
+    surv = spark.read.parquet(f"{out4}/batch_id=*")
+    want = {
+        r["domain"]: (r["n"], r["t"])
+        for r in surv.withColumn(
+            "domain",
+            web.registrable_domain(
+                F.when(web.url_is_valid(F.col("url")),
+                       web.url_host(F.col("url")))
+            ),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(token_count(F.col("main_text"))).cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert {d: v[:2] for d, v in dash.items()} == want
+    # replay: marker present -> slice untouched, fold identical
+    crawl_batch(b1, 0, idx4, out4, stats_path=st4)
+    dash2 = {
+        r["domain"]: (r["n_docs"], r["n_tokens"], r["n_batches_seen"])
+        for r in crawl_domain_dashboard(spark, st4).collect()
+    }
+    assert dash2 == dash
