@@ -160,6 +160,7 @@ HEADLINE = [
     "gif_pixel_hash_check",
     "bmp_pixel_hash_check",
     "robots_filter_check",
+    "jpeg_pixel_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

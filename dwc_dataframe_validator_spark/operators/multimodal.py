@@ -638,8 +638,9 @@ def png_decode_pixels(b: bytes):
     """Full PNG pixel decode → uint8 ndarray (h, w, channels), or
     ``None`` for malformed input.  Supports bit depth 8, color types
     0/2/3/4/6 (palette resolved to RGB), non-interlaced only.  Raises
-    ``NotImplementedError`` for OTHER IMAGE formats (JPEG/GIF/BMP —
-    codec- or LZW-tier work this repo deliberately stubs); returns
+    ``NotImplementedError`` for OTHER IMAGE formats — note that
+    ``decode_image_pixels`` routes GIF/BMP/JPEG to their own real
+    decoders before ever reaching this fallback; returns
     ``None`` for bytes that aren't a recognized image at all or for a
     corrupt/truncated PNG.
 
@@ -775,9 +776,11 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
     """Pixel decode with an explicit BACKEND CONTRACT — the JPEG-tier
     unlock behind the same integer hash grid:
 
-    - ``"pure"``: ``png_decode_pixels`` — PNG decodes codec-free and
-      deterministically in any container; JPEG/GIF/BMP raise
-      ``NotImplementedError`` (the documented entropy-codec stub).
+    - ``"pure"``: the dependency-free decoders — PNG (zlib +
+      defilter), GIF (hand-rolled LZW), BMP (BI_RGB rows) and
+      baseline JPEG (Huffman + float64 IDCT) all decode for REAL;
+      progressive/arithmetic JPEG, RLE BMP and 16-bit variants raise
+      ``NotImplementedError`` (the remaining documented stubs).
       This is the DEFAULT and what the registry oracle runs, so the
       driver's value hash never depends on which container decoded.
     - ``"pil"``: PNG still routes through ``png_decode_pixels`` (same
@@ -803,6 +806,11 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
     if b[:2] == b"BM":
         # uncompressed DIB rows — codec-free on every backend
         return bmp_decode_pixels(b)
+    if backend == "pure" and b[:2] == b"\xff\xd8":
+        # baseline JPEG decodes for real on the pure path too; under
+        # 'pil' the PIL codec takes it (lossy decode differs across
+        # decoders by design — the documented backend contract)
+        return jpeg_decode_pixels(b)
     if backend == "pure" or b[:8] == _PNG_SIG:
         return png_decode_pixels(b)
     if not _pil_available():
@@ -852,12 +860,13 @@ def image_pixel_hashes(
     REAL pixel decode (``decode_image_pixels``) — hashes as 16-hex-char
     strings so the full unsigned 64-bit value survives every engine
     (bigints sign-flip above 2^63).  Undecodable/null payloads →
-    ok=False with NULL hashes; under the default ``backend="pure"``
-    that includes JPEG-tier formats (the documented codec stub), while
-    ``backend="pil"`` hashes them too where PIL is installed — the
-    integer luma → cell-mean → aHash/dHash grid is identical either
-    way, only the pixel source changes.  Map-side Arrow batch
-    pipeline, no shuffle."""
+    ok=False with NULL hashes — with PNG/GIF/BMP/baseline-JPEG all
+    decoding for real on the default pure backend, that now means
+    corrupt streams and the residual stub tiers (progressive JPEG,
+    RLE BMP).  ``backend="pil"`` swaps the pixel source for PIL's
+    codecs; the integer luma → cell-mean → aHash/dHash grid is
+    identical either way.  Map-side Arrow batch pipeline, no
+    shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1987,6 +1996,564 @@ def attach_bmp_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "id": pdf[id_col],
                     "content": [build_bmp_blob(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL baseline JPEG decode: Huffman + dequant + float64 IDCT
+# --------------------------------------------------------------------------
+#
+# Baseline sequential JPEG (SOF0) from the spec: Huffman entropy
+# decode, dequantization, IDCT via the 8x8 orthonormal DCT matrix
+# (exact transpose pair with the fixture encoder's FDCT),
+# nearest-neighbor chroma upsampling, JFIF YCbCr->RGB.  With PNG, GIF,
+# BMP and WAV already real, no common pixel format is stubbed anymore;
+# the remaining honest NotImplementedError tiers are progressive/
+# arithmetic/12-bit JPEG, restart intervals, and RLE BMP.
+#
+# Determinism: unlike the integer PNG/GIF/BMP paths the IDCT and color
+# transform run in float64 — identical inputs give identical outputs
+# on a given build (the registry oracle pins constants computed
+# driver-side through this same code); across BLAS builds an 8x8
+# matmul could in principle round a half-ulp differently, acceptable
+# for a perceptual-hash tier and documented rather than hidden.
+
+#: Annex K quantization tables (natural order) + zigzag scan order
+_JPEG_LUMA_Q = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_CHROMA_Q = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+#: Annex K typical Huffman tables: (bits[1..16], symbols)
+_JPEG_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_JPEG_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_JPEG_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_JPEG_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_ctx():
+    """Lazy numpy JPEG context (quant tables, zigzag index array, the
+    orthonormal DCT matrix) — numpy stays function-local, like every
+    other decoder in this module."""
+    import numpy as np
+
+    cached = getattr(_jpeg_ctx, "_c", None)
+    if cached is not None:
+        return cached
+    C = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            C[k, n] = np.cos((2 * n + 1) * k * np.pi / 16)
+    C *= 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+    ctx = {
+        "luma_q": np.array(_JPEG_LUMA_Q, dtype=np.int64).reshape(8, 8),
+        "chroma_q": np.array(_JPEG_CHROMA_Q, dtype=np.int64).reshape(8, 8),
+        "zz": np.array(_JPEG_ZIGZAG, dtype=np.int64),
+        "C": C,
+    }
+    _jpeg_ctx._c = ctx
+    return ctx
+
+
+def _huff_encode_table(bits, vals):
+    """value → (code, length) per JPEG canonical code assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) → value."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # stuffed byte: 0xFF00 → literal 0xFF; markers end scan
+                if self.pos >= len(self.data):
+                    raise EOFError
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise EOFError  # marker inside scan (no DRI here)
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise EOFError
+
+
+def _category(v):
+    """JPEG magnitude category + the SSSS-bit code of v."""
+    a = abs(v)
+    s = a.bit_length()
+    if v >= 0:
+        return s, v
+    return s, v + (1 << s) - 1
+
+
+def _extend(code, s):
+    if s == 0:
+        return 0
+    if code < (1 << (s - 1)):
+        return code - (1 << s) + 1
+    return code
+
+
+
+def jpeg_encode(px, subsample=False):
+    """Baseline JFIF encoder: gray (h,w,1) or RGB (h,w,3) → bytes.
+    Annex K quant + Huffman tables; RGB as 4:4:4, or 4:2:0 with
+    ``subsample=True`` (2×2 luma sampling, box-mean chroma
+    downsample, MCU-interleaved emission)."""
+    import numpy as np
+
+    ctx = _jpeg_ctx()
+    h, w, ch = px.shape
+    if ch == 3:
+        p = px.astype(np.float64)
+        y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+        cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2] + 128
+        cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2] + 128
+        if subsample:
+            def down(pl):
+                hh = (pl.shape[0] + 1) // 2 * 2
+                ww = (pl.shape[1] + 1) // 2 * 2
+                pp = np.pad(pl, ((0, hh - pl.shape[0]), (0, ww - pl.shape[1])), mode="edge")
+                return (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            comps = [(y, 2, 2, 0, 0), (down(cb), 1, 1, 1, 1), (down(cr), 1, 1, 1, 1)]
+        else:
+            comps = [(y, 1, 1, 0, 0), (cb, 1, 1, 1, 1), (cr, 1, 1, 1, 1)]
+    else:
+        comps = [(px[:, :, 0].astype(np.float64), 1, 1, 0, 0)]
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qts = [ctx["luma_q"], ctx["chroma_q"]]
+    dc_t = [_huff_encode_table(*_JPEG_DC_LUMA), _huff_encode_table(*_JPEG_DC_CHROMA)]
+    ac_t = [
+        _huff_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS),
+        _huff_encode_table(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS),
+    ]
+    padded = []
+    for pl, hs, vs, tq, ti in comps:
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        pp = np.pad(pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])), mode="edge")
+        padded.append(pp)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (pl, hs, vs, tq, ti) in enumerate(comps):
+                for vy in range(vs):
+                    for vx in range(hs):
+                        y0 = (my * vs + vy) * 8
+                        x0 = (mx * hs + vx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = ctx["C"] @ blk @ ctx["C"].T
+                        zz = np.round(coef / qts[tq]).astype(np.int64).reshape(-1)[ctx["zz"]]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, codebits = _category(diff)
+                        c, ln = dc_t[ti][s]
+                        bw.put(c, ln)
+                        if s:
+                            bw.put(codebits, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c, ln = ac_t[ti][0xF0]
+                                bw.put(c, ln)
+                                run -= 16
+                            s, codebits = _category(v)
+                            c, ln = ac_t[ti][(run << 4) | s]
+                            bw.put(c, ln)
+                            bw.put(codebits, s)
+                            run = 0
+                        if run:
+                            c, ln = ac_t[ti][0x00]
+                            bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, tab):
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in tab.reshape(-1)[ctx["zz"]]))
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    comp_bytes = b"".join(
+        bytes([i + 1, (c[1] << 4) | c[2], c[3]]) for i, c in enumerate(comps)
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + comp_bytes)
+    scomps = b"".join(
+        bytes([i + 1, (c[4] << 4) | c[4]]) for i, c in enumerate(comps)
+    )
+    sos = seg(0xDA, bytes([nc]) + scomps + bytes([0, 63, 0]))
+    out = b"\xff\xd8"
+    out += dqt(0, ctx["luma_q"])
+    if nc == 3:
+        out += dqt(1, ctx["chroma_q"])
+    out += sof
+    out += dht(0, 0, *_JPEG_DC_LUMA)
+    out += dht(1, 0, _JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    if nc == 3:
+        out += dht(0, 1, *_JPEG_DC_CHROMA)
+        out += dht(1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    out += sos + bytes(bw.buf) + b"\xff\xd9"
+    return out
+
+
+
+def jpeg_decode_pixels(b: bytes):
+    """Baseline JFIF decoder: returns uint8 (h, w, ch) or None.
+    Supports 8-bit baseline (SOF0), 1 or 3 components, any sampling
+    factors (nearest upsample), no restart intervals."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    import numpy as np
+
+    ctx = _jpeg_ctx()
+    try:
+        return _jpeg_decode_inner(b, np, ctx)
+    except (IndexError, ValueError, struct.error, EOFError):
+        return None  # arbitrary truncation/corruption → flagged row
+
+
+def _jpeg_decode_inner(b: bytes, np, ctx):
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    sof = None
+    scan = None
+    scomps = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        payload = b[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                prec = payload[p] >> 4
+                tid = payload[p] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ctx["zz"]] = np.frombuffer(
+                    payload[p + 1:p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qt[tid] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls = payload[p] >> 4
+                tid = payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                t = _huff_decode_table(bits, vals)
+                (huff_dc if cls == 0 else huff_ac)[tid] = t
+                p += 17 + n
+        elif marker == 0xC0:
+            prec = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            nc = payload[5]
+            if prec != 8:
+                raise NotImplementedError("non-8-bit baseline")
+            comps = []
+            for i in range(nc):
+                cid = payload[6 + 3 * i]
+                hv = payload[7 + 3 * i]
+                tq = payload[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDA:
+            ns = payload[0]
+            scomps = []
+            for i in range(ns):
+                cs = payload[1 + 2 * i]
+                tt = payload[2 + 2 * i]
+                scomps.append((cs, tt >> 4, tt & 0xF))
+            scan = b[pos:]
+            break
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        # APPn/COM: skipped
+    if sof is None or scan is None:
+        return None
+    h, w, comps = sof
+    if h == 0 or w == 0 or h * w > 16_000_000:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(scan)
+    planes = {}
+    for cid, ch_, cv, tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch_ * 8))
+    pred = {cid: 0 for cid, *_ in comps}
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for (cid, ch_, cv, tq) in comps:
+                    td = ta = None
+                    for scid, std, sta in scomps:
+                        if scid == cid:
+                            td, ta = std, sta
+                    for vy in range(cv):
+                        for vx in range(ch_):
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = br.huff(huff_dc[td])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = br.huff(huff_ac[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                zz[k] = _extend(br.bits(s), s)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.int64)
+                            coef[ctx["zz"]] = zz
+                            dq = coef.reshape(8, 8) * qt[tq]
+                            blk = ctx["C"].T @ dq @ ctx["C"] + 128.0
+                            y0 = (my * cv + vy) * 8
+                            x0 = (mx * ch_ + vx) * 8
+                            planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+    except EOFError:
+        return None
+    except KeyError:
+        return None
+    outp = []
+    for cid, ch_, cv, tq in comps:
+        pl = planes[cid]
+        # upsample to full res (nearest), crop
+        ry = (vmax // cv)
+        rx = (hmax // ch_)
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        outp.append(pl[:h, :w])
+    if len(outp) == 1:
+        g = np.clip(np.round(outp[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = outp
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+
+
+def _jpeg_fixture_pixels(cls: int):
+    """Deterministic frame for JPEG fixture class ``cls`` (0-11):
+    every third class grayscale, the rest RGB; odd RGB classes encode
+    4:2:0 (decided in ``build_jpeg_blob``)."""
+    px = _bmp_fixture_pixels(cls)
+    if cls % 3 == 0:
+        return px[:, :, :1].copy()
+    return px
+
+
+def build_jpeg_blob(doc_id: int) -> bytes:
+    """REAL baseline JPEG bytes for the decode fixtures: frame from
+    ``doc_id % 12`` (gray and RGB classes; odd RGB classes 4:2:0, so
+    both sampling paths run at corpus scale).  %% 17 truncates
+    mid-scan (malformed → ok=false); %% 13 rewrites SOF0→SOF2 (the
+    documented progressive stub → ok=false)."""
+    cls = doc_id % 12
+    px = _jpeg_fixture_pixels(cls)
+    blob = jpeg_encode(px, subsample=(px.shape[2] == 3 and cls % 2 == 1))
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        return blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]  # cut inside the scan
+    return blob
+
+
+def attach_jpeg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the JPEG-decode fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_jpeg_blob(int(i)) for i in pdf[id_col]
+                    ],
                 }
             )
 

@@ -6862,6 +6862,61 @@ def _robots_oracle() -> str:
 ORACLES["robots_filter_check"] = _robots_oracle()
 
 
+def _jpeg_pinned_oracle() -> str:
+    rows = {}
+    for cls in range(12):
+        px = multimodal._jpeg_fixture_pixels(cls)
+        blob = multimodal.jpeg_encode(
+            px, subsample=(px.shape[2] == 3 and cls % 2 == 1)
+        )
+        dec = multimodal.jpeg_decode_pixels(blob)
+        rows[cls] = (
+            px.shape[2],
+            format(multimodal.image_ahash(dec), "016x"),
+            format(multimodal.image_dhash(dec), "016x"),
+        )
+    chan = " ".join(
+        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
+    )
+    ah = " ".join(
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
+               END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
+          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def jpeg_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG pixel decode (operators/multimodal.py
+    ``jpeg_decode_pixels``: Huffman entropy decode with Annex K
+    tables, dequantization, orthonormal-matrix IDCT, 4:2:0 nearest
+    upsample, JFIF YCbCr→RGB) through the shared hash grid — the tier
+    that closes the last common pixel stub.  Classes mix grayscale,
+    4:4:4 and 4:2:0; %% 17 truncates mid-scan (malformed → ok=false),
+    %% 13 rewrites SOF0→SOF2 (progressive — the remaining documented
+    stub → ok=false).  The oracle pins the 12 expected hash pairs
+    computed driver-side through the same decode functions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(multimodal.attach_jpeg_blob(docs))
+
+
+QUERIES["jpeg_pixel_hash_check"] = jpeg_pixel_hash_check
+ORACLES["jpeg_pixel_hash_check"] = _jpeg_pinned_oracle()
+
+
 def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats (operators/text.py
     ``sentence_stats``): terminal-punctuated runs plus the

@@ -4662,16 +4662,21 @@ def test_decode_image_pixels_backend_contract():
     for backend in ("pure",) + (("pil", "auto") if mm._pil_available() else ()):
         assert (mm.decode_image_pixels(png, backend) == px).all(), backend
     assert mm.decode_image_pixels(b"junk") is None
+    # r12: baseline JPEG decodes FOR REAL on the pure path; the
+    # headers-only fixture plant (no scan) is None → ok=false, and a
+    # real encoded blob round-trips within quantization error
+    assert mm.decode_image_pixels(jpeg, "pure") is None
+    real = mm.jpeg_encode(np.full((8, 8, 1), 130, np.uint8))
+    assert (mm.decode_image_pixels(real, "pure") == 130).all()
+    # progressive stays the honest stub
+    sof2 = jpeg.replace(b"\xff\xc0", b"\xff\xc2")
     with _pytest.raises(NotImplementedError):
-        mm.decode_image_pixels(jpeg, "pure")
+        mm.decode_image_pixels(sof2, "pure")
     with _pytest.raises(ValueError):
         mm.decode_image_pixels(png, "turbo")
     if not mm._pil_available():
         with _pytest.raises(ImportError):
             mm.decode_image_pixels(jpeg, "pil")
-        # auto degrades to pure in a PIL-less container
-        with _pytest.raises(NotImplementedError):
-            mm.decode_image_pixels(jpeg, "auto")
 
 
 def test_image_pixel_hashes_pil_backend_jpeg(spark):
@@ -5077,6 +5082,56 @@ def test_bmp_decode_roundtrip(spark):
     }
     assert got[2]["ok"] and got[3]["ok"]
     assert got[2]["dhash"] == got[14]["dhash"]  # class 2, both row orders
+    assert not got[13]["ok"] and not got[17]["ok"]
+
+
+def test_jpeg_baseline_codec_roundtrip(spark):
+    """r12: real baseline JPEG — encode/decode round trips within
+    quantization error for gray, RGB 4:4:4 and RGB 4:2:0 (smooth
+    content tight, noise crushed as JPEG should), bit-determinism of
+    repeated decodes, prefix-truncation fuzz never raising, the
+    progressive stub, and operator integration over the fixture
+    classes with both failure plants."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    grad = np.stack([
+        (np.add.outer(np.arange(24) * 2, np.arange(40)) % 256),
+        (np.add.outer(np.arange(24), np.arange(40) * 3) % 256),
+        np.full((24, 40), 90),
+    ], axis=2).astype(np.uint8)
+    gray = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256).astype(
+        np.uint8
+    )[:, :, None]
+    for px, sub, bound in ((gray, False, 8), (grad, False, 12), (grad, True, 16)):
+        blob = mm.jpeg_encode(px, subsample=sub)
+        dec = mm.jpeg_decode_pixels(blob)
+        assert dec is not None and dec.shape == px.shape
+        err = int(np.abs(dec.astype(int) - px.astype(int)).max())
+        assert err <= bound, (sub, err)
+        assert (mm.jpeg_decode_pixels(blob) == dec).all()  # deterministic
+    flat = mm.jpeg_encode(np.full((8, 8, 1), 130, np.uint8))
+    assert (mm.jpeg_decode_pixels(flat) == 130).all()  # DC-only exact
+
+    blob = mm.build_jpeg_blob(2)
+    for cut in range(0, len(blob), 5):  # any truncation → None, never raise
+        try:
+            assert mm.jpeg_decode_pixels(blob[:cut]) is None or cut == len(blob)
+        except NotImplementedError:
+            pass
+    with _pytest.raises(NotImplementedError):
+        mm.jpeg_decode_pixels(mm.build_jpeg_blob(13))  # SOF2 plant
+    assert mm.jpeg_decode_pixels(mm.build_jpeg_blob(17)) is None
+
+    df = spark.createDataFrame([(i,) for i in (1, 2, 3, 13, 17)], "doc_id long")
+    got = {
+        r["id"]: r
+        for r in mm.image_pixel_hashes(mm.attach_jpeg_blob(df)).collect()
+    }
+    assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"]
+    assert got[3]["channels"] == 1  # 3 % 3 == 0 → grayscale class
     assert not got[13]["ok"] and not got[17]["ok"]
 
 
