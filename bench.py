@@ -161,6 +161,7 @@ HEADLINE = [
     "bmp_pixel_hash_check",
     "robots_filter_check",
     "jpeg_pixel_hash_check",
+    "cross_format_image_dedup_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -2560,3 +2560,56 @@ def attach_jpeg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col)).mapInPandas(
         run, "id long, content binary"
     )
+
+
+def _xfmt_fixture_pixels(cls: int):
+    """Gray frame for cross-format dedup class ``cls`` (0-7): cell
+    values walk ±14 following an md5-derived gradient-sign pattern,
+    so the dHash equals the pattern EXACTLY after PNG (lossless) and
+    survives JPEG quantization unflipped (a 14-level step dwarfs the
+    ≤~6-level smooth-block quant error) — measured pair distance 0,
+    cross-class ≥ 27 (pinned in pytest)."""
+    import numpy as np
+
+    pat = int.from_bytes(hashlib.md5(b"xfmt-%d" % (cls % 8)).digest()[:8], "big")
+    cells = np.zeros((8, 9), dtype=np.int64)
+    for r in range(8):
+        v = 128
+        cells[r, 0] = v
+        for c in range(8):
+            bit = (pat >> (63 - (8 * r + c))) & 1
+            v = v - 14 if bit else v + 14
+            cells[r, c + 1] = v
+    px = np.zeros((16, 18, 1), np.uint8)
+    for r in range(8):
+        for c in range(9):
+            px[2 * r:2 * r + 2, 2 * c:2 * c + 2, 0] = cells[r, c]
+    return px
+
+
+def build_xfmt_blob(row_id: int) -> bytes:
+    """REAL bytes for the cross-format dedup fixtures: row ``2d`` is
+    the PNG of class ``d %% 8``, row ``2d+1`` the JPEG of the SAME
+    frame — re-encoded copies of one picture in two formats, the
+    canonical crawl near-dup."""
+    px = _xfmt_fixture_pixels((row_id // 2) % 8)
+    if row_id % 2 == 0:
+        return png_encode(px)
+    return jpeg_encode(px)
+
+
+def attach_xfmt_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """TWO rows per input id — (2·id, PNG blob) and (2·id+1, JPEG
+    blob) of the same fixture frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                rows.append((int(i) * 2, build_xfmt_blob(int(i) * 2)))
+                rows.append((int(i) * 2 + 1, build_xfmt_blob(int(i) * 2 + 1)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )

@@ -6917,6 +6917,37 @@ QUERIES["jpeg_pixel_hash_check"] = jpeg_pixel_hash_check
 ORACLES["jpeg_pixel_hash_check"] = _jpeg_pinned_oracle()
 
 
+def cross_format_image_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT near-dup image dedup — the canonical crawl case a
+    byte-level dedup can never catch: the same picture re-hosted as a
+    pristine PNG and as a JPEG re-encode.  Each document contributes
+    BOTH encodings of its class frame (operators/multimodal.py
+    ``attach_xfmt_blobs``); the two REAL decoders produce pixel
+    planes whose dHashes are identical by fixture construction (±14
+    gradient steps dwarf JPEG's smooth-block quantization error;
+    cross-class ≥ 27 bits), so ``image_phash_dedup`` must merge every
+    class across formats — which the oracle states as the 8
+    base-class clusters with twice the per-class document count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.image_phash_dedup(
+        multimodal.attach_xfmt_blobs(docs), "content", "id"
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+QUERIES["cross_format_image_dedup_check"] = cross_format_image_dedup_check
+
+ORACLES["cross_format_image_dedup_check"] = """
+    WITH m AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS cls FROM documents)
+    SELECT CAST(min(doc_id) * 2 AS BIGINT) AS cluster,
+           2 * count(*) AS n_members
+    FROM m GROUP BY cls
+"""
+
+
 def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats (operators/text.py
     ``sentence_stats``): terminal-punctuated runs plus the

@@ -5135,6 +5135,37 @@ def test_jpeg_baseline_codec_roundtrip(spark):
     assert not got[13]["ok"] and not got[17]["ok"]
 
 
+def test_cross_format_image_dedup(spark):
+    """r12: the same picture as PNG and as JPEG must land in one
+    cluster — fixture contract (pair dHash distance 0 through BOTH
+    real decoders, cross-class ≥ 25) and the end-to-end merge."""
+    import itertools
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    dh = {}
+    for cls in range(8):
+        px = mm._xfmt_fixture_pixels(cls)
+        p = mm.image_dhash(mm.png_decode_pixels(mm.png_encode(px)))
+        j = mm.image_dhash(mm.jpeg_decode_pixels(mm.jpeg_encode(px)))
+        assert p == j, cls  # JPEG quant never flips a ±14 gradient
+        dh[cls] = p
+    assert min(
+        bin(a ^ b).count("1")
+        for a, b in itertools.combinations(dh.values(), 2)
+    ) >= 25
+
+    df = spark.createDataFrame([(i,) for i in (0, 1, 8)], "doc_id long")
+    got = {
+        r["id"]: r["cluster"]
+        for r in mm.image_phash_dedup(
+            mm.attach_xfmt_blobs(df), "content", "id"
+        ).collect()
+    }
+    # docs 0 and 8 share class 0 → one 4-member cluster labelled 0
+    assert got == {0: 0, 1: 0, 16: 0, 17: 0, 2: 2, 3: 2}
+
+
 def test_png_fixture_margins():
     """r11: the dedup fixture contract the registry oracle rests on —
     every noisy variant within the threshold of its base with the
