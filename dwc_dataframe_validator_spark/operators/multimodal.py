@@ -800,11 +800,14 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
         raise ValueError(f"unknown pixel backend {backend!r}")
     if backend == "auto":
         backend = "pil" if _pil_available() else "pure"
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        # GIF is LZW dictionary coding — codec-free on every backend
+    if backend == "pure" and b[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF is LZW dictionary coding — codec-free on the pure path;
+        # under 'pil' the PIL codec takes it so exotic variants the
+        # pure tier stubs (e.g. unusual extensions) still decode
         return gif_decode_pixels(b)
-    if b[:2] == b"BM":
-        # uncompressed DIB rows — codec-free on every backend
+    if backend == "pure" and b[:2] == b"BM":
+        # uncompressed DIB rows on the pure path; 'pil' falls through
+        # so RLE8/bitfields BMPs decode via PIL per the contract above
         return bmp_decode_pixels(b)
     if backend == "pure" and b[:2] == b"\xff\xd8":
         # baseline JPEG decodes for real on the pure path too; under

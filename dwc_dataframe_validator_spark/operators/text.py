@@ -852,17 +852,28 @@ def sentence_stats(
     total = F.coalesce(
         F.aggregate(wc, F.lit(0), lambda a, x: a + x), F.lit(0)
     )
-    return stage1.select(
+    stage2 = stage1.select(
         F.col(id_col),
         n.cast("long").alias("n_sentences"),
         F.col("_n_term").cast("long").alias("n_terminated"),
         total.cast("long").alias("total_words"),
-        F.when(n > 0, (total / n).cast("long")).alias(
-            "mean_sentence_words"
-        ),
         F.when(n > 0, F.array_max(wc).cast("long")).alias(
             "max_sentence_words"
         ),
+    )
+    # TRUE integer division (`div`) so the engine shares DuckDB's `//`
+    # integer grid by construction — not double division that merely
+    # happens to truncate right while totals stay under 2^53
+    return stage2.select(
+        F.col(id_col),
+        "n_sentences",
+        "n_terminated",
+        "total_words",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.expr("total_words div n_sentences"),
+        ).alias("mean_sentence_words"),
+        "max_sentence_words",
     )
 
 

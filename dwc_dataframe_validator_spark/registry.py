@@ -6993,22 +6993,82 @@ ORACLES["sentence_stats_docs"] = """
 """.replace("{nonws}", text.PORTABLE_NONWS)
 
 
-# Driver-window rotation (round 12): move this round's newly pinned
-# operators into the first-50 verified window — registry order is
-# append-only by policy EXCEPT this deliberate block, which the
-# frozen-window pin in tests/test_plans.py mirrors in the same
-# commit.  Inserted after text_language_id_v2 (position 30);
-# displaced out the back of the window: window_running_totals,
-# rollup_date_counts, multimodal_blob_meta — all long-stable,
-# pytest-pinned, and still swept by tools/verify_local.py.
-_ROTATE_IN = (
+# Driver-verified window — an EXPLICIT name list (round 13, replacing
+# the round-12 positional-insert hack per ADVICE): the driver's
+# correctness gate runs ``list(QUERIES)[:50]``, so the window is
+# enforced by reordering QUERIES to lead with exactly these names.
+# Coverage changes are now a deliberate edit of THIS list (mirrored by
+# the pin in tests/test_plans.py in the same commit), never a
+# dict-order side effect of an insertion elsewhere.  Every name here
+# must be exact-oracled (asserted below at import).
+#
+# Round-13 rotation: in — jpeg_pixel_hash_check, robots_filter_check,
+# sentence_stats_docs, audio_hash_dedup_clusters, crawl_ingest_check
+# (the round-12 operators the verdict asked to driver-verify); out —
+# a4_range_count, a5_group_populated, a11_value_histogram, a12_top_k,
+# a14_offender_sample (long-stable A-series singletons, pytest-pinned
+# and still swept every round by tools/verify_local.py).
+DRIVER_WINDOW: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q_top_orders_by_revenue",
+    "a1_record_count",
+    "a2_column_counts",
+    "a8_a9_distinct_duplicates",
+    "a10_vocab_membership",
+    "a13_date_parts",
+    "p6_membership_filter",
+    "p8_json_extract",
+    "occurrence_validation_metrics",
+    "occurrence_full_metrics",
+    "fk_orders_customer",
+    "dwca_archive_profile",
+    "dwca_orphan_multimedia",
+    "date_multiformat_parse",
+    "dedup_exact_keepers",
+    "dedup_fingerprint",
+    "minhash_lsh_check",
+    "simhash_signature_check",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_language_id_v2",
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
+    "jpeg_pixel_hash_check",
+    "robots_filter_check",
+    "sentence_stats_docs",
+    "audio_hash_dedup_clusters",
+    "crawl_ingest_check",
+    "text_ngram_top_neighbor",
+    "text_tfidf_top_terms",
+    "doc_chunks",
+    "contamination_hits",
+    "training_corpus_prep",
+    "ann_cosine_topk_arrow",
+    "ann_ivf_topk",
+    "sample_hash_events",
+    "sample_stratified_events",
+    "cms_event_type_counts",
+    "annotate_row_errors",
+    "stream_window_counts",
+    "sessionize",
+    "numeric_profile",
+    "asof_purchase_last_click",
+    "range_join_event_sessions",
+    "pivot_event_types",
 )
-_order = [n for n in QUERIES if n not in _ROTATE_IN]
-for _i, _n in enumerate(_ROTATE_IN):
-    _order.insert(30 + _i, _n)
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+assert all(n in QUERIES for n in DRIVER_WINDOW), [
+    n for n in DRIVER_WINDOW if n not in QUERIES
+]
+assert all(n in ORACLES for n in DRIVER_WINDOW), [
+    n for n in DRIVER_WINDOW if n not in ORACLES
+]
+_order = list(DRIVER_WINDOW) + [n for n in QUERIES if n not in DRIVER_WINDOW]
 _rotated = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_rotated)
