@@ -778,9 +778,10 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
 
     - ``"pure"``: the dependency-free decoders — PNG (zlib +
       defilter), GIF (hand-rolled LZW), BMP (BI_RGB rows) and
-      baseline JPEG (Huffman + float64 IDCT) all decode for REAL;
-      progressive/arithmetic JPEG, RLE BMP and 16-bit variants raise
-      ``NotImplementedError`` (the remaining documented stubs).
+      JPEG (baseline AND progressive, with restart intervals) all
+      decode for REAL; arithmetic/hierarchical/lossless JPEG, RLE
+      BMP and 16-bit variants raise ``NotImplementedError`` (the
+      remaining documented stubs).
       This is the DEFAULT and what the registry oracle runs, so the
       driver's value hash never depends on which container decoded.
     - ``"pil"``: PNG still routes through ``png_decode_pixels`` (same
@@ -863,10 +864,10 @@ def image_pixel_hashes(
     REAL pixel decode (``decode_image_pixels``) — hashes as 16-hex-char
     strings so the full unsigned 64-bit value survives every engine
     (bigints sign-flip above 2^63).  Undecodable/null payloads →
-    ok=False with NULL hashes — with PNG/GIF/BMP/baseline-JPEG all
-    decoding for real on the default pure backend, that now means
-    corrupt streams and the residual stub tiers (progressive JPEG,
-    RLE BMP).  ``backend="pil"`` swaps the pixel source for PIL's
+    ok=False with NULL hashes — with PNG/GIF/BMP and JPEG (baseline
+    AND progressive, restart intervals included) all decoding for
+    real on the default pure backend, that now means corrupt streams
+    and the residual stub tiers (arithmetic JPEG, RLE BMP).  ``backend="pil"`` swaps the pixel source for PIL's
     codecs; the integer luma → cell-mean → aHash/dHash grid is
     identical either way.  Map-side Arrow batch pipeline, no
     shuffle."""
@@ -2008,16 +2009,20 @@ def attach_bmp_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# REAL baseline JPEG decode: Huffman + dequant + float64 IDCT
+# REAL JPEG codec: baseline + progressive (SOF2), restart intervals
 # --------------------------------------------------------------------------
 #
-# Baseline sequential JPEG (SOF0) from the spec: Huffman entropy
-# decode, dequantization, IDCT via the 8x8 orthonormal DCT matrix
-# (exact transpose pair with the fixture encoder's FDCT),
-# nearest-neighbor chroma upsampling, JFIF YCbCr->RGB.  With PNG, GIF,
-# BMP and WAV already real, no common pixel format is stubbed anymore;
-# the remaining honest NotImplementedError tiers are progressive/
-# arithmetic/12-bit JPEG, restart intervals, and RLE BMP.
+# JPEG from the spec (ITU T.81): Huffman entropy decode, dequantization,
+# IDCT via the 8x8 orthonormal DCT matrix (exact transpose pair with the
+# fixture encoder's FDCT), nearest-neighbor chroma upsampling, JFIF
+# YCbCr->RGB.  Round 13 adds the two tiers real crawls hit hardest:
+# restart intervals (DRI + RSTn resync, predictor/EOB-run reset) and
+# progressive JPEG (SOF2 spectral selection + successive approximation,
+# DC/AC first and refinement scans, EOB runs, per-scan optimal Huffman
+# tables per Annex K.2) -- CDN re-encoders emit progressive almost
+# universally, so without it re-hosted images silently fall out of
+# image dedup.  The remaining honest NotImplementedError tiers are
+# arithmetic/hierarchical/lossless/12-bit JPEG and RLE BMP.
 #
 # Determinism: unlike the integer PNG/GIF/BMP paths the IDCT and color
 # transform run in float64 — identical inputs give identical outputs
@@ -2187,6 +2192,13 @@ class _BitWriter:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1s
 
+    def marker(self, m: int):
+        """Byte-align (1-padded) then emit a raw marker — markers are
+        never byte-stuffed, unlike entropy-coded 0xFF bytes."""
+        self.flush()
+        self.buf.append(0xFF)
+        self.buf.append(m)
+
 
 class _BitReader:
     def __init__(self, data):
@@ -2229,6 +2241,16 @@ class _BitReader:
                 return table[(ln, code)]
         raise EOFError
 
+    def restart(self):
+        """Consume an RSTn marker at a restart boundary: discard the
+        partial byte (encoder 1-padded it), then expect 0xFF 0xD0-D7."""
+        self.n = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise EOFError
+        if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise EOFError
+        self.pos += 2
+
 
 def _category(v):
     """JPEG magnitude category + the SSSS-bit code of v."""
@@ -2248,14 +2270,200 @@ def _extend(code, s):
 
 
 
-def jpeg_encode(px, subsample=False):
-    """Baseline JFIF encoder: gray (h,w,1) or RGB (h,w,3) → bytes.
-    Annex K quant + Huffman tables; RGB as 4:4:4, or 4:2:0 with
-    ``subsample=True`` (2×2 luma sampling, box-mean chroma
-    downsample, MCU-interleaved emission)."""
-    import numpy as np
+def _huff_build(freq_map):
+    """Optimal JPEG Huffman table from symbol frequencies — the spec's
+    Annex K.2 algorithm (the one `cjpeg -optimize` / every progressive
+    encoder uses): pairwise frequency merging with a chained code-size
+    counter, the 16-bit depth adjustment, and the reserved all-ones
+    symbol.  Returns (bits[1..16], vals) for the existing canonical
+    table builders."""
+    freq = [0] * 257
+    for s, c in freq_map.items():
+        freq[s] = c
+    freq[256] = 1  # reserved: guarantees no real symbol is all-ones
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                c1, v = i, freq[i]
+        c2, v = -1, None
+        for i in range(257):
+            if i != c1 and freq[i] > 0 and (v is None or freq[i] <= v):
+                c2, v = i, freq[i]
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # K.2(b): fold depths >16 back under the limit
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved symbol's slot
+    pairs = sorted((codesize[s], s) for s in range(256) if codesize[s])
+    return bits[1:17], [s for _, s in pairs]
 
-    ctx = _jpeg_ctx()
+
+class _JpegCountSink:
+    """First pass of two-pass scan encoding: count Huffman symbols per
+    (class, table-id) so `_huff_build` can make optimal tables."""
+
+    def __init__(self):
+        self.freq: dict[tuple[int, int], dict[int, int]] = {}
+
+    def symbol(self, cls, tid, sym):
+        f = self.freq.setdefault((cls, tid), {})
+        f[sym] = f.get(sym, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+    def restart_marker(self, m):
+        pass
+
+
+class _JpegWriteSink:
+    """Second pass: emit the entropy-coded bytes through a _BitWriter
+    using the tables built from the counting pass."""
+
+    def __init__(self, bw, tables):
+        self.bw = bw
+        self.tables = tables  # (cls, tid) -> encode table
+
+    def symbol(self, cls, tid, sym):
+        c, ln = self.tables[(cls, tid)][sym]
+        self.bw.put(c, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.put(v & ((1 << n) - 1), n)
+
+    def restart_marker(self, m):
+        self.bw.marker(0xD0 + (m & 7))
+
+
+class _JpegScanCoder:
+    """Per-scan entropy coder state (T.81 §G encoding procedures):
+    DC first/refine, AC first/refine with EOB-run accumulation and the
+    refinement correction-bit buffer.  `eob_cap`=1 degenerates the
+    EOB-run machinery to baseline's plain EOB symbol, which is how one
+    code path serves both SOF0 and SOF2 emission."""
+
+    def __init__(self, sink, eob_cap):
+        self.sink = sink
+        self.cap = eob_cap
+        self.eobrun = 0
+        self.bbuf: list[int] = []
+
+    def flush_eob(self, tid):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sink.symbol(1, tid, nbits << 4)
+            if nbits:
+                self.sink.bits(self.eobrun, nbits)
+            self.eobrun = 0
+            for b in self.bbuf:
+                self.sink.bits(b, 1)
+            self.bbuf = []
+
+    def dc_first(self, dc, ci, tid, al, preds):
+        v = dc >> al  # arithmetic shift, matching the refine |= below
+        diff = v - preds[ci]
+        preds[ci] = v
+        s, cb = _category(diff)
+        self.sink.symbol(0, tid, s)
+        if s:
+            self.sink.bits(cb, s)
+
+    def dc_refine(self, dc, al):
+        self.sink.bits((dc >> al) & 1, 1)
+
+    def ac_first(self, zzrow, tid, ss, se, al):
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zzrow[k])
+            mag = abs(v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            self.flush_eob(tid)
+            while r > 15:
+                self.sink.symbol(1, tid, 0xF0)
+                r -= 16
+            s, cb = _category(mag if v > 0 else -mag)
+            self.sink.symbol(1, tid, (r << 4) | s)
+            self.sink.bits(cb, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun >= self.cap:
+                self.flush_eob(tid)
+
+    def ac_refine(self, zzrow, tid, ss, se, al):
+        absv = [0] * (se + 1)
+        eob = 0
+        for k in range(ss, se + 1):
+            absv[k] = abs(int(zzrow[k])) >> al
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.flush_eob(tid)
+                self.sink.symbol(1, tid, 0xF0)
+                r -= 16
+                for b in br:
+                    self.sink.bits(b, 1)
+                br = []
+            if temp > 1:
+                br.append(temp & 1)  # correction bit of an old nonzero
+                continue
+            self.flush_eob(tid)
+            self.sink.symbol(1, tid, (r << 4) | 1)
+            self.sink.bits(1 if int(zzrow[k]) >= 0 else 0, 1)
+            for b in br:
+                self.sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.bbuf.extend(br)
+            if self.eobrun >= self.cap:
+                self.flush_eob(tid)
+
+
+def _jpeg_components(px, subsample, np):
+    """(plane, hs, vs, quant-id, huff-id) per component — gray, RGB
+    4:4:4, or RGB 4:2:0 with box-mean chroma downsample."""
     h, w, ch = px.shape
     if ch == 3:
         p = px.astype(np.float64)
@@ -2268,65 +2476,145 @@ def jpeg_encode(px, subsample=False):
                 ww = (pl.shape[1] + 1) // 2 * 2
                 pp = np.pad(pl, ((0, hh - pl.shape[0]), (0, ww - pl.shape[1])), mode="edge")
                 return (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
-            comps = [(y, 2, 2, 0, 0), (down(cb), 1, 1, 1, 1), (down(cr), 1, 1, 1, 1)]
+            return [(y, 2, 2, 0, 0), (down(cb), 1, 1, 1, 1), (down(cr), 1, 1, 1, 1)]
+        return [(y, 1, 1, 0, 0), (cb, 1, 1, 1, 1), (cr, 1, 1, 1, 1)]
+    return [(px[:, :, 0].astype(np.float64), 1, 1, 0, 0)]
+
+
+#: Progressive scan scripts — (component indices, Ss, Se, Ah, Al) —
+#: the classic cjpeg simple-progression shape: first-pass DC at Al=1,
+#: spectral-split AC first passes, then DC and AC refinements walking
+#: Al down to 0.  Exercises spectral selection, successive
+#: approximation, EOB runs, ZRL and correction bits end to end.
+_JPEG_PROG_SCRIPT_3 = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_JPEG_PROG_SCRIPT_1 = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _jpeg_run_scan(sink, scan, qcoefs, comps, geom, dri, eob_cap):
+    """Drive one scan's block order (interleaved MCU order for multi-
+    component scans, component-grid raster for single-component ones)
+    through a fresh _JpegScanCoder, emitting RSTn at `dri` boundaries."""
+    comp_idx, ss, se, ah, al = scan
+    h, w, hmax, vmax, mcux, mcuy = geom
+    coder = _JpegScanCoder(sink, eob_cap)
+    preds = [0] * len(comps)
+    rst_m = 0
+
+    def code_block(ci, by, bx, tid):
+        zzrow = qcoefs[ci][by][bx]
+        if ss == 0:
+            if ah == 0:
+                coder.dc_first(int(zzrow[0]), ci, tid, al, preds)
+                if se > 0:
+                    coder.ac_first(zzrow, tid, 1, se, al)
+            else:
+                coder.dc_refine(int(zzrow[0]), al)
+        elif ah == 0:
+            coder.ac_first(zzrow, tid, ss, se, al)
         else:
-            comps = [(y, 1, 1, 0, 0), (cb, 1, 1, 1, 1), (cr, 1, 1, 1, 1)]
-    else:
-        comps = [(px[:, :, 0].astype(np.float64), 1, 1, 0, 0)]
+            coder.ac_refine(zzrow, tid, ss, se, al)
+
+    if len(comp_idx) > 1:  # interleaved: MCU order, restart per MCU
+        idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and idx and idx % dri == 0:
+                    for ci in comp_idx:
+                        coder.flush_eob(comps[ci][4])
+                    sink.restart_marker(rst_m)
+                    rst_m = (rst_m + 1) & 7
+                    preds[:] = [0] * len(comps)
+                idx += 1
+                for ci in comp_idx:
+                    _pl, hs, vs, _tq, ti = comps[ci]
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            code_block(ci, my * vs + vy, mx * hs + vx, ti)
+    else:  # non-interleaved: the component's OWN block grid (not the
+        # MCU-padded one) in raster order, restart per block — T.81's
+        # rule for single-component scans
+        ci = comp_idx[0]
+        _pl, hs, vs, _tq, ti = comps[ci]
+        bh = (-(-h * vs // vmax) + 7) // 8
+        bw_ = (-(-w * hs // hmax) + 7) // 8
+        for idx in range(bh * bw_):
+            if dri and idx and idx % dri == 0:
+                coder.flush_eob(ti)
+                sink.restart_marker(rst_m)
+                rst_m = (rst_m + 1) & 7
+                preds[:] = [0] * len(comps)
+            by, bx = divmod(idx, bw_)
+            code_block(ci, by, bx, ti)
+    for ci in comp_idx:
+        coder.flush_eob(comps[ci][4])
+
+
+def jpeg_encode(px, subsample=False, restart_interval=0, progressive=False):
+    """JFIF encoder: gray (h,w,1) or RGB (h,w,3) → bytes.
+
+    - Baseline (default): SOF0, Annex K quant + Huffman tables; RGB as
+      4:4:4, or 4:2:0 with ``subsample=True`` (2×2 luma sampling,
+      box-mean chroma downsample, MCU-interleaved emission).  Bit-
+      identical to the round-12 encoder when ``restart_interval=0``.
+    - ``restart_interval=N``: DRI segment + RSTn markers every N MCUs
+      (every N blocks in non-interleaved progressive scans), with
+      predictor/EOB-run reset and 1-padded byte alignment.
+    - ``progressive=True``: SOF2 with the classic simple-progression
+      scan script (spectral selection + successive approximation) and
+      per-scan optimal Huffman tables (two-pass, Annex K.2) — the shape
+      real CDN re-encoders emit.  Decodes to pixels IDENTICAL to the
+      baseline encoding of the same frame (same coefficients)."""
+    import numpy as np
+
+    ctx = _jpeg_ctx()
+    h, w, ch = px.shape
+    comps = _jpeg_components(px, subsample, np)
     nc = len(comps)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geom = (h, w, hmax, vmax, mcux, mcuy)
     qts = [ctx["luma_q"], ctx["chroma_q"]]
-    dc_t = [_huff_encode_table(*_JPEG_DC_LUMA), _huff_encode_table(*_JPEG_DC_CHROMA)]
-    ac_t = [
-        _huff_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS),
-        _huff_encode_table(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS),
-    ]
-    padded = []
+
+    # quantized zigzag coefficients over the MCU-padded block grid
+    qcoefs = []
     for pl, hs, vs, tq, ti in comps:
-        ph, pw = mcuy * vs * 8, mcux * hs * 8
-        pp = np.pad(pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])), mode="edge")
-        padded.append(pp)
-    bw = _BitWriter()
-    pred = [0] * nc
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (pl, hs, vs, tq, ti) in enumerate(comps):
-                for vy in range(vs):
-                    for vx in range(hs):
-                        y0 = (my * vs + vy) * 8
-                        x0 = (mx * hs + vx) * 8
-                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
-                        coef = ctx["C"] @ blk @ ctx["C"].T
-                        zz = np.round(coef / qts[tq]).astype(np.int64).reshape(-1)[ctx["zz"]]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        s, codebits = _category(diff)
-                        c, ln = dc_t[ti][s]
-                        bw.put(c, ln)
-                        if s:
-                            bw.put(codebits, s)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                c, ln = ac_t[ti][0xF0]
-                                bw.put(c, ln)
-                                run -= 16
-                            s, codebits = _category(v)
-                            c, ln = ac_t[ti][(run << 4) | s]
-                            bw.put(c, ln)
-                            bw.put(codebits, s)
-                            run = 0
-                        if run:
-                            c, ln = ac_t[ti][0x00]
-                            bw.put(c, ln)
-    bw.flush()
+        by, bx = mcuy * vs, mcux * hs
+        pp = np.pad(
+            pl,
+            ((0, by * 8 - pl.shape[0]), (0, bx * 8 - pl.shape[1])),
+            mode="edge",
+        )
+        rows = []
+        for yy in range(by):
+            row = []
+            for xx in range(bx):
+                blk = pp[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] - 128.0
+                coef = ctx["C"] @ blk @ ctx["C"].T
+                row.append(
+                    np.round(coef / qts[tq]).astype(np.int64).reshape(-1)[ctx["zz"]]
+                )
+            rows.append(row)
+        qcoefs.append(rows)
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -2340,30 +2628,77 @@ def jpeg_encode(px, subsample=False):
     comp_bytes = b"".join(
         bytes([i + 1, (c[1] << 4) | c[2], c[3]]) for i, c in enumerate(comps)
     )
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + comp_bytes)
-    scomps = b"".join(
-        bytes([i + 1, (c[4] << 4) | c[4]]) for i, c in enumerate(comps)
-    )
-    sos = seg(0xDA, bytes([nc]) + scomps + bytes([0, 63, 0]))
-    out = b"\xff\xd8"
-    out += dqt(0, ctx["luma_q"])
+    sof_marker = 0xC2 if progressive else 0xC0
+    sof = seg(sof_marker, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + comp_bytes)
+    out = b"\xff\xd8" + dqt(0, ctx["luma_q"])
     if nc == 3:
         out += dqt(1, ctx["chroma_q"])
     out += sof
-    out += dht(0, 0, *_JPEG_DC_LUMA)
-    out += dht(1, 0, _JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
-    if nc == 3:
-        out += dht(0, 1, *_JPEG_DC_CHROMA)
-        out += dht(1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
-    out += sos + bytes(bw.buf) + b"\xff\xd9"
-    return out
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(scan):
+        comp_idx, ss, se, ah, al = scan
+        body = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            ti = comps[ci][4]
+            body += bytes([ci + 1, (ti << 4) | ti])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    if not progressive:
+        scan = (tuple(range(nc)), 0, 63, 0, 0)
+        out += dht(0, 0, *_JPEG_DC_LUMA)
+        out += dht(1, 0, _JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+        tables = {
+            (0, 0): _huff_encode_table(*_JPEG_DC_LUMA),
+            (1, 0): _huff_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS),
+        }
+        if nc == 3:
+            out += dht(0, 1, *_JPEG_DC_CHROMA)
+            out += dht(1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+            tables[(0, 1)] = _huff_encode_table(*_JPEG_DC_CHROMA)
+            tables[(1, 1)] = _huff_encode_table(
+                _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS
+            )
+        bw = _BitWriter()
+        _jpeg_run_scan(
+            _JpegWriteSink(bw, tables), scan, qcoefs, comps, geom,
+            restart_interval, 1,
+        )
+        bw.flush()
+        out += sos(scan) + bytes(bw.buf)
+    else:
+        script = _JPEG_PROG_SCRIPT_3 if nc == 3 else _JPEG_PROG_SCRIPT_1
+        for scan in script:
+            count = _JpegCountSink()
+            _jpeg_run_scan(
+                count, scan, qcoefs, comps, geom, restart_interval, 0x7FFF
+            )
+            tables = {}
+            dht_bytes = b""
+            for (cls, tid), freq in sorted(count.freq.items()):
+                bits, vals = _huff_build(freq)
+                dht_bytes += dht(cls, tid, bits, vals)
+                tables[(cls, tid)] = _huff_encode_table(bits, vals)
+            bw = _BitWriter()
+            _jpeg_run_scan(
+                _JpegWriteSink(bw, tables), scan, qcoefs, comps, geom,
+                restart_interval, 0x7FFF,
+            )
+            bw.flush()
+            out += dht_bytes + sos(scan) + bytes(bw.buf)
+    return out + b"\xff\xd9"
 
 
 
 def jpeg_decode_pixels(b: bytes):
-    """Baseline JFIF decoder: returns uint8 (h, w, ch) or None.
-    Supports 8-bit baseline (SOF0), 1 or 3 components, any sampling
-    factors (nearest upsample), no restart intervals."""
+    """JFIF decoder: returns uint8 (h, w, ch) or None.  Supports 8-bit
+    baseline (SOF0) AND progressive (SOF2: spectral selection +
+    successive approximation, DC/AC first and refinement scans, EOB
+    runs), 1 or 3 components, any sampling factors (nearest upsample),
+    and restart intervals (DRI + RSTn resync) in both modes.  The
+    remaining honest NotImplementedError tiers are arithmetic-coded,
+    hierarchical, lossless and 12-bit JPEG."""
     if b[:2] != b"\xff\xd8":
         return None
     import numpy as np
@@ -2371,8 +2706,167 @@ def jpeg_decode_pixels(b: bytes):
     ctx = _jpeg_ctx()
     try:
         return _jpeg_decode_inner(b, np, ctx)
-    except (IndexError, ValueError, struct.error, EOFError):
+    except (IndexError, KeyError, ValueError, struct.error, EOFError):
         return None  # arbitrary truncation/corruption → flagged row
+
+
+def _find_scan_end(b: bytes, pos: int) -> int:
+    """End of an entropy-coded segment: the first 0xFF followed by a
+    real marker (not 0x00 byte-stuffing, not RST0-7, not 0xFF fill)."""
+    i = pos
+    n = len(b)
+    while True:
+        i = b.find(0xFF, i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = b[i + 1]
+        if nxt == 0xFF:
+            i += 1  # fill byte
+        elif nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2  # stuffed literal / restart marker: inside the scan
+        else:
+            return i
+
+
+def _jpeg_decode_scan(
+    data, scomps, ss, se, ah, al, comps, geom, dri, huff_dc, huff_ac, coefs
+):
+    """Decode ONE scan's entropy data into the per-component zigzag
+    coefficient arrays (T.81 §F.2 / §G.2 decoding procedures) —
+    baseline full-band, progressive DC/AC first passes, and
+    progressive DC/AC refinement with EOB runs.  Raises on corrupt
+    streams; the caller maps that to None."""
+    h, w, hmax, vmax, mcux, mcuy = geom
+    br = _BitReader(data)
+    preds = {cid: 0 for cid, *_ in comps}
+    state = {"eobrun": 0}
+    cinfo = {cid: (ch_, cv, tq) for cid, ch_, cv, tq in comps}
+    p1 = 1 << al
+    m1 = -p1
+
+    def dc_first(row, cid, td):
+        s = br.huff(huff_dc[td])
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[cid] += diff
+        row[0] = preds[cid] << al
+
+    def dc_refine(row):
+        if br.bit():
+            row[0] = int(row[0]) | p1
+
+    def ac_first(row, ta, kss):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = kss
+        tab = huff_ac[ta]
+        while k <= se:
+            rs = br.huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eb = (1 << r) - 1
+                    if r:
+                        eb += br.bits(r)
+                    state["eobrun"] = eb
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            row[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def refine_nonzero(row, k):
+        c = int(row[k])
+        if c != 0 and br.bit() and (abs(c) & p1) == 0:
+            row[k] = c + (p1 if c >= 0 else m1)
+            return True
+        return c != 0
+
+    def ac_refine(row, ta):
+        k = ss
+        if state["eobrun"] == 0:
+            tab = huff_ac[ta]
+            while k <= se:
+                rs = br.huff(tab)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eb = 1 << r
+                        if r:
+                            eb += br.bits(r)
+                        state["eobrun"] = eb
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("refinement s != 1")
+                    newval = p1 if br.bit() else m1
+                while k <= se:
+                    c = int(row[k])
+                    if c != 0:
+                        if br.bit() and (abs(c) & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                c = int(row[k])
+                if c != 0 and br.bit() and (abs(c) & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def block(cid, by, bx, td, ta):
+        row = coefs[cid][by, bx]
+        if ss == 0:
+            if ah == 0:
+                dc_first(row, cid, td)
+                if se > 0:
+                    ac_first(row, ta, 1)
+            else:
+                dc_refine(row)
+        elif ah == 0:
+            ac_first(row, ta, ss)
+        else:
+            ac_refine(row, ta)
+
+    def restart():
+        br.restart()
+        for cid in preds:
+            preds[cid] = 0
+        state["eobrun"] = 0
+
+    if len(scomps) > 1:  # interleaved MCU order
+        idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and idx and idx % dri == 0:
+                    restart()
+                idx += 1
+                for cid, td, ta in scomps:
+                    ch_, cv, _tq = cinfo[cid]
+                    for vy in range(cv):
+                        for vx in range(ch_):
+                            block(cid, my * cv + vy, mx * ch_ + vx, td, ta)
+    else:  # single-component scan: the component's own block grid
+        cid, td, ta = scomps[0]
+        ch_, cv, _tq = cinfo[cid]
+        bh = (-(-h * cv // vmax) + 7) // 8
+        bw_ = (-(-w * ch_ // hmax) + 7) // 8
+        for idx in range(bh * bw_):
+            if dri and idx and idx % dri == 0:
+                restart()
+            by, bx = divmod(idx, bw_)
+            block(cid, by, bx, td, ta)
 
 
 def _jpeg_decode_inner(b: bytes, np, ctx):
@@ -2381,14 +2875,22 @@ def _jpeg_decode_inner(b: bytes, np, ctx):
     huff_dc = {}
     huff_ac = {}
     sof = None
-    scan = None
-    scomps = None
-    while pos + 4 <= len(b):
+    progressive = False
+    dri = 0
+    coefs = None
+    geom = None
+    saw_scan = False
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             return None
         marker = b[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers (stray RST/TEM between scans)
+            continue
+        if pos + 4 > len(b):
+            return None
         ln = struct.unpack(">H", b[pos + 2:pos + 4])[0]
         payload = b[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -2416,100 +2918,101 @@ def _jpeg_decode_inner(b: bytes, np, ctx):
                 t = _huff_decode_table(bits, vals)
                 (huff_dc if cls == 0 else huff_ac)[tid] = t
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec = payload[0]
             h, w = struct.unpack(">HH", payload[1:5])
             nc = payload[5]
             if prec != 8:
-                raise NotImplementedError("non-8-bit baseline")
+                raise NotImplementedError("non-8-bit precision")
             comps = []
             for i in range(nc):
                 cid = payload[6 + 3 * i]
                 hv = payload[7 + 3 * i]
                 tq = payload[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if h == 0 or w == 0 or h * w > 16_000_000:
+                return None
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax == 0 or vmax == 0:
+                return None
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            geom = (h, w, hmax, vmax, mcux, mcuy)
+            coefs = {
+                cid: np.zeros((mcuy * cv, mcux * ch_, 64), dtype=np.int32)
+                for cid, ch_, cv, _tq in comps
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+            raise NotImplementedError(
+                "unsupported JPEG mode (arithmetic/hierarchical/lossless)"
+            )
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                return None
+            dri = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
+            if sof is None:
+                return None
             ns = payload[0]
             scomps = []
             for i in range(ns):
                 cs = payload[1 + 2 * i]
                 tt = payload[2 + 2 * i]
                 scomps.append((cs, tt >> 4, tt & 0xF))
-            scan = b[pos:]
-            break
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahl = payload[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            # scan-header legality — an illegal combination means a
+            # corrupt stream (e.g. a baseline scan relabeled SOF2)
+            if progressive:
+                if ss == 0 and se != 0:
+                    return None  # progressive DC scan must be DC-only
+                if ss > 0 and (ns != 1 or ss > se or se > 63):
+                    return None  # AC scans are single-component bands
+            else:
+                if ss != 0 or se != 63 or ah != 0 or al != 0:
+                    return None
+            known = {cid for cid, *_ in sof[2]}
+            if any(cs not in known for cs, *_ in scomps):
+                return None
+            end = _find_scan_end(b, pos)
+            _jpeg_decode_scan(
+                b[pos:end], scomps, ss, se, ah, al, sof[2], geom, dri,
+                huff_dc, huff_ac, coefs,
+            )
+            saw_scan = True
+            pos = end
         # APPn/COM: skipped
-    if sof is None or scan is None:
+    if sof is None or not saw_scan:
         return None
     h, w, comps = sof
-    if h == 0 or w == 0 or h * w > 16_000_000:
-        return None
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    br = _BitReader(scan)
-    planes = {}
-    for cid, ch_, cv, tq in comps:
-        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch_ * 8))
-    pred = {cid: 0 for cid, *_ in comps}
-    try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for (cid, ch_, cv, tq) in comps:
-                    td = ta = None
-                    for scid, std, sta in scomps:
-                        if scid == cid:
-                            td, ta = std, sta
-                    for vy in range(cv):
-                        for vx in range(ch_):
-                            zz = np.zeros(64, dtype=np.int64)
-                            s = br.huff(huff_dc[td])
-                            diff = _extend(br.bits(s), s) if s else 0
-                            pred[cid] += diff
-                            zz[0] = pred[cid]
-                            k = 1
-                            while k < 64:
-                                rs = br.huff(huff_ac[ta])
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                zz[k] = _extend(br.bits(s), s)
-                                k += 1
-                            coef = np.zeros(64, dtype=np.int64)
-                            coef[ctx["zz"]] = zz
-                            dq = coef.reshape(8, 8) * qt[tq]
-                            blk = ctx["C"].T @ dq @ ctx["C"] + 128.0
-                            y0 = (my * cv + vy) * 8
-                            x0 = (mx * ch_ + vx) * 8
-                            planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
-    except EOFError:
-        return None
-    except KeyError:
-        return None
+    _h, _w, hmax, vmax, mcux, mcuy = geom
     outp = []
     for cid, ch_, cv, tq in comps:
-        pl = planes[cid]
-        # upsample to full res (nearest), crop
-        ry = (vmax // cv)
-        rx = (hmax // ch_)
+        if tq not in qt:
+            return None
+        arr = coefs[cid].astype(np.float64)
+        nat = np.zeros_like(arr)
+        nat[:, :, ctx["zz"]] = arr  # zigzag → natural scatter
+        by, bx = arr.shape[0], arr.shape[1]
+        dq = nat.reshape(by, bx, 8, 8) * qt[tq]
+        # IDCT all blocks at once: C.T @ dq @ C, batched
+        blk = np.einsum("ki,yxkl,lj->yxij", ctx["C"], dq, ctx["C"]) + 128.0
+        pl = blk.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ry = vmax // cv
+        rx = hmax // ch_
         if ry > 1 or rx > 1:
             pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
         outp.append(pl[:h, :w])
     if len(outp) == 1:
         g = np.clip(np.round(outp[0]), 0, 255).astype(np.uint8)
         return g[:, :, None]
+    if len(outp) != 3:
+        return None
     y, cb, cr = outp
     r = y + 1.402 * (cr - 128)
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
@@ -2534,12 +3037,16 @@ def build_jpeg_blob(doc_id: int) -> bytes:
     """REAL baseline JPEG bytes for the decode fixtures: frame from
     ``doc_id % 12`` (gray and RGB classes; odd RGB classes 4:2:0, so
     both sampling paths run at corpus scale).  %% 17 truncates
-    mid-scan (malformed → ok=false); %% 13 rewrites SOF0→SOF2 (the
-    documented progressive stub → ok=false)."""
+    mid-scan (malformed → ok=false); %% 13 rewrites SOF0→SOF2,
+    which since round 13 is an ILLEGAL-progressive corrupt plant
+    (full-band scan under SOF2) → ok=false."""
     cls = doc_id % 12
     px = _jpeg_fixture_pixels(cls)
     blob = jpeg_encode(px, subsample=(px.shape[2] == 3 and cls % 2 == 1))
     if doc_id % 13 == 0 and doc_id % 17 != 0:
+        # r13: with SOF2 decode now real, this marker flip makes an
+        # ILLEGAL progressive stream (full-band DC+AC scan) — the
+        # corrupt-relabel plant, still ok=false
         return blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     if doc_id % 17 == 0:
         return blob[: len(blob) * 2 // 3]  # cut inside the scan
@@ -2556,6 +3063,53 @@ def attach_jpeg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf[id_col],
                     "content": [
                         build_jpeg_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def build_jpeg_prog_blob(doc_id: int) -> bytes:
+    """REAL progressive/restart JPEG bytes for the round-13 decode
+    fixtures: frame from ``doc_id %% 12`` (same classes as
+    ``build_jpeg_blob``), wrapper from ``doc_id %% 3`` — 0 progressive
+    (SOF2, 10-scan/6-scan simple-progression script), 1 baseline with
+    DRI=2 restart markers, 2 progressive with DRI=3 (EOB-run resets
+    inside refinement scans).  All three decode to pixels IDENTICAL
+    to the plain baseline encoding of the frame (same quantized
+    coefficients), which is exactly the CDN-re-encode near-dup case
+    the image dedup operators exist to catch.  %% 17 truncates
+    mid-stream (malformed → ok=false)."""
+    cls = doc_id % 12
+    px = _jpeg_fixture_pixels(cls)
+    sub = px.shape[2] == 3 and cls % 2 == 1
+    mode = doc_id % 3
+    if mode == 0:
+        blob = jpeg_encode(px, subsample=sub, progressive=True)
+    elif mode == 1:
+        blob = jpeg_encode(px, subsample=sub, restart_interval=2)
+    else:
+        blob = jpeg_encode(px, subsample=sub, progressive=True,
+                           restart_interval=3)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 3 // 5]  # cut inside a scan
+    return blob
+
+
+def attach_jpeg_prog_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the progressive/restart JPEG fixture blobs
+    per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_jpeg_prog_blob(int(i)) for i in pdf[id_col]
                     ],
                 }
             )

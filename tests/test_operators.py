@@ -4668,10 +4668,13 @@ def test_decode_image_pixels_backend_contract():
     assert mm.decode_image_pixels(jpeg, "pure") is None
     real = mm.jpeg_encode(np.full((8, 8, 1), 130, np.uint8))
     assert (mm.decode_image_pixels(real, "pure") == 130).all()
-    # progressive stays the honest stub
+    # r13: progressive is REAL — the headers-only fixture relabeled
+    # SOF2 has no scan data, so it's corrupt → None (not a raise); a
+    # genuinely progressive encode decodes to the baseline's pixels
     sof2 = jpeg.replace(b"\xff\xc0", b"\xff\xc2")
-    with _pytest.raises(NotImplementedError):
-        mm.decode_image_pixels(sof2, "pure")
+    assert mm.decode_image_pixels(sof2, "pure") is None
+    prog = mm.jpeg_encode(np.full((8, 8, 1), 130, np.uint8), progressive=True)
+    assert (mm.decode_image_pixels(prog, "pure") == 130).all()
     with _pytest.raises(ValueError):
         mm.decode_image_pixels(png, "turbo")
     if not mm._pil_available():
@@ -5121,8 +5124,10 @@ def test_jpeg_baseline_codec_roundtrip(spark):
             assert mm.jpeg_decode_pixels(blob[:cut]) is None or cut == len(blob)
         except NotImplementedError:
             pass
-    with _pytest.raises(NotImplementedError):
-        mm.jpeg_decode_pixels(mm.build_jpeg_blob(13))  # SOF2 plant
+    # r13: SOF2 is REAL now, so the %13 marker-flip plant (baseline
+    # full-band scan relabeled progressive — an ILLEGAL scan header)
+    # is detected as corrupt → None, not the old stub raise
+    assert mm.jpeg_decode_pixels(mm.build_jpeg_blob(13)) is None
     assert mm.jpeg_decode_pixels(mm.build_jpeg_blob(17)) is None
 
     df = spark.createDataFrame([(i,) for i in (1, 2, 3, 13, 17)], "doc_id long")
@@ -5133,6 +5138,84 @@ def test_jpeg_baseline_codec_roundtrip(spark):
     assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"]
     assert got[3]["channels"] == 1  # 3 % 3 == 0 → grayscale class
     assert not got[13]["ok"] and not got[17]["ok"]
+
+
+def test_jpeg_progressive_codec_parity(spark):
+    """r13: progressive JPEG (SOF2 spectral selection + successive
+    approximation) and restart intervals — every wrapper mode carries
+    the same quantized coefficients as baseline, so decode must be
+    pixel-IDENTICAL to the baseline decode; EOB-run/ZRL/correction-bit
+    paths exercised by multi-block frames; truncation fuzz never
+    raises; fixture integration over all three wrapper modes."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    # deterministic frames chosen to force the hairy entropy paths:
+    # flat (long EOB runs across blocks), sparse spikes (ZRL + lone
+    # high-frequency coefs), gradient (dense AC + refinement
+    # correction bits), plus every fixture class
+    flat = np.full((40, 48, 1), 129, np.uint8)
+    spikes = np.full((32, 32, 1), 128, np.uint8)
+    spikes[::7, ::5] = 250
+    grad = np.stack([
+        (np.add.outer(np.arange(24) * 2, np.arange(40)) % 256),
+        (np.add.outer(np.arange(24), np.arange(40) * 3) % 256),
+        np.full((24, 40), 90),
+    ], axis=2).astype(np.uint8)
+    frames = [(flat, False), (spikes, False), (grad, False), (grad, True)]
+    frames += [
+        (mm._jpeg_fixture_pixels(c),
+         mm._jpeg_fixture_pixels(c).shape[2] == 3 and c % 2 == 1)
+        for c in range(12)
+    ]
+    for i, (px, sub) in enumerate(frames):
+        base = mm.jpeg_decode_pixels(mm.jpeg_encode(px, subsample=sub))
+        for kw in (
+            {"progressive": True},
+            {"restart_interval": 2},
+            {"progressive": True, "restart_interval": 3},
+        ):
+            blob = mm.jpeg_encode(px, subsample=sub, **kw)
+            if kw.get("progressive"):
+                assert b"\xff\xc2" in blob, (i, kw)
+            if kw.get("restart_interval"):
+                assert b"\xff\xdd" in blob, (i, kw)
+            dec = mm.jpeg_decode_pixels(blob)
+            assert dec is not None and np.array_equal(dec, base), (i, kw)
+
+    # the flat frame's progressive AC scans are one long multi-block
+    # EOB run — the blob coming out smaller than baseline pins that
+    # EOBn run symbols actually occur, so the decoder's EOBRUN>1 path
+    # is genuinely exercised above
+    assert len(mm.jpeg_encode(flat, progressive=True)) < len(
+        mm.jpeg_encode(flat)
+    )
+
+    # truncation fuzz across all wrapper modes: None or clean decode
+    for kw in ({"progressive": True}, {"restart_interval": 1},
+               {"progressive": True, "restart_interval": 1}):
+        blob = mm.jpeg_encode(grad, subsample=True, **kw)
+        for cut in range(0, len(blob), 3):
+            mm.jpeg_decode_pixels(blob[:cut])  # must never raise
+
+    # operator integration: wrapper modes 0/1/2 all ok with the SAME
+    # hashes as the baseline fixture; %17 truncation plant flagged
+    df = spark.createDataFrame([(i,) for i in (3, 4, 5, 17)], "doc_id long")
+    got = {
+        r["id"]: r
+        for r in mm.image_pixel_hashes(
+            mm.attach_jpeg_prog_blob(df)
+        ).collect()
+    }
+    base_hash = {
+        i: mm.image_ahash(mm.jpeg_decode_pixels(mm.build_jpeg_blob(i)))
+        for i in (3, 4, 5)
+    }
+    for i in (3, 4, 5):
+        assert got[i]["ok"], i
+        assert got[i]["ahash"] == format(base_hash[i], "016x"), i
+    assert not got[17]["ok"]
 
 
 def test_cross_format_image_dedup(spark):
