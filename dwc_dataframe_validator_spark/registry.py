@@ -7057,6 +7057,90 @@ QUERIES["jpeg_progressive_hash_check"] = jpeg_progressive_hash_check
 ORACLES["jpeg_progressive_hash_check"] = _jpeg_prog_pinned_oracle()
 
 
+def _charset_pinned_oracle() -> str:
+    """Pinned-constant oracle for the charset-aware decode tier: the
+    expected (encoding, source, text-after-wet_extract) per fixture
+    class, computed driver-side through the same decode + strip path
+    (the codec-fixture pattern); the headless %11 plant degrades to
+    default-UTF-8 with NULL wet text."""
+    import re as _re
+
+    from .sources import warc as warcmod
+
+    rows = {}
+    for cls in range(8):
+        # a doc_id of this class that is NOT %11 (verified below)
+        did = next(d for d in (cls, cls + 8, cls + 16) if d % 11)
+        assert did % 11 != 0 and did % 8 == cls
+        text, enc, src = warcmod.decode_payload(
+            warcmod.build_charset_http_blob(did)
+        )
+        body = text.split("\r\n\r\n", 1)[1]
+        stripped = _re.sub(r"\s+", " ", _re.sub(r"<[^>]*>", " ", body)).strip()
+        rows[cls] = (enc, src, stripped.replace("'", "''"))
+    enc_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+    )
+    src_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+    )
+    txt_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN headless THEN 'utf-8' ELSE (CASE {enc_c} END)
+            END AS encoding,
+          CASE WHEN headless THEN 'default' ELSE (CASE {src_c} END)
+            END AS encoding_source,
+          CAST(CASE WHEN headless THEN NULL ELSE 200 END AS INTEGER)
+            AS status,
+          CASE WHEN headless THEN NULL ELSE (CASE {txt_c} END) END AS text
+        FROM (SELECT doc_id, doc_id % 11 = 0 AS headless FROM documents)
+    """
+
+
+def charset_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware WARC/HTTP payload decode (sources/warc.py
+    ``decode_warc_payload_text``: BOM > HTTP Content-Type charset >
+    HTML meta prescan > UTF-8 default, WHATWG alias normalization,
+    head decoded latin-1 / body with the sniffed codec) composed with
+    ``wet_extract`` — latin-1, Shift-JIS, EUC-JP, windows-1252 and
+    UTF-16 fixtures must round-trip to EXACT text where a blind
+    ``CAST(payload AS STRING)`` produces U+FFFD mojibake.  The
+    ``encoding``/``encoding_source`` columns are surfaced so gates
+    can filter on them; the %%11 headless plant degrades cleanly."""
+    from .operators import web
+    from .sources import warc as warcmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = warcmod.decode_warc_payload_text(
+        warcmod.attach_charset_http_blob(docs), id_col="id"
+    )
+    # the wet_extract projection inlined NEXT TO the encoding columns
+    # (wet_extract itself projects its four columns only; a join back
+    # would re-run the decode UDF and shuffle — one map-side select
+    # keeps the whole check scan-speed)
+    p = F.col("payload_text")
+    status = web.http_status(p)
+    ctype = web.http_header(p, "content-type")
+    is_html = (
+        (status >= 200) & (status < 300)
+        & F.lower(F.coalesce(ctype, F.lit(""))).startswith("text/html")
+    )
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        "encoding",
+        "encoding_source",
+        status.alias("status"),
+        F.when(is_html, web.strip_html(web.http_body(p))).alias("text"),
+    )
+
+
+QUERIES["charset_decode_check"] = charset_decode_check
+ORACLES["charset_decode_check"] = _charset_pinned_oracle()
+
+
 # Driver-verified window — an EXPLICIT name list (round 13, replacing
 # the round-12 positional-insert hack per ADVICE): the driver's
 # correctness gate runs ``list(QUERIES)[:50]``, so the window is

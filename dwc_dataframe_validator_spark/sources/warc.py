@@ -320,6 +320,164 @@ def decode_warc_records(
     ).mapInPandas(run, out_schema)
 
 
+#: WHATWG-style charset label normalization (the bounded subset a
+#: crawl pipeline actually meets; Encoding Standard §4.2 maps the
+#: latin-1/ascii family to windows-1252 because that is what servers
+#: mean when they say it).  Values are Python codec names.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "us-ascii": "windows-1252", "ascii": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "l1": "windows-1252", "cp1252": "windows-1252",
+    "windows-1252": "windows-1252", "x-cp1252": "windows-1252",
+    "iso-8859-2": "iso-8859-2", "latin2": "iso-8859-2",
+    "iso-8859-15": "iso-8859-15", "latin9": "iso-8859-15",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "koi8-r": "koi8-r", "koi8": "koi8-r",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "x-sjis": "shift_jis",
+    "ms_kanji": "shift_jis", "windows-31j": "shift_jis",
+    "euc-jp": "euc-jp", "x-euc-jp": "euc-jp",
+    "iso-2022-jp": "iso2022_jp",
+    "gb2312": "gb18030", "gbk": "gb18030", "gb18030": "gb18030",
+    "x-gbk": "gb18030", "chinese": "gb18030",
+    "big5": "big5", "big5-hkscs": "big5hkscs",
+    "euc-kr": "euc_kr", "korean": "euc_kr", "ks_c_5601-1987": "euc_kr",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def normalize_charset(label) -> str | None:
+    """Charset label → Python codec name via the WHATWG-style alias
+    table; None for unknown/unsupported labels (caller falls back to
+    UTF-8 and says so in ``encoding_source``)."""
+    if not label:
+        return None
+    if isinstance(label, bytes):
+        label = label.decode("ascii", "replace")
+    return _CHARSET_ALIASES.get(label.strip().strip("\"'").lower())
+
+
+_META_CHARSET_RE = None  # compiled lazily (bytes pattern)
+
+
+def sniff_charset(payload: bytes):
+    """Resolve the text encoding of an HTTP payload the way the HTML
+    standard says to (in priority order):
+
+    1. byte-order mark (UTF-8 / UTF-16 LE / UTF-16 BE) on the BODY —
+       BOM beats every declaration;
+    2. the ``charset`` parameter of the HTTP ``Content-Type`` header
+       (when the payload is a full head+body HTTP message);
+    3. an HTML ``<meta charset=…>`` / ``http-equiv`` declaration in
+       the first 1024 body bytes (the HTML5 prescan window);
+    4. UTF-8 (the web default).
+
+    Returns ``(codec_name, source, body_start)`` where source is one
+    of ``'bom' | 'http' | 'meta' | 'default'`` and ``body_start`` is
+    the offset of the body (0 when the payload has no HTTP head)."""
+    global _META_CHARSET_RE
+    if _META_CHARSET_RE is None:
+        import re
+
+        _META_CHARSET_RE = re.compile(
+            rb"(?is)<meta[^>]{0,256}?charset\s*=\s*[\"']?([a-z0-9._\-]+)"
+        )
+    head_end = payload.find(b"\r\n\r\n")
+    sep = 4
+    if head_end < 0:
+        head_end = payload.find(b"\n\n")
+        sep = 2
+    if head_end >= 0 and payload[:5] in (b"HTTP/", b"http/"):
+        head = payload[:head_end]
+        body_start = head_end + sep
+    else:
+        head = b""
+        body_start = 0
+    body = payload[body_start:body_start + 1024]
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8", "bom", body_start
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le", "bom", body_start
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be", "bom", body_start
+    for ln in head.split(b"\r\n"):
+        name, s, val = ln.partition(b":")
+        if s and name.strip().lower() == b"content-type":
+            for part in val.split(b";"):
+                k, s2, v = part.partition(b"=")
+                if s2 and k.strip().lower() == b"charset":
+                    enc = normalize_charset(v)
+                    if enc:
+                        return enc, "http", body_start
+    m = _META_CHARSET_RE.search(body)
+    if m:
+        enc = normalize_charset(m.group(1))
+        if enc:
+            return enc, "meta", body_start
+    return "utf-8", "default", body_start
+
+
+def decode_payload(payload: bytes):
+    """Charset-aware payload → text: sniff via ``sniff_charset``, then
+    decode the HTTP head (always ASCII-compatible on the wire) as
+    latin-1 and the body with the sniffed codec, ``errors='replace'``.
+    A UTF-8 BOM is stripped; UTF-16 BOMs are consumed by the codec.
+    Returns ``(text, encoding, source)`` — text keeps the
+    ``head + CRLFCRLF + body`` shape so ``wet_extract``/``http_*``
+    compose unchanged."""
+    enc, source, body_start = sniff_charset(payload)
+    body = payload[body_start:]
+    if enc == "utf-8" and body[:3] == b"\xef\xbb\xbf":
+        body = body[3:]
+    text = body.decode(enc, "replace")
+    if text[:1] == "﻿":
+        text = text[1:]  # UTF-16 codecs decode their BOM to U+FEFF
+    if body_start:
+        text = payload[:body_start].decode("latin-1") + text
+    return text, enc, source
+
+
+def decode_warc_payload_text(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """Charset-aware text decode of a BINARY payload column —
+    the step between ``read_warc``/``decode_warc_records`` and
+    ``wet_extract`` that a blind ``CAST(payload AS STRING)`` (always
+    UTF-8) gets wrong on the latin-1/Shift-JIS/GBK tail of any real
+    crawl: those pages decode to mojibake (U+FFFD runs), poisoning
+    every downstream text gate.  Returns ``(id, encoding,
+    encoding_source, payload_text)`` — encoding surfaced as a column
+    so gates can filter or stratify on it.  Arrow-batched
+    ``mapInPandas``, map-side, no shuffle; NULL payloads stay NULL
+    with NULL encoding."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, encoding string, encoding_source string, "
+        "payload_text string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    rows.append((i, None, None, None))
+                    continue
+                text, enc, source = decode_payload(bytes(blob))
+                rows.append((i, enc, source, text))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "encoding", "encoding_source",
+                         "payload_text"],
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[payload_col].alias(payload_col)
+    ).mapInPandas(run, out_schema)
+
+
 def build_warc_record(
     uri: str,
     payload: bytes,
@@ -339,6 +497,81 @@ def build_warc_record(
         + f"Content-Length: {len(payload)}\r\n".encode()
     )
     return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+#: charset fixture classes: (codec, declaration channel, body text) —
+#: every declaration channel and the BOM-beats-header rule covered
+_CHARSET_FIXTURES = (
+    ("utf-8", "http", "Résumé naïve — déjà vu."),
+    ("windows-1252", "http-latin1", "café münchen ¡hola señor!"),
+    ("shift_jis", "meta-equiv", "こんにちは世界。東京タワー。"),
+    ("utf-8", "bom-lying-header", "BOM wins: àéîõü."),
+    ("utf-8", "none", "Ünïcödé by default."),
+    ("windows-1252", "meta", "“smart” quotes – and €uro."),
+    ("euc-jp", "http", "日本語のテキストです。"),
+    ("utf-16-le", "bom", "UTF-16 bödy tëxt."),
+)
+
+
+def build_charset_http_blob(doc_id: int) -> bytes:
+    """HTTP-response bytes for the charset-decode fixtures: class
+    ``doc_id %% 8`` picks (codec, declaration channel, text) from
+    ``_CHARSET_FIXTURES`` — HTTP header charset, meta charset,
+    http-equiv, UTF-8/UTF-16 BOMs (including a BOM that overrides a
+    LYING header), and the undeclared-UTF-8 default.  ``doc_id %% 11
+    == 0`` plants a headless raw-text payload (no HTTP message —
+    body_start 0, default encoding, wet_extract yields NULL text)."""
+    if doc_id % 11 == 0:
+        return "headless raw text №{}".format(doc_id % 8).encode("utf-8")
+    codec, chan, text = _CHARSET_FIXTURES[doc_id % 8]
+    meta = ""
+    ctype = "text/html"
+    if chan == "http":
+        ctype = "text/html; charset=%s" % (
+            "EUC-JP" if codec == "euc-jp" else "UTF-8"
+        )
+    elif chan == "http-latin1":
+        ctype = "text/html; charset=ISO-8859-1"
+    elif chan == "meta-equiv":
+        meta = (
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=Shift_JIS">'
+        )
+    elif chan == "meta":
+        meta = '<meta charset="windows-1252">'
+    elif chan == "bom-lying-header":
+        ctype = "text/html; charset=shift_jis"  # BOM must override
+    html = "<html><head>%s</head><body><p>%s</p></body></html>" % (meta, text)
+    if codec == "utf-16-le":
+        body = b"\xff\xfe" + html.encode("utf-16-le")
+    elif chan in ("bom-lying-header",):
+        body = b"\xef\xbb\xbf" + html.encode("utf-8")
+    else:
+        body = html.encode(codec)
+    head = (
+        "HTTP/1.1 200 OK\r\nContent-Type: %s\r\nContent-Length: %d\r\n"
+        % (ctype, len(body))
+    ).encode("ascii")
+    return head + b"\r\n" + body
+
+
+def attach_charset_http_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with the charset-decode fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        build_charset_http_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(df[id_col].alias(id_col)).mapInPandas(
+        run, "id long, payload binary"
+    )
 
 
 _BINARYFILE_SCHEMA = (

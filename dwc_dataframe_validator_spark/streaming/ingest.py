@@ -269,18 +269,23 @@ def crawl_survivors(
     Invalid-URL rows carry a NULL ``url_key``, survive every screen,
     and must never be appended to the store."""
     from ..operators import web
-    from ..sources.warc import decode_warc_records
+    from ..sources.warc import decode_warc_payload_text, decode_warc_records
 
     parsed = decode_warc_records(
         batch_df.select(id_col, record_col),
         content_col=record_col,
         id_col=id_col,
     ).filter("ok")
+    # r13: charset-aware payload decode (BOM > HTTP charset > meta >
+    # UTF-8) replaces the blind CAST(payload AS STRING) — identical on
+    # UTF-8/ASCII records, and the latin-1/Shift-JIS tail of a real
+    # crawl stops turning into U+FFFD mojibake before the gates
+    decoded = decode_warc_payload_text(
+        parsed.select(F.col(id_col).alias("doc_id"), "payload"),
+        id_col="doc_id",
+    )
     main = web.wet_main_content(
-        parsed.select(
-            F.col(id_col).alias("doc_id"),
-            F.col("payload").cast("string").alias("payload_text"),
-        )
+        decoded.select("doc_id", "payload_text")
     ).filter(F.col("main_text").isNotNull())
     # target_uri rides back in on the decode's doc-id partitioning
     kept = main.join(

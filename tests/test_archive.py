@@ -318,3 +318,120 @@ def test_warc_source_roundtrip_and_adversarial(spark, tmp_path):
     assert got[1]["ok"] and got[1]["target_uri"] == "http://a.example/1"
     assert not got[2]["ok"]
     assert got[3]["ok"] and bytes(got[3]["payload"]).startswith(b"\x00\xff")
+
+
+def test_charset_aware_payload_decode(spark):
+    """r13: charset-aware WARC/HTTP payload decode — BOM > HTTP header
+    > meta prescan > UTF-8 default, WHATWG alias normalization (the
+    latin-1 family means windows-1252), head/body split decode, and
+    the mojibake regression a blind UTF-8 cast causes.  Expectations
+    here are HANDWRITTEN literals, independent of the fixture
+    builder's own decode path."""
+    from dwc_dataframe_validator_spark.operators.web import (
+        wet_extract,
+        wet_main_content,
+    )
+    from dwc_dataframe_validator_spark.sources.warc import (
+        attach_charset_http_blob,
+        build_charset_http_blob,
+        decode_payload,
+        decode_warc_payload_text,
+        normalize_charset,
+        sniff_charset,
+    )
+
+    # alias normalization pins
+    assert normalize_charset("ISO-8859-1") == "windows-1252"
+    assert normalize_charset(b"Shift_JIS") == "shift_jis"
+    assert normalize_charset(" 'utf8' ") == "utf-8"
+    assert normalize_charset("gb2312") == "gb18030"
+    assert normalize_charset("klingon") is None
+    assert normalize_charset(None) is None
+
+    # handwritten end-to-end expectations per declaration channel
+    def page(head_ctype, meta, text, codec, bom=b""):
+        html = "<html><head>%s</head><body><p>%s</p></body></html>" % (
+            meta, text)
+        body = bom + html.encode(codec)
+        head = ("HTTP/1.1 200 OK\r\nContent-Type: %s\r\n" % head_ctype
+                ).encode("ascii")
+        return head + b"\r\n" + body
+
+    cases = [
+        # (payload, want_enc, want_src, want_text)
+        (page("text/html; charset=ISO-8859-1", "", "café ¡señor!",
+              "latin-1"), "windows-1252", "http", "café ¡señor!"),
+        (page("text/html", '<meta charset="Shift_JIS">', "こんにちは世界",
+              "shift_jis"), "shift_jis", "meta", "こんにちは世界"),
+        (page("text/html; charset=shift_jis", "", "BOM gagne: été",
+              "utf-8", bom=b"\xef\xbb\xbf"), "utf-8", "bom",
+         "BOM gagne: été"),
+        (page("text/html", "", "plain ünïcödé", "utf-8"),
+         "utf-8", "default", "plain ünïcödé"),
+        (page("text/html; charset=EUC-JP", "", "日本語です", "euc-jp"),
+         "euc-jp", "http", "日本語です"),
+        (page("text/html", "", "utf16 tëxt", "utf-16-le",
+              bom=b"\xff\xfe"), "utf-16-le", "bom", "utf16 tëxt"),
+    ]
+    for payload, want_enc, want_src, want_text in cases:
+        text, enc, src = decode_payload(payload)
+        assert (enc, src) == (want_enc, want_src), (want_text, enc, src)
+        assert want_text in text and "�" not in text, want_text
+        assert text.startswith("HTTP/1.1 200 OK")  # head survives
+
+    # mojibake regression: the latin-1 page under a blind UTF-8 cast
+    # (the pre-r13 path) yields U+FFFD; the sniffing decode does not
+    latin1 = cases[0][0]
+    assert "�" in latin1.decode("utf-8", "replace")
+    assert "�" not in decode_payload(latin1)[0]
+
+    # BOM priority over a lying header; meta prescan window is 1024
+    # bytes — a meta past it is ignored (default wins)
+    far_meta = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + b"<html><head>" + b" " * 1200
+                + b'<meta charset="shift_jis"></head></html>')
+    assert sniff_charset(far_meta)[0:2] == ("utf-8", "default")
+
+    # headless payload: no HTTP message -> body_start 0, default enc
+    enc, src, start = sniff_charset("raw text".encode("utf-8"))
+    assert (enc, src, start) == ("utf-8", "default", 0)
+
+    # Spark operator end-to-end: fixtures through decode + wet_extract
+    # and the jusText tier; exact text recovery per class
+    df = spark.createDataFrame(
+        [(i,) for i in (1, 2, 6, 7, 12, 11)], "doc_id long")
+    dec = decode_warc_payload_text(
+        attach_charset_http_blob(df), id_col="id")
+    wet = wet_extract(dec, payload_col="payload_text", id_col="id")
+    got = {r["id"]: r for r in dec.join(wet, "id").collect()}
+    assert got[1]["encoding"] == "windows-1252"
+    assert got[1]["text"] == "café münchen ¡hola señor!"
+    assert got[2]["encoding"] == "shift_jis"
+    assert got[2]["text"] == "こんにちは世界。東京タワー。"
+    assert got[6]["encoding"] == "euc-jp"
+    assert got[6]["text"] == "日本語のテキストです。"
+    assert got[7]["encoding"] == "utf-16-le"
+    assert got[7]["text"] == "UTF-16 bödy tëxt."
+    assert got[12]["encoding_source"] == "default"
+    assert got[11]["encoding_source"] == "default"  # headless plant
+    assert got[11]["text"] is None and got[11]["status"] is None
+
+    # the jusText tier composes on the decoded text too: a long
+    # windows-1252 page (whose accents a blind UTF-8 cast would turn
+    # into U+FFFD, flipping jusText's character statistics) must come
+    # through with its sentences intact.  (A CJK page is correctly a
+    # separate problem: the published jusText stopword/word-count
+    # heuristics are for space-separated scripts.)
+    longp = ("The café on the corner was a nice place and the people "
+             "were there for the crème brûlée they had made. ") * 6
+    blob = page("text/html; charset=ISO-8859-1", "", longp, "latin-1")
+    assert "�" in blob.decode("utf-8", "replace")  # cast WOULD garble
+    sdf = spark.createDataFrame([(1, bytearray(blob))],
+                                "id long, payload binary")
+    sdec = decode_warc_payload_text(sdf, id_col="id")
+    main = wet_main_content(sdec, payload_col="payload_text",
+                            id_col="id").collect()[0]
+    assert main["main_text"] is not None
+    assert "café on the corner" in main["main_text"]
+    assert "crème brûlée" in main["main_text"]
+    assert "�" not in main["main_text"]
