@@ -38,9 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query.  The few
     keys absent here (xxhash64 MinHash LSH / SimHash, hyperplane
-    rp-LSH, HLL, trained-IVF, real-BPE counts, media decode stub) are
-    genuinely not portable SQL — engine-specific hashing, iterative
-    k-means, or an honest stub.  Each has an ORACLED sibling of the
+    rp-LSH, HLL, trained-IVF, real-BPE counts) are genuinely not
+    portable SQL — engine-specific hashing, iterative k-means, or
+    estimate-valued sketches.  (The former media decode/frame-sample
+    stubs gained real codec-free decode paths and exact oracles in
+    round 13.)  Each has an ORACLED sibling of the
     same semantics family (minhash_lsh_check / simhash_signature_check
     via portable md5 hashing, dedup_embedding_cosine, ann_ivf_topk,
     exact_distinct_users, text_token_stats), and pytest pins the

@@ -484,20 +484,19 @@ def sample_frames(
 
     Backend choice mirrors ``decode_images``: ``fake=True`` forces the
     deterministic byte-arithmetic stub (stable for tests and the exact
-    byte-offset oracle — registry ``multimodal_frame_sample_check``);
-    otherwise imageio(+pyav/ffmpeg) is used when importable (sampled
-    frames re-encoded as PNG bytes, undecodable blobs yield zero
-    frames); otherwise ``NotImplementedError``.  Plumbing, output
+    byte-offset oracle — registry ``multimodal_frame_sample_check``).
+    Otherwise MJPEG-in-AVI blobs (RIFF/AVI magic) walk the codec-free
+    real path — ``avi_mjpeg_frames``, raw per-frame JPEG bytes out,
+    corrupt containers yield zero frames; other containers use
+    imageio(+pyav/ffmpeg) when importable (sampled frames re-encoded
+    as PNG bytes), and an AVI with a non-MJPG codec falls through to
+    imageio too.  With neither path available the batch raises
+    ``NotImplementedError`` (the honest codec tier).  Plumbing, output
     schema and Arrow batching are identical on every branch."""
     use_video = not fake and _video_backend_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake and not use_video:
-                raise NotImplementedError(
-                    "video decoding requires imageio/pyav/ffmpeg (not "
-                    "installed); pass fake=True for the deterministic stub"
-                )
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
                 if payload is None:
@@ -505,15 +504,36 @@ def sample_frames(
                     # semantics of the other blob operators
                     continue
                 b = bytes(payload)
-                if use_video:
-                    rows.extend(
-                        (i, f_idx, fb) for f_idx, fb in _imageio_frames(b, max_frames)
-                    )
+                if fake:
+                    n = 1 + (len(b) % max_frames)
+                    step = max(1, len(b) // n)
+                    for f_idx in range(n):
+                        rows.append((i, f_idx, b[f_idx * step : f_idx * step + 16]))
                     continue
-                n = 1 + (len(b) % max_frames)
-                step = max(1, len(b) // n)
-                for f_idx in range(n):
-                    rows.append((i, f_idx, b[f_idx * step : f_idx * step + 16]))
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        frames = avi_mjpeg_frames(b)
+                    except NotImplementedError:
+                        if not use_video:
+                            raise
+                        frames = None  # non-MJPG codec → imageio below
+                    else:
+                        if frames:
+                            n = min(max_frames, len(frames))
+                            step = max(1, len(frames) // n)
+                            rows.extend(
+                                (i, k, frames[k * step]) for k in range(n)
+                            )
+                        continue  # corrupt AVI → zero frames
+                if not use_video:
+                    raise NotImplementedError(
+                        "video decoding beyond MJPEG-in-AVI requires "
+                        "imageio/pyav/ffmpeg (not installed); pass "
+                        "fake=True for the deterministic stub"
+                    )
+                rows.extend(
+                    (i, f_idx, fb) for f_idx, fb in _imageio_frames(b, max_frames)
+                )
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_bytes"])
 
     return df.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
@@ -3110,6 +3130,256 @@ def attach_jpeg_prog_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf[id_col],
                     "content": [
                         build_jpeg_prog_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL video tier: MJPEG-in-AVI container walk + per-frame decode
+# --------------------------------------------------------------------------
+#
+# MJPEG-in-AVI is the one video format that is pure already-built
+# machinery: the container is a RIFF chunk walk (the WAV parser's
+# sibling) and every frame is a baseline/progressive JPEG decoded by
+# jpeg_decode_pixels.  That turns the frame-sampling stub into a real
+# decode path: sample frames -> per-frame perceptual hash -> near-dup
+# video detection through the shared _hash_cluster core.  Other codecs
+# (H.264 etc.) genuinely need external decoders and remain the honest
+# NotImplementedError tier (or imageio via sample_frames).
+
+VIDEO_FRAME_HASH_SCHEMA = (
+    "id long, frame_idx int, n_frames int, width int, height int, "
+    "ahash string, dhash string, ok boolean"
+)
+
+
+def avi_mjpeg_encode(frames: list, width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal AVI writer for MJPEG: ``frames`` are already-encoded
+    JPEG bytes (one per frame, all ``width``×``height``).  Emits the
+    standard RIFF layout — LIST hdrl (avih + one vids strl with an
+    'MJPG' handler and a BITMAPINFOHEADER strf), LIST movi with
+    word-aligned ``00dc`` chunks, and an idx1 keyframe index — the
+    fixture twin of ``avi_mjpeg_frames``."""
+    n = len(frames)
+    bih = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    strf = b"strf" + struct.pack("<I", len(bih)) + bih
+    strh_body = b"vidsMJPG" + struct.pack(
+        "<IHHIIIIIIII",
+        0, 0, 0, 0, 1, max(fps, 1), 0, n, 0, 0xFFFFFFFF, 0,
+    ) + struct.pack("<4H", 0, 0, width, height)
+    strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    avih_body = struct.pack(
+        "<IIIIIIIIII",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, n, 0, 1, 0, width, height,
+    ) + struct.pack("<IIII", 0, 0, 0, 0)
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_chunks = b""
+    idx = b""
+    for fb in frames:
+        off = 4 + len(movi_chunks)  # offset of ckid from 'movi' fourcc
+        movi_chunks += b"00dc" + struct.pack("<I", len(fb)) + fb
+        if len(fb) & 1:
+            movi_chunks += b"\x00"  # word alignment pad
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(fb))
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_chunks)) + b"movi" + movi_chunks
+    idx1 = b"idx1" + struct.pack("<I", len(idx)) + idx
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_frames(b: bytes):
+    """AVI container walk → list of per-frame JPEG byte strings, or
+    ``None`` for malformed/non-AVI bytes.  Word-aligned RIFF chunk
+    walk (same discipline as the WAV parser); ``00dc``/``00db``
+    chunks inside LIST movi (one level of LIST ``rec `` nesting
+    tolerated) are the frames.  A vids stream whose handler is not
+    MJPG raises ``NotImplementedError`` — H.264-tier codecs genuinely
+    need an external decoder (route through ``sample_frames``'s
+    imageio backend instead)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def walk(buf, pos, end, out, depth):
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            ln = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            if pos + 8 + ln > end:
+                return False
+            if cid == b"LIST":
+                kind = buf[pos + 8:pos + 12]
+                if kind in (b"hdrl", b"movi", b"rec ", b"strl") and depth < 4:
+                    if not walk(buf, pos + 12, pos + 8 + ln, out, depth + 1):
+                        return False
+            elif cid == b"strh":
+                body = buf[pos + 8:pos + 8 + ln]
+                if len(body) >= 8 and body[:4] == b"vids":
+                    handler = body[4:8]
+                    if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+                        raise NotImplementedError(
+                            "AVI video codec %r needs an external decoder "
+                            "(only MJPG decodes codec-free); use "
+                            "sample_frames' imageio backend" % handler
+                        )
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                out.append(bytes(buf[pos + 8:pos + 8 + ln]))
+            pos += 8 + ln + (ln & 1)
+        return True
+
+    frames: list[bytes] = []
+    if not walk(b, 12, min(len(b), 8 + int.from_bytes(b[4:8], "little")),
+                frames, 0):
+        return None
+    if not frames or len(frames) > 10_000:
+        return None
+    return frames
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_frames: int = 4,
+) -> DataFrame:
+    """Row-expanding REAL video decode: AVI walk → even-stride frame
+    sample (up to ``max_frames``) → per-frame JPEG pixel decode →
+    perceptual hashes.  ``(id, frame_idx, n_frames, width, height,
+    ahash, dhash, ok)`` — ``n_frames`` is the SAMPLED count,
+    ``frame_idx`` its 0-based index; malformed containers or
+    undecodable frames yield one ``ok=false`` row per blob/frame,
+    never task failures (the image_pixel_hashes contract).  Map-side
+    Arrow batches, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                frames = None
+                if payload is not None:
+                    try:
+                        frames = avi_mjpeg_frames(bytes(payload))
+                    except NotImplementedError:
+                        frames = None  # honest codec tier → flagged row
+                if not frames:
+                    rows.append((i, None, None, 0, 0, None, None, False))
+                    continue
+                n = min(max_frames, len(frames))
+                step = max(1, len(frames) // n)
+                for k in range(n):
+                    px = jpeg_decode_pixels(frames[k * step])
+                    if px is None:
+                        rows.append((i, k, n, 0, 0, None, None, False))
+                        continue
+                    h, w, _ch = px.shape
+                    rows.append(
+                        (i, k, n, w, h,
+                         format(image_ahash(px), "016x"),
+                         format(image_dhash(px), "016x"), True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "frame_idx", "n_frames", "width", "height",
+                         "ahash", "dhash", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, VIDEO_FRAME_HASH_SCHEMA
+    )
+
+
+def video_near_dup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    threshold: int = 6,
+    n_bands: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-duplicate VIDEO clustering — the re-encoded-video analogue
+    of ``image_phash_dedup``: real frame decode → the FIRST sampled
+    frame's dHash as the video signature → the shared ``_hash_cluster``
+    core (exact collapse → capped bands + aHash probe → Catalyst
+    Hamming → components).  Returns (id, cluster) for every decodable
+    video.  A re-encoded copy (baseline↔progressive frames, quality
+    wrappers that keep coefficients) lands on the identical signature
+    and merges in the exact-collapse stage — zero LSH cost.  Trimmed /
+    re-cut variants (different first frame) are out of this tier's
+    scope by design: that needs frame-sequence alignment, a stated
+    future tier, not a silent recall claim."""
+    first = video_frame_hashes(
+        df, content_col, id_col, max_frames=1
+    ).filter("ok AND frame_idx = 0")
+    return _hash_cluster(
+        first.select("id", "dhash", "ahash"),
+        "dhash",
+        threshold=threshold,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+        probe_col="ahash",
+    )
+
+
+def _avi_fixture_frames(cls: int):
+    """Frame pixel list for video class ``cls`` (0-5): ``2 + cls %% 3``
+    RGB frames, frame k the ±14 md5-gradient frame of
+    ``_xfmt_fixture_pixels((cls + k) %% 8)`` stacked to RGB — that
+    family's dHash survives JPEG quantization EXACTLY and its classes
+    sit ≥ 25 bits apart (pinned by the cross-format tests), so frame 0
+    is a clean per-class signature.  (The smooth `_bmp_fixture_pixels`
+    gradients are useless here: zero horizontal structure → all-zero
+    dHash for every class.)  Later frames overlap across classes —
+    irrelevant to the signature tier."""
+    import numpy as np
+
+    nf = 2 + cls % 3
+    return [
+        np.repeat(_xfmt_fixture_pixels((cls + k) % 8), 3, axis=2)
+        for k in range(nf)
+    ]
+
+
+def build_avi_blob(doc_id: int) -> bytes:
+    """REAL MJPEG-in-AVI bytes for the video fixtures: video class
+    ``doc_id %% 6`` picks the frame list; ``(doc_id // 6) %% 2 == 1``
+    encodes every frame PROGRESSIVE (pixel-identical coefficients →
+    identical frame hashes — the re-encoded-video near-dup case; the
+    wrapper keys on ``//6`` so EVERY class alternates wrappers —
+    ``%% 2`` would correlate with the class parity); frames alternate
+    4:4:4 / 4:2:0 sampling.  ``doc_id %% 17 == 0`` truncates mid-movi
+    (malformed → ok=false)."""
+    cls = doc_id % 6
+    prog = (doc_id // 6) % 2 == 1
+    frames_px = _avi_fixture_frames(cls)
+    frames = [
+        jpeg_encode(px, subsample=(k % 2 == 1), progressive=prog)
+        for k, px in enumerate(frames_px)
+    ]
+    h, w = frames_px[0].shape[:2]
+    blob = avi_mjpeg_encode(frames, w, h)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_avi_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the MJPEG-in-AVI fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_avi_blob(int(i)) for i in pdf[id_col]
                     ],
                 }
             )

@@ -963,23 +963,37 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing over binary blobs (deterministic
-    stub decoder — rows-only check; the container has no image libs,
-    SURVEY.md north-star multimodal)."""
+    """``decode_images`` plumbing over binary blobs — RE-POINTED in
+    round 13 (per the r12 verdict) from the fake byte-arithmetic stub
+    to the REAL codec-free header backend over the planted media
+    fixtures (PNG/JPEG/GIF/BMP/WAV headers whose dimensions are pure
+    doc_id arithmetic): (id, width, height, channels, ok) now has an
+    exact oracle.  WAV rows are ok=false with zeros (an image decoder)
+    and %%17 truncations likewise — the header-backend contract."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_images(
-        multimodal.attach_text_blob(docs), fake=True
+        multimodal.attach_media_blob(docs), backend="header"
     )
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-EXPANDING multimodal plumbing (1 blob → n frames) via
-    Arrow-batched mapInPandas with the deterministic stub sampler —
-    rows-only (binary frame bytes; no portable SQL), frame counts
-    pinned by pytest."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(
-        multimodal.attach_text_blob(docs), fake=True
+    """Row-EXPANDING frame sampling (1 blob → n frames) — RE-POINTED
+    in round 13 (per the r12 verdict) from the stub sampler to the
+    REAL codec-free MJPEG-in-AVI walk over the video fixtures, with
+    the binary frame bytes projected to portable derivatives
+    ``(doc_id, frame_idx, n_bytes, frame_md5)`` so the check is
+    exact-oracled: the pinned constants are the md5/length of the
+    very JPEG frame bytes the RIFF walk must return.  Corrupt
+    containers (%%17) yield zero frames."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = multimodal.sample_frames(
+        multimodal.attach_avi_blob(docs), fake=False
+    )
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
     )
 
 
@@ -1514,7 +1528,10 @@ QUERIES: dict[str, QueryFn] = {
     "numeric_outliers_iqr": numeric_outliers_iqr,
     "quantiles_by_event_type": quantiles_by_event_type,
     "user_event_sequences": user_event_sequences,
-    # --- rows-only by nature (stubs, estimate-valued, or recall-tested) ----
+    # --- rows-only by nature (estimate-valued or recall-tested), except
+    # multimodal_decode_stub / multimodal_frame_sample which gained real
+    # decode paths + exact oracles in round 13 (keys keep their dict
+    # position — ordering is append-only) -----------------------------------
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "text_token_stats_bpe": text_token_stats_bpe,
@@ -7139,6 +7156,193 @@ def charset_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["charset_decode_check"] = charset_decode_check
 ORACLES["charset_decode_check"] = _charset_pinned_oracle()
+
+
+def _video_frame_pinned_oracle() -> str:
+    """Pinned-constant oracle for the MJPEG-in-AVI frame-hash tier:
+    per (video class, frame index) hash pairs computed driver-side
+    through the real AVI walk + JPEG decode.  Constants are identical
+    for the baseline and progressive frame wrappers (same quantized
+    coefficients), so the oracle needs no wrapper key — which IS the
+    re-encode-merge claim under test."""
+    rows = {}
+    nf_case = []
+    for cls in range(6):
+        # a doc_id of this class that is neither the %17 truncation
+        # plant nor the progressive wrapper (constants are identical
+        # for both wrappers anyway — asserted in pytest)
+        did = next(
+            d for d in (cls, cls + 12, cls + 24)
+            if d % 17 != 0 and (d // 6) % 2 == 0
+        )
+        frames = multimodal.avi_mjpeg_frames(multimodal.build_avi_blob(did))
+        nf = len(frames)
+        nf_case.append("WHEN %d THEN %d" % (cls, nf))
+        for k, fb in enumerate(frames):
+            px = multimodal.jpeg_decode_pixels(fb)
+            rows[(cls, k)] = (
+                px.shape[1], px.shape[0],
+                format(multimodal.image_ahash(px), "016x"),
+                format(multimodal.image_dhash(px), "016x"),
+            )
+    ah = " ".join(
+        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[2])
+        for (c, k), v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[3])
+        for (c, k), v in rows.items()
+    )
+    nfc = " ".join(nf_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, CASE cls {nfc} END AS nf
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, nf,
+                 CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
+                   AS frame_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, frame_idx,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST(18 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               CASE {ah} END AS ahash,
+               CASE {dh} END AS dhash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL,
+               CAST(0 AS INTEGER), CAST(0 AS INTEGER), NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def video_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI video decode (operators/multimodal.py
+    ``avi_mjpeg_frames`` RIFF walk + ``jpeg_decode_pixels`` per frame,
+    via ``video_frame_hashes``): even-stride frame sampling and
+    per-frame perceptual hashes, row-expanding.  Fixture videos carry
+    2-4 md5-gradient frames; ``(doc_id // 6) %% 2`` re-encodes every
+    frame progressive — SAME pinned hashes either way (the
+    re-encode-merge contract); ``%% 17`` truncates mid-movi
+    (ok=false).  First oracle-exact VIDEO query — the frame-sample
+    tier stops being rows-only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.video_frame_hashes(multimodal.attach_avi_blob(docs))
+
+
+QUERIES["video_frame_hash_check"] = video_frame_hash_check
+ORACLES["video_frame_hash_check"] = _video_frame_pinned_oracle()
+
+
+def video_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection (operators/multimodal.py
+    ``video_near_dup``): first-sampled-frame dHash signature through
+    the shared ``_hash_cluster`` core (exact collapse → capped bands +
+    aHash probe → Catalyst Hamming → components).  Baseline and
+    progressive re-encodes of each video class land on the identical
+    signature and merge in the exact-collapse stage; the six classes
+    sit ≥ 29 dHash bits apart (pinned in pytest), so clusters are
+    exactly the classes — which the oracle states arithmetically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.video_near_dup(
+        multimodal.attach_avi_blob(docs)
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["video_near_dup_clusters"] = video_near_dup_clusters
+ORACLES["video_near_dup_clusters"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY doc_id % 6
+"""
+
+
+# Round-13 re-pointing (r12 verdict task): the two remaining
+# pre-real-decoder rows-only entries gain exact oracles.
+# multimodal_decode_stub replays the media-header arithmetic under the
+# image-decoder contract (WAV and truncated blobs are ok=false zeros);
+# multimodal_frame_sample pins the md5/length of the exact JPEG frame
+# bytes the AVI RIFF walk must return, per (class, wrapper, frame).
+ORACLES["multimodal_decode_stub"] = """
+    SELECT doc_id AS id,
+      CAST(CASE WHEN bad THEN 0 ELSE 16 + doc_id % 300 END AS INT)
+        AS width,
+      CAST(CASE WHEN bad THEN 0 ELSE 16 + (doc_id // 7) % 300 END AS INT)
+        AS height,
+      CAST(CASE WHEN bad THEN 0
+           WHEN doc_id % 5 = 0 THEN
+             CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                             WHEN 2 THEN 2 ELSE 4 END
+           WHEN doc_id % 5 = 1 THEN 1 + (doc_id % 2) * 2
+           WHEN doc_id % 5 = 2 THEN 3
+           ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+           END AS INT) AS channels,
+      NOT bad AS ok
+    FROM (SELECT doc_id,
+                 doc_id % 17 = 0 OR doc_id % 5 = 4 AS bad
+          FROM documents)
+"""
+
+
+def _frame_sample_pinned_oracle() -> str:
+    import hashlib as _hl
+
+    rows = {}
+    nf_case = []
+    for cls in range(6):
+        for wrap in range(2):
+            did = next(
+                d for d in (cls + 6 * wrap, cls + 6 * wrap + 12,
+                            cls + 6 * wrap + 24)
+                if d % 17 != 0
+                and d % 6 == cls and (d // 6) % 2 == wrap
+            )
+            frames = multimodal.avi_mjpeg_frames(
+                multimodal.build_avi_blob(did)
+            )
+            if wrap == 0:
+                nf_case.append("WHEN %d THEN %d" % (cls, len(frames)))
+            for k, fb in enumerate(frames):
+                rows[(cls, wrap, k)] = (len(fb), _hl.md5(fb).hexdigest())
+    nb = " ".join(
+        "WHEN cls = %d AND wrap = %d AND frame_idx = %d THEN %d"
+        % (c, w, k, v[0]) for (c, w, k), v in rows.items()
+    )
+    md = " ".join(
+        "WHEN cls = %d AND wrap = %d AND frame_idx = %d THEN '%s'"
+        % (c, w, k, v[1]) for (c, w, k), v in rows.items()
+    )
+    nfc = " ".join(nf_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 CAST((doc_id // 6) % 2 AS INTEGER) AS wrap
+          FROM documents WHERE doc_id % 17 <> 0),
+        okf AS (
+          SELECT doc_id, cls, wrap, CASE cls {nfc} END AS nf FROM base),
+        expanded AS (
+          SELECT doc_id, cls, wrap,
+                 CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
+                   AS frame_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx,
+               CAST(CASE {nb} END AS BIGINT) AS n_bytes,
+               CASE {md} END AS frame_md5
+        FROM expanded
+    """
+
+
+ORACLES["multimodal_frame_sample"] = _frame_sample_pinned_oracle()
 
 
 # Driver-verified window — an EXPLICIT name list (round 13, replacing

@@ -5441,3 +5441,77 @@ def test_justext_published_revision_exceptions(spark):
     assert got[(2, 2)] == ("short", "good")      # exception (prev side)
     assert got[(2, 1)] == ("neargood", "good")
     assert got[(3, 1)] == ("short", "bad")       # control: no exception
+
+
+def test_avi_mjpeg_video_tier(spark):
+    """r13: the first REAL video tier — MJPEG-in-AVI RIFF walk,
+    per-frame JPEG decode, frame sampling through sample_frames'
+    codec-free branch (no imageio needed), near-dup clustering across
+    baseline/progressive re-encodes, honest non-MJPG raise, and
+    truncation fuzz."""
+    import itertools
+
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    # container round-trip: frames out == frames in, byte-exact
+    frames_px = mm._avi_fixture_frames(2)
+    frames = [mm.jpeg_encode(px) for px in frames_px]
+    blob = mm.avi_mjpeg_encode(frames, frames_px[0].shape[1],
+                               frames_px[0].shape[0])
+    assert mm.avi_mjpeg_frames(blob) == frames
+
+    # per-class signature: both wrappers identical, classes >= 25 apart
+    sig = {}
+    for did in range(24):
+        if did % 17 == 0:
+            continue
+        f = mm.avi_mjpeg_frames(mm.build_avi_blob(did))
+        sig.setdefault(did % 6, set()).add(
+            mm.image_dhash(mm.jpeg_decode_pixels(f[0]))
+        )
+    assert all(len(s) == 1 for s in sig.values())  # re-encode merge
+    vals = [next(iter(s)) for s in sig.values()]
+    assert min(
+        bin(a ^ b).count("1")
+        for a, b in itertools.combinations(vals, 2)
+    ) >= 25
+
+    # non-MJPG vids handler: honest NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        mm.avi_mjpeg_frames(blob.replace(b"vidsMJPG", b"vidsH264"))
+
+    # truncation fuzz never raises (beyond the honest codec tier)
+    for cut in range(0, len(blob), 5):
+        try:
+            mm.avi_mjpeg_frames(blob[:cut])
+        except NotImplementedError:
+            pass
+
+    # sample_frames codec-free AVI branch works WITHOUT imageio and
+    # returns the raw JPEG frame bytes; corrupt AVI -> zero frames
+    df = spark.createDataFrame([(5,), (17,)], "doc_id long")
+    rows = mm.sample_frames(mm.attach_avi_blob(df), fake=False).collect()
+    got = {(r["id"], r["frame_idx"]): bytes(r["frame_bytes"]) for r in rows}
+    want = mm.avi_mjpeg_frames(mm.build_avi_blob(5))
+    assert len(got) == len(want)  # id 17 truncated -> zero frames
+    for k, fb in enumerate(want):
+        assert got[(5, k)] == fb
+
+    # video_frame_hashes operator: ok rows for every sampled frame,
+    # one flagged row for the truncation plant
+    vdf = spark.createDataFrame([(2,), (8,), (17,)], "doc_id long")
+    out = {(r["id"], r["frame_idx"]): r
+           for r in mm.video_frame_hashes(mm.attach_avi_blob(vdf)).collect()}
+    assert out[(2, 0)]["ok"] and out[(8, 0)]["ok"]
+    # 2 and 8 are the same class under different wrappers: same hashes
+    assert out[(2, 0)]["dhash"] == out[(8, 0)]["dhash"]
+    assert out[(17, None)]["ok"] is False
+
+    # near-dup end to end: wrappers of one class merge to min id
+    ndf = spark.createDataFrame([(1,), (7,), (2,)], "doc_id long")
+    clusters = {r["id"]: r["cluster"]
+                for r in mm.video_near_dup(mm.attach_avi_blob(ndf)).collect()}
+    assert clusters[1] == clusters[7] == 1  # same class, two wrappers
+    assert clusters[2] == 2                 # different class stays apart
