@@ -162,6 +162,15 @@ HEADLINE = [
     "robots_filter_check",
     "jpeg_pixel_hash_check",
     "cross_format_image_dedup_check",
+    # round-13 additions (same addendum rule): progressive-JPEG +
+    # restart-interval decode (the decode-throughput row for the
+    # vectorized einsum-IDCT path), charset-aware payload decode,
+    # and the MJPEG-in-AVI video tier (frame hashes + near-dup)
+    "jpeg_progressive_hash_check",
+    "charset_decode_check",
+    "video_frame_hash_check",
+    "video_near_dup_clusters",
+    "sentence_stats_abbrev_docs",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

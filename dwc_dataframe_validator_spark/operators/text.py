@@ -790,10 +790,30 @@ def tfidf_top_terms(
 
 #: terminal-punctuated sentence run — RE2 ∩ Java (no lookaround); a
 #: trailing unterminated fragment is handled separately (see
-#: ``sentence_stats``).  Deliberately the deterministic tier:
-#: abbreviation-aware splitting ("Dr. Smith") needs a model; this is
-#: the cross-engine-exact signal the quality rules consume.
+#: ``sentence_stats``).  The default deterministic tier; the
+#: abbreviation-aware tier (``abbrev_aware=True``) masks a BOUNDED
+#: abbreviation set's trailing periods first — same
+#: data-as-single-source-of-truth discipline as the PSL snapshot,
+#: still model-free and cross-engine exact.
 SENTENCE_RE = r"[^.!?]+[.!?]+"
+
+#: bounded English abbreviation set whose trailing '.' does not end a
+#: sentence — THE single source of truth: the Spark mask, the DuckDB
+#: twin and the tests are all generated from this tuple
+SENTENCE_ABBREVIATIONS = (
+    "dr", "mr", "mrs", "ms", "prof", "rev", "hon", "st", "sr", "jr",
+    "vs", "etc", "inc", "ltd", "co", "corp", "no", "dept", "univ",
+    "approx", "fig", "vol", "pp", "ed", "al",
+)
+#: the masked-period sentinel: a non-whitespace, non-terminal control
+#: char, so word runs (PORTABLE_NONWS) and the sentence regex treat
+#: the abbreviation exactly like any other in-sentence token
+_ABBR_SENTINEL = "\x01"
+#: RE2 ∩ Java pattern: abbreviation token + '.'; \b keeps "badr." from
+#: matching "dr." (both engines support \b and (?i))
+ABBREV_PERIOD_RE = (
+    r"(?i)\b(" + "|".join(SENTENCE_ABBREVIATIONS) + r")\."
+)
 #: leading non-terminal run — anchored on the REVERSED text it finds
 #: the unterminated trailer in one linear scan.  (The first cut used
 #: ``^(?:[^.!?]+[.!?]+)*`` as a prefix replace: nested quantifiers
@@ -803,7 +823,10 @@ _LEADING_NONTERM_RE = r"^[^.!?]*"
 
 
 def sentence_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    abbrev_aware: bool = False,
 ) -> DataFrame:
     """Per-document sentence segmentation stats — the sentence-level
     quality signals (C4's ≥3-sentence page rule, mean/max words per
@@ -818,10 +841,30 @@ def sentence_stats(
     ``PORTABLE_NONWS`` runs, the mean is integer floor division, and
     NULL/empty text yields all-zero counts with NULL mean/max.
 
+    ``abbrev_aware=True`` adds the abbreviation tier: the trailing
+    period of any ``SENTENCE_ABBREVIATIONS`` token is masked to a
+    non-terminal sentinel BEFORE segmentation (one extra
+    ``regexp_replace``), so "Dr. Smith arrived." is ONE sentence.
+    Word counts are unaffected — the sentinel is non-whitespace, so
+    every word run survives byte-for-byte in count terms.
+
     ONE map-side projection (regexp array + higher-order transform /
     aggregate — no explode, no shuffle, scan-speed at 100 TB); the
-    DuckDB oracle replays the split with the same two regexes and
-    ``list_transform``/``list_aggregate``."""
+    DuckDB oracle replays the split with the same two regexes (and
+    the same mask) and ``list_transform``/``list_aggregate``."""
+    if abbrev_aware:
+        # $1 keeps the abbreviation token; only its '.' becomes the
+        # sentinel (DuckDB twin: '\\1' || chr(1) with the same
+        # pattern).  Materialized in its OWN stacked select: stage 0
+        # references the text twice, and a multiply-referenced
+        # non-cheap expression re-evaluates per reference otherwise
+        # (the sentence-stats 18s lesson).
+        df = df.select(
+            F.col(id_col),
+            F.regexp_replace(
+                F.col(text_col), ABBREV_PERIOD_RE, "$1" + _ABBR_SENTINEL
+            ).alias(text_col),
+        )
     t = F.col(text_col)
     words = lambda s: F.size(  # noqa: E731
         F.regexp_extract_all(s, F.lit(PORTABLE_NONWS + "+"), 0)

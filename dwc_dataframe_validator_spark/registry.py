@@ -7267,6 +7267,100 @@ ORACLES["video_near_dup_clusters"] = """
 """
 
 
+#: abbreviation-laden prefixes planted in-plan by doc_id % 5 — the
+#: documents fixture text contains no abbreviations, so without these
+#: the masked and unmasked tiers would be trivially identical and the
+#: oracle would never exercise the mask
+_ABBREV_PREFIXES = (
+    "Dr. Smith arrived early today. ",
+    "Mr. and Mrs. Jones met Prof. Lee. ",
+    "See fig. 4 in vol. 2 at pp. 7 here. ",
+    "Costs rose approx. ten units vs. last year, etc. ",
+    "The Univ. team from dept. no. 5 moved to St. James. ",
+)
+
+
+def sentence_stats_abbrev_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviation-aware sentence stats (operators/text.py
+    ``sentence_stats(abbrev_aware=True)``): the bounded
+    ``SENTENCE_ABBREVIATIONS`` set's trailing periods are masked to a
+    non-terminal sentinel before segmentation, so "Dr. Smith
+    arrived." is one sentence — the deterministic tier between the
+    raw terminal-run split and model-based splitters.  Every doc gets
+    an abbreviation-laden prefix planted in-plan (by doc_id %% 5, the
+    oracle replays it) because the fixture text has none — the naive
+    splitter over-counts every one of these prefixes, so exactness
+    here PROVES the mask fired.  Still one map-side projection;
+    pattern and set are generated from the same tuple (single source
+    of truth)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(p) for p in _ABBREV_PREFIXES]),
+                (F.col("doc_id") % 5).cast("int") + 1,
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return text.sentence_stats(planted, abbrev_aware=True)
+
+
+QUERIES["sentence_stats_abbrev_docs"] = sentence_stats_abbrev_docs
+
+ORACLES["sentence_stats_abbrev_docs"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             (CASE CAST(doc_id % 5 AS INTEGER)
+                WHEN 0 THEN '{p0}' WHEN 1 THEN '{p1}' WHEN 2 THEN '{p2}'
+                WHEN 3 THEN '{p3}' ELSE '{p4}' END) || text AS text
+      FROM documents),
+    masked AS (
+      SELECT doc_id,
+             regexp_replace(text, '{abbr_pat}',
+                            '\\1{sentinel}', 'g') AS text
+      FROM planted),
+    s AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
+             reverse(regexp_extract(reverse(text), '^[^.!?]*'))
+               AS trailer
+      FROM masked),
+    a AS (
+      SELECT doc_id, coalesce(len(sents), 0) AS n_term,
+             CASE WHEN length(trim(trailer)) > 0
+                  THEN list_append(sents, trailer) ELSE sents END AS alls
+      FROM s),
+    w AS (
+      SELECT doc_id, n_term, coalesce(len(alls), 0) AS n,
+             list_transform(
+               alls,
+               x -> len(regexp_extract_all(x, '{nonws}+'))) AS wc
+      FROM a)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_sentences,
+           CAST(n_term AS BIGINT) AS n_terminated,
+           CAST(coalesce(list_aggregate(wc, 'sum'), 0) AS BIGINT)
+             AS total_words,
+           CASE WHEN n > 0 THEN
+             CAST(coalesce(list_aggregate(wc, 'sum'), 0) // n AS BIGINT)
+           END AS mean_sentence_words,
+           CASE WHEN n > 0 THEN
+             CAST(list_aggregate(wc, 'max') AS BIGINT)
+           END AS max_sentence_words
+    FROM w
+""".replace("{nonws}", text.PORTABLE_NONWS).replace(
+    "{abbr_pat}", text.ABBREV_PERIOD_RE
+).replace("{sentinel}", text._ABBR_SENTINEL).replace(
+    "{p0}", _ABBREV_PREFIXES[0]
+).replace("{p1}", _ABBREV_PREFIXES[1]).replace(
+    "{p2}", _ABBREV_PREFIXES[2]
+).replace("{p3}", _ABBREV_PREFIXES[3]).replace(
+    "{p4}", _ABBREV_PREFIXES[4]
+)
+
+
 # Round-13 re-pointing (r12 verdict task): the two remaining
 # pre-real-decoder rows-only entries gain exact oracles.
 # multimodal_decode_stub replays the media-header arithmetic under the

@@ -5515,3 +5515,146 @@ def test_avi_mjpeg_video_tier(spark):
                 for r in mm.video_near_dup(mm.attach_avi_blob(ndf)).collect()}
     assert clusters[1] == clusters[7] == 1  # same class, two wrappers
     assert clusters[2] == 2                 # different class stays apart
+
+
+def test_decode_kernel_equivalence_runs_everywhere():
+    """r13: backend-equivalence pins that RUN in this container (the
+    PIL pins skip without PIL — verdict task): the vectorized decode
+    kernels must be bit-identical to naive spec-shaped references
+    implemented independently here.
+
+    1. einsum batched IDCT (the round-13 JPEG pixel pass) vs an
+       explicit per-block C.T @ dq @ C loop, float64-exact;
+    2. the production PNG defilter (cumsum Sub, vectorized Up, list
+       Average/Paeth) vs a straight-from-spec scalar defilter, over
+       streams that exercise every filter type and a multi-channel
+       bpp."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    ctx = mm._jpeg_ctx()
+    C = ctx["C"]
+    rng = np.random.default_rng(13)
+    dq = rng.integers(-2048, 2048, size=(5, 7, 8, 8)).astype(np.float64)
+    fast = np.einsum("ki,yxkl,lj->yxij", C, dq, C)
+    slow = np.empty_like(fast)
+    for y in range(dq.shape[0]):
+        for x in range(dq.shape[1]):
+            slow[y, x] = C.T @ dq[y, x] @ C
+    # einsum reorders float summation, so raw float64 agreement is
+    # only to ~1e-10 relative — what must MATCH EXACTLY is the
+    # rounded/clipped uint8 pixel grid the hash tier consumes (and
+    # the registry oracles pin constants through the same einsum
+    # path, so engine == oracle structurally either way)
+    assert np.allclose(fast, slow, rtol=1e-10, atol=1e-8)
+    f8 = np.clip(np.round(fast + 128.0), 0, 255).astype(np.uint8)
+    s8 = np.clip(np.round(slow + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(f8, s8)
+
+    # reference defilter, scalar, straight from PNG spec §9
+    def ref_defilter(raw, h, w, stride, bpp):
+        out = [[0] * stride for _ in range(h)]
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            row = raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
+            for x in range(stride):
+                a = out[y][x - bpp] if x >= bpp else 0
+                b2 = out[y - 1][x] if y else 0
+                c = out[y - 1][x - bpp] if (y and x >= bpp) else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b2
+                elif f == 3:
+                    pred = (a + b2) // 2
+                else:
+                    p = a + b2 - c
+                    pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b2 if pb <= pc else c)
+                out[y][x] = (row[x] + pred) & 255
+        return np.array(out, dtype=np.uint8)
+
+    for bpp, w, h in ((1, 9, 12), (3, 7, 11), (4, 5, 10)):
+        stride = w * bpp
+        px = rng.integers(0, 256, size=(h, stride)).astype(np.uint8)
+        # forward-filter with every type cycling per row (like
+        # png_encode) to build a stream both defilters must invert
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            f = y % 5
+            cur = px[y].astype(np.int32)
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upleft))
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prev, upleft))
+                filt = cur - pred
+            raw.append(f)
+            raw.extend((filt % 256).astype(np.uint8).tobytes())
+            prev = cur
+        got = mm._png_defilter(bytes(raw), h, w, stride, bpp)
+        want = ref_defilter(bytes(raw), h, w, stride, bpp)
+        assert np.array_equal(got, want), (bpp, w, h)
+
+
+def test_sentence_stats_abbrev_tier(spark):
+    """r13: abbreviation-aware sentence segmentation — the bounded
+    SENTENCE_ABBREVIATIONS set's trailing periods mask to a
+    non-terminal sentinel, so "Dr. Smith" never ends a sentence;
+    word counts are unchanged by the mask; the naive tier keeps its
+    old semantics; handwritten expectations throughout."""
+    from dwc_dataframe_validator_spark.operators.text import (
+        SENTENCE_ABBREVIATIONS,
+        sentence_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 1 sentence under the tier (Dr. masked), 3 words... the
+            # naive split sees "Dr." as a terminator -> 2 sentences
+            (1, "Dr. Smith arrived."),
+            # Mr./Mrs./Prof. all masked -> 2 sentences; naive sees 5
+            (2, "Mr. and Mrs. Jones met Prof. Lee. They talked."),
+            # mid-word 'dr.' must NOT mask (\b): "badr." terminates
+            (3, "The word badr. ends here"),
+            # case-insensitive: "DR." masks too; trailing unterminated
+            (4, "DR. Who returned"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    aware = {r["doc_id"]: tuple(r)[1:]
+             for r in sentence_stats(df, abbrev_aware=True).collect()}
+    naive = {r["doc_id"]: tuple(r)[1:]
+             for r in sentence_stats(df).collect()}
+    # (n_sentences, n_terminated, total_words, mean, max)
+    assert aware[1] == (1, 1, 3, 3, 3)
+    assert naive[1] == (2, 2, 3, 1, 2)  # naive over-splits at "Dr."
+    assert aware[2] == (2, 2, 9, 4, 7)
+    assert naive[2][0] == 5
+    assert aware[3] == (2, 1, 5, 2, 3)  # badr. still terminates
+    assert aware[3] == naive[3]
+    assert aware[4] == (1, 0, 3, 3, 3)  # DR. masked, unterminated tail
+    assert aware[5] == (0, 0, 0, None, None)
+    # word counts NEVER change under the mask (sentinel is non-ws)
+    for k in (1, 2, 3, 4):
+        assert aware[k][2] == naive[k][2], k
+    # single source of truth: the pattern is generated from the tuple
+    assert "dr" in SENTENCE_ABBREVIATIONS and "al" in SENTENCE_ABBREVIATIONS
