@@ -171,6 +171,7 @@ HEADLINE = [
     "video_frame_hash_check",
     "video_near_dup_clusters",
     "sentence_stats_abbrev_docs",
+    "video_aligned_dedup_clusters",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

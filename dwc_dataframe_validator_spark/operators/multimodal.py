@@ -3328,6 +3328,149 @@ def video_near_dup(
     )
 
 
+def video_near_dup_aligned(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_frames: int = 8,
+    min_shared: int = 2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Trim-tolerant near-duplicate VIDEO clustering — the alignment
+    tier the first-frame signature (``video_near_dup``) explicitly
+    does not cover: two videos cluster when they SHARE ≥ ``min_shared``
+    sampled frame hashes, regardless of where those frames sit, so a
+    head-trimmed or re-cut copy still merges with its source.  Frame
+    identity is EXACT dHash equality (re-encodes that preserve
+    quantized coefficients — the progressive/baseline wrappers — land
+    on identical hashes; cross-quality fuzzy frame matching would need
+    a Hamming band join per frame and is a separate tier).
+
+    Scale discipline mirrors ``_hash_cluster``: videos with identical
+    frame-hash SETS collapse first (signature = md5 of the sorted
+    distinct hashes, so a million re-encoded copies are ONE node);
+    the pair join runs over distinct signatures' exploded hashes with
+    a per-hash bucket cap (a ubiquitous frame — black/white filler —
+    would otherwise quadratically pair every video that contains it);
+    shared-frame counting is one groupBy on the capped pairs; then
+    the scale-adaptive connected components.  Returns (id, cluster =
+    global min id of the merged class) for every decodable video."""
+    from . import graph
+
+    fh = video_frame_hashes(df, content_col, id_col, max_frames).filter(
+        "ok"
+    )
+    vid_hash = fh.select("id", "dhash").distinct()
+    sigs = vid_hash.groupBy("id").agg(
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_set("dhash")))
+        ).alias("sig")
+    )
+    reps = sigs.groupBy("sig").agg(F.min("id").alias("rep"))
+    rep_hashes = (
+        vid_hash.join(sigs, "id")
+        .join(reps, "sig")
+        .select("rep", "dhash")
+        .distinct()
+    )
+    w = Window.partitionBy("dhash").orderBy("rep")
+    buckets = (
+        rep_hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.dhash") == F.col("b.dhash"),
+                F.col("a.rep") < F.col("b.rep"),
+            ],
+        )
+        .groupBy(
+            F.col("a.rep").alias("ida"), F.col("b.rep").alias("idb")
+        )
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select("ida", "idb")
+    )
+    comps = graph.connected_components(pairs)
+    rep_cluster = reps.join(
+        comps.withColumnRenamed("node", "rep"), "rep", "left"
+    ).select(
+        "sig", F.coalesce(F.col("cluster"), F.col("rep")).alias("cluster")
+    )
+    return sigs.join(rep_cluster, "sig").select("id", "cluster")
+
+
+def _video_seq_frame_px(j: int):
+    """Frame ``j`` of the alignment-tier fixture universe: the same
+    ±14 md5-gradient construction as ``_xfmt_fixture_pixels`` but
+    seeded ``vidseq-j`` with UNLIMITED classes, so videos can be
+    built from disjoint frame ranges (the 8-class xfmt universe would
+    alias frames across video classes and chain-merge them)."""
+    import numpy as np
+
+    pat = int.from_bytes(hashlib.md5(b"vidseq-%d" % j).digest()[:8], "big")
+    cells = np.zeros((8, 9), dtype=np.int64)
+    for r in range(8):
+        v = 128
+        cells[r, 0] = v
+        for c in range(8):
+            bit = (pat >> (63 - (8 * r + c))) & 1
+            v = v - 14 if bit else v + 14
+            cells[r, c + 1] = v
+    px = np.zeros((16, 18, 1), np.uint8)
+    for r in range(8):
+        for c in range(9):
+            px[2 * r:2 * r + 2, 2 * c:2 * c + 2, 0] = cells[r, c]
+    return np.repeat(px, 3, axis=2)
+
+
+def build_avi_trim_blob(doc_id: int) -> bytes:
+    """MJPEG-in-AVI bytes for the ALIGNMENT-tier fixtures: base video
+    class ``doc_id %% 4`` owns the disjoint frame range ``4c..4c+3``;
+    variant ``(doc_id // 4) %% 3`` is 0 = the full 4-frame video,
+    1 = HEAD-TRIMMED (frames 4c+1..4c+3 — a different FIRST frame, so
+    the signature tier misses it by design), 2 = the full video with
+    every frame re-encoded progressive (identical hashes).  All
+    variants share ≥ 3 frames, so they merge under ``min_shared=2``;
+    classes share none.  ``doc_id %% 17 == 0`` truncates (ok=false)."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 1:
+        idxs = idxs[1:]
+    prog = variant == 2
+    frames = [
+        jpeg_encode(_video_seq_frame_px(j), progressive=prog) for j in idxs
+    ]
+    blob = avi_mjpeg_encode(frames, 18, 16)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_avi_trim_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the alignment-tier AVI fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_avi_trim_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
 def _avi_fixture_frames(cls: int):
     """Frame pixel list for video class ``cls`` (0-5): ``2 + cls %% 3``
     RGB frames, frame k the ±14 md5-gradient frame of

@@ -7361,6 +7361,36 @@ ORACLES["sentence_stats_abbrev_docs"] = """
 )
 
 
+def video_aligned_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-tolerant video near-dup (operators/multimodal.py
+    ``video_near_dup_aligned``): videos cluster on ≥ 2 SHARED sampled
+    frame hashes, so the head-trimmed variant — whose different first
+    frame the signature tier (``video_near_dup``) misses BY DESIGN —
+    merges with its source and its progressive re-encode.  Fixture
+    classes own disjoint 4-frame ranges (variants share ≥ 3 frames,
+    classes share none, frame universe ≥ 22 dHash bits apart), so
+    clusters are exactly the base classes — stated arithmetically by
+    the oracle.  Exact-collapse on the frame-hash-set signature first;
+    capped per-hash buckets bound the pair join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.video_near_dup_aligned(
+        multimodal.attach_avi_trim_blob(docs)
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["video_aligned_dedup_clusters"] = video_aligned_dedup_clusters
+ORACLES["video_aligned_dedup_clusters"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY doc_id % 4
+"""
+
+
 # Round-13 re-pointing (r12 verdict task): the two remaining
 # pre-real-decoder rows-only entries gain exact oracles.
 # multimodal_decode_stub replays the media-header arithmetic under the

@@ -5658,3 +5658,37 @@ def test_sentence_stats_abbrev_tier(spark):
         assert aware[k][2] == naive[k][2], k
     # single source of truth: the pattern is generated from the tuple
     assert "dr" in SENTENCE_ABBREVIATIONS and "al" in SENTENCE_ABBREVIATIONS
+
+
+def test_video_aligned_dedup_catches_trims(spark):
+    """r13: the alignment tier vs the signature tier on head-trimmed
+    videos — the defining contrast: video_near_dup (first-frame
+    signature) must MISS the trim (documented design), while
+    video_near_dup_aligned (>=2 shared frame hashes) merges source,
+    trim and progressive re-encode into one cluster; disjoint-range
+    classes never merge."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    # ids 1, 5, 9: class 1, variants full / trimmed / progressive;
+    # id 2: class 2 (disjoint frame range)
+    df = spark.createDataFrame([(1,), (5,), (9,), (2,)], "doc_id long")
+    blobs = mm.attach_avi_trim_blob(df)
+
+    aligned = {r["id"]: r["cluster"]
+               for r in mm.video_near_dup_aligned(blobs).collect()}
+    assert aligned[1] == aligned[5] == aligned[9] == 1
+    assert aligned[2] == 2
+
+    sig = {r["id"]: r["cluster"]
+           for r in mm.video_near_dup(blobs).collect()}
+    assert sig[1] == sig[9] == 1   # same first frame -> merged
+    assert sig[5] == 5             # trimmed: DIFFERENT first frame,
+    #                                missed by the signature tier
+    assert sig[2] == 2
+
+    # min_shared honors its threshold: with min_shared above the
+    # 3-frame overlap nothing merges
+    strict = {r["id"]: r["cluster"]
+              for r in mm.video_near_dup_aligned(
+                  blobs, min_shared=4).collect()}
+    assert strict[1] != strict[5]

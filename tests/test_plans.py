@@ -477,3 +477,20 @@ def test_epoch_repeat_sample_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:800]
     assert "Generate explode" in plan or "Generate" in plan  # the sequence
+
+
+def test_round13_decode_queries_are_map_side(spark):
+    """The round-13 decode tiers are scan-speed by design: blob build,
+    container walk, charset sniff, pixel decode and the abbreviation
+    mask are all map-side Arrow/codegen stages — an Exchange anywhere
+    means a stray shuffle crept into a per-row pipeline."""
+    for name in (
+        "jpeg_progressive_hash_check",
+        "charset_decode_check",
+        "video_frame_hash_check",
+        "sentence_stats_abbrev_docs",
+        "multimodal_frame_sample",
+        "multimodal_decode_stub",
+    ):
+        nodes = _nodes(spark, name)
+        assert nodes.count("Exchange") == 0, (name, nodes)
