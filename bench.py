@@ -172,6 +172,7 @@ HEADLINE = [
     "video_near_dup_clusters",
     "sentence_stats_abbrev_docs",
     "video_aligned_dedup_clusters",
+    "http_wire_decode_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -7074,6 +7074,113 @@ QUERIES["jpeg_progressive_hash_check"] = jpeg_progressive_hash_check
 ORACLES["jpeg_progressive_hash_check"] = _jpeg_prog_pinned_oracle()
 
 
+def _wire_decode_pinned_oracle() -> str:
+    """Pinned-constant oracle for the HTTP wire-decode tier: per
+    fixture class the expected (content_encoding, chunked,
+    body_decoded, encoding, wet text) computed driver-side through
+    the same decode + strip path; the %11 corrupt-gzip plant keeps
+    its raw bytes with body_decoded=false."""
+    import re as _re
+
+    from .sources import warc as warcmod
+
+    def strip(text):
+        # replicates strip_html's collapse+trim EXACTLY: Java \s is
+        # [ \t\n\x0B\f\r] and Spark's trim removes ONLY spaces —
+        # Python's .strip() also eats \x1c-\x1f (its str.isspace() is
+        # wider), which matters for the corrupt-gzip class whose raw
+        # bytes start with \x1f
+        body = text.split("\r\n\r\n", 1)[1]
+        collapsed = _re.sub(
+            "[ \\t\\n\\x0b\\f\\r]+", " ", _re.sub(r"<[^>]*>", " ", body)
+        )
+        return collapsed.strip(" ").replace("'", "''")
+
+    rows = {}
+    for cls in range(8):
+        did = next(d for d in (cls, cls + 8, cls + 16) if d % 11)
+        t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
+            warcmod.build_encoded_http_blob(did)
+        )
+        rows[cls] = (ce, ch, dec, enc, strip(t))
+    bt, benc, _bs, bce, bch, bdec = warcmod.decode_payload_full(
+        warcmod.build_encoded_http_blob(0)  # 0 % 11 == 0: corrupt gzip
+    )
+    bad = (bce, bch, bdec, benc, strip(bt))
+    ce_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN %s"
+        % (c, "'%s'" % v[0] if v[0] else "NULL")
+        for c, v in rows.items()
+    )
+    ch_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN %s" % (c, str(v[1]).upper())
+        for c, v in rows.items()
+    )
+    dec_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN %s" % (c, str(v[2]).upper())
+        for c, v in rows.items()
+    )
+    enc_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[3])
+        for c, v in rows.items()
+    )
+    txt_c = " ".join(
+        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[4])
+        for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN corrupt THEN '{bad[0]}'
+               ELSE (CASE {ce_c} END) END AS content_encoding,
+          CASE WHEN corrupt THEN {str(bad[1]).upper()}
+               ELSE (CASE {ch_c} END) END AS chunked,
+          CASE WHEN corrupt THEN {str(bad[2]).upper()}
+               ELSE (CASE {dec_c} END) END AS body_decoded,
+          CASE WHEN corrupt THEN '{bad[3]}'
+               ELSE (CASE {enc_c} END) END AS encoding,
+          CASE WHEN corrupt THEN '{bad[4]}'
+               ELSE (CASE {txt_c} END) END AS text
+        FROM (SELECT doc_id, doc_id % 11 = 0 AS corrupt FROM documents)
+    """
+
+
+def http_wire_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP wire decode (sources/warc.py ``decode_http_body`` inside
+    ``decode_warc_payload_text``): Transfer-Encoding chunked
+    de-framing, then Content-Encoding gzip / zlib-deflate / RAW
+    deflate decompression, composing with the charset sniff over the
+    DECODED body (the gzip+latin-1 class) and with ``wet_extract``.
+    The br class and the %%11 corrupt-gzip plant keep raw bytes with
+    ``body_decoded=false`` — rows are counted and routed, never
+    dropped.  All map-side."""
+    from .operators import web
+    from .sources import warc as warcmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = warcmod.decode_warc_payload_text(
+        warcmod.attach_encoded_http_blob(docs), id_col="id"
+    )
+    p = F.col("payload_text")
+    status = web.http_status(p)
+    ctype = web.http_header(p, "content-type")
+    is_html = (
+        (status >= 200) & (status < 300)
+        & F.lower(F.coalesce(ctype, F.lit(""))).startswith("text/html")
+    )
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        "content_encoding",
+        "chunked",
+        "body_decoded",
+        "encoding",
+        F.when(is_html, web.strip_html(web.http_body(p))).alias("text"),
+    )
+
+
+QUERIES["http_wire_decode_check"] = http_wire_decode_check
+ORACLES["http_wire_decode_check"] = _wire_decode_pinned_oracle()
+
+
 def _charset_pinned_oracle() -> str:
     """Pinned-constant oracle for the charset-aware decode tier: the
     expected (encoding, source, text-after-wet_extract) per fixture

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -377,13 +378,6 @@ def sniff_charset(payload: bytes):
     Returns ``(codec_name, source, body_start)`` where source is one
     of ``'bom' | 'http' | 'meta' | 'default'`` and ``body_start`` is
     the offset of the body (0 when the payload has no HTTP head)."""
-    global _META_CHARSET_RE
-    if _META_CHARSET_RE is None:
-        import re
-
-        _META_CHARSET_RE = re.compile(
-            rb"(?is)<meta[^>]{0,256}?charset\s*=\s*[\"']?([a-z0-9._\-]+)"
-        )
     head_end = payload.find(b"\r\n\r\n")
     sep = 4
     if head_end < 0:
@@ -395,48 +389,181 @@ def sniff_charset(payload: bytes):
     else:
         head = b""
         body_start = 0
-    body = payload[body_start:body_start + 1024]
-    if body[:3] == b"\xef\xbb\xbf":
-        return "utf-8", "bom", body_start
-    if body[:2] == b"\xff\xfe":
-        return "utf-16-le", "bom", body_start
-    if body[:2] == b"\xfe\xff":
-        return "utf-16-be", "bom", body_start
-    for ln in head.split(b"\r\n"):
-        name, s, val = ln.partition(b":")
-        if s and name.strip().lower() == b"content-type":
-            for part in val.split(b";"):
-                k, s2, v = part.partition(b"=")
-                if s2 and k.strip().lower() == b"charset":
-                    enc = normalize_charset(v)
-                    if enc:
-                        return enc, "http", body_start
-    m = _META_CHARSET_RE.search(body)
+    enc, source, _ = _sniff_head_body(head, payload[body_start:])
+    return enc, source, body_start
+
+
+def _sniff_head_body(head: bytes, body: bytes):
+    """The sniff proper over an already-split (head, body) pair —
+    shared by ``sniff_charset`` (raw payloads) and
+    ``decode_payload_full`` (payloads whose body was dechunked /
+    decompressed first, where the meta prescan must see the DECODED
+    bytes)."""
+    global _META_CHARSET_RE
+    if _META_CHARSET_RE is None:
+        import re
+
+        _META_CHARSET_RE = re.compile(
+            rb"(?is)<meta[^>]{0,256}?charset\s*=\s*[\"']?([a-z0-9._\-]+)"
+        )
+    window = body[:1024]
+    if window[:3] == b"\xef\xbb\xbf":
+        return "utf-8", "bom", 0
+    if window[:2] == b"\xff\xfe":
+        return "utf-16-le", "bom", 0
+    if window[:2] == b"\xfe\xff":
+        return "utf-16-be", "bom", 0
+    ct = _http_header_value(head, b"content-type")
+    if ct:
+        for part in ct.split(b";"):
+            k, s2, v = part.partition(b"=")
+            if s2 and k.strip().lower() == b"charset":
+                enc = normalize_charset(v)
+                if enc:
+                    return enc, "http", 0
+    m = _META_CHARSET_RE.search(window)
     if m:
         enc = normalize_charset(m.group(1))
         if enc:
-            return enc, "meta", body_start
-    return "utf-8", "default", body_start
+            return enc, "meta", 0
+    return "utf-8", "default", 0
+
+
+def _http_header_value(head: bytes, name: bytes):
+    """Value of the (last) ``name`` header in a raw head block, or
+    None."""
+    out = None
+    for ln in head.split(b"\r\n"):
+        k, s, v = ln.partition(b":")
+        if s and k.strip().lower() == name:
+            out = v.strip()
+    return out
+
+
+def _dechunk(body: bytes):
+    """Reverse HTTP/1.1 ``Transfer-Encoding: chunked`` framing (RFC
+    9112 §7.1): hex size line (extensions after ';' ignored), chunk
+    bytes, CRLF, repeated until the 0 chunk; trailers ignored.
+    Returns the reassembled bytes, or None when the framing is broken
+    — the caller keeps the raw body rather than fail the row."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        tok = body[pos:nl].split(b";")[0].strip()
+        try:
+            n = int(tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 2
+        if n == 0:
+            return bytes(out)
+        if pos + n > len(body):
+            return None
+        out += body[pos:pos + n]
+        pos += n
+        if body[pos:pos + 2] != b"\r\n":
+            return None
+        pos += 2
+
+
+def _decompress_body(body: bytes, label: bytes):
+    """Reverse ``Content-Encoding``: gzip/x-gzip (member format) and
+    deflate (zlib-wrapped per the RFC, with the raw-DEFLATE fallback
+    real servers are infamous for).  Returns the decompressed bytes,
+    or None when the label is unsupported (br/zstd need external
+    codecs — the honest undecoded tier) or the stream is corrupt."""
+    try:
+        if label in (b"gzip", b"x-gzip"):
+            return zlib.decompress(body, 16 + 15)
+        if label == b"deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -15)
+    except zlib.error:
+        return None
+    return None
+
+
+#: decompressed-body sanity bound (same discipline as the 16 MP image
+#: guard): a 100:1 zip bomb must not balloon an executor
+_MAX_BODY = 64 * 1024 * 1024
+
+
+def decode_http_body(payload: bytes):
+    """HTTP wire decode AHEAD of the charset sniff — the two layers a
+    real crawl payload wraps its HTML in: ``Transfer-Encoding:
+    chunked`` framing first (it wraps the compressed bytes on the
+    wire), then ``Content-Encoding`` decompression.  Returns
+    ``(head, body, content_encoding, chunked, body_decoded)`` —
+    ``body_decoded`` False when a declared encoding could not be
+    reversed (corrupt stream, unsupported codec like br/zstd, broken
+    chunk framing); the RAW bytes are kept so downstream stages can
+    still count/route the row instead of dropping it."""
+    head_end = payload.find(b"\r\n\r\n")
+    sep = 4
+    if head_end < 0:
+        head_end = payload.find(b"\n\n")
+        sep = 2
+    if head_end >= 0 and payload[:5] in (b"HTTP/", b"http/"):
+        head = payload[:head_end]
+        body = payload[head_end + sep:]
+    else:
+        return b"", payload, None, False, True
+    te = _http_header_value(head, b"transfer-encoding")
+    ce = _http_header_value(head, b"content-encoding")
+    chunked = te is not None and b"chunked" in te.lower()
+    decoded = True
+    if chunked:
+        dechunked = _dechunk(body)
+        if dechunked is None:
+            decoded = False
+        else:
+            body = dechunked
+    ce_label = ce.lower() if ce else None
+    if decoded and ce_label and ce_label != b"identity":
+        plain = _decompress_body(body, ce_label)
+        if plain is None or len(plain) > _MAX_BODY:
+            decoded = False
+        else:
+            body = plain
+    return (
+        head, body,
+        ce_label.decode("ascii", "replace") if ce_label else None,
+        chunked, decoded,
+    )
 
 
 def decode_payload(payload: bytes):
-    """Charset-aware payload → text: sniff via ``sniff_charset``, then
-    decode the HTTP head (always ASCII-compatible on the wire) as
-    latin-1 and the body with the sniffed codec, ``errors='replace'``.
-    A UTF-8 BOM is stripped; UTF-16 BOMs are consumed by the codec.
-    Returns ``(text, encoding, source)`` — text keeps the
-    ``head + CRLFCRLF + body`` shape so ``wet_extract``/``http_*``
-    compose unchanged."""
-    enc, source, body_start = sniff_charset(payload)
-    body = payload[body_start:]
-    if enc == "utf-8" and body[:3] == b"\xef\xbb\xbf":
-        body = body[3:]
-    text = body.decode(enc, "replace")
+    """Charset-aware payload → text: HTTP wire decode first
+    (``decode_http_body``: dechunk + decompress), then the charset
+    sniff over the head and the DECODED body, then decode — the head
+    (always ASCII-compatible on the wire) as latin-1 and the body with
+    the sniffed codec, ``errors='replace'``.  A UTF-8 BOM is stripped;
+    UTF-16 BOMs are consumed by the codec.  Returns ``(text, encoding,
+    source)`` — text keeps the ``head + CRLFCRLF + body`` shape so
+    ``wet_extract``/``http_*`` compose unchanged.
+    ``decode_payload_full`` adds the wire-decode metadata."""
+    return decode_payload_full(payload)[:3]
+
+
+def decode_payload_full(payload: bytes):
+    """(text, encoding, encoding_source, content_encoding, chunked,
+    body_decoded) — see ``decode_payload``."""
+    head, body, ce, chunked, decoded = decode_http_body(payload)
+    enc, source, _bs = _sniff_head_body(head, body)
+    b = body
+    if enc == "utf-8" and b[:3] == b"\xef\xbb\xbf":
+        b = b[3:]
+    text = b.decode(enc, "replace")
     if text[:1] == "﻿":
         text = text[1:]  # UTF-16 codecs decode their BOM to U+FEFF
-    if body_start:
-        text = payload[:body_start].decode("latin-1") + text
-    return text, enc, source
+    if head:
+        text = head.decode("latin-1") + "\r\n\r\n" + text
+    return text, enc, source, ce, chunked, decoded
 
 
 def decode_warc_payload_text(
@@ -447,14 +574,18 @@ def decode_warc_payload_text(
     ``wet_extract`` that a blind ``CAST(payload AS STRING)`` (always
     UTF-8) gets wrong on the latin-1/Shift-JIS/GBK tail of any real
     crawl: those pages decode to mojibake (U+FFFD runs), poisoning
-    every downstream text gate.  Returns ``(id, encoding,
-    encoding_source, payload_text)`` — encoding surfaced as a column
-    so gates can filter or stratify on it.  Arrow-batched
-    ``mapInPandas``, map-side, no shuffle; NULL payloads stay NULL
-    with NULL encoding."""
+    every downstream text gate.  The HTTP wire layers come off first
+    (``decode_http_body``: chunked de-framing, gzip/deflate
+    decompression — undecodable bodies keep their raw bytes and read
+    ``body_decoded=false``).  Returns ``(id, encoding,
+    encoding_source, content_encoding, chunked, body_decoded,
+    payload_text)`` — all surfaced as columns so gates can filter or
+    stratify on them.  Arrow-batched ``mapInPandas``, map-side, no
+    shuffle; NULL payloads stay NULL with NULL encoding."""
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"`{id_col}` {id_type}, encoding string, encoding_source string, "
+        "content_encoding string, chunked boolean, body_decoded boolean, "
         "payload_text string"
     )
 
@@ -463,13 +594,16 @@ def decode_warc_payload_text(
             rows = []
             for i, blob in zip(pdf[id_col], pdf[payload_col]):
                 if blob is None:
-                    rows.append((i, None, None, None))
+                    rows.append((i, None, None, None, None, None, None))
                     continue
-                text, enc, source = decode_payload(bytes(blob))
-                rows.append((i, enc, source, text))
+                text, enc, source, ce, chunked, decoded = (
+                    decode_payload_full(bytes(blob))
+                )
+                rows.append((i, enc, source, ce, chunked, decoded, text))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "encoding", "encoding_source",
+                         "content_encoding", "chunked", "body_decoded",
                          "payload_text"],
             )
 
@@ -553,6 +687,83 @@ def build_charset_http_blob(doc_id: int) -> bytes:
         % (ctype, len(body))
     ).encode("ascii")
     return head + b"\r\n" + body
+
+
+def build_encoded_http_blob(doc_id: int) -> bytes:
+    """HTTP-response bytes for the wire-decode fixtures: class
+    ``doc_id %% 8`` — 0 identity, 1 gzip, 2 zlib-wrapped deflate,
+    3 RAW deflate (the famous server misfeature), 4 chunked,
+    5 chunked-wrapping-gzip (the real-wire layering order),
+    6 gzip + a latin-1 charset header (wire decode composing with the
+    charset tier), 7 a ``br`` label over junk bytes (the honest
+    undecodable tier — kept raw, ``body_decoded=false``).
+    ``doc_id %% 11 == 0`` plants a CORRUPT gzip stream instead."""
+    cls = doc_id % 8
+    text = "The café on route no. %d stayed open." % cls
+    html = "<html><head></head><body><p>%s</p></body></html>" % text
+    raw = html.encode("utf-8")
+    headers = [("Content-Type", "text/html")]
+    if doc_id % 11 == 0:
+        body = b"\x1f\x8bcorrupt-gzip-stream"
+        headers.append(("Content-Encoding", "gzip"))
+    elif cls == 1:
+        body = gzip.compress(raw, mtime=0)
+        headers.append(("Content-Encoding", "gzip"))
+    elif cls == 2:
+        body = zlib.compress(raw)
+        headers.append(("Content-Encoding", "deflate"))
+    elif cls == 3:
+        co = zlib.compressobj(wbits=-15)
+        body = co.compress(raw) + co.flush()
+        headers.append(("Content-Encoding", "deflate"))
+    elif cls == 4:
+        body = _chunk_encode(raw)
+        headers.append(("Transfer-Encoding", "chunked"))
+    elif cls == 5:
+        body = _chunk_encode(gzip.compress(raw, mtime=0))
+        headers.append(("Transfer-Encoding", "chunked"))
+        headers.append(("Content-Encoding", "gzip"))
+    elif cls == 6:
+        body = gzip.compress(html.encode("latin-1"), mtime=0)
+        headers = [("Content-Type", "text/html; charset=ISO-8859-1"),
+                   ("Content-Encoding", "gzip")]
+    elif cls == 7:
+        body = b"\x1b\x8f\x42not-actually-brotli"
+        headers.append(("Content-Encoding", "br"))
+    else:
+        body = raw
+    head = "HTTP/1.1 200 OK\r\n" + "".join(
+        "%s: %s\r\n" % kv for kv in headers
+    )
+    return head.encode("ascii") + b"\r\n" + body
+
+
+def _chunk_encode(b: bytes, size: int = 24) -> bytes:
+    """Forward chunked framing for the fixtures (RFC 9112 §7.1)."""
+    out = bytearray()
+    for i in range(0, len(b), size):
+        c = b[i:i + size]
+        out += format(len(c), "x").encode() + b"\r\n" + c + b"\r\n"
+    return bytes(out) + b"0\r\n\r\n"
+
+
+def attach_encoded_http_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with the wire-decode fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        build_encoded_http_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(df[id_col].alias(id_col)).mapInPandas(
+        run, "id long, payload binary"
+    )
 
 
 def attach_charset_http_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -435,3 +435,89 @@ def test_charset_aware_payload_decode(spark):
     assert "café on the corner" in main["main_text"]
     assert "crème brûlée" in main["main_text"]
     assert "�" not in main["main_text"]
+
+
+def test_http_wire_decode(spark):
+    """r13: HTTP wire decode ahead of the charset sniff — chunked
+    de-framing (RFC 9112), gzip / zlib-deflate / RAW-deflate
+    decompression, the wire layering order (chunked wraps gzip), the
+    charset sniff running over the DECODED body, and the honest
+    undecodable tier (br label, corrupt gzip, broken chunk framing)
+    keeping raw bytes with body_decoded=false.  Handwritten
+    expectations, independent of the fixture builder."""
+    import gzip as _gz
+    import zlib as _zl
+
+    from dwc_dataframe_validator_spark.sources.warc import (
+        attach_encoded_http_blob,
+        decode_payload_full,
+        decode_warc_payload_text,
+    )
+
+    html = ("<html><body><p>The café was open for the people there."
+            "</p></body></html>")
+
+    def mk(body, headers):
+        head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + "".join("%s: %s\r\n" % kv for kv in headers))
+        return head.encode() + b"\r\n" + body
+
+    def chunk(b, size=20):
+        out = bytearray()
+        for i in range(0, len(b), size):
+            c = b[i:i + size]
+            out += format(len(c), "x").encode() + b"\r\n" + c + b"\r\n"
+        return bytes(out) + b"0\r\n\r\n"
+
+    raw = html.encode("utf-8")
+    co = _zl.compressobj(wbits=-15)
+    rawdef = co.compress(raw) + co.flush()
+    cases = [
+        (mk(raw, []), (None, False, True)),
+        (mk(_gz.compress(raw), [("Content-Encoding", "gzip")]),
+         ("gzip", False, True)),
+        (mk(_zl.compress(raw), [("Content-Encoding", "deflate")]),
+         ("deflate", False, True)),
+        (mk(rawdef, [("Content-Encoding", "deflate")]),
+         ("deflate", False, True)),
+        (mk(chunk(raw), [("Transfer-Encoding", "chunked")]),
+         (None, True, True)),
+        (mk(chunk(_gz.compress(raw)),
+            [("Transfer-Encoding", "chunked"),
+             ("Content-Encoding", "gzip")]), ("gzip", True, True)),
+        (mk(b"\x00junk", [("Content-Encoding", "br")]),
+         ("br", False, False)),
+        (mk(b"\x1f\x8bbroken", [("Content-Encoding", "gzip")]),
+         ("gzip", False, False)),
+        (mk(b"zz\r\nnope", [("Transfer-Encoding", "chunked")]),
+         (None, True, False)),
+    ]
+    for payload, want in cases:
+        text, _enc, _src, ce, ch, dec = decode_payload_full(payload)
+        assert (ce, ch, dec) == want, want
+        assert ("café" in text) == dec, want  # decoded iff decodable
+        assert text.startswith("HTTP/1.1 200 OK")
+
+    # charset sniff sees the DECODED body: gzip + latin-1 header
+    lat = mk(_gz.compress(html.encode("latin-1")),
+             [("Content-Encoding", "gzip"),
+              ("Content-Type", "text/html; charset=ISO-8859-1")])
+    text, enc, src, ce, ch, dec = decode_payload_full(lat)
+    assert (enc, src, ce, dec) == ("windows-1252", "http", "gzip", True)
+    assert "café" in text and "�" not in text
+
+    # Spark operator end-to-end over the fixture classes
+    df = spark.createDataFrame(
+        [(i,) for i in (1, 3, 5, 7, 12, 11)], "doc_id long")
+    got = {r["id"]: r
+           for r in decode_warc_payload_text(
+               attach_encoded_http_blob(df), id_col="id").collect()}
+    assert got[1]["content_encoding"] == "gzip" and got[1]["body_decoded"]
+    assert got[3]["content_encoding"] == "deflate" and got[3]["body_decoded"]
+    assert got[5]["chunked"] and got[5]["content_encoding"] == "gzip"
+    assert got[7]["content_encoding"] == "br" and not got[7]["body_decoded"]
+    assert got[12]["chunked"] and got[12]["body_decoded"]
+    assert got[11]["content_encoding"] == "gzip"
+    assert not got[11]["body_decoded"]  # %11 corrupt-gzip plant
+    for i in (1, 3, 5, 12):
+        assert "café" in got[i]["payload_text"], i
