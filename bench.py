@@ -173,6 +173,8 @@ HEADLINE = [
     "sentence_stats_abbrev_docs",
     "video_aligned_dedup_clusters",
     "http_wire_decode_check",
+    "png_interlace_hash_check",
+    "bmp_rle_pixel_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

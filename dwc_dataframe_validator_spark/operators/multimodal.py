@@ -657,7 +657,8 @@ def _pil_png_pixels(b: bytes, w: int, h: int):
 def png_decode_pixels(b: bytes):
     """Full PNG pixel decode → uint8 ndarray (h, w, channels), or
     ``None`` for malformed input.  Supports bit depth 8, color types
-    0/2/3/4/6 (palette resolved to RGB), non-interlaced only.  Raises
+    0/2/3/4/6 (palette resolved to RGB), sequential AND Adam7
+    interlaced (seven independently-defiltered passes).  Raises
     ``NotImplementedError`` for OTHER IMAGE formats — note that
     ``decode_image_pixels`` routes GIF/BMP/JPEG to their own real
     decoders before ever reaching this fallback; returns
@@ -700,7 +701,7 @@ def png_decode_pixels(b: bytes):
         return None
     w, h = struct.unpack(">II", ihdr[:8])
     depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or interlace != 0 or ctype not in _PNG_SAMPLES:
+    if depth != 8 or interlace not in (0, 1) or ctype not in _PNG_SAMPLES:
         return None
     if w == 0 or h == 0 or w * h > 16_000_000:  # 16 MP sanity bound
         return None
@@ -710,13 +711,40 @@ def png_decode_pixels(b: bytes):
     except zlib.error:
         return None
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        return None
     bpp = ch  # bytes per pixel at depth 8
+    # stream-length guard runs BEFORE any backend so corrupt streams
+    # are None on every backend (the backend-equivalence contract)
+    passes = []
+    if interlace == 1:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            passes.append((x0, y0, dx, dy, pw, ph))
+            if pw and ph:
+                expected += ph * (1 + pw * bpp)
+    else:
+        expected = h * (stride + 1)
+    if len(raw) != expected:
+        return None
     px = _pil_png_pixels(b, w, h) if _pil_available() else None
     if px is not None and px.shape != (h, w, ch):
         px = None  # mode surprise → deterministic fallback
-    if px is None:
+    if px is None and interlace == 1:
+        # Adam7 (spec §8.2): seven independently-filtered passes,
+        # each scattered onto its (x0::dx, y0::dy) grid
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not (pw and ph):
+                continue
+            seg_len = ph * (1 + pw * bpp)
+            sub = _png_defilter(raw[pos:pos + seg_len], ph, pw, pw * bpp, bpp)
+            pos += seg_len
+            if sub is None:
+                return None
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    elif px is None:
         out = _png_defilter(raw, h, w, stride, bpp)
         if out is None:
             return None
@@ -1084,22 +1112,22 @@ def _hash_cluster(
     )
 
 
-def png_encode(px, palette: bytes | None = None) -> bytes:
-    """Minimal PNG encoder (stdlib zlib; bit depth 8) — the fixture
-    twin of ``png_decode_pixels``.  Cycles the scanline filter type
-    with the row (None/Sub/Up/Average/Paeth) so every decoder filter
-    path is exercised by round-trip tests, exactly like real encoder
-    output mixes filters.  ``palette``: raw RGB triples → color type 3
-    (``px`` must then be (h, w, 1) palette indexes)."""
-    import numpy as np
+#: Adam7 interlace pass grid (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    h, w, ch = px.shape
-    ctype = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    stride, bpp = w * ch, ch
-    flat = px.reshape(h, stride).astype(np.int32)
+
+def _png_filter_lines(flat, bpp, np) -> bytes:
+    """Forward-filter (n, stride) int32 rows with the filter type
+    cycling per row (None/Sub/Up/Average/Paeth) — shared by the
+    sequential body and each Adam7 pass (a pass is independently
+    filtered: its first row has no 'up' neighbor)."""
+    n, stride = flat.shape
     zeros = np.zeros(bpp, dtype=np.int32)
     lines, prev = [], np.zeros(stride, dtype=np.int32)
-    for y in range(h):
+    for y in range(n):
         raw = flat[y]
         left = np.concatenate([zeros, raw[:-bpp]]) if stride > bpp else (
             np.zeros(stride, dtype=np.int32)
@@ -1125,7 +1153,43 @@ def png_encode(px, palette: bytes | None = None) -> bytes:
             filt = (raw - pred) % 256
         lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
         prev = raw
-    body = zlib.compress(b"".join(lines))
+    return b"".join(lines)
+
+
+def png_encode(px, palette: bytes | None = None, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (stdlib zlib; bit depth 8) — the fixture
+    twin of ``png_decode_pixels``.  Cycles the scanline filter type
+    with the row (None/Sub/Up/Average/Paeth) so every decoder filter
+    path is exercised by round-trip tests, exactly like real encoder
+    output mixes filters.  ``palette``: raw RGB triples → color type 3
+    (``px`` must then be (h, w, 1) palette indexes).
+    ``interlace=True`` emits Adam7: seven independently-filtered
+    sub-image passes — decodes to pixels IDENTICAL to the sequential
+    encoding (lossless), which is the parity the registry check
+    pins."""
+    import numpy as np
+
+    h, w, ch = px.shape
+    ctype = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        parts_raw = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            parts_raw.append(
+                _png_filter_lines(
+                    sub.reshape(ph, pw * ch).astype(np.int32), ch, np
+                )
+            )
+        body = zlib.compress(b"".join(parts_raw))
+    else:
+        body = zlib.compress(
+            _png_filter_lines(
+                px.reshape(h, w * ch).astype(np.int32), ch, np
+            )
+        )
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -1133,7 +1197,7 @@ def png_encode(px, palette: bytes | None = None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
     if palette is not None:
         parts.append(chunk(b"PLTE", palette))
@@ -1234,6 +1298,81 @@ def attach_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "id": pdf[id_col],
                     "content": [build_png_blob(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def build_png_i_blob(doc_id: int) -> bytes:
+    """Adam7-INTERLACED twin of ``build_png_blob``: the same 24
+    fixture frames re-encoded with ``interlace=True`` — PNG is
+    lossless, so pixel decode must land on the EXACT hashes of the
+    sequential encoding (the parity the registry check pins; the PNG
+    analogue of the progressive-JPEG check).  ``doc_id %% 17``
+    truncates mid-chunk (corrupt → ok=false)."""
+    px, pal = _png_fixture_pixels(doc_id % 24)
+    blob = png_encode(px, pal, interlace=True)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_png_i_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the Adam7-interlaced PNG fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_png_i_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+#: shared palette for the RLE8 fixtures: i → (i, 3i % 256, 7i % 256)
+_BMP_RLE_PALETTE = bytes(
+    v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)
+)
+
+
+def build_bmp_rle_blob(doc_id: int) -> bytes:
+    """REAL BI_RLE8 BMP bytes for the decode fixtures: frame = the
+    luma plane of ``_bmp_fixture_pixels(doc_id %% 12)`` as palette
+    indexes (the shared 256-entry palette), encoded with the
+    alternating encoded-run / absolute-mode row styles.  ``%% 17``
+    truncates mid-stream (broken RLE → ok=false); ``%% 13`` relabels
+    the compression field BI_RLE4 (the residual honest stub →
+    ok=false)."""
+    luma = _luma_grid(_bmp_fixture_pixels(doc_id % 12))
+    blob = bmp_encode_rle8(luma.astype("uint8"), _BMP_RLE_PALETTE)
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        return blob[:30] + (2).to_bytes(4, "little") + blob[34:]
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_bmp_rle_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the RLE8 BMP fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_bmp_rle_blob(int(i)) for i in pdf[id_col]
+                    ],
                 }
             )
 
@@ -1911,10 +2050,12 @@ def bmp_decode_pixels(b: bytes):
     ``None`` for malformed/non-BMP bytes.  Supports uncompressed
     (BI_RGB) BITMAPINFOHEADER DIBs at 24-bit BGR and 8-bit paletted
     depths, bottom-up (positive height) and top-down (negative) row
-    orders, with 4-byte row padding.  RLE/bitfield compressions raise
-    ``NotImplementedError`` (run-length would be honest work too, but
-    real corpora are overwhelmingly BI_RGB; the stub keeps the
-    contract explicit).  Same 16 MP bound as the other decoders."""
+    orders with 4-byte row padding, AND 8-bit BI_RLE8 run-length
+    streams (encoded runs, absolute mode with word alignment, EOL /
+    delta / EOD escapes; skipped pixels read palette index 0 per the
+    de-facto decoder convention).  RLE4 and bitfield compressions
+    raise ``NotImplementedError`` (the residual stub).  Same 16 MP
+    bound as the other decoders."""
     import numpy as np
 
     if len(b) < 54 or b[:2] != b"BM":
@@ -1928,10 +2069,13 @@ def bmp_decode_pixels(b: bytes):
     compression = struct.unpack("<I", b[30:34])[0]
     if w <= 0 or h_signed == 0 or w * abs(h_signed) > 16_000_000:
         return None
-    if compression != 0 or bitcount not in (8, 24):
+    if not (
+        (compression == 0 and bitcount in (8, 24))
+        or (compression == 1 and bitcount == 8)
+    ):
         raise NotImplementedError(
-            f"BMP decode is codec-free only for BI_RGB 8/24-bit "
-            f"(compression={compression}, bits={bitcount})"
+            f"BMP decode is codec-free only for BI_RGB 8/24-bit and "
+            f"BI_RLE8 (compression={compression}, bits={bitcount})"
         )
     h = abs(h_signed)
     pal = None
@@ -1942,6 +2086,15 @@ def bmp_decode_pixels(b: bytes):
             return None
         quad = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)
         pal = quad[:, [2, 1, 0]]  # BGRA quads → RGB
+    if compression == 1:
+        idx = _bmp_rle8_decode(b[data_off:], w, h, np)
+        if idx is None:
+            return None
+        if h_signed > 0:
+            idx = idx[::-1]  # RLE storage is bottom-up
+        if int(idx.max()) >= len(pal):
+            return None
+        return pal[idx]
     stride = ((w * bitcount // 8) + 3) & ~3
     need = stride * h
     raw = b[data_off:data_off + need]
@@ -1957,6 +2110,94 @@ def bmp_decode_pixels(b: bytes):
     if int(idx.max()) >= len(pal):
         return None
     return pal[idx]
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int, np):
+    """BI_RLE8 stream → (h, w) palette-index array in STORAGE order
+    (row 0 = bottom), or None for broken streams.  Escapes: (0,0) EOL,
+    (0,1) EOD, (0,2,dx,dy) delta (skipped cells stay index 0), (0,n≥3)
+    absolute mode (n literal bytes, word-aligned); (c>0, v) encodes a
+    run of c copies of v.  Runs may not cross the row end."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 2 <= n:
+        c1, c2 = data[pos], data[pos + 1]
+        pos += 2
+        if c1 > 0:  # encoded run
+            if y >= h or x + c1 > w:
+                return None
+            idx[y, x:x + c1] = c2
+            x += c1
+        elif c2 == 0:  # EOL
+            x = 0
+            y += 1
+        elif c2 == 1:  # EOD
+            return idx
+        elif c2 == 2:  # delta
+            if pos + 2 > n:
+                return None
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute mode: c2 literal bytes, word-aligned
+            if y >= h or x + c2 > w or pos + c2 > n:
+                return None
+            idx[y, x:x + c2] = np.frombuffer(
+                data[pos:pos + c2], dtype=np.uint8
+            )
+            x += c2
+            pos += c2 + (c2 & 1)
+    return idx  # missing EOD at stream end: tolerated
+
+
+def bmp_encode_rle8(idx, palette_rgb: bytes) -> bytes:
+    """BI_RLE8 BMP writer — the fixture twin of the RLE branch: 8-bit
+    indexed (h, w) pixels, bottom-up storage, palette as raw RGB
+    triples (≤ 256).  Row style alternates so every decoder path runs:
+    even storage rows emit pure encoded runs, odd rows lead with an
+    absolute-mode chunk (word-aligned) before run-encoding the rest;
+    EOL after every row, EOD at the end."""
+    import numpy as np
+
+    if idx.ndim == 3:
+        idx = idx[:, :, 0]
+    h, w = idx.shape
+    stream = bytearray()
+    for sy in range(h):
+        row = idx[h - 1 - sy]  # bottom-up storage
+        x = 0
+        if sy % 2 == 1 and w >= 4:
+            k = min(6, w)
+            if k >= 3:
+                stream += bytes([0, k]) + bytes(int(v) for v in row[:k])
+                if k & 1:
+                    stream += b"\x00"
+                x = k
+        while x < w:
+            v = int(row[x])
+            run = 1
+            while x + run < w and int(row[x + run]) == v and run < 255:
+                run += 1
+            stream += bytes([run, v])
+            x += run
+        stream += b"\x00\x00"  # EOL
+    stream += b"\x00\x01"  # EOD
+    n_colors = len(palette_rgb) // 3
+    quads = b"".join(
+        bytes([palette_rgb[3 * i + 2], palette_rgb[3 * i + 1],
+               palette_rgb[3 * i], 0])
+        for i in range(n_colors)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, n_colors, 0
+    )
+    off = 14 + 40 + len(quads)
+    head = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+    return head + dib + quads + bytes(stream)
 
 
 def bmp_encode(px, bottom_up: bool = True) -> bytes:
@@ -1994,8 +2235,10 @@ def build_bmp_blob(doc_id: int) -> bytes:
     """REAL BMP bytes for the decode fixtures: frame from
     ``doc_id % 12``; odd ids write TOP-DOWN DIBs (same pixels → same
     hashes, both row orders run at scale).  %% 17 truncates the pixel
-    body (malformed → ok=false); %% 13 plants an RLE8-compressed BMP
-    (the documented BI_RGB-only stub → ok=false)."""
+    body (malformed → ok=false); %% 13 relabels a paletteless BI_RGB
+    body as 8-bit RLE8 — since round 13 RLE8 decodes for REAL, so
+    this is the corrupt-relabel plant (None → ok=false), mirroring
+    the JPEG %%13 SOF2 flip."""
     import numpy as np
 
     if doc_id % 13 == 0 and doc_id % 17 != 0:

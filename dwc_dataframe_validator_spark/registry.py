@@ -7181,6 +7181,102 @@ QUERIES["http_wire_decode_check"] = http_wire_decode_check
 ORACLES["http_wire_decode_check"] = _wire_decode_pinned_oracle()
 
 
+def _hash_case_oracle(rows: dict, bad_expr: str) -> str:
+    """Shared pinned-constant oracle body for the image-hash checks:
+    ``rows`` maps class → (n_classes, channels, ahash, dhash)."""
+    n_cls = len(rows)
+    chan = " ".join(
+        "WHEN doc_id %% %d = %d THEN %d" % (n_cls, c, v[0])
+        for c, v in rows.items()
+    )
+    ah = " ".join(
+        "WHEN doc_id %% %d = %d THEN '%s'" % (n_cls, c, v[1])
+        for c, v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN doc_id %% %d = %d THEN '%s'" % (n_cls, c, v[2])
+        for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
+               END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
+          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
+          NOT bad AS ok
+        FROM (SELECT doc_id, {bad_expr} AS bad FROM documents)
+    """
+
+
+def _png_i_pinned_oracle() -> str:
+    """Adam7 parity oracle: the interlaced fixtures must hash to the
+    SEQUENTIAL encoding's constants — PNG is lossless, so any
+    divergence is a de-interlace bug."""
+    rows = {}
+    for cls in range(24):
+        px, pal = multimodal._png_fixture_pixels(cls)
+        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
+        rows[cls] = (
+            dec.shape[2],
+            format(multimodal.image_ahash(dec), "016x"),
+            format(multimodal.image_dhash(dec), "016x"),
+        )
+    return _hash_case_oracle(rows, "doc_id % 17 = 0")
+
+
+def png_interlace_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG decode (operators/multimodal.py
+    ``png_decode_pixels``: seven independently-defiltered passes
+    scattered onto their grids) — every interlaced fixture must hash
+    IDENTICALLY to its sequential twin because PNG is lossless; the
+    oracle pins the sequential constants, so this check can only pass
+    if the de-interlace is pixel-exact.  %%17 truncates (ok=false)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(multimodal.attach_png_i_blob(docs))
+
+
+QUERIES["png_interlace_hash_check"] = png_interlace_hash_check
+ORACLES["png_interlace_hash_check"] = _png_i_pinned_oracle()
+
+
+def _bmp_rle_pinned_oracle() -> str:
+    rows = {}
+    for cls in range(12):
+        did = next(
+            d for d in (cls, cls + 12, cls + 24)
+            if d % 17 and d % 13
+        )
+        dec = multimodal.bmp_decode_pixels(
+            multimodal.build_bmp_rle_blob(did)
+        )
+        rows[cls] = (
+            dec.shape[2],
+            format(multimodal.image_ahash(dec), "016x"),
+            format(multimodal.image_dhash(dec), "016x"),
+        )
+    return _hash_case_oracle(rows, "doc_id % 17 = 0 OR doc_id % 13 = 0")
+
+
+def bmp_rle_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BI_RLE8 BMP decode (operators/multimodal.py
+    ``_bmp_rle8_decode``: encoded runs, absolute mode with word
+    alignment, EOL/delta/EOD escapes) through the shared hash grid —
+    the run-length tier that closes the round-12 'RLE BMP' stub.
+    Fixture rows alternate encoded-run and absolute-mode styles;
+    %%17 truncates the stream, %%13 relabels BI_RLE4 (the residual
+    honest stub) — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(
+        multimodal.attach_bmp_rle_blob(docs)
+    )
+
+
+QUERIES["bmp_rle_pixel_hash_check"] = bmp_rle_pixel_hash_check
+ORACLES["bmp_rle_pixel_hash_check"] = _bmp_rle_pinned_oracle()
+
+
 def _charset_pinned_oracle() -> str:
     """Pinned-constant oracle for the charset-aware decode tier: the
     expected (encoding, source, text-after-wet_extract) per fixture

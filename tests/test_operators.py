@@ -5073,8 +5073,11 @@ def test_bmp_decode_roundtrip(spark):
     assert list(dec[1, 0]) == [30, 20, 10] and list(dec[1, 1]) == [100, 150, 200]
     assert list(dec[0, 0]) == [100, 150, 200] and list(dec[0, 1]) == [30, 20, 10]
 
-    with _pytest.raises(NotImplementedError):
-        mm.bmp_decode_pixels(mm.build_bmp_blob(13))  # RLE8 plant
+    # r13: RLE8 decode is REAL now, so the %13 relabel plant (an
+    # 8-bit/RLE8 header over a paletteless BI_RGB body) is detected
+    # as corrupt → None instead of the old stub raise; RLE4 keeps the
+    # honest raise (pinned in test_png_adam7_and_bmp_rle8)
+    assert mm.bmp_decode_pixels(mm.build_bmp_blob(13)) is None
     assert mm.bmp_decode_pixels(mm.build_bmp_blob(17)) is None
     assert mm.bmp_decode_pixels(b"BMshort") is None
 
@@ -5692,3 +5695,76 @@ def test_video_aligned_dedup_catches_trims(spark):
               for r in mm.video_near_dup_aligned(
                   blobs, min_shared=4).collect()}
     assert strict[1] != strict[5]
+
+
+def test_png_adam7_and_bmp_rle8(spark):
+    """r13: Adam7-interlaced PNG decode (lossless parity with the
+    sequential encoding across all fixture classes and ragged sizes)
+    and BI_RLE8 BMP decode (encoded runs, absolute mode, EOL/delta/
+    EOD), with truncation fuzz and the residual RLE4 stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    # Adam7 == sequential, bit-exact, every color type + ragged sizes
+    for cls in range(24):
+        px, pal = mm._png_fixture_pixels(cls)
+        seq = mm.png_decode_pixels(mm.png_encode(px, pal))
+        il = mm.png_decode_pixels(mm.png_encode(px, pal, interlace=True))
+        assert il is not None and np.array_equal(seq, il), cls
+    for hw in ((1, 1), (2, 3), (7, 5), (9, 16), (17, 18)):
+        px = (np.add.outer(np.arange(hw[0]) * 37, np.arange(hw[1]) * 11)
+              % 256).astype(np.uint8)[:, :, None]
+        assert np.array_equal(
+            mm.png_decode_pixels(mm.png_encode(px)),
+            mm.png_decode_pixels(mm.png_encode(px, interlace=True)),
+        ), hw
+    ib = mm.png_encode(mm._png_fixture_pixels(1)[0], None, interlace=True)
+    for cut in range(0, len(ib), 3):
+        mm.png_decode_pixels(ib[:cut])  # truncation never raises
+
+    # RLE8 round trip through the palette
+    pal3 = mm._BMP_RLE_PALETTE
+    luma = mm._luma_grid(mm._bmp_fixture_pixels(3)).astype(np.uint8)
+    dec = mm.bmp_decode_pixels(mm.bmp_encode_rle8(luma, pal3))
+    want = np.stack(
+        [luma, (luma.astype(int) * 3 % 256).astype(np.uint8),
+         (luma.astype(int) * 7 % 256).astype(np.uint8)], axis=2)
+    assert np.array_equal(dec, want)
+
+    # delta escape: skipped cells read palette index 0 (handwritten)
+    import struct as _st
+    stream = bytes([3, 5, 0, 0, 1, 7, 0, 2, 1, 1, 1, 9, 0, 0,
+                    0, 3, 4, 5, 6, 0, 0, 0, 0, 1])
+    dib = _st.pack("<IiiHHIIiiII", 40, 3, 4, 1, 8, 1, len(stream),
+                   0, 0, 256, 0)
+    quads = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    off = 14 + 40 + len(quads)
+    blob = (b"BM" + _st.pack("<IHHI", off + len(stream), 0, 0, off)
+            + dib + quads + stream)
+    assert mm.bmp_decode_pixels(blob)[:, :, 0].tolist() == [
+        [4, 5, 6], [0, 0, 9], [7, 0, 0], [5, 5, 5]]
+
+    rb = mm.bmp_encode_rle8(luma, pal3)
+    for cut in range(0, len(rb), 3):
+        try:
+            mm.bmp_decode_pixels(rb[:cut])
+        except NotImplementedError:
+            pass
+    with _pytest.raises(NotImplementedError):  # RLE4: the residual stub
+        mm.bmp_decode_pixels(mm.build_bmp_rle_blob(13))
+    assert mm.bmp_decode_pixels(mm.build_bmp_rle_blob(17)) is None
+
+    # operator integration over both fixture families
+    df = spark.createDataFrame([(1,), (13,), (17,)], "doc_id long")
+    gi = {r["id"]: r for r in mm.image_pixel_hashes(
+        mm.attach_png_i_blob(df)).collect()}
+    gb = {r["id"]: r for r in mm.image_pixel_hashes(
+        mm.attach_bmp_rle_blob(df)).collect()}
+    assert gi[1]["ok"] and gi[13]["ok"] and not gi[17]["ok"]
+    assert gb[1]["ok"] and not gb[13]["ok"] and not gb[17]["ok"]
+    # interlaced hash == sequential fixture hash (class 1 vs class 1)
+    seq_hash = format(mm.image_ahash(
+        mm.png_decode_pixels(mm.build_png_blob(1))), "016x")
+    assert gi[1]["ahash"] == seq_hash
