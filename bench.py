@@ -175,6 +175,7 @@ HEADLINE = [
     "http_wire_decode_check",
     "png_interlace_hash_check",
     "bmp_rle_pixel_hash_check",
+    "audio_codec_feature_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

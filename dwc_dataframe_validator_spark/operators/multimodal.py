@@ -1424,19 +1424,67 @@ def wav_decode_samples(b: bytes):
     bits = int.from_bytes(fmt[14:16], "little")
     if channels == 0 or rate == 0:
         return None
-    if audio_fmt != 1 or bits != 16:
+    # the codec-free formats: PCM16, IEEE float32 (scaled to the same
+    # int16 grid), and the two G.711 telephony companders (8-bit
+    # µ-law / A-law — pure table expansion, the formats voicemail/IVR
+    # corpora arrive in).  ADPCM/MP3-in-RIFF stay the honest stub.
+    if audio_fmt == 1 and bits == 16:
+        width = 2
+    elif audio_fmt == 3 and bits == 32:
+        width = 4
+    elif audio_fmt in (6, 7) and bits == 8:
+        width = 1
+    else:
         raise NotImplementedError(
-            f"WAV sample decode is codec-free only for PCM16 "
-            f"(fmt={audio_fmt}, bits={bits}); float/compressed tiers "
-            "need a codec (header metadata via decode_media_headers)"
+            f"WAV sample decode is codec-free only for PCM16, "
+            f"float32, A-law and µ-law (fmt={audio_fmt}, bits={bits}); "
+            "compressed tiers need a codec (header metadata via "
+            "decode_media_headers)"
         )
-    n = len(data) // (2 * channels)
+    n = len(data) // (width * channels)
     if n * channels > 200_000_000:
         return None
-    arr = np.frombuffer(
-        data[: n * 2 * channels], dtype="<i2"
-    ).reshape(n, channels)
-    return rate, channels, arr
+    flat = data[: n * width * channels]
+    if audio_fmt == 1:
+        arr = np.frombuffer(flat, dtype="<i2")
+    elif audio_fmt == 3:
+        f = np.frombuffer(flat, dtype="<f4").astype(np.float64)
+        arr = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    else:
+        table = _g711_table(audio_fmt, np)
+        arr = table[np.frombuffer(flat, dtype=np.uint8)]
+    return rate, channels, arr.reshape(n, channels)
+
+
+def _g711_table(audio_fmt: int, np):
+    """256-entry int16 expansion table for G.711 — fmt 6 A-law
+    (even-bit inversion, 16× segment scaling) or fmt 7 µ-law (bias
+    0x84, ones-complement coding) — computed from the standard's
+    closed forms and cached."""
+    cached = getattr(_g711_table, "_c", {})
+    if audio_fmt in cached:
+        return cached[audio_fmt]
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        if audio_fmt == 6:  # A-law: sign bit SET (after the 0x55
+            # even-bit inversion) means POSITIVE per G.711
+            a = b ^ 0x55
+            exp = (a >> 4) & 7
+            mant = a & 0xF
+            if exp:
+                x = ((mant << 4) + 0x108) << (exp - 1)
+            else:
+                x = (mant << 4) + 8
+            out[b] = x if a & 0x80 else -x
+        else:  # µ-law: sign bit SET (after ones-complement) = NEGATIVE
+            u = ~b & 0xFF
+            exp = (u >> 4) & 7
+            mant = u & 0xF
+            x = (((mant << 3) + 0x84) << exp) - 0x84
+            out[b] = -x if u & 0x80 else x
+    cached[audio_fmt] = out
+    _g711_table._c = cached
+    return out
 
 
 def audio_pcm_metrics(arr) -> tuple:
@@ -1553,13 +1601,14 @@ def build_wav_blob(doc_id: int) -> bytes:
     PCM16 WAV whose samples depend ONLY on ``doc_id % 8``, with two
     planted failure modes mirroring ``build_png_blob`` — ids divisible
     by 17 truncate the stream mid-data (malformed → ok=false), ids
-    divisible by 13 get an IEEE-float WAV (the documented non-PCM16
-    stub → ok=false)."""
+    divisible by 13 get an ADPCM WAV (since round 13 float32/G.711
+    decode for REAL — see ``build_wav_codec_blob`` — so the plant
+    moved to the residual compressed stub → ok=false)."""
     if doc_id % 13 == 0 and doc_id % 17 != 0:
         fmt = (
-            (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
             + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
-            + (4).to_bytes(2, "little") + (32).to_bytes(2, "little")
+            + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
         )
         body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
                 + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8)
@@ -1592,6 +1641,70 @@ def attach_wav_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # --------------------------------------------------------------------------
 # audio near-dup dedup: envelope hash over decoded PCM → shared LSH core
 # --------------------------------------------------------------------------
+
+def build_wav_codec_blob(doc_id: int) -> bytes:
+    """WAV bytes for the codec-tier fixtures: format ``doc_id %% 4``
+    — 0 PCM16 (control), 1 IEEE float32, 2 A-law, 3 µ-law — over a
+    deterministic md5-derived byte stream keyed by ``(doc_id // 4)
+    %% 4`` (any byte string is a valid G.711 payload; float samples
+    are ``(byte − 128) / 128``).  ``%% 17`` truncates mid-data
+    (malformed → ok=false); ``%% 13`` relabels the format ADPCM
+    (fmt=2 — the residual honest stub → ok=false)."""
+    import numpy as np
+
+    fmt_cls = doc_id % 4
+    wave_cls = (doc_id // 4) % 4
+    seed = hashlib.md5(b"wavcodec-%d" % wave_cls).digest()
+    stream = (seed * 15)[:240]  # 240 bytes, deterministic
+    rate = 8000
+    if fmt_cls == 0:
+        arr = (np.frombuffer(stream, np.uint8).astype(np.int16) - 128) * 256
+        data = arr.astype("<i2").tobytes()
+        afmt, bits = 1, 16
+    elif fmt_cls == 1:
+        f = (np.frombuffer(stream, np.uint8).astype(np.float64) - 128) / 128
+        data = f.astype("<f4").tobytes()
+        afmt, bits = 3, 32
+    else:
+        data = stream
+        afmt, bits = (6, 8) if fmt_cls == 2 else (7, 8)
+    width = bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", afmt, 1, rate, rate * width, width, bits
+    )
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        # ADPCM relabel → the honest stub (format code lives at byte
+        # offset 20: RIFF header 12 + 'fmt ' chunk header 8)
+        return blob[:20] + struct.pack("<H", 2) + blob[22:]
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_wav_codec_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the WAV codec-tier fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_wav_codec_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
 
 def audio_envelope_hash(arr) -> int:
     """64-bit energy-envelope hash of a decoded (n_frames, channels)

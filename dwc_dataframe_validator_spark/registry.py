@@ -7277,6 +7277,84 @@ QUERIES["bmp_rle_pixel_hash_check"] = bmp_rle_pixel_hash_check
 ORACLES["bmp_rle_pixel_hash_check"] = _bmp_rle_pinned_oracle()
 
 
+def _wav_codec_pinned_oracle() -> str:
+    """Pinned feature tuples per (format, waveform) fixture class,
+    computed driver-side through the same decode — the audio-codec
+    analogue of the image pinned oracles."""
+    rows = {}
+    for fmt_cls in range(4):
+        for wave_cls in range(4):
+            did = next(
+                d for d in (fmt_cls + 4 * wave_cls,
+                            fmt_cls + 4 * wave_cls + 16,
+                            fmt_cls + 4 * wave_cls + 32,
+                            fmt_cls + 4 * wave_cls + 48)
+                if d % 17 and d % 13
+                and d % 4 == fmt_cls and (d // 4) % 4 == wave_cls
+            )
+            rate, ch, arr = multimodal.wav_decode_samples(
+                multimodal.build_wav_codec_blob(did)
+            )
+            n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(arr)
+            rows[(fmt_cls, wave_cls)] = (
+                rate, ch, n, n * 1000 // rate, peak, abs_sum, zc
+            )
+    cases = {}
+    for col_i, col in enumerate(
+        ("sample_rate", "n_channels", "n_frames", "duration_ms",
+         "peak", "abs_sum", "zero_crossings")
+    ):
+        cases[col] = " ".join(
+            "WHEN fc = %d AND wc = %d THEN %d" % (f, w, v[col_i])
+            for (f, w), v in rows.items()
+        )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["sample_rate"]} END) END AS INTEGER)
+            AS sample_rate,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["n_channels"]} END) END AS INTEGER)
+            AS n_channels,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["n_frames"]} END) END AS BIGINT) AS n_frames,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["duration_ms"]} END) END AS BIGINT)
+            AS duration_ms,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["peak"]} END) END AS INTEGER) AS peak,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["abs_sum"]} END) END AS BIGINT) AS abs_sum,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["zero_crossings"]} END) END AS BIGINT)
+            AS zero_crossings,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     CAST(doc_id % 4 AS INTEGER) AS fc,
+                     CAST((doc_id // 4) % 4 AS INTEGER) AS wc,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def audio_codec_feature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-tier WAV decode (operators/multimodal.py
+    ``wav_decode_samples``): IEEE float32 scaled onto the int16 grid
+    and the two G.711 telephony companders — A-law and µ-law 256-entry
+    table expansion validated against independent reference
+    compressors in pytest — through the shared integer feature
+    extractor.  %%17 truncates (ok=false); %%13 relabels ADPCM (the
+    residual honest stub → ok=false)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_pcm_features(
+        multimodal.attach_wav_codec_blob(docs)
+    )
+
+
+QUERIES["audio_codec_feature_check"] = audio_codec_feature_check
+ORACLES["audio_codec_feature_check"] = _wav_codec_pinned_oracle()
+
+
 def _charset_pinned_oracle() -> str:
     """Pinned-constant oracle for the charset-aware decode tier: the
     expected (encoding, source, text-after-wet_extract) per fixture

@@ -4928,7 +4928,9 @@ def test_wav_pcm_decode_and_features(spark):
     assert (dec == arr).all()
 
     with _pytest.raises(NotImplementedError):
-        mm.wav_decode_samples(mm.build_wav_blob(13))   # IEEE float
+        mm.wav_decode_samples(mm.build_wav_blob(13))   # r13: ADPCM —
+        # float32/G.711 decode for real now, so the plant moved to
+        # the residual compressed stub
     assert mm.wav_decode_samples(mm.build_wav_blob(17)) is None
     assert mm.wav_decode_samples(b"RIFFxxxxJUNK") is None
     assert mm.wav_decode_samples(b"not audio") is None
@@ -5768,3 +5770,67 @@ def test_png_adam7_and_bmp_rle8(spark):
     seq_hash = format(mm.image_ahash(
         mm.png_decode_pixels(mm.build_png_blob(1))), "016x")
     assert gi[1]["ahash"] == seq_hash
+
+
+def test_wav_codec_tier_g711_and_float(spark):
+    """r13: the WAV codec tier — IEEE float32 scaled to the int16
+    grid, and G.711 A-law/µ-law table expansion.  The tables are
+    validated against an INDEPENDENT reference µ-law compressor
+    (every byte except the structural negative-zero 0x7F round-trips)
+    and the A-law standard's anchors (min 8 / max 32256, uniform
+    16-step chord-0 ladder, sign symmetry about the sign bit)."""
+    import struct as _st
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    tab_u = mm._g711_table(7, np)
+    tab_a = mm._g711_table(6, np)
+
+    def mulaw_compress(x):  # independent reference (CCITT G.711)
+        bias, clip = 0x84, 32635
+        sign = 0x80 if x < 0 else 0
+        x = min(abs(x), clip) + bias
+        exp, mask = 7, 0x4000
+        while exp > 0 and not (x & mask):
+            exp -= 1
+            mask >>= 1
+        return (~(sign | (exp << 4) | ((x >> (exp + 3)) & 0xF))) & 0xFF
+
+    assert all(
+        mulaw_compress(int(tab_u[b])) == b for b in range(256) if b != 0x7F
+    )
+    assert int(tab_u[0x7F]) == 0  # negative zero decodes to 0
+    pos_a = sorted(int(v) for v in tab_a if v > 0)
+    assert pos_a[0] == 8 and pos_a[-1] == 32256
+    assert pos_a[:16] == list(range(8, 8 + 16 * 16, 16))
+    assert all(int(tab_a[b]) == -int(tab_a[b ^ 0x80]) for b in range(256))
+    assert sorted(int(v) for v in tab_u if v > 0)[-1] == 32124
+
+    # float32: clip + round onto the int16 grid
+    body = np.array([0.0, 0.5, -1.0, 1.0, 2.0, -0.25], "<f4").tobytes()
+    fmtc = _st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (b"RIFF" + _st.pack("<I", 4 + 8 + len(fmtc) + 8 + len(body))
+            + b"WAVE" + b"fmt " + _st.pack("<I", len(fmtc)) + fmtc
+            + b"data" + _st.pack("<I", len(body)) + body)
+    _r, _c, arr = mm.wav_decode_samples(blob)
+    assert arr[:, 0].tolist() == [0, 16384, -32767, 32767, 32767, -8192]
+
+    # fixture plants: ADPCM relabel raises, truncation is None
+    with _pytest.raises(NotImplementedError):
+        mm.wav_decode_samples(mm.build_wav_codec_blob(13))
+    assert mm.wav_decode_samples(mm.build_wav_codec_blob(17)) is None
+
+    # operator end-to-end across all four format classes
+    df = spark.createDataFrame(
+        [(i,) for i in (4, 5, 6, 7, 13, 17)], "doc_id long")
+    got = {r["id"]: r for r in mm.audio_pcm_features(
+        mm.attach_wav_codec_blob(df)).collect()}
+    for i in (4, 5, 6, 7):
+        assert got[i]["ok"] and got[i]["n_frames"] == 240, i
+    # G.711 classes decode the SAME md5 byte stream through different
+    # companders — features must differ (the tables are different)
+    assert got[6]["abs_sum"] != got[7]["abs_sum"]
+    assert not got[13]["ok"] and not got[17]["ok"]
