@@ -176,6 +176,7 @@ HEADLINE = [
     "png_interlace_hash_check",
     "bmp_rle_pixel_hash_check",
     "audio_codec_feature_check",
+    "gif_anim_frame_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -525,6 +525,18 @@ def sample_frames(
                                 (i, k, frames[k * step]) for k in range(n)
                             )
                         continue  # corrupt AVI → zero frames
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: codec-free composition; sampled
+                    # frames re-encoded as PNG bytes (lossless)
+                    gframes = gif_decode_frames(b)
+                    if gframes:
+                        n = min(max_frames, len(gframes))
+                        step = max(1, len(gframes) // n)
+                        rows.extend(
+                            (i, k, png_encode(gframes[k * step]))
+                            for k in range(n)
+                        )
+                    continue  # corrupt GIF → zero frames
                 if not use_video:
                     raise NotImplementedError(
                         "video decoding beyond MJPEG-in-AVI requires "
@@ -1642,6 +1654,67 @@ def attach_wav_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # audio near-dup dedup: envelope hash over decoded PCM → shared LSH core
 # --------------------------------------------------------------------------
 
+#: 16-color deterministic palette for the animation fixtures
+_GIF_ANIM_PALETTE = bytes(
+    v % 256 for i in range(16) for v in (i * 17, i * 31 + 5, i * 13 + 9)
+)
+
+
+def _gif_anim_pattern(cls: int, k: int, h: int, w: int):
+    """Deterministic (h, w) palette-index pattern for animation class
+    ``cls``, frame ``k`` — md5-seeded, values 0-15 (0 doubles as the
+    transparency index where a frame declares one)."""
+    import numpy as np
+
+    seed = hashlib.md5(b"gifanim-%d-%d" % (cls, k)).digest()
+    stream = (seed * ((h * w) // 16 + 1))[: h * w]
+    return (np.frombuffer(stream, np.uint8) % 16).reshape(h, w)
+
+
+def build_gif_anim_blob(doc_id: int) -> bytes:
+    """REAL animated-GIF bytes for the animation fixtures: class
+    ``doc_id %% 6`` drives ``2 + cls %% 3`` frames over a 16×16
+    logical screen — frame 0 full-canvas (disposal leave), frame 1 an
+    8×8 sub-rectangle at (4,4) with transparency index 0 and
+    restore-to-background disposal, frame 2 a 16×8 top band with
+    restore-to-previous, frame 3 full-canvas — so every composition
+    path (sub-rects, transparency holes, disposal 1/2/3) runs at
+    corpus scale.  ``doc_id %% 17`` truncates mid-stream (malformed →
+    ok=false)."""
+    cls = doc_id % 6
+    nf = 2 + cls % 3
+    frames = [(0, 0, _gif_anim_pattern(cls, 0, 16, 16), 1, None)]
+    if nf >= 2:
+        frames.append((4, 4, _gif_anim_pattern(cls, 1, 8, 8), 2, 0))
+    if nf >= 3:
+        frames.append((0, 0, _gif_anim_pattern(cls, 2, 8, 16), 3, None))
+    if nf >= 4:
+        frames.append((0, 0, _gif_anim_pattern(cls, 3, 16, 16), 0, None))
+    blob = gif_encode_anim(frames, _GIF_ANIM_PALETTE, 16, 16, bg_idx=1)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_gif_anim_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the animated-GIF fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_gif_anim_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
 def build_wav_codec_blob(doc_id: int) -> bytes:
     """WAV bytes for the codec-tier fixtures: format ``doc_id %% 4``
     — 0 PCM16 (control), 1 IEEE float32, 2 A-law, 3 µ-law — over a
@@ -2058,6 +2131,165 @@ def gif_decode_pixels(b: bytes):
         else:
             return None
     return None
+
+
+def _gif_deinterlace(arr, h, np):
+    """Undo the GIF 4-pass interlace row order (shared helper)."""
+    src = np.empty_like(arr)
+    rows = [
+        r
+        for start, step in _GIF_INTERLACE_PASSES
+        for r in range(start, h, step)
+    ]
+    src[rows] = arr[range(h)]
+    return src
+
+
+def gif_decode_frames(b: bytes, max_frames: int = 256):
+    """ANIMATED GIF decode → list of fully COMPOSED uint8 (sh, sw, 3)
+    RGB canvas frames, or ``None`` for malformed input.  Implements
+    the GIF89a animation model: graphic-control extensions (disposal
+    methods 0/1 leave, 2 restore-to-background, 3 restore-to-previous;
+    transparency index), per-frame sub-rectangles composited onto the
+    logical screen, local color tables, interlace.  A static GIF
+    yields one frame.  Decoding stops at ``max_frames`` (and the 16 MP
+    screen bound applies), so a pathological million-frame file is
+    bounded work."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    bg_idx = b[11]
+    if sw == 0 or sh == 0 or sw * sh > 16_000_000:
+        return None
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    bg_rgb = (0, 0, 0)
+    if gct is not None and 3 * bg_idx + 3 <= len(gct):
+        bg_rgb = tuple(gct[3 * bg_idx:3 * bg_idx + 3])
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames = []
+    disposal, tidx = 0, None
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension
+            if pos + 2 > len(b):
+                return None
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos + 5 <= len(b) and b[pos] == 4:
+                gflags = b[pos + 1]
+                disposal = (gflags >> 2) & 7
+                tidx = b[pos + 4] if gflags & 1 else None
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            left = int.from_bytes(b[pos + 1:pos + 3], "little")
+            top = int.from_bytes(b[pos + 3:pos + 5], "little")
+            w = int.from_bytes(b[pos + 5:pos + 7], "little")
+            h = int.from_bytes(b[pos + 7:pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            if w == 0 or h == 0 or left + w > sw or top + h > sh:
+                return None
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = b[pos:pos + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                pos += 3 * n
+            if pal is None or pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(data), mcs, w * h)
+            if idx is None:
+                return None
+            arr = np.array(idx, dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:
+                arr = _gif_deinterlace(arr, h, np)
+            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            if int(arr.max()) >= len(palette):
+                return None
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + h, left:left + w]
+            rgb = palette[arr]
+            if tidx is None:
+                region[:, :] = rgb
+            else:
+                m = arr != tidx
+                region[m] = rgb[m]
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore sub-rect to background
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            disposal, tidx = 0, None
+            if len(frames) >= max_frames:
+                break
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return frames or None
+
+
+def gif_encode_anim(
+    frames: list, palette: bytes, sw: int, sh: int,
+    bg_idx: int = 0,
+) -> bytes:
+    """Animated-GIF writer — the fixture twin of ``gif_decode_frames``:
+    each entry of ``frames`` is ``(left, top, idx_array, disposal,
+    transparent_idx_or_None)`` composited as a sub-rectangle of the
+    (sw, sh) logical screen under the shared global palette."""
+    n_pal = len(palette) // 3
+    depth = max(1, (n_pal - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), bg_idx, 0])
+    out += palette + b"\x00" * (3 * ((1 << depth) - n_pal))
+    for left, top, idx, disposal, tidx in frames:
+        h, w = idx.shape[:2]
+        gflags = (disposal & 7) << 2
+        if tidx is not None:
+            gflags |= 1
+        out += bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                      tidx if tidx is not None else 0, 0])
+        out += bytes([0x2C])
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no local table, no interlace
+        mcs = max(2, depth)
+        out += bytes([mcs])
+        lzw = _lzw_encode([int(v) for v in idx.reshape(-1)], mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def gif_encode(idx, palette: bytes, interlace: bool = False) -> bytes:
@@ -3606,32 +3838,47 @@ def video_frame_hashes(
     id_col: str = "id",
     max_frames: int = 4,
 ) -> DataFrame:
-    """Row-expanding REAL video decode: AVI walk → even-stride frame
-    sample (up to ``max_frames``) → per-frame JPEG pixel decode →
-    perceptual hashes.  ``(id, frame_idx, n_frames, width, height,
-    ahash, dhash, ok)`` — ``n_frames`` is the SAMPLED count,
-    ``frame_idx`` its 0-based index; malformed containers or
-    undecodable frames yield one ``ok=false`` row per blob/frame,
-    never task failures (the image_pixel_hashes contract).  Map-side
-    Arrow batches, no shuffle."""
+    """Row-expanding REAL animation decode: MJPEG-in-AVI (RIFF walk →
+    per-frame JPEG pixel decode) and ANIMATED GIF (full composition:
+    disposal methods, transparency, sub-rectangles), even-stride
+    sampled up to ``max_frames``, each sampled frame hashed.
+    ``(id, frame_idx, n_frames, width, height, ahash, dhash, ok)`` —
+    ``n_frames`` is the SAMPLED count, ``frame_idx`` its 0-based
+    index; malformed containers or undecodable frames yield one
+    ``ok=false`` row per blob/frame, never task failures (the
+    image_pixel_hashes contract).  Map-side Arrow batches, no
+    shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                frames = None
+                pxs = None
                 if payload is not None:
-                    try:
-                        frames = avi_mjpeg_frames(bytes(payload))
-                    except NotImplementedError:
-                        frames = None  # honest codec tier → flagged row
-                if not frames:
+                    b = bytes(payload)
+                    if b[:4] == b"RIFF":
+                        try:
+                            frames = avi_mjpeg_frames(b)
+                        except NotImplementedError:
+                            frames = None  # honest codec tier
+                        if frames:
+                            n = min(max_frames, len(frames))
+                            step = max(1, len(frames) // n)
+                            pxs = [
+                                jpeg_decode_pixels(frames[k * step])
+                                for k in range(n)
+                            ]
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = gif_decode_frames(b)
+                        if frames:
+                            n = min(max_frames, len(frames))
+                            step = max(1, len(frames) // n)
+                            pxs = [frames[k * step] for k in range(n)]
+                if not pxs:
                     rows.append((i, None, None, 0, 0, None, None, False))
                     continue
-                n = min(max_frames, len(frames))
-                step = max(1, len(frames) // n)
-                for k in range(n):
-                    px = jpeg_decode_pixels(frames[k * step])
+                n = len(pxs)
+                for k, px in enumerate(pxs):
                     if px is None:
                         rows.append((i, k, n, 0, 0, None, None, False))
                         continue

@@ -7355,6 +7355,77 @@ QUERIES["audio_codec_feature_check"] = audio_codec_feature_check
 ORACLES["audio_codec_feature_check"] = _wav_codec_pinned_oracle()
 
 
+def _gif_anim_pinned_oracle() -> str:
+    rows = {}
+    nf_case = []
+    for cls in range(6):
+        did = next(d for d in (cls, cls + 6, cls + 12) if d % 17)
+        frames = multimodal.gif_decode_frames(
+            multimodal.build_gif_anim_blob(did)
+        )
+        nf_case.append("WHEN %d THEN %d" % (cls, len(frames)))
+        for k, px in enumerate(frames):
+            rows[(cls, k)] = (
+                format(multimodal.image_ahash(px), "016x"),
+                format(multimodal.image_dhash(px), "016x"),
+            )
+    ah = " ".join(
+        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[0])
+        for (c, k), v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[1])
+        for (c, k), v in rows.items()
+    )
+    nfc = " ".join(nf_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, CASE cls {nfc} END AS nf
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, nf,
+                 CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
+                   AS frame_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, frame_idx,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               CASE {ah} END AS ahash,
+               CASE {dh} END AS dhash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL,
+               CAST(0 AS INTEGER), CAST(0 AS INTEGER), NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def gif_anim_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode (operators/multimodal.py
+    ``gif_decode_frames``: full GIF89a composition — disposal methods
+    restore-to-background / restore-to-previous, transparency holes,
+    sub-rectangle frames, the LZW core shared with the static path)
+    through the generalized animation-hash operator
+    (``video_frame_hashes``, which now dispatches AVI and GIF).  The
+    oracle pins per-(class, frame) hash constants of the COMPOSED
+    canvases — wrong disposal or transparency handling shifts pixels
+    outside the frame's own sub-rect and breaks the hash.  %%17
+    truncates (ok=false)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.video_frame_hashes(
+        multimodal.attach_gif_anim_blob(docs)
+    )
+
+
+QUERIES["gif_anim_frame_hash_check"] = gif_anim_frame_hash_check
+ORACLES["gif_anim_frame_hash_check"] = _gif_anim_pinned_oracle()
+
+
 def _charset_pinned_oracle() -> str:
     """Pinned-constant oracle for the charset-aware decode tier: the
     expected (encoding, source, text-after-wet_extract) per fixture

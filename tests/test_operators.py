@@ -5834,3 +5834,61 @@ def test_wav_codec_tier_g711_and_float(spark):
     # companders — features must differ (the tables are different)
     assert got[6]["abs_sum"] != got[7]["abs_sum"]
     assert not got[13]["ok"] and not got[17]["ok"]
+
+
+def test_gif_animation_decode(spark):
+    """r13: animated GIF — full composition semantics (disposal
+    restore-to-background and restore-to-previous, transparency
+    holes, sub-rectangles), handwritten frame-by-frame expectations;
+    static GIFs yield exactly the single-frame decoder's pixels;
+    sample_frames and video_frame_hashes dispatch GIF; truncation and
+    mutation fuzz never raise."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    f0 = np.full((4, 6), 1, np.uint8)
+    f1 = np.full((2, 2), 2, np.uint8)
+    f2 = np.array([[3, 0], [0, 3]], np.uint8)
+    f3 = np.full((1, 1), 2, np.uint8)
+    blob = mm.gif_encode_anim(
+        [(0, 0, f0, 1, None), (1, 1, f1, 2, None),
+         (2, 0, f2, 3, 0), (0, 0, f3, 0, None)], pal, 6, 4)
+    fr = mm.gif_decode_frames(blob)
+    assert len(fr) == 4
+    assert (fr[0] == [255, 0, 0]).all()                   # full red
+    assert (fr[1][1, 1] == [0, 255, 0]).all()             # green patch
+    assert (fr[2][1, 1] == [0, 0, 0]).all()               # bg-restored
+    assert (fr[2][0, 2] == [0, 0, 255]).all()             # blue pixel
+    assert (fr[2][0, 3] == [255, 0, 0]).all()             # transparent
+    assert (fr[3][0, 2] == [255, 0, 0]).all()             # prev-restored
+    assert (fr[3][0, 0] == [0, 255, 0]).all()
+
+    # static GIF: one frame, identical to the first-frame decoder
+    st = mm.build_gif_blob(1)
+    sf = mm.gif_decode_frames(st)
+    assert len(sf) == 1 and np.array_equal(sf[0], mm.gif_decode_pixels(st))
+
+    for cut in range(0, len(blob), 2):
+        mm.gif_decode_frames(blob[:cut])
+    for i in range(0, len(blob), 2):
+        mm.gif_decode_frames(blob[:i] + bytes([blob[i] ^ 0xA5])
+                             + blob[i + 1:])
+
+    # operator dispatch: hashes + sampled PNG frame bytes
+    df = spark.createDataFrame([(2,), (17,)], "doc_id long")
+    got = {(r["id"], r["frame_idx"]): r
+           for r in mm.video_frame_hashes(
+               mm.attach_gif_anim_blob(df)).collect()}
+    nf = len(mm.gif_decode_frames(mm.build_gif_anim_blob(2)))
+    assert got[(2, 0)]["ok"] and got[(2, 0)]["n_frames"] == nf
+    assert got[(17, None)]["ok"] is False
+    sampled = mm.sample_frames(
+        mm.attach_gif_anim_blob(df), fake=False).collect()
+    want = mm.gif_decode_frames(mm.build_gif_anim_blob(2))
+    by_k = {r["frame_idx"]: bytes(r["frame_bytes"]) for r in sampled
+            if r["id"] == 2}
+    assert len(by_k) == min(4, nf)
+    # frame bytes are lossless PNG re-encodes of the composed canvas
+    assert np.array_equal(mm.png_decode_pixels(by_k[0]), want[0])
