@@ -177,6 +177,7 @@ HEADLINE = [
     "bmp_rle_pixel_hash_check",
     "audio_codec_feature_check",
     "gif_anim_frame_hash_check",
+    "multimodal_header_meta_v2",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

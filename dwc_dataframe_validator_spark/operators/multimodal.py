@@ -281,14 +281,99 @@ def _parse_wav(b: bytes):
     return _BAD
 
 
+def _parse_webp(b: bytes):
+    # RIFF/WEBP: first chunk is VP8 (lossy — 3-byte frame tag, the
+    # 9D 01 2A sync code, 14-bit LE dims), VP8L (lossless — 0x2F
+    # signature byte, 14-bit dims + alpha flag packed in a u32), or
+    # VP8X (extended — flag byte, 24-bit LE canvas dims minus one);
+    # the smallest valid form (VP8L) is 25 bytes, per-branch checks
+    # cover the longer ones
+    if len(b) < 25:
+        return _BAD
+    fourcc = b[12:16]
+    if fourcc == b"VP8 ":
+        d = b[20:]
+        if len(d) < 10 or d[3:6] != b"\x9d\x01\x2a":
+            return _BAD
+        w = struct.unpack("<H", d[6:8])[0] & 0x3FFF
+        h = struct.unpack("<H", d[8:10])[0] & 0x3FFF
+        ch = 3
+    elif fourcc == b"VP8L":
+        d = b[20:]
+        if len(d) < 5 or d[0] != 0x2F:
+            return _BAD
+        bits = struct.unpack("<I", d[1:5])[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        ch = 4 if (bits >> 28) & 1 else 3
+    elif fourcc == b"VP8X":
+        d = b[20:]
+        if len(d) < 10:
+            return _BAD
+        w = int.from_bytes(d[4:7], "little") + 1
+        h = int.from_bytes(d[7:10], "little") + 1
+        ch = 4 if d[0] & 0x10 else 3
+    else:
+        return _BAD
+    if w == 0 or h == 0:
+        return _BAD
+    return "image/webp", w, h, ch, None, True
+
+
+def _parse_flac(b: bytes):
+    # fLaC + STREAMINFO (mandatory first metadata block): sample rate
+    # is 20 bits at byte 18, channels-1 the next 3 bits
+    if len(b) < 26 or (b[4] & 0x7F) != 0:
+        return _BAD
+    rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+    channels = ((b[20] >> 1) & 0x7) + 1
+    if rate == 0:
+        return _BAD
+    return "audio/flac", None, None, channels, rate, True
+
+
+def _parse_mp4(b: bytes):
+    # ISO-BMFF box walk: moov → trak → tkhd carries the track's
+    # presentation dims as 16.16 fixed point (offset 76 for version 0,
+    # 88 for version 1 64-bit times).  First nonzero-dims track wins.
+    def walk(lo, hi, depth):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i:i + 4])[0]
+            typ = b[i + 4:i + 8]
+            if size < 8 or i + size > hi:
+                return None
+            if typ in (b"moov", b"trak") and depth < 4:
+                found = walk(i + 8, i + size, depth + 1)
+                if found:
+                    return found
+            elif typ == b"tkhd":
+                off = i + 8
+                ver = b[off]
+                base = off + (88 if ver == 1 else 76)
+                if base + 8 <= i + size:
+                    w = struct.unpack(">I", b[base:base + 4])[0] >> 16
+                    h = struct.unpack(">I", b[base + 4:base + 8])[0] >> 16
+                    if w and h:
+                        return w, h
+            i += size
+        return None
+
+    dims = walk(0, len(b), 0)
+    if dims is None:
+        return _BAD
+    return "video/mp4", dims[0], dims[1], 3, None, True
+
+
 def parse_media_header(payload: bytes | None):
     """(mime, width, height, channels, sample_rate, ok) from the first
     bytes of a media blob — pure byte parsing, no codec library.
     Formats: PNG (IHDR), JPEG (SOFn scan), GIF (logical screen), BMP
-    (BITMAPINFOHEADER), WAV (RIFF fmt chunk).  Any unrecognized,
-    truncated or malformed payload yields all-null fields with
-    ``ok=False`` — never an exception, so one corrupt blob cannot fail
-    a 100 TB scan task."""
+    (BITMAPINFOHEADER), WAV (RIFF fmt chunk), WebP (VP8/VP8L/VP8X
+    chunk dims), FLAC (STREAMINFO), MP4/ISO-BMFF (moov→trak→tkhd
+    dims).  Any unrecognized, truncated or malformed payload yields
+    all-null fields with ``ok=False`` — never an exception, so one
+    corrupt blob cannot fail a 100 TB scan task."""
     if payload is None or len(payload) < 12:
         return _BAD
     try:
@@ -300,8 +385,14 @@ def parse_media_header(payload: bytes | None):
             return _parse_gif(payload)
         if payload[:2] == b"BM":
             return _parse_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return _parse_webp(payload)
         if payload[:4] == b"RIFF":
             return _parse_wav(payload)
+        if payload[:4] == b"fLaC":
+            return _parse_flac(payload)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            return _parse_mp4(payload)
     except Exception:  # noqa: BLE001 — malformed blob → ok=False row
         return _BAD
     return _BAD
@@ -409,6 +500,76 @@ def build_media_blob(doc_id: int) -> bytes | None:
     if doc_id % 17 == 0:
         return blob[:6]  # truncated header — the malformed case
     return blob
+
+
+def build_media_blob_v2(doc_id: int) -> bytes:
+    """REAL header bytes for the round-13 container formats — WebP
+    lossy (VP8), WebP lossless (VP8L), WebP extended (VP8X), FLAC
+    (STREAMINFO) and MP4 (ftyp + moov/trak/tkhd) — dims/rate pure
+    arithmetic in ``doc_id`` exactly like ``build_media_blob``:
+    format ``doc_id %% 5``, w = 16 + id %% 300, h = 16 + (id // 7)
+    %% 300, alpha = id %% 2, rate = 8000·(1 + id %% 4), channels =
+    1 + id %% 2.  ``%% 17`` truncates to 6 bytes (ok=false)."""
+    fmt = doc_id % 5
+    w = 16 + doc_id % 300
+    h = 16 + (doc_id // 7) % 300
+    alpha = doc_id % 2
+    if fmt == 0:  # WebP VP8 (lossy)
+        d = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(d)) + d
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    elif fmt == 1:  # WebP VP8L (lossless; alpha bit in the u32)
+        bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        d = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(d)) + d
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    elif fmt == 2:  # WebP VP8X (extended; alpha flag 0x10)
+        d = bytes([0x10 if alpha else 0, 0, 0, 0]) + (
+            (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(d)) + d
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    elif fmt == 3:  # FLAC STREAMINFO
+        rate = 8000 * (1 + doc_id % 4)
+        channels = 1 + doc_id % 2
+        packed = bytes([
+            (rate >> 12) & 0xFF, (rate >> 4) & 0xFF,
+            ((rate & 0xF) << 4) | ((channels - 1) << 1), 0,
+        ]) + b"\x00" * 4
+        info = struct.pack(">HH", 16, 16) + b"\x00" * 6 + packed
+        info += b"\x00" * (34 - len(info))
+        blob = b"fLaC" + bytes([0]) + len(info).to_bytes(3, "big") + info
+    else:  # MP4: ftyp + moov(trak(tkhd v0 with 16.16 dims))
+        tkhd_body = bytes([0, 0, 0, 7]) + b"\x00" * 72 + struct.pack(
+            ">II", w << 16, h << 16
+        )
+        tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+        trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+        moov = struct.pack(">I", 8 + len(trak)) + b"moov" + trak
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+        blob = ftyp + moov
+    if doc_id % 17 == 0:
+        return blob[:6]
+    return blob
+
+
+def attach_media_blob_v2(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the round-13 container-format header blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_media_blob_v2(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def attach_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -7426,6 +7426,47 @@ QUERIES["gif_anim_frame_hash_check"] = gif_anim_frame_hash_check
 ORACLES["gif_anim_frame_hash_check"] = _gif_anim_pinned_oracle()
 
 
+def multimodal_header_meta_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 container formats through the REAL codec-free header
+    parser (operators/multimodal.py ``parse_media_header``): WebP
+    lossy/lossless/extended (VP8 sync-code dims, VP8L packed u32 with
+    the alpha bit, VP8X 24-bit canvas dims), FLAC STREAMINFO
+    (20-bit sample rate + 3-bit channels), and MP4 ISO-BMFF
+    (moov→trak→tkhd 16.16 fixed-point dims) — the formats a real
+    crawl's media mass actually arrives in.  Planted dims/rates are
+    pure doc_id arithmetic (the ``multimodal_header_meta`` pattern),
+    so the oracle states the expected parse while Spark must
+    genuinely parse the bytes.  Map-side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media_headers(
+        multimodal.attach_media_blob_v2(docs, id_col="doc_id")
+    )
+
+
+QUERIES["multimodal_header_meta_v2"] = multimodal_header_meta_v2
+
+ORACLES["multimodal_header_meta_v2"] = """
+    SELECT doc_id AS id,
+      CASE WHEN doc_id % 17 = 0 THEN NULL
+           WHEN doc_id % 5 IN (0, 1, 2) THEN 'image/webp'
+           WHEN doc_id % 5 = 3 THEN 'audio/flac'
+           ELSE 'video/mp4' END AS mime,
+      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 3 THEN NULL
+           ELSE CAST(16 + doc_id % 300 AS INT) END AS width,
+      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 3 THEN NULL
+           ELSE CAST(16 + (doc_id // 7) % 300 AS INT) END AS height,
+      CASE WHEN doc_id % 17 = 0 THEN NULL
+           WHEN doc_id % 5 IN (1, 2) AND doc_id % 2 = 1 THEN 4
+           WHEN doc_id % 5 IN (0, 1, 2) THEN 3
+           WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 2 AS INT)
+           ELSE 3 END AS channels,
+      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 3 THEN NULL
+           ELSE CAST(8000 * (1 + doc_id % 4) AS INT) END AS sample_rate,
+      doc_id % 17 <> 0 AS ok
+    FROM documents
+"""
+
+
 def _charset_pinned_oracle() -> str:
     """Pinned-constant oracle for the charset-aware decode tier: the
     expected (encoding, source, text-after-wet_extract) per fixture

@@ -5892,3 +5892,51 @@ def test_gif_animation_decode(spark):
     assert len(by_k) == min(4, nf)
     # frame bytes are lossless PNG re-encodes of the composed canvas
     assert np.array_equal(mm.png_decode_pixels(by_k[0]), want[0])
+
+
+def test_media_header_v2_formats():
+    """r13: WebP (VP8/VP8L/VP8X), FLAC STREAMINFO and MP4 tkhd header
+    parsing — handwritten byte constructions independent of the
+    fixture builder, plus truncation/mutation fuzz."""
+    import struct as _st
+
+    from dwc_dataframe_validator_spark.operators.multimodal import (
+        build_media_blob_v2,
+        parse_media_header,
+    )
+
+    # VP8 lossy: sync code + 14-bit LE dims
+    d = b"\x00\x00\x00\x9d\x01\x2a" + _st.pack("<HH", 320, 240)
+    webp = b"RIFF" + _st.pack("<I", 12 + len(d)) + b"WEBP" + b"VP8 " + _st.pack("<I", len(d)) + d
+    assert parse_media_header(webp) == ("image/webp", 320, 240, 3, None, True)
+    # VP8L lossless with alpha
+    bits = (639) | (479 << 14) | (1 << 28)
+    d = b"\x2f" + _st.pack("<I", bits)
+    webpl = b"RIFF" + _st.pack("<I", 12 + len(d)) + b"WEBP" + b"VP8L" + _st.pack("<I", len(d)) + d
+    assert parse_media_header(webpl) == ("image/webp", 640, 480, 4, None, True)
+    # VP8X extended canvas
+    d = bytes([0, 0, 0, 0]) + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    webpx = b"RIFF" + _st.pack("<I", 12 + len(d)) + b"WEBP" + b"VP8X" + _st.pack("<I", len(d)) + d
+    assert parse_media_header(webpx) == ("image/webp", 100, 50, 3, None, True)
+    # FLAC: 44100 Hz stereo — rate 20 bits from byte 18, channels-1
+    packed = bytes([(44100 >> 12) & 0xFF, (44100 >> 4) & 0xFF,
+                    ((44100 & 0xF) << 4) | (1 << 1), 0]) + b"\x00" * 4
+    info = _st.pack(">HH", 16, 16) + b"\x00" * 6 + packed
+    info += b"\x00" * (34 - len(info))
+    flac = b"fLaC" + bytes([0]) + len(info).to_bytes(3, "big") + info
+    assert parse_media_header(flac) == ("audio/flac", None, None, 2, 44100, True)
+    # MP4: tkhd version 0 with 1920x1080 16.16 dims
+    tkhd_body = bytes([0, 0, 0, 7]) + b"\x00" * 72 + _st.pack(">II", 1920 << 16, 1080 << 16)
+    tkhd = _st.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+    trak = _st.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = _st.pack(">I", 8 + len(trak)) + b"moov" + trak
+    ftyp = _st.pack(">I", 16) + b"ftyp" + b"isomiso2"
+    assert parse_media_header(ftyp + moov) == ("video/mp4", 1920, 1080, 3, None, True)
+
+    # fuzz over every v2 fixture format
+    for base in (5, 6, 7, 8, 9):
+        blob = build_media_blob_v2(base)
+        for cut in range(len(blob)):
+            parse_media_header(blob[:cut])
+        for j in range(len(blob)):
+            parse_media_header(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
