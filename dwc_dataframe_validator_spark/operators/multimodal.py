@@ -1229,9 +1229,19 @@ def _hash_cluster(
     families never cross-match) → Catalyst Hamming ≤ ``threshold``
     verify on ``hash_col`` → scale-adaptive connected components.
     Input: (id, <hash_col>[, <probe_col>]) with 16-hex-char hashes;
-    output: (id, cluster = global min id of the merged class)."""
+    output: (id, cluster = global min id of the merged class).
+
+    The input lineage is materialized ONCE (eager localCheckpoint, the
+    minhash_dedup_keepers discipline): the hashes feed the rep
+    aggregate, the pair generation, the components loop AND the final
+    join-back — without truncation Catalyst re-evaluates the upstream
+    pixel/sample DECODE once per consumer, which round-13 bench
+    measured as ~4× the decode cost on the video tiers (the hash rows
+    themselves are a few dozen bytes per input, so the checkpoint is
+    tiny next to the decode it avoids re-running)."""
     from . import graph
 
+    hashes = hashes.localCheckpoint(eager=True)
     agg = [F.min("id").alias("rep")]
     if probe_col:
         # deterministic probe representative (two inputs can share
@@ -4124,12 +4134,18 @@ def video_near_dup_aligned(
     fh = video_frame_hashes(df, content_col, id_col, max_frames).filter(
         "ok"
     )
-    vid_hash = fh.select("id", "dhash").distinct()
+    # materialize the decode ONCE (same discipline as _hash_cluster):
+    # vid_hash feeds the signature aggregate, the rep-hash join and
+    # the final join-back — without truncation every consumer re-runs
+    # the per-frame JPEG decode
+    vid_hash = fh.select("id", "dhash").distinct().localCheckpoint(
+        eager=True
+    )
     sigs = vid_hash.groupBy("id").agg(
         F.md5(
             F.concat_ws(",", F.array_sort(F.collect_set("dhash")))
         ).alias("sig")
-    )
+    ).localCheckpoint(eager=True)
     reps = sigs.groupBy("sig").agg(F.min("id").alias("rep"))
     rep_hashes = (
         vid_hash.join(sigs, "id")
