@@ -178,6 +178,7 @@ HEADLINE = [
     "audio_codec_feature_check",
     "gif_anim_frame_hash_check",
     "multimodal_header_meta_v2",
+    "image_ingest_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -7862,6 +7862,59 @@ def _frame_sample_pinned_oracle() -> str:
 ORACLES["multimodal_frame_sample"] = _frame_sample_pinned_oracle()
 
 
+def image_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch IMAGE dedup's per-slice body (streaming/ingest.py
+    ``image_survivors`` — the exact function the foreachBatch sink
+    runs), driven as two id-ordered slices with the second screened
+    against the first's dHashes, then folded: real pixel decode,
+    batch-internal exact collapse, cross-slice anti-join.  Because
+    the slice split is an id prefix, first-batch-wins equals the
+    global min-id keeper per distinct hash — the 24 PNG fixture
+    classes have 24 distinct dHashes (checked at oracle build), so
+    the oracle states survivors arithmetically: min ok doc_id per
+    class.  The near-dup tier deliberately runs at finalization
+    (see image_survivors), mirroring the crawl stack's cap rule."""
+    from .streaming.ingest import image_survivors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.attach_png_blob(docs)
+    empty = spark.createDataFrame([], "fingerprint string")
+    s1 = image_survivors(
+        blobs.filter(F.col("id") < 250), empty
+    ).localCheckpoint(eager=True)
+    seen = s1.select(F.col("dhash").alias("fingerprint"))
+    s2 = image_survivors(blobs.filter(F.col("id") >= 250), seen)
+    return s1.unionByName(s2).select(
+        F.col("id").alias("doc_id"), "dhash"
+    )
+
+
+def _image_ingest_oracle() -> str:
+    rows = {}
+    for cls in range(24):
+        px, pal = multimodal._png_fixture_pixels(cls)
+        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
+        rows[cls] = format(multimodal.image_dhash(dec), "016x")
+    assert len(set(rows.values())) == 24, "fixture classes must not collide"
+    dh = " ".join(
+        "WHEN cls = %d THEN '%s'" % (c, v) for c, v in rows.items()
+    )
+    return f"""
+        WITH ok_docs AS (
+          SELECT doc_id, CAST(doc_id % 24 AS INTEGER) AS cls
+          FROM documents
+          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               (CASE {dh} END) AS dhash
+        FROM ok_docs
+        GROUP BY cls
+    """
+
+
+QUERIES["image_ingest_check"] = image_ingest_check
+ORACLES["image_ingest_check"] = _image_ingest_oracle()
+
+
 # Driver-verified window — an EXPLICIT name list (round 13, replacing
 # the round-12 positional-insert hack per ADVICE): the driver's
 # correctness gate runs ``list(QUERIES)[:50]``, so the window is

@@ -39,7 +39,7 @@ no-op.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import incremental, sketch
@@ -474,6 +474,165 @@ def crawl_batch(
         new_keys, url_index_path, mode="append"
     )
     _touch(spark, marker)
+
+
+def image_survivors(
+    batch_df: DataFrame,
+    store: DataFrame,
+    bloom_blob: bytes | None = None,
+    k: int | None = None,
+    m: int | None = None,
+    content_col: str = "content",
+    id_col: str = "id",
+    prune_store_partitions: bool = False,
+) -> DataFrame:
+    """Survivors of one IMAGE slice against a dHash ``store`` (rows
+    with a ``fingerprint`` column of 16-hex dHashes): ``(id, width,
+    height, channels, ahash, dhash)`` — the multimodal sibling of
+    ``crawl_survivors``, one shared code path between the streaming
+    sink and the registry's oracle-checked ``image_ingest_check``.
+
+    Chain: REAL pixel decode → perceptual hashes (undecodable blobs
+    dropped — they have no pixels to dedup on; route them through
+    byte-hash dedup) → batch-internal EXACT collapse (min id per
+    dhash — re-hosted copies, the bulk of crawl image mass, collapse
+    here) → bloom prescreen (when ``bloom_blob`` given; the dHash
+    already has the 16 hex chars Kirsch-Mitzenmacher double hashing
+    slices) → anti-join against the store (partition-pruned on
+    ``fp_bucket`` when persisted+``prune_store_partitions``).
+
+    Cross-batch semantics are EXACT-hash by design: banded near-dup
+    clustering is order-dependent across batches (which member of an
+    LSH component arrives first decides the keeper, and a later batch
+    can merge two previously-separate components — a retraction no
+    append-only sink can express), so the near-dup tier runs at
+    FINALIZATION over the accumulated survivors
+    (``image_phash_dedup``), exactly like the domain cap in the crawl
+    stack."""
+    from ..operators import multimodal
+
+    hashes = multimodal.image_pixel_hashes(
+        batch_df, content_col, id_col
+    ).filter("ok")
+    w = Window.partitionBy("dhash").orderBy("id")
+    cand = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if bloom_blob is None:
+        candidates, negatives = cand, None
+    else:
+        # the decode feeds both bloom branches — materialize once
+        # (the _hash_cluster / incremental_dedup discipline)
+        cand = cand.localCheckpoint(eager=True)
+        hit = sketch.bloom_test_hex_bytes(F.col("dhash"), bloom_blob, k, m)
+        candidates, negatives = cand.filter(hit), cand.filter(~hit)
+    store_keys = store.select(F.col("fingerprint").alias("dhash"))
+    if prune_store_partitions and bloom_blob is not None:
+        buckets = [
+            r["b"]
+            for r in candidates.select(
+                incremental._fp_bucket(F.col("dhash")).alias("b")
+            )
+            .distinct()
+            .collect()  # bounded: ≤ 256 values
+        ]
+        store_keys = store.filter(
+            F.col("fp_bucket").isin(buckets)
+        ).select(F.col("fingerprint").alias("dhash"))
+    fresh = candidates.join(store_keys, "dhash", "left_anti")
+    out = fresh if negatives is None else negatives.unionByName(fresh)
+    return out.select(
+        "id", "width", "height", "channels", "ahash", "dhash"
+    )
+
+
+def image_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> None:
+    """One replay-safe step of cross-batch IMAGE dedup — the
+    ``foreachBatch`` body behind ``image_ingest_sink``, same marker
+    protocol as ``crawl_batch``/``ingest_batch``: skip if committed,
+    recompute-before-commit via ``image_survivors`` (deterministic
+    map-side decode + exact screens, so replay is exact), survivors
+    to ``{out}/batch_id=N``, new dHashes appended to the persisted
+    index.  Re-appending on replay cannot change a future screen
+    (set semantics)."""
+    spark = batch_df.sparkSession
+    marker = f"{out_path}/_commits/{batch_id}"
+    if _exists(spark, marker):
+        return
+    if batch_df.isEmpty():
+        _touch(spark, marker)
+        return
+    batch_dir = f"{out_path}/batch_id={batch_id}"
+    if _exists(spark, f"{batch_dir}/_SUCCESS"):
+        survivors = spark.read.parquet(batch_dir)
+    else:
+        store, bits, meta = incremental.load_fingerprint_index(
+            spark, index_path
+        )
+        blob = sketch.bloom_pack_bytes(bits, meta["m"])
+        survivors = image_survivors(
+            batch_df,
+            store,
+            bloom_blob=blob,
+            k=meta["k"],
+            m=meta["m"],
+            content_col=content_col,
+            id_col=id_col,
+            prune_store_partitions=True,
+        ).localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(batch_dir)
+    new_keys = (
+        survivors.select(F.col("dhash").alias("fingerprint"))
+        .distinct()
+        .withColumn(
+            "fp_bucket", incremental._fp_bucket(F.col("fingerprint"))
+        )
+    )
+    incremental.save_fingerprint_index(new_keys, index_path, mode="append")
+    _touch(spark, marker)
+
+
+def image_ingest_sink(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    content_col: str = "content",
+    id_col: str = "id",
+    queryName: str = "image_ingest",
+    checkpoint_path: str | None = None,
+    trigger: dict | None = None,
+):
+    """Attach cross-batch image dedup to a stream of binary image
+    blobs and return the started StreamingQuery — the multimodal
+    sibling of ``crawl_ingest_sink``: real pixel decode, exact-dHash
+    collapse within and across batches against the persisted dHash
+    index at ``index_path`` (seed with ``save_fingerprint_index``
+    over an empty frame).  Survivors land under
+    ``{out_path}/batch_id=N``; run ``image_phash_dedup`` over the
+    accumulated survivors at finalization for the near-dup tier (see
+    ``image_survivors`` for why it cannot live in the loop)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        image_ingest_batch(
+            batch_df, batch_id, index_path, out_path,
+            content_col=content_col, id_col=id_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(body).queryName(queryName)
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()
 
 
 def crawl_ingest_sink(

@@ -1379,3 +1379,84 @@ def test_streaming_crawl_stack_stream_equals_batch(spark, tmp_path):
         for r in crawl_domain_dashboard(spark, st4).collect()
     }
     assert dash2 == dash
+
+
+def test_streaming_image_dedup_stream_equals_batch(spark, tmp_path):
+    """r13: the streaming face of cross-batch IMAGE dedup
+    (streaming/ingest.py ``image_ingest_sink``) — two streamed batches
+    of binary image blobs (real pixel decode → exact-dHash collapse →
+    persisted-index screen), accumulated survivors equal the one-shot
+    ``image_survivors`` over the concatenated input.  Exercises an
+    IN-batch exact duplicate, a CROSS-batch duplicate (dropped only
+    because the index remembers batch 0), an undecodable blob
+    (dropped: no pixels to dedup on), and the marker replay
+    protocol."""
+    import os
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+    from dwc_dataframe_validator_spark.operators.incremental import (
+        save_fingerprint_index,
+    )
+    from dwc_dataframe_validator_spark.streaming.ingest import (
+        image_ingest_batch,
+        image_ingest_sink,
+        image_survivors,
+    )
+
+    # ids attach WHICH blob: class = blob_id % 24; 25 -> class 1 (an
+    # in-batch dup of 1), 49 -> class 1 again (cross-batch dup),
+    # 50 -> class 2 (cross-batch dup of 3), 17 -> truncated
+    rows = [
+        (1, mm.build_png_blob(1)),
+        (2, mm.build_png_blob(25)),   # in-batch exact dup of id 1
+        (3, mm.build_png_blob(2)),
+        (4, mm.build_png_blob(17)),   # truncated -> undecodable
+        (5, mm.build_png_blob(49)),   # CROSS-batch dup of class 1
+        (6, mm.build_png_blob(3)),
+        (7, mm.build_png_blob(50)),   # CROSS-batch dup of class 2
+    ]
+    schema = "id long, content binary"
+    idx, out, src, ck = (
+        str(tmp_path / "iidx"), str(tmp_path / "iout"),
+        str(tmp_path / "isrc"), str(tmp_path / "ick"),
+    )
+    save_fingerprint_index(
+        spark.createDataFrame([], "fingerprint string, fp_bucket int"), idx
+    )
+    b1 = spark.createDataFrame(rows[:4], schema)
+    b2 = spark.createDataFrame(rows[4:], schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = image_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx, out,
+        checkpoint_path=ck,
+    )
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = image_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), idx, out,
+        checkpoint_path=ck,
+    )
+    q2.awaitTermination(120)
+
+    s0 = {r["id"] for r in spark.read.parquet(f"{out}/batch_id=0").collect()}
+    s1 = {r["id"] for r in spark.read.parquet(f"{out}/batch_id=1").collect()}
+    assert s0 == {1, 3}, s0   # 2 collapsed in-batch; 4 undecodable
+    assert s1 == {6}, s1      # 5 and 7 screened by the index
+
+    # stream == batch: one-shot survivors over the concatenated input
+    both = spark.createDataFrame(rows, schema)
+    empty = spark.createDataFrame([], "fingerprint string")
+    truth = {r["id"] for r in image_survivors(both, empty).collect()}
+    acc = {r["id"]
+           for r in spark.read.parquet(f"{out}/batch_id=*").collect()}
+    assert acc == truth == {1, 3, 6}
+
+    # replay safety: committed marker -> no-op; marker removed after
+    # the survivors commit -> directory is the WAL, not recomputed
+    image_ingest_batch(b2, 1, idx, out)
+    os.remove(f"{out}/_commits/1")
+    image_ingest_batch(b2, 1, idx, out)
+    assert {
+        r["id"] for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    } == {6}
+    assert os.path.exists(f"{out}/_commits/1")
