@@ -719,3 +719,186 @@ def test_dsir_scores_match_bruteforce(spark, tgt, raw):
         n = len(toks)
         want = (n, bits, bits / n if n else None)
         assert got[i] == want, (i, toks, got[i], want)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    rgb=st.booleans(),
+    sub=st.booleans(),
+    prog=st.booleans(),
+    rst=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_wrapper_modes_decode_identically(h, w, rgb, sub, prog, rst, seed):
+    """r13 property: every JPEG wrapper mode carries the SAME
+    quantized coefficients, so for ANY image the progressive /
+    restart-interval / combined encodings must decode pixel-identical
+    to the plain baseline encoding — over random sizes (ragged MCU
+    edges), gray/RGB, 4:4:4/4:2:0, and restart intervals 1-3."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    ch = 3 if rgb else 1
+    px = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+    sub = sub and rgb
+    base = mm.jpeg_decode_pixels(mm.jpeg_encode(px, subsample=sub))
+    assert base is not None and base.shape == px.shape
+    variant = mm.jpeg_encode(
+        px, subsample=sub, progressive=prog,
+        restart_interval=rst,
+    )
+    dec = mm.jpeg_decode_pixels(variant)
+    assert dec is not None
+    assert np.array_equal(dec, base), (h, w, rgb, sub, prog, rst)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    body=st.binary(min_size=0, max_size=4000),
+    chunk_size=st.integers(min_value=1, max_value=300),
+    enc=st.sampled_from(["identity", "gzip", "deflate", "raw-deflate"]),
+    chunked=st.booleans(),
+)
+def test_wire_decode_inverts_random_bodies(body, chunk_size, enc, chunked):
+    """r13 property: for ANY byte string, chunked framing and/or
+    gzip / zlib-deflate / raw-deflate content encoding must invert
+    EXACTLY through decode_http_body (wire layering order: chunked
+    wraps the compressed bytes), with body_decoded=True and the
+    original bytes back."""
+    import gzip as _gz
+    import zlib as _zl
+
+    from dwc_dataframe_validator_spark.sources.warc import decode_http_body
+
+    wire = body
+    headers = ["Content-Type: application/octet-stream"]
+    if enc == "gzip":
+        wire = _gz.compress(wire)
+        headers.append("Content-Encoding: gzip")
+    elif enc == "deflate":
+        wire = _zl.compress(wire)
+        headers.append("Content-Encoding: deflate")
+    elif enc == "raw-deflate":
+        co = _zl.compressobj(wbits=-15)
+        wire = co.compress(wire) + co.flush()
+        headers.append("Content-Encoding: deflate")
+    if chunked:
+        out = bytearray()
+        for i in range(0, len(wire), chunk_size):
+            c = wire[i:i + chunk_size]
+            out += format(len(c), "x").encode() + b"\r\n" + c + b"\r\n"
+        wire = bytes(out) + b"0\r\n\r\n"
+        headers.append("Transfer-Encoding: chunked")
+    payload = ("HTTP/1.1 200 OK\r\n" + "\r\n".join(headers)
+               + "\r\n\r\n").encode() + wire
+    head, got, ce, ch, decoded = decode_http_body(payload)
+    assert decoded and got == body
+    assert ch == chunked
+    assert (ce == "deflate") == (enc in ("deflate", "raw-deflate"))
+    assert (ce == "gzip") == (enc == "gzip")
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    kind=st.sampled_from(["gray", "rgb", "rgba", "ga"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_adam7_equals_sequential(h, w, kind, seed):
+    """r13 property: PNG is lossless, so for ANY image the Adam7
+    interlaced encoding must decode bit-identical to the sequential
+    one — random sizes hit every empty/ragged pass combination."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    ch = {"gray": 1, "rgb": 3, "rgba": 4, "ga": 2}[kind]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+    seq = mm.png_decode_pixels(mm.png_encode(px))
+    il = mm.png_decode_pixels(mm.png_encode(px, interlace=True))
+    assert il is not None and np.array_equal(seq, il)
+    assert np.array_equal(seq, px)  # and lossless vs the source
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    sw=st.integers(min_value=2, max_value=12),
+    sh=st.integers(min_value=2, max_value=12),
+    n_frames=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_animation_matches_reference_compositor(sw, sh, n_frames, seed):
+    """r13 property: gif_encode_anim → gif_decode_frames must equal an
+    INDEPENDENT scalar reference compositor implemented here straight
+    from the GIF89a spec (disposal 0/1 leave, 2 restore-to-background,
+    3 restore-to-previous; transparency holes; sub-rectangles) over
+    random screens, frame rects, disposals and transparency."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    pal = bytes(rng.integers(0, 256, size=48).tolist())  # 16 colors
+    frames = []
+    for _ in range(n_frames):
+        fw = int(rng.integers(1, sw + 1))
+        fh = int(rng.integers(1, sh + 1))
+        left = int(rng.integers(0, sw - fw + 1))
+        top = int(rng.integers(0, sh - fh + 1))
+        idx = rng.integers(0, 16, size=(fh, fw)).astype(np.uint8)
+        disposal = int(rng.integers(0, 4))
+        tidx = int(rng.integers(0, 16)) if rng.integers(0, 2) else None
+        frames.append((left, top, idx, disposal, tidx))
+    bg_idx = int(rng.integers(0, 16))
+    blob = mm.gif_encode_anim(frames, pal, sw, sh, bg_idx=bg_idx)
+    got = mm.gif_decode_frames(blob)
+    assert got is not None and len(got) == n_frames
+
+    # independent reference compositor (scalar, straight from spec)
+    p = [pal[3 * i:3 * i + 3] for i in range(16)]
+    bg = p[bg_idx]
+    canvas = [[bg for _ in range(sw)] for _ in range(sh)]
+    want = []
+    for left, top, idx, disposal, tidx in frames:
+        prev = [row[:] for row in canvas] if disposal == 3 else None
+        fh, fw = idx.shape
+        for y in range(fh):
+            for x in range(fw):
+                v = int(idx[y, x])
+                if tidx is not None and v == tidx:
+                    continue
+                canvas[top + y][left + x] = p[v]
+        want.append([row[:] for row in canvas])
+        if disposal == 2:
+            for y in range(fh):
+                for x in range(fw):
+                    canvas[top + y][left + x] = bg
+        elif disposal == 3:
+            canvas = prev
+    for k in range(n_frames):
+        ref = np.array(
+            [[list(c) for c in row] for row in want[k]], dtype=np.uint8
+        )
+        assert np.array_equal(got[k], ref), k
