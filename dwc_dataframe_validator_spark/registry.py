@@ -7930,15 +7930,22 @@ ORACLES["image_ingest_check"] = _image_ingest_oracle()
 # a4_range_count, a5_group_populated, a11_value_histogram, a12_top_k,
 # a14_offender_sample (long-stable A-series singletons, pytest-pinned
 # and still swept every round by tools/verify_local.py).
+#
+# Round-14 rotation: in — the seven round-13 operators the r13 verdict
+# asked to driver-verify (jpeg_progressive_hash_check,
+# http_wire_decode_check, charset_decode_check, video_frame_hash_check,
+# video_aligned_dedup_clusters, image_ingest_check,
+# audio_codec_feature_check); out — a1_record_count,
+# a8_a9_distinct_duplicates, p6_membership_filter, text_language_id
+# (v2 stays), sample_hash_events, sample_stratified_events,
+# pivot_event_types (long-stable singletons, pytest-pinned and still
+# swept every round by tools/verify_local.py).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q_top_orders_by_revenue",
-    "a1_record_count",
     "a2_column_counts",
-    "a8_a9_distinct_duplicates",
     "a10_vocab_membership",
     "a13_date_parts",
-    "p6_membership_filter",
     "p8_json_extract",
     "occurrence_validation_metrics",
     "occurrence_full_metrics",
@@ -7954,7 +7961,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters",
     "text_token_stats",
     "text_quality",
-    "text_language_id",
     "text_language_id_v2",
     "kn_surprisal_scores",
     "wet_main_content_docs",
@@ -7971,8 +7977,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
     "ann_ivf_topk",
-    "sample_hash_events",
-    "sample_stratified_events",
     "cms_event_type_counts",
     "annotate_row_errors",
     "stream_window_counts",
@@ -7980,7 +7984,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "pivot_event_types",
+    "jpeg_progressive_hash_check",
+    "http_wire_decode_check",
+    "charset_decode_check",
+    "video_frame_hash_check",
+    "video_aligned_dedup_clusters",
+    "image_ingest_check",
+    "audio_codec_feature_check",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

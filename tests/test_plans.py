@@ -132,12 +132,9 @@ def test_map_side_model_and_quantization(spark):
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q_top_orders_by_revenue",
-    "a1_record_count",
     "a2_column_counts",
-    "a8_a9_distinct_duplicates",
     "a10_vocab_membership",
     "a13_date_parts",
-    "p6_membership_filter",
     "p8_json_extract",
     "occurrence_validation_metrics",
     "occurrence_full_metrics",
@@ -153,7 +150,6 @@ DRIVER_WINDOW = [
     "dedup_clusters",
     "text_token_stats",
     "text_quality",
-    "text_language_id",
     "text_language_id_v2",
     "kn_surprisal_scores",
     "wet_main_content_docs",
@@ -170,8 +166,6 @@ DRIVER_WINDOW = [
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
     "ann_ivf_topk",
-    "sample_hash_events",
-    "sample_stratified_events",
     "cms_event_type_counts",
     "annotate_row_errors",
     "stream_window_counts",
@@ -179,7 +173,13 @@ DRIVER_WINDOW = [
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "pivot_event_types",
+    "jpeg_progressive_hash_check",
+    "http_wire_decode_check",
+    "charset_decode_check",
+    "video_frame_hash_check",
+    "video_aligned_dedup_clusters",
+    "image_ingest_check",
+    "audio_codec_feature_check",
 ]
 
 
