@@ -7181,6 +7181,120 @@ QUERIES["http_wire_decode_check"] = http_wire_decode_check
 ORACLES["http_wire_decode_check"] = _wire_decode_pinned_oracle()
 
 
+def _content_encoding_pinned_oracle() -> str:
+    """Pinned-constant oracle for the br/zstd Content-Encoding tier:
+    per fixture class the expected (content_encoding, chunked,
+    body_decoded, encoding, wet text) computed driver-side through
+    the same decode + strip path (sources/warc.py
+    ``build_content_encoding_blob`` → ``decode_payload_full``).
+    Classes 6/7 (compressed-block zstd / compressed brotli junk) and
+    the %11 truncated-zstd plant pin ``body_decoded=false`` — the
+    honest routing when only the pure stored-frame tier is present;
+    the junk entropy payloads fail the native codecs too, so the
+    pinned rows are environment-independent."""
+    import re as _re
+
+    from .sources import warc as warcmod
+
+    def strip(text):
+        # replicates strip_html's collapse+trim EXACTLY (see
+        # _wire_decode_pinned_oracle: Java \s, Spark space-only trim)
+        body = text.split("\r\n\r\n", 1)[1]
+        collapsed = _re.sub(
+            "[ \\t\\n\\x0b\\f\\r]+", " ", _re.sub(r"<[^>]*>", " ", body)
+        )
+        return collapsed.strip(" ").replace("'", "''")
+
+    rows = {}
+    for cls in range(9):
+        did = next(d for d in (cls, cls + 9, cls + 18) if d % 11)
+        t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
+            warcmod.build_content_encoding_blob(did)
+        )
+        # text pinned only for decoded bodies — the query NULLs the
+        # text of undecoded ones (raw compressed bytes are not wet
+        # text, and their replacement-char soup would be meaningless
+        # to pin)
+        rows[cls] = (ce, ch, dec, enc, strip(t) if dec else None)
+    bt, benc, _bs, bce, bch, bdec = warcmod.decode_payload_full(
+        warcmod.build_content_encoding_blob(0)  # 0 % 11 == 0: truncated
+    )
+    bad = (bce, bch, bdec, benc, strip(bt) if bdec else None)
+    ce_c = " ".join(
+        "WHEN doc_id %% 9 = %d THEN %s"
+        % (c, "'%s'" % v[0] if v[0] else "NULL")
+        for c, v in rows.items()
+    )
+    ch_c = " ".join(
+        "WHEN doc_id %% 9 = %d THEN %s" % (c, str(v[1]).upper())
+        for c, v in rows.items()
+    )
+    dec_c = " ".join(
+        "WHEN doc_id %% 9 = %d THEN %s" % (c, str(v[2]).upper())
+        for c, v in rows.items()
+    )
+    enc_c = " ".join(
+        "WHEN doc_id %% 9 = %d THEN '%s'" % (c, v[3])
+        for c, v in rows.items()
+    )
+    txt_c = " ".join(
+        "WHEN doc_id %% 9 = %d THEN %s"
+        % (c, "'%s'" % v[4] if v[4] is not None else "NULL")
+        for c, v in rows.items()
+    )
+    bad_txt = "'%s'" % bad[4] if bad[4] is not None else "NULL"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN corrupt THEN '{bad[0]}'
+               ELSE (CASE {ce_c} END) END AS content_encoding,
+          CASE WHEN corrupt THEN {str(bad[1]).upper()}
+               ELSE (CASE {ch_c} END) END AS chunked,
+          CASE WHEN corrupt THEN {str(bad[2]).upper()}
+               ELSE (CASE {dec_c} END) END AS body_decoded,
+          CASE WHEN corrupt THEN '{bad[3]}'
+               ELSE (CASE {enc_c} END) END AS encoding,
+          CASE WHEN corrupt THEN {bad_txt}
+               ELSE (CASE {txt_c} END) END AS text
+        FROM (SELECT doc_id, doc_id % 11 = 0 AS corrupt FROM documents)
+    """
+
+
+def http_content_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """br/zstd Content-Encoding decode (sources/warc.py
+    ``_brotli_decode`` / ``_zstd_decode`` behind ``decode_http_body``):
+    the optional-backend contract — native codec when importable,
+    else the pure-Python stored-frame tier (brotli uncompressed
+    metablocks RFC 7932 §9.2; zstd raw/RLE blocks + skippable frames
+    RFC 8878), else honest ``body_decoded=false`` raw routing.  The
+    fixture rotates brotli-stored / zstd-raw / zstd-RLE / skippable /
+    chunked-wrapping-zstd / brotli+latin-1 / compressed-block-zstd
+    (false) / compressed-brotli (false) / LF-framed-chunked-gzip (the
+    r14 lenient-framing fix) per doc_id %% 9; %% 11 plants a
+    truncated zstd frame.  All map-side, zero shuffles."""
+    from .operators import web
+    from .sources import warc as warcmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = warcmod.decode_warc_payload_text(
+        warcmod.attach_content_encoding_blob(docs), id_col="id"
+    )
+    p = F.col("payload_text")
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        "content_encoding",
+        "chunked",
+        "body_decoded",
+        "encoding",
+        F.when(
+            F.col("body_decoded"), web.strip_html(web.http_body(p))
+        ).alias("text"),
+    )
+
+
+QUERIES["http_content_encoding_check"] = http_content_encoding_check
+ORACLES["http_content_encoding_check"] = _content_encoding_pinned_oracle()
+
+
 def _hash_case_oracle(rows: dict, bad_expr: str) -> str:
     """Shared pinned-constant oracle body for the image-hash checks:
     ``rows`` maps class → (n_classes, channels, ahash, dhash)."""

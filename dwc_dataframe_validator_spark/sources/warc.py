@@ -33,6 +33,23 @@ import io
 import zlib
 from typing import Iterator
 
+# Optional native codecs for the br/zstd Content-Encoding tier —
+# same optional-backend contract as PIL in operators/multimodal.py:
+# decode with the library when importable, else the pure-Python
+# stored-frame tier below, else the honest ``body_decoded=false``
+# routing.  Never a hard dependency.
+try:  # pragma: no cover - environment-dependent
+    import brotli as _brotli_mod
+except ImportError:  # pragma: no cover
+    try:
+        import brotlicffi as _brotli_mod
+    except ImportError:
+        _brotli_mod = None
+try:  # pragma: no cover - environment-dependent
+    import zstandard as _zstd_mod
+except ImportError:  # pragma: no cover
+    _zstd_mod = None
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -378,11 +395,7 @@ def sniff_charset(payload: bytes):
     Returns ``(codec_name, source, body_start)`` where source is one
     of ``'bom' | 'http' | 'meta' | 'default'`` and ``body_start`` is
     the offset of the body (0 when the payload has no HTTP head)."""
-    head_end = payload.find(b"\r\n\r\n")
-    sep = 4
-    if head_end < 0:
-        head_end = payload.find(b"\n\n")
-        sep = 2
+    head_end, sep = _find_head_end(payload)
     if head_end >= 0 and payload[:5] in (b"HTTP/", b"http/"):
         head = payload[:head_end]
         body_start = head_end + sep
@@ -429,11 +442,30 @@ def _sniff_head_body(head: bytes, body: bytes):
     return "utf-8", "default", 0
 
 
+def _find_head_end(payload: bytes):
+    """(head_end, separator_len) for an HTTP message: the EARLIEST of
+    ``\\r\\n\\r\\n`` / ``\\n\\n`` wins, so an LF-only head whose BODY
+    contains CRLF pairs (chunk framing, binary) is split at the real
+    head end, not deep inside the body.  A pure-CRLF head is never
+    mis-split: ``b"\\r\\n\\r\\n"`` contains no ``b"\\n\\n"``.
+    (-1, 0) when no terminator exists."""
+    crlf_end = payload.find(b"\r\n\r\n")
+    lf_end = payload.find(b"\n\n")
+    if crlf_end >= 0 and (lf_end < 0 or crlf_end <= lf_end):
+        return crlf_end, 4
+    return lf_end, 2
+
+
 def _http_header_value(head: bytes, name: bytes):
     """Value of the (last) ``name`` header in a raw head block, or
-    None."""
+    None.  Lines split on ``\\r?\\n`` — ``decode_http_body`` accepts
+    LF-only heads (the ``\\n\\n`` branch), so the header parser must
+    see the same lines the head detector saw, else a chunked or
+    gzipped LF-framed response would keep its raw body while
+    ``body_decoded`` stayed True (silent mojibake instead of a
+    flagged row)."""
     out = None
-    for ln in head.split(b"\r\n"):
+    for ln in head.replace(b"\r\n", b"\n").split(b"\n"):
         k, s, v = ln.partition(b":")
         if s and k.strip().lower() == name:
             out = v.strip()
@@ -445,52 +477,359 @@ def _dechunk(body: bytes):
     9112 §7.1): hex size line (extensions after ';' ignored), chunk
     bytes, CRLF, repeated until the 0 chunk; trailers ignored.
     Returns the reassembled bytes, or None when the framing is broken
-    — the caller keeps the raw body rather than fail the row."""
+    — the caller keeps the raw body rather than fail the row.  Line
+    terminators are ``\\r?\\n``-tolerant, matching the LF-only head
+    branch of ``decode_http_body`` (RFC 9112 requires CRLF; lenient
+    servers/proxies emit bare LF and real parsers accept it)."""
     out = bytearray()
     pos = 0
     while True:
-        nl = body.find(b"\r\n", pos)
+        nl = body.find(b"\n", pos)
         if nl < 0:
             return None
-        tok = body[pos:nl].split(b";")[0].strip()
+        line_end = nl - 1 if body[nl - 1:nl] == b"\r" else nl
+        tok = body[pos:line_end].split(b";")[0].strip()
         try:
             n = int(tok, 16)
         except ValueError:
             return None
-        pos = nl + 2
+        pos = nl + 1
         if n == 0:
             return bytes(out)
         if pos + n > len(body):
             return None
         out += body[pos:pos + n]
         pos += n
-        if body[pos:pos + 2] != b"\r\n":
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+        else:
             return None
-        pos += 2
-
-
-def _decompress_body(body: bytes, label: bytes):
-    """Reverse ``Content-Encoding``: gzip/x-gzip (member format) and
-    deflate (zlib-wrapped per the RFC, with the raw-DEFLATE fallback
-    real servers are infamous for).  Returns the decompressed bytes,
-    or None when the label is unsupported (br/zstd need external
-    codecs — the honest undecoded tier) or the stream is corrupt."""
-    try:
-        if label in (b"gzip", b"x-gzip"):
-            return zlib.decompress(body, 16 + 15)
-        if label == b"deflate":
-            try:
-                return zlib.decompress(body)
-            except zlib.error:
-                return zlib.decompress(body, -15)
-    except zlib.error:
-        return None
-    return None
 
 
 #: decompressed-body sanity bound (same discipline as the 16 MP image
 #: guard): a 100:1 zip bomb must not balloon an executor
 _MAX_BODY = 64 * 1024 * 1024
+
+
+def _inflate_capped(body: bytes, wbits: int):
+    """One zlib-family stream, decompressed with a HARD output cap:
+    ``decompressobj.decompress(body, _MAX_BODY + 1)`` stops producing
+    the moment the cap is crossed, so a high-ratio bomb never
+    materializes in executor memory (the pre-r14 ``zlib.decompress``
+    form inflated fully before the length check ran).  Returns the
+    plain bytes, or None on corrupt/truncated/over-cap streams —
+    trailing bytes after a complete stream are ignored, matching
+    ``zlib.decompress``'s single-stream semantics."""
+    try:
+        d = zlib.decompressobj(wbits)
+        out = d.decompress(body, _MAX_BODY + 1)
+    except zlib.error:
+        return None
+    if len(out) > _MAX_BODY:
+        return None  # bomb: cap crossed without inflating further
+    if not d.eof:
+        return None  # truncated stream (decompress() alone won't raise)
+    return out
+
+
+def _decompress_body(body: bytes, label: bytes):
+    """Reverse ``Content-Encoding``: gzip/x-gzip (member format),
+    deflate (zlib-wrapped per the RFC, with the raw-DEFLATE fallback
+    real servers are infamous for), and br/zstd behind the optional-
+    backend contract (library when importable, else the pure-Python
+    stored-frame tier — see ``_brotli_decode``/``_zstd_decode``).
+    Returns the decompressed bytes, or None when the stream is
+    corrupt, over the ``_MAX_BODY`` cap, or the codec tier cannot
+    decode it (the honest ``body_decoded=false`` routing)."""
+    if label in (b"gzip", b"x-gzip"):
+        return _inflate_capped(body, 16 + 15)
+    if label == b"deflate":
+        out = _inflate_capped(body, 15)
+        if out is None:
+            out = _inflate_capped(body, -15)
+        return out
+    if label == b"br":
+        return _brotli_decode(body)
+    if label == b"zstd":
+        return _zstd_decode(body)
+    return None
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes (the brotli bit order,
+    RFC 7932 §2)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            if self.pos >= len(self.data):
+                raise EOFError
+            out |= ((self.data[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _brotli_decode_pure(body: bytes):
+    """Pure-Python brotli tier: STORED-MODE streams only — a window
+    header followed by uncompressed metablocks (ISUNCOMPRESSED=1,
+    RFC 7932 §9.2) and metadata skips, ending in an empty last
+    metablock.  This is the framing real encoders emit for
+    incompressible payloads; general compressed metablocks need the
+    full RFC 7932 machinery including the 120 KB static dictionary,
+    which stays behind the optional ``brotli`` library — such
+    streams return None here (the honest ``body_decoded=false``
+    routing).  Output is capped at ``_MAX_BODY`` before any copy."""
+    br = _BitReader(body)
+    out = bytearray()
+    try:
+        # WBITS variable-length code (RFC 7932 §9.1)
+        if br.read(1):
+            n = br.read(3)
+            if n == 0:
+                m = br.read(3)
+                if m == 1:  # reserved pattern
+                    return None
+                # m == 0 -> WBITS 17, else WBITS 8 + m (10..15);
+                # window size only bounds back-references, which
+                # stored mode never makes — parse and ignore
+        while True:
+            islast = br.read(1)
+            if islast and br.read(1):  # ISLASTEMPTY
+                break
+            mnib_code = br.read(2)
+            if mnib_code == 3:  # MNIBBLES=0: metadata meta-block
+                if islast or br.read(1):  # reserved bit must be 0
+                    return None
+                skip_bytes = br.read(2)
+                skip_len = 0
+                if skip_bytes:
+                    skip_len = br.read(8 * skip_bytes) + 1
+                br.align()
+                if br.pos + skip_len > len(body):
+                    return None
+                br.pos += skip_len
+                continue
+            mlen = br.read(4 * (4 + mnib_code)) + 1
+            if islast:
+                return None  # last block with data is compressed
+            if not br.read(1):  # ISUNCOMPRESSED == 0
+                return None  # compressed meta-block: library tier
+            if len(out) + mlen > _MAX_BODY:
+                return None
+            br.align()
+            if br.pos + mlen > len(body):
+                return None
+            out += body[br.pos:br.pos + mlen]
+            br.pos += mlen
+    except EOFError:
+        return None
+    return bytes(out)
+
+
+def brotli_store(raw: bytes) -> bytes:
+    """STORED-mode brotli framing (RFC 7932: WBITS=16 header, then
+    one uncompressed metablock per ≤64 KiB chunk, then the empty
+    last metablock) — a valid stream any conformant brotli decoder
+    accepts, used for the Content-Encoding fixtures so the oracle
+    runs without the native codec.  The inverse of
+    ``_brotli_decode_pure``."""
+    bits = bytearray()
+    nbit = 0
+
+    def put(val: int, n: int) -> None:
+        nonlocal nbit
+        for i in range(n):
+            if nbit % 8 == 0:
+                bits.append(0)
+            if (val >> i) & 1:
+                bits[-1] |= 1 << (nbit % 8)
+            nbit += 1
+
+    out = bytearray()
+
+    def flush() -> None:
+        nonlocal nbit
+        out.extend(bits)
+        bits.clear()
+        nbit = 0
+
+    put(0, 1)  # WBITS = 16
+    for i in range(0, len(raw), 1 << 16):
+        chunk = raw[i:i + (1 << 16)]
+        put(0, 1)                     # ISLAST = 0
+        put(0, 2)                     # MNIBBLES code 0 -> 4 nibbles
+        put(len(chunk) - 1, 16)       # MLEN - 1
+        put(1, 1)                     # ISUNCOMPRESSED
+        flush()                       # byte-align before literals
+        out += chunk
+    put(1, 1)  # ISLAST
+    put(1, 1)  # ISLASTEMPTY
+    flush()
+    return bytes(out)
+
+
+def _brotli_decode(body: bytes):
+    """br Content-Encoding: native ``brotli``/``brotlicffi`` when
+    importable (fed in 64 KiB slices so the ``_MAX_BODY`` cap is
+    checked before a bomb fully materializes), else the pure
+    stored-mode tier.  None = keep raw bytes, ``body_decoded``
+    false."""
+    if _brotli_mod is not None:  # pragma: no cover - optional codec
+        try:
+            d = _brotli_mod.Decompressor()
+            out = bytearray()
+            for i in range(0, len(body), 1 << 16):
+                out += d.process(bytes(body[i:i + (1 << 16)]))
+                if len(out) > _MAX_BODY:
+                    return None
+            if hasattr(d, "is_finished") and not d.is_finished():
+                return None
+            return bytes(out)
+        except Exception:
+            return None
+    return _brotli_decode_pure(body)
+
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _zstd_decode_pure(body: bytes):
+    """Pure-Python zstd tier (RFC 8878 framing): frame header parse
+    (all descriptor flag combinations), Raw and RLE blocks, skippable
+    frames, multi-frame concatenation, checksum field consumed
+    unverified.  Compressed blocks (FSE/Huffman entropy sections)
+    stay behind the optional ``zstandard`` library — frames
+    containing one return None (the honest ``body_decoded=false``
+    routing).  Output capped at ``_MAX_BODY`` before any copy, so an
+    RLE bomb (3-byte header declaring 2^21 repeats, chained) never
+    balloons an executor."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        magic = body[pos:pos + 4]
+        if len(magic) < 4:
+            return None
+        if magic[1:4] == b"\x2a\x4d\x18" and 0x50 <= magic[0] <= 0x5F:
+            # skippable frame: 4-byte LE size, content ignored
+            if pos + 8 > n:
+                return None
+            size = int.from_bytes(body[pos + 4:pos + 8], "little")
+            pos += 8 + size
+            if pos > n:
+                return None
+            continue
+        if magic != _ZSTD_MAGIC:
+            return None
+        pos += 4
+        if pos >= n:
+            return None
+        fhd = body[pos]
+        pos += 1
+        if fhd & 0x08:  # reserved bit must be zero
+            return None
+        single_segment = (fhd >> 5) & 1
+        if not single_segment:
+            pos += 1  # window descriptor: bounds back-refs only
+        dict_flag = fhd & 3
+        pos += (0, 1, 2, 4)[dict_flag]  # dictionary id: parsed, unused
+        fcs_flag = fhd >> 6
+        fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+        pos += fcs_size  # content size: informational for raw/RLE
+        if pos > n:
+            return None
+        while True:  # block loop
+            if pos + 3 > n:
+                return None
+            h = int.from_bytes(body[pos:pos + 3], "little")
+            pos += 3
+            last, btype, bsize = h & 1, (h >> 1) & 3, h >> 3
+            if btype == 0:  # Raw_Block
+                if len(out) + bsize > _MAX_BODY or pos + bsize > n:
+                    return None
+                out += body[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE_Block: 1 byte repeated bsize times
+                if len(out) + bsize > _MAX_BODY or pos + 1 > n:
+                    return None
+                out += body[pos:pos + 1] * bsize
+                pos += 1
+            else:  # Compressed_Block / Reserved: library tier
+                return None
+            if last:
+                break
+        if (fhd >> 2) & 1:  # content checksum: consumed, unverified
+            pos += 4
+            if pos > n:
+                return None
+    return bytes(out)
+
+
+def zstd_frame_store(raw: bytes) -> bytes:
+    """Store-mode zstd framing (RFC 8878: magic, single-segment
+    frame header with 4-byte content size, Raw blocks per ≤64 KiB
+    chunk) — a valid frame any conformant zstd decoder accepts, used
+    for the Content-Encoding fixtures so the oracle runs without the
+    native codec.  The inverse of ``_zstd_decode_pure``."""
+    out = bytearray(_ZSTD_MAGIC)
+    out.append(0xA0)  # FCS 4-byte | single-segment | no checksum/dict
+    out += len(raw).to_bytes(4, "little")
+    chunks = [raw[i:i + (1 << 16)] for i in range(0, len(raw), 1 << 16)]
+    if not chunks:
+        chunks = [b""]
+    for i, chunk in enumerate(chunks):
+        last = 1 if i == len(chunks) - 1 else 0
+        out += ((len(chunk) << 3) | last).to_bytes(3, "little")
+        out += chunk
+    return bytes(out)
+
+
+def zstd_frame_rle(byte: int, count: int) -> bytes:
+    """One zstd frame whose content is ``count`` repeats of ``byte``,
+    carried as a single RLE block — fixture coverage for the RLE
+    branch of ``_zstd_decode_pure``."""
+    out = bytearray(_ZSTD_MAGIC)
+    out.append(0xA0)
+    out += count.to_bytes(4, "little")
+    out += ((count << 3) | (1 << 1) | 1).to_bytes(3, "little")
+    out.append(byte)
+    return bytes(out)
+
+
+def _zstd_decode(body: bytes):
+    """zstd Content-Encoding: native ``zstandard`` when importable
+    (streamed read with the ``_MAX_BODY`` cap), else the pure
+    raw/RLE-frame tier.  None = keep raw bytes, ``body_decoded``
+    false."""
+    if _zstd_mod is not None:  # pragma: no cover - optional codec
+        try:
+            reader = _zstd_mod.ZstdDecompressor().stream_reader(
+                io.BytesIO(body)
+            )
+            out = reader.read(_MAX_BODY + 1)
+            if len(out) > _MAX_BODY:
+                return None
+            return out
+        except Exception:
+            return None
+    return _zstd_decode_pure(body)
 
 
 def decode_http_body(payload: bytes):
@@ -503,11 +842,7 @@ def decode_http_body(payload: bytes):
     reversed (corrupt stream, unsupported codec like br/zstd, broken
     chunk framing); the RAW bytes are kept so downstream stages can
     still count/route the row instead of dropping it."""
-    head_end = payload.find(b"\r\n\r\n")
-    sep = 4
-    if head_end < 0:
-        head_end = payload.find(b"\n\n")
-        sep = 2
+    head_end, sep = _find_head_end(payload)
     if head_end >= 0 and payload[:5] in (b"HTTP/", b"http/"):
         head = payload[:head_end]
         body = payload[head_end + sep:]
@@ -745,6 +1080,104 @@ def _chunk_encode(b: bytes, size: int = 24) -> bytes:
         c = b[i:i + size]
         out += format(len(c), "x").encode() + b"\r\n" + c + b"\r\n"
     return bytes(out) + b"0\r\n\r\n"
+
+
+def _chunk_encode_lf(b: bytes, size: int = 24) -> bytes:
+    """Chunked framing with bare-LF line terminators — the lenient
+    framing real proxies emit that RFC 9112 forbids; fixture coverage
+    for ``_dechunk``'s ``\\r?\\n`` tolerance."""
+    out = bytearray()
+    for i in range(0, len(b), size):
+        c = b[i:i + size]
+        out += format(len(c), "x").encode() + b"\n" + c + b"\n"
+    return bytes(out) + b"0\n\n"
+
+
+def build_content_encoding_blob(doc_id: int) -> bytes:
+    """HTTP-response bytes for the br/zstd Content-Encoding fixtures:
+    class ``doc_id %% 9`` — 0 brotli stored-mode, 1 zstd raw-block
+    frame, 2 zstd RLE frame + raw frame (multi-frame concatenation),
+    3 zstd skippable frame then a raw frame, 4 chunked wrapping zstd
+    (the real-wire layering order), 5 brotli stored + a latin-1
+    charset header (wire decode composing with the charset tier),
+    6 a zstd frame whose block is Compressed_Block (the honest
+    library-tier routing: kept raw, ``body_decoded=false`` when
+    ``zstandard`` is absent), 7 a ``br`` label over junk bytes (same
+    honest tier), 8 an LF-only head with LF-framed chunked gzip (the
+    lenient framing the r13 ADVICE found silently mis-handled).
+    ``doc_id %% 11 == 0`` plants a TRUNCATED zstd frame instead."""
+    cls = doc_id % 9
+    text = "The café on route no. %d stayed open." % cls
+    html = "<html><head></head><body><p>%s</p></body></html>" % text
+    raw = html.encode("utf-8")
+    headers = [("Content-Type", "text/html")]
+    lf_head = False
+    if doc_id % 11 == 0:
+        body = zstd_frame_store(raw)[: 12 + len(raw) // 2]
+        headers.append(("Content-Encoding", "zstd"))
+    elif cls == 0:
+        body = brotli_store(raw)
+        headers.append(("Content-Encoding", "br"))
+    elif cls == 1:
+        body = zstd_frame_store(raw)
+        headers.append(("Content-Encoding", "zstd"))
+    elif cls == 2:
+        body = zstd_frame_rle(0x20, 50) + zstd_frame_store(raw)
+        headers.append(("Content-Encoding", "zstd"))
+    elif cls == 3:
+        skippable = (
+            b"\x53\x2a\x4d\x18" + (7).to_bytes(4, "little") + b"padding"
+        )
+        body = skippable + zstd_frame_store(raw)
+        headers.append(("Content-Encoding", "zstd"))
+    elif cls == 4:
+        body = _chunk_encode(zstd_frame_store(raw))
+        headers.append(("Transfer-Encoding", "chunked"))
+        headers.append(("Content-Encoding", "zstd"))
+    elif cls == 5:
+        body = brotli_store(html.encode("latin-1"))
+        headers = [("Content-Type", "text/html; charset=ISO-8859-1"),
+                   ("Content-Encoding", "br")]
+    elif cls == 6:
+        frame = bytearray(zstd_frame_store(raw))
+        frame[9] = (frame[9] & ~0x06) | (2 << 1)  # Compressed_Block
+        body = bytes(frame)
+        headers.append(("Content-Encoding", "zstd"))
+    elif cls == 7:
+        body = b"\x1b\x8f\x42not-actually-brotli"
+        headers.append(("Content-Encoding", "br"))
+    else:
+        body = _chunk_encode_lf(gzip.compress(raw, mtime=0))
+        headers.append(("Transfer-Encoding", "chunked"))
+        headers.append(("Content-Encoding", "gzip"))
+        lf_head = True
+    eol = "\n" if lf_head else "\r\n"
+    head = "HTTP/1.1 200 OK" + eol + "".join(
+        "%s: %s%s" % (k, v, eol) for k, v in headers
+    )
+    return head.encode("ascii") + eol.encode("ascii") + body
+
+
+def attach_content_encoding_blob(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, payload) with the br/zstd fixture blobs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": [
+                        build_content_encoding_blob(int(i))
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(df[id_col].alias(id_col)).mapInPandas(
+        run, "id long, payload binary"
+    )
 
 
 def attach_encoded_http_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -5940,3 +5940,100 @@ def test_media_header_v2_formats():
             parse_media_header(blob[:cut])
         for j in range(len(blob)):
             parse_media_header(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
+
+
+def test_content_encoding_tier_stored_roundtrips_and_honest_routing():
+    """br/zstd Content-Encoding tier (sources/warc.py): pure-Python
+    stored-frame decoders roundtrip their emitters byte-exactly;
+    compressed payloads route honestly to None; truncation never
+    yields wrong bytes; bombs are rejected without inflating."""
+    import gzip as _gzip
+    import os as _os
+
+    from dwc_dataframe_validator_spark.sources import warc as w
+
+    payloads = [b"", b"x", b"hello world" * 50, _os.urandom(200001),
+                bytes(range(256)) * 300]
+    for p in payloads:
+        assert w._brotli_decode(w.brotli_store(p)) == p
+        assert w._zstd_decode(w.zstd_frame_store(p)) == p
+    assert w._zstd_decode(w.zstd_frame_rle(0x61, 1000)) == b"a" * 1000
+    # skippable frame + multi-frame concatenation
+    sk = b"\x5f\x2a\x4d\x18" + (3).to_bytes(4, "little") + b"pad"
+    assert (
+        w._zstd_decode(
+            sk + w.zstd_frame_store(b"abc") + w.zstd_frame_store(b"def")
+        )
+        == b"abcdef"
+    )
+    # compressed zstd block and compressed brotli -> honest None
+    comp = bytearray(w.zstd_frame_store(b"zz"))
+    comp[9] = (comp[9] & ~0x06) | (2 << 1)
+    assert w._zstd_decode(bytes(comp)) is None
+    assert w._brotli_decode(b"\x1b\x8f\x42not-actually-brotli") is None
+    # truncation fuzz: every cut of a valid stream -> None, never junk
+    for enc, dec in (
+        (w.zstd_frame_store(b"hello world" * 10), w._zstd_decode),
+        (w.brotli_store(b"hello world" * 10), w._brotli_decode),
+    ):
+        for cut in range(1, len(enc)):
+            assert dec(enc[:cut]) is None
+    # byte-flip fuzz must never raise (None or a decode are both fine)
+    enc = w.zstd_frame_store(b"hello world" * 4)
+    for j in range(len(enc)):
+        w._zstd_decode(enc[:j] + bytes([enc[j] ^ 0xFF]) + enc[j + 1:])
+    enc = w.brotli_store(b"hello world" * 4)
+    for j in range(len(enc)):
+        w._brotli_decode(enc[:j] + bytes([enc[j] ^ 0xFF]) + enc[j + 1:])
+
+
+def test_decompress_bomb_rejected_by_streaming_cap():
+    """ADVICE r13 (medium): the zip-bomb guard must stop BEFORE the
+    payload materializes.  A 1 GiB-of-zeros gzip (~1 MB compressed)
+    and a chained RLE zstd bomb must both return None via the capped
+    incremental decode — _inflate_capped never produces more than
+    _MAX_BODY + 1 bytes."""
+    import gzip as _gzip
+
+    from dwc_dataframe_validator_spark.sources import warc as w
+
+    bomb = _gzip.compress(b"\0" * (1 << 30), compresslevel=9)
+    assert w._decompress_body(bomb, b"gzip") is None
+    frame = bytearray(b"\x28\xb5\x2f\xfd\xa0" + (0).to_bytes(4, "little"))
+    for i in range(600):  # declares 600 * 2 MiB ≈ 1.2 GiB
+        last = 1 if i == 599 else 0
+        frame += ((((1 << 21) - 1) << 3) | (1 << 1) | last).to_bytes(
+            3, "little"
+        ) + b"z"
+    assert w._zstd_decode(bytes(frame)) is None
+    # under-cap streams still decode through the same path
+    ok = _gzip.compress(b"fine" * 100, mtime=0)
+    assert w._decompress_body(ok, b"gzip") == b"fine" * 100
+
+
+def test_lf_only_head_wire_decode():
+    """ADVICE r13 (low): LF-only heads must expose their
+    Transfer-Encoding/Content-Encoding headers, and the head split
+    must take the EARLIEST of CRLFCRLF/LFLF so CRLF chunk framing in
+    the body never swallows an LF head."""
+    import gzip as _gzip
+
+    from dwc_dataframe_validator_spark.sources import warc as w
+
+    raw = b"<html><body><p>hi</p></body></html>"
+    lf_payload = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n"
+        b"Transfer-Encoding: chunked\nContent-Encoding: gzip\n\n"
+    ) + w._chunk_encode(_gzip.compress(raw, mtime=0))
+    head, body, ce, chunked, decoded = w.decode_http_body(lf_payload)
+    assert decoded and chunked and ce == "gzip" and body == raw
+    # LF-framed chunking decodes too
+    lf2 = (
+        b"HTTP/1.1 200 OK\nTransfer-Encoding: chunked\n\n"
+    ) + w._chunk_encode_lf(raw)
+    head, body, ce, chunked, decoded = w.decode_http_body(lf2)
+    assert decoded and chunked and body == raw
+    # CRLF head whose body STARTS with a bare LF keeps the CRLF split
+    p = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n\nLF body"
+    head, body, _, _, _ = w.decode_http_body(p)
+    assert body == b"\nLF body" and head.endswith(b"text/html")
