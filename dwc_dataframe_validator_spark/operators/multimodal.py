@@ -697,7 +697,12 @@ def sample_frames(
                             (i, k, png_encode(gframes[k * step]))
                             for k in range(n)
                         )
-                    continue  # corrupt GIF → zero frames
+                        continue
+                    if not use_video:
+                        continue  # rejected GIF, no backend → 0 frames
+                    # a GIF the codec-free path rejects (>16 MP screen,
+                    # exotic variant) falls through to imageio below —
+                    # mirroring the AVI non-MJPG fallthrough
                 if not use_video:
                     raise NotImplementedError(
                         "video decoding beyond MJPEG-in-AVI requires "
@@ -2316,6 +2321,14 @@ def _gif_deinterlace(arr, h, np):
     return src
 
 
+#: total composed-canvas budget for animated-GIF decode: frames ×
+#: (sw*sh*3) retained bytes never exceed this (192 MB ⇒ 4 frames at
+#: the 16 MP screen bound, 256 frames for screens ≤ 500×500 — fixture
+#: and real web GIFs are unaffected; only adversarial big-screen
+#: animations are clipped)
+_GIF_MAX_COMPOSED_BYTES = 192 * 1024 * 1024
+
+
 def gif_decode_frames(b: bytes, max_frames: int = 256):
     """ANIMATED GIF decode → list of fully COMPOSED uint8 (sh, sw, 3)
     RGB canvas frames, or ``None`` for malformed input.  Implements
@@ -2323,9 +2336,12 @@ def gif_decode_frames(b: bytes, max_frames: int = 256):
     methods 0/1 leave, 2 restore-to-background, 3 restore-to-previous;
     transparency index), per-frame sub-rectangles composited onto the
     logical screen, local color tables, interlace.  A static GIF
-    yields one frame.  Decoding stops at ``max_frames`` (and the 16 MP
-    screen bound applies), so a pathological million-frame file is
-    bounded work."""
+    yields one frame.  Decoding stops at ``max_frames`` — additionally
+    capped so the PRODUCT of retained canvases × screen bytes stays
+    under ``_GIF_MAX_COMPOSED_BYTES`` (a 16 MP screen would otherwise
+    retain up to 256 × 48 MB ≈ 12 GB of composed RGB copies for one
+    adversarial blob; with the product cap it retains at most 4).  The
+    16 MP screen bound still applies per frame."""
     import numpy as np
 
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
@@ -2336,6 +2352,7 @@ def gif_decode_frames(b: bytes, max_frames: int = 256):
     bg_idx = b[11]
     if sw == 0 or sh == 0 or sw * sh > 16_000_000:
         return None
+    max_frames = max(1, min(max_frames, _GIF_MAX_COMPOSED_BYTES // (sw * sh * 3)))
     pos = 13
     gct = None
     if flags & 0x80:

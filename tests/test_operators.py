@@ -6037,3 +6037,28 @@ def test_lf_only_head_wire_decode():
     p = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n\nLF body"
     head, body, _, _, _ = w.decode_http_body(p)
     assert body == b"\nLF body" and head.endswith(b"text/html")
+
+
+def test_gif_composed_canvas_budget():
+    """ADVICE r13 (low): gif_decode_frames must bound the PRODUCT of
+    retained canvases × screen bytes, not just the frame count — a
+    4000×4000-screen animation retains at most
+    _GIF_MAX_COMPOSED_BYTES worth of composed copies, while small
+    screens keep the full max_frames budget."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    # big screen (4000x4000 = 48 MB/frame): 10 tiny sub-rect frames
+    # declared, but only floor(192MB / 48MB) = 4 canvases retained
+    pal = bytes([0, 0, 0, 255, 0, 0])
+    idx = np.zeros((2, 2), dtype=np.int64)
+    frames = [(0, 0, idx, 0, None)] * 10
+    blob = mm.gif_encode_anim(frames, pal, 4000, 4000)
+    out = mm.gif_decode_frames(blob)
+    assert out is not None and len(out) == 4
+    assert out[0].shape == (4000, 4000, 3)
+    # small screen keeps all 10
+    blob_small = mm.gif_encode_anim(frames, pal, 16, 16)
+    out_small = mm.gif_decode_frames(blob_small)
+    assert out_small is not None and len(out_small) == 10
