@@ -39,7 +39,7 @@ no-op.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import incremental, sketch
@@ -514,11 +514,17 @@ def image_survivors(
     hashes = multimodal.image_pixel_hashes(
         batch_df, content_col, id_col
     ).filter("ok")
-    w = Window.partitionBy("dhash").orderBy("id")
+    # min-id-per-dhash via groupBy + min_by(struct): partial
+    # aggregation combines map-side, so a pathologically ubiquitous
+    # image (a tracking pixel re-hosted billions of times) never
+    # funnels into one hot window partition the way the previous
+    # Window.partitionBy("dhash") row_number collapse did — the
+    # aggregate form _hash_cluster already uses, same semantics
+    keep_cols = [c for c in hashes.columns if c != "dhash"]
     cand = (
-        hashes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        hashes.groupBy("dhash")
+        .agg(F.min_by(F.struct(*keep_cols), F.col(id_col)).alias("_r"))
+        .select("dhash", *[F.col("_r")[c].alias(c) for c in keep_cols])
     )
     if bloom_blob is None:
         candidates, negatives = cand, None

@@ -1460,3 +1460,26 @@ def test_streaming_image_dedup_stream_equals_batch(spark, tmp_path):
         r["id"] for r in spark.read.parquet(f"{out}/batch_id=1").collect()
     } == {6}
     assert os.path.exists(f"{out}/_commits/1")
+
+
+def test_image_survivors_mega_duplicate_is_aggregate_not_window(spark):
+    """r13 verdict plan note: the batch-internal exact collapse in
+    image_survivors must be the partial-aggregation-safe
+    groupBy+min_by form, not a Window over dhash — a pathologically
+    ubiquitous image (tracking pixel re-hosted everywhere) must not
+    funnel into one hot window partition.  Semantics: min id per
+    dhash survives; plan: no Window node anywhere."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+    from dwc_dataframe_validator_spark.streaming.ingest import image_survivors
+
+    pixel = mm.png_encode(mm._png_fixture_pixels(3)[0])
+    other = mm.png_encode(mm._png_fixture_pixels(5)[0])
+    rows = [(i, pixel) for i in range(500)] + [(1000, other)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    empty = spark.createDataFrame([], "fingerprint string")
+    out = image_survivors(df, empty)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    got = {(r["id"], r["dhash"]) for r in out.collect()}
+    ids = sorted(i for i, _ in got)
+    assert ids == [0, 1000], ids  # min id per dhash, mega-dup collapsed
