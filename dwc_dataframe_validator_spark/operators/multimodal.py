@@ -77,12 +77,22 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
 
 
+_PIL_AVAILABLE: bool | None = None
+
+
 def _pil_available() -> bool:
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        return False
-    return True
+    # memoized: backend='auto' probes this per image, and a FAILED
+    # import attempt (the no-PIL container) costs far more than the
+    # sys.modules hit of a successful one — measured ~20% of pure-PNG
+    # decode throughput before caching
+    global _PIL_AVAILABLE
+    if _PIL_AVAILABLE is None:
+        try:
+            import PIL.Image  # noqa: F401
+            _PIL_AVAILABLE = True
+        except ImportError:
+            _PIL_AVAILABLE = False
+    return _PIL_AVAILABLE
 
 
 def _pil_decode(payload: bytes) -> tuple[int, int, int, bool]:
@@ -1161,7 +1171,7 @@ def image_phash_dedup(
     n_bands: int = 4,
     max_bucket_size: int = 200,
     probe_ahash: bool = False,
-    backend: str = "pure",
+    backend: str = "auto",
 ) -> DataFrame:
     """Near-duplicate image clustering: real pixel decode → dHash →
     banded LSH pairing → Hamming verify → connected components.
@@ -4025,6 +4035,7 @@ def video_frame_hashes(
     content_col: str = "content",
     id_col: str = "id",
     max_frames: int = 4,
+    backend: str = "auto",
 ) -> DataFrame:
     """Row-expanding REAL animation decode: MJPEG-in-AVI (RIFF walk →
     per-frame JPEG pixel decode) and ANIMATED GIF (full composition:
@@ -4034,8 +4045,24 @@ def video_frame_hashes(
     ``n_frames`` is the SAMPLED count, ``frame_idx`` its 0-based
     index; malformed containers or undecodable frames yield one
     ``ok=false`` row per blob/frame, never task failures (the
-    image_pixel_hashes contract).  Map-side Arrow batches, no
-    shuffle."""
+    image_pixel_hashes contract).  ``backend`` governs the per-frame
+    JPEG pixel source (``decode_image_pixels`` contract): the
+    PRODUCTION default ``'auto'`` takes PIL's native codec when
+    importable (1–2 orders faster per byte, the r13 verdict's fleet
+    bottleneck) and the pure decoder otherwise; registry oracle
+    queries pin ``'pure'`` so the driver's value hash never depends
+    on the installed codec.  GIF composition is codec-free either
+    way.  Map-side Arrow batches, no shuffle."""
+    if backend not in ("auto", "pil", "pure"):
+        raise ValueError(f"unknown pixel backend {backend!r}")
+    eff = ("pil" if _pil_available() else "pure") if backend == "auto" \
+        else backend
+
+    def _frame_pixels(fb: bytes):
+        try:
+            return decode_image_pixels(fb, eff)
+        except NotImplementedError:
+            return None  # residual JPEG stub tier → ok=false row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4053,7 +4080,7 @@ def video_frame_hashes(
                             n = min(max_frames, len(frames))
                             step = max(1, len(frames) // n)
                             pxs = [
-                                jpeg_decode_pixels(frames[k * step])
+                                _frame_pixels(frames[k * step])
                                 for k in range(n)
                             ]
                     elif b[:6] in (b"GIF87a", b"GIF89a"):
@@ -4094,6 +4121,7 @@ def video_near_dup(
     threshold: int = 6,
     n_bands: int = 4,
     max_bucket_size: int = 64,
+    backend: str = "auto",
 ) -> DataFrame:
     """Near-duplicate VIDEO clustering — the re-encoded-video analogue
     of ``image_phash_dedup``: real frame decode → the FIRST sampled
@@ -4107,7 +4135,7 @@ def video_near_dup(
     scope by design: that needs frame-sequence alignment, a stated
     future tier, not a silent recall claim."""
     first = video_frame_hashes(
-        df, content_col, id_col, max_frames=1
+        df, content_col, id_col, max_frames=1, backend=backend
     ).filter("ok AND frame_idx = 0")
     return _hash_cluster(
         first.select("id", "dhash", "ahash"),
@@ -4126,6 +4154,7 @@ def video_near_dup_aligned(
     max_frames: int = 8,
     min_shared: int = 2,
     max_bucket_size: int = 64,
+    backend: str = "auto",
 ) -> DataFrame:
     """Trim-tolerant near-duplicate VIDEO clustering — the alignment
     tier the first-frame signature (``video_near_dup``) explicitly
@@ -4148,9 +4177,9 @@ def video_near_dup_aligned(
     global min id of the merged class) for every decodable video."""
     from . import graph
 
-    fh = video_frame_hashes(df, content_col, id_col, max_frames).filter(
-        "ok"
-    )
+    fh = video_frame_hashes(
+        df, content_col, id_col, max_frames, backend=backend
+    ).filter("ok")
     # materialize the decode ONCE (same discipline as _hash_cluster):
     # vid_hash feeds the signature aggregate, the rep-hash join and
     # the final join-back — without truncation every consumer re-runs

@@ -6230,6 +6230,7 @@ def image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cross-class distances ≫ threshold, so extra candidates all
         # fail the Hamming verify)
         probe_ahash=True,
+        backend="pure",  # oracle determinism: never the native codec
     )
     return clusters.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -6947,7 +6948,8 @@ def cross_format_image_dedup_check(spark: SparkSession, sf_dir: str) -> DataFram
     base-class clusters with twice the per-class document count."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = multimodal.image_phash_dedup(
-        multimodal.attach_xfmt_blobs(docs), "content", "id"
+        multimodal.attach_xfmt_blobs(docs), "content", "id",
+        backend="pure",  # oracle determinism: never the native codec
     )
     return clusters.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -7532,7 +7534,7 @@ def gif_anim_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates (ok=false)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.video_frame_hashes(
-        multimodal.attach_gif_anim_blob(docs)
+        multimodal.attach_gif_anim_blob(docs), backend="pure"
     )
 
 
@@ -7739,7 +7741,9 @@ def video_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ok=false).  First oracle-exact VIDEO query — the frame-sample
     tier stops being rows-only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.video_frame_hashes(multimodal.attach_avi_blob(docs))
+    return multimodal.video_frame_hashes(
+        multimodal.attach_avi_blob(docs), backend="pure"
+    )
 
 
 QUERIES["video_frame_hash_check"] = video_frame_hash_check
@@ -7757,7 +7761,7 @@ def video_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the classes — which the oracle states arithmetically."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = multimodal.video_near_dup(
-        multimodal.attach_avi_blob(docs)
+        multimodal.attach_avi_blob(docs), backend="pure"
     )
     return clusters.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_members")
@@ -7881,7 +7885,7 @@ def video_aligned_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped per-hash buckets bound the pair join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = multimodal.video_near_dup_aligned(
-        multimodal.attach_avi_trim_blob(docs)
+        multimodal.attach_avi_trim_blob(docs), backend="pure"
     )
     return clusters.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_members")
@@ -7994,10 +7998,12 @@ def image_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = multimodal.attach_png_blob(docs)
     empty = spark.createDataFrame([], "fingerprint string")
     s1 = image_survivors(
-        blobs.filter(F.col("id") < 250), empty
+        blobs.filter(F.col("id") < 250), empty, backend="pure"
     ).localCheckpoint(eager=True)
     seen = s1.select(F.col("dhash").alias("fingerprint"))
-    s2 = image_survivors(blobs.filter(F.col("id") >= 250), seen)
+    s2 = image_survivors(
+        blobs.filter(F.col("id") >= 250), seen, backend="pure"
+    )
     return s1.unionByName(s2).select(
         F.col("id").alias("doc_id"), "dhash"
     )

@@ -485,6 +485,7 @@ def image_survivors(
     content_col: str = "content",
     id_col: str = "id",
     prune_store_partitions: bool = False,
+    backend: str = "auto",
 ) -> DataFrame:
     """Survivors of one IMAGE slice against a dHash ``store`` (rows
     with a ``fingerprint`` column of 16-hex dHashes): ``(id, width,
@@ -512,7 +513,7 @@ def image_survivors(
     from ..operators import multimodal
 
     hashes = multimodal.image_pixel_hashes(
-        batch_df, content_col, id_col
+        batch_df, content_col, id_col, backend=backend
     ).filter("ok")
     # min-id-per-dhash via groupBy + min_by(struct): partial
     # aggregation combines map-side, so a pathologically ubiquitous
@@ -561,6 +562,7 @@ def image_ingest_batch(
     out_path: str,
     content_col: str = "content",
     id_col: str = "id",
+    backend: str = "auto",
 ) -> None:
     """One replay-safe step of cross-batch IMAGE dedup — the
     ``foreachBatch`` body behind ``image_ingest_sink``, same marker
@@ -594,6 +596,7 @@ def image_ingest_batch(
             content_col=content_col,
             id_col=id_col,
             prune_store_partitions=True,
+            backend=backend,
         ).localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(batch_dir)
     new_keys = (
@@ -616,6 +619,7 @@ def image_ingest_sink(
     queryName: str = "image_ingest",
     checkpoint_path: str | None = None,
     trigger: dict | None = None,
+    backend: str = "auto",
 ):
     """Attach cross-batch image dedup to a stream of binary image
     blobs and return the started StreamingQuery — the multimodal
@@ -630,7 +634,7 @@ def image_ingest_sink(
     def body(batch_df: DataFrame, batch_id: int) -> None:
         image_ingest_batch(
             batch_df, batch_id, index_path, out_path,
-            content_col=content_col, id_col=id_col,
+            content_col=content_col, id_col=id_col, backend=backend,
         )
 
     writer = stream.writeStream.foreachBatch(body).queryName(queryName)
