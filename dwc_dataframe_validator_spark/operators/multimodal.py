@@ -4175,31 +4175,57 @@ def video_near_dup_aligned(
     shared-frame counting is one groupBy on the capped pairs; then
     the scale-adaptive connected components.  Returns (id, cluster =
     global min id of the merged class) for every decodable video."""
-    from . import graph
-
     fh = video_frame_hashes(
         df, content_col, id_col, max_frames, backend=backend
     ).filter("ok")
-    # materialize the decode ONCE (same discipline as _hash_cluster):
-    # vid_hash feeds the signature aggregate, the rep-hash join and
-    # the final join-back — without truncation every consumer re-runs
-    # the per-frame JPEG decode
-    vid_hash = fh.select("id", "dhash").distinct().localCheckpoint(
+    return _shared_hash_cluster(
+        fh.select("id", "dhash"), "dhash", min_shared, max_bucket_size
+    )
+
+
+def _shared_hash_cluster(
+    id_hash: DataFrame,
+    hash_col: str,
+    min_shared: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Shared-set clustering core used by the trim-tolerant video
+    tiers (``video_near_dup_aligned``: perceptual frame dHashes;
+    ``mp4_byte_dedup``: encoded-sample byte hashes): ids cluster when
+    they share ≥ ``min_shared`` distinct ``hash_col`` values,
+    regardless of position.  Input rows are (id, hash_col), one per
+    (video, hash) — duplicates tolerated.
+
+    Scale discipline mirrors ``_hash_cluster``: ids with identical
+    hash SETS collapse first (signature = md5 of the sorted distinct
+    hashes, so a million re-muxed copies are ONE node); the pair join
+    runs over distinct signatures' exploded hashes with a per-hash
+    bucket cap (a ubiquitous value — black-filler frame — would
+    otherwise quadratically pair everything containing it);
+    shared-count is one groupBy on the capped pairs; then the
+    scale-adaptive connected components.  Returns (id, cluster =
+    global min id of the merged class)."""
+    from . import graph
+
+    # materialize the upstream decode ONCE: vid_hash feeds the
+    # signature aggregate, the rep-hash join and the final join-back —
+    # without truncation every consumer re-runs the per-frame decode
+    vid_hash = id_hash.select("id", hash_col).distinct().localCheckpoint(
         eager=True
     )
     sigs = vid_hash.groupBy("id").agg(
         F.md5(
-            F.concat_ws(",", F.array_sort(F.collect_set("dhash")))
+            F.concat_ws(",", F.array_sort(F.collect_set(hash_col)))
         ).alias("sig")
     ).localCheckpoint(eager=True)
     reps = sigs.groupBy("sig").agg(F.min("id").alias("rep"))
     rep_hashes = (
         vid_hash.join(sigs, "id")
         .join(reps, "sig")
-        .select("rep", "dhash")
+        .select("rep", hash_col)
         .distinct()
     )
-    w = Window.partitionBy("dhash").orderBy("rep")
+    w = Window.partitionBy(hash_col).orderBy("rep")
     buckets = (
         rep_hashes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket_size)
@@ -4210,7 +4236,7 @@ def video_near_dup_aligned(
         .join(
             buckets.alias("b"),
             on=[
-                F.col("a.dhash") == F.col("b.dhash"),
+                F.col(f"a.{hash_col}") == F.col(f"b.{hash_col}"),
                 F.col("a.rep") < F.col("b.rep"),
             ],
         )
@@ -4288,6 +4314,370 @@ def attach_avi_trim_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf[id_col],
                     "content": [
                         build_avi_trim_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# codec-free MP4 (ISO-BMFF) sample-table walk: encoded-frame byte hashes
+# --------------------------------------------------------------------------
+#
+# Real web video is overwhelmingly H.264/VP9/AV1 in MP4/WebM — full
+# decode is out of scope for hand-rolled work, but the CONTAINER is
+# plain byte structure: moov/trak/mdia/minf/stbl carries the exact
+# byte range of every encoded sample (stsz sizes, stsc
+# sample→chunk map, stco/co64 chunk offsets).  Hashing those encoded
+# bytes gives exact and trim-tolerant dedup of the dominant video
+# container without touching the codec — re-muxed copies (different
+# chunking/interleave, same encoded frames) land on identical hash
+# sets, head-trimmed copies still share every remaining sample.
+
+
+def _mp4_boxes(b: bytes, lo: int, hi: int):
+    """Yield (type, body_lo, body_hi) for each ISO-BMFF box in
+    ``b[lo:hi]``; handles 64-bit largesize (size==1) and
+    to-end-of-enclosure (size==0).  Stops (without raising) at the
+    first malformed header."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            size = int.from_bytes(b[i + 8:i + 16], "big")
+            body = i + 16
+            if size < 16:
+                return
+        elif size == 0:
+            size = hi - i
+        elif size < 8:
+            return
+        if i + size > hi:
+            return
+        yield typ, body, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, lo: int, hi: int, typ: bytes):
+    for t, blo, bhi in _mp4_boxes(b, lo, hi):
+        if t == typ:
+            return blo, bhi
+    return None
+
+
+_MP4_MAX_SAMPLES = 100_000
+
+
+def mp4_sample_ranges(b: bytes):
+    """(offset, size) of every encoded sample of the first complete
+    track, from the pure byte walk moov → trak → mdia → minf → stbl →
+    (stsz, stsc, stco|co64).  Returns None when the structure is
+    absent/malformed/truncated OR any indexed range falls outside the
+    payload — a cut file can never yield silently-wrong hashes.
+    Bounded: at most ``_MP4_MAX_SAMPLES`` samples are indexed."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if moov is None:
+        return None
+    for t, tlo, thi in _mp4_boxes(b, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(b, tlo, thi, b"mdia")
+        if mdia is None:
+            continue
+        minf = _mp4_find(b, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _mp4_find(b, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stsz = _mp4_find(b, stbl[0], stbl[1], b"stsz")
+        stsc = _mp4_find(b, stbl[0], stbl[1], b"stsc")
+        stco = _mp4_find(b, stbl[0], stbl[1], b"stco")
+        co64 = None if stco is not None else _mp4_find(
+            b, stbl[0], stbl[1], b"co64"
+        )
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            continue
+        ranges = _mp4_resolve_ranges(b, stsz, stsc, stco, co64)
+        if ranges is not None:
+            return ranges
+    return None
+
+
+def _mp4_resolve_ranges(b, stsz, stsc, stco, co64):
+    # stsz: version/flags, fixed sample_size, sample_count[, sizes]
+    lo, hi = stsz
+    if hi - lo < 12:
+        return None
+    fixed = int.from_bytes(b[lo + 4:lo + 8], "big")
+    count = int.from_bytes(b[lo + 8:lo + 12], "big")
+    if count == 0 or count > _MP4_MAX_SAMPLES:
+        return None
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        if hi - lo < 12 + 4 * count:
+            return None
+        sizes = [
+            int.from_bytes(b[lo + 12 + 4 * k:lo + 16 + 4 * k], "big")
+            for k in range(count)
+        ]
+    # chunk offsets: stco 32-bit or co64 64-bit
+    lo, hi = stco if stco is not None else co64
+    width = 4 if stco is not None else 8
+    if hi - lo < 8:
+        return None
+    n_chunks = int.from_bytes(b[lo + 4:lo + 8], "big")
+    if n_chunks == 0 or hi - lo < 8 + width * n_chunks:
+        return None
+    offsets = [
+        int.from_bytes(b[lo + 8 + width * k:lo + 8 + width * (k + 1)], "big")
+        for k in range(n_chunks)
+    ]
+    # stsc: (first_chunk, samples_per_chunk, sdi) runs
+    lo, hi = stsc
+    if hi - lo < 8:
+        return None
+    n_ent = int.from_bytes(b[lo + 4:lo + 8], "big")
+    if n_ent == 0 or hi - lo < 8 + 12 * n_ent:
+        return None
+    ent = [
+        (
+            int.from_bytes(b[lo + 8 + 12 * k:lo + 12 + 12 * k], "big"),
+            int.from_bytes(b[lo + 12 + 12 * k:lo + 16 + 12 * k], "big"),
+        )
+        for k in range(n_ent)
+    ]
+    if ent[0][0] != 1:
+        return None
+    ranges = []
+    s = 0
+    for j, (first, spc) in enumerate(ent):
+        last = ent[j + 1][0] - 1 if j + 1 < n_ent else n_chunks
+        if first > last:
+            return None
+        for c in range(first, last + 1):
+            off = offsets[c - 1]
+            for _ in range(spc):
+                if s >= len(sizes):
+                    break
+                ranges.append((off, sizes[s]))
+                off += sizes[s]
+                s += 1
+    if s != len(sizes):
+        return None  # sample table inconsistent with chunk map
+    for off, sz in ranges:
+        if sz == 0 or off + sz > len(b):
+            return None  # truncated/corrupt: ranges must be in-file
+    return ranges
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def mp4_mux(
+    samples: list, width: int = 18, height: int = 16,
+    single_chunk: bool = False,
+) -> bytes:
+    """Minimal ISO-BMFF muxer — the fixture twin of
+    ``mp4_sample_ranges``: ftyp + mdat (encoded samples back to back)
+    + moov(trak(tkhd with 16.16 dims, mdia(minf(stbl)))) with real
+    stsz/stsc/stco tables.  ``single_chunk`` flips the chunking
+    layout (all samples one chunk vs one chunk each) — byte-identical
+    samples under a different interleave, the re-mux case the hash
+    tier must merge.  The stsd entry is a stub ``avc1`` box: the walk
+    under test reads sample TABLES, not codec config.  moov is
+    written AFTER mdat, so truncation kills the table (honest
+    ok=false), like a streamed capture cut mid-write."""
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    payload = b"".join(samples)
+    mdat = _mp4_box(b"mdat", payload)
+    base = len(ftyp) + 8  # offset of the first sample byte
+    n = len(samples)
+    if single_chunk:
+        chunk_offsets = [base]
+        stsc_entries = [(1, n)]
+    else:
+        chunk_offsets, off = [], base
+        for s in samples:
+            chunk_offsets.append(off)
+            off += len(s)
+        stsc_entries = [(1, 1)]
+    stsd = _mp4_box(
+        b"stsd",
+        b"\x00" * 4 + (1).to_bytes(4, "big")
+        + _mp4_box(b"avc1", b"\x00" * 78),
+    )
+    stts = _mp4_box(
+        b"stts",
+        b"\x00" * 4 + (1).to_bytes(4, "big")
+        + n.to_bytes(4, "big") + (1000).to_bytes(4, "big"),
+    )
+    stsc = _mp4_box(
+        b"stsc",
+        b"\x00" * 4 + len(stsc_entries).to_bytes(4, "big")
+        + b"".join(
+            f.to_bytes(4, "big") + c.to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            for f, c in stsc_entries
+        ),
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00" * 4 + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + b"".join(len(s).to_bytes(4, "big") for s in samples),
+    )
+    stco = _mp4_box(
+        b"stco",
+        b"\x00" * 4 + len(chunk_offsets).to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsz + stsc + stco)
+    minf = _mp4_box(b"minf", stbl)
+    hdlr = _mp4_box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"v\x00"
+    )
+    mdia = _mp4_box(b"mdia", hdlr + minf)
+    tkhd = _mp4_box(
+        b"tkhd",
+        bytes([0, 0, 0, 7]) + b"\x00" * 72
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"),
+    )
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def mp4_sample_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_samples: int = 8,
+) -> DataFrame:
+    """Row-expanding MP4 encoded-sample hashing: the sample-table
+    walk (``mp4_sample_ranges``) enumerates every encoded frame's
+    byte range, even-stride samples up to ``max_samples`` of them,
+    and hashes the RAW ENCODED bytes (md5, hex) — no codec, so this
+    works on H.264/VP9/AV1 alike.  ``(id, sample_idx, n_samples,
+    sample_hash, ok)``; ``n_samples`` is the SAMPLED count; malformed
+    or truncated containers yield one ok=false row (the
+    video_frame_hashes contract).  Map-side Arrow batches, no
+    shuffle."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                ranges = None
+                if payload is not None:
+                    b = bytes(payload)
+                    ranges = mp4_sample_ranges(b)
+                if not ranges:
+                    rows.append((i, None, None, None, False))
+                    continue
+                n = min(max_samples, len(ranges))
+                step = max(1, len(ranges) // n)
+                for k in range(n):
+                    off, sz = ranges[k * step]
+                    rows.append(
+                        (i, k, n, _hl.md5(b[off:off + sz]).hexdigest(),
+                         True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_idx", "n_samples",
+                         "sample_hash", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run,
+        "id long, sample_idx int, n_samples int, "
+        "sample_hash string, ok boolean",
+    )
+
+
+def mp4_byte_dedup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_samples: int = 8,
+    min_shared: int = 2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Exact/trim-tolerant dedup of the dominant video container
+    WITHOUT decoding the codec: videos cluster when they share ≥
+    ``min_shared`` encoded-sample byte hashes
+    (``mp4_sample_hashes``), so byte-identical re-muxes (different
+    chunk interleave — hash sets identical, collapsed in the
+    signature stage) and head-trimmed copies (remaining samples
+    byte-identical) both merge, while any re-ENCODE lands in the
+    perceptual tiers instead.  Same shared-set clustering core and
+    scale discipline as ``video_near_dup_aligned``.  Returns
+    (id, cluster = global min id)."""
+    sh = mp4_sample_hashes(
+        df, content_col, id_col, max_samples
+    ).filter("ok")
+    return _shared_hash_cluster(
+        sh.select("id", "sample_hash"), "sample_hash",
+        min_shared, max_bucket_size,
+    )
+
+
+def _mp4_fixture_sample(j: int) -> bytes:
+    """Deterministic 2 KB pseudo-encoded frame for universal sample
+    index ``j`` — opaque bytes standing in for an H.264 access unit
+    (the byte-hash tier never decodes them)."""
+    seed = hashlib.md5(b"mp4s-%d" % j).digest()
+    return b"".join(
+        hashlib.md5(seed + k.to_bytes(2, "big")).digest()
+        for k in range(128)
+    )
+
+
+def build_mp4_blob(doc_id: int) -> bytes:
+    """MP4 bytes for the byte-hash-tier fixtures, mirroring the AVI
+    alignment classes: base class ``doc_id %% 4`` owns the disjoint
+    sample range ``4c..4c+3``; variant ``(doc_id // 4) %% 3`` is 0 =
+    the full 4-sample video (one chunk per sample), 1 = HEAD-TRIMMED
+    (samples 4c+1..4c+3), 2 = the full video RE-MUXED single-chunk
+    (byte-identical samples, different container layout).  Variants
+    share ≥ 3 sample hashes, so they merge under ``min_shared=2``;
+    classes share none.  ``doc_id %% 17 == 0`` truncates to 2/3 —
+    moov sits after mdat, so the cut removes the sample table
+    (ok=false)."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 1:
+        idxs = idxs[1:]
+    samples = [_mp4_fixture_sample(j) for j in idxs]
+    blob = mp4_mux(samples, single_chunk=(variant == 2))
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_mp4_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the MP4 byte-hash-tier fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_mp4_blob(int(i)) for i in pdf[id_col]
                     ],
                 }
             )

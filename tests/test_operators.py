@@ -6062,3 +6062,50 @@ def test_gif_composed_canvas_budget():
     blob_small = mm.gif_encode_anim(frames, pal, 16, 16)
     out_small = mm.gif_decode_frames(blob_small)
     assert out_small is not None and len(out_small) == 10
+
+
+def test_mp4_sample_walk_roundtrip_and_fuzz():
+    """Codec-free MP4 tier: the sample-table walk must return the
+    exact encoded bytes the muxer wrote, under both chunk layouts;
+    every truncation of a valid file yields None (moov-last means a
+    cut can never produce silently-wrong hashes); byte flips never
+    raise."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    samples = [mm._mp4_fixture_sample(j) for j in range(4)]
+    for single in (False, True):
+        blob = mm.mp4_mux(samples, single_chunk=single)
+        r = mm.mp4_sample_ranges(blob)
+        assert r is not None and [blob[o:o + s] for o, s in r] == samples
+        # container metadata still parses
+        assert mm.parse_media_header(blob) == (
+            "video/mp4", 18, 16, 3, None, True
+        )
+    blob = mm.mp4_mux(samples)
+    for cut in range(1, len(blob)):
+        assert mm.mp4_sample_ranges(blob[:cut]) is None
+    for j in range(len(blob)):
+        mm.mp4_sample_ranges(
+            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        )
+
+
+def test_mp4_byte_dedup_trim_and_remux_merge(spark):
+    """mp4_byte_dedup semantics on the fixture universe: full,
+    head-trimmed and single-chunk re-muxed variants of a class merge
+    (≥ 3 shared sample hashes); the 4 sample classes never do;
+    truncated blobs are excluded (ok=false)."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rows = [(d,) for d in range(48)]
+    docs = spark.createDataFrame(rows, "doc_id long")
+    clusters = mm.mp4_byte_dedup(mm.attach_mp4_blob(docs)).collect()
+    by_id = {r["id"]: r["cluster"] for r in clusters}
+    assert 0 not in by_id and 17 not in by_id and 34 not in by_id
+    for d, c in by_id.items():
+        # expected cluster: min doc_id of the same class that is not
+        # a truncation plant
+        exp = min(
+            x for x in range(48) if x % 4 == d % 4 and x % 17 != 0
+        )
+        assert c == exp, (d, c, exp)
