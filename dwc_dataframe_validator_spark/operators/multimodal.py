@@ -1228,6 +1228,34 @@ def image_phash_dedup(
     )
 
 
+def image_hash_near_dup(
+    hashes: DataFrame,
+    threshold: int = 6,
+    n_bands: int = 4,
+    max_bucket_size: int = 200,
+    probe_ahash: bool = False,
+) -> DataFrame:
+    """Finalization-stage near-duplicate clustering over
+    ALREADY-HASHED images: ``hashes`` carries ``(id, dhash[, ahash])``
+    16-hex-char rows — exactly what a streaming ``image_ingest_sink``
+    accumulated as survivors — and clusters them through the same
+    banded-LSH + Hamming-verify + components core as
+    ``image_phash_dedup``, WITHOUT re-decoding a single pixel.  This
+    is the near-dup tier the cross-batch exact-hash loop defers to
+    finalization (see ``streaming/ingest.py image_survivors`` for why
+    it cannot run inside the loop: banded keepers are order-dependent
+    across batches).  Returns (id, cluster = component min id)."""
+    cols = ["id", "dhash"] + (["ahash"] if probe_ahash else [])
+    return _hash_cluster(
+        hashes.select(*cols),
+        "dhash",
+        threshold=threshold,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+        probe_col="ahash" if probe_ahash else None,
+    )
+
+
 def _hash_cluster(
     hashes: DataFrame,
     hash_col: str,

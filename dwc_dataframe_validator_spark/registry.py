@@ -8138,6 +8138,93 @@ QUERIES["image_ingest_check"] = image_ingest_check
 ORACLES["image_ingest_check"] = _image_ingest_oracle()
 
 
+def _image_finalize_oracle() -> str:
+    """Arithmetic oracle for the composed streaming-image pipeline:
+    survivors are min-ok-doc_id per PNG fixture class (the
+    image_ingest_check argument: id-prefix slices make
+    first-batch-wins equal global min-id per distinct dHash), and the
+    finalization near-dup tier must merge each base class with its
+    bottom-rows-perturbed variant (cls and cls+12).  The recall and
+    separation preconditions are ASSERTED here through the real
+    decode + hash path: every near-dup pair sits within the Hamming
+    threshold with its differing bits confined to one LSH band
+    (candidate guaranteed), every cross-class pair sits beyond it
+    (no false merges) — so clusters are exactly the 12 base-class
+    pairs, stated arithmetically."""
+    rows = {}
+    for cls in range(24):
+        px, pal = multimodal._png_fixture_pixels(cls)
+        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
+        rows[cls] = multimodal.image_dhash(dec)
+    for b in range(12):
+        d = bin(rows[b] ^ rows[b + 12]).count("1")
+        assert 0 < d <= 6, (b, d)
+        # differing bits confined to ONE 16-bit band → LSH candidate
+        bands = sum(
+            1 for k in range(4)
+            if (rows[b] ^ rows[b + 12]) >> (16 * k) & 0xFFFF
+        )
+        assert bands == 1, (b, bands)
+    for a in range(12):
+        for c in range(a + 1, 12):
+            for xa in (a, a + 12):
+                for xc in (c, c + 12):
+                    assert bin(rows[xa] ^ rows[xc]).count("1") > 6
+    return """
+        WITH ok_docs AS (
+          SELECT doc_id, CAST(doc_id % 24 AS INTEGER) AS cls
+          FROM documents
+          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0),
+        survivors AS (
+          SELECT cls, min(doc_id) AS doc_id
+          FROM ok_docs GROUP BY cls)
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(min(t.doc_id) AS BIGINT) AS cluster
+        FROM survivors s
+        JOIN survivors t ON t.cls % 12 = s.cls % 12
+        GROUP BY s.doc_id
+    """
+
+
+def image_ingest_finalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED streaming image pipeline, end to end: three
+    id-ordered slices through ``image_survivors`` (each screened
+    against the dHashes the previous slices accumulated — the exact
+    foreachBatch body), survivors unioned, then the finalization
+    near-dup tier over the accumulated (id, dhash, ahash) rows via
+    ``image_hash_near_dup`` — the crawl_ingest_check pattern applied
+    to the multimodal sink, closing the r13 verdict's missing
+    composition oracle.  No pixel is re-decoded at finalization: the
+    survivors already carry their hashes."""
+    from .streaming.ingest import image_survivors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.attach_png_blob(docs)
+    empty = spark.createDataFrame([], "fingerprint string")
+    s1 = image_survivors(
+        blobs.filter(F.col("id") < 170), empty, backend="pure"
+    ).localCheckpoint(eager=True)
+    seen1 = s1.select(F.col("dhash").alias("fingerprint"))
+    s2 = image_survivors(
+        blobs.filter((F.col("id") >= 170) & (F.col("id") < 340)),
+        seen1, backend="pure",
+    ).localCheckpoint(eager=True)
+    seen2 = seen1.unionByName(
+        s2.select(F.col("dhash").alias("fingerprint"))
+    )
+    s3 = image_survivors(
+        blobs.filter(F.col("id") >= 340), seen2, backend="pure"
+    )
+    survivors = s1.unionByName(s2).unionByName(s3)
+    return multimodal.image_hash_near_dup(
+        survivors.select("id", "dhash", "ahash"), probe_ahash=True
+    ).select(F.col("id").alias("doc_id"), "cluster")
+
+
+QUERIES["image_ingest_finalize_check"] = image_ingest_finalize_check
+ORACLES["image_ingest_finalize_check"] = _image_finalize_oracle()
+
+
 # Driver-verified window — an EXPLICIT name list (round 13, replacing
 # the round-12 positional-insert hack per ADVICE): the driver's
 # correctness gate runs ``list(QUERIES)[:50]``, so the window is

@@ -1461,6 +1461,25 @@ def test_streaming_image_dedup_stream_equals_batch(spark, tmp_path):
     } == {6}
     assert os.path.exists(f"{out}/_commits/1")
 
+    # r14: FINALIZATION stage over the accumulated survivors — the
+    # near-dup tier that cannot live in the loop (order-dependent
+    # keepers) runs once at the end, over hashes only (no re-decode):
+    # classes 1 (ids 1) and 13 = 1+12 are the near-dup fixture pair,
+    # so adding a class-13 batch must cluster it with id 1 while the
+    # exact tier keeps both (distinct dHashes)
+    b3 = spark.createDataFrame([(8, mm.build_png_blob(37))], schema)
+    image_ingest_batch(b3, 2, idx, out)  # 37 % 24 = 13: near-dup of 1
+    acc_rows = spark.read.parquet(f"{out}/batch_id=*")
+    assert {r["id"] for r in acc_rows.collect()} == {1, 3, 6, 8}
+    clusters = {
+        r["id"]: r["cluster"]
+        for r in mm.image_hash_near_dup(
+            acc_rows.select("id", "dhash", "ahash")
+        ).collect()
+    }
+    assert clusters[8] == 1 and clusters[1] == 1, clusters
+    assert clusters[3] == 3 and clusters[6] == 6, clusters
+
 
 def test_image_survivors_mega_duplicate_is_aggregate_not_window(spark):
     """r13 verdict plan note: the batch-internal exact collapse in
