@@ -179,6 +179,15 @@ HEADLINE = [
     "gif_anim_frame_hash_check",
     "multimodal_header_meta_v2",
     "image_ingest_check",
+    # round-14 additions (same addendum rule): br/zstd Content-Encoding
+    # wire tier, the codec-free MP4 sample-table walk (hashes + byte
+    # dedup), and the composed streaming-image finalization pipeline
+    "http_content_encoding_check",
+    "mp4_sample_hash_check",
+    "mp4_byte_dedup_clusters",
+    "image_ingest_finalize_check",
+    "webm_sample_hash_check",
+    "cross_container_video_dedup_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

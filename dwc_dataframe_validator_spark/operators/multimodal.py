@@ -4586,6 +4586,156 @@ def mp4_mux(
     return ftyp + mdat + moov
 
 
+# --------------------------------------------------------------------------
+# codec-free WebM/Matroska (EBML) sample walk — the other dominant
+# container, same byte-hash tier
+# --------------------------------------------------------------------------
+
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_CLUSTER = 0x1F43B675
+_MKV_TIMESTAMP = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def _ebml_vint(b: bytes, i: int, keep_marker: bool):
+    """(value, next_index) for the EBML variable-length integer at
+    ``b[i:]`` — the length-descriptor marker bit is kept for element
+    IDs and stripped for sizes.  None on truncation/malformed.  An
+    all-ones size payload means 'unknown size' and returns -1."""
+    if i >= len(b) or b[i] == 0:
+        return None
+    first = b[i]
+    n = 8 - first.bit_length()  # leading zeros → total length n+1
+    length = n + 1
+    if i + length > len(b):
+        return None
+    if keep_marker:
+        v = int.from_bytes(b[i:i + length], "big")
+    else:
+        v = first & (0x7F >> n)
+        for k in range(1, length):
+            v = (v << 8) | b[i + k]
+        if v == (1 << (7 * length)) - 1:
+            v = -1  # unknown size (streamed segments)
+    return v, i + length
+
+
+def _ebml_children(b: bytes, lo: int, hi: int):
+    """Yield (element_id, body_lo, body_hi) for EBML elements in
+    ``b[lo:hi]``; unknown-size elements extend to ``hi``.  Stops at
+    the first malformed header."""
+    i = lo
+    while i < hi:
+        got = _ebml_vint(b, i, True)
+        if got is None:
+            return
+        eid, i = got
+        got = _ebml_vint(b, i, False)
+        if got is None:
+            return
+        size, i = got
+        end = hi if size < 0 else i + size
+        if end > hi:
+            return
+        yield eid, i, end
+        i = end
+
+
+def webm_sample_ranges(b: bytes):
+    """(offset, size) of every encoded frame in a WebM/Matroska
+    payload, from the pure EBML walk Segment → Cluster →
+    SimpleBlock/BlockGroup(Block): the container analogue of
+    ``mp4_sample_ranges`` — H.264/VP8/VP9/AV1 frame bytes enumerated
+    without any codec.  Unlaced blocks only (video frames on the web
+    are unlaced; lacing is an audio micro-optimization) — a laced or
+    otherwise unreadable block returns None, the honest routing.
+    Returns None when no EBML header, no cluster, or no frames."""
+    if b[:4] != _EBML_MAGIC:
+        return None
+    ranges = []
+    n_blocks = 0
+    for eid, lo, hi in _ebml_children(b, 0, len(b)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for cid, clo, chi in _ebml_children(b, lo, hi):
+            if cid != _MKV_CLUSTER:
+                continue
+            for bid, blo, bhi in _ebml_children(b, clo, chi):
+                if bid == _MKV_SIMPLEBLOCK:
+                    blocks = [(blo, bhi)]
+                elif bid == _MKV_BLOCKGROUP:
+                    blocks = [
+                        (glo, ghi)
+                        for gid, glo, ghi in _ebml_children(b, blo, bhi)
+                        if gid == _MKV_BLOCK
+                    ]
+                else:
+                    continue
+                for xlo, xhi in blocks:
+                    n_blocks += 1
+                    got = _ebml_vint(b, xlo, False)  # track number
+                    if got is None:
+                        return None
+                    _, j = got
+                    if j + 3 > xhi:
+                        return None
+                    flags = b[j + 2]
+                    if flags & 0x06:  # laced block: not this tier
+                        return None
+                    if xhi > len(b):
+                        return None
+                    ranges.append((j + 3, xhi - (j + 3)))
+    if not ranges or n_blocks > _MP4_MAX_SAMPLES:
+        return None
+    return ranges
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    """One EBML element with a minimal-width ID and a 4-byte size
+    field (marker 0x10 ⇒ 28-bit sizes — plenty for fixtures)."""
+    id_len = (eid.bit_length() + 7) // 8
+    out = eid.to_bytes(id_len, "big")
+    out += (len(body) | 0x10000000).to_bytes(4, "big")
+    return out + body
+
+
+def webm_mux(samples: list) -> bytes:
+    """Minimal WebM muxer — the fixture twin of
+    ``webm_sample_ranges``: EBML header (DocType webm) + Segment(
+    Cluster(Timestamp, one unlaced SimpleBlock per sample, track 1)).
+    Structurally valid EBML the sample walk reads; no codec config,
+    like ``mp4_mux``'s stub avc1 entry."""
+    header = _ebml_elem(
+        0x1A45DFA3,
+        _ebml_elem(0x4282, b"webm")  # DocType
+        + _ebml_elem(0x4287, b"\x02")  # DocTypeVersion
+    )
+    blocks = _ebml_elem(_MKV_TIMESTAMP, b"\x00")
+    for s in samples:
+        # track 1 VINT (0x81), relative timestamp 0, flags 0 (unlaced)
+        blocks += _ebml_elem(
+            _MKV_SIMPLEBLOCK, b"\x81\x00\x00\x00" + s
+        )
+    cluster = _ebml_elem(_MKV_CLUSTER, blocks)
+    return header + _ebml_elem(_MKV_SEGMENT, cluster)
+
+
+def media_sample_ranges(b: bytes):
+    """Container-dispatching encoded-sample enumeration: ISO-BMFF
+    (``ftyp`` at offset 4 → ``mp4_sample_ranges``) or EBML
+    (``webm_sample_ranges``).  None for anything else — the honest
+    tier."""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return mp4_sample_ranges(b)
+    if b[:4] == _EBML_MAGIC:
+        return webm_sample_ranges(b)
+    return None
+
+
 def mp4_sample_hashes(
     df: DataFrame,
     content_col: str = "content",
@@ -4599,8 +4749,11 @@ def mp4_sample_hashes(
     works on H.264/VP9/AV1 alike.  ``(id, sample_idx, n_samples,
     sample_hash, ok)``; ``n_samples`` is the SAMPLED count; malformed
     or truncated containers yield one ok=false row (the
-    video_frame_hashes contract).  Map-side Arrow batches, no
-    shuffle."""
+    video_frame_hashes contract).  Dispatches on container magic
+    (``media_sample_ranges``), so WebM/Matroska payloads hash through
+    the same tier — encoded frames are container-independent bytes,
+    which is exactly why an MP4→WebM re-mux must merge in
+    ``mp4_byte_dedup``.  Map-side Arrow batches, no shuffle."""
     import hashlib as _hl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4610,7 +4763,7 @@ def mp4_sample_hashes(
                 ranges = None
                 if payload is not None:
                     b = bytes(payload)
-                    ranges = mp4_sample_ranges(b)
+                    ranges = media_sample_ranges(b)
                 if not ranges:
                     rows.append((i, None, None, None, False))
                     continue
@@ -4694,6 +4847,57 @@ def build_mp4_blob(doc_id: int) -> bytes:
     if doc_id % 17 == 0:
         return blob[: len(blob) * 2 // 3]
     return blob
+
+
+def build_media_mux_blob(doc_id: int) -> bytes:
+    """Cross-container fixture: base class ``doc_id %% 4`` owns the
+    disjoint sample range ``4c..4c+3`` (the SAME universe as
+    ``build_mp4_blob``-adjacent classes would alias — so this fixture
+    uses its own ``xmux-`` seed space); container variant
+    ``(doc_id // 4) %% 3`` is 0 = MP4 (chunk-per-sample), 1 = the
+    SAME encoded samples re-muxed as WebM, 2 = WebM HEAD-TRIMMED
+    (samples 4c+1..4c+3).  All variants share ≥ 3 encoded-frame
+    hashes, so the byte tier must merge ACROSS CONTAINERS;
+    ``doc_id %% 17 == 0`` truncates (MP4: table gone; the %%17 ids
+    that land on WebM variants get a cut cluster → laced/short block
+    walk fails) — ok=false either way."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 2:
+        idxs = idxs[1:]
+    samples = [
+        b"".join(
+            hashlib.md5(
+                hashlib.md5(b"xmux-%d" % j).digest() + k.to_bytes(2, "big")
+            ).digest()
+            for k in range(128)
+        )
+        for j in idxs
+    ]
+    blob = mp4_mux(samples) if variant == 0 else webm_mux(samples)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_media_mux_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the cross-container fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_media_mux_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def attach_mp4_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -8005,6 +8005,117 @@ ORACLES["mp4_byte_dedup_clusters"] = """
 """
 
 
+def _webm_sample_pinned_oracle() -> str:
+    """Pinned-constant oracle for the EBML/WebM sample walk: per
+    (class, container variant, sample index) the md5 of the exact
+    encoded frame bytes the Segment→Cluster→SimpleBlock walk must
+    return, computed driver-side through ``media_sample_ranges`` over
+    the muxed fixture.  Variants 0 (MP4) and 1 (the SAME samples
+    re-muxed WebM) must pin IDENTICAL hashes — encoded frames are
+    container-independent bytes, the cross-container-merge claim."""
+    import hashlib as _hl
+
+    rows = {}
+    n_case = []
+    for cls in range(4):
+        for variant in range(3):
+            did = next(
+                d for d in range(48)
+                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
+            )
+            blob = multimodal.build_media_mux_blob(did)
+            ranges = multimodal.media_sample_ranges(blob)
+            n_case.append(
+                "WHEN cls = %d AND var = %d THEN %d"
+                % (cls, variant, len(ranges))
+            )
+            for k, (off, sz) in enumerate(ranges):
+                rows[(cls, variant, k)] = _hl.md5(
+                    blob[off:off + sz]
+                ).hexdigest()
+    for cls in range(4):
+        for k in range(4):
+            assert rows[(cls, 0, k)] == rows[(cls, 1, k)], (cls, k)
+    hc = " ".join(
+        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
+        % (c, v, k, h)
+        for (c, v, k), h in rows.items()
+    )
+    nc = " ".join(n_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                 doc_id % 17 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, var, CASE {nc} END AS ns
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, var, ns,
+                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
+                   AS sample_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
+               CAST(ns AS INTEGER) AS n_samples,
+               CASE {hc} END AS sample_hash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def webm_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free WebM/Matroska sample walk (operators/multimodal.py
+    ``webm_sample_ranges``: EBML VINT parse, Segment → Cluster →
+    SimpleBlock/BlockGroup, unlaced frames) through the dispatching
+    ``mp4_sample_hashes`` tier.  Fixture: 4 sample classes ×
+    (MP4 / WebM re-mux / WebM head-trim) variants — the MP4 and WebM
+    variants of a class must hash IDENTICALLY (encoded frames are
+    container-independent); %% 17 truncates (ok=false).  Map-side,
+    no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.mp4_sample_hashes(
+        multimodal.attach_media_mux_blob(docs)
+    )
+
+
+QUERIES["webm_sample_hash_check"] = webm_sample_hash_check
+ORACLES["webm_sample_hash_check"] = _webm_sample_pinned_oracle()
+
+
+def cross_container_video_dedup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-container video byte dedup (``mp4_byte_dedup`` over the
+    dispatching walk): an MP4 and its WebM re-mux carry byte-identical
+    encoded frames, so they collapse in the hash-SET signature stage,
+    and the WebM head-trim merges on ≥ 3 shared frame hashes — one
+    cluster per sample class across BOTH containers, stated
+    arithmetically by the oracle.  The merge that format-siloed dedup
+    (hashing whole files, or per-container tiers) structurally
+    misses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.mp4_byte_dedup(
+        multimodal.attach_media_mux_blob(docs)
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["cross_container_video_dedup_check"] = cross_container_video_dedup_check
+ORACLES["cross_container_video_dedup_check"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY doc_id % 4
+"""
+
+
 # Round-13 re-pointing (r12 verdict task): the two remaining
 # pre-real-decoder rows-only entries gain exact oracles.
 # multimodal_decode_stub replays the media-header arithmetic under the
@@ -8250,21 +8361,24 @@ ORACLES["image_ingest_finalize_check"] = _image_finalize_oracle()
 # (v2 stays), sample_hash_events, sample_stratified_events,
 # pivot_event_types (long-stable singletons, pytest-pinned and still
 # swept every round by tools/verify_local.py).
+#
+# Round-14 second rotation: in — the four NEW round-14 entries
+# (http_content_encoding_check, mp4_sample_hash_check,
+# mp4_byte_dedup_clusters, image_ingest_finalize_check); out —
+# q_top_orders_by_revenue, dedup_fingerprint, date_multiformat_parse,
+# a13_date_parts (each family keeps another window member or a pytest
+# pin, all stay in the full local sweep).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
-    "q_top_orders_by_revenue",
     "a2_column_counts",
     "a10_vocab_membership",
-    "a13_date_parts",
     "p8_json_extract",
     "occurrence_validation_metrics",
     "occurrence_full_metrics",
     "fk_orders_customer",
     "dwca_archive_profile",
     "dwca_orphan_multimedia",
-    "date_multiformat_parse",
     "dedup_exact_keepers",
-    "dedup_fingerprint",
     "minhash_lsh_check",
     "simhash_signature_check",
     "dedup_embedding_cosine",
@@ -8301,6 +8415,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "video_aligned_dedup_clusters",
     "image_ingest_check",
     "audio_codec_feature_check",
+    "http_content_encoding_check",
+    "mp4_sample_hash_check",
+    "mp4_byte_dedup_clusters",
+    "image_ingest_finalize_check",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -6109,3 +6109,35 @@ def test_mp4_byte_dedup_trim_and_remux_merge(spark):
             x for x in range(48) if x % 4 == d % 4 and x % 17 != 0
         )
         assert c == exp, (d, c, exp)
+
+
+def test_webm_sample_walk_and_cross_container_merge(spark):
+    """EBML/WebM tier: the sample walk returns the exact encoded
+    frame bytes under SimpleBlock framing; laced blocks route to the
+    honest None; an MP4→WebM re-mux carries identical sample hashes
+    and mp4_byte_dedup merges across containers."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    samples = [mm._mp4_fixture_sample(j) for j in range(4)]
+    blob = mm.webm_mux(samples)
+    r = mm.webm_sample_ranges(blob)
+    assert [blob[o:o + s] for o, s in r] == samples
+    # a laced SimpleBlock (flags bit set) -> honest None
+    laced = blob.replace(b"\x81\x00\x00\x00" + samples[0],
+                         b"\x81\x00\x00\x02" + samples[0])
+    assert mm.webm_sample_ranges(laced) is None
+    # byte-flip fuzz never raises
+    for j in range(0, len(blob), 7):
+        mm.webm_sample_ranges(
+            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        )
+    # cross-container dedup semantics on the fixture universe
+    docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
+    clusters = mm.mp4_byte_dedup(mm.attach_media_mux_blob(docs)).collect()
+    by_id = {x["id"]: x["cluster"] for x in clusters}
+    assert 0 not in by_id and 17 not in by_id and 34 not in by_id
+    for d, c in by_id.items():
+        exp = min(
+            x for x in range(48) if x % 4 == d % 4 and x % 17 != 0
+        )
+        assert c == exp, (d, c, exp)

@@ -131,19 +131,15 @@ def test_map_side_model_and_quantization(spark):
 # the registry, never a side effect.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
-    "q_top_orders_by_revenue",
     "a2_column_counts",
     "a10_vocab_membership",
-    "a13_date_parts",
     "p8_json_extract",
     "occurrence_validation_metrics",
     "occurrence_full_metrics",
     "fk_orders_customer",
     "dwca_archive_profile",
     "dwca_orphan_multimedia",
-    "date_multiformat_parse",
     "dedup_exact_keepers",
-    "dedup_fingerprint",
     "minhash_lsh_check",
     "simhash_signature_check",
     "dedup_embedding_cosine",
@@ -180,6 +176,10 @@ DRIVER_WINDOW = [
     "video_aligned_dedup_clusters",
     "image_ingest_check",
     "audio_codec_feature_check",
+    "http_content_encoding_check",
+    "mp4_sample_hash_check",
+    "mp4_byte_dedup_clusters",
+    "image_ingest_finalize_check",
 ]
 
 
