@@ -4404,14 +4404,19 @@ _MP4_MAX_SAMPLES = 100_000
 
 
 def mp4_sample_ranges(b: bytes):
-    """(offset, size) of every encoded sample of the first complete
-    track, from the pure byte walk moov → trak → mdia → minf → stbl →
-    (stsz, stsc, stco|co64).  Returns None when the structure is
-    absent/malformed/truncated OR any indexed range falls outside the
-    payload — a cut file can never yield silently-wrong hashes.
-    Bounded: at most ``_MP4_MAX_SAMPLES`` samples are indexed."""
+    """(offset, size) of every encoded sample, from the pure byte
+    walk: classic files via moov → trak → mdia → minf → stbl →
+    (stsz, stsc, stco|co64); FRAGMENTED files (fMP4 — the DASH/CMAF
+    layout streamed web video actually ships) via moof → traf →
+    (tfhd, trun) with default-base-is-moof / base-data-offset
+    resolution.  Returns None when the structure is absent/malformed/
+    truncated OR any indexed range falls outside the payload — a cut
+    file can never yield silently-wrong hashes.  Bounded: at most
+    ``_MP4_MAX_SAMPLES`` samples are indexed."""
     if len(b) < 16 or b[4:8] != b"ftyp":
         return None
+    if _mp4_find(b, 0, len(b), b"moof") is not None:
+        return _fmp4_sample_ranges(b)
     moov = _mp4_find(b, 0, len(b), b"moov")
     if moov is None:
         return None
@@ -4507,6 +4512,137 @@ def _mp4_resolve_ranges(b, stsz, stsc, stco, co64):
         if sz == 0 or off + sz > len(b):
             return None  # truncated/corrupt: ranges must be in-file
     return ranges
+
+
+def _fmp4_sample_ranges(b: bytes):
+    """Fragmented-MP4 sample enumeration: every top-level ``moof``'s
+    traf → (tfhd: default sample size + base-data-offset flags,
+    trun: data offset + per-sample sizes).  Base offset resolution
+    per ISO 14496-12: tfhd ``base-data-offset-present`` (0x000001)
+    wins; ``default-base-is-moof`` (0x020000) or neither → the moof's
+    first byte (the CMAF convention; classic chained-moof defaulting
+    to the previous fragment's end is not emitted by web packagers).
+    Same bounds and honesty contract as the classic walk."""
+    ranges = []
+    for t, tlo, thi in _mp4_boxes(b, 0, len(b)):
+        if t != b"moof":
+            continue
+        moof_start = tlo - 8
+        for ft, flo, fhi in _mp4_boxes(b, tlo, thi):
+            if ft != b"traf":
+                continue
+            tfhd = _mp4_find(b, flo, fhi, b"tfhd")
+            if tfhd is None:
+                return None
+            lo, hi = tfhd
+            if hi - lo < 8:
+                return None
+            tf_flags = int.from_bytes(b[lo:lo + 4], "big") & 0xFFFFFF
+            p = lo + 8  # version/flags + track_ID
+            base = moof_start
+            if tf_flags & 0x000001:  # base-data-offset-present
+                if p + 8 > hi:
+                    return None
+                base = int.from_bytes(b[p:p + 8], "big")
+                p += 8
+            if tf_flags & 0x000002:  # sample-description-index
+                p += 4
+            if tf_flags & 0x000008:  # default-sample-duration
+                p += 4
+            default_size = None
+            if tf_flags & 0x000010:  # default-sample-size
+                if p + 4 > hi:
+                    return None
+                default_size = int.from_bytes(b[p:p + 4], "big")
+                p += 4
+            for rt, rlo, rhi in _mp4_boxes(b, flo, fhi):
+                if rt != b"trun":
+                    continue
+                lo2, hi2 = rlo, rhi
+                if hi2 - lo2 < 8:
+                    return None
+                tr_flags = int.from_bytes(b[lo2:lo2 + 4], "big") & 0xFFFFFF
+                cnt = int.from_bytes(b[lo2 + 4:lo2 + 8], "big")
+                if cnt > _MP4_MAX_SAMPLES:
+                    return None
+                q = lo2 + 8
+                off = base
+                if tr_flags & 0x000001:  # data-offset-present
+                    if q + 4 > hi2:
+                        return None
+                    off = base + int.from_bytes(
+                        b[q:q + 4], "big", signed=True
+                    )
+                    q += 4
+                if tr_flags & 0x000004:  # first-sample-flags
+                    q += 4
+                per = []
+                for _ in range(cnt):
+                    if tr_flags & 0x000100:  # sample-duration
+                        q += 4
+                    if tr_flags & 0x000200:  # sample-size
+                        if q + 4 > hi2:
+                            return None
+                        per.append(int.from_bytes(b[q:q + 4], "big"))
+                        q += 4
+                    elif default_size is not None:
+                        per.append(default_size)
+                    else:
+                        return None
+                    if tr_flags & 0x000400:  # sample-flags
+                        q += 4
+                    if tr_flags & 0x000800:  # composition offset
+                        q += 4
+                if q > hi2:
+                    return None
+                for sz in per:
+                    ranges.append((off, sz))
+                    off += sz
+    if not ranges or len(ranges) > _MP4_MAX_SAMPLES:
+        return None
+    for off, sz in ranges:
+        if sz == 0 or off + sz > len(b):
+            return None
+    return ranges
+
+
+def fmp4_mux(samples: list, per_fragment: int = 2) -> bytes:
+    """Minimal fragmented-MP4 muxer — the fixture twin of
+    ``_fmp4_sample_ranges``: ftyp + [moof(mfhd, traf(tfhd
+    default-base-is-moof, trun with data-offset + per-sample sizes))
+    + mdat] per ``per_fragment`` samples.  The CMAF shape a DASH
+    packager emits."""
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00iso6cmfc")
+    out = bytearray(ftyp)
+    seq = 1
+    for i in range(0, len(samples), per_fragment):
+        group = samples[i:i + per_fragment]
+        payload = b"".join(group)
+        mfhd = _mp4_box(
+            b"mfhd", b"\x00" * 4 + seq.to_bytes(4, "big")
+        )
+        tfhd = _mp4_box(
+            b"tfhd",
+            (0x020000).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        )
+        trun_body = (
+            (0x000201).to_bytes(4, "big")  # data-offset + sample-size
+            + len(group).to_bytes(4, "big")
+            + b"\x00\x00\x00\x00"  # data offset patched below
+            + b"".join(len(s).to_bytes(4, "big") for s in group)
+        )
+        trun = _mp4_box(b"trun", trun_body)
+        moof = _mp4_box(b"moof", mfhd + _mp4_box(b"traf", tfhd + trun))
+        # data offset: from moof start to the first mdat payload byte
+        data_off = len(moof) + 8
+        patched = bytearray(moof)
+        # trun data-offset field sits 16 bytes into the trun body:
+        # locate it from the end — trun is the last child
+        field_at = len(moof) - len(trun) + 8 + 8
+        patched[field_at:field_at + 4] = data_off.to_bytes(4, "big")
+        out += bytes(patched) + _mp4_box(b"mdat", payload)
+        seq += 1
+    return bytes(out)
 
 
 def _mp4_box(typ: bytes, body: bytes) -> bytes:
@@ -4854,15 +4990,16 @@ def build_media_mux_blob(doc_id: int) -> bytes:
     disjoint sample range ``4c..4c+3`` (the SAME universe as
     ``build_mp4_blob``-adjacent classes would alias — so this fixture
     uses its own ``xmux-`` seed space); container variant
-    ``(doc_id // 4) %% 3`` is 0 = MP4 (chunk-per-sample), 1 = the
+    ``(doc_id // 4) %% 4`` is 0 = MP4 (chunk-per-sample), 1 = the
     SAME encoded samples re-muxed as WebM, 2 = WebM HEAD-TRIMMED
-    (samples 4c+1..4c+3).  All variants share ≥ 3 encoded-frame
-    hashes, so the byte tier must merge ACROSS CONTAINERS;
-    ``doc_id %% 17 == 0`` truncates (MP4: table gone; the %%17 ids
-    that land on WebM variants get a cut cluster → laced/short block
-    walk fails) — ok=false either way."""
+    (samples 4c+1..4c+3), 3 = the SAME samples re-packaged as
+    FRAGMENTED MP4 (CMAF moof/trun layout, 2 samples per fragment).
+    All variants share ≥ 3 encoded-frame hashes, so the byte tier
+    must merge ACROSS CONTAINERS AND PACKAGINGS; ``doc_id %% 17 ==
+    0`` truncates (MP4/fMP4: table or trailing fragment gone; WebM:
+    cut cluster → short block walk fails) — ok=false either way."""
     cls = doc_id % 4
-    variant = (doc_id // 4) % 3
+    variant = (doc_id // 4) % 4
     idxs = list(range(4 * cls, 4 * cls + 4))
     if variant == 2:
         idxs = idxs[1:]
@@ -4875,7 +5012,12 @@ def build_media_mux_blob(doc_id: int) -> bytes:
         )
         for j in idxs
     ]
-    blob = mp4_mux(samples) if variant == 0 else webm_mux(samples)
+    if variant == 0:
+        blob = mp4_mux(samples)
+    elif variant == 3:
+        blob = fmp4_mux(samples, per_fragment=2)
+    else:
+        blob = webm_mux(samples)
     if doc_id % 17 == 0:
         return blob[: len(blob) * 2 // 3]
     return blob

@@ -7208,8 +7208,8 @@ def _content_encoding_pinned_oracle() -> str:
         return collapsed.strip(" ").replace("'", "''")
 
     rows = {}
-    for cls in range(9):
-        did = next(d for d in (cls, cls + 9, cls + 18) if d % 11)
+    for cls in range(10):
+        did = next(d for d in (cls, cls + 10, cls + 20) if d % 11)
         t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
             warcmod.build_content_encoding_blob(did)
         )
@@ -7223,24 +7223,24 @@ def _content_encoding_pinned_oracle() -> str:
     )
     bad = (bce, bch, bdec, benc, strip(bt) if bdec else None)
     ce_c = " ".join(
-        "WHEN doc_id %% 9 = %d THEN %s"
+        "WHEN doc_id %% 10 = %d THEN %s"
         % (c, "'%s'" % v[0] if v[0] else "NULL")
         for c, v in rows.items()
     )
     ch_c = " ".join(
-        "WHEN doc_id %% 9 = %d THEN %s" % (c, str(v[1]).upper())
+        "WHEN doc_id %% 10 = %d THEN %s" % (c, str(v[1]).upper())
         for c, v in rows.items()
     )
     dec_c = " ".join(
-        "WHEN doc_id %% 9 = %d THEN %s" % (c, str(v[2]).upper())
+        "WHEN doc_id %% 10 = %d THEN %s" % (c, str(v[2]).upper())
         for c, v in rows.items()
     )
     enc_c = " ".join(
-        "WHEN doc_id %% 9 = %d THEN '%s'" % (c, v[3])
+        "WHEN doc_id %% 10 = %d THEN '%s'" % (c, v[3])
         for c, v in rows.items()
     )
     txt_c = " ".join(
-        "WHEN doc_id %% 9 = %d THEN %s"
+        "WHEN doc_id %% 10 = %d THEN %s"
         % (c, "'%s'" % v[4] if v[4] is not None else "NULL")
         for c, v in rows.items()
     )
@@ -7271,8 +7271,8 @@ def http_content_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture rotates brotli-stored / zstd-raw / zstd-RLE / skippable /
     chunked-wrapping-zstd / brotli+latin-1 / compressed-block-zstd
     (false) / compressed-brotli (false) / LF-framed-chunked-gzip (the
-    r14 lenient-framing fix) per doc_id %% 9; %% 11 plants a
-    truncated zstd frame.  All map-side, zero shuffles."""
+    r14 lenient-framing fix) / chained gzip,br per doc_id %% 10;
+    %% 11 plants a truncated zstd frame.  All map-side, zero shuffles."""
     from .operators import web
     from .sources import warc as warcmod
 
@@ -8018,10 +8018,10 @@ def _webm_sample_pinned_oracle() -> str:
     rows = {}
     n_case = []
     for cls in range(4):
-        for variant in range(3):
+        for variant in range(4):
             did = next(
-                d for d in range(48)
-                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
+                d for d in range(64)
+                if d % 4 == cls and (d // 4) % 4 == variant and d % 17
             )
             blob = multimodal.build_media_mux_blob(did)
             ranges = multimodal.media_sample_ranges(blob)
@@ -8035,7 +8035,22 @@ def _webm_sample_pinned_oracle() -> str:
                 ).hexdigest()
     for cls in range(4):
         for k in range(4):
+            # MP4 == WebM re-mux == fMP4 re-package, hash for hash
             assert rows[(cls, 0, k)] == rows[(cls, 1, k)], (cls, k)
+            assert rows[(cls, 0, k)] == rows[(cls, 3, k)], (cls, k)
+    # the %17 plant must be ok=false for EVERY variant: the classic
+    # layout guarantees it structurally (moov after mdat), the
+    # fragmented one empirically (the 2/3 cut lands inside an mdat,
+    # invalidating the trailing fragment's ranges) — assert it so a
+    # fixture-size change can never silently flip the bad branch
+    for var in range(4):
+        did = next(
+            d for d in range(0, 100000, 17)
+            if (d // 4) % 4 == var
+        )
+        assert multimodal.media_sample_ranges(
+            multimodal.build_media_mux_blob(did)
+        ) is None, (did, var)
     hc = " ".join(
         "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
         % (c, v, k, h)
@@ -8045,7 +8060,7 @@ def _webm_sample_pinned_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                 CAST((doc_id // 4) % 4 AS INTEGER) AS var,
                  doc_id % 17 = 0 AS bad
           FROM documents),
         okf AS (
@@ -8071,10 +8086,12 @@ def webm_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free WebM/Matroska sample walk (operators/multimodal.py
     ``webm_sample_ranges``: EBML VINT parse, Segment → Cluster →
     SimpleBlock/BlockGroup, unlaced frames) through the dispatching
-    ``mp4_sample_hashes`` tier.  Fixture: 4 sample classes ×
-    (MP4 / WebM re-mux / WebM head-trim) variants — the MP4 and WebM
-    variants of a class must hash IDENTICALLY (encoded frames are
-    container-independent); %% 17 truncates (ok=false).  Map-side,
+    ``mp4_sample_hashes`` tier, plus the FRAGMENTED-MP4 walk (moof →
+    traf → tfhd/trun, the DASH/CMAF layout streamed video ships).
+    Fixture: 4 sample classes × (MP4 / WebM re-mux / WebM head-trim /
+    fMP4 re-package) variants — MP4, WebM and fMP4 variants of a
+    class must hash IDENTICALLY (encoded frames are container- and
+    packaging-independent); %% 17 truncates (ok=false).  Map-side,
     no shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.mp4_sample_hashes(

@@ -540,9 +540,23 @@ def _decompress_body(body: bytes, label: bytes):
     real servers are infamous for), and br/zstd behind the optional-
     backend contract (library when importable, else the pure-Python
     stored-frame tier — see ``_brotli_decode``/``_zstd_decode``).
-    Returns the decompressed bytes, or None when the stream is
-    corrupt, over the ``_MAX_BODY`` cap, or the codec tier cannot
-    decode it (the honest ``body_decoded=false`` routing)."""
+    A comma-separated CHAIN (``Content-Encoding: gzip, br`` — RFC
+    9110 §8.4: codings applied in list order) is reversed
+    last-to-first, each hop under the same ``_MAX_BODY`` cap.
+    Returns the decompressed bytes, or None when any hop is corrupt,
+    over the cap, or not decodable by the available tier (the honest
+    ``body_decoded=false`` routing)."""
+    for one in reversed(label.split(b",")):
+        one = one.strip()
+        if one in (b"", b"identity"):
+            continue
+        body = _decompress_one(body, one)
+        if body is None:
+            return None
+    return body
+
+
+def _decompress_one(body: bytes, label: bytes):
     if label in (b"gzip", b"x-gzip"):
         return _inflate_capped(body, 16 + 15)
     if label == b"deflate":
@@ -1095,7 +1109,7 @@ def _chunk_encode_lf(b: bytes, size: int = 24) -> bytes:
 
 def build_content_encoding_blob(doc_id: int) -> bytes:
     """HTTP-response bytes for the br/zstd Content-Encoding fixtures:
-    class ``doc_id %% 9`` — 0 brotli stored-mode, 1 zstd raw-block
+    class ``doc_id %% 10`` — 0 brotli stored-mode, 1 zstd raw-block
     frame, 2 zstd RLE frame + raw frame (multi-frame concatenation),
     3 zstd skippable frame then a raw frame, 4 chunked wrapping zstd
     (the real-wire layering order), 5 brotli stored + a latin-1
@@ -1104,9 +1118,12 @@ def build_content_encoding_blob(doc_id: int) -> bytes:
     library-tier routing: kept raw, ``body_decoded=false`` when
     ``zstandard`` is absent), 7 a ``br`` label over junk bytes (same
     honest tier), 8 an LF-only head with LF-framed chunked gzip (the
-    lenient framing the r13 ADVICE found silently mis-handled).
+    lenient framing the r13 ADVICE found silently mis-handled),
+    9 a CHAINED ``Content-Encoding: gzip, br`` (RFC 9110 §8.4 list
+    order: gzip applied first, so the wire carries br(gzip(html)) and
+    decode reverses last-to-first).
     ``doc_id %% 11 == 0`` plants a TRUNCATED zstd frame instead."""
-    cls = doc_id % 9
+    cls = doc_id % 10
     text = "The café on route no. %d stayed open." % cls
     html = "<html><head></head><body><p>%s</p></body></html>" % text
     raw = html.encode("utf-8")
@@ -1146,11 +1163,14 @@ def build_content_encoding_blob(doc_id: int) -> bytes:
     elif cls == 7:
         body = b"\x1b\x8f\x42not-actually-brotli"
         headers.append(("Content-Encoding", "br"))
-    else:
+    elif cls == 8:
         body = _chunk_encode_lf(gzip.compress(raw, mtime=0))
         headers.append(("Transfer-Encoding", "chunked"))
         headers.append(("Content-Encoding", "gzip"))
         lf_head = True
+    else:
+        body = brotli_store(gzip.compress(raw, mtime=0))
+        headers.append(("Content-Encoding", "gzip, br"))
     eol = "\n" if lf_head else "\r\n"
     head = "HTTP/1.1 200 OK" + eol + "".join(
         "%s: %s%s" % (k, v, eol) for k, v in headers

@@ -6141,3 +6141,67 @@ def test_webm_sample_walk_and_cross_container_merge(spark):
             x for x in range(48) if x % 4 == d % 4 and x % 17 != 0
         )
         assert c == exp, (d, c, exp)
+
+
+def test_chained_content_encoding():
+    """RFC 9110 §8.4: Content-Encoding lists apply in order, so decode
+    reverses last-to-first; identity hops are no-ops; an undecodable
+    hop flags the row."""
+    import gzip as _gzip
+
+    from dwc_dataframe_validator_spark.sources import warc as w
+
+    raw = b"chained payload " * 16
+    assert (
+        w._decompress_body(w.brotli_store(_gzip.compress(raw)), b"gzip, br")
+        == raw
+    )
+    assert (
+        w._decompress_body(
+            _gzip.compress(w.zstd_frame_store(raw)), b"zstd , gzip"
+        )
+        == raw
+    )
+    assert w._decompress_body(raw, b"identity, identity") == raw
+    assert w._decompress_body(b"junk", b"gzip, unknown") is None
+    # full message path: class 9 of the fixture
+    t, enc, _s, ce, ch, dec = w.decode_payload_full(
+        w.build_content_encoding_blob(9)
+    )
+    assert dec and ce == "gzip, br" and "stayed open" in t
+
+
+def test_fmp4_fragmented_walk():
+    """Fragmented-MP4 tier: moof/traf/tfhd/trun resolution returns
+    the exact encoded bytes under every fragment grouping; hashes are
+    identical to the classic-layout mux of the same samples; every
+    truncation yields None or a correct sample prefix, never wrong
+    bytes; byte flips never raise."""
+    import hashlib
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    samples = [mm._mp4_fixture_sample(j) for j in range(5)]
+    for pf in (1, 2, 3, 5):
+        blob = mm.fmp4_mux(samples, per_fragment=pf)
+        r = mm.mp4_sample_ranges(blob)
+        assert [blob[o:o + s] for o, s in r] == samples, pf
+    blob = mm.fmp4_mux(samples)
+    classic = mm.mp4_mux(samples)
+
+    def hashes(b):
+        return [
+            hashlib.md5(b[o:o + s]).hexdigest()
+            for o, s in mm.mp4_sample_ranges(b)
+        ]
+
+    assert hashes(blob) == hashes(classic)
+    for cut in range(1, len(blob)):
+        rr = mm.mp4_sample_ranges(blob[:cut])
+        if rr is not None:
+            got = [blob[:cut][o:o + s] for o, s in rr]
+            assert got == samples[: len(got)], cut
+    for j in range(len(blob)):
+        mm.mp4_sample_ranges(
+            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        )
