@@ -188,6 +188,7 @@ HEADLINE = [
     "image_ingest_finalize_check",
     "webm_sample_hash_check",
     "cross_container_video_dedup_check",
+    "image_resize_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

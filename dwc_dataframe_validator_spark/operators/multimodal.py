@@ -1140,6 +1140,112 @@ def image_pixel_hashes(
     )
 
 
+def image_resize_pixels(px, out_w: int, out_h: int, mode: str = "bilinear"):
+    """Real resize of a uint8 (h, w, c) array — the thumbnail/
+    normalization step every multimodal pipeline runs between decode
+    and feature extraction.  Modes:
+
+    - ``"nearest"``: index-map sampling (any dims, integer-exact).
+    - ``"mean"``: box/area average — requires the source dims to be
+      integer multiples of the target (the thumbnail-grid case);
+      integer arithmetic, bit-exact everywhere.
+    - ``"bilinear"``: standard half-pixel-center (align_corners=False)
+      interpolation in float64, rounded half-to-even to uint8 —
+      deterministic on every IEEE-754 platform.
+
+    Pure numpy (vectorized index maps, no Python-per-pixel loops), so
+    it stays fast inside Arrow batches."""
+    import numpy as np
+
+    h, w, c = px.shape
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("target dims must be positive")
+    if mode == "nearest":
+        ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(
+            np.int64), h - 1)
+        xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(
+            np.int64), w - 1)
+        return px[ys][:, xs]
+    if mode == "mean":
+        if h % out_h or w % out_w:
+            raise ValueError(
+                "mode='mean' needs source dims divisible by target "
+                f"({h}x{w} -> {out_h}x{out_w}); use 'bilinear'"
+            )
+        fy, fx = h // out_h, w // out_w
+        acc = px.reshape(out_h, fy, out_w, fx, c).sum(
+            axis=(1, 3), dtype=np.int64
+        )
+        return (acc // (fy * fx)).astype(np.uint8)
+    if mode != "bilinear":
+        raise ValueError(f"unknown resize mode {mode!r}")
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+RESIZE_SCHEMA = (
+    "id long, width int, height int, channels int, "
+    "content binary, ok boolean"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    mode: str = "bilinear",
+    content_col: str = "content",
+    id_col: str = "id",
+    backend: str = "auto",
+) -> DataFrame:
+    """(id, width, height, channels, content, ok) — REAL pixel decode
+    (``decode_image_pixels``, the backend contract) → real resize
+    (``image_resize_pixels``) → lossless PNG re-encode of the
+    thumbnail.  The decode→normalize step of any multimodal training
+    pipeline, as one map-side Arrow pass; undecodable blobs and
+    residual stub tiers yield ok=false rows with NULL content (never
+    task failures)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                px = None
+                if payload is not None:
+                    try:
+                        px = decode_image_pixels(bytes(payload), backend)
+                    except NotImplementedError:
+                        px = None
+                if px is None:
+                    rows.append((i, 0, 0, 0, None, False))
+                    continue
+                small = image_resize_pixels(px, out_w, out_h, mode)
+                rows.append(
+                    (i, out_w, out_h, small.shape[2], png_encode(small),
+                     True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "channels",
+                         "content", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
 def hash_hex_bands(col: F.Column, n_bands: int = 4) -> list[F.Column]:
     """16-bit integer bands of a 16-hex-char hash column — the LSH
     bucketing key AND the portable Hamming-distance representation

@@ -8353,6 +8353,74 @@ QUERIES["image_ingest_finalize_check"] = image_ingest_finalize_check
 ORACLES["image_ingest_finalize_check"] = _image_finalize_oracle()
 
 
+def _image_resize_oracle() -> str:
+    """Pinned-constant oracle for the resize tier: per PNG fixture
+    class the md5 of the 8×8 bilinear thumbnail's PNG bytes, computed
+    driver-side through the very decode → resize → encode path under
+    test (a one-ULP interpolation difference or a wrong half-pixel
+    center breaks the hash).  %17 truncation and %13 relabel plants
+    pin ok=false rows."""
+    import hashlib as _hl
+
+    rows = {}
+    for cls in range(24):
+        did = next(
+            d for d in (cls, cls + 24, cls + 48)
+            if d % 17 and d % 13
+        )
+        blob = multimodal.build_png_blob(did)
+        px = multimodal.decode_image_pixels(blob, "pure")
+        small = multimodal.image_resize_pixels(px, 8, 8, "bilinear")
+        rows[cls] = (
+            small.shape[2],
+            _hl.md5(multimodal.png_encode(small)).hexdigest(),
+        )
+    ch = " ".join(
+        "WHEN cls = %d THEN %d" % (c, v[0]) for c, v in rows.items()
+    )
+    md = " ".join(
+        "WHEN cls = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(CASE WHEN bad THEN 0 ELSE 8 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 8 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {ch} END)
+               END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {md} END) END AS thumb_md5,
+          NOT bad AS ok
+        FROM (SELECT doc_id, CAST(doc_id % 24 AS INTEGER) AS cls,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def image_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → resize → lossless re-encode
+    (operators/multimodal.py ``resize_images`` over
+    ``image_resize_pixels``): the thumbnail/normalization step of a
+    multimodal training pipeline, as one map-side Arrow pass.  The
+    check resizes every PNG fixture to an 8×8 bilinear thumbnail and
+    md5s the re-encoded bytes against per-class constants computed
+    through the same kernel; truncated (%%17) and relabeled (%%13)
+    plants are ok=false rows.  Zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.resize_images(
+        multimodal.attach_png_blob(docs), 8, 8,
+        mode="bilinear", backend="pure",
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "width", "height", "channels",
+        F.md5(F.col("content")).alias("thumb_md5"),
+        "ok",
+    )
+
+
+QUERIES["image_resize_check"] = image_resize_check
+ORACLES["image_resize_check"] = _image_resize_oracle()
+
+
 # Driver-verified window — an EXPLICIT name list (round 13, replacing
 # the round-12 positional-insert hack per ADVICE): the driver's
 # correctness gate runs ``list(QUERIES)[:50]``, so the window is

@@ -6205,3 +6205,36 @@ def test_fmp4_fragmented_walk():
         mm.mp4_sample_ranges(
             blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
         )
+
+
+def test_image_resize_kernel_and_operator(spark):
+    """resize tier: identity-size bilinear/nearest are exact; 'mean'
+    equals the manual block mean and is integer-exact; non-divisible
+    'mean' raises; the Spark operator round-trips through PNG with
+    ok=false rows for undecodable blobs."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    px, _ = mm._png_fixture_pixels(3)
+    assert np.array_equal(mm.image_resize_pixels(px, 16, 16, "bilinear"), px)
+    assert np.array_equal(mm.image_resize_pixels(px, 16, 16, "nearest"), px)
+    m = mm.image_resize_pixels(px, 8, 8, "mean")
+    ref = px.reshape(8, 2, 8, 2, -1).sum(axis=(1, 3), dtype=np.int64) // 4
+    assert np.array_equal(m, ref.astype(np.uint8))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mm.image_resize_pixels(px, 7, 7, "mean")
+    b = mm.image_resize_pixels(px, 5, 9, "bilinear")
+    assert b.shape == (9, 5, px.shape[2]) and b.dtype == np.uint8
+    # operator: good blob thumbnails decode back to the kernel output;
+    # junk blob -> ok=false with NULL content
+    rows = [(1, mm.png_encode(px)), (2, b"not an image")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r for r in mm.resize_images(df, 8, 8).collect()}
+    assert got[2]["ok"] is False and got[2]["content"] is None
+    thumb = mm.png_decode_pixels(bytes(got[1]["content"]))
+    assert np.array_equal(
+        thumb, mm.image_resize_pixels(px, 8, 8, "bilinear")
+    )
