@@ -189,6 +189,7 @@ HEADLINE = [
     "webm_sample_hash_check",
     "cross_container_video_dedup_check",
     "image_resize_check",
+    "audio_resample_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

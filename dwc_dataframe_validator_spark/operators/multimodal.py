@@ -2099,6 +2099,84 @@ def attach_wav_codec_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def resample_pcm(arr, src_rate: int, dst_rate: int):
+    """Linear-interpolation resample of an int16 (n_frames,
+    n_channels) array from ``src_rate`` to ``dst_rate`` — the
+    rate-normalization step an audio training pipeline runs between
+    decode and feature extraction (16 kHz mono-ish corpora are built
+    from 8/22.05/44.1/48 kHz crawl audio).  Output positions are
+    sample-aligned (``t_i = i·src/dst``, first sample preserved);
+    interpolation in float64 via ``np.interp`` per channel, rounded
+    half-to-even to int16 — deterministic on every IEEE-754 platform.
+    Vectorized, no Python-per-sample loops."""
+    import numpy as np
+
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    n = arr.shape[0]
+    if n == 0 or src_rate == dst_rate:
+        return arr.astype(np.int16, copy=True)
+    n_out = max(1, (n * dst_rate) // src_rate)
+    pos = np.arange(n_out, dtype=np.float64) * (src_rate / dst_rate)
+    xp = np.arange(n, dtype=np.float64)
+    out = np.empty((n_out, arr.shape[1]), dtype=np.int16)
+    for c in range(arr.shape[1]):
+        out[:, c] = (
+            np.rint(np.interp(pos, xp, arr[:, c].astype(np.float64)))
+            .clip(-32768, 32767)
+            .astype(np.int16)
+        )
+    return out
+
+
+RESAMPLE_SCHEMA = (
+    "id long, src_rate int, dst_rate int, n_frames bigint, "
+    "content binary, ok boolean"
+)
+
+
+def resample_audio(
+    df: DataFrame,
+    dst_rate: int,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, src_rate, dst_rate, n_frames, content, ok) — REAL WAV
+    decode (``wav_decode_samples``: PCM16/float32/G.711 tiers) →
+    linear resample to ``dst_rate`` (``resample_pcm``) → PCM16 WAV
+    re-encode.  One map-side Arrow pass; malformed payloads and the
+    residual codec stubs yield ok=false rows with NULL content."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                dec = None
+                if payload is not None:
+                    try:
+                        dec = wav_decode_samples(bytes(payload))
+                    except NotImplementedError:
+                        dec = None  # ADPCM/MP3-in-RIFF stub tier
+                if dec is None:
+                    rows.append((i, 0, 0, 0, None, False))
+                    continue
+                rate, _ch, arr = dec
+                out = resample_pcm(arr, rate, dst_rate)
+                rows.append(
+                    (i, rate, dst_rate, out.shape[0],
+                     wav_encode(dst_rate, out), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "src_rate", "dst_rate", "n_frames",
+                         "content", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, RESAMPLE_SCHEMA
+    )
+
+
 def audio_envelope_hash(arr) -> int:
     """64-bit energy-envelope hash of a decoded (n_frames, channels)
     int16 array — the audio twin of ``image_ahash``: channel-0 |x|

@@ -6596,6 +6596,75 @@ QUERIES["audio_pcm_feature_check"] = audio_pcm_feature_check
 ORACLES["audio_pcm_feature_check"] = _wav_pinned_oracle()
 
 
+def _audio_resample_oracle() -> str:
+    """Pinned-constant oracle for the resample tier: per WAV fixture
+    class the (src_rate, n_frames, md5 of the 16 kHz re-encoded WAV)
+    computed driver-side through the same decode → resample → encode
+    path — a one-position error in the interpolation grid or a wrong
+    rounding mode breaks the hash.  %17/%13 plants pin ok=false."""
+    import hashlib as _hl
+
+    rows = {}
+    for cls in range(8):
+        rate, _ch, arr = multimodal._wav_fixture_samples(cls)
+        out = multimodal.resample_pcm(arr, rate, 16000)
+        rows[cls] = (
+            rate,
+            out.shape[0],
+            _hl.md5(multimodal.wav_encode(16000, out)).hexdigest(),
+        )
+    rc = " ".join(
+        "WHEN doc_id %% 8 = %d THEN %d" % (c, v[0])
+        for c, v in rows.items()
+    )
+    nc = " ".join(
+        "WHEN doc_id %% 8 = %d THEN %d" % (c, v[1])
+        for c, v in rows.items()
+    )
+    mc = " ".join(
+        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[2])
+        for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {rc} END)
+               END AS INTEGER) AS src_rate,
+          CAST(CASE WHEN bad THEN 0 ELSE 16000 END AS INTEGER)
+            AS dst_rate,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {nc} END)
+               END AS BIGINT) AS n_frames,
+          CASE WHEN bad THEN NULL ELSE (CASE {mc} END) END AS wav_md5,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def audio_resample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode → linear resample to 16 kHz → PCM16 re-encode
+    (operators/multimodal.py ``resample_audio`` over
+    ``resample_pcm``): the rate-normalization step of an audio
+    training pipeline as one map-side Arrow pass.  The check md5s the
+    re-encoded bytes against per-class constants computed through the
+    same kernel; the %%17 truncation and %%13 ADPCM-stub plants are
+    ok=false rows.  Zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.resample_audio(
+        multimodal.attach_wav_blob(docs), 16000
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "src_rate", "dst_rate", "n_frames",
+        F.md5(F.col("content")).alias("wav_md5"),
+        "ok",
+    )
+
+
+QUERIES["audio_resample_check"] = audio_resample_check
+ORACLES["audio_resample_check"] = _audio_resample_oracle()
+
+
 def audio_hash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO dedup end-to-end (operators/multimodal.py
     ``audio_hash_dedup``): real PCM16 decode → 64-window energy-

@@ -6238,3 +6238,38 @@ def test_image_resize_kernel_and_operator(spark):
     assert np.array_equal(
         thumb, mm.image_resize_pixels(px, 8, 8, "bilinear")
     )
+
+
+def test_audio_resample_kernel_and_operator(spark):
+    """resample tier: identity rate is a copy; integer downsample by
+    2 picks every other sample exactly (positions land on sources);
+    upsample midpoints are the linear average; the operator
+    round-trips through WAV with ok=false for stub/malformed blobs."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    arr = (np.arange(40, dtype=np.int16) * 100 - 2000).reshape(-1, 2)
+    same = mm.resample_pcm(arr, 8000, 8000)
+    assert np.array_equal(same, arr) and same is not arr
+    down = mm.resample_pcm(arr, 8000, 4000)
+    assert np.array_equal(down, arr[::2])
+    up = mm.resample_pcm(arr, 8000, 16000)
+    assert up.shape[0] == 40
+    assert np.array_equal(up[::2], arr)
+    # odd output positions sit halfway between consecutive sources
+    # (the last one clamps to the final source sample)
+    mids = np.rint((arr[:-1].astype(np.float64) + arr[1:]) / 2)
+    assert np.array_equal(up[1:-1:2].astype(np.float64), mids)
+    assert np.array_equal(up[-1], arr[-1])
+    rate, _ch, fx = mm._wav_fixture_samples(3)
+    rows = [
+        (1, mm.wav_encode(rate, fx)),
+        (2, b"RIFFnope"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r for r in mm.resample_audio(df, 16000).collect()}
+    assert got[2]["ok"] is False and got[2]["content"] is None
+    r2, c2, dec = mm.wav_decode_samples(bytes(got[1]["content"]))
+    assert r2 == 16000
+    assert np.array_equal(dec, mm.resample_pcm(fx, rate, 16000))
