@@ -8521,7 +8521,9 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # mp4_byte_dedup_clusters, image_ingest_finalize_check); out —
 # q_top_orders_by_revenue, dedup_fingerprint, date_multiformat_parse,
 # a13_date_parts (each family keeps another window member or a pytest
-# pin, all stay in the full local sweep).
+# pin, all stay in the full local sweep); then image_resize_check and
+# audio_resample_check in for cms_event_type_counts and
+# text_tfidf_top_terms (same rule).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -8549,13 +8551,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "audio_hash_dedup_clusters",
     "crawl_ingest_check",
     "text_ngram_top_neighbor",
-    "text_tfidf_top_terms",
     "doc_chunks",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
     "ann_ivf_topk",
-    "cms_event_type_counts",
     "annotate_row_errors",
     "stream_window_counts",
     "sessionize",
@@ -8573,6 +8573,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mp4_sample_hash_check",
     "mp4_byte_dedup_clusters",
     "image_ingest_finalize_check",
+    "image_resize_check",
+    "audio_resample_check",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -156,13 +156,11 @@ DRIVER_WINDOW = [
     "audio_hash_dedup_clusters",
     "crawl_ingest_check",
     "text_ngram_top_neighbor",
-    "text_tfidf_top_terms",
     "doc_chunks",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
     "ann_ivf_topk",
-    "cms_event_type_counts",
     "annotate_row_errors",
     "stream_window_counts",
     "sessionize",
@@ -180,6 +178,8 @@ DRIVER_WINDOW = [
     "mp4_sample_hash_check",
     "mp4_byte_dedup_clusters",
     "image_ingest_finalize_check",
+    "image_resize_check",
+    "audio_resample_check",
 ]
 
 
