@@ -190,6 +190,8 @@ HEADLINE = [
     "cross_container_video_dedup_check",
     "image_resize_check",
     "audio_resample_check",
+    "tar_members_check",
+    "webdataset_group_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -6665,6 +6665,167 @@ QUERIES["audio_resample_check"] = audio_resample_check
 ORACLES["audio_resample_check"] = _audio_resample_oracle()
 
 
+def _tar_fixture_rows(cls: int, bad: bool):
+    """Member rows (index, name, key, ext, size, md5_or_None, ok) the
+    walker must produce for one fixture class, computed through
+    ``iter_tar_members`` itself over the class's (possibly torn)
+    blob."""
+    import hashlib as _hl
+
+    from .sources import tar as tarmod
+
+    did = next(
+        d for d in range(200)
+        if d % 6 == cls and (d % 17 == 0) == bad and (bad or d % 13)
+    )
+    out = []
+    for idx, name, size, content, ok in tarmod.iter_tar_members(
+        tarmod.build_tar_blob(did)
+    ):
+        key, ext = tarmod.wds_key_ext(name) if name else (None, None)
+        out.append((
+            idx, name, key, ext, size,
+            _hl.md5(content).hexdigest() if content is not None else None,
+            ok,
+        ))
+    return out
+
+
+def _sql_lit(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return "'%s'" % str(v).replace("'", "''")
+
+
+def _tar_members_oracle() -> str:
+    """Pinned row-table oracle for the tar/WebDataset member walk:
+    for every (class, torn?) fixture shape the exact member rows —
+    names, WebDataset key/ext splits, declared sizes, content md5s,
+    and the flagged torn tail — computed driver-side through the same
+    walker; joined to documents on (cls, bad).  The gzip variant
+    (%13) is pinned IDENTICAL to the plain shape by construction
+    (same plain bytes), which is the compression-transparency claim."""
+    values = []
+    for cls in range(6):
+        for bad in (False, True):
+            for row in _tar_fixture_rows(cls, bad):
+                values.append(
+                    "(%d, %s, %s)" % (
+                        cls, _sql_lit(bad),
+                        ", ".join(_sql_lit(v) for v in row),
+                    )
+                )
+    rows_sql = ",\n          ".join(values)
+    return f"""
+        WITH consts(cls, bad, member_index, member_name, key, ext,
+                    size, content_md5, ok) AS (
+          VALUES {rows_sql}
+        ),
+        base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS bad
+          FROM documents)
+        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+               CAST(c.member_index AS BIGINT) AS member_index,
+               c.member_name, c.key, c.ext,
+               CAST(c.size AS BIGINT) AS size,
+               c.content_md5, c.ok
+        FROM base b JOIN consts c ON c.cls = b.cls AND c.bad = b.bad
+    """
+
+
+def tar_members_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar/WebDataset shard source (sources/tar.py
+    ``decode_tar_records`` over ``iter_tar_members``): stdlib-tar
+    member walk with gzip/bzip2/xz transparency, WebDataset
+    first-dot key/ext splitting, the zero-block terminator check
+    (a shard cut at a 512 boundary must flag, not silently drop its
+    tail), and torn-member short-read flagging.  Fixture: 6 classes
+    of multi-sample shards, %%13 ships gzip (identical rows — the
+    transparency claim), %%17 tears the last member's data.
+    Map-side, zero shuffles."""
+    from .sources import tar as tarmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = tarmod.decode_tar_records(
+        tarmod.attach_tar_blob(docs), id_col="id"
+    )
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        "member_index", "member_name", "key", "ext", "size",
+        F.md5(F.col("content")).alias("content_md5"),
+        "ok",
+    )
+
+
+QUERIES["tar_members_check"] = tar_members_check
+ORACLES["tar_members_check"] = _tar_members_oracle()
+
+
+def _webdataset_group_oracle() -> str:
+    """Pinned row-table oracle for WebDataset sample regrouping:
+    per (class, torn?) the (key, n_parts, exts, parts_sig) rows,
+    computed by replaying the grouping in Python over the walker's
+    good rows — the torn member's sample loses exactly that part."""
+    values = []
+    for cls in range(6):
+        for bad in (False, True):
+            groups: dict = {}
+            for row in _tar_fixture_rows(cls, bad):
+                idx, name, key, ext, size, md5h, ok = row
+                if not ok:
+                    continue
+                groups.setdefault(key, []).append((ext, md5h))
+            for key in sorted(groups):
+                parts = groups[key]
+                exts = ",".join(sorted(e for e, _ in parts))
+                sig = ",".join(sorted(f"{e}:{m}" for e, m in parts))
+                values.append(
+                    "(%d, %s, %s, %d, %s, %s)" % (
+                        cls, _sql_lit(bad), _sql_lit(key), len(parts),
+                        _sql_lit(exts), _sql_lit(sig),
+                    )
+                )
+    rows_sql = ",\n          ".join(values)
+    return f"""
+        WITH consts(cls, bad, key, n_parts, exts, parts_sig) AS (
+          VALUES {rows_sql}
+        ),
+        base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS bad
+          FROM documents)
+        SELECT CAST(b.doc_id AS BIGINT) AS shard, c.key,
+               CAST(c.n_parts AS BIGINT) AS n_parts,
+               c.exts, c.parts_sig
+        FROM base b JOIN consts c ON c.cls = b.cls AND c.bad = b.bad
+    """
+
+
+def webdataset_group_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample regrouping (sources/tar.py
+    ``webdataset_samples``): member rows → one row per (shard, key)
+    with the sorted extension list and the deterministic
+    ``ext:md5`` parts signature — the join/dedup handle for grouped
+    image-text samples.  One partial-aggregation groupBy; the torn
+    %%17 member drops exactly its own part from its sample."""
+    from .sources import tar as tarmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = tarmod.decode_tar_records(
+        tarmod.attach_tar_blob(docs), id_col="id"
+    )
+    return tarmod.webdataset_samples(dec, shard_col="id", key_col="key")
+
+
+QUERIES["webdataset_group_check"] = webdataset_group_check
+ORACLES["webdataset_group_check"] = _webdataset_group_oracle()
+
+
 def audio_hash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO dedup end-to-end (operators/multimodal.py
     ``audio_hash_dedup``): real PCM16 decode → 64-window energy-

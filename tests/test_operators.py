@@ -6273,3 +6273,61 @@ def test_audio_resample_kernel_and_operator(spark):
     r2, c2, dec = mm.wav_decode_samples(bytes(got[1]["content"]))
     assert r2 == 16000
     assert np.array_equal(dec, mm.resample_pcm(fx, rate, 16000))
+
+
+def test_tar_webdataset_source(spark, tmp_path):
+    """Tar/WebDataset source: file-source and columnar faces agree;
+    gzip shards decode transparently; a shard cut at a 512-block
+    boundary is FLAGGED (the zero-terminator check), not silently
+    shortened; truncation never yields wrong bytes; grouping
+    regroups samples by first-dot key with the torn part dropped."""
+    from dwc_dataframe_validator_spark.sources import tar as t
+
+    members = [
+        ("000/abc.jpg", b"JPG" * 111), ("000/abc.txt", b"caption one"),
+        ("000/abc.meta.json", b'{"a":1}'), ("000/xyz.jpg", b"Z" * 77),
+        ("000/xyz.txt", b"caption two"),
+    ]
+    blob = t.tar_encode(members)
+    # file-source face == columnar face
+    shard = tmp_path / "shard-000.tar"
+    shard.write_bytes(blob)
+    via_file = t.read_tar(spark, str(shard)).collect()
+    df = spark.createDataFrame([(1, blob)], "id long, content binary")
+    via_col = t.decode_tar_records(df, id_col="id").collect()
+    assert [
+        (r["member_name"], bytes(r["content"])) for r in via_file
+    ] == [(r["member_name"], bytes(r["content"])) for r in via_col]
+    assert [r["key"] for r in via_file[:3]] == ["000/abc"] * 3
+    assert via_file[2]["ext"] == "meta.json"
+    # gzip transparency
+    rows_gz = list(t.iter_tar_members(t.tar_encode(members, gz=True)))
+    assert [(r[1], r[3]) for r in rows_gz] == [
+        (n, d) for n, d in members
+    ]
+    # block-boundary cut: all members present but terminator gone
+    content_end = sum(
+        512 + (len(d) + 511) // 512 * 512 for _, d in members
+    )
+    cut_rows = list(t.iter_tar_members(blob[:content_end]))
+    assert not cut_rows[-1][4] and len(
+        [r for r in cut_rows if r[4]]
+    ) == len(members)
+    # exhaustive truncation: flagged tail or complete archive
+    for cut in range(1, len(blob), 7):
+        got = list(t.iter_tar_members(blob[:cut]))
+        good = [r for r in got if r[4]]
+        for r, (n, d) in zip(good, members):
+            assert r[1] == n and r[3] == d, cut
+        assert (got and not got[-1][4]) or len(good) == len(members)
+    # grouping: 2 samples, torn-part drop
+    samples = {
+        r["key"]: r
+        for r in t.webdataset_samples(
+            t.decode_tar_records(df, id_col="id"),
+            shard_col="id", key_col="key",
+        ).collect()
+    }
+    assert samples["000/abc"]["n_parts"] == 3
+    assert samples["000/abc"]["exts"] == "jpg,meta.json,txt"
+    assert samples["000/xyz"]["n_parts"] == 2
