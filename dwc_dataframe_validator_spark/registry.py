@@ -8684,7 +8684,10 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # a13_date_parts (each family keeps another window member or a pytest
 # pin, all stay in the full local sweep); then image_resize_check and
 # audio_resample_check in for cms_event_type_counts and
-# text_tfidf_top_terms (same rule).
+# text_tfidf_top_terms (same rule); finally tar_members_check and
+# webdataset_group_check in for robots_filter_check and
+# jpeg_pixel_hash_check (the web and JPEG families keep
+# wet_main_content_docs and jpeg_progressive_hash_check).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -8706,8 +8709,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
-    "jpeg_pixel_hash_check",
-    "robots_filter_check",
     "sentence_stats_docs",
     "audio_hash_dedup_clusters",
     "crawl_ingest_check",
@@ -8736,6 +8737,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "image_ingest_finalize_check",
     "image_resize_check",
     "audio_resample_check",
+    "tar_members_check",
+    "webdataset_group_check",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

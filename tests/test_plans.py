@@ -150,8 +150,6 @@ DRIVER_WINDOW = [
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
-    "jpeg_pixel_hash_check",
-    "robots_filter_check",
     "sentence_stats_docs",
     "audio_hash_dedup_clusters",
     "crawl_ingest_check",
@@ -180,6 +178,8 @@ DRIVER_WINDOW = [
     "image_ingest_finalize_check",
     "image_resize_check",
     "audio_resample_check",
+    "tar_members_check",
+    "webdataset_group_check",
 ]
 
 

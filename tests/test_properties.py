@@ -902,3 +902,123 @@ def test_gif_animation_matches_reference_compositor(sw, sh, n_frames, seed):
             [[list(c) for c in row] for row in want[k]], dtype=np.uint8
         )
         assert np.array_equal(got[k], ref), k
+
+
+# ---------------------------------------------------------------------------
+# round-14 codec/container tiers: hypothesis property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300000))
+def test_prop_brotli_zstd_stored_roundtrip(payload):
+    """Stored-frame codecs roundtrip ANY byte string byte-exactly
+    through the pure tiers (multi-chunk framing included via the
+    64 KiB emitter split)."""
+    from dwc_dataframe_validator_spark.sources import warc as w
+
+    assert w._brotli_decode(w.brotli_store(payload)) == payload
+    assert w._zstd_decode(w.zstd_frame_store(payload)) == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=1, max_size=5000), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=6),
+)
+def test_prop_media_mux_walk_roundtrip(samples, per_fragment):
+    """All three video packagings (classic MP4, fragmented MP4, WebM)
+    enumerate EXACTLY the encoded sample bytes they were muxed from,
+    for arbitrary sample lists — so cross-container hashes can never
+    disagree."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    for blob in (
+        mm.mp4_mux(samples),
+        mm.mp4_mux(samples, single_chunk=True),
+        mm.fmp4_mux(samples, per_fragment=per_fragment),
+        mm.webm_mux(samples),
+    ):
+        ranges = mm.media_sample_ranges(blob)
+        assert ranges is not None
+        assert [blob[o:o + s] for o, s in ranges] == samples
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,8}(/[a-z]{1,8}){0,2}", fullmatch=True),
+            st.binary(min_size=0, max_size=4000),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.booleans(),
+)
+def test_prop_tar_roundtrip(members, gz):
+    """tar_encode → iter_tar_members is the identity on (name, bytes)
+    for arbitrary member lists, plain and gzip."""
+    from dwc_dataframe_validator_spark.sources import tar as t
+
+    rows = list(t.iter_tar_members(t.tar_encode(members, gz=gz)))
+    assert [(r[1], r[3], r[4]) for r in rows] == [
+        (n, d, True) for n, d in members
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1000, max_value=48000),
+    st.integers(min_value=1000, max_value=48000),
+    st.integers(min_value=-32768, max_value=32767),
+)
+def test_prop_resample_constant_and_bounds(ch, n, src, dst, val):
+    """A constant signal resamples to the same constant at any rate
+    pair; output length follows floor(n·dst/src) (min 1); output
+    values never leave the input's [min, max] envelope (linear
+    interpolation is a convex combination)."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    arr = np.full((n, ch), val, dtype=np.int16)
+    out = mm.resample_pcm(arr, src, dst)
+    assert (out == val).all()
+    if src != dst:
+        assert out.shape == (max(1, n * dst // src), ch)
+    rnd = np.random.RandomState(42).randint(
+        -30000, 30000, size=(n, ch)
+    ).astype(np.int16)
+    out2 = mm.resample_pcm(rnd, src, dst)
+    assert out2.min() >= rnd.min() and out2.max() <= rnd.max()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=3),
+)
+def test_prop_resize_envelope_and_dims(w, h, ch):
+    """Every resize mode lands inside the source value envelope and
+    produces exactly the requested dims; identity dims are exact for
+    nearest and bilinear."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rnd = np.random.RandomState(w * 1000 + h * 10 + ch)
+    px = rnd.randint(0, 256, size=(12, 16, ch)).astype(np.uint8)
+    for mode in ("nearest", "bilinear"):
+        out = mm.image_resize_pixels(px, w, h, mode)
+        assert out.shape == (h, w, ch)
+        assert out.min() >= px.min() and out.max() <= px.max()
+        same = mm.image_resize_pixels(px, 16, 12, mode)
+        assert np.array_equal(same, px)
