@@ -182,6 +182,15 @@ def read_tar(
     precomputed.  File-parallel (``binaryFile``), Arrow-batched,
     malformed members → ``ok=false`` rows, never task failures."""
     files = spark.read.format("binaryFile").load(path)
+    return _parse_tar_files(files, max_payload)
+
+
+def _parse_tar_files(
+    files: DataFrame, max_payload: int | None
+) -> DataFrame:
+    """Shared per-file walk behind ``read_tar`` (batch) and
+    ``stream_tar`` (streaming) — one parser, so stream ≡ batch by
+    construction."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -197,6 +206,36 @@ def read_tar(
     return files.select("path", "content").mapInPandas(
         run, TAR_MEMBER_SCHEMA
     )
+
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, "
+    "content binary"
+)
+
+
+def stream_tar(
+    spark: SparkSession,
+    path: str,
+    max_payload: int | None = None,
+) -> DataFrame:
+    """STREAMING face of ``read_tar``: shards LANDING in ``path``
+    become a live member stream (same ``TAR_MEMBER_SCHEMA`` rows,
+    same per-file Arrow walk — ``mapInPandas`` applies to streaming
+    frames unchanged), the ``stream_warc`` recipe applied to
+    WebDataset corpora: the file source's checkpoint tracks which
+    shards are consumed, and a downstream ``foreachBatch`` sink's
+    commit markers make each batch replay-safe.  The streaming
+    binaryFile source requires an explicit schema (pinned to the
+    format's fixed columns) and takes ONE path (directory or glob).
+
+    Stream ≡ batch by construction (one shared walker); pinned in
+    pytest by draining a landing directory and comparing to
+    ``read_tar``."""
+    files = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    ).load(path)
+    return _parse_tar_files(files, max_payload)
 
 
 def decode_tar_records(

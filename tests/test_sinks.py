@@ -1502,3 +1502,47 @@ def test_image_survivors_mega_duplicate_is_aggregate_not_window(spark):
     got = {(r["id"], r["dhash"]) for r in out.collect()}
     ids = sorted(i for i, _ in got)
     assert ids == [0, 1000], ids  # min id per dhash, mega-dup collapsed
+
+
+def test_stream_tar_equals_batch(spark, tmp_path):
+    """stream_tar ≡ read_tar by construction (one shared walker):
+    drain a landing directory of shards — one plain, one gzip, one
+    torn — through the streaming face and compare member rows to the
+    batch face."""
+    from dwc_dataframe_validator_spark.sources import tar as t
+
+    land = tmp_path / "land"
+    land.mkdir()
+    m1 = [("a/k1.jpg", b"X" * 600), ("a/k1.txt", b"cap")]
+    m2 = [("b/k2.jpg", b"Y" * 100), ("b/k2.cls", b"7")]
+    (land / "s1.tar").write_bytes(t.tar_encode(m1))
+    (land / "s2.tar").write_bytes(t.tar_encode(m2, gz=True))
+    (land / "s3.tar").write_bytes(t.tar_encode(m1)[:700])  # torn
+    out = str(tmp_path / "out")
+    q = (
+        t.stream_tar(spark, str(land))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(rows):
+        return sorted(
+            (r["path"].split("/")[-1], r["member_index"],
+             r["member_name"], r["key"], r["ext"], r["size"],
+             None if r["content"] is None else bytes(r["content"]),
+             r["ok"])
+            for r in rows
+        )
+
+    streamed = canon(spark.read.parquet(out).collect())
+    batch = canon(t.read_tar(spark, str(land) + "/*.tar").collect())
+    assert streamed == batch
+    # the torn shard (cut inside its first member's data) contributed
+    # exactly one flagged row; the other shards parsed fully
+    flagged = [r for r in streamed if not r[-1]]
+    assert len(flagged) == 1 and flagged[0][0] == "s3.tar"
+    assert len(streamed) == len(m1) + len(m2) + 1
