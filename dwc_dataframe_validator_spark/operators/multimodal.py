@@ -4267,14 +4267,19 @@ def video_frame_hashes(
     way.  Map-side Arrow batches, no shuffle."""
     if backend not in ("auto", "pil", "pure"):
         raise ValueError(f"unknown pixel backend {backend!r}")
-    eff = ("pil" if _pil_available() else "pure") if backend == "auto" \
-        else backend
 
     def _frame_pixels(fb: bytes):
+        # 'auto' resolves INSIDE the task (decode_image_pixels probes
+        # the memoized _pil_available on whichever executor runs it) —
+        # resolving on the driver would pin 'pil' onto executors that
+        # lack PIL on a heterogeneous cluster.  ImportError is caught
+        # alongside the stub tier for the same reason: an executor
+        # without the codec degrades to ok=false rows, never a task
+        # failure (the image_pixel_hashes contract).
         try:
-            return decode_image_pixels(fb, eff)
-        except NotImplementedError:
-            return None  # residual JPEG stub tier → ok=false row
+            return decode_image_pixels(fb, backend)
+        except (NotImplementedError, ImportError):
+            return None  # stub tier / missing codec → ok=false row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4706,6 +4711,9 @@ def _fmp4_sample_ranges(b: bytes):
     wins; ``default-base-is-moof`` (0x020000) or neither → the moof's
     first byte (the CMAF convention; classic chained-moof defaulting
     to the previous fragment's end is not emitted by web packagers).
+    A trun WITHOUT data-offset-present that is not its traf's first
+    run continues immediately after the previous run's data
+    (14496-12 §8.8.8) — only the first run falls back to the base.
     Same bounds and honesty contract as the classic walk."""
     ranges = []
     for t, tlo, thi in _mp4_boxes(b, 0, len(b)):
@@ -4739,6 +4747,10 @@ def _fmp4_sample_ranges(b: bytes):
                     return None
                 default_size = int.from_bytes(b[p:p + 4], "big")
                 p += 4
+            prev_end = None  # end of the previous trun's data (14496-12
+            # §8.8.8: a run without data-offset-present continues
+            # immediately after the previous run; only the FIRST run
+            # of a traf defaults to the base offset)
             for rt, rlo, rhi in _mp4_boxes(b, flo, fhi):
                 if rt != b"trun":
                     continue
@@ -4750,7 +4762,7 @@ def _fmp4_sample_ranges(b: bytes):
                 if cnt > _MP4_MAX_SAMPLES:
                     return None
                 q = lo2 + 8
-                off = base
+                off = base if prev_end is None else prev_end
                 if tr_flags & 0x000001:  # data-offset-present
                     if q + 4 > hi2:
                         return None
@@ -4782,6 +4794,7 @@ def _fmp4_sample_ranges(b: bytes):
                 for sz in per:
                     ranges.append((off, sz))
                     off += sz
+                prev_end = off
     if not ranges or len(ranges) > _MP4_MAX_SAMPLES:
         return None
     for off, sz in ranges:
@@ -4790,12 +4803,17 @@ def _fmp4_sample_ranges(b: bytes):
     return ranges
 
 
-def fmp4_mux(samples: list, per_fragment: int = 2) -> bytes:
+def fmp4_mux(
+    samples: list, per_fragment: int = 2, split_truns: bool = False,
+) -> bytes:
     """Minimal fragmented-MP4 muxer — the fixture twin of
     ``_fmp4_sample_ranges``: ftyp + [moof(mfhd, traf(tfhd
     default-base-is-moof, trun with data-offset + per-sample sizes))
     + mdat] per ``per_fragment`` samples.  The CMAF shape a DASH
-    packager emits."""
+    packager emits.  ``split_truns`` halves each fragment's samples
+    across TWO trun boxes where only the first carries data-offset —
+    the 14496-12 §8.8.8 continuation case (the second run's data
+    starts where the first ended) some low-latency packagers emit."""
     ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00iso6cmfc")
     out = bytearray(ftyp)
     seq = 1
@@ -4809,20 +4827,30 @@ def fmp4_mux(samples: list, per_fragment: int = 2) -> bytes:
             b"tfhd",
             (0x020000).to_bytes(4, "big") + (1).to_bytes(4, "big"),
         )
-        trun_body = (
-            (0x000201).to_bytes(4, "big")  # data-offset + sample-size
-            + len(group).to_bytes(4, "big")
-            + b"\x00\x00\x00\x00"  # data offset patched below
-            + b"".join(len(s).to_bytes(4, "big") for s in group)
-        )
-        trun = _mp4_box(b"trun", trun_body)
-        moof = _mp4_box(b"moof", mfhd + _mp4_box(b"traf", tfhd + trun))
+
+        def _trun(grp: list, with_offset: bool) -> bytes:
+            flags = 0x000201 if with_offset else 0x000200
+            body = (
+                flags.to_bytes(4, "big")
+                + len(grp).to_bytes(4, "big")
+                + (b"\x00\x00\x00\x00" if with_offset else b"")
+                + b"".join(len(s).to_bytes(4, "big") for s in grp)
+            )
+            return _mp4_box(b"trun", body)
+
+        if split_truns and len(group) >= 2:
+            half = len(group) // 2
+            truns = _trun(group[:half], True) + _trun(group[half:], False)
+        else:
+            truns = _trun(group, True)
+        moof = _mp4_box(b"moof", mfhd + _mp4_box(b"traf", tfhd + truns))
         # data offset: from moof start to the first mdat payload byte
         data_off = len(moof) + 8
         patched = bytearray(moof)
-        # trun data-offset field sits 16 bytes into the trun body:
-        # locate it from the end — trun is the last child
-        field_at = len(moof) - len(trun) + 8 + 8
+        # the FIRST trun's data-offset field sits 16 bytes into its
+        # body: locate it from the end — the trun run is the traf's
+        # last children block
+        field_at = len(moof) - len(truns) + 8 + 8
         patched[field_at:field_at + 4] = data_off.to_bytes(4, "big")
         out += bytes(patched) + _mp4_box(b"mdat", payload)
         seq += 1

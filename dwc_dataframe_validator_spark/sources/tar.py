@@ -74,25 +74,48 @@ def _plain_tar_bytes(raw: bytes):
     if raw[:2] == b"\x1f\x8b":
         import zlib
 
-        try:
-            d = zlib.decompressobj(16 + 15)
-            out = d.decompress(raw, _MAX_SHARD + 1)
-        except zlib.error:
-            return None
-        if len(out) > _MAX_SHARD or not d.eof:
-            return None
-        return out
+        # Parallel compressors (pigz, and `cat a.gz b.gz`) emit
+        # CONCATENATED gzip streams; stdlib tarfile 'r:*' reads them
+        # all, so stopping at the first stream's eof would truncate
+        # valid shards.  Loop per stream via unused_data, keeping the
+        # _MAX_SHARD cap across the whole concatenation.
+        chunks, data = [], raw
+        total = 0
+        while data:
+            try:
+                d = zlib.decompressobj(16 + 15)
+                out = d.decompress(data, _MAX_SHARD + 1 - total)
+            except zlib.error:
+                return None
+            total += len(out)
+            if total > _MAX_SHARD or not d.eof:
+                return None
+            chunks.append(out)
+            data = d.unused_data
+            if data and data[:2] != b"\x1f\x8b":
+                return None  # trailing garbage after the last stream
+        return b"".join(chunks)
     if raw[:3] == b"BZh":
         import bz2
 
-        try:
-            d = bz2.BZ2Decompressor()
-            out = d.decompress(raw, _MAX_SHARD + 1)
-        except (OSError, EOFError, ValueError):
-            return None
-        if len(out) > _MAX_SHARD or not d.eof:
-            return None
-        return out
+        # pbzip2/lbzip2 emit one bzip2 stream per worker block —
+        # same multi-stream loop as gzip above.
+        chunks, data = [], raw
+        total = 0
+        while data:
+            try:
+                d = bz2.BZ2Decompressor()
+                out = d.decompress(data, _MAX_SHARD + 1 - total)
+            except (OSError, EOFError, ValueError):
+                return None
+            total += len(out)
+            if total > _MAX_SHARD or not d.eof:
+                return None
+            chunks.append(out)
+            data = d.unused_data
+            if data and data[:3] != b"BZh":
+                return None  # trailing garbage after the last stream
+        return b"".join(chunks)
     if raw[:6] == b"\xfd7zXZ\x00":
         import lzma
 

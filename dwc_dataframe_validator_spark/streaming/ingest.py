@@ -586,6 +586,20 @@ def image_ingest_batch(
         store, bits, meta = incremental.load_fingerprint_index(
             spark, index_path
         )
+        # refuse to hash this batch under a different decoder than
+        # built the store: dHashes of the same JPEG bytes differ
+        # across codecs, so a backend switch (container upgrade,
+        # explicit arg change) would silently stop exact dedup from
+        # ever matching the accumulated fingerprints
+        recorded = meta.get("decode_backend")
+        if recorded is not None and recorded != backend:
+            raise ValueError(
+                f"image index at {index_path!r} was built with "
+                f"backend={recorded!r} but this run passed "
+                f"backend={backend!r} — perceptual hashes are not "
+                "comparable across decoders; pass the recorded "
+                "backend or rebuild the index"
+            )
         blob = sketch.bloom_pack_bytes(bits, meta["m"])
         survivors = image_survivors(
             batch_df,
@@ -606,7 +620,9 @@ def image_ingest_batch(
             "fp_bucket", incremental._fp_bucket(F.col("fingerprint"))
         )
     )
-    incremental.save_fingerprint_index(new_keys, index_path, mode="append")
+    incremental.save_fingerprint_index(
+        new_keys, index_path, mode="append", decode_backend=backend
+    )
     _touch(spark, marker)
 
 
@@ -629,7 +645,16 @@ def image_ingest_sink(
     over an empty frame).  Survivors land under
     ``{out_path}/batch_id=N``; run ``image_phash_dedup`` over the
     accumulated survivors at finalization for the near-dup tier (see
-    ``image_survivors`` for why it cannot live in the loop)."""
+    ``image_survivors`` for why it cannot live in the loop).
+
+    The ``backend`` string is recorded in the index meta on first
+    append and later runs passing a DIFFERENT value are refused —
+    dHashes are not comparable across JPEG decoders, so a silent
+    backend switch would corrupt cross-batch exact dedup.  Note
+    ``'auto'`` resolves per-executor: on a cluster where only some
+    executors have PIL (or across container-image upgrades), pin
+    ``'pure'`` or ``'pil'`` explicitly so every batch hashes under
+    one decoder."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         image_ingest_batch(

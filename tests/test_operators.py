@@ -6186,6 +6186,13 @@ def test_fmp4_fragmented_walk():
         blob = mm.fmp4_mux(samples, per_fragment=pf)
         r = mm.mp4_sample_ranges(blob)
         assert [blob[o:o + s] for o, s in r] == samples, pf
+    # multi-trun fragments where the SECOND trun omits data-offset:
+    # its run continues after the first run's data (§8.8.8) — the
+    # pre-fix walk restarted at moof start and returned wrong bytes
+    for pf in (2, 3, 5):
+        blob = mm.fmp4_mux(samples, per_fragment=pf, split_truns=True)
+        r = mm.mp4_sample_ranges(blob)
+        assert [blob[o:o + s] for o, s in r] == samples, ("split", pf)
     blob = mm.fmp4_mux(samples)
     classic = mm.mp4_mux(samples)
 
@@ -6305,6 +6312,26 @@ def test_tar_webdataset_source(spark, tmp_path):
     assert [(r[1], r[3]) for r in rows_gz] == [
         (n, d) for n, d in members
     ]
+    # MULTI-STREAM shards (pigz / pbzip2 / `cat a.gz b.gz` output):
+    # each half compressed as its own stream, concatenated — stdlib
+    # tarfile reads these fully, so must _plain_tar_bytes
+    import bz2 as _bz2
+    import gzip as _gzip
+
+    half = len(blob) // 2 // 512 * 512  # split on a block boundary
+    multi_gz = _gzip.compress(blob[:half]) + _gzip.compress(blob[half:])
+    assert t._plain_tar_bytes(multi_gz) == blob
+    multi_bz = _bz2.compress(blob[:half]) + _bz2.compress(blob[half:])
+    assert t._plain_tar_bytes(multi_bz) == blob
+    rows_ms = list(t.iter_tar_members(multi_gz))
+    assert [(r[1], r[3]) for r in rows_ms] == [
+        (n, d) for n, d in members
+    ]
+    # trailing garbage after the last stream is corrupt, not silently
+    # truncated-to-first-stream
+    assert t._plain_tar_bytes(
+        _gzip.compress(blob) + b"not-a-gzip-stream"
+    ) is None
     # block-boundary cut: all members present but terminator gone
     content_end = sum(
         512 + (len(d) + 511) // 512 * 512 for _, d in members
