@@ -5072,15 +5072,164 @@ def webm_mux(samples: list) -> bytes:
     return header + _ebml_elem(_MKV_SEGMENT, cluster)
 
 
+# ---- MP3: MPEG audio frame-sync walk --------------------------------
+# Bitrate tables (kbps), indexed 1..14, keyed (version_group, layer):
+# version_group 1 = MPEG-1, 2 = MPEG-2/2.5 (which share tables, and
+# share the Layer II table with Layer III).  Index 0 is "free format"
+# (frame length not derivable from the header → honest None), 15 is
+# forbidden.  Values are the ISO 11172-3 / 13818-3 tables every
+# frame-sync walker ships.
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256,
+             288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128,
+             160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112,
+             128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128,
+             144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64,
+             80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATES[(2, 3)] = _MP3_BITRATES[(2, 2)]
+# Sample rates by version bits (3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5) and
+# rate index 0..2 (index 3 reserved).
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_len(h: int):
+    """Frame length in bytes for the 32-bit MPEG audio header ``h``,
+    or None when the header is not a valid sync / uses reserved or
+    free-format fields.  Handles all versions and layers — each frame
+    reads its OWN header, so VBR streams walk for free."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None  # 11-bit frame sync
+    ver = (h >> 19) & 3
+    if ver == 1:
+        return None  # reserved version
+    layer_bits = (h >> 17) & 3
+    if layer_bits == 0:
+        return None  # reserved layer
+    layer = 4 - layer_bits  # 3→I, 2→II, 1→III
+    br_idx = (h >> 12) & 0xF
+    if br_idx == 0 or br_idx == 15:
+        return None  # free format / forbidden
+    rate_idx = (h >> 10) & 3
+    if rate_idx == 3:
+        return None  # reserved rate
+    vg = 1 if ver == 3 else 2
+    br = _MP3_BITRATES[(vg, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[ver][rate_idx]
+    pad = (h >> 9) & 1
+    if layer == 1:
+        return (12 * br // rate + pad) * 4
+    if layer == 2 or vg == 1:
+        return 144 * br // rate + pad
+    return 72 * br // rate + pad  # MPEG-2/2.5 Layer III
+
+
+def _id3v2_end(b: bytes) -> int:
+    """Index just past a leading ID3v2 tag (0 when absent/torn):
+    'ID3' + version(2) + flags(1) + 4-byte SYNCSAFE size, plus a
+    10-byte footer when the footer flag (0x10) is set."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return 0
+    if any(x & 0x80 for x in b[6:10]):
+        return 0  # size bytes must be syncsafe
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    end = 10 + size + (10 if b[5] & 0x10 else 0)
+    return end if end <= len(b) else 0
+
+
+def mp3_frame_ranges(b: bytes):
+    """(offset, size) of every MPEG audio frame in an MP3 payload —
+    the frame-sync walk: skip a leading ID3v2 tag (syncsafe size,
+    optional footer) and a trailing 128-byte ID3v1 'TAG' block, then
+    chain frames by the 11-bit sync + version/layer/bitrate/
+    samplerate → frame-length arithmetic.  CBR and VBR alike (every
+    frame's length comes from its OWN header; a Xing/VBRI header is
+    just frame 0's payload).  Returns None when the first sync is
+    absent, any header is invalid/free-format, the final frame runs
+    past the payload (torn tail), or bytes remain after the last
+    frame — a cut or corrupt file can never yield silently-wrong
+    hashes, the ``mp4_sample_ranges`` contract.  Bounded at
+    ``_MP4_MAX_SAMPLES`` frames."""
+    if b[:3] == b"ID3":
+        i = _id3v2_end(b)
+        if i == 0:
+            return None  # torn tag: sync position unknowable
+    else:
+        i = 0
+    hi = len(b)
+    if hi - i >= 128 and b[hi - 128:hi - 125] == b"TAG":
+        hi -= 128
+    ranges = []
+    while i < hi:
+        if i + 4 > hi:
+            return None  # torn: header cut
+        flen = _mp3_frame_len(int.from_bytes(b[i:i + 4], "big"))
+        if flen is None or i + flen > hi:
+            return None  # bad sync mid-stream / torn final frame
+        ranges.append((i, flen))
+        if len(ranges) > _MP4_MAX_SAMPLES:
+            return None
+        i += flen
+    return ranges or None
+
+
+def mp3_frame(j: int, br_idx: int) -> bytes:
+    """One complete, valid MPEG-1 Layer III 44.1 kHz frame for
+    universal sample index ``j`` at bitrate index ``br_idx`` — the
+    fixture twin of ``_mp3_frame_len``: the payload is a
+    deterministic md5 chain filling exactly the header-derived frame
+    length, so the walk's arithmetic is pinned by construction."""
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (br_idx << 12) | (0 << 10)
+    flen = _mp3_frame_len(h)
+    seed = hashlib.md5(b"mp3f-%d" % j).digest()
+    body = b"".join(
+        hashlib.md5(seed + k.to_bytes(2, "big")).digest()
+        for k in range((flen - 4 + 15) // 16)
+    )
+    return h.to_bytes(4, "big") + body[: flen - 4]
+
+
+def mp3_mux(frames: list, id3_pad: int = 0, id3v1: bool = False) -> bytes:
+    """Concatenate complete frames into an MP3 payload, optionally
+    wrapped in an ID3v2 tag of ``id3_pad`` payload bytes and/or a
+    trailing ID3v1 block — the re-tag fixture face (same frames,
+    different tag bytes: the walk must hash identically)."""
+    out = b""
+    if id3_pad:
+        size = id3_pad
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x03\x00\x00" + ss + bytes(id3_pad)
+    out += b"".join(frames)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return out
+
+
 def media_sample_ranges(b: bytes):
     """Container-dispatching encoded-sample enumeration: ISO-BMFF
-    (``ftyp`` at offset 4 → ``mp4_sample_ranges``) or EBML
-    (``webm_sample_ranges``).  None for anything else — the honest
+    (``ftyp`` at offset 4 → ``mp4_sample_ranges``), EBML
+    (``webm_sample_ranges``), or MPEG audio (ID3v2 tag or frame sync
+    → ``mp3_frame_ranges``).  None for anything else — the honest
     tier."""
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return mp4_sample_ranges(b)
     if b[:4] == _EBML_MAGIC:
         return webm_sample_ranges(b)
+    if b[:3] == b"ID3" or (
+        len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        return mp3_frame_ranges(b)
     return None
 
 
@@ -5264,6 +5413,52 @@ def attach_mp4_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf[id_col],
                     "content": [
                         build_mp4_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def build_mp3_blob(doc_id: int) -> bytes:
+    """MP3 bytes for the frame-hash-tier fixtures, mirroring the MP4
+    classes: base class ``doc_id %% 4`` owns the disjoint frame range
+    ``4c..4c+3`` (VBR — frame ``j``'s bitrate index is ``2 + (j * 3)
+    %% 12``, so every frame length differs and the walk must read
+    each header); variant ``(doc_id // 4) %% 3`` is 0 = the bare
+    4-frame stream, 1 = HEAD-TRIMMED (frames 4c+1..4c+3), 2 = the
+    SAME frames RE-TAGGED (ID3v2 pad + ID3v1 trailer — tag bytes
+    differ, frame hashes must not).  Variants share ≥ 3 frame hashes
+    so they merge under ``min_shared=2``; classes share none.
+    ``doc_id %% 17 == 0`` cuts the last 3 bytes — a torn final frame
+    (or a torn ID3v1 block that corrupts the walk) → ok=false."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 1:
+        idxs = idxs[1:]
+    frames = [mp3_frame(j, 2 + (j * 3) % 12) for j in idxs]
+    if variant == 2:
+        blob = mp3_mux(frames, id3_pad=256, id3v1=True)
+    else:
+        blob = mp3_mux(frames)
+    if doc_id % 17 == 0:
+        return blob[:-3]
+    return blob
+
+
+def attach_mp3_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the MP3 frame-hash-tier fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_mp3_blob(int(i)) for i in pdf[id_col]
                     ],
                 }
             )

@@ -8363,6 +8363,120 @@ ORACLES["cross_container_video_dedup_check"] = """
 """
 
 
+def _mp3_frame_pinned_oracle() -> str:
+    """Pinned-constant oracle for the MPEG audio frame-sync walk: per
+    (class, variant, frame index) the md5 of the exact frame bytes
+    the sync + version/layer/bitrate arithmetic must return, computed
+    driver-side through ``mp3_frame_ranges`` itself over the muxed
+    fixture.  Variants 0 (bare) and 2 (ID3v2+ID3v1 re-tag) must pin
+    IDENTICAL hashes — the tag-transparency claim; variant 1 is the
+    head trim.  The %17 torn-tail plant is asserted None for every
+    variant so a fixture-size change can never silently flip it."""
+    import hashlib as _hl
+
+    rows = {}
+    n_case = []
+    for cls in range(4):
+        for variant in range(3):
+            did = next(
+                d for d in range(48)
+                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
+            )
+            blob = multimodal.build_mp3_blob(did)
+            ranges = multimodal.mp3_frame_ranges(blob)
+            n_case.append(
+                "WHEN cls = %d AND var = %d THEN %d"
+                % (cls, variant, len(ranges))
+            )
+            for k, (off, sz) in enumerate(ranges):
+                rows[(cls, variant, k)] = _hl.md5(
+                    blob[off:off + sz]
+                ).hexdigest()
+    for cls in range(4):
+        for k in range(4):
+            # bare == re-tagged, frame for frame (tag transparency)
+            assert rows[(cls, 0, k)] == rows[(cls, 2, k)], (cls, k)
+    for var in range(3):
+        did = next(
+            d for d in range(0, 100000, 17) if (d // 4) % 3 == var
+        )
+        assert multimodal.media_sample_ranges(
+            multimodal.build_mp3_blob(did)
+        ) is None, (did, var)
+    hc = " ".join(
+        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
+        % (c, v, k, h)
+        for (c, v, k), h in rows.items()
+    )
+    nc = " ".join(n_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                 doc_id % 17 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, var, CASE {nc} END AS ns
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, var, ns,
+                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
+                   AS sample_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
+               CAST(ns AS INTEGER) AS n_samples,
+               CASE {hc} END AS sample_hash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def mp3_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio frame-sync walk (operators/multimodal.py
+    ``mp3_frame_ranges`` → the dispatching ``mp4_sample_hashes``
+    tier): ID3v2 syncsafe skip, ID3v1 trim, 11-bit sync chain with
+    the version/layer/bitrate/samplerate frame-length arithmetic —
+    the byte tier that reaches the dominant real-crawl audio mass
+    without any codec.  Fixture: 4 frame classes (VBR — every frame a
+    different bitrate index) × (bare / head-trim / ID3-re-tag)
+    variants; %% 17 tears the final frame (ok=false).  Map-side, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.mp4_sample_hashes(multimodal.attach_mp3_blob(docs))
+
+
+QUERIES["mp3_frame_hash_check"] = mp3_frame_hash_check
+ORACLES["mp3_frame_hash_check"] = _mp3_frame_pinned_oracle()
+
+
+def mp3_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag- and trim-tolerant MP3 byte dedup (``mp4_byte_dedup`` over
+    the dispatching frame walk, i.e. the ``_shared_hash_cluster``
+    core): a bare stream and its ID3-re-tagged copy carry identical
+    frame hash SETS (collapse in the signature stage) and the
+    head-trim shares 3 of 4 frames — one cluster per frame class,
+    stated arithmetically by the oracle.  The merge whole-file
+    hashing misses the moment a tagger touches the file."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.mp4_byte_dedup(multimodal.attach_mp3_blob(docs))
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["mp3_byte_dedup"] = mp3_byte_dedup
+ORACLES["mp3_byte_dedup"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY doc_id % 4
+"""
+
+
 # Round-13 re-pointing (r12 verdict task): the two remaining
 # pre-real-decoder rows-only entries gain exact oracles.
 # multimodal_decode_stub replays the media-header arithmetic under the

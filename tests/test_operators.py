@@ -6214,6 +6214,70 @@ def test_fmp4_fragmented_walk():
         )
 
 
+def test_mp3_frame_walk_and_dedup(spark):
+    """MPEG audio tier: the frame-sync walk returns the exact frame
+    bytes the muxer wrote under VBR; ID3v2/ID3v1 tags are transparent
+    (identical hashes bare vs re-tagged); frame-length arithmetic is
+    pinned for all version/layer families; every truncation yields
+    None or a correct frame prefix (MP3 is self-framing, so a cut on
+    a frame boundary IS a valid shorter stream), never wrong bytes;
+    byte flips never raise; the dedup tier merges trim + re-tag per
+    class."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    frames = [mm.mp3_frame(j, 2 + (j * 3) % 12) for j in range(4)]
+    assert len({len(f) for f in frames}) == 4  # genuinely VBR
+    for id3_pad, id3v1 in ((0, False), (64, True), (300, False)):
+        blob = mm.mp3_mux(frames, id3_pad=id3_pad, id3v1=id3v1)
+        r = mm.mp3_frame_ranges(blob)
+        assert [blob[o:o + s] for o, s in r] == frames, (id3_pad, id3v1)
+        assert mm.media_sample_ranges(blob) == r
+    # frame-length arithmetic, one pin per (version, layer) family
+    mk = lambda v, l, br: (0x7FF << 21) | (v << 19) | (l << 17) | (br << 12)
+    assert mm._mp3_frame_len(mk(3, 3, 4)) == (12 * 128000 // 44100) * 4
+    assert mm._mp3_frame_len(mk(3, 2, 4)) == 144 * 64000 // 44100
+    assert mm._mp3_frame_len(mk(3, 1, 4)) == 144 * 56000 // 44100
+    assert mm._mp3_frame_len(mk(2, 1, 4)) == 72 * 32000 // 22050
+    assert mm._mp3_frame_len(mk(0, 1, 4)) == 72 * 32000 // 11025
+    assert mm._mp3_frame_len(mk(3, 1, 4) | (1 << 9)) == \
+        144 * 56000 // 44100 + 1  # padding bit
+    for bad in (mk(3, 0, 4), mk(3, 3, 0), mk(3, 3, 15),
+                mk(1, 3, 4), mk(3, 3, 4) | (3 << 10), 0):
+        assert mm._mp3_frame_len(bad) is None, hex(bad)
+    # truncation honesty: prefix-of-frames or None, never wrong bytes
+    blob = mm.mp3_mux(frames)
+    bounds = set()
+    acc = 0
+    for f in frames:
+        acc += len(f)
+        bounds.add(acc)
+    for cut in range(1, len(blob)):
+        rr = mm.mp3_frame_ranges(blob[:cut])
+        if cut in bounds:
+            assert [blob[o:o + s] for o, s in rr] == \
+                frames[: len(rr)], cut
+        else:
+            assert rr is None, cut
+    for j in range(len(blob)):
+        mm.mp3_frame_ranges(
+            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        )
+    # torn ID3v2 header and torn trailing TAG are honest Nones
+    tagged = mm.mp3_mux(frames, id3_pad=64, id3v1=True)
+    assert mm.mp3_frame_ranges(tagged[:8]) is None
+    assert mm.mp3_frame_ranges(tagged[:-3]) is None
+    # dedup: bare / head-trim / re-tag merge per class, classes apart
+    docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
+    clusters = mm.mp4_byte_dedup(mm.attach_mp3_blob(docs)).collect()
+    by_id = {r["id"]: r["cluster"] for r in clusters}
+    assert 0 not in by_id and 17 not in by_id and 34 not in by_id
+    for d, c in by_id.items():
+        exp = min(
+            x for x in range(48) if x % 4 == d % 4 and x % 17 != 0
+        )
+        assert c == exp, (d, c, exp)
+
+
 def test_image_resize_kernel_and_operator(spark):
     """resize tier: identity-size bilinear/nearest are exact; 'mean'
     equals the manual block mean and is integer-exact; non-divisible
