@@ -4993,15 +4993,94 @@ def _ebml_children(b: bytes, lo: int, hi: int):
         i = end
 
 
+def _webm_block_ranges(b: bytes, xlo: int, xhi: int):
+    """(offset, size) of every frame inside ONE SimpleBlock/Block
+    body ``b[xlo:xhi]`` — track VINT + 2-byte timestamp + flags, then
+    the Matroska lacing table when flags bits 0x06 are set: Xiph
+    (255-run sizes, last = remainder), fixed (equal split), or EBML
+    (first size an unsigned VINT, then SIGNED-VINT deltas, last =
+    remainder).  Real WebM audio (Opus/Vorbis) ships laced.  None on
+    any inconsistency — sizes that overrun the block, a non-dividing
+    fixed lace, a torn lacing table — never silently-wrong frames."""
+    got = _ebml_vint(b, xlo, False)  # track number
+    if got is None:
+        return None
+    _, j = got
+    if j + 3 > xhi or xhi > len(b):
+        return None
+    flags = b[j + 2]
+    p = j + 3
+    lace = (flags >> 1) & 3
+    if lace == 0:
+        return [(p, xhi - p)] if xhi > p else None
+    if p >= xhi:
+        return None
+    count = b[p] + 1
+    p += 1
+    if count == 1:
+        sizes = [xhi - p]
+    elif lace == 2:  # fixed-size lacing: equal split, must divide
+        rem = xhi - p
+        if rem % count:
+            return None
+        sizes = [rem // count] * count
+    elif lace == 1:  # Xiph lacing: 255-run sizes for first count-1
+        sizes = []
+        for _ in range(count - 1):
+            sz = 0
+            while True:
+                if p >= xhi:
+                    return None
+                v = b[p]
+                p += 1
+                sz += v
+                if v < 255:
+                    break
+            sizes.append(sz)
+        sizes.append(xhi - p - sum(sizes))
+    else:  # EBML lacing: unsigned first size, signed-VINT deltas
+        got = _ebml_vint(b, p, False)
+        if got is None or got[0] < 0:
+            return None
+        sz, p = got
+        sizes = [sz]
+        for _ in range(count - 2):
+            if p >= xhi or b[p] == 0:
+                return None
+            first = b[p]
+            n = 8 - first.bit_length()
+            length = n + 1
+            if p + length > xhi:
+                return None
+            v = first & (0x7F >> n)
+            for k in range(1, length):
+                v = (v << 8) | b[p + k]
+            p += length
+            sz += v - ((1 << (7 * length - 1)) - 1)  # remove bias
+            sizes.append(sz)
+        sizes.append(xhi - p - sum(sizes))
+    out = []
+    off = p
+    for sz in sizes:
+        if sz <= 0 or off + sz > xhi:
+            return None
+        out.append((off, sz))
+        off += sz
+    if off != xhi:
+        return None  # bytes left over: table inconsistent
+    return out
+
+
 def webm_sample_ranges(b: bytes):
     """(offset, size) of every encoded frame in a WebM/Matroska
     payload, from the pure EBML walk Segment → Cluster →
     SimpleBlock/BlockGroup(Block): the container analogue of
-    ``mp4_sample_ranges`` — H.264/VP8/VP9/AV1 frame bytes enumerated
-    without any codec.  Unlaced blocks only (video frames on the web
-    are unlaced; lacing is an audio micro-optimization) — a laced or
-    otherwise unreadable block returns None, the honest routing.
-    Returns None when no EBML header, no cluster, or no frames."""
+    ``mp4_sample_ranges`` — H.264/VP8/VP9/AV1/Opus/Vorbis frame bytes
+    enumerated without any codec.  Laced blocks (Xiph / fixed / EBML
+    lacing — how real WebM audio packs multiple frames per block)
+    expand to per-frame ranges via ``_webm_block_ranges``; an
+    unreadable block returns None, the honest routing.  Returns None
+    when no EBML header, no cluster, or no frames."""
     if b[:4] != _EBML_MAGIC:
         return None
     ranges = []
@@ -5025,19 +5104,11 @@ def webm_sample_ranges(b: bytes):
                     continue
                 for xlo, xhi in blocks:
                     n_blocks += 1
-                    got = _ebml_vint(b, xlo, False)  # track number
+                    got = _webm_block_ranges(b, xlo, xhi)
                     if got is None:
                         return None
-                    _, j = got
-                    if j + 3 > xhi:
-                        return None
-                    flags = b[j + 2]
-                    if flags & 0x06:  # laced block: not this tier
-                        return None
-                    if xhi > len(b):
-                        return None
-                    ranges.append((j + 3, xhi - (j + 3)))
-    if not ranges or n_blocks > _MP4_MAX_SAMPLES:
+                    ranges.extend(got)
+    if not ranges or len(ranges) > _MP4_MAX_SAMPLES:
         return None
     return ranges
 
@@ -5051,23 +5122,69 @@ def _ebml_elem(eid: int, body: bytes) -> bytes:
     return out + body
 
 
-def webm_mux(samples: list) -> bytes:
+def _ebml_uvint(v: int) -> bytes:
+    """Minimal-length unsigned EBML VINT encoding of ``v``."""
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:  # all-ones is 'unknown size'
+            return (v | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("vint overflow")
+
+
+def _ebml_svint(v: int) -> bytes:
+    """Minimal-length SIGNED EBML VINT (the EBML-lacing delta
+    encoding: value + (2^(7·len−1) − 1) stored as an unsigned
+    VINT of that length)."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= v <= bias:
+            return ((v + bias) | (1 << (7 * length))).to_bytes(
+                length, "big"
+            )
+    raise ValueError("svint overflow")
+
+
+def webm_mux(samples: list, lacing: str | None = None) -> bytes:
     """Minimal WebM muxer — the fixture twin of
     ``webm_sample_ranges``: EBML header (DocType webm) + Segment(
-    Cluster(Timestamp, one unlaced SimpleBlock per sample, track 1)).
-    Structurally valid EBML the sample walk reads; no codec config,
-    like ``mp4_mux``'s stub avc1 entry."""
+    Cluster(Timestamp, SimpleBlocks, track 1)).  ``lacing=None``
+    writes one unlaced SimpleBlock per sample (web video); ``'xiph'``
+    / ``'ebml'`` / ``'fixed'`` pack ALL samples into ONE laced
+    SimpleBlock with the corresponding size table — how real WebM
+    audio (Opus/Vorbis) ships.  ``'fixed'`` requires equal-size
+    samples.  Structurally valid EBML the sample walk reads; no codec
+    config, like ``mp4_mux``'s stub avc1 entry."""
     header = _ebml_elem(
         0x1A45DFA3,
         _ebml_elem(0x4282, b"webm")  # DocType
         + _ebml_elem(0x4287, b"\x02")  # DocTypeVersion
     )
     blocks = _ebml_elem(_MKV_TIMESTAMP, b"\x00")
-    for s in samples:
-        # track 1 VINT (0x81), relative timestamp 0, flags 0 (unlaced)
-        blocks += _ebml_elem(
-            _MKV_SIMPLEBLOCK, b"\x81\x00\x00\x00" + s
-        )
+    if lacing is None:
+        for s in samples:
+            # track 1 VINT (0x81), relative ts 0, flags 0 (unlaced)
+            blocks += _ebml_elem(
+                _MKV_SIMPLEBLOCK, b"\x81\x00\x00\x00" + s
+            )
+    else:
+        flag = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[lacing]
+        body = b"\x81\x00\x00" + bytes([flag, len(samples) - 1])
+        if lacing == "xiph":
+            for s in samples[:-1]:
+                sz = len(s)
+                body += b"\xff" * (sz // 255) + bytes([sz % 255])
+        elif lacing == "ebml":
+            prev = None
+            for s in samples[:-1]:
+                body += (
+                    _ebml_uvint(len(s)) if prev is None
+                    else _ebml_svint(len(s) - prev)
+                )
+                prev = len(s)
+        else:  # fixed
+            if len({len(s) for s in samples}) != 1:
+                raise ValueError("fixed lacing needs equal sizes")
+        body += b"".join(samples)
+        blocks += _ebml_elem(_MKV_SIMPLEBLOCK, body)
     cluster = _ebml_elem(_MKV_CLUSTER, blocks)
     return header + _ebml_elem(_MKV_SEGMENT, cluster)
 
@@ -5351,16 +5468,19 @@ def build_media_mux_blob(doc_id: int) -> bytes:
     disjoint sample range ``4c..4c+3`` (the SAME universe as
     ``build_mp4_blob``-adjacent classes would alias — so this fixture
     uses its own ``xmux-`` seed space); container variant
-    ``(doc_id // 4) %% 4`` is 0 = MP4 (chunk-per-sample), 1 = the
+    ``(doc_id // 4) %% 7`` is 0 = MP4 (chunk-per-sample), 1 = the
     SAME encoded samples re-muxed as WebM, 2 = WebM HEAD-TRIMMED
     (samples 4c+1..4c+3), 3 = the SAME samples re-packaged as
-    FRAGMENTED MP4 (CMAF moof/trun layout, 2 samples per fragment).
-    All variants share ≥ 3 encoded-frame hashes, so the byte tier
-    must merge ACROSS CONTAINERS AND PACKAGINGS; ``doc_id %% 17 ==
-    0`` truncates (MP4/fMP4: table or trailing fragment gone; WebM:
-    cut cluster → short block walk fails) — ok=false either way."""
+    FRAGMENTED MP4 (CMAF moof/trun layout, 2 samples per fragment),
+    4/5/6 = the SAME samples packed into ONE LACED WebM SimpleBlock
+    (Xiph / EBML / fixed lacing — how real WebM audio ships).  All
+    variants share ≥ 3 encoded-frame hashes, so the byte tier must
+    merge ACROSS CONTAINERS, PACKAGINGS AND LACINGS; ``doc_id %% 17
+    == 0`` truncates (MP4/fMP4: table or trailing fragment gone;
+    WebM: cut cluster → short block walk fails) — ok=false either
+    way."""
     cls = doc_id % 4
-    variant = (doc_id // 4) % 4
+    variant = (doc_id // 4) % 7
     idxs = list(range(4 * cls, 4 * cls + 4))
     if variant == 2:
         idxs = idxs[1:]
@@ -5377,6 +5497,10 @@ def build_media_mux_blob(doc_id: int) -> bytes:
         blob = mp4_mux(samples)
     elif variant == 3:
         blob = fmp4_mux(samples, per_fragment=2)
+    elif variant >= 4:
+        blob = webm_mux(
+            samples, lacing=("xiph", "ebml", "fixed")[variant - 4]
+        )
     else:
         blob = webm_mux(samples)
     if doc_id % 17 == 0:

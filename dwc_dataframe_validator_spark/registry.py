@@ -8248,10 +8248,10 @@ def _webm_sample_pinned_oracle() -> str:
     rows = {}
     n_case = []
     for cls in range(4):
-        for variant in range(4):
+        for variant in range(7):
             did = next(
-                d for d in range(64)
-                if d % 4 == cls and (d // 4) % 4 == variant and d % 17
+                d for d in range(256)
+                if d % 4 == cls and (d // 4) % 7 == variant and d % 17
             )
             blob = multimodal.build_media_mux_blob(did)
             ranges = multimodal.media_sample_ranges(blob)
@@ -8265,18 +8265,20 @@ def _webm_sample_pinned_oracle() -> str:
                 ).hexdigest()
     for cls in range(4):
         for k in range(4):
-            # MP4 == WebM re-mux == fMP4 re-package, hash for hash
-            assert rows[(cls, 0, k)] == rows[(cls, 1, k)], (cls, k)
-            assert rows[(cls, 0, k)] == rows[(cls, 3, k)], (cls, k)
+            # MP4 == WebM re-mux == fMP4 re-package == every lacing,
+            # hash for hash
+            for var in (1, 3, 4, 5, 6):
+                assert rows[(cls, 0, k)] == rows[(cls, var, k)], \
+                    (cls, var, k)
     # the %17 plant must be ok=false for EVERY variant: the classic
     # layout guarantees it structurally (moov after mdat), the
-    # fragmented one empirically (the 2/3 cut lands inside an mdat,
-    # invalidating the trailing fragment's ranges) — assert it so a
+    # fragmented and laced ones empirically (the 2/3 cut lands inside
+    # an mdat/cluster, invalidating trailing ranges) — assert it so a
     # fixture-size change can never silently flip the bad branch
-    for var in range(4):
+    for var in range(7):
         did = next(
             d for d in range(0, 100000, 17)
-            if (d // 4) % 4 == var
+            if (d // 4) % 7 == var
         )
         assert multimodal.media_sample_ranges(
             multimodal.build_media_mux_blob(did)
@@ -8290,7 +8292,7 @@ def _webm_sample_pinned_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 4 AS INTEGER) AS var,
+                 CAST((doc_id // 4) % 7 AS INTEGER) AS var,
                  doc_id % 17 = 0 AS bad
           FROM documents),
         okf AS (
@@ -8315,14 +8317,15 @@ def _webm_sample_pinned_oracle() -> str:
 def webm_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free WebM/Matroska sample walk (operators/multimodal.py
     ``webm_sample_ranges``: EBML VINT parse, Segment → Cluster →
-    SimpleBlock/BlockGroup, unlaced frames) through the dispatching
-    ``mp4_sample_hashes`` tier, plus the FRAGMENTED-MP4 walk (moof →
-    traf → tfhd/trun, the DASH/CMAF layout streamed video ships).
-    Fixture: 4 sample classes × (MP4 / WebM re-mux / WebM head-trim /
-    fMP4 re-package) variants — MP4, WebM and fMP4 variants of a
-    class must hash IDENTICALLY (encoded frames are container- and
-    packaging-independent); %% 17 truncates (ok=false).  Map-side,
-    no shuffle."""
+    SimpleBlock/BlockGroup, with Xiph / EBML / fixed LACING expanded
+    per-frame) through the dispatching ``mp4_sample_hashes`` tier,
+    plus the FRAGMENTED-MP4 walk (moof → traf → tfhd/trun, the
+    DASH/CMAF layout streamed video ships).  Fixture: 4 sample
+    classes × (MP4 / WebM re-mux / WebM head-trim / fMP4 re-package /
+    Xiph-laced / EBML-laced / fixed-laced WebM) variants — all
+    non-trim variants of a class must hash IDENTICALLY (encoded
+    frames are container-, packaging- and lacing-independent);
+    %% 17 truncates (ok=false).  Map-side, no shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.mp4_sample_hashes(
         multimodal.attach_media_mux_blob(docs)

@@ -6113,25 +6113,38 @@ def test_mp4_byte_dedup_trim_and_remux_merge(spark):
 
 def test_webm_sample_walk_and_cross_container_merge(spark):
     """EBML/WebM tier: the sample walk returns the exact encoded
-    frame bytes under SimpleBlock framing; laced blocks route to the
-    honest None; an MP4→WebM re-mux carries identical sample hashes
-    and mp4_byte_dedup merges across containers."""
+    frame bytes under unlaced SimpleBlock framing AND all three
+    Matroska lacings (Xiph 255-run, EBML signed-delta, fixed split);
+    a torn lacing table routes to the honest None; an MP4→WebM re-mux
+    and every lacing carry identical sample hashes and mp4_byte_dedup
+    merges across containers and packagings."""
     from dwc_dataframe_validator_spark.operators import multimodal as mm
 
     samples = [mm._mp4_fixture_sample(j) for j in range(4)]
-    blob = mm.webm_mux(samples)
-    r = mm.webm_sample_ranges(blob)
-    assert [blob[o:o + s] for o, s in r] == samples
-    # a laced SimpleBlock (flags bit set) -> honest None
-    laced = blob.replace(b"\x81\x00\x00\x00" + samples[0],
-                         b"\x81\x00\x00\x02" + samples[0])
-    assert mm.webm_sample_ranges(laced) is None
-    # byte-flip fuzz never raises
-    for j in range(0, len(blob), 7):
-        mm.webm_sample_ranges(
-            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
-        )
-    # cross-container dedup semantics on the fixture universe
+    varied = [b"x" * 300, b"y" * 700, b"z" * 255, b"w" * 510, b"q" * 41]
+    for lac, ss in (
+        (None, samples), ("xiph", varied), ("ebml", varied),
+        ("fixed", samples), ("xiph", varied[:1]), ("ebml", varied[:1]),
+    ):
+        blob = mm.webm_mux(ss, lacing=lac)
+        r = mm.webm_sample_ranges(blob)
+        assert [blob[o:o + s] for o, s in r] == ss, lac
+        # truncation honesty: every cut → None or a frame prefix
+        for cut in range(1, len(blob), 7):
+            rr = mm.webm_sample_ranges(blob[:cut])
+            if rr is not None:
+                got = [blob[:cut][o:o + s] for o, s in rr]
+                assert got == ss[: len(got)], (lac, cut)
+        # byte-flip fuzz never raises
+        for j in range(0, len(blob), 7):
+            mm.webm_sample_ranges(
+                blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+            )
+    # a fixed lace whose payload doesn't divide evenly -> honest None
+    blob = mm.webm_mux(samples, lacing="fixed")
+    assert mm.webm_sample_ranges(blob[:-1]) is None
+    # cross-container dedup semantics on the fixture universe (spans
+    # all 7 container/packaging/lacing variants: doc_id//4 in 0..11)
     docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
     clusters = mm.mp4_byte_dedup(mm.attach_media_mux_blob(docs)).collect()
     by_id = {x["id"]: x["cluster"] for x in clusters}
