@@ -2334,6 +2334,185 @@ def attach_wav_dedup_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _g711_encode(arr, audio_fmt, np):
+    """int16 → G.711 code bytes by nearest-decoded-value quantization
+    against ``_g711_table`` — an exact inverse of the decode table
+    (every compander implementation quantizes to the nearest segment
+    step; searching the table makes encoder and decoder share one
+    source of truth, the ``_bit_reader`` discipline)."""
+    table = _g711_table(audio_fmt, np).astype(np.int32)
+    order = np.argsort(table, kind="stable")
+    vals = table[order]
+    x = arr.astype(np.int32).ravel()
+    idx = np.clip(np.searchsorted(vals, x), 0, 255)
+    lo = np.clip(idx - 1, 0, 255)
+    pick = np.where(
+        np.abs(vals[idx] - x) < np.abs(vals[lo] - x), idx, lo
+    )
+    return order[pick].astype(np.uint8).tobytes()
+
+
+def wav_encode_g711(rate: int, arr, law: str = "ulaw") -> bytes:
+    """WAV container around a G.711 re-encode of int16 PCM — the
+    lossy 'telephony re-encode' fixture face (µ-law or A-law, fmt
+    7/6, 8-bit).  Mono channel-0 only, like the envelope tier."""
+    import numpy as np
+
+    afmt = 7 if law == "ulaw" else 6
+    data = _g711_encode(np.asarray(arr)[:, 0], afmt, np)
+    fmt_body = struct.pack("<HHIIHH", afmt, 1, rate, rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "id long, win_idx int, n_windows int, whash string, ok boolean"
+)
+
+
+def audio_window_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    window_frames: int = 1024,
+) -> DataFrame:
+    """Row-expanding WINDOWED energy-envelope hashing — the audio
+    twin of the video tier's per-frame dHashes: real PCM decode, then
+    one ``audio_envelope_hash`` per consecutive ``window_frames``
+    chunk of channel-0 (trailing partial window dropped), each hash a
+    16-hex string.  A head-trim of whole windows shifts indexes but
+    leaves the remaining WINDOW HASHES identical, which is exactly
+    what the aligned dedup tier clusters on; a lossy G.711 re-encode
+    preserves every envelope bit (≥ 11k margins vs ≤ 1k quantization
+    error on the fixture family, pinned in pytest).  Undecodable /
+    sub-window clips → one ok=false row.  Map-side Arrow batches, no
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                dec = None
+                if payload is not None:
+                    try:
+                        dec = wav_decode_samples(bytes(payload))
+                    except NotImplementedError:
+                        dec = None
+                n_win = 0 if dec is None else \
+                    int(dec[2].shape[0]) // window_frames
+                if n_win == 0:
+                    rows.append((i, None, None, None, False))
+                    continue
+                arr = dec[2]
+                for k in range(n_win):
+                    h = audio_envelope_hash(
+                        arr[k * window_frames:(k + 1) * window_frames]
+                    )
+                    rows.append((i, k, n_win, format(h, "016x"), True))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "win_idx", "n_windows", "whash", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )
+
+
+def audio_near_dup_aligned(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    window_frames: int = 1024,
+    min_shared: int = 2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Trim-tolerant audio near-dup — the audio sibling of
+    ``video_near_dup_aligned``, on the same ``_shared_hash_cluster``
+    core: clips cluster when they share ≥ ``min_shared`` windowed
+    envelope hashes, so a HEAD-TRIMMED copy — whose whole-clip
+    envelope the signature tier (``audio_hash_dedup``) misses BY
+    DESIGN (all 64 envelope windows shift) — merges with its source
+    and with the source's lossy G.711 re-encode.  Same scale
+    discipline: identical hash SETS collapse first, capped per-hash
+    buckets bound the pair join, scale-adaptive connected components.
+    Returns (id, cluster = global min id) for decodable clips."""
+    wh = audio_window_hashes(
+        df, content_col, id_col, window_frames
+    ).filter("ok")
+    return _shared_hash_cluster(
+        wh.select("id", "whash"), "whash", min_shared, max_bucket_size
+    )
+
+
+def _audio_align_window(j: int):
+    """1024-frame PCM16 window realizing the md5 envelope pattern
+    ``audio-align-j`` — the ±30000/±100 construction of
+    ``_wav_dedup_samples``, one window of the universal window
+    universe per index."""
+    import numpy as np
+
+    pat = int.from_bytes(
+        hashlib.md5(b"audio-align-%d" % j).digest()[:8], "big"
+    )
+    amp = np.empty(1024, dtype=np.int64)
+    for i in range(64):
+        a = 30000 if (pat >> (63 - i)) & 1 else 100
+        amp[i * 16:(i + 1) * 16] = a
+    sign = np.where(np.arange(1024) % 2 == 0, 1, -1)
+    return (amp * sign).astype(np.int16).reshape(1024, 1)
+
+
+def build_wav_align_blob(doc_id: int) -> bytes:
+    """REAL audio bytes for the ALIGNMENT fixtures, mirroring the MP4
+    classes: base class ``doc_id %% 4`` owns the disjoint window
+    range ``4c..4c+3`` (4 × 1024 frames); variant ``(doc_id // 4) %%
+    3`` is 0 = the full 4-window clip (PCM16), 1 = HEAD-TRIMMED
+    (windows 4c+1..4c+3), 2 = the full clip RE-ENCODED through G.711
+    µ-law (lossy 8-bit telephony — different bytes, identical window
+    envelope bits).  Variants share ≥ 3 window hashes so they merge
+    under ``min_shared=2``; classes share none.  ``doc_id %% 17 ==
+    0`` truncates mid-data (chunk walk fails → ok=false)."""
+    import numpy as np
+
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 1:
+        idxs = idxs[1:]
+    arr = np.concatenate([_audio_align_window(j) for j in idxs])
+    if variant == 2:
+        blob = wav_encode_g711(8000, arr)
+    else:
+        blob = wav_encode(8000, arr)
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    return blob
+
+
+def attach_wav_align_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the alignment-fixture WAVs per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_wav_align_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
 # --------------------------------------------------------------------------
 # codec-free REAL GIF decode: hand-rolled LZW → palette RGB
 # --------------------------------------------------------------------------

@@ -8480,6 +8480,132 @@ ORACLES["mp3_byte_dedup"] = """
 """
 
 
+def _audio_window_pinned_oracle() -> str:
+    """Pinned-constant oracle for the windowed audio envelope tier:
+    per (class, variant, window index) the 16-hex hash the PCM decode
+    + per-window envelope must produce — computed driver-side through
+    ``audio_window_hashes``'s kernel over the fixture blobs.  The
+    PCM16 full clip (var 0) and its G.711 µ-law re-encode (var 2)
+    must pin IDENTICAL hashes window-for-window — the lossy-re-encode
+    invariance claim; var 1 is the head trim (window j+1 at index
+    j)."""
+    import hashlib as _hl  # noqa: F401  (parallel to siblings)
+
+    rows = {}
+    n_case = []
+    for cls in range(4):
+        for variant in range(3):
+            did = next(
+                d for d in range(48)
+                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
+            )
+            blob = multimodal.build_wav_align_blob(did)
+            dec = multimodal.wav_decode_samples(blob)
+            arr = dec[2]
+            n_win = arr.shape[0] // 1024
+            n_case.append(
+                "WHEN cls = %d AND var = %d THEN %d"
+                % (cls, variant, n_win)
+            )
+            for k in range(n_win):
+                rows[(cls, variant, k)] = format(
+                    multimodal.audio_envelope_hash(
+                        arr[k * 1024:(k + 1) * 1024]
+                    ),
+                    "016x",
+                )
+    for cls in range(4):
+        for k in range(4):
+            # PCM16 == µ-law re-encode, window for window
+            assert rows[(cls, 0, k)] == rows[(cls, 2, k)], (cls, k)
+        for k in range(3):
+            # head trim: window j+1 lands at index j, hash unchanged
+            assert rows[(cls, 1, k)] == rows[(cls, 0, k + 1)], (cls, k)
+    for var in range(3):
+        did = next(
+            d for d in range(0, 100000, 17) if (d // 4) % 3 == var
+        )
+        assert multimodal.wav_decode_samples(
+            multimodal.build_wav_align_blob(did)
+        ) is None, (did, var)
+    hc = " ".join(
+        "WHEN cls = %d AND var = %d AND win_idx = %d THEN '%s'"
+        % (c, v, k, h)
+        for (c, v, k), h in rows.items()
+    )
+    nc = " ".join(n_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                 doc_id % 17 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, var, CASE {nc} END AS nw
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, var, nw,
+                 CAST(unnest(generate_series(0, nw - 1)) AS INTEGER)
+                   AS win_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, win_idx,
+               CAST(nw AS INTEGER) AS n_windows,
+               CASE {hc} END AS whash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def audio_window_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio envelope hashing (operators/multimodal.py
+    ``audio_window_hashes``): real PCM decode (PCM16 and the G.711
+    µ-law compander), one 64-bit energy-envelope hash per 1024-frame
+    window.  Fixture: 4 window classes × (full PCM16 / head-trim /
+    µ-law re-encode) variants — the re-encode must hash IDENTICALLY
+    window-for-window (quantization error ≤ 76 vs ≥ 11k envelope
+    margins) and the trim must shift indexes without changing hashes;
+    %% 17 truncates mid-data (ok=false).  Map-side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_window_hashes(
+        multimodal.attach_wav_align_blob(docs)
+    )
+
+
+QUERIES["audio_window_hash_check"] = audio_window_hash_check
+ORACLES["audio_window_hash_check"] = _audio_window_pinned_oracle()
+
+
+def audio_aligned_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-tolerant audio near-dup (operators/multimodal.py
+    ``audio_near_dup_aligned``, the audio sibling of
+    ``video_near_dup_aligned`` on the same ``_shared_hash_cluster``
+    core): clips cluster on ≥ 2 shared windowed envelope hashes, so
+    the head-trimmed copy — which the whole-clip signature tier
+    (``audio_hash_dedup``) misses BY DESIGN — merges with its source
+    and the source's lossy G.711 re-encode: one cluster per window
+    class, stated arithmetically by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.audio_near_dup_aligned(
+        multimodal.attach_wav_align_blob(docs)
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["audio_aligned_dedup_clusters"] = audio_aligned_dedup_clusters
+ORACLES["audio_aligned_dedup_clusters"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY doc_id % 4
+"""
+
+
 # Round-13 re-pointing (r12 verdict task): the two remaining
 # pre-real-decoder rows-only entries gain exact oracles.
 # multimodal_decode_stub replays the media-header arithmetic under the

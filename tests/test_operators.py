@@ -6291,6 +6291,55 @@ def test_mp3_frame_walk_and_dedup(spark):
         assert c == exp, (d, c, exp)
 
 
+def test_audio_aligned_dedup_trim_and_reencode(spark):
+    """Trim-tolerant audio tier: the 16 universal window patterns are
+    distinct and realized bit-exact by the PCM construction; a G.711
+    µ-law re-encode preserves every window hash (quantization error
+    ≪ envelope margins); the whole-clip signature tier MISSES the
+    head trim (Hamming > threshold — the designed gap) while the
+    aligned tier merges full + trim + re-encode per class and keeps
+    classes apart."""
+    import hashlib
+
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    hashes = [mm.audio_envelope_hash(mm._audio_align_window(j))
+              for j in range(16)]
+    assert len(set(hashes)) == 16
+    for j, h in enumerate(hashes):
+        assert h == int.from_bytes(
+            hashlib.md5(b"audio-align-%d" % j).digest()[:8], "big"
+        ), j
+    # µ-law roundtrip: window hash identical, bytes not
+    w = mm._audio_align_window(3)
+    enc = mm._g711_encode(w[:, 0], 7, np)
+    dec = mm._g711_table(7, np)[np.frombuffer(enc, np.uint8)]
+    assert mm.audio_envelope_hash(dec.reshape(-1, 1)) == hashes[3]
+    assert not np.array_equal(dec, w[:, 0])
+    # the designed signature-tier gap: whole-clip envelopes of full
+    # vs head-trimmed clips sit far beyond the Hamming threshold
+    full = np.concatenate([mm._audio_align_window(j) for j in range(4)])
+    trim = full[1024:]
+    d = bin(
+        mm.audio_envelope_hash(full) ^ mm.audio_envelope_hash(trim)
+    ).count("1")
+    assert d > 6, d  # audio_hash_dedup threshold=6 cannot merge these
+    # aligned tier semantics on the fixture universe
+    docs = spark.createDataFrame([(x,) for x in range(48)], "doc_id long")
+    clusters = mm.audio_near_dup_aligned(
+        mm.attach_wav_align_blob(docs)
+    ).collect()
+    by_id = {r["id"]: r["cluster"] for r in clusters}
+    assert 0 not in by_id and 17 not in by_id and 34 not in by_id
+    for x, c in by_id.items():
+        exp = min(
+            y for y in range(48) if y % 4 == x % 4 and y % 17 != 0
+        )
+        assert c == exp, (x, c, exp)
+
+
 def test_image_resize_kernel_and_operator(spark):
     """resize tier: identity-size bilinear/nearest are exact; 'mean'
     equals the manual block mean and is integer-exact; non-divisible
