@@ -5512,21 +5512,224 @@ def mp3_mux(frames: list, id3_pad: int = 0, id3v1: bool = False) -> bytes:
     return out
 
 
+# ---- Ogg: CRC-verified page walk + packet reassembly ----------------
+_OGG_MAGIC = b"OggS"
+
+
+def _ogg_crc_table():
+    """The Ogg page CRC lookup table: polynomial 0x04C11DB7,
+    NON-reflected, init 0, xorout 0 — the one deliberate departure
+    from IEEE CRC-32 in RFC 3533 §6."""
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = (
+                ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            ) & 0xFFFFFFFF
+        tbl.append(r)
+    return tuple(tbl)
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    r = 0
+    for x in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) & 0xFF) ^ x]
+    return r
+
+
+def ogg_packet_ranges(b: bytes):
+    """Per-PACKET segment-range lists for an Ogg payload — the page
+    walk of RFC 3533: capture pattern ``OggS``, version 0, header-type
+    flags, 27-byte header + segment (lacing) table, page body.  Every
+    page's CRC is VERIFIED (RFC 3533 §6 polynomial, CRC field zeroed)
+    so bit rot or a torn tail can never yield silently-wrong hashes.
+    Packets are reassembled across pages (a 255 lacing value
+    continues; the continuation header flag is cross-checked) and
+    across MULTIPLEXED logical streams (per-serial assembly, BOS/EOS
+    accounting — grouped Ogg A/V interleaves pages).  Returns a list
+    whose elements are LISTS of (offset, size) byte segments — one
+    list per packet, concatenation order — because a spanning packet
+    is not contiguous in the file; single-page packets are one
+    segment.  Leading per-stream codec IDENT/COMMENT packets
+    (OpusHead+OpusTags / 3 Vorbis or Theora headers — sniffed by
+    magic, never decoded) are SKIPPED so packet hashes equal the same
+    stream's frame hashes in a WebM/Matroska packaging: metadata
+    re-tags and re-paginations are transparent, the ID3 discipline of
+    ``mp3_frame_ranges``.  None on any inconsistency: bad magic or
+    version, torn header/table/body, CRC mismatch, continuation-flag
+    disagreement, a page after EOS, a missing BOS, or a packet left
+    open at end-of-file.  Bounded at ``_MP4_MAX_SAMPLES`` packets."""
+    if b[:4] != _OGG_MAGIC:
+        return None
+    i = 0
+    packets = []  # (serial, [(off, size), ...]) in file order
+    cur: dict = {}  # serial -> in-progress packet's segments
+    opened: dict = {}  # serial -> packet spans past last page?
+    seen: set = set()
+    closed: set = set()
+    while i < len(b):
+        if b[i:i + 4] != _OGG_MAGIC or i + 27 > len(b):
+            return None  # torn header / garbage between pages
+        if b[i + 4] != 0:
+            return None  # stream structure version must be 0
+        htype = b[i + 5]
+        serial = int.from_bytes(b[i + 14:i + 18], "little")
+        nseg = b[i + 26]
+        lace_end = i + 27 + nseg
+        if lace_end > len(b):
+            return None  # torn lacing table
+        lacing = b[i + 27:lace_end]
+        page_end = lace_end + sum(lacing)
+        if page_end > len(b):
+            return None  # torn page body
+        stored = int.from_bytes(b[i + 22:i + 26], "little")
+        if _ogg_crc(
+            b[i:i + 22] + b"\x00\x00\x00\x00" + b[i + 26:page_end]
+        ) != stored:
+            return None  # CRC mismatch: corrupt page
+        if serial in closed:
+            return None  # page after EOS
+        if bool(htype & 0x02) == (serial in seen):
+            return None  # BOS on a known stream / missing BOS
+        seen.add(serial)
+        if bool(htype & 0x01) != opened.get(serial, False):
+            return None  # continuation flag disagrees with state
+        segs = cur.setdefault(serial, [])
+        pos = lace_end
+        for lv in lacing:
+            if lv:
+                segs.append((pos, lv))
+                pos += lv
+            if lv < 255:
+                packets.append((serial, segs))
+                if len(packets) > _MP4_MAX_SAMPLES:
+                    return None
+                cur[serial] = segs = []
+        if nseg:
+            opened[serial] = lacing[-1] == 255
+        if htype & 0x04:
+            if opened.get(serial) or cur[serial]:
+                return None  # EOS mid-packet
+            closed.add(serial)
+        i = page_end
+    if any(opened.values()) or any(cur.values()):
+        return None  # packet (or stream) left open: torn tail
+    if seen != closed:
+        return None  # a stream never saw EOS: file cut at a page edge
+    if not packets:
+        return None
+    skip: dict = {}  # serial -> header packets left to skip
+    for serial in seen:
+        first = next(
+            (p for s, p in packets if s == serial), None
+        )
+        head = (
+            b"".join(b[o:o + sz] for o, sz in first[:1])[:8]
+            if first else b""
+        )
+        if head.startswith(b"OpusHead"):
+            skip[serial] = 2
+        elif head[:7] in (b"\x01vorbis", b"\x80theora"):
+            skip[serial] = 3
+        else:
+            skip[serial] = 0
+    out = []
+    for serial, p in packets:
+        if skip[serial] > 0:
+            skip[serial] -= 1
+        else:
+            out.append(p)
+    return out or None
+
+
+def ogg_mux(
+    packets: list,
+    segs_per_page: int = 255,
+    serial: int = 0x5EED,
+    headers: list | None = None,
+) -> bytes:
+    """Minimal Ogg muxer — the fixture twin of ``ogg_packet_ranges``:
+    each packet laced as 255-runs + a final <255 segment (a 0 lacing
+    value when the size divides exactly), the segment stream chunked
+    into pages of ≤ ``segs_per_page`` entries (a cut mid-packet sets
+    the next page's continuation flag — re-pagination the walk must
+    see through), BOS on the first page, EOS on the last, real RFC
+    3533 CRCs.  ``headers`` prepends codec ident/comment packets
+    (e.g. OpusHead/OpusTags) that the walk must SKIP."""
+    segs = []  # (data, ends_packet)
+    for p in (headers or []) + packets:
+        off = 0
+        for _ in range(len(p) // 255):
+            segs.append((p[off:off + 255], False))
+            off += 255
+        segs.append((p[off:], True))
+    pages = [
+        segs[k:k + segs_per_page]
+        for k in range(0, len(segs), segs_per_page)
+    ]
+    out = b""
+    cont = False
+    gran = 0
+    for pi, pg in enumerate(pages):
+        htype = (
+            (0x01 if cont else 0)
+            | (0x02 if pi == 0 else 0)
+            | (0x04 if pi == len(pages) - 1 else 0)
+        )
+        gran += sum(1 for _, ends in pg if ends) * 960
+        hdr = (
+            _OGG_MAGIC
+            + b"\x00"
+            + bytes([htype])
+            + gran.to_bytes(8, "little")
+            + serial.to_bytes(4, "little")
+            + pi.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + bytes([len(pg)])
+            + bytes(len(d) for d, _ in pg)
+        )
+        page = hdr + b"".join(d for d, _ in pg)
+        out += (
+            page[:22] + _ogg_crc(page).to_bytes(4, "little") + page[26:]
+        )
+        cont = not pg[-1][1]
+    return out
+
+
 def media_sample_ranges(b: bytes):
     """Container-dispatching encoded-sample enumeration: ISO-BMFF
     (``ftyp`` at offset 4 → ``mp4_sample_ranges``), EBML
-    (``webm_sample_ranges``), or MPEG audio (ID3v2 tag or frame sync
-    → ``mp3_frame_ranges``).  None for anything else — the honest
-    tier."""
+    (``webm_sample_ranges``), Ogg (``OggS`` → ``ogg_packet_ranges``),
+    or MPEG audio (ID3v2 tag or frame sync → ``mp3_frame_ranges``).
+    None for anything else — the honest tier.  Elements are either
+    a contiguous ``(offset, size)`` tuple or a LIST of such segments
+    to concatenate (Ogg packets span pages); ``_sample_bytes``
+    normalizes."""
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return mp4_sample_ranges(b)
     if b[:4] == _EBML_MAGIC:
         return webm_sample_ranges(b)
+    if b[:4] == _OGG_MAGIC:
+        return ogg_packet_ranges(b)
     if b[:3] == b"ID3" or (
         len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):
         return mp3_frame_ranges(b)
     return None
+
+
+def _sample_bytes(b: bytes, r) -> bytes:
+    """The raw bytes of one enumerated sample: ``r`` is a contiguous
+    ``(offset, size)`` tuple or a list of segments to concatenate
+    (an Ogg packet reassembled across pages)."""
+    if isinstance(r, list):
+        return b"".join(b[o:o + sz] for o, sz in r)
+    off, sz = r
+    return b[off:off + sz]
 
 
 def mp4_sample_hashes(
@@ -5563,9 +5766,11 @@ def mp4_sample_hashes(
                 n = min(max_samples, len(ranges))
                 step = max(1, len(ranges) // n)
                 for k in range(n):
-                    off, sz = ranges[k * step]
                     rows.append(
-                        (i, k, n, _hl.md5(b[off:off + sz]).hexdigest(),
+                        (i, k, n,
+                         _hl.md5(
+                             _sample_bytes(b, ranges[k * step])
+                         ).hexdigest(),
                          True)
                     )
             yield pd.DataFrame(
@@ -5762,6 +5967,133 @@ def attach_mp3_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf[id_col],
                     "content": [
                         build_mp3_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def _ogg_fixture_packet(j: int, seed_tag: bytes = b"oggp-") -> bytes:
+    """Deterministic pseudo-encoded packet for universal index ``j``:
+    sizes cycle (200, 510, 350, 650) so every lacing shape appears —
+    a sub-255 single segment, an EXACT 255-multiple (terminating 0
+    lacing value), and 255-run spans that cross page boundaries under
+    small ``segs_per_page``."""
+    sz = (200, 510, 350, 650)[j % 4]
+    seed = hashlib.md5(seed_tag + b"%d" % j).digest()
+    body = b"".join(
+        hashlib.md5(seed + k.to_bytes(2, "big")).digest()
+        for k in range((sz + 15) // 16)
+    )
+    return body[:sz]
+
+
+def _opus_headers(retag: bool) -> list:
+    """OpusHead + OpusTags ident/comment packets (magic + fixture
+    padding).  ``retag`` varies ONLY the tags packet — the walk must
+    hash identically either way (header-skip transparency)."""
+    head = b"OpusHead\x01\x02" + bytes(9)
+    tags = b"OpusTags" + (
+        b"retagged-by-fixture-v2\x00" if retag else b"original\x00"
+    )
+    return [head, tags]
+
+
+def build_ogg_blob(doc_id: int) -> bytes:
+    """Ogg bytes for the packet-hash-tier fixtures, mirroring the MP3
+    classes: base class ``doc_id %% 4`` owns the disjoint packet range
+    ``4c..4c+3`` (sizes 200/510/350/650 — every lacing shape);
+    variant ``(doc_id // 4) %% 3`` is 0 = single-page stream with the
+    original OpusTags, 1 = HEAD-TRIMMED (packets 4c+1..4c+3), 2 = the
+    SAME packets RE-PAGINATED at 2 lacing segments per page (packets
+    SPAN pages, continuation flags set) and RE-TAGGED (different
+    OpusTags bytes) — pagination and tags differ, packet hashes must
+    not.  ``doc_id %% 17 == 0`` cuts the last 3 bytes — the final
+    page's body is torn and its CRC unverifiable → ok=false."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 1:
+        idxs = idxs[1:]
+    packets = [_ogg_fixture_packet(j) for j in idxs]
+    blob = ogg_mux(
+        packets,
+        segs_per_page=2 if variant == 2 else 255,
+        headers=_opus_headers(retag=(variant == 2)),
+    )
+    if doc_id % 17 == 0:
+        return blob[:-3]
+    return blob
+
+
+def attach_ogg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the Ogg packet-hash-tier fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_ogg_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def build_audio_mux_blob(doc_id: int) -> bytes:
+    """Cross-container AUDIO fixture (the audio face of
+    ``build_media_mux_blob``, own ``amux-`` seed space): base class
+    ``doc_id %% 4`` owns the disjoint packet range ``4c..4c+3``;
+    container variant ``(doc_id // 4) %% 5`` is 0 = Ogg (Opus
+    headers, single page), 1 = Ogg RE-PAGINATED (2 segments/page,
+    spanning packets) and RE-TAGGED, 2 = Ogg HEAD-TRIMMED (packets
+    4c+1..4c+3), 3 = the SAME packets re-muxed as a Xiph-LACED WebM
+    SimpleBlock, 4 = EBML-laced WebM.  Ogg header packets are skipped
+    and WebM carries none, so all non-trim variants share identical
+    packet-hash SETS and the trim shares 3 of 4 — the byte tier must
+    merge ACROSS Ogg↔WebM packagings of the same codec stream.
+    ``doc_id %% 17 == 0`` cuts the last 3 bytes (Ogg: torn final
+    page/CRC; WebM: the Segment size now overruns the payload — no
+    frames either way) → ok=false."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 5
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 2:
+        idxs = idxs[1:]
+    packets = [_ogg_fixture_packet(j, seed_tag=b"amux-") for j in idxs]
+    if variant == 3:
+        blob = webm_mux(packets, lacing="xiph")
+    elif variant == 4:
+        blob = webm_mux(packets, lacing="ebml")
+    else:
+        blob = ogg_mux(
+            packets,
+            segs_per_page=2 if variant == 1 else 255,
+            headers=_opus_headers(retag=(variant == 1)),
+        )
+    if doc_id % 17 == 0:
+        return blob[:-3]
+    return blob
+
+
+def attach_audio_mux_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the cross-container audio fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_audio_mux_blob(int(i)) for i in pdf[id_col]
                     ],
                 }
             )

@@ -8606,6 +8606,133 @@ ORACLES["audio_aligned_dedup_clusters"] = """
 """
 
 
+def _ogg_sample_pinned_oracle() -> str:
+    """Pinned-constant oracle for the Ogg page walk: per (class,
+    variant, packet index) the md5 of the exact reassembled packet
+    bytes the CRC-verified page walk must return, computed
+    driver-side through ``ogg_packet_ranges`` itself over the muxed
+    fixture.  Variants 0 (single-page) and 2 (re-paginated spanning
+    pages + re-tagged OpusTags) must pin IDENTICAL hashes — the
+    pagination/tag-transparency claim; variant 1 is the head trim.
+    The %17 torn-tail plant is asserted None for every variant so a
+    fixture-size change can never silently flip it."""
+    import hashlib as _hl
+
+    rows = {}
+    n_case = []
+    for cls in range(4):
+        for variant in range(3):
+            did = next(
+                d for d in range(48)
+                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
+            )
+            blob = multimodal.build_ogg_blob(did)
+            ranges = multimodal.ogg_packet_ranges(blob)
+            n_case.append(
+                "WHEN cls = %d AND var = %d THEN %d"
+                % (cls, variant, len(ranges))
+            )
+            for k, r in enumerate(ranges):
+                rows[(cls, variant, k)] = _hl.md5(
+                    multimodal._sample_bytes(blob, r)
+                ).hexdigest()
+    for cls in range(4):
+        for k in range(4):
+            # single-page == re-paginated+re-tagged, packet for packet
+            assert rows[(cls, 0, k)] == rows[(cls, 2, k)], (cls, k)
+        for k in range(3):
+            # head trim: packet j+1 lands at index j, hash unchanged
+            assert rows[(cls, 1, k)] == rows[(cls, 0, k + 1)], (cls, k)
+    for var in range(3):
+        did = next(
+            d for d in range(0, 100000, 17) if (d // 4) % 3 == var
+        )
+        assert multimodal.media_sample_ranges(
+            multimodal.build_ogg_blob(did)
+        ) is None, (did, var)
+    hc = " ".join(
+        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
+        % (c, v, k, h)
+        for (c, v, k), h in rows.items()
+    )
+    nc = " ".join(n_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                 doc_id % 17 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, var, CASE {nc} END AS ns
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, var, ns,
+                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
+                   AS sample_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
+               CAST(ns AS INTEGER) AS n_samples,
+               CASE {hc} END AS sample_hash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def ogg_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg page walk (operators/multimodal.py ``ogg_packet_ranges`` →
+    the dispatching ``mp4_sample_hashes`` tier): RFC 3533 capture
+    pattern, PER-PAGE CRC verification (the non-reflected 0x04C11DB7
+    polynomial), lacing-table packet reassembly ACROSS pages and
+    multiplexed streams, magic-sniffed OpusHead/OpusTags //
+    Vorbis/Theora header skip — the other common crawl audio
+    container, codec-free.  Fixture: 4 packet classes (sizes
+    200/510/350/650 — every lacing shape incl. an exact 255-multiple)
+    × (single-page / head-trim / re-paginated-spanning + re-tagged)
+    variants; %% 17 tears the final page (ok=false).  Map-side, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.mp4_sample_hashes(multimodal.attach_ogg_blob(docs))
+
+
+QUERIES["ogg_sample_hash_check"] = ogg_sample_hash_check
+ORACLES["ogg_sample_hash_check"] = _ogg_sample_pinned_oracle()
+
+
+def cross_container_audio_dedup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-container AUDIO byte dedup (``mp4_byte_dedup`` over the
+    dispatching walk — the audio analogue of
+    ``cross_container_video_dedup_check``): an Ogg stream, its
+    re-paginated/re-tagged copy, and its WebM re-mux (Xiph- or
+    EBML-laced SimpleBlock) carry byte-identical codec packets —
+    identical hash SETS, collapsed in the signature stage — and the
+    Ogg head-trim merges on ≥ 3 shared packet hashes: one cluster per
+    packet class across BOTH containers, stated arithmetically by the
+    oracle.  The merge that container-siloed audio dedup structurally
+    misses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.mp4_byte_dedup(
+        multimodal.attach_audio_mux_blob(docs)
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["cross_container_audio_dedup_check"] = cross_container_audio_dedup_check
+ORACLES["cross_container_audio_dedup_check"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0
+    GROUP BY doc_id % 4
+"""
+
+
 # Round-13 re-pointing (r12 verdict task): the two remaining
 # pre-real-decoder rows-only entries gain exact oracles.
 # multimodal_decode_stub replays the media-header arithmetic under the

@@ -6291,6 +6291,80 @@ def test_mp3_frame_walk_and_dedup(spark):
         assert c == exp, (d, c, exp)
 
 
+def test_ogg_page_walk_and_cross_container_audio_merge(spark):
+    """Ogg tier: the CRC-verified page walk reassembles the exact
+    packet bytes under EVERY pagination (1/2/3/255 segments per page
+    — packets spanning pages with continuation flags); codec header
+    packets (OpusHead/OpusTags, Vorbis, Theora) are skipped so
+    re-tags are transparent; every byte flip is caught by the page
+    CRC; a cut ANYWHERE — including exactly on a page boundary, where
+    the missing EOS flag is the tell — is an honest None; multiplexed
+    two-stream files reassemble per-serial; and the dedup tier merges
+    Ogg ↔ re-paginated Ogg ↔ laced-WebM re-muxes per class."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    packets = [mm._ogg_fixture_packet(j) for j in range(4)]
+    assert {len(p) for p in packets} == {200, 510, 350, 650}
+    for spp in (1, 2, 3, 255):
+        for headers in (None, mm._opus_headers(False),
+                        mm._opus_headers(True),
+                        [b"\x01vorbis" + bytes(23)] * 3):
+            blob = mm.ogg_mux(packets, segs_per_page=spp,
+                              headers=headers)
+            r = mm.ogg_packet_ranges(blob)
+            assert r is not None and len(r) == 4, (spp, headers)
+            assert [mm._sample_bytes(blob, x) for x in r] == packets
+            assert mm.media_sample_ranges(blob) == r
+    # CRC catches every byte flip; cuts are honest Nones everywhere
+    blob = mm.ogg_mux(packets, segs_per_page=2,
+                      headers=mm._opus_headers(False))
+    for j in range(len(blob)):
+        mut = blob[:j] + bytes([blob[j] ^ 0x41]) + blob[j + 1:]
+        assert mm.ogg_packet_ranges(mut) is None, j
+    for cut in range(1, len(blob)):
+        assert mm.ogg_packet_ranges(blob[:cut]) is None, cut
+    # multiplexed streams: interleave pages of two serials; packets
+    # reassemble per-serial and both streams' packets all surface
+    a = mm.ogg_mux(packets[:2], serial=0x11)
+    b = mm.ogg_mux(packets[2:], serial=0x22)
+    mux = a[:0]
+    # page-split both files and interleave page-by-page
+    def pages(x):
+        out, i = [], 0
+        while i < len(x):
+            nseg = x[i + 26]
+            nxt = i + 27 + nseg + sum(x[i + 27:i + 27 + nseg])
+            out.append(x[i:nxt])
+            i = nxt
+        return out
+    pa, pb = pages(a), pages(b)
+    for k in range(max(len(pa), len(pb))):
+        if k < len(pa):
+            mux += pa[k]
+        if k < len(pb):
+            mux += pb[k]
+    r = mm.ogg_packet_ranges(mux)
+    assert r is not None
+    assert sorted(mm._sample_bytes(mux, x) for x in r) == \
+        sorted(packets)
+    # zero-length packet and exact-255-multiple lacing round-trip
+    odd = [b"", b"z" * 255, b"q" * 510]
+    blob = mm.ogg_mux(odd)
+    assert [mm._sample_bytes(blob, x)
+            for x in mm.ogg_packet_ranges(blob)] == odd
+    # dedup: Ogg / re-paginated+re-tagged / trim / Xiph-WebM /
+    # EBML-WebM merge per class, classes apart, plants excluded
+    docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
+    clusters = mm.mp4_byte_dedup(mm.attach_audio_mux_blob(docs)).collect()
+    by_id = {x["id"]: x["cluster"] for x in clusters}
+    assert 0 not in by_id and 17 not in by_id and 34 not in by_id
+    for d, c in by_id.items():
+        exp = min(
+            x for x in range(48) if x % 4 == d % 4 and x % 17 != 0
+        )
+        assert c == exp, (d, c, exp)
+
+
 def test_audio_aligned_dedup_trim_and_reencode(spark):
     """Trim-tolerant audio tier: the 16 universal window patterns are
     distinct and realized bit-exact by the PCM construction; a G.711

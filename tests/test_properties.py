@@ -949,6 +949,28 @@ def test_prop_media_mux_walk_roundtrip(samples, per_fragment):
 
 @settings(max_examples=40, deadline=None)
 @given(
+    st.lists(st.binary(min_size=0, max_size=2000), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=255),
+    st.booleans(),
+)
+def test_prop_ogg_mux_walk_roundtrip(packets, spp, retag):
+    """ogg_mux → ogg_packet_ranges is the identity on packet byte
+    lists for arbitrary packets (incl. empty and 255-multiples) under
+    every pagination, with codec headers always skipped — so
+    Ogg↔WebM cross-container hashes can never disagree."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    blob = mm.ogg_mux(
+        packets, segs_per_page=spp, headers=mm._opus_headers(retag)
+    )
+    r = mm.ogg_packet_ranges(blob)
+    assert r is not None
+    assert [mm._sample_bytes(blob, x) for x in r] == packets
+    assert mm.media_sample_ranges(blob) == r
+
+
+@settings(max_examples=40, deadline=None)
+@given(
     st.lists(
         st.tuples(
             st.from_regex(r"[a-z]{1,8}(/[a-z]{1,8}){0,2}", fullmatch=True),
