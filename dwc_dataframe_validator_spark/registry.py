@@ -6826,6 +6826,183 @@ QUERIES["webdataset_group_check"] = webdataset_group_check
 ORACLES["webdataset_group_check"] = _webdataset_group_oracle()
 
 
+def _zip_fixture_rows(cls: int, torn: bool, corrupt: bool):
+    """Member rows (index, name, key, ext, size, md5_or_None, ok) the
+    zip walker must produce for one fixture shape, computed through
+    ``iter_zip_members`` itself over the shape's blob.  The deflate
+    (%13) variant is asserted IDENTICAL to the stored shape for every
+    (torn, corrupt) combination — the compression-transparency
+    claim."""
+    import hashlib as _hl
+
+    from .sources import zip as zipmod
+
+    def rows_for(did):
+        out = []
+        for idx, name, size, content, ok in zipmod.iter_zip_members(
+            zipmod.build_zip_blob(did)
+        ):
+            key, ext = zipmod.wds_key_ext(name) if name else (None, None)
+            out.append((
+                idx, name, key, ext, size,
+                _hl.md5(content).hexdigest() if content is not None
+                else None,
+                ok,
+            ))
+        return out
+
+    def pick(deflate):
+        return next(
+            d for d in range(30000)
+            if d % 6 == cls
+            and (d % 17 == 0) == torn
+            and (d % 19 == 0) == corrupt
+            and (d % 13 == 0) == deflate
+        )
+
+    out = rows_for(pick(False))
+    assert out == rows_for(pick(True)), (cls, torn, corrupt)
+    return out
+
+
+def _zip_members_oracle() -> str:
+    """Pinned row-table oracle for the zip shard member walk: for
+    every (class, torn?, corrupt?) fixture shape the exact member
+    rows — names, WebDataset key/ext splits, declared sizes, content
+    md5s, the single-row torn-central-directory collapse, and the
+    corrupt member flagged ALONE with the walk continuing — computed
+    driver-side through the same walker; joined to documents on
+    (cls, torn, corrupt)."""
+    values = []
+    for cls in range(6):
+        for torn in (False, True):
+            for corrupt in ((False, True) if not torn else (False,)):
+                for row in _zip_fixture_rows(cls, torn, corrupt):
+                    values.append(
+                        "(%d, %s, %s, %s)" % (
+                            cls, _sql_lit(torn), _sql_lit(corrupt),
+                            ", ".join(_sql_lit(v) for v in row),
+                        )
+                    )
+    rows_sql = ",\n          ".join(values)
+    return f"""
+        WITH consts(cls, torn, corrupt, member_index, member_name,
+                    key, ext, size, content_md5, ok) AS (
+          VALUES {rows_sql}
+        ),
+        base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS torn,
+                 doc_id % 17 <> 0 AND doc_id % 19 = 0 AS corrupt
+          FROM documents)
+        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+               CAST(c.member_index AS BIGINT) AS member_index,
+               c.member_name, c.key, c.ext,
+               CAST(c.size AS BIGINT) AS size,
+               c.content_md5, c.ok
+        FROM base b
+        JOIN consts c ON c.cls = b.cls AND c.torn = b.torn
+                     AND c.corrupt = b.corrupt
+    """
+
+
+def zip_members_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip shard source (sources/zip.py ``decode_zip_records`` over
+    ``iter_zip_members``): central-directory member walk with
+    per-member CRC32 verification, stored/deflate transparency, and
+    zip's tail-authority honesty — a torn tail loses the central
+    directory and collapses to ONE flagged row (no boundary is
+    trustworthy), while a corrupt MEMBER (%%19 plant: one flipped
+    byte, caught by CRC) flags only itself and the walk CONTINUES,
+    the structural opposite of tar's header chain.  Fixture: the tar
+    source's 6 classes re-shipped as zip (%%13 deflate — identical
+    rows), %%17 torn tail.  Map-side, zero shuffles."""
+    from .sources import zip as zipmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = zipmod.decode_zip_records(
+        zipmod.attach_zip_blob(docs), id_col="id"
+    )
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        "member_index", "member_name", "key", "ext", "size",
+        F.md5(F.col("content")).alias("content_md5"),
+        "ok",
+    )
+
+
+QUERIES["zip_members_check"] = zip_members_check
+ORACLES["zip_members_check"] = _zip_members_oracle()
+
+
+def _zip_group_oracle() -> str:
+    """Pinned row-table oracle for WebDataset regrouping over ZIP
+    member rows: per (class, torn?, corrupt?) the (key, n_parts,
+    exts, parts_sig) rows, replayed in Python over the walker's good
+    rows — the corrupt member's sample loses exactly that part; a
+    torn archive contributes no samples at all."""
+    values = []
+    for cls in range(6):
+        for torn in (False, True):
+            for corrupt in ((False, True) if not torn else (False,)):
+                groups: dict = {}
+                for row in _zip_fixture_rows(cls, torn, corrupt):
+                    idx, name, key, ext, size, md5h, ok = row
+                    if not ok:
+                        continue
+                    groups.setdefault(key, []).append((ext, md5h))
+                for key in sorted(groups):
+                    parts = groups[key]
+                    exts = ",".join(sorted(e for e, _ in parts))
+                    sig = ",".join(sorted(f"{e}:{m}" for e, m in parts))
+                    values.append(
+                        "(%d, %s, %s, %s, %d, %s, %s)" % (
+                            cls, _sql_lit(torn), _sql_lit(corrupt),
+                            _sql_lit(key), len(parts),
+                            _sql_lit(exts), _sql_lit(sig),
+                        )
+                    )
+    rows_sql = ",\n          ".join(values)
+    return f"""
+        WITH consts(cls, torn, corrupt, key, n_parts, exts,
+                    parts_sig) AS (
+          VALUES {rows_sql}
+        ),
+        base AS (
+          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS torn,
+                 doc_id % 17 <> 0 AND doc_id % 19 = 0 AS corrupt
+          FROM documents)
+        SELECT CAST(b.doc_id AS BIGINT) AS shard, c.key,
+               CAST(c.n_parts AS BIGINT) AS n_parts,
+               c.exts, c.parts_sig
+        FROM base b
+        JOIN consts c ON c.cls = b.cls AND c.torn = b.torn
+                     AND c.corrupt = b.corrupt
+    """
+
+
+def zip_group_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample regrouping over ZIP shards — the tar
+    source's ``webdataset_samples`` applied verbatim to the zip
+    walker's rows (same member-row schema by design): one row per
+    (shard, key) with the sorted extension list and ``ext:md5`` parts
+    signature.  The %%19 corrupt member drops exactly its own part
+    from its sample; a %%17 torn archive contributes nothing."""
+    from .sources import tar as tarmod
+    from .sources import zip as zipmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dec = zipmod.decode_zip_records(
+        zipmod.attach_zip_blob(docs), id_col="id"
+    )
+    return tarmod.webdataset_samples(dec, shard_col="id", key_col="key")
+
+
+QUERIES["zip_group_check"] = zip_group_check
+ORACLES["zip_group_check"] = _zip_group_oracle()
+
+
 def audio_hash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO dedup end-to-end (operators/multimodal.py
     ``audio_hash_dedup``): real PCM16 decode → 64-window energy-

@@ -6558,3 +6558,91 @@ def test_tar_webdataset_source(spark, tmp_path):
     assert samples["000/abc"]["n_parts"] == 3
     assert samples["000/abc"]["exts"] == "jpg,meta.json,txt"
     assert samples["000/xyz"]["n_parts"] == 2
+
+
+def test_zip_shard_source(spark, tmp_path):
+    """Zip shard source: file-source and columnar faces agree;
+    deflate decodes to identical rows (compression transparency); a
+    torn tail collapses to ONE flagged row (the central directory —
+    zip's sole authority — lives at the tail); a corrupt member flags
+    ONLY itself and the walk continues (CD still locates the rest —
+    the structural opposite of tar); an encrypted member flags
+    without a task failure; grouping regroups samples with the
+    corrupt part dropped."""
+    from dwc_dataframe_validator_spark.sources import tar as t
+    from dwc_dataframe_validator_spark.sources import zip as z
+
+    members = [
+        ("000/abc.jpg", b"JPG" * 111), ("000/abc.txt", b"caption one"),
+        ("000/abc.meta.json", b'{"a":1}'), ("000/xyz.jpg", b"Z" * 77),
+        ("000/xyz.txt", b"caption two"),
+    ]
+    blob = z.zip_encode(members)
+    # file-source face == columnar face
+    shard = tmp_path / "shard-000.zip"
+    shard.write_bytes(blob)
+    via_file = z.read_zip(spark, str(shard)).collect()
+    df = spark.createDataFrame([(1, blob)], "id long, content binary")
+    via_col = z.decode_zip_records(df, id_col="id").collect()
+    assert [
+        (r["member_name"], bytes(r["content"])) for r in via_file
+    ] == [(r["member_name"], bytes(r["content"])) for r in via_col]
+    assert [r["key"] for r in via_file[:3]] == ["000/abc"] * 3
+    assert via_file[2]["ext"] == "meta.json"
+    # deflate transparency: identical member rows
+    rows_d = list(z.iter_zip_members(z.zip_encode(members, deflate=True)))
+    assert [(r[1], r[3], r[4]) for r in rows_d] == [
+        (n, d, True) for n, d in members
+    ]
+    # exhaustive truncation: zip has NO recoverable prefix — any cut
+    # that damages the tail structures yields flagged rows only,
+    # never wrong member bytes
+    by_name = dict(members)
+    for cut in range(1, len(blob), 7):
+        got = list(z.iter_zip_members(blob[:cut]))
+        for r in got:
+            if r[4]:
+                assert r[3] == by_name[r[1]], cut
+    assert list(z.iter_zip_members(blob[: len(blob) * 2 // 3])) == [
+        (0, None, None, None, False)
+    ]
+    # corrupt ONE member's data byte: CRC flags it alone, walk goes on
+    pos = 30 + len(members[0][0]) + 3
+    bad = blob[:pos] + bytes([blob[pos] ^ 0x5A]) + blob[pos + 1:]
+    rows = list(z.iter_zip_members(bad))
+    assert rows[0][1] == "000/abc.jpg" and not rows[0][4]
+    assert rows[0][3] is None
+    assert [(r[1], r[4]) for r in rows[1:]] == [
+        (n, True) for n, _ in members[1:]
+    ]
+    # encrypted member (general-purpose bit 0 set in local + CD
+    # headers): flagged, not a task failure, siblings still parse
+    import zipfile as _zf
+    import io as _io
+
+    enc = bytearray(blob)
+    enc[6] |= 0x01  # local header flag bits, first member
+    zf = _zf.ZipFile(_io.BytesIO(blob))
+    cd_off = zf.infolist()[0].header_offset  # for CD: find via EOCD
+    # locate the first CD entry: scan for PK\x01\x02 signature
+    cd0 = blob.index(b"PK\x01\x02")
+    enc[cd0 + 8] |= 0x01  # CD flag bits
+    rows = list(z.iter_zip_members(bytes(enc)))
+    assert not rows[0][4] and all(r[4] for r in rows[1:])
+    # byte-flip fuzz anywhere never raises
+    for j in range(0, len(blob), 3):
+        list(z.iter_zip_members(
+            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        ))
+    # grouping: corrupt part dropped from its sample
+    dfb = spark.createDataFrame([(1, bad)], "id long, content binary")
+    samples = {
+        r["key"]: r
+        for r in t.webdataset_samples(
+            z.decode_zip_records(dfb, id_col="id"),
+            shard_col="id", key_col="key",
+        ).collect()
+    }
+    assert samples["000/abc"]["n_parts"] == 2
+    assert samples["000/abc"]["exts"] == "meta.json,txt"
+    assert samples["000/xyz"]["n_parts"] == 2

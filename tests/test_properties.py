@@ -993,6 +993,30 @@ def test_prop_tar_roundtrip(members, gz):
     ]
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,8}(/[a-z]{1,8}){0,2}", fullmatch=True),
+            st.binary(min_size=0, max_size=4000),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.booleans(),
+)
+def test_prop_zip_roundtrip(members, deflate):
+    """zip_encode → iter_zip_members is the identity on (name, bytes)
+    for arbitrary member lists, stored and deflate alike."""
+    from dwc_dataframe_validator_spark.sources import zip as z
+
+    rows = list(z.iter_zip_members(z.zip_encode(members, deflate=deflate)))
+    assert [(r[1], r[3], r[4]) for r in rows] == [
+        (n, d, True) for n, d in members
+    ]
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.integers(min_value=1, max_value=4),

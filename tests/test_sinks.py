@@ -1546,3 +1546,47 @@ def test_stream_tar_equals_batch(spark, tmp_path):
     flagged = [r for r in streamed if not r[-1]]
     assert len(flagged) == 1 and flagged[0][0] == "s3.tar"
     assert len(streamed) == len(m1) + len(m2) + 1
+
+
+def test_stream_zip_equals_batch(spark, tmp_path):
+    """stream_zip ≡ read_zip by construction (one shared walker):
+    drain a landing directory of archives — one stored, one deflate,
+    one torn — through the streaming face and compare member rows to
+    the batch face."""
+    from dwc_dataframe_validator_spark.sources import zip as z
+
+    land = tmp_path / "land"
+    land.mkdir()
+    m1 = [("a/k1.jpg", b"X" * 600), ("a/k1.txt", b"cap")]
+    m2 = [("b/k2.jpg", b"Y" * 100), ("b/k2.cls", b"7")]
+    (land / "s1.zip").write_bytes(z.zip_encode(m1))
+    (land / "s2.zip").write_bytes(z.zip_encode(m2, deflate=True))
+    (land / "s3.zip").write_bytes(z.zip_encode(m1)[:400])  # torn tail
+    out = str(tmp_path / "out")
+    q = (
+        z.stream_zip(spark, str(land))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(rows):
+        return sorted(
+            (r["path"].split("/")[-1], r["member_index"],
+             r["member_name"], r["key"], r["ext"], r["size"],
+             None if r["content"] is None else bytes(r["content"]),
+             r["ok"])
+            for r in rows
+        )
+
+    streamed = canon(spark.read.parquet(out).collect())
+    batch = canon(z.read_zip(spark, str(land) + "/*.zip").collect())
+    assert streamed == batch
+    # the torn archive lost its central directory: exactly one
+    # flagged row, no member leaks; the other archives parsed fully
+    flagged = [r for r in streamed if not r[-1]]
+    assert len(flagged) == 1 and flagged[0][0] == "s3.zip"
+    assert len(streamed) == len(m1) + len(m2) + 1
