@@ -2169,3 +2169,180 @@ def _ngram_rep_build(base, id_col, all_ns, top_set, dup_set, eager):
     if eager:
         out = out.localCheckpoint(eager=True)
     return out
+
+
+# ---- Subtitles: SRT / WebVTT timed-text parse ------------------------
+#: (id, cue_idx, start_ms, end_ms, text, ok) — one row per cue
+SUBTITLE_CUE_SCHEMA = (
+    "id long, cue_idx int, start_ms long, end_ms long, "
+    "text string, ok boolean"
+)
+
+#: one timestamp line: [HH:]MM:SS(.|,)mmm --> [HH:]MM:SS(.|,)mmm
+#: — SRT writes comma + mandatory hours, WebVTT writes dot + optional
+#: hours; one pattern reads both (cue settings after the arrow time
+#: are tolerated, the parse anchors on the line's leading timestamps)
+_SUBTITLE_TS_RX = (
+    r"(?:(\d{1,3}):)?(\d{2}):(\d{2})[.,](\d{3})"
+    r"[ \t]*-->[ \t]*"
+    r"(?:(\d{1,3}):)?(\d{2}):(\d{2})[.,](\d{3})"
+)
+
+
+def _ts_ms(block: Column, h_grp: int) -> Column:
+    """Milliseconds for one side of the cue's timestamp line
+    (``h_grp`` = regex group index of the optional hours field; the
+    following three groups are minutes/seconds/millis).  NULL when
+    the line does not parse."""
+    h = F.regexp_extract(block, _SUBTITLE_TS_RX, h_grp)
+    m = F.regexp_extract(block, _SUBTITLE_TS_RX, h_grp + 1)
+    s = F.regexp_extract(block, _SUBTITLE_TS_RX, h_grp + 2)
+    ms = F.regexp_extract(block, _SUBTITLE_TS_RX, h_grp + 3)
+    return F.when(
+        m != F.lit(""),
+        F.coalesce(F.nullif(h, F.lit("")).cast("long"), F.lit(0))
+        * 3600000
+        + m.cast("long") * 60000
+        + s.cast("long") * 1000
+        + ms.cast("long"),
+    )
+
+
+def subtitle_cues(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Parse SRT / WebVTT subtitle text into cue rows — the timed-text
+    face of a video corpus (caption-frame training pairs need it).
+    One grammar serves both formats: normalize line endings, split on
+    blank lines into blocks, keep blocks containing a ``-->``
+    timestamp line (the WEBVTT header, NOTE/STYLE/REGION blocks, and
+    stray comments carry none), read ``[HH:]MM:SS[.,]mmm`` pairs
+    (SRT's comma+hours and VTT's dot+optional-hours alike, cue
+    settings after the times tolerated), and take the cue TEXT as
+    everything after the timestamp line — so SRT's numeric index line
+    and VTT's optional cue identifier line are skipped identically,
+    which is why an SRT and a VTT packaging of the same cues parse to
+    IDENTICAL rows (pinned by the fixture oracle).  A cue whose
+    timestamps do not parse, or whose end precedes its start, flags
+    ``ok=false`` with NULL times (text still extracted) — honest,
+    never silently wrong.  ``cue_idx`` numbers the ARROW blocks per
+    document (a per-id window; groups are cue-count sized, so the
+    shuffle is skew-free).  Everything is Catalyst expressions —
+    regexp/split/posexplode, no Python UDFs, whole-stage codegen."""
+    txt = F.regexp_replace(F.col(content_col), r"\r\n?", "\n")
+    ex = (
+        df.select(F.col(id_col).alias("id"), txt.alias("_t"))
+        .select(
+            "id",
+            F.posexplode(F.split(F.col("_t"), r"\n{2,}")).alias(
+                "_pos", "_block"
+            ),
+        )
+        .filter(F.col("_block").contains("-->"))
+    )
+    w = Window.partitionBy("id").orderBy("_pos")
+    start = _ts_ms(F.col("_block"), 1)
+    end = _ts_ms(F.col("_block"), 5)
+    text = F.regexp_replace(
+        F.regexp_extract(
+            F.col("_block"), r"(?s)(?:^|\n)[^\n]*-->[^\n]*\n?(.*)$", 1
+        ),
+        # the file's final newline rides into the last block; it is
+        # not cue text
+        r"\n+$",
+        "",
+    )
+    return ex.select(
+        "id",
+        (F.row_number().over(w) - 1).cast("int").alias("cue_idx"),
+        start.alias("_s"),
+        end.alias("_e"),
+        text.alias("text"),
+    ).select(
+        "id",
+        "cue_idx",
+        F.when(F.col("_s") <= F.col("_e"), F.col("_s")).alias(
+            "start_ms"
+        ),
+        F.when(F.col("_s") <= F.col("_e"), F.col("_e")).alias("end_ms"),
+        "text",
+        (F.col("_s").isNotNull() & (F.col("_s") <= F.col("_e"))).alias(
+            "ok"
+        ),
+    )
+
+
+def _fmt_srt_ts(ms: int) -> str:
+    return "%02d:%02d:%02d,%03d" % (
+        ms // 3600000, ms // 60000 % 60, ms // 1000 % 60, ms % 1000
+    )
+
+
+def _fmt_vtt_ts(ms: int) -> str:
+    # WebVTT: hours optional — omit them (fixture stays < 1 h), so the
+    # parse exercises the optional-hours branch
+    return "%02d:%02d.%03d" % (ms // 60000, ms // 1000 % 60, ms % 1000)
+
+
+def build_subtitle_text(doc_id: int) -> str:
+    """Subtitle fixture: class ``doc_id %% 4`` has ``2 + cls`` cues;
+    cue ``j`` spans ``[800j + 13·cls, 800j + 13·cls + 900 + 7j)`` ms
+    with deterministic text (two lines on odd ``j`` — the multi-line
+    join case).  ``(doc_id // 4) %% 2`` picks the PACKAGING: 0 = SRT
+    (numeric index lines, comma timestamps), 1 = WebVTT (header,
+    a NOTE block, cue identifier lines, dot timestamps without
+    hours, a cue-settings suffix) — both must parse to IDENTICAL
+    rows.  ``doc_id %% 17 == 0`` garbles the LAST cue's timestamp
+    line (ok=false, NULL times, text kept)."""
+    cls = doc_id % 4
+    vtt = (doc_id // 4) % 2 == 1
+    n = 2 + cls
+    blocks = []
+    if vtt:
+        blocks.append("WEBVTT")
+        blocks.append("NOTE\nfixture comment block, no arrow here")
+    for j in range(n):
+        s = 800 * j + 13 * cls
+        e = s + 900 + 7 * j
+        if doc_id % 17 == 0 and j == n - 1:
+            ts = "xx:yy --> garbled"
+        elif vtt:
+            ts = "%s --> %s position:10%%,line-left" % (
+                _fmt_vtt_ts(s), _fmt_vtt_ts(e)
+            )
+        else:
+            ts = "%s --> %s" % (_fmt_srt_ts(s), _fmt_srt_ts(e))
+        text = "cue %d of class %d line one" % (j, cls)
+        if j % 2 == 1:
+            text += "\nand line two (%d)" % j
+        if vtt:
+            blocks.append("ident-%d\n%s\n%s" % (j, ts, text))
+        else:
+            blocks.append("%d\n%s\n%s" % (j + 1, ts, text))
+    return "\n\n".join(blocks) + "\n"
+
+
+def attach_subtitle_text(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the subtitle fixture text — built with
+    Catalyst ``transform``/``concat`` would be opaque; a tiny Arrow
+    batch keeps the builder the readable twin of the parser."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_subtitle_text(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content string"
+    )

@@ -7003,6 +7003,111 @@ QUERIES["zip_group_check"] = zip_group_check
 ORACLES["zip_group_check"] = _zip_group_oracle()
 
 
+def subtitle_parse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT / WebVTT timed-text parse (operators/text.py
+    ``subtitle_cues``): blank-line block split, one timestamp grammar
+    for SRT's comma+hours and VTT's dot+optional-hours, header /
+    NOTE / identifier lines skipped, multi-line cue text joined —
+    all Catalyst regexp expressions, zero Python.  Fixture: 4 cue
+    classes × (SRT / WebVTT) packagings that must parse to IDENTICAL
+    rows (the packaging-transparency claim, stated arithmetically by
+    the oracle); %% 17 garbles the LAST cue's timestamp line
+    (ok=false, NULL times, text kept)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cues = text.subtitle_cues(text.attach_subtitle_text(docs))
+    return cues.select(
+        F.col("id").alias("doc_id"),
+        "cue_idx", "start_ms", "end_ms", "text", "ok",
+    )
+
+
+QUERIES["subtitle_parse_check"] = subtitle_parse_check
+ORACLES["subtitle_parse_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             doc_id % 17 = 0 AS torn
+      FROM documents),
+    cues AS (
+      SELECT doc_id, cls, torn,
+             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER)
+               AS cue_idx
+      FROM base)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, cue_idx,
+      CASE WHEN torn AND cue_idx = cls + 1 THEN NULL
+           ELSE CAST(800 * cue_idx + 13 * cls AS BIGINT)
+           END AS start_ms,
+      CASE WHEN torn AND cue_idx = cls + 1 THEN NULL
+           ELSE CAST(800 * cue_idx + 13 * cls + 900 + 7 * cue_idx
+                     AS BIGINT)
+           END AS end_ms,
+      'cue ' || cue_idx || ' of class ' || cls || ' line one'
+        || CASE WHEN cue_idx % 2 = 1
+                THEN chr(10) || 'and line two (' || cue_idx || ')'
+                ELSE '' END AS text,
+      NOT (torn AND cue_idx = cls + 1) AS ok
+    FROM cues
+"""
+
+
+def subtitle_frame_align_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-frame ALIGNMENT — the composition a video training
+    corpus needs (frame, caption) pairs from: real MJPEG frame decode
+    (``video_frame_hashes``) joined to parsed subtitle cues
+    (``subtitle_cues``) on document id where the frame's timestamp
+    (500 ms stride) falls inside the cue's window.  An id-equi join
+    with a range post-filter — Catalyst plans it as a hash join on
+    id, no cartesian.  Torn videos/cues drop out via their ok flags;
+    the surviving pair set is pure fixture arithmetic, stated
+    independently by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = (
+        multimodal.video_frame_hashes(multimodal.attach_avi_blob(docs))
+        .filter("ok")
+        .select("id", "frame_idx")
+    )
+    cues = (
+        text.subtitle_cues(text.attach_subtitle_text(docs))
+        .filter("ok")
+        .select(
+            F.col("id").alias("cid"), "cue_idx", "start_ms", "end_ms"
+        )
+    )
+    ts = (F.col("frame_idx") * 500).cast("long")
+    return (
+        frames.join(
+            cues,
+            (F.col("id") == F.col("cid"))
+            & (ts >= F.col("start_ms"))
+            & (ts < F.col("end_ms")),
+        )
+        .select(F.col("id").alias("doc_id"), "frame_idx", "cue_idx")
+    )
+
+
+QUERIES["subtitle_frame_align_check"] = subtitle_frame_align_check
+ORACLES["subtitle_frame_align_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS vcls,
+             CAST(doc_id % 4 AS INTEGER) AS scls
+      FROM documents WHERE doc_id % 17 <> 0),
+    frames AS (
+      SELECT doc_id, scls,
+             CAST(unnest(generate_series(0, 1 + vcls % 3)) AS INTEGER)
+               AS frame_idx
+      FROM base),
+    cues AS (
+      SELECT doc_id AS cdoc, scls AS ccls,
+             CAST(unnest(generate_series(0, scls + 1)) AS INTEGER)
+               AS cue_idx
+      FROM base)
+    SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.frame_idx, c.cue_idx
+    FROM frames f JOIN cues c ON c.cdoc = f.doc_id
+    WHERE 500 * f.frame_idx >= 800 * c.cue_idx + 13 * c.ccls
+      AND 500 * f.frame_idx <
+          800 * c.cue_idx + 13 * c.ccls + 900 + 7 * c.cue_idx
+"""
+
+
 def audio_hash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO dedup end-to-end (operators/multimodal.py
     ``audio_hash_dedup``): real PCM16 decode → 64-window energy-

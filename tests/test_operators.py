@@ -6646,3 +6646,81 @@ def test_zip_shard_source(spark, tmp_path):
     assert samples["000/abc"]["n_parts"] == 2
     assert samples["000/abc"]["exts"] == "meta.json,txt"
     assert samples["000/xyz"]["n_parts"] == 2
+
+
+def test_subtitle_cues_srt_vtt(spark):
+    """Timed-text tier: SRT and WebVTT packagings of the same cues
+    parse to IDENTICAL rows (index/identifier lines, header, NOTE
+    blocks and cue settings all transparent); CRLF endings, VTT hours
+    present or absent, and multi-line text all parse; an unparseable
+    timestamp or end<start flags ok=false with text kept; a cue with
+    no text yields an empty string; the frame-cue alignment join
+    pairs frames with every covering cue window."""
+    from dwc_dataframe_validator_spark.operators import text as T
+
+    def rows(content):
+        df = spark.createDataFrame([(1, content)], "id long, content string")
+        return [
+            (r["cue_idx"], r["start_ms"], r["end_ms"], r["text"], r["ok"])
+            for r in sorted(
+                T.subtitle_cues(df).collect(),
+                key=lambda r: r["cue_idx"],
+            )
+        ]
+
+    srt = (
+        "1\r\n00:00:01,500 --> 00:00:03,000\r\nhello\r\nworld\r\n\r\n"
+        "2\r\n01:02:03,004 --> 01:02:04,000\r\nsecond\r\n"
+    )
+    vtt = (
+        "WEBVTT\n\nNOTE a comment\nwith no arrow\n\n"
+        "intro\n00:01.500 --> 00:03.000 align:start\nhello\nworld\n\n"
+        "c2\n01:02:03.004 --> 01:02:04.000\nsecond\n"
+    )
+    expect = [
+        (0, 1500, 3000, "hello\nworld", True),
+        (1, 3723004, 3724000, "second", True),
+    ]
+    assert rows(srt) == expect
+    assert rows(vtt) == expect
+    # empty cue text; unparseable times; end < start
+    odd = (
+        "1\n00:00:00,000 --> 00:00:01,000\n\n\n"
+        "2\nxx:yy --> zz\nkept text\n\n"
+        "3\n00:00:05,000 --> 00:00:04,000\nbackwards\n"
+    )
+    got = rows(odd)
+    assert got[0] == (0, 0, 1000, "", True)
+    assert got[1] == (1, None, None, "kept text", False)
+    assert got[2] == (2, None, None, "backwards", False)
+    # fixture parity: SRT variant == VTT variant, pinned per class
+    for cls in range(4):
+        a = T.build_subtitle_text(8 + cls)    # (d//4)%2 == 0: SRT
+        b = T.build_subtitle_text(4 + cls)    # same class, VTT
+        assert rows(a) == rows(b), cls
+    # alignment composition on a tiny universe: frame 1 (ts 500) is
+    # inside cue 0's [13c, 13c+900) window for every class
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+    from dwc_dataframe_validator_spark import registry
+
+    docs = spark.createDataFrame([(d,) for d in range(12)], "doc_id long")
+    frames = (
+        mm.video_frame_hashes(mm.attach_avi_blob(docs))
+        .filter("ok").selectExpr("id", "frame_idx")
+    )
+    cues = T.subtitle_cues(T.attach_subtitle_text(docs)).filter("ok")
+    from pyspark.sql import functions as F
+
+    pairs = frames.join(
+        cues.selectExpr("id as cid", "cue_idx", "start_ms", "end_ms"),
+        (F.col("id") == F.col("cid"))
+        & ((F.col("frame_idx") * 500).cast("long") >= F.col("start_ms"))
+        & ((F.col("frame_idx") * 500).cast("long") < F.col("end_ms")),
+    ).collect()
+    by = {}
+    for r in pairs:
+        by.setdefault(r["id"], set()).add((r["frame_idx"], r["cue_idx"]))
+    for d in range(1, 12):
+        if d % 17 == 0:
+            continue
+        assert (1, 0) in by[d], (d, by.get(d))
