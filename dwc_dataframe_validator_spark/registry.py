@@ -9340,6 +9340,25 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # webdataset_group_check in for robots_filter_check and
 # jpeg_pixel_hash_check (the web and JPEG families keep
 # wet_main_content_docs and jpeg_progressive_hash_check).
+#
+# Round-15 rotation (the r14 verdict's ask): in — the STALE
+# singletons p4_range_filter (last driver-green r03) and
+# a4/a5/a11/a12/a14 (r12), plus the round-15 newcomers
+# (mp3_frame_hash_check, mp3_byte_dedup, audio_window_hash_check,
+# audio_aligned_dedup_clusters, webm_sample_hash_check — re-verify
+# after the lacing expansion — ogg_sample_hash_check,
+# cross_container_audio_dedup_check, zip_members_check,
+# zip_group_check, subtitle_parse_check, subtitle_frame_align_check);
+# out — seventeen r14-driver-green entries, the FRESHEST
+# verifications and therefore the safest to bench: simhash,
+# sentence_stats, doc_chunks, jpeg_progressive, http_wire/charset/
+# content_encoding, video_frame/video_aligned (their tier is
+# re-driven via subtitle_frame_align_check and the audio aligned
+# sibling), image_ingest (finalize stays), audio_codec_feature,
+# mp4_sample/mp4_byte (the dispatching tier re-enters through the
+# webm/mp3/ogg walks), image_resize, audio_resample, tar_members /
+# webdataset_group (the shard-source discipline re-enters as zip).
+# All stay pytest-pinned and in the every-round local sweep.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -9350,9 +9369,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fk_orders_customer",
     "dwca_archive_profile",
     "dwca_orphan_multimedia",
+    "p4_range_filter",
+    "a4_range_count",
+    "a5_group_populated",
+    "a11_value_histogram",
+    "a12_top_k",
+    "a14_offender_sample",
     "dedup_exact_keepers",
     "minhash_lsh_check",
-    "simhash_signature_check",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "text_token_stats",
@@ -9361,11 +9385,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
-    "sentence_stats_docs",
     "audio_hash_dedup_clusters",
     "crawl_ingest_check",
     "text_ngram_top_neighbor",
-    "doc_chunks",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
@@ -9376,21 +9398,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "jpeg_progressive_hash_check",
-    "http_wire_decode_check",
-    "charset_decode_check",
-    "video_frame_hash_check",
-    "video_aligned_dedup_clusters",
-    "image_ingest_check",
-    "audio_codec_feature_check",
-    "http_content_encoding_check",
-    "mp4_sample_hash_check",
-    "mp4_byte_dedup_clusters",
     "image_ingest_finalize_check",
-    "image_resize_check",
-    "audio_resample_check",
-    "tar_members_check",
-    "webdataset_group_check",
+    "mp3_frame_hash_check",
+    "mp3_byte_dedup",
+    "audio_window_hash_check",
+    "audio_aligned_dedup_clusters",
+    "webm_sample_hash_check",
+    "ogg_sample_hash_check",
+    "cross_container_audio_dedup_check",
+    "zip_members_check",
+    "zip_group_check",
+    "subtitle_parse_check",
+    "subtitle_frame_align_check",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -139,9 +139,14 @@ DRIVER_WINDOW = [
     "fk_orders_customer",
     "dwca_archive_profile",
     "dwca_orphan_multimedia",
+    "p4_range_filter",
+    "a4_range_count",
+    "a5_group_populated",
+    "a11_value_histogram",
+    "a12_top_k",
+    "a14_offender_sample",
     "dedup_exact_keepers",
     "minhash_lsh_check",
-    "simhash_signature_check",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "text_token_stats",
@@ -150,11 +155,9 @@ DRIVER_WINDOW = [
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
-    "sentence_stats_docs",
     "audio_hash_dedup_clusters",
     "crawl_ingest_check",
     "text_ngram_top_neighbor",
-    "doc_chunks",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
@@ -165,21 +168,18 @@ DRIVER_WINDOW = [
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "jpeg_progressive_hash_check",
-    "http_wire_decode_check",
-    "charset_decode_check",
-    "video_frame_hash_check",
-    "video_aligned_dedup_clusters",
-    "image_ingest_check",
-    "audio_codec_feature_check",
-    "http_content_encoding_check",
-    "mp4_sample_hash_check",
-    "mp4_byte_dedup_clusters",
     "image_ingest_finalize_check",
-    "image_resize_check",
-    "audio_resample_check",
-    "tar_members_check",
-    "webdataset_group_check",
+    "mp3_frame_hash_check",
+    "mp3_byte_dedup",
+    "audio_window_hash_check",
+    "audio_aligned_dedup_clusters",
+    "webm_sample_hash_check",
+    "ogg_sample_hash_check",
+    "cross_container_audio_dedup_check",
+    "zip_members_check",
+    "zip_group_check",
+    "subtitle_parse_check",
+    "subtitle_frame_align_check",
 ]
 
 
