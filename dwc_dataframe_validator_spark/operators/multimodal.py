@@ -1757,9 +1757,20 @@ def wav_decode_samples(b: bytes):
     if channels == 0 or rate == 0:
         return None
     # the codec-free formats: PCM16, IEEE float32 (scaled to the same
-    # int16 grid), and the two G.711 telephony companders (8-bit
-    # µ-law / A-law — pure table expansion, the formats voicemail/IVR
-    # corpora arrive in).  ADPCM/MP3-in-RIFF stay the honest stub.
+    # int16 grid), the two G.711 telephony companders (8-bit µ-law /
+    # A-law — pure table expansion, the formats voicemail/IVR corpora
+    # arrive in), and IMA/DVI ADPCM (fmt 0x11 — the fixed-table
+    # 4-bit predictor codec dictation/telephony corpora ship;
+    # ``_ima_adpcm_decode``).  MS-ADPCM (fmt 2) / MP3-in-RIFF stay
+    # the honest stub.
+    if audio_fmt == 0x11 and bits == 4:
+        block_align = int.from_bytes(fmt[12:14], "little")
+        arr = _ima_adpcm_decode(data, channels, block_align, np)
+        if arr is None:
+            return None
+        if arr.shape[0] * channels > 200_000_000:
+            return None
+        return rate, channels, arr
     if audio_fmt == 1 and bits == 16:
         width = 2
     elif audio_fmt == 3 and bits == 32:
@@ -1769,9 +1780,9 @@ def wav_decode_samples(b: bytes):
     else:
         raise NotImplementedError(
             f"WAV sample decode is codec-free only for PCM16, "
-            f"float32, A-law and µ-law (fmt={audio_fmt}, bits={bits}); "
-            "compressed tiers need a codec (header metadata via "
-            "decode_media_headers)"
+            f"float32, A-law, µ-law and IMA ADPCM (fmt={audio_fmt}, "
+            f"bits={bits}); compressed tiers need a codec (header "
+            "metadata via decode_media_headers)"
         )
     n = len(data) // (width * channels)
     if n * channels > 200_000_000:
@@ -1817,6 +1828,218 @@ def _g711_table(audio_fmt: int, np):
     cached[audio_fmt] = out
     _g711_table._c = cached
     return out
+
+
+# IMA/DVI ADPCM (WAV fmt 0x11): the fixed-table 4-bit predictive
+# codec (IMA ADPCM reference algorithm; also ISO "DVI4" in RTP).
+# Index adjustments per nibble and the 89-entry step table every
+# implementation shares.
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8,
+              -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_adpcm_decode(data: bytes, ch: int, block_align: int, np):
+    """Full IMA ADPCM WAV decode → int16 ``(n_frames, ch)`` array, or
+    None for a malformed stream.  WAV block layout: per channel a
+    4-byte header (int16 predictor = sample 0, step index, reserved
+    0), then 4-byte nibble groups interleaved by channel (8 samples
+    per group, LOW nibble first).  The sample recurrence is
+    sequential WITHIN a block but blocks are independent, so the loop
+    runs once per in-block sample position with numpy vector ops
+    across (blocks × channels) — decode cost scales with
+    samples-per-block, not total samples.  Honest Nones: a
+    non-4-multiple or too-small block_align, a torn trailing block,
+    a step index > 88, or a nonzero reserved byte."""
+    if ch < 1 or block_align < 4 * ch + 4 * ch or block_align % 4:
+        return None
+    if len(data) % block_align or not data:
+        return None  # torn trailing block: no partial-block guess
+    nb = len(data) // block_align
+    blk = np.frombuffer(data, np.uint8).reshape(nb, block_align)
+    hdr = blk[:, : 4 * ch].reshape(nb, ch, 4).astype(np.int32)
+    pred = ((hdr[:, :, 0] | (hdr[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+    index = hdr[:, :, 2]
+    if (index > 88).any() or (hdr[:, :, 3] != 0).any():
+        return None
+    body = blk[:, 4 * ch:]
+    n_groups = body.shape[1] // (4 * ch)
+    if n_groups * 4 * ch != body.shape[1]:
+        return None
+    g = body.reshape(nb, n_groups, ch, 4)
+    nib = np.empty((nb, n_groups, ch, 8), np.uint8)
+    nib[..., 0::2] = g & 0x0F
+    nib[..., 1::2] = g >> 4
+    nib = nib.transpose(0, 2, 1, 3).reshape(nb, ch, n_groups * 8)
+    spb = n_groups * 8
+    out = np.empty((nb, ch, spb + 1), np.int16)
+    out[:, :, 0] = pred.astype(np.int16)
+    steps = np.asarray(_IMA_STEPS, np.int32)
+    itab = np.asarray(_IMA_INDEX, np.int32)
+    p, ix = pred, index
+    for s in range(spb):
+        n = nib[:, :, s].astype(np.int32)
+        st = steps[ix]
+        diff = (
+            (st >> 3)
+            + np.where(n & 1, st >> 2, 0)
+            + np.where(n & 2, st >> 1, 0)
+            + np.where(n & 4, st, 0)
+        )
+        p = np.clip(p + np.where(n & 8, -diff, diff), -32768, 32767)
+        ix = np.clip(ix + itab[n & 0xF], 0, 88)
+        out[:, :, s + 1] = p.astype(np.int16)
+    return out.transpose(0, 2, 1).reshape(-1, ch)
+
+
+def ima_adpcm_encode(arr, block_align: int = 256) -> bytes:
+    """IMA ADPCM encoder — the fixture twin of ``_ima_adpcm_decode``
+    (reference quantizer: sign + three threshold bits against the
+    current step, predictor updated through the DECODER's own
+    arithmetic so encoder state can never drift from what a decoder
+    reconstructs).  ``arr`` is int16 (n_frames, ch); trailing frames
+    that do not fill a whole block are dropped (WAV ADPCM is
+    whole-block)."""
+    import numpy as np  # noqa: F401  (parity with siblings)
+
+    n, ch = arr.shape
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    out = bytearray()
+    ix = [0] * ch
+    for b in range(n // spb):
+        base = b * spb
+        preds = []
+        for c in range(ch):
+            p = int(arr[base, c])
+            out += struct.pack("<hBB", p, ix[c], 0)
+            preds.append(p)
+        nibs: list = [[] for _ in range(ch)]
+        for s in range(1, spb):
+            for c in range(ch):
+                step = _IMA_STEPS[ix[c]]
+                diff = int(arr[base + s, c]) - preds[c]
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = (
+                    (step >> 3)
+                    + ((step >> 2) if nib & 1 else 0)
+                    + ((step >> 1) if nib & 2 else 0)
+                    + (step if nib & 4 else 0)
+                )
+                preds[c] = max(
+                    -32768, min(32767, preds[c] + (-d if nib & 8 else d))
+                )
+                ix[c] = max(0, min(88, ix[c] + _IMA_INDEX[nib]))
+                nibs[c].append(nib)
+        for gi in range(len(nibs[0]) // 8):
+            for c in range(ch):
+                eight = nibs[c][gi * 8:(gi + 1) * 8]
+                for k in range(4):
+                    out.append(eight[2 * k] | (eight[2 * k + 1] << 4))
+    return bytes(out)
+
+
+def wav_adpcm_encode(rate: int, arr, block_align: int = 256) -> bytes:
+    """Complete IMA-ADPCM WAV bytes (fmt 0x11, the canonical 20-byte
+    fmt chunk with wSamplesPerBlock plus a fact chunk) around
+    ``ima_adpcm_encode``'s blocks."""
+    n, ch = arr.shape
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    data = ima_adpcm_encode(arr, block_align)
+    n_blocks = len(data) // block_align
+    fmt_body = struct.pack(
+        "<HHIIHHHH", 0x11, ch, rate,
+        rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n_blocks * spb)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt_body) + 8 + len(fact) + 8 + len(data)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def build_adpcm_blob(doc_id: int) -> bytes:
+    """IMA-ADPCM WAV fixture: base class ``doc_id %% 4`` picks the
+    envelope wave (the ``build_wav_align_blob`` class-0-variant
+    sources at docs 96..99 — already-pinned PCM); variant ``(doc_id
+    // 4) %% 3`` is 0 = MONO at block_align 256, 1 = STEREO (second
+    channel the 257-frame roll of the first — exercises interleaved
+    4-byte channel groups) at 256, 2 = mono RE-BLOCKED at block_align
+    512 (encoder state resets differ, so SAMPLES differ from variant
+    0 — but the decoded envelope still tracks the same wave, pinned
+    by the window-hash asserts in the oracle builder).  ``doc_id %%
+    17 == 0`` cuts 3 bytes (data chunk shorter than declared →
+    ok=false); else ``%% 13 == 0`` corrupts the first block header's
+    STEP-INDEX byte to 99 > 88 (decode refuses → ok=false, the
+    corrupt-header honesty)."""
+    import numpy as np
+
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    rate, _ch, src = wav_decode_samples(build_wav_align_blob(96 + cls))
+    mono = src[:, 0]
+    if variant == 1:
+        arr = np.column_stack([mono, np.roll(mono, 257)])
+        ba = 256
+    elif variant == 2:
+        arr = mono.reshape(-1, 1)
+        ba = 512
+    else:
+        arr = mono.reshape(-1, 1)
+        ba = 256
+    blob = wav_adpcm_encode(rate, arr, ba)
+    if doc_id % 17 == 0:
+        return blob[:-3]
+    if doc_id % 13 == 0:
+        # first block header: RIFF(12) + fmt hdr(8)+20 + fact hdr(8)+4
+        # + data hdr(8) = 60; step-index byte sits at +2
+        return blob[:62] + b"\x63" + blob[63:]
+    return blob
+
+
+def attach_adpcm_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the IMA-ADPCM WAV fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_adpcm_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def audio_pcm_metrics(arr) -> tuple:

@@ -7983,6 +7983,115 @@ QUERIES["audio_codec_feature_check"] = audio_codec_feature_check
 ORACLES["audio_codec_feature_check"] = _wav_codec_pinned_oracle()
 
 
+def _adpcm_pinned_oracle() -> str:
+    """Pinned feature tuples per (wave, layout) IMA-ADPCM fixture
+    shape, computed driver-side through the same decode.  The builder
+    additionally asserts the LOSSY-CODEC invariance the tier claims:
+    the decoded mono stream's 1024-frame envelope hashes equal the
+    PCM SOURCE's window for window (IMA quantization error ≪ the
+    envelope margins on this wave family), for both the 256- and the
+    512-byte re-blocked layout — and that the torn (%17) and
+    corrupt-step-index (%13) plants decode to None for every
+    variant."""
+    rows = {}
+    for cls in range(4):
+        src_rate, _c, src = multimodal.wav_decode_samples(
+            multimodal.build_wav_align_blob(96 + cls)
+        )
+        for variant in range(3):
+            did = next(
+                d for d in range(200)
+                if d % 4 == cls and (d // 4) % 3 == variant
+                and d % 17 and d % 13
+            )
+            dec = multimodal.wav_decode_samples(
+                multimodal.build_adpcm_blob(did)
+            )
+            assert dec is not None, (cls, variant)
+            rate, ch, arr = dec
+            n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(arr)
+            rows[(cls, variant)] = (
+                rate, ch, n, n * 1000 // rate, peak, abs_sum, zc
+            )
+            if variant != 1:
+                for k in range(arr.shape[0] // 1024):
+                    a = multimodal.audio_envelope_hash(
+                        arr[k * 1024:(k + 1) * 1024]
+                    )
+                    b = multimodal.audio_envelope_hash(
+                        src[k * 1024:(k + 1) * 1024]
+                    )
+                    assert a == b, (cls, variant, k)
+    for plant in (17, 13):
+        for variant in range(3):
+            did = next(
+                d for d in range(0, 100000, plant)
+                if (d // 4) % 3 == variant
+                and (plant == 17 or d % 17)
+            )
+            assert multimodal.wav_decode_samples(
+                multimodal.build_adpcm_blob(did)
+            ) is None, (plant, did)
+    cases = {}
+    for col_i, col in enumerate(
+        ("sample_rate", "n_channels", "n_frames", "duration_ms",
+         "peak", "abs_sum", "zero_crossings")
+    ):
+        cases[col] = " ".join(
+            "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[col_i])
+            for (c, v), t in rows.items()
+        )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["sample_rate"]} END) END AS INTEGER)
+            AS sample_rate,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["n_channels"]} END) END AS INTEGER)
+            AS n_channels,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["n_frames"]} END) END AS BIGINT) AS n_frames,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["duration_ms"]} END) END AS BIGINT)
+            AS duration_ms,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["peak"]} END) END AS INTEGER) AS peak,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["abs_sum"]} END) END AS BIGINT) AS abs_sum,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["zero_crossings"]} END) END AS BIGINT)
+            AS zero_crossings,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     CAST(doc_id % 4 AS INTEGER) AS cls,
+                     CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA/DVI ADPCM decode (operators/multimodal.py
+    ``_ima_adpcm_decode`` behind ``wav_decode_samples`` fmt 0x11):
+    per-channel block headers, interleaved 4-byte nibble groups, the
+    reference step/index tables — vectorized across blocks×channels
+    so cost scales with samples-per-block, validated against an
+    independent scalar re-implementation in pytest.  Closes the
+    former ADPCM honest stub (MS-ADPCM fmt 2 remains one).  Fixture:
+    4 envelope waves × (mono-256 / STEREO-256 / mono re-blocked 512)
+    layouts; %%17 tears the trailing block, %%13 corrupts a step
+    index past 88 — both refuse (ok=false), never silently-wrong
+    samples.  Map-side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_pcm_features(
+        multimodal.attach_adpcm_blob(docs)
+    )
+
+
+QUERIES["adpcm_decode_check"] = adpcm_decode_check
+ORACLES["adpcm_decode_check"] = _adpcm_pinned_oracle()
+
+
 def _gif_anim_pinned_oracle() -> str:
     rows = {}
     nf_case = []
@@ -9359,6 +9468,9 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # webm/mp3/ogg walks), image_resize, audio_resample, tar_members /
 # webdataset_group (the shard-source discipline re-enters as zip).
 # All stay pytest-pinned and in the every-round local sweep.
+# Late r15 swap: adpcm_decode_check (new real decoder) in for
+# audio_hash_dedup_clusters (r14-green; its clustering core stays
+# driver-driven via the aligned/windowed audio entries).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -9385,7 +9497,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
-    "audio_hash_dedup_clusters",
+    "adpcm_decode_check",
     "crawl_ingest_check",
     "text_ngram_top_neighbor",
     "contamination_hits",

@@ -6724,3 +6724,120 @@ def test_subtitle_cues_srt_vtt(spark):
         if d % 17 == 0:
             continue
         assert (1, 0) in by[d], (d, by.get(d))
+
+
+def test_ima_adpcm_decode(spark):
+    """IMA ADPCM tier: the vectorized block decoder matches an
+    INDEPENDENT scalar re-implementation of the reference algorithm
+    bit-exactly across mono/stereo and block sizes; the encoder's
+    predictor tracks the decoder's own arithmetic (no drift); the
+    full WAV face decodes fmt 0x11; torn trailing blocks, bad step
+    indexes and nonzero reserved bytes refuse; the MS-ADPCM (fmt 2)
+    relabel stays an honest stub; and the feature operator flags
+    plants without task failures."""
+    import struct
+
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    def ref_decode(data, ch, ba):
+        out = []
+        for b in range(len(data) // ba):
+            blk = data[b * ba:(b + 1) * ba]
+            preds, idxs, chans = [], [], []
+            for c in range(ch):
+                p, i, _r = struct.unpack_from("<hBB", blk, 4 * c)
+                preds.append(p)
+                idxs.append(i)
+                chans.append([p])
+            body = blk[4 * ch:]
+            for g in range(len(body) // (4 * ch)):
+                for c in range(ch):
+                    four = body[(g * ch + c) * 4:(g * ch + c) * 4 + 4]
+                    for byte in four:
+                        for nib in (byte & 0xF, byte >> 4):
+                            step = mm._IMA_STEPS[idxs[c]]
+                            d = step >> 3
+                            if nib & 1:
+                                d += step >> 2
+                            if nib & 2:
+                                d += step >> 1
+                            if nib & 4:
+                                d += step
+                            if nib & 8:
+                                d = -d
+                            preds[c] = max(-32768,
+                                           min(32767, preds[c] + d))
+                            idxs[c] = max(
+                                0, min(88, idxs[c] + mm._IMA_INDEX[nib])
+                            )
+                            chans[c].append(preds[c])
+            for s in range(len(chans[0])):
+                out.append([chans[c][s] for c in range(ch)])
+        return np.array(out, np.int16)
+
+    x = (
+        np.cumsum(
+            np.frombuffer(
+                bytes(np.arange(6000, dtype=np.uint8) * 7 % 251),
+                np.uint8,
+            ).astype(np.int32) - 125
+        ) * 11 % 30000 - 15000
+    ).astype(np.int16)
+    for ch, ba in ((1, 256), (2, 256), (1, 512), (2, 64)):
+        arr = x[: (len(x) // ch) * ch].reshape(-1, ch)
+        enc = mm.ima_adpcm_encode(arr, ba)
+        dec = mm._ima_adpcm_decode(enc, ch, ba, np)
+        ref = ref_decode(enc, ch, ba)
+        assert dec.shape == ref.shape and (dec == ref).all(), (ch, ba)
+    # full WAV face, stereo
+    arr = x[:4000].reshape(-1, 2)
+    rate, ch, dec = mm.wav_decode_samples(mm.wav_adpcm_encode(9000, arr))
+    assert (rate, ch) == (9000, 2) and dec.shape[1] == 2
+    # honest refusals: torn block, step index > 88, reserved != 0
+    blob = mm.wav_adpcm_encode(8000, x[:2000].reshape(-1, 1), 256)
+    assert mm.wav_decode_samples(blob[:-3]) is None
+    assert mm.wav_decode_samples(
+        blob[:62] + b"\x63" + blob[63:]
+    ) is None
+    assert mm.wav_decode_samples(
+        blob[:63] + b"\x01" + blob[64:]
+    ) is None
+    # MS-ADPCM relabel (fmt 2) still routes to the stub tier
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.wav_decode_samples(blob[:20] + struct.pack("<H", 2) + blob[22:])
+    # fixture semantics through the feature operator
+    docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
+    rows = {
+        r["id"]: r
+        for r in mm.audio_pcm_features(mm.attach_adpcm_blob(docs)).collect()
+    }
+    for d, r in rows.items():
+        bad = d % 17 == 0 or d % 13 == 0
+        assert r["ok"] != bad, d
+        if not bad:
+            assert r["n_channels"] == (2 if (d // 4) % 3 == 1 else 1), d
+    # lossy-codec envelope invariance: decoded mono tracks the PCM
+    # source window for window (both block layouts)
+    for cls in range(4):
+        _r, _c, src = mm.wav_decode_samples(
+            mm.build_wav_align_blob(96 + cls)
+        )
+        for variant in (0, 2):
+            did = next(
+                d for d in range(200)
+                if d % 4 == cls and (d // 4) % 3 == variant
+                and d % 17 and d % 13
+            )
+            _r2, _c2, dec = mm.wav_decode_samples(
+                mm.build_adpcm_blob(did)
+            )
+            for k in range(dec.shape[0] // 1024):
+                assert mm.audio_envelope_hash(
+                    dec[k * 1024:(k + 1) * 1024]
+                ) == mm.audio_envelope_hash(
+                    src[k * 1024:(k + 1) * 1024]
+                ), (cls, variant, k)

@@ -155,7 +155,7 @@ DRIVER_WINDOW = [
     "kn_surprisal_scores",
     "wet_main_content_docs",
     "image_phash_dedup_clusters",
-    "audio_hash_dedup_clusters",
+    "adpcm_decode_check",
     "crawl_ingest_check",
     "text_ngram_top_neighbor",
     "contamination_hits",
