@@ -1683,8 +1683,9 @@ def build_bmp_rle_blob(doc_id: int) -> bytes:
     indexes (the shared 256-entry palette), encoded with the
     alternating encoded-run / absolute-mode row styles.  ``%% 17``
     truncates mid-stream (broken RLE → ok=false); ``%% 13`` relabels
-    the compression field BI_RLE4 (the residual honest stub →
-    ok=false)."""
+    the compression field BI_RLE4 while leaving bitcount 8 — an
+    INVALID combination (real RLE4 is 4-bit and decodes for real
+    since round 15) → ok=false."""
     luma = _luma_grid(_bmp_fixture_pixels(doc_id % 12))
     blob = bmp_encode_rle8(luma.astype("uint8"), _BMP_RLE_PALETTE)
     if doc_id % 13 == 0 and doc_id % 17 != 0:
@@ -1692,6 +1693,56 @@ def build_bmp_rle_blob(doc_id: int) -> bytes:
     if doc_id % 17 == 0:
         return blob[: len(blob) * 2 // 3]
     return blob
+
+
+def build_bmp_variant_blob(doc_id: int) -> bytes:
+    """BMP variant-tier fixture (RLE4 + BI_BITFIELDS, the two
+    compressions that were honest stubs until round 15): composite
+    class ``doc_id %% 48`` = pixel class (``%% 12``,
+    ``_bmp_fixture_pixels``) × layout (``// 12``: 0 = BI_RLE4 over
+    the 16-color palette slice of luma%%16, 1/2/3 = BI_BITFIELDS
+    565 / 8888 / 2-10-10-10).  ``%% 17`` truncates at 2/3 (torn
+    stream/rows → ok=false); ``%% 13`` corrupts the header — the
+    RLE4 layout's compression field becomes BI_PNG, a bitfields
+    layout's GREEN mask becomes the non-contiguous 0x222 — both
+    route to the honest stub (ok=false), never wrong pixels."""
+    cls = doc_id % 48
+    layout = cls // 12
+    px = _bmp_fixture_pixels(cls % 12)
+    if layout == 0:
+        idx = (_luma_grid(px) % 16).astype("uint8")
+        blob = bmp_encode_rle4(idx, _BMP_RLE_PALETTE[:48])
+    else:
+        blob = bmp_encode_bitfields(
+            px, ("565", "8888", "2101010")[layout - 1]
+        )
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    if doc_id % 13 == 0:
+        if layout == 0:
+            return blob[:30] + (5).to_bytes(4, "little") + blob[34:]
+        return blob[:58] + (0x222).to_bytes(4, "little") + blob[62:]
+    return blob
+
+
+def attach_bmp_variant_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the RLE4/bitfields BMP fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_bmp_variant_blob(int(i))
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def attach_bmp_rle_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -3205,14 +3256,18 @@ def attach_gif_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def bmp_decode_pixels(b: bytes):
     """Full BMP pixel decode → uint8 ndarray (h, w, 3) RGB, or
     ``None`` for malformed/non-BMP bytes.  Supports uncompressed
-    (BI_RGB) BITMAPINFOHEADER DIBs at 24-bit BGR and 8-bit paletted
+    (BI_RGB) BITMAPINFOHEADER DIBs at 24-bit BGR and 8/4-bit paletted
     depths, bottom-up (positive height) and top-down (negative) row
-    orders with 4-byte row padding, AND 8-bit BI_RLE8 run-length
-    streams (encoded runs, absolute mode with word alignment, EOL /
+    orders with 4-byte row padding, 8-bit BI_RLE8 AND 4-bit BI_RLE4
+    run-length streams (encoded runs — RLE4 runs alternate the value
+    byte's two nibbles — absolute mode with word alignment, EOL /
     delta / EOD escapes; skipped pixels read palette index 0 per the
-    de-facto decoder convention).  RLE4 and bitfield compressions
-    raise ``NotImplementedError`` (the residual stub).  Same 16 MP
-    bound as the other decoders."""
+    de-facto decoder convention), AND BI_BITFIELDS 16/32-bit masked
+    pixels (arbitrary contiguous per-channel masks, each channel
+    rescaled to 8 bits with round-half-up integer arithmetic —
+    555/565/8888 and friends).  Non-contiguous or overlapping masks
+    and other compressions raise ``NotImplementedError`` (the
+    residual stub).  Same 16 MP bound as the other decoders."""
     import numpy as np
 
     if len(b) < 54 or b[:2] != b"BM":
@@ -3227,24 +3282,36 @@ def bmp_decode_pixels(b: bytes):
     if w <= 0 or h_signed == 0 or w * abs(h_signed) > 16_000_000:
         return None
     if not (
-        (compression == 0 and bitcount in (8, 24))
+        (compression == 0 and bitcount in (4, 8, 24))
         or (compression == 1 and bitcount == 8)
+        or (compression == 2 and bitcount == 4)
+        or (compression == 3 and bitcount in (16, 32))
     ):
         raise NotImplementedError(
-            f"BMP decode is codec-free only for BI_RGB 8/24-bit and "
-            f"BI_RLE8 (compression={compression}, bits={bitcount})"
+            f"BMP decode is codec-free only for BI_RGB 4/8/24-bit, "
+            f"BI_RLE8/RLE4 and BI_BITFIELDS 16/32-bit "
+            f"(compression={compression}, bits={bitcount})"
         )
     h = abs(h_signed)
     pal = None
-    if bitcount == 8:
-        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+    if bitcount in (4, 8):
+        n_colors = struct.unpack("<I", b[46:50])[0] or (1 << bitcount)
         pal_bytes = b[14 + dib_size:14 + dib_size + 4 * n_colors]
         if len(pal_bytes) < 4 * n_colors:
             return None
         quad = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)
         pal = quad[:, [2, 1, 0]]  # BGRA quads → RGB
-    if compression == 1:
-        idx = _bmp_rle8_decode(b[data_off:], w, h, np)
+    if compression in (1, 2):
+        # a torn FILE must refuse, not partially decode with index-0
+        # fill: the declared stream length (biSizeImage) must be
+        # present in full (missing-EOD leniency applies only WITHIN a
+        # complete stream)
+        size_img = struct.unpack("<I", b[34:38])[0]
+        if size_img and data_off + size_img > len(b):
+            return None
+        stream = b[data_off:data_off + size_img] if size_img else b[data_off:]
+        dec = _bmp_rle8_decode if compression == 1 else _bmp_rle4_decode
+        idx = dec(stream, w, h, np)
         if idx is None:
             return None
         if h_signed > 0:
@@ -3252,7 +3319,7 @@ def bmp_decode_pixels(b: bytes):
         if int(idx.max()) >= len(pal):
             return None
         return pal[idx]
-    stride = ((w * bitcount // 8) + 3) & ~3
+    stride = (w * bitcount + 31) // 32 * 4
     need = stride * h
     raw = b[data_off:data_off + need]
     if len(raw) < need:
@@ -3260,10 +3327,45 @@ def bmp_decode_pixels(b: bytes):
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
     if h_signed > 0:
         rows = rows[::-1]  # bottom-up storage → top-down pixels
+    if compression == 3:
+        # per-channel masks live in the 3 DWORDs after the 40-byte
+        # header (same file position inside V2+/V4/V5 headers)
+        if len(b) < 66:
+            return None
+        masks = struct.unpack("<III", b[54:66])
+        width = bitcount // 8
+        pix = np.zeros((h, w), np.int64)
+        body = rows[:, : w * width].reshape(h, w, width).astype(np.int64)
+        for k in range(width):
+            pix |= body[:, :, k] << (8 * k)  # little-endian words
+        out = np.empty((h, w, 3), np.uint8)
+        for c, m in enumerate(masks):
+            if m == 0 or m >> bitcount:
+                raise NotImplementedError(
+                    f"BI_BITFIELDS mask {m:#x} outside the "
+                    f"{bitcount}-bit pixel"
+                )
+            shift = (m & -m).bit_length() - 1
+            top = m >> shift
+            if top & (top + 1):
+                raise NotImplementedError(
+                    f"non-contiguous BI_BITFIELDS mask {m:#x}"
+                )
+            v = (pix >> shift) & top
+            out[:, :, c] = (v * 255 + top // 2) // top
+        return out
     if bitcount == 24:
         px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()  # BGR→RGB
         return px
-    idx = rows[:, :w]
+    if bitcount == 4:
+        nbytes = (w + 1) // 2
+        packed = rows[:, :nbytes]
+        nib = np.empty((h, nbytes * 2), np.uint8)
+        nib[:, 0::2] = packed >> 4
+        nib[:, 1::2] = packed & 0x0F
+        idx = nib[:, :w]
+    else:
+        idx = rows[:, :w]
     if int(idx.max()) >= len(pal):
         return None
     return pal[idx]
@@ -3309,6 +3411,156 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int, np):
             x += c2
             pos += c2 + (c2 & 1)
     return idx  # missing EOD at stream end: tolerated
+
+
+def _bmp_rle4_decode(data: bytes, w: int, h: int, np):
+    """BI_RLE4 stream → (h, w) palette-index array in STORAGE order
+    (row 0 = bottom), or None for broken streams.  Same escape
+    grammar as RLE8; an encoded run of c pixels ALTERNATES the value
+    byte's high and low nibbles, and absolute mode packs its literal
+    pixels two-per-byte padded to a WORD boundary."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(data)
+    while pos + 2 <= n:
+        c1, c2 = data[pos], data[pos + 1]
+        pos += 2
+        if c1 > 0:  # encoded run: alternate hi/lo nibbles of c2
+            if y >= h or x + c1 > w:
+                return None
+            run = np.empty(c1, dtype=np.uint8)
+            run[0::2] = c2 >> 4
+            run[1::2] = c2 & 0x0F
+            idx[y, x:x + c1] = run
+            x += c1
+        elif c2 == 0:  # EOL
+            x = 0
+            y += 1
+        elif c2 == 1:  # EOD
+            return idx
+        elif c2 == 2:  # delta
+            if pos + 2 > n:
+                return None
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute: c2 literal nibbles, packed, word-aligned
+            nbytes = (c2 + 1) // 2
+            if y >= h or x + c2 > w or pos + nbytes > n:
+                return None
+            packed = np.frombuffer(
+                data[pos:pos + nbytes], dtype=np.uint8
+            )
+            nib = np.empty(nbytes * 2, dtype=np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 0x0F
+            idx[y, x:x + c2] = nib[:c2]
+            x += c2
+            pos += nbytes + (nbytes & 1)
+    return idx  # missing EOD at stream end: tolerated
+
+
+def bmp_encode_rle4(idx, palette_rgb: bytes) -> bytes:
+    """BI_RLE4 BMP writer — the fixture twin of the RLE4 branch:
+    4-bit indexed (h, w) pixels (values < 16), bottom-up storage.
+    Row style alternates like the RLE8 twin: even storage rows emit
+    encoded runs of nibble-alternating pairs, odd rows lead with an
+    absolute-mode chunk (nibble-packed, word-aligned); EOL per row,
+    EOD at the end."""
+    import numpy as np
+
+    if idx.ndim == 3:
+        idx = idx[:, :, 0]
+    h, w = idx.shape
+    stream = bytearray()
+    for sy in range(h):
+        row = idx[h - 1 - sy]  # bottom-up storage
+        x = 0
+        if sy % 2 == 1 and w >= 4:
+            k = min(6, w)
+            if k >= 3:
+                packed = bytearray()
+                for j in range(0, k, 2):
+                    hi = int(row[j]) << 4
+                    lo = int(row[j + 1]) if j + 1 < k else 0
+                    packed.append(hi | lo)
+                if len(packed) & 1:
+                    packed.append(0)  # word alignment
+                stream += bytes([0, k]) + bytes(packed)
+                x = k
+        while x < w:
+            a = int(row[x])
+            bv = int(row[x + 1]) if x + 1 < w else a
+            run = 1
+            while (
+                x + run < w
+                and int(row[x + run]) == (a if run % 2 == 0 else bv)
+                and run < 255
+            ):
+                run += 1
+            stream += bytes([run, (a << 4) | bv])
+            x += run
+        stream += b"\x00\x00"  # EOL
+    stream += b"\x00\x01"  # EOD
+    n_colors = len(palette_rgb) // 3
+    quads = b"".join(
+        bytes([palette_rgb[3 * i + 2], palette_rgb[3 * i + 1],
+               palette_rgb[3 * i], 0])
+        for i in range(n_colors)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(stream), 0, 0, n_colors, 0
+    )
+    off = 14 + 40 + len(quads)
+    head = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+    return head + dib + quads + bytes(stream)
+
+
+#: named BI_BITFIELDS layouts: (bitcount, r_mask, g_mask, b_mask)
+_BMP_BITFIELD_LAYOUTS = {
+    "565": (16, 0xF800, 0x07E0, 0x001F),
+    "555": (16, 0x7C00, 0x03E0, 0x001F),
+    "8888": (32, 0x00FF0000, 0x0000FF00, 0x000000FF),
+    "2101010": (32, 0x3FF00000, 0x000FFC00, 0x000003FF),
+}
+
+
+def bmp_encode_bitfields(px, layout: str = "565") -> bytes:
+    """BI_BITFIELDS BMP writer — the fixture twin of the masked
+    branch: RGB (h, w, 3) pixels packed under a named mask layout
+    (``_BMP_BITFIELD_LAYOUTS``), bottom-up storage, masks written in
+    the 3 DWORDs after the 40-byte header.  Channel values are the
+    TOP bits of each 8-bit source channel (truncation), so a decode
+    is exact when the mask is ≥ 8 bits wide and a pinned rounding
+    otherwise."""
+    import numpy as np
+
+    bitcount, rm, gm, bm = _BMP_BITFIELD_LAYOUTS[layout]
+    h, w = px.shape[:2]
+    width = bitcount // 8
+    stride = (w * bitcount + 31) // 32 * 4
+    pix = np.zeros((h, w), np.int64)
+    for c, m in enumerate((rm, gm, bm)):
+        shift = (m & -m).bit_length() - 1
+        top = m >> shift
+        nbits = top.bit_length()
+        v = px[:, :, c].astype(np.int64)
+        v = (v >> (8 - nbits)) if nbits <= 8 else (v << (nbits - 8))
+        pix |= v << shift
+    rows = np.zeros((h, stride), np.uint8)
+    for k in range(width):
+        rows[:, k: w * width: width] = (pix >> (8 * k)) & 0xFF
+    body = rows[::-1].tobytes()  # bottom-up storage
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, 3, len(body), 0, 0, 0, 0
+    )
+    masks = struct.pack("<III", rm, gm, bm)
+    off = 14 + 40 + 12
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + dib + masks + body
 
 
 def bmp_encode_rle8(idx, palette_rgb: bytes) -> bytes:

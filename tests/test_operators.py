@@ -5754,7 +5754,9 @@ def test_png_adam7_and_bmp_rle8(spark):
             mm.bmp_decode_pixels(rb[:cut])
         except NotImplementedError:
             pass
-    with _pytest.raises(NotImplementedError):  # RLE4: the residual stub
+    with _pytest.raises(NotImplementedError):
+        # RLE4 relabel on an 8-bit DIB: an invalid combination (real
+        # 4-bit RLE4 decodes since round 15) stays flagged
         mm.bmp_decode_pixels(mm.build_bmp_rle_blob(13))
     assert mm.bmp_decode_pixels(mm.build_bmp_rle_blob(17)) is None
 
@@ -6841,3 +6843,83 @@ def test_ima_adpcm_decode(spark):
                 ) == mm.audio_envelope_hash(
                     src[k * 1024:(k + 1) * 1024]
                 ), (cls, variant, k)
+
+
+def test_bmp_rle4_and_bitfields(spark):
+    """BMP variant tier: RLE4 round-trips through nibble-alternating
+    runs and packed absolute mode; every named BI_BITFIELDS layout
+    (565/555/8888/2-10-10-10) decodes with pinned round-half-up
+    rescale and 8888 is byte-exact vs the 24-bit path; torn files
+    refuse (the declared biSizeImage must be present — no partial
+    RLE decode with index-0 fill); non-contiguous masks stay the
+    honest stub; the operator flags fixture plants."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    pal = mm._BMP_RLE_PALETTE[:48]
+    palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    for shape in ((13, 17), (4, 4), (8, 8), (1, 5)):
+        idx = (
+            np.add.outer(np.arange(shape[0]), np.arange(shape[1])) * 5 % 16
+        ).astype(np.uint8)
+        px = mm.bmp_decode_pixels(mm.bmp_encode_rle4(idx, pal))
+        assert px is not None and (px == palette[idx]).all(), shape
+    # torn RLE4 file → None, never partial pixels
+    idx = (np.arange(64).reshape(8, 8) % 16).astype(np.uint8)
+    blob = mm.bmp_encode_rle4(idx, pal)
+    assert mm.bmp_decode_pixels(blob[: len(blob) * 2 // 3]) is None
+    # bitfields: every layout matches the pinned rescale arithmetic
+    src = (np.add.outer(np.arange(9) * 29, np.arange(11) * 17) % 256)
+    px3 = np.stack(
+        [src, (src * 3) % 256, (src * 7) % 256], axis=-1
+    ).astype(np.uint8)
+    for layout in ("565", "555", "8888", "2101010"):
+        dec = mm.bmp_decode_pixels(mm.bmp_encode_bitfields(px3, layout))
+        bc, rm, gm, bm = mm._BMP_BITFIELD_LAYOUTS[layout]
+        for c, m in enumerate((rm, gm, bm)):
+            shift = (m & -m).bit_length() - 1
+            top = m >> shift
+            nbits = top.bit_length()
+            v = px3[:, :, c].astype(np.int64)
+            v = (v >> (8 - nbits)) if nbits <= 8 else (v << (nbits - 8))
+            assert (
+                dec[:, :, c] == (v * 255 + top // 2) // top
+            ).all(), (layout, c)
+    assert (
+        mm.bmp_decode_pixels(mm.bmp_encode_bitfields(px3, "8888")) == px3
+    ).all()
+    # honest stubs: non-contiguous mask, torn bitfields body
+    bb = mm.bmp_encode_bitfields(px3, "565")
+    with _pytest.raises(NotImplementedError):
+        mm.bmp_decode_pixels(
+            bb[:58] + (0x222).to_bytes(4, "little") + bb[62:]
+        )
+    assert mm.bmp_decode_pixels(bb[: len(bb) - 8]) is None
+    # byte-flip fuzz never raises beyond the stub signal
+    for j in range(0, len(bb), 5):
+        try:
+            mm.bmp_decode_pixels(
+                bb[:j] + bytes([bb[j] ^ 0xFF]) + bb[j + 1:]
+            )
+        except NotImplementedError:
+            pass
+    # operator integration over the variant fixture universe
+    docs = spark.createDataFrame(
+        [(d,) for d in range(96)], "doc_id long"
+    )
+    rows = {
+        r["id"]: r
+        for r in mm.image_pixel_hashes(
+            mm.attach_bmp_variant_blob(docs)
+        ).collect()
+    }
+    for d, r in rows.items():
+        bad = d % 17 == 0 or d % 13 == 0
+        assert r["ok"] != bad, d
+        if not bad:
+            # same composite class ⇒ same hashes, across doc ids
+            twin = rows.get(d + 48) or rows.get(d - 48)
+            if twin is not None and twin["ok"]:
+                assert twin["ahash"] == r["ahash"], d
