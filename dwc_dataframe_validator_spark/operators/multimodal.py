@@ -6690,3 +6690,432 @@ def attach_xfmt_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col)).mapInPandas(
         run, "id long, content binary"
     )
+
+
+# ---- EXIF: TIFF metadata walk (JPEG APP1 + PNG eXIf) -----------------
+#: IFD tags the walk surfaces (camera-pipeline essentials)
+_EXIF_IFD0_TAGS = {
+    0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+    0x0132: "datetime",
+}
+_EXIF_SUB_TAGS = {0x9003: "datetime_original"}
+_EXIF_POINTER = 0x8769
+
+
+def _tiff_parse(t: bytes):
+    """Parse a TIFF byte block (as embedded in JPEG APP1 / PNG eXIf)
+    → dict of the surfaced tags, or None for a malformed block.
+    Both byte orders (II little / MM big, the 0x2A magic), IFD0 plus
+    the Exif sub-IFD behind pointer 0x8769; ASCII / SHORT / LONG
+    value types, inline (≤ 4 bytes) or offset storage.  Any
+    out-of-range offset or count is a hard None — a torn tag block
+    can never yield silently-wrong metadata."""
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        return None
+    bo = "little" if t[:2] == b"II" else "big"
+
+    def u(lo: int, n: int):
+        if lo + n > len(t):
+            return None
+        return int.from_bytes(t[lo:lo + n], bo)
+
+    if u(2, 2) != 42:
+        return None
+    out: dict = {}
+
+    def read_ifd(off: int, tag_map: dict, depth: int) -> bool:
+        if depth > 2:
+            return False
+        n = u(off, 2)
+        if n is None or off + 2 + 12 * n > len(t):
+            return False
+        for k in range(n):
+            e = off + 2 + 12 * k
+            tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+            size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # unhandled type: skip the tag, not the file
+            total = size * cnt
+            vo = e + 8 if total <= 4 else u(e + 8, 4)
+            if vo is None or vo + total > len(t):
+                return False
+            if tag == _EXIF_POINTER and typ == 4:
+                sub = u(e + 8, 4)
+                if sub is None or not read_ifd(
+                    sub, _EXIF_SUB_TAGS, depth + 1
+                ):
+                    return False
+                continue
+            name = tag_map.get(tag)
+            if name is None:
+                continue
+            if typ == 2:  # ASCII, NUL-terminated
+                raw = t[vo:vo + cnt]
+                out[name] = raw.split(b"\x00")[0].decode(
+                    "ascii", "replace"
+                )
+            else:
+                out[name] = u(vo, size)
+        return True
+
+    first = u(4, 4)
+    if first is None or not read_ifd(first, _EXIF_IFD0_TAGS, 0):
+        return None
+    return out
+
+
+def exif_parse(b: bytes):
+    """EXIF dict for an image payload, or None when absent/torn:
+    JPEG APP1 (``Exif\\0\\0`` + TIFF) via the segment walk, or the
+    PNG ``eXIf`` chunk (raw TIFF) via the chunk walk — one TIFF
+    parser behind both containers."""
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+                i += 2
+                continue
+            if m == 0xDA:
+                return None  # scan reached: no APP1 before it
+            ln = int.from_bytes(b[i + 2:i + 4], "big")
+            if ln < 2 or i + 2 + ln > len(b):
+                return None
+            if m == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+                return _tiff_parse(b[i + 10:i + 2 + ln])
+            i += 2 + ln
+        return None
+    if b[:8] == _PNG_SIG:
+        pos = 8
+        while pos + 8 <= len(b):
+            ln = int.from_bytes(b[pos:pos + 4], "big")
+            typ = b[pos + 4:pos + 8]
+            data = b[pos + 8:pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if typ == b"eXIf":
+                return _tiff_parse(data)
+            if typ == b"IEND":
+                return None
+            pos += 8 + ln + 4
+        return None
+    return None
+
+
+def tiff_exif_encode(
+    tags: dict, big_endian: bool = False, bad_offset: bool = False
+) -> bytes:
+    """TIFF block writer — the fixture twin of ``_tiff_parse``:
+    IFD0 with make/model/orientation/datetime, plus an Exif sub-IFD
+    when ``datetime_original`` is present.  ``bad_offset=True``
+    plants a first-IFD offset past the payload (the torn-tag-block
+    case the parser must refuse)."""
+    bo = "big" if big_endian else "little"
+    order = (b"MM" if big_endian else b"II") + (42).to_bytes(2, bo)
+    if bad_offset:
+        return order + (0xFFFF00).to_bytes(4, bo)
+    head = order + (8).to_bytes(4, bo)  # IFD0 right after the header
+
+    def entry(tag, typ, cnt, val4):
+        return (
+            tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+            + cnt.to_bytes(4, bo) + val4
+        )
+
+    long_vals = b""  # strings placed after both IFDs
+    entries = []
+    sub_entries = []
+    # compute the layout: header(8) + IFD0 + [Exif IFD] + strings
+    n0 = sum(
+        1 for k in ("make", "model", "orientation", "datetime")
+        if k in tags
+    ) + (1 if "datetime_original" in tags else 0)
+    ifd0_end = 8 + 2 + 12 * n0 + 4
+    sub_off = ifd0_end
+    n1 = 1 if "datetime_original" in tags else 0
+    strings_off = sub_off + (2 + 12 * n1 + 4 if n1 else 0)
+
+    def ascii_entry(tag, text):
+        nonlocal long_vals
+        raw = text.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            return entry(tag, 2, len(raw), raw.ljust(4, b"\x00"))
+        off = strings_off + len(long_vals)
+        long_vals += raw
+        return entry(tag, 2, len(raw), off.to_bytes(4, bo))
+
+    if "make" in tags:
+        entries.append(ascii_entry(0x010F, tags["make"]))
+    if "model" in tags:
+        entries.append(ascii_entry(0x0110, tags["model"]))
+    if "orientation" in tags:
+        entries.append(entry(
+            0x0112, 3, 1,
+            tags["orientation"].to_bytes(2, bo) + b"\x00\x00",
+        ))
+    if "datetime" in tags:
+        entries.append(ascii_entry(0x0132, tags["datetime"]))
+    if "datetime_original" in tags:
+        entries.append(entry(
+            _EXIF_POINTER, 4, 1, sub_off.to_bytes(4, bo)
+        ))
+        sub_entries.append(ascii_entry(0x9003, tags["datetime_original"]))
+    entries.sort(key=lambda e: int.from_bytes(e[:2], bo))
+    body = (
+        head + len(entries).to_bytes(2, bo) + b"".join(entries)
+        + b"\x00\x00\x00\x00"
+    )
+    if sub_entries:
+        body += (
+            len(sub_entries).to_bytes(2, bo) + b"".join(sub_entries)
+            + b"\x00\x00\x00\x00"
+        )
+    return body + long_vals
+
+
+def jpeg_insert_exif(jpeg: bytes, tiff: bytes) -> bytes:
+    """Splice an APP1/Exif segment right after SOI."""
+    seg = b"Exif\x00\x00" + tiff
+    return (
+        jpeg[:2]
+        + b"\xff\xe1" + (len(seg) + 2).to_bytes(2, "big") + seg
+        + jpeg[2:]
+    )
+
+
+def png_insert_exif(png: bytes, tiff: bytes) -> bytes:
+    """Splice an eXIf chunk (correct CRC) right after IHDR."""
+    chunk = (
+        struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+        + struct.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 8 + 13 + 4
+    return png[:ihdr_end] + chunk + png[ihdr_end:]
+
+
+def orient_normalize(px, orientation: int):
+    """Upright pixels for an EXIF ``orientation`` code 1-8 — the
+    transform every camera pipeline applies before hashing, so the
+    same photo saved under different orientation packagings hashes
+    identically.  Unknown codes return the input unchanged (EXIF
+    says treat as 1)."""
+    import numpy as np
+
+    o = orientation
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1]
+    if o == 5:
+        return np.transpose(px, (1, 0, 2))
+    if o == 6:
+        return np.rot90(px, -1)
+    if o == 7:
+        return np.transpose(px, (1, 0, 2))[::-1, ::-1]
+    if o == 8:
+        return np.rot90(px, 1)
+    return px
+
+
+def _orient_store(px, orientation: int):
+    """INVERSE of ``orient_normalize`` — how the fixture packs an
+    upright photo so a reader honoring the orientation tag recovers
+    it exactly (pinned by ``orient_normalize(_orient_store(U, o), o)
+    == U`` in pytest)."""
+    import numpy as np
+
+    o = orientation
+    if o in (2, 3, 4, 5, 7):
+        return orient_normalize(px, o)  # those transforms self-invert
+    if o == 6:
+        return np.rot90(px, 1)
+    if o == 8:
+        return np.rot90(px, -1)
+    return px
+
+
+EXIF_META_SCHEMA = (
+    "id long, orientation int, make string, model string, "
+    "datetime string, datetime_original string, ok boolean"
+)
+
+
+def image_exif_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, orientation, make, model, datetime, datetime_original,
+    ok) per image payload via the EXIF walk — metadata extraction
+    WITHOUT pixel decode (the scan stops at SOS), so it runs at
+    header speed over 100 TB of camera images.  ok=false when EXIF is
+    absent or its TIFF block is torn.  Map-side Arrow batches, no
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                meta = (
+                    exif_parse(bytes(payload))
+                    if payload is not None else None
+                )
+                if meta is None:
+                    rows.append((i, None, None, None, None, None,
+                                 False))
+                    continue
+                rows.append((
+                    i, meta.get("orientation"), meta.get("make"),
+                    meta.get("model"), meta.get("datetime"),
+                    meta.get("datetime_original"), True,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "orientation", "make", "model",
+                         "datetime", "datetime_original", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, EXIF_META_SCHEMA
+    )
+
+
+def image_oriented_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    backend: str = "pure",
+) -> DataFrame:
+    """(id, ahash, dhash, ok) with pixels NORMALIZED by the EXIF
+    orientation tag before hashing — the orientation-tolerant face of
+    ``image_pixel_hashes``: the same photo exported under any of the
+    8 orientation packagings hashes IDENTICALLY (bit-exact for
+    lossless formats), so camera-image dedup stops missing rotated
+    re-exports.  Missing/torn EXIF defaults to orientation 1 per the
+    spec; undecodable pixels flag ok=false."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                px = None
+                if payload is not None:
+                    b = bytes(payload)
+                    try:
+                        px = decode_image_pixels(b, backend)
+                    except NotImplementedError:
+                        px = None
+                if px is None:
+                    rows.append((i, None, None, False))
+                    continue
+                meta = exif_parse(b) or {}
+                px = orient_normalize(px, meta.get("orientation", 1))
+                rows.append((
+                    i,
+                    format(image_ahash(px), "016x"),
+                    format(image_dhash(px), "016x"),
+                    True,
+                ))
+            yield pd.DataFrame(
+                rows, columns=["id", "ahash", "dhash", "ok"]
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, "id long, ahash string, dhash string, ok boolean"
+    )
+
+
+def build_exif_jpeg_blob(doc_id: int) -> bytes:
+    """EXIF-metadata fixture: a real baseline JPEG
+    (``_jpeg_fixture_pixels`` class ``doc_id %% 4``) with an APP1
+    segment whose byte order is ``(doc_id // 4) %% 2`` (II / MM —
+    metadata rows must be IDENTICAL, the endianness-transparency
+    claim); tags exercise inline AND offset ASCII storage plus the
+    Exif sub-IFD.  ``doc_id %% 17 == 0`` plants a first-IFD offset
+    past the payload (torn tag block → ok=false; the image itself
+    still decodes)."""
+    cls = doc_id % 4
+    big = (doc_id // 4) % 2 == 1
+    tiff = tiff_exif_encode(
+        {
+            "make": "Cam" if cls == 0 else "CameraWorks-%d" % cls,
+            "model": "M-%d" % cls,
+            "orientation": 1 + (cls * 2) % 8,
+            "datetime": "2026:01:%02d 12:00:%02d" % (cls + 1, cls),
+            "datetime_original": "2025:12:%02d 08:30:00" % (cls + 1),
+        },
+        big_endian=big,
+        bad_offset=(doc_id % 17 == 0),
+    )
+    return jpeg_insert_exif(
+        jpeg_encode(_jpeg_fixture_pixels(cls)), tiff
+    )
+
+
+def attach_exif_jpeg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the EXIF JPEG fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_exif_jpeg_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def build_exif_png_blob(doc_id: int) -> bytes:
+    """Orientation-packaging fixture: photo class ``doc_id %% 4``
+    (an asymmetric RGB grid) stored under EXIF orientation ``1 +
+    (doc_id // 4) %% 8`` — pixels PRE-TRANSFORMED with the inverse
+    (``_orient_store``) and the tag carried in a PNG ``eXIf`` chunk,
+    so a normalizing reader recovers the upright photo EXACTLY (PNG
+    is lossless): all 8 packagings of a class must hash identically
+    after normalization.  Photos are the ``_xfmt_fixture_pixels``
+    family stacked to RGB — its classes AND all 8 stored transforms
+    are pairwise hash-distinct (32/32, pinned in pytest; the BMP
+    fixture family collides across classes at the hash grid).
+    ``doc_id %% 17 == 0`` tears the TIFF block (ok=false rows in the
+    metadata face; the HASH face treats torn EXIF as orientation 1
+    per spec, so only packaging 1 of a torn class merges with its
+    clean siblings — other torn packagings cluster per (class,
+    packaging))."""
+    import numpy as np
+
+    cls = doc_id % 4
+    o = 1 + (doc_id // 4) % 8
+    px = np.repeat(_xfmt_fixture_pixels(cls), 3, axis=2)
+    stored = _orient_store(px, o)
+    blob = png_encode(stored.copy())
+    tiff = tiff_exif_encode(
+        {"orientation": o}, bad_offset=(doc_id % 17 == 0)
+    )
+    return png_insert_exif(blob, tiff)
+
+
+def attach_exif_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the orientation-packaging PNG fixtures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_exif_png_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )

@@ -7950,6 +7950,87 @@ QUERIES["bmp_variant_pixel_hash_check"] = bmp_variant_pixel_hash_check
 ORACLES["bmp_variant_pixel_hash_check"] = _bmp_variant_pinned_oracle()
 
 
+def exif_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (operators/multimodal.py
+    ``exif_parse`` / ``_tiff_parse``): JPEG APP1 segment walk → TIFF
+    IFD parse (II and MM byte orders, inline and offset ASCII
+    storage, SHORT/LONG values, the Exif sub-IFD behind pointer
+    0x8769) — camera metadata at HEADER speed, no pixel decode.
+    Fixture: 4 tag classes × (II / MM) byte orders that must yield
+    IDENTICAL rows (endianness transparency — the oracle states tags
+    as pure arithmetic, so the two packagings can only both match by
+    agreeing); %%17 plants an out-of-range first-IFD offset (torn
+    tag block → ok=false, the image itself still decodes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    meta = multimodal.image_exif_meta(
+        multimodal.attach_exif_jpeg_blob(docs)
+    )
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "orientation", "make", "model",
+        "datetime", "datetime_original", "ok",
+    )
+
+
+QUERIES["exif_meta_check"] = exif_meta_check
+ORACLES["exif_meta_check"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CAST(CASE WHEN bad THEN NULL
+           ELSE 1 + (cls * 2) % 8 END AS INTEGER) AS orientation,
+      CASE WHEN bad THEN NULL
+           WHEN cls = 0 THEN 'Cam'
+           ELSE 'CameraWorks-' || cls END AS make,
+      CASE WHEN bad THEN NULL ELSE 'M-' || cls END AS model,
+      CASE WHEN bad THEN NULL
+           ELSE '2026:01:0' || (cls + 1) || ' 12:00:0' || cls
+           END AS datetime,
+      CASE WHEN bad THEN NULL
+           ELSE '2025:12:0' || (cls + 1) || ' 08:30:00'
+           END AS datetime_original,
+      NOT bad AS ok
+    FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS bad
+          FROM documents)
+"""
+
+
+def exif_oriented_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation-tolerant image dedup (``image_oriented_hashes``):
+    pixels are normalized by the EXIF orientation tag BEFORE hashing,
+    so the same photo exported under all 8 orientation packagings
+    (lossless PNG + eXIf fixture) hashes bit-identically and
+    collapses to ONE cluster per photo class — the merge
+    orientation-blind hashing structurally misses (the un-normalized
+    packagings carry 8 distinct hash pairs, pinned in pytest).  Torn
+    EXIF (%%17) defaults to orientation 1 per spec, so only its
+    packaging-1 docs merge with the clean cluster; other torn
+    packagings cluster among themselves (cls, o) — all stated
+    arithmetically by the oracle.  Exact-collapse groupBy, partial
+    aggregation, no window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = multimodal.image_oriented_hashes(
+        multimodal.attach_exif_png_blob(docs)
+    ).filter("ok")
+    return hashes.groupBy("ahash", "dhash").agg(
+        F.min("id").cast("long").alias("cluster"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ).select("cluster", "n_members")
+
+
+QUERIES["exif_oriented_dedup_check"] = exif_oriented_dedup_check
+ORACLES["exif_oriented_dedup_check"] = """
+    WITH m AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             1 + CAST((doc_id // 4) % 8 AS INTEGER) AS o,
+             doc_id % 17 = 0 AS torn
+      FROM documents)
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM m
+    GROUP BY cls, CASE WHEN torn AND o > 1 THEN o ELSE 0 END
+"""
+
+
 def _wav_codec_pinned_oracle() -> str:
     """Pinned feature tuples per (format, waveform) fixture class,
     computed driver-side through the same decode — the audio-codec

