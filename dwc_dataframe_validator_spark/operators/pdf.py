@@ -1,0 +1,681 @@
+"""PDF text extraction — the document format that carries a large
+share of real crawl text mass.
+
+A REAL dependency-free parser in the repo's codec-free discipline
+(stdlib ``zlib`` only, like the PNG tier): tokenizer for the COS
+object grammar (dicts, arrays, names with ``#xx`` escapes, literal
+strings with octal/escape/line-continuation rules, hex strings,
+references), the classic cross-reference TABLE walk (``startxref`` →
+``xref`` sections → ``trailer``, ``/Prev`` chains for incremental
+updates), stream objects with indirect ``/Length`` and
+``/FlateDecode`` (zlib, capped), the ``/Root`` → ``/Pages`` tree, and
+content-stream TEXT operators (``Tj``, ``'``, ``\"``, ``TJ`` arrays;
+``Td``/``TD``/``T*`` line moves become newlines, TJ kerning gaps
+< -100/1000 em become spaces — the layout heuristic every extractor
+uses).
+
+Honest stubs (flag, never guess): ``/Encrypt`` in the trailer
+(``reason='encrypted'``), cross-reference STREAMS / ``/ObjStm``
+compressed objects (PDF 1.5+, ``reason='xref-stream'``), filters
+other than Flate (``reason='filter'``), a torn or missing
+xref/trailer (``reason='torn'``).  Per-page content that fails
+mid-stream flags the DOCUMENT — a text extractor that silently
+returns half a page poisons dedup downstream.
+
+Reference parity: none — the reference validator has no document
+decoders; this extends the LLM-pipeline text family (SURVEY.md
+"beyond the reference" brief).
+
+Scale notes (100 TB): one PDF per row, map-side Arrow batches, no
+shuffle; decompression is capped per stream and per document
+(``_MAX_TEXT``), so an adversarial Flate bomb flags instead of
+ballooning an executor.  Parse never raises across the Arrow
+boundary — malformed bytes are ``ok=false`` rows.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+#: decompressed-bytes cap per stream and per document (text is small;
+#: a 100 MB "page" is a bomb, not a book)
+_MAX_TEXT = 64 << 20
+
+
+class _Torn(Exception):
+    """Internal: malformed/truncated structure (→ ok=false row)."""
+
+
+class _Stub(Exception):
+    """Internal: honest unsupported feature; carries the reason."""
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(b: bytes, i: int):
+    j = i + 1
+    out = bytearray()
+    while j < len(b) and b[j] not in _WS and b[j] not in _DELIM:
+        if b[j] == 0x23 and j + 2 < len(b):  # #xx hex escape
+            try:
+                out.append(int(b[j + 1:j + 3], 16))
+                j += 3
+                continue
+            except ValueError:
+                pass
+        out.append(b[j])
+        j += 1
+    return ("name", bytes(out).decode("latin-1")), j
+
+
+def _parse_string(b: bytes, i: int):
+    # literal ( ... ) with nesting and backslash escapes
+    depth = 1
+    j = i + 1
+    out = bytearray()
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+           0x28: 40, 0x29: 41, 0x5C: 92}
+    while j < len(b):
+        c = b[j]
+        if c == 0x5C:  # backslash
+            if j + 1 >= len(b):
+                raise _Torn()
+            nx = b[j + 1]
+            if nx in esc:
+                out.append(esc[nx])
+                j += 2
+            elif 0x30 <= nx <= 0x37:  # octal, up to 3 digits
+                k = j + 1
+                v = 0
+                while k < len(b) and k < j + 4 and 0x30 <= b[k] <= 0x37:
+                    v = v * 8 + (b[k] - 0x30)
+                    k += 1
+                out.append(v & 0xFF)
+                j = k
+            elif nx in (0x0A, 0x0D):  # line continuation
+                j += 2
+                if nx == 0x0D and j < len(b) and b[j] == 0x0A:
+                    j += 1
+            else:
+                out.append(nx)
+                j += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            j += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return ("str", bytes(out)), j + 1
+            out.append(c)
+            j += 1
+        else:
+            out.append(c)
+            j += 1
+    raise _Torn()
+
+
+def _parse_hex_string(b: bytes, i: int):
+    j = b.find(b">", i)
+    if j < 0:
+        raise _Torn()
+    hx = bytes(c for c in b[i + 1:j] if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return ("str", bytes.fromhex(hx.decode("ascii"))), j + 1
+    except ValueError:
+        raise _Torn()
+
+
+def parse_object(b: bytes, i: int):
+    """One COS object at ``b[i:]`` → (value, next_index).  Values:
+    ('name', s), ('str', bytes), ('ref', n, g), ('op', keyword),
+    int/float, bool/None, list, dict."""
+    i = _skip_ws(b, i)
+    if i >= len(b):
+        raise _Torn()
+    c = b[i]
+    if c == 0x2F:
+        return _parse_name(b, i)
+    if c == 0x28:
+        return _parse_string(b, i)
+    if b[i:i + 2] == b"<<":
+        d = {}
+        i += 2
+        while True:
+            i = _skip_ws(b, i)
+            if b[i:i + 2] == b">>":
+                return d, i + 2
+            if i >= len(b) or b[i] != 0x2F:
+                raise _Torn()
+            key, i = _parse_name(b, i)
+            val, i = parse_object(b, i)
+            d[key[1]] = val
+    if c == 0x3C:
+        return _parse_hex_string(b, i)
+    if c == 0x5B:
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(b, i)
+            if i >= len(b):
+                raise _Torn()
+            if b[i] == 0x5D:
+                return arr, i + 1
+            v, i = parse_object(b, i)
+            arr.append(v)
+    if c in b"+-.0123456789":
+        j = i
+        if c in b"+-":
+            j += 1
+        isf = False
+        while j < len(b) and (b[j] in b"0123456789" or b[j] == 0x2E):
+            isf = isf or b[j] == 0x2E
+            j += 1
+        txt = b[i:j].decode("latin-1")
+        if not isf:
+            # lookahead: "n g R" is an indirect reference
+            k = _skip_ws(b, j)
+            if k < len(b) and b[k] in b"0123456789":
+                m = k
+                while m < len(b) and b[m] in b"0123456789":
+                    m += 1
+                p = _skip_ws(b, m)
+                if (
+                    p < len(b) and b[p:p + 1] == b"R"
+                    and (p + 1 == len(b) or b[p + 1] in _WS
+                         or b[p + 1] in _DELIM)
+                ):
+                    return ("ref", int(txt), int(b[k:m])), p + 1
+            return int(txt), j
+        try:
+            return float(txt), j
+        except ValueError:
+            raise _Torn()
+    # bare keyword (true/false/null or a content operator)
+    j = i
+    while j < len(b) and b[j] not in _WS and b[j] not in _DELIM:
+        j += 1
+    kw = b[i:j]
+    if not kw:
+        raise _Torn()
+    if kw == b"true":
+        return True, j
+    if kw == b"false":
+        return False, j
+    if kw == b"null":
+        return None, j
+    return ("op", kw.decode("latin-1")), j
+
+
+class PdfDoc:
+    """Parsed classic-xref PDF: object map + trailer, lazy object
+    loading with stream decode.  Raises ``_Torn`` / ``_Stub``
+    internally — the DataFrame operator converts both to flagged
+    rows."""
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.xref: dict = {}
+        self.trailer: dict = {}
+        self._cache: dict = {}
+        self._budget = _MAX_TEXT
+        self._read_xref_chain()
+        if "Encrypt" in self.trailer:
+            raise _Stub("encrypted")
+
+    def _read_xref_chain(self) -> None:
+        b = self.b
+        tail = b[-2048:]
+        k = tail.rfind(b"startxref")
+        if k < 0:
+            raise _Torn()
+        try:
+            off, _ = parse_object(tail, k + 9)
+        except _Torn:
+            raise _Torn()
+        seen = set()
+        while True:
+            if not isinstance(off, int) or off < 0 or off >= len(b):
+                raise _Torn()
+            if off in seen:
+                raise _Torn()  # /Prev cycle
+            seen.add(off)
+            i = _skip_ws(b, off)
+            if b[i:i + 4] != b"xref":
+                # a digit here means an object: PDF 1.5 xref STREAM
+                if i < len(b) and b[i] in b"0123456789":
+                    raise _Stub("xref-stream")
+                raise _Torn()
+            i += 4
+            while True:
+                i = _skip_ws(b, i)
+                if b[i:i + 7] == b"trailer":
+                    i += 7
+                    break
+                start, i = parse_object(b, i)
+                count, i = parse_object(b, i)
+                if not isinstance(start, int) or not isinstance(
+                    count, int
+                ) or count < 0:
+                    raise _Torn()
+                i = _skip_ws(b, i)
+                if i + 20 * count > len(b):
+                    raise _Torn()
+                for k2 in range(count):
+                    e = b[i + 20 * k2:i + 20 * (k2 + 1)]
+                    num = start + k2
+                    if e[17:18] == b"n" and num not in self.xref:
+                        try:
+                            self.xref[num] = int(e[:10])
+                        except ValueError:
+                            raise _Torn()
+                i += 20 * count
+            tr, i = parse_object(b, i)
+            if not isinstance(tr, dict):
+                raise _Torn()
+            for key, v in tr.items():
+                self.trailer.setdefault(key, v)
+            prev = tr.get("Prev")
+            if prev is None:
+                return
+            off = prev
+
+    def resolve(self, v, depth: int = 0):
+        if depth > 32:
+            raise _Torn()
+        if isinstance(v, tuple) and v and v[0] == "ref":
+            return self.resolve(self.get(v[1]), depth + 1)
+        return v
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.xref.get(num)
+        if off is None or off >= len(self.b):
+            raise _Torn()
+        b = self.b
+        i = _skip_ws(b, off)
+        n, i = parse_object(b, i)
+        g, i = parse_object(b, i)
+        kw, i = parse_object(b, i)
+        if n != num or kw != ("op", "obj"):
+            raise _Torn()
+        val, i = parse_object(b, i)
+        i = _skip_ws(b, i)
+        if b[i:i + 6] == b"stream":
+            if not isinstance(val, dict):
+                raise _Torn()
+            i += 6
+            if b[i:i + 2] == b"\r\n":
+                i += 2
+            elif b[i:i + 1] in (b"\n", b"\r"):
+                i += 1
+            ln = self.resolve(val.get("Length"))
+            if not isinstance(ln, int) or ln < 0 or i + ln > len(b):
+                raise _Torn()
+            val = ("stream", val, b[i:i + ln])
+        self._cache[num] = val
+        return val
+
+    def stream_bytes(self, obj) -> bytes:
+        """Decoded bytes of a stream object — none or FlateDecode
+        (capped); other filters are the honest stub."""
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise _Torn()
+        _, d, raw = obj
+        filt = self.resolve(d.get("Filter"))
+        filters = []
+        if filt is not None:
+            filters = filt if isinstance(filt, list) else [filt]
+        out = raw
+        for f in filters:
+            f = self.resolve(f)
+            if f != ("name", "FlateDecode"):
+                raise _Stub("filter")
+            try:
+                dec = zlib.decompressobj()
+                out = dec.decompress(out, self._budget + 1)
+            except zlib.error:
+                raise _Torn()
+            if len(out) > self._budget:
+                raise _Stub("bomb")
+        self._budget -= len(out)
+        if self._budget < 0:
+            raise _Stub("bomb")
+        return out
+
+    def pages(self) -> list:
+        """Page dicts in document order (depth-first /Kids walk)."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise _Torn()
+        node = self.resolve(root.get("Pages"))
+        out: list = []
+
+        def walk(nd, depth):
+            if depth > 64 or not isinstance(nd, dict):
+                raise _Torn()
+            typ = self.resolve(nd.get("Type"))
+            if typ == ("name", "Page"):
+                out.append(nd)
+                return
+            kids = self.resolve(nd.get("Kids"))
+            if not isinstance(kids, list):
+                raise _Torn()
+            for k in kids:
+                walk(self.resolve(k), depth + 1)
+
+        walk(node, 0)
+        return out
+
+    def page_text(self, page: dict) -> str:
+        """Text of one page from its content stream(s)."""
+        content = self.resolve(page.get("Contents"))
+        if content is None:
+            return ""
+        parts = (
+            content if isinstance(content, list) else [content]
+        )
+        data = b"".join(
+            self.stream_bytes(self.resolve(p)) for p in parts
+        )
+        return extract_text_ops(data)
+
+
+def extract_text_ops(content: bytes) -> str:
+    """Text from a content stream's show-text operators: an operand
+    stack drained at each operator keyword; ``Tj`` / ``'`` / ``\"``
+    show a string, ``TJ`` shows its array (kerning gaps < -100
+    thousandths of an em become spaces), ``Td``/``TD``/``T*``/``'``/
+    ``\"`` start new lines.  Strings decode latin-1 (simple-font
+    assumption — the fixture's, and most western PDFs')."""
+    out: list = []
+    stack: list = []
+    i = 0
+    n = len(content)
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        try:
+            v, i = parse_object(content, i)
+        except _Torn:
+            raise
+        if isinstance(v, tuple) and v and v[0] == "op":
+            op = v[1]
+            if op in ("Td", "TD", "T*"):
+                if out and out[-1] != "\n":
+                    out.append("\n")
+            elif op == "Tj" and stack and isinstance(
+                stack[-1], tuple
+            ) and stack[-1][0] == "str":
+                out.append(stack[-1][1].decode("latin-1"))
+            elif op in ("'", '"'):
+                if out and out[-1] != "\n":
+                    out.append("\n")
+                if stack and isinstance(stack[-1], tuple) and \
+                        stack[-1][0] == "str":
+                    out.append(stack[-1][1].decode("latin-1"))
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, tuple) and el and el[0] == "str":
+                        out.append(el[1].decode("latin-1"))
+                    elif isinstance(el, (int, float)) and el < -100:
+                        out.append(" ")
+            elif op == "BI":
+                # inline image: scan to EI (binary payload would
+                # derail the tokenizer)
+                j = content.find(b"EI", i)
+                if j < 0:
+                    raise _Torn()
+                i = j + 2
+            stack = []
+        else:
+            stack.append(v)
+    return "".join(out)
+
+
+PDF_TEXT_SCHEMA = (
+    "id long, n_pages int, n_chars int, text string, ok boolean, "
+    "reason string"
+)
+
+
+def pdf_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_pages, n_chars, text, ok, reason) per PDF payload —
+    full text extraction via the classic-xref walk.  ``ok=false``
+    rows carry the honest reason: 'torn' (malformed/truncated),
+    'encrypted', 'xref-stream' (PDF 1.5 compressed xref),
+    'filter' (non-Flate), 'bomb' (decompression cap).  Map-side
+    Arrow batches, no shuffle; nothing raises across the Arrow
+    boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for i, payload in zip(pdf_batch["id"],
+                                  pdf_batch[content_col]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    rows.append((i, None, None, None, False, "torn"))
+                    continue
+                try:
+                    doc = PdfDoc(bytes(payload))
+                    pages = doc.pages()
+                    text = "\f".join(
+                        doc.page_text(p) for p in pages
+                    )
+                    rows.append(
+                        (i, len(pages), len(text), text, True, None)
+                    )
+                except _Stub as e:
+                    rows.append((i, None, None, None, False,
+                                 str(e)))
+                except (_Torn, RecursionError):
+                    rows.append((i, None, None, None, False, "torn"))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_pages", "n_chars", "text", "ok",
+                         "reason"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, PDF_TEXT_SCHEMA
+    )
+
+
+# ---- fixture writer --------------------------------------------------
+
+def pdf_encode(
+    pages: list,
+    flate: bool = False,
+    incremental_note: bool = False,
+    encrypted: bool = False,
+) -> bytes:
+    """Minimal-but-valid PDF writer — the fixture twin of ``PdfDoc``:
+    catalog → page tree → one content stream per page, text lines as
+    alternating ``Tj`` / ``TJ``-with-kerning / ``'`` forms so every
+    show operator runs.  ``pages`` is a list of page STRINGS (lines
+    split on \\n).  ``flate=True`` compresses content streams;
+    ``incremental_note=True`` appends an incremental update (second
+    xref with /Prev) re-writing page 0's content — the walk must
+    honor the NEWEST offset; ``encrypted=True`` plants /Encrypt."""
+    objs: dict = {}
+    n_pages = len(pages)
+    page_ids = [4 + 2 * k for k in range(n_pages)]
+
+    def content_for(text: str) -> bytes:
+        ops = ["BT /F1 12 Tf"]
+        for li, line in enumerate(text.split("\n")):
+            lit = (
+                line.replace("\\", r"\\")
+                .replace("(", r"\(").replace(")", r"\)")
+            )
+            sp = lit.rfind(" ", 0, max(1, len(lit) // 2 + 4))
+            if li % 3 == 1 and sp > 0:
+                # split at a real space: the TJ kerning gap re-reads
+                # as exactly that space, so extracted == source
+                ops.append(
+                    "0 -14 Td [(%s) -250 (%s)] TJ"
+                    % (lit[:sp], lit[sp + 1:])
+                )
+            elif li % 3 == 2:
+                ops.append("(%s) '" % lit)
+            else:
+                ops.append("0 -14 Td (%s) Tj" % lit)
+        ops.append("ET")
+        return "\n".join(ops).encode("latin-1")
+
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join("%d 0 R" % p for p in page_ids)
+    objs[2] = (
+        "<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)
+    ).encode()
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for k, text in enumerate(pages):
+        pid, cid = page_ids[k], page_ids[k] + 1
+        objs[pid] = (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Resources << /Font << /F1 3 0 R >> >> "
+            "/Contents %d 0 R >>" % cid
+        ).encode()
+        body = content_for(text)
+        if flate:
+            comp = zlib.compress(body)
+            objs[cid] = (
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp
+                + b"\nendstream"
+            )
+        else:
+            objs[cid] = (
+                b"<< /Length " + str(len(body)).encode()
+                + b" >>\nstream\n" + body + b"\nendstream"
+            )
+
+    def assemble(objmap, trailer_extra=b"", prev=None, base=b""):
+        out = bytearray(base or b"%PDF-1.4\n")
+        offsets = {}
+        for num in sorted(objmap):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num
+            out += objmap[num]
+            out += b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n"
+        # one subsection per contiguous run
+        nums = sorted(offsets)
+        runs = []
+        for num in nums:
+            if runs and num == runs[-1][0] + len(runs[-1][1]):
+                runs[-1][1].append(offsets[num])
+            else:
+                runs.append([num, [offsets[num]]])
+        if not base:
+            out += b"0 1\n0000000000 65535 f \n"
+        for start, offs in runs:
+            out += b"%d %d\n" % (start, len(offs))
+            for o in offs:
+                out += b"%010d 00000 n \n" % o
+        size = max(nums) + 1
+        out += b"trailer\n<< /Size %d /Root 1 0 R" % size
+        if encrypted:
+            out += b" /Encrypt << /Filter /Standard >>"
+        if prev is not None:
+            out += b" /Prev %d" % prev
+        out += trailer_extra
+        out += b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
+        return bytes(out), xref_off
+
+    base, xref0 = assemble(objs)
+    if not incremental_note:
+        return base
+    # incremental update: rewrite page 0's content object
+    cid = page_ids[0] + 1
+    new_body = content_for("UPDATED " + pages[0])
+    upd = {
+        cid: (
+            b"<< /Length " + str(len(new_body)).encode()
+            + b" >>\nstream\n" + new_body + b"\nendstream"
+        )
+    }
+    full, _ = assemble(upd, prev=xref0, base=base)
+    return full
+
+
+def build_pdf_blob(doc_id: int) -> bytes:
+    """PDF fixture: class ``doc_id %% 4`` has ``1 + cls`` pages of
+    deterministic multi-line text (every show-operator form, plus a
+    parens/backslash escape line); variant ``(doc_id // 4) %% 3`` is
+    0 = plain streams, 1 = FLATE-compressed streams (IDENTICAL
+    extracted text — the compression-transparency claim), 2 = an
+    INCREMENTAL UPDATE rewriting page 0 (the /Prev chain walk must
+    surface the NEWEST content).  ``doc_id %% 17 == 0`` truncates at
+    2/3 (torn xref → ok=false 'torn'); else ``%% 13 == 0`` plants
+    /Encrypt (ok=false 'encrypted')."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    pages = []
+    for k in range(1 + cls):
+        lines = [
+            "class %d page %d line %d of the fixture corpus"
+            % (cls, k, j)
+            for j in range(3 + (k % 2))
+        ]
+        lines.append("escapes (parens) and \\ backslash %d" % k)
+        pages.append("\n".join(lines))
+    blob = pdf_encode(
+        pages,
+        flate=(variant == 1),
+        incremental_note=(variant == 2),
+        encrypted=(doc_id % 13 == 0 and doc_id % 17 != 0),
+    )
+    if doc_id % 17 == 0:
+        # cut INSIDE the base objects (first third): a tail cut on the
+        # incremental variant would leave a COMPLETE base document,
+        # which a correct reader legitimately recovers
+        return blob[: len(blob) // 3]
+    return blob
+
+
+def attach_pdf_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the PDF fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf_batch[id_col],
+                    "content": [
+                        build_pdf_blob(int(i)) for i in pdf_batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )

@@ -8017,6 +8017,179 @@ def exif_oriented_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cluster", "n_members")
 
 
+def _pdf_text_pinned_oracle() -> str:
+    """Pinned (n_pages, n_chars, text_md5) per (class, variant) PDF
+    fixture shape, computed driver-side through the same parser.  The
+    builder asserts the claims the tier makes: FLATE streams extract
+    byte-identical text to plain streams (variant 0 == 1 per class),
+    the incremental variant's page 0 is the UPDATED content, and the
+    %%17 / %%13 plants route to 'torn' / 'encrypted'."""
+    import hashlib as _hl
+
+    from .operators import pdf as pdfmod
+
+    rows = {}
+    for cls in range(4):
+        texts = {}
+        for variant in range(3):
+            did = next(
+                d for d in range(200)
+                if d % 4 == cls and (d // 4) % 3 == variant
+                and d % 17 and d % 13
+            )
+            doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
+            pages = doc.pages()
+            text = "\f".join(doc.page_text(p) for p in pages)
+            texts[variant] = text
+            rows[(cls, variant)] = (
+                len(pages), len(text),
+                _hl.md5(text.encode()).hexdigest(),
+            )
+        assert texts[0] == texts[1], cls  # flate transparency
+        assert texts[2] == "UPDATED " + texts[0], cls  # /Prev chain
+    for plant, reason in ((17, "torn"), (13, "encrypted")):
+        did = next(
+            d for d in range(0, 100000, plant)
+            if plant == 17 or d % 17
+        )
+        try:
+            doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
+            [doc.page_text(p) for p in doc.pages()]
+            raise AssertionError((plant, did))
+        except pdfmod._Stub as e:
+            assert str(e) == reason, (plant, str(e))
+        except pdfmod._Torn:
+            assert reason == "torn", plant
+    np_case = " ".join(
+        "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[0])
+        for (c, v), t in rows.items()
+    )
+    nc_case = " ".join(
+        "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[1])
+        for (c, v), t in rows.items()
+    )
+    md_case = " ".join(
+        "WHEN cls = %d AND var = %d THEN '%s'" % (c, v, t[2])
+        for (c, v), t in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(CASE WHEN bad THEN NULL ELSE (CASE {np_case} END)
+               END AS INTEGER) AS n_pages,
+          CAST(CASE WHEN bad THEN NULL ELSE (CASE {nc_case} END)
+               END AS INTEGER) AS n_chars,
+          CASE WHEN bad THEN NULL ELSE (CASE {md_case} END)
+               END AS text_md5,
+          NOT bad AS ok,
+          CASE WHEN doc_id % 17 = 0 THEN 'torn'
+               WHEN doc_id % 13 = 0 THEN 'encrypted'
+               ELSE NULL END AS reason
+        FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                     CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def pdf_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (operators/pdf.py ``PdfDoc`` →
+    ``pdf_text``): COS tokenizer, classic-xref walk with /Prev
+    incremental-update chains (the NEWEST object wins), FlateDecode
+    streams under a bomb cap, /Pages tree, and the show-text
+    operators (Tj / ' / " / TJ with kerning-gap spaces, Td/TD/T*
+    newlines) — the document format that carries a large share of
+    crawl text, extracted dependency-free.  Fixture: 4 page classes
+    × (plain / FLATE — identical text, the transparency claim /
+    incremental-update) variants; %%17 torn, %%13 /Encrypt — honest
+    reasons, never half a page.  Map-side, no shuffle."""
+    from .operators import pdf as pdfmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = pdfmod.pdf_text(pdfmod.attach_pdf_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_pages", "n_chars",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        "ok", "reason",
+    )
+
+
+QUERIES["pdf_text_check"] = pdf_text_check
+ORACLES["pdf_text_check"] = _pdf_text_pinned_oracle()
+
+
+def pdf_token_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: PDF extraction feeding the text-analysis family —
+    extracted text through the SAME Catalyst token/char projections
+    the documents table uses (``text.token_count``), so a PDF corpus
+    drops into every downstream text operator unchanged.  Aggregated
+    per (class, variant) shape: the oracle states token totals as
+    pure arithmetic over the pinned extraction."""
+    from .operators import pdf as pdfmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    extracted = pdfmod.pdf_text(pdfmod.attach_pdf_blob(docs)).filter("ok")
+    return (
+        extracted.select(
+            (F.col("id") % 4).cast("int").alias("cls"),
+            ((F.col("id") / F.lit(4)).cast("long") % 3)
+            .cast("int").alias("var"),
+            text.token_count(F.col("text")).alias("toks"),
+            F.col("n_chars"),
+        )
+        .groupBy("cls", "var")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+QUERIES["pdf_token_stats_check"] = pdf_token_stats_check
+
+
+def _pdf_token_stats_oracle() -> str:
+    """Arithmetic twin of ``pdf_token_stats_check``: per-shape token
+    and char counts computed driver-side through the same extraction,
+    joined to the documents universe by modular arithmetic."""
+    from .operators import pdf as pdfmod
+
+    vals = []
+    for cls in range(4):
+        for variant in range(3):
+            did = next(
+                d for d in range(200)
+                if d % 4 == cls and (d // 4) % 3 == variant
+                and d % 17 and d % 13
+            )
+            doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
+            text_s = "\f".join(
+                doc.page_text(p) for p in doc.pages()
+            )
+            toks = len(text_s.split())
+            vals.append((cls, variant, toks, len(text_s)))
+    rows_sql = ",\n          ".join(
+        "(%d, %d, %d, %d)" % v for v in vals
+    )
+    return f"""
+        WITH consts(cls, var, toks, chars) AS (VALUES {rows_sql}),
+        base AS (
+          SELECT CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 3 AS INTEGER) AS var
+          FROM documents
+          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
+        SELECT b.cls, b.var, count(*) AS n_docs,
+               count(*) * c.toks AS total_tokens,
+               count(*) * c.chars AS total_chars
+        FROM base b JOIN consts c ON c.cls = b.cls AND c.var = b.var
+        GROUP BY b.cls, b.var, c.toks, c.chars
+    """
+
+
+ORACLES["pdf_token_stats_check"] = _pdf_token_stats_oracle()
+
+
 QUERIES["exif_oriented_dedup_check"] = exif_oriented_dedup_check
 ORACLES["exif_oriented_dedup_check"] = """
     WITH m AS (

