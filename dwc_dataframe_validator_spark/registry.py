@@ -9770,6 +9770,15 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # Late r15 swap: adpcm_decode_check (new real decoder) in for
 # audio_hash_dedup_clusters (r14-green; its clustering core stays
 # driver-driven via the aligned/windowed audio entries).
+# Second late-r15 swap — the EXIF, PDF and BMP-variant tiers in for
+# five r14-greens whose families keep window members or pins:
+# exif_meta_check ← dedup_exact_keepers (minhash/dedup_clusters
+# stay), exif_oriented_dedup_check ← image_phash_dedup_clusters
+# (image_ingest_finalize stays; the oriented face drives the same
+# hash grid), pdf_text_check ← crawl_ingest_check
+# (wet_main_content_docs stays), pdf_token_stats_check ←
+# text_token_stats (token_count is exactly what it drives),
+# bmp_variant_pixel_hash_check ← text_ngram_top_neighbor.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -9786,19 +9795,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a11_value_histogram",
     "a12_top_k",
     "a14_offender_sample",
-    "dedup_exact_keepers",
+    "exif_meta_check",
     "minhash_lsh_check",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "text_token_stats",
+    "pdf_token_stats_check",
     "text_quality",
     "text_language_id_v2",
     "kn_surprisal_scores",
     "wet_main_content_docs",
-    "image_phash_dedup_clusters",
+    "exif_oriented_dedup_check",
     "adpcm_decode_check",
-    "crawl_ingest_check",
-    "text_ngram_top_neighbor",
+    "pdf_text_check",
+    "bmp_variant_pixel_hash_check",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",

@@ -145,19 +145,19 @@ DRIVER_WINDOW = [
     "a11_value_histogram",
     "a12_top_k",
     "a14_offender_sample",
-    "dedup_exact_keepers",
+    "exif_meta_check",
     "minhash_lsh_check",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "text_token_stats",
+    "pdf_token_stats_check",
     "text_quality",
     "text_language_id_v2",
     "kn_surprisal_scores",
     "wet_main_content_docs",
-    "image_phash_dedup_clusters",
+    "exif_oriented_dedup_check",
     "adpcm_decode_check",
-    "crawl_ingest_check",
-    "text_ngram_top_neighbor",
+    "pdf_text_check",
+    "bmp_variant_pixel_hash_check",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
