@@ -192,6 +192,29 @@ HEADLINE = [
     "audio_resample_check",
     "tar_members_check",
     "webdataset_group_check",
+    # round-15 additions (same addendum rule): the MPEG-audio
+    # frame-sync walk (hashes + tag/trim-tolerant dedup), windowed
+    # audio envelope hashing + the trim-tolerant aligned audio tier,
+    # the laced-WebM re-verify, the Ogg page walk + cross-container
+    # audio dedup, the zip shard source, the SRT/VTT subtitle parse +
+    # caption-frame alignment, real IMA-ADPCM decode, and the BMP
+    # RLE4/bitfields tier
+    "mp3_frame_hash_check",
+    "mp3_byte_dedup",
+    "audio_window_hash_check",
+    "audio_aligned_dedup_clusters",
+    "ogg_sample_hash_check",
+    "cross_container_audio_dedup_check",
+    "zip_members_check",
+    "zip_group_check",
+    "subtitle_parse_check",
+    "subtitle_frame_align_check",
+    "adpcm_decode_check",
+    "bmp_variant_pixel_hash_check",
+    "exif_meta_check",
+    "exif_oriented_dedup_check",
+    "pdf_text_check",
+    "pdf_token_stats_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -1931,26 +1931,49 @@ def _ima_adpcm_decode(data: bytes, ch: int, block_align: int, np):
     nib = np.empty((nb, n_groups, ch, 8), np.uint8)
     nib[..., 0::2] = g & 0x0F
     nib[..., 1::2] = g >> 4
-    nib = nib.transpose(0, 2, 1, 3).reshape(nb, ch, n_groups * 8)
+    nib = nib.transpose(0, 2, 1, 3).reshape(
+        nb, ch, n_groups * 8
+    ).astype(np.int32)
     spb = n_groups * 8
     out = np.empty((nb, ch, spb + 1), np.int16)
     out[:, :, 0] = pred.astype(np.int16)
-    steps = np.asarray(_IMA_STEPS, np.int32)
-    itab = np.asarray(_IMA_INDEX, np.int32)
+    # diff and next-index are pure functions of (step index, nibble):
+    # precomputed 89×16 tables turn the per-sample recurrence into two
+    # fancy-index gathers + one clip (~3× fewer kernel launches than
+    # re-deriving the bit arithmetic each step — same values exactly,
+    # pinned by the scalar-reference pytest)
+    dtab, ntab = _ima_tables(np)
     p, ix = pred, index
     for s in range(spb):
-        n = nib[:, :, s].astype(np.int32)
-        st = steps[ix]
-        diff = (
-            (st >> 3)
-            + np.where(n & 1, st >> 2, 0)
-            + np.where(n & 2, st >> 1, 0)
-            + np.where(n & 4, st, 0)
-        )
-        p = np.clip(p + np.where(n & 8, -diff, diff), -32768, 32767)
-        ix = np.clip(ix + itab[n & 0xF], 0, 88)
+        n = nib[:, :, s]
+        k = ix * 16 + n
+        p = np.clip(p + dtab[k], -32768, 32767)
+        ix = ntab[k]
         out[:, :, s + 1] = p.astype(np.int16)
     return out.transpose(0, 2, 1).reshape(-1, ch)
+
+
+def _ima_tables(np):
+    """(diff, next_index) lookup tables flattened to 89*16 — cached on
+    the function object (executor-local, built once)."""
+    cached = getattr(_ima_tables, "_c", None)
+    if cached is not None:
+        return cached
+    dtab = np.empty(89 * 16, np.int32)
+    ntab = np.empty(89 * 16, np.int32)
+    for ix in range(89):
+        st = _IMA_STEPS[ix]
+        for n in range(16):
+            d = (
+                (st >> 3)
+                + ((st >> 2) if n & 1 else 0)
+                + ((st >> 1) if n & 2 else 0)
+                + (st if n & 4 else 0)
+            )
+            dtab[ix * 16 + n] = -d if n & 8 else d
+            ntab[ix * 16 + n] = max(0, min(88, ix + _IMA_INDEX[n]))
+    _ima_tables._c = (dtab, ntab)
+    return dtab, ntab
 
 
 def ima_adpcm_encode(arr, block_align: int = 256) -> bytes:
