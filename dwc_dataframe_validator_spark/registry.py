@@ -7060,8 +7060,17 @@ def subtitle_frame_align_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving pair set is pure fixture arithmetic, stated
     independently by the oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the per-doc JPEG decode dominates and the small-SF parquet is a
+    # single row group (one scan partition): spread the video side
+    # before the decode — one cheap long-column shuffle
     frames = (
-        multimodal.video_frame_hashes(multimodal.attach_avi_blob(docs))
+        multimodal.video_frame_hashes(
+            multimodal.attach_avi_blob(
+                docs.repartition(
+                    spark.sparkContext.defaultParallelism
+                )
+            )
+        )
         .filter("ok")
         .select("id", "frame_idx")
     )
@@ -8381,7 +8390,15 @@ def adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts; %%17 tears the trailing block, %%13 corrupts a step
     index past 88 — both refuse (ok=false), never silently-wrong
     samples.  Map-side, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the decode dominates and the small-SF parquet is a single row
+    # group (one scan partition → sequential decode): spread the rows
+    # first — one cheap long-column shuffle, the standard move when a
+    # map-heavy stage follows a narrow scan
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return multimodal.audio_pcm_features(
         multimodal.attach_adpcm_blob(docs)
     )
