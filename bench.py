@@ -210,6 +210,7 @@ HEADLINE = [
     "subtitle_parse_check",
     "subtitle_frame_align_check",
     "adpcm_decode_check",
+    "ms_adpcm_decode_check",
     "bmp_variant_pixel_hash_check",
     "exif_meta_check",
     "exif_oriented_dedup_check",

@@ -1814,9 +1814,12 @@ def wav_decode_samples(b: bytes):
     # 4-bit predictor codec dictation/telephony corpora ship;
     # ``_ima_adpcm_decode``).  MS-ADPCM (fmt 2) / MP3-in-RIFF stay
     # the honest stub.
-    if audio_fmt == 0x11 and bits == 4:
+    if audio_fmt in (0x02, 0x11) and bits == 4:
         block_align = int.from_bytes(fmt[12:14], "little")
-        arr = _ima_adpcm_decode(data, channels, block_align, np)
+        dec = (
+            _ima_adpcm_decode if audio_fmt == 0x11 else _ms_adpcm_decode
+        )
+        arr = dec(data, channels, block_align, np)
         if arr is None:
             return None
         if arr.shape[0] * channels > 200_000_000:
@@ -1831,9 +1834,9 @@ def wav_decode_samples(b: bytes):
     else:
         raise NotImplementedError(
             f"WAV sample decode is codec-free only for PCM16, "
-            f"float32, A-law, µ-law and IMA ADPCM (fmt={audio_fmt}, "
-            f"bits={bits}); compressed tiers need a codec (header "
-            "metadata via decode_media_headers)"
+            f"float32, A-law, µ-law, IMA and MS ADPCM "
+            f"(fmt={audio_fmt}, bits={bits}); other compressed tiers "
+            "need a codec (header metadata via decode_media_headers)"
         )
     n = len(data) // (width * channels)
     if n * channels > 200_000_000:
@@ -1976,6 +1979,147 @@ def _ima_tables(np):
     return dtab, ntab
 
 
+# MS ADPCM (WAV fmt 2): the 7 standard predictor coefficient pairs
+# and the 16-entry delta-adaptation table of the format spec.
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_adpcm_decode(data: bytes, ch: int, block_align: int, np):
+    """Full MS ADPCM WAV decode → int16 ``(n_frames, ch)`` array, or
+    None for a malformed stream.  WAV block layout per channel
+    (channel-interleaved fields): predictor index byte, int16 initial
+    delta, int16 sample1 (newer), int16 sample2 (older); then 4-bit
+    nibbles HIGH-first, channels alternating.  Each nibble: predicted
+    = (s1·c1 + s2·c2) >> 8, sample = clamp(predicted +
+    signed_nibble·delta), delta = max(16, (ADAPT[nibble]·delta) >>
+    8).  Output starts with sample2 then sample1 (the spec's block
+    preamble).  Vectorized across blocks×channels like the IMA
+    decoder.  Honest Nones: bad block_align, torn trailing block, a
+    predictor index > 6."""
+    hdr_sz = 7 * ch
+    if ch < 1 or block_align <= hdr_sz:
+        return None
+    if not data or len(data) % block_align:
+        return None  # torn trailing block
+    nb = len(data) // block_align
+    blk = np.frombuffer(data, np.uint8).reshape(nb, block_align)
+    pidx = blk[:, :ch].astype(np.int64)
+    if (pidx > 6).any():
+        return None
+
+    def i16(lo):
+        v = (
+            blk[:, lo:lo + 2 * ch:2].astype(np.int64)
+            | (blk[:, lo + 1:lo + 2 * ch:2].astype(np.int64) << 8)
+        )
+        return (v ^ 0x8000) - 0x8000
+
+    delta = i16(ch)
+    s1 = i16(3 * ch)
+    s2 = i16(5 * ch)
+    coefs = np.asarray(_MS_COEFS, np.int64)
+    c1 = coefs[pidx, 0]
+    c2 = coefs[pidx, 1]
+    adapt = np.asarray(_MS_ADAPT, np.int64)
+    body = blk[:, hdr_sz:]
+    n_nib = body.shape[1] * 2
+    nib = np.empty((nb, n_nib), np.uint8)
+    nib[:, 0::2] = body >> 4  # HIGH nibble first (unlike IMA)
+    nib[:, 1::2] = body & 0x0F
+    # nibbles alternate channels sample-by-sample
+    spb_data = n_nib // ch
+    nibc = nib.reshape(nb, spb_data, ch)
+    out = np.empty((nb, 2 + spb_data, ch), np.int16)
+    out[:, 0, :] = s2.astype(np.int16)
+    out[:, 1, :] = s1.astype(np.int16)
+    for s in range(spb_data):
+        n = nibc[:, s, :].astype(np.int64)
+        signed = n - ((n & 8) << 1)  # 0..15 → -8..7
+        pred = (s1 * c1 + s2 * c2) >> 8
+        samp = np.clip(pred + signed * delta, -32768, 32767)
+        s2 = s1
+        s1 = samp
+        delta = np.maximum(16, (adapt[n] * delta) >> 8)
+        out[:, 2 + s, :] = samp.astype(np.int16)
+    return out.reshape(-1, ch)
+
+
+def ms_adpcm_encode(
+    arr, block_align: int = 256, predictor: int = 0
+) -> bytes:
+    """MS ADPCM encoder — the fixture twin of ``_ms_adpcm_decode``:
+    fixed predictor index per stream (real encoders search all 7;
+    the decoder must handle any), initial delta 16, state updated
+    through the decoder's own arithmetic.  Trailing frames that do
+    not fill a whole block are dropped."""
+    n, ch = arr.shape
+    hdr_sz = 7 * ch
+    spb = 2 + (block_align - hdr_sz) * 2 // ch
+    c1, c2 = _MS_COEFS[predictor]
+    out = bytearray()
+    for b in range(n // spb):
+        base = b * spb
+        s2 = [int(arr[base, c]) for c in range(ch)]
+        s1 = [int(arr[base + 1, c]) for c in range(ch)]
+        delta = [16] * ch
+        out += bytes([predictor] * ch)
+        for vals in (delta, s1, s2):
+            for c in range(ch):
+                out += (vals[c] & 0xFFFF).to_bytes(2, "little")
+        nibs = []
+        for s in range(2, spb):
+            for c in range(ch):
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                target = int(arr[base + s, c])
+                nsig = max(-8, min(7, round(
+                    (target - pred) / delta[c]
+                )))
+                samp = max(-32768, min(32767, pred + nsig * delta[c]))
+                s2[c] = s1[c]
+                s1[c] = samp
+                delta[c] = max(
+                    16, (_MS_ADAPT[nsig & 0xF] * delta[c]) >> 8
+                )
+                nibs.append(nsig & 0xF)
+        for k in range(0, len(nibs), 2):
+            out.append((nibs[k] << 4) | nibs[k + 1])
+    return bytes(out)
+
+
+def wav_ms_adpcm_encode(
+    rate: int, arr, block_align: int = 256, predictor: int = 0
+) -> bytes:
+    """Complete MS-ADPCM WAV bytes (fmt 2, the canonical extended fmt
+    chunk with wSamplesPerBlock + the 7 coefficient pairs, and a fact
+    chunk) around ``ms_adpcm_encode``'s blocks."""
+    n, ch = arr.shape
+    hdr_sz = 7 * ch
+    spb = 2 + (block_align - hdr_sz) * 2 // ch
+    data = ms_adpcm_encode(arr, block_align, predictor)
+    n_blocks = len(data) // block_align
+    ext = struct.pack("<HH", spb, 7)
+    for a, bcoef in _MS_COEFS:
+        ext += struct.pack("<hh", a, bcoef)
+    fmt_body = struct.pack(
+        "<HHIIHHH", 2, ch, rate, rate * block_align // spb,
+        block_align, 4, len(ext),
+    ) + ext
+    fact = struct.pack("<I", n_blocks * spb)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt_body) + 8 + len(fact) + 8 + len(data)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def ima_adpcm_encode(arr, block_align: int = 256) -> bytes:
     """IMA ADPCM encoder — the fixture twin of ``_ima_adpcm_decode``
     (reference quantizer: sign + three threshold bits against the
@@ -2095,6 +2239,59 @@ def build_adpcm_blob(doc_id: int) -> bytes:
         # + data hdr(8) = 60; step-index byte sits at +2
         return blob[:62] + b"\x63" + blob[63:]
     return blob
+
+
+def build_ms_adpcm_blob(doc_id: int) -> bytes:
+    """MS-ADPCM WAV fixture, the fmt-2 sibling of
+    ``build_adpcm_blob``: same envelope-wave classes (``doc_id %%
+    4``); variant ``(doc_id // 4) %% 3`` is 0 = MONO at block_align
+    256 with predictor index = class (coefficient pairs 0-3), 1 =
+    STEREO at 256 with predictor ``(cls + 3) %% 7`` (pairs 3-6), 2 =
+    mono RE-BLOCKED at 512 with predictor 6.  ``doc_id %% 17 == 0``
+    cuts 3 bytes (torn block → ok=false); else ``%% 13 == 0``
+    corrupts the first block's PREDICTOR byte to 9 > 6 (decode
+    refuses → ok=false)."""
+    import numpy as np
+
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    rate, _ch, src = wav_decode_samples(build_wav_align_blob(96 + cls))
+    mono = src[:, 0]
+    if variant == 1:
+        arr = np.column_stack([mono, np.roll(mono, 257)])
+        ba, pred = 256, (cls + 3) % 7
+    elif variant == 2:
+        arr = mono.reshape(-1, 1)
+        ba, pred = 512, 6
+    else:
+        arr = mono.reshape(-1, 1)
+        ba, pred = 256, cls
+    blob = wav_ms_adpcm_encode(rate, arr, ba, predictor=pred)
+    if doc_id % 17 == 0:
+        return blob[:-3]
+    if doc_id % 13 == 0:
+        i = blob.index(b"data") + 8
+        return blob[:i] + b"\x09" + blob[i + 1:]
+    return blob
+
+
+def attach_ms_adpcm_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the MS-ADPCM WAV fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_ms_adpcm_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def attach_adpcm_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

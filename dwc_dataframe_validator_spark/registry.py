@@ -8408,6 +8408,115 @@ QUERIES["adpcm_decode_check"] = adpcm_decode_check
 ORACLES["adpcm_decode_check"] = _adpcm_pinned_oracle()
 
 
+def _ms_adpcm_pinned_oracle() -> str:
+    """Pinned feature tuples per (wave, layout) MS-ADPCM fixture
+    shape, computed driver-side through the same decode; the builder
+    asserts the decoded mono envelope equals the PCM source's window
+    for window (both block layouts) and that the torn (%17) and
+    bad-predictor (%13) plants refuse for every variant."""
+    rows = {}
+    for cls in range(4):
+        src_rate, _c, src = multimodal.wav_decode_samples(
+            multimodal.build_wav_align_blob(96 + cls)
+        )
+        for variant in range(3):
+            did = next(
+                d for d in range(200)
+                if d % 4 == cls and (d // 4) % 3 == variant
+                and d % 17 and d % 13
+            )
+            dec = multimodal.wav_decode_samples(
+                multimodal.build_ms_adpcm_blob(did)
+            )
+            assert dec is not None, (cls, variant)
+            rate, ch, arr = dec
+            n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(arr)
+            rows[(cls, variant)] = (
+                rate, ch, n, n * 1000 // rate, peak, abs_sum, zc
+            )
+            if variant != 1:
+                for k in range(arr.shape[0] // 1024):
+                    assert multimodal.audio_envelope_hash(
+                        arr[k * 1024:(k + 1) * 1024]
+                    ) == multimodal.audio_envelope_hash(
+                        src[k * 1024:(k + 1) * 1024]
+                    ), (cls, variant, k)
+    for plant in (17, 13):
+        for variant in range(3):
+            did = next(
+                d for d in range(0, 100000, plant)
+                if (d // 4) % 3 == variant
+                and (plant == 17 or d % 17)
+            )
+            assert multimodal.wav_decode_samples(
+                multimodal.build_ms_adpcm_blob(did)
+            ) is None, (plant, did)
+    cases = {}
+    for col_i, col in enumerate(
+        ("sample_rate", "n_channels", "n_frames", "duration_ms",
+         "peak", "abs_sum", "zero_crossings")
+    ):
+        cases[col] = " ".join(
+            "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[col_i])
+            for (c, v), t in rows.items()
+        )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["sample_rate"]} END) END AS INTEGER)
+            AS sample_rate,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["n_channels"]} END) END AS INTEGER)
+            AS n_channels,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["n_frames"]} END) END AS BIGINT) AS n_frames,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["duration_ms"]} END) END AS BIGINT)
+            AS duration_ms,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["peak"]} END) END AS INTEGER) AS peak,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["abs_sum"]} END) END AS BIGINT) AS abs_sum,
+          CAST(CASE WHEN bad THEN 0 ELSE
+            (CASE {cases["zero_crossings"]} END) END AS BIGINT)
+            AS zero_crossings,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     CAST(doc_id % 4 AS INTEGER) AS cls,
+                     CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+def ms_adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MS ADPCM decode (operators/multimodal.py
+    ``_ms_adpcm_decode`` behind ``wav_decode_samples`` fmt 2 at 4
+    bits): per-channel predictor/delta/sample block preambles, the 7
+    standard coefficient pairs (fixtures exercise ALL of them across
+    classes and variants), high-first nibbles, the 16-entry delta
+    adaptation table — vectorized across blocks×channels, pinned
+    against an independent scalar re-implementation in pytest.
+    Closes the last WAV-audio stub (fmt-2 claims at non-4-bit depths
+    remain the invalid-combination flag).  Fixture: 4 envelope waves
+    × (mono-256 / STEREO-256 / mono re-blocked 512) layouts; %%17
+    torn trailing block, %%13 predictor index 9 > 6 — both refuse,
+    never silently-wrong samples.  Map-side + the one spreading
+    shuffle (single-row-group scan)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return multimodal.audio_pcm_features(
+        multimodal.attach_ms_adpcm_blob(docs)
+    )
+
+
+QUERIES["ms_adpcm_decode_check"] = ms_adpcm_decode_check
+ORACLES["ms_adpcm_decode_check"] = _ms_adpcm_pinned_oracle()
+
+
 def _gif_anim_pinned_oracle() -> str:
     rows = {}
     nf_case = []
@@ -9828,7 +9937,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
-    "ann_ivf_topk",
+    "ms_adpcm_decode_check",
     "annotate_row_errors",
     "stream_window_counts",
     "sessionize",

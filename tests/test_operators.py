@@ -6806,11 +6806,14 @@ def test_ima_adpcm_decode(spark):
     assert mm.wav_decode_samples(
         blob[:63] + b"\x01" + blob[64:]
     ) is None
-    # MS-ADPCM relabel (fmt 2) still routes to the stub tier
+    # an unknown compressed format (MP3-in-RIFF) still routes to
+    # the stub tier; an fmt-2 relabel of IMA data is now parsed as MS
+    # ADPCM and refused on its invalid predictor bytes, never decoded
+    # silently wrong
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        mm.wav_decode_samples(blob[:20] + struct.pack("<H", 2) + blob[22:])
+        mm.wav_decode_samples(blob[:20] + struct.pack("<H", 0x55) + blob[22:])
     # fixture semantics through the feature operator
     docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
     rows = {
@@ -7097,3 +7100,101 @@ def test_pdf_text_extraction(spark):
             [d.page_text(p) for p in d.pages()]
         except (P._Torn, P._Stub, RecursionError):
             pass
+
+
+def test_ms_adpcm_decode(spark):
+    """MS ADPCM tier: the vectorized decoder matches an INDEPENDENT
+    scalar re-implementation bit-exactly across mono/stereo, block
+    sizes and ALL 7 coefficient pairs; the full WAV face decodes
+    fmt 2 at 4 bits; torn blocks and predictor indexes > 6 refuse;
+    fmt-2 claims at 16 bits stay the invalid-combination flag; the
+    feature operator flags fixture plants."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    def ref_ms(data, ch, ba):
+        out = []
+        for b in range(len(data) // ba):
+            blk = data[b * ba:(b + 1) * ba]
+            pidx = list(blk[:ch])
+
+            def rd16(lo, c):
+                v = blk[lo + 2 * c] | (blk[lo + 2 * c + 1] << 8)
+                return (v ^ 0x8000) - 0x8000
+
+            delta = [rd16(ch, c) for c in range(ch)]
+            s1 = [rd16(3 * ch, c) for c in range(ch)]
+            s2 = [rd16(5 * ch, c) for c in range(ch)]
+            c1 = [mm._MS_COEFS[p][0] for p in pidx]
+            c2 = [mm._MS_COEFS[p][1] for p in pidx]
+            out.append(list(s2))
+            out.append(list(s1))
+            nibs = []
+            for byte in blk[7 * ch:]:
+                nibs.append(byte >> 4)
+                nibs.append(byte & 0xF)
+            row = []
+            for k, n in enumerate(nibs):
+                c = k % ch
+                signed = n - 16 if n & 8 else n
+                pred = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+                samp = max(-32768,
+                           min(32767, pred + signed * delta[c]))
+                s2[c] = s1[c]
+                s1[c] = samp
+                delta[c] = max(16, (mm._MS_ADAPT[n] * delta[c]) >> 8)
+                row.append(samp)
+                if c == ch - 1:
+                    out.append(row)
+                    row = []
+        return np.array(out, np.int16)
+
+    x = (
+        np.cumsum(
+            np.frombuffer(
+                bytes(np.arange(6000, dtype=np.uint8) * 7 % 251),
+                np.uint8,
+            ).astype(np.int32) - 125
+        ) * 11 % 30000 - 15000
+    ).astype(np.int16)
+    for ch, ba, pred in ((1, 256, 0), (2, 256, 3), (1, 512, 5),
+                         (2, 64, 1), (1, 128, 2), (2, 128, 4),
+                         (1, 64, 6)):
+        arr = x[: (len(x) // ch) * ch].reshape(-1, ch)
+        enc = mm.ms_adpcm_encode(arr, ba, predictor=pred)
+        dec = mm._ms_adpcm_decode(enc, ch, ba, np)
+        ref = ref_ms(enc, ch, ba)
+        assert dec.shape == ref.shape and (dec == ref).all(), (ch, ba)
+    blob = mm.wav_ms_adpcm_encode(
+        8000, x[:4000].reshape(-1, 2), 256, predictor=4
+    )
+    r, c, dec = mm.wav_decode_samples(blob)
+    assert (r, c) == (8000, 2) and dec.shape[1] == 2
+    assert mm.wav_decode_samples(blob[:-3]) is None
+    i = blob.index(b"data") + 8
+    assert mm.wav_decode_samples(
+        blob[:i] + b"\x09" + blob[i + 1:]
+    ) is None
+    # fmt 2 at 16 bits: invalid combination, stays flagged
+    pcm = mm.wav_encode(8000, x[:1000].reshape(-1, 1))
+    with _pytest.raises(NotImplementedError):
+        mm.wav_decode_samples(
+            pcm[:20] + struct.pack("<H", 2) + pcm[22:]
+        )
+    # operator face over the fixture universe
+    docs = spark.createDataFrame([(d,) for d in range(48)], "doc_id long")
+    rows = {
+        r["id"]: r
+        for r in mm.audio_pcm_features(
+            mm.attach_ms_adpcm_blob(docs)
+        ).collect()
+    }
+    for d, r in rows.items():
+        bad = d % 17 == 0 or d % 13 == 0
+        assert r["ok"] != bad, d
+        if not bad:
+            assert r["n_channels"] == (2 if (d // 4) % 3 == 1 else 1), d

@@ -161,7 +161,7 @@ DRIVER_WINDOW = [
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
-    "ann_ivf_topk",
+    "ms_adpcm_decode_check",
     "annotate_row_errors",
     "stream_window_counts",
     "sessionize",
