@@ -2427,12 +2427,12 @@ def build_wav_blob(doc_id: int) -> bytes:
     PCM16 WAV whose samples depend ONLY on ``doc_id % 8``, with two
     planted failure modes mirroring ``build_png_blob`` — ids divisible
     by 17 truncate the stream mid-data (malformed → ok=false), ids
-    divisible by 13 get an ADPCM WAV (since round 13 float32/G.711
-    decode for REAL — see ``build_wav_codec_blob`` — so the plant
-    moved to the residual compressed stub → ok=false)."""
+    divisible by 13 get an MP3-in-RIFF WAV (fmt 0x55 — the residual
+    compressed stub now that float32/G.711 AND both ADPCM families
+    decode for real → ok=false)."""
     if doc_id % 13 == 0 and doc_id % 17 != 0:
         fmt = (
-            (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            (0x55).to_bytes(2, "little") + (1).to_bytes(2, "little")
             + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
             + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
         )

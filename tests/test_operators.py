@@ -4928,9 +4928,9 @@ def test_wav_pcm_decode_and_features(spark):
     assert (dec == arr).all()
 
     with _pytest.raises(NotImplementedError):
-        mm.wav_decode_samples(mm.build_wav_blob(13))   # r13: ADPCM —
-        # float32/G.711 decode for real now, so the plant moved to
-        # the residual compressed stub
+        mm.wav_decode_samples(mm.build_wav_blob(13))   # MP3-in-RIFF
+        # (fmt 0x55): the residual compressed stub now that float32/
+        # G.711 and both ADPCM families decode for real
     assert mm.wav_decode_samples(mm.build_wav_blob(17)) is None
     assert mm.wav_decode_samples(b"RIFFxxxxJUNK") is None
     assert mm.wav_decode_samples(b"not audio") is None
