@@ -14,11 +14,13 @@ content-stream TEXT operators (``Tj``, ``'``, ``\"``, ``TJ`` arrays;
 < -100/1000 em become spaces — the layout heuristic every extractor
 uses).
 
-Honest stubs (flag, never guess): ``/Encrypt`` in the trailer
-(``reason='encrypted'``), cross-reference STREAMS / ``/ObjStm``
-compressed objects (PDF 1.5+, ``reason='xref-stream'``), filters
-other than Flate (``reason='filter'``), a torn or missing
-xref/trailer (``reason='torn'``).  Per-page content that fails
+PDF 1.5 cross-reference STREAMS (W-field binary rows, /Index,
+PNG-predictor DecodeParms), ``/ObjStm`` compressed objects and
+hybrid ``/XRefStm`` files parse for REAL.  Honest stubs (flag,
+never guess): ``/Encrypt`` in the trailer (``reason='encrypted'``),
+filters other than Flate / non-PNG predictors
+(``reason='filter'``), a torn or missing xref/trailer
+(``reason='torn'``).  Per-page content that fails
 mid-stream flags the DOCUMENT — a text extractor that silently
 returns half a page poisons dedup downstream.
 
@@ -206,8 +208,14 @@ def parse_object(b: bytes, i: int):
                     and (p + 1 == len(b) or b[p + 1] in _WS
                          or b[p + 1] in _DELIM)
                 ):
-                    return ("ref", int(txt), int(b[k:m])), p + 1
-            return int(txt), j
+                    try:
+                        return ("ref", int(txt), int(b[k:m])), p + 1
+                    except ValueError:
+                        raise _Torn()
+            try:
+                return int(txt), j
+            except ValueError:
+                raise _Torn()  # a bare sign/garbage digit run
         try:
             return float(txt), j
         except ValueError:
@@ -228,17 +236,64 @@ def parse_object(b: bytes, i: int):
     return ("op", kw.decode("latin-1")), j
 
 
+def _png_unpredict(data: bytes, cols: int) -> bytes:
+    """Undo PNG row prediction (predictors 10-15: each row = filter
+    byte + ``cols`` bytes, bpp 1) — the DecodeParms layer xref
+    streams ship with.  Filters 0-4 (None/Sub/Up/Average/Paeth) per
+    the PNG spec; a ragged tail or unknown filter is torn."""
+    row = cols + 1
+    if len(data) % row:
+        raise _Torn()
+    out = bytearray()
+    prev = bytearray(cols)
+    for r in range(0, len(data), row):
+        ft = data[r]
+        cur = bytearray(data[r + 1:r + row])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(1, cols):
+                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(cols):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(cols):
+                left = cur[x - 1] if x else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(cols):
+                a = cur[x - 1] if x else 0
+                bb = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (
+                    bb if pb <= pc else c
+                )
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise _Torn()
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
 class PdfDoc:
-    """Parsed classic-xref PDF: object map + trailer, lazy object
-    loading with stream decode.  Raises ``_Torn`` / ``_Stub``
-    internally — the DataFrame operator converts both to flagged
-    rows."""
+    """Parsed PDF: object map + trailer, lazy object loading with
+    stream decode.  Classic xref TABLES, PDF 1.5 xref STREAMS
+    (W-field binary rows, /Index subsections, PNG-predictor
+    DecodeParms), /ObjStm compressed objects, hybrid /XRefStm files,
+    and /Prev incremental chains across all of them.  Raises
+    ``_Torn`` / ``_Stub`` internally — the DataFrame operator
+    converts both to flagged rows."""
 
     def __init__(self, b: bytes):
         self.b = b
         self.xref: dict = {}
         self.trailer: dict = {}
         self._cache: dict = {}
+        self._objstm_loading: set = set()
         self._budget = _MAX_TEXT
         self._read_xref_chain()
         if "Encrypt" in self.trailer:
@@ -262,44 +317,131 @@ class PdfDoc:
                 raise _Torn()  # /Prev cycle
             seen.add(off)
             i = _skip_ws(b, off)
-            if b[i:i + 4] != b"xref":
-                # a digit here means an object: PDF 1.5 xref STREAM
-                if i < len(b) and b[i] in b"0123456789":
-                    raise _Stub("xref-stream")
-                raise _Torn()
-            i += 4
-            while True:
-                i = _skip_ws(b, i)
-                if b[i:i + 7] == b"trailer":
-                    i += 7
-                    break
-                start, i = parse_object(b, i)
-                count, i = parse_object(b, i)
-                if not isinstance(start, int) or not isinstance(
-                    count, int
-                ) or count < 0:
-                    raise _Torn()
-                i = _skip_ws(b, i)
-                if i + 20 * count > len(b):
-                    raise _Torn()
-                for k2 in range(count):
-                    e = b[i + 20 * k2:i + 20 * (k2 + 1)]
-                    num = start + k2
-                    if e[17:18] == b"n" and num not in self.xref:
-                        try:
-                            self.xref[num] = int(e[:10])
-                        except ValueError:
-                            raise _Torn()
-                i += 20 * count
-            tr, i = parse_object(b, i)
-            if not isinstance(tr, dict):
+            if b[i:i + 4] == b"xref":
+                tr = self._read_xref_table(i + 4)
+            elif i < len(b) and b[i] in b"0123456789":
+                # PDF 1.5+: the cross-reference is itself a stream
+                # object at this offset
+                tr = self._read_xref_stream(i)
+            else:
                 raise _Torn()
             for key, v in tr.items():
                 self.trailer.setdefault(key, v)
+            # hybrid-reference files: a classic trailer additionally
+            # points at an xref STREAM carrying the compressed-object
+            # entries (PDF 1.5 §7.5.8.4)
+            xs = tr.get("XRefStm")
+            if isinstance(xs, int) and 0 <= xs < len(b) and xs not in seen:
+                seen.add(xs)
+                for key, v in self._read_xref_stream(
+                    _skip_ws(b, xs)
+                ).items():
+                    self.trailer.setdefault(key, v)
             prev = tr.get("Prev")
             if prev is None:
                 return
             off = prev
+
+    def _read_xref_table(self, i: int) -> dict:
+        """Classic xref TABLE section(s) at ``b[i:]`` → trailer dict;
+        fills ``self.xref`` (first definition wins — newest first)."""
+        b = self.b
+        while True:
+            i = _skip_ws(b, i)
+            if b[i:i + 7] == b"trailer":
+                i += 7
+                break
+            start, i = parse_object(b, i)
+            count, i = parse_object(b, i)
+            if not isinstance(start, int) or not isinstance(
+                count, int
+            ) or count < 0:
+                raise _Torn()
+            i = _skip_ws(b, i)
+            if i + 20 * count > len(b):
+                raise _Torn()
+            for k2 in range(count):
+                e = b[i + 20 * k2:i + 20 * (k2 + 1)]
+                num = start + k2
+                if e[17:18] == b"n" and num not in self.xref:
+                    try:
+                        self.xref[num] = int(e[:10])
+                    except ValueError:
+                        raise _Torn()
+            i += 20 * count
+        tr, i = parse_object(b, i)
+        if not isinstance(tr, dict):
+            raise _Torn()
+        return tr
+
+    def _read_xref_stream(self, i: int) -> dict:
+        """PDF 1.5 cross-reference STREAM at ``b[i:]`` → its dict
+        (doubles as the trailer); fills ``self.xref``.  /W field
+        widths (0-width = default value), /Index subsection pairs,
+        big-endian binary rows; type-1 rows are plain offsets, type-2
+        rows point into an /ObjStm (stored as ('objstm', stream_num,
+        idx)).  /Length must be direct — nothing is resolvable before
+        the xref exists."""
+        b = self.b
+        n, j = parse_object(b, i)
+        _g, j = parse_object(b, j)
+        kw, j = parse_object(b, j)
+        if not isinstance(n, int) or kw != ("op", "obj"):
+            raise _Torn()
+        d, j = parse_object(b, j)
+        if not isinstance(d, dict) or d.get("Type") != ("name", "XRef"):
+            raise _Torn()
+        j = _skip_ws(b, j)
+        if b[j:j + 6] != b"stream":
+            raise _Torn()
+        j += 6
+        if b[j:j + 2] == b"\r\n":
+            j += 2
+        elif b[j:j + 1] in (b"\n", b"\r"):
+            j += 1
+        ln = d.get("Length")
+        if not isinstance(ln, int) or ln < 0 or j + ln > len(b):
+            raise _Torn()
+        data = self._decoded(d, b[j:j + ln])
+        w = d.get("W")
+        size = d.get("Size")
+        if (
+            not isinstance(w, list) or len(w) < 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            or not isinstance(size, int)
+        ):
+            raise _Torn()
+        index = d.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            raise _Torn()
+        row = sum(w)
+        pos = 0
+        for p in range(0, len(index), 2):
+            start, count = index[p], index[p + 1]
+            if not isinstance(start, int) or not isinstance(
+                count, int
+            ) or count < 0:
+                raise _Torn()
+            if pos + row * count > len(data):
+                raise _Torn()
+            for k2 in range(count):
+                f = []
+                for wk in w[:3]:
+                    f.append(
+                        int.from_bytes(data[pos:pos + wk], "big")
+                        if wk else None
+                    )
+                    pos += wk
+                typ = 1 if f[0] is None else f[0]  # default type 1
+                num = start + k2
+                if num in self.xref:
+                    continue
+                if typ == 1 and f[1] is not None:
+                    self.xref[num] = f[1]
+                elif typ == 2 and f[1] is not None:
+                    self.xref[num] = ("objstm", f[1], f[2] or 0)
+                # type 0 (free) and unknown types: skip
+        return d
 
     def resolve(self, v, depth: int = 0):
         if depth > 32:
@@ -312,6 +454,8 @@ class PdfDoc:
         if num in self._cache:
             return self._cache[num]
         off = self.xref.get(num)
+        if isinstance(off, tuple):
+            return self._objstm_get(num, off[1])
         if off is None or off >= len(self.b):
             raise _Torn()
         b = self.b
@@ -338,18 +482,65 @@ class PdfDoc:
         self._cache[num] = val
         return val
 
-    def stream_bytes(self, obj) -> bytes:
-        """Decoded bytes of a stream object — none or FlateDecode
-        (capped); other filters are the honest stub."""
-        if not (isinstance(obj, tuple) and obj[0] == "stream"):
-            raise _Torn()
-        _, d, raw = obj
+    def _objstm_get(self, num: int, stream_num: int):
+        """Load object ``num`` out of the /ObjStm it lives in (PDF
+        1.5 compressed objects): header = /N (objnum, offset) pairs,
+        bodies start at /First.  Objects inside an ObjStm cannot
+        themselves be streams (spec), so a plain parse suffices."""
+        if stream_num in self._objstm_loading:
+            raise _Torn()  # an ObjStm can't contain its own entry
+        self._objstm_loading.add(stream_num)
+        try:
+            container = self.get(stream_num)
+            if not (
+                isinstance(container, tuple)
+                and container[0] == "stream"
+                and self.resolve(container[1].get("Type"))
+                == ("name", "ObjStm")
+            ):
+                raise _Torn()
+            d = container[1]
+            data = self.stream_bytes(container)
+            n_objs = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if not isinstance(n_objs, int) or not isinstance(
+                first, int
+            ) or n_objs < 0 or first < 0:
+                raise _Torn()
+            pos = 0
+            pairs = []
+            for _ in range(n_objs):
+                onum, pos = parse_object(data, pos)
+                ooff, pos = parse_object(data, pos)
+                if not isinstance(onum, int) or not isinstance(
+                    ooff, int
+                ):
+                    raise _Torn()
+                pairs.append((onum, ooff))
+        finally:
+            self._objstm_loading.discard(stream_num)
+        for onum, ooff in pairs:
+            if onum == num:
+                val, _ = parse_object(data, first + ooff)
+                self._cache[num] = val
+                return val
+        raise _Torn()  # the xref's type-2 entry lied
+
+    def _decoded(self, d: dict, raw: bytes) -> bytes:
+        """Apply a stream's /Filter chain (none or FlateDecode,
+        capped) and /DecodeParms (PNG predictors 10-15 — the row
+        filtering xref streams almost always use; TIFF predictor 2 is
+        the honest stub).  Budgeted against the per-document cap."""
         filt = self.resolve(d.get("Filter"))
         filters = []
         if filt is not None:
             filters = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(d.get("DecodeParms"))
+        parms_list = (
+            parms if isinstance(parms, list) else [parms]
+        )
         out = raw
-        for f in filters:
+        for fi, f in enumerate(filters):
             f = self.resolve(f)
             if f != ("name", "FlateDecode"):
                 raise _Stub("filter")
@@ -360,10 +551,38 @@ class PdfDoc:
                 raise _Torn()
             if len(out) > self._budget:
                 raise _Stub("bomb")
+            pp = self.resolve(
+                parms_list[fi] if fi < len(parms_list) else None
+            )
+            if isinstance(pp, dict):
+                pred = self.resolve(pp.get("Predictor", 1))
+                if pred == 1:
+                    pass
+                elif isinstance(pred, int) and pred >= 10:
+                    cols = self.resolve(pp.get("Columns", 1))
+                    colors = self.resolve(pp.get("Colors", 1))
+                    bpc = self.resolve(pp.get("BitsPerComponent", 8))
+                    if not (
+                        isinstance(cols, int) and cols > 0
+                        and colors == 1 and bpc == 8
+                    ):
+                        raise _Stub("filter")
+                    out = _png_unpredict(out, cols)
+                else:
+                    raise _Stub("filter")  # TIFF predictor 2 etc.
         self._budget -= len(out)
         if self._budget < 0:
             raise _Stub("bomb")
         return out
+
+    def stream_bytes(self, obj) -> bytes:
+        """Decoded bytes of a stream object — none or FlateDecode
+        (capped) with PNG-predictor DecodeParms; other filters are
+        the honest stub."""
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise _Torn()
+        _, d, raw = obj
+        return self._decoded(d, raw)
 
     def pages(self) -> list:
         """Page dicts in document order (depth-first /Kids walk)."""
@@ -468,8 +687,8 @@ def pdf_text(
     """(id, n_pages, n_chars, text, ok, reason) per PDF payload —
     full text extraction via the classic-xref walk.  ``ok=false``
     rows carry the honest reason: 'torn' (malformed/truncated),
-    'encrypted', 'xref-stream' (PDF 1.5 compressed xref),
-    'filter' (non-Flate), 'bomb' (decompression cap).  Map-side
+    'encrypted', 'filter' (non-Flate or a non-PNG predictor),
+    'bomb' (decompression cap).  Map-side
     Arrow batches, no shuffle; nothing raises across the Arrow
     boundary."""
 
@@ -513,6 +732,8 @@ def pdf_encode(
     flate: bool = False,
     incremental_note: bool = False,
     encrypted: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
 ) -> bytes:
     """Minimal-but-valid PDF writer — the fixture twin of ``PdfDoc``:
     catalog → page tree → one content stream per page, text lines as
@@ -521,7 +742,12 @@ def pdf_encode(
     split on \\n).  ``flate=True`` compresses content streams;
     ``incremental_note=True`` appends an incremental update (second
     xref with /Prev) re-writing page 0's content — the walk must
-    honor the NEWEST offset; ``encrypted=True`` plants /Encrypt."""
+    honor the NEWEST offset; ``encrypted=True`` plants /Encrypt;
+    ``xref_stream=True`` writes a PDF 1.5 cross-reference STREAM
+    (W [1 4 2], FlateDecode + PNG Up predictor 12 — the layout
+    modern writers emit); ``objstm=True`` additionally packs every
+    non-stream object (catalog, page tree, font, page dicts) into an
+    /ObjStm with type-2 xref rows."""
     objs: dict = {}
     n_pages = len(pages)
     page_ids = [4 + 2 * k for k in range(n_pages)]
@@ -611,6 +837,79 @@ def pdf_encode(
         out += b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
         return bytes(out), xref_off
 
+    if xref_stream:
+        out = bytearray(b"%PDF-1.5\n")
+        objstm_num = max(objs) + 1
+        xref_num = objstm_num + (1 if objstm else 0)
+        direct = dict(objs)
+        packed: dict = {}
+        if objstm:
+            pack_ids = [1, 2, 3] + list(page_ids)
+            hdr_parts = []
+            body = b""
+            for onum in pack_ids:
+                hdr_parts.append(b"%d %d" % (onum, len(body)))
+                body += objs[onum] + b"\n"
+            header = b" ".join(hdr_parts) + b"\n"
+            comp = zlib.compress(header + body)
+            direct = {
+                k: v for k, v in objs.items() if k not in pack_ids
+            }
+            direct[objstm_num] = (
+                b"<< /Type /ObjStm /N %d /First %d /Length %d "
+                b"/Filter /FlateDecode >>\nstream\n"
+                % (len(pack_ids), len(header), len(comp))
+                + comp + b"\nendstream"
+            )
+            packed = {
+                onum: idx for idx, onum in enumerate(pack_ids)
+            }
+        offsets = {}
+        for num in sorted(direct):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + direct[num] + b"\nendobj\n"
+        xref_off = len(out)
+        offsets[xref_num] = xref_off
+        size = xref_num + 1
+        rows = []
+        for num in range(size):
+            if num in packed:
+                rows.append(
+                    b"\x02" + objstm_num.to_bytes(4, "big")
+                    + packed[num].to_bytes(2, "big")
+                )
+            elif num in offsets:
+                rows.append(
+                    b"\x01" + offsets[num].to_bytes(4, "big")
+                    + b"\x00\x00"
+                )
+            else:
+                rows.append(b"\x00" + bytes(6))
+        # PNG Up predictor (12): filter byte 2 + per-column delta
+        filtered = b""
+        prev = bytes(7)
+        for r in rows:
+            filtered += b"\x02" + bytes(
+                (r[k] - prev[k]) & 0xFF for k in range(7)
+            )
+            prev = r
+        comp = zlib.compress(filtered)
+        xd = (
+            b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Columns 7 >> /Length %d"
+            % (size, len(comp))
+        )
+        if encrypted:
+            xd += b" /Encrypt << /Filter /Standard >>"
+        xd += b" >>"
+        out += (
+            b"%d 0 obj\n" % xref_num + xd + b"\nstream\n" + comp
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+        return bytes(out)
+
     base, xref0 = assemble(objs)
     if not incremental_note:
         return base
@@ -630,15 +929,18 @@ def pdf_encode(
 def build_pdf_blob(doc_id: int) -> bytes:
     """PDF fixture: class ``doc_id %% 4`` has ``1 + cls`` pages of
     deterministic multi-line text (every show-operator form, plus a
-    parens/backslash escape line); variant ``(doc_id // 4) %% 3`` is
-    0 = plain streams, 1 = FLATE-compressed streams (IDENTICAL
-    extracted text — the compression-transparency claim), 2 = an
-    INCREMENTAL UPDATE rewriting page 0 (the /Prev chain walk must
-    surface the NEWEST content).  ``doc_id %% 17 == 0`` truncates at
-    2/3 (torn xref → ok=false 'torn'); else ``%% 13 == 0`` plants
-    /Encrypt (ok=false 'encrypted')."""
+    parens/backslash escape line); variant ``(doc_id // 4) %% 5`` is
+    0 = plain streams with a classic xref TABLE, 1 = FLATE-compressed
+    streams (IDENTICAL extracted text — the compression-transparency
+    claim), 2 = an INCREMENTAL UPDATE rewriting page 0 (the /Prev
+    chain walk must surface the NEWEST content), 3 = a PDF 1.5 xref
+    STREAM (PNG-predictor rows — identical text again), 4 = xref
+    stream + /ObjStm compressed objects (type-2 entries — identical
+    text).  ``doc_id %% 17 == 0`` cuts INSIDE the base objects (torn
+    → ok=false 'torn'); else ``%% 13 == 0`` plants /Encrypt
+    (ok=false 'encrypted')."""
     cls = doc_id % 4
-    variant = (doc_id // 4) % 3
+    variant = (doc_id // 4) % 5
     pages = []
     for k in range(1 + cls):
         lines = [
@@ -653,6 +955,8 @@ def build_pdf_blob(doc_id: int) -> bytes:
         flate=(variant == 1),
         incremental_note=(variant == 2),
         encrypted=(doc_id % 13 == 0 and doc_id % 17 != 0),
+        xref_stream=(variant >= 3),
+        objstm=(variant == 4),
     )
     if doc_id % 17 == 0:
         # cut INSIDE the base objects (first third): a tail cut on the

@@ -8029,10 +8029,12 @@ def exif_oriented_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pdf_text_pinned_oracle() -> str:
     """Pinned (n_pages, n_chars, text_md5) per (class, variant) PDF
     fixture shape, computed driver-side through the same parser.  The
-    builder asserts the claims the tier makes: FLATE streams extract
-    byte-identical text to plain streams (variant 0 == 1 per class),
-    the incremental variant's page 0 is the UPDATED content, and the
-    %%17 / %%13 plants route to 'torn' / 'encrypted'."""
+    builder asserts the claims the tier makes: FLATE streams, the
+    PDF 1.5 xref-STREAM layout (PNG-predictor rows) and the /ObjStm
+    layout all extract byte-identical text to plain streams
+    (variants 0 == 1 == 3 == 4 per class), the incremental variant's
+    page 0 is the UPDATED content, and the %%17 / %%13 plants route
+    to 'torn' / 'encrypted'."""
     import hashlib as _hl
 
     from .operators import pdf as pdfmod
@@ -8040,10 +8042,10 @@ def _pdf_text_pinned_oracle() -> str:
     rows = {}
     for cls in range(4):
         texts = {}
-        for variant in range(3):
+        for variant in range(5):
             did = next(
-                d for d in range(200)
-                if d % 4 == cls and (d // 4) % 3 == variant
+                d for d in range(400)
+                if d % 4 == cls and (d // 4) % 5 == variant
                 and d % 17 and d % 13
             )
             doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
@@ -8054,12 +8056,13 @@ def _pdf_text_pinned_oracle() -> str:
                 len(pages), len(text),
                 _hl.md5(text.encode()).hexdigest(),
             )
-        assert texts[0] == texts[1], cls  # flate transparency
+        assert texts[0] == texts[1] == texts[3] == texts[4], cls
         assert texts[2] == "UPDATED " + texts[0], cls  # /Prev chain
     for plant, reason in ((17, "torn"), (13, "encrypted")):
+      for variant in range(5):
         did = next(
             d for d in range(0, 100000, plant)
-            if plant == 17 or d % 17
+            if (plant == 17 or d % 17) and (d // 4) % 5 == variant
         )
         try:
             doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
@@ -8094,7 +8097,7 @@ def _pdf_text_pinned_oracle() -> str:
                WHEN doc_id % 13 = 0 THEN 'encrypted'
                ELSE NULL END AS reason
         FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                     CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                     CAST((doc_id // 4) % 5 AS INTEGER) AS var,
                      doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
               FROM documents)
     """
@@ -8141,7 +8144,7 @@ def pdf_token_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         extracted.select(
             (F.col("id") % 4).cast("int").alias("cls"),
-            ((F.col("id") / F.lit(4)).cast("long") % 3)
+            ((F.col("id") / F.lit(4)).cast("long") % 5)
             .cast("int").alias("var"),
             text.token_count(F.col("text")).alias("toks"),
             F.col("n_chars"),
@@ -8166,10 +8169,10 @@ def _pdf_token_stats_oracle() -> str:
 
     vals = []
     for cls in range(4):
-        for variant in range(3):
+        for variant in range(5):
             did = next(
-                d for d in range(200)
-                if d % 4 == cls and (d // 4) % 3 == variant
+                d for d in range(400)
+                if d % 4 == cls and (d // 4) % 5 == variant
                 and d % 17 and d % 13
             )
             doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
@@ -8185,7 +8188,7 @@ def _pdf_token_stats_oracle() -> str:
         WITH consts(cls, var, toks, chars) AS (VALUES {rows_sql}),
         base AS (
           SELECT CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var
+                 CAST((doc_id // 4) % 5 AS INTEGER) AS var
           FROM documents
           WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
         SELECT b.cls, b.var, count(*) AS n_docs,

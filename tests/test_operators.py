@@ -7082,24 +7082,55 @@ def test_pdf_text_extraction(spark):
             assert (r["ok"], r["reason"]) == (False, "encrypted"), d
         else:
             assert r["ok"] and r["n_pages"] == 1 + d % 4, d
-    # flate and plain variants extract identical text
+    # flate, xref-stream and ObjStm variants extract identical text
     by_shape = {}
     for d, r in rows.items():
         if r["ok"]:
-            by_shape.setdefault((d % 4, (d // 4) % 3), set()).add(
+            by_shape.setdefault((d % 4, (d // 4) % 5), set()).add(
                 r["text"]
             )
     for cls in range(4):
-        assert by_shape[(cls, 0)] == by_shape[(cls, 1)], cls
-    # byte-flip fuzz through the raw parser
-    blob = P.pdf_encode(pages, flate=True)
-    for j in range(0, len(blob), 7):
-        mut = blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
-        try:
-            d = P.PdfDoc(mut)
-            [d.page_text(p) for p in d.pages()]
-        except (P._Torn, P._Stub, RecursionError):
-            pass
+        for var in (1, 3, 4):
+            if (cls, var) in by_shape:
+                assert by_shape[(cls, 0)] == by_shape[(cls, var)], \
+                    (cls, var)
+    # PDF 1.5: xref STREAM (PNG-predictor rows) and /ObjStm layouts
+    # extract the identical text; encrypted flag carried in the xref
+    # stream dict is honored
+    for objstm in (False, True):
+        doc = P.PdfDoc(
+            P.pdf_encode(pages, xref_stream=True, objstm=objstm)
+        )
+        assert [doc.page_text(p) for p in doc.pages()] == pages, objstm
+    with _pytest.raises(P._Stub):
+        P.PdfDoc(P.pdf_encode(pages, xref_stream=True, encrypted=True))
+    # hybrid-reference file: a classic trailer whose /XRefStm points
+    # at the xref STREAM carrying every real entry
+    xb = P.pdf_encode(pages, xref_stream=True, objstm=True)
+    s = xb.rfind(b"startxref")
+    xoff = int(xb[s + 9:].split()[0])
+    table_off = s
+    hybrid = (
+        xb[:s]
+        + b"xref\n0 1\n0000000000 65535 f \ntrailer\n"
+        + b"<< /Size 1 /Root 1 0 R /XRefStm %d >>\n" % xoff
+        + b"startxref\n%d\n%%%%EOF\n" % table_off
+    )
+    doc = P.PdfDoc(hybrid)
+    assert [doc.page_text(p) for p in doc.pages()] == pages
+    # byte-flip fuzz through the raw parser, all three layouts
+    for blob in (
+        P.pdf_encode(pages, flate=True),
+        P.pdf_encode(pages, xref_stream=True),
+        P.pdf_encode(pages, xref_stream=True, objstm=True),
+    ):
+        for j in range(0, len(blob), 7):
+            mut = blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+            try:
+                d = P.PdfDoc(mut)
+                [d.page_text(p) for p in d.pages()]
+            except (P._Torn, P._Stub, RecursionError):
+                pass
 
 
 def test_ms_adpcm_decode(spark):
