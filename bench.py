@@ -216,6 +216,8 @@ HEADLINE = [
     "exif_oriented_dedup_check",
     "pdf_text_check",
     "pdf_token_stats_check",
+    "id3_meta_check",
+    "docx_text_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -7339,3 +7339,202 @@ def attach_exif_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col)).mapInPandas(
         run, "id long, content binary"
     )
+
+
+# ---- ID3v2: MP3 tag metadata walk (the audio face of EXIF) ----------
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TRCK": "track", "TYER": "year", "TDRC": "year",
+}
+
+
+def id3v2_frames(b: bytes):
+    """Tag dict from a leading ID3v2.3/2.4 header, or None when
+    absent/torn — the audio metadata walk (title/artist/album/year/
+    track text frames), the EXIF discipline applied to MP3: header
+    metadata at header speed, frames never decoded.  v2.3 frames
+    carry plain 32-bit sizes, v2.4 SYNCSAFE sizes; text frames decode
+    by their encoding byte (0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE,
+    3 UTF-8).  A frame running past the tag, an undecodable text
+    payload, or a torn header is an honest None — never a half-read
+    tag."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return None
+    ver = b[3]
+    if ver not in (3, 4):
+        return None  # v2.2 (3-byte ids) stays the honest stub
+    if any(x & 0x80 for x in b[6:10]):
+        return None
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    end = 10 + size
+    if end > len(b):
+        return None  # torn tag
+    i = 10
+    if b[5] & 0x40:  # extended header: skip by its own size field
+        if i + 4 > end:
+            return None
+        if ver == 4:
+            ehs = ((b[i] << 21) | (b[i + 1] << 14)
+                   | (b[i + 2] << 7) | b[i + 3])
+        else:
+            ehs = int.from_bytes(b[i:i + 4], "big") + 4
+        i += ehs
+    out: dict = {}
+    while i + 10 <= end:
+        fid = b[i:i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            return None  # garbage where a frame id should be
+        if ver == 4:
+            if any(x & 0x80 for x in b[i + 4:i + 8]):
+                return None
+            fsz = ((b[i + 4] << 21) | (b[i + 5] << 14)
+                   | (b[i + 6] << 7) | b[i + 7])
+        else:
+            fsz = int.from_bytes(b[i + 4:i + 8], "big")
+        body_lo = i + 10
+        if fsz < 0 or body_lo + fsz > end:
+            return None  # frame runs past the tag: torn
+        name = _ID3_TEXT_FRAMES.get(fid.decode("latin-1"))
+        if name is not None and fsz >= 1:
+            enc = b[body_lo]
+            raw = b[body_lo + 1:body_lo + fsz]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")
+                elif enc == 2:
+                    text = raw.decode("utf-16-be")
+                elif enc == 3:
+                    text = raw.decode("utf-8")
+                else:
+                    return None
+            except UnicodeDecodeError:
+                return None
+            out.setdefault(name, text.split("\x00")[0])
+        i = body_lo + fsz
+    return out
+
+
+def id3v2_encode(
+    tags: dict, version: int = 3, encoding: int = 0, pad: int = 32
+) -> bytes:
+    """ID3v2 tag writer — the fixture twin of ``id3v2_frames``:
+    text frames in tag order, v2.3 plain or v2.4 syncsafe frame
+    sizes, the chosen text encoding, trailing padding.  Composes
+    with ``mp3_mux``-built frame streams (prepend)."""
+    rev = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TDRC"}
+    body = b""
+    for name in ("title", "artist", "album", "track", "year"):
+        if name not in tags:
+            continue
+        fid = rev[name].encode()
+        if encoding == 0:
+            payload = tags[name].encode("latin-1")
+        elif encoding == 1:
+            payload = tags[name].encode("utf-16")  # with BOM
+        else:
+            payload = tags[name].encode("utf-8")
+        enc_byte = 0 if encoding == 0 else (1 if encoding == 1 else 3)
+        data = bytes([enc_byte]) + payload
+        if version == 4:
+            sz = len(data)
+            fsz = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            fsz = len(data).to_bytes(4, "big")
+        body += fid + fsz + b"\x00\x00" + data
+    body += bytes(pad)
+    sz = len(body)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3" + bytes([version, 0, 0]) + ss + body
+
+
+def audio_id3_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, title, artist, album, year, track, ok) per MP3 payload
+    via the ID3v2 walk — audio metadata extraction WITHOUT touching
+    the frame data, the sibling of ``image_exif_meta``.  ok=false
+    when the tag is absent or torn.  Map-side Arrow batches, no
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                meta = (
+                    id3v2_frames(bytes(payload))
+                    if payload is not None else None
+                )
+                if meta is None:
+                    rows.append((i, None, None, None, None, None,
+                                 False))
+                    continue
+                rows.append((
+                    i, meta.get("title"), meta.get("artist"),
+                    meta.get("album"), meta.get("year"),
+                    meta.get("track"), True,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "title", "artist", "album", "year",
+                         "track", "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run,
+        "id long, title string, artist string, album string, "
+        "year string, track string, ok boolean",
+    )
+
+
+def build_id3_mp3_blob(doc_id: int) -> bytes:
+    """ID3-tagged MP3 fixture: the ``build_mp3_blob`` class-``doc_id
+    %% 4`` frame stream with REAL ID3v2 tags; packaging ``(doc_id //
+    4) %% 3`` is 0 = v2.3 latin-1, 1 = v2.4 UTF-8, 2 = v2.3 UTF-16 —
+    all three must parse to IDENTICAL tag rows (version/encoding
+    transparency) AND leave the frame walk's hashes untouched (tag
+    transparency, pinned by the mp3 tier).  ``doc_id %% 17 == 0``
+    cuts the last 3 bytes of the TAG header region (a frame now runs
+    past the tag → ok=false; built by shrinking the declared pad)."""
+    cls = doc_id % 4
+    packaging = (doc_id // 4) % 3
+    tags = {
+        "title": "Track Title %d" % cls,
+        "artist": "Artist é%d" % cls,  # non-ASCII: é
+        "album": "Album %d" % cls,
+        "track": "%d/12" % (cls + 1),
+        "year": "202%d" % cls,
+    }
+    version, encoding = ((3, 0), (4, 2), (3, 1))[packaging]
+    tag = id3v2_encode(tags, version=version, encoding=encoding)
+    if doc_id % 17 == 0:
+        # shrink the tag bytes without fixing the declared size: the
+        # last frame now runs past the (shorter) tag → torn
+        tag = tag[:-40]
+    frames = [mp3_frame(j, 2 + (j * 3) % 12)
+              for j in range(4 * cls, 4 * cls + 4)]
+    return tag + b"".join(frames)
+
+
+def attach_id3_mp3_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the ID3-tagged MP3 fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_id3_mp3_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )

@@ -2346,3 +2346,195 @@ def attach_subtitle_text(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col)).mapInPandas(
         run, "id long, content string"
     )
+
+
+# ---- DOCX: office documents ride the zip source ----------------------
+_DOCX_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+}
+
+
+def _docx_unescape(s: str) -> str:
+    import re as _re
+
+    def sub(m):
+        e = m.group(1)
+        if e.startswith("#x") or e.startswith("#X"):
+            return chr(int(e[2:], 16))
+        if e.startswith("#"):
+            return chr(int(e[1:]))
+        return _DOCX_ENTITIES.get(e, m.group(0))
+
+    return _re.sub(r"&([A-Za-z]+|#x[0-9A-Fa-f]+|#[0-9]+);", sub, s)
+
+
+def docx_extract(b: bytes):
+    """(n_paragraphs, text) from a DOCX payload, or None when torn —
+    the composition the zip source exists for: central-directory walk
+    (per-member CRC — bit rot in ``word/document.xml`` flags, never
+    yields wrong text) → WordprocessingML text runs.  Paragraphs
+    (``</w:p>``) become newlines, ``<w:t>`` runs concatenate (Word
+    splits runs mid-word on formatting boundaries — the split must be
+    invisible), ``<w:tab/>`` becomes a tab, XML entities decode.
+    Missing ``word/document.xml`` or an undecodable member is an
+    honest None."""
+    import re as _re
+
+    from ..sources.zip import iter_zip_members
+
+    doc_xml = None
+    for _idx, name, _size, content, ok in iter_zip_members(b):
+        if name == "word/document.xml":
+            if not ok:
+                return None  # CRC-caught corruption: refuse
+            doc_xml = content
+            break
+    if doc_xml is None:
+        return None
+    try:
+        xml = doc_xml.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    paras = []
+    for pm in _re.finditer(r"<w:p[ >].*?</w:p>", xml, _re.S):
+        seg = pm.group(0)
+        parts = []
+        for tm in _re.finditer(
+            r"<w:t(?:[ ][^>]*)?>(.*?)</w:t>|<w:tab/>", seg, _re.S
+        ):
+            parts.append(
+                "\t" if tm.group(0) == "<w:tab/>"
+                else _docx_unescape(tm.group(1))
+            )
+        paras.append("".join(parts))
+    return len(paras), "\n".join(paras)
+
+
+def docx_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_paragraphs, n_chars, text, ok) per DOCX payload — the
+    office-document text face, built ENTIRELY from existing tiers
+    (zip member walk + map-side extraction).  Map-side Arrow
+    batches, no shuffle; torn/corrupt/missing-part payloads flag,
+    never task failures."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                got = (
+                    docx_extract(bytes(payload))
+                    if payload is not None else None
+                )
+                if got is None:
+                    rows.append((i, None, None, None, False))
+                    continue
+                np_, text_s = got
+                rows.append((i, np_, len(text_s), text_s, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_paragraphs", "n_chars", "text",
+                         "ok"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run,
+        "id long, n_paragraphs int, n_chars int, text string, "
+        "ok boolean",
+    )
+
+
+def docx_encode(paragraphs: list, split_runs: bool = False) -> bytes:
+    """Minimal DOCX writer — the fixture twin of ``docx_extract``:
+    a stored-method zip with ``[Content_Types].xml`` and
+    ``word/document.xml``; each paragraph one ``<w:p>``;
+    ``split_runs=True`` splits every paragraph's text mid-word into
+    multiple ``<w:t xml:space="preserve">`` runs (what real Word
+    emits) — extraction must be identical either way.  Tabs become
+    ``<w:tab/>``; XML specials are entity-escaped."""
+    from ..sources.zip import zip_encode
+
+    def esc(s):
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    body = []
+    for p in paragraphs:
+        runs = []
+        for piece in p.split("\t"):
+            if split_runs and len(piece) > 4:
+                half = len(piece) // 2
+                runs.append(
+                    '<w:r><w:t xml:space="preserve">%s</w:t></w:r>'
+                    '<w:r><w:t xml:space="preserve">%s</w:t></w:r>'
+                    % (esc(piece[:half]), esc(piece[half:]))
+                )
+            else:
+                runs.append("<w:r><w:t>%s</w:t></w:r>" % esc(piece))
+        body.append(
+            "<w:p >%s</w:p>"
+            % "<w:r><w:tab/></w:r>".join(runs)
+        )
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>%s</w:body>'
+        "</w:document>" % "".join(body)
+    )
+    return zip_encode([
+        ("[Content_Types].xml", b"<Types/>"),
+        ("word/document.xml", xml.encode("utf-8")),
+    ])
+
+
+def build_docx_blob(doc_id: int) -> bytes:
+    """DOCX fixture: class ``doc_id %% 4`` has ``2 + cls`` paragraphs
+    of deterministic text (one carries a TAB and XML specials
+    ``& < >``); variant ``(doc_id // 4) %% 2`` splits every run
+    mid-word with ``xml:space='preserve'`` attributes (identical
+    extracted text — the run-splitting-transparency claim).
+    ``doc_id %% 17 == 0`` flips one byte inside ``word/document.xml``
+    (the zip member CRC catches it → ok=false); else ``%% 13 == 0``
+    drops the part (renamed member → ok=false)."""
+    cls = doc_id % 4
+    paras = [
+        "class %d paragraph %d with some words" % (cls, k)
+        for k in range(2 + cls)
+    ]
+    paras[0] += "\tafter a tab & specials < >"
+    blob = docx_encode(paras, split_runs=((doc_id // 4) % 2 == 1))
+    if doc_id % 17 == 0:
+        i = blob.index(b"<w:body>") + 2
+        return blob[:i] + bytes([blob[i] ^ 0x41]) + blob[i + 1:]
+    if doc_id % 13 == 0:
+        return blob.replace(b"word/document.xml",
+                            b"word/document.bak", 2)
+    return blob
+
+
+def attach_docx_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the DOCX fixture blobs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_docx_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )

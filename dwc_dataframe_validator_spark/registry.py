@@ -8520,6 +8520,96 @@ QUERIES["ms_adpcm_decode_check"] = ms_adpcm_decode_check
 ORACLES["ms_adpcm_decode_check"] = _ms_adpcm_pinned_oracle()
 
 
+def id3_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction (operators/multimodal.py
+    ``id3v2_frames`` → ``audio_id3_meta``): the audio face of the
+    EXIF tier — v2.3 plain / v2.4 syncsafe frame sizes, latin-1 /
+    UTF-16-BOM / UTF-8 text encodings, extended-header skip, title/
+    artist/album/year/track frames — metadata at header speed, frame
+    data untouched.  Fixture: 4 tag classes × (v2.3-latin1 /
+    v2.4-utf8 / v2.3-utf16) packagings that must parse IDENTICALLY
+    (the oracle states tags as pure arithmetic, so all three
+    packagings can only match by agreeing — incl. a non-ASCII
+    artist); %%17 shrinks the tag under its declared size (a frame
+    runs past the tag → ok=false, never a half-read tag)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    meta = multimodal.audio_id3_meta(
+        multimodal.attach_id3_mp3_blob(docs)
+    )
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "title", "artist", "album", "year", "track", "ok",
+    )
+
+
+def docx_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction (operators/text.py ``docx_extract`` →
+    ``docx_text``): office documents ride the ZIP SOURCE — central-
+    directory walk with per-member CRC, then WordprocessingML runs
+    (paragraphs → newlines, mid-word split runs concatenated
+    invisibly, ``<w:tab/>`` → tab, XML entities decoded).  The oracle
+    RECONSTRUCTS the full text arithmetically, so extraction must be
+    the identity character-for-character.  Fixture: 4 paragraph
+    classes × (plain / split-run) variants — identical text; %%17
+    flips one byte inside ``word/document.xml`` (the member CRC
+    catches it), %%13 drops the part — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.docx_text(text.attach_docx_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_paragraphs", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["docx_text_check"] = docx_text_check
+ORACLES["docx_text_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+      FROM documents),
+    paras AS (
+      SELECT doc_id, cls,
+             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER) AS k
+      FROM base WHERE NOT bad),
+    texts AS (
+      SELECT doc_id, cls,
+             string_agg(
+               'class ' || cls || ' paragraph ' || k
+                 || ' with some words'
+                 || CASE WHEN k = 0
+                    THEN chr(9) || 'after a tab & specials < >'
+                    ELSE '' END,
+               chr(10) ORDER BY k) AS text
+      FROM paras GROUP BY doc_id, cls)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(t.cls + 2 AS INTEGER) AS n_paragraphs,
+           CAST(length(t.text) AS INTEGER) AS n_chars,
+           t.text, TRUE AS ok
+    FROM texts t
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+    FROM base WHERE bad
+"""
+
+
+QUERIES["id3_meta_check"] = id3_meta_check
+ORACLES["id3_meta_check"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CASE WHEN bad THEN NULL
+           ELSE 'Track Title ' || cls END AS title,
+      CASE WHEN bad THEN NULL
+           ELSE 'Artist é' || cls END AS artist,
+      CASE WHEN bad THEN NULL ELSE 'Album ' || cls END AS album,
+      CASE WHEN bad THEN NULL ELSE '202' || cls END AS year,
+      CASE WHEN bad THEN NULL
+           ELSE (cls + 1) || '/12' END AS track,
+      NOT bad AS ok
+    FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS bad
+          FROM documents)
+"""
+
+
 def _gif_anim_pinned_oracle() -> str:
     rows = {}
     nf_case = []
@@ -9925,13 +10015,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a12_top_k",
     "a14_offender_sample",
     "exif_meta_check",
-    "minhash_lsh_check",
+    "id3_meta_check",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "pdf_token_stats_check",
     "text_quality",
     "text_language_id_v2",
-    "kn_surprisal_scores",
+    "docx_text_check",
     "wet_main_content_docs",
     "exif_oriented_dedup_check",
     "adpcm_decode_check",

@@ -67,7 +67,12 @@ def iter_zip_members(raw: bytes, max_payload: int | None = None):
     try:
         zf = zipfile.ZipFile(io.BytesIO(raw))
         infos = zf.infolist()
-    except (zipfile.BadZipFile, OSError, EOFError, ValueError):
+    except (zipfile.BadZipFile, OSError, EOFError, ValueError,
+            NotImplementedError):
+        # NotImplementedError: stdlib raises it AT OPEN for a central
+        # directory declaring an unsupported extract version — on a
+        # corrupt shard that's one flipped byte away, so it must flag,
+        # not kill the task
         yield 0, None, None, None, False
         return
     idx = 0

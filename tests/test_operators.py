@@ -7229,3 +7229,73 @@ def test_ms_adpcm_decode(spark):
         assert r["ok"] != bad, d
         if not bad:
             assert r["n_channels"] == (2 if (d // 4) % 3 == 1 else 1), d
+
+
+def test_id3_and_docx_metadata_tiers(spark):
+    """ID3v2 + DOCX: the tag walk round-trips v2.3/v2.4 and all three
+    text encodings identically (incl. non-ASCII); torn tags and
+    garbage frame ids are honest Nones; tagged streams stay
+    frame-walk transparent (the mp3 tier's hashes unchanged); DOCX
+    extraction is the identity on the writer's paragraphs across
+    plain and split-run packagings; CRC-caught corruption and a
+    missing document part flag; nothing raises under exhaustive
+    flips/cuts (which found and pinned the zip source's
+    NotImplementedError-at-open hole)."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+    from dwc_dataframe_validator_spark.operators import text as T
+
+    tags = {"title": "Track Title 2", "artist": "Artist é2",
+            "album": "Album 2", "track": "3/12", "year": "2022"}
+    for ver, enc in ((3, 0), (4, 2), (3, 1), (4, 0), (4, 1)):
+        t = mm.id3v2_encode(tags, version=ver, encoding=enc)
+        assert mm.id3v2_frames(t + b"\xff\xfb") == tags, (ver, enc)
+    # v2.2 stays the honest stub; torn/garbage are Nones
+    t = mm.id3v2_encode(tags)
+    assert mm.id3v2_frames(b"ID3\x02\x00\x00" + t[6:]) is None
+    assert mm.id3v2_frames(t[:-40] + b"\xff\xfb") is None
+    blob = mm.build_id3_mp3_blob(1)
+    for j in range(len(blob)):
+        mm.id3v2_frames(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
+    # packaging transparency + frame-walk transparency
+    for cls in range(4):
+        metas = set()
+        for p in range(3):
+            did = next(
+                d for d in range(48)
+                if d % 4 == cls and (d // 4) % 3 == p and d % 17
+            )
+            b = mm.build_id3_mp3_blob(did)
+            metas.add(tuple(sorted(mm.id3v2_frames(b).items())))
+            assert len(mm.media_sample_ranges(b)) == 4, did
+        assert len(metas) == 1, cls
+    # operator faces
+    docs = spark.createDataFrame([(d,) for d in range(40)], "doc_id long")
+    rows = {
+        r["id"]: r
+        for r in mm.audio_id3_meta(mm.attach_id3_mp3_blob(docs)).collect()
+    }
+    for d, r in rows.items():
+        assert r["ok"] == (d % 17 != 0), d
+        if r["ok"]:
+            assert r["artist"] == "Artist é%d" % (d % 4), d
+    # DOCX
+    paras = ["hello world with words", "second\tpara & things < >"]
+    for split in (False, True):
+        assert T.docx_extract(T.docx_encode(paras, split_runs=split)) \
+            == (2, "\n".join(paras)), split
+    for d in (0, 17, 13, 26):
+        assert T.docx_extract(T.build_docx_blob(d)) is None, d
+    blob = T.build_docx_blob(1)
+    for j in range(len(blob)):
+        T.docx_extract(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
+    for cut in range(len(blob)):
+        T.docx_extract(blob[:cut])
+    got = {
+        r["id"]: r
+        for r in T.docx_text(T.attach_docx_blob(docs)).collect()
+    }
+    for d, r in got.items():
+        bad = d % 17 == 0 or d % 13 == 0
+        assert r["ok"] != bad, d
+        if not bad:
+            assert r["n_paragraphs"] == 2 + d % 4, d

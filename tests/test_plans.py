@@ -146,13 +146,13 @@ DRIVER_WINDOW = [
     "a12_top_k",
     "a14_offender_sample",
     "exif_meta_check",
-    "minhash_lsh_check",
+    "id3_meta_check",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "pdf_token_stats_check",
     "text_quality",
     "text_language_id_v2",
-    "kn_surprisal_scores",
+    "docx_text_check",
     "wet_main_content_docs",
     "exif_oriented_dedup_check",
     "adpcm_decode_check",
