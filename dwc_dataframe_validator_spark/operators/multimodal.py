@@ -7346,6 +7346,11 @@ _ID3_TEXT_FRAMES = {
     "TIT2": "title", "TPE1": "artist", "TALB": "album",
     "TRCK": "track", "TYER": "year", "TDRC": "year",
 }
+#: ID3v2.2's 3-byte frame ids for the same text frames
+_ID3V22_TEXT_FRAMES = {
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+    "TRK": "track", "TYE": "year",
+}
 
 
 def id3v2_frames(b: bytes):
@@ -7361,14 +7366,16 @@ def id3v2_frames(b: bytes):
     if b[:3] != b"ID3" or len(b) < 10:
         return None
     ver = b[3]
-    if ver not in (3, 4):
-        return None  # v2.2 (3-byte ids) stays the honest stub
+    if ver not in (2, 3, 4):
+        return None
     if any(x & 0x80 for x in b[6:10]):
         return None
     size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
     end = 10 + size
     if end > len(b):
         return None  # torn tag
+    if ver == 2:
+        return _id3v22_frames(b, end)
     i = 10
     if b[5] & 0x40:  # extended header: skip by its own size field
         if i + 4 > end:
@@ -7418,19 +7425,54 @@ def id3v2_frames(b: bytes):
     return out
 
 
+def _id3v22_frames(b: bytes, end: int):
+    """ID3v2.2 body walk (3-byte frame ids, 3-byte plain sizes,
+    no frame flags) — the oldest tagger output still in circulation.
+    Same honesty rules as the v2.3/2.4 walk."""
+    i = 10
+    out: dict = {}
+    while i + 6 <= end:
+        fid = b[i:i + 3]
+        if fid == b"\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            return None
+        fsz = int.from_bytes(b[i + 3:i + 6], "big")
+        body_lo = i + 6
+        if body_lo + fsz > end:
+            return None  # frame runs past the tag: torn
+        name = _ID3V22_TEXT_FRAMES.get(fid.decode("latin-1"))
+        if name is not None and fsz >= 1:
+            enc = b[body_lo]
+            raw = b[body_lo + 1:body_lo + fsz]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")
+                else:
+                    return None  # v2.2 defines only 0/1
+            except UnicodeDecodeError:
+                return None
+            out.setdefault(name, text.split("\x00")[0])
+        i = body_lo + fsz
+    return out
+
+
 def id3v2_encode(
     tags: dict, version: int = 3, encoding: int = 0, pad: int = 32
 ) -> bytes:
     """ID3v2 tag writer — the fixture twin of ``id3v2_frames``:
-    text frames in tag order, v2.3 plain or v2.4 syncsafe frame
-    sizes, the chosen text encoding, trailing padding.  Composes
-    with ``mp3_mux``-built frame streams (prepend)."""
+    text frames in tag order; v2.2 3-byte ids + 3-byte sizes, v2.3
+    plain or v2.4 syncsafe 4-byte sizes; the chosen text encoding;
+    trailing padding.  Composes with ``mp3_mux``-built frame streams
+    (prepend)."""
     rev = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TDRC"}
+    rev22 = {v: k for k, v in _ID3V22_TEXT_FRAMES.items()}
     body = b""
     for name in ("title", "artist", "album", "track", "year"):
         if name not in tags:
             continue
-        fid = rev[name].encode()
         if encoding == 0:
             payload = tags[name].encode("latin-1")
         elif encoding == 1:
@@ -7439,6 +7481,13 @@ def id3v2_encode(
             payload = tags[name].encode("utf-8")
         enc_byte = 0 if encoding == 0 else (1 if encoding == 1 else 3)
         data = bytes([enc_byte]) + payload
+        if version == 2:
+            body += (
+                rev22[name].encode() + len(data).to_bytes(3, "big")
+                + data
+            )
+            continue
+        fid = rev[name].encode()
         if version == 4:
             sz = len(data)
             fsz = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
@@ -7495,14 +7544,14 @@ def audio_id3_meta(
 def build_id3_mp3_blob(doc_id: int) -> bytes:
     """ID3-tagged MP3 fixture: the ``build_mp3_blob`` class-``doc_id
     %% 4`` frame stream with REAL ID3v2 tags; packaging ``(doc_id //
-    4) %% 3`` is 0 = v2.3 latin-1, 1 = v2.4 UTF-8, 2 = v2.3 UTF-16 —
-    all three must parse to IDENTICAL tag rows (version/encoding
-    transparency) AND leave the frame walk's hashes untouched (tag
+    4) %% 4`` is 0 = v2.3 latin-1, 1 = v2.4 UTF-8, 2 = v2.3 UTF-16,
+    3 = v2.2 latin-1 (3-byte frame ids) — all four must parse to
+    IDENTICAL tag rows (version/encoding transparency) AND leave the frame walk's hashes untouched (tag
     transparency, pinned by the mp3 tier).  ``doc_id %% 17 == 0``
     cuts the last 3 bytes of the TAG header region (a frame now runs
     past the tag → ok=false; built by shrinking the declared pad)."""
     cls = doc_id % 4
-    packaging = (doc_id // 4) % 3
+    packaging = (doc_id // 4) % 4
     tags = {
         "title": "Track Title %d" % cls,
         "artist": "Artist é%d" % cls,  # non-ASCII: é
@@ -7510,7 +7559,7 @@ def build_id3_mp3_blob(doc_id: int) -> bytes:
         "track": "%d/12" % (cls + 1),
         "year": "202%d" % cls,
     }
-    version, encoding = ((3, 0), (4, 2), (3, 1))[packaging]
+    version, encoding = ((3, 0), (4, 2), (3, 1), (2, 0))[packaging]
     tag = id3v2_encode(tags, version=version, encoding=encoding)
     if doc_id % 17 == 0:
         # shrink the tag bytes without fixing the declared size: the

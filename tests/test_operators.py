@@ -7249,20 +7249,25 @@ def test_id3_and_docx_metadata_tiers(spark):
     for ver, enc in ((3, 0), (4, 2), (3, 1), (4, 0), (4, 1)):
         t = mm.id3v2_encode(tags, version=ver, encoding=enc)
         assert mm.id3v2_frames(t + b"\xff\xfb") == tags, (ver, enc)
-    # v2.2 stays the honest stub; torn/garbage are Nones
+    # v2.2 (3-byte frame ids) parses identically too
+    t22 = mm.id3v2_encode(tags, version=2, encoding=0)
+    assert mm.id3v2_frames(t22 + b"\xff\xfb") == tags
+    t22u = mm.id3v2_encode(tags, version=2, encoding=1)
+    assert mm.id3v2_frames(t22u + b"\xff\xfb") == tags
+    # torn/garbage are Nones (incl. a torn v2.2 tag)
     t = mm.id3v2_encode(tags)
-    assert mm.id3v2_frames(b"ID3\x02\x00\x00" + t[6:]) is None
     assert mm.id3v2_frames(t[:-40] + b"\xff\xfb") is None
+    assert mm.id3v2_frames(t22[:-40] + b"\xff\xfb") is None
     blob = mm.build_id3_mp3_blob(1)
     for j in range(len(blob)):
         mm.id3v2_frames(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
     # packaging transparency + frame-walk transparency
     for cls in range(4):
         metas = set()
-        for p in range(3):
+        for p in range(4):
             did = next(
-                d for d in range(48)
-                if d % 4 == cls and (d // 4) % 3 == p and d % 17
+                d for d in range(80)
+                if d % 4 == cls and (d // 4) % 4 == p and d % 17
             )
             b = mm.build_id3_mp3_blob(did)
             metas.add(tuple(sorted(mm.id3v2_frames(b).items())))
