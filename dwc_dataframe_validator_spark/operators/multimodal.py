@@ -1787,7 +1787,7 @@ def wav_decode_samples(b: bytes):
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         ln = int.from_bytes(b[pos + 4:pos + 8], "little")
@@ -1798,6 +1798,8 @@ def wav_decode_samples(b: bytes):
             fmt = chunk
         elif cid == b"data":
             data = chunk
+        elif cid == b"fact":
+            fact = chunk
         pos += 8 + ln + (ln & 1)
     if fmt is None or data is None or len(fmt) < 16:
         return None
@@ -1816,12 +1818,28 @@ def wav_decode_samples(b: bytes):
     # the honest stub.
     if audio_fmt in (0x02, 0x11) and bits == 4:
         block_align = int.from_bytes(fmt[12:14], "little")
+        # fmt extension: cbSize (>=2) then wSamplesPerBlock — the
+        # DECLARED per-block frame count; real encoders pad the final
+        # (and sometimes every) block, so decoding every nibble emits
+        # spurious trailing samples (r15 ADVICE).  The fact chunk's
+        # dwSampleLength is the total-frame authority for the same
+        # reason.
+        wspb = None
+        if len(fmt) >= 20 and int.from_bytes(fmt[16:18], "little") >= 2:
+            wspb = int.from_bytes(fmt[18:20], "little")
+        fact_total = None
+        if fact is not None and len(fact) >= 4:
+            fact_total = int.from_bytes(fact[:4], "little")
         dec = (
             _ima_adpcm_decode if audio_fmt == 0x11 else _ms_adpcm_decode
         )
-        arr = dec(data, channels, block_align, np)
+        arr = dec(data, channels, block_align, np, wspb)
         if arr is None:
             return None
+        if fact_total is not None:
+            if fact_total > arr.shape[0]:
+                return None  # fact claims frames the data lacks
+            arr = arr[:fact_total]
         if arr.shape[0] * channels > 200_000_000:
             return None
         return rate, channels, arr
@@ -1903,7 +1921,9 @@ _IMA_STEPS = (
 )
 
 
-def _ima_adpcm_decode(data: bytes, ch: int, block_align: int, np):
+def _ima_adpcm_decode(
+    data: bytes, ch: int, block_align: int, np, wspb=None
+):
     """Full IMA ADPCM WAV decode → int16 ``(n_frames, ch)`` array, or
     None for a malformed stream.  WAV block layout: per channel a
     4-byte header (int16 predictor = sample 0, step index, reserved
@@ -1953,6 +1973,13 @@ def _ima_adpcm_decode(data: bytes, ch: int, block_align: int, np):
         p = np.clip(p + dtab[k], -32768, 32767)
         ix = ntab[k]
         out[:, :, s + 1] = p.astype(np.int16)
+    if wspb is not None:
+        # declared wSamplesPerBlock: trim the block-padding nibbles;
+        # a declaration EXCEEDING the block's physical capacity is a
+        # lie → honest None (r15 ADVICE)
+        if wspb < 1 or wspb > spb + 1:
+            return None
+        out = out[:, :, :wspb]
     return out.transpose(0, 2, 1).reshape(-1, ch)
 
 
@@ -1987,7 +2014,9 @@ _MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
              768, 614, 512, 409, 307, 230, 230, 230)
 
 
-def _ms_adpcm_decode(data: bytes, ch: int, block_align: int, np):
+def _ms_adpcm_decode(
+    data: bytes, ch: int, block_align: int, np, wspb=None
+):
     """Full MS ADPCM WAV decode → int16 ``(n_frames, ch)`` array, or
     None for a malformed stream.  WAV block layout per channel
     (channel-interleaved fields): predictor index byte, int16 initial
@@ -2044,6 +2073,13 @@ def _ms_adpcm_decode(data: bytes, ch: int, block_align: int, np):
         s1 = samp
         delta = np.maximum(16, (adapt[n] * delta) >> 8)
         out[:, 2 + s, :] = samp.astype(np.int16)
+    if wspb is not None:
+        # trim to the declared per-block frame count; every block
+        # carries 2 preamble samples, so a declaration < 2 or beyond
+        # capacity is malformed → honest None (r15 ADVICE)
+        if wspb < 2 or wspb > 2 + spb_data:
+            return None
+        out = out[:, :wspb, :]
     return out.reshape(-1, ch)
 
 
@@ -3553,6 +3589,18 @@ def bmp_decode_pixels(b: bytes):
         if len(b) < 66:
             return None
         masks = struct.unpack("<III", b[54:66])
+        if (
+            (masks[0] & masks[1])
+            | (masks[1] & masks[2])
+            | (masks[0] & masks[2])
+        ):
+            # pairwise-overlapping R/G/B masks are malformed; route
+            # to the honest stub as the docstring promises (r15
+            # ADVICE — previously only per-mask contiguity/range
+            # were checked)
+            raise NotImplementedError(
+                "overlapping BI_BITFIELDS channel masks"
+            )
         width = bitcount // 8
         pix = np.zeros((h, w), np.int64)
         body = rows[:, : w * width].reshape(h, w, width).astype(np.int64)

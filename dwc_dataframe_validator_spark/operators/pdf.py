@@ -363,11 +363,19 @@ class PdfDoc:
             for k2 in range(count):
                 e = b[i + 20 * k2:i + 20 * (k2 + 1)]
                 num = start + k2
-                if e[17:18] == b"n" and num not in self.xref:
+                if num in self.xref:
+                    continue
+                if e[17:18] == b"n":
                     try:
                         self.xref[num] = int(e[:10])
                     except ValueError:
                         raise _Torn()
+                elif e[17:18] == b"f":
+                    # record frees too (newest wins): an object
+                    # deleted by an incremental update must NOT be
+                    # resurrected from an older /Prev section
+                    # (r15 ADVICE); get() treats None as missing
+                    self.xref[num] = None
             i += 20 * count
         tr, i = parse_object(b, i)
         if not isinstance(tr, dict):
@@ -440,7 +448,11 @@ class PdfDoc:
                     self.xref[num] = f[1]
                 elif typ == 2 and f[1] is not None:
                     self.xref[num] = ("objstm", f[1], f[2] or 0)
-                # type 0 (free) and unknown types: skip
+                elif typ == 0:
+                    # free entry: record so older sections can't
+                    # resurrect a deleted object (r15 ADVICE)
+                    self.xref[num] = None
+                # unknown types: skip (spec: treat as free-ish)
         return d
 
     def resolve(self, v, depth: int = 0):
@@ -551,6 +563,12 @@ class PdfDoc:
                 raise _Torn()
             if len(out) > self._budget:
                 raise _Stub("bomb")
+            if not dec.eof:
+                # valid deflate PREFIX but no final block: a torn
+                # stream, not a short page (r15 ADVICE) — without
+                # this a truncated content stream that happens to
+                # end on a token boundary would silently drop text
+                raise _Torn()
             pp = self.resolve(
                 parms_list[fi] if fi < len(parms_list) else None
             )

@@ -1,0 +1,152 @@
+"""Round-16 ADVICE-fix pins: torn-Flate prefixes flag instead of
+silently truncating page text; freed xref entries are not resurrected
+from older /Prev sections; ADPCM decode honors wSamplesPerBlock and
+the fact chunk (block padding trimmed, lying declarations refused);
+overlapping BI_BITFIELDS masks route to the honest stub."""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _mm():
+    from dwc_dataframe_validator_spark.operators import multimodal
+    return multimodal
+
+
+def _pdf():
+    from dwc_dataframe_validator_spark.operators import pdf
+    return pdf
+
+
+def test_pdf_torn_flate_prefix_flags():
+    """A content stream whose compressed bytes form a valid deflate
+    PREFIX (sync-flushed, no final block) must raise _Torn — not
+    silently yield the partial page the prefix happens to decode to."""
+    P = _pdf()
+    doc = P.PdfDoc(P.pdf_encode(["hello there"], flate=True))
+    body = b"BT (hello) Tj (world) Tj ET " * 20
+    c = zlib.compressobj()
+    prefix = c.compress(body) + c.flush(zlib.Z_SYNC_FLUSH)
+    # sanity: the prefix IS decompressible (the silent-truncation trap)
+    d = zlib.decompressobj()
+    assert d.decompress(prefix) == body and not d.eof
+    with pytest.raises(P._Torn):
+        doc._decoded({"Filter": ("name", "FlateDecode")}, prefix)
+    # a COMPLETE stream still decodes
+    assert doc._decoded(
+        {"Filter": ("name", "FlateDecode")}, zlib.compress(body)
+    ) == body
+
+
+def test_pdf_freed_object_not_resurrected():
+    """An incremental update that FREES an object must win over the
+    older /Prev section that still defines it: reading the freed
+    content object flags _Torn instead of resurrecting stale text."""
+    P = _pdf()
+    base = P.pdf_encode(["old page text"])
+    doc = P.PdfDoc(base)
+    assert doc.page_text(doc.pages()[0]) == "old page text"
+    s = base.rfind(b"startxref")
+    old_xref = int(base[s + 9:].split()[0])
+    new_xref = len(base)
+    upd = (
+        base
+        + b"xref\n5 1\n0000000000 65535 f \n"
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n" % old_xref
+        + b"startxref\n%d\n%%%%EOF\n" % new_xref
+    )
+    doc2 = P.PdfDoc(upd)
+    with pytest.raises(P._Torn):
+        [doc2.page_text(p) for p in doc2.pages()]
+
+
+def _ima_wav(n=2525, ba=256):
+    mm = _mm()
+    x = (
+        np.cumsum(np.arange(n, dtype=np.int64) * 13 % 97 - 48)
+        * 7 % 28000 - 14000
+    ).astype(np.int16).reshape(-1, 1)
+    return mm.wav_adpcm_encode(8000, x, ba)
+
+
+def test_ima_wav_samples_per_block_and_fact_trim():
+    """wSamplesPerBlock below block capacity trims every block's
+    spurious padding nibbles; the fact chunk trims the total; a
+    declaration exceeding capacity, or a fact total exceeding the
+    data, refuses (honest None)."""
+    mm = _mm()
+    ba, ch = 256, 1
+    spb = (ba - 4 * ch) * 2 // ch + 1  # natural per-block frames
+    blob = bytearray(_ima_wav(ba=ba))
+    # fixed layout written by wav_adpcm_encode:
+    # RIFF(12) fmt hdr(8) fmt_body(20) fact hdr(8) fact(4) data...
+    WSPB_OFF, FACT_OFF = 12 + 8 + 18, 12 + 8 + 20 + 8
+    assert struct.unpack_from("<H", blob, WSPB_OFF)[0] == spb
+    rate, c0, full = mm.wav_decode_samples(bytes(blob))
+    n_blocks = full.shape[0] // spb
+    assert n_blocks >= 2
+    # 1) fact smaller than capacity: final-block padding trimmed
+    t = bytearray(blob)
+    struct.pack_into("<I", t, FACT_OFF, n_blocks * spb - 10)
+    _r, _c, arr = mm.wav_decode_samples(bytes(t))
+    assert arr.shape[0] == n_blocks * spb - 10
+    assert (arr == full[: arr.shape[0]]).all()
+    # 2) wSamplesPerBlock below capacity: EVERY block trimmed
+    t = bytearray(blob)
+    struct.pack_into("<H", t, WSPB_OFF, spb - 8)
+    struct.pack_into("<I", t, FACT_OFF, n_blocks * (spb - 8))
+    _r, _c, arr = mm.wav_decode_samples(bytes(t))
+    want = full.reshape(n_blocks, spb, 1)[:, : spb - 8, :].reshape(-1, 1)
+    assert arr.shape == want.shape and (arr == want).all()
+    # 3) declared per-block frames beyond physical capacity: a lie
+    t = bytearray(blob)
+    struct.pack_into("<H", t, WSPB_OFF, spb + 5)
+    assert mm.wav_decode_samples(bytes(t)) is None
+    # 4) fact claims more frames than the data holds: a lie
+    t = bytearray(blob)
+    struct.pack_into("<I", t, FACT_OFF, n_blocks * spb + 5)
+    assert mm.wav_decode_samples(bytes(t)) is None
+
+
+def test_ms_adpcm_wspb_trim_direct():
+    """The MS decoder's wspb path: trims per block, refuses < 2 or
+    beyond capacity; None default unchanged."""
+    mm = _mm()
+    ba, ch = 128, 1
+    spb = 2 + (ba - 7 * ch) * 2 // ch
+    x = (
+        np.cumsum(np.arange(spb * 3, dtype=np.int64) * 11 % 89 - 44)
+        * 5 % 26000 - 13000
+    ).astype(np.int16).reshape(-1, 1)
+    enc = mm.ms_adpcm_encode(x, ba, predictor=0)
+    full = mm._ms_adpcm_decode(enc, ch, ba, np)
+    nb = len(enc) // ba
+    got = mm._ms_adpcm_decode(enc, ch, ba, np, spb - 6)
+    want = full.reshape(nb, spb, ch)[:, : spb - 6, :].reshape(-1, ch)
+    assert got.shape == want.shape and (got == want).all()
+    assert mm._ms_adpcm_decode(enc, ch, ba, np, spb + 1) is None
+    assert mm._ms_adpcm_decode(enc, ch, ba, np, 1) is None
+    # the WAV face (fmt 2) still decodes the canonical encoder output
+    wav = mm.wav_ms_adpcm_encode(8000, x, ba)
+    _r, _c, arr = mm.wav_decode_samples(wav)
+    assert (arr == full).all()
+
+
+def test_bmp_overlapping_bitfields_stub():
+    """Pairwise-overlapping BI_BITFIELDS masks raise the honest stub
+    (each mask alone is contiguous and in range — previously decoded
+    silently)."""
+    mm = _mm()
+    src = (np.add.outer(np.arange(6) * 31, np.arange(7) * 13) % 256)
+    px3 = np.stack(
+        [src, (src * 3) % 256, (src * 7) % 256], axis=-1
+    ).astype(np.uint8)
+    bb = mm.bmp_encode_bitfields(px3, "565")
+    assert mm.bmp_decode_pixels(bb) is not None
+    # green mask 0x1800: contiguous, inside 16 bits, overlaps red
+    # (0xF800) at bit 11
+    mut = bb[:58] + (0x1800).to_bytes(4, "little") + bb[62:]
+    with pytest.raises(NotImplementedError):
+        mm.bmp_decode_pixels(mut)
