@@ -9998,6 +9998,15 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # (wet_main_content_docs stays), pdf_token_stats_check ←
 # text_token_stats (token_count is exactly what it drives),
 # bmp_variant_pixel_hash_check ← text_ngram_top_neighbor.
+# Round-16 rotation (r15 VERDICT ask 6): the four entries last
+# driver-green in r13 — p6_membership_filter, a1_record_count,
+# a8_a9_distinct_duplicates, a13_date_parts — swap back in for four
+# r15-green singletons whose families keep window members:
+# p6 ← a4_range_count (p4_range_filter keeps range coercion),
+# a1 ← a5_group_populated (occurrence metrics keep group-populated),
+# a8_a9 ← a11_value_histogram (a13 date-part histograms cover the
+# histogram shape), a13 ← a12_top_k (a14_offender_sample keeps the
+# order-limit family).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10009,10 +10018,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dwca_archive_profile",
     "dwca_orphan_multimedia",
     "p4_range_filter",
-    "a4_range_count",
-    "a5_group_populated",
-    "a11_value_histogram",
-    "a12_top_k",
+    "p6_membership_filter",
+    "a1_record_count",
+    "a8_a9_distinct_duplicates",
+    "a13_date_parts",
     "a14_offender_sample",
     "exif_meta_check",
     "id3_meta_check",

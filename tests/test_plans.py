@@ -140,10 +140,10 @@ DRIVER_WINDOW = [
     "dwca_archive_profile",
     "dwca_orphan_multimedia",
     "p4_range_filter",
-    "a4_range_count",
-    "a5_group_populated",
-    "a11_value_histogram",
-    "a12_top_k",
+    "p6_membership_filter",
+    "a1_record_count",
+    "a8_a9_distinct_duplicates",
+    "a13_date_parts",
     "a14_offender_sample",
     "exif_meta_check",
     "id3_meta_check",
