@@ -2538,3 +2538,457 @@ def attach_docx_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col)).mapInPandas(
         run, "id long, content binary"
     )
+
+
+# ---- XLSX / PPTX: the remaining office mass rides the zip source -----
+# Same architecture as DOCX (reference has no office tier — this is
+# the LLM-pipeline surface): central-directory walk with per-member
+# CRC, then the OOXML part grammar via the same entity-decoding run
+# concatenation.  Catalyst keeps the plan map-side (one Arrow
+# mapInPandas projection, no shuffle); a 100 TB crawl shard of office
+# documents extracts at scan parallelism.
+
+
+def _ooxml_part(b: bytes, want: str):
+    """Decoded text of one zip member, or the marker strings
+    ``'torn'`` (CRC-caught corruption) / ``'missing'``."""
+    for _idx, name, _size, content, ok in iter_zip_members_for_office(b):
+        if name == want:
+            if not ok:
+                return None, "torn"
+            try:
+                return content.decode("utf-8"), None
+            except UnicodeDecodeError:
+                return None, "torn"
+    return None, "missing"
+
+
+def iter_zip_members_for_office(b: bytes):
+    from ..sources.zip import iter_zip_members
+
+    return iter_zip_members(b)
+
+
+def _ooxml_numbered_parts(b: bytes, pattern: str):
+    """All members matching ``pattern`` (one ``(\\d+)`` group),
+    decoded and ordered by that number → list of (num, text) or None
+    when any matching member is CRC-torn/undecodable."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    out = []
+    for _idx, name, _size, content, ok in iter_zip_members_for_office(b):
+        m = rx.fullmatch(name)
+        if not m:
+            continue
+        if not ok:
+            return None
+        try:
+            out.append((int(m.group(1)), content.decode("utf-8")))
+        except (UnicodeDecodeError, ValueError):
+            return None
+    out.sort()
+    return out
+
+
+def _xlsx_shared_strings(xml: str) -> list:
+    """``<si>`` entries of ``xl/sharedStrings.xml`` — each is the
+    concatenation of its ``<t>`` runs (rich-text ``<r>`` wrappers are
+    transparent, like DOCX split runs)."""
+    import re as _re
+
+    out = []
+    for sm in _re.finditer(r"<si>(.*?)</si>", xml, _re.S):
+        out.append(
+            "".join(
+                _docx_unescape(tm.group(1))
+                for tm in _re.finditer(
+                    r"<t(?:[ ][^>]*)?>(.*?)</t>", sm.group(1), _re.S
+                )
+            )
+        )
+    return out
+
+
+def xlsx_extract(b: bytes):
+    """(n_sheets, n_cells, text) from an XLSX payload, or None when
+    torn — SpreadsheetML over the zip source.  Worksheets are read in
+    sheet-number order and must MATCH the count ``xl/workbook.xml``
+    declares (a missing/renamed sheet part is a torn document, not a
+    shorter one).  Within a sheet: rows become lines, cells join with
+    tabs; ``t="s"`` cells resolve through ``xl/sharedStrings.xml``
+    (an out-of-range index refuses — no guessing), ``t="inlineStr"``
+    concatenates its ``<t>`` runs, numeric/formula-string cells keep
+    the raw ``<v>`` token; entities decode.  Sheets join with
+    newlines."""
+    import re as _re
+
+    wb, why = _ooxml_part(b, "xl/workbook.xml")
+    if wb is None:
+        return None
+    declared = len(_re.findall(r"<sheet[ /]", wb))
+    sheets = _ooxml_numbered_parts(
+        b, r"xl/worksheets/sheet(\d+)\.xml"
+    )
+    if sheets is None or len(sheets) != declared or not sheets:
+        return None
+    ss_xml, ss_why = _ooxml_part(b, "xl/sharedStrings.xml")
+    if ss_why == "torn":
+        return None
+    shared = _xlsx_shared_strings(ss_xml) if ss_xml is not None else []
+    lines = []
+    n_cells = 0
+    for _num, xml in sheets:
+        for rm in _re.finditer(
+            r"<row[^>]*/>|<row(?:[ ][^>]*)?>(.*?)</row>", xml, _re.S
+        ):
+            body = rm.group(1)
+            if body is None:
+                lines.append("")
+                continue
+            cells = []
+            for cm in _re.finditer(
+                r"<c(?:\s+([^>]*?))?\s*(?:/>|>(.*?)</c>)", body, _re.S
+            ):
+                n_cells += 1
+                attrs = cm.group(1) or ""
+                inner = cm.group(2)
+                if inner is None:
+                    cells.append("")
+                    continue
+                tm = _re.search(r'\bt="([^"]*)"', attrs)
+                ctype = tm.group(1) if tm else "n"
+                if ctype == "inlineStr":
+                    cells.append(
+                        "".join(
+                            _docx_unescape(t.group(1))
+                            for t in _re.finditer(
+                                r"<t(?:[ ][^>]*)?>(.*?)</t>",
+                                inner, _re.S,
+                            )
+                        )
+                    )
+                    continue
+                vm = _re.search(r"<v>(.*?)</v>", inner, _re.S)
+                if vm is None:
+                    cells.append("")
+                    continue
+                val = _docx_unescape(vm.group(1))
+                if ctype == "s":
+                    try:
+                        idx = int(val)
+                    except ValueError:
+                        return None
+                    if not 0 <= idx < len(shared):
+                        return None  # index lie: refuse, never guess
+                    cells.append(shared[idx])
+                else:  # n / str / b / e keep the raw token
+                    cells.append(val)
+            lines.append("\t".join(cells))
+    return len(sheets), n_cells, "\n".join(lines)
+
+
+def pptx_extract(b: bytes):
+    """(n_slides, text) from a PPTX payload, or None when torn —
+    DrawingML text over the zip source.  Slides are read in
+    slide-number order and must match the ``<p:sldId>`` count
+    ``ppt/presentation.xml`` declares; within a slide each ``<a:p>``
+    paragraph is a line (its ``<a:t>`` runs concatenate — text boxes
+    split runs on formatting exactly like Word), entities decode."""
+    import re as _re
+
+    pres, _why = _ooxml_part(b, "ppt/presentation.xml")
+    if pres is None:
+        return None
+    declared = len(_re.findall(r"<p:sldId[ /]", pres))
+    slides = _ooxml_numbered_parts(b, r"ppt/slides/slide(\d+)\.xml")
+    if slides is None or len(slides) != declared or not slides:
+        return None
+    lines = []
+    for _num, xml in slides:
+        for pm in _re.finditer(r"<a:p>(.*?)</a:p>", xml, _re.S):
+            lines.append(
+                "".join(
+                    _docx_unescape(t.group(1))
+                    for t in _re.finditer(
+                        r"<a:t>(.*?)</a:t>", pm.group(1), _re.S
+                    )
+                )
+            )
+    return len(slides), "\n".join(lines)
+
+
+def _office_text_face(df, extract, out_cols, schema, content_col, id_col):
+    """Shared mapInPandas face for the office extractors — one
+    map-side Arrow projection, plants flag instead of failing."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf[content_col]):
+                got = (
+                    extract(bytes(payload))
+                    if payload is not None else None
+                )
+                if got is None:
+                    rows.append(
+                        (i,) + (None,) * (len(out_cols) - 2) + (False,)
+                    )
+                else:
+                    rows.append((i,) + got + (True,))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run, schema
+    )
+
+
+def xlsx_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_sheets, n_cells, n_chars, text, ok) per XLSX payload."""
+
+    def ex(b):
+        got = xlsx_extract(b)
+        if got is None:
+            return None
+        ns, nc, t = got
+        return ns, nc, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "n_sheets", "n_cells", "n_chars", "text", "ok"],
+        "id long, n_sheets int, n_cells int, n_chars int, "
+        "text string, ok boolean",
+        content_col, id_col,
+    )
+
+
+def pptx_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_slides, n_chars, text, ok) per PPTX payload."""
+
+    def ex(b):
+        got = pptx_extract(b)
+        if got is None:
+            return None
+        ns, t = got
+        return ns, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "n_slides", "n_chars", "text", "ok"],
+        "id long, n_slides int, n_chars int, text string, ok boolean",
+        content_col, id_col,
+    )
+
+
+def xlsx_encode(sheets: list, inline: bool = False) -> bytes:
+    """Minimal XLSX writer — the fixture twin of ``xlsx_extract``:
+    ``sheets`` is a list of sheets, each a list of rows, each a list
+    of cells (str or int).  String cells write through a DEDUPED
+    ``xl/sharedStrings.xml`` (``inline=False`` — exercises index
+    reuse) or as ``t="inlineStr"`` runs (``inline=True``) — extracted
+    text must be identical either way; ints write as ``<v>`` numbers;
+    XML specials entity-escape."""
+    from ..sources.zip import zip_encode
+
+    def esc(s):
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    shared: dict = {}
+    members = []
+    sheet_xmls = []
+    for rows in sheets:
+        out = []
+        for r, row in enumerate(rows):
+            cs = []
+            for c, cell in enumerate(row):
+                ref = "%s%d" % (chr(ord("A") + c), r + 1)
+                if isinstance(cell, int):
+                    cs.append('<c r="%s"><v>%d</v></c>' % (ref, cell))
+                elif inline:
+                    half = max(1, len(cell) // 2)
+                    cs.append(
+                        '<c r="%s" t="inlineStr"><is>'
+                        '<t xml:space="preserve">%s</t>'
+                        '<t xml:space="preserve">%s</t></is></c>'
+                        % (ref, esc(cell[:half]), esc(cell[half:]))
+                    )
+                else:
+                    idx = shared.setdefault(cell, len(shared))
+                    cs.append(
+                        '<c r="%s" t="s"><v>%d</v></c>' % (ref, idx)
+                    )
+            out.append('<row r="%d">%s</row>' % (r + 1, "".join(cs)))
+        sheet_xmls.append(
+            '<?xml version="1.0"?><worksheet><sheetData>%s'
+            "</sheetData></worksheet>" % "".join(out)
+        )
+    wb = "".join(
+        '<sheet name="S%d" sheetId="%d" r:id="rId%d"/>' % (k, k, k)
+        for k in range(1, len(sheets) + 1)
+    )
+    members.append((
+        "[Content_Types].xml", b"<Types/>",
+    ))
+    members.append((
+        "xl/workbook.xml",
+        ('<?xml version="1.0"?><workbook><sheets>%s</sheets>'
+         "</workbook>" % wb).encode(),
+    ))
+    if shared and not inline:
+        by_idx = sorted(shared, key=shared.get)
+        ss = "".join(
+            "<si><r><t xml:space=\"preserve\">%s</t></r></si>"
+            % esc(s) for s in by_idx
+        )
+        members.append((
+            "xl/sharedStrings.xml",
+            ('<?xml version="1.0"?><sst count="%d" uniqueCount="%d">'
+             "%s</sst>" % (len(by_idx), len(by_idx), ss)).encode(),
+        ))
+    for k, xml in enumerate(sheet_xmls, 1):
+        members.append((
+            "xl/worksheets/sheet%d.xml" % k, xml.encode(),
+        ))
+    return zip_encode(members)
+
+
+def pptx_encode(slides: list, split_runs: bool = False) -> bytes:
+    """Minimal PPTX writer — the fixture twin of ``pptx_extract``:
+    ``slides`` is a list of slides, each a list of paragraph strings;
+    ``split_runs=True`` splits every paragraph mid-word into two
+    ``<a:r>`` runs (identical extracted text)."""
+    from ..sources.zip import zip_encode
+
+    def esc(s):
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    members = [("[Content_Types].xml", b"<Types/>")]
+    sld = "".join(
+        '<p:sldId id="%d" r:id="rId%d"/>' % (255 + k, k)
+        for k in range(1, len(slides) + 1)
+    )
+    members.append((
+        "ppt/presentation.xml",
+        ('<?xml version="1.0"?><p:presentation><p:sldIdLst>%s'
+         "</p:sldIdLst></p:presentation>" % sld).encode(),
+    ))
+    for k, paras in enumerate(slides, 1):
+        body = []
+        for p in paras:
+            if split_runs and len(p) > 4:
+                half = len(p) // 2
+                runs = (
+                    "<a:r><a:t>%s</a:t></a:r><a:r><a:t>%s</a:t></a:r>"
+                    % (esc(p[:half]), esc(p[half:]))
+                )
+            else:
+                runs = "<a:r><a:t>%s</a:t></a:r>" % esc(p)
+            body.append("<a:p>%s</a:p>" % runs)
+        members.append((
+            "ppt/slides/slide%d.xml" % k,
+            ('<?xml version="1.0"?><p:sld><p:cSld><p:spTree>%s'
+             "</p:spTree></p:cSld></p:sld>" % "".join(body)).encode(),
+        ))
+    return zip_encode(members)
+
+
+def build_xlsx_blob(doc_id: int) -> bytes:
+    """XLSX fixture: class ``doc_id %% 4`` has ``1 + cls %% 2`` sheets
+    × ``3 + cls`` rows × 3 cells — a shared-string word (5 distinct
+    strings, so sharing/dedup is exercised), a number, and a literal
+    with XML specials; variant ``(doc_id // 4) %% 2`` re-encodes every
+    string cell as inlineStr split runs (identical extracted text).
+    ``doc_id %% 17 == 0`` flips one byte inside sheet1 (member CRC
+    catches it → ok=false); else ``%% 13 == 0`` renames sheet1 (the
+    workbook-declared count mismatches → ok=false)."""
+    cls = doc_id % 4
+    sheets = [
+        [
+            [
+                "word%d" % ((r * 7 + s) % 5),
+                r * 13 + s,
+                "cell r%d & <x>" % r,
+            ]
+            for r in range(3 + cls)
+        ]
+        for s in range(1 + cls % 2)
+    ]
+    blob = xlsx_encode(sheets, inline=((doc_id // 4) % 2 == 1))
+    if doc_id % 17 == 0:
+        i = blob.index(b"<sheetData>") + 3
+        return blob[:i] + bytes([blob[i] ^ 0x41]) + blob[i + 1:]
+    if doc_id % 13 == 0:
+        return blob.replace(
+            b"xl/worksheets/sheet1.xml", b"xl/worksheets/shee_1.xml", 2
+        )
+    return blob
+
+
+def build_pptx_blob(doc_id: int) -> bytes:
+    """PPTX fixture: class ``doc_id %% 4`` has ``1 + cls`` slides,
+    slide ``s`` carrying ``2 + s %% 2`` paragraphs of deterministic
+    text (the first has XML specials); variant ``(doc_id // 4) %% 2``
+    splits runs mid-word (identical text).  ``%% 17`` flips a byte in
+    slide1 (CRC → ok=false); else ``%% 13`` renames slide1 (declared
+    sldId count mismatches → ok=false)."""
+    cls = doc_id % 4
+    slides = []
+    for s in range(1 + cls):
+        paras = [
+            "slide %d para %d of class %d" % (s, k, cls)
+            for k in range(2 + s % 2)
+        ]
+        if s == 0:
+            paras[0] += " & specials < >"
+        slides.append(paras)
+    blob = pptx_encode(slides, split_runs=((doc_id // 4) % 2 == 1))
+    if doc_id % 17 == 0:
+        i = blob.index(b"<p:spTree>") + 3
+        return blob[:i] + bytes([blob[i] ^ 0x41]) + blob[i + 1:]
+    if doc_id % 13 == 0:
+        return blob.replace(
+            b"ppt/slides/slide1.xml", b"ppt/slides/slid_1.xml", 2
+        )
+    return blob
+
+
+def _attach_office_blob(df: DataFrame, build, id_col: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [build(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+def attach_xlsx_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the XLSX fixture blobs."""
+    return _attach_office_blob(df, build_xlsx_blob, id_col)
+
+
+def attach_pptx_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the PPTX fixture blobs."""
+    return _attach_office_blob(df, build_pptx_blob, id_col)

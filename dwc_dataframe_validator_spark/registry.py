@@ -8592,6 +8592,117 @@ ORACLES["docx_text_check"] = """
 """
 
 
+def xlsx_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX text extraction (operators/text.py ``xlsx_extract`` →
+    ``xlsx_text``): SpreadsheetML over the ZIP SOURCE — workbook-
+    declared sheet count enforced, shared-string resolution (deduped
+    indices), inlineStr runs, numeric ``<v>`` tokens, entities.  The
+    oracle reconstructs every cell arithmetically, so extraction must
+    be the identity character-for-character across BOTH encodings
+    (shared vs inlineStr variants produce identical text).  %%17
+    flips a byte inside sheet1 (member CRC catches it), %%13 renames
+    sheet1 (declared-count mismatch) — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.xlsx_text(text.attach_xlsx_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_sheets", "n_cells", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["xlsx_text_check"] = xlsx_text_check
+ORACLES["xlsx_text_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+      FROM documents),
+    dims AS (
+      SELECT doc_id, cls, CAST(1 + cls % 2 AS INTEGER) AS n_sheets,
+             CAST(3 + cls AS INTEGER) AS n_rows
+      FROM base WHERE NOT bad),
+    sheets AS (
+      SELECT doc_id, cls, n_sheets, n_rows,
+             CAST(unnest(generate_series(0, n_sheets - 1))
+                  AS INTEGER) AS s
+      FROM dims),
+    cells AS (
+      SELECT doc_id, cls, n_sheets, n_rows, s,
+             CAST(unnest(generate_series(0, n_rows - 1))
+                  AS INTEGER) AS r
+      FROM sheets),
+    texts AS (
+      SELECT doc_id, n_sheets, n_rows,
+             string_agg(
+               'word' || ((r * 7 + s) % 5) || chr(9) || (r * 13 + s)
+                 || chr(9) || 'cell r' || r || ' & <x>',
+               chr(10) ORDER BY s, r) AS text
+      FROM cells GROUP BY doc_id, n_sheets, n_rows)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_sheets AS INTEGER) AS n_sheets,
+           CAST(n_sheets * n_rows * 3 AS INTEGER) AS n_cells,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           text, TRUE AS ok
+    FROM texts
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, FALSE
+    FROM base WHERE bad
+"""
+
+
+def pptx_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX text extraction (operators/text.py ``pptx_extract`` →
+    ``pptx_text``): DrawingML text over the ZIP SOURCE —
+    presentation-declared slide count enforced, ``<a:p>`` paragraphs
+    → lines, mid-word split ``<a:r>`` runs concatenated invisibly,
+    entities decoded.  Arithmetic full-text oracle (identity check);
+    %%17 flips a byte in slide1 (CRC), %%13 renames slide1
+    (declared-count mismatch) — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.pptx_text(text.attach_pptx_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_slides", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["pptx_text_check"] = pptx_text_check
+ORACLES["pptx_text_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+      FROM documents),
+    dims AS (
+      SELECT doc_id, cls, CAST(1 + cls AS INTEGER) AS n_slides
+      FROM base WHERE NOT bad),
+    slides AS (
+      SELECT doc_id, cls, n_slides,
+             CAST(unnest(generate_series(0, n_slides - 1))
+                  AS INTEGER) AS s
+      FROM dims),
+    paras AS (
+      SELECT doc_id, cls, n_slides, s,
+             CAST(unnest(generate_series(0, 1 + s % 2))
+                  AS INTEGER) AS k
+      FROM slides),
+    texts AS (
+      SELECT doc_id, n_slides,
+             string_agg(
+               'slide ' || s || ' para ' || k || ' of class ' || cls
+                 || CASE WHEN s = 0 AND k = 0
+                    THEN ' & specials < >' ELSE '' END,
+               chr(10) ORDER BY s, k) AS text
+      FROM paras GROUP BY doc_id, n_slides)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_slides AS INTEGER) AS n_slides,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           text, TRUE AS ok
+    FROM texts
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+    FROM base WHERE bad
+"""
+
+
 QUERIES["id3_meta_check"] = id3_meta_check
 ORACLES["id3_meta_check"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -10007,6 +10118,10 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # a8_a9 ← a11_value_histogram (a13 date-part histograms cover the
 # histogram shape), a13 ← a12_top_k (a14_offender_sample keeps the
 # order-limit family).
+# Round-16 additions: xlsx_text_check ← zip_members_check (the
+# office tier IS the zip source exercised harder; zip_group_check
+# stays), pptx_text_check ← subtitle_parse_check
+# (subtitle_frame_align_check keeps the subtitle grammar pinned).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10054,9 +10169,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "webm_sample_hash_check",
     "ogg_sample_hash_check",
     "cross_container_audio_dedup_check",
-    "zip_members_check",
+    "xlsx_text_check",
     "zip_group_check",
-    "subtitle_parse_check",
+    "pptx_text_check",
     "subtitle_frame_align_check",
 )
 

@@ -176,9 +176,9 @@ DRIVER_WINDOW = [
     "webm_sample_hash_check",
     "ogg_sample_hash_check",
     "cross_container_audio_dedup_check",
-    "zip_members_check",
+    "xlsx_text_check",
     "zip_group_check",
-    "subtitle_parse_check",
+    "pptx_text_check",
     "subtitle_frame_align_check",
 ]
 
