@@ -4646,8 +4646,12 @@ def jpeg_decode_pixels(b: bytes):
     ctx = _jpeg_ctx()
     try:
         return _jpeg_decode_inner(b, np, ctx)
-    except (IndexError, KeyError, ValueError, struct.error, EOFError):
-        return None  # arbitrary truncation/corruption → flagged row
+    except (IndexError, KeyError, ValueError, struct.error, EOFError,
+            OverflowError):
+        # arbitrary truncation/corruption → flagged row (Overflow:
+        # corrupt entropy data can walk a DC predictor past int64 —
+        # found by the round-16 PDF-embedded-JPEG byte-flip fuzz)
+        return None
 
 
 def _find_scan_end(b: bytes, pos: int) -> int:

@@ -236,13 +236,18 @@ def parse_object(b: bytes, i: int):
     return ("op", kw.decode("latin-1")), j
 
 
-def _png_unpredict(data: bytes, cols: int) -> bytes:
+def _png_unpredict(data: bytes, cols: int, bpp: int = 1) -> bytes:
     """Undo PNG row prediction (predictors 10-15: each row = filter
-    byte + ``cols`` bytes, bpp 1) — the DecodeParms layer xref
-    streams ship with.  Filters 0-4 (None/Sub/Up/Average/Paeth) per
-    the PNG spec; a ragged tail or unknown filter is torn."""
+    byte + ``cols`` BYTES, left-neighbor distance ``bpp`` bytes) —
+    the DecodeParms layer xref streams ship with (bpp 1) and image
+    XObjects sometimes carry (bpp = Colors at 8 bpc).  Filters 0-4
+    (None/Sub/Up/Average/Paeth) per the PNG spec; a ragged tail or
+    unknown filter is torn.  Pure-Python per-byte loops — fine for
+    xref streams and the honest-capped image tier (predictors on
+    LARGE images are rare in crawl PDFs; the per-document budget
+    bounds the worst case)."""
     row = cols + 1
-    if len(data) % row:
+    if len(data) % row or bpp < 1:
         raise _Torn()
     out = bytearray()
     prev = bytearray(cols)
@@ -252,20 +257,20 @@ def _png_unpredict(data: bytes, cols: int) -> bytes:
         if ft == 0:
             pass
         elif ft == 1:  # Sub
-            for x in range(1, cols):
-                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+            for x in range(bpp, cols):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif ft == 2:  # Up
             for x in range(cols):
                 cur[x] = (cur[x] + prev[x]) & 0xFF
         elif ft == 3:  # Average
             for x in range(cols):
-                left = cur[x - 1] if x else 0
+                left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for x in range(cols):
-                a = cur[x - 1] if x else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 bb = prev[x]
-                c = prev[x - 1] if x else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + bb - c
                 pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
                 pr = a if pa <= pb and pa <= pc else (
@@ -582,10 +587,11 @@ class PdfDoc:
                     bpc = self.resolve(pp.get("BitsPerComponent", 8))
                     if not (
                         isinstance(cols, int) and cols > 0
-                        and colors == 1 and bpc == 8
+                        and isinstance(colors, int)
+                        and 1 <= colors <= 4 and bpc == 8
                     ):
                         raise _Stub("filter")
-                    out = _png_unpredict(out, cols)
+                    out = _png_unpredict(out, cols * colors, colors)
                 else:
                     raise _Stub("filter")  # TIFF predictor 2 etc.
         self._budget -= len(out)
@@ -625,6 +631,90 @@ class PdfDoc:
 
         walk(node, 0)
         return out
+
+    def page_images(self, page: dict) -> list:
+        """(name, stream) for every ``/Subtype /Image`` XObject in a
+        page's ``/Resources``, in name order (deterministic across
+        writers that permute dict order)."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return []
+        xo = self.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return []
+        out = []
+        for name in sorted(xo):
+            obj = self.resolve(xo[name])
+            if (
+                isinstance(obj, tuple) and obj[0] == "stream"
+                and self.resolve(obj[1].get("Subtype"))
+                == ("name", "Image")
+            ):
+                out.append((name, obj))
+        return out
+
+    def image_pixels(self, obj):
+        """uint8 (h, w, c) pixels of an image XObject — the
+        composition that lets PDFs join cross-format image dedup:
+        ``/DCTDecode`` streams feed the existing JPEG decoder
+        (operators/multimodal.py), Flate/raw sample streams decode
+        directly for 8-bpc ``/DeviceRGB`` and ``/DeviceGray`` (PNG
+        predictors honored via ``_png_unpredict``).  Honest stubs
+        (``_Stub``): CCITTFax/JBIG2/JPX filters, other colorspaces
+        (Indexed/ICC/CMYK), non-8 bpc; a dict that lies about
+        dimensions is ``_Torn``."""
+        import numpy as np
+
+        _, d, raw = obj
+        w = self.resolve(d.get("Width"))
+        h = self.resolve(d.get("Height"))
+        bpc = self.resolve(d.get("BitsPerComponent"))
+        cs = self.resolve(d.get("ColorSpace"))
+        filt = self.resolve(d.get("Filter"))
+        filters = (
+            [] if filt is None
+            else (filt if isinstance(filt, list) else [filt])
+        )
+        filters = [self.resolve(f) for f in filters]
+        if not (
+            isinstance(w, int) and isinstance(h, int)
+            and w > 0 and h > 0
+        ):
+            raise _Torn()
+        if w * h > 16_000_000:  # the image path's 16 MP guard
+            raise _Stub("bomb")
+        if ("name", "DCTDecode") in filters:
+            if filters != [("name", "DCTDecode")]:
+                raise _Stub("filter")
+            from .multimodal import jpeg_decode_pixels
+            try:
+                px = jpeg_decode_pixels(bytes(raw))
+            except NotImplementedError:
+                raise _Stub("jpeg-tier")
+            if px is None:
+                raise _Torn()
+            if px.shape[0] != h or px.shape[1] != w:
+                raise _Torn()  # dict and JPEG frame disagree
+            return px
+        for f in filters:
+            if f in (
+                ("name", "CCITTFaxDecode"),
+                ("name", "JBIG2Decode"),
+                ("name", "JPXDecode"),
+            ):
+                raise _Stub(f[1])
+        data = self._decoded(d, raw)
+        if bpc != 8:
+            raise _Stub("bpc")
+        if cs == ("name", "DeviceRGB"):
+            c = 3
+        elif cs == ("name", "DeviceGray"):
+            c = 1
+        else:
+            raise _Stub("colorspace")
+        if len(data) != w * h * c:
+            raise _Torn()
+        return np.frombuffer(data, np.uint8).reshape(h, w, c)
 
     def page_text(self, page: dict) -> str:
         """Text of one page from its content stream(s)."""
@@ -994,6 +1084,286 @@ def attach_pdf_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf_batch[id_col],
                     "content": [
                         build_pdf_blob(int(i)) for i in pdf_batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# ---- embedded images: PDFs join cross-format image dedup -------------
+
+
+def pdf_image_hashes(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, page, img_idx, width, height, channels, ahash, dhash, ok,
+    reason) — one row per image XObject (``PdfDoc.page_images`` →
+    ``image_pixels``), hashed on the SAME aHash/dHash grid as the
+    standalone image formats (operators/multimodal.py), so a photo
+    embedded in a PDF deduplicates against its JPEG/PNG/BMP
+    packagings.  A torn/encrypted document yields one flagged row;
+    per-image stub tiers (CCITT/JBIG2/JPX, exotic colorspaces) flag
+    that image only.  Map-side Arrow batches, no shuffle."""
+    from .multimodal import image_ahash, image_dhash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for i, payload in zip(pdf_batch["id"],
+                                  pdf_batch[content_col]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    rows.append((i, 0, 0, 0, 0, 0, None, None,
+                                 False, "torn"))
+                    continue
+                try:
+                    doc = PdfDoc(bytes(payload))
+                    pages = doc.pages()
+                except _Stub as e:
+                    rows.append((i, 0, 0, 0, 0, 0, None, None,
+                                 False, str(e)))
+                    continue
+                except (_Torn, RecursionError):
+                    rows.append((i, 0, 0, 0, 0, 0, None, None,
+                                 False, "torn"))
+                    continue
+                for pno, page in enumerate(pages):
+                    try:
+                        imgs = doc.page_images(page)
+                    except (_Torn, _Stub, RecursionError):
+                        rows.append((i, pno, 0, 0, 0, 0, None, None,
+                                     False, "torn"))
+                        continue
+                    for k, (_name, obj) in enumerate(imgs):
+                        try:
+                            px = doc.image_pixels(obj)
+                        except _Stub as e:
+                            rows.append((i, pno, k, 0, 0, 0, None,
+                                         None, False, str(e)))
+                            continue
+                        except (_Torn, RecursionError):
+                            rows.append((i, pno, k, 0, 0, 0, None,
+                                         None, False, "torn"))
+                            continue
+                        h, w, c = px.shape
+                        rows.append(
+                            (i, pno, k, w, h, c,
+                             format(image_ahash(px), "016x"),
+                             format(image_dhash(px), "016x"),
+                             True, None)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "page", "img_idx", "width", "height",
+                         "channels", "ahash", "dhash", "ok",
+                         "reason"],
+            )
+
+    return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(
+        run,
+        "id long, page int, img_idx int, width int, height int, "
+        "channels int, ahash string, dhash string, ok boolean, "
+        "reason string",
+    )
+
+
+def _assemble_pdf(objs: dict) -> bytes:
+    """Classic-xref single-section assembler for fixture writers:
+    ``objs`` maps object number → body bytes (streams included)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += objs[num]
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    size = max(objs) + 1
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, xref_off)
+    )
+    return bytes(out)
+
+
+def pdf_image_encode(text: str, images: list) -> bytes:
+    """One-page PDF with embedded image XObjects — the fixture twin
+    of ``PdfDoc.image_pixels``.  ``images`` is a list of
+    ``(kind, px)`` with ``px`` a uint8 (h, w, c) array and ``kind``
+    one of:
+
+    - ``"dct"``: ``jpeg_encode(px)`` bytes under ``/DCTDecode``
+    - ``"flate"``: zlib-compressed raw samples (RGB or Gray by c)
+    - ``"flate-pred"``: Flate + PNG Up predictor rows
+      (``/DecodeParms << /Predictor 12 /Colors c /Columns w >>``)
+    - ``"raw"``: unfiltered samples
+    - ``"jpx"``: the raw samples MISLABELED ``/JPXDecode`` — the
+      honest-stub plant"""
+    from .multimodal import jpeg_encode
+
+    objs = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    names = []
+    for k, (kind, px) in enumerate(images):
+        h, w, c = px.shape
+        cs = b"/DeviceRGB" if c == 3 else b"/DeviceGray"
+        extra = b""
+        if kind == "dct":
+            data = jpeg_encode(px)
+            filt = b" /Filter /DCTDecode"
+        elif kind == "flate":
+            data = zlib.compress(px.tobytes())
+            filt = b" /Filter /FlateDecode"
+        elif kind == "flate-pred":
+            rowb = w * c
+            flat = px.reshape(h, rowb)
+            pred = bytearray()
+            prev = bytes(rowb)
+            for r in range(h):
+                cur = flat[r].tobytes()
+                pred.append(2)  # Up
+                pred += bytes(
+                    (cur[x] - prev[x]) & 0xFF for x in range(rowb)
+                )
+                prev = cur
+            data = zlib.compress(bytes(pred))
+            filt = b" /Filter /FlateDecode"
+            extra = (
+                b" /DecodeParms << /Predictor 12 /Colors %d"
+                b" /Columns %d >>" % (c, w)
+            )
+        elif kind == "raw":
+            data = px.tobytes()
+            filt = b""
+        elif kind == "jpx":
+            data = px.tobytes()
+            filt = b" /Filter /JPXDecode"
+        else:
+            raise ValueError(kind)
+        objs[5 + k] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace %s /BitsPerComponent 8%s%s /Length %d >>"
+            b"\nstream\n" % (w, h, cs, filt, extra, len(data))
+            + data + b"\nendstream"
+        )
+        names.append(b"/Im%d %d 0 R" % (k, 5 + k))
+    lit = (
+        text.replace("\\", r"\\").replace("(", r"\(")
+        .replace(")", r"\)")
+    )
+    content = ("BT (%s) Tj ET " % lit).encode("latin-1")
+    content += b" ".join(
+        b"q 16 0 0 16 0 0 cm /Im%d Do Q" % k
+        for k in range(len(images))
+    )
+    objs[4] = (
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(content), content)
+    )
+    objs[3] = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << %s >> >> /Contents 4 0 R >>"
+        % b" ".join(names)
+    )
+    return _assemble_pdf(objs)
+
+
+def _pdf_image_fixture_pixels(cls: int):
+    """Deterministic 16×16 RGB pixels, 6 distinct classes — smooth
+    gradients (JPEG-friendly, so the DCT round-trip stays visually
+    the same image for the hash grid)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:16, 0:16]
+    r = (y * (8 + cls) + x * 3) % 256
+    g = (x * (11 + 2 * cls) + y * 5) % 256
+    b = ((x + y) * (7 + cls)) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+_PDF_IMG_KINDS = ("dct", "flate", "flate-pred", "gray", "raw")
+
+
+def build_pdf_image_blob(doc_id: int) -> bytes:
+    """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
+    variant ``(doc_id // 6) %% 5`` from ``_PDF_IMG_KINDS`` — "gray"
+    embeds the class's integer-luma plane as Flate /DeviceGray, the
+    others embed the RGB image as DCT / Flate / Flate+Up-predictor /
+    raw samples (the three lossless packagings must hash identically;
+    DCT must hash to the standalone JPEG's constants).  ``doc_id %%
+    17 == 0`` truncates the image stream (torn); else ``%% 13 == 0``
+    relabels the filter ``/JPXDecode`` (honest stub) — both
+    ok=false."""
+    import numpy as np
+
+    cls = doc_id % 6
+    kind = _PDF_IMG_KINDS[(doc_id // 6) % 5]
+    px = _pdf_image_fixture_pixels(cls)
+    if kind == "gray":
+        luma = (
+            (
+                px[:, :, 0].astype(np.int64) * 299
+                + px[:, :, 1].astype(np.int64) * 587
+                + px[:, :, 2].astype(np.int64) * 114
+            ) // 1000
+        ).astype(np.uint8)[:, :, None]
+        blob = pdf_image_encode(
+            "pdf image doc %d" % cls, [("flate", luma)]
+        )
+    else:
+        blob = pdf_image_encode(
+            "pdf image doc %d" % cls, [(kind, px)]
+        )
+    if doc_id % 17 == 0:
+        # cut 20 bytes out of the image stream: every object after it
+        # (including the xref section) shifts, so startxref lies →
+        # the document flags torn at the xref walk, never a guess
+        i = blob.index(b"\nstream\n", blob.index(b"/Subtype /Image"))
+        return blob[:i + 20] + blob[i + 40:]
+    if doc_id % 13 == 0:
+        # SAME-LENGTH relabels (xref offsets stay valid, so the flag
+        # is the per-image honest stub, not a torn document):
+        # DCT/Flate → /JPXDecode; raw (no filter) → 4 bpc
+        d = blob.index(b"/Subtype /Image")
+        j = blob.index(b"\nstream\n", d)
+        seg = blob[d:j]
+        if b"/Filter /DCTDecode" in seg:
+            seg2 = seg.replace(
+                b"/Filter /DCTDecode", b"/Filter /JPXDecode"
+            )
+        elif b"/Filter /FlateDecode" in seg:
+            seg2 = seg.replace(
+                b"/Filter /FlateDecode", b"/Filter /JPXDecode  "
+            )
+        else:
+            seg2 = seg.replace(
+                b"/BitsPerComponent 8", b"/BitsPerComponent 4"
+            )
+        assert len(seg2) == len(seg) and seg2 != seg
+        return blob[:d] + seg2 + blob[j:]
+    return blob
+
+
+def attach_pdf_image_blob(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content) with the PDF-embedded-image fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf_batch[id_col],
+                    "content": [
+                        build_pdf_image_blob(int(i))
+                        for i in pdf_batch[id_col]
                     ],
                 }
             )

@@ -8202,6 +8202,96 @@ def _pdf_token_stats_oracle() -> str:
 ORACLES["pdf_token_stats_check"] = _pdf_token_stats_oracle()
 
 
+def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF embedded-image extraction (operators/pdf.py
+    ``PdfDoc.page_images`` → ``image_pixels`` → ``pdf_image_hashes``):
+    image XObjects decode through the EXISTING decoders — /DCTDecode
+    via the JPEG tier, Flate/raw 8-bpc DeviceRGB/DeviceGray samples
+    (PNG Up-predictor DecodeParms honored) — and hash on the shared
+    aHash/dHash grid, so PDFs join cross-format image dedup.  The
+    oracle builder asserts the invariants: the three lossless
+    packagings (flate / flate+predictor / raw) hash identically to
+    the raw pixels, and the DCT packaging hashes to the standalone
+    JPEG's constants.  %%17 cuts 20 bytes from the image stream
+    (xref shifts → torn document); %%13 relabels /JPXDecode or 4 bpc
+    at identical byte length (the per-image honest stub) — both
+    ok=false."""
+    from .operators import pdf as pdfmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = pdfmod.pdf_image_hashes(pdfmod.attach_pdf_image_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "page", "img_idx", "width", "height", "channels",
+        "ahash", "dhash", "ok",
+    )
+
+
+def _pdf_image_pinned_oracle() -> str:
+    """Pinned-constant oracle for ``pdf_image_hash_check`` over the
+    30 (pixel class × packaging) combos, decoded driver-side through
+    the REAL extraction path; cross-format invariants asserted here
+    so a drifting decoder fails the build, not just the driver."""
+    from .operators import pdf as pdfmod
+
+    rows = {}
+    for combo in range(30):
+        did = next(
+            d for d in range(combo, 4000, 30) if d % 17 and d % 13
+        )
+        doc = pdfmod.PdfDoc(pdfmod.build_pdf_image_blob(did))
+        (_name, obj), = doc.page_images(doc.pages()[0])
+        px = doc.image_pixels(obj)
+        rows[combo] = (
+            px.shape[2],
+            format(multimodal.image_ahash(px), "016x"),
+            format(multimodal.image_dhash(px), "016x"),
+        )
+    for cls in range(6):
+        raw_px = pdfmod._pdf_image_fixture_pixels(cls)
+        want = format(multimodal.image_ahash(raw_px), "016x")
+        # variants 1 (flate), 2 (flate-pred), 4 (raw) are lossless
+        for var in (1, 2, 4):
+            assert rows[cls + 6 * var][1] == want, (cls, var)
+        sj = multimodal.jpeg_decode_pixels(
+            multimodal.jpeg_encode(raw_px)
+        )
+        assert rows[cls][1] == format(
+            multimodal.image_ahash(sj), "016x"
+        ), cls
+    chan = " ".join(
+        "WHEN doc_id %% 30 = %d THEN %d" % (c, v[0])
+        for c, v in rows.items()
+    )
+    ah = " ".join(
+        "WHEN doc_id %% 30 = %d THEN '%s'" % (c, v[1])
+        for c, v in rows.items()
+    )
+    dh = " ".join(
+        "WHEN doc_id %% 30 = %d THEN '%s'" % (c, v[2])
+        for c, v in rows.items()
+    )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(0 AS INTEGER) AS page,
+          CAST(0 AS INTEGER) AS img_idx,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
+               END AS INTEGER) AS channels,
+          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
+          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
+          NOT bad AS ok
+        FROM (SELECT doc_id,
+                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+              FROM documents)
+    """
+
+
+QUERIES["pdf_image_hash_check"] = pdf_image_hash_check
+ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
+
+
 QUERIES["exif_oriented_dedup_check"] = exif_oriented_dedup_check
 ORACLES["exif_oriented_dedup_check"] = """
     WITH m AS (
@@ -10121,7 +10211,9 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # Round-16 additions: xlsx_text_check ← zip_members_check (the
 # office tier IS the zip source exercised harder; zip_group_check
 # stays), pptx_text_check ← subtitle_parse_check
-# (subtitle_frame_align_check keeps the subtitle grammar pinned).
+# (subtitle_frame_align_check keeps the subtitle grammar pinned),
+# pdf_image_hash_check ← webm_sample_hash_check
+# (cross_container_audio_dedup_check keeps the WebM walk driven).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10166,7 +10258,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mp3_byte_dedup",
     "audio_window_hash_check",
     "audio_aligned_dedup_clusters",
-    "webm_sample_hash_check",
+    "pdf_image_hash_check",
     "ogg_sample_hash_check",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",

@@ -1,0 +1,153 @@
+"""PDF embedded-image tier: image XObjects decode through the
+existing JPEG/zlib decoders onto the shared hash grid — the three
+lossless packagings (Flate / Flate+Up-predictor / raw samples) are
+pixel-exact vs the source, DCT matches the standalone JPEG decode,
+gray DeviceGray rides the same path; dict lies, stub filters and
+torn streams flag honestly; byte flips never raise; the operator
+face joins PDFs into cross-format image dedup."""
+import numpy as np
+import pytest
+
+
+def _p():
+    from dwc_dataframe_validator_spark.operators import pdf
+    return pdf
+
+
+def _mm():
+    from dwc_dataframe_validator_spark.operators import multimodal
+    return multimodal
+
+
+def test_pdf_image_lossless_and_dct_paths():
+    P, mm = _p(), _mm()
+    for cls in range(6):
+        px = P._pdf_image_fixture_pixels(cls)
+        for kind in ("flate", "flate-pred", "raw"):
+            blob = P.pdf_image_encode("t", [(kind, px)])
+            doc = P.PdfDoc(blob)
+            (_n, obj), = doc.page_images(doc.pages()[0])
+            assert (doc.image_pixels(obj) == px).all(), (cls, kind)
+        # DCT: pixel-identical to the standalone JPEG decode
+        blob = P.pdf_image_encode("t", [("dct", px)])
+        doc = P.PdfDoc(blob)
+        (_n, obj), = doc.page_images(doc.pages()[0])
+        want = mm.jpeg_decode_pixels(mm.jpeg_encode(px))
+        assert (doc.image_pixels(obj) == want).all(), cls
+    # gray 1-channel
+    g = (px[:, :, 0:1]).copy()
+    doc = P.PdfDoc(P.pdf_image_encode("t", [("flate", g)]))
+    (_n, obj), = doc.page_images(doc.pages()[0])
+    assert doc.image_pixels(obj).shape == (16, 16, 1)
+    # multiple images on one page, name-ordered
+    doc = P.PdfDoc(P.pdf_image_encode("t", [("raw", px), ("flate", g)]))
+    imgs = doc.page_images(doc.pages()[0])
+    assert [n for n, _ in imgs] == ["Im0", "Im1"]
+    # page text still extracts alongside images
+    assert doc.page_text(doc.pages()[0]).startswith("t")
+
+
+def test_pdf_image_honest_flags():
+    P = _p()
+    px = P._pdf_image_fixture_pixels(1)
+    # stub filter plant
+    doc = P.PdfDoc(P.pdf_image_encode("t", [("jpx", px)]))
+    (_n, obj), = doc.page_images(doc.pages()[0])
+    with pytest.raises(P._Stub):
+        doc.image_pixels(obj)
+    # dict lies about dimensions vs sample count → torn
+    blob = P.pdf_image_encode("t", [("raw", px)])
+    mut = blob.replace(b"/Width 16", b"/Width 61", 1)
+    doc = P.PdfDoc(mut)
+    (_n, obj), = doc.page_images(doc.pages()[0])
+    with pytest.raises(P._Torn):
+        doc.image_pixels(obj)
+    # fixture plants: %17 torn document, %13 per-image stub
+    for did in (0, 17, 34):
+        with pytest.raises((P._Torn, P._Stub)):
+            d = P.PdfDoc(P.build_pdf_image_blob(did))
+            d.pages()
+    for did in (13, 26, 39, 52, 65):
+        d = P.PdfDoc(P.build_pdf_image_blob(did))
+        (_n, obj), = d.page_images(d.pages()[0])
+        with pytest.raises(P._Stub):
+            d.image_pixels(obj)
+    # byte-flip fuzz across every packaging: flags only, no raises
+    for base in (1, 6, 12, 18, 24):
+        blob = P.build_pdf_image_blob(base)
+        for j in range(0, len(blob), 11):
+            mut = blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+            try:
+                d = P.PdfDoc(mut)
+                for pg in d.pages():
+                    for _n2, o in d.page_images(pg):
+                        d.image_pixels(o)
+            except (P._Torn, P._Stub, RecursionError):
+                pass
+
+
+def test_generalized_png_unpredict_bpp():
+    """bpp>1 predictor rows invert exactly (Sub/Average/Paeth left
+    neighbor at x-bpp) — pinned against a scalar forward filter."""
+    P = _p()
+    rng = np.random.RandomState(7)
+    w, h, bpp = 9, 6, 3
+    rowb = w * bpp
+    src = rng.randint(0, 256, (h, rowb)).astype(np.uint8)
+    for ft in (0, 1, 2, 3, 4):
+        enc = bytearray()
+        prev = bytes(rowb)
+        for r in range(h):
+            cur = src[r].tobytes()
+            enc.append(ft)
+            for x in range(rowb):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    v = cur[x]
+                elif ft == 1:
+                    v = (cur[x] - a) & 0xFF
+                elif ft == 2:
+                    v = (cur[x] - b) & 0xFF
+                elif ft == 3:
+                    v = (cur[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    v = (cur[x] - pr) & 0xFF
+                enc.append(v)
+            prev = cur
+        got = P._png_unpredict(bytes(enc), rowb, bpp)
+        assert got == src.tobytes(), ft
+
+
+def test_pdf_images_join_cross_format_dedup(spark):
+    """The operator face: a photo inside a PDF carries the same
+    ahash/dhash as its standalone JPEG/raw packagings — the
+    cross-format dedup contract."""
+    P, mm = _p(), _mm()
+    docs = spark.createDataFrame([(d,) for d in range(60)],
+                                 "doc_id long")
+    rows = {
+        r["id"]: r
+        for r in P.pdf_image_hashes(
+            P.attach_pdf_image_blob(docs)
+        ).collect()
+    }
+    for d, r in rows.items():
+        bad = d % 17 == 0 or d % 13 == 0
+        assert r["ok"] != bad, d
+    # same pixel class, lossless variants (flate=6..11, pred=12..17,
+    # raw=24..29 band offsets) share hashes with the raw pixels
+    for cls in range(6):
+        want = format(
+            mm.image_ahash(P._pdf_image_fixture_pixels(cls)), "016x"
+        )
+        for var in (1, 2, 4):
+            d = cls + 6 * var
+            if rows[d]["ok"]:
+                assert rows[d]["ahash"] == want, (cls, var)

@@ -173,7 +173,7 @@ DRIVER_WINDOW = [
     "mp3_byte_dedup",
     "audio_window_hash_check",
     "audio_aligned_dedup_clusters",
-    "webm_sample_hash_check",
+    "pdf_image_hash_check",
     "ogg_sample_hash_check",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
