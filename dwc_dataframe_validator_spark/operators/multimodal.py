@@ -6447,11 +6447,39 @@ def ogg_mux(
     return out
 
 
+def _wav_mp3_stream_span(b: bytes):
+    """(data_off, data_len) of a RIFF/WAVE container whose fmt chunk
+    declares MPEG Layer 3 (fmt code 0x55 — "MP3-in-RIFF", the WAV
+    shell broadcast/telephony tools wrap MP3 streams in), or None
+    when the container is not WAVE, has no/torn fmt or data chunk,
+    or declares any other format (PCM et al. belong to the sample
+    decoder, not the encoded-frame tier)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_code, span = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        ln = int.from_bytes(b[pos + 4:pos + 8], "little")
+        if pos + 8 + ln > len(b):
+            return None  # torn chunk: no trustworthy boundaries
+        if cid == b"fmt " and ln >= 2:
+            fmt_code = int.from_bytes(b[pos + 8:pos + 10], "little")
+        elif cid == b"data":
+            span = (pos + 8, ln)
+        pos += 8 + ln + (ln & 1)
+    if fmt_code != 0x55 or span is None:
+        return None
+    return span
+
+
 def media_sample_ranges(b: bytes):
     """Container-dispatching encoded-sample enumeration: ISO-BMFF
     (``ftyp`` at offset 4 → ``mp4_sample_ranges``), EBML
     (``webm_sample_ranges``), Ogg (``OggS`` → ``ogg_packet_ranges``),
-    or MPEG audio (ID3v2 tag or frame sync → ``mp3_frame_ranges``).
+    MPEG audio (ID3v2 tag or frame sync → ``mp3_frame_ranges``), or
+    MP3-in-RIFF (WAV fmt 0x55 → the same frame walk over the data
+    chunk, offsets shifted to the blob — so a RIFF re-wrap of an MP3
+    hashes frame-for-frame identically and merges in byte dedup).
     None for anything else — the honest tier.  Elements are either
     a contiguous ``(offset, size)`` tuple or a LIST of such segments
     to concatenate (Ogg packets span pages); ``_sample_bytes``
@@ -6462,6 +6490,15 @@ def media_sample_ranges(b: bytes):
         return webm_sample_ranges(b)
     if b[:4] == _OGG_MAGIC:
         return ogg_packet_ranges(b)
+    if b[:4] == b"RIFF":
+        span = _wav_mp3_stream_span(b)
+        if span is None:
+            return None
+        off, ln = span
+        rs = mp3_frame_ranges(b[off:off + ln])
+        if rs is None:
+            return None
+        return [(off + o, sz) for o, sz in rs]
     if b[:3] == b"ID3" or (
         len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):
@@ -6702,6 +6739,80 @@ def build_mp3_blob(doc_id: int) -> bytes:
     if doc_id % 17 == 0:
         return blob[:-3]
     return blob
+
+
+def wav_mp3_encode(frames: list, rate: int = 44100) -> bytes:
+    """RIFF/WAVE fmt 0x55 wrapper around complete MPEG frames — the
+    fixture twin of ``_wav_mp3_stream_span``: canonical
+    MPEGLAYER3WAVEFORMAT fmt chunk (WAVEFORMATEX with cbSize 12 +
+    wID/fdwFlags/nBlockSize/nFramesPerBlock/nCodecDelay extension,
+    bits 0 for a compressed format) and the frames as the data
+    chunk."""
+    data = b"".join(frames)
+    fmt_body = struct.pack(
+        "<HHIIHHH", 0x55, 1, rate, 16000, 1, 0, 12
+    ) + struct.pack("<HIHHH", 1, 0, 417, 1, 0)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt_body) + 8 + len(data)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def build_wav_mp3_blob(doc_id: int) -> bytes:
+    """MP3-in-RIFF fixture, sharing ``build_mp3_blob``'s universal
+    frame space: class ``doc_id %% 4`` owns frames ``4c..4c+3``;
+    variant ``(doc_id // 4) %% 3`` is 0 = the BARE MP3 stream
+    (cross-container anchor), 1 = the SAME frames wrapped in a RIFF
+    fmt-0x55 WAV (frame hashes must be identical — the re-wrap
+    transparency claim), 2 = the RIFF wrap of the head-trimmed
+    stream (shares 3 of 4 frames).  ``doc_id %% 17 == 0`` cuts the
+    last 3 bytes (a torn data chunk / final frame → ok=false); else
+    ``%% 13 == 0`` relabels fmt 0x50 (MPEG Layer 1/2 — not the
+    recognized class) or, for the bare variant, corrupts the first
+    sync byte — both ok=false."""
+    cls = doc_id % 4
+    variant = (doc_id // 4) % 3
+    idxs = list(range(4 * cls, 4 * cls + 4))
+    if variant == 2:
+        idxs = idxs[1:]
+    frames = [mp3_frame(j, 2 + (j * 3) % 12) for j in idxs]
+    if variant == 0:
+        blob = mp3_mux(frames)
+    else:
+        blob = wav_mp3_encode(frames)
+    if doc_id % 17 == 0:
+        return blob[:-3]
+    if doc_id % 13 == 0:
+        if variant == 0:
+            return b"\x7f" + blob[1:]  # broken sync
+        return blob[:20] + struct.pack("<H", 0x50) + blob[22:]
+    return blob
+
+
+def attach_wav_mp3_blob(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content) with the MP3-in-RIFF fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_wav_mp3_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def attach_mp3_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -9565,6 +9565,121 @@ QUERIES["mp3_frame_hash_check"] = mp3_frame_hash_check
 ORACLES["mp3_frame_hash_check"] = _mp3_frame_pinned_oracle()
 
 
+def _wav_mp3_frame_pinned_oracle() -> str:
+    """Pinned-constant oracle for the MP3-in-RIFF tier: per (class,
+    variant, frame index) the md5 the dispatching walk must return —
+    computed driver-side through ``media_sample_ranges`` over the
+    fixture.  Variants 0 (bare MP3) and 1 (the SAME frames inside a
+    RIFF fmt-0x55 WAV) must pin IDENTICAL hashes — the re-wrap
+    transparency claim the cross-container dedup rests on; variant 2
+    is the RIFF head trim.  Both plants asserted None."""
+    import hashlib as _hl
+
+    rows = {}
+    n_case = []
+    for cls in range(4):
+        for variant in range(3):
+            did = next(
+                d for d in range(1000)
+                if d % 4 == cls and (d // 4) % 3 == variant
+                and d % 17 and d % 13
+            )
+            blob = multimodal.build_wav_mp3_blob(did)
+            ranges = multimodal.media_sample_ranges(blob)
+            n_case.append(
+                "WHEN cls = %d AND var = %d THEN %d"
+                % (cls, variant, len(ranges))
+            )
+            for k, r in enumerate(ranges):
+                rows[(cls, variant, k)] = _hl.md5(
+                    multimodal._sample_bytes(blob, r)
+                ).hexdigest()
+    for cls in range(4):
+        for k in range(4):
+            assert rows[(cls, 0, k)] == rows[(cls, 1, k)], (cls, k)
+        for k in range(3):
+            assert rows[(cls, 1, k + 1)] == rows[(cls, 2, k)], (cls, k)
+    for did in range(120):
+        if did % 17 == 0 or did % 13 == 0:
+            assert multimodal.media_sample_ranges(
+                multimodal.build_wav_mp3_blob(did)
+            ) is None, did
+    hc = " ".join(
+        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
+        % (c, v, k, h)
+        for (c, v, k), h in rows.items()
+    )
+    nc = " ".join(n_case)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
+                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+          FROM documents),
+        okf AS (
+          SELECT doc_id, cls, var, CASE {nc} END AS ns
+          FROM base WHERE NOT bad),
+        expanded AS (
+          SELECT doc_id, cls, var, ns,
+                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
+                   AS sample_idx
+          FROM okf)
+        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
+               CAST(ns AS INTEGER) AS n_samples,
+               CASE {hc} END AS sample_hash,
+               TRUE AS ok
+        FROM expanded
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+        FROM base WHERE bad
+    """
+
+
+def wav_mp3_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3-in-RIFF (WAV fmt 0x55 — operators/multimodal.py
+    ``_wav_mp3_stream_span`` under the ``media_sample_ranges``
+    dispatch): the frame-sync walk runs over the RIFF data chunk with
+    blob-relative offsets, so a WAV shell around an MP3 stream hashes
+    FRAME-FOR-FRAME identically to the bare stream — closing the last
+    WAV codec stub at the scale-sane byte tier (sample decode of
+    MPEG audio stays the honest codec stub).  %%17 tears the data
+    chunk, %%13 relabels fmt 0x50 / breaks the bare sync — ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.mp4_sample_hashes(
+        multimodal.attach_wav_mp3_blob(docs)
+    )
+
+
+QUERIES["wav_mp3_frame_hash_check"] = wav_mp3_frame_hash_check
+ORACLES["wav_mp3_frame_hash_check"] = _wav_mp3_frame_pinned_oracle()
+
+
+def wav_mp3_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container byte dedup over the MP3-in-RIFF universe: a
+    bare MP3, its RIFF fmt-0x55 re-wrap and the RIFF head-trim all
+    carry the same frame-hash signatures, so ``mp4_byte_dedup``
+    merges them — one cluster per frame class, stated arithmetically
+    by the oracle.  Whole-file hashing misses the moment a tool
+    re-containers the audio."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = multimodal.mp4_byte_dedup(
+        multimodal.attach_wav_mp3_blob(docs)
+    )
+    return clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+QUERIES["wav_mp3_cross_dedup"] = wav_mp3_cross_dedup
+ORACLES["wav_mp3_cross_dedup"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
+           count(*) AS n_members
+    FROM documents
+    WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+    GROUP BY doc_id % 4
+"""
+
+
 def mp3_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag- and trim-tolerant MP3 byte dedup (``mp4_byte_dedup`` over
     the dispatching frame walk, i.e. the ``_shared_hash_cluster``
@@ -10213,7 +10328,9 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # stays), pptx_text_check ← subtitle_parse_check
 # (subtitle_frame_align_check keeps the subtitle grammar pinned),
 # pdf_image_hash_check ← webm_sample_hash_check
-# (cross_container_audio_dedup_check keeps the WebM walk driven).
+# (cross_container_audio_dedup_check keeps the WebM walk driven),
+# wav_mp3_frame_hash_check ← ogg_sample_hash_check (same keeper
+# covers the Ogg walk).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10259,7 +10376,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "audio_window_hash_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
-    "ogg_sample_hash_check",
+    "wav_mp3_frame_hash_check",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
     "zip_group_check",

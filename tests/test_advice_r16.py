@@ -150,3 +150,51 @@ def test_bmp_overlapping_bitfields_stub():
     mut = bb[:58] + (0x1800).to_bytes(4, "little") + bb[62:]
     with pytest.raises(NotImplementedError):
         mm.bmp_decode_pixels(mut)
+
+
+def test_mp3_in_riff_closes_the_last_wav_stub():
+    """WAV fmt 0x55: the frame-sync walk runs over the RIFF data
+    chunk with blob-relative offsets — re-wrap transparency (bare ==
+    RIFF frame-for-frame), head-trim overlap, torn/relabel plants
+    refuse, PCM WAVs stay out of the encoded tier, and sample decode
+    of fmt 0x55 remains the honest codec stub."""
+    import hashlib
+
+    mm = _mm()
+
+    def hashes(b):
+        rs = mm.media_sample_ranges(b)
+        return [
+            hashlib.md5(mm._sample_bytes(b, r)).hexdigest() for r in rs
+        ]
+
+    for cls in range(4):
+        ids = {}
+        for var in range(3):
+            ids[var] = next(
+                d for d in range(1000)
+                if d % 4 == cls and (d // 4) % 3 == var
+                and d % 17 and d % 13
+            )
+        b0, b1, b2 = (
+            mm.build_wav_mp3_blob(ids[v]) for v in range(3)
+        )
+        assert b0[:4] != b"RIFF" and b1[:4] == b"RIFF"
+        assert hashes(b0) == hashes(b1), cls
+        assert hashes(b1)[1:] == hashes(b2), cls
+    for d in range(120):
+        if d % 17 == 0 or d % 13 == 0:
+            assert mm.media_sample_ranges(
+                mm.build_wav_mp3_blob(d)
+            ) is None, d
+    # PCM WAV: not an encoded-sample container
+    assert mm.media_sample_ranges(mm.build_wav_blob(1)) is None
+    # fmt 0x55 sample decode stays the honest stub
+    with pytest.raises(NotImplementedError):
+        mm.wav_decode_samples(mm.build_wav_mp3_blob(5))
+    # byte-flip fuzz: flags only
+    blob = mm.build_wav_mp3_blob(5)
+    for j in range(0, len(blob), 9):
+        mm.media_sample_ranges(
+            blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
+        )

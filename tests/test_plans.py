@@ -174,7 +174,7 @@ DRIVER_WINDOW = [
     "audio_window_hash_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
-    "ogg_sample_hash_check",
+    "wav_mp3_frame_hash_check",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
     "zip_group_check",
