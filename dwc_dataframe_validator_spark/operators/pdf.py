@@ -55,6 +55,254 @@ class _Torn(Exception):
     """Internal: malformed/truncated structure (→ ok=false row)."""
 
 
+# ---- standard security handler primitives -----------------------------
+# Stdlib-only RC4 and AES-128 (FIPS-197 arithmetic computed from the
+# GF(2^8) field, not literal tables — pinned by the spec's appendix
+# known-answer vectors in pytest).  Pure Python is plenty for the
+# streams PDFs encrypt (page content is KBs); the per-document budget
+# bounds the worst case.
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_tables():
+    """(sbox, inv_sbox, xtime) derived from the GF(2^8) field — the
+    S-box is the multiplicative inverse followed by the FIPS-197
+    affine transform."""
+    cached = getattr(_aes_tables, "_c", None)
+    if cached is not None:
+        return cached
+    exp = [0] * 512
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= ((x << 1) ^ (0x1B if x & 0x80 else 0)) & 0xFF
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+
+    def inv(a):
+        return 0 if a == 0 else exp[255 - log[a]]
+
+    sbox = [0] * 256
+    for a in range(256):
+        s = inv(a)
+        b = s
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            s ^= b
+        sbox[a] = s ^ 0x63
+    inv_sbox = [0] * 256
+    for a, v in enumerate(sbox):
+        inv_sbox[v] = a
+    xt = [((a << 1) ^ (0x1B if a & 0x80 else 0)) & 0xFF
+          for a in range(256)]
+    _aes_tables._c = (sbox, inv_sbox, xt)
+    return _aes_tables._c
+
+
+def _aes128_round_keys(key: bytes) -> list:
+    sbox, _inv, _xt = _aes_tables()
+    rcon = 1
+    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [sbox[c] for c in t]
+            t[0] ^= rcon
+            rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum((w[4 * r + c] for c in range(4)), [])
+            for r in range(11)]
+
+
+def _aes128_encrypt_block(rk: list, blk: bytes) -> bytes:
+    sbox, _inv, xt = _aes_tables()
+    s = [blk[i] ^ rk[0][i] for i in range(16)]
+    for rnd in range(1, 11):
+        s = [sbox[c] for c in s]
+        # ShiftRows on column-major state: row r rotates left by r
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        if rnd < 10:
+            m = [0] * 16
+            for c in range(4):
+                a = s[4 * c:4 * c + 4]
+                t = a[0] ^ a[1] ^ a[2] ^ a[3]
+                m[4 * c + 0] = a[0] ^ t ^ xt[a[0] ^ a[1]]
+                m[4 * c + 1] = a[1] ^ t ^ xt[a[1] ^ a[2]]
+                m[4 * c + 2] = a[2] ^ t ^ xt[a[2] ^ a[3]]
+                m[4 * c + 3] = a[3] ^ t ^ xt[a[3] ^ a[0]]
+            s = m
+        s = [c ^ k for c, k in zip(s, rk[rnd])]
+    return bytes(s)
+
+
+def _aes128_decrypt_block(rk: list, blk: bytes) -> bytes:
+    sbox, inv_sbox, xt = _aes_tables()
+
+    def gmul(a, b):
+        # multiply in GF(2^8) via repeated xtime (b is 9/11/13/14)
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            a = xt[a]
+            b >>= 1
+        return r
+
+    s = [blk[i] ^ rk[10][i] for i in range(16)]
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: row r rotates right by r
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [inv_sbox[c] for c in s]
+        s = [c ^ k for c, k in zip(s, rk[rnd])]
+        if rnd > 0:
+            m = [0] * 16
+            for c in range(4):
+                a = s[4 * c:4 * c + 4]
+                m[4 * c + 0] = (gmul(a[0], 14) ^ gmul(a[1], 11)
+                                ^ gmul(a[2], 13) ^ gmul(a[3], 9))
+                m[4 * c + 1] = (gmul(a[0], 9) ^ gmul(a[1], 14)
+                                ^ gmul(a[2], 11) ^ gmul(a[3], 13))
+                m[4 * c + 2] = (gmul(a[0], 13) ^ gmul(a[1], 9)
+                                ^ gmul(a[2], 14) ^ gmul(a[3], 11))
+                m[4 * c + 3] = (gmul(a[0], 11) ^ gmul(a[1], 13)
+                                ^ gmul(a[2], 9) ^ gmul(a[3], 14))
+            s = m
+    return bytes(s)
+
+
+def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream layout: 16-byte IV prefix + CBC ciphertext
+    with PKCS#7-style 1..16 padding.  Torn on any size/padding lie —
+    a wrong key can never yield silently-wrong text, the
+    refuse-over-guess contract."""
+    if len(data) < 32 or len(data) % 16:
+        raise _Torn()
+    rk = _aes128_round_keys(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        pt = _aes128_decrypt_block(rk, blk)
+        out += bytes(a ^ b for a, b in zip(pt, prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or len(out) < pad:
+        raise _Torn()
+    return bytes(out[:-pad])
+
+
+def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Fixture twin of ``_aes128_cbc_decrypt`` (deterministic IV
+    supplied by the writer)."""
+    rk = _aes128_round_keys(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes128_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+#: the standard handler's 32-byte password pad (PDF 1.7 §7.6.3.3)
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _pdf_file_key(
+    password: bytes, o_val: bytes, p: int, id0: bytes, r: int,
+    keylen: int, encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: the file encryption key from the (empty-in-crawl)
+    user password, /O, /P, and the first file identifier."""
+    import hashlib
+    import struct as _st
+
+    h = hashlib.md5()
+    h.update((password + _PDF_PAD)[:32])
+    h.update(o_val)
+    h.update(_st.pack("<I", p & 0xFFFFFFFF))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    d = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:keylen]).digest()
+    return d[:keylen]
+
+
+def _pdf_owner_value(
+    owner_pw: bytes, user_pw: bytes, r: int, keylen: int
+) -> bytes:
+    """Algorithm 3: the /O entry (fixture writer side)."""
+    import hashlib
+
+    d = hashlib.md5((
+        (owner_pw or user_pw) + _PDF_PAD
+    )[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+    k = d[:keylen]
+    x = _rc4(k, (user_pw + _PDF_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in k), x)
+    return x
+
+
+def _pdf_user_value(key: bytes, r: int, id0: bytes) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3-4): the /U entry for a given file
+    key — the reader compares this against the stored value to
+    verify the empty user password."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    x = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x + bytes(16)
+
+
+def _pdf_obj_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: the per-object key (md5 of file key + object
+    number/generation, plus the AESV2 salt)."""
+    import hashlib
+
+    ext = (
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
+    )
+    return hashlib.md5(ext).digest()[:min(len(key) + 5, 16)]
+
+
 class _Stub(Exception):
     """Internal: honest unsupported feature; carries the reason."""
 
@@ -300,9 +548,86 @@ class PdfDoc:
         self._cache: dict = {}
         self._objstm_loading: set = set()
         self._budget = _MAX_TEXT
+        self._crypt = None
         self._read_xref_chain()
         if "Encrypt" in self.trailer:
+            self._setup_crypt()
+
+    def _setup_crypt(self) -> None:
+        """Standard security handler, the EMPTY-user-password fast
+        path (the overwhelming crawl case — encryption that only
+        restricts printing/copying): RC4-40 (/V1 R2), RC4-128 (/V2
+        R3), and /V4 R4 crypt filters with /CFM /V2 (RC4) or /AESV2
+        (AES-128-CBC).  Anything else — a non-Standard handler, /V5
+        AES-256, a non-empty user password (the /U check fails), a
+        malformed dict — raises ``_Stub('encrypted')``: flagged,
+        never guessed.  Only STREAMS are decrypted (strings feed
+        nothing on the text/image paths)."""
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if not isinstance(enc, dict):
             raise _Stub("encrypted")
+        if self.resolve(enc.get("Filter")) != ("name", "Standard"):
+            raise _Stub("encrypted")
+        v = self.resolve(enc.get("V", 0))
+        r = self.resolve(enc.get("R", 2))
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise _Stub("encrypted")
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P"))
+        if not (
+            isinstance(o, tuple) and o[0] == "str"
+            and isinstance(u, tuple) and u[0] == "str"
+            and isinstance(p, int)
+        ):
+            raise _Stub("encrypted")
+        o_val, u_val = o[1], u[1]
+        length = self.resolve(enc.get("Length", 40))
+        cfm = "rc4"
+        if v == 4:
+            stmf = self.resolve(enc.get("StmF", ("name", "Identity")))
+            if stmf == ("name", "Identity"):
+                return  # streams not encrypted
+            cf = self.resolve(enc.get("CF"))
+            if not (
+                isinstance(cf, dict)
+                and isinstance(stmf, tuple) and stmf[0] == "name"
+            ):
+                raise _Stub("encrypted")
+            stdcf = self.resolve(cf.get(stmf[1]))
+            if not isinstance(stdcf, dict):
+                raise _Stub("encrypted")
+            m = self.resolve(stdcf.get("CFM"))
+            if m == ("name", "AESV2"):
+                cfm = "aes"
+            elif m != ("name", "V2"):
+                raise _Stub("encrypted")
+        em = self.resolve(enc.get("EncryptMetadata", True))
+        keylen = 5 if r == 2 else (
+            length // 8 if isinstance(length, int) else 0
+        )
+        if not 5 <= keylen <= 16:
+            raise _Stub("encrypted")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, tuple) and first[0] == "str":
+                id0 = first[1]
+        key = _pdf_file_key(b"", o_val, p, id0, r, keylen, em is True)
+        want_u = _pdf_user_value(key, r, id0)
+        got = u_val[:16] if r >= 3 else u_val
+        want = want_u[:16] if r >= 3 else want_u
+        if got != want:
+            raise _Stub("encrypted")  # non-empty user password
+        self._crypt = (cfm, key)
+
+    def _decrypt_stream(self, raw: bytes, num: int, gen: int) -> bytes:
+        cfm, key = self._crypt
+        ok = _pdf_obj_key(key, num, gen, cfm == "aes")
+        if cfm == "aes":
+            return _aes128_cbc_decrypt(ok, raw)
+        return _rc4(ok, raw)
 
     def _read_xref_chain(self) -> None:
         b = self.b
@@ -495,7 +820,18 @@ class PdfDoc:
             ln = self.resolve(val.get("Length"))
             if not isinstance(ln, int) or ln < 0 or i + ln > len(b):
                 raise _Torn()
-            val = ("stream", val, b[i:i + ln])
+            raw = b[i:i + ln]
+            if (
+                self._crypt is not None
+                and val.get("Type") != ("name", "XRef")
+            ):
+                # xref streams are never encrypted (spec); everything
+                # else (content, ObjStm, images) decrypts with the
+                # per-object key before any filter runs
+                raw = self._decrypt_stream(
+                    raw, num, g if isinstance(g, int) else 0
+                )
+            val = ("stream", val, raw)
         self._cache[num] = val
         return val
 
@@ -1049,15 +1385,7 @@ def build_pdf_blob(doc_id: int) -> bytes:
     (ok=false 'encrypted')."""
     cls = doc_id % 4
     variant = (doc_id // 4) % 5
-    pages = []
-    for k in range(1 + cls):
-        lines = [
-            "class %d page %d line %d of the fixture corpus"
-            % (cls, k, j)
-            for j in range(3 + (k % 2))
-        ]
-        lines.append("escapes (parens) and \\ backslash %d" % k)
-        pages.append("\n".join(lines))
+    pages = _pdf_fixture_pages(cls)
     blob = pdf_encode(
         pages,
         flate=(variant == 1),
@@ -1169,7 +1497,7 @@ def pdf_image_hashes(
     )
 
 
-def _assemble_pdf(objs: dict) -> bytes:
+def _assemble_pdf(objs: dict, trailer_extra: bytes = b"") -> bytes:
     """Classic-xref single-section assembler for fixture writers:
     ``objs`` maps object number → body bytes (streams included)."""
     out = bytearray(b"%PDF-1.4\n")
@@ -1186,10 +1514,122 @@ def _assemble_pdf(objs: dict) -> bytes:
     for num in range(1, size):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (size, xref_off)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, trailer_extra, xref_off)
     )
     return bytes(out)
+
+
+_PDF_ENC_VARIANTS = ("rc4-40", "rc4-128", "aes-128", "cf-rc4")
+
+
+def pdf_encode_encrypted(
+    pages: list,
+    variant: str = "rc4-40",
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+) -> bytes:
+    """GENUINELY encrypted PDF — the fixture twin of
+    ``PdfDoc._setup_crypt``: the standard security handler over the
+    simple page tree, streams encrypted with per-object keys.
+    Variants: ``rc4-40`` (/V 1 /R 2), ``rc4-128`` (/V 2 /R 3),
+    ``aes-128`` (/V 4 /R 4 /CFM /AESV2), ``cf-rc4`` (/V 4 /R 4
+    /CFM /V2), plus ``v5`` (an /V 5 /R 6 AES-256 shell the reader
+    must FLAG, not guess at).  A non-empty ``user_pw`` produces a
+    document the empty-password fast path must flag."""
+    import hashlib
+
+    if variant == "v5":
+        v, r, keylen = 5, 6, 32
+    else:
+        v, r = {
+            "rc4-40": (1, 2), "rc4-128": (2, 3),
+            "aes-128": (4, 4), "cf-rc4": (4, 4),
+        }[variant]
+        keylen = 5 if r == 2 else 16
+    aes = variant == "aes-128"
+    p_val = -44
+    id0 = hashlib.md5(
+        b"pdfenc-%s-%d" % (variant.encode(), len(pages))
+    ).digest()
+
+    def esc(s):
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(")
+            .replace(")", r"\)")
+        )
+
+    objs = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    n = len(pages)
+    page_ids = [3 + 2 * k for k in range(n)]
+    kids = " ".join("%d 0 R" % pid for pid in page_ids)
+    objs[2] = (
+        "<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n)
+    ).encode()
+    if variant == "v5":
+        # shell only: dummy 48-byte O/U, no real encryption — the
+        # reader must flag before touching any stream
+        o_val = u_val = bytes(48)
+        key = None
+    else:
+        o_val = _pdf_owner_value(owner_pw, user_pw, r, keylen)
+        key = _pdf_file_key(user_pw, o_val, p_val, id0, r, keylen)
+        u_val = _pdf_user_value(key, r, id0)
+    for k, text in enumerate(pages):
+        pid, cid = page_ids[k], page_ids[k] + 1
+        objs[pid] = (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents %d 0 R >>" % cid
+        ).encode()
+        ops = ["BT"]
+        for li, line in enumerate(text.split("\n")):
+            ops.append(
+                ("(%s) Tj" if li == 0 else "0 -14 Td (%s) Tj")
+                % esc(line)
+            )
+        ops.append("ET")
+        data = " ".join(ops).encode("latin-1")
+        if key is not None:
+            okey = _pdf_obj_key(key, cid, 0, aes)
+            if aes:
+                iv = hashlib.md5(b"iv-%d-" % cid + id0).digest()
+                data = _aes128_cbc_encrypt(okey, iv, data)
+            else:
+                data = _rc4(okey, data)
+        objs[cid] = (
+            b"<< /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+    eid = 3 + 2 * n
+    if variant == "v5":
+        enc = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (o_val.hex().encode(), u_val.hex().encode(), p_val)
+        )
+    elif v == 4:
+        cfm = b"AESV2" if aes else b"V2"
+        enc = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /%s /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (cfm, o_val.hex().encode(), u_val.hex().encode(), p_val)
+        )
+    else:
+        enc = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (v, r, keylen * 8, o_val.hex().encode(),
+               u_val.hex().encode(), p_val)
+        )
+    objs[eid] = enc
+    trailer_extra = (
+        b" /Encrypt %d 0 R /ID [ <%s> <%s> ]"
+        % (eid, id0.hex().encode(), id0.hex().encode())
+    )
+    return _assemble_pdf(objs, trailer_extra)
 
 
 def pdf_image_encode(text: str, images: list) -> bytes:
@@ -1349,6 +1789,70 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
         assert len(seg2) == len(seg) and seg2 != seg
         return blob[:d] + seg2 + blob[j:]
     return blob
+
+
+def _pdf_fixture_pages(cls: int) -> list:
+    """The plaintext fixture page classes (shared by
+    ``build_pdf_blob`` and the encrypted fixture, so decrypted text
+    can be pinned IDENTICAL to the plaintext classes)."""
+    pages = []
+    for k in range(1 + cls):
+        lines = [
+            "class %d page %d line %d of the fixture corpus"
+            % (cls, k, j)
+            for j in range(3 + (k % 2))
+        ]
+        lines.append("escapes (parens) and \\ backslash %d" % k)
+        pages.append("\n".join(lines))
+    return pages
+
+
+def build_pdf_encrypted_blob(doc_id: int) -> bytes:
+    """Encrypted-PDF fixture: page class ``doc_id %% 4`` (the SAME
+    page text as ``build_pdf_blob``'s classes), scheme ``(doc_id //
+    4) %% 5`` — the four real handlers (RC4-40 / RC4-128 / AES-128
+    / V4-RC4, which must DECRYPT to text identical to the plaintext
+    class) or 4 = a non-empty user password (the empty-password fast
+    path must flag it).  ``doc_id %% 17 == 0`` cuts inside the
+    objects (torn); else ``%% 13 == 0`` swaps in a /V 5 AES-256
+    shell (honest 'encrypted' flag)."""
+    cls = doc_id % 4
+    scheme = (doc_id // 4) % 5
+    pages = _pdf_fixture_pages(cls)
+    if doc_id % 13 == 0 and doc_id % 17 != 0:
+        return pdf_encode_encrypted(pages, "v5")
+    if scheme == 4:
+        blob = pdf_encode_encrypted(
+            pages, "aes-128", user_pw=b"not-empty"
+        )
+    else:
+        blob = pdf_encode_encrypted(pages, _PDF_ENC_VARIANTS[scheme])
+    if doc_id % 17 == 0:
+        i = len(blob) // 3
+        return blob[:i] + blob[i + 20:]
+    return blob
+
+
+def attach_pdf_encrypted_blob(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content) with the encrypted-PDF fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf_batch[id_col],
+                    "content": [
+                        build_pdf_encrypted_blob(int(i))
+                        for i in pdf_batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def attach_pdf_image_blob(

@@ -8202,6 +8202,108 @@ def _pdf_token_stats_oracle() -> str:
 ORACLES["pdf_token_stats_check"] = _pdf_token_stats_oracle()
 
 
+def _pdf_encrypted_pinned_oracle() -> str:
+    """Pinned oracle for the encrypted-PDF tier: the four real
+    handlers must decrypt to text IDENTICAL to the PLAINTEXT fixture
+    classes — asserted here by extracting both and comparing md5s —
+    while the wrong-password scheme, the /V5 swap and the torn cut
+    flag with their honest reasons (also asserted over sample
+    ids)."""
+    import hashlib as _hl
+
+    from .operators import pdf as pdfmod
+
+    texts = {}
+    for cls in range(4):
+        pages = pdfmod._pdf_fixture_pages(cls)
+        plain = pdfmod.PdfDoc(pdfmod.pdf_encode(pages))
+        want = "\f".join(
+            plain.page_text(p) for p in plain.pages()
+        )
+        texts[cls] = (
+            1 + cls, len(want),
+            _hl.md5(want.encode("utf-8")).hexdigest(),
+        )
+        for scheme in range(4):
+            did = next(
+                d for d in range(cls, 4000, 4)
+                if (d // 4) % 5 == scheme and d % 17 and d % 13
+            )
+            doc = pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
+            got = "\f".join(doc.page_text(p) for p in doc.pages())
+            assert got == want, (cls, scheme)
+    for did in (17, 34, 51):
+        try:
+            pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
+            raise AssertionError("torn plant parsed: %d" % did)
+        except pdfmod._Torn:
+            pass
+        except pdfmod._Stub:
+            pass  # a cut landing in the Encrypt dict flags too
+    for did in (13, 26, 16, 36):  # %13 v5 swaps + scheme-4 wrong pw
+        try:
+            pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
+            raise AssertionError("encrypted plant parsed: %d" % did)
+        except pdfmod._Stub as e:
+            assert str(e) == "encrypted", did
+    np_c = " ".join(
+        "WHEN cls = %d THEN %d" % (c, v[0]) for c, v in texts.items()
+    )
+    nc_c = " ".join(
+        "WHEN cls = %d THEN %d" % (c, v[1]) for c, v in texts.items()
+    )
+    md_c = " ".join(
+        "WHEN cls = %d THEN '%s'" % (c, v[2]) for c, v in texts.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 5 AS INTEGER) AS scheme,
+                 doc_id % 17 = 0 AS torn,
+                 doc_id % 17 <> 0 AND doc_id % 13 = 0 AS v5
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN torn OR v5 OR scheme = 4 THEN NULL
+               ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_pages,
+          CASE WHEN torn OR v5 OR scheme = 4 THEN NULL
+               ELSE CAST(CASE {nc_c} END AS INTEGER) END AS n_chars,
+          CASE WHEN torn OR v5 OR scheme = 4 THEN NULL
+               ELSE CASE {md_c} END END AS text_md5,
+          NOT (torn OR v5 OR scheme = 4) AS ok,
+          CASE WHEN torn THEN 'torn'
+               WHEN v5 OR scheme = 4 THEN 'encrypted'
+               ELSE NULL END AS reason
+        FROM base
+    """
+
+
+def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF standard security handler (operators/pdf.py
+    ``PdfDoc._setup_crypt`` + the stdlib-only RC4/AES-128 ciphers,
+    FIPS-197 KAT-pinned in pytest): the EMPTY-user-password fast
+    path — the common crawl case where encryption only restricts
+    printing — derives the file key (Algorithm 2), verifies /U, and
+    decrypts streams with per-object keys for /V 1-2 RC4 and /V 4
+    crypt filters (/CFM /V2 and /AESV2 CBC).  Decrypted text is
+    pinned IDENTICAL to the plaintext fixture classes (asserted in
+    the oracle builder); a non-empty user password, /V 5 AES-256 and
+    torn documents flag with honest reasons."""
+    from .operators import pdf as pdfmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = pdfmod.pdf_text(pdfmod.attach_pdf_encrypted_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_pages", "n_chars",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        "ok", "reason",
+    )
+
+
+QUERIES["pdf_encrypted_text_check"] = pdf_encrypted_text_check
+ORACLES["pdf_encrypted_text_check"] = _pdf_encrypted_pinned_oracle()
+
+
 def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF embedded-image extraction (operators/pdf.py
     ``PdfDoc.page_images`` → ``image_pixels`` → ``pdf_image_hashes``):
@@ -10329,6 +10431,8 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # (subtitle_frame_align_check keeps the subtitle grammar pinned),
 # pdf_image_hash_check ← webm_sample_hash_check
 # (cross_container_audio_dedup_check keeps the WebM walk driven),
+# pdf_encrypted_text_check ← audio_window_hash_check
+# (audio_aligned_dedup_clusters keeps the windowed-envelope tier),
 # wav_mp3_frame_hash_check ← ogg_sample_hash_check (same keeper
 # covers the Ogg walk).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -10373,7 +10477,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "image_ingest_finalize_check",
     "mp3_frame_hash_check",
     "mp3_byte_dedup",
-    "audio_window_hash_check",
+    "pdf_encrypted_text_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
     "wav_mp3_frame_hash_check",

@@ -151,3 +151,78 @@ def test_pdf_images_join_cross_format_dedup(spark):
             d = cls + 6 * var
             if rows[d]["ok"]:
                 assert rows[d]["ahash"] == want, (cls, var)
+
+
+def test_aes_rc4_known_answer_vectors():
+    """Cipher cores pinned to PUBLIC vectors: FIPS-197 Appendix B and
+    C.1 for AES-128, the classic 'Key'/'Plaintext' vector for RC4 —
+    the derived-table implementation can't drift silently."""
+    P = _p()
+    rk = P._aes128_round_keys(
+        bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert P._aes128_encrypt_block(rk, pt) == ct
+    assert P._aes128_decrypt_block(rk, ct) == pt
+    rk2 = P._aes128_round_keys(
+        bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    )
+    pt2 = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct2 = bytes.fromhex("3925841d02dc09fbdc118597196a0b32")
+    assert P._aes128_encrypt_block(rk2, pt2) == ct2
+    assert P._aes128_decrypt_block(rk2, ct2) == pt2
+    assert (
+        P._rc4(b"Key", b"Plaintext").hex().upper()
+        == "BBF316E8D940AF0AD3"
+    )
+    data = b"roundtrip payload" * 9
+    assert P._rc4(b"k", P._rc4(b"k", data)) == data
+    enc = P._aes128_cbc_encrypt(ct[:16], bytes(range(16)), data)
+    assert P._aes128_cbc_decrypt(ct[:16], enc) == data
+    # padding lies are torn, never truncated-but-plausible output
+    with pytest.raises(P._Torn):
+        P._aes128_cbc_decrypt(ct[:16], enc[:-1])
+
+
+def test_encrypted_pdf_standard_handler():
+    """All four real schemes decrypt to the plaintext text; /V5,
+    non-empty user passwords, non-Standard handlers and the legacy
+    dummy-/Encrypt plant flag 'encrypted'; fuzz flags only."""
+    P = _p()
+    pages = ["secret page\nwith two lines", "second page text"]
+    plain = P.PdfDoc(P.pdf_encode(pages))
+    want = [plain.page_text(p) for p in plain.pages()]
+    for variant in ("rc4-40", "rc4-128", "aes-128", "cf-rc4"):
+        doc = P.PdfDoc(P.pdf_encode_encrypted(pages, variant))
+        assert [doc.page_text(p) for p in doc.pages()] == want, variant
+    for bad in (
+        P.pdf_encode_encrypted(pages, "v5"),
+        P.pdf_encode_encrypted(pages, "aes-128", user_pw=b"x"),
+        P.pdf_encode(pages, encrypted=True),
+    ):
+        with pytest.raises(P._Stub) as ei:
+            P.PdfDoc(bad)
+        assert str(ei.value) == "encrypted"
+    # fixture plants and scheme classes
+    for did in range(80):
+        scheme = (did // 4) % 5
+        blob = P.build_pdf_encrypted_blob(did)
+        if did % 17 == 0:
+            with pytest.raises((P._Torn, P._Stub)):
+                d = P.PdfDoc(blob)
+                [d.page_text(p) for p in d.pages()]
+        elif did % 13 == 0 or scheme == 4:
+            with pytest.raises(P._Stub):
+                P.PdfDoc(blob)
+        else:
+            d = P.PdfDoc(blob)
+            assert len(d.pages()) == 1 + did % 4, did
+    # byte-flip fuzz over an AES doc: never raises past the flags
+    blob = P.pdf_encode_encrypted(pages, "aes-128")
+    for j in range(0, len(blob), 11):
+        try:
+            d = P.PdfDoc(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
+            [d.page_text(p) for p in d.pages()]
+        except (P._Torn, P._Stub, RecursionError):
+            pass

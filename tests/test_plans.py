@@ -171,7 +171,7 @@ DRIVER_WINDOW = [
     "image_ingest_finalize_check",
     "mp3_frame_hash_check",
     "mp3_byte_dedup",
-    "audio_window_hash_check",
+    "pdf_encrypted_text_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
     "wav_mp3_frame_hash_check",
