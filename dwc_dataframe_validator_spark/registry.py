@@ -8394,6 +8394,64 @@ QUERIES["pdf_image_hash_check"] = pdf_image_hash_check
 ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
 
 
+def _tiff_pinned_oracle() -> str:
+    """Pinned-constant oracle for the TIFF pixel tier over the 30
+    (pixel class × packaging) combos; every packaging is lossless,
+    so all five must pin the SAME constants per class — and the four
+    RGB classes reuse the PDF-image gradients, so their hashes must
+    equal that tier's raw-pixel constants (asserted here: the
+    cross-format dedup contract extends to TIFF)."""
+    from .operators import pdf as pdfmod
+
+    rows = {}
+    for combo in range(30):
+        did = next(
+            d for d in range(combo, 4000, 30) if d % 17 and d % 13
+        )
+        px = multimodal.tiff_decode_pixels(
+            multimodal.build_tiff_blob(did)
+        )
+        rows[combo] = (
+            px.shape[2],
+            format(multimodal.image_ahash(px), "016x"),
+            format(multimodal.image_dhash(px), "016x"),
+        )
+    for cls in range(6):
+        for var in range(1, 5):
+            assert rows[cls + 6 * var] == rows[cls], (cls, var)
+    for cls in range(4):
+        want = format(multimodal.image_ahash(
+            pdfmod._pdf_image_fixture_pixels(cls)
+        ), "016x")
+        assert rows[cls][1] == want, cls
+    return _hash_case_oracle(
+        {c: rows[c % 30] for c in range(30)},
+        "doc_id % 17 = 0 OR doc_id % 13 = 0",
+    )
+
+
+def tiff_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF pixel decode (operators/multimodal.py
+    ``tiff_decode_pixels`` behind ``decode_image_pixels``): strip
+    organization in both byte orders, Compression 1/5/32773 — the
+    TIFF-LZW core has the spec's EARLY code-width change with the
+    encoder/decoder off-by-one handled by keying both width
+    schedules to the emitted-code count — horizontal Predictor 2,
+    WhiteIsZero inversion, PackBits runs.  All five packagings of a
+    class hash identically and the RGB classes match the PDF-image
+    tier's constants (cross-format dedup).  CCITT/JPEG-in-TIFF/
+    tiled/planar are honest stubs; %%17 truncates mid-strip, %%13
+    relabels Compression 7 — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(
+        multimodal.attach_tiff_blob(docs)
+    )
+
+
+QUERIES["tiff_pixel_hash_check"] = tiff_pixel_hash_check
+ORACLES["tiff_pixel_hash_check"] = _tiff_pinned_oracle()
+
+
 QUERIES["exif_oriented_dedup_check"] = exif_oriented_dedup_check
 ORACLES["exif_oriented_dedup_check"] = """
     WITH m AS (
@@ -10434,7 +10492,8 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # pdf_encrypted_text_check ← audio_window_hash_check
 # (audio_aligned_dedup_clusters keeps the windowed-envelope tier),
 # wav_mp3_frame_hash_check ← ogg_sample_hash_check (same keeper
-# covers the Ogg walk).
+# covers the Ogg walk), tiff_pixel_hash_check ← zip_group_check
+# (the zip source is driven by the three office checks in-window).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10483,7 +10542,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "wav_mp3_frame_hash_check",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
-    "zip_group_check",
+    "tiff_pixel_hash_check",
     "pptx_text_check",
     "subtitle_frame_align_check",
 )

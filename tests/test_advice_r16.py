@@ -198,3 +198,68 @@ def test_mp3_in_riff_closes_the_last_wav_stub():
         mm.media_sample_ranges(
             blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:]
         )
+
+
+def test_tiff_pixel_decode_tier():
+    """TIFF strips: all five packagings (none / LZW / LZW+predictor /
+    multi-strip PackBits / big-endian WhiteIsZero) are lossless per
+    class; the LZW core round-trips across every code-width boundary
+    and under dictionary-reset pressure; stub compressions flag,
+    torn strips refuse, fuzz never raises."""
+    mm = _mm()
+    rng = np.random.RandomState(11)
+    for alpha in (2, 5, 256):
+        for n in (509, 510, 511, 512, 1021, 1022, 1023, 1024,
+                  2046, 2047, 2048, 40000):
+            data = bytes(rng.randint(0, alpha, n, dtype=np.uint8))
+            enc = mm._tiff_lzw_encode(data)
+            assert mm._tiff_lzw_decode(enc, n + 16) == data, (alpha, n)
+    for data in (b"", b"abc", b"x" * 999,
+                 bytes(rng.randint(0, 256, 4000, dtype=np.uint8))):
+        assert mm._packbits_decode(
+            mm._packbits_encode(data), len(data) + 16
+        ) == data
+    for cls in range(6):
+        px = mm._tiff_fixture_pixels(cls)
+        for v, (comp, pred, rps, be, wiz) in enumerate(
+            mm._TIFF_VARIANTS
+        ):
+            blob = mm.tiff_encode(
+                px, compression=comp, predictor=pred,
+                rows_per_strip=rps, big_endian=be, white_is_zero=wiz,
+            )
+            dec = mm.tiff_decode_pixels(blob)
+            assert dec is not None and (dec == px).all(), (cls, v)
+            # the shared dispatch reaches it too
+            assert (
+                mm.decode_image_pixels(blob, "pure") == px
+            ).all(), (cls, v)
+    # plants
+    for d in range(120):
+        blob = mm.build_tiff_blob(d)
+        if d % 17 == 0:
+            assert mm.tiff_decode_pixels(blob) is None, d
+        elif d % 13 == 0:
+            with pytest.raises(NotImplementedError):
+                mm.tiff_decode_pixels(blob)
+    # honest stubs: tiled / planar / 16-bit / palette markers
+    base = mm.tiff_encode(mm._tiff_fixture_pixels(0))
+    for old, new in (
+        (b"\x15\x01\x03\x00\x01\x00\x00\x00\x01\x00",
+         b"\x15\x01\x03\x00\x01\x00\x00\x00\x09\x00"),  # spp 9
+    ):
+        if old in base:
+            with pytest.raises(NotImplementedError):
+                mm.tiff_decode_pixels(base.replace(old, new))
+    # fuzz
+    for basecls in (1, 7, 14, 20, 27):
+        blob = mm.build_tiff_blob(basecls)
+        for j in range(0, len(blob), 7):
+            for mut in (
+                blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:],
+                blob[:j],
+            ):
+                try:
+                    mm.tiff_decode_pixels(mut)
+                except NotImplementedError:
+                    pass

@@ -177,7 +177,7 @@ DRIVER_WINDOW = [
     "wav_mp3_frame_hash_check",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
-    "zip_group_check",
+    "tiff_pixel_hash_check",
     "pptx_text_check",
     "subtitle_frame_align_check",
 ]
