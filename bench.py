@@ -218,6 +218,16 @@ HEADLINE = [
     "pdf_token_stats_check",
     "id3_meta_check",
     "docx_text_check",
+    # round-16 additions (own-round baselines in BASELINE.md):
+    # office text over the zip source, PDF embedded images + the
+    # standard security handler, MP3-in-RIFF, TIFF strips
+    "xlsx_text_check",
+    "pptx_text_check",
+    "pdf_image_hash_check",
+    "pdf_encrypted_text_check",
+    "wav_mp3_frame_hash_check",
+    "wav_mp3_cross_dedup",
+    "tiff_pixel_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -7710,11 +7710,13 @@ def _content_encoding_pinned_oracle() -> str:
     body_decoded, encoding, wet text) computed driver-side through
     the same decode + strip path (sources/warc.py
     ``build_content_encoding_blob`` → ``decode_payload_full``).
-    Classes 6/7 (compressed-block zstd / compressed brotli junk) and
-    the %11 truncated-zstd plant pin ``body_decoded=false`` — the
-    honest routing when only the pure stored-frame tier is present;
-    the junk entropy payloads fail the native codecs too, so the
-    pinned rows are environment-independent."""
+    Classes 6/7 (a mislabeled Compressed_Block over raw HTML / junk
+    brotli) and the %11 truncated-zstd plant pin
+    ``body_decoded=false``; classes 10/11 are REAL compressed-block
+    zstd frames the round-16 pure FSE/Huffman tier decodes — both
+    asserted here to regenerate their class HTML exactly.  The junk
+    payloads fail the native codecs too, so the pinned rows are
+    environment-independent."""
     import re as _re
 
     from .sources import warc as warcmod
@@ -7729,8 +7731,8 @@ def _content_encoding_pinned_oracle() -> str:
         return collapsed.strip(" ").replace("'", "''")
 
     rows = {}
-    for cls in range(10):
-        did = next(d for d in (cls, cls + 10, cls + 20) if d % 11)
+    for cls in range(12):
+        did = next(d for d in (cls, cls + 12, cls + 24) if d % 11)
         t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
             warcmod.build_content_encoding_blob(did)
         )
@@ -7739,29 +7741,31 @@ def _content_encoding_pinned_oracle() -> str:
         # text, and their replacement-char soup would be meaningless
         # to pin)
         rows[cls] = (ce, ch, dec, enc, strip(t) if dec else None)
+        if cls in (10, 11):
+            assert dec, cls  # the pure entropy tier must decode these
     bt, benc, _bs, bce, bch, bdec = warcmod.decode_payload_full(
         warcmod.build_content_encoding_blob(0)  # 0 % 11 == 0: truncated
     )
     bad = (bce, bch, bdec, benc, strip(bt) if bdec else None)
     ce_c = " ".join(
-        "WHEN doc_id %% 10 = %d THEN %s"
+        "WHEN doc_id %% 12 = %d THEN %s"
         % (c, "'%s'" % v[0] if v[0] else "NULL")
         for c, v in rows.items()
     )
     ch_c = " ".join(
-        "WHEN doc_id %% 10 = %d THEN %s" % (c, str(v[1]).upper())
+        "WHEN doc_id %% 12 = %d THEN %s" % (c, str(v[1]).upper())
         for c, v in rows.items()
     )
     dec_c = " ".join(
-        "WHEN doc_id %% 10 = %d THEN %s" % (c, str(v[2]).upper())
+        "WHEN doc_id %% 12 = %d THEN %s" % (c, str(v[2]).upper())
         for c, v in rows.items()
     )
     enc_c = " ".join(
-        "WHEN doc_id %% 10 = %d THEN '%s'" % (c, v[3])
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[3])
         for c, v in rows.items()
     )
     txt_c = " ".join(
-        "WHEN doc_id %% 10 = %d THEN %s"
+        "WHEN doc_id %% 12 = %d THEN %s"
         % (c, "'%s'" % v[4] if v[4] is not None else "NULL")
         for c, v in rows.items()
     )
@@ -7790,9 +7794,11 @@ def http_content_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     metablocks RFC 7932 §9.2; zstd raw/RLE blocks + skippable frames
     RFC 8878), else honest ``body_decoded=false`` raw routing.  The
     fixture rotates brotli-stored / zstd-raw / zstd-RLE / skippable /
-    chunked-wrapping-zstd / brotli+latin-1 / compressed-block-zstd
+    chunked-wrapping-zstd / brotli+latin-1 / mislabeled-block-zstd
     (false) / compressed-brotli (false) / LF-framed-chunked-gzip (the
-    r14 lenient-framing fix) / chained gzip,br per doc_id %% 10;
+    r14 lenient-framing fix) / chained gzip,br / REAL compressed-block
+    zstd / REAL level-19 multi-section zstd (both decoded by the pure
+    RFC 8878 FSE+Huffman tier, round 16) per doc_id %% 12;
     %% 11 plants a truncated zstd frame.  All map-side, zero shuffles."""
     from .operators import web
     from .sources import warc as warcmod
