@@ -1528,6 +1528,7 @@ def pdf_encode_encrypted(
     variant: str = "rc4-40",
     user_pw: bytes = b"",
     owner_pw: bytes = b"owner",
+    images: list = (),
 ) -> bytes:
     """GENUINELY encrypted PDF — the fixture twin of
     ``PdfDoc._setup_crypt``: the standard security handler over the
@@ -1536,7 +1537,10 @@ def pdf_encode_encrypted(
     ``aes-128`` (/V 4 /R 4 /CFM /AESV2), ``cf-rc4`` (/V 4 /R 4
     /CFM /V2), plus ``v5`` (an /V 5 /R 6 AES-256 shell the reader
     must FLAG, not guess at).  A non-empty ``user_pw`` produces a
-    document the empty-password fast path must flag."""
+    document the empty-password fast path must flag.  ``images``
+    (uint8 (h, w, c) arrays) embed as Flate image XObjects on page
+    0 — encrypted like every other stream, pinning that the image
+    tier composes with decryption."""
     import hashlib
 
     if variant == "v5":
@@ -1576,11 +1580,28 @@ def pdf_encode_encrypted(
         o_val = _pdf_owner_value(owner_pw, user_pw, r, keylen)
         key = _pdf_file_key(user_pw, o_val, p_val, id0, r, keylen)
         u_val = _pdf_user_value(key, r, id0)
+    def enc_stream(data: bytes, num: int) -> bytes:
+        if key is None:
+            return data
+        okey = _pdf_obj_key(key, num, 0, aes)
+        if aes:
+            iv = hashlib.md5(b"iv-%d-" % num + id0).digest()
+            return _aes128_cbc_encrypt(okey, iv, data)
+        return _rc4(okey, data)
+
+    img_base = 3 + 2 * n + 1
     for k, text in enumerate(pages):
         pid, cid = page_ids[k], page_ids[k] + 1
+        res = ""
+        if k == 0 and images:
+            names = " ".join(
+                "/Im%d %d 0 R" % (j, img_base + j)
+                for j in range(len(images))
+            )
+            res = "/Resources << /XObject << %s >> >> " % names
         objs[pid] = (
             "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            "/Contents %d 0 R >>" % cid
+            "%s/Contents %d 0 R >>" % (res, cid)
         ).encode()
         ops = ["BT"]
         for li, line in enumerate(text.split("\n")):
@@ -1589,16 +1610,19 @@ def pdf_encode_encrypted(
                 % esc(line)
             )
         ops.append("ET")
-        data = " ".join(ops).encode("latin-1")
-        if key is not None:
-            okey = _pdf_obj_key(key, cid, 0, aes)
-            if aes:
-                iv = hashlib.md5(b"iv-%d-" % cid + id0).digest()
-                data = _aes128_cbc_encrypt(okey, iv, data)
-            else:
-                data = _rc4(okey, data)
+        data = enc_stream(" ".join(ops).encode("latin-1"), cid)
         objs[cid] = (
             b"<< /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+    for j, px in enumerate(images):
+        h_, w_, c_ = px.shape
+        cs = b"/DeviceRGB" if c_ == 3 else b"/DeviceGray"
+        data = enc_stream(zlib.compress(px.tobytes()), img_base + j)
+        objs[img_base + j] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace %s /BitsPerComponent 8 /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (w_, h_, cs, len(data))
             + data + b"\nendstream"
         )
     eid = 3 + 2 * n

@@ -226,3 +226,24 @@ def test_encrypted_pdf_standard_handler():
             [d.page_text(p) for p in d.pages()]
         except (P._Torn, P._Stub, RecursionError):
             pass
+
+
+def test_encrypted_pdf_image_extraction_composes():
+    """Images inside an ENCRYPTED PDF decrypt through the same
+    per-object stream path and land on the shared hash grid — the
+    two round-16 tiers compose with zero extra code."""
+    P, mm = _p(), _mm()
+    px = P._pdf_image_fixture_pixels(3)
+    g = px[:, :, 0:1].copy()
+    for variant in ("rc4-40", "rc4-128", "aes-128", "cf-rc4"):
+        doc = P.PdfDoc(P.pdf_encode_encrypted(
+            ["page with images"], variant, images=[px, g],
+        ))
+        pg = doc.pages()[0]
+        assert doc.page_text(pg) == "page with images", variant
+        imgs = doc.page_images(pg)
+        assert [n for n, _ in imgs] == ["Im0", "Im1"], variant
+        d0 = doc.image_pixels(imgs[0][1])
+        d1 = doc.image_pixels(imgs[1][1])
+        assert (d0 == px).all() and (d1 == g).all(), variant
+        assert mm.image_ahash(d0) == mm.image_ahash(px), variant
