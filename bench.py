@@ -228,6 +228,7 @@ HEADLINE = [
     "wav_mp3_frame_hash_check",
     "wav_mp3_cross_dedup",
     "tiff_pixel_hash_check",
+    "pdf_cid_text_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -1052,8 +1052,41 @@ class PdfDoc:
             raise _Torn()
         return np.frombuffer(data, np.uint8).reshape(h, w, c)
 
+    def page_fonts(self, page: dict) -> dict:
+        """Resource name → ``_PdfFont`` for a page's /Font dict:
+        /ToUnicode CMap streams parsed for real (the composite-font
+        unlock), /Subtype /Type0 marked composite."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fd = self.resolve(res.get("Font"))
+        if not isinstance(fd, dict):
+            return {}
+        out = {}
+        for name in fd:
+            f = self.resolve(fd[name])
+            if not isinstance(f, dict):
+                continue
+            composite = (
+                self.resolve(f.get("Subtype")) == ("name", "Type0")
+            )
+            tu = self.resolve(f.get("ToUnicode"))
+            cmap = width = None
+            if isinstance(tu, tuple) and tu[0] == "stream":
+                try:
+                    cmap, width = _parse_tounicode(
+                        self.stream_bytes(tu)
+                    )
+                except (UnicodeDecodeError, _Torn):
+                    raise _Torn()  # half a CMap would garble text
+            out[name] = _PdfFont(
+                composite, cmap, width if width else 1
+            )
+        return out
+
     def page_text(self, page: dict) -> str:
-        """Text of one page from its content stream(s)."""
+        """Text of one page from its content stream(s), decoded
+        through the page's fonts (ToUnicode CMaps honored)."""
         content = self.resolve(page.get("Contents"))
         if content is None:
             return ""
@@ -1063,18 +1096,158 @@ class PdfDoc:
         data = b"".join(
             self.stream_bytes(self.resolve(p)) for p in parts
         )
-        return extract_text_ops(data)
+        return extract_text_ops(data, self.page_fonts(page))
 
 
-def extract_text_ops(content: bytes) -> str:
+def _parse_tounicode(data: bytes):
+    """A /ToUnicode CMap stream → (code→str mapping, code byte
+    width): ``codespacerange`` fixes the width, ``bfchar`` maps
+    single codes, ``bfrange`` maps runs (incremented scalar dst or
+    explicit dst array); dst hex strings are UTF-16BE.  Torn on any
+    malformed section — a half-parsed CMap would silently garble
+    text."""
+    mapping: dict = {}
+    width = None
+    i = 0
+    n = len(data)
+    pending: list = []
+    mode = None
+    while i < n:
+        i = _skip_ws(data, i)
+        if i >= n:
+            break
+        try:
+            v, i = parse_object(data, i)
+        except _Torn:
+            raise
+        if isinstance(v, tuple) and v and v[0] == "op":
+            kw = v[1]
+            if kw == "begincodespacerange":
+                mode, pending = "space", []
+            elif kw == "beginbfchar":
+                mode, pending = "char", []
+            elif kw == "beginbfrange":
+                mode, pending = "range", []
+            elif kw == "endcodespacerange":
+                for lo, _hi in zip(pending[::2], pending[1::2]):
+                    if not (isinstance(lo, tuple) and lo[0] == "str"):
+                        raise _Torn()
+                    w = len(lo[1])
+                    if width is not None and width != w:
+                        raise _Torn()  # mixed widths: honest stub
+                    width = w
+                mode, pending = None, []
+            elif kw == "endbfchar":
+                if len(pending) % 2:
+                    raise _Torn()
+                for src, dst in zip(pending[::2], pending[1::2]):
+                    if not (
+                        isinstance(src, tuple) and src[0] == "str"
+                        and isinstance(dst, tuple) and dst[0] == "str"
+                    ):
+                        raise _Torn()
+                    mapping[src[1]] = dst[1].decode(
+                        "utf-16-be", "strict"
+                    )
+                mode, pending = None, []
+            elif kw == "endbfrange":
+                if len(pending) % 3:
+                    raise _Torn()
+                for lo, hi, dst in zip(
+                    pending[::3], pending[1::3], pending[2::3]
+                ):
+                    if not (
+                        isinstance(lo, tuple) and lo[0] == "str"
+                        and isinstance(hi, tuple) and hi[0] == "str"
+                        and len(lo[1]) == len(hi[1])
+                    ):
+                        raise _Torn()
+                    w = len(lo[1])
+                    a = int.from_bytes(lo[1], "big")
+                    b = int.from_bytes(hi[1], "big")
+                    if b < a or b - a > 65535:
+                        raise _Torn()
+                    if isinstance(dst, list):
+                        if len(dst) != b - a + 1:
+                            raise _Torn()
+                        for k, d in enumerate(dst):
+                            if not (
+                                isinstance(d, tuple) and d[0] == "str"
+                            ):
+                                raise _Torn()
+                            mapping[
+                                (a + k).to_bytes(w, "big")
+                            ] = d[1].decode("utf-16-be", "strict")
+                    elif isinstance(dst, tuple) and dst[0] == "str":
+                        base = int.from_bytes(dst[1], "big")
+                        dw = len(dst[1])
+                        for k in range(b - a + 1):
+                            mapping[
+                                (a + k).to_bytes(w, "big")
+                            ] = (base + k).to_bytes(dw, "big").decode(
+                                "utf-16-be", "strict"
+                            )
+                    else:
+                        raise _Torn()
+                mode, pending = None, []
+            # other CMap operators (def, usecmap shells): ignored
+        elif mode is not None:
+            pending.append(v)
+    if width is None:
+        width = 2 if mapping and all(
+            len(k) == 2 for k in mapping
+        ) else 1
+    return mapping, width
+
+
+class _PdfFont:
+    """Per-font show-string decoder: composite (Type0) fonts REQUIRE
+    a usable /ToUnicode CMap (else ``_Stub('font')`` — refusing beats
+    emitting code-point soup); simple fonts use the CMap when present
+    and fall back to latin-1 (the western-PDF convention)."""
+
+    __slots__ = ("composite", "cmap", "width")
+
+    def __init__(self, composite: bool, cmap, width: int):
+        self.composite = composite
+        self.cmap = cmap
+        self.width = width
+
+    def show(self, s: bytes) -> str:
+        if self.cmap is None:
+            if self.composite:
+                raise _Stub("font")
+            return s.decode("latin-1")
+        w = self.width
+        if len(s) % w:
+            raise _Torn()
+        out = []
+        for i in range(0, len(s), w):
+            code = s[i:i + w]
+            u = self.cmap.get(code)
+            if u is None:
+                if self.composite:
+                    raise _Stub("font")
+                u = code.decode("latin-1")
+            out.append(u)
+        return "".join(out)
+
+
+_LATIN1_FONT = _PdfFont(False, None, 1)
+
+
+def extract_text_ops(content: bytes, fonts: dict | None = None) -> str:
     """Text from a content stream's show-text operators: an operand
     stack drained at each operator keyword; ``Tj`` / ``'`` / ``\"``
     show a string, ``TJ`` shows its array (kerning gaps < -100
     thousandths of an em become spaces), ``Td``/``TD``/``T*``/``'``/
-    ``\"`` start new lines.  Strings decode latin-1 (simple-font
-    assumption — the fixture's, and most western PDFs')."""
+    ``\"`` start new lines.  ``Tf`` switches the active font;
+    ``fonts`` maps resource names to ``_PdfFont`` decoders (ToUnicode
+    CMaps for composite fonts — round 16), with latin-1 the
+    simple-font fallback."""
     out: list = []
     stack: list = []
+    font = _LATIN1_FONT
     i = 0
     n = len(content)
     while i < n:
@@ -1090,20 +1263,24 @@ def extract_text_ops(content: bytes) -> str:
             if op in ("Td", "TD", "T*"):
                 if out and out[-1] != "\n":
                     out.append("\n")
+            elif op == "Tf" and len(stack) >= 2 and isinstance(
+                stack[-2], tuple
+            ) and stack[-2][0] == "name":
+                font = (fonts or {}).get(stack[-2][1], _LATIN1_FONT)
             elif op == "Tj" and stack and isinstance(
                 stack[-1], tuple
             ) and stack[-1][0] == "str":
-                out.append(stack[-1][1].decode("latin-1"))
+                out.append(font.show(stack[-1][1]))
             elif op in ("'", '"'):
                 if out and out[-1] != "\n":
                     out.append("\n")
                 if stack and isinstance(stack[-1], tuple) and \
                         stack[-1][0] == "str":
-                    out.append(stack[-1][1].decode("latin-1"))
+                    out.append(font.show(stack[-1][1]))
             elif op == "TJ" and stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
                     if isinstance(el, tuple) and el and el[0] == "str":
-                        out.append(el[1].decode("latin-1"))
+                        out.append(font.show(el[1]))
                     elif isinstance(el, (int, float)) and el < -100:
                         out.append(" ")
             elif op == "BI":
@@ -1815,6 +1992,95 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
     return blob
 
 
+def pdf_encode_cid(
+    pages: list, use_ranges: bool = False, drop_tounicode: bool = False
+) -> bytes:
+    """Composite-font (Type0 / Identity-H) PDF — the fixture twin of
+    ``_parse_tounicode`` / ``_PdfFont``: every unique character gets
+    a 2-byte code (0x0100 + rank), show strings are hex code strings,
+    and the /ToUnicode CMap maps codes back via ``bfchar`` entries
+    (``use_ranges=True`` emits ``bfrange`` runs over consecutive
+    ranks instead — identical extraction).  ``drop_tounicode=True``
+    omits the CMap: the reader must FLAG (reason 'font'), never emit
+    code-point soup."""
+    chars = sorted({c for p in pages for c in p if c != "\n"})
+    code_of = {c: 0x0100 + k for k, c in enumerate(chars)}
+    objs = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    n = len(pages)
+    page_ids = [4 + 2 * k for k in range(n)]
+    kids = " ".join("%d 0 R" % p for p in page_ids)
+    objs[2] = (
+        "<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n)
+    ).encode()
+    if drop_tounicode:
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fix"
+            b" /Encoding /Identity-H >>"
+        )
+    else:
+        lines = ["/CIDInit /ProcSet findresource begin",
+                 "1 begincodespacerange", "<0000> <FFFF>",
+                 "endcodespacerange"]
+        if use_ranges:
+            # consecutive ranks whose unicode values are ALSO
+            # consecutive become one incremented bfrange
+            runs = []
+            k = 0
+            while k < len(chars):
+                j = k
+                while (
+                    j + 1 < len(chars)
+                    and ord(chars[j + 1]) == ord(chars[j]) + 1
+                ):
+                    j += 1
+                runs.append((k, j))
+                k = j + 1
+            lines.append("%d beginbfrange" % len(runs))
+            for a, b in runs:
+                lines.append(
+                    "<%04x> <%04x> <%04x>"
+                    % (0x0100 + a, 0x0100 + b, ord(chars[a]))
+                )
+            lines.append("endbfrange")
+        else:
+            lines.append("%d beginbfchar" % len(chars))
+            for k, c in enumerate(chars):
+                dst = c.encode("utf-16-be").hex()
+                lines.append("<%04x> <%s>" % (0x0100 + k, dst))
+            lines.append("endbfchar")
+        lines.append("end")
+        cmap = "\n".join(lines).encode("ascii")
+        objs[9000] = (
+            b"<< /Length %d >>\nstream\n" % len(cmap)
+            + cmap + b"\nendstream"
+        )
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fix"
+            b" /Encoding /Identity-H /ToUnicode 9000 0 R >>"
+        )
+    for k, text in enumerate(pages):
+        pid, cid = page_ids[k], page_ids[k] + 1
+        objs[pid] = (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Resources << /Font << /F1 3 0 R >> >> "
+            "/Contents %d 0 R >>" % cid
+        ).encode()
+        ops = ["BT /F1 12 Tf"]
+        for li, line in enumerate(text.split("\n")):
+            hx = "".join("%04x" % code_of[c] for c in line)
+            ops.append(
+                ("<%s> Tj" if li == 0 else "0 -14 Td <%s> Tj") % hx
+            )
+        ops.append("ET")
+        body = " ".join(ops).encode("ascii")
+        objs[cid] = (
+            b"<< /Length %d >>\nstream\n" % len(body)
+            + body + b"\nendstream"
+        )
+    return _assemble_pdf(objs)
+
+
 def _pdf_fixture_pages(cls: int) -> list:
     """The plaintext fixture page classes (shared by
     ``build_pdf_blob`` and the encrypted fixture, so decrypted text
@@ -1829,6 +2095,61 @@ def _pdf_fixture_pages(cls: int) -> list:
         lines.append("escapes (parens) and \\ backslash %d" % k)
         pages.append("\n".join(lines))
     return pages
+
+
+#: multilingual page classes for the composite-font fixtures — the
+#: text latin-1 extraction CANNOT represent (the tier's point)
+_PDF_CID_TEXTS = (
+    "café noël über straße\nligatures ﬁ ﬂ and dashes — –",
+    "ελληνικά κείμενο εδώ\nμε δεύτερη γραμμή",
+    "русский текст страницы\nвторая строка тут",
+    "中文文本页面 日本語の行\n한국어 줄 포함",
+)
+
+
+def build_pdf_cid_blob(doc_id: int) -> bytes:
+    """Composite-font PDF fixture: text class ``doc_id %% 4`` (four
+    scripts latin-1 cannot carry), CMap variant ``(doc_id // 4) %%
+    2`` — bfchar vs bfrange runs, identical extraction.  ``doc_id %%
+    17 == 0`` cuts inside the objects (torn); else ``%% 13 == 0``
+    drops /ToUnicode (the reader flags 'font' rather than emitting
+    code-point soup)."""
+    cls = doc_id % 4
+    pages = [
+        _PDF_CID_TEXTS[cls],
+        "shared trailer page %d\nacross классы" % cls,
+    ]
+    blob = pdf_encode_cid(
+        pages,
+        use_ranges=((doc_id // 4) % 2 == 1),
+        drop_tounicode=(doc_id % 13 == 0 and doc_id % 17 != 0),
+    )
+    if doc_id % 17 == 0:
+        i = len(blob) // 3
+        return blob[:i] + blob[i + 20:]
+    return blob
+
+
+def attach_pdf_cid_blob(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content) with the composite-font PDF fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf_batch[id_col],
+                    "content": [
+                        build_pdf_cid_blob(int(i))
+                        for i in pdf_batch[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
 
 
 def build_pdf_encrypted_blob(doc_id: int) -> bytes:

@@ -8310,6 +8310,94 @@ QUERIES["pdf_encrypted_text_check"] = pdf_encrypted_text_check
 ORACLES["pdf_encrypted_text_check"] = _pdf_encrypted_pinned_oracle()
 
 
+def _pdf_cid_pinned_oracle() -> str:
+    """Pinned oracle for the composite-font tier: both CMap variants
+    must extract the SAME multilingual text (asserted here), torn
+    cuts flag 'torn', dropped /ToUnicode flags 'font'."""
+    import hashlib as _hl
+
+    from .operators import pdf as pdfmod
+
+    texts = {}
+    for cls in range(4):
+        got = {}
+        for var in range(2):
+            did = next(
+                d for d in range(cls + 4 * var, 4000, 8)
+                if d % 17 and d % 13
+            )
+            doc = pdfmod.PdfDoc(pdfmod.build_pdf_cid_blob(did))
+            got[var] = "\f".join(
+                doc.page_text(p) for p in doc.pages()
+            )
+        assert got[0] == got[1], cls  # bfchar ≡ bfrange
+        assert pdfmod._PDF_CID_TEXTS[cls].split("\n")[0] in got[0]
+        texts[cls] = (
+            2, len(got[0]),
+            _hl.md5(got[0].encode("utf-8")).hexdigest(),
+        )
+    for did in (13, 26, 39):
+        doc = pdfmod.PdfDoc(pdfmod.build_pdf_cid_blob(did))
+        try:
+            [doc.page_text(p) for p in doc.pages()]
+            raise AssertionError("soup emitted: %d" % did)
+        except pdfmod._Stub as e:
+            assert str(e) == "font", did
+    np_c = " ".join(
+        "WHEN cls = %d THEN %d" % (c, v[0]) for c, v in texts.items()
+    )
+    nc_c = " ".join(
+        "WHEN cls = %d THEN %d" % (c, v[1]) for c, v in texts.items()
+    )
+    md_c = " ".join(
+        "WHEN cls = %d THEN '%s'" % (c, v[2]) for c, v in texts.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 AS torn,
+                 doc_id % 17 <> 0 AND doc_id % 13 = 0 AS nofont
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN torn OR nofont THEN NULL
+               ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_pages,
+          CASE WHEN torn OR nofont THEN NULL
+               ELSE CAST(CASE {nc_c} END AS INTEGER) END AS n_chars,
+          CASE WHEN torn OR nofont THEN NULL
+               ELSE CASE {md_c} END END AS text_md5,
+          NOT (torn OR nofont) AS ok,
+          CASE WHEN torn THEN 'torn'
+               WHEN nofont THEN 'font'
+               ELSE NULL END AS reason
+        FROM base
+    """
+
+
+def pdf_cid_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-font PDF text (operators/pdf.py ``_parse_tounicode``
+    → ``_PdfFont`` → the ``Tf``-tracking ``extract_text_ops``):
+    /Type0 Identity-H fonts with 2-byte codes decode through their
+    /ToUnicode CMap (bfchar AND incremented-bfrange forms, pinned
+    identical) — the tier that reaches the non-latin-1 crawl text
+    the simple-font assumption cannot (Greek/Cyrillic/CJK classes).
+    A Type0 font WITHOUT a usable CMap flags 'font' — refusing beats
+    emitting code-point soup into dedup; %%17 cuts flag 'torn'."""
+    from .operators import pdf as pdfmod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = pdfmod.pdf_text(pdfmod.attach_pdf_cid_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_pages", "n_chars",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        "ok", "reason",
+    )
+
+
+QUERIES["pdf_cid_text_check"] = pdf_cid_text_check
+ORACLES["pdf_cid_text_check"] = _pdf_cid_pinned_oracle()
+
+
 def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF embedded-image extraction (operators/pdf.py
     ``PdfDoc.page_images`` → ``image_pixels`` → ``pdf_image_hashes``):
@@ -10499,7 +10587,10 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # (audio_aligned_dedup_clusters keeps the windowed-envelope tier),
 # wav_mp3_frame_hash_check ← ogg_sample_hash_check (same keeper
 # covers the Ogg walk), tiff_pixel_hash_check ← zip_group_check
-# (the zip source is driven by the three office checks in-window).
+# (the zip source is driven by the three office checks in-window),
+# pdf_cid_text_check ← mp3_byte_dedup (the frame walk and the
+# cross-container dedup stay via mp3_frame_hash_check +
+# wav_mp3_frame_hash_check).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10541,7 +10632,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "range_join_event_sessions",
     "image_ingest_finalize_check",
     "mp3_frame_hash_check",
-    "mp3_byte_dedup",
+    "pdf_cid_text_check",
     "pdf_encrypted_text_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",

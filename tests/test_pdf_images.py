@@ -247,3 +247,45 @@ def test_encrypted_pdf_image_extraction_composes():
         d1 = doc.image_pixels(imgs[1][1])
         assert (d0 == px).all() and (d1 == g).all(), variant
         assert mm.image_ahash(d0) == mm.image_ahash(px), variant
+
+
+def test_pdf_tounicode_cid_text():
+    """Composite-font extraction: Type0/Identity-H 2-byte codes map
+    through /ToUnicode (bfchar and incremented bfrange identically);
+    multilingual text round-trips exactly; a Type0 font without a
+    CMap flags 'font'; simple-font docs are unaffected; fuzz flags
+    only."""
+    P = _p()
+    pages = ["café noël über straße\nsecond líne",
+             "ελληνικά και русский\n中文也可以 日本語も"]
+    for ranges in (False, True):
+        doc = P.PdfDoc(P.pdf_encode_cid(pages, use_ranges=ranges))
+        assert [doc.page_text(p) for p in doc.pages()] == pages, ranges
+    doc = P.PdfDoc(P.pdf_encode_cid(pages, drop_tounicode=True))
+    with pytest.raises(P._Stub) as ei:
+        doc.page_text(doc.pages()[0])
+    assert str(ei.value) == "font"
+    d2 = P.PdfDoc(P.pdf_encode(["plain text page"]))
+    assert d2.page_text(d2.pages()[0]) == "plain text page"
+    # fixture classes and plants
+    for did in range(48):
+        blob = P.build_pdf_cid_blob(did)
+        if did % 17 == 0:
+            with pytest.raises((P._Torn, P._Stub)):
+                d = P.PdfDoc(blob)
+                [d.page_text(p) for p in d.pages()]
+        elif did % 13 == 0:
+            d = P.PdfDoc(blob)
+            with pytest.raises(P._Stub):
+                [d.page_text(p) for p in d.pages()]
+        else:
+            d = P.PdfDoc(blob)
+            txt = "\f".join(d.page_text(p) for p in d.pages())
+            assert P._PDF_CID_TEXTS[did % 4].split("\n")[0] in txt
+    blob = P.build_pdf_cid_blob(1)
+    for j in range(0, len(blob), 9):
+        try:
+            d = P.PdfDoc(blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:])
+            [d.page_text(p) for p in d.pages()]
+        except (P._Torn, P._Stub, RecursionError):
+            pass

@@ -170,7 +170,7 @@ DRIVER_WINDOW = [
     "range_join_event_sessions",
     "image_ingest_finalize_check",
     "mp3_frame_hash_check",
-    "mp3_byte_dedup",
+    "pdf_cid_text_check",
     "pdf_encrypted_text_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
