@@ -229,6 +229,8 @@ HEADLINE = [
     "wav_mp3_cross_dedup",
     "tiff_pixel_hash_check",
     "pdf_cid_text_check",
+    "epub_text_check",
+    "rtf_text_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

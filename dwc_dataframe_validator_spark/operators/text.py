@@ -2578,6 +2578,8 @@ def _ooxml_numbered_parts(b: bytes, pattern: str):
     rx = _re.compile(pattern)
     out = []
     for _idx, name, _size, content, ok in iter_zip_members_for_office(b):
+        if name is None:
+            return None  # unreadable archive row
         m = rx.fullmatch(name)
         if not m:
             continue
@@ -2992,3 +2994,424 @@ def attach_xlsx_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def attach_pptx_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, content) with the PPTX fixture blobs."""
     return _attach_office_blob(df, build_pptx_blob, id_col)
+
+
+# ---- EPUB / RTF: the remaining document-container text mass ----------
+
+
+def _xhtml_to_text(xml: str) -> str:
+    """Tag-strip + whitespace-collapse for EPUB chapter XHTML —
+    mirrors the wet-extraction collapse semantics (tags → space,
+    runs of whitespace → one space, trim) so book text joins the
+    same downstream text tiers."""
+    import re as _re
+
+    xml = _re.sub(
+        r"<(head|script|style)[ >].*?</\1>", " ", xml,
+        flags=_re.S | _re.I,
+    )
+    no_tags = _re.sub(r"<[^>]*>", " ", xml)
+    return _re.sub(r"\s+", " ", _docx_unescape(no_tags)).strip()
+
+
+def epub_extract(b: bytes):
+    """(n_chapters, text) from an EPUB payload, or None when torn —
+    the book container over the zip source: ``META-INF/
+    container.xml`` names the OPF package, whose manifest maps ids to
+    hrefs and whose SPINE fixes reading order (zip member order is
+    irrelevant and the fixture shuffles it to prove that).  Each
+    spine chapter's XHTML strips to collapsed text; chapters join
+    with newlines.  Missing container/OPF/spine or any CRC-torn
+    member is an honest None."""
+    import posixpath
+    import re as _re
+
+    members = {}
+    for _i, name, _sz, content, ok in iter_zip_members_for_office(b):
+        if name is None:
+            return None  # unreadable archive: no trustworthy walk
+        if name == "META-INF/container.xml" or name.endswith(
+            (".opf", ".xhtml", ".html", ".htm")
+        ):
+            if not ok:
+                return None
+            members[name] = content
+    container = members.get("META-INF/container.xml")
+    if container is None:
+        return None
+    try:
+        cx = container.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    m = _re.search(r'full-path="([^"]+)"', cx)
+    if not m:
+        return None
+    opf_path = _docx_unescape(m.group(1))
+    opf = members.get(opf_path)
+    if opf is None:
+        return None
+    try:
+        ox = opf.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    base = posixpath.dirname(opf_path)
+    manifest = {}
+    for im in _re.finditer(r"<item\s+([^>]*?)/?>", ox):
+        attrs = im.group(1)
+        mid = _re.search(r'\bid="([^"]+)"', attrs)
+        href = _re.search(r'\bhref="([^"]+)"', attrs)
+        if mid and href:
+            manifest[mid.group(1)] = _docx_unescape(href.group(1))
+    chapters = []
+    for sm in _re.finditer(r"<itemref\s+([^>]*?)/?>", ox):
+        idref = _re.search(r'\bidref="([^"]+)"', sm.group(1))
+        if not idref:
+            return None
+        href = manifest.get(idref.group(1))
+        if href is None:
+            return None  # spine references a missing manifest id
+        path = posixpath.normpath(posixpath.join(base, href))
+        data = members.get(path)
+        if data is None:
+            return None  # spine chapter absent/torn: no partial book
+        try:
+            chapters.append(_xhtml_to_text(data.decode("utf-8")))
+        except UnicodeDecodeError:
+            return None
+    if not chapters:
+        return None
+    return len(chapters), "\n".join(chapters)
+
+
+def epub_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_chapters, n_chars, text, ok) per EPUB payload."""
+
+    def ex(b):
+        got = epub_extract(b)
+        if got is None:
+            return None
+        nc, t = got
+        return nc, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "n_chapters", "n_chars", "text", "ok"],
+        "id long, n_chapters int, n_chars int, text string, "
+        "ok boolean",
+        content_col, id_col,
+    )
+
+
+def epub_encode(chapters: list, shuffle: bool = False) -> bytes:
+    """Minimal EPUB writer — the fixture twin of ``epub_extract``:
+    mimetype, container.xml → ``OEBPS/content.opf`` (manifest +
+    spine), one XHTML file per chapter.  ``shuffle=True`` stores the
+    chapter FILES in reverse zip order — extraction must follow the
+    spine, not the archive."""
+    from ..sources.zip import zip_encode
+
+    def esc(s):
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    chapter_files = []
+    items = []
+    refs = []
+    for k, text in enumerate(chapters):
+        fname = "OEBPS/chap%d.xhtml" % k
+        paras = "".join(
+            "<p>%s</p>" % esc(p) for p in text.split("\n")
+        )
+        xhtml = (
+            '<?xml version="1.0"?><html><head><title>c%d</title>'
+            "</head><body>%s</body></html>" % (k, paras)
+        )
+        chapter_files.append((fname, xhtml.encode("utf-8")))
+        items.append(
+            '<item id="c%d" href="chap%d.xhtml" '
+            'media-type="application/xhtml+xml"/>' % (k, k)
+        )
+        refs.append('<itemref idref="c%d"/>' % k)
+    opf = (
+        '<?xml version="1.0"?><package version="3.0">'
+        "<manifest>%s</manifest><spine>%s</spine></package>"
+        % ("".join(items), "".join(refs))
+    ).encode()
+    container = (
+        '<?xml version="1.0"?><container><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    ).encode()
+    if shuffle:
+        chapter_files = chapter_files[::-1]
+    return zip_encode(
+        [("mimetype", b"application/epub+zip"),
+         ("META-INF/container.xml", container),
+         ("OEBPS/content.opf", opf)]
+        + chapter_files
+    )
+
+
+def build_epub_blob(doc_id: int) -> bytes:
+    """EPUB fixture: class ``doc_id %% 4`` has ``2 + cls`` chapters
+    of deterministic text (entities in chapter 0); variant ``(doc_id
+    // 4) %% 2`` stores chapter files in REVERSE zip order (spine
+    order must win).  ``%% 17`` flips a byte in chapter 0 (CRC →
+    ok=false); else ``%% 13`` renames the OPF (ok=false)."""
+    cls = doc_id % 4
+    chapters = [
+        "chapter %d of class %d with book words\nsecond line %d"
+        % (k, cls, k)
+        for k in range(2 + cls)
+    ]
+    chapters[0] += "\nerrata & updates < >"
+    blob = epub_encode(chapters, shuffle=((doc_id // 4) % 2 == 1))
+    if doc_id % 17 == 0:
+        i = blob.index(b"<body>") + 3
+        return blob[:i] + bytes([blob[i] ^ 0x41]) + blob[i + 1:]
+    if doc_id % 13 == 0:
+        return blob.replace(b"OEBPS/content.opf", b"OEBPS/content.op_", 2)
+    return blob
+
+
+def attach_epub_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the EPUB fixture blobs."""
+    return _attach_office_blob(df, build_epub_blob, id_col)
+
+
+_RTF_SKIP_DESTS = frozenset((
+    "fonttbl", "colortbl", "stylesheet", "info", "pict",
+    "header", "footer", "footnote", "operator", "themedata",
+    "colorschememapping", "generator",
+))
+
+
+def rtf_extract(b: bytes):
+    """(n_paragraphs, text) from an RTF payload, or None when torn —
+    the legacy word-processing mass: group-aware control-word walk
+    with destination skipping (fonttbl/colortbl/stylesheet/info/pict
+    and every ``{\\*…}``), ``\\par``/``\\line`` → newline, ``\\tab``
+    → tab, ``\\'hh`` cp1252 hex escapes, ``\\uN`` unicode escapes
+    with ``\\ucN`` fallback-skip accounting, ``\\binN`` binary skip,
+    brace/backslash literals.  Unbalanced groups, a missing
+    ``{\\rtf`` head, or an undecodable cp1252 byte are an honest
+    None."""
+    if not b.startswith(b"{\\rtf"):
+        return None
+    out: list = []
+    i = 0
+    n = len(b)
+    depth = 0
+    # per-group state: (skipping, uc_count)
+    stack: list = []
+    skipping = False
+    uc = 1
+    pending_uc_skip = 0
+
+    def emit(s: str):
+        if not skipping and pending_uc_skip == 0:
+            out.append(s)
+
+    while i < n:
+        c = b[i]
+        if c == 0x7B:  # {
+            stack.append((skipping, uc))
+            depth += 1
+            i += 1
+        elif c == 0x7D:  # }
+            if not stack:
+                return None  # underflow: torn
+            skipping, uc = stack.pop()
+            depth -= 1
+            i += 1
+            if depth == 0:
+                break  # the document group closed
+        elif c == 0x5C:  # backslash
+            if i + 1 >= n:
+                return None
+            nx = b[i + 1]
+            if nx in b"\\{}":
+                if pending_uc_skip:
+                    pending_uc_skip -= 1
+                else:
+                    emit(chr(nx))
+                i += 2
+            elif nx == 0x27:  # \'hh
+                if i + 4 > n:
+                    return None
+                try:
+                    ch = bytes([int(b[i + 2:i + 4], 16)]).decode(
+                        "cp1252"
+                    )
+                except (ValueError, UnicodeDecodeError):
+                    return None
+                if pending_uc_skip:
+                    pending_uc_skip -= 1
+                else:
+                    emit(ch)
+                i += 4
+            elif nx == 0x2A:  # \* : skip-unknown destination
+                skipping = True
+                i += 2
+            elif 0x61 <= nx <= 0x7A or 0x41 <= nx <= 0x5A:
+                j = i + 1
+                while j < n and (
+                    0x61 <= b[j] <= 0x7A or 0x41 <= b[j] <= 0x5A
+                ):
+                    j += 1
+                word = b[i + 1:j].decode("ascii")
+                neg = False
+                if j < n and b[j] == 0x2D:
+                    neg = True
+                    j += 1
+                num = None
+                k = j
+                while k < n and 0x30 <= b[k] <= 0x39:
+                    k += 1
+                if k > j:
+                    num = int(b[j:k])
+                    if neg:
+                        num = -num
+                j = k
+                if j < n and b[j] == 0x20:
+                    j += 1  # the delimiting space is consumed
+                i = j
+                if word in ("par", "line"):
+                    emit("\n")
+                elif word == "tab":
+                    emit("\t")
+                elif word == "uc":
+                    uc = num if num is not None and num >= 0 else 1
+                elif word == "u" and num is not None:
+                    cp = num % 65536
+                    if pending_uc_skip:
+                        pending_uc_skip -= 1
+                    else:
+                        emit(chr(cp))
+                    pending_uc_skip += 0 if skipping else uc
+                elif word == "bin":
+                    skip = num or 0
+                    if skip < 0 or i + skip > n:
+                        return None
+                    i += skip
+                elif word in _RTF_SKIP_DESTS:
+                    skipping = True
+                # other control words: formatting, ignored
+            else:
+                i += 2  # other control symbol (e.g. \~ \-): ignore
+        else:
+            j = i
+            while j < n and b[j] not in b"\\{}":
+                j += 1
+            try:
+                seg = b[i:j].decode("cp1252")
+            except UnicodeDecodeError:
+                return None
+            seg = seg.replace("\r", "").replace("\n", "")
+            if seg:
+                if pending_uc_skip:
+                    take = min(pending_uc_skip, len(seg))
+                    pending_uc_skip -= take
+                    seg = seg[take:]
+                if seg:
+                    emit(seg)
+            i = j
+    else:
+        return None  # ran off the end: unbalanced document group
+    text = "".join(out)
+    lines = text.split("\n")
+    while lines and lines[-1] == "":
+        lines.pop()
+    text = "\n".join(lines)
+    return len(lines), text
+
+
+def rtf_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_paragraphs, n_chars, text, ok) per RTF payload."""
+
+    def ex(b):
+        got = rtf_extract(b)
+        if got is None:
+            return None
+        np_, t = got
+        return np_, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "n_paragraphs", "n_chars", "text", "ok"],
+        "id long, n_paragraphs int, n_chars int, text string, "
+        "ok boolean",
+        content_col, id_col,
+    )
+
+
+def rtf_encode(paragraphs: list, unicode_escapes: bool = False) -> bytes:
+    """Minimal RTF writer — the fixture twin of ``rtf_extract``:
+    header with fonttbl/colortbl/info groups (all destinations the
+    reader must SKIP), one ``\\par``-terminated paragraph per entry.
+    Non-ASCII characters write as ``\\'hh`` cp1252 hex escapes, or
+    as ``\\uN?`` unicode escapes when ``unicode_escapes=True`` —
+    identical extraction either way."""
+    body = []
+    for p in paragraphs:
+        for ch in p:
+            o = ord(ch)
+            if ch == "\n":
+                body.append("\\line ")
+            elif ch == "\t":
+                body.append("\\tab ")
+            elif ch in "\\{}":
+                body.append("\\" + ch)
+            elif 32 <= o < 128:
+                body.append(ch)
+            elif not unicode_escapes:
+                enc = ch.encode("cp1252")  # fixture chars stay cp1252
+                body.append("\\'%02x" % enc[0])
+            else:
+                if o >= 32768:
+                    o -= 65536
+                body.append("\\u%d?" % o)
+        body.append("\\par\n")
+    doc = (
+        "{\\rtf1\\ansi\\deff0"
+        "{\\fonttbl{\\f0\\fswiss Helvetica;}{\\f1\\froman Times;}}"
+        "{\\colortbl;\\red0\\green0\\blue0;}"
+        "{\\*\\generator fixture 1.0;}"
+        "{\\info{\\title skipped title}{\\author nobody}}"
+        "\\uc1\\f0\\fs24 " + "".join(body) + "}"
+    )
+    return doc.encode("cp1252")
+
+
+def build_rtf_blob(doc_id: int) -> bytes:
+    """RTF fixture: class ``doc_id %% 4`` has ``2 + cls`` paragraphs
+    (specials, a tab, accented cp1252 chars); variant ``(doc_id //
+    4) %% 2`` re-encodes non-ASCII as ``\\uN?`` unicode escapes
+    (identical text).  ``%% 17`` truncates (unbalanced groups →
+    ok=false); else ``%% 13`` injects the cp1252-undefined byte
+    0x81 into the text run (undecodable → ok=false)."""
+    cls = doc_id % 4
+    paras = [
+        "class %d paragraph %d with café words" % (cls, k)
+        for k in range(2 + cls)
+    ]
+    paras[0] += "\tafter tab {braces} \\ and ünïcode"
+    blob = rtf_encode(paras, unicode_escapes=((doc_id // 4) % 2 == 1))
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    if doc_id % 13 == 0:
+        i = blob.index(b"paragraph")
+        return blob[:i] + b"\x81" + blob[i:]
+    return blob
+
+
+def attach_rtf_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the RTF fixture blobs."""
+    return _attach_office_blob(df, build_rtf_blob, id_col)

@@ -9047,6 +9047,100 @@ ORACLES["pptx_text_check"] = """
 """
 
 
+def epub_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB text extraction (operators/text.py ``epub_extract`` →
+    ``epub_text``): the book container over the ZIP SOURCE —
+    container.xml → OPF manifest → SPINE-ordered chapters (the
+    fixture stores chapter files in reverse archive order on odd
+    variants: reading order must come from the spine), XHTML
+    stripped with head/script/style dropped, entities decoded.
+    Arithmetic full-text oracle; %%17 flips a chapter byte (CRC),
+    %%13 renames the OPF — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.epub_text(text.attach_epub_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chapters", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["epub_text_check"] = epub_text_check
+ORACLES["epub_text_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+      FROM documents),
+    chapters AS (
+      SELECT doc_id, cls,
+             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER) AS k
+      FROM base WHERE NOT bad),
+    texts AS (
+      SELECT doc_id, cls,
+             string_agg(
+               'chapter ' || k || ' of class ' || cls
+                 || ' with book words second line ' || k
+                 || CASE WHEN k = 0
+                    THEN ' errata & updates < >' ELSE '' END,
+               chr(10) ORDER BY k) AS text
+      FROM chapters GROUP BY doc_id, cls)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cls + 2 AS INTEGER) AS n_chapters,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           text, TRUE AS ok
+    FROM texts
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+    FROM base WHERE bad
+"""
+
+
+def rtf_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (operators/text.py ``rtf_extract`` →
+    ``rtf_text``): group-aware control-word walk with destination
+    skipping (fonttbl/colortbl/info/{\\*…}), \\par newlines, \\tab,
+    cp1252 \\'hh hex AND \\uN unicode escapes (both encodings of the
+    same text pinned identical by the arithmetic oracle), \\uc
+    fallback accounting.  %%17 truncates (unbalanced groups), %%13
+    injects a cp1252-undefined byte — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.rtf_text(text.attach_rtf_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_paragraphs", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["rtf_text_check"] = rtf_text_check
+ORACLES["rtf_text_check"] = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+      FROM documents),
+    paras AS (
+      SELECT doc_id, cls,
+             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER) AS k
+      FROM base WHERE NOT bad),
+    texts AS (
+      SELECT doc_id, cls,
+             string_agg(
+               'class ' || cls || ' paragraph ' || k
+                 || ' with café words'
+                 || CASE WHEN k = 0
+                    THEN chr(9) || 'after tab {braces} \\ and ünïcode'
+                    ELSE '' END,
+               chr(10) ORDER BY k) AS text
+      FROM paras GROUP BY doc_id, cls)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cls + 2 AS INTEGER) AS n_paragraphs,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           text, TRUE AS ok
+    FROM texts
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
+    FROM base WHERE bad
+"""
+
+
 QUERIES["id3_meta_check"] = id3_meta_check
 ORACLES["id3_meta_check"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -10590,7 +10684,10 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # (the zip source is driven by the three office checks in-window),
 # pdf_cid_text_check ← mp3_byte_dedup (the frame walk and the
 # cross-container dedup stay via mp3_frame_hash_check +
-# wav_mp3_frame_hash_check).
+# wav_mp3_frame_hash_check), epub_text_check ← exif_meta_check
+# (exif_oriented_dedup_check keeps the EXIF walk driven),
+# rtf_text_check ← dedup_embedding_cosine (dedup_clusters keeps the
+# dedup family).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10607,9 +10704,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a8_a9_distinct_duplicates",
     "a13_date_parts",
     "a14_offender_sample",
-    "exif_meta_check",
+    "epub_text_check",
     "id3_meta_check",
-    "dedup_embedding_cosine",
+    "rtf_text_check",
     "dedup_clusters",
     "pdf_token_stats_check",
     "text_quality",

@@ -145,9 +145,9 @@ DRIVER_WINDOW = [
     "a8_a9_distinct_duplicates",
     "a13_date_parts",
     "a14_offender_sample",
-    "exif_meta_check",
+    "epub_text_check",
     "id3_meta_check",
-    "dedup_embedding_cosine",
+    "rtf_text_check",
     "dedup_clusters",
     "pdf_token_stats_check",
     "text_quality",
