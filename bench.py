@@ -231,6 +231,7 @@ HEADLINE = [
     "pdf_cid_text_check",
     "epub_text_check",
     "rtf_text_check",
+    "ico_pixel_hash_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

@@ -1050,6 +1050,11 @@ def decode_image_pixels(b: bytes, backend: str = "pure"):
         # strip TIFF (none/LZW/PackBits) decodes for real on the pure
         # path; CCITT/JPEG-in-TIFF/tiled/planar raise the honest stub
         return tiff_decode_pixels(b)
+    if backend == "pure" and b[:4] in (
+        b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"
+    ):
+        # ICO/CUR favicons: largest entry, PNG-in-ICO or 32/8-bpp DIB
+        return ico_decode_pixels(b)
     if backend == "pure" and b[:2] == b"\xff\xd8":
         # baseline JPEG decodes for real on the pure path too; under
         # 'pil' the PIL codec takes it (lossy decode differs across
@@ -8211,6 +8216,186 @@ def attach_tiff_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "id": pdf[id_col],
                     "content": [
                         build_tiff_blob(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "id long, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# ICO/CUR: the favicon container — PNG-in-ICO delegates to the PNG
+# tier, classic DIB entries (doubled-height XOR+AND masks) decode
+# 32-bpp BGRA and 8-bpp palette forms.  Reference parity: none.
+# --------------------------------------------------------------------------
+
+
+def ico_decode_pixels(b: bytes):
+    """REAL ICO/CUR decode → uint8 (h, w, 3) of the LARGEST entry,
+    or None — the favicon mass: 6-byte header + 16-byte directory
+    entries; each image is either a whole PNG (delegated to
+    ``png_decode_pixels``, alpha dropped) or a classic DIB whose
+    BITMAPINFOHEADER declares DOUBLED height (XOR pixels + 1-bpp AND
+    mask).  32-bpp BGRA and 8-bpp palette DIBs decode; other DIB
+    depths raise the honest ``NotImplementedError`` stub; size lies
+    and truncations are None."""
+    import numpy as np
+
+    if len(b) < 6 or b[:4] not in (
+        b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"
+    ):
+        return None
+    count = int.from_bytes(b[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(b):
+        return None
+    best = None
+    for k in range(count):
+        e = b[6 + 16 * k:6 + 16 * (k + 1)]
+        w = e[0] or 256
+        h = e[1] or 256
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if off + size > len(b) or size < 8:
+            return None  # directory lies: torn
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    w, h, off, size = best
+    data = b[off:off + size]
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        px = png_decode_pixels(data)
+        if px is None:
+            return None
+        return px[:, :, :3].copy() if px.shape[2] >= 3 else np.repeat(
+            px[:, :, :1], 3, axis=2
+        )
+    # classic DIB: header height is XOR+AND doubled
+    if len(data) < 40:
+        return None
+    hsz = int.from_bytes(data[0:4], "little")
+    if hsz != 40:
+        raise NotImplementedError("ICO DIB header %d" % hsz)
+    dw = int.from_bytes(data[4:8], "little", signed=True)
+    dh2 = int.from_bytes(data[8:12], "little", signed=True)
+    bpp = int.from_bytes(data[14:16], "little")
+    comp = int.from_bytes(data[16:20], "little")
+    if comp != 0:
+        raise NotImplementedError("ICO DIB compression %d" % comp)
+    if dw != w or dh2 != 2 * h or dw <= 0:
+        return None  # directory vs DIB disagreement
+    if w * h > 16_000_000:
+        return None
+    if bpp == 32:
+        stride = w * 4
+        need = 40 + stride * h
+        if len(data) < need:
+            return None
+        rows = np.frombuffer(
+            data[40:40 + stride * h], np.uint8
+        ).reshape(h, w, 4)[::-1]  # bottom-up
+        return rows[:, :, 2::-1].copy()  # BGRA → RGB
+    if bpp == 8:
+        pal_sz = 256 * 4
+        stride = (w + 3) & ~3
+        need = 40 + pal_sz + stride * h
+        if len(data) < need:
+            return None
+        pal = np.frombuffer(
+            data[40:40 + pal_sz], np.uint8
+        ).reshape(256, 4)[:, 2::-1]  # BGRX → RGB
+        idx = np.frombuffer(
+            data[40 + pal_sz:40 + pal_sz + stride * h], np.uint8
+        ).reshape(h, stride)[::-1, :w]
+        return pal[idx].copy()
+    raise NotImplementedError("ICO DIB bpp %d" % bpp)
+
+
+def ico_encode(images: list, png_entry: bool = False) -> bytes:
+    """Minimal ICO writer — the fixture twin of
+    ``ico_decode_pixels``: ``images`` is a list of uint8 (h, w, 3)
+    arrays; each writes as a 32-bpp DIB entry (opaque alpha, zero
+    AND mask), or as PNG when ``png_entry=True`` (same pixels — the
+    packaging-transparency claim)."""
+    import numpy as np
+
+    entries = []
+    blobs = []
+    off = 6 + 16 * len(images)
+    for px in images:
+        h, w, _c = px.shape
+        if png_entry:
+            blob = png_encode(px)
+        else:
+            bgra = np.zeros((h, w, 4), np.uint8)
+            bgra[:, :, 0] = px[:, :, 2]
+            bgra[:, :, 1] = px[:, :, 1]
+            bgra[:, :, 2] = px[:, :, 0]
+            bgra[:, :, 3] = 255
+            and_stride = ((w + 31) // 32) * 4
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                h * w * 4 + h * and_stride, 0, 0, 0, 0,
+            )
+            blob = (
+                hdr + bgra[::-1].tobytes() + bytes(and_stride * h)
+            )
+        entries.append((w % 256, h % 256, len(blob), off))
+        blobs.append(blob)
+        off += len(blob)
+    out = bytearray(b"\x00\x00\x01\x00")
+    out += len(images).to_bytes(2, "little")
+    for (w, h, sz, o) in entries:
+        out += bytes([w, h, 0, 0]) + (1).to_bytes(2, "little")
+        out += (32).to_bytes(2, "little")
+        out += sz.to_bytes(4, "little") + o.to_bytes(4, "little")
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def build_ico_blob(doc_id: int) -> bytes:
+    """ICO fixture: pixel class ``doc_id %% 6`` (the shared PDF-image
+    gradients → cross-format hash constants), variant ``(doc_id //
+    6) %% 3`` — 0 single 32-bpp DIB, 1 PNG-in-ICO of the SAME pixels
+    (identical hashes), 2 two entries with the CLASS image largest
+    (the largest-entry pick is what downstream hashes).  ``%% 17``
+    truncates (torn); else ``%% 13`` relabels the DIB 16-bpp (honest
+    stub)."""
+    from .pdf import _pdf_image_fixture_pixels
+
+    cls = doc_id % 6
+    var = (doc_id // 6) % 3
+    px = _pdf_image_fixture_pixels(cls)
+    if var == 0:
+        blob = ico_encode([px])
+    elif var == 1:
+        blob = ico_encode([px], png_entry=True)
+    else:
+        small = px[::2, ::2].copy()  # 8×8 decoy, class image larger
+        blob = ico_encode([small, px])
+    if doc_id % 17 == 0:
+        return blob[: len(blob) * 2 // 3]
+    if doc_id % 13 == 0 and var != 1:
+        i = blob.index(struct.pack("<IiiHH", 40, 16, 32, 1, 32))
+        return blob[:i + 14] + (16).to_bytes(2, "little") + blob[i + 16:]
+    if doc_id % 13 == 0:
+        # PNG variant: flip a byte inside IDAT (CRC catches → None)
+        i = blob.index(b"IDAT") + 6
+        return blob[:i] + bytes([blob[i] ^ 0x41]) + blob[i + 1:]
+    return blob
+
+
+def attach_ico_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the ICO fixture blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "content": [
+                        build_ico_blob(int(i)) for i in pdf[id_col]
                     ],
                 }
             )

@@ -8546,6 +8546,58 @@ QUERIES["tiff_pixel_hash_check"] = tiff_pixel_hash_check
 ORACLES["tiff_pixel_hash_check"] = _tiff_pinned_oracle()
 
 
+def _ico_pinned_oracle() -> str:
+    """Pinned oracle for the ICO tier: all three packagings of a
+    class (32-bpp DIB / PNG-in-ICO / two-entry with the class image
+    largest) decode the SAME pixels — hashes keyed on class alone,
+    asserted equal to the PDF-image tier's raw-pixel constants."""
+    from .operators import pdf as pdfmod
+
+    rows = {}
+    for cls in range(6):
+        for var in range(3):
+            did = next(
+                d for d in range(cls + 6 * var, 4000, 18)
+                if d % 17 and d % 13
+            )
+            px = multimodal.ico_decode_pixels(
+                multimodal.build_ico_blob(did)
+            )
+            want = format(multimodal.image_ahash(
+                pdfmod._pdf_image_fixture_pixels(cls)
+            ), "016x")
+            got = format(multimodal.image_ahash(px), "016x")
+            assert got == want, (cls, var)
+            rows[cls] = (
+                px.shape[2],
+                got,
+                format(multimodal.image_dhash(px), "016x"),
+            )
+    return _hash_case_oracle(
+        rows, "doc_id % 17 = 0 OR doc_id % 13 = 0"
+    )
+
+
+def ico_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO/CUR favicon decode (operators/multimodal.py
+    ``ico_decode_pixels`` behind ``decode_image_pixels``): directory
+    walk picks the LARGEST entry; PNG-in-ICO delegates to the PNG
+    tier, classic doubled-height DIBs decode 32-bpp BGRA and 8-bpp
+    palette forms — all packagings hash to the class constants (which
+    equal the PDF-image tier's: favicons join cross-format dedup).
+    Other DIB depths/compressions are honest stubs; directory lies
+    and truncations flag.  %%17 truncates, %%13 relabels 16-bpp /
+    flips an IDAT byte — ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_pixel_hashes(
+        multimodal.attach_ico_blob(docs)
+    )
+
+
+QUERIES["ico_pixel_hash_check"] = ico_pixel_hash_check
+ORACLES["ico_pixel_hash_check"] = _ico_pinned_oracle()
+
+
 QUERIES["exif_oriented_dedup_check"] = exif_oriented_dedup_check
 ORACLES["exif_oriented_dedup_check"] = """
     WITH m AS (
@@ -10687,7 +10739,8 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # wav_mp3_frame_hash_check), epub_text_check ← exif_meta_check
 # (exif_oriented_dedup_check keeps the EXIF walk driven),
 # rtf_text_check ← dedup_embedding_cosine (dedup_clusters keeps the
-# dedup family).
+# dedup family), ico_pixel_hash_check ← id3_meta_check (the ID3v2
+# walk stays driven by mp3_frame_hash_check's re-tag variants).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10705,7 +10758,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a13_date_parts",
     "a14_offender_sample",
     "epub_text_check",
-    "id3_meta_check",
+    "ico_pixel_hash_check",
     "rtf_text_check",
     "dedup_clusters",
     "pdf_token_stats_check",

@@ -263,3 +263,45 @@ def test_tiff_pixel_decode_tier():
                     mm.tiff_decode_pixels(mut)
                 except NotImplementedError:
                     pass
+
+
+def test_ico_favicon_decode_tier():
+    """ICO/CUR: all three packagings (32-bpp DIB, PNG-in-ICO,
+    two-entry largest-pick) decode identical pixels equal to the
+    shared gradient classes; plants flag; fuzz never raises; the
+    shared dispatch reaches it."""
+    mm = _mm()
+    from dwc_dataframe_validator_spark.operators.pdf import (
+        _pdf_image_fixture_pixels,
+    )
+
+    for cls in range(6):
+        px = _pdf_image_fixture_pixels(cls)
+        for blob in (
+            mm.ico_encode([px]),
+            mm.ico_encode([px], png_entry=True),
+            mm.ico_encode([px[::2, ::2].copy(), px]),
+        ):
+            dec = mm.ico_decode_pixels(blob)
+            assert dec is not None and (dec == px).all(), cls
+            assert (mm.decode_image_pixels(blob, "pure") == px).all()
+    for d in range(120):
+        blob = mm.build_ico_blob(d)
+        if d % 17 == 0:
+            assert mm.ico_decode_pixels(blob) is None, d
+        elif d % 13 == 0:
+            try:
+                assert mm.ico_decode_pixels(blob) is None, d
+            except NotImplementedError:
+                pass
+    for base in (1, 7, 14):
+        blob = mm.build_ico_blob(base)
+        for j in range(0, len(blob), 5):
+            for mut in (
+                blob[:j] + bytes([blob[j] ^ 0xFF]) + blob[j + 1:],
+                blob[:j],
+            ):
+                try:
+                    mm.ico_decode_pixels(mut)
+                except NotImplementedError:
+                    pass

@@ -146,7 +146,7 @@ DRIVER_WINDOW = [
     "a13_date_parts",
     "a14_offender_sample",
     "epub_text_check",
-    "id3_meta_check",
+    "ico_pixel_hash_check",
     "rtf_text_check",
     "dedup_clusters",
     "pdf_token_stats_check",
