@@ -1,0 +1,59 @@
+"""100× scale spot-check for the LATE round-16 surface
+(documents-only readers over the ``.scale100`` replication).
+
+Expected shapes: composite-font PDF text (COS parse + CMap +
+per-code dict lookups), EPUB (zip walk + spine + regex strip),
+RTF (byte-level control-word walk), ICO (directory + DIB/PNG
+decode + hash grid), and the zstd-extended Content-Encoding
+tier (pure-Python FSE/Huffman on 2 of 12 classes) — all
+map-side single projections: ~linear.
+
+Usage: SPARK_DRIVER_MEMORY=48g SPARK_GRAFT_CPUS=32 \
+    python tools/spotcheck_r16b.py [scale_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from dwc_dataframe_validator_spark import registry
+from dwc_dataframe_validator_spark.sources.tables import local_session
+
+OPS = (
+    "pdf_cid_text_check",
+    "epub_text_check",
+    "rtf_text_check",
+    "ico_pixel_hash_check",
+    "http_content_encoding_check",
+)
+
+
+def main() -> None:
+    scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale100"
+    spark = local_session("spotcheck-r16b")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.get_queries()
+    out = {}
+    for name in OPS:
+        row = {}
+        for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
+                              ("x100", scale_dir)):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[label] = round(time.time() - t0, 1)
+            spark.catalog.clearCache()
+        row["ratio"] = round(row["x100"] / max(row["sf0.1"], 0.1), 1)
+        out[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
