@@ -232,6 +232,7 @@ HEADLINE = [
     "epub_text_check",
     "rtf_text_check",
     "ico_pixel_hash_check",
+    "office_corpus_token_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

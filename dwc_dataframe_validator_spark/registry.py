@@ -9193,6 +9193,101 @@ ORACLES["rtf_text_check"] = """
 """
 
 
+def _office_corpus_pinned_oracle() -> str:
+    """Pinned oracle for the composed office-corpus tier: per
+    (format, class) the token/char counts the five extractors must
+    feed the shared token expression — computed driver-side through
+    the SAME extraction functions."""
+    extractors = (
+        lambda b: (text.docx_extract(b) or (None, None))[1],
+        lambda b: (text.xlsx_extract(b) or (None, None, None))[2],
+        lambda b: (text.pptx_extract(b) or (None, None))[1],
+        lambda b: (text.epub_extract(b) or (None, None))[1],
+        lambda b: (text.rtf_extract(b) or (None, None))[1],
+    )
+    builders = (
+        text.build_docx_blob, text.build_xlsx_blob,
+        text.build_pptx_blob, text.build_epub_blob,
+        text.build_rtf_blob,
+    )
+    rows = {}
+    for fmt in range(5):
+        for cls in range(4):
+            did = next(
+                d for d in range(4000)
+                if d % 5 == fmt and d % 4 == cls
+                and d % 17 and d % 13
+            )
+            t = extractors[fmt](builders[fmt](did))
+            assert t is not None, (fmt, cls)
+            rows[(fmt, cls)] = (len(t.split()), len(t))
+    tok_c = " ".join(
+        "WHEN fmt = %d AND cls = %d THEN %d" % (f, c, v[0])
+        for (f, c), v in rows.items()
+    )
+    ch_c = " ".join(
+        "WHEN fmt = %d AND cls = %d THEN %d" % (f, c, v[1])
+        for (f, c), v in rows.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS fmt,
+                 CAST(doc_id % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, fmt,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(CASE {tok_c} END AS INTEGER) END AS n_tokens,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(CASE {ch_c} END AS INTEGER) END AS n_chars,
+          NOT bad AS ok
+        FROM base
+    """
+
+
+def office_corpus_token_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTEGRATION claim for the document-extraction family: five
+    tiers (DOCX / XLSX / PPTX / EPUB / RTF, picked by doc_id %% 5)
+    extract map-side and feed the SAME downstream Catalyst token
+    expression (``text.token_count``) — extraction output is corpus
+    text, not a dead end.  Per-format plants (%%17 / %%13) surface as
+    ok=false rows through the union.  Five map-side projections + a
+    zero-shuffle union: scan-parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    faces = (
+        (text.attach_docx_blob, text.docx_text),
+        (text.attach_xlsx_blob, text.xlsx_text),
+        (text.attach_pptx_blob, text.pptx_text),
+        (text.attach_epub_blob, text.epub_text),
+        (text.attach_rtf_blob, text.rtf_text),
+    )
+    parts = []
+    for code, (attach, face) in enumerate(faces):
+        sub = docs.filter(F.col("doc_id") % 5 == code)
+        parts.append(
+            face(attach(sub)).select(
+                F.col("id").alias("doc_id"),
+                F.lit(code).cast("int").alias("fmt"),
+                "text", "ok",
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.select(
+        "doc_id", "fmt",
+        F.when(F.col("ok"), text.token_count(F.col("text")))
+        .cast("int").alias("n_tokens"),
+        F.when(F.col("ok"), F.length("text"))
+        .cast("int").alias("n_chars"),
+        "ok",
+    )
+
+
+QUERIES["office_corpus_token_check"] = office_corpus_token_check
+ORACLES["office_corpus_token_check"] = _office_corpus_pinned_oracle()
+
+
 QUERIES["id3_meta_check"] = id3_meta_check
 ORACLES["id3_meta_check"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -10740,7 +10835,10 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # (exif_oriented_dedup_check keeps the EXIF walk driven),
 # rtf_text_check ← dedup_embedding_cosine (dedup_clusters keeps the
 # dedup family), ico_pixel_hash_check ← id3_meta_check (the ID3v2
-# walk stays driven by mp3_frame_hash_check's re-tag variants).
+# walk stays driven by mp3_frame_hash_check's re-tag variants),
+# office_corpus_token_check ← subtitle_frame_align_check (driver-
+# green r15; the composed office-union integration claim takes the
+# slot).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10791,7 +10889,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "xlsx_text_check",
     "tiff_pixel_hash_check",
     "pptx_text_check",
-    "subtitle_frame_align_check",
+    "office_corpus_token_check",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

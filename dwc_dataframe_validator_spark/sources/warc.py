@@ -36,8 +36,14 @@ from typing import Iterator
 # Optional native codecs for the br/zstd Content-Encoding tier —
 # same optional-backend contract as PIL in operators/multimodal.py:
 # decode with the library when importable, else the pure-Python
-# stored-frame tier below, else the honest ``body_decoded=false``
-# routing.  Never a hard dependency.
+# tier below, else the honest ``body_decoded=false`` routing.  Never
+# a hard dependency.  Since round 16 the pure zstd tier decodes the
+# FULL non-dictionary format (FSE/Huffman compressed blocks, CLI-
+# validated); the remaining library-only surface is dictionary-zstd
+# frames and brotli COMPRESSED metablocks (RFC 7932 entropy coding
+# requires the spec's 120 KB static dictionary, which this repo does
+# not embed — cluster deployments wanting full brotli coverage must
+# install the ``brotli`` package; documented contract).
 try:  # pragma: no cover - environment-dependent
     import brotli as _brotli_mod
 except ImportError:  # pragma: no cover

@@ -179,7 +179,7 @@ DRIVER_WINDOW = [
     "xlsx_text_check",
     "tiff_pixel_hash_check",
     "pptx_text_check",
-    "subtitle_frame_align_check",
+    "office_corpus_token_check",
 ]
 
 
