@@ -494,3 +494,21 @@ def test_round13_decode_queries_are_map_side(spark):
     ):
         nodes = _nodes(spark, name)
         assert nodes.count("Exchange") == 0, (name, nodes)
+
+
+def test_round16_extraction_plans_are_shuffle_free(spark):
+    """Every round-16 extraction check is ONE map-side Arrow
+    projection: zero exchanges, zero sorts — the property that makes
+    them scan-parallel at any corpus size.  (The cross-container
+    dedup check legitimately shuffles in its clustering core and is
+    not pinned here.)"""
+    for name in (
+        "xlsx_text_check", "pptx_text_check", "pdf_image_hash_check",
+        "pdf_encrypted_text_check", "pdf_cid_text_check",
+        "tiff_pixel_hash_check", "ico_pixel_hash_check",
+        "epub_text_check", "rtf_text_check",
+        "wav_mp3_frame_hash_check", "office_corpus_token_check",
+    ):
+        nodes = _nodes(spark, name)
+        assert nodes.count("Exchange") == 0, (name, nodes)
+        assert nodes.count("Sort") == 0, (name, nodes)
