@@ -8296,7 +8296,14 @@ def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     torn documents flag with honest reasons."""
     from .operators import pdf as pdfmod
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the pure-Python parse/cipher work dominates and the small-SF
+    # parquet is a single row group: spread the id column first (the
+    # r15 adpcm pattern — one cheap long-column shuffle)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out = pdfmod.pdf_text(pdfmod.attach_pdf_encrypted_blob(docs))
     return out.select(
         F.col("id").alias("doc_id"),
@@ -8384,7 +8391,14 @@ def pdf_cid_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting code-point soup into dedup; %%17 cuts flag 'torn'."""
     from .operators import pdf as pdfmod
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the pure-Python parse/cipher work dominates and the small-SF
+    # parquet is a single row group: spread the id column first (the
+    # r15 adpcm pattern — one cheap long-column shuffle)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out = pdfmod.pdf_text(pdfmod.attach_pdf_cid_blob(docs))
     return out.select(
         F.col("id").alias("doc_id"),
@@ -8414,7 +8428,11 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok=false."""
     from .operators import pdf as pdfmod
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out = pdfmod.pdf_image_hashes(pdfmod.attach_pdf_image_blob(docs))
     return out.select(
         F.col("id").alias("doc_id"),

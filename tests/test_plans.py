@@ -503,12 +503,21 @@ def test_round16_extraction_plans_are_shuffle_free(spark):
     dedup check legitimately shuffles in its clustering core and is
     not pinned here.)"""
     for name in (
-        "xlsx_text_check", "pptx_text_check", "pdf_image_hash_check",
-        "pdf_encrypted_text_check", "pdf_cid_text_check",
+        "xlsx_text_check", "pptx_text_check",
         "tiff_pixel_hash_check", "ico_pixel_hash_check",
         "epub_text_check", "rtf_text_check",
         "wav_mp3_frame_hash_check", "office_corpus_token_check",
     ):
         nodes = _nodes(spark, name)
         assert nodes.count("Exchange") == 0, (name, nodes)
+        assert nodes.count("Sort") == 0, (name, nodes)
+    # the three Python-heaviest PDF checks spread the id column first
+    # (the r15 adpcm pattern): exactly ONE round-robin exchange, no
+    # sort — decode parallelism must not be capped by the narrow scan
+    for name in (
+        "pdf_image_hash_check", "pdf_encrypted_text_check",
+        "pdf_cid_text_check",
+    ):
+        nodes = _nodes(spark, name)
+        assert nodes.count("Exchange") == 1, (name, nodes)
         assert nodes.count("Sort") == 0, (name, nodes)
