@@ -20,7 +20,7 @@ Expected shapes:
   pure-Python dictionary coder — the expensive constant) + hash
   grid per row, map-side: ~linear.
 
-Usage: SPARK_DRIVER_MEMORY=48g SPARK_GRAFT_CPUS=32 \
+Usage: SPARK_DRIVER_MEMORY=12g SPARK_GRAFT_CPUS=32 \
     python tools/spotcheck_r16.py [scale_dir]
 """
 
@@ -50,6 +50,10 @@ def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale100"
     spark = local_session("spotcheck-r16")
     spark.sparkContext.setLogLevel("ERROR")
+    # bound Arrow batches: at 10k rows/batch the double-mapInPandas
+    # stages transiently hold multi-GB per worker on 500k-row sweeps
+    # (one OOM-killed run proved it); 1k keeps workers ~0.4 GB
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     queries = registry.get_queries()
     out = {}
     for name in OPS:
