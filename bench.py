@@ -233,6 +233,7 @@ HEADLINE = [
     "rtf_text_check",
     "ico_pixel_hash_check",
     "office_corpus_token_check",
+    "eml_text_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

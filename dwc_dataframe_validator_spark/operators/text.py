@@ -3415,3 +3415,275 @@ def build_rtf_blob(doc_id: int) -> bytes:
 def attach_rtf_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, content) with the RTF fixture blobs."""
     return _attach_office_blob(df, build_rtf_blob, id_col)
+
+
+# ---- EML: RFC 822 / MIME mail — mail corpora are core training mass --
+
+
+def _eml_decode_part(part):
+    """Decoded text of one MIME leaf: transfer encodings reversed
+    STRICTLY (base64 validated after whitespace strip — the stdlib
+    default silently drops bad chars; a corrupt body must flag, not
+    garble), charset decode strict.  Returns None on any lie."""
+    import base64
+    import quopri
+
+    cte = str(part.get("Content-Transfer-Encoding") or "7bit").strip()
+    if cte.lower() == "base64":
+        # the stdlib's decode=True silently DROPS invalid base64
+        # chars — validate the textual form strictly instead so a
+        # corrupt body flags rather than garbles
+        s = part.get_payload(decode=False)
+        if not isinstance(s, str):
+            return None
+        try:
+            body = base64.b64decode(
+                "".join(s.split()), validate=True
+            )
+        except Exception:
+            return None
+    else:
+        try:
+            body = part.get_payload(decode=True)
+        except Exception:
+            return None
+        if body is None:
+            return None
+    _ = quopri  # qp handled by decode=True (lenient per RFC)
+    charset = (part.get_content_charset() or "us-ascii").lower()
+    try:
+        return body.decode(charset)
+    except (UnicodeDecodeError, LookupError):
+        return None
+
+
+def eml_extract(b: bytes):
+    """(subject, sender, n_parts, text) from an RFC 822 / MIME
+    payload, or None when torn — the mail mass: stdlib ``email``
+    parses the STRUCTURE (headers, multipart walk, RFC 2047
+    encoded-word headers), while transfer encodings and charsets
+    decode strictly here (base64 validated, charset strict — a
+    corrupt body flags instead of garbling).  multipart/alternative
+    prefers text/plain; standalone text/html strips through the
+    shared tag-strip; other leaves (attachments) are counted but not
+    extracted.  A message with NO decodable text part is an honest
+    None."""
+    import email
+    from email import policy
+
+    try:
+        msg = email.message_from_bytes(b, policy=policy.compat32)
+    except Exception:
+        return None
+    if not msg.keys() or msg.get("Subject") is None:
+        return None  # not mail: no header block
+
+    def header(name):
+        from email.header import decode_header
+
+        v = msg.get(name)
+        if v is None:
+            return None
+        try:
+            out = []
+            for frag, cs in decode_header(v):
+                if isinstance(frag, bytes):
+                    out.append(frag.decode(cs or "us-ascii"))
+                else:
+                    out.append(frag)
+            return "".join(out)
+        except Exception:
+            return None
+
+    subject = header("Subject")
+    sender = header("From")
+    if subject is None:
+        return None
+    texts = []
+    n_parts = 0
+
+    def walk(m):
+        nonlocal n_parts
+        if m.is_multipart():
+            subtype = m.get_content_subtype()
+            parts = m.get_payload()
+            if subtype == "alternative":
+                # prefer the LAST decodable text/plain, else html
+                best = None
+                for p in parts:
+                    n_parts += 1
+                    ct = p.get_content_type()
+                    if ct == "text/plain":
+                        t = _eml_decode_part(p)
+                        if t is None:
+                            raise ValueError("torn alternative")
+                        best = ("plain", t)
+                    elif ct == "text/html" and (
+                        best is None or best[0] != "plain"
+                    ):
+                        t = _eml_decode_part(p)
+                        if t is None:
+                            raise ValueError("torn alternative")
+                        best = ("html", _xhtml_to_text(t))
+                if best is not None:
+                    texts.append(best[1])
+                return
+            for p in parts:
+                walk(p)
+            return
+        n_parts += 1
+        ct = m.get_content_type()
+        if ct == "text/plain":
+            t = _eml_decode_part(m)
+            if t is None:
+                raise ValueError("torn part")
+            texts.append(t)
+        elif ct == "text/html":
+            t = _eml_decode_part(m)
+            if t is None:
+                raise ValueError("torn part")
+            texts.append(_xhtml_to_text(t))
+
+    try:
+        walk(msg)
+    except ValueError:
+        return None
+    if not texts:
+        return None
+    return subject, sender, n_parts, "\n".join(
+        t.replace("\r\n", "\n").strip() for t in texts
+    )
+
+
+def eml_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, subject, sender, n_parts, n_chars, text, ok) per EML
+    payload."""
+
+    def ex(b):
+        got = eml_extract(b)
+        if got is None:
+            return None
+        s, f, np_, t = got
+        return s, f, np_, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "subject", "sender", "n_parts", "n_chars", "text",
+         "ok"],
+        "id long, subject string, sender string, n_parts int, "
+        "n_chars int, text string, ok boolean",
+        content_col, id_col,
+    )
+
+
+def eml_encode(
+    subject: str, sender: str, body: str, variant: str = "7bit"
+) -> bytes:
+    """Minimal deterministic MIME writer — the fixture twin of
+    ``eml_extract``.  Variants: ``7bit`` plain ascii-ish (latin-1),
+    ``base64`` / ``qp`` re-encode the SAME utf-8 body (identical
+    extraction), ``alt`` a multipart/alternative with an html
+    rendering FIRST and the plain part second (plain must win),
+    ``html`` an html-only message (tag-strip path)."""
+    import base64
+    import quopri
+
+    def head(extra):
+        return (
+            "From: %s\r\nTo: list@example.org\r\n"
+            "Subject: %s\r\nMIME-Version: 1.0\r\n%s\r\n"
+            % (sender, subject, extra)
+        ).encode("utf-8")
+
+    if variant == "7bit":
+        return head(
+            'Content-Type: text/plain; charset="latin-1"\r\n'
+            "Content-Transfer-Encoding: 7bit\r\n"
+        ) + body.encode("latin-1")
+    if variant == "base64":
+        enc = base64.encodebytes(body.encode("utf-8"))
+        return head(
+            'Content-Type: text/plain; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: base64\r\n"
+        ) + enc
+    if variant == "qp":
+        enc = quopri.encodestring(body.encode("utf-8"))
+        return head(
+            'Content-Type: text/plain; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: quoted-printable\r\n"
+        ) + enc
+    if variant == "html":
+        html = "<html><body><p>%s</p></body></html>" % (
+            body.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("\n", "</p><p>")
+        )
+        return head(
+            'Content-Type: text/html; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: 8bit\r\n"
+        ) + html.encode("utf-8")
+    if variant == "alt":
+        html = "<html><body><p>%s</p></body></html>" % (
+            body.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("\n", "</p><p>")
+        )
+        b64 = base64.encodebytes(body.encode("utf-8")).decode()
+        return head(
+            'Content-Type: multipart/alternative; boundary="BNDRY42"'
+            "\r\n"
+        ) + (
+            "--BNDRY42\r\n"
+            'Content-Type: text/html; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: 8bit\r\n\r\n%s\r\n"
+            "--BNDRY42\r\n"
+            'Content-Type: text/plain; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: base64\r\n\r\n%s"
+            "--BNDRY42--\r\n" % (html, b64)
+        ).encode("utf-8")
+    raise ValueError(variant)
+
+
+def build_eml_blob(doc_id: int) -> bytes:
+    """EML fixture: class ``doc_id %% 4`` picks the body/subject
+    (accents in class 1+), variant ``(doc_id // 4) %% 5`` the
+    packaging from (7bit, base64, qp, html, alt) — all five extract
+    the SAME text (html strips to the collapsed form).  ``%% 17``
+    cuts the message before the Subject header (an un-headed
+    fragment — a truncated PLAIN body is undetectable by design, so
+    the torn plant targets the only framing mail has); else ``%% 13``
+    corrupts the base64 body (a ``*`` in the alphabet — strict
+    validation flags) or the charset label — ok=false."""
+    cls = doc_id % 4
+    variant = ("7bit", "base64", "qp", "html", "alt")[
+        (doc_id // 4) % 5
+    ]
+    accent = "" if cls == 0 else " café résumé"
+    body = "mail body class %d line one%s\nsecond line %d" % (
+        cls, accent, cls,
+    )
+    if variant in ("html", "alt"):
+        # the html path collapses whitespace: use the collapsed twin
+        pass
+    subject = "Subject line %d" % cls
+    sender = "sender%d@example.org" % cls
+    if cls != 0 and variant == "7bit":
+        variant = "qp"  # latin-1 7bit can't carry the utf-8 accents
+    blob = eml_encode(subject, sender, body, variant)
+    if doc_id % 17 == 0:
+        return blob[: blob.index(b"Subject:")]
+    if doc_id % 13 == 0:
+        if b"base64" in blob:
+            i = blob.rindex(b"\r\n\r\n") + 6
+            return blob[:i] + b"*" + blob[i + 1:]
+        mut = blob.replace(
+            b'charset="utf-8"', b'charset="nocodec"'
+        ).replace(b'charset="latin-1"', b'charset="nocodec"')
+        assert mut != blob
+        return mut
+    return blob
+
+
+def attach_eml_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the EML fixture blobs."""
+    return _attach_office_blob(df, build_eml_blob, id_col)

@@ -9306,6 +9306,85 @@ QUERIES["office_corpus_token_check"] = office_corpus_token_check
 ORACLES["office_corpus_token_check"] = _office_corpus_pinned_oracle()
 
 
+def _eml_pinned_oracle() -> str:
+    """Pinned oracle for the mail tier, computed through the same
+    extraction: all five packagings of a class carry the same text
+    (html collapses the newline — the tag-strip convention, asserted
+    here), subjects/senders are class arithmetic."""
+    rows = {}
+    for cls in range(4):
+        for var in range(5):
+            did = next(
+                d for d in range(4000)
+                if d % 4 == cls and (d // 4) % 5 == var
+                and d % 17 and d % 13
+            )
+            got = text.eml_extract(text.build_eml_blob(did))
+            assert got is not None, (cls, var)
+            s, f, np_, t = got
+            assert s == "Subject line %d" % cls, (cls, var)
+            rows[(cls, var)] = (np_, t)
+    for cls in range(4):
+        plain = {rows[(cls, v)][1] for v in (0, 1, 2, 4)}
+        assert len(plain) == 1, cls
+        assert rows[(cls, 3)][1] == next(iter(plain)).replace(
+            "\n", " "
+        ), cls
+    np_c = " ".join(
+        "WHEN cls = %d AND var = %d THEN %d" % (c, v, r[0])
+        for (c, v), r in rows.items()
+    )
+    tx_c = " ".join(
+        "WHEN cls = %d AND var = %d THEN '%s'"
+        % (c, v, r[1].replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for (c, v), r in rows.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 CAST((doc_id // 4) % 5 AS INTEGER) AS var,
+                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN bad THEN NULL
+               ELSE 'Subject line ' || cls END AS subject,
+          CASE WHEN bad THEN NULL
+               ELSE 'sender' || cls || '@example.org' END AS sender,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_parts,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(length(CASE {tx_c} END) AS INTEGER)
+               END AS n_chars,
+          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
+          NOT bad AS ok
+        FROM base
+    """
+
+
+def eml_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 822 / MIME mail extraction (operators/text.py
+    ``eml_extract`` → ``eml_text``): stdlib ``email`` walks the
+    structure while transfer encodings decode STRICTLY here (base64
+    validated — the stdlib silently drops invalid chars — and
+    charsets strict, so corrupt bodies flag instead of garbling);
+    multipart/alternative prefers text/plain over the html rendering,
+    html strips through the shared tag collapse, RFC 2047 headers
+    decode.  All five packagings of a class pin the same text.
+    %%17 cuts the message before Subject (the only framing plain
+    mail has), %%13 corrupts the base64 alphabet / charset label —
+    ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.eml_text(text.attach_eml_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "subject", "sender", "n_parts", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["eml_text_check"] = eml_text_check
+ORACLES["eml_text_check"] = _eml_pinned_oracle()
+
+
 QUERIES["id3_meta_check"] = id3_meta_check
 ORACLES["id3_meta_check"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -10856,7 +10935,8 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # walk stays driven by mp3_frame_hash_check's re-tag variants),
 # office_corpus_token_check ← subtitle_frame_align_check (driver-
 # green r15; the composed office-union integration claim takes the
-# slot).
+# slot), eml_text_check ← adpcm_decode_check
+# (ms_adpcm_decode_check keeps the ADPCM family in-window).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -10883,7 +10963,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "docx_text_check",
     "wet_main_content_docs",
     "exif_oriented_dedup_check",
-    "adpcm_decode_check",
+    "eml_text_check",
     "pdf_text_check",
     "bmp_variant_pixel_hash_check",
     "contamination_hits",

@@ -99,3 +99,47 @@ def test_docformat_fuzz_and_faces(spark):
         if not bad:
             assert er[d]["n_chars"] == len(er[d]["text"]), d
             assert rr[d]["n_chars"] == len(rr[d]["text"]), d
+
+
+def test_eml_extraction():
+    """MIME mail: all five packagings (7bit/base64/qp/html/alt) of a
+    class extract the same text (html collapses the newline);
+    multipart/alternative prefers text/plain over the html rendering;
+    RFC 2047 subjects decode; strict base64/charset validation flags
+    corrupt bodies; fuzz never raises."""
+    T = _t()
+    for did in range(100):
+        r = T.eml_extract(T.build_eml_blob(did))
+        bad = did % 17 == 0 or did % 13 == 0
+        assert (r is None) == bad, did
+        if bad:
+            continue
+        cls = did % 4
+        var = (did // 4) % 5
+        s, f, np_, txt = r
+        assert s == "Subject line %d" % cls
+        assert f == "sender%d@example.org" % cls
+        assert np_ == (2 if var == 4 else 1), (did, np_)
+        accent = "" if cls == 0 else " caf\xe9 r\xe9sum\xe9"
+        want = (
+            "mail body class %d line one%s\nsecond line %d"
+            % (cls, accent, cls)
+        )
+        if var == 3:
+            want = want.replace("\n", " ")
+        assert txt == want, (did, repr(txt))
+    # RFC 2047 encoded-word subject
+    blob = (b"From: a@b.c\r\nSubject: =?utf-8?B?Y2Fmw6k=?=\r\n"
+            b"Content-Type: text/plain\r\n\r\nhi there")
+    assert T.eml_extract(blob)[0] == "caf\xe9"
+    # strict base64: stdlib would silently drop the bad char
+    blob = T.build_eml_blob(4)  # base64 variant, non-plant
+    assert b"base64" in blob
+    i = blob.rindex(b"\r\n\r\n") + 6
+    assert T.eml_extract(blob[:i] + b"*" + blob[i + 1:]) is None
+    for base in (1, 5, 9, 14, 18):
+        b = T.build_eml_blob(base)
+        for j in range(0, len(b), 5):
+            T.eml_extract(b[:j] + bytes([b[j] ^ 0xFF]) + b[j + 1:])
+            T.eml_extract(b[:j])
+    assert T.eml_extract(b"not mail at all") is None
