@@ -8296,27 +8296,40 @@ def ico_decode_pixels(b: bytes):
         ).reshape(h, w, 4)[::-1]  # bottom-up
         return rows[:, :, 2::-1].copy()  # BGRA → RGB
     if bpp == 8:
-        pal_sz = 256 * 4
+        # biClrUsed (offset 32) declares the palette length; 0 means
+        # the full 256 — hard-coding 256 would misread the pixel
+        # rows of any smaller-palette icon (round-16 self-review fix)
+        clr_used = int.from_bytes(data[32:36], "little") or 256
+        if clr_used > 256:
+            return None
+        pal_sz = clr_used * 4
         stride = (w + 3) & ~3
         need = 40 + pal_sz + stride * h
         if len(data) < need:
             return None
         pal = np.frombuffer(
             data[40:40 + pal_sz], np.uint8
-        ).reshape(256, 4)[:, 2::-1]  # BGRX → RGB
+        ).reshape(clr_used, 4)[:, 2::-1]  # BGRX → RGB
         idx = np.frombuffer(
             data[40 + pal_sz:40 + pal_sz + stride * h], np.uint8
         ).reshape(h, stride)[::-1, :w]
+        if int(idx.max(initial=0)) >= clr_used:
+            return None  # index beyond the declared palette: torn
         return pal[idx].copy()
     raise NotImplementedError("ICO DIB bpp %d" % bpp)
 
 
-def ico_encode(images: list, png_entry: bool = False) -> bytes:
+def ico_encode(
+    images: list, png_entry: bool = False, pal8: bool = False
+) -> bytes:
     """Minimal ICO writer — the fixture twin of
     ``ico_decode_pixels``: ``images`` is a list of uint8 (h, w, 3)
     arrays; each writes as a 32-bpp DIB entry (opaque alpha, zero
-    AND mask), or as PNG when ``png_entry=True`` (same pixels — the
-    packaging-transparency claim)."""
+    AND mask), as PNG when ``png_entry=True``, or as an 8-bpp
+    palette DIB when ``pal8=True`` (exact palette from the unique
+    colors, ``biClrUsed`` set to its true length — the decoder must
+    honor it, not assume 256) — same pixels all three ways, the
+    packaging-transparency claim."""
     import numpy as np
 
     entries = []
@@ -8326,6 +8339,29 @@ def ico_encode(images: list, png_entry: bool = False) -> bytes:
         h, w, _c = px.shape
         if png_entry:
             blob = png_encode(px)
+        elif pal8:
+            flat = px.reshape(-1, 3)
+            colors, idx = np.unique(
+                flat, axis=0, return_inverse=True
+            )
+            if len(colors) > 256:
+                raise ValueError("pal8 needs <=256 unique colors")
+            pal = np.zeros((len(colors), 4), np.uint8)
+            pal[:, 0] = colors[:, 2]
+            pal[:, 1] = colors[:, 1]
+            pal[:, 2] = colors[:, 0]
+            stride = (w + 3) & ~3
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, :w] = idx.reshape(h, w).astype(np.uint8)
+            and_stride = ((w + 31) // 32) * 4
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0,
+                stride * h + and_stride * h, 0, 0, len(colors), 0,
+            )
+            blob = (
+                hdr + pal.tobytes() + rows[::-1].tobytes()
+                + bytes(and_stride * h)
+            )
         else:
             bgra = np.zeros((h, w, 4), np.uint8)
             bgra[:, :, 0] = px[:, :, 2]

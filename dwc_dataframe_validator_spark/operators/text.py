@@ -3426,7 +3426,6 @@ def _eml_decode_part(part):
     default silently drops bad chars; a corrupt body must flag, not
     garble), charset decode strict.  Returns None on any lie."""
     import base64
-    import quopri
 
     cte = str(part.get("Content-Transfer-Encoding") or "7bit").strip()
     if cte.lower() == "base64":
@@ -3449,7 +3448,6 @@ def _eml_decode_part(part):
             return None
         if body is None:
             return None
-    _ = quopri  # qp handled by decode=True (lenient per RFC)
     charset = (part.get_content_charset() or "us-ascii").lower()
     try:
         return body.decode(charset)

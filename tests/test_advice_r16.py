@@ -280,6 +280,7 @@ def test_ico_favicon_decode_tier():
         for blob in (
             mm.ico_encode([px]),
             mm.ico_encode([px], png_entry=True),
+            mm.ico_encode([px], pal8=True),
             mm.ico_encode([px[::2, ::2].copy(), px]),
         ):
             dec = mm.ico_decode_pixels(blob)
@@ -305,3 +306,14 @@ def test_ico_favicon_decode_tier():
                     mm.ico_decode_pixels(mut)
                 except NotImplementedError:
                     pass
+    # 8-bpp honors biClrUsed (small palettes) and refuses index lies
+    quad = np.zeros((16, 16, 3), np.uint8)
+    quad[:8, :8] = (255, 0, 0)
+    quad[:8, 8:] = (0, 255, 0)
+    quad[8:, :8] = (0, 0, 255)
+    quad[8:, 8:] = (200, 200, 0)
+    blob = mm.ico_encode([quad], pal8=True)
+    assert (mm.ico_decode_pixels(blob) == quad).all()
+    mut = bytearray(blob)
+    mut[-((16 + 31) // 32 * 4 * 16) - 1] = 250
+    assert mm.ico_decode_pixels(bytes(mut)) is None
