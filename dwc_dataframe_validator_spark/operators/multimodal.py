@@ -1848,6 +1848,12 @@ def wav_decode_samples(b: bytes):
         if fact_total is not None:
             if fact_total > arr.shape[0]:
                 return None  # fact claims frames the data lacks
+            if fact_total == 0 and arr.shape[0] > 0:
+                # a fact chunk declaring zero frames over non-empty
+                # ADPCM data is a lie in the other direction; refuse
+                # rather than report an empty "successful" decode
+                # (r16 ADVICE)
+                return None
             arr = arr[:fact_total]
         if arr.shape[0] * channels > 200_000_000:
             return None

@@ -55,6 +55,13 @@ class _Torn(Exception):
     """Internal: malformed/truncated structure (→ ok=false row)."""
 
 
+#: xref sentinel for an EXPLICITLY freed object.  Per ISO 32000
+#: §7.3.10 a reference to a free object resolves to the null object,
+#: so get() returns None for these; _Torn stays reserved for entries
+#: that are absent or point outside the file (r16 ADVICE).
+_FREE = object()
+
+
 # ---- standard security handler primitives -----------------------------
 # Stdlib-only RC4 and AES-128 (FIPS-197 arithmetic computed from the
 # GF(2^8) field, not literal tables — pinned by the spec's appendix
@@ -704,8 +711,8 @@ class PdfDoc:
                     # record frees too (newest wins): an object
                     # deleted by an incremental update must NOT be
                     # resurrected from an older /Prev section
-                    # (r15 ADVICE); get() treats None as missing
-                    self.xref[num] = None
+                    # (r15 ADVICE); get() resolves _FREE to null
+                    self.xref[num] = _FREE
             i += 20 * count
         tr, i = parse_object(b, i)
         if not isinstance(tr, dict):
@@ -781,7 +788,7 @@ class PdfDoc:
                 elif typ == 0:
                     # free entry: record so older sections can't
                     # resurrect a deleted object (r15 ADVICE)
-                    self.xref[num] = None
+                    self.xref[num] = _FREE
                 # unknown types: skip (spec: treat as free-ish)
         return d
 
@@ -796,6 +803,11 @@ class PdfDoc:
         if num in self._cache:
             return self._cache[num]
         off = self.xref.get(num)
+        if off is _FREE:
+            # explicit free entry: dangling refs to deleted objects
+            # (common after incremental updates) are the null object,
+            # not a torn document (ISO 32000 §7.3.10, r16 ADVICE)
+            return None
         if isinstance(off, tuple):
             return self._objstm_get(num, off[1])
         if off is None or off >= len(self.b):

@@ -2628,7 +2628,10 @@ def xlsx_extract(b: bytes):
     wb, why = _ooxml_part(b, "xl/workbook.xml")
     if wb is None:
         return None
-    declared = len(_re.findall(r"<sheet[ /]", wb))
+    # optional namespace prefix: workbooks written with a prefixed
+    # SpreadsheetML namespace declare sheets as <x:sheet .../>
+    # (r16 ADVICE)
+    declared = len(_re.findall(r"<(?:\w+:)?sheet[ /]", wb))
     sheets = _ooxml_numbered_parts(
         b, r"xl/worksheets/sheet(\d+)\.xml"
     )
@@ -2702,7 +2705,9 @@ def pptx_extract(b: bytes):
     pres, _why = _ooxml_part(b, "ppt/presentation.xml")
     if pres is None:
         return None
-    declared = len(_re.findall(r"<p:sldId[ /]", pres))
+    # any (or no) namespace prefix — writers are not obliged to bind
+    # presentationML to "p:" (r16 ADVICE)
+    declared = len(_re.findall(r"<(?:\w+:)?sldId[ /]", pres))
     slides = _ooxml_numbered_parts(b, r"ppt/slides/slide(\d+)\.xml")
     if slides is None or len(slides) != declared or not slides:
         return None
@@ -2789,7 +2794,9 @@ def pptx_text(
     )
 
 
-def xlsx_encode(sheets: list, inline: bool = False) -> bytes:
+def xlsx_encode(
+    sheets: list, inline: bool = False, wb_ns_prefix: str = ""
+) -> bytes:
     """Minimal XLSX writer — the fixture twin of ``xlsx_extract``:
     ``sheets`` is a list of sheets, each a list of rows, each a list
     of cells (str or int).  String cells write through a DEDUPED
@@ -2834,8 +2841,12 @@ def xlsx_encode(sheets: list, inline: bool = False) -> bytes:
             '<?xml version="1.0"?><worksheet><sheetData>%s'
             "</sheetData></worksheet>" % "".join(out)
         )
+    # wb_ns_prefix="x:" writes namespace-prefixed workbook sheets —
+    # a valid SpreadsheetML spelling the reader must count (r16
+    # ADVICE)
     wb = "".join(
-        '<sheet name="S%d" sheetId="%d" r:id="rId%d"/>' % (k, k, k)
+        '<%ssheet name="S%d" sheetId="%d" r:id="rId%d"/>'
+        % (wb_ns_prefix, k, k, k)
         for k in range(1, len(sheets) + 1)
     )
     members.append((
@@ -2864,7 +2875,9 @@ def xlsx_encode(sheets: list, inline: bool = False) -> bytes:
     return zip_encode(members)
 
 
-def pptx_encode(slides: list, split_runs: bool = False) -> bytes:
+def pptx_encode(
+    slides: list, split_runs: bool = False, sldid_prefix: str = "p:"
+) -> bytes:
     """Minimal PPTX writer — the fixture twin of ``pptx_extract``:
     ``slides`` is a list of slides, each a list of paragraph strings;
     ``split_runs=True`` splits every paragraph mid-word into two
@@ -2878,8 +2891,10 @@ def pptx_encode(slides: list, split_runs: bool = False) -> bytes:
         )
 
     members = [("[Content_Types].xml", b"<Types/>")]
+    # sldid_prefix="" (or any other binding) is equally valid
+    # presentationML — the reader counts sldId regardless (r16 ADVICE)
     sld = "".join(
-        '<p:sldId id="%d" r:id="rId%d"/>' % (255 + k, k)
+        '<%ssldId id="%d" r:id="rId%d"/>' % (sldid_prefix, 255 + k, k)
         for k in range(1, len(slides) + 1)
     )
     members.append((
@@ -3195,7 +3210,9 @@ def rtf_extract(b: bytes):
     """(n_paragraphs, text) from an RTF payload, or None when torn —
     the legacy word-processing mass: group-aware control-word walk
     with destination skipping (fonttbl/colortbl/stylesheet/info/pict
-    and every ``{\\*…}``), ``\\par``/``\\line`` → newline, ``\\tab``
+    and every ``{\\*…}`` except ``{\\*\\ud …}`` alternate-Unicode
+    destinations, whose text is real; ``\\upr`` suppresses its ANSI
+    twin so the pair emits once), ``\\par``/``\\line`` → newline, ``\\tab``
     → tab, ``\\'hh`` cp1252 hex escapes, ``\\uN`` unicode escapes
     with ``\\ucN`` fallback-skip accounting, ``\\binN`` binary skip,
     brace/backslash literals.  Unbalanced groups, a missing
@@ -3255,8 +3272,23 @@ def rtf_extract(b: bytes):
                 else:
                     emit(ch)
                 i += 4
-            elif nx == 0x2A:  # \* : skip-unknown destination
-                skipping = True
+            elif nx == 0x2A:  # \* : skip-unknown destination …
+                # … EXCEPT \*\ud: the Unicode alternative of a
+                # {\upr{ansi}{\*\ud{unicode}}} pair (the \upr handler
+                # suppressed the ANSI twin) or a bare alternate-
+                # Unicode destination — both carry real document
+                # text (r16 ADVICE).  Inside a named skip
+                # destination (fonttbl, pict, …) it stays skipped.
+                j = i + 2
+                is_ud = b[j:j + 3] == b"\\ud" and not (
+                    j + 3 < n
+                    and (0x61 <= b[j + 3] <= 0x7A
+                         or 0x41 <= b[j + 3] <= 0x5A)
+                )
+                if is_ud and skipping in (False, "upr"):
+                    skipping = False
+                else:
+                    skipping = skipping or "star"
                 i += 2
             elif 0x61 <= nx <= 0x7A or 0x41 <= nx <= 0x5A:
                 j = i + 1
@@ -3299,8 +3331,15 @@ def rtf_extract(b: bytes):
                     if skip < 0 or i + skip > n:
                         return None
                     i += skip
+                elif word == "upr":
+                    # \upr pairs an ANSI representation with a
+                    # {\*\ud …} Unicode twin; a \ud-aware reader
+                    # emits ONLY the Unicode side, so suppress the
+                    # ANSI text until the \ud whitelist re-enables
+                    if not skipping:
+                        skipping = "upr"
                 elif word in _RTF_SKIP_DESTS:
-                    skipping = True
+                    skipping = "dest"
                 # other control words: formatting, ignored
             else:
                 i += 2  # other control symbol (e.g. \~ \-): ignore

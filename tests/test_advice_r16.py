@@ -42,8 +42,9 @@ def test_pdf_torn_flate_prefix_flags():
 
 def test_pdf_freed_object_not_resurrected():
     """An incremental update that FREES an object must win over the
-    older /Prev section that still defines it: reading the freed
-    content object flags _Torn instead of resurrecting stale text."""
+    older /Prev section that still defines it: the dangling /Contents
+    ref resolves to the null object (empty page, ISO 32000 §7.3.10 —
+    r16 ADVICE), NEVER to the resurrected stale text."""
     P = _pdf()
     base = P.pdf_encode(["old page text"])
     doc = P.PdfDoc(base)
@@ -58,8 +59,12 @@ def test_pdf_freed_object_not_resurrected():
         + b"startxref\n%d\n%%%%EOF\n" % new_xref
     )
     doc2 = P.PdfDoc(upd)
+    assert [doc2.page_text(p) for p in doc2.pages()] == [""]
+    # the free entry itself resolves to null, not _Torn …
+    assert doc2.get(5) is None
+    # … while a never-defined object is still an honest tear
     with pytest.raises(P._Torn):
-        [doc2.page_text(p) for p in doc2.pages()]
+        doc2.get(99)
 
 
 def _ima_wav(n=2525, ba=256):
