@@ -3724,3 +3724,470 @@ def build_eml_blob(doc_id: int) -> bytes:
 def attach_eml_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, content) with the EML fixture blobs."""
     return _attach_office_blob(df, build_eml_blob, id_col)
+
+
+# ---- ODF: OpenDocument text / spreadsheet / presentation ------------
+# The OpenDocument office mass (LibreOffice/OpenOffice output) rides
+# the same zip source as OOXML: a `mimetype` member names the kind,
+# `content.xml` carries the document.  Same regex-over-XML approach
+# as docx/xlsx/pptx (no nested same-name elements in the supported
+# shapes; draw frames nesting <text:p> inside ODT paragraphs are an
+# accepted extraction loss, documented).
+
+_ODF_MIMES = {
+    b"application/vnd.oasis.opendocument.text": "odt",
+    b"application/vnd.oasis.opendocument.spreadsheet": "ods",
+    b"application/vnd.oasis.opendocument.presentation": "odp",
+}
+
+#: expansion guard: a sheet whose repeated rows/cells expand past
+#: this is a padding bomb (spreadsheets pad with
+#: number-columns-repeated="16384" empties), not a document
+_ODF_MAX_CELLS = 100_000
+
+
+def _odf_flat_text(xml: str) -> str:
+    """Inline ODF content → plain text: ``<text:tab/>`` → tab,
+    ``<text:line-break/>`` → newline, ``<text:s text:c="N"/>`` → N
+    spaces (default 1), every other tag transparent, entities
+    decode."""
+    import re as _re
+
+    out = []
+    pos = 0
+    for m in _re.finditer(r"<[^>]*>", xml):
+        seg = xml[pos : m.start()]
+        if seg:
+            out.append(_docx_unescape(seg))
+        tag = m.group(0)
+        if _re.match(r"<text:tab(?:[ />])", tag):
+            out.append("\t")
+        elif _re.match(r"<text:line-break(?:[ />])", tag):
+            out.append("\n")
+        elif _re.match(r"<text:s(?:[ />])", tag):
+            cm = _re.search(r'text:c="(\d+)"', tag)
+            out.append(" " * (int(cm.group(1)) if cm else 1))
+        pos = m.end()
+    tail = xml[pos:]
+    if tail:
+        out.append(_docx_unescape(tail))
+    return "".join(out)
+
+
+def _odf_paragraphs(xml: str) -> list:
+    """``<text:p>``/``<text:h>`` elements in document order → list
+    of plain-text lines (self-closing empties included)."""
+    import re as _re
+
+    out = []
+    for m in _re.finditer(
+        r"<text:(?:p|h)(?:[ ][^>]*)?/>"
+        r"|<text:(?:p|h)(?:[ ][^>]*)?>(.*?)</text:(?:p|h)>",
+        xml,
+        _re.S,
+    ):
+        body = m.group(1)
+        out.append("" if body is None else _odf_flat_text(body))
+    return out
+
+
+def _odf_repeat(tag_attrs: str, name: str) -> int:
+    import re as _re
+
+    m = _re.search(r'table:number-%s-repeated="(\d+)"' % name,
+                   tag_attrs)
+    return int(m.group(1)) if m else 1
+
+
+def _ods_sheet_text(sheet_xml: str):
+    """One ``<table:table>`` body → tab/newline grid text, or None
+    past the expansion guard.  Repeats honored; trailing empty cells
+    per row and trailing empty rows per sheet TRIMMED (the padding
+    convention — spreadsheet writers pad to the grid edge)."""
+    import re as _re
+
+    rows = []
+    total = 0
+    for rm in _re.finditer(
+        r"<table:table-row((?:[ ][^>]*)?)/>"
+        r"|<table:table-row((?:[ ][^>]*)?)>(.*?)</table:table-row>",
+        sheet_xml,
+        _re.S,
+    ):
+        attrs = rm.group(1) if rm.group(1) is not None else rm.group(2)
+        body = rm.group(3)
+        rrep = _odf_repeat(attrs or "", "rows")
+        cells = []
+        if body:
+            for cm in _re.finditer(
+                r"<table:(?:covered-)?table-cell((?:[ ][^>]*)?)/>"
+                r"|<table:(?:covered-)?table-cell((?:[ ][^>]*)?)>"
+                r"(.*?)</table:(?:covered-)?table-cell>",
+                body,
+                _re.S,
+            ):
+                cattrs = (
+                    cm.group(1) if cm.group(1) is not None
+                    else cm.group(2)
+                )
+                cbody = cm.group(3)
+                crep = _odf_repeat(cattrs or "", "columns")
+                txt = (
+                    "\n".join(_odf_paragraphs(cbody))
+                    if cbody else ""
+                )
+                cells.extend([txt] * crep)
+                total += crep
+                if total > _ODF_MAX_CELLS:
+                    return None
+        while cells and cells[-1] == "":
+            cells.pop()
+        line = "\t".join(cells)
+        rows.extend([line] * rrep)
+        total += rrep
+        if total > _ODF_MAX_CELLS:
+            return None
+    while rows and rows[-1] == "":
+        rows.pop()
+    return "\n".join(rows)
+
+
+def odf_extract(b: bytes):
+    """(kind, n_units, text) from an OpenDocument payload, or None
+    when torn — kind from the ``mimetype`` member ('odt'/'ods'/
+    'odp'), units = paragraphs / sheets / pages.  Requires
+    ``mimetype`` (a known ODF type), ``META-INF/manifest.xml``
+    listing content.xml, and a CRC-clean utf-8 ``content.xml``;
+    ODT needs an ``<office:text>`` body, ODS/ODP at least one
+    table/page.  Repeated-row/cell expansion past the padding guard
+    refuses (a padded grid edge is trimmed, a bomb is not a
+    document)."""
+    import re as _re
+
+    mime = manifest = content = None
+    for _idx, name, _size, data, ok in iter_zip_members_for_office(b):
+        if name is None:
+            return None
+        if name == "mimetype":
+            if not ok:
+                return None
+            mime = bytes(data)
+        elif name == "META-INF/manifest.xml":
+            if not ok:
+                return None
+            manifest = bytes(data)
+        elif name == "content.xml":
+            if not ok:
+                return None
+            content = bytes(data)
+    if mime is None or manifest is None or content is None:
+        return None
+    kind = _ODF_MIMES.get(mime.strip())
+    if kind is None or b"content.xml" not in manifest:
+        return None
+    try:
+        xml = content.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    if kind == "odt":
+        bm = _re.search(r"<office:text(?:[ ][^>]*)?>(.*)</office:text>",
+                        xml, _re.S)
+        if bm is None:
+            return None
+        paras = _odf_paragraphs(bm.group(1))
+        return kind, len(paras), "\n".join(paras)
+    if kind == "ods":
+        sheets = []
+        for sm in _re.finditer(
+            r"<table:table(?:[ ][^>]*)?>(.*?)</table:table>", xml,
+            _re.S,
+        ):
+            st = _ods_sheet_text(sm.group(1))
+            if st is None:
+                return None
+            sheets.append(st)
+        if not sheets:
+            return None
+        return kind, len(sheets), "\n".join(sheets)
+    pages = []
+    for pm in _re.finditer(
+        r"<draw:page(?:[ ][^>]*)?>(.*?)</draw:page>", xml, _re.S
+    ):
+        pages.append("\n".join(_odf_paragraphs(pm.group(1))))
+    if not pages:
+        return None
+    return kind, len(pages), "\n".join(pages)
+
+
+def odf_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, kind, n_units, n_chars, text, ok) per ODF payload."""
+
+    def ex(b):
+        got = odf_extract(b)
+        if got is None:
+            return None
+        k, nu, t = got
+        return k, nu, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "kind", "n_units", "n_chars", "text", "ok"],
+        "id long, kind string, n_units int, n_chars int, "
+        "text string, ok boolean",
+        content_col, id_col,
+    )
+
+
+def _odf_esc(s: str) -> str:
+    s = (
+        s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+    s = s.replace("\t", "<text:tab/>").replace("\n", "<text:line-break/>")
+    import re as _re
+
+    return _re.sub(
+        r"  +", lambda m: '<text:s text:c="%d"/>' % len(m.group(0)), s
+    )
+
+
+def odf_encode(kind: str, payload) -> bytes:
+    """Minimal ODF writer — the fixture twin of ``odf_extract``.
+    ``payload``: odt → list of paragraph strings; ods → list of
+    sheets, each a list of rows, each a list of cell strings; odp →
+    list of pages, each a list of paragraph strings.  Tabs /
+    newlines / multi-space runs in text write through their ODF
+    spellings (``<text:tab/>``, ``<text:line-break/>``,
+    ``<text:s text:c="N"/>``) — extraction is the identity."""
+    from ..sources.zip import zip_encode
+
+    mime = {
+        "odt": b"application/vnd.oasis.opendocument.text",
+        "ods": b"application/vnd.oasis.opendocument.spreadsheet",
+        "odp": b"application/vnd.oasis.opendocument.presentation",
+    }[kind]
+    if kind == "odt":
+        body = "<office:text>%s</office:text>" % "".join(
+            "<text:p>%s</text:p>" % _odf_esc(p) for p in payload
+        )
+    elif kind == "ods":
+        tabs = []
+        for si, rows in enumerate(payload):
+            rx = "".join(
+                '<table:table-row table:style-name="ro1">%s'
+                "</table:table-row>"
+                % "".join(
+                    "<table:table-cell><text:p>%s</text:p>"
+                    "</table:table-cell>" % _odf_esc(c)
+                    for c in row
+                )
+                for row in rows
+            )
+            tabs.append(
+                '<table:table table:name="Sheet%d">%s</table:table>'
+                % (si + 1, rx)
+            )
+        body = "<office:spreadsheet>%s</office:spreadsheet>" % "".join(
+            tabs
+        )
+    else:
+        body = "<office:presentation>%s</office:presentation>" % "".join(
+            '<draw:page draw:name="page%d">%s</draw:page>'
+            % (pi + 1, "".join(
+                "<text:p>%s</text:p>" % _odf_esc(p) for p in page
+            ))
+            for pi, page in enumerate(payload)
+        )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<office:document-content><office:body>%s</office:body>"
+        "</office:document-content>" % body
+    ).encode("utf-8")
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?><manifest:manifest>'
+        '<manifest:file-entry manifest:full-path="/"/>'
+        '<manifest:file-entry manifest:full-path="content.xml"/>'
+        "</manifest:manifest>"
+    ).encode()
+    return zip_encode([
+        ("mimetype", mime),
+        ("META-INF/manifest.xml", manifest),
+        ("content.xml", content),
+    ])
+
+
+def build_odf_blob(doc_id: int) -> bytes:
+    """ODF fixture: kind ``doc_id %% 3`` (odt/ods/odp), class
+    ``(doc_id // 3) %% 4`` scales the unit count; text carries
+    entities, a tab and a double-space (ODF spellings round-trip).
+    ``%% 17`` flips a byte inside content.xml (member CRC →
+    ok=false); else ``%% 13`` renames the ``mimetype`` member
+    (unknown kind → ok=false)."""
+    kind = ("odt", "ods", "odp")[doc_id % 3]
+    cls = (doc_id // 3) % 4
+    if kind == "odt":
+        paras = [
+            "odt class %d para %d with café & <t>" % (cls, k)
+            for k in range(2 + cls)
+        ]
+        paras[0] += "\ttab  two spaces"
+        blob = odf_encode("odt", paras)
+    elif kind == "ods":
+        sheets = [
+            [
+                [
+                    "w%d" % ((r * 7 + s) % 5),
+                    str(r * 13 + s),
+                    "c&<%d>" % r,
+                ]
+                for r in range(2 + cls)
+            ]
+            for s in range(1 + cls % 2)
+        ]
+        blob = odf_encode("ods", sheets)
+    else:
+        pages = [
+            ["odp page %d line %d" % (p, k) for k in range(2)]
+            for p in range(2 + cls % 3)
+        ]
+        blob = odf_encode("odp", pages)
+    if doc_id % 17 == 0:
+        i = blob.index(b"<office:body>") + 4
+        return blob[:i] + bytes([blob[i] ^ 0x55]) + blob[i + 1:]
+    if doc_id % 13 == 0:
+        return blob.replace(b"mimetype", b"mimetypo", 2)
+    return blob
+
+
+def attach_odf_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the ODF fixture blobs."""
+    return _attach_office_blob(df, build_odf_blob, id_col)
+
+
+# ---- mbox: the mailbox container over the EML extractor -------------
+
+
+def mbox_encode(messages: list) -> bytes:
+    """mboxrd writer — the fixture twin of ``mbox_extract``: each
+    message gets a ``From `` envelope line; body lines matching
+    ``^>*From `` are quoted with one more ``>`` (mboxrd), CRLF
+    normalizes to LF; messages separate with a blank line."""
+    import re as _re
+
+    out = []
+    for k, m in enumerate(messages):
+        out.append(
+            b"From fixture@example.org Thu Jan  1 00:00:0%d 1970\n"
+            % (k % 10)
+        )
+        body = m.replace(b"\r\n", b"\n")
+        lines = body.split(b"\n")
+        out.append(b"\n".join(
+            b">" + ln if _re.match(rb">*From ", ln) else ln
+            for ln in lines
+        ))
+        if not lines or lines[-1] != b"":
+            out.append(b"\n")
+        out.append(b"\n")
+    return b"".join(out)
+
+
+def mbox_extract(b: bytes):
+    """(n_messages, text) from an mboxrd payload, or None when torn
+    — splits on ``^From `` envelope lines (mboxrd guarantees quoted
+    bodies never collide), strips one ``>`` from ``^>+From `` body
+    lines, parses each message through ``eml_extract``.  text =
+    ``[subject] body`` per message joined with blank lines.  A
+    single torn message flags the whole mailbox (refuse over a
+    silently shorter corpus)."""
+    import re as _re
+
+    if not b.startswith(b"From "):
+        return None
+    msgs = []
+    cur = None
+    for ln in b.split(b"\n"):
+        if ln.startswith(b"From "):
+            if cur is not None:
+                msgs.append(cur)
+            cur = []
+        else:
+            if _re.match(rb">+From ", ln):
+                ln = ln[1:]
+            cur.append(ln)
+    msgs.append(cur)
+    texts = []
+    for m in msgs:
+        while m and m[-1] == b"":
+            m.pop()
+        got = eml_extract(b"\n".join(m))
+        if got is None:
+            return None
+        s, _f, _np, t = got
+        texts.append("[%s] %s" % (s, t))
+    return len(texts), "\n\n".join(texts)
+
+
+def mbox_text(
+    df: DataFrame, content_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """(id, n_messages, n_chars, text, ok) per mbox payload."""
+
+    def ex(b):
+        got = mbox_extract(b)
+        if got is None:
+            return None
+        nm, t = got
+        return nm, len(t), t
+
+    return _office_text_face(
+        df, ex,
+        ["id", "n_messages", "n_chars", "text", "ok"],
+        "id long, n_messages int, n_chars int, text string, "
+        "ok boolean",
+        content_col, id_col,
+    )
+
+
+def build_mbox_blob(doc_id: int) -> bytes:
+    """mbox fixture: ``1 + doc_id %% 3`` messages of class ``doc_id
+    %% 4``; message ``k`` cycles packaging (7bit, base64, qp) and
+    its body STARTS with a ``From `` line (the mboxrd quoting
+    round-trip is load-bearing, not decorative).  ``%% 17`` cuts
+    before the first Subject header (headerless first message →
+    ok=false); else ``%% 13`` corrupts the first charset label —
+    ok=false."""
+    cls = doc_id % 4
+    n_msgs = 1 + doc_id % 3
+    msgs = []
+    for k in range(n_msgs):
+        body = (
+            "From the top line %d\nbody class %d msg %d café"
+            % (k, cls, k)
+        )
+        variant = ("7bit", "base64", "qp")[(k + cls) % 3]
+        msgs.append(eml_encode(
+            "mbox subj %d-%d" % (cls, k),
+            "m%d@example.org" % cls, body, variant,
+        ))
+    blob = mbox_encode(msgs)
+    if doc_id % 17 == 0:
+        return blob[: blob.index(b"Subject:")]
+    if doc_id % 13 == 0:
+        mut = blob.replace(
+            b'charset="utf-8"', b'charset="nocodec"', 1
+        )
+        if mut == blob:
+            mut = blob.replace(
+                b'charset="latin-1"', b'charset="nocodec"', 1
+            )
+        assert mut != blob
+        return mut
+    return blob
+
+
+def attach_mbox_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, content) with the mbox fixture blobs."""
+    return _attach_office_blob(df, build_mbox_blob, id_col)

@@ -9385,6 +9385,153 @@ QUERIES["eml_text_check"] = eml_text_check
 ORACLES["eml_text_check"] = _eml_pinned_oracle()
 
 
+def _pin_text_lit(s: str) -> str:
+    """A python string → a DuckDB expression reproducing it exactly
+    (quotes doubled, tabs/newlines spelled chr())."""
+    return "'%s'" % (
+        s.replace("'", "''")
+        .replace("\t", "' || chr(9) || '")
+        .replace("\n", "' || chr(10) || '")
+    )
+
+
+def _odf_pinned_oracle() -> str:
+    """Pinned oracle for the OpenDocument tier, computed through the
+    extraction itself with structural asserts: kind follows doc_id %%
+    3, class (doc_id // 3) %% 4 scales units, and the ODF spellings
+    of tab / double-space / entities round-trip."""
+    rows = {}
+    for kind_i in range(3):
+        for cls in range(4):
+            did = next(
+                d for d in range(4000)
+                if d % 3 == kind_i and (d // 3) % 4 == cls
+                and d % 17 and d % 13
+            )
+            got = text.odf_extract(text.build_odf_blob(did))
+            assert got is not None, (kind_i, cls)
+            k, nu, t = got
+            assert k == ("odt", "ods", "odp")[kind_i], (kind_i, cls)
+            if k == "odt":
+                assert nu == 2 + cls and "\ttab  two" in t, cls
+            elif k == "ods":
+                assert nu == 1 + cls % 2 and "c&<0>" in t, cls
+            else:
+                assert nu == 2 + cls % 3, cls
+            rows[(kind_i, cls)] = (k, nu, t)
+    nu_c = " ".join(
+        "WHEN kind_i = %d AND cls = %d THEN %d" % (ki, c, r[1])
+        for (ki, c), r in rows.items()
+    )
+    tx_c = " ".join(
+        "WHEN kind_i = %d AND cls = %d THEN %s"
+        % (ki, c, _pin_text_lit(r[2]))
+        for (ki, c), r in rows.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind_i,
+                 CAST((doc_id // 3) % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN bad THEN NULL
+               ELSE CASE kind_i WHEN 0 THEN 'odt' WHEN 1 THEN 'ods'
+                    ELSE 'odp' END END AS kind,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(CASE {nu_c} END AS INTEGER) END AS n_units,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(length(CASE {tx_c} END) AS INTEGER)
+               END AS n_chars,
+          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
+          NOT bad AS ok
+        FROM base
+    """
+
+
+def odf_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument extraction (operators/text.py ``odf_extract`` →
+    ``odf_text``): ODT paragraphs / ODS sheet grids (repeats
+    honored, padding trimmed, bombs refused) / ODP pages over the
+    ZIP SOURCE, dispatched on the ``mimetype`` member with the
+    manifest required.  ODF whitespace spellings (``<text:tab/>``,
+    ``<text:s text:c>``, ``<text:line-break/>``) round-trip; the
+    oracle pins extraction through the builder with structural
+    asserts.  %%17 flips a content.xml byte (CRC), %%13 renames
+    ``mimetype`` — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.odf_text(text.attach_odf_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "kind", "n_units", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["odf_text_check"] = odf_text_check
+ORACLES["odf_text_check"] = _odf_pinned_oracle()
+
+
+def _mbox_pinned_oracle() -> str:
+    """Pinned oracle for the mailbox tier: 1 + doc_id %% 3 messages
+    of class doc_id %% 4, every message body STARTING with a
+    ``From `` line so the mboxrd quoting round-trip is load-bearing
+    in every row."""
+    rows = {}
+    for nm_i in range(3):
+        for cls in range(4):
+            did = next(
+                d for d in range(4000)
+                if d % 3 == nm_i and d % 4 == cls
+                and d % 17 and d % 13
+            )
+            got = text.mbox_extract(text.build_mbox_blob(did))
+            assert got is not None, (nm_i, cls)
+            nm, t = got
+            assert nm == 1 + nm_i, (nm_i, cls)
+            assert t.startswith("[mbox subj %d-0] From the top" % cls)
+            rows[(nm_i, cls)] = (nm, t)
+    tx_c = " ".join(
+        "WHEN nm_i = %d AND cls = %d THEN %s"
+        % (ni, c, _pin_text_lit(r[1]))
+        for (ni, c), r in rows.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS nm_i,
+                 CAST(doc_id % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(1 + nm_i AS INTEGER) END AS n_messages,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(length(CASE {tx_c} END) AS INTEGER)
+               END AS n_chars,
+          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
+          NOT bad AS ok
+        FROM base
+    """
+
+
+def mbox_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailbox extraction (operators/text.py ``mbox_extract`` →
+    ``mbox_text``): mboxrd envelope split with ``>From`` unquoting,
+    each message through the strict EML extractor (all three
+    transfer packagings cycle through every mailbox); one torn
+    message flags the whole mailbox.  %%17 beheads the first
+    message, %%13 corrupts a charset label — both ok=false."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = text.mbox_text(text.attach_mbox_blob(docs))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_messages", "n_chars", "text", "ok",
+    )
+
+
+QUERIES["mbox_text_check"] = mbox_text_check
+ORACLES["mbox_text_check"] = _mbox_pinned_oracle()
+
+
 QUERIES["id3_meta_check"] = id3_meta_check
 ORACLES["id3_meta_check"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
