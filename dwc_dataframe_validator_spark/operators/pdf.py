@@ -124,30 +124,42 @@ def _aes_tables():
     return _aes_tables._c
 
 
-def _aes128_round_keys(key: bytes) -> list:
+def _aes_round_keys(key: bytes) -> list:
+    """FIPS-197 key expansion for 128/192/256-bit keys (Nk = 4/6/8,
+    Nr = Nk + 6): for Nk > 6 every fourth word after the RotWord
+    position gets an extra SubWord."""
     sbox, _inv, _xt = _aes_tables()
+    nk = len(key) // 4
+    assert nk in (4, 6, 8), len(key)
+    nr = nk + 6
     rcon = 1
-    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [sbox[c] for c in t]
             t[0] ^= rcon
             rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        elif nk > 6 and i % nk == 4:
+            t = [sbox[c] for c in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return [sum((w[4 * r + c] for c in range(4)), [])
-            for r in range(11)]
+            for r in range(nr + 1)]
 
 
-def _aes128_encrypt_block(rk: list, blk: bytes) -> bytes:
+_aes128_round_keys = _aes_round_keys  # KAT-pinned alias
+
+
+def _aes_encrypt_block(rk: list, blk: bytes) -> bytes:
     sbox, _inv, xt = _aes_tables()
+    nr = len(rk) - 1
     s = [blk[i] ^ rk[0][i] for i in range(16)]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [sbox[c] for c in s]
         # ShiftRows on column-major state: row r rotates left by r
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < 10:
+        if rnd < nr:
             m = [0] * 16
             for c in range(4):
                 a = s[4 * c:4 * c + 4]
@@ -161,7 +173,10 @@ def _aes128_encrypt_block(rk: list, blk: bytes) -> bytes:
     return bytes(s)
 
 
-def _aes128_decrypt_block(rk: list, blk: bytes) -> bytes:
+_aes128_encrypt_block = _aes_encrypt_block  # KAT-pinned alias
+
+
+def _aes_decrypt_block(rk: list, blk: bytes) -> bytes:
     sbox, inv_sbox, xt = _aes_tables()
 
     def gmul(a, b):
@@ -174,8 +189,9 @@ def _aes128_decrypt_block(rk: list, blk: bytes) -> bytes:
             b >>= 1
         return r
 
-    s = [blk[i] ^ rk[10][i] for i in range(16)]
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    s = [blk[i] ^ rk[nr][i] for i in range(16)]
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows: row r rotates right by r
         s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
         s = [inv_sbox[c] for c in s]
@@ -196,40 +212,94 @@ def _aes128_decrypt_block(rk: list, blk: bytes) -> bytes:
     return bytes(s)
 
 
-def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout: 16-byte IV prefix + CBC ciphertext
-    with PKCS#7-style 1..16 padding.  Torn on any size/padding lie —
-    a wrong key can never yield silently-wrong text, the
-    refuse-over-guess contract."""
+_aes128_decrypt_block = _aes_decrypt_block  # KAT-pinned alias
+
+
+def _aes_accel():
+    """Optional AES accelerator: the ``cryptography`` package when
+    importable (it wraps the platform's vetted AES), else None —
+    the pure-Python FIPS-197 path stays the always-available
+    fallback and the KAT reference; pytest pins both paths equal on
+    every shape used here.  Algorithm 2.B runs ≥64 AES-CBC rounds
+    per password check, so the V5 tier is ~1000× faster
+    accelerated."""
+    got = getattr(_aes_accel, "_c", 0)
+    if got != 0:
+        return got
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+        _aes_accel._c = (Cipher, algorithms, modes)
+    except Exception:
+        _aes_accel._c = None
+    return _aes_accel._c
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2/AESV3 stream layout: 16-byte IV prefix + CBC
+    ciphertext with PKCS#7-style 1..16 padding.  Torn on any
+    size/padding lie — a wrong key can never yield silently-wrong
+    text, the refuse-over-guess contract.  Key length picks the
+    cipher (16 → AES-128, 32 → AES-256)."""
     if len(data) < 32 or len(data) % 16:
         raise _Torn()
-    rk = _aes128_round_keys(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        blk = data[i:i + 16]
-        pt = _aes128_decrypt_block(rk, blk)
-        out += bytes(a ^ b for a, b in zip(pt, prev))
-        prev = blk
+    out = _aes_cbc_raw(key, data[:16], data[16:], decrypt=True)
     pad = out[-1]
     if not 1 <= pad <= 16 or len(out) < pad:
         raise _Torn()
     return bytes(out[:-pad])
 
 
+_aes128_cbc_decrypt = _aes_cbc_decrypt
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes,
+                 decrypt: bool) -> bytes:
+    """NO-padding CBC over whole blocks — the /V5 key-wrap shape
+    (Algorithm 2.B's inner encryption, /UE //OE unwrap, /Perms is
+    the single-block ECB special case with a zero IV xor folded in
+    by the caller passing iv=None).  Every AES byte in the module
+    flows through here, so the import-try accelerator has exactly
+    one seam."""
+    assert len(data) % 16 == 0
+    acc = _aes_accel()
+    if acc is not None:
+        Cipher, algorithms, modes = acc
+        mode = modes.ECB() if iv is None else modes.CBC(iv)
+        ctx = Cipher(algorithms.AES(key), mode)
+        c = ctx.decryptor() if decrypt else ctx.encryptor()
+        return c.update(data) + c.finalize()
+    rk = _aes_round_keys(key)
+    out = bytearray()
+    if decrypt:
+        prev = iv
+        for i in range(0, len(data), 16):
+            blk = data[i:i + 16]
+            pt = _aes_decrypt_block(rk, blk)
+            out += (
+                bytes(a ^ b for a, b in zip(pt, prev))
+                if prev is not None else pt
+            )
+            prev = blk if prev is not None else None
+    else:
+        prev = iv
+        for i in range(0, len(data), 16):
+            blk = data[i:i + 16]
+            if prev is not None:
+                blk = bytes(a ^ b for a, b in zip(blk, prev))
+            ct = _aes_encrypt_block(rk, blk)
+            out += ct
+            prev = ct if prev is not None else None
+    return bytes(out)
+
+
 def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """Fixture twin of ``_aes128_cbc_decrypt`` (deterministic IV
-    supplied by the writer)."""
-    rk = _aes128_round_keys(key)
+    """Fixture twin of ``_aes_cbc_decrypt`` (deterministic IV
+    supplied by the writer); key length picks the cipher."""
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _aes128_encrypt_block(rk, blk)
-        out += prev
-    return bytes(out)
+    return iv + _aes_cbc_raw(key, iv, data, decrypt=False)
 
 
 #: the standard handler's 32-byte password pad (PDF 1.7 §7.6.3.3)
@@ -239,6 +309,32 @@ _PDF_PAD = bytes([
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
 ])
+
+
+def _pdf_hash_2b(password: bytes, salt: bytes,
+                 udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the /R 6 hardened hash): an
+    SHA-256 seed, then rounds of 64× (password ∥ K ∥ udata)
+    AES-128-CBC-encrypted under K's first 16 bytes (iv = next 16),
+    re-hashed with SHA-256/384/512 picked by the first cipher
+    block's byte sum mod 3, until round ≥ 64 and the last cipher
+    byte ≤ round − 32."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, decrypt=False)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e) if mod == 0
+            else hashlib.sha384(e) if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _pdf_file_key(
@@ -564,12 +660,16 @@ class PdfDoc:
         """Standard security handler, the EMPTY-user-password fast
         path (the overwhelming crawl case — encryption that only
         restricts printing/copying): RC4-40 (/V1 R2), RC4-128 (/V2
-        R3), and /V4 R4 crypt filters with /CFM /V2 (RC4) or /AESV2
-        (AES-128-CBC).  Anything else — a non-Standard handler, /V5
-        AES-256, a non-empty user password (the /U check fails), a
-        malformed dict — raises ``_Stub('encrypted')``: flagged,
-        never guessed.  Only STREAMS are decrypted (strings feed
-        nothing on the text/image paths)."""
+        R3), /V4 R4 crypt filters with /CFM /V2 (RC4) or /AESV2
+        (AES-128-CBC), and /V5 R5/R6 AES-256 (/CFM /AESV3 — the
+        Algorithm 2.A/2.B password checks against /U, falling back
+        to the owner check against /O, with the file key unwrapped
+        from /UE //OE and validated against /Perms when present).
+        Anything else — a non-Standard handler, a non-empty
+        password (both checks fail), a malformed dict — raises
+        ``_Stub('encrypted')``: flagged, never guessed.  Only
+        STREAMS are decrypted (strings feed nothing on the
+        text/image paths)."""
         enc = self.resolve(self.trailer.get("Encrypt"))
         if not isinstance(enc, dict):
             raise _Stub("encrypted")
@@ -577,6 +677,8 @@ class PdfDoc:
             raise _Stub("encrypted")
         v = self.resolve(enc.get("V", 0))
         r = self.resolve(enc.get("R", 2))
+        if v == 5 and r in (5, 6):
+            return self._setup_crypt_v5(enc, r)
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise _Stub("encrypted")
         o = self.resolve(enc.get("O"))
@@ -629,11 +731,76 @@ class PdfDoc:
             raise _Stub("encrypted")  # non-empty user password
         self._crypt = (cfm, key)
 
+    def _setup_crypt_v5(self, enc: dict, r: int) -> None:
+        """/V 5 AES-256 (R5 = the deprecated SHA-256 shortcut, R6 =
+        the ISO 32000-2 2.B hardened hash): verify the EMPTY
+        password against /U (user) then /O (owner, udata = the full
+        48-byte /U), unwrap the 256-bit file key from /UE //OE with
+        a zero-IV no-pad CBC, and when /Perms is present require its
+        'adb' tag under the unwrapped key — a wrong or tampered key
+        flags before any stream is touched."""
+        import hashlib
+
+        def sval(name, ln):
+            x = self.resolve(enc.get(name))
+            if isinstance(x, tuple) and x[0] == "str" and len(x[1]) >= ln:
+                return x[1]
+            return None
+
+        u48, o48 = sval("U", 48), sval("O", 48)
+        ue, oe = sval("UE", 32), sval("OE", 32)
+        if u48 is None or o48 is None:
+            raise _Stub("encrypted")
+        u48, o48 = u48[:48], o48[:48]
+
+        def pwhash(salt, udata):
+            if r == 6:
+                return _pdf_hash_2b(b"", salt, udata)
+            return hashlib.sha256(b"" + salt + udata).digest()
+
+        key = None
+        if pwhash(u48[32:40], b"") == u48[:32]:
+            if ue is None:
+                raise _Stub("encrypted")
+            ik = pwhash(u48[40:48], b"")
+            key = _aes_cbc_raw(ik, bytes(16), ue[:32], decrypt=True)
+        elif pwhash(o48[32:40], u48) == o48[:32]:
+            if oe is None:
+                raise _Stub("encrypted")
+            ik = pwhash(o48[40:48], u48)
+            key = _aes_cbc_raw(ik, bytes(16), oe[:32], decrypt=True)
+        else:
+            raise _Stub("encrypted")  # non-empty password
+        perms = sval("Perms", 16)
+        if perms is not None:
+            pe = _aes_cbc_raw(key, None, perms[:16], decrypt=True)
+            if pe[9:12] != b"adb":
+                raise _Stub("encrypted")  # key fails its own receipt
+        stmf = self.resolve(enc.get("StmF", ("name", "Identity")))
+        if stmf == ("name", "Identity"):
+            return  # streams not encrypted
+        cf = self.resolve(enc.get("CF"))
+        if not (
+            isinstance(cf, dict)
+            and isinstance(stmf, tuple) and stmf[0] == "name"
+        ):
+            raise _Stub("encrypted")
+        stdcf = self.resolve(cf.get(stmf[1]))
+        if not isinstance(stdcf, dict) or self.resolve(
+            stdcf.get("CFM")
+        ) != ("name", "AESV3"):
+            raise _Stub("encrypted")
+        self._crypt = ("aes256", key)
+
     def _decrypt_stream(self, raw: bytes, num: int, gen: int) -> bytes:
         cfm, key = self._crypt
+        if cfm == "aes256":
+            # /V5: the FILE key encrypts every stream directly — no
+            # per-object key derivation (ISO 32000-2 §7.6.5)
+            return _aes_cbc_decrypt(key, raw)
         ok = _pdf_obj_key(key, num, gen, cfm == "aes")
         if cfm == "aes":
-            return _aes128_cbc_decrypt(ok, raw)
+            return _aes_cbc_decrypt(ok, raw)
         return _rc4(ok, raw)
 
     def _read_xref_chain(self) -> None:
@@ -1709,7 +1876,9 @@ def _assemble_pdf(objs: dict, trailer_extra: bytes = b"") -> bytes:
     return bytes(out)
 
 
-_PDF_ENC_VARIANTS = ("rc4-40", "rc4-128", "aes-128", "cf-rc4")
+_PDF_ENC_VARIANTS = (
+    "rc4-40", "rc4-128", "aes-128", "cf-rc4", "aes-256", "aes-256-r5",
+)
 
 
 def pdf_encode_encrypted(
@@ -1724,16 +1893,22 @@ def pdf_encode_encrypted(
     simple page tree, streams encrypted with per-object keys.
     Variants: ``rc4-40`` (/V 1 /R 2), ``rc4-128`` (/V 2 /R 3),
     ``aes-128`` (/V 4 /R 4 /CFM /AESV2), ``cf-rc4`` (/V 4 /R 4
-    /CFM /V2), plus ``v5`` (an /V 5 /R 6 AES-256 shell the reader
-    must FLAG, not guess at).  A non-empty ``user_pw`` produces a
+    /CFM /V2), ``aes-256`` (/V 5 /R 6 /CFM /AESV3 — real AES-256
+    with Algorithm 2.B /U //O, wrapped /UE //OE and a /Perms
+    receipt), ``aes-256-r5`` (the deprecated /R 5 SHA-256 check),
+    plus ``custom`` (a non-Standard /Filter shell the reader must
+    FLAG, not guess at).  A non-empty ``user_pw`` produces a
     document the empty-password fast path must flag.  ``images``
     (uint8 (h, w, c) arrays) embed as Flate image XObjects on page
     0 — encrypted like every other stream, pinning that the image
     tier composes with decryption."""
     import hashlib
 
-    if variant == "v5":
+    if variant == "custom":
         v, r, keylen = 5, 6, 32
+    elif variant in ("aes-256", "aes-256-r5"):
+        v, keylen = 5, 32
+        r = 6 if variant == "aes-256" else 5
     else:
         v, r = {
             "rc4-40": (1, 2), "rc4-128": (2, 3),
@@ -1760,11 +1935,40 @@ def pdf_encode_encrypted(
     objs[2] = (
         "<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n)
     ).encode()
-    if variant == "v5":
+    ue_val = oe_val = perms_val = None
+    if variant == "custom":
         # shell only: dummy 48-byte O/U, no real encryption — the
         # reader must flag before touching any stream
         o_val = u_val = bytes(48)
         key = None
+    elif v == 5:
+        def pwhash(pw, salt, udata):
+            if r == 6:
+                return _pdf_hash_2b(pw, salt, udata)
+            return hashlib.sha256(pw + salt + udata).digest()
+
+        key = hashlib.sha256(b"filekey-" + id0).digest()
+        vs, ks = (hashlib.sha256(b"us-" + id0).digest()[:16][i:i + 8]
+                  for i in (0, 8))
+        ovs, oks = (hashlib.sha256(b"os-" + id0).digest()[:16][i:i + 8]
+                    for i in (0, 8))
+        u_val = pwhash(user_pw, vs, b"") + vs + ks
+        ue_val = _aes_cbc_raw(
+            pwhash(user_pw, ks, b""), bytes(16), key, decrypt=False
+        )
+        o_val = pwhash(owner_pw, ovs, u_val) + ovs + oks
+        oe_val = _aes_cbc_raw(
+            pwhash(owner_pw, oks, u_val), bytes(16), key,
+            decrypt=False,
+        )
+        import struct as _st
+
+        perms_val = _aes_cbc_raw(
+            key, None,
+            _st.pack("<i", p_val) + b"\xff\xff\xff\xff"
+            + b"T" + b"adb" + b"fixt",
+            decrypt=False,
+        )
     else:
         o_val = _pdf_owner_value(owner_pw, user_pw, r, keylen)
         key = _pdf_file_key(user_pw, o_val, p_val, id0, r, keylen)
@@ -1772,6 +1976,9 @@ def pdf_encode_encrypted(
     def enc_stream(data: bytes, num: int) -> bytes:
         if key is None:
             return data
+        if v == 5:
+            iv = hashlib.md5(b"iv5-%d-" % num + id0).digest()
+            return _aes128_cbc_encrypt(key, iv, data)
         okey = _pdf_obj_key(key, num, 0, aes)
         if aes:
             iv = hashlib.md5(b"iv-%d-" % num + id0).digest()
@@ -1815,11 +2022,21 @@ def pdf_encode_encrypted(
             + data + b"\nendstream"
         )
     eid = 3 + 2 * n
-    if variant == "v5":
+    if variant == "custom":
         enc = (
-            b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+            b"<< /Filter /AcmeSecurity /V 5 /R 6 /Length 256"
             b" /O <%s> /U <%s> /P %d >>"
             % (o_val.hex().encode(), u_val.hex().encode(), p_val)
+        )
+    elif v == 5:
+        enc = (
+            b"<< /Filter /Standard /V 5 /R %d /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P %d >>"
+            % (r, o_val.hex().encode(), u_val.hex().encode(),
+               oe_val.hex().encode(), ue_val.hex().encode(),
+               perms_val.hex().encode(), p_val)
         )
     elif v == 4:
         cfm = b"AESV2" if aes else b"V2"
@@ -2167,20 +2384,22 @@ def attach_pdf_cid_blob(
 def build_pdf_encrypted_blob(doc_id: int) -> bytes:
     """Encrypted-PDF fixture: page class ``doc_id %% 4`` (the SAME
     page text as ``build_pdf_blob``'s classes), scheme ``(doc_id //
-    4) %% 5`` — the four real handlers (RC4-40 / RC4-128 / AES-128
-    / V4-RC4, which must DECRYPT to text identical to the plaintext
-    class) or 4 = a non-empty user password (the empty-password fast
-    path must flag it).  ``doc_id %% 17 == 0`` cuts inside the
-    objects (torn); else ``%% 13 == 0`` swaps in a /V 5 AES-256
-    shell (honest 'encrypted' flag)."""
+    4) %% 7`` — the six real handlers (RC4-40 / RC4-128 / AES-128
+    / V4-RC4 / AES-256 R6 / AES-256 R5, which must DECRYPT to text
+    identical to the plaintext class) or 6 = a non-empty user
+    password under AES-128 or AES-256 by class parity (the
+    empty-password fast path must flag it).  ``doc_id %% 17 == 0``
+    cuts inside the objects (torn); else ``%% 13 == 0`` swaps in a
+    non-Standard /Filter shell (honest 'encrypted' flag)."""
     cls = doc_id % 4
-    scheme = (doc_id // 4) % 5
+    scheme = (doc_id // 4) % 7
     pages = _pdf_fixture_pages(cls)
     if doc_id % 13 == 0 and doc_id % 17 != 0:
-        return pdf_encode_encrypted(pages, "v5")
-    if scheme == 4:
+        return pdf_encode_encrypted(pages, "custom")
+    if scheme == 6:
         blob = pdf_encode_encrypted(
-            pages, "aes-128", user_pw=b"not-empty"
+            pages, "aes-256" if cls % 2 else "aes-128",
+            user_pw=b"not-empty",
         )
     else:
         blob = pdf_encode_encrypted(pages, _PDF_ENC_VARIANTS[scheme])

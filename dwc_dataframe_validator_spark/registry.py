@@ -8209,12 +8209,12 @@ ORACLES["pdf_token_stats_check"] = _pdf_token_stats_oracle()
 
 
 def _pdf_encrypted_pinned_oracle() -> str:
-    """Pinned oracle for the encrypted-PDF tier: the four real
-    handlers must decrypt to text IDENTICAL to the PLAINTEXT fixture
-    classes — asserted here by extracting both and comparing md5s —
-    while the wrong-password scheme, the /V5 swap and the torn cut
-    flag with their honest reasons (also asserted over sample
-    ids)."""
+    """Pinned oracle for the encrypted-PDF tier: the six real
+    handlers (through AES-256 R6/R5) must decrypt to text IDENTICAL
+    to the PLAINTEXT fixture classes — asserted here by extracting
+    both and comparing md5s — while the wrong-password scheme, the
+    non-Standard-handler swap and the torn cut flag with their
+    honest reasons (also asserted over sample ids)."""
     import hashlib as _hl
 
     from .operators import pdf as pdfmod
@@ -8230,10 +8230,10 @@ def _pdf_encrypted_pinned_oracle() -> str:
             1 + cls, len(want),
             _hl.md5(want.encode("utf-8")).hexdigest(),
         )
-        for scheme in range(4):
+        for scheme in range(6):
             did = next(
-                d for d in range(cls, 4000, 4)
-                if (d // 4) % 5 == scheme and d % 17 and d % 13
+                d for d in range(cls, 8000, 4)
+                if (d // 4) % 7 == scheme and d % 17 and d % 13
             )
             doc = pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
             got = "\f".join(doc.page_text(p) for p in doc.pages())
@@ -8246,7 +8246,13 @@ def _pdf_encrypted_pinned_oracle() -> str:
             pass
         except pdfmod._Stub:
             pass  # a cut landing in the Encrypt dict flags too
-    for did in (13, 26, 16, 36):  # %13 v5 swaps + scheme-4 wrong pw
+    # %13 custom-handler swaps + scheme-6 wrong pw (both parities)
+    wrongpw = [
+        next(d for d in range(cls, 8000, 4)
+             if (d // 4) % 7 == 6 and d % 17 and d % 13)
+        for cls in (0, 1)
+    ]
+    for did in [13, 26] + wrongpw:
         try:
             pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
             raise AssertionError("encrypted plant parsed: %d" % did)
@@ -8264,20 +8270,20 @@ def _pdf_encrypted_pinned_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 5 AS INTEGER) AS scheme,
+                 CAST((doc_id // 4) % 7 AS INTEGER) AS scheme,
                  doc_id % 17 = 0 AS torn,
-                 doc_id % 17 <> 0 AND doc_id % 13 = 0 AS v5
+                 doc_id % 17 <> 0 AND doc_id % 13 = 0 AS shell
           FROM documents)
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN torn OR v5 OR scheme = 4 THEN NULL
+          CASE WHEN torn OR shell OR scheme = 6 THEN NULL
                ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_pages,
-          CASE WHEN torn OR v5 OR scheme = 4 THEN NULL
+          CASE WHEN torn OR shell OR scheme = 6 THEN NULL
                ELSE CAST(CASE {nc_c} END AS INTEGER) END AS n_chars,
-          CASE WHEN torn OR v5 OR scheme = 4 THEN NULL
+          CASE WHEN torn OR shell OR scheme = 6 THEN NULL
                ELSE CASE {md_c} END END AS text_md5,
-          NOT (torn OR v5 OR scheme = 4) AS ok,
+          NOT (torn OR shell OR scheme = 6) AS ok,
           CASE WHEN torn THEN 'torn'
-               WHEN v5 OR scheme = 4 THEN 'encrypted'
+               WHEN shell OR scheme = 6 THEN 'encrypted'
                ELSE NULL END AS reason
         FROM base
     """
@@ -8288,12 +8294,14 @@ def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PdfDoc._setup_crypt`` + the stdlib-only RC4/AES-128 ciphers,
     FIPS-197 KAT-pinned in pytest): the EMPTY-user-password fast
     path — the common crawl case where encryption only restricts
-    printing — derives the file key (Algorithm 2), verifies /U, and
-    decrypts streams with per-object keys for /V 1-2 RC4 and /V 4
-    crypt filters (/CFM /V2 and /AESV2 CBC).  Decrypted text is
-    pinned IDENTICAL to the plaintext fixture classes (asserted in
-    the oracle builder); a non-empty user password, /V 5 AES-256 and
-    torn documents flag with honest reasons."""
+    printing — derives the file key (Algorithm 2 for /V 1-4;
+    Algorithm 2.A/2.B with /UE //OE unwrap and the /Perms receipt
+    for /V 5 AES-256 R5/R6), verifies /U (owner fallback via /O),
+    and decrypts streams (per-object keys for RC4/AESV2, the file
+    key directly for AESV3).  Decrypted text is pinned IDENTICAL to
+    the plaintext fixture classes (asserted in the oracle builder);
+    a non-empty password, a non-Standard handler and torn documents
+    flag with honest reasons."""
     from .operators import pdf as pdfmod
 
     # the pure-Python parse/cipher work dominates and the small-SF

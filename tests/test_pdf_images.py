@@ -183,36 +183,99 @@ def test_aes_rc4_known_answer_vectors():
     # padding lies are torn, never truncated-but-plausible output
     with pytest.raises(P._Torn):
         P._aes128_cbc_decrypt(ct[:16], enc[:-1])
+    # FIPS-197 Appendix C.2 (AES-192) and C.3 (AES-256)
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk192 = P._aes_round_keys(bytes(range(24)))
+    assert P._aes_encrypt_block(rk192, pt) == bytes.fromhex(
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    rk256 = P._aes_round_keys(bytes(range(32)))
+    ct256 = P._aes_encrypt_block(rk256, pt)
+    assert ct256 == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert P._aes_decrypt_block(rk256, ct256) == pt
+    # AES-256 CBC roundtrip through the stream face
+    enc256 = P._aes128_cbc_encrypt(
+        bytes(range(32)), bytes(range(16)), data
+    )
+    assert P._aes_cbc_decrypt(bytes(range(32)), enc256) == data
+    # Algorithm 2.B structural pins: deterministic, 32 bytes,
+    # password- and salt-sensitive
+    h1 = P._pdf_hash_2b(b"", b"saltsalt")
+    assert len(h1) == 32 and h1 == P._pdf_hash_2b(b"", b"saltsalt")
+    assert h1 != P._pdf_hash_2b(b"x", b"saltsalt")
+    assert h1 != P._pdf_hash_2b(b"", b"SALTSALT")
+    assert h1 != P._pdf_hash_2b(b"", b"saltsalt", b"udata")
+    # the import-try accelerator and the pure-Python FIPS path are
+    # byte-identical on every shape the module uses (CBC enc/dec
+    # for both key sizes, the iv=None ECB single block), and 2.B
+    # lands the same digest through either
+    if P._aes_accel() is not None:
+        saved = P._aes_accel._c
+        try:
+            shapes = [
+                (bytes(range(32)), bytes(range(16)), data[:96]),
+                (ct[:16], bytes(16), data[:64]),
+            ]
+            accel, pure = [], []
+            for forced in (saved, None):
+                P._aes_accel._c = forced
+                got = [
+                    (P._aes_cbc_raw(k, iv, d, decrypt=False),
+                     P._aes_cbc_raw(k, iv, d, decrypt=True),
+                     P._aes_cbc_raw(k, None, d[:16], decrypt=False))
+                    for (k, iv, d) in shapes
+                ] + [P._pdf_hash_2b(b"pw", b"saltsalt", b"ud")]
+                (accel if forced is not None else pure).append(got)
+            assert accel == pure
+        finally:
+            P._aes_accel._c = saved
 
 
 def test_encrypted_pdf_standard_handler():
-    """All four real schemes decrypt to the plaintext text; /V5,
-    non-empty user passwords, non-Standard handlers and the legacy
-    dummy-/Encrypt plant flag 'encrypted'; fuzz flags only."""
+    """All six real schemes (through AES-256 R6/R5) decrypt to the
+    plaintext text; non-empty passwords, non-Standard handlers,
+    tampered /Perms receipts and the legacy dummy-/Encrypt plant
+    flag 'encrypted'; fuzz flags only."""
     P = _p()
     pages = ["secret page\nwith two lines", "second page text"]
     plain = P.PdfDoc(P.pdf_encode(pages))
     want = [plain.page_text(p) for p in plain.pages()]
-    for variant in ("rc4-40", "rc4-128", "aes-128", "cf-rc4"):
+    for variant in ("rc4-40", "rc4-128", "aes-128", "cf-rc4",
+                    "aes-256", "aes-256-r5"):
         doc = P.PdfDoc(P.pdf_encode_encrypted(pages, variant))
         assert [doc.page_text(p) for p in doc.pages()] == want, variant
+    # the owner-password fallback unlocks when only /O verifies
+    doc = P.PdfDoc(P.pdf_encode_encrypted(
+        pages, "aes-256", user_pw=b"secret", owner_pw=b""
+    ))
+    assert [doc.page_text(p) for p in doc.pages()] == want
     for bad in (
-        P.pdf_encode_encrypted(pages, "v5"),
+        P.pdf_encode_encrypted(pages, "custom"),
         P.pdf_encode_encrypted(pages, "aes-128", user_pw=b"x"),
+        P.pdf_encode_encrypted(pages, "aes-256", user_pw=b"x"),
+        P.pdf_encode_encrypted(pages, "aes-256-r5", user_pw=b"x"),
         P.pdf_encode(pages, encrypted=True),
     ):
         with pytest.raises(P._Stub) as ei:
             P.PdfDoc(bad)
         assert str(ei.value) == "encrypted"
+    # a tampered /Perms receipt flags even though /U verifies
+    blob = P.pdf_encode_encrypted(pages, "aes-256")
+    k = blob.index(b"/Perms <") + 8
+    tampered = blob[:k] + (
+        b"f" if blob[k:k + 1] != b"f" else b"0"
+    ) + blob[k + 1:]
+    with pytest.raises(P._Stub):
+        P.PdfDoc(tampered)
     # fixture plants and scheme classes
-    for did in range(80):
-        scheme = (did // 4) % 5
+    for did in range(120):
+        scheme = (did // 4) % 7
         blob = P.build_pdf_encrypted_blob(did)
         if did % 17 == 0:
             with pytest.raises((P._Torn, P._Stub)):
                 d = P.PdfDoc(blob)
                 [d.page_text(p) for p in d.pages()]
-        elif did % 13 == 0 or scheme == 4:
+        elif did % 13 == 0 or scheme == 6:
             with pytest.raises(P._Stub):
                 P.PdfDoc(blob)
         else:
