@@ -1211,9 +1211,12 @@ class PdfDoc:
             if px.shape[0] != h or px.shape[1] != w:
                 raise _Torn()  # dict and JPEG frame disagree
             return px
+        if ("name", "CCITTFaxDecode") in filters:
+            if filters != [("name", "CCITTFaxDecode")]:
+                raise _Stub("filter")
+            return self._ccitt_pixels(d, raw, w, h)
         for f in filters:
             if f in (
-                ("name", "CCITTFaxDecode"),
                 ("name", "JBIG2Decode"),
                 ("name", "JPXDecode"),
             ):
@@ -1230,6 +1233,72 @@ class PdfDoc:
         if len(data) != w * h * c:
             raise _Torn()
         return np.frombuffer(data, np.uint8).reshape(h, w, c)
+
+    def _ccitt_pixels(self, d: dict, raw, w: int, h: int):
+        """/CCITTFaxDecode with /K < 0 (Group 4 / T.6 — the scanned-
+        document mass) through functions/ccitt.py: (h, w, 1) uint8
+        with /BlackIs1 honored on the sample value (default false →
+        black = sample 0).  1-D/mixed G3 (/K ≥ 0) stays an honest
+        stub; /Columns must match /Width (a disagreeing dict is
+        torn); an undecodable stream is torn, never a guessed
+        page."""
+        import numpy as np
+
+        from ..functions.ccitt import g4_decode
+
+        parms = self.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = next(
+                (p for p in (self.resolve(x) for x in parms)
+                 if isinstance(p, dict)), None,
+            )
+        if parms is None:
+            parms = {}
+        if not isinstance(parms, dict):
+            raise _Torn()
+
+        def ip(name, default):
+            v = self.resolve(parms.get(name, default))
+            return v
+
+        k = ip("K", 0)
+        if not isinstance(k, int) or k >= 0:
+            raise _Stub("ccitt-g3")
+        cols = ip("Columns", 1728)
+        if cols != w:
+            raise _Torn()
+        rows_p = ip("Rows", h)
+        if isinstance(rows_p, int) and rows_p != h:
+            raise _Torn()
+        black1 = ip("BlackIs1", False) is True
+        align = ip("EncodedByteAlign", False) is True
+        if self.resolve(d.get("BitsPerComponent", 1)) != 1:
+            raise _Torn()
+        bits = g4_decode(bytes(raw), w, h, byte_align=align)
+        if bits is None:
+            raise _Torn()
+        # sample value: black → 1 under /BlackIs1, else black → 0;
+        # then the image /Decode array (default [0 1]) maps samples
+        # to DeviceGray — writers using /BlackIs1 true pair it with
+        # /Decode [1 0], and honoring both keeps the composition
+        # faithful instead of special-casing the common pairing
+        sample = bits if black1 else ~bits
+        dec = self.resolve(d.get("Decode"))
+        d0, d1 = 0.0, 1.0
+        if dec is not None:
+            if not (
+                isinstance(dec, list) and len(dec) == 2
+                and all(isinstance(self.resolve(x), (int, float))
+                        for x in dec)
+            ):
+                raise _Torn()
+            d0 = float(self.resolve(dec[0]))
+            d1 = float(self.resolve(dec[1]))
+        gray0 = int(round(255 * min(max(d0, 0.0), 1.0)))
+        gray1 = int(round(255 * min(max(d1, 0.0), 1.0)))
+        return np.where(sample, gray1, gray0).astype(
+            np.uint8
+        )[:, :, None]
 
     def page_fonts(self, page: dict) -> dict:
         """Resource name → ``_PdfFont`` for a page's /Font dict:
@@ -2073,8 +2142,13 @@ def pdf_image_encode(text: str, images: list) -> bytes:
     - ``"flate-pred"``: Flate + PNG Up predictor rows
       (``/DecodeParms << /Predictor 12 /Colors c /Columns w >>``)
     - ``"raw"``: unfiltered samples
+    - ``"ccitt"``: a BILEVEL plane (uint8 (h, w, 1), values 0/255)
+      as Group 4 under ``/CCITTFaxDecode /K -1`` /BitsPerComponent 1
+    - ``"ccitt-b1"``: the same plane with ``/BlackIs1 true`` +
+      ``/Decode [1 0]`` and ``/EncodedByteAlign`` — identical pixels
     - ``"jpx"``: the raw samples MISLABELED ``/JPXDecode`` — the
       honest-stub plant"""
+    from ..functions.ccitt import g4_encode
     from .multimodal import jpeg_encode
 
     objs = {}
@@ -2112,15 +2186,31 @@ def pdf_image_encode(text: str, images: list) -> bytes:
         elif kind == "raw":
             data = px.tobytes()
             filt = b""
+        elif kind in ("ccitt", "ccitt-b1"):
+            assert c == 1
+            black = px[:, :, 0] == 0
+            b1 = kind == "ccitt-b1"
+            data = g4_encode(black, byte_align=b1)
+            filt = b" /Filter /CCITTFaxDecode"
+            extra = (
+                b" /DecodeParms << /K -1 /Columns %d /Rows %d%s >>%s"
+                % (
+                    w, h,
+                    b" /BlackIs1 true /EncodedByteAlign true"
+                    if b1 else b"",
+                    b" /Decode [1 0]" if b1 else b"",
+                )
+            )
         elif kind == "jpx":
             data = px.tobytes()
             filt = b" /Filter /JPXDecode"
         else:
             raise ValueError(kind)
+        bpc = b"1" if kind.startswith("ccitt") else b"8"
         objs[5 + k] = (
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace %s /BitsPerComponent 8%s%s /Length %d >>"
-            b"\nstream\n" % (w, h, cs, filt, extra, len(data))
+            b" /ColorSpace %s /BitsPerComponent %s%s%s /Length %d >>"
+            b"\nstream\n" % (w, h, cs, bpc, filt, extra, len(data))
             + data + b"\nendstream"
         )
         names.append(b"/Im%d %d 0 R" % (k, 5 + k))
@@ -2158,34 +2248,43 @@ def _pdf_image_fixture_pixels(cls: int):
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-_PDF_IMG_KINDS = ("dct", "flate", "flate-pred", "gray", "raw")
+_PDF_IMG_KINDS = (
+    "dct", "flate", "flate-pred", "gray", "raw", "ccitt", "ccitt-b1",
+)
 
 
 def build_pdf_image_blob(doc_id: int) -> bytes:
     """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
-    variant ``(doc_id // 6) %% 5`` from ``_PDF_IMG_KINDS`` — "gray"
-    embeds the class's integer-luma plane as Flate /DeviceGray, the
-    others embed the RGB image as DCT / Flate / Flate+Up-predictor /
-    raw samples (the three lossless packagings must hash identically;
-    DCT must hash to the standalone JPEG's constants).  ``doc_id %%
-    17 == 0`` truncates the image stream (torn); else ``%% 13 == 0``
-    relabels the filter ``/JPXDecode`` (honest stub) — both
-    ok=false."""
+    variant ``(doc_id // 6) %% 7`` from ``_PDF_IMG_KINDS`` — "gray"
+    embeds the class's integer-luma plane as Flate /DeviceGray,
+    "ccitt"/"ccitt-b1" embed the luma plane THRESHOLDED at 128 as
+    Group 4 (default params vs /BlackIs1 + /Decode [1 0] +
+    /EncodedByteAlign — identical pixels), the others embed the RGB
+    image as DCT / Flate / Flate+Up-predictor / raw samples (the
+    three lossless packagings must hash identically; DCT must hash
+    to the standalone JPEG's constants).  ``doc_id %% 17 == 0``
+    truncates the image stream (torn); else ``%% 13 == 0`` relabels
+    the filter ``/JPXDecode`` (honest stub) — both ok=false."""
     import numpy as np
 
     cls = doc_id % 6
-    kind = _PDF_IMG_KINDS[(doc_id // 6) % 5]
+    kind = _PDF_IMG_KINDS[(doc_id // 6) % 7]
     px = _pdf_image_fixture_pixels(cls)
+    luma = (
+        (
+            px[:, :, 0].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 2].astype(np.int64) * 114
+        ) // 1000
+    ).astype(np.uint8)[:, :, None]
     if kind == "gray":
-        luma = (
-            (
-                px[:, :, 0].astype(np.int64) * 299
-                + px[:, :, 1].astype(np.int64) * 587
-                + px[:, :, 2].astype(np.int64) * 114
-            ) // 1000
-        ).astype(np.uint8)[:, :, None]
         blob = pdf_image_encode(
             "pdf image doc %d" % cls, [("flate", luma)]
+        )
+    elif kind.startswith("ccitt"):
+        bilevel = np.where(luma >= 128, 255, 0).astype(np.uint8)
+        blob = pdf_image_encode(
+            "pdf image doc %d" % cls, [(kind, bilevel)]
         )
     else:
         blob = pdf_image_encode(
@@ -2208,6 +2307,10 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
             seg2 = seg.replace(
                 b"/Filter /DCTDecode", b"/Filter /JPXDecode"
             )
+        elif b"/Filter /CCITTFaxDecode" in seg:
+            # same-length /K flip: -1 (G4) → 91 (a 2-D-mixed G3
+            # stream we honestly stub, reason 'ccitt-g3')
+            seg2 = seg.replace(b"/K -1", b"/K 91")
         elif b"/Filter /FlateDecode" in seg:
             seg2 = seg.replace(
                 b"/Filter /FlateDecode", b"/Filter /JPXDecode  "

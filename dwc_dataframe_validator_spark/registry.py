@@ -8425,15 +8425,18 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PdfDoc.page_images`` → ``image_pixels`` → ``pdf_image_hashes``):
     image XObjects decode through the EXISTING decoders — /DCTDecode
     via the JPEG tier, Flate/raw 8-bpc DeviceRGB/DeviceGray samples
-    (PNG Up-predictor DecodeParms honored) — and hash on the shared
-    aHash/dHash grid, so PDFs join cross-format image dedup.  The
-    oracle builder asserts the invariants: the three lossless
-    packagings (flate / flate+predictor / raw) hash identically to
-    the raw pixels, and the DCT packaging hashes to the standalone
-    JPEG's constants.  %%17 cuts 20 bytes from the image stream
-    (xref shifts → torn document); %%13 relabels /JPXDecode or 4 bpc
-    at identical byte length (the per-image honest stub) — both
-    ok=false."""
+    (PNG Up-predictor DecodeParms honored), and /CCITTFaxDecode /K
+    -1 Group 4 via functions/ccitt.py (the scanned-document mass;
+    /BlackIs1, /Decode and /EncodedByteAlign honored) — and hash on
+    the shared aHash/dHash grid, so PDFs join cross-format image
+    dedup.  The oracle builder asserts the invariants: the three
+    lossless packagings (flate / flate+predictor / raw) hash
+    identically to the raw pixels, the DCT packaging hashes to the
+    standalone JPEG's constants, and both CCITT packagings decode
+    to the same thresholded plane.  %%17 cuts 20 bytes from the
+    image stream (xref shifts → torn document); %%13 relabels
+    /JPXDecode, 4 bpc or /K 91 at identical byte length (the
+    per-image honest stub) — both ok=false."""
     from .operators import pdf as pdfmod
 
     docs = (
@@ -8451,15 +8454,17 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pdf_image_pinned_oracle() -> str:
     """Pinned-constant oracle for ``pdf_image_hash_check`` over the
-    30 (pixel class × packaging) combos, decoded driver-side through
+    42 (pixel class × packaging) combos, decoded driver-side through
     the REAL extraction path; cross-format invariants asserted here
     so a drifting decoder fails the build, not just the driver."""
     from .operators import pdf as pdfmod
 
+    import numpy as _np
+
     rows = {}
-    for combo in range(30):
+    for combo in range(42):
         did = next(
-            d for d in range(combo, 4000, 30) if d % 17 and d % 13
+            d for d in range(combo, 8000, 42) if d % 17 and d % 13
         )
         doc = pdfmod.PdfDoc(pdfmod.build_pdf_image_blob(did))
         (_name, obj), = doc.page_images(doc.pages()[0])
@@ -8481,16 +8486,31 @@ def _pdf_image_pinned_oracle() -> str:
         assert rows[cls][1] == format(
             multimodal.image_ahash(sj), "016x"
         ), cls
+        # both CCITT packagings (default vs /BlackIs1 + /Decode
+        # [1 0] + byte-align) decode to the SAME thresholded plane
+        luma = (
+            (
+                raw_px[:, :, 0].astype(_np.int64) * 299
+                + raw_px[:, :, 1].astype(_np.int64) * 587
+                + raw_px[:, :, 2].astype(_np.int64) * 114
+            ) // 1000
+        ).astype(_np.uint8)
+        bl = _np.where(luma >= 128, 255, 0).astype(
+            _np.uint8
+        )[:, :, None]
+        want_cc = format(multimodal.image_ahash(bl), "016x")
+        assert rows[cls + 6 * 5][1] == want_cc, cls
+        assert rows[cls + 6 * 6] == rows[cls + 6 * 5], cls
     chan = " ".join(
-        "WHEN doc_id %% 30 = %d THEN %d" % (c, v[0])
+        "WHEN doc_id %% 42 = %d THEN %d" % (c, v[0])
         for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 30 = %d THEN '%s'" % (c, v[1])
+        "WHEN doc_id %% 42 = %d THEN '%s'" % (c, v[1])
         for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 30 = %d THEN '%s'" % (c, v[2])
+        "WHEN doc_id %% 42 = %d THEN '%s'" % (c, v[2])
         for c, v in rows.items()
     )
     return f"""

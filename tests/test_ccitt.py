@@ -1,0 +1,137 @@
+"""CCITT Group 4 (ITU-T T.6) codec pins: table prefix property,
+mode-exhaustive round-trips, makeup chains on long runs, byte-align,
+honest refusals, and the PDF /CCITTFaxDecode composition."""
+import numpy as np
+import pytest
+
+
+def _c():
+    from dwc_dataframe_validator_spark.functions import ccitt
+    return ccitt
+
+
+def _p():
+    from dwc_dataframe_validator_spark.operators import pdf
+    return pdf
+
+
+def _lcg_noise(h, w, seed=12345, density=5, keep=2):
+    s = seed
+    out = np.empty(h * w, dtype=np.int64)
+    for i in range(h * w):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        out[i] = s
+    return (out.reshape(h, w) % density) < keep
+
+
+def test_tables_prefix_free_and_sizes():
+    C = _c()
+    # import already asserted prefix-freeness; pin table SIZES so a
+    # dropped row can't slip in silently
+    assert len(C._WHITE_CODES) == 64 + 27
+    assert len(C._BLACK_CODES) == 64 + 27
+    assert len(C._EXT_CODES) == 13
+    assert set(C._WHITE_CODES.values()) == set(C._BLACK_CODES.values())
+    assert sorted(C._EXT_CODES.values()) == list(
+        range(1792, 2561, 64)
+    )
+    # spot-pin the best-known codewords
+    assert C._WHITE_CODES["0111"] == 2
+    assert C._BLACK_CODES["010"] == 1
+    assert C._BLACK_CODES["0000110111"] == 0
+    assert C._WHITE_CODES["00110101"] == 0
+
+
+def test_g4_roundtrip_modes():
+    C = _c()
+    cases = [
+        np.zeros((8, 8), bool),
+        np.ones((8, 8), bool),
+        _lcg_noise(32, 100),
+        _lcg_noise(16, 16, seed=777, density=3, keep=1),
+    ]
+    # vertical-heavy: slowly shifting edge
+    e = np.zeros((24, 40), bool)
+    for y in range(24):
+        e[y, : 10 + (y % 7)] = True
+    cases.append(e)
+    # pass-mode-heavy: reference runs that vanish
+    pz = np.zeros((6, 30), bool)
+    pz[0, 5:10] = True
+    pz[0, 15:20] = True
+    pz[1, 2:28] = True
+    cases.append(pz)
+    # horizontal-heavy: isolated far-apart runs + makeup chains
+    hz = np.zeros((4, 3000), bool)
+    hz[1, 100:2900] = True
+    hz[2, ::7] = True
+    cases.append(hz)
+    for align in (False, True):
+        for arr in cases:
+            enc = C.g4_encode(arr, byte_align=align)
+            dec = C.g4_decode(
+                enc, arr.shape[1], arr.shape[0], byte_align=align
+            )
+            assert dec is not None and (dec == arr).all()
+
+
+def test_g4_refusals_and_fuzz():
+    C = _c()
+    arr = _lcg_noise(20, 64)
+    enc = C.g4_encode(arr)
+    # truncations refuse (or decode-before-the-cut never happens:
+    # g4_decode is all-or-nothing by row count)
+    for j in range(0, len(enc) - 1, 3):
+        got = C.g4_decode(enc[:j], 64, 20)
+        assert got is None or got.shape == (20, 64)
+    # dimension lies refuse
+    assert C.g4_decode(enc, 63, 20) is None
+    assert C.g4_decode(enc, 64, 0) is None
+    assert C.g4_decode(b"", 64, 20) is None
+    # flips never crash
+    for j in range(0, len(enc), 5):
+        C.g4_decode(
+            enc[:j] + bytes([enc[j] ^ 0x80]) + enc[j + 1:], 64, 20
+        )
+
+
+def test_pdf_ccitt_composition():
+    P = _p()
+    C = _c()
+    bl = np.where(_lcg_noise(16, 16), 255, 0).astype(np.uint8)[
+        :, :, None
+    ]
+    for kind in ("ccitt", "ccitt-b1"):
+        doc = P.PdfDoc(P.pdf_image_encode("t", [(kind, bl)]))
+        (_n, obj), = doc.page_images(doc.pages()[0])
+        assert (doc.image_pixels(obj) == bl).all(), kind
+    # G3 (/K >= 0) stays an honest stub
+    blob = P.pdf_image_encode("t", [("ccitt", bl)]).replace(
+        b"/K -1", b"/K 91"
+    )
+    doc = P.PdfDoc(blob)
+    (_n, obj), = doc.page_images(doc.pages()[0])
+    with pytest.raises(P._Stub):
+        doc.image_pixels(obj)
+    # /Columns disagreeing with /Width is torn
+    blob = P.pdf_image_encode("t", [("ccitt", bl)]).replace(
+        b"/Columns 16", b"/Columns 15"
+    )
+    doc = P.PdfDoc(blob)
+    (_n, obj), = doc.page_images(doc.pages()[0])
+    with pytest.raises(P._Torn):
+        doc.image_pixels(obj)
+    # a corrupted G4 stream is torn, never a guessed page
+    blob = P.pdf_image_encode("t", [("ccitt", bl)])
+    enc = C.g4_encode(bl[:, :, 0] == 0)
+    i = blob.index(enc)
+    cut = blob[:i] + enc[: len(enc) // 3] + blob[i + len(enc) // 3:]
+    # (same-length prefix splice keeps xref offsets valid)
+    doc = P.PdfDoc(
+        cut[: i + len(enc) // 3]
+        + bytes(len(enc) - len(enc) // 3)
+        + blob[i + len(enc):]
+    )
+    (_n, obj), = doc.page_images(doc.pages()[0])
+    with pytest.raises(P._Torn):
+        doc.image_pixels(obj)
