@@ -7940,19 +7940,38 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_jpeg_merge(tables, unit: bytes):
+    """New-style JPEG-in-TIFF abbreviated streams: the JPEGTables
+    tag holds a tables-only JPEG (SOI..EOI); each strip/tile is
+    SOI + frame/scan.  Merge = tables minus EOI + unit minus SOI."""
+    if tables is None:
+        return unit
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8" \
+            or tables[-2:] != b"\xff\xd9":
+        return None
+    if len(unit) < 2 or unit[:2] != b"\xff\xd8":
+        return None
+    return tables[:-2] + unit[2:]
+
+
 def tiff_decode_pixels(b: bytes):
     """REAL TIFF pixel decode → uint8 (h, w, channels) or None —
-    strip-organized baseline TIFF over the EXIF tier's IFD grammar
+    strip- OR tile-organized TIFF over the EXIF tier's IFD grammar
     (``_tiff_parse`` walks tags; this walks pixels): both byte
     orders, Compression 1 (none), 5 (LZW incl. horizontal Predictor
-    2) and 32773 (PackBits); Photometric 0/1 grayscale (WhiteIsZero
-    inverted) and 2 RGB; chunky PlanarConfiguration; 8 bits per
-    sample.  Honest ``NotImplementedError`` stubs: CCITT/JPEG/
-    Deflate compressions, planar 2, tiled organization, palette/
-    CMYK, non-8-bit samples.  Torn (None): offsets or counts out of
-    range, a strip decoding to the wrong length, LZW/PackBits
-    corruption — never partial pixels.  16 MP bound like every
-    sibling decoder."""
+    2), 8 (Adobe Deflate, predictor honored), 32773 (PackBits) and
+    7 (new-style JPEG-in-TIFF, per-unit streams with the JPEGTables
+    abbreviation spliced); Photometric 0/1 grayscale (WhiteIsZero
+    inverted), 2 RGB, 3 palette (ColorMap 16→8, 8- and 4-bit
+    indices) and 6 YCbCr (only under JPEG, which converts
+    internally); chunky AND planar (PlanarConfiguration 2)
+    organization; 8 bits per sample (4 allowed for palette).
+    Honest ``NotImplementedError`` stubs: CCITT/old-style-JPEG/
+    other compressions, CMYK, non-8-bit samples, planar JPEG.
+    Torn (None): offsets or counts out of range, a unit decoding to
+    the wrong length, LZW/PackBits/Deflate/JPEG corruption, a
+    ColorMap of the wrong size — never partial pixels.  16 MP bound
+    like every sibling decoder."""
     import numpy as np
 
     if len(b) < 8 or b[:4] not in (b"II*\x00", b"MM\x00*"):
@@ -7974,7 +7993,7 @@ def tiff_decode_pixels(b: bytes):
     for k in range(cnt):
         e = ifd + 2 + 12 * k
         tag, typ, tcnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
-        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        size = {1: 1, 3: 2, 4: 4, 7: 1}.get(typ)
         if size is None:
             continue  # ASCII/RATIONAL etc.: not pixel-relevant
         total = size * tcnt
@@ -7989,73 +8008,184 @@ def tiff_decode_pixels(b: bytes):
         v = tags.get(tag)
         return v[0] if v else default
 
-    if 322 in tags or 323 in tags or 324 in tags:
-        raise NotImplementedError("tiled TIFF")
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF")
+    planar = one(284, 1)
     comp = one(259, 1)
-    if comp not in (1, 5, 32773):
-        raise NotImplementedError(f"TIFF compression {comp}")
     photo = one(262)
     spp = one(277, 1)
+    bps = tags.get(258, [1])
+    pred = one(317, 1)
+    w, h = one(256), one(257)
+    if not w or not h:
+        return None
+    if w * h > 16_000_000:
+        return None
+    if comp not in (1, 5, 7, 8, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if planar not in (1, 2):
+        return None
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+    if pred == 2 and comp not in (5, 8):
+        return None  # the predictor is defined for LZW/Deflate
+    tiled = 324 in tags or 325 in tags
+    if tiled:
+        tw, tl = one(322), one(323)
+        if not tw or not tl:
+            return None
+        offs, cnts = tags.get(324), tags.get(325)
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        units_pp = across * down
+    else:
+        rps = one(278, h)
+        if not rps or rps < 1:
+            return None
+        tw, tl = w, rps
+        offs, cnts = tags.get(273), tags.get(279)
+        across, down = 1, (h + rps - 1) // rps
+        units_pp = down
+
+    # ---- JPEG-in-TIFF: per-unit complete/abbreviated streams ----
+    if comp == 7:
+        if planar != 1:
+            raise NotImplementedError("planar JPEG-in-TIFF")
+        if photo not in (1, 2, 6):
+            raise NotImplementedError(f"JPEG-in-TIFF photometric {photo}")
+        tables = None
+        if 347 in tags:
+            tables = bytes(tags[347])
+        if not offs or not cnts or len(offs) != len(cnts) \
+                or len(offs) != units_pp:
+            return None
+        out = None
+        for ui in range(units_pp):
+            so, sc = offs[ui], cnts[ui]
+            if so + sc > len(b):
+                return None
+            merged = _tiff_jpeg_merge(tables, b[so:so + sc])
+            if merged is None:
+                return None
+            px = jpeg_decode_pixels(merged)
+            if px is None:
+                return None
+            ty, tx = ui // across, ui % across
+            rows_here = min(tl, h - ty * tl)
+            cols_here = min(tw, w - tx * tw)
+            if px.shape[0] < rows_here or px.shape[1] < cols_here:
+                return None  # the unit lies about its coverage
+            if out is None:
+                out = np.zeros((h, w, px.shape[2]), np.uint8)
+            elif out.shape[2] != px.shape[2]:
+                return None
+            out[ty * tl:ty * tl + rows_here,
+                tx * tw:tx * tw + cols_here] = \
+                px[:rows_here, :cols_here]
+        return out
+
+    # ---- raster photometrics ----
     if photo in (0, 1):
         if spp != 1:
             raise NotImplementedError("extra samples")
     elif photo == 2:
         if spp != 3:
             raise NotImplementedError("extra samples")
+    elif photo == 3:
+        if spp != 1:
+            return None
+        if any(v not in (4, 8) for v in bps) or len(set(bps)) != 1:
+            raise NotImplementedError("palette sample depth")
+        if pred == 2:
+            raise NotImplementedError("predicted palette indices")
     else:
         raise NotImplementedError(f"TIFF photometric {photo}")
-    bps = tags.get(258, [1])
-    if any(v != 8 for v in bps):
+    depth = bps[0] if photo == 3 else 8
+    if photo != 3 and any(v != 8 for v in bps):
         raise NotImplementedError("non-8-bit TIFF samples")
-    pred = one(317, 1)
-    if pred not in (1, 2):
-        raise NotImplementedError(f"TIFF predictor {pred}")
-    w, h = one(256), one(257)
-    if not w or not h:
-        return None
-    if w * h > 16_000_000:
-        return None
-    offs = tags.get(273)
-    cnts = tags.get(279)
-    rps = one(278, h)
-    if not offs or not cnts or len(offs) != len(cnts) or rps < 1:
-        return None
-    n_strips = (h + rps - 1) // rps
-    if len(offs) != n_strips:
-        return None
-    row_bytes = w * spp
-    out = bytearray()
-    for s in range(n_strips):
-        so, sc = offs[s], cnts[s]
-        if so + sc > len(b):
-            return None
-        raw = b[so:so + sc]
-        rows_here = min(rps, h - s * rps)
-        need = rows_here * row_bytes
-        if comp == 1:
-            strip = raw
-        elif comp == 5:
-            strip = _tiff_lzw_decode(raw, need)
-        else:
-            strip = _packbits_decode(raw, need)
-        if strip is None or len(strip) != need:
-            return None  # strip decode length lie: torn
-        if pred == 2:
-            arr = np.frombuffer(strip, np.uint8).reshape(
-                rows_here, w, spp
-            ).astype(np.int64)
-            strip = (
-                arr.cumsum(axis=1) % 256
-            ).astype(np.uint8).tobytes()
-        out += strip
-    import numpy as _np
+    if depth == 4 and (tiled or planar == 2):
+        raise NotImplementedError("4-bit tiled/planar palette")
 
-    px = _np.frombuffer(bytes(out), _np.uint8).reshape(h, w, spp)
+    planes = spp if planar == 2 else 1
+    unit_spp = 1 if planar == 2 else spp
+    if not offs or not cnts or len(offs) != len(cnts):
+        return None
+    if len(offs) != planes * units_pp:
+        return None
+    if depth == 4:
+        unit_row_bytes = (tw + 1) // 2
+    else:
+        unit_row_bytes = tw * unit_spp
+
+    plane_px = []
+    for p in range(planes):
+        canvas = np.zeros((h, w, unit_spp), np.uint8)
+        for ui in range(units_pp):
+            so, sc = offs[p * units_pp + ui], cnts[p * units_pp + ui]
+            if so + sc > len(b):
+                return None
+            raw = b[so:so + sc]
+            ty, tx = ui // across, ui % across
+            # tiles pad to the full tile size; strips clip rows
+            rows_full = tl if tiled else min(tl, h - ty * tl)
+            need = rows_full * unit_row_bytes
+            if comp == 1:
+                unit = raw
+            elif comp == 5:
+                unit = _tiff_lzw_decode(raw, need)
+            elif comp == 8:
+                import zlib as _zl
+
+                try:
+                    unit = _zl.decompress(bytes(raw), bufsize=need)
+                except _zl.error:
+                    return None
+            else:
+                unit = _packbits_decode(raw, need)
+            if unit is None or len(unit) != need:
+                return None  # unit decode length lie: torn
+            if depth == 4:
+                # high nibble first, rows padded to byte boundary
+                row_pairs = np.frombuffer(unit, np.uint8).reshape(
+                    rows_full, unit_row_bytes
+                )
+                expanded = np.empty(
+                    (rows_full, unit_row_bytes * 2), np.uint8
+                )
+                expanded[:, 0::2] = row_pairs >> 4
+                expanded[:, 1::2] = row_pairs & 0x0F
+                arr = expanded[:, :w, None]
+            else:
+                arr = np.frombuffer(unit, np.uint8).reshape(
+                    rows_full, tw, unit_spp
+                )
+                if pred == 2:
+                    arr = (
+                        arr.astype(np.int64).cumsum(axis=1) % 256
+                    ).astype(np.uint8)
+            rows_here = min(tl, h - ty * tl)
+            cols_here = min(tw, w - tx * tw)
+            canvas[ty * tl:ty * tl + rows_here,
+                   tx * tw:tx * tw + cols_here] = \
+                arr[:rows_here, :cols_here]
+        plane_px.append(canvas)
+    px = (
+        np.concatenate(plane_px, axis=2) if planes > 1
+        else plane_px[0]
+    )
     if photo == 0:
         px = 255 - px
-    return px.copy()
+    elif photo == 3:
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) != 3 * (1 << depth):
+            return None
+        lut = (
+            np.array(cmap, np.uint32).reshape(3, 1 << depth).T >> 8
+        ).astype(np.uint8)
+        idx = px[:, :, 0]
+        if depth == 4 and (idx > 15).any():
+            return None
+        px = lut[idx]
+    return np.ascontiguousarray(px)
+
 
 
 def tiff_encode(
@@ -8065,23 +8195,55 @@ def tiff_encode(
     rows_per_strip: int = 0,
     big_endian: bool = False,
     white_is_zero: bool = False,
+    planar: bool = False,
+    tile: int = 0,
+    palette: bool = False,
+    jpeg: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
-    """Minimal strip TIFF writer — the fixture twin of
+    """Minimal TIFF writer — the fixture twin of
     ``tiff_decode_pixels``.  ``px`` is uint8 (h, w, 1|3);
-    ``compression``: ``none`` / ``lzw`` / ``packbits``;
-    ``predictor=True`` applies horizontal differencing (LZW only);
-    ``rows_per_strip`` 0 = single strip."""
+    ``compression``: ``none`` / ``lzw`` / ``deflate`` /
+    ``packbits``; ``predictor=True`` applies horizontal differencing
+    (LZW/Deflate); ``rows_per_strip`` 0 = single strip;
+    ``planar=True`` writes PlanarConfiguration 2 (plane-major
+    units); ``tile=N`` writes an N×N tile grid (edge tiles
+    zero-padded, tags 322-325); ``palette=True`` palettizes the
+    (≤256-color) image into Photometric 3 + a 16-bit ColorMap;
+    ``jpeg=True`` writes Compression 7 with one whole-image JPEG
+    strip (``jpeg_tables=True`` splits DQT/DHT into the JPEGTables
+    tag — the abbreviated-stream spelling)."""
     import numpy as np
+    import zlib as _zl
 
     h, w, spp = px.shape
     bo = "big" if big_endian else "little"
     white_is_zero = white_is_zero and spp == 1  # gray-only notion
-    photo = (0 if white_is_zero else 1) if spp == 1 else 2
-    data_px = 255 - px if white_is_zero else px
-    rps = rows_per_strip or h
-    strips = []
-    for s in range(0, h, rps):
-        rows = data_px[s:s + rps]
+    extra_entries = []  # (tag, type, values)
+    cmap_vals = None
+    if palette:
+        flat = px.reshape(-1, spp)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        assert len(uniq) <= 256, "palette fixture needs ≤256 colors"
+        if spp == 1:
+            uniq = np.repeat(uniq, 3, axis=1)
+        pal = np.zeros((256, 3), np.uint32)
+        pal[: len(uniq)] = uniq
+        cmap_vals = [
+            int(v) * 257 for v in pal.T.reshape(-1)
+        ]
+        data_px = inv.astype(np.uint8).reshape(h, w, 1)
+        photo, spp_out = 3, 1
+    elif jpeg:
+        data_px = px
+        photo = 6 if spp == 3 else 1
+        spp_out = spp
+    else:
+        data_px = 255 - px if white_is_zero else px
+        photo = ((0 if white_is_zero else 1) if spp == 1 else 2)
+        spp_out = spp
+
+    def pack(rows):
         if predictor:
             arr = rows.astype(np.int64)
             diff = arr.copy()
@@ -8090,40 +8252,92 @@ def tiff_encode(
         else:
             raw = rows.tobytes()
         if compression == "lzw":
-            strips.append(_tiff_lzw_encode(raw))
-        elif compression == "packbits":
-            strips.append(_packbits_encode(raw))
+            return _tiff_lzw_encode(raw)
+        if compression == "deflate":
+            return _zl.compress(raw)
+        if compression == "packbits":
+            return _packbits_encode(raw)
+        return raw
+
+    tiled = tile > 0
+    if jpeg:
+        blob = jpeg_encode(data_px)
+        if jpeg_tables:
+            segs = _jpeg_split_segments(blob)
+            tables = b"\xff\xd8" + b"".join(
+                s for m, s in segs if m in (0xDB, 0xC4)
+            ) + b"\xff\xd9"
+            body = b"\xff\xd8" + b"".join(
+                s for m, s in segs if m not in (0xDB, 0xC4, 0xD8, 0xD9)
+            ) + b"\xff\xd9"
+            extra_entries.append((347, 7, list(tables)))
+            units = [body]
         else:
-            strips.append(raw)
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
-    entries = []  # (tag, type, count, values)
-    n_strips = len(strips)
-    # header(8) + count(2) + 12*n + next(4), then value areas
-    bps_vals = [8] * spp
+            units = [blob]
+        rps = h
+        comp_code = 7
+    else:
+        comp_code = {
+            "none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+        }[compression]
+        planes = (
+            [data_px[:, :, p:p + 1] for p in range(spp_out)]
+            if planar else [data_px]
+        )
+        units = []
+        if tiled:
+            for plane in planes:
+                for ty in range(0, h, tile):
+                    for tx in range(0, w, tile):
+                        t = np.zeros(
+                            (tile, tile, plane.shape[2]), np.uint8
+                        )
+                        seg = plane[ty:ty + tile, tx:tx + tile]
+                        t[: seg.shape[0], : seg.shape[1]] = seg
+                        units.append(pack(t))
+        else:
+            rps = rows_per_strip or h
+            for plane in planes:
+                for s in range(0, h, rps):
+                    units.append(pack(plane[s:s + rps]))
+    entries = []  # (tag, type, values)
 
     def add(tag, typ, vals):
         entries.append((tag, typ, vals))
 
     add(256, 4, [w])
     add(257, 4, [h])
-    add(258, 3, bps_vals)
+    add(258, 3, [8] * spp_out)
     add(259, 3, [comp_code])
     add(262, 3, [photo])
-    add(273, 4, [0] * n_strips)  # patched below
-    add(277, 3, [spp])
-    add(278, 4, [min(rps, h)])
-    add(279, 4, [len(s) for s in strips])
-    if predictor:
+    add(277, 3, [spp_out])
+    if tiled and not jpeg:
+        add(322, 4, [tile])
+        add(323, 4, [tile])
+        add(324, 4, [0] * len(units))  # patched below
+        add(325, 4, [len(u) for u in units])
+    else:
+        add(273, 4, [0] * len(units))  # patched below
+        add(278, 4, [min(rows_per_strip or h, h) if not jpeg
+                     else h])
+        add(279, 4, [len(u) for u in units])
+    if predictor and not jpeg:
         add(317, 3, [2])
+    if planar and not jpeg:
+        add(284, 3, [2])
+    if cmap_vals is not None:
+        add(320, 3, cmap_vals)
+    for tag, typ, vals in extra_entries:
+        add(tag, typ, vals)
     entries.sort(key=lambda e: e[0])
     n = len(entries)
     hdr = (b"MM\x00*" if big_endian else b"II*\x00") + (8).to_bytes(
         4, bo
     )
     ifd_size = 2 + 12 * n + 4
-    # lay out overflow value areas after the IFD, then strips
+    # lay out overflow value areas after the IFD, then units
     pos = 8 + ifd_size
-    sizes = {3: 2, 4: 4}
+    sizes = {3: 2, 4: 4, 7: 1}
     overflow = []
     slots = []
     for tag, typ, vals in entries:
@@ -8133,14 +8347,14 @@ def tiff_encode(
         else:
             slots.append(pos)
             pos += total
-    strip_offs = []
-    for s in strips:
-        strip_offs.append(pos)
+    unit_offs = []
+    for s in units:
+        unit_offs.append(pos)
         pos += len(s)
     body = bytearray()
     for idx, (tag, typ, vals) in enumerate(entries):
-        if tag == 273:
-            vals = strip_offs
+        if tag in (273, 324):
+            vals = unit_offs
         body += tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
         body += len(vals).to_bytes(4, bo)
         total = sizes[typ] * len(vals)
@@ -8155,9 +8369,31 @@ def tiff_encode(
     for off, packed in overflow:
         assert len(out) == off, (len(out), off)
         out += packed
-    for s in strips:
+    for s in units:
         out += s
     return bytes(out)
+
+
+def _jpeg_split_segments(blob: bytes):
+    """(marker, segment-bytes) list for a baseline JPEG — segment
+    bytes INCLUDE the 0xFF-marker prefix; the entropy-coded scan
+    rides with its SOS segment; SOI/EOI are zero-length."""
+    segs = []
+    i = 2  # past SOI
+    n = len(blob)
+    while i < n:
+        assert blob[i] == 0xFF, hex(i)
+        m = blob[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m == 0xDA:  # SOS: segment + entropy data up to EOI
+            segs.append((m, blob[i:n - 2]))
+            break
+        ln = int.from_bytes(blob[i + 2:i + 4], "big")
+        segs.append((m, blob[i:i + 2 + ln]))
+        i += 2 + ln
+    return segs
+
 
 
 def _tiff_fixture_pixels(cls: int):
@@ -8176,37 +8412,52 @@ def _tiff_fixture_pixels(cls: int):
 
 
 _TIFF_VARIANTS = (
-    ("none", False, 0, False, False),
-    ("lzw", False, 0, False, False),
-    ("lzw", True, 0, False, False),       # horizontal predictor
-    ("packbits", False, 5, False, False),  # multi-strip
-    ("none", False, 7, True, True),        # big-endian WhiteIsZero
+    dict(compression="none"),
+    dict(compression="lzw"),
+    dict(compression="lzw", predictor=True),   # horizontal predictor
+    dict(compression="packbits", rows_per_strip=5),  # multi-strip
+    dict(compression="none", rows_per_strip=7, big_endian=True,
+         white_is_zero=True),                  # big-endian WhiteIsZero
+    dict(compression="deflate", predictor=True),     # Adobe Deflate
+    dict(compression="lzw", predictor=True, rows_per_strip=4,
+         planar=True),                         # PlanarConfiguration 2
+    dict(compression="packbits", tile=8),      # 8×8 tile grid
+    dict(compression="deflate", tile=5, big_endian=True),  # edge tiles
+    dict(compression="lzw", palette=True),     # Photometric 3
+    dict(jpeg=True),                           # JPEG-in-TIFF
+    dict(jpeg=True, jpeg_tables=True),         # abbreviated streams
 )
 
 
 def build_tiff_blob(doc_id: int) -> bytes:
     """TIFF fixture: pixel class ``doc_id %% 6`` × packaging variant
-    ``(doc_id // 6) %% 5`` from ``_TIFF_VARIANTS`` — all five are
-    LOSSLESS, so every packaging of a class must hash identically
-    (incl. big-endian WhiteIsZero, whose inversion round-trips).
-    ``doc_id %% 17 == 0`` truncates mid-strip (torn); else ``%% 13
-    == 0`` relabels Compression 7 (JPEG-in-TIFF — the honest stub)."""
+    ``(doc_id // 6) %% 12`` from ``_TIFF_VARIANTS`` — variants 0-9
+    are LOSSLESS, so every packaging of a class must hash
+    identically (incl. big-endian WhiteIsZero inversion, planar
+    recombination, tile clipping and the palette round-trip — a
+    16×16 image always fits 256 colors); variants 10-11 are
+    JPEG-in-TIFF (complete vs JPEGTables-abbreviated streams) and
+    must hash to the standalone JPEG constants.  ``doc_id %% 17 ==
+    0`` truncates mid-unit (torn); else ``%% 13 == 0`` relabels
+    Compression 6 (old-style JPEG — the honest stub)."""
     cls = doc_id % 6
-    comp, pred, rps, be, wiz = _TIFF_VARIANTS[(doc_id // 6) % 5]
+    kw = _TIFF_VARIANTS[(doc_id // 6) % 12]
     px = _tiff_fixture_pixels(cls)
-    blob = tiff_encode(
-        px, compression=comp, predictor=pred, rows_per_strip=rps,
-        big_endian=be, white_is_zero=wiz,
-    )
+    blob = tiff_encode(px, **kw)
     if doc_id % 17 == 0:
         return blob[: len(blob) - max(9, len(blob) // 5)]
     if doc_id % 13 == 0:
-        code = {"none": 1, "lzw": 5, "packbits": 32773}[comp]
-        bo = "big" if be else "little"
+        code = (
+            7 if kw.get("jpeg") else
+            {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
+                kw.get("compression", "none")
+            ]
+        )
+        bo = "big" if kw.get("big_endian") else "little"
         old = (259).to_bytes(2, bo) + (3).to_bytes(2, bo) \
             + (1).to_bytes(4, bo) + code.to_bytes(2, bo)
         new = (259).to_bytes(2, bo) + (3).to_bytes(2, bo) \
-            + (1).to_bytes(4, bo) + (7).to_bytes(2, bo)
+            + (1).to_bytes(4, bo) + (6).to_bytes(2, bo)
         assert blob.count(old) == 1
         return blob.replace(old, new)
     return blob

@@ -8535,18 +8535,21 @@ ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
 
 
 def _tiff_pinned_oracle() -> str:
-    """Pinned-constant oracle for the TIFF pixel tier over the 30
-    (pixel class × packaging) combos; every packaging is lossless,
-    so all five must pin the SAME constants per class — and the four
-    RGB classes reuse the PDF-image gradients, so their hashes must
-    equal that tier's raw-pixel constants (asserted here: the
-    cross-format dedup contract extends to TIFF)."""
+    """Pinned-constant oracle for the TIFF pixel tier over the 72
+    (pixel class × packaging) combos; packagings 0-9 are lossless,
+    so all ten must pin the SAME hashes per class (palette re-emits
+    gray planes as equal-channel RGB — identical luma hashes, 3
+    channels), packagings 10-11 (JPEG-in-TIFF, complete vs
+    JPEGTables-abbreviated) must pin the standalone JPEG constants —
+    and the four RGB classes reuse the PDF-image gradients, so their
+    hashes must equal that tier's raw-pixel constants (asserted
+    here: the cross-format dedup contract extends to TIFF)."""
     from .operators import pdf as pdfmod
 
     rows = {}
-    for combo in range(30):
+    for combo in range(72):
         did = next(
-            d for d in range(combo, 4000, 30) if d % 17 and d % 13
+            d for d in range(combo, 8000, 72) if d % 17 and d % 13
         )
         px = multimodal.tiff_decode_pixels(
             multimodal.build_tiff_blob(did)
@@ -8557,15 +8560,27 @@ def _tiff_pinned_oracle() -> str:
             format(multimodal.image_dhash(px), "016x"),
         )
     for cls in range(6):
-        for var in range(1, 5):
-            assert rows[cls + 6 * var] == rows[cls], (cls, var)
+        for var in range(1, 10):
+            assert rows[cls + 6 * var][1:] == rows[cls][1:], (
+                cls, var,
+            )
+            if var != 9:
+                assert rows[cls + 6 * var][0] == rows[cls][0]
+        # both JPEG spellings agree with each other and with the
+        # standalone JPEG decode of the same pixels
+        sj = multimodal.jpeg_decode_pixels(
+            multimodal.jpeg_encode(multimodal._tiff_fixture_pixels(cls))
+        )
+        want_j = format(multimodal.image_ahash(sj), "016x")
+        assert rows[cls + 6 * 10][1] == want_j, cls
+        assert rows[cls + 6 * 11] == rows[cls + 6 * 10], cls
     for cls in range(4):
         want = format(multimodal.image_ahash(
             pdfmod._pdf_image_fixture_pixels(cls)
         ), "016x")
         assert rows[cls][1] == want, cls
     return _hash_case_oracle(
-        {c: rows[c % 30] for c in range(30)},
+        {c: rows[c % 72] for c in range(72)},
         "doc_id % 17 = 0 OR doc_id % 13 = 0",
     )
 
@@ -8573,15 +8588,19 @@ def _tiff_pinned_oracle() -> str:
 def tiff_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF pixel decode (operators/multimodal.py
     ``tiff_decode_pixels`` behind ``decode_image_pixels``): strip
-    organization in both byte orders, Compression 1/5/32773 — the
-    TIFF-LZW core has the spec's EARLY code-width change with the
-    encoder/decoder off-by-one handled by keying both width
-    schedules to the emitted-code count — horizontal Predictor 2,
-    WhiteIsZero inversion, PackBits runs.  All five packagings of a
-    class hash identically and the RGB classes match the PDF-image
-    tier's constants (cross-format dedup).  CCITT/JPEG-in-TIFF/
-    tiled/planar are honest stubs; %%17 truncates mid-strip, %%13
-    relabels Compression 7 — both ok=false."""
+    AND tile organization in both byte orders, chunky AND planar,
+    Compression 1/5/8/32773 plus new-style JPEG-in-TIFF (7, with
+    JPEGTables-abbreviated streams spliced) — the TIFF-LZW core has
+    the spec's EARLY code-width change with the encoder/decoder
+    off-by-one handled by keying both width schedules to the
+    emitted-code count — horizontal Predictor 2, WhiteIsZero
+    inversion, PackBits runs, Photometric-3 palettes (16-bit
+    ColorMap, 8/4-bit indices).  All ten lossless packagings of a
+    class hash identically, the two JPEG spellings pin the
+    standalone JPEG constants, and the RGB classes match the
+    PDF-image tier's constants (cross-format dedup).  CCITT and
+    old-style JPEG stay honest stubs; %%17 truncates mid-unit,
+    %%13 relabels Compression 6 — both ok=false."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.image_pixel_hashes(
         multimodal.attach_tiff_blob(docs)

@@ -110,3 +110,94 @@ def test_wav_fact_zero_over_nonempty_data_refuses():
     assert struct.unpack_from("<I", blob, FACT_OFF)[0] > 0
     struct.pack_into("<I", blob, FACT_OFF, 0)
     assert mm.wav_decode_samples(bytes(blob)) is None
+
+
+def test_tiff_extended_geometries():
+    """Beyond-fixture TIFF shapes: non-square images whose dims are
+    NOT multiples of the tile size, planar+tiled combined, deflate
+    tiles, 4-bit palettes (hand-built), and refusals for short
+    ColorMaps and out-of-range nibble indices."""
+    import numpy as np
+
+    mm = _mm()
+    y, x = np.mgrid[0:23, 0:37]
+    rgb = np.stack(
+        [(y * 7 + x) % 256, (x * 5) % 256, (y * 11 + 3 * x) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for kw in (
+        dict(tile=8, compression="lzw", predictor=True),
+        dict(tile=16, compression="deflate"),
+        dict(tile=7, compression="packbits"),
+        dict(tile=8, compression="none", planar=True),
+        dict(planar=True, compression="deflate", predictor=True,
+             rows_per_strip=3),
+        dict(jpeg=True),
+        dict(jpeg=True, jpeg_tables=True),
+    ):
+        dec = mm.tiff_decode_pixels(mm.tiff_encode(rgb, **kw))
+        if kw.get("jpeg"):
+            want = mm.jpeg_decode_pixels(mm.jpeg_encode(rgb))
+        else:
+            want = rgb
+        assert dec is not None and (dec == want).all(), kw
+    # 4-bit palette, hand-built strip TIFF (odd width exercises the
+    # nibble row padding)
+    idx = (y + x)[:5, :7] % 3  # 5×7, 3 colors
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255)]
+    rows = []
+    for r in range(5):
+        nibs = list(idx[r]) + ([0] if 7 % 2 else [])
+        rows.append(bytes(
+            (nibs[i] << 4) | nibs[i + 1]
+            for i in range(0, len(nibs), 2)
+        ))
+    data = b"".join(rows)
+    cmap = []
+    for ch in range(3):
+        chan = [pal[v][ch] * 257 for v in range(3)] + [0] * 13
+        cmap.extend(chan)
+
+    def build(cmap_vals, payload):
+        entries = [
+            (256, 4, [7]), (257, 4, [5]), (258, 3, [4]),
+            (259, 3, [1]), (262, 3, [3]), (273, 4, [0]),
+            (277, 3, [1]), (278, 4, [5]), (279, 4, [len(payload)]),
+            (320, 3, cmap_vals),
+        ]
+        pos = 8 + 2 + 12 * len(entries) + 4
+        slots = []
+        for _t, typ, vals in entries:
+            total = {3: 2, 4: 4}[typ] * len(vals)
+            slots.append(pos if total > 4 else None)
+            pos += total if total > 4 else 0
+        data_off = pos
+        body = b""
+        over = b""
+        for i, (tag, typ, vals) in enumerate(entries):
+            if tag == 273:
+                vals = [data_off]
+            sz = {3: 2, 4: 4}[typ]
+            packed = b"".join(
+                v.to_bytes(sz, "little") for v in vals
+            )
+            body += tag.to_bytes(2, "little")
+            body += typ.to_bytes(2, "little")
+            body += len(vals).to_bytes(4, "little")
+            if len(packed) <= 4:
+                body += packed + bytes(4 - len(packed))
+            else:
+                body += slots[i].to_bytes(4, "little")
+                over += packed
+        return (
+            b"II*\x00" + (8).to_bytes(4, "little")
+            + len(entries).to_bytes(2, "little") + body
+            + bytes(4) + over + payload
+        )
+
+    good = build(cmap, data)
+    dec = mm.tiff_decode_pixels(good)
+    want = np.array(pal, np.uint8)[idx]
+    assert dec is not None and (dec == want).all()
+    # a ColorMap of the wrong size is torn, not guessed
+    assert mm.tiff_decode_pixels(build(cmap[:-3], data)) is None
