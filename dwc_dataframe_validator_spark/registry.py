@@ -7161,10 +7161,10 @@ def _gif_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7210,10 +7210,10 @@ def _bmp_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7415,13 +7415,13 @@ def _jpeg_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     chan = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7554,13 +7554,13 @@ def _jpeg_prog_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     chan = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7731,8 +7731,8 @@ def _content_encoding_pinned_oracle() -> str:
         return collapsed.strip(" ").replace("'", "''")
 
     rows = {}
-    for cls in range(12):
-        did = next(d for d in (cls, cls + 12, cls + 24) if d % 11)
+    for cls in range(14):
+        did = next(d for d in (cls, cls + 14, cls + 28) if d % 11)
         t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
             warcmod.build_content_encoding_blob(did)
         )
@@ -7741,31 +7741,31 @@ def _content_encoding_pinned_oracle() -> str:
         # text, and their replacement-char soup would be meaningless
         # to pin)
         rows[cls] = (ce, ch, dec, enc, strip(t) if dec else None)
-        if cls in (10, 11):
-            assert dec, cls  # the pure entropy tier must decode these
+        if cls in (10, 11, 12, 13):
+            assert dec, cls  # the pure entropy tiers must decode these
     bt, benc, _bs, bce, bch, bdec = warcmod.decode_payload_full(
         warcmod.build_content_encoding_blob(0)  # 0 % 11 == 0: truncated
     )
     bad = (bce, bch, bdec, benc, strip(bt) if bdec else None)
     ce_c = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %s"
+        "WHEN doc_id %% 14 = %d THEN %s"
         % (c, "'%s'" % v[0] if v[0] else "NULL")
         for c, v in rows.items()
     )
     ch_c = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %s" % (c, str(v[1]).upper())
+        "WHEN doc_id %% 14 = %d THEN %s" % (c, str(v[1]).upper())
         for c, v in rows.items()
     )
     dec_c = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %s" % (c, str(v[2]).upper())
+        "WHEN doc_id %% 14 = %d THEN %s" % (c, str(v[2]).upper())
         for c, v in rows.items()
     )
     enc_c = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[3])
+        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[3])
         for c, v in rows.items()
     )
     txt_c = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %s"
+        "WHEN doc_id %% 14 = %d THEN %s"
         % (c, "'%s'" % v[4] if v[4] is not None else "NULL")
         for c, v in rows.items()
     )
@@ -7798,7 +7798,9 @@ def http_content_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (false) / compressed-brotli (false) / LF-framed-chunked-gzip (the
     r14 lenient-framing fix) / chained gzip,br / REAL compressed-block
     zstd / REAL level-19 multi-section zstd (both decoded by the pure
-    RFC 8878 FSE+Huffman tier, round 16) per doc_id %% 12;
+    RFC 8878 FSE+Huffman tier, round 16) / REAL q11 brotli and the
+    twin's LZ metablocks (the round-17 pure RFC 7932 tier: static
+    dictionary + transforms + context modeling) per doc_id %% 14;
     %% 11 plants a truncated zstd frame.  All map-side, zero shuffles."""
     from .operators import web
     from .sources import warc as warcmod

@@ -39,11 +39,11 @@ from typing import Iterator
 # tier below, else the honest ``body_decoded=false`` routing.  Never
 # a hard dependency.  Since round 16 the pure zstd tier decodes the
 # FULL non-dictionary format (FSE/Huffman compressed blocks, CLI-
-# validated); the remaining library-only surface is dictionary-zstd
-# frames and brotli COMPRESSED metablocks (RFC 7932 entropy coding
-# requires the spec's 120 KB static dictionary, which this repo does
-# not embed — cluster deployments wanting full brotli coverage must
-# install the ``brotli`` package; documented contract).
+# validated); since round 17 the pure brotli tier decodes the FULL
+# RFC 7932 format (functions/brotli.py — context modeling, block
+# switching, static dictionary + the 121 transforms, all validated
+# against the canonical codec via Node's zlib).  The remaining
+# library-only surface is dictionary-zstd frames.
 try:  # pragma: no cover - environment-dependent
     import brotli as _brotli_mod
 except ImportError:  # pragma: no cover
@@ -708,8 +708,10 @@ def brotli_store(raw: bytes) -> bytes:
 def _brotli_decode(body: bytes):
     """br Content-Encoding: native ``brotli``/``brotlicffi`` when
     importable (fed in 64 KiB slices so the ``_MAX_BODY`` cap is
-    checked before a bomb fully materializes), else the pure
-    stored-mode tier.  None = keep raw bytes, ``body_decoded``
+    checked before a bomb fully materializes), else the FULL
+    pure-Python RFC 7932 decoder (functions/brotli.py) with the
+    same output cap, with the zero-dependency stored-mode walker as
+    the last resort.  None = keep raw bytes, ``body_decoded``
     false."""
     if _brotli_mod is not None:  # pragma: no cover - optional codec
         try:
@@ -724,7 +726,15 @@ def _brotli_decode(body: bytes):
             return bytes(out)
         except Exception:
             return None
-    return _brotli_decode_pure(body)
+    try:
+        from ..functions.brotli import _BrotliError, decompress
+
+        try:
+            return decompress(bytes(body), max_out=_MAX_BODY)
+        except _BrotliError:
+            return None
+    except Exception:  # data tables missing: stored-mode only
+        return _brotli_decode_pure(body)
 
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
@@ -1691,6 +1701,19 @@ _ZSTD_FIXTURE_11_HTML = (
 ).encode("utf-8")
 
 
+#: REAL q11 brotli of a 5.6 KB fixture page (reference-codec
+#: produced, pinned bytes) — dictionary words, transforms and
+#: context modeling all on the decode path
+_BR_FIXTURE_12 = (
+    "1bf015208c935cfd79919e2cd58724c4b766a39c191b10dc162bff0165231b92"
+    "04b90397af3c48b204a35a946902961e91d3ddf26be7360a1a44144d5fa24987"
+    "45cc9bbefcbd71acb0bc3db02efbccdbfce382ea5438aa5ea8b6f7d6b293f919"
+    "d3dcad5ae91f38abea9418b739c6ff1b638041861826c362d80c0fc3cb7020e8"
+    "b308822008822008822008822008821042082184104208218410428820820822"
+    "882082082288f48e65bf110f"
+)
+
+
 def build_content_encoding_blob(doc_id: int) -> bytes:
     """HTTP-response bytes for the br/zstd Content-Encoding fixtures:
     class ``doc_id %% 10`` — 0 brotli stored-mode, 1 zstd raw-block
@@ -1710,9 +1733,13 @@ def build_content_encoding_blob(doc_id: int) -> bytes:
     pinned bytes — one Huffman/FSE sequence section, decoded by the
     round-16 pure entropy tier), 11 a REAL level-19 multi-section
     frame (4-stream Huffman literals, FSE-described tables, repeat
-    offsets) over a 20 KB page.
+    offsets) over a 20 KB page, 12 a REAL q11 brotli stream
+    (reference-codec-produced, pinned bytes — static dictionary,
+    transforms and context modeling through the round-17 pure RFC
+    7932 tier), 13 the brotli encoder twin's LZ mode over the class
+    page (self-produced compressed metablocks, same pure tier).
     ``doc_id %% 11 == 0`` plants a TRUNCATED zstd frame instead."""
-    cls = doc_id % 12
+    cls = doc_id % 14
     text = "The café on route no. %d stayed open." % cls
     html = "<html><head></head><body><p>%s</p></body></html>" % text
     raw = html.encode("utf-8")
@@ -1763,6 +1790,14 @@ def build_content_encoding_blob(doc_id: int) -> bytes:
     elif cls == 11:
         body = bytes.fromhex(_ZSTD_FIXTURE_11)
         headers.append(("Content-Encoding", "zstd"))
+    elif cls == 12:
+        body = bytes.fromhex(_BR_FIXTURE_12)
+        headers.append(("Content-Encoding", "br"))
+    elif cls == 13:
+        from ..functions.brotli import compress as _br_compress
+
+        body = _br_compress(raw, "lz")
+        headers.append(("Content-Encoding", "br"))
     else:
         body = brotli_store(gzip.compress(raw, mtime=0))
         headers.append(("Content-Encoding", "gzip, br"))
