@@ -234,6 +234,13 @@ HEADLINE = [
     "ico_pixel_hash_check",
     "office_corpus_token_check",
     "eml_text_check",
+    # round-17 additions (own-round baselines): OpenDocument + mbox
+    # text over the existing sources, and CCITT G4 / AES-256 / tiled-
+    # planar-palette-JPEG TIFF / full-brotli re-verifies of the
+    # reshaped fixtures (pdf_encrypted, pdf_image, tiff and
+    # http_content_encoding rows above now carry the new tiers)
+    "odf_text_check",
+    "mbox_text_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

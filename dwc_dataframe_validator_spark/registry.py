@@ -11133,6 +11133,16 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # green r15; the composed office-union integration claim takes the
 # slot), eml_text_check ← adpcm_decode_check
 # (ms_adpcm_decode_check keeps the ADPCM family in-window).
+# Round-17 rotation: odf_text_check ← epub_text_check (the zip
+# office family keeps xlsx/pptx/office_corpus_token in-window),
+# mbox_text_check ← eml_text_check (the mailbox check RUNS the EML
+# extractor on every message, so the mail family keeper is the new
+# entry itself), http_content_encoding_check ← rtf_text_check (the
+# wire tier gained the full-brotli classes this round and needs a
+# driver pass; office text keeps docx/xlsx/pptx in-window).  The
+# r17-reshaped fixtures already in-window (pdf_encrypted, pdf_image,
+# tiff) re-verify their new AES-256 / CCITT / tiled-planar-palette-
+# JPEG tiers without a swap.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -11149,9 +11159,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a8_a9_distinct_duplicates",
     "a13_date_parts",
     "a14_offender_sample",
-    "epub_text_check",
+    "odf_text_check",
     "ico_pixel_hash_check",
-    "rtf_text_check",
+    "http_content_encoding_check",
     "dedup_clusters",
     "pdf_token_stats_check",
     "text_quality",
@@ -11159,7 +11169,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "docx_text_check",
     "wet_main_content_docs",
     "exif_oriented_dedup_check",
-    "eml_text_check",
+    "mbox_text_check",
     "pdf_text_check",
     "bmp_variant_pixel_hash_check",
     "contamination_hits",

@@ -145,9 +145,9 @@ DRIVER_WINDOW = [
     "a8_a9_distinct_duplicates",
     "a13_date_parts",
     "a14_offender_sample",
-    "epub_text_check",
+    "odf_text_check",
     "ico_pixel_hash_check",
-    "rtf_text_check",
+    "http_content_encoding_check",
     "dedup_clusters",
     "pdf_token_stats_check",
     "text_quality",
@@ -155,7 +155,7 @@ DRIVER_WINDOW = [
     "docx_text_check",
     "wet_main_content_docs",
     "exif_oriented_dedup_check",
-    "eml_text_check",
+    "mbox_text_check",
     "pdf_text_check",
     "bmp_variant_pixel_hash_check",
     "contamination_hits",
@@ -507,7 +507,7 @@ def test_round16_extraction_plans_are_shuffle_free(spark):
         "tiff_pixel_hash_check", "ico_pixel_hash_check",
         "epub_text_check", "rtf_text_check",
         "wav_mp3_frame_hash_check", "office_corpus_token_check",
-        "eml_text_check",
+        "eml_text_check", "odf_text_check", "mbox_text_check",
     ):
         nodes = _nodes(spark, name)
         assert nodes.count("Exchange") == 0, (name, nodes)
