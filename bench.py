@@ -241,6 +241,7 @@ HEADLINE = [
     # http_content_encoding rows above now carry the new tiers)
     "odf_text_check",
     "mbox_text_check",
+    "zstd_dict_decode_check",
 ]
 
 # The r3 frozen-baseline comparison set (BASELINE.md), named

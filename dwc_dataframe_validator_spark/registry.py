@@ -7826,6 +7826,81 @@ QUERIES["http_content_encoding_check"] = http_content_encoding_check
 ORACLES["http_content_encoding_check"] = _content_encoding_pinned_oracle()
 
 
+def _zstd_dict_pinned_oracle() -> str:
+    """Pinned oracle for the dictionary-zstd tier: four pinned
+    level-19 frames (reference-CLI-compressed against the pinned
+    trained dictionary) decode byte-exactly through the pure tier —
+    asserted here — while the truncated and wrong-dictionary-id
+    plants flag."""
+    from .sources import warc as warcmod
+
+    d, _frames = warcmod.zstd_dict_fixture()
+    rows = {}
+    for cls in range(4):
+        did = next(x for x in (cls + 4, cls + 8, cls + 20)
+                   if x % 17 and x % 13 and x % 4 == cls)
+        got = warcmod.zstd_decompress(
+            warcmod.build_zstd_dict_blob(did), d
+        )
+        assert got is not None and got.startswith(
+            b"<doc class=%d>" % cls
+        ), cls
+        rows[cls] = got.decode("utf-8")
+    for did in (17, 13):
+        assert warcmod.zstd_decompress(
+            warcmod.build_zstd_dict_blob(did), d
+        ) is None, did
+    nb_c = " ".join(
+        "WHEN cls = %d THEN %d" % (c, len(v.encode()))
+        for c, v in rows.items()
+    )
+    tx_c = " ".join(
+        "WHEN cls = %d THEN '%s'" % (c, v.replace("'", "''"))
+        for c, v in rows.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
+                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN bad THEN NULL
+               ELSE CAST(CASE {nb_c} END AS INTEGER) END AS n_bytes,
+          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
+          NOT bad AS ok
+        FROM base
+    """
+
+
+def zstd_dict_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-zstd decode (sources/warc.py
+    ``_zstd_parse_dictionary`` → ``zstd_decompress`` behind
+    ``zstd_dict_decode``): RFC 8878 §5 dictionaries — entropy tables
+    seed the frame context, the content prefixes the match window,
+    repeat offsets initialize from the header — decoded against a
+    reference-CLI-trained PINNED dictionary with level-19 frames
+    (FSE-described tables exercised).  A frame declaring an unknown
+    dictionary id flags instead of decoding against the wrong
+    tables (%%13); %%17 truncates mid-block — both ok=false.
+    Map-side Arrow, zero shuffles: the storage-side dictionary tier
+    that lets dictionary-compressed corpora join ingest without the
+    native codec."""
+    from .sources import warc as warcmod
+
+    d, _frames = warcmod.zstd_dict_fixture()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = warcmod.zstd_dict_decode(
+        warcmod.attach_zstd_dict_blob(docs), d, id_col="id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bytes", "text", "ok",
+    )
+
+
+QUERIES["zstd_dict_decode_check"] = zstd_dict_decode_check
+ORACLES["zstd_dict_decode_check"] = _zstd_dict_pinned_oracle()
+
+
 def _hash_case_oracle(rows: dict, bad_expr: str) -> str:
     """Shared pinned-constant oracle body for the image-hash checks:
     ``rows`` maps class → (n_classes, channels, ahash, dhash)."""
