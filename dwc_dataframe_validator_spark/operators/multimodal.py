@@ -8019,7 +8019,7 @@ def tiff_decode_pixels(b: bytes):
         return None
     if w * h > 16_000_000:
         return None
-    if comp not in (1, 5, 7, 8, 32773):
+    if comp not in (1, 4, 5, 7, 8, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     if planar not in (1, 2):
         return None
@@ -8027,6 +8027,16 @@ def tiff_decode_pixels(b: bytes):
         raise NotImplementedError(f"TIFF predictor {pred}")
     if pred == 2 and comp not in (5, 8):
         return None  # the predictor is defined for LZW/Deflate
+    if comp == 4:
+        # CCITT Group 4 (the fax mass): bilevel only — each strip or
+        # tile is an independent T.6 coding (functions/ccitt.py)
+        if any(v != 1 for v in bps) or spp != 1 or planar != 1:
+            raise NotImplementedError("non-bilevel G4 TIFF")
+        if photo not in (0, 1):
+            raise NotImplementedError(f"G4 photometric {photo}")
+        t4opts = one(293, 0)
+        if t4opts not in (0, None):
+            raise NotImplementedError("T6Options extensions")
     tiled = 324 in tags or 325 in tags
     if tiled:
         tw, tl = one(322), one(323)
@@ -8098,8 +8108,8 @@ def tiff_decode_pixels(b: bytes):
             raise NotImplementedError("predicted palette indices")
     else:
         raise NotImplementedError(f"TIFF photometric {photo}")
-    depth = bps[0] if photo == 3 else 8
-    if photo != 3 and any(v != 8 for v in bps):
+    depth = bps[0] if photo == 3 else (1 if comp == 4 else 8)
+    if photo != 3 and comp != 4 and any(v != 8 for v in bps):
         raise NotImplementedError("non-8-bit TIFF samples")
     if depth == 4 and (tiled or planar == 2):
         raise NotImplementedError("4-bit tiled/planar palette")
@@ -8110,7 +8120,9 @@ def tiff_decode_pixels(b: bytes):
         return None
     if len(offs) != planes * units_pp:
         return None
-    if depth == 4:
+    if comp == 4:
+        unit_row_bytes = None  # G4 units are bit-coded, not rows
+    elif depth == 4:
         unit_row_bytes = (tw + 1) // 2
     else:
         unit_row_bytes = tw * unit_spp
@@ -8126,6 +8138,23 @@ def tiff_decode_pixels(b: bytes):
             ty, tx = ui // across, ui % across
             # tiles pad to the full tile size; strips clip rows
             rows_full = tl if tiled else min(tl, h - ty * tl)
+            if comp == 4:
+                from ..functions.ccitt import g4_decode
+
+                bits = g4_decode(bytes(raw), tw, rows_full)
+                if bits is None:
+                    return None
+                # sample-byte space so the shared photometric-0
+                # inversion below lands black on 0 either way
+                arr = (
+                    (bits == (photo == 0)).astype(np.uint8) * 255
+                )[:, :, None]
+                rows_here = min(tl, h - ty * tl)
+                cols_here = min(tw, w - tx * tw)
+                canvas[ty * tl:ty * tl + rows_here,
+                       tx * tw:tx * tw + cols_here] = \
+                    arr[:rows_here, :cols_here]
+                continue
             need = rows_full * unit_row_bytes
             if comp == 1:
                 unit = raw
@@ -8200,6 +8229,7 @@ def tiff_encode(
     palette: bool = False,
     jpeg: bool = False,
     jpeg_tables: bool = False,
+    g4: bool = False,
 ) -> bytes:
     """Minimal TIFF writer — the fixture twin of
     ``tiff_decode_pixels``.  ``px`` is uint8 (h, w, 1|3);
@@ -8238,6 +8268,12 @@ def tiff_encode(
         data_px = px
         photo = 6 if spp == 3 else 1
         spp_out = spp
+    elif g4:
+        # bilevel fax spelling: photometric 0 (WhiteIsZero), 1 bps;
+        # px must be 0/255 gray
+        assert spp == 1 and set(np.unique(px)) <= {0, 255}
+        data_px = px
+        photo, spp_out = 0, 1
     else:
         data_px = 255 - px if white_is_zero else px
         photo = ((0 if white_is_zero else 1) if spp == 1 else 2)
@@ -8258,6 +8294,11 @@ def tiff_encode(
         if compression == "packbits":
             return _packbits_encode(raw)
         return raw
+
+    def pack_g4(plane):
+        from ..functions.ccitt import g4_encode
+
+        return g4_encode(plane[:, :, 0] == 0)
 
     tiled = tile > 0
     if jpeg:
@@ -8285,21 +8326,23 @@ def tiff_encode(
             if planar else [data_px]
         )
         units = []
+        packer = pack_g4 if g4 else pack
         if tiled:
             for plane in planes:
                 for ty in range(0, h, tile):
                     for tx in range(0, w, tile):
-                        t = np.zeros(
-                            (tile, tile, plane.shape[2]), np.uint8
+                        t = np.full(
+                            (tile, tile, plane.shape[2]),
+                            255 if g4 else 0, np.uint8,
                         )
                         seg = plane[ty:ty + tile, tx:tx + tile]
                         t[: seg.shape[0], : seg.shape[1]] = seg
-                        units.append(pack(t))
+                        units.append(packer(t))
         else:
             rps = rows_per_strip or h
             for plane in planes:
                 for s in range(0, h, rps):
-                    units.append(pack(plane[s:s + rps]))
+                    units.append(packer(plane[s:s + rps]))
     entries = []  # (tag, type, values)
 
     def add(tag, typ, vals):
@@ -8307,8 +8350,8 @@ def tiff_encode(
 
     add(256, 4, [w])
     add(257, 4, [h])
-    add(258, 3, [8] * spp_out)
-    add(259, 3, [comp_code])
+    add(258, 3, [1 if g4 else 8] * spp_out)
+    add(259, 3, [4 if g4 else comp_code])
     add(262, 3, [photo])
     add(277, 3, [spp_out])
     if tiled and not jpeg:
@@ -8426,29 +8469,45 @@ _TIFF_VARIANTS = (
     dict(compression="lzw", palette=True),     # Photometric 3
     dict(jpeg=True),                           # JPEG-in-TIFF
     dict(jpeg=True, jpeg_tables=True),         # abbreviated streams
+    dict(g4=True, rows_per_strip=6),           # CCITT G4 strips
+    dict(g4=True, tile=8),                     # CCITT G4 tiles
 )
 
 
 def build_tiff_blob(doc_id: int) -> bytes:
     """TIFF fixture: pixel class ``doc_id %% 6`` × packaging variant
-    ``(doc_id // 6) %% 12`` from ``_TIFF_VARIANTS`` — variants 0-9
+    ``(doc_id // 6) %% 14`` from ``_TIFF_VARIANTS`` — variants 0-9
     are LOSSLESS, so every packaging of a class must hash
     identically (incl. big-endian WhiteIsZero inversion, planar
     recombination, tile clipping and the palette round-trip — a
     16×16 image always fits 256 colors); variants 10-11 are
     JPEG-in-TIFF (complete vs JPEGTables-abbreviated streams) and
-    must hash to the standalone JPEG constants.  ``doc_id %% 17 ==
-    0`` truncates mid-unit (torn); else ``%% 13 == 0`` relabels
-    Compression 6 (old-style JPEG — the honest stub)."""
+    must hash to the standalone JPEG constants; variants 12-13 are
+    CCITT G4 fax strips/tiles of the luma plane THRESHOLDED at 128
+    (both must hash identically to that bilevel plane).  ``doc_id
+    %% 17 == 0`` truncates mid-unit (torn); else ``%% 13 == 0``
+    relabels Compression 6 (old-style JPEG — the honest stub)."""
+    import numpy as np
+
     cls = doc_id % 6
-    kw = _TIFF_VARIANTS[(doc_id // 6) % 12]
+    kw = _TIFF_VARIANTS[(doc_id // 6) % 14]
     px = _tiff_fixture_pixels(cls)
+    if kw.get("g4"):
+        if px.shape[2] == 3:
+            px = (
+                (
+                    px[:, :, 0].astype(np.int64) * 299
+                    + px[:, :, 1].astype(np.int64) * 587
+                    + px[:, :, 2].astype(np.int64) * 114
+                ) // 1000
+            ).astype(np.uint8)[:, :, None]
+        px = np.where(px >= 128, 255, 0).astype(np.uint8)
     blob = tiff_encode(px, **kw)
     if doc_id % 17 == 0:
         return blob[: len(blob) - max(9, len(blob) // 5)]
     if doc_id % 13 == 0:
         code = (
-            7 if kw.get("jpeg") else
+            7 if kw.get("jpeg") else 4 if kw.get("g4") else
             {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
                 kw.get("compression", "none")
             ]

@@ -8612,7 +8612,7 @@ ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
 
 
 def _tiff_pinned_oracle() -> str:
-    """Pinned-constant oracle for the TIFF pixel tier over the 72
+    """Pinned-constant oracle for the TIFF pixel tier over the 84
     (pixel class × packaging) combos; packagings 0-9 are lossless,
     so all ten must pin the SAME hashes per class (palette re-emits
     gray planes as equal-channel RGB — identical luma hashes, 3
@@ -8621,12 +8621,14 @@ def _tiff_pinned_oracle() -> str:
     and the four RGB classes reuse the PDF-image gradients, so their
     hashes must equal that tier's raw-pixel constants (asserted
     here: the cross-format dedup contract extends to TIFF)."""
+    import numpy as _np
+
     from .operators import pdf as pdfmod
 
     rows = {}
-    for combo in range(72):
+    for combo in range(84):
         did = next(
-            d for d in range(combo, 8000, 72) if d % 17 and d % 13
+            d for d in range(combo, 8000, 84) if d % 17 and d % 13
         )
         px = multimodal.tiff_decode_pixels(
             multimodal.build_tiff_blob(did)
@@ -8651,13 +8653,28 @@ def _tiff_pinned_oracle() -> str:
         want_j = format(multimodal.image_ahash(sj), "016x")
         assert rows[cls + 6 * 10][1] == want_j, cls
         assert rows[cls + 6 * 11] == rows[cls + 6 * 10], cls
+        # both G4 spellings (strips / tiles) pin the thresholded
+        # bilevel plane
+        px6 = multimodal._tiff_fixture_pixels(cls)
+        if px6.shape[2] == 3:
+            px6 = (
+                (
+                    px6[:, :, 0].astype(_np.int64) * 299
+                    + px6[:, :, 1].astype(_np.int64) * 587
+                    + px6[:, :, 2].astype(_np.int64) * 114
+                ) // 1000
+            ).astype(_np.uint8)[:, :, None]
+        bl6 = _np.where(px6 >= 128, 255, 0).astype(_np.uint8)
+        want_g = format(multimodal.image_ahash(bl6), "016x")
+        assert rows[cls + 6 * 12][1] == want_g, cls
+        assert rows[cls + 6 * 13] == rows[cls + 6 * 12], cls
     for cls in range(4):
         want = format(multimodal.image_ahash(
             pdfmod._pdf_image_fixture_pixels(cls)
         ), "016x")
         assert rows[cls][1] == want, cls
     return _hash_case_oracle(
-        {c: rows[c % 72] for c in range(72)},
+        {c: rows[c % 84] for c in range(84)},
         "doc_id % 17 = 0 OR doc_id % 13 = 0",
     )
 
@@ -8672,12 +8689,14 @@ def tiff_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-by-one handled by keying both width schedules to the
     emitted-code count — horizontal Predictor 2, WhiteIsZero
     inversion, PackBits runs, Photometric-3 palettes (16-bit
-    ColorMap, 8/4-bit indices).  All ten lossless packagings of a
-    class hash identically, the two JPEG spellings pin the
-    standalone JPEG constants, and the RGB classes match the
-    PDF-image tier's constants (cross-format dedup).  CCITT and
-    old-style JPEG stay honest stubs; %%17 truncates mid-unit,
-    %%13 relabels Compression 6 — both ok=false."""
+    ColorMap, 8/4-bit indices), and CCITT Group 4 fax strips AND
+    tiles through functions/ccitt.py.  All ten lossless packagings
+    of a class hash identically, the two JPEG spellings pin the
+    standalone JPEG constants, the two G4 spellings pin the
+    thresholded bilevel plane, and the RGB classes match the
+    PDF-image tier's constants (cross-format dedup).  Old-style
+    JPEG stays an honest stub; %%17 truncates mid-unit, %%13
+    relabels Compression 6 — both ok=false."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.image_pixel_hashes(
         multimodal.attach_tiff_blob(docs)
