@@ -7161,10 +7161,10 @@ def _gif_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     ah = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7210,10 +7210,10 @@ def _bmp_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     ah = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7415,13 +7415,13 @@ def _jpeg_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     chan = " ".join(
-        "WHEN doc_id %% 14 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
@@ -7554,13 +7554,13 @@ def _jpeg_prog_pinned_oracle() -> str:
             format(multimodal.image_dhash(dec), "016x"),
         )
     chan = " ".join(
-        "WHEN doc_id %% 14 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
+        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
     )
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS id,
