@@ -186,6 +186,79 @@ def _read_run(br: _BitReader, color: int):
             return None
 
 
+def _decode_2d_row(br: _BitReader, ref: list, width: int):
+    """One 2-D-coded row against the reference transitions → the
+    row's transition list, or None when torn."""
+    import bisect
+
+    cur: list = []
+    a0 = -1
+    color = 0
+    guard = 0
+    while a0 < width:
+        guard += 1
+        if guard > 2 * width + 8:
+            return None
+        mode = br.take(_MODE_LUT, _MAX_MODE_BITS)
+        if mode is None or mode[0] == "EOL":
+            return None  # mid-row EOL/EOFB or ran dry: torn
+        i = bisect.bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        if mode[0] == "P":
+            a0 = b2
+        elif mode[0] == "H":
+            r1 = _read_run(br, color)
+            r2 = _read_run(br, 1 - color)
+            if r1 is None or r2 is None:
+                return None
+            a1 = (a0 if a0 > 0 else 0) + r1
+            a2 = a1 + r2
+            if a2 > width or a1 < 0 or (cur and a1 < cur[-1]):
+                return None
+            cur.extend((a1, a2))
+            a0 = a2
+        else:
+            a1 = b1 + mode[1]
+            if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
+                return None
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    if a0 != width:
+        return None  # the line over-ran: a lying stream
+    return cur
+
+
+def _decode_1d_row(br: _BitReader, width: int):
+    """One 1-D MH-coded row (alternating white/black runs from the
+    T.4 tables) → transition list, or None when torn."""
+    cur: list = []
+    total = 0
+    color = 0
+    while total < width:
+        run = _read_run(br, color)
+        if run is None or total + run > width:
+            return None
+        total += run
+        if total < width or color == 1 or run:
+            cur.append(total)
+        color ^= 1
+    # drop the trailing sentinel when the final transition equals
+    # width with an even count (pairs close themselves)
+    while cur and cur[-1] == width and len(cur) % 2 == 1:
+        break
+    return [t for t in cur if t <= width]
+
+
+def _paint_row(out, y: int, cur: list, width: int) -> None:
+    it = iter(cur + ([width] if len(cur) % 2 else []))
+    for s, e in zip(it, it):
+        out[y, s:e] = True
+
+
 def g4_decode(data: bytes, width: int, height: int,
               byte_align: bool = False):
     """(height, width) bool array (True = black) or None when the
@@ -201,50 +274,10 @@ def g4_decode(data: bytes, width: int, height: int,
     for y in range(height):
         if byte_align:
             br.align()
-        cur: list = []
-        a0 = -1
-        color = 0
-        guard = 0
-        while a0 < width:
-            guard += 1
-            if guard > 2 * width + 8:
-                return None
-            mode = br.take(_MODE_LUT, _MAX_MODE_BITS)
-            if mode is None or mode[0] == "EOL":
-                return None  # mid-page EOL/EOFB or ran dry: torn
-            import bisect
-
-            i = bisect.bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            if mode[0] == "P":
-                a0 = b2
-            elif mode[0] == "H":
-                r1 = _read_run(br, color)
-                r2 = _read_run(br, 1 - color)
-                if r1 is None or r2 is None:
-                    return None
-                a1 = (a0 if a0 > 0 else 0) + r1
-                a2 = a1 + r2
-                if a2 > width or a1 < 0 or (cur and a1 < cur[-1]):
-                    return None
-                cur.extend((a1, a2))
-                a0 = a2
-            else:
-                a1 = b1 + mode[1]
-                if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
-                    return None
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        if a0 != width:
-            return None  # the line over-ran: a lying stream
-        # paint black runs (even→odd transition pairs)
-        it = iter(cur + ([width] if len(cur) % 2 else []))
-        for s, e in zip(it, it):
-            out[y, s:e] = True
+        cur = _decode_2d_row(br, ref, width)
+        if cur is None:
+            return None
+        _paint_row(out, y, cur, width)
         ref = cur + [width, width]
     return out
 
@@ -324,6 +357,169 @@ def g4_encode(arr, byte_align: bool = False) -> bytes:
                 ci += 2
         ref = cur + [w, w]
     bits.append(_EOFB)
+    s = "".join(bits)
+    s += "0" * ((-len(s)) % 8)
+    return bytes(
+        int(s[i:i + 8], 2) for i in range(0, len(s), 8)
+    )
+
+
+# ---- Group 3 (ITU-T T.4): 1-D MH and mixed 2-D ------------------------
+# PDF /CCITTFaxDecode with /K >= 0 and TIFF Compression 2/3 — the
+# older fax mass.  Reuses the MH run tables and the 2-D row walk.
+
+
+def _bit(br: _BitReader):
+    if br.pos >= br.n:
+        return None
+    v = (br.b[br.pos >> 3] >> (7 - (br.pos & 7))) & 1
+    br.pos += 1
+    return v
+
+
+def _skip_to_eol(br: _BitReader, max_zeros: int = 4096):
+    """Consume an EOL (>= 11 zeros then a 1), tolerating fill zeros
+    (TIFF T4Options bit 2 pads EOLs to byte boundaries).  False when
+    the pattern never arrives."""
+    zeros = 0
+    while True:
+        b = _bit(br)
+        if b is None or zeros > max_zeros:
+            return False
+        if b:
+            return zeros >= 11
+        zeros += 1
+
+
+def g3_decode(data: bytes, width: int, height: int,
+              two_d: bool = False, eol: bool = True,
+              byte_align: bool = False):
+    """(height, width) bool array (True = black) or None — T.4
+    Group 3.  ``two_d=False``: pure 1-D MH rows; ``two_d=True``
+    (PDF /K > 0, TIFF T4Options bit 0): each row carries a 1-bit
+    mode tag (1 = 1-D, 0 = 2-D against the previous row).  ``eol``
+    expects an EOL before every row (fill-tolerant); ``byte_align``
+    starts each row on a byte boundary (PDF /EncodedByteAlign, TIFF
+    Compression 2's fixed convention)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        return None
+    br = _BitReader(data)
+    out = np.zeros((height, width), dtype=bool)
+    ref = [width, width]
+    for y in range(height):
+        if byte_align:
+            br.align()
+        if eol and not _skip_to_eol(br):
+            return None
+        if two_d:
+            tag = _bit(br)
+            if tag is None:
+                return None
+            if tag:
+                cur = _decode_1d_row(br, width)
+            else:
+                if y == 0:
+                    return None  # the first line must be 1-D
+                cur = _decode_2d_row(br, ref, width)
+        else:
+            cur = _decode_1d_row(br, width)
+        if cur is None:
+            return None
+        _paint_row(out, y, cur, width)
+        ref = cur + [width, width]
+    return out
+
+
+def _encode_1d_row(bits: list, row) -> None:
+    import numpy as np
+
+    t = np.flatnonzero(np.diff(row.astype(np.int8))) + 1
+    bounds = list(t) + [len(row)]
+    if row[0]:
+        bounds = [0] + bounds
+    prev = 0
+    color = 0
+    for b in bounds:
+        _encode_run(bits, int(b) - prev, color)
+        prev = int(b)
+        color ^= 1
+        if prev == len(row):
+            break
+
+
+def g3_encode(arr, two_d: bool = False, eol: bool = True,
+              byte_align: bool = False, k: int = 2) -> bytes:
+    """Fixture twin of ``g3_decode``: 1-D MH rows, or mixed mode
+    where every ``k``-th row re-syncs as 1-D (the T.4 K parameter)
+    and the rest code 2-D against the previous row."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=bool)
+    h, w = arr.shape
+    bits: list = []
+
+    def transitions(row) -> list:
+        d = np.flatnonzero(np.diff(row.astype(np.int8)))
+        t = (d + 1).tolist()
+        if row[0]:
+            t = [0] + t
+        return t
+
+    import bisect
+
+    ref = [w, w]
+    for y in range(h):
+        if byte_align:
+            total = sum(len(s) for s in bits)
+            pad = (-total) % 8
+            if pad:
+                bits.append("0" * pad)
+        one_d = (not two_d) or (y % k == 0)
+        if eol:
+            bits.append("000000000001")
+        if two_d:
+            bits.append("1" if one_d else "0")
+        if one_d:
+            _encode_1d_row(bits, arr[y])
+            ref = transitions(arr[y]) + [w, w]
+        else:
+            cur = transitions(arr[y])
+            curx = cur + [w, w]
+            a0 = -1
+            color = 0
+            ci = 0
+            while a0 < w:
+                a1 = curx[ci] if ci < len(curx) else w
+                i = bisect.bisect_right(ref, a0)
+                if (i & 1) != color:
+                    i += 1
+                b1 = ref[i] if i < len(ref) else w
+                b2 = ref[i + 1] if i + 1 < len(ref) else w
+                if b2 < a1:
+                    bits.append("0001")
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:
+                    bits.append({
+                        0: "1", 1: "011", -1: "010", 2: "000011",
+                        -2: "000010", 3: "0000011", -3: "0000010",
+                    }[a1 - b1])
+                    a0 = a1
+                    ci += 1
+                    color ^= 1
+                else:
+                    a2 = curx[ci + 1] if ci + 1 < len(curx) else w
+                    bits.append("001")
+                    _encode_run(
+                        bits, a1 - (a0 if a0 > 0 else 0), color
+                    )
+                    _encode_run(bits, a2 - a1, 1 - color)
+                    a0 = a2
+                    ci += 2
+            ref = cur + [w, w]
+    if eol:
+        bits.append("000000000001" * 6)  # RTC
     s = "".join(bits)
     s += "0" * ((-len(s)) % 8)
     return bytes(

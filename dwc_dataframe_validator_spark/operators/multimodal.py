@@ -8019,7 +8019,7 @@ def tiff_decode_pixels(b: bytes):
         return None
     if w * h > 16_000_000:
         return None
-    if comp not in (1, 4, 5, 7, 8, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     if planar not in (1, 2):
         return None
@@ -8027,16 +8027,27 @@ def tiff_decode_pixels(b: bytes):
         raise NotImplementedError(f"TIFF predictor {pred}")
     if pred == 2 and comp not in (5, 8):
         return None  # the predictor is defined for LZW/Deflate
-    if comp == 4:
-        # CCITT Group 4 (the fax mass): bilevel only — each strip or
-        # tile is an independent T.6 coding (functions/ccitt.py)
+    fax = comp in (2, 3, 4)
+    t4_2d = False
+    t4_eol = False
+    if fax:
+        # the CCITT fax family: Compression 2 = 1-D MH (byte-aligned
+        # rows, no EOLs), 3 = T.4 Group 3 (EOLs mandatory, T4Options
+        # bit 0 = 2-D, bit 2 = fill — tolerated by the EOL scan),
+        # 4 = T.6 Group 4; bilevel only, each strip or tile an
+        # independent coding (functions/ccitt.py)
         if any(v != 1 for v in bps) or spp != 1 or planar != 1:
-            raise NotImplementedError("non-bilevel G4 TIFF")
+            raise NotImplementedError("non-bilevel fax TIFF")
         if photo not in (0, 1):
-            raise NotImplementedError(f"G4 photometric {photo}")
-        t4opts = one(293, 0)
-        if t4opts not in (0, None):
+            raise NotImplementedError(f"fax photometric {photo}")
+        if comp == 4 and one(293, 0) not in (0, None):
             raise NotImplementedError("T6Options extensions")
+        if comp == 3:
+            t4opts = one(292, 0) or 0
+            if t4opts & 2:
+                raise NotImplementedError("T.4 uncompressed mode")
+            t4_2d = bool(t4opts & 1)
+            t4_eol = True
     tiled = 324 in tags or 325 in tags
     if tiled:
         tw, tl = one(322), one(323)
@@ -8108,8 +8119,8 @@ def tiff_decode_pixels(b: bytes):
             raise NotImplementedError("predicted palette indices")
     else:
         raise NotImplementedError(f"TIFF photometric {photo}")
-    depth = bps[0] if photo == 3 else (1 if comp == 4 else 8)
-    if photo != 3 and comp != 4 and any(v != 8 for v in bps):
+    depth = bps[0] if photo == 3 else (1 if fax else 8)
+    if photo != 3 and not fax and any(v != 8 for v in bps):
         raise NotImplementedError("non-8-bit TIFF samples")
     if depth == 4 and (tiled or planar == 2):
         raise NotImplementedError("4-bit tiled/planar palette")
@@ -8120,8 +8131,8 @@ def tiff_decode_pixels(b: bytes):
         return None
     if len(offs) != planes * units_pp:
         return None
-    if comp == 4:
-        unit_row_bytes = None  # G4 units are bit-coded, not rows
+    if fax:
+        unit_row_bytes = None  # fax units are bit-coded, not rows
     elif depth == 4:
         unit_row_bytes = (tw + 1) // 2
     else:
@@ -8138,10 +8149,21 @@ def tiff_decode_pixels(b: bytes):
             ty, tx = ui // across, ui % across
             # tiles pad to the full tile size; strips clip rows
             rows_full = tl if tiled else min(tl, h - ty * tl)
-            if comp == 4:
-                from ..functions.ccitt import g4_decode
+            if fax:
+                from ..functions.ccitt import g3_decode, g4_decode
 
-                bits = g4_decode(bytes(raw), tw, rows_full)
+                if comp == 4:
+                    bits = g4_decode(bytes(raw), tw, rows_full)
+                elif comp == 3:
+                    bits = g3_decode(
+                        bytes(raw), tw, rows_full, two_d=t4_2d,
+                        eol=t4_eol,
+                    )
+                else:  # Compression 2: byte-aligned 1-D MH rows
+                    bits = g3_decode(
+                        bytes(raw), tw, rows_full, two_d=False,
+                        eol=False, byte_align=True,
+                    )
                 if bits is None:
                     return None
                 # sample-byte space so the shared photometric-0
@@ -8230,6 +8252,7 @@ def tiff_encode(
     jpeg: bool = False,
     jpeg_tables: bool = False,
     g4: bool = False,
+    fax_mode: str = "",
 ) -> bytes:
     """Minimal TIFF writer — the fixture twin of
     ``tiff_decode_pixels``.  ``px`` is uint8 (h, w, 1|3);
@@ -8268,7 +8291,7 @@ def tiff_encode(
         data_px = px
         photo = 6 if spp == 3 else 1
         spp_out = spp
-    elif g4:
+    elif g4 or fax_mode:
         # bilevel fax spelling: photometric 0 (WhiteIsZero), 1 bps;
         # px must be 0/255 gray
         assert spp == 1 and set(np.unique(px)) <= {0, 255}
@@ -8296,9 +8319,17 @@ def tiff_encode(
         return raw
 
     def pack_g4(plane):
-        from ..functions.ccitt import g4_encode
+        from ..functions.ccitt import g3_encode, g4_encode
 
-        return g4_encode(plane[:, :, 0] == 0)
+        black = plane[:, :, 0] == 0
+        if fax_mode == "g3":
+            return g3_encode(black, two_d=False, eol=True)
+        if fax_mode == "g3-2d":
+            return g3_encode(black, two_d=True, eol=True)
+        if fax_mode == "mh":
+            return g3_encode(black, two_d=False, eol=False,
+                             byte_align=True)
+        return g4_encode(black)
 
     tiled = tile > 0
     if jpeg:
@@ -8326,14 +8357,14 @@ def tiff_encode(
             if planar else [data_px]
         )
         units = []
-        packer = pack_g4 if g4 else pack
+        packer = pack_g4 if (g4 or fax_mode) else pack
         if tiled:
             for plane in planes:
                 for ty in range(0, h, tile):
                     for tx in range(0, w, tile):
                         t = np.full(
                             (tile, tile, plane.shape[2]),
-                            255 if g4 else 0, np.uint8,
+                            255 if (g4 or fax_mode) else 0, np.uint8,
                         )
                         seg = plane[ty:ty + tile, tx:tx + tile]
                         t[: seg.shape[0], : seg.shape[1]] = seg
@@ -8350,8 +8381,15 @@ def tiff_encode(
 
     add(256, 4, [w])
     add(257, 4, [h])
-    add(258, 3, [1 if g4 else 8] * spp_out)
-    add(259, 3, [4 if g4 else comp_code])
+    is_fax = bool(g4 or fax_mode)
+    add(258, 3, [1 if is_fax else 8] * spp_out)
+    add(259, 3, [
+        4 if g4 else
+        {"mh": 2, "g3": 3, "g3-2d": 3}[fax_mode] if fax_mode
+        else comp_code
+    ])
+    if fax_mode in ("g3", "g3-2d"):
+        add(292, 4, [1 if fax_mode == "g3-2d" else 0])
     add(262, 3, [photo])
     add(277, 3, [spp_out])
     if tiled and not jpeg:
@@ -8471,28 +8509,32 @@ _TIFF_VARIANTS = (
     dict(jpeg=True, jpeg_tables=True),         # abbreviated streams
     dict(g4=True, rows_per_strip=6),           # CCITT G4 strips
     dict(g4=True, tile=8),                     # CCITT G4 tiles
+    dict(fax_mode="mh", rows_per_strip=5),     # Compression 2 (MH)
+    dict(fax_mode="g3-2d"),                    # Compression 3 mixed
 )
 
 
 def build_tiff_blob(doc_id: int) -> bytes:
     """TIFF fixture: pixel class ``doc_id %% 6`` × packaging variant
-    ``(doc_id // 6) %% 14`` from ``_TIFF_VARIANTS`` — variants 0-9
+    ``(doc_id // 6) %% 16`` from ``_TIFF_VARIANTS`` — variants 0-9
     are LOSSLESS, so every packaging of a class must hash
     identically (incl. big-endian WhiteIsZero inversion, planar
     recombination, tile clipping and the palette round-trip — a
     16×16 image always fits 256 colors); variants 10-11 are
     JPEG-in-TIFF (complete vs JPEGTables-abbreviated streams) and
-    must hash to the standalone JPEG constants; variants 12-13 are
-    CCITT G4 fax strips/tiles of the luma plane THRESHOLDED at 128
-    (both must hash identically to that bilevel plane).  ``doc_id
-    %% 17 == 0`` truncates mid-unit (torn); else ``%% 13 == 0``
-    relabels Compression 6 (old-style JPEG — the honest stub)."""
+    must hash to the standalone JPEG constants; variants 12-15 are
+    the CCITT fax family (G4 strips/tiles, Compression-2 MH,
+    Compression-3 mixed 2-D) of the luma plane THRESHOLDED at 128
+    (all four must hash identically to that bilevel plane).
+    ``doc_id %% 17 == 0`` truncates mid-unit (torn); else ``%% 13
+    == 0`` relabels Compression 6 (old-style JPEG — the honest
+    stub)."""
     import numpy as np
 
     cls = doc_id % 6
-    kw = _TIFF_VARIANTS[(doc_id // 6) % 14]
+    kw = _TIFF_VARIANTS[(doc_id // 6) % 16]
     px = _tiff_fixture_pixels(cls)
-    if kw.get("g4"):
+    if kw.get("g4") or kw.get("fax_mode"):
         if px.shape[2] == 3:
             px = (
                 (
@@ -8508,6 +8550,8 @@ def build_tiff_blob(doc_id: int) -> bytes:
     if doc_id % 13 == 0:
         code = (
             7 if kw.get("jpeg") else 4 if kw.get("g4") else
+            {"mh": 2, "g3": 3, "g3-2d": 3}[kw["fax_mode"]]
+            if kw.get("fax_mode") else
             {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
                 kw.get("compression", "none")
             ]

@@ -1235,13 +1235,13 @@ class PdfDoc:
         return np.frombuffer(data, np.uint8).reshape(h, w, c)
 
     def _ccitt_pixels(self, d: dict, raw, w: int, h: int):
-        """/CCITTFaxDecode with /K < 0 (Group 4 / T.6 — the scanned-
-        document mass) through functions/ccitt.py: (h, w, 1) uint8
-        with /BlackIs1 honored on the sample value (default false →
-        black = sample 0).  1-D/mixed G3 (/K ≥ 0) stays an honest
-        stub; /Columns must match /Width (a disagreeing dict is
-        torn); an undecodable stream is torn, never a guessed
-        page."""
+        """/CCITTFaxDecode through functions/ccitt.py: /K < 0 is
+        Group 4 (T.6), /K = 0 pure 1-D Group 3, /K > 0 mixed G3
+        (per-row mode tags, /EndOfLine honored) — the full fax
+        family.  (h, w, 1) uint8 with /BlackIs1 honored on the
+        sample value (default false → black = sample 0); /Columns
+        must match /Width (a disagreeing dict is torn); an
+        undecodable stream is torn, never a guessed page."""
         import numpy as np
 
         from ..functions.ccitt import g4_decode
@@ -1262,8 +1262,8 @@ class PdfDoc:
             return v
 
         k = ip("K", 0)
-        if not isinstance(k, int) or k >= 0:
-            raise _Stub("ccitt-g3")
+        if not isinstance(k, int):
+            raise _Torn()
         cols = ip("Columns", 1728)
         if cols != w:
             raise _Torn()
@@ -1274,7 +1274,16 @@ class PdfDoc:
         align = ip("EncodedByteAlign", False) is True
         if self.resolve(d.get("BitsPerComponent", 1)) != 1:
             raise _Torn()
-        bits = g4_decode(bytes(raw), w, h, byte_align=align)
+        if k < 0:
+            bits = g4_decode(bytes(raw), w, h, byte_align=align)
+        else:
+            from ..functions.ccitt import g3_decode
+
+            bits = g3_decode(
+                bytes(raw), w, h, two_d=k > 0,
+                eol=ip("EndOfLine", False) is True,
+                byte_align=align,
+            )
         if bits is None:
             raise _Torn()
         # sample value: black → 1 under /BlackIs1, else black → 0;
@@ -2146,6 +2155,9 @@ def pdf_image_encode(text: str, images: list) -> bytes:
       as Group 4 under ``/CCITTFaxDecode /K -1`` /BitsPerComponent 1
     - ``"ccitt-b1"``: the same plane with ``/BlackIs1 true`` +
       ``/Decode [1 0]`` and ``/EncodedByteAlign`` — identical pixels
+    - ``"ccitt-g3"``: pure 1-D Group 3 (``/K 0``, no EOLs)
+    - ``"ccitt-g3-2d"``: mixed Group 3 (``/K 2``, per-row mode tags,
+      ``/EndOfLine true``) — identical pixels again
     - ``"jpx"``: the raw samples MISLABELED ``/JPXDecode`` — the
       honest-stub plant"""
     from ..functions.ccitt import g4_encode
@@ -2186,21 +2198,39 @@ def pdf_image_encode(text: str, images: list) -> bytes:
         elif kind == "raw":
             data = px.tobytes()
             filt = b""
-        elif kind in ("ccitt", "ccitt-b1"):
+        elif kind.startswith("ccitt"):
             assert c == 1
             black = px[:, :, 0] == 0
             b1 = kind == "ccitt-b1"
-            data = g4_encode(black, byte_align=b1)
             filt = b" /Filter /CCITTFaxDecode"
-            extra = (
-                b" /DecodeParms << /K -1 /Columns %d /Rows %d%s >>%s"
-                % (
-                    w, h,
-                    b" /BlackIs1 true /EncodedByteAlign true"
-                    if b1 else b"",
-                    b" /Decode [1 0]" if b1 else b"",
+            if kind == "ccitt-g3":
+                from ..functions.ccitt import g3_encode
+
+                data = g3_encode(black, two_d=False, eol=False)
+                extra = (
+                    b" /DecodeParms << /K 0 /Columns %d /Rows %d >>"
+                    % (w, h)
                 )
-            )
+            elif kind == "ccitt-g3-2d":
+                from ..functions.ccitt import g3_encode
+
+                data = g3_encode(black, two_d=True, eol=True)
+                extra = (
+                    b" /DecodeParms << /K 2 /Columns %d /Rows %d"
+                    b" /EndOfLine true >>" % (w, h)
+                )
+            else:
+                data = g4_encode(black, byte_align=b1)
+                extra = (
+                    b" /DecodeParms << /K -1 /Columns %d /Rows %d"
+                    b"%s >>%s"
+                    % (
+                        w, h,
+                        b" /BlackIs1 true /EncodedByteAlign true"
+                        if b1 else b"",
+                        b" /Decode [1 0]" if b1 else b"",
+                    )
+                )
         elif kind == "jpx":
             data = px.tobytes()
             filt = b" /Filter /JPXDecode"
@@ -2250,25 +2280,28 @@ def _pdf_image_fixture_pixels(cls: int):
 
 _PDF_IMG_KINDS = (
     "dct", "flate", "flate-pred", "gray", "raw", "ccitt", "ccitt-b1",
+    "ccitt-g3", "ccitt-g3-2d",
 )
 
 
 def build_pdf_image_blob(doc_id: int) -> bytes:
     """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
-    variant ``(doc_id // 6) %% 7`` from ``_PDF_IMG_KINDS`` — "gray"
-    embeds the class's integer-luma plane as Flate /DeviceGray,
-    "ccitt"/"ccitt-b1" embed the luma plane THRESHOLDED at 128 as
+    variant ``(doc_id // 6) %% 9`` from ``_PDF_IMG_KINDS`` — "gray"
+    embeds the class's integer-luma plane as Flate /DeviceGray, the
+    four "ccitt*" kinds embed the luma plane THRESHOLDED at 128 as
     Group 4 (default params vs /BlackIs1 + /Decode [1 0] +
-    /EncodedByteAlign — identical pixels), the others embed the RGB
-    image as DCT / Flate / Flate+Up-predictor / raw samples (the
-    three lossless packagings must hash identically; DCT must hash
-    to the standalone JPEG's constants).  ``doc_id %% 17 == 0``
-    truncates the image stream (torn); else ``%% 13 == 0`` relabels
-    the filter ``/JPXDecode`` (honest stub) — both ok=false."""
+    /EncodedByteAlign) and Group 3 (pure 1-D /K 0 vs mixed /K 2
+    with /EndOfLine — all four identical pixels), the others embed
+    the RGB image as DCT / Flate / Flate+Up-predictor / raw samples
+    (the three lossless packagings must hash identically; DCT must
+    hash to the standalone JPEG's constants).  ``doc_id %% 17 ==
+    0`` truncates the image stream (torn); else ``%% 13 == 0``
+    relabels the filter ``/JPXDecode`` (or ``/JBIG2Decode`` for the
+    fax kinds — honest stubs) — both ok=false."""
     import numpy as np
 
     cls = doc_id % 6
-    kind = _PDF_IMG_KINDS[(doc_id // 6) % 7]
+    kind = _PDF_IMG_KINDS[(doc_id // 6) % 9]
     px = _pdf_image_fixture_pixels(cls)
     luma = (
         (
@@ -2308,9 +2341,12 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
                 b"/Filter /DCTDecode", b"/Filter /JPXDecode"
             )
         elif b"/Filter /CCITTFaxDecode" in seg:
-            # same-length /K flip: -1 (G4) → 91 (a 2-D-mixed G3
-            # stream we honestly stub, reason 'ccitt-g3')
-            seg2 = seg.replace(b"/K -1", b"/K 91")
+            # same-length relabel to JBIG2 (trailing spaces are
+            # whitespace after the name): the honest per-image stub
+            seg2 = seg.replace(
+                b"/Filter /CCITTFaxDecode",
+                b"/Filter /JBIG2Decode   ",
+            )
         elif b"/Filter /FlateDecode" in seg:
             seg2 = seg.replace(
                 b"/Filter /FlateDecode", b"/Filter /JPXDecode  "

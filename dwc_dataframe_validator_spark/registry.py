@@ -8503,17 +8503,19 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     image XObjects decode through the EXISTING decoders — /DCTDecode
     via the JPEG tier, Flate/raw 8-bpc DeviceRGB/DeviceGray samples
     (PNG Up-predictor DecodeParms honored), and /CCITTFaxDecode /K
-    -1 Group 4 via functions/ccitt.py (the scanned-document mass;
-    /BlackIs1, /Decode and /EncodedByteAlign honored) — and hash on
+    -1 Group 4 and /K >= 0 Group 3 via functions/ccitt.py (the full
+    fax family; /BlackIs1, /Decode, /EndOfLine and /EncodedByteAlign
+    honored) — and hash on
     the shared aHash/dHash grid, so PDFs join cross-format image
     dedup.  The oracle builder asserts the invariants: the three
     lossless packagings (flate / flate+predictor / raw) hash
     identically to the raw pixels, the DCT packaging hashes to the
     standalone JPEG's constants, and both CCITT packagings decode
-    to the same thresholded plane.  %%17 cuts 20 bytes from the
-    image stream (xref shifts → torn document); %%13 relabels
-    /JPXDecode, 4 bpc or /K 91 at identical byte length (the
-    per-image honest stub) — both ok=false."""
+    to the same thresholded plane (all four fax spellings).  %%17
+    cuts 20 bytes from the image stream (xref shifts → torn
+    document); %%13 relabels /JPXDecode, 4 bpc or /JBIG2Decode at
+    identical byte length (the per-image honest stub) — both
+    ok=false."""
     from .operators import pdf as pdfmod
 
     docs = (
@@ -8531,7 +8533,7 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pdf_image_pinned_oracle() -> str:
     """Pinned-constant oracle for ``pdf_image_hash_check`` over the
-    42 (pixel class × packaging) combos, decoded driver-side through
+    54 (pixel class × packaging) combos, decoded driver-side through
     the REAL extraction path; cross-format invariants asserted here
     so a drifting decoder fails the build, not just the driver."""
     from .operators import pdf as pdfmod
@@ -8539,9 +8541,9 @@ def _pdf_image_pinned_oracle() -> str:
     import numpy as _np
 
     rows = {}
-    for combo in range(42):
+    for combo in range(54):
         did = next(
-            d for d in range(combo, 8000, 42) if d % 17 and d % 13
+            d for d in range(combo, 8000, 54) if d % 17 and d % 13
         )
         doc = pdfmod.PdfDoc(pdfmod.build_pdf_image_blob(did))
         (_name, obj), = doc.page_images(doc.pages()[0])
@@ -8577,17 +8579,20 @@ def _pdf_image_pinned_oracle() -> str:
         )[:, :, None]
         want_cc = format(multimodal.image_ahash(bl), "016x")
         assert rows[cls + 6 * 5][1] == want_cc, cls
-        assert rows[cls + 6 * 6] == rows[cls + 6 * 5], cls
+        for var in (6, 7, 8):  # b1 / G3 1-D / G3 mixed: identical
+            assert rows[cls + 6 * var] == rows[cls + 6 * 5], (
+                cls, var,
+            )
     chan = " ".join(
-        "WHEN doc_id %% 42 = %d THEN %d" % (c, v[0])
+        "WHEN doc_id %% 54 = %d THEN %d" % (c, v[0])
         for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 42 = %d THEN '%s'" % (c, v[1])
+        "WHEN doc_id %% 54 = %d THEN '%s'" % (c, v[1])
         for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 42 = %d THEN '%s'" % (c, v[2])
+        "WHEN doc_id %% 54 = %d THEN '%s'" % (c, v[2])
         for c, v in rows.items()
     )
     return f"""
@@ -8612,7 +8617,7 @@ ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
 
 
 def _tiff_pinned_oracle() -> str:
-    """Pinned-constant oracle for the TIFF pixel tier over the 84
+    """Pinned-constant oracle for the TIFF pixel tier over the 96
     (pixel class × packaging) combos; packagings 0-9 are lossless,
     so all ten must pin the SAME hashes per class (palette re-emits
     gray planes as equal-channel RGB — identical luma hashes, 3
@@ -8626,9 +8631,9 @@ def _tiff_pinned_oracle() -> str:
     from .operators import pdf as pdfmod
 
     rows = {}
-    for combo in range(84):
+    for combo in range(96):
         did = next(
-            d for d in range(combo, 8000, 84) if d % 17 and d % 13
+            d for d in range(combo, 8000, 96) if d % 17 and d % 13
         )
         px = multimodal.tiff_decode_pixels(
             multimodal.build_tiff_blob(did)
@@ -8667,14 +8672,17 @@ def _tiff_pinned_oracle() -> str:
         bl6 = _np.where(px6 >= 128, 255, 0).astype(_np.uint8)
         want_g = format(multimodal.image_ahash(bl6), "016x")
         assert rows[cls + 6 * 12][1] == want_g, cls
-        assert rows[cls + 6 * 13] == rows[cls + 6 * 12], cls
+        for var in (13, 14, 15):  # G4 tiles / MH / G3 2-D: identical
+            assert rows[cls + 6 * var] == rows[cls + 6 * 12], (
+                cls, var,
+            )
     for cls in range(4):
         want = format(multimodal.image_ahash(
             pdfmod._pdf_image_fixture_pixels(cls)
         ), "016x")
         assert rows[cls][1] == want, cls
     return _hash_case_oracle(
-        {c: rows[c % 84] for c in range(84)},
+        {c: rows[c % 96] for c in range(96)},
         "doc_id % 17 = 0 OR doc_id % 13 = 0",
     )
 
@@ -8689,8 +8697,10 @@ def tiff_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-by-one handled by keying both width schedules to the
     emitted-code count — horizontal Predictor 2, WhiteIsZero
     inversion, PackBits runs, Photometric-3 palettes (16-bit
-    ColorMap, 8/4-bit indices), and CCITT Group 4 fax strips AND
-    tiles through functions/ccitt.py.  All ten lossless packagings
+    ColorMap, 8/4-bit indices), and the CCITT fax family through
+    functions/ccitt.py — Group 4 strips AND tiles, Compression-2
+    1-D MH, Compression-3 mixed 2-D (T4Options honored, fill
+    tolerated).  All ten lossless packagings
     of a class hash identically, the two JPEG spellings pin the
     standalone JPEG constants, the two G4 spellings pin the
     thresholded bilevel plane, and the RGB classes match the

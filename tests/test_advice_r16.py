@@ -228,7 +228,7 @@ def test_tiff_pixel_decode_tier():
         base = mm._tiff_fixture_pixels(cls)
         for v, kw in enumerate(mm._TIFF_VARIANTS):
             px = base
-            if kw.get("g4"):
+            if kw.get("g4") or kw.get("fax_mode"):
                 # the fax spelling is bilevel: threshold the luma
                 if px.shape[2] == 3:
                     px = (

@@ -105,14 +105,22 @@ def test_pdf_ccitt_composition():
         doc = P.PdfDoc(P.pdf_image_encode("t", [(kind, bl)]))
         (_n, obj), = doc.page_images(doc.pages()[0])
         assert (doc.image_pixels(obj) == bl).all(), kind
-    # G3 (/K >= 0) stays an honest stub
+    # G3 spellings decode the same pixels (1-D and mixed 2-D)
+    for kind in ("ccitt-g3", "ccitt-g3-2d"):
+        doc = P.PdfDoc(P.pdf_image_encode("t", [(kind, bl)]))
+        (_n, obj), = doc.page_images(doc.pages()[0])
+        assert (doc.image_pixels(obj) == bl).all(), kind
+    # a G4 stream mislabeled /K 0 decodes wrong or tears — never
+    # the original pixels (the fax variants are NOT interchangeable)
     blob = P.pdf_image_encode("t", [("ccitt", bl)]).replace(
-        b"/K -1", b"/K 91"
+        b"/K -1", b"/K 0 "
     )
     doc = P.PdfDoc(blob)
     (_n, obj), = doc.page_images(doc.pages()[0])
-    with pytest.raises(P._Stub):
-        doc.image_pixels(obj)
+    try:
+        assert not (doc.image_pixels(obj) == bl).all()
+    except (P._Torn, P._Stub):
+        pass
     # /Columns disagreeing with /Width is torn
     blob = P.pdf_image_encode("t", [("ccitt", bl)]).replace(
         b"/Columns 16", b"/Columns 15"
@@ -135,3 +143,77 @@ def test_pdf_ccitt_composition():
     (_n, obj), = doc.page_images(doc.pages()[0])
     with pytest.raises(P._Torn):
         doc.image_pixels(obj)
+
+
+def test_g3_roundtrip_modes():
+    """Group 3: 1-D MH and mixed 2-D across EOL/no-EOL and
+    byte-alignment; EOL fill bits tolerated; refusals honest."""
+    C = _c()
+    cases = [
+        np.zeros((8, 8), bool),
+        np.ones((8, 8), bool),
+        _lcg_noise(20, 64),
+        _lcg_noise(9, 33, seed=99, density=3, keep=1),
+    ]
+    hz = np.zeros((4, 3000), bool)
+    hz[1, 100:2900] = True
+    cases.append(hz)
+    for two_d in (False, True):
+        for eol in (False, True):
+            for ba in (False, True):
+                for arr in cases:
+                    enc = C.g3_encode(
+                        arr, two_d=two_d, eol=eol, byte_align=ba
+                    )
+                    dec = C.g3_decode(
+                        enc, arr.shape[1], arr.shape[0],
+                        two_d=two_d, eol=eol, byte_align=ba,
+                    )
+                    assert dec is not None and (dec == arr).all()
+    # a first 2-D-tagged line with no reference refuses
+    bad = C.g3_encode(cases[2], two_d=True, eol=True)
+    # flip the first mode tag (right after the first EOL): EOL is
+    # 12 bits, tag is bit 12
+    b = bytearray(bad)
+    b[1] ^= 0x08  # bit 12 of the stream
+    got = C.g3_decode(bytes(b), 64, 20, two_d=True, eol=True)
+    assert got is None or not (got == cases[2]).all()
+    # truncations/flips never crash
+    enc = C.g3_encode(cases[2], two_d=True)
+    for j in range(0, len(enc), 5):
+        C.g3_decode(enc[:j], 64, 20, two_d=True)
+        C.g3_decode(
+            enc[:j] + bytes([enc[j] ^ 0x80]) + enc[j + 1:], 64, 20,
+            two_d=True,
+        )
+
+
+def test_tiff_fax_family():
+    """TIFF Compressions 2 (MH) and 3 (T.4, T4Options-driven 1-D or
+    2-D) decode identically to the G4 spelling; uncompressed-mode
+    T4Options stays an honest stub."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    bl = np.where(_lcg_noise(16, 16), 255, 0).astype(np.uint8)[
+        :, :, None
+    ]
+    want = mm.tiff_decode_pixels(mm.tiff_encode(bl, g4=True))
+    for kw in (
+        dict(fax_mode="mh"),
+        dict(fax_mode="mh", rows_per_strip=4),
+        dict(fax_mode="g3"),
+        dict(fax_mode="g3-2d"),
+        dict(fax_mode="g3-2d", tile=8),
+    ):
+        got = mm.tiff_decode_pixels(mm.tiff_encode(bl, **kw))
+        assert got is not None and (got == want).all(), kw
+    # T4Options uncompressed-mode bit → honest stub
+    blob = mm.tiff_encode(bl, fax_mode="g3")
+    bo = "little"
+    old = (292).to_bytes(2, bo) + (4).to_bytes(2, bo) \
+        + (1).to_bytes(4, bo) + (0).to_bytes(4, bo)
+    new = (292).to_bytes(2, bo) + (4).to_bytes(2, bo) \
+        + (1).to_bytes(4, bo) + (2).to_bytes(4, bo)
+    assert blob.count(old) == 1
+    with pytest.raises(NotImplementedError):
+        mm.tiff_decode_pixels(blob.replace(old, new))
