@@ -93,52 +93,72 @@ _MAX_OUT = 1 << 30
 
 
 class _BitReader:
-    """LSB-first bit reader over bytes."""
+    """LSB-first bit reader over bytes — accumulator-based (bytes
+    buffer into ``acc`` whole, bit extraction is mask+shift), which
+    is the decode hot path's main constant."""
 
-    __slots__ = ("b", "pos", "n")
+    __slots__ = ("b", "n", "acc", "nbits", "bytepos")
 
     def __init__(self, data: bytes):
         self.b = data
-        self.pos = 0
         self.n = len(data) * 8
+        self.acc = 0
+        self.nbits = 0
+        self.bytepos = 0
+
+    @property
+    def pos(self) -> int:
+        return self.bytepos * 8 - self.nbits
+
+    def _fill(self, k: int) -> None:
+        b = self.b
+        while self.nbits < k:
+            if self.bytepos >= len(b):
+                raise _BrotliError("bits exhausted")
+            self.acc |= b[self.bytepos] << self.nbits
+            self.bytepos += 1
+            self.nbits += 8
 
     def bit(self) -> int:
-        p = self.pos
-        if p >= self.n:
-            raise _BrotliError("bits exhausted")
-        self.pos = p + 1
-        return (self.b[p >> 3] >> (p & 7)) & 1
+        if self.nbits < 1:
+            self._fill(1)
+        v = self.acc & 1
+        self.acc >>= 1
+        self.nbits -= 1
+        return v
 
     def bits(self, k: int) -> int:
-        v = 0
-        p = self.pos
-        if p + k > self.n:
-            raise _BrotliError("bits exhausted")
-        for i in range(k):
-            v |= ((self.b[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
-        self.pos = p + k
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill(k)
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.nbits -= k
         return v
 
     def peek4(self) -> int:
-        v = 0
-        p = self.pos
-        for i in range(4):
-            q = p + i
-            if q < self.n:
-                v |= ((self.b[q >> 3] >> (q & 7)) & 1) << i
-        return v
+        b = self.b
+        while self.nbits < 4 and self.bytepos < len(b):
+            self.acc |= b[self.bytepos] << self.nbits
+            self.bytepos += 1
+            self.nbits += 8
+        return self.acc & 15
 
     def align(self) -> None:
-        pad = (-self.pos) % 8
+        pad = self.nbits & 7
         if pad and self.bits(pad) != 0:
             raise _BrotliError("nonzero padding")
 
     def take_bytes(self, k: int) -> bytes:
-        assert self.pos % 8 == 0
-        off = self.pos >> 3
+        assert self.nbits % 8 == 0
+        # rewind buffered whole bytes back onto the byte stream
+        off = self.bytepos - (self.nbits >> 3)
         if off + k > len(self.b):
             raise _BrotliError("bytes exhausted")
-        self.pos += 8 * k
+        self.acc = 0
+        self.nbits = 0
+        self.bytepos = off + k
         return self.b[off:off + k]
 
 
@@ -146,7 +166,10 @@ class _Prefix:
     """Canonical prefix decoder — decode by walking code lengths
     MSB-of-code-first (each next bit extends the code)."""
 
-    __slots__ = ("counts", "symbols", "maxlen", "single")
+    __slots__ = ("counts", "symbols", "maxlen", "single", "peek",
+                 "lut")
+
+    _PEEK = 9
 
     def __init__(self, lengths):
         maxlen = max(lengths) if lengths else 0
@@ -170,17 +193,64 @@ class _Prefix:
             (s for s, ln in enumerate(lengths) if ln),
             key=lambda s: (lengths[s], s),
         )
+        # first-level LUT over the next `peek` read-order bits:
+        # packed (symbol << 4 | length) for codes that fit, 0 =
+        # fall back to the canonical walk
+        peek = self.peek = min(maxlen, self._PEEK)
+        lut = [0] * (1 << peek)
+        code = 0
+        idx = 0
+        for ln in range(1, maxlen + 1):
+            for _ in range(counts[ln]):
+                sym = self.symbols[idx]
+                idx += 1
+                if ln <= peek:
+                    rev = 0
+                    c = code
+                    for _b in range(ln):
+                        rev = (rev << 1) | (c & 1)
+                        c >>= 1
+                    packed = (sym << 4) | ln
+                    for x in range(rev, 1 << peek, 1 << ln):
+                        lut[x] = packed
+                code += 1
+            code <<= 1
+        self.lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.counts is None:
             return self.single
+        # buffer up to maxlen bits once, then one LUT probe covers
+        # the common symbols; longer codes take the canonical walk
+        maxlen = self.maxlen
+        b = br.b
+        while br.nbits < maxlen and br.bytepos < len(b):
+            br.acc |= b[br.bytepos] << br.nbits
+            br.bytepos += 1
+            br.nbits += 8
+        acc = br.acc
+        avail = br.nbits
+        peek = self.peek
+        e = self.lut[acc & ((1 << peek) - 1)]
+        if e:
+            ln = e & 15
+            if ln > avail:
+                raise _BrotliError("bits exhausted")
+            br.acc = acc >> ln
+            br.nbits = avail - ln
+            return e >> 4
+        counts = self.counts
         code = 0
         first = 0
         index = 0
-        for ln in range(1, self.maxlen + 1):
-            code = (code << 1) | br.bit()
-            cnt = self.counts[ln]
+        for ln in range(1, maxlen + 1):
+            if ln > avail:
+                raise _BrotliError("bits exhausted")
+            code = (code << 1) | ((acc >> (ln - 1)) & 1)
+            cnt = counts[ln]
             if code - first < cnt:
+                br.acc = acc >> ln
+                br.nbits = avail - ln
                 return self.symbols[index + (code - first)]
             index += cnt
             first = (first + cnt) << 1
@@ -379,16 +449,26 @@ class _BlockState:
         self.count -= 1
 
 
-def _context_id(mode: int, p1: int, p2: int) -> int:
-    from . import brotli_data as D
+def _ctx_tables():
+    cached = getattr(_ctx_tables, "_c", None)
+    if cached is None:
+        from . import brotli_data as D
 
+        cached = (D.CTX_UTF8_P1, D.CTX_UTF8_P2, D.CTX_SIGNED,
+                  D.CTX_SIGNED_P2)
+        _ctx_tables._c = cached
+    return cached
+
+
+def _context_id(mode: int, p1: int, p2: int) -> int:
     if mode == 0:  # LSB6
         return p1 & 0x3F
     if mode == 1:  # MSB6
         return p1 >> 2
+    u1, u2, s1, s2 = _ctx_tables()
     if mode == 2:  # UTF8
-        return D.CTX_UTF8_P1[p1] | D.CTX_UTF8_P2[p2]
-    return (D.CTX_SIGNED[p1] << 3) | D.CTX_SIGNED_P2[p2]
+        return u1[p1] | u2[p2]
+    return (s1[p1] << 3) | s2[p2]
 
 
 def _dict_word(copy_len: int, word_id: int) -> bytes:
@@ -513,6 +593,10 @@ def decompress(data: bytes, max_out: int = _MAX_OUT) -> bytes:
             for _ in range(ntrees_d)
         ]
         # ---- data ----
+        # trivial literal frame (one block type, one tree): skip the
+        # per-literal tick/context entirely — the common q<=9 shape
+        triv_lit = blk_l.ntypes == 1 and ntrees_l == 1
+        lit0 = lit_codes[0]
         produced = 0
         while produced < mlen:
             blk_i.tick(br)
@@ -527,16 +611,23 @@ def decompress(data: bytes, max_out: int = _MAX_OUT) -> bytes:
             ins_len = b + br.bits(e)
             e, b = _COPY_LEN[cpy_code]
             cpy_len = b + br.bits(e)
-            for _ in range(ins_len):
-                blk_l.tick(br)
-                p1 = out[-1] if out else 0
-                p2 = out[-2] if len(out) > 1 else 0
-                ctx = _context_id(cmodes[blk_l.btype], p1, p2)
-                tree = cmap_l[64 * blk_l.btype + ctx]
-                out.append(lit_codes[tree].read(br))
-                produced += 1
-                if produced > mlen:
+            if ins_len:
+                if produced + ins_len > mlen:
                     raise _BrotliError("insert overruns metablock")
+                if triv_lit:
+                    for _ in range(ins_len):
+                        out.append(lit0.read(br))
+                else:
+                    for _ in range(ins_len):
+                        blk_l.tick(br)
+                        p1 = out[-1] if out else 0
+                        p2 = out[-2] if len(out) > 1 else 0
+                        ctx = _context_id(
+                            cmodes[blk_l.btype], p1, p2
+                        )
+                        tree = cmap_l[64 * blk_l.btype + ctx]
+                        out.append(lit_codes[tree].read(br))
+                produced += ins_len
             if produced >= mlen:
                 if produced > mlen:
                     raise _BrotliError("metablock length lie")
@@ -577,8 +668,17 @@ def decompress(data: bytes, max_out: int = _MAX_OUT) -> bytes:
             else:
                 if cpy_len > mlen - produced:
                     raise _BrotliError("copy overruns metablock")
-                for _ in range(cpy_len):
-                    out.append(out[-distance])
+                if distance >= cpy_len:
+                    out += out[-distance:len(out) - distance
+                               + cpy_len]
+                else:
+                    # overlapping copy: doubling chunks
+                    left = cpy_len
+                    while left > 0:
+                        take = min(left, distance, len(out))
+                        out += out[-distance:len(out) - distance
+                                   + take]
+                        left -= take
                 produced += cpy_len
                 if dcode != 0:
                     dist_rb = [distance] + dist_rb[:3]

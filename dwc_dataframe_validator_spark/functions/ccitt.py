@@ -234,7 +234,10 @@ def _decode_2d_row(br: _BitReader, ref: list, width: int):
 
 def _decode_1d_row(br: _BitReader, width: int):
     """One 1-D MH-coded row (alternating white/black runs from the
-    T.4 tables) → transition list, or None when torn."""
+    T.4 tables) → transition list, or None when torn.  Every run
+    boundary is a transition (the first white run may be 0 for a
+    row that starts black; zero runs anywhere else are a lying
+    stream)."""
     cur: list = []
     total = 0
     color = 0
@@ -242,15 +245,12 @@ def _decode_1d_row(br: _BitReader, width: int):
         run = _read_run(br, color)
         if run is None or total + run > width:
             return None
+        if run == 0 and (cur or color == 1):
+            return None  # only a LEADING white run may be empty
         total += run
-        if total < width or color == 1 or run:
-            cur.append(total)
+        cur.append(total)
         color ^= 1
-    # drop the trailing sentinel when the final transition equals
-    # width with an even count (pairs close themselves)
-    while cur and cur[-1] == width and len(cur) % 2 == 1:
-        break
-    return [t for t in cur if t <= width]
+    return cur
 
 
 def _paint_row(out, y: int, cur: list, width: int) -> None:
