@@ -555,7 +555,9 @@ def decompress(data: bytes, max_out: int = _MAX_OUT) -> bytes:
             skip = 0
             if skip_bytes:
                 skip = br.bits(8 * skip_bytes)
-                if skip >> (8 * (skip_bytes - 1)) == 0:
+                # the nonzero-most-significant-byte rule applies only
+                # when MSKIPBYTES > 1 (a 1-byte 0x00 → skip 1 is valid)
+                if skip_bytes > 1 and skip >> (8 * (skip_bytes - 1)) == 0:
                     raise _BrotliError("non-minimal MSKIPLEN")
                 skip += 1
             br.align()
@@ -564,6 +566,10 @@ def decompress(data: bytes, max_out: int = _MAX_OUT) -> bytes:
                 raise _BrotliError("metadata in last metablock")
             continue
         mlen = br.bits(16 + 4 * mnib) + 1
+        # exuberant-nibble rule: for MNIBBLES 5/6 the most significant
+        # nibble of MLEN-1 must be nonzero (else a shorter encoding fit)
+        if mnib > 0 and (mlen - 1) >> (12 + 4 * mnib) == 0:
+            raise _BrotliError("exuberant MLEN nibble")
         if len(out) + mlen > max_out:
             raise _BrotliError("output cap exceeded")
         if not islast and br.bit():  # ISUNCOMPRESSED

@@ -8185,8 +8185,18 @@ def tiff_decode_pixels(b: bytes):
             elif comp == 8:
                 import zlib as _zl
 
+                # hard output cap BEFORE allocation (deflate-bomb
+                # guard, same contract as the LZW/PackBits `cap`):
+                # decompress at most need+1 bytes; any unconsumed
+                # compressed input or overshoot means a length lie.
                 try:
-                    unit = _zl.decompress(bytes(raw), bufsize=need)
+                    _d = _zl.decompressobj()
+                    unit = _d.decompress(bytes(raw), need + 1)
+                    if len(unit) == need and _d.unconsumed_tail:
+                        # max_length can stop short of the stream-end
+                        # marker; drain one more byte to distinguish
+                        # "done" from "output length lie"
+                        unit += _d.decompress(_d.unconsumed_tail, 1)
                 except _zl.error:
                     return None
             else:

@@ -149,3 +149,22 @@ def test_warc_br_content_encoding_full():
     for _sha, b64 in VECTORS[:2]:
         assert W._brotli_decode(base64.b64decode(b64)) is not None
     assert W._brotli_decode(b"\xff\xff not brotli \x00") is None
+
+
+def test_metadata_mskiplen_edge_cases():
+    """RFC 7932 §9.2 MSKIPLEN minimality: a 1-byte encoding of value
+    0 (skip 1 byte) is VALID — the nonzero-most-significant-byte rule
+    applies only when MSKIPBYTES > 1.  All three hand-built streams
+    cross-validated against Node's canonical decoder (r18)."""
+    B = _b()
+    # wbits=16; metadata block MSKIPBYTES=1 value 0 -> skip 1 byte
+    # (0xAA); then ISLAST+ISLASTEMPTY.  Canonical: decodes to b"".
+    assert B.decompress(bytes([0x2C, 0x00, 0xAA, 0x03])) == b""
+    # MSKIPBYTES=2 encoding value 5 (high byte zero) -> non-minimal.
+    # Canonical: Decompression failed.
+    with pytest.raises(B._BrotliError):
+        B.decompress(bytes([0xCC, 0x02, 0x00, 0x00, 0x03]))
+    # MNIBBLES=5 with MLEN-1=0xFFFF: most significant nibble zero ->
+    # FORMAT_EXUBERANT_NIBBLE.  Canonical: Decompression failed.
+    with pytest.raises(B._BrotliError):
+        B.decompress(bytes([0xEA, 0xFF, 0x1F, 0x00]))
