@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from dwc_dataframe_validator_spark import registry
@@ -336,10 +337,17 @@ def main() -> None:
 
 
 def _local_bench_path() -> str:
-    """Committed per-round detail file next to bench.py: the round is
-    $SPARK_GRAFT_ROUND if set, else 1 + the highest driver-recorded
-    BENCH_r{N}.json in the repo root."""
+    """Detail-file path. ``--out PATH`` wins; else the committed
+    per-round name ``BENCH_LOCAL_r{N}.json`` (round from
+    $SPARK_GRAFT_ROUND, else 1 + the highest driver-recorded
+    BENCH_r{N}.json).  If that file ALREADY EXISTS it is someone's
+    committed recording — do not shadow it (the r16→r17 recurrence):
+    overflow to ``BENCH_LOCAL_r{N}@{git-short-head}.json`` (then
+    ``...@{head}.2.json`` etc.), which .gitignore excludes so a
+    driver bench run leaves the tree clean."""
     root = os.path.dirname(os.path.abspath(__file__))
+    if "--out" in sys.argv:
+        return sys.argv[sys.argv.index("--out") + 1]
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         import re
@@ -351,7 +359,25 @@ def _local_bench_path() -> str:
             if m
         ]
         rnd = str(max(seen, default=0) + 1)
-    return os.path.join(root, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+    path = os.path.join(root, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+    if not os.path.exists(path):
+        return path
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "nohead"
+    except Exception:
+        head = "nohead"
+    stem = os.path.join(root, f"BENCH_LOCAL_r{int(rnd):02d}@{head}")
+    path = stem + ".json"
+    k = 2
+    while os.path.exists(path):
+        path = f"{stem}.{k}.json"
+        k += 1
+    return path
 
 
 if __name__ == "__main__":
