@@ -1411,6 +1411,11 @@ _DWCA_FIXTURE = os.path.join(
     "tests", "fixtures", "dwca-profile",
 )
 
+_DWCA_EVENT_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "dwca-event-profile",
+)
+
 
 def dwca_archive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile of the fixture archive: multi-``<location>`` core scan
@@ -1440,7 +1445,46 @@ def dwca_archive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.record_count().alias("ext_rows"),
         E.distinct_count("coreid").alias("ext_core_ids"),
     )
-    return core_agg.crossJoin(ext_agg)
+
+    # Event-core archive through the REAL dispatch (operators/
+    # archive.py: Event core -> validate_event_dataframe, Occurrence
+    # extension validated, MeasurementOrFact extension skipped,
+    # breakdowns merged) — §2.11 quirk 8, driver-visible since r18.
+    # Every emitted number is recomputed by the DuckDB oracle from the
+    # same CSVs; ev_ext_rows = 7 (occurrence.txt) proves the dispatch
+    # picked the Occurrence extension (MeasurementOrFact has 3 rows).
+    from .operators.archive import validate_archive
+
+    ev_rep = validate_archive(spark, _DWCA_EVENT_FIXTURE)
+    ev_desc = read_descriptor(_DWCA_EVENT_FIXTURE)
+    ev_core = read_archive_table(spark, ev_desc, ev_desc.core)
+    ev_occ = read_archive_table(
+        spark, ev_desc,
+        next(e for e in ev_desc.extensions
+             if e.type_tail == "Occurrence"),
+    )
+    ev_orphans = (
+        ev_occ.join(
+            F.broadcast(ev_core.select(F.col("id").alias("_cid"))),
+            ev_occ["coreid"] == F.col("_cid"), "left_anti",
+        ).agg(E.record_count().alias("ev_orphan_ext"))
+    )
+    ev_agg = spark.createDataFrame(
+        [(
+            int(ev_rep.core.record_count),
+            int(ev_rep.extensions[0].record_count),
+            int(ev_rep.core.records_with_temporal_count),
+            int(ev_rep.core.coordinates_report.invalid_decimal_latitude_count),
+            int(len(ev_rep.breakdowns["year"])),
+        )],
+        "ev_record_count long, ev_ext_rows long, ev_temporal long, "
+        "ev_lat_invalid long, ev_year_classes long",
+    )
+    return (
+        core_agg.crossJoin(ext_agg)
+        .crossJoin(ev_agg)
+        .crossJoin(ev_orphans)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2401,8 +2445,29 @@ ORACLES: dict[str, str] = {
         ext_agg AS (
           SELECT count(*) AS ext_rows,
                  count(DISTINCT coreid) AS ext_core_ids
-          FROM ext)
-        SELECT * FROM core_agg CROSS JOIN ext_agg
+          FROM ext),
+        ev AS (
+          SELECT * FROM read_csv('{_DWCA_EVENT_FIXTURE}/event.txt',
+            header=true, delim='\t', quote='', all_varchar=true)),
+        ev_occ AS (
+          SELECT * FROM read_csv(
+            '{_DWCA_EVENT_FIXTURE}/occurrence.txt',
+            header=true, delim='\t', quote='', all_varchar=true)),
+        ev_agg AS (
+          SELECT count(*) AS ev_record_count,
+                 (SELECT count(*) FROM ev_occ) AS ev_ext_rows,
+                 count(eventDate) AS ev_temporal,
+                 count(decimalLatitude) - count(*) FILTER (
+                   WHERE try_cast(decimalLatitude AS DOUBLE)
+                         BETWEEN -90.0 AND 90.0) AS ev_lat_invalid,
+                 count(DISTINCT year(try_cast(eventDate AS DATE)))
+                   AS ev_year_classes,
+                 (SELECT count(*) FROM ev_occ o
+                  WHERE NOT EXISTS (
+                    SELECT 1 FROM ev e WHERE e.id = o.coreid))
+                   AS ev_orphan_ext
+          FROM ev)
+        SELECT * FROM core_agg CROSS JOIN ext_agg CROSS JOIN ev_agg
     """,
     "text_repetition": r"""
         WITH nz AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
@@ -11247,6 +11312,25 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # r17-reshaped fixtures already in-window (pdf_encrypted, pdf_image,
 # tiff) re-verify their new AES-256 / CCITT / tiled-planar-palette-
 # JPEG tiers without a swap.
+# Round-18 rotation (r17 VERDICT ask 1): the five stalest §2 parity
+# entries regain hard driver rows — fk_lineitem_orders (last driver-
+# green r3), a4_range_count, a5_group_populated, a11_value_histogram,
+# a12_top_k (all r15) — in for five r17-green media checks whose
+# families keep in-window keepers:
+# fk_lineitem_orders ← ico_pixel_hash_check (tiff_pixel_hash_check
+# keeps the pixel-grid family; ICO stays pytest-pinned + local sweep),
+# a4_range_count ← ms_adpcm_decode_check (mp3_frame_hash_check,
+# cross_container_audio_dedup_check and audio_aligned_dedup_clusters
+# keep the audio decode family in-window),
+# a5_group_populated ← exif_oriented_dedup_check
+# (image_ingest_finalize_check keeps the image-dedup walk; the EXIF
+# orientation grid stays pytest-pinned),
+# a11_value_histogram ← bmp_variant_pixel_hash_check
+# (tiff_pixel_hash_check keeps the pixel-hash family),
+# a12_top_k ← wav_mp3_frame_hash_check (mp3_frame_hash_check keeps
+# the MP3 frame walk).  Also r18: dwca_archive_profile (in-window)
+# gains the event-core dispatch columns (§2.11 quirk 8) — the
+# event-archive path is now driver-visible without a slot.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -11264,7 +11348,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a13_date_parts",
     "a14_offender_sample",
     "odf_text_check",
-    "ico_pixel_hash_check",
+    "fk_lineitem_orders",
     "http_content_encoding_check",
     "dedup_clusters",
     "pdf_token_stats_check",
@@ -11272,14 +11356,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_language_id_v2",
     "docx_text_check",
     "wet_main_content_docs",
-    "exif_oriented_dedup_check",
+    "a5_group_populated",
     "mbox_text_check",
     "pdf_text_check",
-    "bmp_variant_pixel_hash_check",
+    "a11_value_histogram",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
-    "ms_adpcm_decode_check",
+    "a4_range_count",
     "annotate_row_errors",
     "stream_window_counts",
     "sessionize",
@@ -11292,7 +11376,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pdf_encrypted_text_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
-    "wav_mp3_frame_hash_check",
+    "a12_top_k",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
     "tiff_pixel_hash_check",

@@ -146,7 +146,7 @@ DRIVER_WINDOW = [
     "a13_date_parts",
     "a14_offender_sample",
     "odf_text_check",
-    "ico_pixel_hash_check",
+    "fk_lineitem_orders",
     "http_content_encoding_check",
     "dedup_clusters",
     "pdf_token_stats_check",
@@ -154,14 +154,14 @@ DRIVER_WINDOW = [
     "text_language_id_v2",
     "docx_text_check",
     "wet_main_content_docs",
-    "exif_oriented_dedup_check",
+    "a5_group_populated",
     "mbox_text_check",
     "pdf_text_check",
-    "bmp_variant_pixel_hash_check",
+    "a11_value_histogram",
     "contamination_hits",
     "training_corpus_prep",
     "ann_cosine_topk_arrow",
-    "ms_adpcm_decode_check",
+    "a4_range_count",
     "annotate_row_errors",
     "stream_window_counts",
     "sessionize",
@@ -174,7 +174,7 @@ DRIVER_WINDOW = [
     "pdf_encrypted_text_check",
     "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
-    "wav_mp3_frame_hash_check",
+    "a12_top_k",
     "cross_container_audio_dedup_check",
     "xlsx_text_check",
     "tiff_pixel_hash_check",
