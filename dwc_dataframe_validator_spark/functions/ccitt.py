@@ -101,13 +101,32 @@ _EXT_CODES = {
     "000000011111": 2560,
 }
 
-#: 2-D mode codes (T.6): value = ('P',), ('H',) or ('V', delta)
+#: 2-D mode codes (T.6): value = ('P',), ('H',), ('V', delta) or
+#: ('U',) — the EXTENSION code 0000001xxx with xxx=111 entering
+#: uncompressed mode (T.4 §4.2.1.3 / T.6 §2.2.5; TIFF T4Options /
+#: T6Options bit 1).  The 1-D entry spelling (12-bit, inside an MH
+#: row) is out of scope: real encoders only emit uncompressed
+#: segments from the 2-D walk, and an unknown code stays an honest
+#: None.
 _MODE_CODES = {
     "1": ("V", 0), "011": ("V", 1), "010": ("V", -1),
     "001": ("H",), "0001": ("P",),
     "000011": ("V", 2), "000010": ("V", -2),
     "0000011": ("V", 3), "0000010": ("V", -3),
+    "0000001111": ("U",),
 }
+
+#: uncompressed-mode image codes (T.4 Table 10): n leading white
+#: pixels then one black, except '000001' = five whites, stay.
+_UNC_CODES = {
+    "1": (0, True), "01": (1, True), "001": (2, True),
+    "0001": (3, True), "00001": (4, True), "000001": (5, False),
+}
+#: exit codes (T.4 Table 11): r whites then leave; the next bit T
+#: gives the color of the run 2-D coding resumes in (0 = white).
+for _r in range(5):
+    _UNC_CODES["0" * (6 + _r) + "1"] = (_r, None)
+del _r
 
 _EOFB = "000000000001000000000001"
 
@@ -126,6 +145,7 @@ for _name, _tab in (
     ("white", {**_WHITE_CODES, **_EXT_CODES}),
     ("black", {**_BLACK_CODES, **_EXT_CODES}),
     ("mode", {**_MODE_CODES, _EOFB[:12]: ("EOL",)}),
+    ("uncompressed", _UNC_CODES),
 ):
     _assert_prefix_free(_tab, _name)
 
@@ -141,8 +161,10 @@ def _lut(codes: dict) -> dict:
 _WHITE_LUT = _lut({**_WHITE_CODES, **_EXT_CODES})
 _BLACK_LUT = _lut({**_BLACK_CODES, **_EXT_CODES})
 _MODE_LUT = _lut({**_MODE_CODES, _EOFB[:12]: ("EOL",)})
+_UNC_LUT = _lut(_UNC_CODES)
 _MAX_RUN_BITS = 13
 _MAX_MODE_BITS = 12
+_MAX_UNC_BITS = 11
 
 
 class _BitReader:
@@ -202,6 +224,42 @@ def _decode_2d_row(br: _BitReader, ref: list, width: int):
         mode = br.take(_MODE_LUT, _MAX_MODE_BITS)
         if mode is None or mode[0] == "EOL":
             return None  # mid-row EOL/EOFB or ran dry: torn
+        if mode[0] == "U":
+            # uncompressed segment: literal pixels (1 = black) from
+            # the current position until an exit code, whose T bit
+            # sets the color 2-D coding resumes in.
+            p = a0 if a0 > 0 else 0
+            for _ in range(2 * width + 8):
+                got = br.take(_UNC_LUT, _MAX_UNC_BITS)
+                if got is None:
+                    return None
+                whites, black = got
+                if whites:
+                    if p + whites > width:
+                        return None
+                    if color == 1:
+                        cur.append(p)  # black -> white
+                        color = 0
+                    p += whites
+                if black is None:  # exit code: T = next run's color
+                    t = _bit(br)
+                    if t is None:
+                        return None
+                    if t != color:
+                        cur.append(p)
+                        color = t
+                    a0 = p
+                    break
+                if black:
+                    if p >= width:
+                        return None
+                    if color == 0:
+                        cur.append(p)  # white -> black
+                        color = 1
+                    p += 1
+            else:
+                return None  # runaway: no exit code arrived
+            continue
         i = bisect.bisect_right(ref, a0)
         if (i & 1) != color:
             i += 1
@@ -298,10 +356,39 @@ def _encode_run(bits: list, run: int, color: int) -> None:
     bits.append(crev[run])
 
 
-def g4_encode(arr, byte_align: bool = False) -> bytes:
+def _encode_unc_row(bits: list, row, w: int) -> None:
+    """One whole row as a T.4 Table-10/11 uncompressed segment:
+    entry code, image codes, exit with T = white."""
+    bits.append("0000001111")
+    term = {0: "1", 1: "01", 2: "001", 3: "0001", 4: "00001"}
+    p = 0
+    while p < w:
+        q = p
+        while q < w and not row[q]:
+            q += 1
+        nw = q - p
+        if q >= w:  # trailing whites: fold the residue into the exit
+            while nw >= 5:
+                bits.append("000001")
+                nw -= 5
+            bits.append("0" * (6 + nw) + "1" + "0")
+            return
+        while nw >= 5:
+            bits.append("000001")
+            nw -= 5
+        bits.append(term[nw])
+        p = q + 1
+    bits.append("0000001" + "0")  # row ended on black; exit, T=white
+
+
+def g4_encode(
+    arr, byte_align: bool = False, uncompressed: int = 0
+) -> bytes:
     """Fixture twin of ``g4_decode``: (h, w) bool (True = black) →
     a T.6 stream ending in EOFB, using the spec's mode-selection
-    rule so Pass/Vertical/Horizontal all occur on real content."""
+    rule so Pass/Vertical/Horizontal all occur on real content.
+    ``uncompressed=N`` codes every Nth row as a T.4 uncompressed
+    segment (TIFF T6Options bit 1)."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=bool)
@@ -325,6 +412,10 @@ def g4_encode(arr, byte_align: bool = False) -> bytes:
             if pad:
                 bits.append("0" * pad)
         cur = transitions(arr[y])
+        if uncompressed and y % uncompressed == uncompressed - 1:
+            _encode_unc_row(bits, arr[y], w)
+            ref = cur + [w, w]
+            continue
         curx = cur + [w, w]
         a0 = -1
         color = 0
@@ -450,10 +541,13 @@ def _encode_1d_row(bits: list, row) -> None:
 
 
 def g3_encode(arr, two_d: bool = False, eol: bool = True,
-              byte_align: bool = False, k: int = 2) -> bytes:
+              byte_align: bool = False, k: int = 2,
+              uncompressed: bool = False) -> bytes:
     """Fixture twin of ``g3_decode``: 1-D MH rows, or mixed mode
     where every ``k``-th row re-syncs as 1-D (the T.4 K parameter)
-    and the rest code 2-D against the previous row."""
+    and the rest code 2-D against the previous row.
+    ``uncompressed=True`` codes every 2-D row as a T.4 uncompressed
+    segment (T4Options bit 1)."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=bool)
@@ -483,6 +577,9 @@ def g3_encode(arr, two_d: bool = False, eol: bool = True,
             bits.append("1" if one_d else "0")
         if one_d:
             _encode_1d_row(bits, arr[y])
+            ref = transitions(arr[y]) + [w, w]
+        elif uncompressed:
+            _encode_unc_row(bits, arr[y], w)
             ref = transitions(arr[y]) + [w, w]
         else:
             cur = transitions(arr[y])

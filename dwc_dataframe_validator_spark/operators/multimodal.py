@@ -8040,12 +8040,16 @@ def tiff_decode_pixels(b: bytes):
             raise NotImplementedError("non-bilevel fax TIFF")
         if photo not in (0, 1):
             raise NotImplementedError(f"fax photometric {photo}")
-        if comp == 4 and one(293, 0) not in (0, None):
+        if comp == 4 and one(293, 0) not in (0, 2, None):
+            # bit 1 = uncompressed mode allowed (decoded inline by
+            # functions/ccitt.py since r18); other bits reserved
             raise NotImplementedError("T6Options extensions")
         if comp == 3:
             t4opts = one(292, 0) or 0
-            if t4opts & 2:
-                raise NotImplementedError("T.4 uncompressed mode")
+            if t4opts & ~7:
+                raise NotImplementedError("T4Options extensions")
+            # bit 1 (uncompressed allowed) needs no pre-declaration:
+            # the 2-D row walk decodes the entry code when it appears
             t4_2d = bool(t4opts & 1)
             t4_eol = True
     tiled = 324 in tags or 325 in tags
@@ -8336,9 +8340,14 @@ def tiff_encode(
             return g3_encode(black, two_d=False, eol=True)
         if fax_mode == "g3-2d":
             return g3_encode(black, two_d=True, eol=True)
+        if fax_mode == "g3-2d-unc":
+            return g3_encode(black, two_d=True, eol=True,
+                             uncompressed=True)
         if fax_mode == "mh":
             return g3_encode(black, two_d=False, eol=False,
                              byte_align=True)
+        if fax_mode == "g4-unc":
+            return g4_encode(black, uncompressed=2)
         return g4_encode(black)
 
     tiled = tile > 0
@@ -8395,11 +8404,14 @@ def tiff_encode(
     add(258, 3, [1 if is_fax else 8] * spp_out)
     add(259, 3, [
         4 if g4 else
-        {"mh": 2, "g3": 3, "g3-2d": 3}[fax_mode] if fax_mode
+        {"mh": 2, "g3": 3, "g3-2d": 3, "g3-2d-unc": 3,
+         "g4-unc": 4}[fax_mode] if fax_mode
         else comp_code
     ])
-    if fax_mode in ("g3", "g3-2d"):
-        add(292, 4, [1 if fax_mode == "g3-2d" else 0])
+    if fax_mode in ("g3", "g3-2d", "g3-2d-unc"):
+        add(292, 4, [{"g3": 0, "g3-2d": 1, "g3-2d-unc": 3}[fax_mode]])
+    elif fax_mode == "g4-unc":
+        add(293, 4, [2])
     add(262, 3, [photo])
     add(277, 3, [spp_out])
     if tiled and not jpeg:
@@ -8521,28 +8533,32 @@ _TIFF_VARIANTS = (
     dict(g4=True, tile=8),                     # CCITT G4 tiles
     dict(fax_mode="mh", rows_per_strip=5),     # Compression 2 (MH)
     dict(fax_mode="g3-2d"),                    # Compression 3 mixed
+    dict(fax_mode="g4-unc", rows_per_strip=6),  # T6Options=2
+    dict(fax_mode="g3-2d-unc"),                 # T4Options=3
 )
 
 
 def build_tiff_blob(doc_id: int) -> bytes:
     """TIFF fixture: pixel class ``doc_id %% 6`` × packaging variant
-    ``(doc_id // 6) %% 16`` from ``_TIFF_VARIANTS`` — variants 0-9
+    ``(doc_id // 6) %% 18`` from ``_TIFF_VARIANTS`` — variants 0-9
     are LOSSLESS, so every packaging of a class must hash
     identically (incl. big-endian WhiteIsZero inversion, planar
     recombination, tile clipping and the palette round-trip — a
     16×16 image always fits 256 colors); variants 10-11 are
     JPEG-in-TIFF (complete vs JPEGTables-abbreviated streams) and
-    must hash to the standalone JPEG constants; variants 12-15 are
+    must hash to the standalone JPEG constants; variants 12-17 are
     the CCITT fax family (G4 strips/tiles, Compression-2 MH,
-    Compression-3 mixed 2-D) of the luma plane THRESHOLDED at 128
-    (all four must hash identically to that bilevel plane).
+    Compression-3 mixed 2-D, and r18's two T.4-uncompressed
+    spellings: T6Options=2 G4 strips and T4Options=3 mixed 2-D) of
+    the luma plane THRESHOLDED at 128 (all six must hash identically
+    to that bilevel plane).
     ``doc_id %% 17 == 0`` truncates mid-unit (torn); else ``%% 13
     == 0`` relabels Compression 6 (old-style JPEG — the honest
     stub)."""
     import numpy as np
 
     cls = doc_id % 6
-    kw = _TIFF_VARIANTS[(doc_id // 6) % 16]
+    kw = _TIFF_VARIANTS[(doc_id // 6) % 18]
     px = _tiff_fixture_pixels(cls)
     if kw.get("g4") or kw.get("fax_mode"):
         if px.shape[2] == 3:
@@ -8560,7 +8576,8 @@ def build_tiff_blob(doc_id: int) -> bytes:
     if doc_id % 13 == 0:
         code = (
             7 if kw.get("jpeg") else 4 if kw.get("g4") else
-            {"mh": 2, "g3": 3, "g3-2d": 3}[kw["fax_mode"]]
+            {"mh": 2, "g3": 3, "g3-2d": 3, "g3-2d-unc": 3,
+             "g4-unc": 4}[kw["fax_mode"]]
             if kw.get("fax_mode") else
             {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
                 kw.get("compression", "none")

@@ -8682,7 +8682,7 @@ ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
 
 
 def _tiff_pinned_oracle() -> str:
-    """Pinned-constant oracle for the TIFF pixel tier over the 96
+    """Pinned-constant oracle for the TIFF pixel tier over the 108
     (pixel class × packaging) combos; packagings 0-9 are lossless,
     so all ten must pin the SAME hashes per class (palette re-emits
     gray planes as equal-channel RGB — identical luma hashes, 3
@@ -8696,9 +8696,9 @@ def _tiff_pinned_oracle() -> str:
     from .operators import pdf as pdfmod
 
     rows = {}
-    for combo in range(96):
+    for combo in range(108):
         did = next(
-            d for d in range(combo, 8000, 96) if d % 17 and d % 13
+            d for d in range(combo, 8000, 108) if d % 17 and d % 13
         )
         px = multimodal.tiff_decode_pixels(
             multimodal.build_tiff_blob(did)
@@ -8737,7 +8737,7 @@ def _tiff_pinned_oracle() -> str:
         bl6 = _np.where(px6 >= 128, 255, 0).astype(_np.uint8)
         want_g = format(multimodal.image_ahash(bl6), "016x")
         assert rows[cls + 6 * 12][1] == want_g, cls
-        for var in (13, 14, 15):  # G4 tiles / MH / G3 2-D: identical
+        for var in (13, 14, 15, 16, 17):  # tiles/MH/G3-2D/unc ===
             assert rows[cls + 6 * var] == rows[cls + 6 * 12], (
                 cls, var,
             )
@@ -8747,7 +8747,7 @@ def _tiff_pinned_oracle() -> str:
         ), "016x")
         assert rows[cls][1] == want, cls
     return _hash_case_oracle(
-        {c: rows[c % 96] for c in range(96)},
+        {c: rows[c % 108] for c in range(108)},
         "doc_id % 17 = 0 OR doc_id % 13 = 0",
     )
 

@@ -207,7 +207,8 @@ def test_tiff_fax_family():
     ):
         got = mm.tiff_decode_pixels(mm.tiff_encode(bl, **kw))
         assert got is not None and (got == want).all(), kw
-    # T4Options uncompressed-mode bit → honest stub
+    # T4Options uncompressed-allowed bit (2): supported since r18 —
+    # the stream carries no U codes, so it decodes unchanged
     blob = mm.tiff_encode(bl, fax_mode="g3")
     bo = "little"
     old = (292).to_bytes(2, bo) + (4).to_bytes(2, bo) \
@@ -215,5 +216,123 @@ def test_tiff_fax_family():
     new = (292).to_bytes(2, bo) + (4).to_bytes(2, bo) \
         + (1).to_bytes(4, bo) + (2).to_bytes(4, bo)
     assert blob.count(old) == 1
+    got = mm.tiff_decode_pixels(blob.replace(old, new))
+    assert got is not None and (got == want).all()
+    # a reserved T4Options bit stays an honest stub
+    rsv = (292).to_bytes(2, bo) + (4).to_bytes(2, bo) \
+        + (1).to_bytes(4, bo) + (8).to_bytes(4, bo)
     with pytest.raises(NotImplementedError):
-        mm.tiff_decode_pixels(blob.replace(old, new))
+        mm.tiff_decode_pixels(blob.replace(old, rsv))
+
+
+# ---- r18: hand-derived spec vectors + T.4 uncompressed mode ---------
+
+
+def _pack(bits: str) -> bytes:
+    bits += "0" * ((-len(bits)) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+_EOL = "000000000001"
+_EOFB_BITS = _EOL * 2
+
+
+def test_spec_vectors_hand_derived():
+    """Decoder pins derived BY HAND from the published ITU-T T.4/T.6
+    code tables — written independently of the in-repo encoder twin,
+    so a mode-selection or reference-line convention error shared by
+    encoder+decoder fails here (the container ships no external fax
+    codec to cross-check against, so hand derivation is the
+    strongest available external signal; r17 ADVICE item 4)."""
+    import numpy as np
+    from dwc_dataframe_validator_spark.functions.ccitt import (
+        g3_decode, g4_decode)
+
+    # G3 1-D, 24 wide, 2 rows: (10w 5b 9w), (0w 24b)
+    bits = (_EOL + "00111" + "0011" + "10100"
+            + _EOL + "00110101" + "00000010111")
+    want = np.zeros((2, 24), bool)
+    want[0, 10:15] = True
+    want[1, :] = True
+    got = g3_decode(_pack(bits), 24, 2, two_d=False, eol=True)
+    assert got is not None and (got == want).all()
+
+    # G3 mixed 2-D, 16 wide: 1-D row (4w 4b 8w), then V0 V0 V0
+    bits = (_EOL + "1" + "1011" + "011" + "10011"
+            + _EOL + "0" + "111")
+    want = np.zeros((2, 16), bool)
+    want[:, 4:8] = True
+    got = g3_decode(_pack(bits), 16, 2, two_d=True, eol=True)
+    assert got is not None and (got == want).all()
+
+    # G4, 8 wide: H(2w,4b) V0 row, then V0 V0 V0 row
+    bits = "001" + "0111" + "011" + "1" + "111" + _EOFB_BITS
+    want = np.zeros((2, 8), bool)
+    want[:, 2:6] = True
+    got = g4_decode(_pack(bits), 8, 2)
+    assert got is not None and (got == want).all()
+
+    # G4 with a Pass: row1 black 2..3, row2 black 8..11
+    bits = ("001" + "0111" + "11" + "1"            # H(2w,2b) V0
+            + "0001" + "001" + "1011" + "011"      # P  H(4w,4b)
+            + _EOFB_BITS)
+    want = np.zeros((2, 12), bool)
+    want[0, 2:4] = True
+    want[1, 8:12] = True
+    got = g4_decode(_pack(bits), 12, 2)
+    assert got is not None and (got == want).all()
+
+    # G4 uncompressed segment (T.4 Tables 10/11): entry 0000001111,
+    # image codes for 01101000, exit with 3 trailing whites, T=white
+    bits = ("0000001111" + "01" + "1" + "01"
+            + "000000000" + "1" + "0" + _EOFB_BITS)
+    want = np.zeros((1, 8), bool)
+    want[0, [1, 2, 4]] = True
+    got = g4_decode(_pack(bits), 8, 1)
+    assert got is not None and (got == want).all()
+
+    # uncompressed exit resuming 2-D coding mid-row: 12 wide, enter
+    # U, emit literal pixels 0,1 ("01"), exit with 0 extra whites and
+    # T=black — coding resumes at a0=2 in black, H(black 4 = "011",
+    # white 6 = "1110") finishes the row.
+    bits = ("0000001111" + "01" + "0000001" + "1"
+            + "001" + "011" + "1110"
+            + _EOFB_BITS)
+    want = np.zeros((1, 12), bool)
+    want[0, 1:6] = True  # literal 0,1 then black run through col 5
+    got = g4_decode(_pack(bits), 12, 1)
+    assert got is not None and (got == want).all()
+
+
+def test_uncompressed_roundtrips_and_packaging():
+    """Encoder-twin round-trips for the uncompressed segments and the
+    two TIFF packaging classes (T6Options=2, T4Options=3)."""
+    import numpy as np
+    from dwc_dataframe_validator_spark.functions.ccitt import (
+        g3_decode, g3_encode, g4_decode, g4_encode)
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    for _ in range(15):
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 80))
+        arr = rng.random((h, w)) < rng.random()
+        for n in (1, 3):
+            enc = g4_encode(arr, uncompressed=n)
+            dec = g4_decode(enc, w, h)
+            assert dec is not None and (dec == arr).all()
+        enc = g3_encode(arr, two_d=True, eol=True, uncompressed=True)
+        dec = g3_decode(enc, w, h, two_d=True, eol=True)
+        assert dec is not None and (dec == arr).all()
+
+    y, x = np.mgrid[0:21, 0:47]
+    gray = (((y * 5 + x * 3) % 13 < 5) * 255).astype(np.uint8)[:, :, None]
+    for fm in ("g4-unc", "g3-2d-unc"):
+        t = mm.tiff_encode(gray, fax_mode=fm)
+        dec = mm.tiff_decode_pixels(t)
+        assert dec is not None and (dec[:, :, 0] == gray[:, :, 0]).all(), fm
+
+    # truncation mid-segment stays an honest None
+    full = g4_encode(np.ones((4, 40), bool), uncompressed=1)
+    for cut in range(1, len(full) - 1, 2):
+        out = g4_decode(full[:cut], 40, 4)
+        assert out is None or (out.shape == (4, 40))
