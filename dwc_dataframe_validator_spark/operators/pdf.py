@@ -644,7 +644,7 @@ class PdfDoc:
     ``_Torn`` / ``_Stub`` internally — the DataFrame operator
     converts both to flagged rows."""
 
-    def __init__(self, b: bytes):
+    def __init__(self, b: bytes, passwords: tuple = ()):
         self.b = b
         self.xref: dict = {}
         self.trailer: dict = {}
@@ -652,24 +652,35 @@ class PdfDoc:
         self._objstm_loading: set = set()
         self._budget = _MAX_TEXT
         self._crypt = None
+        # candidate passwords tried AFTER the empty-password fast
+        # path; str candidates are UTF-8 encoded and truncated to
+        # 127 bytes (ISO 32000-2 Algorithm 2.A; full SASLprep is
+        # out of scope — callers pass already-normalized strings)
+        self._passwords = tuple(
+            (pw.encode("utf-8") if isinstance(pw, str) else bytes(pw))[:127]
+            for pw in passwords
+        )
         self._read_xref_chain()
         if "Encrypt" in self.trailer:
             self._setup_crypt()
 
     def _setup_crypt(self) -> None:
-        """Standard security handler, the EMPTY-user-password fast
-        path (the overwhelming crawl case — encryption that only
-        restricts printing/copying): RC4-40 (/V1 R2), RC4-128 (/V2
-        R3), /V4 R4 crypt filters with /CFM /V2 (RC4) or /AESV2
+        """Standard security handler: the EMPTY-user-password fast
+        path first (the overwhelming crawl case — encryption that
+        only restricts printing/copying), then each caller-supplied
+        candidate password: RC4-40 (/V1 R2), RC4-128 (/V2 R3), /V4
+        R4 crypt filters with /CFM /V2 (RC4) or /AESV2
         (AES-128-CBC), and /V5 R5/R6 AES-256 (/CFM /AESV3 — the
         Algorithm 2.A/2.B password checks against /U, falling back
         to the owner check against /O, with the file key unwrapped
         from /UE //OE and validated against /Perms when present).
-        Anything else — a non-Standard handler, a non-empty
-        password (both checks fail), a malformed dict — raises
+        Anything else — a non-Standard handler, a password no
+        candidate matches, a malformed dict — raises
         ``_Stub('encrypted')``: flagged, never guessed.  Only
         STREAMS are decrypted (strings feed nothing on the
-        text/image paths)."""
+        text/image paths).  Legacy (/V 1-4) candidates run the
+        Algorithm 4/5 USER check only; the /O owner-key recovery
+        (Algorithm 7) stays out of scope."""
         enc = self.resolve(self.trailer.get("Encrypt"))
         if not isinstance(enc, dict):
             raise _Stub("encrypted")
@@ -723,19 +734,22 @@ class PdfDoc:
             first = self.resolve(ids[0])
             if isinstance(first, tuple) and first[0] == "str":
                 id0 = first[1]
-        key = _pdf_file_key(b"", o_val, p, id0, r, keylen, em is True)
-        want_u = _pdf_user_value(key, r, id0)
         got = u_val[:16] if r >= 3 else u_val
-        want = want_u[:16] if r >= 3 else want_u
-        if got != want:
-            raise _Stub("encrypted")  # non-empty user password
-        self._crypt = (cfm, key)
+        for pw in (b"",) + self._passwords:
+            key = _pdf_file_key(pw, o_val, p, id0, r, keylen,
+                                em is True)
+            want_u = _pdf_user_value(key, r, id0)
+            want = want_u[:16] if r >= 3 else want_u
+            if got == want:
+                self._crypt = (cfm, key)
+                return
+        raise _Stub("encrypted")  # no candidate user password fit
 
     def _setup_crypt_v5(self, enc: dict, r: int) -> None:
         """/V 5 AES-256 (R5 = the deprecated SHA-256 shortcut, R6 =
-        the ISO 32000-2 2.B hardened hash): verify the EMPTY
-        password against /U (user) then /O (owner, udata = the full
-        48-byte /U), unwrap the 256-bit file key from /UE //OE with
+        the ISO 32000-2 2.B hardened hash): verify the empty
+        password, then each candidate, against /U (user) then /O
+        (owner, udata = the full 48-byte /U), unwrap the 256-bit file key from /UE //OE with
         a zero-IV no-pad CBC, and when /Perms is present require its
         'adb' tag under the unwrapped key — a wrong or tampered key
         flags before any stream is touched."""
@@ -753,24 +767,29 @@ class PdfDoc:
             raise _Stub("encrypted")
         u48, o48 = u48[:48], o48[:48]
 
-        def pwhash(salt, udata):
+        def pwhash(pw, salt, udata):
             if r == 6:
-                return _pdf_hash_2b(b"", salt, udata)
-            return hashlib.sha256(b"" + salt + udata).digest()
+                return _pdf_hash_2b(pw, salt, udata)
+            return hashlib.sha256(pw + salt + udata).digest()
 
         key = None
-        if pwhash(u48[32:40], b"") == u48[:32]:
-            if ue is None:
-                raise _Stub("encrypted")
-            ik = pwhash(u48[40:48], b"")
-            key = _aes_cbc_raw(ik, bytes(16), ue[:32], decrypt=True)
-        elif pwhash(o48[32:40], u48) == o48[:32]:
-            if oe is None:
-                raise _Stub("encrypted")
-            ik = pwhash(o48[40:48], u48)
-            key = _aes_cbc_raw(ik, bytes(16), oe[:32], decrypt=True)
-        else:
-            raise _Stub("encrypted")  # non-empty password
+        for pw in (b"",) + self._passwords:
+            if pwhash(pw, u48[32:40], b"") == u48[:32]:
+                if ue is None:
+                    raise _Stub("encrypted")
+                ik = pwhash(pw, u48[40:48], b"")
+                key = _aes_cbc_raw(ik, bytes(16), ue[:32],
+                                   decrypt=True)
+                break
+            if pwhash(pw, o48[32:40], u48) == o48[:32]:
+                if oe is None:
+                    raise _Stub("encrypted")
+                ik = pwhash(pw, o48[40:48], u48)
+                key = _aes_cbc_raw(ik, bytes(16), oe[:32],
+                                   decrypt=True)
+                break
+        if key is None:
+            raise _Stub("encrypted")  # no candidate password fit
         perms = sval("Perms", 16)
         if perms is not None:
             pe = _aes_cbc_raw(key, None, perms[:16], decrypt=True)
@@ -1560,15 +1579,18 @@ PDF_TEXT_SCHEMA = (
 
 
 def pdf_text(
-    df: DataFrame, content_col: str = "content", id_col: str = "id"
+    df: DataFrame, content_col: str = "content", id_col: str = "id",
+    passwords: tuple = (),
 ) -> DataFrame:
     """(id, n_pages, n_chars, text, ok, reason) per PDF payload —
     full text extraction via the classic-xref walk.  ``ok=false``
     rows carry the honest reason: 'torn' (malformed/truncated),
     'encrypted', 'filter' (non-Flate or a non-PNG predictor),
-    'bomb' (decompression cap).  Map-side
-    Arrow batches, no shuffle; nothing raises across the Arrow
-    boundary."""
+    'bomb' (decompression cap).  ``passwords`` are candidate
+    user/owner passwords tried after the empty-password fast path
+    (the list broadcasts inside the UDF closure — keep it small).
+    Map-side Arrow batches, no shuffle; nothing raises across the
+    Arrow boundary."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -1579,7 +1601,7 @@ def pdf_text(
                     rows.append((i, None, None, None, False, "torn"))
                     continue
                 try:
-                    doc = PdfDoc(bytes(payload))
+                    doc = PdfDoc(bytes(payload), passwords)
                     pages = doc.pages()
                     text = "\f".join(
                         doc.page_text(p) for p in pages
@@ -2520,18 +2542,27 @@ def attach_pdf_cid_blob(
     )
 
 
+#: the known candidate password for the scheme-7 fixture class —
+#: non-ASCII on purpose (UTF-8 encoding is part of Algorithm 2.A)
+_PDF_FIXTURE_PW = "sp\u00e4rk-18"
+
+
 def build_pdf_encrypted_blob(doc_id: int) -> bytes:
     """Encrypted-PDF fixture: page class ``doc_id %% 4`` (the SAME
     page text as ``build_pdf_blob``'s classes), scheme ``(doc_id //
-    4) %% 7`` — the six real handlers (RC4-40 / RC4-128 / AES-128
+    4) %% 8`` — the six real handlers (RC4-40 / RC4-128 / AES-128
     / V4-RC4 / AES-256 R6 / AES-256 R5, which must DECRYPT to text
-    identical to the plaintext class) or 6 = a non-empty user
-    password under AES-128 or AES-256 by class parity (the
-    empty-password fast path must flag it).  ``doc_id %% 17 == 0``
-    cuts inside the objects (torn); else ``%% 13 == 0`` swaps in a
-    non-Standard /Filter shell (honest 'encrypted' flag)."""
+    identical to the plaintext class), 6 = an UNKNOWN non-empty
+    user password under AES-128 or AES-256 by class parity (must
+    flag even with candidates supplied), or 7 (r18) = the KNOWN
+    ``_PDF_FIXTURE_PW`` under a per-class handler (AES-256 R6 /
+    AES-128 / RC4-128 / AES-256 R5 — must decrypt via the
+    candidate-password path to text identical to the plaintext
+    class).  ``doc_id %% 17 == 0`` cuts inside the objects (torn);
+    else ``%% 13 == 0`` swaps in a non-Standard /Filter shell
+    (honest 'encrypted' flag)."""
     cls = doc_id % 4
-    scheme = (doc_id // 4) % 7
+    scheme = (doc_id // 4) % 8
     pages = _pdf_fixture_pages(cls)
     if doc_id % 13 == 0 and doc_id % 17 != 0:
         return pdf_encode_encrypted(pages, "custom")
@@ -2539,6 +2570,12 @@ def build_pdf_encrypted_blob(doc_id: int) -> bytes:
         blob = pdf_encode_encrypted(
             pages, "aes-256" if cls % 2 else "aes-128",
             user_pw=b"not-empty",
+        )
+    elif scheme == 7:
+        blob = pdf_encode_encrypted(
+            pages,
+            ("aes-256", "aes-128", "rc4-128", "aes-256-r5")[cls],
+            user_pw=_PDF_FIXTURE_PW.encode("utf-8"),
         )
     else:
         blob = pdf_encode_encrypted(pages, _PDF_ENC_VARIANTS[scheme])

@@ -8354,7 +8354,9 @@ def _pdf_encrypted_pinned_oracle() -> str:
     """Pinned oracle for the encrypted-PDF tier: the six real
     handlers (through AES-256 R6/R5) must decrypt to text IDENTICAL
     to the PLAINTEXT fixture classes — asserted here by extracting
-    both and comparing md5s — while the wrong-password scheme, the
+    both and comparing md5s — the scheme-7 KNOWN-password class
+    must flag bare and decrypt identically via the candidate list
+    (r18), while the unknown-password scheme, the
     non-Standard-handler swap and the torn cut flag with their
     honest reasons (also asserted over sample ids)."""
     import hashlib as _hl
@@ -8375,11 +8377,28 @@ def _pdf_encrypted_pinned_oracle() -> str:
         for scheme in range(6):
             did = next(
                 d for d in range(cls, 8000, 4)
-                if (d // 4) % 7 == scheme and d % 17 and d % 13
+                if (d // 4) % 8 == scheme and d % 17 and d % 13
             )
             doc = pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
             got = "\f".join(doc.page_text(p) for p in doc.pages())
             assert got == want, (cls, scheme)
+        # scheme 7: the KNOWN password class — flags without
+        # candidates, decrypts identically with them (r18)
+        did7 = next(
+            d for d in range(cls, 8000, 4)
+            if (d // 4) % 8 == 7 and d % 17 and d % 13
+        )
+        blob7 = pdfmod.build_pdf_encrypted_blob(did7)
+        try:
+            pdfmod.PdfDoc(blob7)
+            raise AssertionError("pw plant parsed bare: %d" % did7)
+        except pdfmod._Stub:
+            pass
+        doc7 = pdfmod.PdfDoc(
+            blob7, (b"wrong-guess", pdfmod._PDF_FIXTURE_PW)
+        )
+        got7 = "\f".join(doc7.page_text(p) for p in doc7.pages())
+        assert got7 == want, cls
     for did in (17, 34, 51):
         try:
             pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
@@ -8391,12 +8410,15 @@ def _pdf_encrypted_pinned_oracle() -> str:
     # %13 custom-handler swaps + scheme-6 wrong pw (both parities)
     wrongpw = [
         next(d for d in range(cls, 8000, 4)
-             if (d // 4) % 7 == 6 and d % 17 and d % 13)
+             if (d // 4) % 8 == 6 and d % 17 and d % 13)
         for cls in (0, 1)
     ]
     for did in [13, 26] + wrongpw:
         try:
-            pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
+            pdfmod.PdfDoc(
+                pdfmod.build_pdf_encrypted_blob(did),
+                (b"wrong-guess", pdfmod._PDF_FIXTURE_PW),
+            )
             raise AssertionError("encrypted plant parsed: %d" % did)
         except pdfmod._Stub as e:
             assert str(e) == "encrypted", did
@@ -8412,7 +8434,7 @@ def _pdf_encrypted_pinned_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 7 AS INTEGER) AS scheme,
+                 CAST((doc_id // 4) % 8 AS INTEGER) AS scheme,
                  doc_id % 17 = 0 AS torn,
                  doc_id % 17 <> 0 AND doc_id % 13 = 0 AS shell
           FROM documents)
@@ -8440,9 +8462,14 @@ def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm 2.A/2.B with /UE //OE unwrap and the /Perms receipt
     for /V 5 AES-256 R5/R6), verifies /U (owner fallback via /O),
     and decrypts streams (per-object keys for RC4/AESV2, the file
-    key directly for AESV3).  Decrypted text is pinned IDENTICAL to
-    the plaintext fixture classes (asserted in the oracle builder);
-    a non-empty password, a non-Standard handler and torn documents
+    key directly for AESV3).  Since r18 a candidate-password list
+    threads through ``pdf_text`` → ``PdfDoc`` (Algorithm 2.A with
+    the UTF-8 password for /V5, Algorithm 4/5 for /V 1-4): the
+    scheme-7 class carries a KNOWN non-ASCII password and must
+    decrypt to text identical to the plaintext class, tried after
+    one wrong guess.  Decrypted text is pinned IDENTICAL to the
+    plaintext fixture classes (asserted in the oracle builder); an
+    unknown password, a non-Standard handler and torn documents
     flag with honest reasons."""
     from .operators import pdf as pdfmod
 
@@ -8454,7 +8481,10 @@ def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    out = pdfmod.pdf_text(pdfmod.attach_pdf_encrypted_blob(docs))
+    out = pdfmod.pdf_text(
+        pdfmod.attach_pdf_encrypted_blob(docs),
+        passwords=(b"wrong-guess", pdfmod._PDF_FIXTURE_PW),
+    )
     return out.select(
         F.col("id").alias("doc_id"),
         "n_pages", "n_chars",

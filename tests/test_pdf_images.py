@@ -267,19 +267,24 @@ def test_encrypted_pdf_standard_handler():
     ) + blob[k + 1:]
     with pytest.raises(P._Stub):
         P.PdfDoc(tampered)
-    # fixture plants and scheme classes
-    for did in range(120):
-        scheme = (did // 4) % 7
+    # fixture plants and scheme classes (scheme 7 = the r18 KNOWN
+    # candidate password: flags bare, decodes with the list)
+    pwl = (b"wrong-guess", P._PDF_FIXTURE_PW)
+    for did in range(136):
+        scheme = (did // 4) % 8
         blob = P.build_pdf_encrypted_blob(did)
         if did % 17 == 0:
             with pytest.raises((P._Torn, P._Stub)):
-                d = P.PdfDoc(blob)
+                d = P.PdfDoc(blob, pwl)
                 [d.page_text(p) for p in d.pages()]
         elif did % 13 == 0 or scheme == 6:
             with pytest.raises(P._Stub):
-                P.PdfDoc(blob)
+                P.PdfDoc(blob, pwl)
         else:
-            d = P.PdfDoc(blob)
+            if scheme == 7:
+                with pytest.raises(P._Stub):
+                    P.PdfDoc(blob)
+            d = P.PdfDoc(blob, pwl)
             assert len(d.pages()) == 1 + did % 4, did
     # byte-flip fuzz over an AES doc: never raises past the flags
     blob = P.pdf_encode_encrypted(pages, "aes-128")
