@@ -28,6 +28,23 @@ Reference parity: none — the reference validator has no document
 decoders; this extends the LLM-pipeline text family (SURVEY.md
 "beyond the reference" brief).
 
+JPX scope decision (r18, adjudicated): ``/JPXDecode`` (JPEG 2000)
+stays an honest per-image stub.  A conformant codestream decoder
+needs EBCOT Tier-1 (three coding passes per bit-plane over code-
+blocks, the MQ coder per-context), Tier-2 packet headers (tag
+trees), the DWT (5/3 and 9/7 lifting) and multi-component
+transforms — several thousand lines whose correctness could only be
+pinned by round-trip against an encoder twin of the same size (no
+external JPEG 2000 codec ships in this container, and ISO 15444
+publishes no byte-exact KAT equivalent to T.88 H.2 beyond the MQ
+coder itself, which functions/jbig2.py already pins).  Recall
+boundary: JPX appears in PDFs predominantly for photographic
+scans; those documents still yield their TEXT mass here — only the
+embedded-image pixels flag ``ok=false, reason='JPXDecode'``, so
+cross-format image dedup loses that slice and nothing is guessed.
+If the boundary moves, the MQ coder and the segment-walk discipline
+from the JBIG2 tier are the reusable first third.
+
 Scale notes (100 TB): one PDF per row, map-side Arrow batches, no
 shuffle; decompression is capped per stream and per document
 (``_MAX_TEXT``), so an adversarial Flate bomb flags instead of
@@ -1234,11 +1251,12 @@ class PdfDoc:
             if filters != [("name", "CCITTFaxDecode")]:
                 raise _Stub("filter")
             return self._ccitt_pixels(d, raw, w, h)
+        if ("name", "JBIG2Decode") in filters:
+            if filters != [("name", "JBIG2Decode")]:
+                raise _Stub("filter")
+            return self._jbig2_pixels(d, raw, w, h)
         for f in filters:
-            if f in (
-                ("name", "JBIG2Decode"),
-                ("name", "JPXDecode"),
-            ):
+            if f == ("name", "JPXDecode"):
                 raise _Stub(f[1])
         data = self._decoded(d, raw)
         if bpc != 8:
@@ -1252,6 +1270,64 @@ class PdfDoc:
         if len(data) != w * h * c:
             raise _Torn()
         return np.frombuffer(data, np.uint8).reshape(h, w, c)
+
+    def _jbig2_pixels(self, d: dict, raw, w: int, h: int):
+        """/JBIG2Decode through functions/jbig2.py: MQ-coded and
+        MMR-coded GENERIC regions (templates 0-3, AT pixels, TPGDON),
+        page composition, optional /JBIG2Globals prepended.  Symbol/
+        text/halftone/refinement segments flag ``_Stub('jbig2-tier')``
+        — never a guessed page.  JBIG2 sample 1 = black; like the
+        CCITT path, the sample feeds DeviceGray through the image
+        /Decode array (default [0 1] → black = 0)."""
+        import numpy as np
+
+        from ..functions import jbig2 as J
+
+        if self.resolve(d.get("BitsPerComponent", 1)) != 1:
+            raise _Torn()
+        parms = self.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = next(
+                (p for p in (self.resolve(x) for x in parms)
+                 if isinstance(p, dict)), None,
+            )
+        gdata = b""
+        if isinstance(parms, dict) and "JBIG2Globals" in parms:
+            g = self.resolve(parms.get("JBIG2Globals"))
+            if not (isinstance(g, tuple) and g[0] == "stream"):
+                raise _Torn()
+            gdata = self._decoded(g[1], g[2])
+        try:
+            bits = J.decode_embedded(
+                bytes(raw), gdata, fallback_size=(h, w)
+            )
+        except NotImplementedError as e:
+            raise _Stub("jbig2-tier:%s" % e)
+        except (ValueError, IndexError):
+            raise _Torn()
+        if bits.shape != (h, w):
+            raise _Torn()  # dict and page dimensions disagree
+        sample = bits
+        dec = self.resolve(d.get("Decode"))
+        d0, d1 = 0.0, 1.0
+        if dec is not None:
+            if not (
+                isinstance(dec, list) and len(dec) == 2
+                and all(isinstance(self.resolve(x), (int, float))
+                        for x in dec)
+            ):
+                raise _Torn()
+            d0 = float(self.resolve(dec[0]))
+            d1 = float(self.resolve(dec[1]))
+        gray0 = int(round(255 * min(max(d0, 0.0), 1.0)))
+        gray1 = int(round(255 * min(max(d1, 0.0), 1.0)))
+        # the filter's output SAMPLE inverts the JBIG2 bit (black
+        # pixel -> sample 0), so the default /Decode [0 1] renders
+        # black as 0 — the same convention the CCITT path takes for
+        # /BlackIs1 false
+        return np.where(~sample, gray1, gray0).astype(
+            np.uint8
+        )[:, :, None]
 
     def _ccitt_pixels(self, d: dict, raw, w: int, h: int):
         """/CCITTFaxDecode through functions/ccitt.py: /K < 0 is
@@ -2180,6 +2256,15 @@ def pdf_image_encode(text: str, images: list) -> bytes:
     - ``"ccitt-g3"``: pure 1-D Group 3 (``/K 0``, no EOLs)
     - ``"ccitt-g3-2d"``: mixed Group 3 (``/K 2``, per-row mode tags,
       ``/EndOfLine true``) — identical pixels again
+    - ``"jbig2"``: the bilevel plane as an embedded JBIG2 stream
+      (MQ generic region, template 0, TPGDON) under ``/JBIG2Decode``
+    - ``"jbig2-t2"`` / ``"jbig2-t1"``: GBTEMPLATEs 2 and 1, no
+      TPGDON — identical pixels
+    - ``"jbig2-mmr"``: the MMR-coded generic region spelling
+    - ``"jbig2-glob"``: page info carried in a Flate-compressed
+      ``/JBIG2Globals`` stream, region in the image stream
+    - ``"jbig2-sym"``: a symbol-dictionary segment plant — the
+      honest ``jbig2-tier`` stub
     - ``"jpx"``: the raw samples MISLABELED ``/JPXDecode`` — the
       honest-stub plant"""
     from ..functions.ccitt import g4_encode
@@ -2253,12 +2338,53 @@ def pdf_image_encode(text: str, images: list) -> bytes:
                         b" /Decode [1 0]" if b1 else b"",
                     )
                 )
+        elif kind.startswith("jbig2"):
+            from ..functions import jbig2 as J
+
+            assert c == 1
+            black = px[:, :, 0] == 0
+            filt = b" /Filter /JBIG2Decode"
+            if kind == "jbig2-t2":
+                data = J.encode_embedded(black, template=2)
+            elif kind == "jbig2-t1":
+                data = J.encode_embedded(black, template=1)
+            elif kind == "jbig2-mmr":
+                data = J.encode_embedded(black, mmr=True)
+            elif kind == "jbig2-glob":
+                gseg = J.encode_embedded(
+                    black, tpgdon=True
+                )
+                # page info (first segment) -> the globals stream;
+                # the region + end-of-page stay in the image stream
+                cut = 11 + 19  # header (short form) + payload
+                gdata = zlib.compress(gseg[:cut])
+                gid = 200 + k
+                objs[gid] = (
+                    b"<< /Filter /FlateDecode /Length %d >>"
+                    b"\nstream\n" % len(gdata)
+                    + gdata + b"\nendstream"
+                )
+                extra = (
+                    b" /DecodeParms << /JBIG2Globals %d 0 R >>" % gid
+                )
+                data = gseg[cut:]
+            elif kind == "jbig2-sym":
+                # an (empty-payload) symbol-dictionary segment the
+                # reader must flag, never guess past
+                data = (
+                    b"\x00\x00\x00\x00" + bytes([0]) + b"\x00"
+                    + bytes([1]) + b"\x00\x00\x00\x00"
+                ) + J.encode_embedded(black)
+            else:
+                data = J.encode_embedded(black, tpgdon=True)
         elif kind == "jpx":
             data = px.tobytes()
             filt = b" /Filter /JPXDecode"
         else:
             raise ValueError(kind)
-        bpc = b"1" if kind.startswith("ccitt") else b"8"
+        bpc = (
+            b"1" if kind.startswith(("ccitt", "jbig2")) else b"8"
+        )
         objs[5 + k] = (
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
             b" /ColorSpace %s /BitsPerComponent %s%s%s /Length %d >>"
@@ -2303,27 +2429,35 @@ def _pdf_image_fixture_pixels(cls: int):
 _PDF_IMG_KINDS = (
     "dct", "flate", "flate-pred", "gray", "raw", "ccitt", "ccitt-b1",
     "ccitt-g3", "ccitt-g3-2d",
+    "jbig2", "jbig2-t2", "jbig2-mmr", "jbig2-glob", "jbig2-t1",
 )
 
 
 def build_pdf_image_blob(doc_id: int) -> bytes:
     """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
-    variant ``(doc_id // 6) %% 9`` from ``_PDF_IMG_KINDS`` — "gray"
+    variant ``(doc_id // 6) %% 14`` from ``_PDF_IMG_KINDS`` — "gray"
     embeds the class's integer-luma plane as Flate /DeviceGray, the
     four "ccitt*" kinds embed the luma plane THRESHOLDED at 128 as
     Group 4 (default params vs /BlackIs1 + /Decode [1 0] +
     /EncodedByteAlign) and Group 3 (pure 1-D /K 0 vs mixed /K 2
-    with /EndOfLine — all four identical pixels), the others embed
+    with /EndOfLine — all four identical pixels), the four
+    "jbig2*" kinds (r18) embed the same thresholded plane as
+    embedded JBIG2 generic regions (MQ template 0 + TPGDON,
+    templates 2 and 1, MMR, and page-info-in-/JBIG2Globals — all
+    five identical pixels again; five not four keeps the combo
+    universe 84 coprime with the %%13/%%17 plants), the others
+    embed
     the RGB image as DCT / Flate / Flate+Up-predictor / raw samples
     (the three lossless packagings must hash identically; DCT must
     hash to the standalone JPEG's constants).  ``doc_id %% 17 ==
     0`` truncates the image stream (torn); else ``%% 13 == 0``
-    relabels the filter ``/JPXDecode`` (or ``/JBIG2Decode`` for the
-    fax kinds — honest stubs) — both ok=false."""
+    relabels the filter ``/JPXDecode`` at identical byte length
+    (the per-image honest stub) or drops bpc to 4 — both
+    ok=false."""
     import numpy as np
 
     cls = doc_id % 6
-    kind = _PDF_IMG_KINDS[(doc_id // 6) % 9]
+    kind = _PDF_IMG_KINDS[(doc_id // 6) % 14]
     px = _pdf_image_fixture_pixels(cls)
     luma = (
         (
@@ -2336,7 +2470,7 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
         blob = pdf_image_encode(
             "pdf image doc %d" % cls, [("flate", luma)]
         )
-    elif kind.startswith("ccitt"):
+    elif kind.startswith(("ccitt", "jbig2")):
         bilevel = np.where(luma >= 128, 255, 0).astype(np.uint8)
         blob = pdf_image_encode(
             "pdf image doc %d" % cls, [(kind, bilevel)]
@@ -2363,11 +2497,17 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
                 b"/Filter /DCTDecode", b"/Filter /JPXDecode"
             )
         elif b"/Filter /CCITTFaxDecode" in seg:
-            # same-length relabel to JBIG2 (trailing spaces are
+            # same-length relabel to JPX (trailing spaces are
             # whitespace after the name): the honest per-image stub
+            # (JBIG2 stopped being a stub in r18, so the old relabel
+            # target would be DECODED-as-garbage, not flagged)
             seg2 = seg.replace(
                 b"/Filter /CCITTFaxDecode",
-                b"/Filter /JBIG2Decode   ",
+                b"/Filter /JPXDecode     ",
+            )
+        elif b"/Filter /JBIG2Decode" in seg:
+            seg2 = seg.replace(
+                b"/Filter /JBIG2Decode", b"/Filter /JPXDecode  "
             )
         elif b"/Filter /FlateDecode" in seg:
             seg2 = seg.replace(

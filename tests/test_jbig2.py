@@ -1,0 +1,164 @@
+"""JBIG2 tier pins: the MQ coder against the spec's own Annex H.2
+test sequence (both directions, byte-exact), generic-region
+round-trips across every template / TPGDON / MMR, the embedded
+segment walk, the PDF /JBIG2Decode composition with /JBIG2Globals,
+and honest flags for the symbol/halftone tiers and torn streams."""
+import numpy as np
+import pytest
+
+
+def _j():
+    from dwc_dataframe_validator_spark.functions import jbig2
+    return jbig2
+
+
+def _p():
+    from dwc_dataframe_validator_spark.operators import pdf
+    return pdf
+
+
+# T.88 Annex H.2: the published 256-bit coder input and its coded
+# form — the tier's external KAT (no JBIG2 codec ships in this
+# container; this pins the MQ coder the way FIPS-197 pins AES)
+H2_INPUT = bytes.fromhex(
+    "00020051000000C00352872AAAAAAAAA"
+    "82C02000FCD79EF6BF7FED904F46A3BF"
+)
+H2_CODED = bytes.fromhex(
+    "84C73BFCE1A1430402200000410DBB86"
+    "F4317FFF88FF37471ADB6ADFFFAC"
+)
+
+
+def test_mq_kat_annex_h2():
+    J = _j()
+    bits = [(b >> (7 - k)) & 1 for b in H2_INPUT for k in range(8)]
+    enc = J.MQEncoder()
+    st = [0, 0]
+    for b in bits:
+        enc.encode(st, b)
+    assert enc.flush() == H2_CODED
+    dec = J.MQDecoder(H2_CODED)
+    st = [0, 0]
+    assert [dec.decode(st) for _ in range(256)] == bits
+
+
+def test_mq_multi_context_roundtrip():
+    J = _j()
+    rng = np.random.default_rng(5)
+    bits = list((rng.random(4000) < 0.2).astype(int))
+    ctxs = list(rng.integers(0, 9, len(bits)))
+    enc = J.MQEncoder()
+    est = {c: [0, 0] for c in range(9)}
+    for c, b in zip(ctxs, bits):
+        enc.encode(est[c], int(b))
+    coded = enc.flush()
+    dec = J.MQDecoder(coded)
+    dst = {c: [0, 0] for c in range(9)}
+    assert [dec.decode(dst[c]) for c in ctxs] == bits
+
+
+def test_generic_region_roundtrips():
+    J = _j()
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        h, w = int(rng.integers(1, 22)), int(rng.integers(1, 40))
+        arr = rng.random((h, w)) < rng.random()
+        for template in (0, 1, 2, 3):
+            for tpgdon in (False, True):
+                coded = J._generic_encode(arr, template, tpgdon)
+                dec = J._generic_decode(
+                    coded, w, h, template,
+                    J._NOMINAL_AT[template], tpgdon,
+                )
+                assert dec is not None
+                assert (dec.astype(bool) == arr).all(), (
+                    trial, template, tpgdon,
+                )
+
+
+def test_embedded_stream_and_flags():
+    J = _j()
+    arr = np.zeros((40, 64), bool)
+    arr[5:35, 10:50] = True
+    arr[18:22] = False
+    for kw in (
+        dict(tpgdon=True), dict(template=1), dict(template=2),
+        dict(template=3, tpgdon=True), dict(mmr=True),
+        dict(with_page_info=False),
+    ):
+        blob = J.encode_embedded(arr, **kw)
+        out = J.decode_embedded(
+            blob, fallback_size=arr.shape
+        )
+        assert (out == arr).all(), kw
+    # truncations tear honestly, never guess
+    blob = J.encode_embedded(arr, tpgdon=True)
+    for cut in range(1, len(blob) - 1, 3):
+        try:
+            out = J.decode_embedded(blob[:cut])
+            assert out.shape == arr.shape
+        except (ValueError, NotImplementedError):
+            pass
+    # symbol-dictionary segments flag, never guess
+    sym = J._segment(9, 0, 1, b"")
+    with pytest.raises(NotImplementedError):
+        J.decode_embedded(sym + blob)
+
+
+def test_pdf_jbig2_composition():
+    """All five /JBIG2Decode packagings land the SAME pixels on the
+    shared hash grid; the /JPXDecode relabel and the symbol plant
+    stay honest stubs."""
+    P = _p()
+    px = P._pdf_image_fixture_pixels(2)
+    luma = (
+        (
+            px[:, :, 0].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 2].astype(np.int64) * 114
+        ) // 1000
+    ).astype(np.uint8)[:, :, None]
+    bl = np.where(luma >= 128, 255, 0).astype(np.uint8)
+    kinds = ["ccitt", "jbig2", "jbig2-t1", "jbig2-t2", "jbig2-mmr",
+             "jbig2-glob"]
+    blob = P.pdf_image_encode("jbig2 page", [(k, bl) for k in kinds])
+    doc = P.PdfDoc(blob)
+    outs = [
+        doc.image_pixels(obj)
+        for _n, obj in doc.page_images(doc.pages()[0])
+    ]
+    for k, out in zip(kinds, outs):
+        assert (out == bl).all(), k
+    blob2 = P.pdf_image_encode("plant", [("jbig2-sym", bl)])
+    doc2 = P.PdfDoc(blob2)
+    with pytest.raises(P._Stub):
+        doc2.image_pixels(doc2.page_images(doc2.pages()[0])[0][1])
+    # fixture universe: plants flag, clean ids decode
+    for did in range(0, 170):
+        b = P.build_pdf_image_blob(did)
+        d = None
+        try:
+            d = P.PdfDoc(b)
+            (_n, obj), = d.page_images(d.pages()[0])
+            out = P.PdfDoc(b).image_pixels(obj)
+            assert did % 17 and did % 13, did
+            assert out.shape[:2] == (16, 16), did
+        except (P._Torn, P._Stub):
+            assert did % 17 == 0 or did % 13 == 0, did
+
+
+def test_pdf_jbig2_fuzz_never_guesses():
+    P = _p()
+    px = P._pdf_image_fixture_pixels(0)
+    bl = np.where(px[:, :, 0:1] >= 128, 255, 0).astype(np.uint8)
+    blob = P.pdf_image_encode("fuzz", [("jbig2", bl)])
+    for j in range(0, len(blob), 7):
+        try:
+            d = P.PdfDoc(blob[:j] + bytes([blob[j] ^ 0xFF])
+                         + blob[j + 1:])
+            for pg in d.pages():
+                for _n, obj in d.page_images(pg):
+                    d.image_pixels(obj)
+        except (P._Torn, P._Stub, RecursionError):
+            pass
