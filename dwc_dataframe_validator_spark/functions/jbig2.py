@@ -1,5 +1,7 @@
 """ITU-T T.88 (JBIG2) — the embedded-stream subset PDF
-``/JBIG2Decode`` carries: GENERIC REGIONS, both codings.
+``/JBIG2Decode`` carries: generic regions (both codings) AND the
+arithmetic symbol-dictionary / text-region tier that dominates real
+scanned documents.
 
 Scope (the scanned-document mass a crawl meets):
 
@@ -12,14 +14,24 @@ Scope (the scanned-document mass a crawl meets):
   (SLTP contexts 0x9B25/0x0795/0x00E5/0x0195);
 - MMR-coded generic regions (§6.2.6) through the T.6 walk already
   in ``functions/ccitt.py`` (``g4_decode``);
+- arithmetic integer decoding (Annex A: the IAx 512-state trees and
+  the Table A.1 buckets, OOB included) with encoder twins;
+- SYMBOL DICTIONARIES (§6.5, arithmetic): height classes via
+  IADH/IADW, per-symbol generic-region bitmaps through ONE shared
+  coder + GB context, IAEX export runs over input+new symbols;
+- TEXT REGIONS (§6.4, arithmetic): strip decoding via
+  IADT/IAFS/IADS/IAIT, IAID symbol codes, all four REFCORNERs,
+  TRANSPOSED, SBDSOFFSET, SBSTRIPS 1-8, the SBCOMBOP composition
+  ops, symbols gathered from referred-to dictionary segments;
 - the embedded segment format (§7.2): segment headers with short and
-  long referred-to forms, page-information segments, immediate(-
-  lossless) generic regions composed onto the page with the external
-  combination operators, optional ``/JBIG2Globals`` prepended.
+  long referred-to forms, page-information segments, immediate
+  regions composed onto the page with the external combination
+  operators, optional ``/JBIG2Globals`` prepended.
 
 Out of scope — an honest ``NotImplementedError`` flag, never a
-guessed bitmap: symbol/text regions, halftones, refinement coding,
-unknown-length segments.  The reference
+guessed bitmap: the Huffman-table variants (SDHUFF/SBHUFF),
+refinement coding (SDREFAGG/text REFINE), halftone regions and
+pattern dictionaries, unknown-length segments.  The reference
 (djtfmartin/dwc-dataframe-validator) has no media decode at all;
 this tier belongs to the repo's beyond-reference multimodal surface.
 
@@ -273,20 +285,17 @@ def _template_pixels(template: int, at: tuple) -> tuple:
     return spec
 
 
-def _generic_decode(
-    data: bytes, w: int, h: int, template: int, at: tuple,
-    tpgdon: bool,
+def _generic_decode_core(
+    dec: MQDecoder, cx: dict, w: int, h: int, template: int,
+    at: tuple, tpgdon: bool,
 ):
-    """MQ-coded generic region -> (h, w) uint8 0/1, or None when the
-    parameters are degenerate."""
+    """The §6.2.5.7 walk against a CALLER-OWNED coder and GB context
+    set — symbol dictionaries decode many bitmaps through one shared
+    coder/context (§6.5.5), regions own theirs."""
     import numpy as np
 
-    if w <= 0 or h <= 0 or w * h > 16_000_000:
-        return None
     spec = _template_pixels(template, at)
     bmp = np.zeros((h, w), np.uint8)
-    dec = MQDecoder(data)
-    cx: dict = {}
 
     def st(label: int) -> list:
         s = cx.get(label)
@@ -320,19 +329,29 @@ def _generic_decode(
     return bmp
 
 
-def _generic_encode(
-    arr, template: int = 0, tpgdon: bool = False,
-) -> bytes:
-    """Encoder twin of ``_generic_decode`` with the nominal AT
-    pixels (fixture writer + round-trip tests)."""
+def _generic_decode(
+    data: bytes, w: int, h: int, template: int, at: tuple,
+    tpgdon: bool,
+):
+    """MQ-coded generic region -> (h, w) uint8 0/1, or None when the
+    parameters are degenerate."""
+    if w <= 0 or h <= 0 or w * h > 16_000_000:
+        return None
+    return _generic_decode_core(
+        MQDecoder(data), {}, w, h, template, at, tpgdon
+    )
+
+
+def _generic_encode_core(
+    enc: MQEncoder, cx: dict, arr, template: int, tpgdon: bool,
+) -> None:
+    """Encoder-twin core against a caller-owned coder/context."""
     import numpy as np
 
     arr = np.asarray(arr)
     h, w = arr.shape
     at = _NOMINAL_AT[template]
     spec = _template_pixels(template, at)
-    enc = MQEncoder()
-    cx: dict = {}
 
     def st(label: int) -> list:
         s = cx.get(label)
@@ -363,15 +382,24 @@ def _generic_encode(
                     if get(yy, xx):
                         ctx |= 1 << shift
             enc.encode(st(ctx), 1 if get(y, x) else 0)
+
+
+def _generic_encode(
+    arr, template: int = 0, tpgdon: bool = False,
+) -> bytes:
+    """Encoder twin of ``_generic_decode`` with the nominal AT
+    pixels (fixture writer + round-trip tests)."""
+    enc = MQEncoder()
+    _generic_encode_core(enc, {}, arr, template, tpgdon)
     return enc.flush()
 
 
 # ---- embedded segment stream (§7.2) ----------------------------------
 
 _GENERIC_TYPES = (36, 38, 39)
+_TEXT_TYPES = (4, 6, 7)
 _UNSUPPORTED_REGIONS = (
-    4, 6, 7,        # text regions
-    20, 22, 23,     # halftone regions
+    20, 22, 23,     # halftone regions (need pattern dictionaries)
     40, 42, 43,     # refinement regions
 )
 
@@ -381,7 +409,7 @@ def _u32(b: bytes, i: int) -> int:
 
 
 def _parse_segments(b: bytes):
-    """Yield (type, page, payload) for each segment header."""
+    """Yield (segnum, type, page, referred, payload) per segment."""
     i = 0
     n = len(b)
     while i < n:
@@ -401,6 +429,13 @@ def _parse_segments(b: bytes):
         ref_size = 1 if segnum <= 256 else (
             2 if segnum <= 65536 else 4
         )
+        if i + count * ref_size > n:
+            raise ValueError("torn referred list")
+        referred = [
+            int.from_bytes(b[i + k * ref_size:
+                             i + (k + 1) * ref_size], "big")
+            for k in range(count)
+        ]
         i += count * ref_size
         if flags & 0x40:
             page = _u32(b, i)
@@ -414,7 +449,7 @@ def _parse_segments(b: bytes):
             raise NotImplementedError("jbig2 unknown-length segment")
         if i + length > n:
             raise ValueError("torn segment payload")
-        yield stype, page, b[i:i + length]
+        yield segnum, stype, page, referred, b[i:i + length]
         i += length
 
 
@@ -433,7 +468,34 @@ def decode_embedded(
 
     page = None
     page_default = 0
-    for stype, _pg, payload in list(
+    sym_dicts: dict = {}  # segnum -> exported symbol list
+
+    def _referred_syms(referred) -> list:
+        syms: list = []
+        for r in referred:
+            syms.extend(sym_dicts.get(r, ()))
+        return syms
+
+    def _composite(region, rx, ry, comb) -> None:
+        rh, rw = region.shape
+        ph, pw = page.shape
+        if rx + rw > pw or ry + rh > ph:
+            raise ValueError("region outside page")
+        tgt = page[ry:ry + rh, rx:rx + rw]
+        if comb == 0:
+            tgt |= region
+        elif comb == 1:
+            tgt &= region
+        elif comb == 2:
+            tgt ^= region
+        elif comb == 3:
+            tgt ^= region ^ 1
+        elif comb == 4:
+            tgt[:] = region
+        else:
+            raise ValueError("combination operator")
+
+    for segnum, stype, _pg, referred, payload in list(
         _parse_segments(globals_data)
     ) + list(_parse_segments(data)):
         if stype == 48:  # page information
@@ -497,24 +559,22 @@ def decode_embedded(
                 if fallback_size is None:
                     raise NotImplementedError("jbig2 no page info")
                 page = np.zeros(fallback_size, np.uint8)
-            ph, pw = page.shape
-            if rx + rw > pw or ry + rh > ph:
-                raise ValueError("region outside page")
-            tgt = page[ry:ry + rh, rx:rx + rw]
-            if comb == 0:
-                tgt |= region
-            elif comb == 1:
-                tgt &= region
-            elif comb == 2:
-                tgt ^= region
-            elif comb == 3:
-                tgt ^= region ^ 1
-            elif comb == 4:
-                tgt[:] = region
-            else:
-                raise ValueError("combination operator")
-        elif stype in _UNSUPPORTED_REGIONS or stype in (0, 16):
-            # symbol dicts / pattern dicts / their regions
+            _composite(region, rx, ry, comb)
+        elif stype == 0:  # symbol dictionary
+            sym_dicts[segnum] = _symbol_dict_decode(
+                payload, _referred_syms(referred)
+            )
+        elif stype in _TEXT_TYPES:
+            region, (rw, rh, rx, ry, comb) = _text_region_decode(
+                payload, _referred_syms(referred)
+            )
+            if page is None:
+                if fallback_size is None:
+                    raise NotImplementedError("jbig2 no page info")
+                page = np.zeros(fallback_size, np.uint8)
+            _composite(region, rx, ry, comb)
+        elif stype in _UNSUPPORTED_REGIONS or stype == 16:
+            # halftone/refinement regions, pattern dictionaries
             raise NotImplementedError("jbig2 region type %d" % stype)
         elif stype in (49, 50, 51, 62):
             continue  # end-of-page/stripe/file, extensions
@@ -582,3 +642,460 @@ def encode_embedded(
     seg += 1
     out += _segment(seg, 49, 1, b"")       # end of page
     return out
+
+
+# ---- arithmetic integer decoding (Annex A) ----------------------------
+
+OOB = object()  # the out-of-band sentinel (A.2 step 4)
+
+#: (prefix-selector bit count, value bits, offset) rows of Table A.1
+_IA_BUCKETS = (
+    (2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436),
+)
+
+
+class IntCtx:
+    """One IAx context set: a 512-state tree of MQ contexts."""
+
+    __slots__ = ("st",)
+
+    def __init__(self):
+        self.st = {}
+
+    def _bit(self, dec: MQDecoder, prev: int) -> int:
+        s = self.st.get(prev)
+        if s is None:
+            s = [0, 0]
+            self.st[prev] = s
+        return dec.decode(s)
+
+
+def ia_decode(dec: MQDecoder, cx: IntCtx):
+    """A.2: one signed integer (or ``OOB``) from the IAx tree."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = cx._bit(dec, prev)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b) & 511) | 256)
+        )
+        return b
+
+    s = bit()
+    for k, (nbits, offset) in enumerate(_IA_BUCKETS):
+        if k < len(_IA_BUCKETS) - 1 and not bit():
+            pass
+        elif k < len(_IA_BUCKETS) - 1:
+            continue
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | bit()
+        v += offset
+        if s and v == 0:
+            return OOB
+        return -v if s else v
+    raise AssertionError("unreachable")
+
+
+def ia_encode(enc: MQEncoder, cx: IntCtx, value) -> None:
+    """Encoder twin of ``ia_decode`` (minimal-bucket choice)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        s = cx.st.get(prev)
+        if s is None:
+            s = [0, 0]
+            cx.st[prev] = s
+        enc.encode(s, b)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b) & 511) | 256)
+        )
+
+    if value is OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+    bit(s)
+    for k, (nbits, offset) in enumerate(_IA_BUCKETS):
+        last = k == len(_IA_BUCKETS) - 1
+        top = offset + (1 << nbits) - 1
+        if v <= top or last:
+            if not last:
+                bit(0)
+            rem = v - offset
+            assert 0 <= rem < (1 << nbits), (value, k)
+            for j in range(nbits - 1, -1, -1):
+                bit((rem >> j) & 1)
+            return
+        bit(1)
+
+
+def iaid_decode(dec: MQDecoder, cx: IntCtx, symcodelen: int) -> int:
+    """A.3: a symbol ID of ``symcodelen`` bits from the IAID tree."""
+    prev = 1
+    for _ in range(symcodelen):
+        s = cx.st.get(prev)
+        if s is None:
+            s = [0, 0]
+            cx.st[prev] = s
+        prev = (prev << 1) | dec.decode(s)
+    return prev - (1 << symcodelen)
+
+
+def iaid_encode(enc: MQEncoder, cx: IntCtx, value: int,
+                symcodelen: int) -> None:
+    prev = 1
+    for j in range(symcodelen - 1, -1, -1):
+        b = (value >> j) & 1
+        s = cx.st.get(prev)
+        if s is None:
+            s = [0, 0]
+            cx.st[prev] = s
+        enc.encode(s, b)
+        prev = (prev << 1) | b
+
+
+# ---- symbol dictionary (§6.5) and text region (§6.4) ------------------
+#
+# The arithmetic variants only (SDHUFF/SBHUFF and refinement coding
+# stay honest NotImplementedError flags): one MQ decoder per segment
+# shared by every symbol bitmap and every integer context, GB context
+# retained across symbols within the segment (§6.5.5).
+
+
+def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
+    """One symbol-dictionary segment -> the EXPORTED symbol list
+    ((h, w) uint8 bitmaps).  ``insyms`` are the input symbols from
+    referred-to dictionaries, in segment order."""
+    if len(payload) < 2:
+        raise ValueError("short symbol dict")
+    flags = int.from_bytes(payload[0:2], "big")
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise NotImplementedError("jbig2 SDHUFF")
+    if sdrefagg:
+        raise NotImplementedError("jbig2 SDREFAGG")
+    j = 2
+    n_at = 4 if template == 0 else 1
+    at = tuple(
+        (int.from_bytes(payload[j + 2 * k:j + 2 * k + 1], "big",
+                        signed=True),
+         int.from_bytes(payload[j + 2 * k + 1:j + 2 * k + 2], "big",
+                        signed=True))
+        for k in range(n_at)
+    )
+    j += 2 * n_at
+    if len(payload) < j + 8:
+        raise ValueError("short symbol dict")
+    n_ex = _u32(payload, j)
+    n_new = _u32(payload, j + 4)
+    j += 8
+    if n_new > 10_000 or n_ex > 10_000:
+        raise ValueError("symbol dict size")
+    dec = MQDecoder(bytes(payload[j:]))
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    gb_cx: dict = {}
+    new_syms = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = ia_decode(dec, iadh)
+        if dh is OOB:
+            raise ValueError("OOB height class")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 4096:
+            raise ValueError("symbol height")
+        symwidth = 0
+        while True:
+            dw = ia_decode(dec, iadw)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 4096:
+                raise ValueError("symbol width")
+            if len(new_syms) >= n_new:
+                raise ValueError("too many symbols")
+            new_syms.append(_generic_decode_core(
+                dec, gb_cx, symwidth, hcheight, template, at, False
+            ))
+    # export flags (§6.5.10): alternating runs over input + new
+    allsyms = list(insyms) + new_syms
+    exported = []
+    i = 0
+    flag = 0
+    while i < len(allsyms):
+        run = ia_decode(dec, iaex)
+        if run is OOB or run < 0:
+            raise ValueError("export run")
+        if flag:
+            exported.extend(allsyms[i:i + run])
+        i += run
+        flag ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("export count lies")
+    return exported
+
+
+def _text_region_decode(payload: bytes, syms: list):
+    """One text-region segment -> (region bitmap, region info
+    (w, h, x, y, comb)).  Arithmetic coding, no refinement."""
+    import numpy as np
+
+    if len(payload) < 17 + 2:
+        raise ValueError("short text region")
+    rw, rh = _u32(payload, 0), _u32(payload, 4)
+    rx, ry = _u32(payload, 8), _u32(payload, 12)
+    comb = payload[16] & 7
+    flags = int.from_bytes(payload[17:19], "big")
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    logstrips = (flags >> 2) & 3
+    strips = 1 << logstrips
+    refcorner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR
+    transposed = (flags >> 6) & 1
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # 5-bit signed
+    if sbhuff:
+        raise NotImplementedError("jbig2 SBHUFF")
+    if refine:
+        raise NotImplementedError("jbig2 text refinement")
+    if len(payload) < 23:
+        raise ValueError("short text region")
+    n_instances = _u32(payload, 19)
+    if rw <= 0 or rh <= 0 or rw * rh > 16_000_000:
+        raise ValueError("region size")
+    if n_instances > 100_000:
+        raise ValueError("instance count")
+    if not syms:
+        raise ValueError("text region without symbols")
+    symcodelen = max((len(syms) - 1).bit_length(), 1) \
+        if len(syms) > 1 else 0
+    dec = MQDecoder(bytes(payload[23:]))
+    iadt, iafs, iads, iait = (IntCtx() for _ in range(4))
+    iaid_cx = IntCtx()
+    region = np.full((rh, rw), defpixel, np.uint8)
+
+    def draw(sym, x0: int, y0: int) -> None:
+        sh, sw = sym.shape
+        xs, ys = max(0, -x0), max(0, -y0)
+        xe = min(sw, rw - x0)
+        ye = min(sh, rh - y0)
+        if xs >= xe or ys >= ye:
+            return
+        tgt = region[y0 + ys:y0 + ye, x0 + xs:x0 + xe]
+        src = sym[ys:ye, xs:xe]
+        if sbcombop == 0:
+            tgt |= src
+        elif sbcombop == 1:
+            tgt &= src
+        elif sbcombop == 2:
+            tgt ^= src
+        else:
+            tgt ^= src ^ 1
+
+    v = ia_decode(dec, iadt)
+    if v is OOB:
+        raise ValueError("OOB STRIPT")
+    stript = -v * strips
+    firsts = 0
+    n_done = 0
+    guard = 0
+    while n_done < n_instances:
+        guard += 1
+        if guard > n_instances + 8:
+            raise ValueError("strip loop runaway")
+        dt = ia_decode(dec, iadt)
+        if dt is OOB:
+            raise ValueError("OOB strip DT")
+        stript += dt * strips
+        first = True
+        while True:
+            if first:
+                dfs = ia_decode(dec, iafs)
+                if dfs is OOB:
+                    raise ValueError("OOB first S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = ia_decode(dec, iads)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else ia_decode(dec, iait)
+            if curt is OOB:
+                raise ValueError("OOB T")
+            ti = stript + curt
+            sid = iaid_decode(dec, iaid_cx, symcodelen)
+            if sid >= len(syms):
+                raise ValueError("symbol id out of range")
+            sym = syms[sid]
+            sh, sw = sym.shape
+            if not transposed:
+                y0 = ti if refcorner in (1, 3) else ti - sh + 1
+                draw(sym, curs, y0)
+                curs += sw - 1
+            else:
+                x0 = ti if refcorner in (0, 1) else ti - sw + 1
+                draw(sym, x0, curs)
+                curs += sh - 1
+            n_done += 1
+            if n_done > n_instances:
+                raise ValueError("instance count lies")
+    return region, (rw, rh, rx, ry, comb)
+
+
+def _symbol_dict_encode(symbols: list, template: int = 0) -> bytes:
+    """Encoder twin of ``_symbol_dict_decode``: every symbol
+    exported, height classes ascending."""
+    import numpy as np
+
+    order = sorted(range(len(symbols)),
+                   key=lambda i: symbols[i].shape[0])
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    gb_cx: dict = {}
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        ia_encode(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            sym = np.asarray(symbols[order[i]]).astype(np.uint8)
+            ia_encode(enc, iadw, sym.shape[1] - symwidth)
+            symwidth = sym.shape[1]
+            _generic_encode_core(enc, gb_cx, sym, template, False)
+            i += 1
+        ia_encode(enc, iadw, OOB)
+    ia_encode(enc, iaex, 0)              # no unexported prefix
+    ia_encode(enc, iaex, len(symbols))   # export every symbol
+    body = enc.flush()
+    at = _NOMINAL_AT[template]
+    at_bytes = b"".join(
+        int(a).to_bytes(1, "big", signed=True)
+        + int(b).to_bytes(1, "big", signed=True)
+        for a, b in at
+    )
+    head = (template << 10).to_bytes(2, "big")
+    head += at_bytes
+    head += len(symbols).to_bytes(4, "big")  # SDNUMEXSYMS
+    head += len(symbols).to_bytes(4, "big")  # SDNUMNEWSYMS
+    return head + body, order
+
+
+def _text_region_encode(
+    rw: int, rh: int, n_syms: int, instances: list,
+    strips: int = 1, refcorner: int = 1, transposed: int = 0,
+    dsoffset: int = 0, defpixel: int = 0, sbcombop: int = 0,
+    rx: int = 0, ry: int = 0, comb: int = 0, sym_dims=None,
+) -> bytes:
+    """Encoder twin of ``_text_region_decode``.  ``instances`` =
+    (s, t, symbol_id) placements with (s, t) the spec's CURS/TI
+    coordinates (draw x/y derive from REFCORNER exactly as the
+    decoder does); strips of height ``strips`` group instances by
+    t // strips."""
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (IntCtx() for _ in range(4))
+    iaid_cx = IntCtx()
+    symcodelen = max((n_syms - 1).bit_length(), 1) \
+        if n_syms > 1 else 0
+    by_strip: dict = {}
+    for s, t, sid in instances:
+        by_strip.setdefault(t // strips * strips, []).append(
+            (s, t, sid)
+        )
+    ia_encode(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for st_t in sorted(by_strip):
+        assert (st_t - stript) % strips == 0
+        ia_encode(enc, iadt, (st_t - stript) // strips)
+        stript = st_t
+        row = sorted(by_strip[st_t])
+        first = True
+        curs = 0
+        for s, t, sid in row:
+            if first:
+                ia_encode(enc, iafs, s - firsts)
+                firsts = s
+                curs = s
+                first = False
+            else:
+                ia_encode(enc, iads, s - curs - dsoffset)
+                curs = s
+            if strips > 1:
+                ia_encode(enc, iait, t - stript)
+            iaid_encode(enc, iaid_cx, sid, symcodelen)
+            # advance exactly as the decoder will
+            sh, sw = sym_dims[sid]
+            curs += (sh if transposed else sw) - 1
+        ia_encode(enc, iads, OOB)
+    body = enc.flush()
+    logstrips = strips.bit_length() - 1
+    assert 1 << logstrips == strips and 0 <= logstrips <= 3
+    flags = (
+        (logstrips << 2) | (refcorner << 4) | (transposed << 6)
+        | (sbcombop << 7) | (defpixel << 9)
+        | ((dsoffset & 0x1F) << 10)
+    )
+    head = (
+        rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+        + rx.to_bytes(4, "big") + ry.to_bytes(4, "big")
+        + bytes([comb & 7])
+        + flags.to_bytes(2, "big")
+        + len(instances).to_bytes(4, "big")
+    )
+    return head + body
+
+
+def encode_embedded_text(
+    glyphs: list, instances: list, page_w: int, page_h: int,
+    template: int = 0, strips: int = 1, refcorner: int = 1,
+    transposed: int = 0, dsoffset: int = 0,
+    globals_split: bool = False,
+):
+    """Embedded-stream fixture with a symbol dictionary + one
+    immediate text region.  ``glyphs`` = (h, w) bool bitmaps;
+    ``instances`` = (s, t, glyph_index).  Returns the stream, or
+    (globals, stream) when ``globals_split`` puts the dictionary in
+    a /JBIG2Globals-style prefix."""
+    import numpy as np
+
+    glyphs = [np.asarray(g).astype(np.uint8) for g in glyphs]
+    dict_body, order = _symbol_dict_encode(glyphs, template)
+    # exported symbol order is height-class order; remap ids
+    id_of = {orig: k for k, orig in enumerate(order)}
+    mapped = [(s, t, id_of[g]) for s, t, g in instances]
+    dims = [glyphs[orig].shape for orig in order]
+    pinfo = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + bytes(8) + b"\x01" + bytes(2)
+    )
+    seg_page = _segment(0, 48, 1, pinfo)
+    seg_dict = _segment(1, 0, 1, dict_body)
+    tr_body = _text_region_encode(
+        page_w, page_h, len(glyphs), mapped, strips=strips,
+        refcorner=refcorner, transposed=transposed,
+        dsoffset=dsoffset, sym_dims=dims,
+    )
+    # text region refers to the dictionary segment (number 1)
+    head = (2).to_bytes(4, "big")
+    head += bytes([6])                 # immediate text region
+    head += bytes([1 << 5])            # 1 referred-to segment
+    head += bytes([1])                 # -> segment 1
+    head += bytes([1])                 # page 1
+    head += len(tr_body).to_bytes(4, "big")
+    seg_text = head + tr_body
+    seg_end = _segment(3, 49, 1, b"")
+    if globals_split:
+        return seg_page + seg_dict, seg_text + seg_end
+    return seg_page + seg_dict + seg_text + seg_end

@@ -2263,8 +2263,12 @@ def pdf_image_encode(text: str, images: list) -> bytes:
     - ``"jbig2-mmr"``: the MMR-coded generic region spelling
     - ``"jbig2-glob"``: page info carried in a Flate-compressed
       ``/JBIG2Globals`` stream, region in the image stream
-    - ``"jbig2-sym"``: a symbol-dictionary segment plant — the
-      honest ``jbig2-tier`` stub
+    - ``"jbig2-text"``: the plane split into four quadrant glyphs
+      carried by a symbol dictionary + text region — the coding
+      real scanned documents use
+    - ``"jbig2-sym"``: an SDHUFF symbol-dictionary plant — the
+      honest ``jbig2-tier`` stub (the arithmetic symbol/text tier
+      decodes for real)
     - ``"jpx"``: the raw samples MISLABELED ``/JPXDecode`` — the
       honest-stub plant"""
     from ..functions.ccitt import g4_encode
@@ -2368,12 +2372,24 @@ def pdf_image_encode(text: str, images: list) -> bytes:
                     b" /DecodeParms << /JBIG2Globals %d 0 R >>" % gid
                 )
                 data = gseg[cut:]
+            elif kind == "jbig2-text":
+                hh, ww = black.shape
+                hy, hx = (hh + 1) // 2, (ww + 1) // 2
+                quads = [
+                    black[:hy, :hx], black[:hy, hx:],
+                    black[hy:, :hx], black[hy:, hx:],
+                ]
+                insts = [(0, 0, 0), (hx, 0, 1),
+                         (0, hy, 2), (hx, hy, 3)]
+                data = J.encode_embedded_text(
+                    quads, insts, ww, hh, strips=2,
+                )
             elif kind == "jbig2-sym":
-                # an (empty-payload) symbol-dictionary segment the
-                # reader must flag, never guess past
-                data = (
-                    b"\x00\x00\x00\x00" + bytes([0]) + b"\x00"
-                    + bytes([1]) + b"\x00\x00\x00\x00"
+                # an SDHUFF symbol dictionary (the Huffman variant
+                # stays out of scope) the reader must flag, never
+                # guess past
+                data = J._segment(
+                    9, 0, 1, (1).to_bytes(2, "big")
                 ) + J.encode_embedded(black)
             else:
                 data = J.encode_embedded(black, tpgdon=True)
@@ -2430,12 +2446,13 @@ _PDF_IMG_KINDS = (
     "dct", "flate", "flate-pred", "gray", "raw", "ccitt", "ccitt-b1",
     "ccitt-g3", "ccitt-g3-2d",
     "jbig2", "jbig2-t2", "jbig2-mmr", "jbig2-glob", "jbig2-t1",
+    "jbig2-text",
 )
 
 
 def build_pdf_image_blob(doc_id: int) -> bytes:
     """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
-    variant ``(doc_id // 6) %% 14`` from ``_PDF_IMG_KINDS`` — "gray"
+    variant ``(doc_id // 6) %% 15`` from ``_PDF_IMG_KINDS`` — "gray"
     embeds the class's integer-luma plane as Flate /DeviceGray, the
     four "ccitt*" kinds embed the luma plane THRESHOLDED at 128 as
     Group 4 (default params vs /BlackIs1 + /Decode [1 0] +
@@ -2443,10 +2460,10 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
     with /EndOfLine — all four identical pixels), the four
     "jbig2*" kinds (r18) embed the same thresholded plane as
     embedded JBIG2 generic regions (MQ template 0 + TPGDON,
-    templates 2 and 1, MMR, and page-info-in-/JBIG2Globals — all
-    five identical pixels again; five not four keeps the combo
-    universe 84 coprime with the %%13/%%17 plants), the others
-    embed
+    templates 2 and 1, MMR, page-info-in-/JBIG2Globals, and a
+    symbol-dictionary + text-region split into quadrant glyphs —
+    all six identical pixels again; the 90-combo universe stays
+    coprime with the %%13/%%17 plants), the others embed
     the RGB image as DCT / Flate / Flate+Up-predictor / raw samples
     (the three lossless packagings must hash identically; DCT must
     hash to the standalone JPEG's constants).  ``doc_id %% 17 ==
@@ -2457,7 +2474,7 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
     import numpy as np
 
     cls = doc_id % 6
-    kind = _PDF_IMG_KINDS[(doc_id // 6) % 14]
+    kind = _PDF_IMG_KINDS[(doc_id // 6) % 15]
     px = _pdf_image_fixture_pixels(cls)
     luma = (
         (

@@ -8602,14 +8602,16 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fax family; /BlackIs1, /Decode, /EndOfLine and /EncodedByteAlign
     honored), and since r18 /JBIG2Decode via functions/jbig2.py
     (MQ-coded generic regions templates 0-2 + TPGDON, MMR coding,
-    /JBIG2Globals-carried page info; the MQ coder is pinned against
-    the T.88 Annex H.2 KAT) — and hash on
+    /JBIG2Globals-carried page info, AND the arithmetic symbol-
+    dictionary + text-region tier real scanned documents use; the
+    MQ coder is pinned against the T.88 Annex H.2 KAT) — and hash on
     the shared aHash/dHash grid, so PDFs join cross-format image
     dedup.  The oracle builder asserts the invariants: the three
     lossless packagings (flate / flate+predictor / raw) hash
     identically to the raw pixels, the DCT packaging hashes to the
-    standalone JPEG's constants, and the nine bilevel spellings
-    (four fax + five JBIG2) decode to the same thresholded plane.
+    standalone JPEG's constants, and the ten bilevel spellings
+    (four fax + six JBIG2, including the symbol/text quadrant
+    split) decode to the same thresholded plane.
     %%17 cuts 20 bytes from the image stream (xref shifts → torn
     document); %%13 relabels /JPXDecode at identical byte length or
     drops bpc to 4 (the per-image honest stub) — both ok=false."""
@@ -8630,7 +8632,7 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pdf_image_pinned_oracle() -> str:
     """Pinned-constant oracle for ``pdf_image_hash_check`` over the
-    84 (pixel class × packaging) combos, decoded driver-side through
+    90 (pixel class × packaging) combos, decoded driver-side through
     the REAL extraction path; cross-format invariants asserted here
     so a drifting decoder fails the build, not just the driver."""
     from .operators import pdf as pdfmod
@@ -8638,9 +8640,9 @@ def _pdf_image_pinned_oracle() -> str:
     import numpy as _np
 
     rows = {}
-    for combo in range(84):
+    for combo in range(90):
         did = next(
-            d for d in range(combo, 8000, 84) if d % 17 and d % 13
+            d for d in range(combo, 8000, 90) if d % 17 and d % 13
         )
         doc = pdfmod.PdfDoc(pdfmod.build_pdf_image_blob(did))
         (_name, obj), = doc.page_images(doc.pages()[0])
@@ -8678,20 +8680,20 @@ def _pdf_image_pinned_oracle() -> str:
         assert rows[cls + 6 * 5][1] == want_cc, cls
         # b1 / G3 1-D / G3 mixed / the four JBIG2 codings (MQ+TPGDON,
         # template 2, MMR, globals-carried page info): identical
-        for var in (6, 7, 8, 9, 10, 11, 12, 13):
+        for var in (6, 7, 8, 9, 10, 11, 12, 13, 14):
             assert rows[cls + 6 * var] == rows[cls + 6 * 5], (
                 cls, var,
             )
     chan = " ".join(
-        "WHEN doc_id %% 84 = %d THEN %d" % (c, v[0])
+        "WHEN doc_id %% 90 = %d THEN %d" % (c, v[0])
         for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 84 = %d THEN '%s'" % (c, v[1])
+        "WHEN doc_id %% 90 = %d THEN '%s'" % (c, v[1])
         for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 84 = %d THEN '%s'" % (c, v[2])
+        "WHEN doc_id %% 90 = %d THEN '%s'" % (c, v[2])
         for c, v in rows.items()
     )
     return f"""

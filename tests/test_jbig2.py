@@ -100,10 +100,13 @@ def test_embedded_stream_and_flags():
             assert out.shape == arr.shape
         except (ValueError, NotImplementedError):
             pass
-    # symbol-dictionary segments flag, never guess
-    sym = J._segment(9, 0, 1, b"")
+    # a torn (empty) symbol dictionary tears; the Huffman variant
+    # flags as out of scope
+    with pytest.raises(ValueError):
+        J.decode_embedded(J._segment(9, 0, 1, b"") + blob)
+    sdhuff = J._segment(9, 0, 1, (1).to_bytes(2, "big"))
     with pytest.raises(NotImplementedError):
-        J.decode_embedded(sym + blob)
+        J.decode_embedded(sdhuff + blob)
 
 
 def test_pdf_jbig2_composition():
@@ -121,7 +124,7 @@ def test_pdf_jbig2_composition():
     ).astype(np.uint8)[:, :, None]
     bl = np.where(luma >= 128, 255, 0).astype(np.uint8)
     kinds = ["ccitt", "jbig2", "jbig2-t1", "jbig2-t2", "jbig2-mmr",
-             "jbig2-glob"]
+             "jbig2-glob", "jbig2-text"]
     blob = P.pdf_image_encode("jbig2 page", [(k, bl) for k in kinds])
     doc = P.PdfDoc(blob)
     outs = [
@@ -135,7 +138,7 @@ def test_pdf_jbig2_composition():
     with pytest.raises(P._Stub):
         doc2.image_pixels(doc2.page_images(doc2.pages()[0])[0][1])
     # fixture universe: plants flag, clean ids decode
-    for did in range(0, 170):
+    for did in range(0, 182):
         b = P.build_pdf_image_blob(did)
         d = None
         try:
@@ -161,4 +164,71 @@ def test_pdf_jbig2_fuzz_never_guesses():
                 for _n, obj in d.page_images(pg):
                     d.image_pixels(obj)
         except (P._Torn, P._Stub, RecursionError):
+            pass
+
+
+def test_symbol_text_region_matrix():
+    """The §6.5/§6.4 tier across its parameter axes: every
+    REFCORNER, TRANSPOSED, SBSTRIPS 1/4, negative and positive
+    SBDSOFFSET, globals-split dictionaries, the one-symbol
+    SYMCODELEN=0 edge, and honest flags for the Huffman variant."""
+    J = _j()
+    rng = np.random.default_rng(21)
+    glyphs = []
+    for h, w in [(8, 6), (8, 5), (10, 7), (6, 6)]:
+        g = np.zeros((h, w), bool)
+        g[1:-1, 1:-1] = rng.random((h - 2, w - 2)) < 0.6
+        glyphs.append(g)
+
+    def expect(insts, rc, tr, shape):
+        want = np.zeros(shape, bool)
+        for s, t, gi in insts:
+            gh, gw = glyphs[gi].shape
+            if not tr:
+                y0 = t if rc in (1, 3) else t - gh + 1
+                x0 = s
+            else:
+                x0 = t if rc in (0, 1) else t - gw + 1
+                y0 = s
+            want[y0:y0 + gh, x0:x0 + gw] |= glyphs[gi]
+        return want
+
+    insts = [(5, 12, 0), (13, 12, 1), (20, 14, 2), (30, 12, 3),
+             (5, 30, 2), (14, 28, 0)]
+    for rc in (0, 1, 2, 3):
+        for strips in (1, 4):
+            for dso in (0, 2, -3):
+                blob = J.encode_embedded_text(
+                    glyphs, insts, 64, 44, refcorner=rc,
+                    strips=strips, dsoffset=dso,
+                )
+                out = J.decode_embedded(blob)
+                assert (out == expect(insts, rc, 0, (44, 64))).all(), (
+                    rc, strips, dso,
+                )
+    insts_t = [(5, 12, 0), (15, 12, 1), (25, 14, 2)]
+    for rc in (0, 1, 2, 3):
+        blob = J.encode_embedded_text(
+            glyphs, insts_t, 44, 64, refcorner=rc, transposed=1,
+        )
+        out = J.decode_embedded(blob)
+        assert (out == expect(insts_t, rc, 1, (64, 44))).all(), rc
+    g, stream = J.encode_embedded_text(
+        glyphs, insts, 64, 44, globals_split=True,
+    )
+    assert (J.decode_embedded(stream, g)
+            == expect(insts, 1, 0, (44, 64))).all()
+    one = J.encode_embedded_text(
+        glyphs[:1], [(4, 10, 0), (14, 10, 0)], 32, 24,
+    )
+    assert (J.decode_embedded(one)
+            == expect([(4, 10, 0), (14, 10, 0)], 1, 0,
+                      (24, 32))).all()
+    # truncation fuzz over the symbol/text stream: tears or flags
+    full = J.encode_embedded_text(glyphs, insts, 64, 44)
+    for cut in range(1, len(full) - 1, 5):
+        try:
+            out = J.decode_embedded(full[:cut])
+            assert out.shape == (44, 64)
+        except (ValueError, NotImplementedError):
             pass
