@@ -23,6 +23,10 @@ Scope (the scanned-document mass a crawl meets):
   IADT/IAFS/IADS/IAIT, IAID symbol codes, all four REFCORNERs,
   TRANSPOSED, SBDSOFFSET, SBSTRIPS 1-8, the SBCOMBOP composition
   ops, symbols gathered from referred-to dictionary segments;
+- REFINEMENT coding (§6.3): GRTEMPLATE 0 (two AT pixels) and 1,
+  TPGRON typical-prediction rows, as single-symbol SDREFAGG
+  aggregates in dictionaries and per-instance REFINE in text
+  regions (RDW/RDH resizing with the floor-halved offset rule);
 - the embedded segment format (§7.2): segment headers with short and
   long referred-to forms, page-information segments, immediate
   regions composed onto the page with the external combination
@@ -30,7 +34,7 @@ Scope (the scanned-document mass a crawl meets):
 
 Out of scope — an honest ``NotImplementedError`` flag, never a
 guessed bitmap: the Huffman-table variants (SDHUFF/SBHUFF),
-refinement coding (SDREFAGG/text REFINE), halftone regions and
+multi-symbol aggregates (REFAGGNINST > 1), halftone regions and
 pattern dictionaries, unknown-length segments.  The reference
 (djtfmartin/dwc-dataframe-validator) has no media decode at all;
 this tier belongs to the repo's beyond-reference multimodal surface.
@@ -776,10 +780,9 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise NotImplementedError("jbig2 SDHUFF")
-    if sdrefagg:
-        raise NotImplementedError("jbig2 SDREFAGG")
     j = 2
     n_at = 4 if template == 0 else 1
     at = tuple(
@@ -790,6 +793,8 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
         for k in range(n_at)
     )
     j += 2 * n_at
+    if sdrefagg and rtemplate == 0:
+        j += 4  # refinement AT pairs (nominal values assumed below)
     if len(payload) < j + 8:
         raise ValueError("short symbol dict")
     n_ex = _u32(payload, j)
@@ -798,8 +803,13 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     if n_new > 10_000 or n_ex > 10_000:
         raise ValueError("symbol dict size")
     dec = MQDecoder(bytes(payload[j:]))
-    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    iadh, iadw, iaex, iaai = (IntCtx() for _ in range(4))
+    iardx, iardy = IntCtx(), IntCtx()
+    iaid_cx = IntCtx()
     gb_cx: dict = {}
+    gr_cx: dict = {}
+    total = len(insyms) + n_new
+    symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
     new_syms = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -819,8 +829,31 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
                 raise ValueError("symbol width")
             if len(new_syms) >= n_new:
                 raise ValueError("too many symbols")
-            new_syms.append(_generic_decode_core(
-                dec, gb_cx, symwidth, hcheight, template, at, False
+            if not sdrefagg:
+                new_syms.append(_generic_decode_core(
+                    dec, gb_cx, symwidth, hcheight, template, at,
+                    False,
+                ))
+                continue
+            # §6.5.8.2: refinement/aggregate coding
+            n_inst = ia_decode(dec, iaai)
+            if n_inst is OOB:
+                raise ValueError("OOB REFAGGNINST")
+            if n_inst != 1:
+                raise NotImplementedError(
+                    "jbig2 aggregate symbol (REFAGGNINST > 1)"
+                )
+            sid = iaid_decode(dec, iaid_cx, symcodelen)
+            rdx = ia_decode(dec, iardx)
+            rdy = ia_decode(dec, iardy)
+            if rdx is OOB or rdy is OOB:
+                raise ValueError("OOB refinement offset")
+            pool = list(insyms) + new_syms
+            if sid >= len(pool):
+                raise ValueError("refagg symbol id")
+            new_syms.append(_refine_decode_core(
+                dec, gr_cx, symwidth, hcheight, rtemplate,
+                pool[sid], rdx, rdy,
             ))
     # export flags (§6.5.10): alternating runs over input + new
     allsyms = list(insyms) + new_syms
@@ -862,13 +895,16 @@ def _text_region_decode(payload: bytes, syms: list):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32  # 5-bit signed
+    rtemplate = (flags >> 15) & 1
     if sbhuff:
         raise NotImplementedError("jbig2 SBHUFF")
-    if refine:
-        raise NotImplementedError("jbig2 text refinement")
-    if len(payload) < 23:
+    j = 19
+    if refine and rtemplate == 0:
+        j += 4  # refinement AT pairs (nominal values assumed)
+    if len(payload) < j + 4:
         raise ValueError("short text region")
-    n_instances = _u32(payload, 19)
+    n_instances = _u32(payload, j)
+    j += 4
     if rw <= 0 or rh <= 0 or rw * rh > 16_000_000:
         raise ValueError("region size")
     if n_instances > 100_000:
@@ -877,9 +913,12 @@ def _text_region_decode(payload: bytes, syms: list):
         raise ValueError("text region without symbols")
     symcodelen = max((len(syms) - 1).bit_length(), 1) \
         if len(syms) > 1 else 0
-    dec = MQDecoder(bytes(payload[23:]))
+    dec = MQDecoder(bytes(payload[j:]))
     iadt, iafs, iads, iait = (IntCtx() for _ in range(4))
     iaid_cx = IntCtx()
+    iari, iardw, iardh = IntCtx(), IntCtx(), IntCtx()
+    iardx, iardy = IntCtx(), IntCtx()
+    gr_cx: dict = {}
     region = np.full((rh, rw), defpixel, np.uint8)
 
     def draw(sym, x0: int, y0: int) -> None:
@@ -937,6 +976,27 @@ def _text_region_decode(payload: bytes, syms: list):
             if sid >= len(syms):
                 raise ValueError("symbol id out of range")
             sym = syms[sid]
+            if refine:
+                ri = ia_decode(dec, iari)
+                if ri is OOB:
+                    raise ValueError("OOB RI")
+                if ri:
+                    # §6.4.11: the instance is a refinement of the
+                    # symbol, resized by RDW/RDH
+                    rdw = ia_decode(dec, iardw)
+                    rdh = ia_decode(dec, iardh)
+                    rdx = ia_decode(dec, iardx)
+                    rdy = ia_decode(dec, iardy)
+                    if OOB in (rdw, rdh, rdx, rdy):
+                        raise ValueError("OOB refinement fields")
+                    wi = sym.shape[1] + rdw
+                    hi = sym.shape[0] + rdh
+                    if wi <= 0 or hi <= 0 or wi * hi > 16_000_000:
+                        raise ValueError("refined instance size")
+                    sym = _refine_decode_core(
+                        dec, gr_cx, wi, hi, rtemplate, sym,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    )
             sh, sw = sym.shape
             if not transposed:
                 y0 = ti if refcorner in (1, 3) else ti - sh + 1
@@ -952,16 +1012,30 @@ def _text_region_decode(payload: bytes, syms: list):
     return region, (rw, rh, rx, ry, comb)
 
 
-def _symbol_dict_encode(symbols: list, template: int = 0) -> bytes:
+def _symbol_dict_encode(
+    symbols: list, template: int = 0, refagg_bases: list = None,
+    insyms: list = (),
+) -> tuple:
     """Encoder twin of ``_symbol_dict_decode``: every symbol
-    exported, height classes ascending."""
+    exported, height classes ascending.  ``refagg_bases`` switches
+    the segment to SDREFAGG: symbol k is coded as a single-symbol
+    refinement of pool id ``refagg_bases[k]`` (pool = the
+    ``insyms`` input symbols then the new symbols in height-class
+    order; bases must precede their refinements)."""
     import numpy as np
 
     order = sorted(range(len(symbols)),
                    key=lambda i: symbols[i].shape[0])
+    refagg = refagg_bases is not None
+    n_insyms = len(insyms)
     enc = MQEncoder()
-    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    iadh, iadw, iaex, iaai = (IntCtx() for _ in range(4))
+    iardx, iardy = IntCtx(), IntCtx()
+    iaid_cx = IntCtx()
     gb_cx: dict = {}
+    gr_cx: dict = {}
+    total = n_insyms + len(symbols)
+    symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
     hcheight = 0
     i = 0
     while i < len(order):
@@ -973,11 +1047,33 @@ def _symbol_dict_encode(symbols: list, template: int = 0) -> bytes:
             sym = np.asarray(symbols[order[i]]).astype(np.uint8)
             ia_encode(enc, iadw, sym.shape[1] - symwidth)
             symwidth = sym.shape[1]
-            _generic_encode_core(enc, gb_cx, sym, template, False)
+            if refagg:
+                base = refagg_bases[order[i]]
+                assert base < n_insyms + i, "base must precede"
+                ia_encode(enc, iaai, 1)
+                iaid_encode(enc, iaid_cx, base, symcodelen)
+                ia_encode(enc, iardx, 0)
+                ia_encode(enc, iardy, 0)
+                # the decoder's pool at this point: insyms + the
+                # new symbols decoded so far (height-class order)
+                pool_sym = (
+                    symbols[order[base - n_insyms]]
+                    if base >= n_insyms else insyms[base]
+                )
+                _refine_encode_core(
+                    enc, gr_cx, sym,
+                    1 if template != 0 else 0,
+                    np.asarray(pool_sym).astype(np.uint8), 0, 0,
+                )
+            else:
+                _generic_encode_core(
+                    enc, gb_cx, sym, template, False
+                )
             i += 1
         ia_encode(enc, iadw, OOB)
-    ia_encode(enc, iaex, 0)              # no unexported prefix
-    ia_encode(enc, iaex, len(symbols))   # export every symbol
+    # export runs cover insyms + new: skip the inputs, export new
+    ia_encode(enc, iaex, n_insyms)
+    ia_encode(enc, iaex, len(symbols))
     body = enc.flush()
     at = _NOMINAL_AT[template]
     at_bytes = b"".join(
@@ -985,8 +1081,17 @@ def _symbol_dict_encode(symbols: list, template: int = 0) -> bytes:
         + int(b).to_bytes(1, "big", signed=True)
         for a, b in at
     )
-    head = (template << 10).to_bytes(2, "big")
+    rtemplate = 1 if template != 0 else 0
+    flags = (template << 10) | ((2 | (rtemplate << 12)) if refagg
+                                else 0)
+    head = flags.to_bytes(2, "big")
     head += at_bytes
+    if refagg and rtemplate == 0:
+        head += b"".join(
+            int(a).to_bytes(1, "big", signed=True)
+            + int(b).to_bytes(1, "big", signed=True)
+            for a, b in _NOMINAL_GRAT
+        )
     head += len(symbols).to_bytes(4, "big")  # SDNUMEXSYMS
     head += len(symbols).to_bytes(4, "big")  # SDNUMNEWSYMS
     return head + body, order
@@ -997,21 +1102,31 @@ def _text_region_encode(
     strips: int = 1, refcorner: int = 1, transposed: int = 0,
     dsoffset: int = 0, defpixel: int = 0, sbcombop: int = 0,
     rx: int = 0, ry: int = 0, comb: int = 0, sym_dims=None,
+    refined: dict = None, syms: list = None,
 ) -> bytes:
     """Encoder twin of ``_text_region_decode``.  ``instances`` =
     (s, t, symbol_id) placements with (s, t) the spec's CURS/TI
     coordinates (draw x/y derive from REFCORNER exactly as the
     decoder does); strips of height ``strips`` group instances by
-    t // strips."""
+    t // strips.  ``refined`` maps an instance index (position in
+    ``instances``) to (rdw, rdh, rdx, rdy, target_bitmap): that
+    instance is REFINE-coded from its symbol (``syms`` then carries
+    the actual symbol bitmaps)."""
+    import numpy as np
+
+    refine = bool(refined)
     enc = MQEncoder()
     iadt, iafs, iads, iait = (IntCtx() for _ in range(4))
     iaid_cx = IntCtx()
+    iari, iardw, iardh = IntCtx(), IntCtx(), IntCtx()
+    iardx_c, iardy_c = IntCtx(), IntCtx()
+    gr_cx: dict = {}
     symcodelen = max((n_syms - 1).bit_length(), 1) \
         if n_syms > 1 else 0
     by_strip: dict = {}
-    for s, t, sid in instances:
+    for k, (s, t, sid) in enumerate(instances):
         by_strip.setdefault(t // strips * strips, []).append(
-            (s, t, sid)
+            (s, t, sid, k)
         )
     ia_encode(enc, iadt, 0)  # STRIPT starts at 0
     stript = 0
@@ -1023,7 +1138,7 @@ def _text_region_encode(
         row = sorted(by_strip[st_t])
         first = True
         curs = 0
-        for s, t, sid in row:
+        for s, t, sid, k in row:
             if first:
                 ia_encode(enc, iafs, s - firsts)
                 firsts = s
@@ -1035,8 +1150,25 @@ def _text_region_encode(
             if strips > 1:
                 ia_encode(enc, iait, t - stript)
             iaid_encode(enc, iaid_cx, sid, symcodelen)
-            # advance exactly as the decoder will
             sh, sw = sym_dims[sid]
+            if refine:
+                spec = (refined or {}).get(k)
+                ia_encode(enc, iari, 0 if spec is None else 1)
+                if spec is not None:
+                    rdw, rdh, rdx, rdy, target = spec
+                    ia_encode(enc, iardw, rdw)
+                    ia_encode(enc, iardh, rdh)
+                    ia_encode(enc, iardx_c, rdx)
+                    ia_encode(enc, iardy_c, rdy)
+                    base = np.asarray(syms[sid]).astype(np.uint8)
+                    target = np.asarray(target).astype(np.uint8)
+                    assert target.shape == (sh + rdh, sw + rdw)
+                    _refine_encode_core(
+                        enc, gr_cx, target, 1, base,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    )
+                    sh, sw = target.shape
+            # advance exactly as the decoder will
             curs += (sh if transposed else sw) - 1
         ia_encode(enc, iads, OOB)
     body = enc.flush()
@@ -1046,6 +1178,7 @@ def _text_region_encode(
         (logstrips << 2) | (refcorner << 4) | (transposed << 6)
         | (sbcombop << 7) | (defpixel << 9)
         | ((dsoffset & 0x1F) << 10)
+        | ((2 | (1 << 15)) if refine else 0)  # REFINE, SBRTEMPLATE 1
     )
     head = (
         rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
@@ -1061,13 +1194,15 @@ def encode_embedded_text(
     glyphs: list, instances: list, page_w: int, page_h: int,
     template: int = 0, strips: int = 1, refcorner: int = 1,
     transposed: int = 0, dsoffset: int = 0,
-    globals_split: bool = False,
+    globals_split: bool = False, refined_instances: dict = None,
 ):
     """Embedded-stream fixture with a symbol dictionary + one
     immediate text region.  ``glyphs`` = (h, w) bool bitmaps;
-    ``instances`` = (s, t, glyph_index).  Returns the stream, or
-    (globals, stream) when ``globals_split`` puts the dictionary in
-    a /JBIG2Globals-style prefix."""
+    ``instances`` = (s, t, glyph_index).  ``refined_instances``
+    maps an instance index to a target bitmap REFINE-coded from its
+    glyph (sizes may differ; RDW/RDH derive).  Returns the stream,
+    or (globals, stream) when ``globals_split`` puts the dictionary
+    in a /JBIG2Globals-style prefix."""
     import numpy as np
 
     glyphs = [np.asarray(g).astype(np.uint8) for g in glyphs]
@@ -1082,10 +1217,25 @@ def encode_embedded_text(
     )
     seg_page = _segment(0, 48, 1, pinfo)
     seg_dict = _segment(1, 0, 1, dict_body)
+    refined = None
+    exported = None
+    if refined_instances:
+        import numpy as _np
+
+        exported = [glyphs[orig] for orig in order]
+        refined = {}
+        for k, target in refined_instances.items():
+            target = _np.asarray(target).astype(_np.uint8)
+            gh, gw = dims[mapped[k][2]]
+            refined[k] = (
+                target.shape[1] - gw, target.shape[0] - gh,
+                0, 0, target,
+            )
     tr_body = _text_region_encode(
         page_w, page_h, len(glyphs), mapped, strips=strips,
         refcorner=refcorner, transposed=transposed,
         dsoffset=dsoffset, sym_dims=dims,
+        refined=refined, syms=exported,
     )
     # text region refers to the dictionary segment (number 1)
     head = (2).to_bytes(4, "big")
@@ -1099,3 +1249,193 @@ def encode_embedded_text(
     if globals_split:
         return seg_page + seg_dict, seg_text + seg_end
     return seg_page + seg_dict + seg_text + seg_end
+
+
+# ---- generic refinement regions (§6.3) ---------------------------------
+#
+# GRTEMPLATE 0 (13-bit context, 2 AT pixels) and 1 (10-bit, fixed),
+# TPGRON typical-prediction rows (SLTP contexts 0x0100 / 0x0080:
+# pixels whose 3×3 reference window is uniform copy it undecoded).
+
+_NOMINAL_GRAT = ((-1, -1), (-1, -1))
+
+
+def _refine_decode_core(
+    dec: MQDecoder, cx: dict, w: int, h: int, template: int,
+    ref, dx: int, dy: int, at: tuple = _NOMINAL_GRAT,
+    tpgron: bool = False,
+):
+    """§6.3.5.6 against a caller-owned coder/context: ``ref`` is the
+    reference bitmap, (dx, dy) its offset under the output."""
+    import numpy as np
+
+    bmp = np.zeros((h, w), np.uint8)
+    rh, rw = ref.shape
+
+    def st(label: int) -> list:
+        s = cx.get(label)
+        if s is None:
+            s = [0, 0]
+            cx[label] = s
+        return s
+
+    def cur(xx: int, yy: int) -> int:
+        if 0 <= xx < w and 0 <= yy < h:
+            return int(bmp[yy, xx])
+        return 0
+
+    def rp(xx: int, yy: int) -> int:
+        if 0 <= xx < rw and 0 <= yy < rh:
+            return int(ref[yy, xx])
+        return 0
+
+    if template == 0:
+        a1, a2 = at
+    elif template != 1:
+        raise NotImplementedError("GRTEMPLATE %d" % template)
+    sltp_ctx = 0x0100 if template == 0 else 0x0080
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            ltp ^= dec.decode(st(sltp_ctx))
+        for x in range(w):
+            if ltp:
+                # typical pixel: uniform 3×3 reference window
+                rx, ry = x - dx, y - dy
+                s = sum(
+                    rp(rx + i, ry + j)
+                    for j in (-1, 0, 1) for i in (-1, 0, 1)
+                )
+                if s == 0:
+                    bmp[y, x] = 0
+                    continue
+                if s == 9:
+                    bmp[y, x] = 1
+                    continue
+            rx, ry = x - dx, y - dy
+            if template == 0:
+                ctx = (
+                    cur(x - 1, y)
+                    | cur(x + 1, y - 1) << 1
+                    | cur(x, y - 1) << 2
+                    | cur(x + a1[0], y + a1[1]) << 3
+                    | rp(rx + 1, ry + 1) << 4
+                    | rp(rx, ry + 1) << 5
+                    | rp(rx - 1, ry + 1) << 6
+                    | rp(rx + a2[0], ry + a2[1]) << 7
+                    | rp(rx + 1, ry) << 8
+                    | rp(rx, ry) << 9
+                    | rp(rx - 1, ry) << 10
+                    | rp(rx + 1, ry - 1) << 11
+                    | rp(rx, ry - 1) << 12
+                )
+            else:
+                ctx = (
+                    cur(x - 1, y)
+                    | cur(x + 1, y - 1) << 1
+                    | cur(x, y - 1) << 2
+                    | cur(x - 1, y - 1) << 3
+                    | rp(rx + 1, ry + 1) << 4
+                    | rp(rx, ry + 1) << 5
+                    | rp(rx + 1, ry) << 6
+                    | rp(rx, ry) << 7
+                    | rp(rx - 1, ry) << 8
+                    | rp(rx, ry - 1) << 9
+                )
+            bmp[y, x] = dec.decode(st(ctx))
+    return bmp
+
+
+def _refine_encode_core(
+    enc: MQEncoder, cx: dict, arr, template: int, ref,
+    dx: int, dy: int, tpgron: bool = False,
+) -> None:
+    """Encoder twin of ``_refine_decode_core`` (nominal ATs)."""
+    import numpy as np
+
+    arr = np.asarray(arr).astype(np.uint8)
+    h, w = arr.shape
+    ref = np.asarray(ref).astype(np.uint8)
+    rh, rw = ref.shape
+    a1, a2 = _NOMINAL_GRAT
+
+    def st(label: int) -> list:
+        s = cx.get(label)
+        if s is None:
+            s = [0, 0]
+            cx[label] = s
+        return s
+
+    def cur(xx: int, yy: int) -> int:
+        if 0 <= xx < w and 0 <= yy < h:
+            return int(arr[yy, xx])
+        return 0
+
+    def rp(xx: int, yy: int) -> int:
+        if 0 <= xx < rw and 0 <= yy < rh:
+            return int(ref[yy, xx])
+        return 0
+
+    sltp_ctx = 0x0100 if template == 0 else 0x0080
+
+    def row_typical(y: int) -> bool:
+        # every pixel is either predicted-by-uniform-window or will
+        # still be explicitly coded; LTP rows must have ALL uniform
+        # windows agree with the output pixel
+        for x in range(w):
+            rx, ry = x - dx, y - dy
+            s = sum(
+                rp(rx + i, ry + j)
+                for j in (-1, 0, 1) for i in (-1, 0, 1)
+            )
+            if s == 0 and arr[y, x] != 0:
+                return False
+            if s == 9 and arr[y, x] != 1:
+                return False
+        return True
+
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            want = 1 if row_typical(y) else 0
+            enc.encode(st(sltp_ctx), want ^ ltp)
+            ltp = want
+        for x in range(w):
+            rx, ry = x - dx, y - dy
+            if ltp:
+                s = sum(
+                    rp(rx + i, ry + j)
+                    for j in (-1, 0, 1) for i in (-1, 0, 1)
+                )
+                if s in (0, 9):
+                    continue
+            if template == 0:
+                ctx = (
+                    cur(x - 1, y)
+                    | cur(x + 1, y - 1) << 1
+                    | cur(x, y - 1) << 2
+                    | cur(x + a1[0], y + a1[1]) << 3
+                    | rp(rx + 1, ry + 1) << 4
+                    | rp(rx, ry + 1) << 5
+                    | rp(rx - 1, ry + 1) << 6
+                    | rp(rx + a2[0], ry + a2[1]) << 7
+                    | rp(rx + 1, ry) << 8
+                    | rp(rx, ry) << 9
+                    | rp(rx - 1, ry) << 10
+                    | rp(rx + 1, ry - 1) << 11
+                    | rp(rx, ry - 1) << 12
+                )
+            else:
+                ctx = (
+                    cur(x - 1, y)
+                    | cur(x + 1, y - 1) << 1
+                    | cur(x, y - 1) << 2
+                    | cur(x - 1, y - 1) << 3
+                    | rp(rx + 1, ry + 1) << 4
+                    | rp(rx, ry + 1) << 5
+                    | rp(rx + 1, ry) << 6
+                    | rp(rx, ry) << 7
+                    | rp(rx - 1, ry) << 8
+                    | rp(rx, ry - 1) << 9
+                )
+            enc.encode(st(ctx), int(arr[y, x]))

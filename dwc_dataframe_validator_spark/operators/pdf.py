@@ -2381,8 +2381,11 @@ def pdf_image_encode(text: str, images: list) -> bytes:
                 ]
                 insts = [(0, 0, 0), (hx, 0, 1),
                          (0, hy, 2), (hx, hy, 3)]
+                # the last quadrant arrives as a REFINEMENT of the
+                # first (RDW/RDH 0): drives §6.3 through the fixture
                 data = J.encode_embedded_text(
-                    quads, insts, ww, hh, strips=2,
+                    quads[:3] + [quads[0]], insts, ww, hh,
+                    strips=2, refined_instances={3: quads[3]},
                 )
             elif kind == "jbig2-sym":
                 # an SDHUFF symbol dictionary (the Huffman variant

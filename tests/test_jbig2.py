@@ -232,3 +232,91 @@ def test_symbol_text_region_matrix():
             assert out.shape == (44, 64)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_refinement_tier():
+    """§6.3 refinement: core round-trips over both templates,
+    TPGRON and offsets; SDREFAGG single-symbol aggregates across
+    two dictionaries; per-instance text REFINE with RDW/RDH
+    resizing; multi-symbol aggregates stay honest flags."""
+    J = _j()
+    rng = np.random.default_rng(4)
+    for trial in range(4):
+        h, w = int(rng.integers(4, 20)), int(rng.integers(4, 26))
+        ref = (rng.random((h, w)) < 0.5).astype(np.uint8)
+        arr = ref.copy()
+        for _ in range(int(rng.integers(0, 8))):
+            arr[rng.integers(0, h), rng.integers(0, w)] ^= 1
+        for template in (0, 1):
+            for tpgron in (False, True):
+                for dx, dy in ((0, 0), (1, -1), (-2, 2)):
+                    enc = J.MQEncoder()
+                    cx = {}
+                    J._refine_encode_core(
+                        enc, cx, arr, template, ref, dx, dy, tpgron
+                    )
+                    dec = J.MQDecoder(enc.flush())
+                    out = J._refine_decode_core(
+                        dec, {}, w, h, template, ref, dx, dy,
+                        tpgron=tpgron,
+                    )
+                    assert (out == arr).all(), (
+                        trial, template, tpgron, dx, dy,
+                    )
+    # SDREFAGG: dict B's symbols refine dict A's exports
+    bases, refined = [], []
+    for h, w in [(8, 6), (10, 7), (8, 5)]:
+        g = np.zeros((h, w), np.uint8)
+        g[1:-1, 1:-1] = rng.random((h - 2, w - 2)) < 0.5
+        bases.append(g)
+        r = g.copy()
+        r[2, 2] ^= 1
+        r[3, 1] ^= 1
+        refined.append(r)
+    bodyA, orderA = J._symbol_dict_encode(bases)
+    expA = J._symbol_dict_decode(bodyA, [])
+    pool_of = {orderA[k]: k for k in range(3)}
+    bodyB, orderB = J._symbol_dict_encode(
+        refined, refagg_bases=[pool_of[k] for k in range(3)],
+        insyms=expA,
+    )
+    expB = J._symbol_dict_decode(bodyB, expA)
+    assert all(
+        (expB[k] == refined[orderB[k]]).all() for k in range(3)
+    )
+    # text REFINE: one instance resized (+2, +1) with flips
+    body, order = J._symbol_dict_encode(bases)
+    exported = J._symbol_dict_decode(body, [])
+    id_of = {orig: k for k, orig in enumerate(order)}
+    dims = [bases[o].shape for o in order]
+    base = bases[1]
+    target = np.zeros(
+        (base.shape[0] + 1, base.shape[1] + 2), np.uint8
+    )
+    target[:base.shape[0], :base.shape[1]] = base
+    target[2, 1] ^= 1
+    target[-1, -1] = 1
+    insts = [(4, 10, id_of[0]), (12, 10, id_of[1]),
+             (22, 10, id_of[2])]
+    tr = J._text_region_encode(
+        48, 30, len(bases), insts, sym_dims=dims,
+        refined={1: (2, 1, 0, 0, target)}, syms=exported,
+    )
+    region, _info = J._text_region_decode(tr, exported)
+    want = np.zeros((30, 48), np.uint8)
+    for sym, (s, t) in ((bases[0], (4, 10)), (target, (12, 10)),
+                        (bases[2], (22, 10))):
+        want[t:t + sym.shape[0], s:s + sym.shape[1]] |= sym
+    assert (region == want).all()
+    # REFAGGNINST > 1 flags as out of scope: hand-build a refagg
+    # dict whose IAAI says 2
+    enc = J.MQEncoder()
+    iadh, iadw, iaai = (J.IntCtx() for _ in range(3))
+    J.ia_encode(enc, iadh, 8)
+    J.ia_encode(enc, iadw, 6)
+    J.ia_encode(enc, iaai, 2)
+    head = (2 | (1 << 12)).to_bytes(2, "big")  # SDREFAGG, RTEMPLATE 1
+    head += b"\x03\xff\xfd\xff\xfe\xfe\xff\xff"  # 4 generic ATs
+    head += (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+    with pytest.raises(NotImplementedError):
+        J._symbol_dict_decode(head + enc.flush(), [bases[0]])
