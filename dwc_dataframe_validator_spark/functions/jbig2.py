@@ -289,17 +289,53 @@ def _template_pixels(template: int, at: tuple) -> tuple:
     return spec
 
 
+#: nominal-AT fast-path geometry: (current-row register bits,
+#: ((dy, x0, bit_base, n) contiguous reference windows: bit base+k =
+#: pixel(x + x0 - k, y + dy)))
+_FAST_GEOM = {
+    0: (4, ((-1, 3, 4, 7), (-2, 2, 11, 5))),
+    1: (3, ((-1, 3, 3, 6), (-2, 2, 9, 4))),
+    2: (2, ((-1, 2, 2, 5), (-2, 1, 7, 3))),
+    3: (4, ((-1, 2, 4, 6),)),
+}
+
+
+def _row_pre(bmp, y: int, w: int, windows) -> list:
+    """Reference-row context contributions for row ``y`` — fully
+    known before the row decodes, so vectorized once per row."""
+    import numpy as np
+
+    pre = np.zeros(w, np.int64)
+    pad = 8
+    for dy, x0, base, n in windows:
+        yy = y + dy
+        if yy < 0:
+            continue
+        padded = np.zeros(w + 2 * pad, np.int64)
+        padded[pad:pad + w] = bmp[yy]
+        for k in range(n):
+            lo = pad + x0 - k
+            pre += padded[lo:lo + w] << (base + k)
+    return pre.tolist()
+
+
 def _generic_decode_core(
     dec: MQDecoder, cx: dict, w: int, h: int, template: int,
     at: tuple, tpgdon: bool,
 ):
     """The §6.2.5.7 walk against a CALLER-OWNED coder and GB context
     set — symbol dictionaries decode many bitmaps through one shared
-    coder/context (§6.5.5), regions own theirs."""
+    coder/context (§6.5.5).  With the nominal AT pixels (what real
+    encoders emit) the reference-row context bits are contiguous
+    windows, precomputed per row with numpy; only a small sliding
+    register of just-decoded pixels stays in the Python loop.
+    Non-nominal ATs take the general per-pixel walk."""
     import numpy as np
 
-    spec = _template_pixels(template, at)
     bmp = np.zeros((h, w), np.uint8)
+    ltp = 0
+    sltp_ctx = _SLTP_CTX[template]
+    decode = dec.decode
 
     def st(label: int) -> list:
         s = cx.get(label)
@@ -308,12 +344,37 @@ def _generic_decode_core(
             cx[label] = s
         return s
 
+    if at == _NOMINAL_AT[template]:
+        reg_bits, windows = _FAST_GEOM[template]
+        reg_mask = (1 << reg_bits) - 1
+        for y in range(h):
+            if tpgdon:
+                ltp ^= decode(st(sltp_ctx))
+                if ltp:
+                    if y:
+                        bmp[y] = bmp[y - 1]
+                    continue
+            pre = _row_pre(bmp, y, w, windows)
+            out = bytearray(w)
+            reg = 0
+            cget = cx.get
+            for x in range(w):
+                label = pre[x] | reg
+                s = cget(label)
+                if s is None:
+                    s = [0, 0]
+                    cx[label] = s
+                bit = decode(s)
+                out[x] = bit
+                reg = ((reg << 1) | bit) & reg_mask
+            bmp[y] = np.frombuffer(bytes(out), np.uint8)
+        return bmp
+
+    spec = _template_pixels(template, at)
     get = bmp.item
-    ltp = 0
-    sltp_ctx = _SLTP_CTX[template]
     for y in range(h):
         if tpgdon:
-            ltp ^= dec.decode(st(sltp_ctx))
+            ltp ^= decode(st(sltp_ctx))
             if ltp:
                 if y:
                     bmp[y] = bmp[y - 1]
@@ -329,7 +390,7 @@ def _generic_decode_core(
                 ):
                     if get(yy, xx):
                         ctx |= 1 << shift
-            row[x] = dec.decode(st(ctx))
+            row[x] = decode(st(ctx))
     return bmp
 
 
@@ -349,7 +410,68 @@ def _generic_decode(
 def _generic_encode_core(
     enc: MQEncoder, cx: dict, arr, template: int, tpgdon: bool,
 ) -> None:
-    """Encoder-twin core against a caller-owned coder/context."""
+    """Encoder-twin core against a caller-owned coder/context.  The
+    twin always uses nominal ATs, so every context bit is known
+    upfront: both the reference windows AND the current-row register
+    vectorize per row, leaving only the encode call in the loop."""
+    import numpy as np
+
+    arr = np.asarray(arr).astype(np.uint8)
+    h, w = arr.shape
+    reg_bits, windows = _FAST_GEOM[template]
+    sltp_ctx = _SLTP_CTX[template]
+    encode = enc.encode
+    cget = cx.get
+
+    def st(label: int) -> list:
+        s = cget(label)
+        if s is None:
+            s = [0, 0]
+            cx[label] = s
+        return s
+
+    pad = 8
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            same = bool(y) and bool((arr[y] == arr[y - 1]).all())
+            sltp = 1 if same != bool(ltp) else 0
+            encode(st(sltp_ctx), sltp)
+            ltp ^= sltp
+            if ltp:
+                continue
+        pre = np.zeros(w, np.int64)
+        for dy, x0, base, n in windows:
+            yy = y + dy
+            if yy < 0:
+                continue
+            padded = np.zeros(w + 2 * pad, np.int64)
+            padded[pad:pad + w] = arr[yy]
+            for k in range(n):
+                lo = pad + x0 - k
+                pre += padded[lo:lo + w] << (base + k)
+        rowpad = np.zeros(w + 2 * pad, np.int64)
+        rowpad[pad:pad + w] = arr[y]
+        for k in range(reg_bits):
+            lo = pad - 1 - k
+            pre += rowpad[lo:lo + w] << k
+        labels = pre.tolist()
+        bits = arr[y].tolist()
+        for x in range(w):
+            label = labels[x]
+            s = cget(label)
+            if s is None:
+                s = [0, 0]
+                cx[label] = s
+            encode(s, bits[x])
+    return
+
+
+def _generic_encode_core_ref(
+    enc: MQEncoder, cx: dict, arr, template: int, tpgdon: bool,
+) -> None:
+    """The original per-pixel walk, kept as the equivalence
+    reference for the vectorized twin (pytest pins them equal)."""
     import numpy as np
 
     arr = np.asarray(arr)

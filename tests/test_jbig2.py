@@ -320,3 +320,39 @@ def test_refinement_tier():
     head += (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
     with pytest.raises(NotImplementedError):
         J._symbol_dict_decode(head + enc.flush(), [bases[0]])
+
+
+def test_fast_paths_equal_reference_walks():
+    """The nominal-AT vectorized paths are BYTE/PIXEL-identical to
+    the per-pixel reference walks (which stay in-tree as the
+    equivalence pins), across every template and TPGDON."""
+    J = _j()
+    rng = np.random.default_rng(2)
+    for trial in range(6):
+        h, w = int(rng.integers(1, 26)), int(rng.integers(1, 40))
+        arr = rng.random((h, w)) < rng.random()
+        for template in (0, 1, 2, 3):
+            for tpgdon in (False, True):
+                e1 = J.MQEncoder()
+                J._generic_encode_core(e1, {}, arr, template, tpgdon)
+                e2 = J.MQEncoder()
+                J._generic_encode_core_ref(
+                    e2, {}, arr, template, tpgdon
+                )
+                coded = e1.flush()
+                assert coded == e2.flush(), (trial, template, tpgdon)
+                at = J._NOMINAL_AT[template]
+                fast = J._generic_decode(
+                    coded, w, h, template, at, tpgdon
+                )
+                dec = J.MQDecoder(coded)
+                saved = J._NOMINAL_AT
+                J._NOMINAL_AT = {k: ("forced",) for k in saved}
+                try:
+                    gen = J._generic_decode_core(
+                        dec, {}, w, h, template, at, tpgdon
+                    )
+                finally:
+                    J._NOMINAL_AT = saved
+                assert (fast == gen).all(), (trial, template, tpgdon)
+                assert (fast.astype(bool) == arr).all()
