@@ -1,6 +1,8 @@
 """CCITT Group 4 (ITU-T T.6) codec pins: table prefix property,
 mode-exhaustive round-trips, makeup chains on long runs, byte-align,
 honest refusals, and the PDF /CCITTFaxDecode composition."""
+import shutil
+
 import numpy as np
 import pytest
 
@@ -336,3 +338,39 @@ def test_uncompressed_roundtrips_and_packaging():
     for cut in range(1, len(full) - 1, 2):
         out = g4_decode(full[:cut], 40, 4)
         assert out is None or (out.shape == (4, 40))
+
+
+@pytest.mark.skipif(
+    not (shutil.which("gs") or shutil.which("tiffcp")),
+    reason="no external fax codec in this container",
+)
+def test_external_codec_cross_validation():
+    """Skip-gated like the node/zstd cross-checks (r17 ADVICE item
+    4): when Ghostscript or libtiff tools appear, re-encode our fax
+    streams through them and compare pixels.  Until then the
+    hand-derived spec vectors above are the external pin."""
+    import numpy as np
+    import os
+    import subprocess
+    import tempfile
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    y, x = np.mgrid[0:33, 0:51]
+    gray = (((y * 5 + x * 3) % 13 < 5) * 255).astype(np.uint8)[:, :, None]
+    for fm in ("mh", "g3-2d", "g4-unc"):
+        ours = mm.tiff_encode(gray, fax_mode=fm)
+        if shutil.which("tiffcp"):
+            with tempfile.TemporaryDirectory() as d:
+                src = os.path.join(d, "a.tif")
+                dst = os.path.join(d, "b.tif")
+                open(src, "wb").write(ours)
+                # round through libtiff to uncompressed and compare
+                r = subprocess.run(
+                    ["tiffcp", "-c", "none", src, dst],
+                    capture_output=True, timeout=30,
+                )
+                assert r.returncode == 0, (fm, r.stderr[:200])
+                theirs = mm.tiff_decode_pixels(open(dst, "rb").read())
+                assert theirs is not None
+                assert (theirs == mm.tiff_decode_pixels(ours)).all(), fm
