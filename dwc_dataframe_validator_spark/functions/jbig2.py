@@ -934,7 +934,13 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
     new_syms = []
     hcheight = 0
+    guard = 0
     while len(new_syms) < n_new:
+        guard += 1
+        if guard > n_new + 64:
+            # adversarial streams could yield empty height classes
+            # forever (IADH then immediate IADW OOB); bound the walk
+            raise ValueError("height-class runaway")
         dh = ia_decode(dec, iadh)
         if dh is OOB:
             raise ValueError("OOB height class")
@@ -982,7 +988,11 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     exported = []
     i = 0
     flag = 0
+    runs = 0
     while i < len(allsyms):
+        runs += 1
+        if runs > 2 * len(allsyms) + 8:
+            raise ValueError("export-run runaway")  # 0-length spins
         run = ia_decode(dec, iaex)
         if run is OOB or run < 0:
             raise ValueError("export run")

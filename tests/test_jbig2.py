@@ -356,3 +356,35 @@ def test_fast_paths_equal_reference_walks():
                     J._NOMINAL_AT = saved
                 assert (fast == gen).all(), (trial, template, tpgdon)
                 assert (fast.astype(bool) == arr).all()
+
+
+def test_random_bytes_never_hang_or_crash():
+    """Adversarial-input discipline: pure-random segment streams
+    either tear (ValueError), flag (NotImplementedError) or decode
+    a bounded page — never hang, never raise anything else.  The
+    height-class and export-run walks carry explicit runaway guards
+    (0-length spins from 0xFF-fed exhausted coders)."""
+    import random
+
+    J = _j()
+    rng = random.Random(17)
+    arr = np.zeros((8, 8), bool)
+    good = J.encode_embedded(arr)
+    for trial in range(300):
+        n = rng.randrange(4, 200)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        if rng.random() < 0.5:
+            # graft random bytes onto a valid header prefix
+            blob = good[: rng.randrange(len(good))] + blob
+        try:
+            out = J.decode_embedded(blob, fallback_size=(8, 8))
+            assert out.shape[0] * out.shape[1] <= 16_000_000
+        except (ValueError, NotImplementedError):
+            pass
+    # a symbol dict whose stream yields empty height classes forever
+    # hits the runaway guard, not an infinite loop
+    head = (0).to_bytes(2, "big")
+    head += b"\x03\xff\xfd\xff\xfe\xfe\xff\xff"
+    head += (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        J._symbol_dict_decode(head + b"", [])
