@@ -27,6 +27,10 @@ Scope (the scanned-document mass a crawl meets):
   TPGRON typical-prediction rows, as single-symbol SDREFAGG
   aggregates in dictionaries and per-instance REFINE in text
   regions (RDW/RDH resizing with the floor-halved offset rule);
+- MULTI-SYMBOL aggregates (§6.5.8.2.2, REFAGGNINST > 1): the symbol
+  decodes as a text region over the partial pool through the
+  dictionary segment's shared coder and ONE persistent text-context
+  set (also used by the single-refinement shortcut);
 - the embedded segment format (§7.2): segment headers with short and
   long referred-to forms, page-information segments, immediate
   regions composed onto the page with the external combination
@@ -34,8 +38,8 @@ Scope (the scanned-document mass a crawl meets):
 
 Out of scope — an honest ``NotImplementedError`` flag, never a
 guessed bitmap: the Huffman-table variants (SDHUFF/SBHUFF),
-multi-symbol aggregates (REFAGGNINST > 1), halftone regions and
-pattern dictionaries, unknown-length segments.  The reference
+halftone regions and pattern dictionaries, unknown-length
+segments.  The reference
 (djtfmartin/dwc-dataframe-validator) has no media decode at all;
 this tier belongs to the repo's beyond-reference multimodal surface.
 
@@ -926,10 +930,11 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
         raise ValueError("symbol dict size")
     dec = MQDecoder(bytes(payload[j:]))
     iadh, iadw, iaex, iaai = (IntCtx() for _ in range(4))
-    iardx, iardy = IntCtx(), IntCtx()
-    iaid_cx = IntCtx()
+    # ONE text-region context set per segment, shared by the
+    # single-refinement shortcut AND aggregate invocations
+    # (§6.5.8.2: the contexts persist across the dictionary)
+    agg_ictx = _new_text_ictx()
     gb_cx: dict = {}
-    gr_cx: dict = {}
     total = len(insyms) + n_new
     symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
     new_syms = []
@@ -967,20 +972,30 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
             n_inst = ia_decode(dec, iaai)
             if n_inst is OOB:
                 raise ValueError("OOB REFAGGNINST")
+            pool = list(insyms) + new_syms
             if n_inst != 1:
-                raise NotImplementedError(
-                    "jbig2 aggregate symbol (REFAGGNINST > 1)"
-                )
-            sid = iaid_decode(dec, iaid_cx, symcodelen)
-            rdx = ia_decode(dec, iardx)
-            rdy = ia_decode(dec, iardy)
+                # §6.5.8.2.2: the symbol is a TEXT REGION of n_inst
+                # instances over the pool, run on the segment's
+                # shared coder and contexts (TL corner, OR, strip 1)
+                if not 1 < n_inst <= 10_000:
+                    raise ValueError("REFAGGNINST")
+                if not pool:
+                    raise ValueError("aggregate without symbols")
+                new_syms.append(_text_region_run(
+                    dec, agg_ictx, pool, symwidth, hcheight,
+                    n_inst, 1, 1, 0, 0, 0, 0, 1, rtemplate,
+                    symcodelen,
+                ))
+                continue
+            sid = iaid_decode(dec, agg_ictx["iaid"], symcodelen)
+            rdx = ia_decode(dec, agg_ictx["iardx"])
+            rdy = ia_decode(dec, agg_ictx["iardy"])
             if rdx is OOB or rdy is OOB:
                 raise ValueError("OOB refinement offset")
-            pool = list(insyms) + new_syms
             if sid >= len(pool):
                 raise ValueError("refagg symbol id")
             new_syms.append(_refine_decode_core(
-                dec, gr_cx, symwidth, hcheight, rtemplate,
+                dec, agg_ictx["gr"], symwidth, hcheight, rtemplate,
                 pool[sid], rdx, rdy,
             ))
     # export flags (§6.5.10): alternating runs over input + new
@@ -1045,12 +1060,43 @@ def _text_region_decode(payload: bytes, syms: list):
         raise ValueError("text region without symbols")
     symcodelen = max((len(syms) - 1).bit_length(), 1) \
         if len(syms) > 1 else 0
-    dec = MQDecoder(bytes(payload[j:]))
-    iadt, iafs, iads, iait = (IntCtx() for _ in range(4))
-    iaid_cx = IntCtx()
-    iari, iardw, iardh = IntCtx(), IntCtx(), IntCtx()
-    iardx, iardy = IntCtx(), IntCtx()
-    gr_cx: dict = {}
+    region = _text_region_run(
+        MQDecoder(bytes(payload[j:])), _new_text_ictx(), syms,
+        rw, rh, n_instances, strips, refcorner, transposed,
+        sbcombop, defpixel, dsoffset, refine, rtemplate, symcodelen,
+    )
+    return region, (rw, rh, rx, ry, comb)
+
+
+def _new_text_ictx() -> dict:
+    """One text-region integer-context set — a symbol dictionary's
+    aggregate invocations SHARE one of these across symbols
+    (§6.5.8.2), standalone regions own theirs."""
+    return {
+        k: IntCtx() for k in (
+            "iadt", "iafs", "iads", "iait", "iari", "iardw",
+            "iardh", "iardx", "iardy",
+        )
+    } | {"iaid": IntCtx(), "gr": {}}
+
+
+def _text_region_run(
+    dec: MQDecoder, ictx: dict, syms: list, rw: int, rh: int,
+    n_instances: int, strips: int, refcorner: int, transposed: int,
+    sbcombop: int, defpixel: int, dsoffset: int, refine: int,
+    rtemplate: int, symcodelen: int,
+):
+    """The §6.4.5 decode proper against a caller-owned coder and
+    context set (so §6.5.8.2 aggregates can run it mid-dictionary)."""
+    import numpy as np
+
+    iadt, iafs, iads, iait = (
+        ictx["iadt"], ictx["iafs"], ictx["iads"], ictx["iait"]
+    )
+    iaid_cx = ictx["iaid"]
+    iari, iardw, iardh = ictx["iari"], ictx["iardw"], ictx["iardh"]
+    iardx, iardy = ictx["iardx"], ictx["iardy"]
+    gr_cx = ictx["gr"]
     region = np.full((rh, rw), defpixel, np.uint8)
 
     def draw(sym, x0: int, y0: int) -> None:
@@ -1141,7 +1187,7 @@ def _text_region_decode(payload: bytes, syms: list):
             n_done += 1
             if n_done > n_instances:
                 raise ValueError("instance count lies")
-    return region, (rw, rh, rx, ry, comb)
+    return region
 
 
 def _symbol_dict_encode(
@@ -1162,10 +1208,8 @@ def _symbol_dict_encode(
     n_insyms = len(insyms)
     enc = MQEncoder()
     iadh, iadw, iaex, iaai = (IntCtx() for _ in range(4))
-    iardx, iardy = IntCtx(), IntCtx()
-    iaid_cx = IntCtx()
+    agg_ictx = _new_text_ictx()  # mirrors the decoder's shared set
     gb_cx: dict = {}
-    gr_cx: dict = {}
     total = n_insyms + len(symbols)
     symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
     hcheight = 0
@@ -1180,22 +1224,44 @@ def _symbol_dict_encode(
             ia_encode(enc, iadw, sym.shape[1] - symwidth)
             symwidth = sym.shape[1]
             if refagg:
-                base = refagg_bases[order[i]]
-                assert base < n_insyms + i, "base must precede"
-                ia_encode(enc, iaai, 1)
-                iaid_encode(enc, iaid_cx, base, symcodelen)
-                ia_encode(enc, iardx, 0)
-                ia_encode(enc, iardy, 0)
+                spec = refagg_bases[order[i]]
                 # the decoder's pool at this point: insyms + the
                 # new symbols decoded so far (height-class order)
-                pool_sym = (
-                    symbols[order[base - n_insyms]]
-                    if base >= n_insyms else insyms[base]
-                )
+                def pool_sym(pid):
+                    return (
+                        symbols[order[pid - n_insyms]]
+                        if pid >= n_insyms else insyms[pid]
+                    )
+
+                if isinstance(spec, list):
+                    # aggregate: a text region of (s, t, pool_id)
+                    # instances through the shared coder/contexts
+                    for _s, _t, pid in spec:
+                        assert pid < n_insyms + i, "base precedes"
+                    ia_encode(enc, iaai, len(spec))
+                    dims = [
+                        np.asarray(pool_sym(pid)).shape
+                        for pid in range(n_insyms + i)
+                    ]
+                    _text_region_emit(
+                        enc, agg_ictx, spec, 1, 1, 0, 0,
+                        symcodelen, dims, True, None,
+                        [np.asarray(pool_sym(pid)).astype(np.uint8)
+                         for pid in range(n_insyms + i)],
+                    )
+                    i += 1
+                    continue
+                base = spec
+                assert base < n_insyms + i, "base must precede"
+                ia_encode(enc, iaai, 1)
+                iaid_encode(enc, agg_ictx["iaid"], base, symcodelen)
+                ia_encode(enc, agg_ictx["iardx"], 0)
+                ia_encode(enc, agg_ictx["iardy"], 0)
                 _refine_encode_core(
-                    enc, gr_cx, sym,
+                    enc, agg_ictx["gr"], sym,
                     1 if template != 0 else 0,
-                    np.asarray(pool_sym).astype(np.uint8), 0, 0,
+                    np.asarray(pool_sym(base)).astype(np.uint8),
+                    0, 0,
                 )
             else:
                 _generic_encode_core(
@@ -1244,17 +1310,52 @@ def _text_region_encode(
     ``instances``) to (rdw, rdh, rdx, rdy, target_bitmap): that
     instance is REFINE-coded from its symbol (``syms`` then carries
     the actual symbol bitmaps)."""
-    import numpy as np
-
     refine = bool(refined)
     enc = MQEncoder()
-    iadt, iafs, iads, iait = (IntCtx() for _ in range(4))
-    iaid_cx = IntCtx()
-    iari, iardw, iardh = IntCtx(), IntCtx(), IntCtx()
-    iardx_c, iardy_c = IntCtx(), IntCtx()
-    gr_cx: dict = {}
+    ictx = _new_text_ictx()
     symcodelen = max((n_syms - 1).bit_length(), 1) \
         if n_syms > 1 else 0
+    _text_region_emit(
+        enc, ictx, instances, strips, refcorner, transposed,
+        dsoffset, symcodelen, sym_dims, refine, refined, syms,
+    )
+    body = enc.flush()
+    logstrips = strips.bit_length() - 1
+    assert 1 << logstrips == strips and 0 <= logstrips <= 3
+    flags = (
+        (logstrips << 2) | (refcorner << 4) | (transposed << 6)
+        | (sbcombop << 7) | (defpixel << 9)
+        | ((dsoffset & 0x1F) << 10)
+        | ((2 | (1 << 15)) if refine else 0)  # REFINE, SBRTEMPLATE 1
+    )
+    head = (
+        rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+        + rx.to_bytes(4, "big") + ry.to_bytes(4, "big")
+        + bytes([comb & 7])
+        + flags.to_bytes(2, "big")
+        + len(instances).to_bytes(4, "big")
+    )
+    return head + body
+
+
+def _text_region_emit(
+    enc: MQEncoder, ictx: dict, instances: list, strips: int,
+    refcorner: int, transposed: int, dsoffset: int,
+    symcodelen: int, sym_dims, refine: bool, refined: dict,
+    syms: list,
+) -> None:
+    """The §6.4 encode walk against a caller-owned coder/contexts —
+    the twin of ``_text_region_run`` (aggregate symbol dictionaries
+    emit through the segment's shared coder)."""
+    import numpy as np
+
+    iadt, iafs, iads, iait = (
+        ictx["iadt"], ictx["iafs"], ictx["iads"], ictx["iait"]
+    )
+    iaid_cx = ictx["iaid"]
+    iari, iardw, iardh = ictx["iari"], ictx["iardw"], ictx["iardh"]
+    iardx_c, iardy_c = ictx["iardx"], ictx["iardy"]
+    gr_cx = ictx["gr"]
     by_strip: dict = {}
     for k, (s, t, sid) in enumerate(instances):
         by_strip.setdefault(t // strips * strips, []).append(
@@ -1303,23 +1404,6 @@ def _text_region_encode(
             # advance exactly as the decoder will
             curs += (sh if transposed else sw) - 1
         ia_encode(enc, iads, OOB)
-    body = enc.flush()
-    logstrips = strips.bit_length() - 1
-    assert 1 << logstrips == strips and 0 <= logstrips <= 3
-    flags = (
-        (logstrips << 2) | (refcorner << 4) | (transposed << 6)
-        | (sbcombop << 7) | (defpixel << 9)
-        | ((dsoffset & 0x1F) << 10)
-        | ((2 | (1 << 15)) if refine else 0)  # REFINE, SBRTEMPLATE 1
-    )
-    head = (
-        rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
-        + rx.to_bytes(4, "big") + ry.to_bytes(4, "big")
-        + bytes([comb & 7])
-        + flags.to_bytes(2, "big")
-        + len(instances).to_bytes(4, "big")
-    )
-    return head + body
 
 
 def encode_embedded_text(

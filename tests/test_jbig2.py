@@ -308,17 +308,34 @@ def test_refinement_tier():
                         (bases[2], (22, 10))):
         want[t:t + sym.shape[0], s:s + sym.shape[1]] |= sym
     assert (region == want).all()
-    # REFAGGNINST > 1 flags as out of scope: hand-build a refagg
-    # dict whose IAAI says 2
+    # multi-symbol aggregates (§6.5.8.2.2): a 10×10 symbol built
+    # from TWO pool instances via the shared-context text region,
+    # side by side with a single-refinement symbol in the same dict
+    agg = [(0, 0, 0), (5, 2, 1)]
+    want_agg = np.zeros((10, 10), np.uint8)
+    for s, t, pid in agg:
+        g = expA[pid]
+        want_agg[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    ref_sym = expA[2].copy()
+    ref_sym[2, 2] ^= 1
+    bodyC, orderC = J._symbol_dict_encode(
+        [np.zeros((10, 10), np.uint8), ref_sym],
+        refagg_bases=[agg, 2], insyms=expA,
+    )
+    expC = J._symbol_dict_decode(bodyC, expA)
+    got = {tuple(expC[k].shape): expC[k] for k in range(2)}
+    assert (got[(10, 10)] == want_agg).all()
+    assert (got[ref_sym.shape] == ref_sym).all()
+    # a lying REFAGGNINST (0) tears honestly
     enc = J.MQEncoder()
     iadh, iadw, iaai = (J.IntCtx() for _ in range(3))
     J.ia_encode(enc, iadh, 8)
     J.ia_encode(enc, iadw, 6)
-    J.ia_encode(enc, iaai, 2)
+    J.ia_encode(enc, iaai, 0)
     head = (2 | (1 << 12)).to_bytes(2, "big")  # SDREFAGG, RTEMPLATE 1
     head += b"\x03\xff\xfd\xff\xfe\xfe\xff\xff"  # 4 generic ATs
     head += (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         J._symbol_dict_decode(head + enc.flush(), [bases[0]])
 
 
