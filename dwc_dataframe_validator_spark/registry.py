@@ -11367,6 +11367,32 @@ ORACLES["image_resize_check"] = _image_resize_oracle()
 # the MP3 frame walk).  Also r18: dwca_archive_profile (in-window)
 # gains the event-core dispatch columns (§2.11 quirk 8) — the
 # event-archive path is now driver-visible without a slot.
+# Round-19 rotation (r18 VERDICT ask 1): the eleven stalest registry
+# singletons regain hard driver rows — q_nation_revenue,
+# set_ops_nations, quarantine_counts, salted_event_type_counts,
+# stream_session_counts, dedup_exact_groups, ann_cosine_topk (all
+# last driver-green r3), jsonl_source_profile (r10),
+# multimodal_blob_meta, rollup_date_counts, window_running_totals
+# (r11) — in for eleven r18-green media/office checks whose families
+# keep in-window keepers:
+# q_nation_revenue ← odf_text_check, rollup_date_counts ←
+# xlsx_text_check, window_running_totals ← pptx_text_check,
+# salted_event_type_counts ← mbox_text_check (docx_text_check +
+# office_corpus_token_check keep the zip-office/mail union family),
+# set_ops_nations ← pdf_token_stats_check, ann_cosine_topk ←
+# pdf_cid_text_check, jsonl_source_profile ←
+# pdf_encrypted_text_check (pdf_text_check + pdf_image_hash_check
+# keep the PDF text/image family; the CID and AES paths stay
+# pytest-pinned + local sweep),
+# dedup_exact_groups ← mp3_frame_hash_check,
+# multimodal_blob_meta ← audio_aligned_dedup_clusters
+# (cross_container_audio_dedup_check keeps the audio frame walk and
+# the aligned-dedup composition in-window),
+# stream_session_counts ← image_ingest_finalize_check
+# (tiff_pixel_hash_check keeps the pixel/ingest family),
+# quarantine_counts ← wet_main_content_docs
+# (http_content_encoding_check keeps the web/wire family; WET main-
+# content extraction stays pytest-pinned + local sweep).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -11383,17 +11409,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a8_a9_distinct_duplicates",
     "a13_date_parts",
     "a14_offender_sample",
-    "odf_text_check",
+    "q_nation_revenue",
     "fk_lineitem_orders",
     "http_content_encoding_check",
     "dedup_clusters",
-    "pdf_token_stats_check",
+    "set_ops_nations",
     "text_quality",
     "text_language_id_v2",
     "docx_text_check",
-    "wet_main_content_docs",
+    "quarantine_counts",
     "a5_group_populated",
-    "mbox_text_check",
+    "salted_event_type_counts",
     "pdf_text_check",
     "a11_value_histogram",
     "contamination_hits",
@@ -11406,17 +11432,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "image_ingest_finalize_check",
-    "mp3_frame_hash_check",
-    "pdf_cid_text_check",
-    "pdf_encrypted_text_check",
-    "audio_aligned_dedup_clusters",
+    "stream_session_counts",
+    "dedup_exact_groups",
+    "ann_cosine_topk",
+    "jsonl_source_profile",
+    "multimodal_blob_meta",
     "pdf_image_hash_check",
     "a12_top_k",
     "cross_container_audio_dedup_check",
-    "xlsx_text_check",
+    "rollup_date_counts",
     "tiff_pixel_hash_check",
-    "pptx_text_check",
+    "window_running_totals",
     "office_corpus_token_check",
 )
 

@@ -145,17 +145,17 @@ DRIVER_WINDOW = [
     "a8_a9_distinct_duplicates",
     "a13_date_parts",
     "a14_offender_sample",
-    "odf_text_check",
+    "q_nation_revenue",
     "fk_lineitem_orders",
     "http_content_encoding_check",
     "dedup_clusters",
-    "pdf_token_stats_check",
+    "set_ops_nations",
     "text_quality",
     "text_language_id_v2",
     "docx_text_check",
-    "wet_main_content_docs",
+    "quarantine_counts",
     "a5_group_populated",
-    "mbox_text_check",
+    "salted_event_type_counts",
     "pdf_text_check",
     "a11_value_histogram",
     "contamination_hits",
@@ -168,17 +168,17 @@ DRIVER_WINDOW = [
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "image_ingest_finalize_check",
-    "mp3_frame_hash_check",
-    "pdf_cid_text_check",
-    "pdf_encrypted_text_check",
-    "audio_aligned_dedup_clusters",
+    "stream_session_counts",
+    "dedup_exact_groups",
+    "ann_cosine_topk",
+    "jsonl_source_profile",
+    "multimodal_blob_meta",
     "pdf_image_hash_check",
     "a12_top_k",
     "cross_container_audio_dedup_check",
-    "xlsx_text_check",
+    "rollup_date_counts",
     "tiff_pixel_hash_check",
-    "pptx_text_check",
+    "window_running_totals",
     "office_corpus_token_check",
 ]
 
