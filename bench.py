@@ -287,6 +287,9 @@ assert len(FROZEN33) == 33 and set(FROZEN33) <= set(HEADLINE)
 
 
 def main() -> None:
+    # validate --out BEFORE the (minutes-long) bench loop: a missing
+    # value should be a usage error up front, not a crash at the end
+    _local_bench_path()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = local_session("dwc-validator-bench", cpus=cpus)
@@ -347,7 +350,10 @@ def _local_bench_path() -> str:
     driver bench run leaves the tree clean."""
     root = os.path.dirname(os.path.abspath(__file__))
     if "--out" in sys.argv:
-        return sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("usage: bench.py [--out PATH]")
+        return sys.argv[i + 1]
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         import re

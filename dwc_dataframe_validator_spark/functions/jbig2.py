@@ -526,9 +526,11 @@ def _generic_encode(
 
 # ---- embedded segment stream (§7.2) ----------------------------------
 
-_GENERIC_TYPES = (36, 38, 39)
-_TEXT_TYPES = (4, 6, 7)
+_GENERIC_TYPES = (38, 39)
+_TEXT_TYPES = (6, 7)
 _UNSUPPORTED_REGIONS = (
+    4, 36,          # intermediate text/generic regions: inputs to
+                    # refinement segments (§8.2), NOT page-composited
     20, 22, 23,     # halftone regions (need pattern dictionaries)
     40, 42, 43,     # refinement regions
 )
@@ -896,6 +898,24 @@ def iaid_encode(enc: MQEncoder, cx: IntCtx, value: int,
 # retained across symbols within the segment (§6.5.5).
 
 
+def _require_nominal_grat(payload: bytes, j: int) -> None:
+    """Refinement AT pixels (T.88 \xa76.3.5.3): the refine cores below
+    assume the nominal placement ``_NOMINAL_GRAT``; a conformant
+    stream MAY move them, and decoding it with nominal positions
+    yields silently wrong pixels — so parse the 4 bytes and flag."""
+    if len(payload) < j + 4:
+        raise ValueError("short refinement AT")
+    at = tuple(
+        (int.from_bytes(payload[j + 2 * k:j + 2 * k + 1], "big",
+                        signed=True),
+         int.from_bytes(payload[j + 2 * k + 1:j + 2 * k + 2], "big",
+                        signed=True))
+        for k in range(2)
+    )
+    if at != _NOMINAL_GRAT:
+        raise NotImplementedError("jbig2 non-nominal GRAT %r" % (at,))
+
+
 def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     """One symbol-dictionary segment -> the EXPORTED symbol list
     ((h, w) uint8 bitmaps).  ``insyms`` are the input symbols from
@@ -909,6 +929,12 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise NotImplementedError("jbig2 SDHUFF")
+    if (flags >> 8) & 1:
+        # bit 8 = "bitmap coding context used": import the GB/GR
+        # arithmetic contexts from a referred-to dictionary
+        # (T.88 §7.4.3.1.1).  Decoding with fresh contexts would
+        # yield silently wrong bitmaps, so flag instead.
+        raise NotImplementedError("jbig2 SD context import")
     j = 2
     n_at = 4 if template == 0 else 1
     at = tuple(
@@ -920,7 +946,8 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     )
     j += 2 * n_at
     if sdrefagg and rtemplate == 0:
-        j += 4  # refinement AT pairs (nominal values assumed below)
+        _require_nominal_grat(payload, j)
+        j += 4
     if len(payload) < j + 8:
         raise ValueError("short symbol dict")
     n_ex = _u32(payload, j)
@@ -936,7 +963,7 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     agg_ictx = _new_text_ictx()
     gb_cx: dict = {}
     total = len(insyms) + n_new
-    symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
+    symcodelen = max(1, (total - 1).bit_length())
     new_syms = []
     hcheight = 0
     guard = 0
@@ -1047,7 +1074,8 @@ def _text_region_decode(payload: bytes, syms: list):
         raise NotImplementedError("jbig2 SBHUFF")
     j = 19
     if refine and rtemplate == 0:
-        j += 4  # refinement AT pairs (nominal values assumed)
+        _require_nominal_grat(payload, j)
+        j += 4
     if len(payload) < j + 4:
         raise ValueError("short text region")
     n_instances = _u32(payload, j)
@@ -1058,8 +1086,7 @@ def _text_region_decode(payload: bytes, syms: list):
         raise ValueError("instance count")
     if not syms:
         raise ValueError("text region without symbols")
-    symcodelen = max((len(syms) - 1).bit_length(), 1) \
-        if len(syms) > 1 else 0
+    symcodelen = max(1, (len(syms) - 1).bit_length())
     region = _text_region_run(
         MQDecoder(bytes(payload[j:])), _new_text_ictx(), syms,
         rw, rh, n_instances, strips, refcorner, transposed,
@@ -1211,7 +1238,7 @@ def _symbol_dict_encode(
     agg_ictx = _new_text_ictx()  # mirrors the decoder's shared set
     gb_cx: dict = {}
     total = n_insyms + len(symbols)
-    symcodelen = max((total - 1).bit_length(), 1) if total > 1 else 0
+    symcodelen = max(1, (total - 1).bit_length())
     hcheight = 0
     i = 0
     while i < len(order):
@@ -1313,8 +1340,7 @@ def _text_region_encode(
     refine = bool(refined)
     enc = MQEncoder()
     ictx = _new_text_ictx()
-    symcodelen = max((n_syms - 1).bit_length(), 1) \
-        if n_syms > 1 else 0
+    symcodelen = max(1, (n_syms - 1).bit_length())
     _text_region_emit(
         enc, ictx, instances, strips, refcorner, transposed,
         dsoffset, symcodelen, sym_dims, refine, refined, syms,
