@@ -601,12 +601,16 @@ def decode_embedded(
     page = None
     page_default = 0
     sym_dicts: dict = {}  # segnum -> exported symbol list
+    huff_tabs: dict = {}  # segnum -> parsed custom Huffman table
 
     def _referred_syms(referred) -> list:
         syms: list = []
         for r in referred:
             syms.extend(sym_dicts.get(r, ()))
         return syms
+
+    def _referred_tables(referred) -> list:
+        return [huff_tabs[r] for r in referred if r in huff_tabs]
 
     def _composite(region, rx, ry, comb) -> None:
         rh, rw = region.shape
@@ -694,11 +698,17 @@ def decode_embedded(
             _composite(region, rx, ry, comb)
         elif stype == 0:  # symbol dictionary
             sym_dicts[segnum] = _symbol_dict_decode(
-                payload, _referred_syms(referred)
+                payload, _referred_syms(referred),
+                _referred_tables(referred),
             )
+        elif stype == 53:  # custom Huffman table (Annex B.2)
+            from .jbig2_huff import parse_table_segment
+
+            huff_tabs[segnum] = parse_table_segment(bytes(payload))
         elif stype in _TEXT_TYPES:
             region, (rw, rh, rx, ry, comb) = _text_region_decode(
-                payload, _referred_syms(referred)
+                payload, _referred_syms(referred),
+                _referred_tables(referred),
             )
             if page is None:
                 if fallback_size is None:
@@ -916,10 +926,12 @@ def _require_nominal_grat(payload: bytes, j: int) -> None:
         raise NotImplementedError("jbig2 non-nominal GRAT %r" % (at,))
 
 
-def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
+def _symbol_dict_decode(payload: bytes, insyms: list,
+                        tables: list = ()) -> list:
     """One symbol-dictionary segment -> the EXPORTED symbol list
     ((h, w) uint8 bitmaps).  ``insyms`` are the input symbols from
-    referred-to dictionaries, in segment order."""
+    referred-to dictionaries, in segment order; ``tables`` the
+    referred-to custom Huffman tables (type 53), in order."""
     if len(payload) < 2:
         raise ValueError("short symbol dict")
     flags = int.from_bytes(payload[0:2], "big")
@@ -928,7 +940,10 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        raise NotImplementedError("jbig2 SDHUFF")
+        from .jbig2_huff import symbol_dict_decode_huff
+
+        return symbol_dict_decode_huff(payload, insyms,
+                                       list(tables))
     if (flags >> 8) & 1:
         # bit 8 = "bitmap coding context used": import the GB/GR
         # arithmetic contexts from a referred-to dictionary
@@ -1047,9 +1062,11 @@ def _symbol_dict_decode(payload: bytes, insyms: list) -> list:
     return exported
 
 
-def _text_region_decode(payload: bytes, syms: list):
+def _text_region_decode(payload: bytes, syms: list,
+                        tables: list = ()):
     """One text-region segment -> (region bitmap, region info
-    (w, h, x, y, comb)).  Arithmetic coding, no refinement."""
+    (w, h, x, y, comb)).  Arithmetic or (via jbig2_huff) Huffman
+    coding; ``tables`` are referred-to custom tables, in order."""
     import numpy as np
 
     if len(payload) < 17 + 2:
@@ -1071,7 +1088,9 @@ def _text_region_decode(payload: bytes, syms: list):
         dsoffset -= 32  # 5-bit signed
     rtemplate = (flags >> 15) & 1
     if sbhuff:
-        raise NotImplementedError("jbig2 SBHUFF")
+        from .jbig2_huff import text_region_decode_huff
+
+        return text_region_decode_huff(payload, syms, list(tables))
     j = 19
     if refine and rtemplate == 0:
         _require_nominal_grat(payload, j)
@@ -1491,6 +1510,59 @@ def encode_embedded_text(
     if globals_split:
         return seg_page + seg_dict, seg_text + seg_end
     return seg_page + seg_dict + seg_text + seg_end
+
+
+def _segment_ref(segnum: int, stype: int, page: int,
+                 referred: list, payload: bytes) -> bytes:
+    """``_segment`` with a short-form referred-to list (<=4 refs,
+    1-byte numbers — fixture scale)."""
+    assert len(referred) <= 4 and all(r <= 255 for r in referred)
+    head = segnum.to_bytes(4, "big")
+    head += bytes([stype & 0x3F])
+    head += bytes([len(referred) << 5])
+    head += bytes(referred)
+    head += bytes([page])
+    head += len(payload).to_bytes(4, "big")
+    return head + payload
+
+
+def encode_embedded_text_huff(
+    glyphs: list, instances: list, page_w: int, page_h: int,
+    collective: str = "mmr", strips: int = 1,
+    globals_split: bool = False,
+):
+    """Huffman-mode embedded-stream fixture: SDHUFF symbol
+    dictionary (standard tables B.1/B.2/B.4, collective bitmaps MMR
+    or raw) + custom type-53 FS/DS/DT tables + one SBHUFF immediate
+    text region.  Same contract as ``encode_embedded_text``."""
+    import numpy as np
+
+    from .jbig2_huff import (symbol_dict_encode_huff,
+                             text_region_encode_huff)
+
+    glyphs = [np.asarray(g).astype(np.uint8) for g in glyphs]
+    dict_body, order = symbol_dict_encode_huff(glyphs, collective)
+    id_of = {orig: k for k, orig in enumerate(order)}
+    mapped = [(s, t, id_of[g]) for s, t, g in instances]
+    dims = [glyphs[orig].shape for orig in order]
+    tr_body, table_payloads = text_region_encode_huff(
+        page_w, page_h, len(glyphs), mapped, dims, strips=strips,
+    )
+    pinfo = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + bytes(8) + b"\x01" + bytes(2)
+    )
+    seg_page = _segment(0, 48, 1, pinfo)
+    seg_dict = _segment(1, 0, 1, dict_body)
+    seg_tabs = b"".join(
+        _segment(2 + k, 53, 1, tp)
+        for k, tp in enumerate(table_payloads)
+    )
+    seg_text = _segment_ref(5, 6, 1, [1, 2, 3, 4], tr_body)
+    seg_end = _segment(6, 49, 1, b"")
+    if globals_split:
+        return seg_page + seg_dict + seg_tabs, seg_text + seg_end
+    return seg_page + seg_dict + seg_tabs + seg_text + seg_end
 
 
 # ---- generic refinement regions (§6.3) ---------------------------------

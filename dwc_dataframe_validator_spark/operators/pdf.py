@@ -2387,12 +2387,29 @@ def pdf_image_encode(text: str, images: list) -> bytes:
                     quads[:3] + [quads[0]], insts, ww, hh,
                     strips=2, refined_instances={3: quads[3]},
                 )
+            elif kind == "jbig2-huff":
+                # r19: the full SDHUFF/SBHUFF spelling — Huffman
+                # symbol dictionary (standard tables B.1/B.2/B.4,
+                # MMR collective bitmaps) + custom-table text
+                # region, quadrant glyphs like jbig2-text
+                hh, ww = black.shape
+                hy, hx = (hh + 1) // 2, (ww + 1) // 2
+                quads = [
+                    black[:hy, :hx], black[:hy, hx:],
+                    black[hy:, :hx], black[hy:, hx:],
+                ]
+                insts = [(0, 0, 0), (hx, 0, 1),
+                         (0, hy, 2), (hx, hy, 3)]
+                data = J.encode_embedded_text_huff(
+                    quads, insts, ww, hh, strips=2,
+                )
             elif kind == "jbig2-sym":
-                # an SDHUFF symbol dictionary (the Huffman variant
-                # stays out of scope) the reader must flag, never
-                # guess past
+                # an SDHUFF+SDREFAGG dictionary (Huffman
+                # refinement/aggregate coding stays out of scope,
+                # jbig2_huff.py) the reader must flag, never guess
+                # past (plain SDHUFF DECODES since r19)
                 data = J._segment(
-                    9, 0, 1, (1).to_bytes(2, "big")
+                    9, 0, 1, (3).to_bytes(2, "big") + bytes(8)
                 ) + J.encode_embedded(black)
             else:
                 data = J.encode_embedded(black, tpgdon=True)
@@ -2449,23 +2466,24 @@ _PDF_IMG_KINDS = (
     "dct", "flate", "flate-pred", "gray", "raw", "ccitt", "ccitt-b1",
     "ccitt-g3", "ccitt-g3-2d",
     "jbig2", "jbig2-t2", "jbig2-mmr", "jbig2-glob", "jbig2-t1",
-    "jbig2-text",
+    "jbig2-text", "jbig2-huff",
 )
 
 
 def build_pdf_image_blob(doc_id: int) -> bytes:
     """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
-    variant ``(doc_id // 6) %% 15`` from ``_PDF_IMG_KINDS`` — "gray"
+    variant ``(doc_id // 6) %% 16`` from ``_PDF_IMG_KINDS`` — "gray"
     embeds the class's integer-luma plane as Flate /DeviceGray, the
     four "ccitt*" kinds embed the luma plane THRESHOLDED at 128 as
     Group 4 (default params vs /BlackIs1 + /Decode [1 0] +
     /EncodedByteAlign) and Group 3 (pure 1-D /K 0 vs mixed /K 2
-    with /EndOfLine — all four identical pixels), the four
-    "jbig2*" kinds (r18) embed the same thresholded plane as
+    with /EndOfLine — all four identical pixels), the seven
+    "jbig2*" kinds (r18/r19) embed the same thresholded plane as
     embedded JBIG2 generic regions (MQ template 0 + TPGDON,
-    templates 2 and 1, MMR, page-info-in-/JBIG2Globals, and a
-    symbol-dictionary + text-region split into quadrant glyphs —
-    all six identical pixels again; the 90-combo universe stays
+    templates 2 and 1, MMR, page-info-in-/JBIG2Globals, a
+    symbol-dictionary + text-region split into quadrant glyphs,
+    and the r19 SDHUFF/SBHUFF Huffman spelling of the same split —
+    all seven identical pixels again; the 96-combo universe stays
     coprime with the %%13/%%17 plants), the others embed
     the RGB image as DCT / Flate / Flate+Up-predictor / raw samples
     (the three lossless packagings must hash identically; DCT must
@@ -2477,7 +2495,7 @@ def build_pdf_image_blob(doc_id: int) -> bytes:
     import numpy as np
 
     cls = doc_id % 6
-    kind = _PDF_IMG_KINDS[(doc_id // 6) % 15]
+    kind = _PDF_IMG_KINDS[(doc_id // 6) % 16]
     px = _pdf_image_fixture_pixels(cls)
     luma = (
         (

@@ -8604,14 +8604,17 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MQ-coded generic regions templates 0-2 + TPGDON, MMR coding,
     /JBIG2Globals-carried page info, AND the arithmetic symbol-
     dictionary + text-region tier real scanned documents use; the
-    MQ coder is pinned against the T.88 Annex H.2 KAT) — and hash on
-    the shared aHash/dHash grid, so PDFs join cross-format image
-    dedup.  The oracle builder asserts the invariants: the three
-    lossless packagings (flate / flate+predictor / raw) hash
+    MQ coder is pinned against the T.88 Annex H.2 KAT; since r19
+    also the SDHUFF/SBHUFF Huffman spelling via
+    functions/jbig2_huff.py — standard tables B.1–B.5, custom
+    type-53 tables, MMR height-class collective bitmaps) — and
+    hash on the shared aHash/dHash grid, so PDFs join cross-format
+    image dedup.  The oracle builder asserts the invariants: the
+    three lossless packagings (flate / flate+predictor / raw) hash
     identically to the raw pixels, the DCT packaging hashes to the
-    standalone JPEG's constants, and the ten bilevel spellings
-    (four fax + six JBIG2, including the symbol/text quadrant
-    split) decode to the same thresholded plane.
+    standalone JPEG's constants, and the eleven bilevel spellings
+    (four fax + seven JBIG2, including both symbol/text quadrant
+    splits) decode to the same thresholded plane.
     %%17 cuts 20 bytes from the image stream (xref shifts → torn
     document); %%13 relabels /JPXDecode at identical byte length or
     drops bpc to 4 (the per-image honest stub) — both ok=false."""
@@ -8632,7 +8635,7 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pdf_image_pinned_oracle() -> str:
     """Pinned-constant oracle for ``pdf_image_hash_check`` over the
-    90 (pixel class × packaging) combos, decoded driver-side through
+    96 (pixel class × packaging) combos, decoded driver-side through
     the REAL extraction path; cross-format invariants asserted here
     so a drifting decoder fails the build, not just the driver."""
     from .operators import pdf as pdfmod
@@ -8640,9 +8643,9 @@ def _pdf_image_pinned_oracle() -> str:
     import numpy as _np
 
     rows = {}
-    for combo in range(90):
+    for combo in range(96):
         did = next(
-            d for d in range(combo, 8000, 90) if d % 17 and d % 13
+            d for d in range(combo, 8000, 96) if d % 17 and d % 13
         )
         doc = pdfmod.PdfDoc(pdfmod.build_pdf_image_blob(did))
         (_name, obj), = doc.page_images(doc.pages()[0])
@@ -8678,22 +8681,24 @@ def _pdf_image_pinned_oracle() -> str:
         )[:, :, None]
         want_cc = format(multimodal.image_ahash(bl), "016x")
         assert rows[cls + 6 * 5][1] == want_cc, cls
-        # b1 / G3 1-D / G3 mixed / the four JBIG2 codings (MQ+TPGDON,
-        # template 2, MMR, globals-carried page info): identical
-        for var in (6, 7, 8, 9, 10, 11, 12, 13, 14):
+        # b1 / G3 1-D / G3 mixed / the seven JBIG2 codings
+        # (MQ+TPGDON, template 2, MMR, globals-carried page info,
+        # template 1, arithmetic symbol/text, r19 Huffman
+        # symbol/text): identical
+        for var in (6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
             assert rows[cls + 6 * var] == rows[cls + 6 * 5], (
                 cls, var,
             )
     chan = " ".join(
-        "WHEN doc_id %% 90 = %d THEN %d" % (c, v[0])
+        "WHEN doc_id %% 96 = %d THEN %d" % (c, v[0])
         for c, v in rows.items()
     )
     ah = " ".join(
-        "WHEN doc_id %% 90 = %d THEN '%s'" % (c, v[1])
+        "WHEN doc_id %% 96 = %d THEN '%s'" % (c, v[1])
         for c, v in rows.items()
     )
     dh = " ".join(
-        "WHEN doc_id %% 90 = %d THEN '%s'" % (c, v[2])
+        "WHEN doc_id %% 96 = %d THEN '%s'" % (c, v[2])
         for c, v in rows.items()
     )
     return f"""

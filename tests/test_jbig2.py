@@ -100,19 +100,21 @@ def test_embedded_stream_and_flags():
             assert out.shape == arr.shape
         except (ValueError, NotImplementedError):
             pass
-    # a torn (empty) symbol dictionary tears; the Huffman variant
-    # flags as out of scope
+    # a torn (empty) symbol dictionary tears; plain SDHUFF DECODES
+    # since r19, so the honest flag moved to the still-unshipped
+    # SDHUFF+SDREFAGG combination
     with pytest.raises(ValueError):
         J.decode_embedded(J._segment(9, 0, 1, b"") + blob)
-    sdhuff = J._segment(9, 0, 1, (1).to_bytes(2, "big"))
+    refagg = J._segment(9, 0, 1, (3).to_bytes(2, "big") + bytes(8))
     with pytest.raises(NotImplementedError):
-        J.decode_embedded(sdhuff + blob)
+        J.decode_embedded(refagg + blob)
 
 
 def test_pdf_jbig2_composition():
-    """All five /JBIG2Decode packagings land the SAME pixels on the
-    shared hash grid; the /JPXDecode relabel and the symbol plant
-    stay honest stubs."""
+    """All the /JBIG2Decode packagings (incl. the r19 Huffman
+    spelling) land the SAME pixels on the shared hash grid; the
+    /JPXDecode relabel and the SDREFAGG-Huffman plant stay honest
+    stubs."""
     P = _p()
     px = P._pdf_image_fixture_pixels(2)
     luma = (
@@ -124,7 +126,7 @@ def test_pdf_jbig2_composition():
     ).astype(np.uint8)[:, :, None]
     bl = np.where(luma >= 128, 255, 0).astype(np.uint8)
     kinds = ["ccitt", "jbig2", "jbig2-t1", "jbig2-t2", "jbig2-mmr",
-             "jbig2-glob", "jbig2-text"]
+             "jbig2-glob", "jbig2-text", "jbig2-huff"]
     blob = P.pdf_image_encode("jbig2 page", [(k, bl) for k in kinds])
     doc = P.PdfDoc(blob)
     outs = [
