@@ -5183,6 +5183,101 @@ def avi_mjpeg_frames(b: bytes):
     return frames
 
 
+def _imageio_frame_pixels(payload: bytes, max_frames: int) -> list:
+    """H.264-tier frame tap: decode the container with imageio
+    (pyav/ffmpeg underneath), sample up to ``max_frames`` frames
+    with an even stride, and return (h, w, 3) uint8 arrays straight
+    onto the shared hash grid (no PNG round-trip — the pixel sibling
+    of ``_imageio_frames``).  Undecodable payload → []."""
+    import io
+
+    import imageio.v3 as iio
+    import numpy as np
+
+    try:
+        frames = iio.imread(io.BytesIO(payload), index=None)
+    except Exception:  # noqa: BLE001 — undecodable blob → no frames
+        return []
+    frames = np.asarray(frames)
+    if frames.ndim == 2:  # single grayscale image: (h, w)
+        frames = frames[None, :, :, None]
+    elif frames.ndim == 3:  # single image decodes as (h, w, c)
+        frames = frames[None, ...]
+    if frames.ndim != 4 or frames.shape[0] == 0:
+        return []
+    n = min(max_frames, frames.shape[0])
+    step = max(1, frames.shape[0] // n)
+    out = []
+    for k in range(n):
+        f = np.asarray(frames[k * step])
+        if f.ndim == 2:
+            f = f[:, :, None]
+        if f.shape[2] == 1:  # grayscale → replicate onto RGB grid
+            f = np.repeat(f, 3, axis=2)
+        out.append(np.ascontiguousarray(f[:, :, :3], dtype=np.uint8))
+    return out
+
+
+def _is_video_container(b: bytes) -> bool:
+    """ISO-BMFF (MP4/MOV/fMP4) or Matroska/WebM magic — the
+    containers whose codecs (H.264/H.265/VP9/AV1) genuinely need an
+    external decoder."""
+    return (len(b) > 12 and b[4:8] == b"ftyp") \
+        or b[:4] == b"\x1a\x45\xdf\xa3"
+
+
+def _video_blob_frame_pixels(b: bytes, max_frames: int,
+                             backend: str):
+    """Per-blob dispatch for ``video_frame_hashes``: list of
+    (h, w, c) uint8 frames (``None`` entries for undecodable
+    frames), or ``None`` when the blob yields no frames at all.
+
+    Codec-free paths (MJPEG-in-AVI, animated GIF) run on every
+    backend.  With ``backend != 'pure'``, blobs those paths cannot
+    decode — MP4/WebM containers and AVIs with a non-MJPG codec —
+    fall through to the imageio(+pyav/ffmpeg) frame tap when that
+    import succeeds (resolved INSIDE the task, like the PIL probe:
+    an executor without the codec degrades to ok=false rows, never
+    a task failure).  ``backend='pure'`` never touches an external
+    codec, so registry oracle hashes stay deterministic."""
+    def _frame_pixels(fb: bytes):
+        try:
+            return decode_image_pixels(fb, backend)
+        except (NotImplementedError, ImportError):
+            return None  # stub tier / missing codec → ok=false row
+
+    def _tap():
+        if backend == "pure" or not _video_backend_available():
+            return None
+        try:
+            return _imageio_frame_pixels(b, max_frames) or None
+        except ImportError:
+            return None
+
+    if b[:4] == b"RIFF":
+        try:
+            frames = avi_mjpeg_frames(b)
+        except NotImplementedError:
+            # non-MJPG codec: the honest tier, unless the external
+            # frame tap is importable on this executor
+            return _tap()
+        if not frames:
+            return None
+        n = min(max_frames, len(frames))
+        step = max(1, len(frames) // n)
+        return [_frame_pixels(frames[k * step]) for k in range(n)]
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        frames = gif_decode_frames(b)
+        if not frames:
+            return None
+        n = min(max_frames, len(frames))
+        step = max(1, len(frames) // n)
+        return [frames[k * step] for k in range(n)]
+    if _is_video_container(b):
+        return _tap()
+    return None
+
+
 def video_frame_hashes(
     df: DataFrame,
     content_col: str = "content",
@@ -5205,22 +5300,14 @@ def video_frame_hashes(
     bottleneck) and the pure decoder otherwise; registry oracle
     queries pin ``'pure'`` so the driver's value hash never depends
     on the installed codec.  GIF composition is codec-free either
-    way.  Map-side Arrow batches, no shuffle."""
+    way.  Since r19, ``backend='auto'`` also taps imageio
+    (pyav/ffmpeg) for H.264-tier containers (MP4/WebM, non-MJPG
+    AVI) via ``_video_blob_frame_pixels`` — re-encoded copies of an
+    MJPEG class then land on the same hash grid and merge in
+    ``video_near_dup``; without the import the tier stays the
+    honest ok=false boundary.  Map-side Arrow batches, no shuffle."""
     if backend not in ("auto", "pil", "pure"):
         raise ValueError(f"unknown pixel backend {backend!r}")
-
-    def _frame_pixels(fb: bytes):
-        # 'auto' resolves INSIDE the task (decode_image_pixels probes
-        # the memoized _pil_available on whichever executor runs it) —
-        # resolving on the driver would pin 'pil' onto executors that
-        # lack PIL on a heterogeneous cluster.  ImportError is caught
-        # alongside the stub tier for the same reason: an executor
-        # without the codec degrades to ok=false rows, never a task
-        # failure (the image_pixel_hashes contract).
-        try:
-            return decode_image_pixels(fb, backend)
-        except (NotImplementedError, ImportError):
-            return None  # stub tier / missing codec → ok=false row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -5228,25 +5315,9 @@ def video_frame_hashes(
             for i, payload in zip(pdf["id"], pdf[content_col]):
                 pxs = None
                 if payload is not None:
-                    b = bytes(payload)
-                    if b[:4] == b"RIFF":
-                        try:
-                            frames = avi_mjpeg_frames(b)
-                        except NotImplementedError:
-                            frames = None  # honest codec tier
-                        if frames:
-                            n = min(max_frames, len(frames))
-                            step = max(1, len(frames) // n)
-                            pxs = [
-                                _frame_pixels(frames[k * step])
-                                for k in range(n)
-                            ]
-                    elif b[:6] in (b"GIF87a", b"GIF89a"):
-                        frames = gif_decode_frames(b)
-                        if frames:
-                            n = min(max_frames, len(frames))
-                            step = max(1, len(frames) // n)
-                            pxs = [frames[k * step] for k in range(n)]
+                    pxs = _video_blob_frame_pixels(
+                        bytes(payload), max_frames, backend
+                    )
                 if not pxs:
                     rows.append((i, None, None, 0, 0, None, None, False))
                     continue
@@ -5494,6 +5565,12 @@ def attach_avi_trim_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # container without touching the codec — re-muxed copies (different
 # chunking/interleave, same encoded frames) land on identical hash
 # sets, head-trimmed copies still share every remaining sample.
+# RE-ENCODED copies (new coefficients, same pictures) need pixels:
+# that is the r19 imageio(+pyav/ffmpeg) frame tap behind
+# ``video_frame_hashes(backend='auto')`` — when the import resolves
+# on the executor, H.264-tier frames land on the same perceptual
+# hash grid as MJPEG/GIF and merge in ``video_near_dup``; without
+# it the tier stays the honest ok=false boundary.
 
 
 def _mp4_boxes(b: bytes, lo: int, hi: int):
