@@ -8043,8 +8043,10 @@ def tiff_decode_pixels(b: bytes):
     indices) and 6 YCbCr (only under JPEG, which converts
     internally); chunky AND planar (PlanarConfiguration 2)
     organization; 8 bits per sample (4 allowed for palette).
-    Honest ``NotImplementedError`` stubs: CCITT/old-style-JPEG/
-    other compressions, CMYK, non-8-bit samples, planar JPEG.
+    Honest ``NotImplementedError`` stubs: old-style JPEG
+    (Compression 6 — ADJUDICATED underspecified, see the gate
+    comment below) and other unlisted compressions, CMYK, non-8-bit
+    samples, planar JPEG.
     Torn (None): offsets or counts out of range, a unit decoding to
     the wrong length, LZW/PackBits/Deflate/JPEG corruption, a
     ColorMap of the wrong size — never partial pixels.  16 MP bound
@@ -8096,6 +8098,27 @@ def tiff_decode_pixels(b: bytes):
         return None
     if w * h > 16_000_000:
         return None
+    if comp == 6:
+        # ADJUDICATED out of scope (r19, the JPX precedent): old-style
+        # JPEG-in-TIFF was deprecated by TIFF Technical Note 2 (1995)
+        # because TIFF 6.0 §22 is internally inconsistent (where the
+        # tables live, whether JPEGInterchangeFormat or the strip
+        # offsets govern, whether streams start at SOI) — there is NO
+        # spec-conformant decode to implement, only libtiff's
+        # reverse-engineered header-reconstruction heuristics.  A
+        # "consensus subset" would have to guess those reconstruction
+        # rules, and a wrong guess decodes plausible-but-wrong pixels
+        # for exactly the deviant legacy files involved — the failure
+        # mode this module's honest-flag contract forbids.  Recall
+        # statement: Compression-6 mass is 1990s scanner legacy,
+        # negligible in current crawls; if telemetry ever shows
+        # otherwise the fix is an import-try PIL/libtiff backend
+        # (the decode_images(backend='pil') seam), not a hand-rolled
+        # guesser.
+        raise NotImplementedError(
+            "TIFF compression 6 (old-style JPEG; deprecated by TTN2, "
+            "underspecified — adjudicated honest stub)"
+        )
     if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     if planar not in (1, 2):

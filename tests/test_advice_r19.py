@@ -133,3 +133,25 @@ def test_bench_out_without_value_is_usage_error(monkeypatch):
         bench._local_bench_path()
     monkeypatch.setattr("sys.argv", ["bench.py", "--out", "/tmp/x.json"])
     assert bench._local_bench_path() == "/tmp/x.json"
+
+
+def test_tiff_compression6_adjudicated_stub():
+    """r19 verdict ask 7: old-style JPEG-in-TIFF stays an honest,
+    WRITTEN-adjudication stub (TTN2-deprecated, underspecified)."""
+    import struct
+
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    px = mm._tiff_fixture_pixels(0)
+    blob = bytearray(mm.tiff_encode(px))
+    n = struct.unpack_from("<H", blob, 8)[0]
+    hit = False
+    for k in range(n):
+        off = 10 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", blob, off)
+        if tag == 259:  # Compression
+            struct.pack_into("<I", blob, off + 8, 6)
+            hit = True
+    assert hit
+    with pytest.raises(NotImplementedError, match="adjudicated"):
+        mm.tiff_decode_pixels(bytes(blob))
