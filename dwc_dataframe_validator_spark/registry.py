@@ -1,11247 +1,121 @@
-"""Driver-contract registry: every implemented operator as a
-(spark, sf_dir) → DataFrame query plus, where SQL-expressible, an
-exactly-equivalent DuckDB oracle.
+"""Driver-contract registry (assembler).
 
-Design rules that make the oracle comparison exact (not approximate):
-- money/quantity aggregations cast to DECIMAL(18,2/4) BEFORE summing —
-  decimal addition is exact and order-independent, then one final cast
-  to DOUBLE (values ≤ 2^53, lossless);
-- float similarity (cosine) accumulates sequentially in DOUBLE on both
-  engines (Spark ``aggregate``/``zip_with`` vs DuckDB
-  ``list_sum``/``list_zip``) — verified bit-exact;
-- every computed column is aliased identically on both sides (the
-  driver sorts columns by name before hashing);
-- ties in any top-k / row_number are broken by a unique id column;
-- ``events.ts`` arrives as TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
-  depending on how the driver data was generated: Spark loads it via
-  ``sources.tables.load_table`` (normalizes either physical layout to
-  TimestampType), the oracle uses ``CAST(ts AS TIMESTAMP)`` — both
-  exact because the generator emits whole microseconds.
-
-Queries without an oracle entry (MinHash LSH, SimHash, HLL) are
-genuinely not expressible in portable SQL (engine-specific hash
-functions); the driver records rows-only checks for them and pytest
-covers their semantics with planted duplicates.
+The query implementations live in ``registry_parts/part1..6``
+(a sequential append-only chain — the round-19 mechanical split
+of the former 11.4k-line single file; zero name changes).  This
+module re-exports everything, then applies the curated
+``DRIVER_WINDOW`` ordering — the one deliberate, test-pinned
+edit point (tests/test_plans.py mirrors the literal window).
+See registry_parts/part1.py for the oracle design rules.
 """
-
 from __future__ import annotations
 
-import os
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from .operators import (
-    annotate,
-    dedup,
-    integrity,
-    multimodal,
-    packing,
-    sampling,
-    similarity,
-    skew,
-    sketch,
-    spans,
-    text,
-)
-from .operators.validate import (
-    NUMERIC_FIELDS,
-    RECORDED_BY_FIELDS,
-    TAXONOMY_FIELDS,
-    TEMPORAL_FIELDS,
-    occurrence_metrics_dataframe,
-)
-from .functions import expressions as E
-from .functions.dates import multiformat_oracle_sql
-from .sources.tables import load_table
-from .vocab import (
-    basis_of_record_vocabulary,
-    geodetic_datum_vocabulary,
-    lowered,
-)
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# Shared by the dedup_embedding_cosine oracle and the dedup_clusters
-# recursive-closure oracle — one definition, so the edge sets can't drift.
-_EMB_PAIRS_SQL = """
-        SELECT a.vec_id AS ida, b.vec_id AS idb,
-          list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
-"""
-
-_BOR_LOWER = sorted(lowered(basis_of_record_vocabulary))
-_BOR_SQL = ", ".join(f"'{v}'" for v in _BOR_LOWER)
-
-
-def _dec(col: str, scale: int = 2) -> F.Column:
-    return F.col(col).cast(f"decimal(18,{scale})")
-
-
-# --------------------------------------------------------------------------
-# synthetic occurrence view (flagship validation target over driver data)
-# --------------------------------------------------------------------------
-
-def occurrence_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Occurrence-shaped view over the ``events`` driver table: mixed
-    valid/invalid coordinates, a partially-recognised basisOfRecord,
-    ISO eventDate strings — the realistic profile the validator exists
-    for."""
-    ev = load_table(spark, sf_dir, "events")
-    bor = (
-        F.when(F.col("event_type") == "click", F.lit("HumanObservation"))
-        .when(F.col("event_type") == "view", F.lit("Observation"))
-        .when(F.col("event_type") == "purchase", F.lit("MaterialSample"))
-        .when(F.col("event_type") == "signup", F.lit("BOGUS"))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    return ev.select(
-        F.col("event_id").cast("string").alias("occurrenceID"),
-        (F.col("value") / 3 - 50).alias("decimalLatitude"),
-        (F.col("value") - 200).alias("decimalLongitude"),
-        F.col("event_type").alias("scientificName"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("eventDate"),
-        bor.alias("basisOfRecord"),
-        F.col("user_id").cast("string").alias("recordedBy"),
-    )
-
-_OCC_VIEW_SQL = """
-    SELECT CAST(event_id AS VARCHAR) AS occurrenceID,
-           "value" / 3 - 50  AS decimalLatitude,
-           "value" - 200     AS decimalLongitude,
-           event_type        AS scientificName,
-           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS eventDate,
-           CASE event_type WHEN 'click' THEN 'HumanObservation'
-                           WHEN 'view' THEN 'Observation'
-                           WHEN 'purchase' THEN 'MaterialSample'
-                           WHEN 'signup' THEN 'BOGUS'
-                           ELSE NULL END AS basisOfRecord,
-           CAST(user_id AS VARCHAR) AS recordedBy
-    FROM events
-"""
-
-
-# The occurrence view's column order, as produced by occurrence_view():
-# metric names like cc_3 are positional in this list, so the oracle walk
-# below must see the identical sequence.
-_OCC_VIEW_COLUMNS = [
-    "occurrenceID", "decimalLatitude", "decimalLongitude",
-    "scientificName", "eventDate", "basisOfRecord", "recordedBy",
-]
-
-
-def _full_metrics_oracle_sql() -> str:
-    """DuckDB mirror of ``operators.validate._register_metrics`` over
-    the occurrence view — the same walk, one SELECT item per metric,
-    identically aliased, so ``occurrence_full_metrics`` (the flagship
-    "every scalar metric in one pass" aggregate) sits behind the hard
-    hash gate instead of a rows-only check.
-
-    Shares the field-list constants with the Spark walk; a metric added
-    to ``_register_metrics`` without a translation here shows up as a
-    schema mismatch, not a silent gap."""
-    cols = _OCC_VIEW_COLUMNS
-    colset = set(cols)
-    id_fields = ["occurrenceID"]
-
-    def q(c: str) -> str:
-        return f'"{c}"'
-
-    items: list[str] = ["count(*) AS record_count"]
-    for i, c in enumerate(cols):
-        items.append(f"count({q(c)}) AS cc_{i}")
-    for i, field in enumerate(id_fields):
-        if field in colset:
-            items.append(f"count({q(field)}) AS id_pop_{i}")
-            if len(id_fields) == 1:
-                items.append(f"count(DISTINCT {q(field)}) AS id_dist_{i}")
-    for i, field in enumerate(NUMERIC_FIELDS):
-        if field in colset:
-            items.append(
-                f"count(TRY_CAST({q(field)} AS DOUBLE)) AS num_valid_{i}"
-            )
-    for name, group in [
-        ("taxonomy", TAXONOMY_FIELDS),
-        ("temporal", TEMPORAL_FIELDS),
-        ("recorded_by", RECORDED_BY_FIELDS),
-    ]:
-        present = [f for f in group if f in colset]
-        if present:
-            pred = " OR ".join(f"{q(f)} IS NOT NULL" for f in present)
-            items.append(f"count(*) FILTER (WHERE {pred}) AS {name}")
-    if "decimalLatitude" in colset and "decimalLongitude" in colset:
-        items.append('count("decimalLatitude") AS lat_pop')
-        items.append('count("decimalLongitude") AS lon_pop')
-        items.append(
-            'count(*) FILTER (WHERE TRY_CAST("decimalLatitude" AS DOUBLE)'
-            " BETWEEN -90 AND 90) AS lat_valid"
-        )
-        items.append(
-            'count(*) FILTER (WHERE TRY_CAST("decimalLongitude" AS DOUBLE)'
-            " BETWEEN -180 AND 180) AS lon_valid"
-        )
-    for field, vocab in [
-        ("basisOfRecord", basis_of_record_vocabulary),
-        ("geodeticDatum", geodetic_datum_vocabulary),
-    ]:
-        if field in colset:
-            in_list = ", ".join(f"'{v}'" for v in sorted(lowered(vocab)))
-            items.append(f"count(*) - count({q(field)}) AS vnull_{field}")
-            items.append(
-                f"count(*) FILTER (WHERE lower(CAST({q(field)} AS VARCHAR))"
-                f" IN ({in_list})) AS vrec_{field}"
-            )
-    select = ",\n               ".join(items)
-    return f"WITH occ AS ({_OCC_VIEW_SQL})\n        SELECT {select}\n        FROM occ"
-
-
-# --------------------------------------------------------------------------
-# query implementations
-# --------------------------------------------------------------------------
-
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 flavor: single-scan groupBy aggregation on lineitem.
-    Decimal-accumulated sums (exact), derived double averages."""
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
-    out = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-    return out.select(
-        "*",
-        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
-        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
-    )
-
-
-def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 orders by revenue.  The per-order revenue sums on an
-    exact LONG grid (cents × basis points = 1e-4 units) instead of
-    DECIMAL: both are exact and order-independent on the 2-decimal
-    driver prices, but a decimal(18,4) sum widens its accumulator to
-    decimal(28,4), which is not long-backed — with groups ∝ rows
-    (one per order; millions at scale, unlike q1's six) the per-group
-    BigDecimal state made this aggregate 16× slower than a long sum
-    in the round-6 10× spot-check (BASELINE.md appendix).  The final
-    ``sum/10000.0`` is one IEEE division of an exact integer —
-    bit-identical on both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-    disc_bp = F.floor(F.col("l_discount") * 100 + F.lit(0.5))
-    rev = (
-        li.groupBy("l_orderkey")
-        .agg(
-            (
-                F.sum(cents * (F.lit(100) - disc_bp)) / F.lit(10000.0)
-            ).alias("revenue")
-        )
-    )
-    return (
-        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
-        .select("o_orderkey", "o_orderdate", "revenue")
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join: fact lineitem→orders, then broadcast dims
-    (customer/nation/region are dimension-sized by construction)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    region = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(customer, orders["o_custkey"] == customer["c_custkey"])
-        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
-        .join(region, nation["n_regionkey"] == region["r_regionkey"])
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(
-            F.sum(
-                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(18,4)")
-            ).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-def a1_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "lineitem").agg(
-        E.record_count().alias("record_count")
-    )
-
-
-def a2_column_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        *[E.populated_count(c).alias(f"cnt_{c}") for c in orders.columns]
-    )
-
-
-def a4_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        E.populated_count("value").alias("populated"),
-        E.valid_range_count("value", 2, 8).alias("in_range"),
-    )
-
-
-def a5_group_populated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.agg(
-        E.group_populated_count(["text", "lang"]).alias("any_populated"),
-        E.record_count().alias("record_count"),
-    )
-
-
-def a8_a9_distinct_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        E.populated_count("l_orderkey").alias("populated"),
-        E.distinct_count("l_orderkey").alias("distinct_cnt"),
-        E.duplicate_count("l_orderkey").alias("duplicate_cnt"),
-    )
-
-
-def a10_vocab_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    vocab = ["a", "r"]
-    return li.agg(
-        E.record_count().alias("record_count"),
-        E.null_count("l_returnflag").alias("null_cnt"),
-        E.vocab_recognised_count("l_returnflag", vocab).alias("recognised"),
-    ).select(
-        "*",
-        (F.col("record_count") - F.col("null_cnt") - F.col("recognised")).alias("unrecognised"),
-    )
-
-
-def a11_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return E.value_histogram(li, "l_returnflag").withColumnRenamed("count", "cnt")
-
-
-def a12_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return E.top_k_values(part, "p_brand", 20).withColumnRenamed("count", "cnt")
-
-
-def a13_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return E.date_parts_histogram(orders, "o_orderdate").withColumnRenamed("count", "cnt")
-
-
-def a14_offender_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return E.offending_values_sample(docs, "lang", ["en", "de"], 10)
-
-
-def p4_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    return cust.filter(E.in_range("c_acctbal", 0, 1000)).select("c_custkey", "c_acctbal")
-
-
-def p6_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(E.vocab_member("event_type", ["error", "signup"])).select("event_id")
-
-
-def p8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.agg(
-        F.sum(k).alias("sum_k"),
-        F.count(k).alias("cnt_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
-    )
-
-
-def occurrence_full_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EVERY scalar metric of the occurrence validator over the
-    synthetic view in one lazy aggregate (rows-only: metric-name
-    columns like cc_0 are engine-internal; the SQL-oracled subset is
-    ``occurrence_validation_metrics``)."""
-    occ = occurrence_view(spark, sf_dir)
-    return occurrence_metrics_dataframe(occ, ["occurrenceID"], "")
-
-
-def occurrence_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The validator's scalar metrics over the synthetic occurrence
-    view, spelled as one explicit aggregate so the oracle can replicate
-    it metric-for-metric."""
-    occ = occurrence_view(spark, sf_dir)
-    return occ.agg(
-        E.record_count().alias("record_count"),
-        E.distinct_count("occurrenceID").alias("occurrence_id_distinct"),
-        E.populated_count("decimalLatitude").alias("lat_populated"),
-        E.valid_range_count("decimalLatitude", -90, 90).alias("lat_valid"),
-        E.valid_range_count("decimalLongitude", -180, 180).alias("lon_valid"),
-        E.vocab_recognised_count("basisOfRecord", _BOR_LOWER).alias("bor_recognised"),
-        E.null_count("basisOfRecord").alias("bor_null"),
-        E.group_populated_count(["eventDate"]).alias("temporal_populated"),
-        E.group_populated_count(["scientificName"]).alias("taxonomy_populated"),
-    )
-
-
-def fk_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return integrity.fk_orphan_count(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        "o_custkey", "c_custkey", broadcast_parent=True,
-    )
-
-
-def fk_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return integrity.fk_orphan_count(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        "l_orderkey", "o_orderkey",
-    )
-
-
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return dedup.duplicate_groups(ev, ["user_id", "event_type"])
-
-
-def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return dedup.exact_dedup_keepers(
-        ev, ["user_id", "event_type"], ["ts", "event_id"]
-    ).select("event_id")
-
-
-def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
-
-
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup pairs (rows-only check: xxhash64 has
-    no portable SQL equivalent; semantics covered by planted-duplicate
-    pytest).
-
-    No trailing orderBy: a global sort's range-partitioning SAMPLING
-    pass re-executes the whole uncached LSH join pipeline a second time
-    (the r3 bench regression, 7.4→12.0 s at sf0.1) and buys nothing for
-    a rows-only count check."""
-    docs = load_table(spark, sf_dir, "documents")
-    # driver docs are short (~70 words): the signature-estimate
-    # prefilter's joins cost more than the verify join they save
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5, estimate_prefilter=False)
-
-
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash64(docs)
-
-
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_stats(load_table(spark, sf_dir, "documents"))
-
-
-def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-BPE token counts (greedy merge loop over the repo-shipped
-    vocabulary) via Arrow-batched mapInPandas — rows-only: the merge
-    loop is not SQL-expressible; semantics are pytest-pinned against
-    hand-computed encodings and the regex proxy lower bound.  No
-    trailing orderBy: the sort's sampling pass would run the Python BPE
-    encoder over the corpus a second time, for a rows-only check."""
-    return text.token_stats_bpe(load_table(spark, sf_dir, "documents"))
-
-
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(load_table(spark, sf_dir, "documents"))
-
-
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.language_id(load_table(spark, sf_dir, "documents"))
-
-
-#: multi-script fixture texts for language_id_v2 — ONE literal table
-#: shared by the Spark fixture column and the SQL twin, so the planted
-#: corpus can never drift between engines.  doc_id % 8 == 0 keeps the
-#: original (Latin) document text; 7 plants a Latin-dominant page with
-#: a katakana minority (the mixed-page tie rule).
-_MULTISCRIPT_TEXTS = {
-    1: "数据 管理 系统 的 设计 与 实现 文档 编号 ",
-    2: "日本語のテストです。データ処理システムの設計 ",
-    3: "한국어 문서입니다 데이터 처리 시스템 설계 ",
-    4: "это тестовый документ о системах обработки данных ",
-    5: "هذا مستند تجريبي حول أنظمة معالجة البيانات ",
-    6: "यह डेटा प्रोसेसिंग सिस्टम के बारे में एक परीक्षण दस्तावेज़ है ",
-    7: "the data processing system of the corpus テスト ",
-}
-
-
-def _multiscript_text_col() -> F.Column:
-    d = F.col("doc_id")
-    out = F.col("text")
-    for m, prefix in _MULTISCRIPT_TEXTS.items():
-        out = F.when(
-            d % 8 == m, F.concat(F.lit(prefix), d.cast("string"))
-        ).otherwise(out)
-    return out
-
-
-_MULTISCRIPT_TEXT_SQL = "CASE %s ELSE text END" % " ".join(
-    "WHEN doc_id %% 8 = %d THEN '%s' || CAST(doc_id AS VARCHAR)" % (m, s)
-    for m, s in _MULTISCRIPT_TEXTS.items()
+from .registry_parts.part6 import *  # noqa: F401,F403
+from .registry_parts.part6 import (  # noqa: F401 — underscore surface
+    _ABBREV_PREFIXES,
+    _BOR_LOWER,
+    _BOR_SQL,
+    _BPE_SF001_MERGES,
+    _DWCA_EVENT_FIXTURE,
+    _DWCA_FIXTURE,
+    _EMB_PAIRS_SQL,
+    _EPOCH_BUDGET,
+    _EVENT_TYPES,
+    _GROUP_BUDGETS,
+    _JSONL_FIXTURE,
+    _JUSTEXT_FIXTURE_SQL,
+    _JUSTEXT_TAIL,
+    _MIXTURE,
+    _MULTISCRIPT_TEXTS,
+    _MULTISCRIPT_TEXT_SQL,
+    _OCC_VIEW_COLUMNS,
+    _OCC_VIEW_SQL,
+    _ORDERS_PROFILE_COLS,
+    _ROBOTS_HOSTS,
+    _ROBOTS_PATHS,
+    _ROBOTS_RULES,
+    _SPLITS,
+    _TEMP_BUDGET,
+    _TGT_BUDGET,
+    _URL_FIXTURE_SQL,
+    _URL_NORM_SQL,
+    _adpcm_pinned_oracle,
+    _audio_resample_oracle,
+    _audio_window_pinned_oracle,
+    _bmp_pinned_oracle,
+    _bmp_rle_pinned_oracle,
+    _bmp_variant_pinned_oracle,
+    _bpe_learned_oracle_sql,
+    _charset_pinned_oracle,
+    _content_encoding_pinned_oracle,
+    _dec,
+    _docs_as_lines,
+    _eml_pinned_oracle,
+    _frame_sample_pinned_oracle,
+    _full_metrics_oracle_sql,
+    _gif_anim_pinned_oracle,
+    _gif_pinned_oracle,
+    _hash_case_oracle,
+    _hash_split_oracle_sql,
+    _ico_pinned_oracle,
+    _image_finalize_oracle,
+    _image_ingest_oracle,
+    _image_resize_oracle,
+    _jpeg_pinned_oracle,
+    _jpeg_prog_pinned_oracle,
+    _justext_oracles,
+    _justext_payload_col,
+    _mbox_pinned_oracle,
+    _merged_profile_oracle_sql,
+    _minhash_keepers_oracle,
+    _mixture_oracle_sql,
+    _mp3_frame_pinned_oracle,
+    _mp4_sample_pinned_oracle,
+    _ms_adpcm_pinned_oracle,
+    _multiscript_text_col,
+    _ngram_rep_oracle,
+    _occurrence_checks,
+    _odf_pinned_oracle,
+    _office_corpus_pinned_oracle,
+    _ogg_sample_pinned_oracle,
+    _pdf_cid_pinned_oracle,
+    _pdf_encrypted_pinned_oracle,
+    _pdf_image_pinned_oracle,
+    _pdf_text_pinned_oracle,
+    _pdf_token_stats_oracle,
+    _pii_oracle_sql,
+    _pin_text_lit,
+    _png_i_pinned_oracle,
+    _png_pinned_oracle,
+    _quality_drift_oracle_sql,
+    _quality_histogram_oracle_sql,
+    _quality_model_oracle_sql,
+    _robots_effective,
+    _robots_oracle,
+    _robots_payloads,
+    _sql_lit,
+    _synthetic_url_col,
+    _table_profile_oracle_sql,
+    _tar_fixture_rows,
+    _tar_members_oracle,
+    _tiff_pinned_oracle,
+    _token_budget_by_group_oracle_sql,
+    _token_budget_oracle_sql,
+    _top_fraction_oracle_sql,
+    _video_frame_pinned_oracle,
+    _wav_codec_pinned_oracle,
+    _wav_mp3_frame_pinned_oracle,
+    _wav_pinned_oracle,
+    _web,
+    _webdataset_group_oracle,
+    _webm_sample_pinned_oracle,
+    _wire_decode_pinned_oracle,
+    _zip_fixture_rows,
+    _zip_group_oracle,
+    _zip_members_oracle,
+    _zstd_dict_pinned_oracle,
 )
 
-
-def text_language_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script-aware language ID (operators/text.py ``language_id_v2``):
-    eleven explicit-codepoint-range Unicode script counters, dominant
-    script with fixed tie precedence, language guess with the han/kana
-    Japanese rule and the Latin stopword fallback.  Runs over the
-    documents table with a planted multi-script rotation (CJK, Hangul,
-    Cyrillic, Arabic, Devanagari, mixed pages) so every rule is
-    exercised on driver data; ONE map-side projection."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.withColumn("text", _multiscript_text_col())
-    return text.language_id_v2(planted)
-
-
-def text_ngram_top_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index Jaccard WITH the document-frequency skew guard:
-    shingles present in more than max(5, N/10) documents are dropped
-    before pairing — a hyper-common shingle ("of the") would otherwise
-    put a constant fraction of the corpus into one join bucket and the
-    pair fan-out is quadratic in that bucket.  The oracle applies the
-    same HAVING cap.  The cap itself is computed IN-PLAN
-    (``text.df_cap_frame``, one broadcast row) — no driver-side count
-    job before the query starts."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.jaccard_top_neighbor(
-        docs, n=2, max_shingle_df=text.df_cap_frame(docs)
-    )
-
-
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
-
-
-def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy brute-force variant; sim omitted from the output so
-    the oracle (which checks ranks) matches bit-for-bit."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_arrow(emb, emb.filter("vec_id < 8"), k=5).select(
-        "query_id", "neighbor_id", "rank"
-    )
-
-
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter("vec_id < 8"), k=3)
-
-
-def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-quantizer IVF (k-means cells) with nprobe=2: each query
-    scans its two nearest cells, recovering neighbors across cell
-    boundaries.  Rows-only check: k-means has no portable SQL
-    equivalent; recall-vs-nprobe semantics are covered by the
-    planted-boundary pytest.  No trailing orderBy: the sort's sampling
-    pass would re-run the k-means fit + probe join a second time, for a
-    rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk_trained(
-        emb, emb.filter("vec_id < 8"), k=3, n_cells=8, nprobe=2,
-        fit_fraction=0.5, max_iter=10,
-    )
-
-
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_dup_pairs(emb, threshold=0.4)
-
-
-def _occurrence_checks() -> dict[str, F.Column]:
-    return {
-        "lat_range": E.in_range("decimalLatitude", -90, 90),
-        "lon_range": E.in_range("decimalLongitude", -180, 180),
-        "bor_vocab": E.vocab_member("basisOfRecord", _BOR_LOWER),
-        "recorded_by": F.col("recordedBy").isNotNull(),
-    }
-
-
-def annotate_row_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level failed-check annotation over the occurrence view;
-    errors joined to a string so the oracle hash is representation-
-    stable."""
-    occ = occurrence_view(spark, sf_dir)
-    out = annotate.annotate_errors(occ, _occurrence_checks())
-    return out.select(
-        "occurrenceID",
-        F.array_join("errors", ",").alias("error_list"),
-        F.size("errors").alias("n_errors"),
-    )
-
-
-def quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    occ = occurrence_view(spark, sf_dir)
-    valid, quarantined = annotate.split_valid(occ, _occurrence_checks())
-    v = valid.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("valid").alias("bucket"), "cnt")
-    q = quarantined.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("quarantined").alias("bucket"), "cnt")
-    return v.unionAll(q)
-
-
-def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-window (30-min gap) check counts per user — batch twin
-    of streaming.session_check_counts (same code path)."""
-    from .streaming.validation import session_check_counts
-
-    ev = load_table(spark, sf_dir, "events")
-    return session_check_counts(
-        ev,
-        checks={"is_error": E.vocab_member("event_type", ["error"])},
-        ts_col="ts",
-        gap="30 minutes",
-        group_cols=("user_id",),
-    )
-
-
-def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of streaming.windowed_check_counts — the exact same
-    code path runs on a bounded frame (no watermark branch), which is
-    what makes the streaming surface oracle-checkable.  Hourly tumbling
-    windows align to epoch hours, so the oracle is date_trunc('hour')."""
-    from .streaming.validation import windowed_check_counts
-
-    ev = load_table(spark, sf_dir, "events")
-    return windowed_check_counts(
-        ev,
-        checks={
-            "value_in_range": E.in_range("value", 2, 8),
-            "is_error": E.vocab_member("event_type", ["error"]),
-        },
-        ts_col="ts",
-        window="1 hour",
-    )
-
-
-def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window twin (2-hour windows every hour): every event
-    lands in exactly two windows, which the oracle reproduces by
-    exploding each row to both epoch-aligned window starts.  Same
-    batch≡stream code path as stream_window_counts."""
-    from .streaming.validation import windowed_check_counts
-
-    ev = load_table(spark, sf_dir, "events")
-    return windowed_check_counts(
-        ev,
-        checks={"is_purchase": E.vocab_member("event_type", ["purchase"])},
-        ts_col="ts",
-        window="2 hours",
-        slide="1 hour",
-    )
-
-
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity) per user: lag +
-    cumulative-sum window — one shuffle on user_id."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    new_s = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1
-    ).otherwise(0)
-    return (
-        ev.withColumn("_new", new_s)
-        .groupBy("user_id")
-        .agg(
-            F.sum("_new").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-
-
-def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase event matched to the user's most
-    recent click at or before it.  Clicks are pre-deduplicated to one
-    per (user, ts) so tie semantics are well-defined on both engines."""
-    from .operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
-    )
-    out = asof_join(
-        purchases,
-        clicks.withColumnRenamed("click_ts", "ts"),
-        key="user_id",
-        ts="ts",
-    )
-    return out.select(
-        "event_id", "user_id", "ts",
-        F.col("r_click_id").alias("click_id"),
-        F.col("r_ts").alias("click_ts"),
-    )
-
-
-def range_join_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed range join: error events matched into their user's
-    session interval (intervals from the session-window operator) — the
-    equi-join formulation of ts BETWEEN s_start AND s_end."""
-    from .operators.rangejoin import interval_join
-    from .streaming.validation import session_check_counts
-
-    ev = load_table(spark, sf_dir, "events")
-    sessions = session_check_counts(
-        ev, checks={}, ts_col="ts", gap="30 minutes", group_cols=("user_id",)
-    ).select(
-        F.col("user_id").alias("s_user"), "s_start", "s_end", "cnt"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", F.col("user_id").alias("s_user"), "ts"
-    )
-    out = interval_join(
-        errors, sessions, ts_col="ts", start_col="s_start",
-        end_col="s_end", key="s_user", bucket_width="1 hour",
-    )
-    return out.select(
-        "event_id", F.col("s_user").alias("user_id"), "s_start",
-        F.col("cnt").alias("session_events"),
-    )
-
-
-def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage salted aggregation on the (skewed, tiny-domain)
-    event_type key — result identical to a plain groupBy count, max
-    per-reducer load divided by the salt factor."""
-    ev = load_table(spark, sf_dir, "events")
-    return skew.salted_groupby_count(
-        ev, ["event_type"], salt_buckets=16, salt_source=["event_id"]
-    )
-
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: events per (day-of-week × event_type).  The pivot value
-    list is supplied explicitly — an unlisted pivot would need an extra
-    distinct scan to discover the columns."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.dayofweek("ts").alias("dow"))
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, _EVENT_TYPES)
-    )
-
-
-def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: nations having customers INTERSECT nations
-    having suppliers, UNION-tagged with nations having customers but no
-    suppliers (EXCEPT)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey")
-    c = cust.withColumnRenamed("c_nationkey", "nk").distinct()
-    s = supp.withColumnRenamed("s_nationkey", "nk").distinct()
-    both = c.intersect(s).select(F.lit("both").alias("tag"), "nk")
-    only_c = c.exceptAll(s).select(F.lit("customers_only").alias("tag"), "nk")
-    return both.unionAll(only_c)
-
-
-def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric column profile: count/min/max, exact decimal sum, and
-    exact interpolated quartiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont`` — both sort-based, deterministic; mean/stddev over
-    doubles are order-dependent and deliberately excluded).
-    Percentile state is the whole column: at 100 TB use the bounded-state
-    twin ``numeric_profile_approx`` (operators/quantiles.py)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-    return li.agg(
-        F.count("l_extendedprice").alias("cnt"),
-        F.min("l_extendedprice").alias("mn"),
-        F.max("l_extendedprice").alias("mx"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("total"),
-        p.getItem(0).alias("p25"),
-        p.getItem(1).alias("p50"),
-        p.getItem(2).alias("p75"),
-    )
-
-
-def numeric_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-state twin of ``numeric_profile``: approx_percentile
-    (Greenwald-Khanna sketch) instead of exact sort-based percentile —
-    THE form to use on a 100 TB column (exact percentile buffers every
-    value in the aggregation state).  Rows-only: the sketch is
-    engine-specific; the rank-error bound |rank/n − q| ≤ 1/accuracy is
-    pinned by tests/test_quantiles.py against the exact sibling."""
-    from .operators.quantiles import numeric_profile_approx as _npa
-
-    return _npa(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
-
-
-def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition-quality signals (operators/text.py
-    ``repetition_profile``): duplicate-line fraction, duplicate-line
-    character fraction, and top-word share per document — the
-    boilerplate/spam signals a quality gate needs beyond length ratios.
-    Fully SQL-portable, exact oracle."""
-    return text.repetition_profile(load_table(spark, sf_dir, "documents"))
-
-
-def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pattern-based PII scrub (operators/text.py ``pii_scrub``):
-    email/IPv4/phone match counts plus the redacted text, one map-side
-    projection.  Patterns are shared constants with the oracle (RE2-safe
-    so Java regex and DuckDB RE2 agree)."""
-    return text.pii_scrub(load_table(spark, sf_dir, "documents"))
-
-
-def corpus_pack_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE training-data pipeline in one plan: quality gate →
-    exact dedup (fingerprint, keep min id) → deterministic 50% sample
-    (operators/pipeline.py ``prepare_training_corpus``) → sequence
-    packing into 128-token streams over 4 hash buckets
-    (operators/packing.py) → per-bucket packing stats.
-
-    Three shuffles total for five pipeline stages (fingerprint window,
-    pack-bucket window — the sample is a map-side filter between them —
-    and nothing else: both aggregations reuse the pack-bucket
-    partitioning).  The oracle replays every stage in one WITH chain,
-    so the cross-stage interaction — not just each stage alone — sits
-    behind the exact-hash gate."""
-    from .operators.pipeline import prepare_training_corpus
-
-    corpus = prepare_training_corpus(load_table(spark, sf_dir, "documents"))
-    packed = packing.pack_sequences(
-        corpus, "doc_id", "n_tokens", seq_budget=128, n_buckets=4
-    )
-    return packing.packing_stats(packed, "n_tokens", seq_budget=128)
-
-
-def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 symmetric scalar quantization of the embedding column
-    (operators/similarity.py ``quantize_embeddings``) — the 4× shuffle/
-    cache diet for vector workloads at 100 TB.  Codes use the explicit
-    ``floor(x/scale + 0.5)`` rounding formula (engine round() tie rules
-    differ) so the oracle checks every code value-for-value; the array
-    is comma-joined to a string for the hash gate (same convention as
-    the MinHash signature columns)."""
-    from .operators.similarity import quantize_embeddings
-
-    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return q.select(
-        "vec_id",
-        F.size("qvec").alias("dim"),
-        F.concat_ws(",", F.col("qvec")).alias("qvec_str"),
-        "scale",
-    )
-
-
-def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear quality-model inference at scan speed (operators/text.py
-    ``model_quality_score``): transcendental-free features × shared
-    weight constants → bit-identical doubles on both engines, so even
-    the model SCORE crosses the exact-hash gate.  The oracle's feature
-    and logit SQL is generated from the same constants."""
-    return text.model_quality_score(load_table(spark, sf_dir, "documents"))
-
-
-def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack the document corpus into 128-token training sequences
-    across 8 hash buckets (operators/packing.py) and summarize per
-    bucket.  Value-deterministic end to end (md5 bucket, id-order
-    stream, exact dyadic fill ratios) — the oracle replays the whole
-    assignment.  One shuffle + per-bucket window; ``n_buckets`` is the
-    parallelism knob at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", text.token_count("text").alias("n_tokens")
-    )
-    packed = packing.pack_sequences(
-        docs, "doc_id", "n_tokens", seq_budget=128, n_buckets=8
-    )
-    return packing.packing_stats(packed, "n_tokens", seq_budget=128)
-
-
-_MIXTURE = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
-
-
-def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture sampling (operators/sampling.py ``mixture_sample``):
-    four sources at explicit rates, everything else dropped, in ONE
-    map-side CASE filter — then a per-source survival profile.  The
-    oracle applies the identical md5 thresholds, so the sampled subset
-    (not just its size) is pinned."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = sampling.mixture_sample(docs, "source", "doc_id", _MIXTURE)
-    return s.groupBy("source").agg(
-        F.count(F.lit(1)).alias("sampled_docs"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
-        F.sum(F.col("n_chars")).cast("long").alias("sampled_chars"),
-    )
-
-
-def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global shuffle + sharding for training export
-    (operators/sampling.py ``assign_shards``): md5 shard id and
-    full-digest shuffle position over the events table, profiled per
-    shard (row count, distinct users, first position in shuffle order).
-    The write-side layout contract lives in sources/sinks.py; this
-    checks the assignment itself value-for-value."""
-    ev = load_table(spark, sf_dir, "events")
-    s = sampling.assign_shards(ev, "event_id", n_shards=16)
-    return s.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        E.distinct_count("user_id").alias("n_users"),
-        F.min("shard_pos").alias("first_pos"),
-    )
-
-
-def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running event count and value sum ordered by time —
-    the cumulative-window shape (one shuffle on user_id; ordering is
-    within-partition)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).alias("running_n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
-        .cast("double").alias("running_value"),
-    )
-
-
-def rollup_date_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over (year, month): per-month, per-year and grand-total
-    counts in one pass (Expand + single aggregation)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.rollup(
-            F.year("o_orderdate").alias("y"),
-            F.month("o_orderdate").alias("m"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
-        )
-    )
-
-
-def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.blob_metadata(multimodal.attach_text_blob(docs))
-
-
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``decode_images`` plumbing over binary blobs — RE-POINTED in
-    round 13 (per the r12 verdict) from the fake byte-arithmetic stub
-    to the REAL codec-free header backend over the planted media
-    fixtures (PNG/JPEG/GIF/BMP/WAV headers whose dimensions are pure
-    doc_id arithmetic): (id, width, height, channels, ok) now has an
-    exact oracle.  WAV rows are ok=false with zeros (an image decoder)
-    and %%17 truncations likewise — the header-backend contract."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_images(
-        multimodal.attach_media_blob(docs), backend="header"
-    )
-
-
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-EXPANDING frame sampling (1 blob → n frames) — RE-POINTED
-    in round 13 (per the r12 verdict) from the stub sampler to the
-    REAL codec-free MJPEG-in-AVI walk over the video fixtures, with
-    the binary frame bytes projected to portable derivatives
-    ``(doc_id, frame_idx, n_bytes, frame_md5)`` so the check is
-    exact-oracled: the pinned constants are the md5/length of the
-    very JPEG frame bytes the RIFF walk must return.  Corrupt
-    containers (%%17) yield zero frames."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    frames = multimodal.sample_frames(
-        multimodal.attach_avi_blob(docs), fake=False
-    )
-    return frames.select(
-        F.col("id").alias("doc_id"),
-        "frame_idx",
-        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
-        F.md5("frame_bytes").alias("frame_md5"),
-    )
-
-
-def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile binning of event value — the step behind score
-    calibration / threshold sweeps.  Deliberately NOT ``ntile(10)``
-    over a global window (a single-partition sort — a scale-killer):
-    boundaries come from one exact-percentile aggregate, broadcast into
-    a map-side bucket assignment, then one groupBy.  Ties sharing a
-    boundary land in the same bucket (value-boundary deciles, the
-    standard large-scale formulation).  Exact boundaries buffer the
-    column; at 100 TB use ``operators.quantiles.value_deciles_approx``."""
-    ev = load_table(spark, sf_dir, "events")
-    qs = [i / 10 for i in range(1, 10)]
-    p = F.expr(f"percentile(value, array({', '.join(map(str, qs))}))")
-    bounds = ev.agg(*[p.getItem(i).alias(f"b{i}") for i in range(9)])
-    decile = (
-        sum(
-            (F.col("value") > F.col(f"b{i}")).cast("int")
-            for i in range(9)
-        )
-        + F.lit(1)
-    ).cast("long")
-    return (
-        ev.crossJoin(F.broadcast(bounds))
-        .filter(F.col("value").isNotNull())
-        .select(F.col("value"), decile.alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
-    )
-
-
-def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — deterministic for a given input
-    but engine-specific, so rows-only.  The exact half lives in
-    ``exact_distinct_users`` where it gets a hash-checked oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        E.approx_distinct_count("user_id").alias("approx_users"),
-    )
-
-
-def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-user count — the SQL-expressible half of the HLL
-    query, split out so it sits behind the hard oracle gate."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        E.distinct_count("user_id").alias("exact_users"),
-    )
-
-
-def date_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pandas-parity lenient date parsing (closes SURVEY §7 hard-part c):
-    render event dates in four different textual formats plus garbage,
-    parse them all back with ``to_timestamp_multiformat`` — one coalesce
-    of ``try_to_timestamp`` attempts, whole-stage-codegen'd, no UDF —
-    and profile the parse per format bucket.  The oracle runs the
-    equivalent DuckDB coalesce GENERATED FROM THE SAME FORMAT TABLE
-    (functions/dates.py), so parser drift fails the hash check."""
-    from .functions.dates import to_timestamp_multiformat
-
-    # the try_to_timestamp coalesce is the dominant per-row CPU and runs
-    # map-side before the 5-group aggregate — spread a single-split scan
-    # (operators/text.py spread_small_scan; measured 3× at sf0.1)
-    ev = text.spread_small_scan(
-        load_table(spark, sf_dir, "events"), "event_id"
-    )
-    y = F.year("ts").cast("string")
-    m = F.month("ts").cast("string")
-    d = F.dayofmonth("ts").cast("string")
-    m2 = F.lpad(m, 2, "0")
-    d2 = F.lpad(d, 2, "0")
-    raw = (
-        F.when(F.col("fmt_bucket") == 0, F.concat(y, F.lit("-"), m2, F.lit("-"), d2))
-        .when(F.col("fmt_bucket") == 1, F.concat(m, F.lit("/"), d, F.lit("/"), y))
-        .when(F.col("fmt_bucket") == 2, F.concat(y, m2, d2))
-        .when(F.col("fmt_bucket") == 3, F.concat(y, F.lit("/"), m, F.lit("/"), d))
-        .otherwise(F.lit("not a date"))
-    )
-    return (
-        ev.select((F.col("event_id") % 5).alias("fmt_bucket"), F.col("ts"))
-        .select("fmt_bucket", raw.alias("raw"))
-        .select("fmt_bucket", to_timestamp_multiformat(F.col("raw")).alias("parsed"))
-        .groupBy("fmt_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.count("parsed").alias("parsed_cnt"),
-            F.min("parsed").alias("min_ts"),
-            F.max("parsed").alias("max_ts"),
-        )
-    )
-
-
-def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary builder (operators/text.py
-    ``term_frequencies``): top-100 terms with collection and document
-    frequencies — explode → map-side partial agg → one shuffle →
-    TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.vocab_top_terms(docs, 100)
-
-
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document by tf·idf
-    (operators/text.py ``tfidf_top_terms``), integer rare-term weighting
-    so the oracle comparison is bit-exact (see the operator docstring
-    for why ``ln`` is kept out of the oracled shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.tfidf_top_terms(docs, k=3, weighting="integer")
-
-
-def minhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable-hash MinHash signatures (operators/dedup.py
-    ``minhash_signatures_portable``) behind the EXACT oracle gate — the
-    one MinHash stage that is cross-engine reproducible (banding stays
-    rows-only).  k=8 permutations over distinct bigram shingles."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = text.word_ngrams(docs, n=2)
-    return dedup.minhash_signatures_portable(sh, k=8)
-
-
-def minhash_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ENTIRE banded-LSH near-dup pipeline behind the exact oracle
-    gate: portable MinHash signatures (k=16) → concat-keyed banding
-    (4 bands × 4 rows) with the window bucket cap → exact-Jaccard
-    verify at 0.5.  Every stage — signature mins, bucket membership,
-    cap, candidate join, verification — is replayed in SQL; only the
-    xxhash64-keyed production variant stays rows-only."""
-    docs = load_table(spark, sf_dir, "documents")
-    # same cache hygiene as minhash_lsh_pairs(eager=True): the shingle
-    # index feeds two consumers, so cache it for THIS query, eagerly
-    # materialize the small verified-pair result, and release the big
-    # intermediate — a session running many registry queries (the
-    # correctness gate, the spot-check sweep) must not accumulate one
-    # pinned shingle frame per query until the heap dies
-    sh = text.word_ngrams(docs, n=2).cache()
-    try:
-        sigs = dedup.minhash_signatures_portable(sh, k=16)
-        cands = dedup.lsh_candidate_pairs(
-            sigs, bands=4, max_bucket_size=100, portable_buckets=True
-        )
-        pairs = dedup.verify_candidates_jaccard(
-            cands, sh, threshold=0.5
-        )
-        return pairs.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist(blocking=False)
-
-
-def simhash_signature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable-hash 32-bit SimHash (operators/dedup.py
-    ``simhash_portable``) behind the EXACT oracle gate: token counts,
-    signed bit votes, and bit reassembly all reproduced in SQL."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_portable(docs)
-
-
-def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/pipeline.py
-    ``ngram_contamination``): split documents into a 30% hash-held-out
-    "benchmark" and the 70% train remainder, then flag train docs whose
-    bigram Jaccard against any benchmark doc reaches 0.5 — the overlap
-    check exact fingerprints miss (this corpus's planted dups are
-    near-dups, not byte-identical).  Same df skew guard as
-    text_ngram_top_neighbor."""
-    from .operators.pipeline import ngram_contamination
-
-    docs = load_table(spark, sf_dir, "documents")
-    held = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.3))
-    # cap over the FULL table (both splits), computed in-plan — matches
-    # the oracle's scalar subquery, no driver-side count job
-    return ngram_contamination(
-        docs.filter(~held),
-        docs.filter(held),
-        threshold=0.5,
-        max_shingle_df=text.df_cap_frame(docs),
-    )
-
-
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM-training chunking (operators/text.py ``chunk_documents``):
-    64-token windows per document, one map-side posexplode, no shuffle.
-    chunk_id/n_tokens cast to long for the cross-engine schema match."""
-    docs = load_table(spark, sf_dir, "documents")
-    c = text.chunk_documents(docs, 64)
-    return c.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        "chunk_text",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-    )
-
-
-def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus report: doc counts, exact token totals, quality
-    pass-rate numerator, language spread — the per-provider scorecard a
-    corpus pipeline publishes.  Single hash-aggregate on ``source``;
-    means are derived from exact integer sums (never accumulated in
-    floating point — order-dependence would break the oracle and the
-    report's reproducibility)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_tokens = text.token_count(t)
-    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
-    stop_hits = F.regexp_count(t, F.lit(text.EN_STOPWORDS))
-    alpha_ratio = (
-        n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
-    )
-    quality_ok = (
-        n_tokens.between(5, 10_000) & (stop_hits >= 1) & (alpha_ratio >= 0.5)
-    )
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(n_tokens).alias("total_tokens"),
-            F.count_if(quality_ok).alias("n_quality"),
-            F.countDistinct("lang").alias("n_langs"),
-        )
-        .withColumn(
-            "mean_tokens",
-            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
-        )
-    )
-
-
-_JSONL_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "docs.jsonl",
-)
-
-
-def jsonl_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines source (sources/jsonl.py) behind the oracle gate:
-    explicit schema, missing-field → NULL, unicode text, embedded
-    escapes — profiled over the repo-shipped fixture (sf_dir unused;
-    the fixture is the data, like dwca_archive_profile)."""
-    from .sources.jsonl import read_jsonl
-
-    df = read_jsonl(
-        spark, _JSONL_FIXTURE, "doc_id long, text string, lang string"
-    )
-    return df.agg(
-        E.record_count().alias("n_rows"),
-        E.populated_count("text").alias("text_populated"),
-        E.populated_count("lang").alias("lang_populated"),
-        F.sum(F.length("text")).alias("total_chars"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
-    )
-
-
-def numeric_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier profile: bounds = q1/q3 ± 1.5·IQR from exact
-    interpolated quartiles (deterministic — see numeric_profile), then
-    one filtered aggregate.  Two scans by necessity (the bounds are
-    data-dependent); the single-row bounds broadcast into the second
-    scan's filter, map-side.  Exact quartiles buffer the column; at
-    100 TB use ``operators.quantiles.iqr_outliers_approx``."""
-    ev = load_table(spark, sf_dir, "events")
-    p = F.expr("percentile(value, array(0.25, 0.75))")
-    bounds = (
-        ev.agg(p.getItem(0).alias("q1"), p.getItem(1).alias("q3"))
-        .select(
-            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
-            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
-        )
-    )
-    return (
-        ev.crossJoin(F.broadcast(bounds))
-        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
-        .agg(
-            F.count(F.lit(1)).alias("n_outliers"),
-            F.min("value").alias("min_out"),
-            F.max("value").alias("max_out"),
-        )
-    )
-
-
-def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group exact interpolated quartiles — the grouped form of
-    ``numeric_profile`` (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
-    both sort-based deterministic).  One hash-aggregate shuffle on the
-    group key; percentile state is per-group sorted values, bounded by
-    group size — for skewed/huge groups use
-    ``operators.quantiles.grouped_quantiles_approx`` (sketch state)."""
-    ev = load_table(spark, sf_dir, "events")
-    p = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        p.getItem(0).alias("q1"),
-        p.getItem(1).alias("q2"),
-        p.getItem(2).alias("q3"),
-    )
-
-
-def dwca_orphan_multimedia(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 referential integrity ON THE ARCHIVE PATH: extension rows
-    whose ``coreid`` has no core ``id`` (the linkage the reference
-    declares but never checks, validate_dwca.py:76-89).  The fixture
-    ships one deliberate orphan (multimedia r99).  Broadcast anti join —
-    the core id set is the small side here; at scale leave
-    ``broadcast_parent=False`` and AQE decides."""
-    from .sources.dwca import read_archive_table, read_descriptor
-
-    desc = read_descriptor(_DWCA_FIXTURE)
-    core = read_archive_table(spark, desc, desc.core)
-    ext = read_archive_table(spark, desc, desc.extensions[0])
-    return integrity.fk_orphan_count(
-        ext, core, "coreid", "id", broadcast_parent=True
-    )
-
-
-def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered per-user event-type sequences (operators/sequences.py):
-    the groupBy-collect step between logs and sequence-model training
-    examples.  Joined to a comma string so the oracle compares the
-    exact order."""
-    from .operators.sequences import event_sequences
-
-    ev = load_table(spark, sf_dir, "events")
-    s = event_sequences(ev, "user_id", "ts", "event_type", "event_id")
-    return s.select("user_id", "n_events", F.concat_ws(",", "seq").alias("seq"))
-
-
-def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED pipeline (operators/pipeline.py): quality gate →
-    fingerprint dedup → deterministic 50% sample, one oracle across all
-    three stages and their interactions."""
-    from .operators.pipeline import prepare_training_corpus
-
-    docs = load_table(spark, sf_dir, "documents")
-    return prepare_training_corpus(docs, sample_fraction=0.5)
-
-
-def ann_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH cosine pairs (operators/similarity.py
-    ``rp_lsh_pairs``): banded sign-bit signatures → bucket equi-join →
-    exact cosine verify.  Rows-only (the banding is engine-specific);
-    recall vs brute force is pinned by pytest with planted near-dups."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.rp_lsh_pairs(emb, threshold=0.4, n_bits=32, bands=8)
-
-
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup clusters (operators/graph.py): embedding
-    near-dup pairs → connected components → (node, cluster=min id).
-    The oracle replays the closure with a recursive CTE over the same
-    edge SQL, so the iterative algorithm sits behind the hash gate."""
-    from .operators import graph
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_dup_pairs(emb, threshold=0.4)
-    return graph.connected_components(pairs)
-
-
-def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch end-to-end (operators/sketch.py): build a 4×8
-    sketch over event_type — width 8 forces REAL collisions among the 5
-    types — estimate each type from the sketch, and emit estimate next
-    to exact.  The md5-mod hashing is engine-portable, so the oracle
-    recomputes the whole sketch pipeline exactly: cell values, min-over-
-    rows, everything behind the hash gate (not a weaker est ≥ exact
-    check)."""
-    ev = load_table(spark, sf_dir, "events")
-    sk = sketch.cms_build(ev, "event_type", depth=4, width=8)
-    est = sketch.cms_estimate(sk, ev, "event_type", depth=4, width=8)
-    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    return exact.join(est, "event_type").select(
-        "event_type", "exact_cnt", "cms_est"
-    )
-
-
-def sample_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% Bernoulli sample of events by event_id hash
-    (operators/sampling.py) — profiled, not listed, so the check scales.
-    Value-deterministic: the oracle applies the identical md5 threshold
-    and must reproduce the EXACT same subset."""
-    ev = load_table(spark, sf_dir, "events")
-    s = sampling.hash_sample(ev, "event_id", 0.1)
-    return s.agg(
-        F.count(F.lit(1)).alias("sampled_rows"),
-        E.distinct_count("user_id").alias("sampled_users"),
-        F.min("event_id").alias("min_event_id"),
-        F.max("event_id").alias("max_event_id"),
-    )
-
-
-def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly 20 hash-chosen rows per event_type (operators/sampling.py)
-    — the full sampled row set crosses the oracle gate, rank included."""
-    ev = load_table(spark, sf_dir, "events")
-    s = sampling.stratified_sample(ev, "event_type", "event_id", 20)
-    return s.select(
-        "event_type", "event_id", F.col("sample_rank").cast("long").alias("sample_rank")
-    )
-
-
-# --------------------------------------------------------------------------
-# DwC-A archive source (S1-S3) — reads the repo-shipped fixture archive,
-# so the driver's oracle gate finally sees the CSV-dialect/meta.xml path
-# (reference entry point validate_dwca.py:15-98).  sf_dir is unused: the
-# archive is the data.
-# --------------------------------------------------------------------------
-
-_DWCA_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "dwca-profile",
-)
-
-_DWCA_EVENT_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "dwca-event-profile",
-)
-
-
-def dwca_archive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Profile of the fixture archive: multi-``<location>`` core scan
-    (two CSV files, per-file header skip), the ``<id index>`` column,
-    an index-less default-valued field, and the extension table —
-    every S1-S3 semantic in one oracled row.
-
-    The oracle reads the same files with DuckDB ``read_csv``
-    (header=true, tab-delimited, quoting disabled, null_padding for the
-    deliberately short row r9)."""
-    from .sources.dwca import read_archive_table, read_descriptor
-
-    desc = read_descriptor(_DWCA_FIXTURE)
-    core = read_archive_table(spark, desc, desc.core)
-    ext = read_archive_table(spark, desc, desc.extensions[0])
-    core_agg = core.agg(
-        E.record_count().alias("record_count"),
-        E.distinct_count("occurrenceID").alias("occ_id_distinct"),
-        E.populated_count("scientificName").alias("sci_name_populated"),
-        E.null_count("eventDate").alias("event_date_null"),
-        E.valid_range_count("decimalLatitude", -90.0, 90.0).alias("lat_valid"),
-        F.count_if(~F.lower(F.col("basisOfRecord")).isin(_BOR_LOWER))
-        .alias("bor_unrecognised"),
-        F.min("countryCode").alias("country_default"),
-    )
-    ext_agg = ext.agg(
-        E.record_count().alias("ext_rows"),
-        E.distinct_count("coreid").alias("ext_core_ids"),
-    )
-
-    # Event-core archive through the REAL dispatch (operators/
-    # archive.py: Event core -> validate_event_dataframe, Occurrence
-    # extension validated, MeasurementOrFact extension skipped,
-    # breakdowns merged) — §2.11 quirk 8, driver-visible since r18.
-    # Every emitted number is recomputed by the DuckDB oracle from the
-    # same CSVs; ev_ext_rows = 7 (occurrence.txt) proves the dispatch
-    # picked the Occurrence extension (MeasurementOrFact has 3 rows).
-    from .operators.archive import validate_archive
-
-    ev_rep = validate_archive(spark, _DWCA_EVENT_FIXTURE)
-    ev_desc = read_descriptor(_DWCA_EVENT_FIXTURE)
-    ev_core = read_archive_table(spark, ev_desc, ev_desc.core)
-    ev_occ = read_archive_table(
-        spark, ev_desc,
-        next(e for e in ev_desc.extensions
-             if e.type_tail == "Occurrence"),
-    )
-    ev_orphans = (
-        ev_occ.join(
-            F.broadcast(ev_core.select(F.col("id").alias("_cid"))),
-            ev_occ["coreid"] == F.col("_cid"), "left_anti",
-        ).agg(E.record_count().alias("ev_orphan_ext"))
-    )
-    ev_agg = spark.createDataFrame(
-        [(
-            int(ev_rep.core.record_count),
-            int(ev_rep.extensions[0].record_count),
-            int(ev_rep.core.records_with_temporal_count),
-            int(ev_rep.core.coordinates_report.invalid_decimal_latitude_count),
-            int(len(ev_rep.breakdowns["year"])),
-        )],
-        "ev_record_count long, ev_ext_rows long, ev_temporal long, "
-        "ev_lat_invalid long, ev_year_classes long",
-    )
-    return (
-        core_agg.crossJoin(ext_agg)
-        .crossJoin(ev_agg)
-        .crossJoin(ev_orphans)
-    )
-
-
-# --------------------------------------------------------------------------
-# registry
-# --------------------------------------------------------------------------
-
-# Ordering policy (round 4, deliberate one-time reorder): the external driver
-# records correctness for the FIRST 50 entries of this dict only.  The first 50
-# are therefore exactly 50 exact-oracle queries chosen for coverage value: the
-# full SURVEY §2 core, the DwC-A archive source path, and one representative per
-# LLM-pipeline component (dedup/LSH, clusters, sampling, sketches, text, ANN,
-# chunking, contamination, corpus prep).  Entries past 50 are either redundant
-# oracled twins of an in-window sibling (verified by tools/verify_local.py) or
-# honestly rows-only (stubs / nondeterministic-by-nature ops).  From round 4 on
-# this dict is APPEND-ONLY so the driver window stays stable across rounds.
-QUERIES: dict[str, QueryFn] = {
-    # --- driver-visible window (positions 1-50, all exact-oracled) ---------
-    "q1_pricing_summary": q1_pricing_summary,
-    "q_top_orders_by_revenue": q_top_orders_by_revenue,
-    "a1_record_count": a1_record_count,
-    "a2_column_counts": a2_column_counts,
-    "a4_range_count": a4_range_count,
-    "a5_group_populated": a5_group_populated,
-    "a8_a9_distinct_duplicates": a8_a9_distinct_duplicates,
-    "a10_vocab_membership": a10_vocab_membership,
-    "a11_value_histogram": a11_value_histogram,
-    "a12_top_k": a12_top_k,
-    "a13_date_parts": a13_date_parts,
-    "a14_offender_sample": a14_offender_sample,
-    "p6_membership_filter": p6_membership_filter,
-    "p8_json_extract": p8_json_extract,
-    "occurrence_validation_metrics": occurrence_validation_metrics,
-    "occurrence_full_metrics": occurrence_full_metrics,
-    "fk_orders_customer": fk_orders_customer,
-    "dwca_archive_profile": dwca_archive_profile,
-    "dwca_orphan_multimedia": dwca_orphan_multimedia,
-    "date_multiformat_parse": date_multiformat_parse,
-    "dedup_exact_keepers": dedup_exact_keepers,
-    "dedup_fingerprint": dedup_fingerprint,
-    "minhash_lsh_check": minhash_lsh_check,
-    "simhash_signature_check": simhash_signature_check,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "dedup_clusters": dedup_clusters,
-    "text_token_stats": text_token_stats,
-    "text_quality": text_quality,
-    "text_language_id": text_language_id,
-    "text_language_id_v2": text_language_id_v2,
-    "text_ngram_top_neighbor": text_ngram_top_neighbor,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "doc_chunks": doc_chunks,
-    "contamination_hits": contamination_hits,
-    "training_corpus_prep": training_corpus_prep,
-    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
-    "ann_ivf_topk": ann_ivf_topk,
-    "sample_hash_events": sample_hash_events,
-    "sample_stratified_events": sample_stratified_events,
-    "cms_event_type_counts": cms_event_type_counts,
-    "annotate_row_errors": annotate_row_errors,
-    "stream_window_counts": stream_window_counts,
-    "sessionize": sessionize,
-    "numeric_profile": numeric_profile,
-    "asof_purchase_last_click": asof_purchase_last_click,
-    "range_join_event_sessions": range_join_event_sessions,
-    "pivot_event_types": pivot_event_types,
-    "window_running_totals": window_running_totals,
-    "rollup_date_counts": rollup_date_counts,
-    "multimodal_blob_meta": multimodal_blob_meta,
-    "jsonl_source_profile": jsonl_source_profile,
-    # --- past the driver window: oracled twins (local verify covers these) -
-    "q_nation_revenue": q_nation_revenue,
-    "p4_range_filter": p4_range_filter,
-    "fk_lineitem_orders": fk_lineitem_orders,
-    "dedup_exact_groups": dedup_exact_groups,
-    "ann_cosine_topk": ann_cosine_topk,
-    "quarantine_counts": quarantine_counts,
-    "stream_session_counts": stream_session_counts,
-    "stream_sliding_counts": stream_sliding_counts,
-    "salted_event_type_counts": salted_event_type_counts,
-    "set_ops_nations": set_ops_nations,
-    "value_deciles": value_deciles,
-    "exact_distinct_users": exact_distinct_users,
-    "text_vocab_top_terms": text_vocab_top_terms,
-    "minhash_signature_check": minhash_signature_check,
-    "source_quality_report": source_quality_report,
-    "numeric_outliers_iqr": numeric_outliers_iqr,
-    "quantiles_by_event_type": quantiles_by_event_type,
-    "user_event_sequences": user_event_sequences,
-    # --- rows-only by nature (estimate-valued or recall-tested), except
-    # multimodal_decode_stub / multimodal_frame_sample which gained real
-    # decode paths + exact oracles in round 13 (keys keep their dict
-    # position — ordering is append-only) -----------------------------------
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "text_token_stats_bpe": text_token_stats_bpe,
-    "ann_ivf_trained": ann_ivf_trained,
-    "ann_rp_lsh_pairs": ann_rp_lsh_pairs,
-    "hll_distinct_users": hll_distinct_users,
-    "multimodal_decode_stub": multimodal_decode_stub,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    # --- round-4 additions (append-only from here) --------------------------
-    "numeric_profile_approx": numeric_profile_approx,
-    "text_repetition": text_repetition,
-    "pii_scrub_stats": pii_scrub_stats,
-    "sequence_packing_stats": sequence_packing_stats,
-    "mixture_sample_stats": mixture_sample_stats,
-    "shard_assignment_stats": shard_assignment_stats,
-    "quality_model_scores": quality_model_scores,
-    "embedding_quantization": embedding_quantization,
-    "corpus_pack_end_to_end": corpus_pack_end_to_end,
-}
-
-
-ORACLES: dict[str, str] = {
-    "q1_pricing_summary": """
-        WITH agg AS (
-          SELECT l_returnflag, l_linestatus,
-            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-            count(*) AS count_order
-          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-          GROUP BY 1, 2)
-        SELECT *, sum_qty / count_order AS avg_qty,
-               sum_base_price / count_order AS avg_price
-        FROM agg
-    """,
-    "q_top_orders_by_revenue": """
-        WITH rev AS (
-          SELECT l_orderkey,
-            CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
-                 AS DOUBLE) / 10000.0 AS revenue
-          FROM lineitem GROUP BY 1)
-        SELECT o_orderkey, o_orderdate, revenue
-        FROM rev JOIN orders ON l_orderkey = o_orderkey
-        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
-    """,
-    "q_nation_revenue": """
-        SELECT n_name,
-          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-          count(*) AS n_items
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY n_name
-    """,
-    "a1_record_count": "SELECT count(*) AS record_count FROM lineitem",
-    "a2_column_counts": """
-        SELECT count(o_orderkey) AS cnt_o_orderkey,
-               count(o_custkey) AS cnt_o_custkey,
-               count(o_orderstatus) AS cnt_o_orderstatus,
-               count(o_totalprice) AS cnt_o_totalprice,
-               count(o_orderdate) AS cnt_o_orderdate,
-               count(o_orderpriority) AS cnt_o_orderpriority
-        FROM orders
-    """,
-    "a4_range_count": """
-        SELECT count("value") AS populated,
-               count(*) FILTER (WHERE TRY_CAST("value" AS DOUBLE) BETWEEN 2 AND 8) AS in_range
-        FROM events
-    """,
-    "a5_group_populated": """
-        SELECT count(*) FILTER (WHERE text IS NOT NULL OR lang IS NOT NULL) AS any_populated,
-               count(*) AS record_count
-        FROM documents
-    """,
-    "a8_a9_distinct_duplicates": """
-        SELECT count(l_orderkey) AS populated,
-               count(DISTINCT l_orderkey) AS distinct_cnt,
-               count(l_orderkey) - count(DISTINCT l_orderkey) AS duplicate_cnt
-        FROM lineitem
-    """,
-    "a10_vocab_membership": """
-        SELECT count(*) AS record_count,
-               count(*) - count(l_returnflag) AS null_cnt,
-               count(*) FILTER (WHERE lower(CAST(l_returnflag AS VARCHAR)) IN ('a','r')) AS recognised,
-               count(*) - (count(*) - count(l_returnflag))
-                        - count(*) FILTER (WHERE lower(CAST(l_returnflag AS VARCHAR)) IN ('a','r')) AS unrecognised
-        FROM lineitem
-    """,
-    "a11_value_histogram": """
-        SELECT CAST(l_returnflag AS VARCHAR) AS value, count(*) AS cnt
-        FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
-    """,
-    "a12_top_k": """
-        SELECT value, cnt FROM (
-          SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS cnt,
-                 row_number() OVER (ORDER BY count(*) DESC, CAST(p_brand AS VARCHAR) ASC) AS rn
-          FROM part WHERE p_brand IS NOT NULL GROUP BY 1)
-        WHERE rn <= 20
-    """,
-    "a13_date_parts": """
-        SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
-               day(o_orderdate) AS day, count(*) AS cnt
-        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2, 3
-    """,
-    "a14_offender_sample": """
-        SELECT value FROM (
-          SELECT DISTINCT CAST(lang AS VARCHAR) AS value FROM documents
-          WHERE lang IS NOT NULL AND lower(CAST(lang AS VARCHAR)) NOT IN ('en','de')
-          ORDER BY value LIMIT 10)
-        WHERE value <> 'nan'
-    """,
-    "p4_range_filter": """
-        SELECT c_custkey, c_acctbal FROM customer
-        WHERE TRY_CAST(c_acctbal AS DOUBLE) BETWEEN 0 AND 1000
-    """,
-    "p6_membership_filter": """
-        SELECT event_id FROM events
-        WHERE lower(CAST(event_type AS VARCHAR)) IN ('error','signup')
-    """,
-    "p8_json_extract": """
-        SELECT CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS cnt_k,
-               min(k) AS min_k, max(k) AS max_k
-        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-    """,
-    "occurrence_full_metrics": _full_metrics_oracle_sql(),
-    "occurrence_validation_metrics": f"""
-        WITH occ AS ({_OCC_VIEW_SQL})
-        SELECT count(*) AS record_count,
-               count(DISTINCT occurrenceID) AS occurrence_id_distinct,
-               count(decimalLatitude) AS lat_populated,
-               count(*) FILTER (WHERE TRY_CAST(decimalLatitude AS DOUBLE) BETWEEN -90 AND 90) AS lat_valid,
-               count(*) FILTER (WHERE TRY_CAST(decimalLongitude AS DOUBLE) BETWEEN -180 AND 180) AS lon_valid,
-               count(*) FILTER (WHERE lower(CAST(basisOfRecord AS VARCHAR)) IN ({_BOR_SQL})) AS bor_recognised,
-               count(*) - count(basisOfRecord) AS bor_null,
-               count(*) FILTER (WHERE eventDate IS NOT NULL) AS temporal_populated,
-               count(*) FILTER (WHERE scientificName IS NOT NULL) AS taxonomy_populated
-        FROM occ
-    """,
-    "fk_orders_customer": """
-        SELECT count(*) AS orphan_count FROM orders o
-        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-    """,
-    "fk_lineitem_orders": """
-        SELECT count(*) AS orphan_count FROM lineitem l
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-    """,
-    "dedup_exact_groups": """
-        SELECT user_id, event_type, count(*) AS cnt FROM events
-        GROUP BY 1, 2 HAVING count(*) > 1
-    """,
-    "dedup_exact_keepers": """
-        SELECT event_id FROM (
-          SELECT event_id, row_number() OVER (
-            PARTITION BY user_id, event_type
-            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-          FROM events)
-        WHERE rn = 1
-    """,
-    "dedup_fingerprint": r"""
-        SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
-               length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_len
-        FROM documents
-    """,
-    "text_token_stats": r"""
-        SELECT doc_id,
-          CASE WHEN trim(text) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
-          octet_length(encode(text)) AS n_bytes,
-          length(text) AS n_chars_computed,
-          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
-          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-          length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
-          length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws
-        FROM documents
-    """,
-    "text_quality": r"""
-        WITH s AS (
-          SELECT doc_id,
-            CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-            len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stopword_hits,
-            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-              / greatest(length(text), 1) AS alpha_ratio
-          FROM documents)
-        SELECT doc_id, n_tokens, stopword_hits, alpha_ratio,
-               (n_tokens BETWEEN 5 AND 10000) AND stopword_hits >= 1
-                 AND alpha_ratio >= 0.5 AS quality_ok
-        FROM s
-    """,
-    # generated from the SAME SCRIPT_RANGES/precedence tables as the
-    # Catalyst expression; the planted multi-script rotation is the
-    # shared _MULTISCRIPT_TEXTS literal table
-    "text_language_id_v2": text.language_id_v2_sql(
-        table="(SELECT doc_id, %s AS text FROM documents) planted"
-        % _MULTISCRIPT_TEXT_SQL
-    ),
-    "text_language_id": r"""
-        WITH h AS (
-          SELECT doc_id,
-            len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to)\b')) AS hits_en,
-            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|zu)\b')) AS hits_de,
-            len(regexp_extract_all(lower(text), '\b(le|la|et|est|les|un)\b')) AS hits_fr,
-            len(regexp_extract_all(lower(text), '\b(el|los|de|y|es|una)\b')) AS hits_es
-          FROM documents)
-        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
-          CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
-               WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
-               WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
-               WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
-               ELSE 'es' END AS lang_guess
-        FROM h
-    """,
-    "text_ngram_top_neighbor": r"""
-        WITH words AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM documents WHERE trim(text) <> ''),
-        grams0 AS (
-          SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
-          FROM words),
-        -- same df skew guard as the Spark side: drop shingles in more
-        -- than max(5, N/10) documents before pairing
-        keep AS (
-          SELECT shingle FROM grams0 GROUP BY shingle
-          HAVING count(*) <= greatest(5, (SELECT count(*) FROM documents) // 10)),
-        grams AS (SELECT g.* FROM grams0 g JOIN keep USING (shingle)),
-        sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
-        pairs AS (
-          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-          FROM grams a JOIN grams b USING (shingle)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        j AS (
-          SELECT ida, idb,
-            CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
-          FROM pairs
-          JOIN sizes sa ON sa.doc_id = ida
-          JOIN sizes sb ON sb.doc_id = idb),
-        sides AS (
-          SELECT ida AS doc_id, idb AS neighbor_id, jaccard FROM j
-          UNION ALL
-          SELECT idb AS doc_id, ida AS neighbor_id, jaccard FROM j)
-        SELECT doc_id, neighbor_id, jaccard FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id ASC) AS rn
-          FROM sides)
-        WHERE rn = 1
-    """,
-    "ann_cosine_topk": """
-        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        s AS (
-          SELECT qid AS query_id, e.vec_id AS neighbor_id,
-            list_sum(list_transform(list_zip(qe, e.embedding),
-                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-          FROM q, embeddings e WHERE e.vec_id <> qid)
-        SELECT query_id, neighbor_id, rank, sim FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-          FROM s)
-        WHERE rank <= 5
-    """,
-    "ann_cosine_topk_arrow": """
-        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        s AS (
-          SELECT qid AS query_id, e.vec_id AS neighbor_id,
-            list_sum(list_transform(list_zip(qe, e.embedding),
-                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-          FROM q, embeddings e WHERE e.vec_id <> qid)
-        SELECT query_id, neighbor_id, rank FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-          FROM s)
-        WHERE rank <= 5
-    """,
-    "ann_ivf_topk": """
-        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
-                   FROM embeddings WHERE vec_id < 8),
-        s AS (
-          SELECT qid AS query_id, e.vec_id AS neighbor_id,
-            list_sum(list_transform(list_zip(qe, e.embedding),
-                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-          FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> qid)
-        SELECT query_id, neighbor_id, rank, sim FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-          FROM s)
-        WHERE rank <= 3
-    """,
-    "annotate_row_errors": f"""
-        WITH occ AS ({_OCC_VIEW_SQL}),
-        flags AS (
-          SELECT occurrenceID,
-            list_filter([
-              CASE WHEN NOT coalesce(TRY_CAST(decimalLatitude AS DOUBLE) BETWEEN -90 AND 90, false) THEN 'lat_range' END,
-              CASE WHEN NOT coalesce(TRY_CAST(decimalLongitude AS DOUBLE) BETWEEN -180 AND 180, false) THEN 'lon_range' END,
-              CASE WHEN NOT coalesce(lower(CAST(basisOfRecord AS VARCHAR)) IN ({_BOR_SQL}), false) THEN 'bor_vocab' END,
-              CASE WHEN recordedBy IS NULL THEN 'recorded_by' END
-            ], x -> x IS NOT NULL) AS errs
-          FROM occ)
-        SELECT occurrenceID, coalesce(array_to_string(errs, ','), '') AS error_list,
-               len(errs) AS n_errors
-        FROM flags
-    """,
-    "quarantine_counts": f"""
-        WITH occ AS ({_OCC_VIEW_SQL}),
-        j AS (
-          SELECT coalesce(TRY_CAST(decimalLatitude AS DOUBLE) BETWEEN -90 AND 90, false)
-             AND coalesce(TRY_CAST(decimalLongitude AS DOUBLE) BETWEEN -180 AND 180, false)
-             AND coalesce(lower(CAST(basisOfRecord AS VARCHAR)) IN ({_BOR_SQL}), false)
-             AND recordedBy IS NOT NULL AS ok
-          FROM occ)
-        SELECT 'valid' AS bucket, count(*) FILTER (WHERE ok) AS cnt FROM j
-        UNION ALL
-        SELECT 'quarantined' AS bucket, count(*) FILTER (WHERE NOT ok) AS cnt FROM j
-    """,
-    "stream_session_counts": """
-        WITH e AS (
-          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                 lower(CAST(event_type AS VARCHAR)) IN ('error') AS err
-          FROM events),
-        d AS (
-          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                         THEN 1 ELSE 0 END AS new_s
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        s AS (
-          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) AS sid
-          FROM d)
-        SELECT min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
-               user_id, count(*) AS cnt, count(*) FILTER (WHERE err) AS is_error
-        FROM s GROUP BY user_id, sid
-    """,
-    "stream_window_counts": """
-        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
-               count(*) AS cnt,
-               count(*) FILTER (WHERE TRY_CAST("value" AS DOUBLE) BETWEEN 2 AND 8) AS value_in_range,
-               count(*) FILTER (WHERE lower(CAST(event_type AS VARCHAR)) IN ('error')) AS is_error
-        FROM events GROUP BY 1
-    """,
-    "dedup_embedding_cosine": _EMB_PAIRS_SQL,
-    # iterative min-label propagation (operators/graph.py) checked
-    # against a recursive-CTE transitive closure over the SAME edge SQL
-    "dedup_clusters": f"""
-        WITH RECURSIVE edges AS ({_EMB_PAIRS_SQL}),
-        und AS (
-          SELECT ida AS a, idb AS b FROM edges
-          UNION
-          SELECT idb AS a, ida AS b FROM edges),
-        comp(node, label) AS (
-          SELECT DISTINCT a, a FROM und
-          UNION
-          SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b)
-        SELECT node, min(label) AS cluster FROM comp GROUP BY node
-    """,
-    "sessionize": """
-        WITH d AS (
-          SELECT user_id,
-            CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                 THEN 1 ELSE 0 END AS new_s
-          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
-               count(*) AS n_events
-        FROM d GROUP BY 1
-    """,
-    "salted_event_type_counts": """
-        SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
-    """,
-    "range_join_event_sessions": """
-        WITH e AS (
-          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-          FROM events),
-        d AS (
-          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                         THEN 1 ELSE 0 END AS new_s
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        s AS (
-          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) AS sid
-          FROM d),
-        sessions AS (
-          SELECT user_id, min(ts) AS s_start,
-                 max(ts) + INTERVAL '30 minutes' AS s_end,
-                 count(*) AS session_events
-          FROM s GROUP BY user_id, sid)
-        SELECT e.event_id, e.user_id, sess.s_start, sess.session_events
-        FROM e JOIN sessions sess
-          ON e.user_id = sess.user_id
-         AND e.ts BETWEEN sess.s_start AND sess.s_end
-        WHERE e.event_type = 'error'
-    """,
-    "asof_purchase_last_click": """
-        WITH p AS (
-          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-          FROM events WHERE event_type = 'purchase'),
-        c AS (
-          SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
-                 max(event_id) AS click_id
-          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
-        FROM p ASOF LEFT JOIN c
-          ON p.user_id = c.user_id AND p.ts >= c.click_ts
-    """,
-    "pivot_event_types": """
-        SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
-               count(*) FILTER (WHERE event_type = 'click') AS click,
-               count(*) FILTER (WHERE event_type = 'error') AS error,
-               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-               count(*) FILTER (WHERE event_type = 'signup') AS signup,
-               count(*) FILTER (WHERE event_type = 'view') AS "view"
-        FROM events GROUP BY 1
-    """,
-    "set_ops_nations": """
-        WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
-             s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
-        SELECT 'both' AS tag, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
-        UNION ALL
-        SELECT 'customers_only' AS tag, nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
-    """,
-    "numeric_profile": """
-        SELECT count(l_extendedprice) AS cnt,
-               min(l_extendedprice) AS mn,
-               max(l_extendedprice) AS mx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-               quantile_cont(l_extendedprice, 0.25) AS p25,
-               quantile_cont(l_extendedprice, 0.5) AS p50,
-               quantile_cont(l_extendedprice, 0.75) AS p75
-        FROM lineitem
-    """,
-    "window_running_totals": """
-        SELECT event_id, user_id,
-          count(*) OVER w AS running_n,
-          CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-    "rollup_date_counts": """
-        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-               count(*) AS cnt,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM orders GROUP BY ROLLUP (1, 2)
-    """,
-    "multimodal_blob_meta": """
-        SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
-               sha256(text) AS sha256_hex
-        FROM documents
-    """,
-    "exact_distinct_users": """
-        SELECT count(DISTINCT user_id) AS exact_users FROM events
-    """,
-    # identical WORD_PATTERN tokenization on both sides (operators/text.py)
-    "text_vocab_top_terms": r"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-          FROM documents),
-        v AS (
-          SELECT term, count(*) AS term_freq,
-                 count(DISTINCT doc_id) AS doc_freq
-          FROM toks GROUP BY term)
-        SELECT term, term_freq, doc_freq FROM v
-        ORDER BY term_freq DESC, term ASC LIMIT 100
-    """,
-    "text_tfidf_top_terms": r"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-          FROM documents),
-        tf AS (
-          SELECT doc_id AS doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
-        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        scored AS (
-          SELECT doc, term, tf, doc_freq,
-                 CAST(tf * (n_docs - doc_freq + 1) AS BIGINT) AS weight,
-                 row_number() OVER (
-                   PARTITION BY doc
-                   ORDER BY tf * (n_docs - doc_freq + 1) DESC, term ASC) AS rn
-          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-        SELECT doc AS doc_id, term, tf, doc_freq, weight
-        FROM scored WHERE rn <= 3
-    """,
-    "value_deciles": """
-        WITH b AS (
-          SELECT quantile_cont(value, 0.1) AS b0, quantile_cont(value, 0.2) AS b1,
-                 quantile_cont(value, 0.3) AS b2, quantile_cont(value, 0.4) AS b3,
-                 quantile_cont(value, 0.5) AS b4, quantile_cont(value, 0.6) AS b5,
-                 quantile_cont(value, 0.7) AS b6, quantile_cont(value, 0.8) AS b7,
-                 quantile_cont(value, 0.9) AS b8
-          FROM events)
-        SELECT CAST(
-                 (value > b0)::INT + (value > b1)::INT + (value > b2)::INT
-               + (value > b3)::INT + (value > b4)::INT + (value > b5)::INT
-               + (value > b6)::INT + (value > b7)::INT + (value > b8)::INT + 1
-               AS BIGINT) AS decile,
-               count(*) AS n, min(value) AS lo, max(value) AS hi
-        FROM events, b
-        WHERE value IS NOT NULL
-        GROUP BY 1
-    """,
-    "stream_sliding_counts": """
-        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-        w AS (
-          SELECT date_trunc('hour', ts) AS w_start, event_type FROM e
-          UNION ALL
-          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM e)
-        SELECT w_start, count(*) AS cnt,
-               count(*) FILTER (
-                 WHERE lower(CAST(event_type AS VARCHAR)) IN ('purchase')
-               ) AS is_purchase
-        FROM w GROUP BY 1
-    """,
-    # identical md5-prefix permutation hashes as
-    # dedup.minhash_signatures_portable — MinHash behind the hash gate
-    "minhash_signature_check": r"""
-        WITH words AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM documents WHERE trim(text) <> ''),
-        grams AS (
-          SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
-          FROM words)
-        SELECT doc_id,
-    """ + ",\n".join(
-        f"""          min(CAST(CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8))
-            AS UBIGINT) AS BIGINT)) AS mh{j}"""
-        for j in range(8)
-    ) + """
-        FROM grams GROUP BY doc_id
-    """,
-    # full SQL replay of the banded-LSH pipeline: portable signature
-    # mins, concat band keys, window bucket cap, candidate self-join,
-    # exact-Jaccard verify — stage for stage with minhash_lsh_check
-    "minhash_lsh_check": r"""
-        WITH words AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM documents WHERE trim(text) <> ''),
-        grams AS (
-          SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
-          FROM words),
-        sigs AS (
-          SELECT doc_id,
-    """ + ",\n".join(
-        f"""            min(CAST(CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8))
-              AS UBIGINT) AS BIGINT)) AS mh{j}"""
-        for j in range(16)
-    ) + """
-          FROM grams GROUP BY doc_id),
-        bandkeys AS (
-          SELECT doc_id, band,
-            CASE band
-    """ + "\n".join(
-        "              WHEN {b} THEN {key}".format(
-            b=b,
-            key=" || '-' || ".join(
-                f"CAST(mh{b * 4 + i} AS VARCHAR)" for i in range(4)
-            ),
-        )
-        for b in range(4)
-    ) + """
-            END AS bucket
-          FROM sigs CROSS JOIN (SELECT range AS band FROM range(4)) bs),
-        capped AS (
-          SELECT doc_id, band, bucket FROM (
-            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
-            FROM bandkeys)
-          WHERE bsz <= 100),
-        cands AS (
-          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-          FROM capped a JOIN capped b USING (band, bucket)
-          WHERE a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
-        cmn AS (
-          SELECT c.ida, c.idb, count(*) AS common
-          FROM cands c
-          JOIN grams ga ON ga.doc_id = c.ida
-          JOIN grams gb ON gb.doc_id = c.idb AND gb.shingle = ga.shingle
-          GROUP BY 1, 2)
-        SELECT ida, idb,
-               CAST(common AS DOUBLE)
-                 / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
-        FROM cmn
-        JOIN sizes sa ON sa.doc_id = ida
-        JOIN sizes sb ON sb.doc_id = idb
-        WHERE CAST(common AS DOUBLE)
-                / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5
-    """,
-    # portable SimHash: same md5-prefix token hash, signed votes, and
-    # bit reassembly as dedup.simhash_portable
-    "simhash_signature_check": r"""
-        WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-          FROM documents WHERE trim(text) <> ''),
-        words AS (
-          SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
-        h AS (
-          SELECT doc_id, cnt,
-                 CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
-                      AS BIGINT) AS hv
-          FROM words),
-        v AS (
-          SELECT doc_id,
-    """ + ",\n".join(
-        f"""            sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"""
-        for b in range(32)
-    ) + """
-          FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST(
-    """ + " +\n".join(
-        f"""          (CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"""
-        for b in range(32)
-    ) + """
-        AS BIGINT) AS simhash32
-        FROM v
-    """,
-    "contamination_hits": r"""
-        WITH docs AS (
-          SELECT doc_id, text,
-                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
-          FROM documents),
-        words AS (
-          SELECT doc_id, held, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM docs WHERE trim(text) <> ''),
-        grams0 AS (
-          SELECT doc_id, held, unnest(list_distinct(
-            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
-          FROM words),
-        keep AS (
-          SELECT shingle FROM grams0 GROUP BY shingle
-          HAVING count(*) <= greatest(5, (SELECT count(*) FROM documents) // 10)),
-        grams AS (SELECT g.* FROM grams0 g JOIN keep USING (shingle)),
-        sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
-        pairs AS (
-          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-          FROM grams a JOIN grams b USING (shingle)
-          WHERE NOT a.held AND b.held GROUP BY 1, 2),
-        j AS (
-          SELECT ida, idb,
-            CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) AS jaccard
-          FROM pairs
-          JOIN sizes sa ON sa.doc_id = ida
-          JOIN sizes sb ON sb.doc_id = idb
-          WHERE CAST(common AS DOUBLE) / CAST(sa.nsh + sb.nsh - common AS DOUBLE) >= 0.5)
-        SELECT ida AS doc_id, idb AS contaminant_id, jaccard FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY ida ORDER BY jaccard DESC, idb ASC) AS rn
-          FROM j)
-        WHERE rn = 1
-    """,
-    "doc_chunks": r"""
-        WITH d AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-          FROM documents WHERE trim(text) <> ''),
-        c AS (
-          SELECT doc_id, toks,
-                 unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_id
-          FROM d)
-        SELECT doc_id, chunk_id,
-               array_to_string(
-                 list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64),
-                 ' ') AS chunk_text,
-               CAST(len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64))
-                    AS BIGINT) AS n_tokens
-        FROM c
-    """,
-    "source_quality_report": r"""
-        WITH s AS (
-          SELECT source, lang,
-            CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-            len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
-            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-              / greatest(length(text), 1) AS alpha_ratio
-          FROM documents)
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               count(*) FILTER (WHERE n_tokens BETWEEN 5 AND 10000
-                                  AND stop_hits >= 1
-                                  AND alpha_ratio >= 0.5) AS n_quality,
-               count(DISTINCT lang) AS n_langs,
-               CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
-        FROM s GROUP BY source
-    """,
-    "jsonl_source_profile": f"""
-        SELECT count(*) AS n_rows, count(text) AS text_populated,
-               count(lang) AS lang_populated,
-               CAST(sum(length(text)) AS BIGINT) AS total_chars,
-               min(doc_id) AS min_id, max(doc_id) AS max_id
-        FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited',
-                       columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
-                                 'lang': 'VARCHAR'}})
-    """,
-    "numeric_outliers_iqr": """
-        WITH b AS (
-          SELECT quantile_cont(value, 0.25) AS q1,
-                 quantile_cont(value, 0.75) AS q3
-          FROM events),
-        bounds AS (
-          SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
-          FROM b)
-        SELECT count(*) AS n_outliers, min(value) AS min_out,
-               max(value) AS max_out
-        FROM events, bounds
-        WHERE value < lo OR value > hi
-    """,
-    "quantiles_by_event_type": """
-        SELECT event_type, count(*) AS n,
-               quantile_cont(value, 0.25) AS q1,
-               quantile_cont(value, 0.5) AS q2,
-               quantile_cont(value, 0.75) AS q3
-        FROM events GROUP BY 1
-    """,
-    "dwca_orphan_multimedia": f"""
-        SELECT count(*) AS orphan_count
-        FROM read_csv('{_DWCA_FIXTURE}/multimedia.txt',
-                      header=true, delim='\t', quote='', all_varchar=true) e
-        LEFT JOIN (
-          SELECT id FROM read_csv(
-            ['{_DWCA_FIXTURE}/occurrence_1.txt',
-             '{_DWCA_FIXTURE}/occurrence_2.txt'],
-            header=true, delim='\t', quote='', all_varchar=true,
-            null_padding=true)) c
-        ON e.coreid = c.id
-        WHERE c.id IS NULL
-    """,
-    "user_event_sequences": """
-        SELECT user_id, count(*) AS n_events,
-               string_agg(event_type, ','
-                          ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
-                                   event_id NULLS FIRST) AS seq
-        FROM events GROUP BY 1
-    """,
-    # composed three-stage pipeline, one oracle: quality gate (same
-    # expressions as text_quality), fingerprint keeper window (same md5
-    # normalization as dedup_fingerprint), md5 sample threshold 0.5
-    "training_corpus_prep": r"""
-        WITH q AS (
-          SELECT doc_id,
-            CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-            len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
-            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-              / greatest(length(text), 1) AS alpha_ratio,
-            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-          FROM documents),
-        f AS (
-          SELECT * FROM q
-          WHERE n_tokens BETWEEN 5 AND 10000 AND stop_hits >= 1
-            AND alpha_ratio >= 0.5),
-        k AS (
-          SELECT doc_id, fingerprint, n_tokens,
-                 row_number() OVER (
-                   PARTITION BY fingerprint ORDER BY doc_id) AS rn
-          FROM f)
-        SELECT doc_id, fingerprint, n_tokens FROM k
-        WHERE rn = 1
-          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
-    """,
-    # exact SQL replay of the count-min pipeline: same md5-mod buckets
-    # (operators/sketch.py), cell sums, and min-over-rows estimate
-    "cms_event_type_counts": """
-        WITH ex AS (
-          SELECT event_type, count(*) AS exact_cnt
-          FROM events WHERE event_type IS NOT NULL GROUP BY 1),
-        js AS (SELECT range AS j FROM range(4)),
-        kb AS (
-          SELECT ex.event_type, js.j,
-                 CAST(CAST(('0x' || substr(
-                     md5(CAST(js.j AS VARCHAR) || ':' || ex.event_type),
-                     1, 8)) AS UBIGINT) % 8 AS BIGINT) AS bucket
-          FROM ex CROSS JOIN js),
-        cells AS (
-          SELECT kb.j, kb.bucket, CAST(sum(e2.exact_cnt) AS BIGINT) AS cnt
-          FROM kb JOIN ex e2 USING (event_type) GROUP BY 1, 2),
-        est AS (
-          SELECT kb.event_type, min(cells.cnt) AS cms_est
-          FROM kb JOIN cells ON kb.j = cells.j AND kb.bucket = cells.bucket
-          GROUP BY 1)
-        SELECT ex.event_type, ex.exact_cnt, est.cms_est
-        FROM ex JOIN est USING (event_type)
-    """,
-    # same md5 threshold/ordering as operators/sampling.py — md5 hex is
-    # engine-portable, so the sample is checked value-for-value
-    "sample_hash_events": """
-        SELECT count(*) AS sampled_rows,
-               count(DISTINCT user_id) AS sampled_users,
-               min(event_id) AS min_event_id, max(event_id) AS max_event_id
-        FROM events
-        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '19999999'
-    """,
-    "sample_stratified_events": """
-        SELECT event_type, event_id, sample_rank FROM (
-          SELECT event_type, event_id,
-                 row_number() OVER (
-                   PARTITION BY event_type
-                   ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
-                              NULLS FIRST,
-                            event_id NULLS FIRST) AS sample_rank
-          FROM events)
-        WHERE sample_rank <= 20
-    """,
-    # the parse expression is GENERATED from functions/dates.py's format
-    # table — the Spark parser and this oracle cannot drift apart
-    "date_multiformat_parse": f"""
-        WITH base AS (
-          SELECT event_id % 5 AS fmt_bucket,
-                 CAST(year(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS y,
-                 CAST(month(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS m,
-                 CAST(day(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS d
-          FROM events),
-        rendered AS (
-          SELECT fmt_bucket,
-            CASE fmt_bucket
-              WHEN 0 THEN y || '-' || lpad(m, 2, '0') || '-' || lpad(d, 2, '0')
-              WHEN 1 THEN m || '/' || d || '/' || y
-              WHEN 2 THEN y || lpad(m, 2, '0') || lpad(d, 2, '0')
-              WHEN 3 THEN y || '/' || m || '/' || d
-              ELSE 'not a date'
-            END AS raw
-          FROM base),
-        parsed AS (
-          SELECT fmt_bucket, {multiformat_oracle_sql('raw')} AS p FROM rendered)
-        SELECT fmt_bucket, count(*) AS total, count(p) AS parsed_cnt,
-               min(p) AS min_ts, max(p) AS max_ts
-        FROM parsed GROUP BY fmt_bucket
-    """,
-    "dwca_archive_profile": f"""
-        WITH core AS (
-          SELECT * FROM read_csv(
-            ['{_DWCA_FIXTURE}/occurrence_1.txt',
-             '{_DWCA_FIXTURE}/occurrence_2.txt'],
-            header=true, delim='\t', quote='', all_varchar=true,
-            null_padding=true)),
-        ext AS (
-          SELECT * FROM read_csv('{_DWCA_FIXTURE}/multimedia.txt',
-            header=true, delim='\t', quote='', all_varchar=true)),
-        core_agg AS (
-          SELECT count(*) AS record_count,
-                 count(DISTINCT occurrenceID) AS occ_id_distinct,
-                 count(scientificName) AS sci_name_populated,
-                 count(*) - count(eventDate) AS event_date_null,
-                 count(*) FILTER (
-                   WHERE try_cast(decimalLatitude AS DOUBLE)
-                         BETWEEN -90.0 AND 90.0) AS lat_valid,
-                 count(*) FILTER (
-                   WHERE lower(basisOfRecord) NOT IN ({_BOR_SQL}))
-                   AS bor_unrecognised,
-                 min('AU') AS country_default
-          FROM core),
-        ext_agg AS (
-          SELECT count(*) AS ext_rows,
-                 count(DISTINCT coreid) AS ext_core_ids
-          FROM ext),
-        ev AS (
-          SELECT * FROM read_csv('{_DWCA_EVENT_FIXTURE}/event.txt',
-            header=true, delim='\t', quote='', all_varchar=true)),
-        ev_occ AS (
-          SELECT * FROM read_csv(
-            '{_DWCA_EVENT_FIXTURE}/occurrence.txt',
-            header=true, delim='\t', quote='', all_varchar=true)),
-        ev_agg AS (
-          SELECT count(*) AS ev_record_count,
-                 (SELECT count(*) FROM ev_occ) AS ev_ext_rows,
-                 count(eventDate) AS ev_temporal,
-                 count(decimalLatitude) - count(*) FILTER (
-                   WHERE try_cast(decimalLatitude AS DOUBLE)
-                         BETWEEN -90.0 AND 90.0) AS ev_lat_invalid,
-                 count(DISTINCT year(try_cast(eventDate AS DATE)))
-                   AS ev_year_classes,
-                 (SELECT count(*) FROM ev_occ o
-                  WHERE NOT EXISTS (
-                    SELECT 1 FROM ev e WHERE e.id = o.coreid))
-                   AS ev_orphan_ext
-          FROM ev)
-        SELECT * FROM core_agg CROSS JOIN ext_agg CROSS JOIN ev_agg
-    """,
-    "text_repetition": r"""
-        WITH nz AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
-        l0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM nz),
-        lc AS (SELECT doc_id, line, count(*) AS c FROM l0 GROUP BY 1, 2),
-        lagg AS (
-          SELECT doc_id,
-                 CAST(sum(c) AS BIGINT) AS n_lines,
-                 CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-                   AS dup_line_frac,
-                 CAST(sum(length(line) * (c - 1)) AS DOUBLE)
-                   / greatest(CAST(sum(length(line) * c) AS DOUBLE), 1)
-                   AS dup_line_char_frac
-          FROM lc GROUP BY 1),
-        w0 AS (SELECT doc_id,
-                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-               FROM nz),
-        wc AS (SELECT doc_id, w, count(*) AS c FROM w0 GROUP BY 1, 2),
-        wagg AS (SELECT doc_id,
-                        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-                          AS top_word_frac
-                 FROM wc GROUP BY 1)
-        SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
-               w.top_word_frac
-        FROM lagg l LEFT JOIN wagg w ON l.doc_id = w.doc_id
-    """,
-}
-
-
-def _pii_oracle_sql() -> str:
-    """Generated from operators.text.PII_PATTERNS — the same constants
-    the Spark scrubber folds into its plan — so the two can never
-    drift (same policy as functions/dates.multiformat_oracle_sql)."""
-    counts = ", ".join(
-        f"CAST(coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS BIGINT)"
-        f" AS n_{name}"
-        for name, pat, _ in text.PII_PATTERNS
-    )
-    scrub = "text"
-    for _, pat, repl in text.PII_PATTERNS:
-        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
-    return f"SELECT doc_id, {counts}, {scrub} AS scrubbed FROM documents"
-
-
-ORACLES["pii_scrub_stats"] = _pii_oracle_sql()
-
-# Sequence packing: replay the md5 bucket, the id-ordered running token
-# offset, and floor(offset/budget) — the whole assignment, not just the
-# shape.  Token expression is the shared whitespace-count twin from
-# text_token_stats.
-ORACLES["sequence_packing_stats"] = r"""
-    WITH t AS (
-      SELECT doc_id,
-        CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS UBIGINT) % 8 AS BIGINT) AS pack_bucket
-      FROM documents),
-    p AS (
-      SELECT pack_bucket, n_tokens,
-        CAST(COALESCE(sum(n_tokens) OVER (
-          PARTITION BY pack_bucket ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS BIGINT) AS start_offset
-      FROM t),
-    seqs AS (
-      SELECT pack_bucket,
-             CAST(floor(start_offset / 128.0) AS BIGINT) AS pack_seq,
-             count(*) AS n_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
-      FROM p GROUP BY 1, 2)
-    SELECT pack_bucket,
-           count(*) AS n_seqs,
-           CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
-           max(seq_tokens / 128.0) AS max_fill,
-           avg(seq_tokens / 128.0) AS avg_fill
-    FROM seqs GROUP BY 1
-"""
-
-
-def _mixture_oracle_sql() -> str:
-    """Thresholds GENERATED from the same _MIXTURE dict +
-    ``sampling.hash_threshold`` the Spark query uses — the two sides
-    cannot drift."""
-    arms = " ".join(
-        f"WHEN '{s}' THEN '{sampling.hash_threshold(f)}'"
-        for s, f in sorted(_MIXTURE.items())
-    )
-    default = sampling.hash_threshold(0.0)
-    return f"""
-        SELECT source, count(*) AS sampled_docs,
-               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
-               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
-        FROM documents
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-              CASE source {arms} ELSE '{default}' END
-        GROUP BY 1
-    """
-
-
-ORACLES["mixture_sample_stats"] = _mixture_oracle_sql()
-
-def _quality_model_oracle_sql() -> str:
-    """Feature SQL + logit arithmetic GENERATED from
-    ``text.QUALITY_MODEL_WEIGHTS`` in the same fixed evaluation order
-    as the Spark expression tree — IEEE +,*,/ only, so the doubles are
-    bit-identical and the weights cannot drift between engines."""
-    feats = {
-        "alpha_ratio": (
-            "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
-            " AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
-        ),
-        "stopword_frac": (
-            f"CAST(len(regexp_extract_all(text, '{text.EN_STOPWORDS}')) AS DOUBLE)"
-            " / CAST(greatest(n_tokens, 1) AS DOUBLE)"
-        ),
-        "len_norm": "CAST(least(n_tokens, 1000) AS DOUBLE) / 1000.0",
-    }
-    logit = f"({text.QUALITY_MODEL_INTERCEPT!r})"
-    for name, w in text.QUALITY_MODEL_WEIGHTS:
-        logit = f"({logit} + ({w!r} * {name}))"
-    cols = ", ".join(name for name, _ in text.QUALITY_MODEL_WEIGHTS)
-    feat_sql = ", ".join(f"{expr} AS {name}" for name, expr in feats.items())
-    return rf"""
-        WITH s AS (
-          SELECT doc_id, text,
-            CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-          FROM documents),
-        f AS (SELECT doc_id, {feat_sql} FROM s)
-        SELECT doc_id, {cols},
-               {logit} AS quality_logit,
-               {logit} > 0.0 AS quality_pred
-        FROM f
-    """
-
-
-ORACLES["quality_model_scores"] = _quality_model_oracle_sql()
-
-# Every stage of the composed pipeline replayed in one WITH chain:
-# quality gate -> fingerprint dedup -> 50% hash sample (the
-# training_corpus_prep oracle) -> md5 pack bucket -> running offset ->
-# sequence assignment -> per-bucket stats (the sequence_packing oracle).
-ORACLES["corpus_pack_end_to_end"] = r"""
-    WITH q AS (
-      SELECT doc_id,
-        CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
-        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-          / greatest(length(text), 1) AS alpha_ratio,
-        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-      FROM documents),
-    f AS (
-      SELECT * FROM q
-      WHERE n_tokens BETWEEN 5 AND 10000 AND stop_hits >= 1
-        AND alpha_ratio >= 0.5),
-    k AS (
-      SELECT doc_id, n_tokens,
-             row_number() OVER (
-               PARTITION BY fingerprint ORDER BY doc_id) AS rn
-      FROM f),
-    corpus AS (
-      SELECT doc_id, n_tokens FROM k
-      WHERE rn = 1
-        AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
-    b AS (
-      SELECT doc_id, n_tokens,
-        CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS UBIGINT) % 4 AS BIGINT) AS pack_bucket
-      FROM corpus),
-    p AS (
-      SELECT pack_bucket, n_tokens,
-        CAST(COALESCE(sum(n_tokens) OVER (
-          PARTITION BY pack_bucket ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS BIGINT) AS start_offset
-      FROM b),
-    seqs AS (
-      SELECT pack_bucket,
-             CAST(floor(start_offset / 128.0) AS BIGINT) AS pack_seq,
-             count(*) AS n_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
-      FROM p GROUP BY 1, 2)
-    SELECT pack_bucket,
-           count(*) AS n_seqs,
-           CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
-           max(seq_tokens / 128.0) AS max_fill,
-           avg(seq_tokens / 128.0) AS avg_fill
-    FROM seqs GROUP BY 1
-"""
-
-ORACLES["embedding_quantization"] = """
-    WITH s AS (
-      SELECT vec_id, embedding,
-             list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-      FROM embeddings)
-    SELECT vec_id,
-           len(embedding) AS dim,
-           array_to_string(
-             CASE WHEN scale = 0.0
-                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                  ELSE list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
-                                 AS BIGINT)) END, ',') AS qvec_str,
-           scale
-    FROM s
-"""
-
-ORACLES["shard_assignment_stats"] = """
-    WITH s AS (
-      SELECT user_id,
-        CAST(CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
-             AS UBIGINT) % 16 AS BIGINT) AS shard,
-        md5(CAST(event_id AS VARCHAR)) AS shard_pos
-      FROM events)
-    SELECT shard, count(*) AS n_rows,
-           count(DISTINCT user_id) AS n_users,
-           min(shard_pos) AS first_pos
-    FROM s GROUP BY 1
-"""
-
-
-# --- round-5 additions (append-only: driver window stability, ADVICE #5) ---
-
-
-def ann_ivf_trained_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-oracle twin of the trained-IVF path
-    (operators/similarity.py ``ivf_trained_check``): deterministic
-    seeded init + one integer-arithmetic Lloyd iteration, every step
-    SQL-replayable — verifies quantizer TRAINING and assignment
-    value-for-value (``ann_ivf_trained`` itself stays rows-only: MLlib
-    k-means float reductions aren't order-free)."""
-    from .operators.similarity import ivf_trained_check as _check
-
-    return _check(load_table(spark, sf_dir, "embeddings"))
-
-
-def multimodal_frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact byte-offset oracle for the row-expanding frame sampler
-    (operators/multimodal.py ``sample_frames``): the stub's frame
-    count (1 + len%4), stride (max(1, len//n)) and 16-byte slices are
-    pure byte arithmetic, so DuckDB can replay them on the hex form of
-    the UTF-8 blob (this DuckDB build has no BLOB substr; a byte slice
-    [a, a+16) is hex chars [2a+1, 2a+32]) — value-exact including the
-    frame payloads, compared as uppercase hex on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    frames = multimodal.sample_frames(
-        multimodal.attach_text_blob(docs), fake=True
-    )
-    return frames.select(
-        "id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
-    )
-
-
-def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-export manifest (operators/packing.py
-    ``materialize_sequences``): the per-sequence document composition
-    the shard writer consumes — same 128-token / 8-bucket packing as
-    ``sequence_packing_stats``, now materialized per sequence with
-    stream-ordered doc-id and token-count lists (csv strings for
-    engine-portable comparison).  Exact oracle: the same md5 bucket +
-    running offset replay, grouped with ``string_agg(... ORDER BY
-    doc_id)``."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", text.token_count("text").alias("n_tokens")
-    )
-    packed = packing.pack_sequences(
-        docs, "doc_id", "n_tokens", seq_budget=128, n_buckets=8
-    )
-    return packing.materialize_sequences(packed, "doc_id", "n_tokens")
-
-
-def ann_pq_adc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC search (operators/similarity.py
-    ``pq_adc_check``): per-subspace codebook fit (seeded init + one
-    integer-grid Lloyd step), encode, LUT-based approximate top-k —
-    the entire PQ pipeline behind an exact DuckDB oracle via the same
-    integer-arithmetic recipe as ``ann_ivf_trained_check``."""
-    from .operators.similarity import pq_adc_check as _check
-
-    return _check(load_table(spark, sf_dir, "embeddings"))
-
-
-def global_duplicate_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide ID-uniqueness report (operators/integrity.py
-    ``global_duplicate_ids``) — the cross-slice companion to the
-    incremental validation sink: per-slice reports can never see an ID
-    repeated ACROSS slices (``merge_df_reports`` contract), so this one
-    global pass closes that gap.  Demonstrated on the deliberately
-    duplicate-heavy ``events.user_id``."""
-    from .operators.integrity import global_duplicate_ids
-
-    return global_duplicate_ids(
-        load_table(spark, sf_dir, "events"), "user_id"
-    )
-
-
-QUERIES["ann_ivf_trained_check"] = ann_ivf_trained_check
-QUERIES["multimodal_frame_sample_check"] = multimodal_frame_sample_check
-QUERIES["packed_sequences_manifest"] = packed_sequences_manifest
-QUERIES["ann_pq_adc_check"] = ann_pq_adc_check
-QUERIES["global_duplicate_user_ids"] = global_duplicate_user_ids
-
-ORACLES["global_duplicate_user_ids"] = """
-    WITH pv AS (
-      SELECT CAST(user_id AS VARCHAR) AS idv, count(*) AS n
-      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-    d AS (SELECT * FROM pv WHERE n > 1),
-    stats AS (
-      SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS duplicate_rows,
-             count(*) AS duplicated_values,
-             CAST(COALESCE(sum(n), 0) - count(*) AS BIGINT)
-               AS duplicate_error_count
-      FROM d),
-    smp AS (
-      SELECT COALESCE(string_agg(idv, ',' ORDER BY idv), '')
-               AS sample_values_csv
-      FROM (SELECT idv FROM d ORDER BY idv LIMIT 10))
-    SELECT * FROM stats, smp
-"""
-
-# PQ replay: subspace = pos//16; per-subspace seeded init + one Lloyd
-# step on the integer grid; encode = per-subspace argmin; ADC = sum of
-# per-(query, subspace, code) integer LUT entries.  Same constants as
-# operators/similarity.pq_adc_check (8 codes, 4 subspaces of 16 dims,
-# scale 1000, seed 'pq5:', queries = md5 ranks 9-16, k=3, slice capped
-# at the 200 smallest md5 ranks).
-ORACLES["ann_pq_adc_check"] = """
-    WITH sub AS (
-      SELECT vec_id, embedding,
-             row_number() OVER (
-               ORDER BY md5('pq5:' || CAST(vec_id AS VARCHAR)), vec_id
-             ) AS rn
-      FROM embeddings
-      QUALIFY rn <= 200),
-    ex AS (
-      SELECT vec_id, rn,
-             CAST((r.i - 1) // 16 AS INT) AS ss,
-             CAST(r.i - 1 AS INT) AS pos,
-             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
-                        + 0.5) AS BIGINT) AS qd
-      FROM sub, range(1, 65) r(i)),
-    cent0 AS (
-      SELECT CAST(rn - 1 AS INT) AS code, ss, pos, qd AS cd
-      FROM ex WHERE rn <= 8),
-    a0 AS (
-      SELECT e.vec_id, e.ss, c.code,
-             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
-      FROM ex e JOIN cent0 c ON e.ss = c.ss AND e.pos = c.pos
-      GROUP BY 1, 2, 3),
-    asg0 AS (
-      SELECT vec_id, ss, code FROM a0
-      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
-                                 ORDER BY d0, code) = 1),
-    s AS (
-      SELECT a.ss, a.code, e.pos,
-             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
-      FROM asg0 a JOIN ex e ON a.vec_id = e.vec_id AND a.ss = e.ss
-      GROUP BY 1, 2, 3),
-    m AS (
-      SELECT ss, code, pos,
-             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
-               AS md
-      FROM s),
-    encd AS (
-      SELECT e.vec_id, e.ss, m.code,
-             sum((e.qd * 1000 - m.md) * (e.qd * 1000 - m.md)) AS d1
-      FROM ex e JOIN m ON e.ss = m.ss AND e.pos = m.pos
-      GROUP BY 1, 2, 3),
-    enc AS (
-      SELECT vec_id, ss, code FROM encd
-      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
-                                 ORDER BY d1, code) = 1),
-    q AS (
-      SELECT vec_id AS query_id, ss, pos, qd
-      FROM ex WHERE rn > 8 AND rn <= 16),
-    lut AS (
-      SELECT q.query_id, m.ss, m.code,
-             sum((q.qd * 1000 - m.md) * (q.qd * 1000 - m.md)) AS ld
-      FROM q JOIN m ON q.ss = m.ss AND q.pos = m.pos
-      GROUP BY 1, 2, 3),
-    adc AS (
-      SELECT l.query_id, e.vec_id AS neighbor_id,
-             CAST(sum(l.ld) AS BIGINT) AS d2_pq
-      FROM enc e JOIN lut l ON e.ss = l.ss AND e.code = l.code
-      GROUP BY 1, 2)
-    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, d2_pq
-    FROM (
-      SELECT query_id, neighbor_id, d2_pq,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY d2_pq, neighbor_id) AS rnk
-      FROM adc WHERE query_id != neighbor_id)
-    WHERE rnk <= 3
-"""
-
-ORACLES["packed_sequences_manifest"] = r"""
-    WITH b AS (
-      SELECT doc_id,
-        CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS UBIGINT) % 8 AS BIGINT) AS pack_bucket
-      FROM documents),
-    p AS (
-      SELECT doc_id, n_tokens, pack_bucket,
-        CAST(COALESCE(sum(n_tokens) OVER (
-          PARTITION BY pack_bucket ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS BIGINT) AS start_offset
-      FROM b)
-    SELECT pack_bucket,
-           CAST(floor(start_offset / 128.0) AS BIGINT) AS pack_seq,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
-           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
-             AS doc_ids_csv,
-           string_agg(CAST(n_tokens AS VARCHAR), ',' ORDER BY doc_id)
-             AS token_counts_csv
-    FROM p GROUP BY 1, 2
-"""
-
-# Trained-IVF replay: md5-seeded subset + init, element quantization to
-# the integer grid, integer distances, one Lloyd mean re-floored to the
-# grid — the same constants as operators/similarity.ivf_trained_check
-# (n_take=200, n_cells=8, dim=16, scale=1000, seed 'ivf5:').
-ORACLES["ann_ivf_trained_check"] = """
-    WITH sub AS (
-      SELECT vec_id, embedding,
-             row_number() OVER (
-               ORDER BY md5('ivf5:' || CAST(vec_id AS VARCHAR)), vec_id
-             ) AS rn
-      FROM embeddings
-      QUALIFY rn <= 200),
-    ex AS (
-      SELECT vec_id, rn, CAST(r.i - 1 AS INT) AS pos,
-             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
-                        + 0.5) AS BIGINT) AS qd
-      FROM sub, range(1, 17) r(i)),
-    cent0 AS (
-      SELECT CAST(rn - 1 AS INT) AS cell, pos, qd AS cd
-      FROM ex WHERE rn <= 8),
-    a0 AS (
-      SELECT e.vec_id, c.cell,
-             CAST(sum((e.qd - c.cd) * (e.qd - c.cd)) AS BIGINT) AS d0
-      FROM ex e JOIN cent0 c USING (pos) GROUP BY 1, 2),
-    assign0 AS (
-      SELECT vec_id, cell AS cell_init FROM a0
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d0, cell) = 1),
-    s AS (
-      SELECT a.cell_init, e.pos,
-             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
-      FROM assign0 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
-    m AS (
-      SELECT cell_init AS cell, pos,
-             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
-               AS md
-      FROM s),
-    a1 AS (
-      SELECT e.vec_id, m.cell,
-             CAST(sum((e.qd * 1000 - m.md) * (e.qd * 1000 - m.md))
-                  AS BIGINT) AS d1
-      FROM ex e JOIN m USING (pos) GROUP BY 1, 2)
-    SELECT a.vec_id, a0.cell_init, CAST(a.cell AS INT) AS cell_final,
-           a.d1 AS d2_scaled
-    FROM a1 a JOIN assign0 a0 USING (vec_id)
-    QUALIFY row_number() OVER (PARTITION BY a.vec_id
-                               ORDER BY a.d1, a.cell) = 1
-"""
-
-# Frame-sampler replay: n = 1 + len%4, step = max(1, len//n), frame f
-# is bytes [f*step, f*step+16) — byte arithmetic replayed on the hex
-# string of the UTF-8 blob (2 hex chars per byte).
-ORACLES["multimodal_frame_sample_check"] = """
-    WITH b AS (
-      SELECT doc_id AS id, encode(text) AS blob
-      FROM documents WHERE text IS NOT NULL),
-    p AS (
-      SELECT id, hex(blob) AS h, octet_length(blob) AS n_bytes,
-             1 + octet_length(blob) % 4 AS n_frames
-      FROM b),
-    s AS (
-      SELECT id, h, n_frames,
-             CASE WHEN n_bytes // n_frames < 1 THEN 1
-                  ELSE n_bytes // n_frames END AS step
-      FROM p)
-    SELECT s.id, CAST(r.i AS INT) AS frame_idx,
-           substr(h, r.i * step * 2 + 1, 32) AS frame_hex
-    FROM s, range(0, 4) r(i)
-    WHERE r.i < n_frames
-"""
-
-
-# --------------------------------------------------------------------------
-# round-6 additions (append-only)
-# --------------------------------------------------------------------------
-
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with exact re-ranking (operators/similarity.py
-    ``ivfpq_check``) — the composed production ANN architecture:
-    coarse quantizer (seeded init + one integer-grid Lloyd step)
-    routes each query to its cell, PQ-ADC integer lookup tables
-    shortlist within the cell, and an exact integer d² re-ranks the
-    shortlist.  Every stage replays in ANSI SQL, so the full composed
-    pipeline — training, encoding, shortlisting, re-ranking — sits
-    behind the exact value-hash gate."""
-    from .operators.similarity import ivfpq_check as _check
-
-    return _check(load_table(spark, sf_dir, "embeddings"))
-
-
-QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
-
-# IVF-PQ replay: coarse cells per ann_ivf_trained_check (4 cells, one
-# Lloyd step), PQ codebooks per ann_pq_adc_check (8 codes, 4 subspaces
-# of 4 dims), ADC shortlist of 10 within the query's cell, exact
-# integer re-rank to k=3.  Constants mirror
-# operators/similarity.ivfpq_check (n_take=200, dim=16, scale=1000,
-# seed 'ivfpq6:', queries = md5 ranks 9-16).
-ORACLES["ann_ivfpq_topk"] = """
-    WITH sub AS (
-      SELECT vec_id, embedding,
-             row_number() OVER (
-               ORDER BY md5('ivfpq6:' || CAST(vec_id AS VARCHAR)), vec_id
-             ) AS rn
-      FROM embeddings
-      QUALIFY rn <= 200),
-    ex AS (
-      SELECT vec_id, rn,
-             CAST(r.i - 1 AS INT) AS pos,
-             CAST((r.i - 1) // 4 AS INT) AS ss,
-             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
-                        + 0.5) AS BIGINT) AS qd
-      FROM sub, range(1, 17) r(i)),
-    cent0 AS (
-      SELECT CAST(rn - 1 AS INT) AS cell, pos, qd AS cd
-      FROM ex WHERE rn <= 4),
-    a0 AS (
-      SELECT e.vec_id, c.cell,
-             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
-      FROM ex e JOIN cent0 c USING (pos) GROUP BY 1, 2),
-    assign0 AS (
-      SELECT vec_id, cell AS cell_init FROM a0
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d0, cell) = 1),
-    cs AS (
-      SELECT a.cell_init, e.pos,
-             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
-      FROM assign0 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
-    cm AS (
-      SELECT cell_init AS cell, pos,
-             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
-               AS md
-      FROM cs),
-    a1 AS (
-      SELECT e.vec_id, cm.cell,
-             sum((e.qd * 1000 - cm.md) * (e.qd * 1000 - cm.md)) AS d1
-      FROM ex e JOIN cm USING (pos) GROUP BY 1, 2),
-    assignf AS (
-      SELECT vec_id, cell AS cell_final FROM a1
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d1, cell) = 1),
-    pcent0 AS (
-      SELECT CAST(rn - 1 AS INT) AS code, ss, pos, qd AS cd
-      FROM ex WHERE rn <= 8),
-    pa0 AS (
-      SELECT e.vec_id, e.ss, c.code,
-             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
-      FROM ex e JOIN pcent0 c ON e.ss = c.ss AND e.pos = c.pos
-      GROUP BY 1, 2, 3),
-    pasg0 AS (
-      SELECT vec_id, ss, code FROM pa0
-      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
-                                 ORDER BY d0, code) = 1),
-    ps AS (
-      SELECT a.ss, a.code, e.pos,
-             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
-      FROM pasg0 a JOIN ex e ON a.vec_id = e.vec_id AND a.ss = e.ss
-      GROUP BY 1, 2, 3),
-    pm AS (
-      SELECT ss, code, pos,
-             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
-               AS md
-      FROM ps),
-    encd AS (
-      SELECT e.vec_id, e.ss, pm.code,
-             sum((e.qd * 1000 - pm.md) * (e.qd * 1000 - pm.md)) AS d1
-      FROM ex e JOIN pm ON e.ss = pm.ss AND e.pos = pm.pos
-      GROUP BY 1, 2, 3),
-    enc AS (
-      SELECT vec_id, ss, code FROM encd
-      QUALIFY row_number() OVER (PARTITION BY vec_id, ss
-                                 ORDER BY d1, code) = 1),
-    q AS (
-      SELECT vec_id AS query_id, ss, pos, qd
-      FROM ex WHERE rn > 8 AND rn <= 16),
-    lut AS (
-      SELECT q.query_id, pm.ss, pm.code,
-             sum((q.qd * 1000 - pm.md) * (q.qd * 1000 - pm.md)) AS ld
-      FROM q JOIN pm ON q.ss = pm.ss AND q.pos = pm.pos
-      GROUP BY 1, 2, 3),
-    qc AS (
-      SELECT qq.query_id, af.cell_final AS qcell
-      FROM (SELECT DISTINCT query_id FROM q) qq
-      JOIN assignf af ON af.vec_id = qq.query_id),
-    cand AS (
-      SELECT qc.query_id, af.vec_id AS neighbor_id
-      FROM qc JOIN assignf af ON af.cell_final = qc.qcell
-      WHERE af.vec_id != qc.query_id),
-    adc AS (
-      SELECT c.query_id, c.neighbor_id, CAST(sum(l.ld) AS BIGINT) AS d2_pq
-      FROM cand c
-      JOIN enc e ON e.vec_id = c.neighbor_id
-      JOIN lut l ON l.query_id = c.query_id
-                AND l.ss = e.ss AND l.code = e.code
-      GROUP BY 1, 2),
-    sl AS (
-      SELECT query_id, neighbor_id, d2_pq FROM adc
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                                 ORDER BY d2_pq, neighbor_id) <= 10),
-    rr AS (
-      SELECT s.query_id, s.neighbor_id, s.d2_pq,
-             CAST(sum((a.qd - b.qd) * (a.qd - b.qd)) AS BIGINT) AS d2_exact
-      FROM sl s
-      JOIN ex a ON a.vec_id = s.query_id
-      JOIN ex b ON b.vec_id = s.neighbor_id AND b.pos = a.pos
-      GROUP BY 1, 2, 3)
-    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
-           d2_exact, d2_pq
-    FROM (
-      SELECT query_id, neighbor_id, d2_exact, d2_pq,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY d2_exact, neighbor_id) AS rnk
-      FROM rr)
-    WHERE rnk <= 3
-"""
-
-
-def dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup clusters over TRAINED quantizer cells sized to
-    the corpus (operators/similarity.py ``trained_cells`` with
-    ``n_cells = max(8, n/50)``) — the scale-safe form of
-    ``dedup_clusters``: that entry blocks on the table's 10 fixed
-    ``label`` cells, which the round-5 10× spot-check measured
-    quadratic (BASELINE.md finding 2); here cell count grows with the
-    corpus so within-cell pair work stays linear.  The deterministic
-    integer-grid fit makes the trained cells — and therefore the final
-    cluster assignment — replayable in DuckDB, so the 100 TB path and
-    the benched/oracled query are the same code."""
-    from .operators import graph
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_cells = max(8, emb.count() // 50)
-    # materialize the assigned corpus once: the blocked self-join reads
-    # it from both sides, and the component loop again — without this
-    # the map-side assignment re-runs per consumer.  At 100 TB the
-    # equivalent is writing the assigned corpus to storage (it is the
-    # artifact you keep anyway); local mode uses a localCheckpoint.
-    cells = similarity.trained_cells(emb, n_cells=n_cells).localCheckpoint()
-    pairs = similarity.embedding_dup_pairs(
-        cells, threshold=0.4, cell_col="cell"
-    )
-    return graph.connected_components(pairs)
-
-
-QUERIES["dedup_clusters_scaled"] = dedup_clusters_scaled
-
-# Trained-cell replay (similarity.trained_cells: md5-seeded init of
-# greatest(8, n/50) centroids, one integer-grid Lloyd step, full-corpus
-# assignment) + the same double-cosine edge SQL as dedup_embedding_cosine
-# blocked on the trained cell, closed with a recursive CTE as in
-# dedup_clusters.
-ORACLES["dedup_clusters_scaled"] = """
-    WITH RECURSIVE nc AS (
-      SELECT greatest(8, count(*) // 50) AS k FROM embeddings),
-    sub AS (
-      SELECT vec_id, embedding,
-             row_number() OVER (
-               ORDER BY md5('cells6:' || CAST(vec_id AS VARCHAR)), vec_id
-             ) AS rn
-      FROM embeddings),
-    ex AS (
-      SELECT vec_id, rn, CAST(r.i - 1 AS INT) AS pos,
-             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
-                        + 0.5) AS BIGINT) AS qd
-      FROM sub, range(1, 65) r(i)),
-    cent0 AS (
-      SELECT CAST(rn - 1 AS INT) AS cell, pos, qd AS cd
-      FROM ex, nc WHERE rn <= nc.k),
-    a0 AS (
-      SELECT e.vec_id, c.cell,
-             sum((e.qd - c.cd) * (e.qd - c.cd)) AS d0
-      FROM ex e JOIN cent0 c USING (pos) GROUP BY 1, 2),
-    assign0 AS (
-      SELECT vec_id, cell AS cell0 FROM a0
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d0, cell) = 1),
-    cs AS (
-      SELECT a.cell0, e.pos,
-             CAST(sum(e.qd) AS BIGINT) AS sq, count(*) AS n
-      FROM assign0 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
-    cm AS (
-      SELECT cell0 AS cell, pos,
-             CAST(floor(CAST(sq AS DOUBLE) * 1000 / n + 0.5) AS BIGINT)
-               AS md
-      FROM cs),
-    a1 AS (
-      SELECT e.vec_id, cm.cell,
-             sum((e.qd * 1000 - cm.md) * (e.qd * 1000 - cm.md)) AS d1
-      FROM ex e JOIN cm USING (pos) GROUP BY 1, 2),
-    assignf AS (
-      SELECT vec_id, cell FROM a1
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d1, cell) = 1),
-    emb2 AS (
-      SELECT e.vec_id, e.embedding, af.cell
-      FROM embeddings e JOIN assignf af USING (vec_id)),
-    edges AS (
-      SELECT a.vec_id AS ida, b.vec_id AS idb
-      FROM emb2 a JOIN emb2 b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-            / (sqrt(list_sum(list_transform(a.embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(b.embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-            >= 0.4),
-    und AS (
-      SELECT ida AS a, idb AS b FROM edges
-      UNION
-      SELECT idb AS a, ida AS b FROM edges),
-    comp(node, label) AS (
-      SELECT DISTINCT a, a FROM und
-      UNION
-      SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b)
-    SELECT node, min(label) AS cluster FROM comp GROUP BY node
-"""
-
-
-def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-window span-level duplicate report (operators/spans.py):
-    every 8-token window of every document is md5-fingerprinted; a
-    window is duplicated when its fingerprint occurs ≥ 2 times anywhere
-    in the corpus; per-document output counts duplicated windows and
-    the EXACT union size of their [pos, pos+8) token intervals.
-    Catches the partial duplication (boilerplate, quoted passages)
-    that whole-doc fingerprints and MinHash miss.  The md5-over-window
-    fingerprint is engine-portable, so the full pipeline — windowing,
-    duplication decision, interval merge — is value-checked against
-    DuckDB."""
-    return spans.duplicated_span_stats(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
-    )
-
-
-QUERIES["span_dup_stats"] = span_dup_stats
-
-ORACLES["span_dup_stats"] = r"""
-    WITH base AS (
-      SELECT doc_id,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
-             END AS n_tokens
-      FROM documents),
-    tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-    grams AS (
-      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    occ AS (
-      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS occ
-      FROM grams),
-    dup AS (
-      SELECT doc_id, pos,
-             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-      FROM occ WHERE occ >= 2),
-    merged AS (
-      SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_dup_windows,
-             CAST(sum(CASE WHEN nxt IS NULL THEN 8
-                           ELSE least(8, nxt - pos) END) AS BIGINT)
-               AS dup_tokens
-      FROM dup GROUP BY 1)
-    SELECT b.doc_id,
-           CAST(b.n_tokens AS BIGINT) AS n_tokens,
-           CAST(greatest(0, b.n_tokens - 8 + 1) AS BIGINT) AS n_windows,
-           coalesce(m.n_dup_windows, 0) AS n_dup_windows,
-           coalesce(m.dup_tokens, 0) AS dup_tokens
-    FROM base b LEFT JOIN merged m USING (doc_id)
-"""
-
-
-def bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom filter end-to-end (operators/sketch.py): build a k=5,
-    m=1024 filter over the 150 distinct event user ids, probe all
-    1500 customer keys, and emit the confusion-matrix counts.  m is
-    sized small on purpose — ~0.73 set-bit load yields a few percent
-    false positives among the 1350 non-member probes, so the oracle
-    exercises REAL collisions, and false_negatives = 0 verifies the
-    no-false-negative guarantee.  The md5-mod bit positions are
-    engine-portable: DuckDB recomputes the exact bitset and the exact
-    per-probe verdicts, so even which keys collide is value-checked."""
-    ev = load_table(spark, sf_dir, "events")
-    cust = load_table(spark, sf_dir, "customer")
-    filt = sketch.bloom_build(ev, "user_id", k=5, m=1024)
-    probes = cust.select(F.col("c_custkey").alias("user_id"))
-    verdicts = sketch.bloom_contains(filt, probes, "user_id", k=5, m=1024)
-    members = (
-        ev.select("user_id")
-        .filter(F.col("user_id").isNotNull())
-        .distinct()
-        .withColumn("is_member", F.lit(True))
-    )
-    both = verdicts.join(members, "user_id", "left").select(
-        "user_id",
-        "bloom_positive",
-        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
-    )
-    return both.agg(
-        F.count(F.lit(1)).alias("probes"),
-        F.sum(F.col("is_member").cast("long")).alias("exact_members"),
-        F.sum(F.col("bloom_positive").cast("long")).alias("bloom_positives"),
-        F.sum(
-            (F.col("bloom_positive") & ~F.col("is_member")).cast("long")
-        ).alias("false_positives"),
-        F.sum(
-            (~F.col("bloom_positive") & F.col("is_member")).cast("long")
-        ).alias("false_negatives"),
-    )
-
-
-QUERIES["bloom_membership_check"] = bloom_membership_check
-
-# Same md5-prefix bit positions as sketch._bucket (and the CMS oracle):
-# '<j>:' || value, first 8 hex chars, mod m.
-ORACLES["bloom_membership_check"] = """
-    WITH members AS (
-      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-    bits AS (
-      SELECT DISTINCT
-        CAST(CAST(('0x' || substr(
-            md5(CAST(r.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
-            1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS pos
-      FROM members, range(5) r(j)),
-    probes AS (
-      SELECT DISTINCT c_custkey AS user_id FROM customer
-      WHERE c_custkey IS NOT NULL),
-    ppos AS (
-      SELECT user_id,
-        CAST(CAST(('0x' || substr(
-            md5(CAST(r.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
-            1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS pos
-      FROM probes, range(5) r(j)),
-    verdicts AS (
-      SELECT p.user_id, count(b.pos) = 5 AS bloom_positive
-      FROM ppos p LEFT JOIN bits b USING (pos)
-      GROUP BY 1),
-    joined AS (
-      SELECT v.user_id, v.bloom_positive,
-             m.user_id IS NOT NULL AS is_member
-      FROM verdicts v LEFT JOIN members m USING (user_id))
-    SELECT CAST(count(*) AS BIGINT) AS probes,
-           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
-             AS exact_members,
-           CAST(sum(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
-             AS bloom_positives,
-           CAST(sum(CASE WHEN bloom_positive AND NOT is_member
-                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
-           CAST(sum(CASE WHEN is_member AND NOT bloom_positive
-                         THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
-    FROM joined
-"""
-
-
-def span_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-prescreened window-level decontamination
-    (operators/pipeline.py ``span_contamination``): the heldout 30%
-    split's 8-token-window fingerprints compile to m=65536 bloom bits
-    carried IN the probe expression (operators/sketch.py
-    ``bloom_pack``/``bloom_test``), the 70% train split is screened
-    map-side in one scan, and only bloom-positive windows reach the
-    exact verification join.  m is sized to leave a ~1-2% FP rate so
-    candidate_windows genuinely exceeds confirmed_windows — the oracle
-    replays the md5-grid bloom verdicts and value-checks BOTH counts,
-    false positives included."""
-    from .operators.pipeline import span_contamination
-
-    docs = load_table(spark, sf_dir, "documents")
-    held = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.3))
-    return span_contamination(
-        docs.filter(~held), docs.filter(held), w=8, k=5, m=65536
-    )
-
-
-QUERIES["span_contamination_check"] = span_contamination_check
-
-ORACLES["span_contamination_check"] = r"""
-    WITH full_t AS (
-      SELECT doc_id, text,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
-      FROM documents),
-    tok AS (
-      SELECT doc_id, held, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM full_t WHERE text IS NOT NULL AND trim(text) <> ''),
-    grams AS (
-      SELECT doc_id, held,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    hh AS (SELECT DISTINCT h FROM grams WHERE held),
-    -- Kirsch-Mitzenmacher positions from the existing digest: two
-    -- 32-bit slices, h2 forced odd, pos_j = (h1 + j*h2) mod m
-    bits AS (
-      SELECT DISTINCT
-        CAST((CAST(('0x' || substr(h, 1, 8)) AS UBIGINT)
-              + r.j * (CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) | 1))
-             % 65536 AS BIGINT) AS pos
-      FROM hh, range(5) r(j)),
-    ch AS (SELECT DISTINCT h FROM grams WHERE NOT held),
-    cpos AS (
-      SELECT h,
-        CAST((CAST(('0x' || substr(h, 1, 8)) AS UBIGINT)
-              + r.j * (CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) | 1))
-             % 65536 AS BIGINT) AS pos
-      FROM ch, range(5) r(j)),
-    verdict AS (
-      SELECT c.h, count(b.pos) = 5 AS bloom_pos
-      FROM cpos c LEFT JOIN bits b USING (pos) GROUP BY c.h),
-    scr AS (
-      SELECT g.doc_id, v.bloom_pos, hh2.h IS NOT NULL AS confirmed
-      FROM grams g
-      JOIN verdict v USING (h)
-      LEFT JOIN hh hh2 ON hh2.h = g.h
-      WHERE NOT g.held),
-    per_doc AS (
-      SELECT doc_id,
-             CAST(count(*) FILTER (bloom_pos) AS BIGINT)
-               AS candidate_windows,
-             CAST(count(*) FILTER (bloom_pos AND confirmed) AS BIGINT)
-               AS confirmed_windows
-      FROM scr GROUP BY 1),
-    base AS (
-      SELECT doc_id,
-             CAST(greatest(0,
-               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
-               END - 8 + 1) AS BIGINT) AS n_windows
-      FROM full_t WHERE NOT held)
-    SELECT b.doc_id, b.n_windows,
-           coalesce(p.candidate_windows, 0) AS candidate_windows,
-           coalesce(p.confirmed_windows, 0) AS confirmed_windows
-    FROM base b LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM quality scoring on the exact integer-log2 grid
-    (operators/text.py ``unigram_surprisal``) — the perplexity-filter
-    decision signal with floor-log2 quantization instead of
-    non-portable ``ln``, so the whole model fit (corpus term counts)
-    AND the per-document scores cross the exact value gate."""
-    return text.unigram_surprisal(load_table(spark, sf_dir, "documents"))
-
-
-QUERIES["unigram_surprisal_scores"] = unigram_surprisal_scores
-
-# floor(log2 c) = length of the binary rendering − 1 on both engines
-ORACLES["unigram_surprisal_scores"] = r"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-      FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-    ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
-    scored AS (
-      SELECT tf.doc_id, tf.tf,
-             tf.tf * ( (length(format('{:b}', tot.n_total)) - 1)
-                     - (length(format('{:b}', ct.c)) - 1) ) AS bits
-      FROM tf JOIN ct USING (term) CROSS JOIN tot),
-    per_doc AS (
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-             CAST(sum(bits) AS BIGINT) AS surprisal_bits
-      FROM scored GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(p.n_tokens, 0) AS n_tokens,
-           coalesce(p.surprisal_bits, 0) AS surprisal_bits,
-           CASE WHEN p.n_tokens > 0
-                THEN CAST(p.surprisal_bits AS DOUBLE)
-                     / CAST(p.n_tokens AS DOUBLE)
-           END AS bits_per_token
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-def span_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actionable half of span dedup (operators/spans.py
-    ``scrub_duplicated_spans``): materialized documents with duplicated
-    8-token spans REMOVED — smallest-(doc,pos) occurrence of each
-    duplicated window survives, every other occurrence's interval is
-    stripped.  The CLEAN TEXT itself crosses the value gate: the
-    oracle rebuilds every scrubbed document string and the hash
-    compares them character-for-character."""
-    from .operators.spans import scrub_duplicated_spans
-
-    return scrub_duplicated_spans(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
-    )
-
-
-QUERIES["span_scrub_corpus"] = span_scrub_corpus
-
-ORACLES["span_scrub_corpus"] = r"""
-    WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-    grams AS (
-      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    marked AS (
-      SELECT doc_id, pos,
-             count(*) OVER (PARTITION BY h) AS occ,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
-      FROM grams),
-    strips AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rk > 1),
-    removed AS (
-      SELECT DISTINCT doc_id, CAST(r.i AS BIGINT) AS ti
-      FROM strips, LATERAL (SELECT unnest(range(pos, pos + 8)) AS i) r),
-    positions AS (
-      SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS ti, t[CAST(r.i AS INT)] AS tok
-      FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
-    kept AS (
-      SELECT p.doc_id, p.ti, p.tok
-      FROM positions p ANTI JOIN removed r USING (doc_id, ti)),
-    rebuilt AS (
-      SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
-             CAST(count(*) AS BIGINT) AS n_tokens_kept
-      FROM kept GROUP BY 1),
-    base AS (
-      SELECT doc_id,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
-             END AS n_tokens
-      FROM documents)
-    SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
-           CAST(b.n_tokens AS BIGINT) AS n_tokens,
-           coalesce(r.n_tokens_kept, 0) AS n_tokens_kept
-    FROM base b LEFT JOIN rebuilt r USING (doc_id)
-"""
-
-
-def bpe_learned_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer train→apply closed in one query (operators/text.py
-    ``learn_bpe_merges`` + ``token_stats_bpe_learned``): the corpus
-    word counts aggregate distributed, the sequential merge loop runs
-    driver-side over the vocab-bounded count table (the architecture
-    real BPE trainers use), and the learned table encodes the corpus
-    through the same Arrow ``mapInPandas`` path as the shipped
-    vocabulary.  Rows-only by nature (iterative training is not
-    SQL-expressible); the distributed≡single-machine merge equivalence
-    and encode semantics are pytest-pinned
-    (tests/test_bpe.py::test_learn_bpe_merges_matches_single_machine).
-    No trailing sort: a global orderBy would re-run the Python encoder
-    for the range-partition sampling pass (the r3 lesson)."""
-    docs = load_table(spark, sf_dir, "documents")
-    merges = text.learn_bpe_merges(docs, n_merges=100)
-    return text.token_stats_bpe_learned(docs, merges)
-
-
-QUERIES["bpe_learned_token_stats"] = bpe_learned_token_stats
-
-# The learned merge table at the driver's correctness scale (sf0.01,
-# n_merges=100; training stops at 93 when no pair count reaches 2),
-# PINNED so the iterative trainer's output can be replayed by a pure
-# SQL oracle.  Provenance: ``text.learn_bpe_merges(documents, 100)``
-# over /root/testdata/sf0.01 — equality is pinned in
-# tests/test_bpe.py::test_pinned_sf001_merges_match_trainer, so any
-# drift in the trainer or the data fails loudly instead of silently
-# desyncing the oracle.
-_BPE_SF001_MERGES = [
-    ('e', 'r</w>'), ('o', 'w</w>'), ('t', 'o'), ('a', 't'),
-    ('l', 'u'), ('a', 's'), ('i', 'n'), ('e', 'r'),
-    ('o', 'r'), ('a', 'r'), ('p', 'ar'), ('i', 'n</w>'),
-    ('j', 'o'), ('jo', 'in</w>'), ('as', 'h</w>'), ('h', 'ash</w>'),
-    ('r', 'ow</w>'), ('at', 'c'), ('atc', 'h</w>'), ('b', 'atch</w>'),
-    ('a', 'n</w>'), ('c', 'an</w>'), ('s', 'can</w>'), ('c', 'o'),
-    ('c', 'u'), ('co', 'lu'), ('colu', 'm'), ('colum', 'n</w>'),
-    ('cu', 's'), ('cus', 'to'), ('custo', 'm'), ('custom', 'er</w>'),
-    ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er</w>'),
-    ('a', 'l'), ('al', 'l</w>'), ('m', 'all</w>'), ('s', 'mall</w>'),
-    ('er', 'g'), ('erg', 'e</w>'), ('l', 'ow</w>'), ('m', 'erge</w>'),
-    ('s', 'low</w>'), ('c', 'to'), ('cto', 'r</w>'), ('d', 'er</w>'),
-    ('e', 'ctor</w>'), ('or', 'der</w>'), ('v', 'ector</w>'), ('in', 'e</w>'),
-    ('l', 'ine</w>'), ('a', 'b'), ('ab', 'l'), ('abl', 'e</w>'),
-    ('at', 'a</w>'), ('d', 'ata</w>'), ('t', 'able</w>'), ('u', 'p</w>'),
-    ('a', 'g'), ('ag', 'g</w>'), ('a', 'lu'), ('alu', 'e</w>'),
-    ('v', 'alue</w>'), ('e', 'y</w>'), ('k', 'ey</w>'), ('a', 'm</w>'),
-    ('e', 'am</w>'), ('r', 'eam</w>'), ('s', 't'), ('st', 'ream</w>'),
-    ('d', 'ow</w>'), ('in', 'dow</w>'), ('w', 'indow</w>'), ('par', 'k</w>'),
-    ('s', 'park</w>'), ('g', 'r'), ('gr', 'o'), ('gro', 'up</w>'),
-    ('par', 't</w>'), ('b', 'i'), ('bi', 'g</w>'), ('or', 't</w>'),
-    ('s', 'ort</w>'), ('er', 'y</w>'), ('q', 'u'), ('qu', 'ery</w>'),
-    ('as', 't</w>'), ('f', 'ast</w>'), ('h', 'e</w>'), ('t', 'he</w>'),
-    ('d', 'up</w>'),
-]
-
-
-def _bpe_learned_oracle_sql() -> str:
-    """Exact SQL replay of the learned-BPE ENCODE over the pinned
-    merge table — the last rows-only query gaining a value oracle.
-
-    Greedy lowest-rank encoding (functions/bpe.py ``encode_word``)
-    equals applying the merge list IN RANK ORDER, one left-to-right
-    pass each: a merge can only create pairs involving its output
-    symbol, which later-ranked merges own (and this table has no
-    duplicate-product compositions that could alias an earlier pair —
-    checked at pin time).  Each pass is ONE ``replace()`` over a
-    separator-framed symbol string: symbols are joined with a DOUBLE
-    U+001F separator and the pattern consumes one separator from each
-    side, so back-to-back occurrences match in the same pass exactly
-    like the Python scan (overlapping self-pairs correctly skip —
-    'aaa' encodes as [aa, a] in both).  93 nested replaces over the
-    DISTINCT words (the corpus vocabulary), then token counts fan
-    back to documents via per-doc word counts.  The whole construction
-    is word-level-pinned against the Python encoder in
-    tests/test_bpe.py::test_oracle_merge_chain_matches_encoder."""
-    s = "\x1f"
-    ds = s + s
-
-    def q(lit: str) -> str:
-        return lit.replace("'", "''")
-
-    chain = "s0"
-    for a, b in _BPE_SF001_MERGES:
-        chain = (
-            f"replace({chain}, '{q(s + a + ds + b + s)}', "
-            f"'{q(s + a + b + s)}')"
-        )
-    return rf"""
-        WITH tok AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text),
-                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS word
-          FROM documents WHERE text IS NOT NULL),
-        wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
-        init AS (
-          SELECT word,
-                 '{ds}' || array_to_string(
-                    list_append(
-                      regexp_split_to_array(word, '')[1:length(word)-1],
-                      regexp_split_to_array(word, '')[length(word)]
-                        || '</w>'),
-                    '{ds}') || '{ds}' AS s0
-          FROM (SELECT DISTINCT word FROM wc)),
-        enc AS (
-          SELECT word,
-                 (length(e) - length(replace(e, '{ds}', ''))) / 2 - 1 AS tc
-          FROM (SELECT word, {{chain}} AS e FROM init)),
-        per_doc AS (
-          SELECT wc.doc_id, sum(wc.c * enc.tc) AS n_real
-          FROM wc JOIN enc USING (word) GROUP BY 1)
-        SELECT d.doc_id,
-               CAST(coalesce(len(regexp_extract_all(d.text,
-                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0) AS INT)
-                 AS n_tokens_bpe,
-               CAST(coalesce(p.n_real, 0) AS BIGINT) AS n_tokens_bpe_real
-        FROM documents d LEFT JOIN per_doc p USING (doc_id)
-    """.replace("{chain}", chain)
-
-
-ORACLES["bpe_learned_token_stats"] = _bpe_learned_oracle_sql()
-
-
-def pretraining_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-6 operators composed end-to-end (operators/pipeline.py
-    ``pretraining_pipeline_v2``): span scrub → quality gate on the
-    SCRUBBED text → exact dedup on the scrubbed fingerprint →
-    bloom-prescreened window decontamination against the 30% heldout
-    split.  The oracle replays every stage interaction — scrubbing
-    changes fingerprints changes dedup groups changes the screen's
-    input — and checks the surviving (doc, fingerprint, n_tokens)
-    rows.  The bloom layer is deliberately NOT replayed here (no false
-    negatives ⇒ survivors are bloom-independent; the bloom verdicts
-    themselves are oracled by span_contamination_check)."""
-    from .operators.pipeline import pretraining_pipeline_v2
-
-    docs = load_table(spark, sf_dir, "documents")
-    held = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.3))
-    return pretraining_pipeline_v2(docs.filter(~held), docs.filter(held))
-
-
-QUERIES["pretraining_pipeline_v2_check"] = pretraining_pipeline_v2_check
-
-ORACLES["pretraining_pipeline_v2_check"] = r"""
-    WITH full_t AS (
-      SELECT doc_id, text,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
-      FROM documents),
-    -- stage 1: span scrub WITHIN the 70% corpus split
-    ctok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM full_t WHERE NOT held AND text IS NOT NULL AND trim(text) <> ''),
-    cgrams AS (
-      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM ctok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    marked AS (
-      SELECT doc_id, pos,
-             count(*) OVER (PARTITION BY h) AS occ,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
-      FROM cgrams),
-    strips AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rk > 1),
-    removed AS (
-      SELECT DISTINCT doc_id, CAST(r.i AS BIGINT) AS ti
-      FROM strips, LATERAL (SELECT unnest(range(pos, pos + 8)) AS i) r),
-    positions AS (
-      SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS ti, t[CAST(r.i AS INT)] AS tok
-      FROM ctok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
-    kept_tok AS (
-      SELECT p.doc_id, p.ti, p.tok
-      FROM positions p ANTI JOIN removed r USING (doc_id, ti)),
-    rebuilt AS (
-      SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text
-      FROM kept_tok GROUP BY 1),
-    scrubbed AS (
-      SELECT f.doc_id, coalesce(r.clean_text, '') AS ct
-      FROM full_t f LEFT JOIN rebuilt r USING (doc_id)
-      WHERE NOT f.held),
-    -- stage 2: quality gate on the SCRUBBED text
-    q AS (
-      SELECT doc_id, ct,
-        CASE WHEN trim(ct) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(ct), '\s+')) END AS n_tokens,
-        len(regexp_extract_all(ct, '\b(the|a|of|and|to|in|is)\b'))
-          AS stop_hits,
-        CAST(length(ct) - length(regexp_replace(ct, '[A-Za-z]', '', 'g'))
-             AS DOUBLE) / greatest(length(ct), 1) AS alpha_ratio,
-        md5(lower(trim(regexp_replace(ct, '\s+', ' ', 'g')))) AS fingerprint
-      FROM scrubbed),
-    f AS (
-      SELECT * FROM q
-      WHERE n_tokens BETWEEN 5 AND 10000 AND stop_hits >= 1
-        AND alpha_ratio >= 0.5),
-    -- stage 3: exact dedup on the scrubbed fingerprint, min-id keeper
-    kpt AS (
-      SELECT doc_id, ct, fingerprint, n_tokens,
-             row_number() OVER (
-               PARTITION BY fingerprint ORDER BY doc_id) AS rn
-      FROM f),
-    survivors0 AS (SELECT * FROM kpt WHERE rn = 1),
-    -- stage 4: window decontamination vs the 30% heldout split (bloom
-    -- has no false negatives, so survivors are bloom-independent)
-    htok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM full_t WHERE held AND text IS NOT NULL AND trim(text) <> ''),
-    hh AS (
-      SELECT DISTINCT
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM htok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    stok AS (
-      SELECT doc_id, regexp_split_to_array(trim(ct), '\s+') AS t
-      FROM survivors0 WHERE trim(ct) <> ''),
-    sgrams AS (
-      SELECT doc_id,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM stok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    dirty AS (
-      SELECT DISTINCT g.doc_id FROM sgrams g JOIN hh USING (h))
-    SELECT s.doc_id, s.fingerprint, CAST(s.n_tokens AS BIGINT) AS n_tokens
-    FROM survivors0 s ANTI JOIN dirty d USING (doc_id)
-"""
-
-
-def incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingestion dedup (operators/incremental.py): split
-    documents 60/40 by md5(doc_id) into an accumulated "corpus" and an
-    incoming "slice"; build the corpus fingerprint store + bloom bits,
-    collapse the slice internally, screen it map-side against the
-    bloom, and anti-join only the positives against the store.  Bloom
-    filters have no false negatives, so the survivors are EXACTLY the
-    pure anti-join result the oracle computes — the bloom only changes
-    how much of the store the exact join reads.  The persisted form
-    (partitioned store, append-on-ingest, partition pruning) is pinned
-    in tests/test_operators.py."""
-    from .operators import incremental
-
-    docs = load_table(spark, sf_dir, "documents")
-    in_batch = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.4))
-    corpus, batch = docs.filter(~in_batch), docs.filter(in_batch)
-    # materialize the store once — it feeds both the bloom build
-    # (bounded collect) and the exact verify join, the same
-    # "artifact you keep" contract as span_contamination's heldout set
-    store = incremental.fingerprint_store(corpus).localCheckpoint()
-    blob = sketch.bloom_pack_bytes(
-        sketch.bloom_build_hex(store, "fingerprint", k=5, m=65536), 65536
-    )
-    return incremental.incremental_dedup(
-        batch, store, bloom_blob=blob, k=5, m=65536
-    )
-
-
-QUERIES["incremental_dedup_check"] = incremental_dedup_check
-
-ORACLES["incremental_dedup_check"] = r"""
-    WITH split AS (
-      SELECT doc_id, text,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '66666666'
-               AS in_batch
-      FROM documents),
-    corpus_fp AS (
-      SELECT DISTINCT
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM split WHERE NOT in_batch AND text IS NOT NULL),
-    batch_fp AS (
-      SELECT doc_id,
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM split WHERE in_batch AND text IS NOT NULL),
-    keep AS (
-      SELECT doc_id, fingerprint,
-             CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
-               AS batch_copies,
-             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
-               AS rk
-      FROM batch_fp)
-    SELECT k.doc_id, k.fingerprint, k.batch_copies
-    FROM keep k
-    ANTI JOIN corpus_fp c ON k.fingerprint = c.fingerprint
-    WHERE k.rk = 1
-"""
-
-
-def ann_rp_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-grid exact twin of the hyperplane-LSH pair pipeline
-    (operators/similarity.py ``rp_lsh_check``): md5-grid hyperplanes,
-    sign-bit signatures, banded bucket join, exact-cosine verify —
-    every stage value-replayed by the DuckDB oracle.  Completes the
-    exact-twin discipline: ``ann_rp_lsh_pairs`` (Gaussian planes,
-    recall-pytested) was the last rows-only family without an oracled
-    sibling."""
-    return similarity.rp_lsh_check(load_table(spark, sf_dir, "embeddings"))
-
-
-QUERIES["ann_rp_lsh_check"] = ann_rp_lsh_check
-
-ORACLES["ann_rp_lsh_check"] = """
-    WITH sub AS (
-      SELECT vec_id, embedding,
-             row_number() OVER (
-               ORDER BY md5('rplsh6:' || CAST(vec_id AS VARCHAR)), vec_id
-             ) AS rn
-      FROM embeddings
-      QUALIFY rn <= 200),
-    ex AS (
-      SELECT vec_id, CAST(r.i - 1 AS INT) AS pos,
-             CAST(floor(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1000
-                        + 0.5) AS BIGINT) AS qd
-      FROM sub, range(1, 17) r(i)),
-    planes AS (
-      SELECT CAST(j.x AS INT) AS j, CAST(d.x AS INT) AS pos,
-             (CAST(CAST(('0x' || substr(md5('rplsh6:' || CAST(j.x AS VARCHAR)
-                                        || ':' || CAST(d.x AS VARCHAR)), 1, 8))
-                        AS UBIGINT) AS BIGINT) % 2001) - 1000 AS r
-      FROM range(0, 16) j(x), range(0, 16) d(x)),
-    bits AS (
-      SELECT e.vec_id, p.j,
-             CASE WHEN sum(e.qd * p.r) >= 0 THEN 1 ELSE 0 END AS bit
-      FROM ex e JOIN planes p USING (pos)
-      GROUP BY 1, 2),
-    keys AS (
-      SELECT vec_id, CAST(j // 4 AS INT) AS band,
-             string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS key
-      FROM bits GROUP BY vec_id, band),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-      FROM keys a
-      JOIN keys b ON a.band = b.band AND a.key = b.key
-                 AND a.vec_id < b.vec_id),
-    norms AS (
-      SELECT vec_id, sum(qd * qd) AS n2 FROM ex GROUP BY 1),
-    dots AS (
-      SELECT c.ida, c.idb, sum(ea.qd * eb.qd) AS dot
-      FROM cand c
-      JOIN ex ea ON ea.vec_id = c.ida
-      JOIN ex eb ON eb.vec_id = c.idb AND eb.pos = ea.pos
-      GROUP BY 1, 2)
-    SELECT * FROM (
-      SELECT d.ida, d.idb,
-             CAST(d.dot AS DOUBLE)
-               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-               AS sim
-      FROM dots d
-      JOIN norms na ON na.vec_id = d.ida
-      JOIN norms nb ON nb.vec_id = d.idb)
-    WHERE sim >= 0.45
-"""
-
-
-def incremental_pipeline_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed per-slice ingestion loop body
-    (operators/incremental.py ``ingest_slice_clean`` in its pure
-    form): 20/40/40 md5 split into heldout / accumulated corpus /
-    incoming slice; the slice is DECONTAMINATED against the heldout
-    window set (bloom prescreen + exact verify), then DEDUPED against
-    the corpus fingerprint store (bloom prescreen + exact anti-join).
-    Both bloom layers have no false negatives, so the surviving rows
-    are exactly what the oracle's pure window-join + anti-join
-    computes — the whole two-stage pipeline behind one value hash."""
-    from .operators import incremental
-    from .operators.spans import window_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    h8 = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    )
-    heldout = docs.filter(h8 < "33333333")
-    corpus = docs.filter((h8 >= "33333333") & (h8 < "99999999"))
-    slice_ = docs.filter(h8 >= "99999999")
-
-    hw = (
-        window_fingerprints(heldout, "doc_id", "text", 8)
-        .select("h")
-        .distinct()
-        .localCheckpoint()
-    )
-    hblob = sketch.bloom_pack_bytes(
-        sketch.bloom_build_hex(hw, "h", k=5, m=65536), 65536
-    )
-    clean = incremental.decontaminate_batch(slice_, hw, hblob)
-    store = incremental.fingerprint_store(corpus).localCheckpoint()
-    sblob = sketch.bloom_pack_bytes(
-        sketch.bloom_build_hex(store, "fingerprint", k=5, m=65536), 65536
-    )
-    return incremental.incremental_dedup(
-        clean, store, bloom_blob=sblob, k=5, m=65536
-    )
-
-
-QUERIES["incremental_pipeline_check"] = incremental_pipeline_check
-
-ORACLES["incremental_pipeline_check"] = r"""
-    WITH split AS (
-      SELECT doc_id, text,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-      FROM documents),
-    htok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM split
-      WHERE h8 < '33333333' AND text IS NOT NULL AND trim(text) <> ''),
-    hh AS (
-      SELECT DISTINCT
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM htok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    stok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM split
-      WHERE h8 >= '99999999' AND text IS NOT NULL AND trim(text) <> ''),
-    sgrams AS (
-      SELECT doc_id,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM stok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    dirty AS (
-      SELECT DISTINCT g.doc_id FROM sgrams g JOIN hh USING (h)),
-    clean AS (
-      SELECT s.doc_id, s.text
-      FROM split s
-      ANTI JOIN dirty d ON s.doc_id = d.doc_id
-      WHERE s.h8 >= '99999999'),
-    corpus_fp AS (
-      SELECT DISTINCT
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM split
-      WHERE h8 >= '33333333' AND h8 < '99999999' AND text IS NOT NULL),
-    batch_fp AS (
-      SELECT doc_id,
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM clean WHERE text IS NOT NULL),
-    keep AS (
-      SELECT doc_id, fingerprint,
-             CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
-               AS batch_copies,
-             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
-               AS rk
-      FROM batch_fp)
-    SELECT k.doc_id, k.fingerprint, k.batch_copies
-    FROM keep k
-    ANTI JOIN corpus_fp c ON k.fingerprint = c.fingerprint
-    WHERE k.rk = 1
-"""
-
-
-def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget corpus selection (operators/selection.py): score
-    every document with the linear quality model, then fill a
-    15k-token budget with the best documents — the maximal
-    (score DESC, id ASC) prefix whose running token sum fits.  The
-    Spark side runs the two-phase bucketed algorithm (no global
-    sort); the oracle runs the naive running-sum window.  Equality is
-    the point: the scale-honest plan must compute EXACTLY the naive
-    semantics."""
-    from .operators import selection
-
-    docs = load_table(spark, sf_dir, "documents")
-    # score + token count in ONE scan pass (keep_cols) — joining two
-    # projections of the same table back on doc_id would pay a full
-    # shuffle for columns the projection already had
-    j = text.model_quality_score(
-        docs.withColumn("n_tokens", text.token_count(F.col("text"))),
-        keep_cols=("n_tokens",),
-    ).select("doc_id", "quality_logit", "n_tokens")
-    sel = selection.select_token_budget(
-        j, 15000, "quality_logit", "n_tokens"
-    )
-    return sel.select("doc_id", "quality_logit", "n_tokens")
-
-
-QUERIES["token_budget_selection"] = token_budget_selection
-
-
-def _token_budget_oracle_sql(budget: int = 15000) -> str:
-    """Naive running-sum selection over the SAME generated logit
-    arithmetic as ``quality_model_scores`` — the oracle is the naive
-    O(n log n) global sort the Spark side refuses to run."""
-    feats = {
-        "alpha_ratio": (
-            "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))"
-            " AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"
-        ),
-        "stopword_frac": (
-            f"CAST(len(regexp_extract_all(text, '{text.EN_STOPWORDS}')) AS DOUBLE)"
-            " / CAST(greatest(n_tokens, 1) AS DOUBLE)"
-        ),
-        "len_norm": "CAST(least(n_tokens, 1000) AS DOUBLE) / 1000.0",
-    }
-    logit = f"({text.QUALITY_MODEL_INTERCEPT!r})"
-    for name, w in text.QUALITY_MODEL_WEIGHTS:
-        logit = f"({logit} + ({w!r} * {name}))"
-    feat_sql = ", ".join(f"{expr} AS {name}" for name, expr in feats.items())
-    return rf"""
-        WITH s AS (
-          SELECT doc_id, text,
-            CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-          FROM documents),
-        f AS (SELECT doc_id, n_tokens, {feat_sql} FROM s),
-        scored AS (
-          SELECT doc_id, n_tokens, {logit} AS quality_logit FROM f),
-        cum AS (
-          SELECT doc_id, quality_logit, n_tokens,
-                 sum(n_tokens) OVER (
-                   ORDER BY quality_logit DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-          FROM scored)
-        SELECT doc_id, quality_logit, n_tokens
-        FROM cum WHERE c <= {budget}
-    """
-
-
-ORACLES["token_budget_selection"] = _token_budget_oracle_sql()
-
-
-#: per-source budgets for the mixture-construction query — a mix of
-#: sizes plus a tiny budget (partial boundary) and an absent source
-#: (src4+ dropped entirely)
-_GROUP_BUDGETS = {"src0": 4000, "src1": 2500, "src2": 6000, "src3": 120}
-
-
-def token_budget_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixture construction (operators/selection.py:
-    select_token_budget_by_group): fill a SEPARATE token budget per
-    source with that source's best documents — the "2:1 web:code at
-    fixed token counts" step of corpus assembly.  One (source,
-    bucket) histogram, a driver prefix per source, and a single plan
-    whose only sort is the group-PARTITIONED boundary window — no
-    global sort, no per-group job loop, so 10 000 sources cost the
-    same plan as 4.  Sources without a budget are dropped."""
-    from .operators import selection
-
-    docs = load_table(spark, sf_dir, "documents")
-    # one scan pass: score, token count, and source together
-    j = text.model_quality_score(
-        docs.withColumn("n_tokens", text.token_count(F.col("text"))),
-        keep_cols=("n_tokens", "source"),
-    ).select("doc_id", "source", "quality_logit", "n_tokens")
-    sel = selection.select_token_budget_by_group(
-        j, _GROUP_BUDGETS, "quality_logit", "n_tokens", group_col="source"
-    )
-    return sel.select("doc_id", "source", "quality_logit", "n_tokens")
-
-
-QUERIES["token_budget_by_group"] = token_budget_by_group
-
-
-def _token_budget_by_group_oracle_sql() -> str:
-    """Naive per-group running-sum selection — the window the Spark
-    side refuses to run globally, partitioned by source here so the
-    oracle is the straightforward O(n log n) statement."""
-    base = _token_budget_oracle_sql()
-    scored_prefix = base.split("cum AS")[0]
-    in_list = ", ".join(f"'{g}'" for g in _GROUP_BUDGETS)
-    budget_case = " ".join(
-        f"WHEN '{g}' THEN {b}" for g, b in _GROUP_BUDGETS.items()
-    )
-    return rf"""
-        {scored_prefix}
-        src AS (
-          SELECT s.doc_id, d.source, s.quality_logit, s.n_tokens
-          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-          WHERE d.source IN ({in_list})),
-        cum AS (
-          SELECT doc_id, source, quality_logit, n_tokens,
-                 sum(n_tokens) OVER (
-                   PARTITION BY source
-                   ORDER BY quality_logit DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-          FROM src)
-        SELECT doc_id, source, quality_logit, n_tokens
-        FROM cum
-        WHERE c <= CASE source {budget_case} END
-    """
-
-
-ORACLES["token_budget_by_group"] = _token_budget_by_group_oracle_sql()
-
-
-def dedup_priority_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Policy-driven exact dedup (operators/dedup.py:
-    exact_dedup_keepers_by_priority): among copies of the same
-    normalized text, keep the copy from the most-trusted source
-    (src3 ≻ src1 ≻ src0 ≻ everything else), then the longest, then
-    the lowest id — the "prefer the curated feed over the crawl"
-    rule of production corpus builds.  Single shuffle on the
-    fingerprint; the policy is one map-side CASE."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = text.fingerprint(docs).select("doc_id", "fingerprint")
-    j = docs.select("doc_id", "source", "n_chars").join(fps, "doc_id")
-    keep = dedup.exact_dedup_keepers_by_priority(
-        j, ["fingerprint"], "source",
-        {"src3": 0, "src1": 1, "src0": 2},
-        score_col="n_chars",
-    )
-    return keep.select("doc_id", "source", "fingerprint")
-
-
-QUERIES["dedup_priority_keepers"] = dedup_priority_keepers
-
-#: temperature-mixture token budget (total chars across sources);
-#: sf0.01 documents hold ~149k chars, so this samples roughly a third
-_TEMP_BUDGET = 50_000
-
-
-def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted mixture sampling (operators/sampling.py:
-    temperature_fractions / temperature_mixture_sample): per-source
-    Bernoulli rates derived from each source's own token mass with
-    alpha=0.5 up-weighting of small sources, targeting a fixed total
-    token budget — the source-weighting step of corpus assembly.  One
-    bounded aggregation + one map-side CASE filter; the weights are
-    integer-quantized so the fractions (and therefore the md5
-    thresholds) are BIT-IDENTICAL across Spark and DuckDB — the
-    oracle replays the exact sampled subset, not a statistic."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = sampling.temperature_mixture_sample(
-        docs, "source", "doc_id", "n_chars", _TEMP_BUDGET
-    )
-    return s.groupBy("source").agg(
-        F.count(F.lit(1)).alias("sampled_docs"),
-        F.sum("n_chars").cast("long").alias("sampled_chars"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
-    )
-
-
-QUERIES["temperature_mixture_stats"] = temperature_mixture_stats
-
-ORACLES["temperature_mixture_stats"] = f"""
-    WITH t AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
-      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
-      GROUP BY source),
-    w AS (
-      SELECT source, toks,
-             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576.0) AS BIGINT)
-               AS ws
-      FROM t WHERE toks > 0),
-    tot AS (SELECT CAST(sum(ws) AS BIGINT) AS sum_ws FROM w),
-    f AS (
-      SELECT source,
-             least(1.0,
-                   CAST({_TEMP_BUDGET} AS DOUBLE) * ws / sum_ws / toks)
-               AS frac
-      FROM w, tot),
-    thr AS (
-      SELECT source,
-             CASE WHEN frac >= 1.0 THEN 'g'
-                  ELSE printf('%08x',
-                              CAST(floor(frac * 4294967296.0) AS BIGINT))
-             END AS thr
-      FROM f)
-    SELECT d.source,
-           count(*) AS sampled_docs,
-           CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,
-           min(d.doc_id) AS min_doc_id,
-           max(d.doc_id) AS max_doc_id
-    FROM documents d JOIN thr ON d.source = thr.source
-    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
-    GROUP BY d.source
-"""
-
-
-#: epoch-repeat budget — ~4× the sf0.01 corpus mass, so small sources
-#: repeat for several epochs while large ones get fewer (alpha=0.5)
-_EPOCH_BUDGET = 600_000
-
-
-def epoch_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-epoch corpus repetition (operators/sampling.py:
-    temperature_plan / epoch_repeat_sample): a token budget BEYOND the
-    corpus is delivered as floor(q) full passes per source plus a
-    deterministic hash-sample of the remainder — the repeat-factor
-    table of data recipes that up-sample small curated sources.
-    Profiled per (source, epoch): the oracle replays the exact plan
-    (bit-identical q, epochs, thresholds) and the exact partial-epoch
-    subsets, so repeated-row materialization is value-pinned."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = sampling.epoch_repeat_sample(
-        docs, "source", "doc_id", "n_chars", _EPOCH_BUDGET
-    )
-    return s.groupBy("source", "epoch").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("n_chars_emitted"),
-        F.min("doc_id").alias("min_doc_id"),
-    )
-
-
-QUERIES["epoch_repeat_stats"] = epoch_repeat_stats
-
-ORACLES["epoch_repeat_stats"] = f"""
-    WITH t AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
-      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
-      GROUP BY source),
-    w AS (
-      SELECT source, toks,
-             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576.0) AS BIGINT)
-               AS ws
-      FROM t WHERE toks > 0),
-    tot AS (SELECT CAST(sum(ws) AS BIGINT) AS sum_ws FROM w),
-    plan AS (
-      SELECT source,
-             CAST(floor(CAST({_EPOCH_BUDGET} AS DOUBLE) * ws / sum_ws
-                        / toks) AS BIGINT) AS n_epochs,
-             (CAST({_EPOCH_BUDGET} AS DOUBLE) * ws / sum_ws / toks)
-               - floor(CAST({_EPOCH_BUDGET} AS DOUBLE) * ws / sum_ws
-                       / toks) AS rem
-      FROM w, tot),
-    thr AS (
-      SELECT source, n_epochs,
-             CASE WHEN rem >= 1.0 THEN 'g'
-                  ELSE printf('%08x',
-                              CAST(floor(rem * 4294967296.0) AS BIGINT))
-             END AS thr
-      FROM plan),
-    emitted AS (
-      SELECT source, epoch, doc_id, n_chars FROM (
-        SELECT d.source,
-               unnest(generate_series(1, CAST(p.n_epochs AS BIGINT)))
-                 AS epoch,
-               d.doc_id, d.n_chars
-        FROM documents d
-        JOIN thr p USING (source))
-      UNION ALL
-      SELECT d.source, p.n_epochs + 1 AS epoch, d.doc_id, d.n_chars
-      FROM documents d
-      JOIN thr p USING (source)
-      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < p.thr)
-    SELECT source, epoch,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars_emitted,
-           min(doc_id) AS min_doc_id
-    FROM emitted
-    GROUP BY source, epoch
-"""
-
-
-#: train/val/test fractions for the deterministic split query
-_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
-
-
-def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split (operators/sampling.py:
-    hash_split): disjoint md5-prefix intervals sized to the fractions,
-    one map-side CASE, no shuffle or sampling pass — profiled per
-    split.  The oracle replays the identical interval bounds, so the
-    ASSIGNMENT (not just split sizes) is value-pinned."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = sampling.hash_split(docs, "doc_id", _SPLITS)
-    return s.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("source").alias("n_sources"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
-    )
-
-
-QUERIES["hash_split_stats"] = hash_split_stats
-
-
-def _hash_split_oracle_sql() -> str:
-    """Interval bounds GENERATED from the same _SPLITS dict +
-    ``sampling.hash_threshold`` cumulative arithmetic the Spark side
-    uses — the two sides cannot drift."""
-    arms = [
-        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}' "
-        f"THEN '{name}'"
-        for name, thr in sampling.split_bounds(_SPLITS)
-    ]
-    case = "CASE " + " ".join(arms) + " END"
-    return f"""
-        SELECT split, count(*) AS n_docs,
-               count(DISTINCT source) AS n_sources,
-               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
-        FROM (SELECT doc_id, source, {case} AS split FROM documents)
-        WHERE split IS NOT NULL
-        GROUP BY split
-    """
-
-
-ORACLES["hash_split_stats"] = _hash_split_oracle_sql()
-
-
-def mixture_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recipe-vs-reality mixture monitoring (operators/sampling.py:
-    mixture_drift): per-source observed token share vs the
-    temperature-target share (alpha=0.5), wholly Spark-side — one
-    bounded aggregation + a broadcast 1-row totals join, no driver
-    collect.  The oracle replays the quantized-weight arithmetic
-    bit-for-bit, doubles included."""
-    docs = load_table(spark, sf_dir, "documents")
-    return sampling.mixture_drift(docs, "source", "n_chars")
-
-
-QUERIES["mixture_drift_by_source"] = mixture_drift_by_source
-
-ORACLES["mixture_drift_by_source"] = """
-    WITH t AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
-      FROM documents WHERE n_chars IS NOT NULL
-      GROUP BY source HAVING CAST(sum(n_chars) AS BIGINT) > 0),
-    w AS (
-      SELECT source, toks,
-             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1048576.0) AS BIGINT)
-               AS ws
-      FROM t),
-    tot AS (
-      SELECT CAST(sum(ws) AS BIGINT) AS sum_ws,
-             CAST(sum(toks) AS BIGINT) AS sum_toks
-      FROM w)
-    SELECT source, toks,
-           CAST(ws AS DOUBLE) / sum_ws AS target_share,
-           CAST(toks AS DOUBLE) / sum_toks AS observed_share,
-           (CAST(toks AS DOUBLE) / sum_toks)
-             - (CAST(ws AS DOUBLE) / sum_ws) AS drift,
-           (CAST(toks AS DOUBLE) / sum_toks)
-             / (CAST(ws AS DOUBLE) / sum_ws) AS drift_ratio
-    FROM w, tot
-"""
-
-
-def corpus_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff (operators/incremental.py: corpus_diff_stats):
-    two overlapping corpus versions (drop the 0-ending ids vs drop the
-    1-ending ids) classified into added / removed / retained content
-    fingerprints with their document counts — the "what did this
-    recipe change" review of iterative dataset building.  Two
-    dedup-shaped hash aggregates + one fingerprint-keyed full-outer
-    join; output cardinality 3."""
-    from .operators import incremental
-
-    docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 10 != 0)
-    new = docs.filter(F.col("doc_id") % 10 != 1)
-    return incremental.corpus_diff_stats(old, new)
-
-
-QUERIES["corpus_diff_summary"] = corpus_diff_summary
-
-ORACLES["corpus_diff_summary"] = r"""
-    WITH fp AS (
-      SELECT doc_id,
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM documents WHERE text IS NOT NULL),
-    o AS (
-      SELECT fingerprint, count(*) AS docs_old
-      FROM fp WHERE doc_id % 10 <> 0 GROUP BY fingerprint),
-    n AS (
-      SELECT fingerprint, count(*) AS docs_new
-      FROM fp WHERE doc_id % 10 <> 1 GROUP BY fingerprint),
-    j AS (
-      SELECT CASE WHEN o.fingerprint IS NULL THEN 'added'
-                  WHEN n.fingerprint IS NULL THEN 'removed'
-                  ELSE 'retained' END AS status,
-             CASE WHEN n.fingerprint IS NOT NULL THEN n.docs_new
-                  ELSE o.docs_old END AS docs
-      FROM o FULL OUTER JOIN n ON o.fingerprint = n.fingerprint)
-    SELECT status, count(*) AS n_fingerprints,
-           CAST(sum(docs) AS BIGINT) AS n_docs
-    FROM j GROUP BY status
-"""
-
-
-def corpus_diff_added(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The new snapshot's novel content as keeper documents
-    (operators/incremental.py: corpus_added) — what an incremental
-    re-train consumes.  Anti-join on the old snapshot's distinct
-    fingerprints + the standard first-per-fingerprint keeper window."""
-    from .operators import incremental
-
-    docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 10 != 0)
-    new = docs.filter(F.col("doc_id") % 10 != 1)
-    return incremental.corpus_added(old, new).select("doc_id", "fingerprint")
-
-
-QUERIES["corpus_diff_added"] = corpus_diff_added
-
-ORACLES["corpus_diff_added"] = r"""
-    WITH fp AS (
-      SELECT doc_id,
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM documents WHERE text IS NOT NULL),
-    o AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
-    keep AS (
-      SELECT doc_id, fingerprint,
-             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
-               AS rn
-      FROM fp WHERE doc_id % 10 <> 1)
-    SELECT k.doc_id, k.fingerprint
-    FROM keep k ANTI JOIN o ON k.fingerprint = o.fingerprint
-    WHERE k.rn = 1
-"""
-
-
-def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table column profile (operators/profile.py:
-    profile_table) over ``orders``: one aggregation pass emits a row
-    per column with non-null and distinct counts — the reference's
-    ``field_populated_counts`` generalized to any table.  The oracle
-    replays exact distincts; the default approx_count_distinct form
-    is the 100 TB path (no Expand)."""
-    from .operators.profile import profile_table
-
-    return profile_table(
-        load_table(spark, sf_dir, "orders"), exact_distinct=True
-    )
-
-
-QUERIES["table_profile_orders"] = table_profile_orders
-
-
-def _table_profile_oracle_sql() -> str:
-    cols = [
-        ("o_orderkey", "bigint"),
-        ("o_custkey", "bigint"),
-        ("o_orderstatus", "string"),
-        ("o_totalprice", "double"),
-        # Spark 4 reads parquet TIMESTAMP (isAdjustedToUTC=false) as
-        # TIMESTAMP_NTZ; the dtype literal mirrors the Spark schema
-        ("o_orderdate", "timestamp_ntz"),
-        ("o_orderpriority", "string"),
-    ]
-    parts = [
-        f"""SELECT '{name}' AS "column", '{dtype}' AS dtype,
-               (SELECT count(*) FROM orders) AS n_rows,
-               count({name}) AS n_nonnull,
-               count(DISTINCT {name}) AS n_distinct
-            FROM orders"""
-        for name, dtype in cols
-    ]
-    return " UNION ALL ".join(parts)
-
-
-ORACLES["table_profile_orders"] = _table_profile_oracle_sql()
-
-
-def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM quality scores (operators/text.py:
-    bigram_surprisal): per-document −log2 P(cur|prev) on the exact
-    integer-log2 grid, with the proper prefix-count denominator
-    computed as a second window over the same bigram aggregate — one
-    tokenize pass, no unigram join.  The oracle replays every value
-    bit-for-bit (all-integer until one final division)."""
-    return text.bigram_surprisal(load_table(spark, sf_dir, "documents"))
-
-
-QUERIES["bigram_surprisal_scores"] = bigram_surprisal_scores
-
-ORACLES["bigram_surprisal_scores"] = r"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-      FROM documents WHERE text IS NOT NULL),
-    pe AS (
-      SELECT doc_id,
-             unnest(generate_series(1, len(l) - 1)) AS i, l
-      FROM toks WHERE len(l) >= 2),
-    tf AS (
-      SELECT doc_id, l[i] AS prev, l[i + 1] AS cur, count(*) AS tf
-      FROM pe GROUP BY 1, 2, 3),
-    cb AS (
-      SELECT doc_id, tf,
-             CAST(sum(tf) OVER (PARTITION BY prev, cur) AS BIGINT) AS c_big,
-             CAST(sum(tf) OVER (PARTITION BY prev) AS BIGINT) AS c_prefix
-      FROM tf),
-    per_doc AS (
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
-             CAST(sum(tf * ( (length(format('{:b}', c_prefix)) - 1)
-                           - (length(format('{:b}', c_big)) - 1) ))
-                  AS BIGINT) AS surprisal_bits
-      FROM cb GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(p.n_transitions, 0) AS n_transitions,
-           coalesce(p.surprisal_bits, 0) AS surprisal_bits,
-           CASE WHEN p.n_transitions > 0
-                THEN CAST(p.surprisal_bits AS DOUBLE)
-                     / CAST(p.n_transitions AS DOUBLE)
-           END AS bits_per_transition
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-def kn_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram scoring (operators/text.py
-    ``kneser_ney_surprisal``): discount 3/4, continuation counts, all
-    exact-integer numerators/denominators on the shared floor-log2
-    grid — the smoothed companion to ``bigram_surprisal_scores``.  The
-    oracle replays tokenization, the bigram-type statistics and the
-    (num, den) integer forms bit-for-bit."""
-    return text.kneser_ney_surprisal(load_table(spark, sf_dir, "documents"))
-
-
-QUERIES["kn_surprisal_scores"] = kn_surprisal_scores
-
-ORACLES["kn_surprisal_scores"] = r"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-      FROM documents WHERE text IS NOT NULL),
-    pe AS (
-      SELECT doc_id,
-             unnest(generate_series(1, len(l) - 1)) AS i, l
-      FROM toks WHERE len(l) >= 2),
-    tf AS (
-      SELECT doc_id, l[i] AS prev, l[i + 1] AS cur, count(*) AS tf
-      FROM pe GROUP BY 1, 2, 3),
-    bt AS (
-      SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c
-      FROM tf GROUP BY 1, 2),
-    bstat AS (
-      SELECT *,
-             CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT) AS cv,
-             CAST(count(*) OVER (PARTITION BY prev) AS BIGINT) AS nv,
-             CAST(count(*) OVER (PARTITION BY cur) AS BIGINT) AS nw,
-             (SELECT CAST(count(*) AS BIGINT) FROM bt) AS nb
-      FROM bt),
-    scored AS (
-      SELECT t.doc_id, t.tf,
-             (4 * s.c - 3) * s.nb + 3 * s.nv * s.nw AS num,
-             4 * s.cv * s.nb AS den
-      FROM tf t JOIN bstat s USING (prev, cur)),
-    per_doc AS (
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
-             CAST(sum(tf * ( (length(format('{:b}', den)) - 1)
-                           - (length(format('{:b}', num)) - 1) ))
-                  AS BIGINT) AS kn_bits
-      FROM scored GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(p.n_transitions, 0) AS n_transitions,
-           coalesce(p.kn_bits, 0) AS kn_bits,
-           CASE WHEN p.n_transitions > 0
-                THEN CAST(p.kn_bits AS DOUBLE)
-                     / CAST(p.n_transitions AS DOUBLE)
-           END AS bits_per_transition
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-def top_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fraction-based selection (operators/selection.py:
-    select_top_fraction): the best 20% of documents per source by the
-    linear quality logit — one per-group percentile aggregate feeding
-    a broadcast join and a map-side ≥ comparison; no sort, no window
-    over data rows.  The cutoff doubles are oracle-exact (Spark
-    ``percentile`` ≡ DuckDB ``quantile_cont``, the contract
-    ``numeric_profile`` already pins), so the selected SET crosses the
-    value gate."""
-    from .operators.selection import select_top_fraction
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text.model_quality_score(docs, keep_cols=("source",)).select(
-        "doc_id", "source", "quality_logit"
-    )
-    return select_top_fraction(
-        scored, 0.2, "quality_logit", group_col="source"
-    )
-
-
-QUERIES["top_fraction_by_source"] = top_fraction_by_source
-
-
-def _top_fraction_oracle_sql() -> str:
-    base = _token_budget_oracle_sql()
-    scored_prefix = base.split("cum AS")[0]
-    return f"""
-        {scored_prefix}
-        src AS (
-          SELECT s.doc_id, d.source, s.quality_logit
-          FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
-        cuts AS (
-          SELECT source, quantile_cont(quality_logit, 0.8) AS cut
-          FROM src GROUP BY source)
-        SELECT s.doc_id, s.source, s.quality_logit
-        FROM src s JOIN cuts c
-          ON s.source IS NOT DISTINCT FROM c.source
-        WHERE s.quality_logit >= c.cut
-    """
-
-
-ORACLES["top_fraction_by_source"] = _top_fraction_oracle_sql()
-
-
-ORACLES["dedup_priority_keepers"] = r"""
-    WITH fp AS (
-      SELECT doc_id, source, n_chars,
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM documents)
-    SELECT doc_id, source, fingerprint FROM (
-      SELECT doc_id, source, fingerprint,
-             row_number() OVER (
-               PARTITION BY fingerprint
-               ORDER BY CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1
-                                    WHEN 'src0' THEN 2 ELSE 3 END,
-                        n_chars DESC NULLS LAST, doc_id) AS rn
-      FROM fp)
-    WHERE rn = 1
-"""
-
-
-def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source duplication dashboard: documents, distinct
-    fingerprints, within-source duplicate count/rate, and how many of
-    the source's fingerprints also appear under ANOTHER source
-    (cross-source duplication — the number that tells you two feeds
-    overlap).  One fingerprint pass + two grouped aggregates; the
-    cross-source join runs on the distinct (source, fingerprint)
-    pairs, never on documents."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = text.fingerprint(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    per_src = fps.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fingerprint").alias("n_fingerprints"),
-    )
-    pairs = fps.select("source", "fingerprint").distinct()
-    other = (
-        pairs.alias("a")
-        .join(
-            pairs.alias("b"),
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.source") != F.col("b.source")),
-        )
-        .select(F.col("a.source").alias("source"),
-                F.col("a.fingerprint").alias("fingerprint"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("cross_source_fps"))
-    )
-    return (
-        per_src.join(other, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "n_fingerprints",
-            (F.col("n_docs") - F.col("n_fingerprints")).alias("dup_docs"),
-            (
-                (F.col("n_docs") - F.col("n_fingerprints")).cast("double")
-                / F.col("n_docs").cast("double")
-            ).alias("dup_rate"),
-            F.coalesce(F.col("cross_source_fps"), F.lit(0))
-            .cast("long")
-            .alias("cross_source_fps"),
-        )
-    )
-
-
-QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
-
-ORACLES["dedup_rate_by_source"] = r"""
-    WITH fps AS (
-      SELECT doc_id, source,
-             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-               AS fingerprint
-      FROM documents),
-    per_src AS (
-      SELECT source,
-             count(*) AS n_docs,
-             count(DISTINCT fingerprint) AS n_fingerprints
-      FROM fps GROUP BY source),
-    pairs AS (SELECT DISTINCT source, fingerprint FROM fps),
-    other AS (
-      SELECT a.source, count(DISTINCT a.fingerprint) AS cross_source_fps
-      FROM pairs a JOIN pairs b
-        ON a.fingerprint = b.fingerprint AND a.source <> b.source
-      GROUP BY a.source)
-    SELECT p.source, p.n_docs, p.n_fingerprints,
-           p.n_docs - p.n_fingerprints AS dup_docs,
-           CAST(p.n_docs - p.n_fingerprints AS DOUBLE)
-             / CAST(p.n_docs AS DOUBLE) AS dup_rate,
-           CAST(coalesce(o.cross_source_fps, 0) AS BIGINT)
-             AS cross_source_fps
-    FROM per_src p LEFT JOIN other o USING (source)
-"""
-
-
-def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source contamination dashboard over the 30% heldout split:
-    documents screened, documents sharing ≥1 exact 8-token window
-    with the heldout set, the rate, and total confirmed window
-    occurrences.  Runs the bloom-prescreened screen
-    (operators/pipeline.py span_contamination) and aggregates by
-    source; confirmed counts are bloom-independent (no false
-    negatives), so the oracle replays the pure window join — which
-    feeds "source X is 4% benchmark-contaminated, cut or clean it"
-    decisions."""
-    from .operators.pipeline import span_contamination
-
-    docs = load_table(spark, sf_dir, "documents")
-    held = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.3))
-    rep = span_contamination(docs.filter(~held), docs.filter(held))
-    j = rep.join(docs.select("doc_id", "source"), "doc_id")
-    return j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_if(F.col("confirmed_windows") > 0).alias(
-            "contaminated_docs"
-        ),
-        (
-            F.count_if(F.col("confirmed_windows") > 0).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("contamination_rate"),
-        F.sum("confirmed_windows").alias("confirmed_windows"),
-    )
-
-
-QUERIES["contamination_rate_by_source"] = contamination_rate_by_source
-
-ORACLES["contamination_rate_by_source"] = r"""
-    WITH full_t AS (
-      SELECT doc_id, text, source,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
-      FROM documents),
-    tok AS (
-      SELECT doc_id, held, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM full_t WHERE text IS NOT NULL AND trim(text) <> ''),
-    grams AS (
-      SELECT doc_id, held,
-             md5(array_to_string(t[CAST(r.i + 1 AS INT):CAST(r.i + 8 AS INT)],
-                                 ' ')) AS h
-      FROM tok, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) r),
-    hh AS (SELECT DISTINCT h FROM grams WHERE held),
-    scr AS (
-      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS cw
-      FROM grams g JOIN hh USING (h)
-      WHERE NOT g.held GROUP BY 1)
-    SELECT s.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) FILTER (coalesce(c.cw, 0) > 0) AS BIGINT)
-             AS contaminated_docs,
-           CAST(count(*) FILTER (coalesce(c.cw, 0) > 0) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS contamination_rate,
-           CAST(sum(coalesce(c.cw, 0)) AS BIGINT) AS confirmed_windows
-    FROM (SELECT doc_id, source FROM full_t WHERE NOT held) s
-    LEFT JOIN scr c USING (doc_id)
-    GROUP BY s.source
-"""
-
-
-# --------------------------------------------------------------------------
-# round-9 additions (append-only)
-# --------------------------------------------------------------------------
-
-
-def multimodal_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec-free multimodal decode (operators/multimodal.py
-    ``decode_media_headers``): pure-byte PNG IHDR / JPEG SOFn / GIF /
-    BMP / WAV-fmt header parsing over binary blobs — no PIL, no stub.
-    The fixture builder plants VALID media bytes whose dimensions are
-    pure arithmetic in doc_id (ids % 17 == 0 get truncated headers →
-    ``ok=false`` with null fields), so the oracle states the expected
-    parse exactly while the Spark side must genuinely parse the
-    planted bytes to reproduce it.  Map-side only — no shuffle, O(1)
-    header scan per blob."""
-    docs = load_table(spark, sf_dir, "documents")
-    blobs = multimodal.attach_media_blob(docs, id_col="doc_id")
-    return multimodal.decode_media_headers(blobs)
-
-
-QUERIES["multimodal_header_meta"] = multimodal_header_meta
-
-# replays the builder's id→header arithmetic: format = id%5 (png jpeg
-# gif bmp wav), w = 16 + id%300, h = 16 + (id//7)%300, channels per
-# format (PNG color type [0,2,4,6][id%4] → [1,3,2,4] samples; JPEG
-# ncomp = 1 + (id%2)*2; BMP bitcount [8,24,32][id%3] → [1,3,4]); WAV
-# carries (channels, sample_rate) and no dimensions; id%17==0 blobs
-# are truncated to 6 bytes → all-null, ok=false
-ORACLES["multimodal_header_meta"] = """
-    SELECT doc_id AS id,
-      CASE WHEN doc_id % 17 = 0 THEN NULL
-           WHEN doc_id % 5 = 0 THEN 'image/png'
-           WHEN doc_id % 5 = 1 THEN 'image/jpeg'
-           WHEN doc_id % 5 = 2 THEN 'image/gif'
-           WHEN doc_id % 5 = 3 THEN 'image/bmp'
-           ELSE 'audio/wav' END AS mime,
-      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
-           ELSE CAST(16 + doc_id % 300 AS INT) END AS width,
-      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
-           ELSE CAST(16 + (doc_id // 7) % 300 AS INT) END AS height,
-      CASE WHEN doc_id % 17 = 0 THEN NULL
-           WHEN doc_id % 5 = 0 THEN
-             CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
-                                  WHEN 2 THEN 2 ELSE 4 END AS INT)
-           WHEN doc_id % 5 = 1 THEN CAST(1 + (doc_id % 2) * 2 AS INT)
-           WHEN doc_id % 5 = 2 THEN 3
-           WHEN doc_id % 5 = 3 THEN
-             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
-                                  ELSE 4 END AS INT)
-           ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
-      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 4 THEN NULL
-           ELSE CAST(8000 * (1 + doc_id % 4) AS INT) END AS sample_rate,
-      doc_id % 17 <> 0 AS ok
-    FROM documents
-"""
-
-
-def trigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-LM stupid-backoff quality scores (operators/text.py:
-    trigram_surprisal) in the real deployment shape: the model is
-    counted on a held-in 30% reference slice (deterministic md5 split)
-    and applied to the remaining 70%, so unseen n-grams exercise the
-    live backoff chain (trigram → +1 bit bigram → +2 bit unigram →
-    OOV).  All-integer on the floor-log2 grid until one final
-    division — the oracle replays every value bit-for-bit, including
-    the per-level backoff tallies."""
-    docs = load_table(spark, sf_dir, "documents")
-    held = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.3))
-    return text.trigram_surprisal(
-        docs.filter(~held), model_df=docs.filter(held)
-    )
-
-
-QUERIES["trigram_surprisal_scores"] = trigram_surprisal_scores
-
-ORACLES["trigram_surprisal_scores"] = r"""
-    WITH full_t AS (
-      SELECT doc_id, text,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc' AS held
-      FROM documents),
-    toks AS (
-      SELECT doc_id, held,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-      FROM full_t WHERE text IS NOT NULL),
-    mt AS (
-      SELECT l[i] AS p2, l[i + 1] AS p1, l[i + 2] AS cur
-      FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i
-            FROM toks WHERE held AND len(l) >= 3)),
-    tri AS (
-      SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c3
-      FROM mt GROUP BY 1, 2, 3),
-    tri2 AS (
-      SELECT p2, p1, cur, c3,
-             CAST(sum(c3) OVER (PARTITION BY p2, p1) AS BIGINT) AS c3p
-      FROM tri),
-    mb AS (
-      SELECT l[i] AS p1, l[i + 1] AS cur
-      FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
-            FROM toks WHERE held AND len(l) >= 2)),
-    big AS (
-      SELECT p1, cur, CAST(count(*) AS BIGINT) AS c2
-      FROM mb GROUP BY 1, 2),
-    big2 AS (
-      SELECT p1, cur, c2,
-             CAST(sum(c2) OVER (PARTITION BY p1) AS BIGINT) AS c2p
-      FROM big),
-    mu AS (SELECT unnest(l) AS cur FROM toks WHERE held),
-    uni AS (SELECT cur, CAST(count(*) AS BIGINT) AS c1 FROM mu GROUP BY 1),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM mu),
-    dt AS (
-      SELECT doc_id, l[i] AS p2, l[i + 1] AS p1, l[i + 2] AS cur
-      FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-            FROM toks WHERE NOT held AND len(l) >= 3)),
-    tf AS (
-      SELECT doc_id, p2, p1, cur, CAST(count(*) AS BIGINT) AS tf
-      FROM dt GROUP BY 1, 2, 3, 4),
-    sc AS (
-      SELECT tf.doc_id, tf.tf,
-             CASE WHEN t.c3 IS NOT NULL THEN
-                    (length(format('{:b}', t.c3p)) - 1)
-                    - (length(format('{:b}', t.c3)) - 1)
-                  WHEN b.c2 IS NOT NULL THEN
-                    1 + (length(format('{:b}', b.c2p)) - 1)
-                    - (length(format('{:b}', b.c2)) - 1)
-                  WHEN u.c1 IS NOT NULL THEN
-                    2 + (length(format('{:b}', n_total)) - 1)
-                    - (length(format('{:b}', u.c1)) - 1)
-                  ELSE 2 + (length(format('{:b}', n_total)) - 1)
-             END AS bits,
-             CASE WHEN t.c3 IS NOT NULL THEN 0
-                  WHEN b.c2 IS NOT NULL THEN 1
-                  WHEN u.c1 IS NOT NULL THEN 2 ELSE 3 END AS lvl
-      FROM tf
-      LEFT JOIN tri2 t USING (p2, p1, cur)
-      LEFT JOIN big2 b USING (p1, cur)
-      LEFT JOIN uni u USING (cur), tot),
-    per_doc AS (
-      SELECT doc_id,
-             CAST(sum(tf) AS BIGINT) AS n_scored,
-             CAST(sum(tf * bits) AS BIGINT) AS surprisal_bits,
-             CAST(sum(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS BIGINT)
-               AS n_backoff_bigram,
-             CAST(sum(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS BIGINT)
-               AS n_backoff_unigram,
-             CAST(sum(CASE WHEN lvl = 3 THEN tf ELSE 0 END) AS BIGINT)
-               AS n_oov
-      FROM sc GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(p.n_scored, 0) AS n_scored,
-           coalesce(p.surprisal_bits, 0) AS surprisal_bits,
-           coalesce(p.n_backoff_bigram, 0) AS n_backoff_bigram,
-           coalesce(p.n_backoff_unigram, 0) AS n_backoff_unigram,
-           coalesce(p.n_oov, 0) AS n_oov,
-           CASE WHEN p.n_scored > 0
-                THEN CAST(p.surprisal_bits AS DOUBLE)
-                     / CAST(p.n_scored AS DOUBLE)
-           END AS bits_per_transition
-    FROM (SELECT doc_id FROM full_t WHERE NOT held) d
-    LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate+vector serving (operators/similarity.py ``ivf_topk``
-    with ``predicate=``): a metadata filter pushed BENEATH the ANN
-    search — corpus rows are filtered before the cell join, so only
-    predicate survivors are ranked and the filter reaches the scan,
-    instead of post-filtering a top-k down to < k rows.  Exact oracle:
-    the same cell equi-join + predicate + rank replayed in SQL."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.filter("vec_id < 8"), k=3,
-        predicate="vec_id % 3 = 0",
-    )
-
-
-QUERIES["ann_filtered_topk"] = ann_filtered_topk
-
-ORACLES["ann_filtered_topk"] = """
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
-               FROM embeddings WHERE vec_id < 8),
-    s AS (
-      SELECT qid AS query_id, e.vec_id AS neighbor_id,
-        list_sum(list_transform(list_zip(qe, e.embedding),
-                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(qe,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(e.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-      FROM q JOIN embeddings e
-        ON e.label = q.ql AND e.vec_id <> qid AND e.vec_id % 3 = 0)
-    SELECT query_id, neighbor_id, rank, sim FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-      FROM s)
-    WHERE rank <= 3
-"""
-
-
-def _synthetic_url_col() -> F.Column:
-    """Deterministic messy-URL fixture: every curation rule gets
-    exercised — uppercase scheme/host, www, default and non-default
-    ports, userinfo, tracking params mixed with real ones, fragments,
-    multi-part TLDs, and invalid rows (doc_id % 4 == 3).  Case 0 omits
-    doc_id from the path on purpose, so re-crawl duplicates exist for
-    the URL dedup.  The SQL twin is ``_URL_FIXTURE_SQL``."""
-    d = F.col("doc_id")
-
-    def s(e):
-        return e.cast("string")
-
-    return (
-        F.when(
-            d % 4 == 0,
-            F.concat(
-                F.lit("HTTP://WWW.News"), s(d % 20),
-                F.lit(".COM:80/story?utm_source=feed&fbclid=xyz"),
-            ),
-        )
-        .when(
-            d % 4 == 1,
-            F.concat(
-                F.lit("https://user:pw@Sub.Site"), s(d % 30),
-                F.lit(".CO.UK:443/a/b/"), s(d), F.lit("?id="), s(d),
-                F.lit("&utm_campaign=c#frag"),
-            ),
-        )
-        .when(
-            d % 4 == 2,
-            F.concat(
-                F.lit("http://blog.example"), s(d % 10),
-                F.lit(".org:8080/p/"), s(d), F.lit("?a=1&b=2"),
-            ),
-        )
-        .otherwise(F.concat(F.lit("not a url "), s(d)))
-    )
-
-
-_URL_FIXTURE_SQL = """
-      CASE doc_id % 4
-        WHEN 0 THEN 'HTTP://WWW.News' || CAST(doc_id % 20 AS VARCHAR)
-                    || '.COM:80/story?utm_source=feed&fbclid=xyz'
-        WHEN 1 THEN 'https://user:pw@Sub.Site' || CAST(doc_id % 30 AS VARCHAR)
-                    || '.CO.UK:443/a/b/' || CAST(doc_id AS VARCHAR)
-                    || '?id=' || CAST(doc_id AS VARCHAR)
-                    || '&utm_campaign=c#frag'
-        WHEN 2 THEN 'http://blog.example' || CAST(doc_id % 10 AS VARCHAR)
-                    || '.org:8080/p/' || CAST(doc_id AS VARCHAR)
-                    || '?a=1&b=2'
-        ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
-      END"""
-
-# SQL replay of operators/web.py normalization — the same anchored
-# regexes evaluated by DuckDB's RE2, CTE chain ``b``(url) → ``dmn``
-# (url_norm, scheme, host, domain)
-_URL_NORM_SQL = r"""
-    p AS (
-      SELECT *,
-             regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]')
-               AS valid,
-             lower(regexp_extract(url,
-               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme0,
-             regexp_replace(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-               '^[^@]*@', '') AS hostport
-      FROM b),
-    q AS (
-      SELECT *, lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host0,
-             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-             regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-             regexp_extract(regexp_replace(url, '#.*$', ''),
-               '\?(.*)$', 1) AS qs
-      FROM p),
-    r AS (
-      SELECT *, CASE WHEN path = '' THEN '/' ELSE path END AS pathn,
-             CASE WHEN port <> '' AND NOT (scheme0 = 'http' AND port = '80')
-                       AND NOT (scheme0 = 'https' AND port = '443')
-                  THEN ':' || port ELSE '' END AS portpart,
-             array_to_string(list_filter(string_split(qs, '&'),
-               t -> t <> '' AND NOT regexp_matches(t,
-                    '^(utm_[^=]*|gclid|fbclid)(=.*)?$')), '&') AS qn
-      FROM q),
-    n AS (
-      SELECT *,
-             CASE WHEN valid THEN scheme0 || '://' || host0 || portpart
-                       || pathn
-                       || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
-             END AS url_norm,
-             CASE WHEN valid THEN scheme0 END AS scheme,
-             CASE WHEN valid THEN host0 END AS host
-      FROM r),
-    dm0 AS (SELECT *,
-              string_split(regexp_replace(host, '\.$', ''), '.') AS l
-            FROM n),
-    dm1 AS (SELECT *, __PSL_SUFFIX_LEN__ AS ps_len FROM dm0),
-    dmn AS (
-      SELECT *, __REGISTRABLE_DOMAIN__ AS domain
-      FROM dm1)
-"""
-
-# splice in the registrable-domain twins GENERATED from the same
-# public-suffix snapshot the Catalyst expression bakes into its plan
-# (operators/web.py psl_suffix_len_sql / registrable_domain_sql) —
-# the rule file is the single source of truth for both engines
-from .operators import web as _web  # noqa: E402
-
-_URL_NORM_SQL = _URL_NORM_SQL.replace(
-    "__PSL_SUFFIX_LEN__", _web.psl_suffix_len_sql("l")
-).replace(
-    "__REGISTRABLE_DOMAIN__",
-    _web.registrable_domain_sql("host", "l", "ps_len"),
-)
-
-
-def url_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization (operators/web.py ``normalize_urls``):
-    lowercased scheme/host, userinfo and default ports stripped,
-    fragments and tracking params dropped, empty path → '/',
-    registrable-domain extraction with multi-part-TLD handling,
-    invalid rows → NULLs — all Catalyst regex expressions replayed
-    verbatim by the oracle."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    wurl = docs.withColumn("url", _synthetic_url_col())
-    return web.normalize_urls(wurl).select(
-        "doc_id", "url_norm", "scheme", "host", "domain"
-    )
-
-
-QUERIES["url_normalize_check"] = url_normalize_check
-
-ORACLES["url_normalize_check"] = f"""
-    WITH b AS (
-      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
-    {_URL_NORM_SQL}
-    SELECT doc_id, url_norm, scheme, host, domain FROM dmn
-"""
-
-
-def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-registrable-domain corpus mix dashboard (operators/web.py
-    ``domain_mix_stats``): doc count + share, token mass + share, and
-    duplicate rate (1 − distinct fingerprints / docs — re-crawl
-    pressure), invalid URLs rolled up under domain NULL.  One
-    aggregation + a broadcast 1-row totals join."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars"
-    )
-    wurl = docs.withColumn("url", _synthetic_url_col()).withColumn(
-        "fp", F.md5(F.col("text").cast("binary"))
-    )
-    return web.domain_mix_stats(
-        wurl, tokens_col="n_chars", fingerprint_col="fp"
-    )
-
-
-QUERIES["domain_mix_report"] = domain_mix_report
-
-ORACLES["domain_mix_report"] = f"""
-    WITH b AS (
-      SELECT doc_id, text, n_chars, md5(text) AS fp,
-             {_URL_FIXTURE_SQL} AS url
-      FROM documents),
-    {_URL_NORM_SQL},
-    per AS (
-      SELECT domain, count(*) AS n_docs,
-             CAST(sum(n_chars) AS BIGINT) AS n_tokens,
-             count(DISTINCT fp) AS n_distinct_fp
-      FROM dmn GROUP BY domain),
-    tot AS (
-      SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS t_toks
-      FROM per)
-    SELECT domain, n_docs, n_tokens, n_distinct_fp,
-           CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
-           CAST(n_tokens AS DOUBLE) / CAST(t_toks AS DOUBLE) AS token_share,
-           1.0 - CAST(n_distinct_fp AS DOUBLE) / CAST(n_docs AS DOUBLE)
-             AS dup_rate
-    FROM per, tot
-"""
-
-
-def url_dedup_keeper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-keyed dedup (operators/web.py ``url_dedup_keepers``): one
-    keeper (min doc_id) per NORMALIZED URL, so tracking-param /
-    default-port / case variants of the same page collapse; rows with
-    invalid URLs have no key and all survive.  ONE shuffle on the
-    normalized key; the oracle replays the normalization and the
-    min-id policy."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    wurl = docs.withColumn("url", _synthetic_url_col())
-    return web.url_dedup_keepers(wurl, "url", "doc_id")
-
-
-QUERIES["url_dedup_keeper_rows"] = url_dedup_keeper_rows
-
-ORACLES["url_dedup_keeper_rows"] = f"""
-    WITH b AS (
-      SELECT doc_id, source, {_URL_FIXTURE_SQL} AS url FROM documents),
-    {_URL_NORM_SQL},
-    keepers AS (
-      SELECT min(doc_id) AS doc_id FROM dmn
-      WHERE url_norm IS NOT NULL GROUP BY url_norm
-      UNION ALL
-      SELECT doc_id FROM dmn WHERE url_norm IS NULL)
-    SELECT d.doc_id, d.source, d.url
-    FROM b d JOIN keepers USING (doc_id)
-"""
-
-
-#: orders schema for the merged-profile oracle generator — name must
-#: match Spark's simpleString rendering per column
-_ORDERS_PROFILE_COLS = [
-    ("o_orderkey", "bigint"),
-    ("o_custkey", "bigint"),
-    ("o_orderstatus", "string"),
-    ("o_totalprice", "double"),
-    ("o_orderdate", "timestamp_ntz"),
-    ("o_orderpriority", "string"),
-]
-
-
-def merged_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable per-slice profiles (operators/profile.py
-    ``profile_state``/``merge_profile_states``): the orders table is
-    profiled as THREE independent slices (o_orderkey % 3) whose states
-    merge algebraically — the corpus-lifetime profiling pattern where
-    each ingest batch appends |columns| rows of state and the merged
-    profile never rescans data.  The oracle replays every EXACT field
-    (counts, integral sums, numeric and rendered-string min/max) from
-    the whole table — merged-state ≡ one-shot is the operator's
-    contract; the HLL distinct estimate is dropped here (sketch
-    internals are not SQL) and pinned in pytest instead."""
-    from .operators.profile import merge_profile_states, profile_estimate
-    from .operators.profile import profile_state
-
-    orders = load_table(spark, sf_dir, "orders")
-    states = None
-    for i in range(3):
-        s = profile_state(
-            orders.filter(F.col("o_orderkey") % 3 == i), f"s{i}"
-        )
-        states = s if states is None else states.unionByName(s)
-    return profile_estimate(merge_profile_states(states)).drop(
-        "n_distinct_approx"
-    )
-
-
-QUERIES["merged_profile_orders"] = merged_profile_orders
-
-
-def _merged_profile_oracle_sql() -> str:
-    parts = []
-    for name, dt in _ORDERS_PROFILE_COLS:
-        if dt == "bigint":
-            sl = f"CAST(sum({name}) AS BIGINT)"
-            mn, mx = f"CAST(min({name}) AS DOUBLE)", f"CAST(max({name}) AS DOUBLE)"
-            ms = xs = "CAST(NULL AS VARCHAR)"
-        elif dt == "double":
-            sl = "CAST(NULL AS BIGINT)"
-            mn, mx = f"min({name})", f"max({name})"
-            ms = xs = "CAST(NULL AS VARCHAR)"
-        else:
-            sl = "CAST(NULL AS BIGINT)"
-            mn = mx = "CAST(NULL AS DOUBLE)"
-            ms, xs = (
-                f"CAST(min({name}) AS VARCHAR)",
-                f"CAST(max({name}) AS VARCHAR)",
-            )
-        parts.append(
-            f"SELECT '{name}' AS \"column\", '{dt}' AS dtype, "
-            f"CAST(3 AS BIGINT) AS n_slices, count(*) AS n_rows, "
-            f"count({name}) AS n_nonnull, {sl} AS sum_long, "
-            f"{mn} AS min_num, {mx} AS max_num, "
-            f"{ms} AS min_str, {xs} AS max_str FROM orders"
-        )
-    return " UNION ALL ".join(parts)
-
-
-ORACLES["merged_profile_orders"] = _merged_profile_oracle_sql()
-
-
-def histogram_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable numeric-histogram quantiles (operators/profile.py
-    ``histogram_state``/``merge_histogram_states``/
-    ``histogram_quantiles``): events.value bucketed at a power-of-two
-    granularity (bit-exact floor across engines) as THREE independent
-    slice states, merged algebraically, then p50/p90/p99 read off the
-    cumulative histogram — quantiles with error ≤ g over any number of
-    ingest slices without rescanning or sorting data.  Exact oracle:
-    the bucketing, merge and pinned rank rule are all integer
-    arithmetic DuckDB replays bit-for-bit."""
-    from .operators.profile import (
-        histogram_quantiles,
-        histogram_state,
-        merge_histogram_states,
-    )
-
-    events = load_table(spark, sf_dir, "events")
-    st = None
-    for i in range(3):
-        s = histogram_state(
-            events.filter(F.col("event_id") % 3 == i),
-            {"value": 0.5},
-            f"s{i}",
-        )
-        st = s if st is None else st.unionByName(s)
-    return histogram_quantiles(merge_histogram_states(st))
-
-
-QUERIES["histogram_quantiles_events"] = histogram_quantiles_events
-
-ORACLES["histogram_quantiles_events"] = """
-    WITH h AS (
-      SELECT CAST(floor(CAST("value" AS DOUBLE) / 0.5) AS BIGINT)
-               AS bucket,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events WHERE "value" IS NOT NULL GROUP BY 1),
-    c AS (
-      SELECT bucket, n,
-             CAST(sum(n) OVER (ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-      FROM h),
-    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
-    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
-                     (CAST(0.99 AS DOUBLE))),
-    r AS (
-      SELECT q, greatest(CAST(1 AS BIGINT),
-               CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)) AS rnk
-      FROM qs, t)
-    SELECT 'value' AS "column", CAST(0.5 AS DOUBLE) AS g, r.q,
-           min(c.bucket) AS bucket,
-           CAST(min(c.bucket) AS DOUBLE) * 0.5 AS value_lo,
-           CAST(min(c.bucket) + 1 AS DOUBLE) * 0.5 AS value_hi
-    FROM r JOIN c ON c.cum >= r.rnk
-    GROUP BY r.q
-"""
-
-
-#: target-mixture budget — ~40% of the sf0.01 corpus token mass, so
-#: the water-filling solver produces a real mix of whole-taken small
-#: strata and rate-limited large ones
-_TGT_BUDGET = 60_000
-
-
-def target_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact water-filling mixture solver (operators/sampling.py
-    ``target_mixture_thresholds`` / ``target_mixture_sample``): given
-    TARGET shares (integer weights derived from the source name:
-    1 + src_index % 3) and a token budget, per-source Bernoulli rates
-    where too-small-for-their-share strata are taken WHOLE and their
-    unused budget redistributes to the rest proportional to target
-    weight — the recipe-driven sibling of temperature sampling.  The
-    solver is arbitrary-precision integer arithmetic end-to-end
-    (rational water level, exact ⌊a·w/T·2^32⌋ thresholds), and the
-    oracle replays it with 128-bit HUGEINT SQL: sort key T·(6//w) is
-    exact because every weight divides 6."""
-    docs = load_table(spark, sf_dir, "documents")
-    srcs = [
-        r["source"]
-        for r in docs.select("source").distinct().collect()
-        if r["source"] is not None
-    ]
-    weights = {s: 1 + (int(s[3:]) % 3) for s in srcs}
-    samp = sampling.target_mixture_sample(
-        docs, "source", "doc_id", "n_chars", weights, _TGT_BUDGET
-    )
-    return samp.groupBy("source").agg(
-        F.count(F.lit(1)).alias("sampled_docs"),
-        F.sum("n_chars").cast("long").alias("sampled_chars"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
-    )
-
-
-QUERIES["target_mixture_stats"] = target_mixture_stats
-
-ORACLES["target_mixture_stats"] = f"""
-    WITH t AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS T,
-             CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS BIGINT) AS w
-      FROM documents
-      WHERE n_chars IS NOT NULL AND source IS NOT NULL
-      GROUP BY source HAVING CAST(sum(n_chars) AS BIGINT) > 0),
-    tot AS (
-      SELECT CAST(sum(T) AS BIGINT) AS TT, CAST(sum(w) AS BIGINT) AS WW,
-             least(CAST({_TGT_BUDGET} AS BIGINT), CAST(sum(T) AS BIGINT))
-               AS BSTAR
-      FROM t),
-    p AS (
-      SELECT *, row_number() OVER (ORDER BY T * (6 // w), source) AS rn
-      FROM t),
-    c AS (
-      SELECT p.*, CAST(sum(T) OVER (ORDER BY rn) AS BIGINT) AS P,
-             CAST(sum(w) OVER (ORDER BY rn) AS BIGINT) AS V
-      FROM p),
-    ks AS (SELECT 0 AS k UNION ALL SELECT rn AS k FROM p),
-    cand AS (
-      SELECT k,
-             BSTAR - coalesce((SELECT P FROM c WHERE rn = k), 0) AS num,
-             WW - coalesce((SELECT V FROM c WHERE rn = k), 0) AS den
-      FROM ks, tot),
-    valid AS (
-      SELECT cand.k, cand.num, cand.den FROM cand
-      LEFT JOIN c ck ON ck.rn = cand.k
-      LEFT JOIN c cn ON cn.rn = cand.k + 1
-      WHERE (cand.k = 0 OR
-             CAST(ck.T AS HUGEINT) * cand.den
-               <= CAST(cand.num AS HUGEINT) * ck.w)
-        AND (cn.rn IS NULL OR
-             CAST(cand.num AS HUGEINT) * cn.w
-               < CAST(cn.T AS HUGEINT) * cand.den)
-      ORDER BY cand.k LIMIT 1),
-    thr AS (
-      SELECT c.source,
-             CASE WHEN c.rn <= v.k THEN 'g'
-                  WHEN v.num <= 0 THEN '00000000'
-                  ELSE printf('%08x', CAST(
-                    (CAST(v.num AS HUGEINT) * c.w * 4294967296)
-                    // (CAST(v.den AS HUGEINT) * c.T) AS BIGINT))
-             END AS thr
-      FROM c, valid v)
-    SELECT d.source,
-           count(*) AS sampled_docs,
-           CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,
-           min(d.doc_id) AS min_doc_id,
-           max(d.doc_id) AS max_doc_id
-    FROM documents d JOIN thr ON d.source = thr.source
-    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
-    GROUP BY d.source
-"""
-
-
-def quality_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quality-score distribution (operators/profile.py
-    grouped ``histogram_state`` + ``histogram_quantiles``): the linear
-    quality logit bucketed at g = 2^-2 per source, p50/p90 read off
-    the cumulative histogram — the "which feed's quality is drifting"
-    dashboard, mergeable across ingest slices like every histogram
-    state.  Exact oracle: the logit arithmetic is the pinned
-    bit-portable feature recipe and the bucket/rank rules are integer
-    arithmetic."""
-    from .operators.profile import (
-        histogram_quantiles,
-        histogram_state,
-        merge_histogram_states,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text.model_quality_score(docs, keep_cols=("source",)).select(
-        "source", "quality_logit"
-    )
-    st = histogram_state(
-        scored, {"quality_logit": 0.25}, "all", group_col="source"
-    )
-    return histogram_quantiles(
-        merge_histogram_states(st), qs=(0.5, 0.9)
-    )
-
-
-QUERIES["quality_histogram_by_source"] = quality_histogram_by_source
-
-
-def _quality_histogram_oracle_sql() -> str:
-    base = _token_budget_oracle_sql()
-    scored_prefix = base.split("cum AS")[0]
-    return f"""
-        {scored_prefix}
-        src AS (
-          SELECT d.source,
-                 CAST(floor(s.quality_logit / 0.25) AS BIGINT) AS bucket
-          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-          WHERE s.quality_logit IS NOT NULL),
-        h AS (
-          SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
-          FROM src GROUP BY 1, 2),
-        c AS (
-          SELECT source, bucket, n,
-                 CAST(sum(n) OVER (PARTITION BY source ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum,
-                 CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
-          FROM h),
-        qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
-        SELECT c.source AS grp, 'quality_logit' AS "column",
-               CAST(0.25 AS DOUBLE) AS g, q,
-               min(bucket) AS bucket,
-               CAST(min(bucket) AS DOUBLE) * 0.25 AS value_lo,
-               CAST(min(bucket) + 1 AS DOUBLE) * 0.25 AS value_hi
-        FROM c, qs
-        WHERE cum >= greatest(CAST(1 AS BIGINT),
-                              CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT))
-        GROUP BY c.source, q
-    """
-
-
-ORACLES["quality_histogram_by_source"] = _quality_histogram_oracle_sql()
-
-
-def quality_drift_tv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift alert (operators/profile.py
-    ``histogram_tv_distance``): exact total-variation distance between
-    the per-source quality-logit histograms of two corpus snapshots
-    (deterministic md5 halves standing in for yesterday/today) — the
-    number a curation pipeline pages on when a feed's quality
-    distribution shifts.  Integer numerator (decimal(38,0) ↔ HUGEINT),
-    one final pinned-order division — value-exact across engines."""
-    from .operators.profile import histogram_state, histogram_tv_distance
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text.model_quality_score(docs, keep_cols=("source",)).select(
-        "doc_id", "source", "quality_logit"
-    )
-    half = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-    ) < F.lit(sampling.hash_threshold(0.5))
-    ha = histogram_state(
-        scored.filter(half), {"quality_logit": 0.25}, "a",
-        group_col="source",
-    )
-    hb = histogram_state(
-        scored.filter(~half), {"quality_logit": 0.25}, "b",
-        group_col="source",
-    )
-    return histogram_tv_distance(ha, hb)
-
-
-QUERIES["quality_drift_tv_by_source"] = quality_drift_tv_by_source
-
-
-def _quality_drift_oracle_sql() -> str:
-    base = _token_budget_oracle_sql()
-    scored_prefix = base.split("cum AS")[0]
-    return f"""
-        {scored_prefix}
-        src AS (
-          SELECT s.doc_id, d.source, s.quality_logit
-          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-          WHERE s.quality_logit IS NOT NULL),
-        lab AS (
-          SELECT source,
-                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
-                   AS first_half,
-                 CAST(floor(quality_logit / 0.25) AS BIGINT) AS bucket
-          FROM src),
-        ha AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS na
-               FROM lab WHERE first_half GROUP BY 1, 2),
-        hb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS nb
-               FROM lab WHERE NOT first_half GROUP BY 1, 2),
-        j AS (
-          SELECT coalesce(ha.source, hb.source) AS source,
-                 coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-          FROM ha FULL OUTER JOIN hb
-            ON ha.source IS NOT DISTINCT FROM hb.source
-           AND ha.bucket = hb.bucket),
-        jt AS (
-          SELECT source, na, nb,
-                 CAST(sum(na) OVER (PARTITION BY source) AS BIGINT)
-                   AS tna,
-                 CAST(sum(nb) OVER (PARTITION BY source) AS BIGINT)
-                   AS tnb
-          FROM j),
-        agg AS (
-          SELECT source,
-                 CAST(sum(abs(CAST(na AS HUGEINT) * tnb
-                              - CAST(nb AS HUGEINT) * tna)) AS HUGEINT)
-                   AS tv_num,
-                 tna, tnb
-          FROM jt
-          GROUP BY source, tna, tnb)
-        SELECT source AS grp, 'quality_logit' AS "column",
-               CAST(0.25 AS DOUBLE) AS g, tv_num,
-               tna AS n_a, tnb AS n_b,
-               CASE WHEN tna = 0 OR tnb = 0 THEN 1.0
-                    ELSE CAST(tv_num AS DOUBLE)
-                         / (2.0 * CAST(tna AS DOUBLE)
-                            * CAST(tnb AS DOUBLE))
-               END AS tv
-        FROM agg
-    """
-
-
-ORACLES["quality_drift_tv_by_source"] = _quality_drift_oracle_sql()
-
-
-def dsir_scores_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance scores (operators/text.py
-    ``dsir_importance_scores`` — Xie et al. 2023 hashed-n-gram
-    importance resampling, on the repo's exact integer-log2 grid):
-    score every document by target-vs-raw hashed-token likelihood
-    ratio with ``lang = 'en'`` documents as the target exemplars —
-    the "reshape the crawl toward a target domain" selection signal.
-    md5-prefix bucket hash and floor-log2 weights are both
-    engine-portable, so model fit AND per-document scores cross the
-    exact value gate."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        text.dsir_importance_scores(
-            docs, target=F.col("lang") == "en", n_buckets=256
-        )
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "n_tokens", "dsir_bits", "bits_per_token")
-    )
-
-
-QUERIES["dsir_scores_lang"] = dsir_scores_lang
-
-# same md5-prefix bucket hash as operators/sketch.py; floor(log2 c) =
-# binary-string length − 1 — both engine-portable
-ORACLES["dsir_scores_lang"] = r"""
-    WITH toks AS (
-      SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
-             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-      FROM documents),
-    b AS (
-      SELECT doc_id, is_t,
-             CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT)
-                  % 256 AS BIGINT) AS bucket
-      FROM toks),
-    c AS (
-      SELECT bucket,
-             CAST(count(*) FILTER (is_t) AS BIGINT) AS t,
-             CAST(count(*) FILTER (NOT is_t) AS BIGINT) AS r
-      FROM b GROUP BY 1),
-    tot AS (SELECT CAST(sum(t) + 256 AS BIGINT) AS tn,
-                   CAST(sum(r) + 256 AS BIGINT) AS rn FROM c),
-    w AS (
-      SELECT bucket,
-             CAST(( (length(format('{:b}', t + 1)) - 1)
-                  - (length(format('{:b}', tn)) - 1) )
-                - ( (length(format('{:b}', r + 1)) - 1)
-                  - (length(format('{:b}', rn)) - 1) ) AS BIGINT) AS w
-      FROM c CROSS JOIN tot),
-    per_doc AS (
-      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(w.w) AS BIGINT) AS dsir_bits
-      FROM b JOIN w USING (bucket) GROUP BY 1)
-    SELECT d.doc_id, d.lang,
-           coalesce(p.n_tokens, 0) AS n_tokens,
-           coalesce(p.dsir_bits, 0) AS dsir_bits,
-           CASE WHEN p.n_tokens > 0
-                THEN CAST(p.dsir_bits AS DOUBLE)
-                     / CAST(p.n_tokens AS DOUBLE)
-           END AS bits_per_token
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-def _docs_as_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic multi-line view of the documents corpus: the
-    synthetic fixture text has no newlines, so both engines derive the
-    same line structure by rewriting the token ``' a '`` as ``\\n`` —
-    real repeated cross-document segments (the span-dup windows)
-    become repeated LINES, which is exactly the boilerplate shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
-    )
-
-
-def boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate line detection (operators/text.py
-    ``boilerplate_lines``) — the CCNet/RefinedWeb nav-bar/footer
-    removal signal: trimmed lines ≥8 chars appearing in ≥2 distinct
-    documents of the derived multi-line corpus."""
-    return text.boilerplate_lines(
-        _docs_as_lines(spark, sf_dir), min_doc_freq=2, min_chars=8
-    )
-
-
-QUERIES["boilerplate_line_stats"] = boilerplate_line_stats
-
-ORACLES["boilerplate_line_stats"] = """
-    WITH d AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
-               FROM documents),
-    lines AS (SELECT doc_id,
-                     trim(unnest(string_split(text, chr(10)))) AS line
-              FROM d)
-    SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-    FROM lines WHERE length(line) >= 8
-    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-"""
-
-
-def boilerplate_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actionable half (operators/text.py
-    ``scrub_boilerplate_lines``): the corpus with every occurrence of
-    a boilerplate line removed — unlike span dedup, no occurrence
-    survives.  The CLEAN TEXT crosses the value gate: the oracle
-    rebuilds every scrubbed document string character-for-character."""
-    return text.scrub_boilerplate_lines(
-        _docs_as_lines(spark, sf_dir), min_doc_freq=2, min_chars=8
-    )
-
-
-QUERIES["boilerplate_scrub_corpus"] = boilerplate_scrub_corpus
-
-# parallel unnests zip positionally in DuckDB — (line, ordinal) pairs
-ORACLES["boilerplate_scrub_corpus"] = """
-    WITH d AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text
-               FROM documents),
-    ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
-           FROM d WHERE text IS NOT NULL),
-    lines AS (SELECT doc_id, unnest(l) AS ln,
-                     unnest(range(1, length(l) + 1)) AS ord
-              FROM ls),
-    b AS (SELECT trim(ln) AS line FROM lines
-          WHERE length(trim(ln)) >= 8
-          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-    k AS (SELECT l.doc_id, l.ord, l.ln, (b.line IS NOT NULL) AS rm
-          FROM lines l LEFT JOIN b ON trim(l.ln) = b.line),
-    p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-                 CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed,
-                 coalesce(string_agg(CASE WHEN NOT rm THEN ln END,
-                                     chr(10) ORDER BY ord), '') AS text
-          FROM k GROUP BY 1)
-    SELECT doc.doc_id, p.text AS text,
-           coalesce(p.n_lines, 0) AS n_lines,
-           coalesce(p.n_removed, 0) AS n_removed
-    FROM documents doc LEFT JOIN p USING (doc_id)
-"""
-
-
-def warc_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC source round-trip (sources/warc.py): serialize every
-    document as a WARC/1.0 response record IN-PLAN (header strings +
-    UTF-8 payload, Content-Length = octet length) and push the bytes
-    through the real record parser (``decode_warc_records`` —
-    Arrow-batched ``parse_warc_member``).  The oracle recomputes what
-    a correct parse must return from the documents table directly, so
-    header serialization, byte walking, Content-Length handling and
-    payload extraction are all value-checked on every row; NULL text
-    → NULL record → the parser's ok=false contract."""
-    from .sources import warc as warcmod
-
-    docs = load_table(spark, sf_dir, "documents")
-    rec = F.concat(
-        F.lit(
-            "WARC/1.0\r\nWARC-Type: response\r\n"
-            "WARC-Target-URI: http://corpus.example/doc/"
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit(
-            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
-            "Content-Type: text/plain\r\nContent-Length: "
-        ),
-        F.octet_length("text").cast("string"),
-        F.lit("\r\n\r\n"),
-        F.col("text"),
-        F.lit("\r\n\r\n"),
-    ).cast("binary")
-    parsed = warcmod.decode_warc_records(
-        docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
-    )
-    return parsed.select(
-        F.col("id").alias("doc_id"),
-        "warc_type",
-        "target_uri",
-        "content_type",
-        "content_length",
-        F.col("payload").cast("string").alias("payload_text"),
-        "ok",
-    )
-
-
-QUERIES["warc_roundtrip_check"] = warc_roundtrip_check
-
-ORACLES["warc_roundtrip_check"] = """
-    SELECT doc_id,
-           CASE WHEN text IS NOT NULL THEN 'response' END AS warc_type,
-           CASE WHEN text IS NOT NULL
-                THEN 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
-           END AS target_uri,
-           CASE WHEN text IS NOT NULL THEN 'text/plain' END
-             AS content_type,
-           CASE WHEN text IS NOT NULL
-                THEN CAST(octet_length(encode(text)) AS BIGINT)
-           END AS content_length,
-           text AS payload_text,
-           (text IS NOT NULL) AS ok
-    FROM documents
-"""
-
-
-def warc_wet_extract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WET extraction (operators/web.py ``wet_extract`` — the
-    WARC→corpus text tier): wrap every document IN-PLAN as a full
-    ``HTTP/1.1 200`` ``text/html`` response (script + style + comment
-    boilerplate around the text), then split head/body and strip the
-    markup with the Catalyst regex chain.  The oracle computes the
-    EXPECTED clean text independently from the documents table —
-    status-line parse, header lookup, script/style/comment removal,
-    tag stripping, entity decode and whitespace collapse are all
-    value-checked on every row; NULL text → NULL payload → all-NULL
-    extraction."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.lit(
-            "HTTP/1.1 200 OK\r\n"
-            "Content-Type: text/html; charset=utf-8\r\n"
-            "Server: corpus\r\n\r\n"
-            "<html><head><title>d</title>"
-            '<script type="text/javascript">var x = 1 < 2;</script>'
-            "<style>p { color: red; }</style></head><body><h1>Doc "
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1>\r\n<p>"),
-        F.col("text"),
-        F.lit(" &amp; more</p><!-- footer --></body></html>"),
-    )
-    return web.wet_extract(
-        docs.select("doc_id", payload.alias("payload_text"))
-    )
-
-
-QUERIES["warc_wet_extract_check"] = warc_wet_extract_check
-
-ORACLES["warc_wet_extract_check"] = r"""
-    SELECT doc_id,
-           CASE WHEN text IS NOT NULL THEN 200 END AS status,
-           CASE WHEN text IS NOT NULL
-                THEN 'text/html; charset=utf-8' END AS content_type,
-           CASE WHEN text IS NOT NULL THEN
-             -- 'd' is the <title> text: title content IS text (what
-             -- Common Crawl WET ships too), only markup is stripped
-             trim(regexp_replace(
-               'd Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
-                 || ' & more',
-               '\s+', ' ', 'g'))
-           END AS text
-    FROM documents
-"""
-
-
-def domain_cap_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain contribution cap (operators/web.py
-    ``cap_per_domain`` — the Gopher/FineWeb de-bias move): keep at
-    most 2 documents per registrable domain of the synthetic URL
-    fixture, selected in the deterministic md5(doc_id) order.  The
-    operator runs the two-phase top-k (sub-bucketed windows so a
-    mega-domain never becomes one hot partition); the oracle replays
-    the NAIVE single-window semantics, pinning phase-1/phase-2
-    equivalence on real data."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    wurl = docs.withColumn("url", _synthetic_url_col())
-    return web.cap_per_domain(wurl, k=2).select(
-        "doc_id", "domain", "domain_rank"
-    )
-
-
-QUERIES["domain_cap_keepers"] = domain_cap_keepers
-
-ORACLES["domain_cap_keepers"] = f"""
-    WITH b AS (
-      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
-    {_URL_NORM_SQL}
-    SELECT doc_id, domain, domain_rank FROM (
-      SELECT doc_id, domain,
-             row_number() OVER (
-               PARTITION BY domain
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-             ) AS domain_rank
-      FROM dmn)
-    WHERE domain_rank <= 2
-"""
-
-
-def web_corpus_pipeline_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED crawl-curation path, end-to-end: serialize each
-    document as a WARC response wrapping an HTTP/HTML payload →
-    ``decode_warc_records`` (real byte parser) → ``wet_extract``
-    (HTTP split + HTML strip) → URL-keyed dedup on the synthetic
-    messy-URL fixture → per-domain cap (k=3, two-phase) → per-domain
-    doc/token stats.  Every stage interaction is value-checked: the
-    oracle independently recomputes WET text, replays normalization /
-    keeper / naive-window cap semantics, and whitespace token counts.
-    The 100 TB shape: file-parallel parse, map-side extraction, one
-    shuffle per dedup/cap/agg stage."""
-    from .operators import web
-    from .operators.text import token_count
-    from .sources import warc as warcmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    http = F.concat(
-        F.lit(
-            "HTTP/1.1 200 OK\r\n"
-            "Content-Type: text/html; charset=utf-8\r\n\r\n"
-            "<html><head><title>d</title>"
-            '<script type="text/javascript">var x = 1 < 2;</script>'
-            "<style>p { color: red; }</style></head><body><h1>Doc "
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1>\r\n<p>"),
-        F.col("text"),
-        F.lit(" &amp; more</p><!-- footer --></body></html>"),
-    )
-    rec = F.concat(
-        F.lit(
-            "WARC/1.0\r\nWARC-Type: response\r\n"
-            "WARC-Target-URI: http://corpus.example/doc/"
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit(
-            "\r\nContent-Type: application/http\r\nContent-Length: "
-        ),
-        F.octet_length(http).cast("string"),
-        F.lit("\r\n\r\n"),
-        http,
-        F.lit("\r\n\r\n"),
-    ).cast("binary")
-    parsed = warcmod.decode_warc_records(
-        docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
-    ).filter("ok")
-    wet = web.wet_extract(
-        parsed.select(
-            F.col("id").alias("doc_id"),
-            F.col("payload").cast("string").alias("payload_text"),
-        )
-    ).filter(F.col("text").isNotNull())
-    wurl = wet.withColumn("url", _synthetic_url_col())
-    kept = web.url_dedup_keepers(wurl)
-    capped = web.cap_per_domain(kept, k=3)
-    return capped.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
-    )
-
-
-QUERIES["web_corpus_pipeline_check"] = web_corpus_pipeline_check
-
-ORACLES["web_corpus_pipeline_check"] = f"""
-    WITH b AS (
-      SELECT doc_id, {_URL_FIXTURE_SQL} AS url,
-             trim(regexp_replace(
-               'd Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
-                 || ' & more',
-               '\\s+', ' ', 'g')) AS wet_text
-      FROM documents WHERE text IS NOT NULL),
-    {_URL_NORM_SQL},
-    keep AS (
-      SELECT doc_id, domain, wet_text FROM (
-        SELECT doc_id, domain, url_norm, wet_text,
-               row_number() OVER (
-                 PARTITION BY url_norm ORDER BY doc_id) AS rn
-        FROM dmn)
-      WHERE url_norm IS NULL OR rn = 1),
-    capped AS (
-      SELECT doc_id, domain, wet_text,
-             row_number() OVER (
-               PARTITION BY domain
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
-      FROM keep)
-    SELECT domain,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN trim(wet_text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(wet_text),
-                                                '\\s+')) END)
-                AS BIGINT) AS n_tokens
-    FROM capped WHERE r <= 3
-    GROUP BY domain
-"""
-
-
-def minhash_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FUZZY DEDUP end-to-end — the canonical LLM-corpus operation:
-    portable MinHash-LSH verified pairs (same stages as
-    ``minhash_lsh_check``) → connected components
-    (operators/graph.py — near-dup clusters) → keep ONE document per
-    cluster (the min id) plus every unclustered document.  Output:
-    kept ``(doc_id, cluster)`` rows, ``cluster`` NULL for documents
-    with no near-duplicate.  The oracle replays the whole chain —
-    shingles, signatures, banding, cap, Jaccard verify, then the
-    transitive closure as a recursive CTE and the keeper rule."""
-    from .operators import graph
-
-    docs = load_table(spark, sf_dir, "documents")
-    # ONE definition of the pair pipeline (k/bands/cap/threshold live
-    # in minhash_lsh_check, and this oracle derives from that one's)
-    pairs = minhash_lsh_check(spark, sf_dir)
-    comps = graph.connected_components(pairs, src="ida", dst="idb")
-    return (
-        docs.select("doc_id")
-        .join(comps, docs["doc_id"] == comps["node"], "left")
-        .filter(
-            F.col("node").isNull()
-            | (F.col("doc_id") == F.col("cluster"))
-        )
-        .select("doc_id", "cluster")
-    )
-
-
-QUERIES["minhash_dedup_keepers"] = minhash_dedup_keepers
-
-
-def _minhash_keepers_oracle() -> str:
-    # derived by marker-based surgery on the base oracle string; the
-    # markers are load-bearing — fail at import with a pointed message
-    # rather than emitting silently-wrong SQL if that oracle is
-    # reformatted
-    base = ORACLES["minhash_lsh_check"]
-    if "SELECT ida, idb," not in base or "WITH words" not in base:
-        raise ValueError(
-            "minhash_lsh_check oracle was reformatted: update "
-            "_minhash_keepers_oracle's markers with it"
-        )
-    i = base.rindex("SELECT ida, idb,")
-    ctes = base[:i].rstrip().rstrip(",")
-    final = base[i:].strip()
-    ctes = ctes.replace("WITH words", "WITH RECURSIVE words", 1)
-    return f"""
-        {ctes},
-        pairs AS ({final}),
-        und AS (
-          SELECT ida AS a, idb AS b FROM pairs
-          UNION
-          SELECT idb AS a, ida AS b FROM pairs),
-        comp(node, label) AS (
-          SELECT DISTINCT a, a FROM und
-          UNION
-          SELECT und.a, comp.label FROM und JOIN comp ON comp.node = und.b),
-        clusters AS (
-          SELECT node, min(label) AS cluster FROM comp GROUP BY node)
-        SELECT d.doc_id, c.cluster
-        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
-        WHERE c.node IS NULL OR d.doc_id = c.cluster
-    """
-
-
-ORACLES["minhash_dedup_keepers"] = _minhash_keepers_oracle()
-
-
-def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-level Gopher quality rules (operators/text.py
-    ``gopher_quality_flags`` — Rae et al. 2021 table A1): word-count
-    and mean-word-length bounds, symbol ratio, bullet/ellipsis line
-    fractions, alphabetic-word fraction, stopword floor — per-document
-    metrics, one violation flag per rule, and the overall pass bit,
-    every one replayed bit-for-bit by the oracle."""
-    return text.gopher_quality_flags(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-QUERIES["gopher_quality_report"] = gopher_quality_report
-
-ORACLES["gopher_quality_report"] = r"""
-    WITH w AS (
-      SELECT doc_id,
-             coalesce(regexp_extract_all(text, '\S+'), []) AS words,
-             CASE WHEN text IS NOT NULL
-                  THEN string_split(text, chr(10)) END AS lines,
-             trim(text) AS t
-      FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(coalesce(len(words), 0) AS INT) AS n_words,
-             CASE WHEN len(words) > 0 THEN
-               CAST(list_sum(list_transform(words, x -> length(x)))
-                    AS DOUBLE) / len(words) END AS mean_word_len,
-             CASE WHEN len(words) > 0 THEN
-               CAST(len(regexp_extract_all(t, '#|\.\.\.|…')) AS DOUBLE)
-                 / len(words) END AS symbol_word_ratio,
-             CASE WHEN len(lines) > 0 THEN
-               CAST(len(list_filter(lines,
-                 l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE)
-                 / len(lines) END AS bullet_line_frac,
-             CASE WHEN len(lines) > 0 THEN
-               CAST(len(list_filter(lines,
-                 l -> regexp_matches(l, '(\.\.\.|…)\s*\z')))
-                    AS DOUBLE) / len(lines) END AS ellipsis_line_frac,
-             CASE WHEN len(words) > 0 THEN
-               CAST(len(list_filter(words,
-                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                 / len(words) END AS alpha_word_frac,
-             CAST(coalesce(len(list_distinct(regexp_extract_all(
-               lower(t), '\b(the|be|to|of|and|that|have|with)\b'))),
-               0) AS BIGINT) AS stopword_hits
-      FROM w)
-    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-           stopword_hits,
-           (n_words < 50 OR n_words > 100000) AS flag_word_count,
-           coalesce(mean_word_len < 3.0 OR mean_word_len > 10.0,
-                    FALSE) AS flag_mean_word_len,
-           coalesce(symbol_word_ratio > 0.1, FALSE) AS flag_symbol_ratio,
-           coalesce(bullet_line_frac > 0.9, FALSE) AS flag_bullet_lines,
-           coalesce(ellipsis_line_frac > 0.3, FALSE)
-             AS flag_ellipsis_lines,
-           coalesce(alpha_word_frac < 0.8, FALSE) AS flag_alpha_words,
-           (stopword_hits < 2) AS flag_stopwords,
-           NOT ((n_words < 50 OR n_words > 100000)
-             OR coalesce(mean_word_len < 3.0 OR mean_word_len > 10.0,
-                         FALSE)
-             OR coalesce(symbol_word_ratio > 0.1, FALSE)
-             OR coalesce(bullet_line_frac > 0.9, FALSE)
-             OR coalesce(ellipsis_line_frac > 0.3, FALSE)
-             OR coalesce(alpha_word_frac < 0.8, FALSE)
-             OR (stopword_hits < 2)) AS gopher_pass
-    FROM m
-"""
-
-
-def c4_cleanup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 line-level cleaning (operators/text.py ``c4_line_cleanup``
-    — Raffel et al. 2020 §2.2) over a deterministic line-structured
-    derivation of the documents corpus (the ``' a '``→newline rewrite
-    of the boilerplate fixture, each line closed with a period so the
-    terminal-punctuation rule has real work: short segments fail the
-    ≥5-word rule, documents whose every line fails are dropped).  The
-    CLEANED TEXT and the per-document drop accounting cross the value
-    gate."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(
-            F.col("text").isNotNull(),
-            F.concat(
-                F.replace(
-                    F.col("text"), F.lit(" a "), F.lit(".\n")
-                ),
-                F.lit("."),
-            ),
-        ).alias("text"),
-    )
-    return text.c4_line_cleanup(docs)
-
-
-QUERIES["c4_cleanup_corpus"] = c4_cleanup_corpus
-
-ORACLES["c4_cleanup_corpus"] = r"""
-    WITH d AS (
-      SELECT doc_id,
-             CASE WHEN text IS NOT NULL
-                  THEN replace(text, ' a ', '.' || chr(10)) || '.'
-             END AS text
-      FROM documents),
-    w AS (
-      SELECT doc_id, text,
-             CASE WHEN text IS NOT NULL
-                  THEN string_split(text, chr(10)) END AS lines
-      FROM d),
-    k AS (
-      SELECT doc_id, text, lines,
-             CASE WHEN lines IS NOT NULL THEN
-               list_filter(lines, l ->
-                 regexp_matches(l, '([.!?]["''”’]?|["”’])\s*\z')
-                 AND len(regexp_extract_all(l, '\S+')) >= 5)
-             END AS kept
-      FROM w),
-    m AS (
-      SELECT doc_id, text, kept,
-             CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines,
-             CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
-             CASE
-               WHEN coalesce(contains(text, '{'), FALSE) THEN 'brace'
-               WHEN coalesce(contains(lower(text), 'lorem ipsum'),
-                             FALSE) THEN 'lorem_ipsum'
-               WHEN coalesce(len(kept), 0) < 3 THEN 'too_few_lines'
-             END AS drop_reason
-      FROM k)
-    SELECT doc_id,
-           CASE WHEN drop_reason IS NULL
-                THEN array_to_string(kept, chr(10)) END AS text,
-           n_lines, n_kept,
-           (drop_reason IS NOT NULL) AS dropped, drop_reason
-    FROM m
-"""
-
-
-def gopher_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The n-gram repetition half of the Gopher rules
-    (operators/text.py ``ngram_repetition_profile``): per document,
-    the character fraction of the top {2,3,4}-gram and of duplicated
-    {5..10}-grams — every fraction replayed bit-for-bit (integer
-    counts and lengths, one final double division per row)."""
-    return text.ngram_repetition_profile(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-QUERIES["gopher_ngram_repetition"] = gopher_ngram_repetition
-
-
-def _ngram_rep_oracle() -> str:
-    branches = []
-    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
-        kinds = (["top"] if n in (2, 3, 4) else []) + (
-            ["dup"] if n >= 5 else []
-        )
-        for kind in kinds:
-            val = (
-                "CAST(p.top.c AS DOUBLE) * length(p.top.g)"
-                if kind == "top"
-                else "CAST(p.dupchars AS DOUBLE)"
-            )
-            branches.append(f"""(
-        WITH w AS (
-          SELECT doc_id,
-                 coalesce(regexp_extract_all(text, '\\S+'), []) AS w,
-                 CAST(coalesce(length(text), 0) AS BIGINT) AS nc
-          FROM documents),
-        g AS (
-          SELECT doc_id,
-                 unnest(list_transform(range(1, len(w) - {n} + 2),
-                   i -> array_to_string(w[i:i + {n} - 1], ' '))) AS g
-          FROM w WHERE len(w) >= {n}),
-        c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
-        p AS (
-          SELECT doc_id,
-                 max({{'c': c, 'g': g}}) AS top,
-                 sum(CASE WHEN c >= 2 THEN c * length(g)
-                     ELSE 0 END) AS dupchars
-          FROM c GROUP BY 1)
-        SELECT w.doc_id, {n} AS n, '{kind}' AS kind,
-               coalesce({val} / greatest(w.nc, 1), 0.0) AS frac
-        FROM w LEFT JOIN p USING (doc_id)
-      )""")
-    return "\n      UNION ALL\n      ".join(branches)
-
-
-ORACLES["gopher_ngram_repetition"] = _ngram_rep_oracle()
-
-
-# --------------------------------------------------------------------------
-# round 11: real PNG pixel decode → perceptual image hashes → dedup
-# --------------------------------------------------------------------------
-
-
-def image_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel-level image decode (operators/multimodal.py
-    ``png_decode_pixels``: stdlib zlib + all five PNG scanline filters,
-    gray/RGB/palette/RGBA) feeding integer-grid aHash/dHash
-    (``image_ahash``/``image_dhash``).  Fixtures are full valid PNGs
-    whose pixels depend only on doc_id % 24, with two planted failure
-    modes: doc_id % 17 = 0 truncates the PNG (corrupt → ok=false) and
-    doc_id % 13 = 0 plants a JPEG (the documented codec-stub →
-    ok=false).  The oracle pins the 24 expected (dims, ahash, dhash)
-    tuples — computed driver-side from the same fixture definitions;
-    decode CORRECTNESS itself is pinned by the pytest round-trips
-    (encoder cycles every filter type) and hand-computed hash cases."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(
-        multimodal.attach_png_blob(docs), "content", "id"
-    )
-
-
-def _png_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(24):
-        px, pal = multimodal._png_fixture_pixels(cls)
-        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
-        h, w, ch = dec.shape
-        rows[cls] = (
-            w, h, ch,
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    chan = " ".join(
-        "WHEN doc_id %% 24 = %d THEN %d" % (c, v[2]) for c, v in rows.items()
-    )
-    ah = " ".join(
-        "WHEN doc_id %% 24 = %d THEN '%s'" % (c, v[3]) for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% 24 = %d THEN '%s'" % (c, v[4]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
-               END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def image_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate IMAGE dedup end-to-end (operators/multimodal.py
-    ``image_phash_dedup``): real pixel decode → dHash → exact-hash
-    collapse → banded LSH over distinct hashes → Hamming ≤ 6 verify →
-    connected components; summarized as (cluster, n_members).  The
-    fixture classes are built so each base pattern and its
-    bottom-rows-perturbed variant sit ≤ 5 bits apart CONFINED TO ONE
-    BAND (recall guaranteed) while distinct patterns sit ≥ 15 bits
-    apart (no false merges) — so the expected clustering is exactly
-    the base-pattern classes, which the oracle states independently
-    from doc_id arithmetic."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.image_phash_dedup(
-        multimodal.attach_png_blob(docs), "content", "id",
-        # recall-escalation probe ON: the scale path should be the
-        # benched path; the oracle is identical with it off (fixture
-        # cross-class distances ≫ threshold, so extra candidates all
-        # fail the Hamming verify)
-        probe_ahash=True,
-        backend="pure",  # oracle determinism: never the native codec
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-
-
-QUERIES["image_pixel_hash_check"] = image_pixel_hash_check
-QUERIES["image_phash_dedup_clusters"] = image_phash_dedup_clusters
-
-ORACLES["image_pixel_hash_check"] = _png_pinned_oracle()
-
-ORACLES["image_phash_dedup_clusters"] = """
-    WITH v AS (
-      SELECT doc_id, doc_id % 12 AS cls FROM documents
-      WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
-    SELECT min(doc_id) AS cluster, CAST(count(*) AS BIGINT) AS n_members
-    FROM v GROUP BY cls
-"""
-
-
-# --------------------------------------------------------------------------
-# round 11: jusText-style main-content extraction tier
-# --------------------------------------------------------------------------
-
-#: stopword-rich tail planted on 2/3 of the fixture docs so every
-#: jusText class (good / neargood / bad / short) is represented on
-#: driver data — the raw synthetic document text is stopword-poor
-#: word salad that classifies almost uniformly bad
-_JUSTEXT_TAIL = (
-    " it was a good day and we were all of the opinion that this is as"
-    " it should have been for you and for them"
-)
-
-
-def _justext_payload_col() -> F.Column:
-    """HTTP/HTML fixture with four paragraph-generating blocks: a nav
-    bar of three links (bad: link density), a short heading, the main
-    paragraph (document text, tail-enriched by doc_id % 3), and a
-    copyright footer (bad: stopword-poor).  The SQL replay is
-    ``_JUSTEXT_FIXTURE_SQL``."""
-    from .operators.web import http_body  # noqa: F401 — twin anchor
-
-    d = F.col("doc_id")
-    m = (
-        F.when(d % 3 == 0, F.col("text"))
-        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(_JUSTEXT_TAIL)))
-        .otherwise(
-            F.concat(F.substring(F.col("text"), 1, 100), F.lit(_JUSTEXT_TAIL))
-        )
-    )
-    return F.concat(
-        F.lit(
-            "HTTP/1.1 200 OK\r\n"
-            "Content-Type: text/html; charset=utf-8\r\n\r\n"
-            '<html><body><div><a href="/">Home</a> <a href="/a">About</a>'
-            ' <a href="/c">Contact</a></div><h1>Doc '
-        ),
-        d.cast("string"),
-        F.lit("</h1><p>"),
-        m,
-        F.lit(
-            "</p><div>Copyright 2026 corpus example site All rights"
-            " reserved</div></body></html>"
-        ),
-    )
-
-
-_JUSTEXT_FIXTURE_SQL = f"""
-    jt0 AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 THEN text
-                  WHEN doc_id % 3 = 1 THEN text || '{_JUSTEXT_TAIL}'
-                  ELSE substr(text, 1, 100) || '{_JUSTEXT_TAIL}'
-             END AS m
-      FROM documents WHERE text IS NOT NULL),
-    jt1 AS (
-      SELECT doc_id, trim(regexp_replace(m, '\\s+', ' ', 'g')) AS t2
-      FROM jt0),
-    jt2 AS (
-      SELECT doc_id, t2, length(t2) AS nc,
-             len(regexp_split_to_array(t2, '\\s+')) AS nw,
-             len(regexp_extract_all(t2, '{{stop_re}}')) AS ns
-      FROM jt1 WHERE t2 <> ''),
-    jtc AS (
-      SELECT *, CASE WHEN nc < 40 THEN 'short'
-                     WHEN ns * 100 >= nw * 18 AND nc > 160 THEN 'good'
-                     WHEN ns * 100 >= nw * 18 THEN 'neargood'
-                     ELSE 'bad' END AS cf2
-      FROM jt2)
-"""
-
-
-def wet_main_content_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jusText-style paragraph classification (operators/web.py
-    ``justext_paragraphs`` — the DOM-free main-content tier after
-    ``wet_extract``): block-tag paragraph segmentation with in-text
-    link marks, link-density / stopword-density / length features on
-    integer cross-multiplied thresholds, and the definite-neighbor
-    context pass.  The fixture plants a nav bar, a heading, the
-    document text (tail-enriched so all four classes appear on driver
-    data) and a copyright footer; the oracle restates every feature
-    and class independently."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return web.justext_paragraphs(
-        docs.select("doc_id", _justext_payload_col().alias("payload_text"))
-    ).select(
-        "doc_id", "para_pos", "para_text", "n_links", "n_chars",
-        "n_words", "n_stop", "cf_class", "final_class",
-    )
-
-
-def wet_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document main-content rollup (operators/web.py
-    ``wet_main_content``): good paragraphs reassembled in order,
-    boilerplate-only documents kept with NULL main_text (the
-    drop-accounting contract)."""
-    from .operators import web
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return web.wet_main_content(
-        docs.select("doc_id", _justext_payload_col().alias("payload_text"))
-    )
-
-
-def web_corpus_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed crawl path WITH the main-content tier: WARC
-    serialize → ``decode_warc_records`` → ``wet_main_content``
-    (jusText-style boilerplate removal replaces the flat HTML strip)
-    → drop boilerplate-only pages → URL dedup → per-domain cap (k=3)
-    → per-domain doc/token stats.  v1 (``web_corpus_pipeline_check``)
-    keeps nav bars and footers in the text; this is the pipeline a
-    training corpus actually wants."""
-    from .operators import web
-    from .operators.text import token_count
-    from .sources import warc as warcmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    http = _justext_payload_col()
-    rec = F.concat(
-        F.lit(
-            "WARC/1.0\r\nWARC-Type: response\r\n"
-            "WARC-Target-URI: http://corpus.example/doc/"
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit("\r\nContent-Type: application/http\r\nContent-Length: "),
-        F.octet_length(http).cast("string"),
-        F.lit("\r\n\r\n"),
-        http,
-        F.lit("\r\n\r\n"),
-    ).cast("binary")
-    parsed = warcmod.decode_warc_records(
-        docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
-    ).filter("ok")
-    main = web.wet_main_content(
-        parsed.select(
-            F.col("id").alias("doc_id"),
-            F.col("payload").cast("string").alias("payload_text"),
-        )
-    ).filter(F.col("main_text").isNotNull())
-    wurl = main.withColumn("url", _synthetic_url_col())
-    kept = web.url_dedup_keepers(wurl)
-    capped = web.cap_per_domain(kept, k=3)
-    return capped.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(F.col("main_text"))).cast("long").alias("n_tokens"),
-    )
-
-
-def crawl_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The STREAMING crawl stack's per-slice body
-    (streaming/ingest.py ``crawl_survivors`` — the exact function the
-    ``foreachBatch`` sink runs), driven as two id-ordered slices with
-    the second screened against the first's URL keys, then folded and
-    finalized (``cap_per_domain`` k=3 + per-domain stats).  Because
-    the slice split is an id prefix, the first-batch-wins cross-slice
-    keeper IS the global min-id keeper, so the fold equals the batch
-    v2 composition exactly — same oracle, one shared code path with
-    the sink (the pytest stream≡batch pin is structural, and the
-    driver's value hash now covers it too).  Here the synthetic messy
-    URL rides in the WARC-Target-URI header instead of being attached
-    after extraction."""
-    from .operators import web
-    from .operators.text import token_count
-    from .streaming.ingest import crawl_survivors
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    http = _justext_payload_col()
-    rec = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-        _synthetic_url_col(),
-        F.lit("\r\nContent-Type: application/http\r\nContent-Length: "),
-        F.octet_length(http).cast("string"),
-        F.lit("\r\n\r\n"),
-        http,
-        F.lit("\r\n\r\n"),
-    ).cast("binary")
-    recs = docs.select(F.col("doc_id").alias("id"), rec.alias("record"))
-    # id-prefix split: 250 covers the whole corpus at sf0.001 (an
-    # empty second slice is a valid batch) and halves it at sf0.01
-    empty = spark.createDataFrame([], "fingerprint string")
-    s1 = crawl_survivors(
-        recs.filter(F.col("id") < 250), empty
-    ).localCheckpoint(eager=True)
-    seen = s1.filter(F.col("url_key").isNotNull()).select(
-        F.col("url_key").alias("fingerprint")
-    )
-    s2 = crawl_survivors(recs.filter(F.col("id") >= 250), seen)
-    capped = web.cap_per_domain(s1.unionByName(s2), k=3)
-    return capped.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(F.col("main_text"))).cast("long").alias("n_tokens"),
-    )
-
-
-QUERIES["wet_main_content_check"] = wet_main_content_check
-QUERIES["wet_main_content_docs"] = wet_main_content_docs
-QUERIES["web_corpus_pipeline_v2_check"] = web_corpus_pipeline_v2_check
-QUERIES["crawl_ingest_check"] = crawl_ingest_check
-
-
-def _justext_oracles() -> None:
-    from .operators.web import JUSTEXT_STOPWORDS_RE
-
-    fixture = _JUSTEXT_FIXTURE_SQL.format(stop_re=JUSTEXT_STOPWORDS_RE)
-    ORACLES["wet_main_content_check"] = f"""
-        WITH {fixture}
-        SELECT doc_id, CAST(0 AS INTEGER) AS para_pos,
-               'Home About Contact' AS para_text,
-               CAST(3 AS INTEGER) AS n_links,
-               CAST(18 AS INTEGER) AS n_chars,
-               CAST(3 AS INTEGER) AS n_words,
-               CAST(0 AS INTEGER) AS n_stop,
-               'bad' AS cf_class, 'bad' AS final_class
-        FROM jt0
-        UNION ALL
-        SELECT doc_id, CAST(1 AS INTEGER),
-               'Doc ' || CAST(doc_id AS VARCHAR), CAST(0 AS INTEGER),
-               CAST(4 + length(CAST(doc_id AS VARCHAR)) AS INTEGER),
-               CAST(2 AS INTEGER), CAST(0 AS INTEGER), 'short', 'bad'
-        FROM jt0
-        UNION ALL
-        SELECT doc_id, CAST(2 AS INTEGER), t2, CAST(0 AS INTEGER),
-               CAST(nc AS INTEGER), CAST(nw AS INTEGER),
-               CAST(ns AS INTEGER), cf2,
-               CASE WHEN cf2 = 'good' THEN 'good' ELSE 'bad' END
-        FROM jtc
-        UNION ALL
-        SELECT j.doc_id,
-               CAST(CASE WHEN c.doc_id IS NULL THEN 2 ELSE 3 END
-                    AS INTEGER),
-               'Copyright 2026 corpus example site All rights reserved',
-               CAST(0 AS INTEGER), CAST(54 AS INTEGER),
-               CAST(8 AS INTEGER), CAST(0 AS INTEGER), 'bad', 'bad'
-        FROM jt0 j LEFT JOIN jtc c USING (doc_id)
-    """
-    ORACLES["wet_main_content_docs"] = f"""
-        WITH {fixture}
-        SELECT j.doc_id,
-               CASE WHEN c.cf2 = 'good' THEN c.t2 END AS main_text,
-               CAST(CASE WHEN c.doc_id IS NULL THEN 3 ELSE 4 END
-                    AS BIGINT) AS n_paras_total,
-               CAST(CASE WHEN c.cf2 = 'good' THEN 1 ELSE 0 END
-                    AS BIGINT) AS n_paras_good,
-               CAST(CASE WHEN c.cf2 = 'good' THEN c.nc ELSE 0 END
-                    AS INTEGER) AS n_chars_main
-        FROM jt0 j LEFT JOIN jtc c USING (doc_id)
-    """
-    ORACLES["web_corpus_pipeline_v2_check"] = f"""
-        WITH {fixture},
-        b AS (
-          SELECT j.doc_id, {_URL_FIXTURE_SQL} AS url, c.t2 AS main_text,
-                 c.nw AS n_tokens
-          FROM jtc c JOIN jt0 j USING (doc_id)
-          WHERE c.cf2 = 'good'),
-        {_URL_NORM_SQL},
-        keep AS (
-          SELECT doc_id, domain, n_tokens FROM (
-            SELECT doc_id, domain, url_norm, n_tokens,
-                   row_number() OVER (
-                     PARTITION BY url_norm ORDER BY doc_id) AS rn
-            FROM dmn)
-          WHERE url_norm IS NULL OR rn = 1),
-        capped AS (
-          SELECT doc_id, domain, n_tokens,
-                 row_number() OVER (
-                   PARTITION BY domain
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
-          FROM keep)
-        SELECT domain,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        FROM capped WHERE r <= 3
-        GROUP BY domain
-    """
-    # the streamed two-slice fold equals the batch composition by the
-    # id-prefix-split argument (crawl_ingest_check docstring), so the
-    # SAME SQL is its oracle
-    ORACLES["crawl_ingest_check"] = ORACLES["web_corpus_pipeline_v2_check"]
-
-
-_justext_oracles()
-
-
-def _wav_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(8):
-        rate, ch, arr = multimodal._wav_fixture_samples(cls)
-        r2, c2, dec = multimodal.wav_decode_samples(
-            multimodal.wav_encode(rate, arr)
-        )
-        n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(dec)
-        rows[cls] = (r2, c2, n, n * 1000 // r2, peak, abs_sum, zc)
-
-    def case(i):
-        return " ".join(
-            "WHEN doc_id %% 8 = %d THEN %d" % (c, v[i])
-            for c, v in rows.items()
-        )
-
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(0)} END)
-               END AS INTEGER) AS sample_rate,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(1)} END)
-               END AS INTEGER) AS n_channels,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(2)} END)
-               END AS BIGINT) AS n_frames,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(3)} END)
-               END AS BIGINT) AS duration_ms,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(4)} END)
-               END AS INTEGER) AS peak,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(5)} END)
-               END AS BIGINT) AS abs_sum,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {case(6)} END)
-               END AS BIGINT) AS zero_crossings,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def audio_pcm_feature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WAV PCM16 sample decode (operators/multimodal.py
-    ``wav_decode_samples``: word-aligned RIFF chunk walk + LE int16
-    frames) feeding all-integer audio features
-    (``audio_pcm_metrics``: peak/abs-sum over all samples, channel-0
-    zero crossings, floor-division duration).  Fixtures are full
-    valid WAVs whose samples depend only on doc_id %% 8, with the two
-    planted failure modes mirroring the image fixtures: %% 17
-    truncates mid-fmt (malformed → ok=false), %% 13 plants an
-    IEEE-float WAV (the documented non-PCM16 stub → ok=false).  The
-    oracle pins the 8 expected feature tuples, computed driver-side
-    from the same fixture definitions through the same decode +
-    metric functions the executors run."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.audio_pcm_features(multimodal.attach_wav_blob(docs))
-
-
-QUERIES["audio_pcm_feature_check"] = audio_pcm_feature_check
-ORACLES["audio_pcm_feature_check"] = _wav_pinned_oracle()
-
-
-def _audio_resample_oracle() -> str:
-    """Pinned-constant oracle for the resample tier: per WAV fixture
-    class the (src_rate, n_frames, md5 of the 16 kHz re-encoded WAV)
-    computed driver-side through the same decode → resample → encode
-    path — a one-position error in the interpolation grid or a wrong
-    rounding mode breaks the hash.  %17/%13 plants pin ok=false."""
-    import hashlib as _hl
-
-    rows = {}
-    for cls in range(8):
-        rate, _ch, arr = multimodal._wav_fixture_samples(cls)
-        out = multimodal.resample_pcm(arr, rate, 16000)
-        rows[cls] = (
-            rate,
-            out.shape[0],
-            _hl.md5(multimodal.wav_encode(16000, out)).hexdigest(),
-        )
-    rc = " ".join(
-        "WHEN doc_id %% 8 = %d THEN %d" % (c, v[0])
-        for c, v in rows.items()
-    )
-    nc = " ".join(
-        "WHEN doc_id %% 8 = %d THEN %d" % (c, v[1])
-        for c, v in rows.items()
-    )
-    mc = " ".join(
-        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[2])
-        for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {rc} END)
-               END AS INTEGER) AS src_rate,
-          CAST(CASE WHEN bad THEN 0 ELSE 16000 END AS INTEGER)
-            AS dst_rate,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {nc} END)
-               END AS BIGINT) AS n_frames,
-          CASE WHEN bad THEN NULL ELSE (CASE {mc} END) END AS wav_md5,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def audio_resample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real WAV decode → linear resample to 16 kHz → PCM16 re-encode
-    (operators/multimodal.py ``resample_audio`` over
-    ``resample_pcm``): the rate-normalization step of an audio
-    training pipeline as one map-side Arrow pass.  The check md5s the
-    re-encoded bytes against per-class constants computed through the
-    same kernel; the %%17 truncation and %%13 ADPCM-stub plants are
-    ok=false rows.  Zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = multimodal.resample_audio(
-        multimodal.attach_wav_blob(docs), 16000
-    )
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "src_rate", "dst_rate", "n_frames",
-        F.md5(F.col("content")).alias("wav_md5"),
-        "ok",
-    )
-
-
-QUERIES["audio_resample_check"] = audio_resample_check
-ORACLES["audio_resample_check"] = _audio_resample_oracle()
-
-
-def _tar_fixture_rows(cls: int, bad: bool):
-    """Member rows (index, name, key, ext, size, md5_or_None, ok) the
-    walker must produce for one fixture class, computed through
-    ``iter_tar_members`` itself over the class's (possibly torn)
-    blob."""
-    import hashlib as _hl
-
-    from .sources import tar as tarmod
-
-    did = next(
-        d for d in range(200)
-        if d % 6 == cls and (d % 17 == 0) == bad and (bad or d % 13)
-    )
-    out = []
-    for idx, name, size, content, ok in tarmod.iter_tar_members(
-        tarmod.build_tar_blob(did)
-    ):
-        key, ext = tarmod.wds_key_ext(name) if name else (None, None)
-        out.append((
-            idx, name, key, ext, size,
-            _hl.md5(content).hexdigest() if content is not None else None,
-            ok,
-        ))
-    return out
-
-
-def _sql_lit(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, int):
-        return str(v)
-    return "'%s'" % str(v).replace("'", "''")
-
-
-def _tar_members_oracle() -> str:
-    """Pinned row-table oracle for the tar/WebDataset member walk:
-    for every (class, torn?) fixture shape the exact member rows —
-    names, WebDataset key/ext splits, declared sizes, content md5s,
-    and the flagged torn tail — computed driver-side through the same
-    walker; joined to documents on (cls, bad).  The gzip variant
-    (%13) is pinned IDENTICAL to the plain shape by construction
-    (same plain bytes), which is the compression-transparency claim."""
-    values = []
-    for cls in range(6):
-        for bad in (False, True):
-            for row in _tar_fixture_rows(cls, bad):
-                values.append(
-                    "(%d, %s, %s)" % (
-                        cls, _sql_lit(bad),
-                        ", ".join(_sql_lit(v) for v in row),
-                    )
-                )
-    rows_sql = ",\n          ".join(values)
-    return f"""
-        WITH consts(cls, bad, member_index, member_name, key, ext,
-                    size, content_md5, ok) AS (
-          VALUES {rows_sql}
-        ),
-        base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS bad
-          FROM documents)
-        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
-               CAST(c.member_index AS BIGINT) AS member_index,
-               c.member_name, c.key, c.ext,
-               CAST(c.size AS BIGINT) AS size,
-               c.content_md5, c.ok
-        FROM base b JOIN consts c ON c.cls = b.cls AND c.bad = b.bad
-    """
-
-
-def tar_members_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tar/WebDataset shard source (sources/tar.py
-    ``decode_tar_records`` over ``iter_tar_members``): stdlib-tar
-    member walk with gzip/bzip2/xz transparency, WebDataset
-    first-dot key/ext splitting, the zero-block terminator check
-    (a shard cut at a 512 boundary must flag, not silently drop its
-    tail), and torn-member short-read flagging.  Fixture: 6 classes
-    of multi-sample shards, %%13 ships gzip (identical rows — the
-    transparency claim), %%17 tears the last member's data.
-    Map-side, zero shuffles."""
-    from .sources import tar as tarmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = tarmod.decode_tar_records(
-        tarmod.attach_tar_blob(docs), id_col="id"
-    )
-    return dec.select(
-        F.col("id").alias("doc_id"),
-        "member_index", "member_name", "key", "ext", "size",
-        F.md5(F.col("content")).alias("content_md5"),
-        "ok",
-    )
-
-
-QUERIES["tar_members_check"] = tar_members_check
-ORACLES["tar_members_check"] = _tar_members_oracle()
-
-
-def _webdataset_group_oracle() -> str:
-    """Pinned row-table oracle for WebDataset sample regrouping:
-    per (class, torn?) the (key, n_parts, exts, parts_sig) rows,
-    computed by replaying the grouping in Python over the walker's
-    good rows — the torn member's sample loses exactly that part."""
-    values = []
-    for cls in range(6):
-        for bad in (False, True):
-            groups: dict = {}
-            for row in _tar_fixture_rows(cls, bad):
-                idx, name, key, ext, size, md5h, ok = row
-                if not ok:
-                    continue
-                groups.setdefault(key, []).append((ext, md5h))
-            for key in sorted(groups):
-                parts = groups[key]
-                exts = ",".join(sorted(e for e, _ in parts))
-                sig = ",".join(sorted(f"{e}:{m}" for e, m in parts))
-                values.append(
-                    "(%d, %s, %s, %d, %s, %s)" % (
-                        cls, _sql_lit(bad), _sql_lit(key), len(parts),
-                        _sql_lit(exts), _sql_lit(sig),
-                    )
-                )
-    rows_sql = ",\n          ".join(values)
-    return f"""
-        WITH consts(cls, bad, key, n_parts, exts, parts_sig) AS (
-          VALUES {rows_sql}
-        ),
-        base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS bad
-          FROM documents)
-        SELECT CAST(b.doc_id AS BIGINT) AS shard, c.key,
-               CAST(c.n_parts AS BIGINT) AS n_parts,
-               c.exts, c.parts_sig
-        FROM base b JOIN consts c ON c.cls = b.cls AND c.bad = b.bad
-    """
-
-
-def webdataset_group_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebDataset sample regrouping (sources/tar.py
-    ``webdataset_samples``): member rows → one row per (shard, key)
-    with the sorted extension list and the deterministic
-    ``ext:md5`` parts signature — the join/dedup handle for grouped
-    image-text samples.  One partial-aggregation groupBy; the torn
-    %%17 member drops exactly its own part from its sample."""
-    from .sources import tar as tarmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = tarmod.decode_tar_records(
-        tarmod.attach_tar_blob(docs), id_col="id"
-    )
-    return tarmod.webdataset_samples(dec, shard_col="id", key_col="key")
-
-
-QUERIES["webdataset_group_check"] = webdataset_group_check
-ORACLES["webdataset_group_check"] = _webdataset_group_oracle()
-
-
-def _zip_fixture_rows(cls: int, torn: bool, corrupt: bool):
-    """Member rows (index, name, key, ext, size, md5_or_None, ok) the
-    zip walker must produce for one fixture shape, computed through
-    ``iter_zip_members`` itself over the shape's blob.  The deflate
-    (%13) variant is asserted IDENTICAL to the stored shape for every
-    (torn, corrupt) combination — the compression-transparency
-    claim."""
-    import hashlib as _hl
-
-    from .sources import zip as zipmod
-
-    def rows_for(did):
-        out = []
-        for idx, name, size, content, ok in zipmod.iter_zip_members(
-            zipmod.build_zip_blob(did)
-        ):
-            key, ext = zipmod.wds_key_ext(name) if name else (None, None)
-            out.append((
-                idx, name, key, ext, size,
-                _hl.md5(content).hexdigest() if content is not None
-                else None,
-                ok,
-            ))
-        return out
-
-    def pick(deflate):
-        return next(
-            d for d in range(30000)
-            if d % 6 == cls
-            and (d % 17 == 0) == torn
-            and (d % 19 == 0) == corrupt
-            and (d % 13 == 0) == deflate
-        )
-
-    out = rows_for(pick(False))
-    assert out == rows_for(pick(True)), (cls, torn, corrupt)
-    return out
-
-
-def _zip_members_oracle() -> str:
-    """Pinned row-table oracle for the zip shard member walk: for
-    every (class, torn?, corrupt?) fixture shape the exact member
-    rows — names, WebDataset key/ext splits, declared sizes, content
-    md5s, the single-row torn-central-directory collapse, and the
-    corrupt member flagged ALONE with the walk continuing — computed
-    driver-side through the same walker; joined to documents on
-    (cls, torn, corrupt)."""
-    values = []
-    for cls in range(6):
-        for torn in (False, True):
-            for corrupt in ((False, True) if not torn else (False,)):
-                for row in _zip_fixture_rows(cls, torn, corrupt):
-                    values.append(
-                        "(%d, %s, %s, %s)" % (
-                            cls, _sql_lit(torn), _sql_lit(corrupt),
-                            ", ".join(_sql_lit(v) for v in row),
-                        )
-                    )
-    rows_sql = ",\n          ".join(values)
-    return f"""
-        WITH consts(cls, torn, corrupt, member_index, member_name,
-                    key, ext, size, content_md5, ok) AS (
-          VALUES {rows_sql}
-        ),
-        base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS torn,
-                 doc_id % 17 <> 0 AND doc_id % 19 = 0 AS corrupt
-          FROM documents)
-        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
-               CAST(c.member_index AS BIGINT) AS member_index,
-               c.member_name, c.key, c.ext,
-               CAST(c.size AS BIGINT) AS size,
-               c.content_md5, c.ok
-        FROM base b
-        JOIN consts c ON c.cls = b.cls AND c.torn = b.torn
-                     AND c.corrupt = b.corrupt
-    """
-
-
-def zip_members_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zip shard source (sources/zip.py ``decode_zip_records`` over
-    ``iter_zip_members``): central-directory member walk with
-    per-member CRC32 verification, stored/deflate transparency, and
-    zip's tail-authority honesty — a torn tail loses the central
-    directory and collapses to ONE flagged row (no boundary is
-    trustworthy), while a corrupt MEMBER (%%19 plant: one flipped
-    byte, caught by CRC) flags only itself and the walk CONTINUES,
-    the structural opposite of tar's header chain.  Fixture: the tar
-    source's 6 classes re-shipped as zip (%%13 deflate — identical
-    rows), %%17 torn tail.  Map-side, zero shuffles."""
-    from .sources import zip as zipmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = zipmod.decode_zip_records(
-        zipmod.attach_zip_blob(docs), id_col="id"
-    )
-    return dec.select(
-        F.col("id").alias("doc_id"),
-        "member_index", "member_name", "key", "ext", "size",
-        F.md5(F.col("content")).alias("content_md5"),
-        "ok",
-    )
-
-
-QUERIES["zip_members_check"] = zip_members_check
-ORACLES["zip_members_check"] = _zip_members_oracle()
-
-
-def _zip_group_oracle() -> str:
-    """Pinned row-table oracle for WebDataset regrouping over ZIP
-    member rows: per (class, torn?, corrupt?) the (key, n_parts,
-    exts, parts_sig) rows, replayed in Python over the walker's good
-    rows — the corrupt member's sample loses exactly that part; a
-    torn archive contributes no samples at all."""
-    values = []
-    for cls in range(6):
-        for torn in (False, True):
-            for corrupt in ((False, True) if not torn else (False,)):
-                groups: dict = {}
-                for row in _zip_fixture_rows(cls, torn, corrupt):
-                    idx, name, key, ext, size, md5h, ok = row
-                    if not ok:
-                        continue
-                    groups.setdefault(key, []).append((ext, md5h))
-                for key in sorted(groups):
-                    parts = groups[key]
-                    exts = ",".join(sorted(e for e, _ in parts))
-                    sig = ",".join(sorted(f"{e}:{m}" for e, m in parts))
-                    values.append(
-                        "(%d, %s, %s, %s, %d, %s, %s)" % (
-                            cls, _sql_lit(torn), _sql_lit(corrupt),
-                            _sql_lit(key), len(parts),
-                            _sql_lit(exts), _sql_lit(sig),
-                        )
-                    )
-    rows_sql = ",\n          ".join(values)
-    return f"""
-        WITH consts(cls, torn, corrupt, key, n_parts, exts,
-                    parts_sig) AS (
-          VALUES {rows_sql}
-        ),
-        base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS torn,
-                 doc_id % 17 <> 0 AND doc_id % 19 = 0 AS corrupt
-          FROM documents)
-        SELECT CAST(b.doc_id AS BIGINT) AS shard, c.key,
-               CAST(c.n_parts AS BIGINT) AS n_parts,
-               c.exts, c.parts_sig
-        FROM base b
-        JOIN consts c ON c.cls = b.cls AND c.torn = b.torn
-                     AND c.corrupt = b.corrupt
-    """
-
-
-def zip_group_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebDataset sample regrouping over ZIP shards — the tar
-    source's ``webdataset_samples`` applied verbatim to the zip
-    walker's rows (same member-row schema by design): one row per
-    (shard, key) with the sorted extension list and ``ext:md5`` parts
-    signature.  The %%19 corrupt member drops exactly its own part
-    from its sample; a %%17 torn archive contributes nothing."""
-    from .sources import tar as tarmod
-    from .sources import zip as zipmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = zipmod.decode_zip_records(
-        zipmod.attach_zip_blob(docs), id_col="id"
-    )
-    return tarmod.webdataset_samples(dec, shard_col="id", key_col="key")
-
-
-QUERIES["zip_group_check"] = zip_group_check
-ORACLES["zip_group_check"] = _zip_group_oracle()
-
-
-def subtitle_parse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRT / WebVTT timed-text parse (operators/text.py
-    ``subtitle_cues``): blank-line block split, one timestamp grammar
-    for SRT's comma+hours and VTT's dot+optional-hours, header /
-    NOTE / identifier lines skipped, multi-line cue text joined —
-    all Catalyst regexp expressions, zero Python.  Fixture: 4 cue
-    classes × (SRT / WebVTT) packagings that must parse to IDENTICAL
-    rows (the packaging-transparency claim, stated arithmetically by
-    the oracle); %% 17 garbles the LAST cue's timestamp line
-    (ok=false, NULL times, text kept)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cues = text.subtitle_cues(text.attach_subtitle_text(docs))
-    return cues.select(
-        F.col("id").alias("doc_id"),
-        "cue_idx", "start_ms", "end_ms", "text", "ok",
-    )
-
-
-QUERIES["subtitle_parse_check"] = subtitle_parse_check
-ORACLES["subtitle_parse_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             doc_id % 17 = 0 AS torn
-      FROM documents),
-    cues AS (
-      SELECT doc_id, cls, torn,
-             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER)
-               AS cue_idx
-      FROM base)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, cue_idx,
-      CASE WHEN torn AND cue_idx = cls + 1 THEN NULL
-           ELSE CAST(800 * cue_idx + 13 * cls AS BIGINT)
-           END AS start_ms,
-      CASE WHEN torn AND cue_idx = cls + 1 THEN NULL
-           ELSE CAST(800 * cue_idx + 13 * cls + 900 + 7 * cue_idx
-                     AS BIGINT)
-           END AS end_ms,
-      'cue ' || cue_idx || ' of class ' || cls || ' line one'
-        || CASE WHEN cue_idx % 2 = 1
-                THEN chr(10) || 'and line two (' || cue_idx || ')'
-                ELSE '' END AS text,
-      NOT (torn AND cue_idx = cls + 1) AS ok
-    FROM cues
-"""
-
-
-def subtitle_frame_align_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Caption-frame ALIGNMENT — the composition a video training
-    corpus needs (frame, caption) pairs from: real MJPEG frame decode
-    (``video_frame_hashes``) joined to parsed subtitle cues
-    (``subtitle_cues``) on document id where the frame's timestamp
-    (500 ms stride) falls inside the cue's window.  An id-equi join
-    with a range post-filter — Catalyst plans it as a hash join on
-    id, no cartesian.  Torn videos/cues drop out via their ok flags;
-    the surviving pair set is pure fixture arithmetic, stated
-    independently by the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # the per-doc JPEG decode dominates and the small-SF parquet is a
-    # single row group (one scan partition): spread the video side
-    # before the decode — one cheap long-column shuffle
-    frames = (
-        multimodal.video_frame_hashes(
-            multimodal.attach_avi_blob(
-                docs.repartition(
-                    spark.sparkContext.defaultParallelism
-                )
-            )
-        )
-        .filter("ok")
-        .select("id", "frame_idx")
-    )
-    cues = (
-        text.subtitle_cues(text.attach_subtitle_text(docs))
-        .filter("ok")
-        .select(
-            F.col("id").alias("cid"), "cue_idx", "start_ms", "end_ms"
-        )
-    )
-    ts = (F.col("frame_idx") * 500).cast("long")
-    return (
-        frames.join(
-            cues,
-            (F.col("id") == F.col("cid"))
-            & (ts >= F.col("start_ms"))
-            & (ts < F.col("end_ms")),
-        )
-        .select(F.col("id").alias("doc_id"), "frame_idx", "cue_idx")
-    )
-
-
-QUERIES["subtitle_frame_align_check"] = subtitle_frame_align_check
-ORACLES["subtitle_frame_align_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS vcls,
-             CAST(doc_id % 4 AS INTEGER) AS scls
-      FROM documents WHERE doc_id % 17 <> 0),
-    frames AS (
-      SELECT doc_id, scls,
-             CAST(unnest(generate_series(0, 1 + vcls % 3)) AS INTEGER)
-               AS frame_idx
-      FROM base),
-    cues AS (
-      SELECT doc_id AS cdoc, scls AS ccls,
-             CAST(unnest(generate_series(0, scls + 1)) AS INTEGER)
-               AS cue_idx
-      FROM base)
-    SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.frame_idx, c.cue_idx
-    FROM frames f JOIN cues c ON c.cdoc = f.doc_id
-    WHERE 500 * f.frame_idx >= 800 * c.cue_idx + 13 * c.ccls
-      AND 500 * f.frame_idx <
-          800 * c.cue_idx + 13 * c.ccls + 900 + 7 * c.cue_idx
-"""
-
-
-def audio_hash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate AUDIO dedup end-to-end (operators/multimodal.py
-    ``audio_hash_dedup``): real PCM16 decode → 64-window energy-
-    envelope hash → the shared exact-collapse-first banded-LSH core →
-    Hamming ≤ 6 verify → components, summarized as (cluster,
-    n_members).  Fixture classes are md5-derived envelope patterns
-    pairwise ≥ 25 bits apart, each with a 3-bit LAST-BAND perturbed
-    variant (recall guaranteed by band equality; no false merges
-    possible at distance ≥ 22) — so the expected clustering is
-    exactly the 8 base-pattern classes, stated independently by the
-    oracle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.audio_hash_dedup(
-        multimodal.attach_wav_dedup_blob(docs), "content", "id"
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-
-
-QUERIES["audio_hash_dedup_clusters"] = audio_hash_dedup_clusters
-
-ORACLES["audio_hash_dedup_clusters"] = """
-    WITH m AS (
-      SELECT doc_id, CAST(doc_id % 16 AS INTEGER) % 8 AS cls
-      FROM documents)
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM m GROUP BY cls
-"""
-
-
-
-
-def _gif_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(12):
-        idx, pal = multimodal._gif_fixture_frame(cls)
-        dec = multimodal.gif_decode_pixels(multimodal.gif_encode(idx, pal))
-        rows[cls] = (
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE 3 END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def gif_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL GIF pixel decode (operators/multimodal.py
-    ``gif_decode_pixels``: hand-rolled GIF-variant LZW with
-    early-change width synchronization and 4096-table resets, global
-    color table, four-pass de-interlace) feeding the same integer
-    aHash/dHash grid as the PNG tier.  Odd ids encode interlaced with
-    identical pixels, so both deinterlace paths run under one pinned
-    hash set; %% 17 truncates inside the palette, %% 13 plants a JPEG
-    (the one remaining codec stub).  The oracle pins the 12 expected
-    hash pairs computed driver-side through the same decode
-    functions."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(multimodal.attach_gif_blob(docs))
-
-
-QUERIES["gif_pixel_hash_check"] = gif_pixel_hash_check
-ORACLES["gif_pixel_hash_check"] = _gif_pinned_oracle()
-
-
-def _bmp_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(12):
-        dec = multimodal.bmp_decode_pixels(
-            multimodal.bmp_encode(multimodal._bmp_fixture_pixels(cls))
-        )
-        rows[cls] = (
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE 3 END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def bmp_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BMP pixel decode (operators/multimodal.py
-    ``bmp_decode_pixels``: uncompressed BI_RGB DIB rows, 4-byte row
-    padding, bottom-up AND top-down orders, BGR→RGB, 8-bit palette
-    quads) through the shared hash grid.  Odd ids write top-down DIBs
-    with identical pixels; %% 17 truncates the pixel body, %% 13
-    plants an RLE8 BMP (the documented BI_RGB-only stub).  Oracle
-    pins the 12 hash pairs computed driver-side through the same
-    decode functions."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(multimodal.attach_bmp_blob(docs))
-
-
-QUERIES["bmp_pixel_hash_check"] = bmp_pixel_hash_check
-ORACLES["bmp_pixel_hash_check"] = _bmp_pinned_oracle()
-
-
-#: robots fixture rule table — the single source for the composed
-#: robots.txt payloads (Spark parses those), the effective-rule SQL
-#: literals (the oracle replays these) and the expected group
-#: semantics.  site-a defines a trainingbot-specific group (which
-#: REPLACES its * group for that agent), site-b exercises the $ and *
-#: pattern forms, site-c is an explicit allow-all.
-_ROBOTS_RULES = (
-    ("docs.site-a.com", "*", False, "/private/"),
-    ("docs.site-a.com", "*", True, "/private/ok/"),
-    ("docs.site-a.com", "trainingbot", False, "/bots/"),
-    ("cdn.site-b.com", "*", False, "/*.json$"),
-    ("cdn.site-b.com", "*", False, "/tmp*"),
-    ("www.site-c.com", "*", True, "/"),
-)
-
-_ROBOTS_HOSTS = (
-    "docs.site-a.com", "cdn.site-b.com", "www.site-c.com",
-    "off.site-d.com",  # no robots.txt at all
-)
-_ROBOTS_PATHS = (
-    "/private/x", "/private/ok/y", "/bots/z", "/data/file.json",
-    "/tmp123", "/public/p",
-)
-
-
-def _robots_payloads() -> list:
-    """Compose one robots.txt per fixture host from _ROBOTS_RULES,
-    with the parser hazards planted: comments, blank lines, MIXED-case
-    keys, an unknown directive, and an empty Disallow."""
-    out = []
-    for host in set(h for h, *_ in _ROBOTS_RULES):
-        lines = ["# synthetic robots fixture"]
-        for agent in ("*", "trainingbot"):
-            rules = [r for r in _ROBOTS_RULES if r[0] == host and r[1] == agent]
-            if not rules:
-                continue
-            lines.append("")
-            lines.append(f"User-Agent: {agent}")
-            for _h, _a, allow, rule in rules:
-                lines.append(("ALLOW: " if allow else "Disallow: ") + rule)
-            lines.append("Crawl-delay: 5")
-        lines.append("Disallow:")  # trailing empty rule -> dropped
-        out.append((host, "\n".join(lines)))
-    return out
-
-
-def _robots_effective(agent: str) -> list:
-    """RFC 9309 group choice over the fixture table: the agent's own
-    group replaces * per host."""
-    own = {h for h, a, *_ in _ROBOTS_RULES if a == agent}
-    return [
-        (h, allow, rule)
-        for h, a, allow, rule in _ROBOTS_RULES
-        if a == agent or (a == "*" and h not in own)
-    ]
-
-
-def robots_filter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt end-to-end (operators/web.py ``parse_robots`` +
-    ``robots_filter``): payloads composed from the fixture rule table
-    are PARSED by the Spark side (comments, mixed-case keys, unknown
-    directives, empty Disallow, multi-group files), then the URL set
-    (host×path rotation over documents) is filtered for BOTH the ``*``
-    agent and ``trainingbot`` — covering the agent-group replacement
-    (trainingbot on site-a ignores the * rules entirely), the
-    longest-match allow override (/private/ok/ beats /private/ for *),
-    the $ and * pattern forms, and a host with no robots.txt.  The
-    oracle never parses: it replays the effective rules as literals
-    (regexes via the shared Python translation) with the same
-    longest-match window — so a parser bug IS an oracle mismatch."""
-    from .operators import web
-
-    d = F.col("doc_id")
-    host = (
-        F.when(d % 4 == 0, F.lit(_ROBOTS_HOSTS[0]))
-        .when(d % 4 == 1, F.lit(_ROBOTS_HOSTS[1]))
-        .when(d % 4 == 2, F.lit(_ROBOTS_HOSTS[2]))
-        .otherwise(F.lit(_ROBOTS_HOSTS[3]))
-    )
-    path = (
-        F.when(d % 6 == 0, F.lit(_ROBOTS_PATHS[0]))
-        .when(d % 6 == 1, F.lit(_ROBOTS_PATHS[1]))
-        .when(d % 6 == 2, F.lit(_ROBOTS_PATHS[2]))
-        .when(d % 6 == 3, F.lit(_ROBOTS_PATHS[3]))
-        .when(d % 6 == 4, F.lit(_ROBOTS_PATHS[4]))
-        .otherwise(F.lit(_ROBOTS_PATHS[5]))
-    )
-    urls = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("url", F.concat(F.lit("http://"), host, path))
-    )
-    robots = spark.createDataFrame(
-        _robots_payloads(), "host string, robots_txt string"
-    )
-    rules = web.parse_robots(robots)
-    parts = []
-    for agent in ("*", "trainingbot"):
-        parts.append(
-            web.robots_filter(urls, rules, agent=agent).withColumn(
-                "agent", F.lit(agent)
-            )
-        )
-    return parts[0].unionByName(parts[1])
-
-
-QUERIES["robots_filter_check"] = robots_filter_check
-
-
-def _robots_oracle() -> str:
-    from .operators.web import robots_rule_regex_py
-
-    hosts = " ".join(
-        "WHEN doc_id %% 4 = %d THEN '%s'" % (i, h)
-        for i, h in enumerate(_ROBOTS_HOSTS[:3])
-    )
-    paths = " ".join(
-        "WHEN doc_id %% 6 = %d THEN '%s'" % (i, p)
-        for i, p in enumerate(_ROBOTS_PATHS[:5])
-    )
-    parts = []
-    for agent in ("*", "trainingbot"):
-        vals = ", ".join(
-            "('%s', %s, %d, '%s')"
-            % (h, "TRUE" if allow else "FALSE", len(rule),
-               robots_rule_regex_py(rule))
-            for h, allow, rule in _robots_effective(agent)
-        )
-        parts.append(f"""
-        SELECT doc_id, url, '{agent}' AS agent FROM u
-        WHERE doc_id NOT IN (
-          SELECT doc_id FROM (
-            SELECT u.doc_id, r.allow,
-                   row_number() OVER (
-                     PARTITION BY u.doc_id
-                     ORDER BY r.rule_len DESC, r.allow DESC) AS rk
-            FROM u JOIN (VALUES {vals}) r(host, allow, rule_len, re)
-              ON u.host = r.host AND regexp_matches(u.path, r.re))
-          WHERE rk = 1 AND NOT allow)""")
-    return f"""
-        WITH u AS (
-          SELECT doc_id,
-                 CASE {hosts} ELSE '{_ROBOTS_HOSTS[3]}' END AS host,
-                 CASE {paths} ELSE '{_ROBOTS_PATHS[5]}' END AS path,
-                 'http://' ||
-                 (CASE {hosts} ELSE '{_ROBOTS_HOSTS[3]}' END) ||
-                 (CASE {paths} ELSE '{_ROBOTS_PATHS[5]}' END) AS url
-          FROM documents)
-        {" UNION ALL ".join(parts)}
-    """
-
-
-ORACLES["robots_filter_check"] = _robots_oracle()
-
-
-def _jpeg_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(12):
-        px = multimodal._jpeg_fixture_pixels(cls)
-        blob = multimodal.jpeg_encode(
-            px, subsample=(px.shape[2] == 3 and cls % 2 == 1)
-        )
-        dec = multimodal.jpeg_decode_pixels(blob)
-        rows[cls] = (
-            px.shape[2],
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    chan = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
-    )
-    ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
-               END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def jpeg_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline JPEG pixel decode (operators/multimodal.py
-    ``jpeg_decode_pixels``: Huffman entropy decode with Annex K
-    tables, dequantization, orthonormal-matrix IDCT, 4:2:0 nearest
-    upsample, JFIF YCbCr→RGB) through the shared hash grid — the tier
-    that closes the last common pixel stub.  Classes mix grayscale,
-    4:4:4 and 4:2:0; %% 17 truncates mid-scan (malformed → ok=false),
-    %% 13 rewrites SOF0→SOF2 (progressive — the remaining documented
-    stub → ok=false).  The oracle pins the 12 expected hash pairs
-    computed driver-side through the same decode functions."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(multimodal.attach_jpeg_blob(docs))
-
-
-QUERIES["jpeg_pixel_hash_check"] = jpeg_pixel_hash_check
-ORACLES["jpeg_pixel_hash_check"] = _jpeg_pinned_oracle()
-
-
-def cross_format_image_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-FORMAT near-dup image dedup — the canonical crawl case a
-    byte-level dedup can never catch: the same picture re-hosted as a
-    pristine PNG and as a JPEG re-encode.  Each document contributes
-    BOTH encodings of its class frame (operators/multimodal.py
-    ``attach_xfmt_blobs``); the two REAL decoders produce pixel
-    planes whose dHashes are identical by fixture construction (±14
-    gradient steps dwarf JPEG's smooth-block quantization error;
-    cross-class ≥ 27 bits), so ``image_phash_dedup`` must merge every
-    class across formats — which the oracle states as the 8
-    base-class clusters with twice the per-class document count."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.image_phash_dedup(
-        multimodal.attach_xfmt_blobs(docs), "content", "id",
-        backend="pure",  # oracle determinism: never the native codec
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-
-
-QUERIES["cross_format_image_dedup_check"] = cross_format_image_dedup_check
-
-ORACLES["cross_format_image_dedup_check"] = """
-    WITH m AS (
-      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS cls FROM documents)
-    SELECT CAST(min(doc_id) * 2 AS BIGINT) AS cluster,
-           2 * count(*) AS n_members
-    FROM m GROUP BY cls
-"""
-
-
-def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence segmentation stats (operators/text.py
-    ``sentence_stats``): terminal-punctuated runs plus the
-    unterminated trailer, per-doc counts and integer mean/max words
-    per sentence — the deterministic sentence-level quality signals
-    (C4's ≥3-sentence rule's substrate).  One map-side projection;
-    the oracle replays the two regexes and the list aggregation."""
-    return text.sentence_stats(load_table(spark, sf_dir, "documents"))
-
-
-QUERIES["sentence_stats_docs"] = sentence_stats_docs
-
-ORACLES["sentence_stats_docs"] = """
-    WITH s AS (
-      SELECT doc_id,
-             regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
-             reverse(regexp_extract(reverse(text), '^[^.!?]*'))
-               AS trailer
-      FROM documents),
-    a AS (
-      SELECT doc_id, coalesce(len(sents), 0) AS n_term,
-             CASE WHEN length(trim(trailer)) > 0
-                  THEN list_append(sents, trailer) ELSE sents END AS alls
-      FROM s),
-    w AS (
-      SELECT doc_id, n_term, coalesce(len(alls), 0) AS n,
-             list_transform(
-               alls,
-               x -> len(regexp_extract_all(x, '{nonws}+'))) AS wc
-      FROM a)
-    SELECT doc_id,
-           CAST(n AS BIGINT) AS n_sentences,
-           CAST(n_term AS BIGINT) AS n_terminated,
-           CAST(coalesce(list_aggregate(wc, 'sum'), 0) AS BIGINT)
-             AS total_words,
-           CASE WHEN n > 0 THEN
-             CAST(coalesce(list_aggregate(wc, 'sum'), 0) // n AS BIGINT)
-           END AS mean_sentence_words,
-           CASE WHEN n > 0 THEN
-             CAST(list_aggregate(wc, 'max') AS BIGINT)
-           END AS max_sentence_words
-    FROM w
-""".replace("{nonws}", text.PORTABLE_NONWS)
-
-
-def _jpeg_prog_pinned_oracle() -> str:
-    """Pinned-constant oracle for the progressive/restart JPEG tier.
-    Progressive, baseline+DRI and progressive+DRI encodings of a frame
-    all carry the SAME quantized coefficients, so every wrapper mode
-    must hash identically to the plain baseline — the oracle verifies
-    that by pinning one hash pair per frame class, computed driver-side
-    through the very decode path under test."""
-    rows = {}
-    for cls in range(12):
-        px = multimodal._jpeg_fixture_pixels(cls)
-        blob = multimodal.jpeg_encode(
-            px, subsample=(px.shape[2] == 3 and cls % 2 == 1),
-            progressive=True,
-        )
-        dec = multimodal.jpeg_decode_pixels(blob)
-        rows[cls] = (
-            px.shape[2],
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    chan = " ".join(
-        "WHEN doc_id %% 12 = %d THEN %d" % (c, v[0]) for c, v in rows.items()
-    )
-    ah = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% 12 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
-               END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id, doc_id % 17 = 0 AS bad FROM documents)
-    """
-
-
-def jpeg_progressive_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL progressive-JPEG + restart-interval decode
-    (operators/multimodal.py ``jpeg_decode_pixels``: SOF2 spectral
-    selection + successive approximation with DC/AC refinement scans
-    and EOB runs, DRI/RSTn resync in both modes) through the shared
-    hash grid.  Fixture wrappers rotate progressive / baseline+DRI /
-    progressive+DRI per doc_id %% 3; ALL must hash identically to the
-    plain baseline of the same frame because the quantized
-    coefficients are the same — the CDN-re-encode merge that was the
-    round-12 verdict's top ask.  %% 17 truncates (ok=false).  The
-    oracle pins the 12 per-class hash pairs computed driver-side
-    through the same decode functions."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(
-        multimodal.attach_jpeg_prog_blob(docs)
-    )
-
-
-QUERIES["jpeg_progressive_hash_check"] = jpeg_progressive_hash_check
-ORACLES["jpeg_progressive_hash_check"] = _jpeg_prog_pinned_oracle()
-
-
-def _wire_decode_pinned_oracle() -> str:
-    """Pinned-constant oracle for the HTTP wire-decode tier: per
-    fixture class the expected (content_encoding, chunked,
-    body_decoded, encoding, wet text) computed driver-side through
-    the same decode + strip path; the %11 corrupt-gzip plant keeps
-    its raw bytes with body_decoded=false."""
-    import re as _re
-
-    from .sources import warc as warcmod
-
-    def strip(text):
-        # replicates strip_html's collapse+trim EXACTLY: Java \s is
-        # [ \t\n\x0B\f\r] and Spark's trim removes ONLY spaces —
-        # Python's .strip() also eats \x1c-\x1f (its str.isspace() is
-        # wider), which matters for the corrupt-gzip class whose raw
-        # bytes start with \x1f
-        body = text.split("\r\n\r\n", 1)[1]
-        collapsed = _re.sub(
-            "[ \\t\\n\\x0b\\f\\r]+", " ", _re.sub(r"<[^>]*>", " ", body)
-        )
-        return collapsed.strip(" ").replace("'", "''")
-
-    rows = {}
-    for cls in range(8):
-        did = next(d for d in (cls, cls + 8, cls + 16) if d % 11)
-        t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
-            warcmod.build_encoded_http_blob(did)
-        )
-        rows[cls] = (ce, ch, dec, enc, strip(t))
-    bt, benc, _bs, bce, bch, bdec = warcmod.decode_payload_full(
-        warcmod.build_encoded_http_blob(0)  # 0 % 11 == 0: corrupt gzip
-    )
-    bad = (bce, bch, bdec, benc, strip(bt))
-    ce_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN %s"
-        % (c, "'%s'" % v[0] if v[0] else "NULL")
-        for c, v in rows.items()
-    )
-    ch_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN %s" % (c, str(v[1]).upper())
-        for c, v in rows.items()
-    )
-    dec_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN %s" % (c, str(v[2]).upper())
-        for c, v in rows.items()
-    )
-    enc_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[3])
-        for c, v in rows.items()
-    )
-    txt_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[4])
-        for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN corrupt THEN '{bad[0]}'
-               ELSE (CASE {ce_c} END) END AS content_encoding,
-          CASE WHEN corrupt THEN {str(bad[1]).upper()}
-               ELSE (CASE {ch_c} END) END AS chunked,
-          CASE WHEN corrupt THEN {str(bad[2]).upper()}
-               ELSE (CASE {dec_c} END) END AS body_decoded,
-          CASE WHEN corrupt THEN '{bad[3]}'
-               ELSE (CASE {enc_c} END) END AS encoding,
-          CASE WHEN corrupt THEN '{bad[4]}'
-               ELSE (CASE {txt_c} END) END AS text
-        FROM (SELECT doc_id, doc_id % 11 = 0 AS corrupt FROM documents)
-    """
-
-
-def http_wire_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTTP wire decode (sources/warc.py ``decode_http_body`` inside
-    ``decode_warc_payload_text``): Transfer-Encoding chunked
-    de-framing, then Content-Encoding gzip / zlib-deflate / RAW
-    deflate decompression, composing with the charset sniff over the
-    DECODED body (the gzip+latin-1 class) and with ``wet_extract``.
-    The br class and the %%11 corrupt-gzip plant keep raw bytes with
-    ``body_decoded=false`` — rows are counted and routed, never
-    dropped.  All map-side."""
-    from .operators import web
-    from .sources import warc as warcmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = warcmod.decode_warc_payload_text(
-        warcmod.attach_encoded_http_blob(docs), id_col="id"
-    )
-    p = F.col("payload_text")
-    status = web.http_status(p)
-    ctype = web.http_header(p, "content-type")
-    is_html = (
-        (status >= 200) & (status < 300)
-        & F.lower(F.coalesce(ctype, F.lit(""))).startswith("text/html")
-    )
-    return dec.select(
-        F.col("id").alias("doc_id"),
-        "content_encoding",
-        "chunked",
-        "body_decoded",
-        "encoding",
-        F.when(is_html, web.strip_html(web.http_body(p))).alias("text"),
-    )
-
-
-QUERIES["http_wire_decode_check"] = http_wire_decode_check
-ORACLES["http_wire_decode_check"] = _wire_decode_pinned_oracle()
-
-
-def _content_encoding_pinned_oracle() -> str:
-    """Pinned-constant oracle for the br/zstd Content-Encoding tier:
-    per fixture class the expected (content_encoding, chunked,
-    body_decoded, encoding, wet text) computed driver-side through
-    the same decode + strip path (sources/warc.py
-    ``build_content_encoding_blob`` → ``decode_payload_full``).
-    Classes 6/7 (a mislabeled Compressed_Block over raw HTML / junk
-    brotli) and the %11 truncated-zstd plant pin
-    ``body_decoded=false``; classes 10/11 are REAL compressed-block
-    zstd frames the round-16 pure FSE/Huffman tier decodes — both
-    asserted here to regenerate their class HTML exactly.  The junk
-    payloads fail the native codecs too, so the pinned rows are
-    environment-independent."""
-    import re as _re
-
-    from .sources import warc as warcmod
-
-    def strip(text):
-        # replicates strip_html's collapse+trim EXACTLY (see
-        # _wire_decode_pinned_oracle: Java \s, Spark space-only trim)
-        body = text.split("\r\n\r\n", 1)[1]
-        collapsed = _re.sub(
-            "[ \\t\\n\\x0b\\f\\r]+", " ", _re.sub(r"<[^>]*>", " ", body)
-        )
-        return collapsed.strip(" ").replace("'", "''")
-
-    rows = {}
-    for cls in range(14):
-        did = next(d for d in (cls, cls + 14, cls + 28) if d % 11)
-        t, enc, _src, ce, ch, dec = warcmod.decode_payload_full(
-            warcmod.build_content_encoding_blob(did)
-        )
-        # text pinned only for decoded bodies — the query NULLs the
-        # text of undecoded ones (raw compressed bytes are not wet
-        # text, and their replacement-char soup would be meaningless
-        # to pin)
-        rows[cls] = (ce, ch, dec, enc, strip(t) if dec else None)
-        if cls in (10, 11, 12, 13):
-            assert dec, cls  # the pure entropy tiers must decode these
-    bt, benc, _bs, bce, bch, bdec = warcmod.decode_payload_full(
-        warcmod.build_content_encoding_blob(0)  # 0 % 11 == 0: truncated
-    )
-    bad = (bce, bch, bdec, benc, strip(bt) if bdec else None)
-    ce_c = " ".join(
-        "WHEN doc_id %% 14 = %d THEN %s"
-        % (c, "'%s'" % v[0] if v[0] else "NULL")
-        for c, v in rows.items()
-    )
-    ch_c = " ".join(
-        "WHEN doc_id %% 14 = %d THEN %s" % (c, str(v[1]).upper())
-        for c, v in rows.items()
-    )
-    dec_c = " ".join(
-        "WHEN doc_id %% 14 = %d THEN %s" % (c, str(v[2]).upper())
-        for c, v in rows.items()
-    )
-    enc_c = " ".join(
-        "WHEN doc_id %% 14 = %d THEN '%s'" % (c, v[3])
-        for c, v in rows.items()
-    )
-    txt_c = " ".join(
-        "WHEN doc_id %% 14 = %d THEN %s"
-        % (c, "'%s'" % v[4] if v[4] is not None else "NULL")
-        for c, v in rows.items()
-    )
-    bad_txt = "'%s'" % bad[4] if bad[4] is not None else "NULL"
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN corrupt THEN '{bad[0]}'
-               ELSE (CASE {ce_c} END) END AS content_encoding,
-          CASE WHEN corrupt THEN {str(bad[1]).upper()}
-               ELSE (CASE {ch_c} END) END AS chunked,
-          CASE WHEN corrupt THEN {str(bad[2]).upper()}
-               ELSE (CASE {dec_c} END) END AS body_decoded,
-          CASE WHEN corrupt THEN '{bad[3]}'
-               ELSE (CASE {enc_c} END) END AS encoding,
-          CASE WHEN corrupt THEN {bad_txt}
-               ELSE (CASE {txt_c} END) END AS text
-        FROM (SELECT doc_id, doc_id % 11 = 0 AS corrupt FROM documents)
-    """
-
-
-def http_content_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """br/zstd Content-Encoding decode (sources/warc.py
-    ``_brotli_decode`` / ``_zstd_decode`` behind ``decode_http_body``):
-    the optional-backend contract — native codec when importable,
-    else the pure-Python stored-frame tier (brotli uncompressed
-    metablocks RFC 7932 §9.2; zstd raw/RLE blocks + skippable frames
-    RFC 8878), else honest ``body_decoded=false`` raw routing.  The
-    fixture rotates brotli-stored / zstd-raw / zstd-RLE / skippable /
-    chunked-wrapping-zstd / brotli+latin-1 / mislabeled-block-zstd
-    (false) / compressed-brotli (false) / LF-framed-chunked-gzip (the
-    r14 lenient-framing fix) / chained gzip,br / REAL compressed-block
-    zstd / REAL level-19 multi-section zstd (both decoded by the pure
-    RFC 8878 FSE+Huffman tier, round 16) / REAL q11 brotli and the
-    twin's LZ metablocks (the round-17 pure RFC 7932 tier: static
-    dictionary + transforms + context modeling) per doc_id %% 14;
-    %% 11 plants a truncated zstd frame.  All map-side, zero shuffles."""
-    from .operators import web
-    from .sources import warc as warcmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = warcmod.decode_warc_payload_text(
-        warcmod.attach_content_encoding_blob(docs), id_col="id"
-    )
-    p = F.col("payload_text")
-    return dec.select(
-        F.col("id").alias("doc_id"),
-        "content_encoding",
-        "chunked",
-        "body_decoded",
-        "encoding",
-        F.when(
-            F.col("body_decoded"), web.strip_html(web.http_body(p))
-        ).alias("text"),
-    )
-
-
-QUERIES["http_content_encoding_check"] = http_content_encoding_check
-ORACLES["http_content_encoding_check"] = _content_encoding_pinned_oracle()
-
-
-def _zstd_dict_pinned_oracle() -> str:
-    """Pinned oracle for the dictionary-zstd tier: four pinned
-    level-19 frames (reference-CLI-compressed against the pinned
-    trained dictionary) decode byte-exactly through the pure tier —
-    asserted here — while the truncated and wrong-dictionary-id
-    plants flag."""
-    from .sources import warc as warcmod
-
-    d, _frames = warcmod.zstd_dict_fixture()
-    rows = {}
-    for cls in range(4):
-        did = next(x for x in (cls + 4, cls + 8, cls + 20)
-                   if x % 17 and x % 13 and x % 4 == cls)
-        got = warcmod.zstd_decompress(
-            warcmod.build_zstd_dict_blob(did), d
-        )
-        assert got is not None and got.startswith(
-            b"<doc class=%d>" % cls
-        ), cls
-        rows[cls] = got.decode("utf-8")
-    for did in (17, 13):
-        assert warcmod.zstd_decompress(
-            warcmod.build_zstd_dict_blob(did), d
-        ) is None, did
-    nb_c = " ".join(
-        "WHEN cls = %d THEN %d" % (c, len(v.encode()))
-        for c, v in rows.items()
-    )
-    tx_c = " ".join(
-        "WHEN cls = %d THEN '%s'" % (c, v.replace("'", "''"))
-        for c, v in rows.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(CASE {nb_c} END AS INTEGER) END AS n_bytes,
-          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
-          NOT bad AS ok
-        FROM base
-    """
-
-
-def zstd_dict_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary-zstd decode (sources/warc.py
-    ``_zstd_parse_dictionary`` → ``zstd_decompress`` behind
-    ``zstd_dict_decode``): RFC 8878 §5 dictionaries — entropy tables
-    seed the frame context, the content prefixes the match window,
-    repeat offsets initialize from the header — decoded against a
-    reference-CLI-trained PINNED dictionary with level-19 frames
-    (FSE-described tables exercised).  A frame declaring an unknown
-    dictionary id flags instead of decoding against the wrong
-    tables (%%13); %%17 truncates mid-block — both ok=false.
-    Map-side Arrow, zero shuffles: the storage-side dictionary tier
-    that lets dictionary-compressed corpora join ingest without the
-    native codec."""
-    from .sources import warc as warcmod
-
-    d, _frames = warcmod.zstd_dict_fixture()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = warcmod.zstd_dict_decode(
-        warcmod.attach_zstd_dict_blob(docs), d, id_col="id"
-    )
-    return out.select(
-        F.col("id").alias("doc_id"), "n_bytes", "text", "ok",
-    )
-
-
-QUERIES["zstd_dict_decode_check"] = zstd_dict_decode_check
-ORACLES["zstd_dict_decode_check"] = _zstd_dict_pinned_oracle()
-
-
-def _hash_case_oracle(rows: dict, bad_expr: str) -> str:
-    """Shared pinned-constant oracle body for the image-hash checks:
-    ``rows`` maps class → (n_classes, channels, ahash, dhash)."""
-    n_cls = len(rows)
-    chan = " ".join(
-        "WHEN doc_id %% %d = %d THEN %d" % (n_cls, c, v[0])
-        for c, v in rows.items()
-    )
-    ah = " ".join(
-        "WHEN doc_id %% %d = %d THEN '%s'" % (n_cls, c, v[1])
-        for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% %d = %d THEN '%s'" % (n_cls, c, v[2])
-        for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
-               END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id, {bad_expr} AS bad FROM documents)
-    """
-
-
-def _png_i_pinned_oracle() -> str:
-    """Adam7 parity oracle: the interlaced fixtures must hash to the
-    SEQUENTIAL encoding's constants — PNG is lossless, so any
-    divergence is a de-interlace bug."""
-    rows = {}
-    for cls in range(24):
-        px, pal = multimodal._png_fixture_pixels(cls)
-        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
-        rows[cls] = (
-            dec.shape[2],
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    return _hash_case_oracle(rows, "doc_id % 17 = 0")
-
-
-def png_interlace_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adam7-interlaced PNG decode (operators/multimodal.py
-    ``png_decode_pixels``: seven independently-defiltered passes
-    scattered onto their grids) — every interlaced fixture must hash
-    IDENTICALLY to its sequential twin because PNG is lossless; the
-    oracle pins the sequential constants, so this check can only pass
-    if the de-interlace is pixel-exact.  %%17 truncates (ok=false)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(multimodal.attach_png_i_blob(docs))
-
-
-QUERIES["png_interlace_hash_check"] = png_interlace_hash_check
-ORACLES["png_interlace_hash_check"] = _png_i_pinned_oracle()
-
-
-def _bmp_rle_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(12):
-        did = next(
-            d for d in (cls, cls + 12, cls + 24)
-            if d % 17 and d % 13
-        )
-        dec = multimodal.bmp_decode_pixels(
-            multimodal.build_bmp_rle_blob(did)
-        )
-        rows[cls] = (
-            dec.shape[2],
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    return _hash_case_oracle(rows, "doc_id % 17 = 0 OR doc_id % 13 = 0")
-
-
-def bmp_rle_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BI_RLE8 BMP decode (operators/multimodal.py
-    ``_bmp_rle8_decode``: encoded runs, absolute mode with word
-    alignment, EOL/delta/EOD escapes) through the shared hash grid —
-    the run-length tier that closes the round-12 'RLE BMP' stub.
-    Fixture rows alternate encoded-run and absolute-mode styles;
-    %%17 truncates the stream, %%13 relabels BI_RLE4 (the residual
-    honest stub) — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(
-        multimodal.attach_bmp_rle_blob(docs)
-    )
-
-
-QUERIES["bmp_rle_pixel_hash_check"] = bmp_rle_pixel_hash_check
-ORACLES["bmp_rle_pixel_hash_check"] = _bmp_rle_pinned_oracle()
-
-
-def _bmp_variant_pinned_oracle() -> str:
-    rows = {}
-    for cls in range(48):
-        did = next(
-            d for d in (cls, cls + 48, cls + 96)
-            if d % 17 and d % 13
-        )
-        dec = multimodal.bmp_decode_pixels(
-            multimodal.build_bmp_variant_blob(did)
-        )
-        rows[cls] = (
-            dec.shape[2],
-            format(multimodal.image_ahash(dec), "016x"),
-            format(multimodal.image_dhash(dec), "016x"),
-        )
-    # the 8888 layout is byte-exact, so its hashes must equal the
-    # plain 24-bit encoding's — a cross-layout invariance pin
-    for pcls in range(12):
-        px = multimodal._bmp_fixture_pixels(pcls)
-        dec = multimodal.bmp_decode_pixels(multimodal.bmp_encode(px))
-        assert rows[pcls + 24][1] == format(
-            multimodal.image_ahash(dec), "016x"
-        ), pcls
-    return _hash_case_oracle(rows, "doc_id % 17 = 0 OR doc_id % 13 = 0")
-
-
-def bmp_variant_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BI_RLE4 + BI_BITFIELDS BMP decode (operators/
-    multimodal.py ``_bmp_rle4_decode`` — nibble-alternating runs,
-    packed absolute mode — and the masked 16/32-bit branch with
-    round-half-up channel rescale), closing the round-14 verdict's
-    residual BMP stubs.  The 8888 layout must hash identically to the
-    plain 24-bit encoding (byte-exact masks — asserted in the oracle
-    builder); %%17 truncates, %%13 plants a BI_PNG relabel / a
-    non-contiguous green mask — all ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(
-        multimodal.attach_bmp_variant_blob(docs)
-    )
-
-
-QUERIES["bmp_variant_pixel_hash_check"] = bmp_variant_pixel_hash_check
-ORACLES["bmp_variant_pixel_hash_check"] = _bmp_variant_pinned_oracle()
-
-
-def exif_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXIF metadata extraction (operators/multimodal.py
-    ``exif_parse`` / ``_tiff_parse``): JPEG APP1 segment walk → TIFF
-    IFD parse (II and MM byte orders, inline and offset ASCII
-    storage, SHORT/LONG values, the Exif sub-IFD behind pointer
-    0x8769) — camera metadata at HEADER speed, no pixel decode.
-    Fixture: 4 tag classes × (II / MM) byte orders that must yield
-    IDENTICAL rows (endianness transparency — the oracle states tags
-    as pure arithmetic, so the two packagings can only both match by
-    agreeing); %%17 plants an out-of-range first-IFD offset (torn
-    tag block → ok=false, the image itself still decodes)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    meta = multimodal.image_exif_meta(
-        multimodal.attach_exif_jpeg_blob(docs)
-    )
-    return meta.select(
-        F.col("id").alias("doc_id"),
-        "orientation", "make", "model",
-        "datetime", "datetime_original", "ok",
-    )
-
-
-QUERIES["exif_meta_check"] = exif_meta_check
-ORACLES["exif_meta_check"] = """
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      CAST(CASE WHEN bad THEN NULL
-           ELSE 1 + (cls * 2) % 8 END AS INTEGER) AS orientation,
-      CASE WHEN bad THEN NULL
-           WHEN cls = 0 THEN 'Cam'
-           ELSE 'CameraWorks-' || cls END AS make,
-      CASE WHEN bad THEN NULL ELSE 'M-' || cls END AS model,
-      CASE WHEN bad THEN NULL
-           ELSE '2026:01:0' || (cls + 1) || ' 12:00:0' || cls
-           END AS datetime,
-      CASE WHEN bad THEN NULL
-           ELSE '2025:12:0' || (cls + 1) || ' 08:30:00'
-           END AS datetime_original,
-      NOT bad AS ok
-    FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS bad
-          FROM documents)
-"""
-
-
-def exif_oriented_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orientation-tolerant image dedup (``image_oriented_hashes``):
-    pixels are normalized by the EXIF orientation tag BEFORE hashing,
-    so the same photo exported under all 8 orientation packagings
-    (lossless PNG + eXIf fixture) hashes bit-identically and
-    collapses to ONE cluster per photo class — the merge
-    orientation-blind hashing structurally misses (the un-normalized
-    packagings carry 8 distinct hash pairs, pinned in pytest).  Torn
-    EXIF (%%17) defaults to orientation 1 per spec, so only its
-    packaging-1 docs merge with the clean cluster; other torn
-    packagings cluster among themselves (cls, o) — all stated
-    arithmetically by the oracle.  Exact-collapse groupBy, partial
-    aggregation, no window."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashes = multimodal.image_oriented_hashes(
-        multimodal.attach_exif_png_blob(docs)
-    ).filter("ok")
-    return hashes.groupBy("ahash", "dhash").agg(
-        F.min("id").cast("long").alias("cluster"),
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-    ).select("cluster", "n_members")
-
-
-def _pdf_text_pinned_oracle() -> str:
-    """Pinned (n_pages, n_chars, text_md5) per (class, variant) PDF
-    fixture shape, computed driver-side through the same parser.  The
-    builder asserts the claims the tier makes: FLATE streams, the
-    PDF 1.5 xref-STREAM layout (PNG-predictor rows) and the /ObjStm
-    layout all extract byte-identical text to plain streams
-    (variants 0 == 1 == 3 == 4 per class), the incremental variant's
-    page 0 is the UPDATED content, and the %%17 / %%13 plants route
-    to 'torn' / 'encrypted'."""
-    import hashlib as _hl
-
-    from .operators import pdf as pdfmod
-
-    rows = {}
-    for cls in range(4):
-        texts = {}
-        for variant in range(5):
-            did = next(
-                d for d in range(400)
-                if d % 4 == cls and (d // 4) % 5 == variant
-                and d % 17 and d % 13
-            )
-            doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
-            pages = doc.pages()
-            text = "\f".join(doc.page_text(p) for p in pages)
-            texts[variant] = text
-            rows[(cls, variant)] = (
-                len(pages), len(text),
-                _hl.md5(text.encode()).hexdigest(),
-            )
-        assert texts[0] == texts[1] == texts[3] == texts[4], cls
-        assert texts[2] == "UPDATED " + texts[0], cls  # /Prev chain
-    for plant, reason in ((17, "torn"), (13, "encrypted")):
-      for variant in range(5):
-        did = next(
-            d for d in range(0, 100000, plant)
-            if (plant == 17 or d % 17) and (d // 4) % 5 == variant
-        )
-        try:
-            doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
-            [doc.page_text(p) for p in doc.pages()]
-            raise AssertionError((plant, did))
-        except pdfmod._Stub as e:
-            assert str(e) == reason, (plant, str(e))
-        except pdfmod._Torn:
-            assert reason == "torn", plant
-    np_case = " ".join(
-        "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[0])
-        for (c, v), t in rows.items()
-    )
-    nc_case = " ".join(
-        "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[1])
-        for (c, v), t in rows.items()
-    )
-    md_case = " ".join(
-        "WHEN cls = %d AND var = %d THEN '%s'" % (c, v, t[2])
-        for (c, v), t in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CAST(CASE WHEN bad THEN NULL ELSE (CASE {np_case} END)
-               END AS INTEGER) AS n_pages,
-          CAST(CASE WHEN bad THEN NULL ELSE (CASE {nc_case} END)
-               END AS INTEGER) AS n_chars,
-          CASE WHEN bad THEN NULL ELSE (CASE {md_case} END)
-               END AS text_md5,
-          NOT bad AS ok,
-          CASE WHEN doc_id % 17 = 0 THEN 'torn'
-               WHEN doc_id % 13 = 0 THEN 'encrypted'
-               ELSE NULL END AS reason
-        FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                     CAST((doc_id // 4) % 5 AS INTEGER) AS var,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def pdf_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PDF text extraction (operators/pdf.py ``PdfDoc`` →
-    ``pdf_text``): COS tokenizer, classic-xref walk with /Prev
-    incremental-update chains (the NEWEST object wins), FlateDecode
-    streams under a bomb cap, /Pages tree, and the show-text
-    operators (Tj / ' / " / TJ with kerning-gap spaces, Td/TD/T*
-    newlines) — the document format that carries a large share of
-    crawl text, extracted dependency-free.  Fixture: 4 page classes
-    × (plain / FLATE — identical text, the transparency claim /
-    incremental-update) variants; %%17 torn, %%13 /Encrypt — honest
-    reasons, never half a page.  Map-side, no shuffle."""
-    from .operators import pdf as pdfmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = pdfmod.pdf_text(pdfmod.attach_pdf_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_pages", "n_chars",
-        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
-        "ok", "reason",
-    )
-
-
-QUERIES["pdf_text_check"] = pdf_text_check
-ORACLES["pdf_text_check"] = _pdf_text_pinned_oracle()
-
-
-def pdf_token_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composition: PDF extraction feeding the text-analysis family —
-    extracted text through the SAME Catalyst token/char projections
-    the documents table uses (``text.token_count``), so a PDF corpus
-    drops into every downstream text operator unchanged.  Aggregated
-    per (class, variant) shape: the oracle states token totals as
-    pure arithmetic over the pinned extraction."""
-    from .operators import pdf as pdfmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    extracted = pdfmod.pdf_text(pdfmod.attach_pdf_blob(docs)).filter("ok")
-    return (
-        extracted.select(
-            (F.col("id") % 4).cast("int").alias("cls"),
-            ((F.col("id") / F.lit(4)).cast("long") % 5)
-            .cast("int").alias("var"),
-            text.token_count(F.col("text")).alias("toks"),
-            F.col("n_chars"),
-        )
-        .groupBy("cls", "var")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("toks").cast("long").alias("total_tokens"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
-
-
-QUERIES["pdf_token_stats_check"] = pdf_token_stats_check
-
-
-def _pdf_token_stats_oracle() -> str:
-    """Arithmetic twin of ``pdf_token_stats_check``: per-shape token
-    and char counts computed driver-side through the same extraction,
-    joined to the documents universe by modular arithmetic."""
-    from .operators import pdf as pdfmod
-
-    vals = []
-    for cls in range(4):
-        for variant in range(5):
-            did = next(
-                d for d in range(400)
-                if d % 4 == cls and (d // 4) % 5 == variant
-                and d % 17 and d % 13
-            )
-            doc = pdfmod.PdfDoc(pdfmod.build_pdf_blob(did))
-            text_s = "\f".join(
-                doc.page_text(p) for p in doc.pages()
-            )
-            toks = len(text_s.split())
-            vals.append((cls, variant, toks, len(text_s)))
-    rows_sql = ",\n          ".join(
-        "(%d, %d, %d, %d)" % v for v in vals
-    )
-    return f"""
-        WITH consts(cls, var, toks, chars) AS (VALUES {rows_sql}),
-        base AS (
-          SELECT CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 5 AS INTEGER) AS var
-          FROM documents
-          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
-        SELECT b.cls, b.var, count(*) AS n_docs,
-               count(*) * c.toks AS total_tokens,
-               count(*) * c.chars AS total_chars
-        FROM base b JOIN consts c ON c.cls = b.cls AND c.var = b.var
-        GROUP BY b.cls, b.var, c.toks, c.chars
-    """
-
-
-ORACLES["pdf_token_stats_check"] = _pdf_token_stats_oracle()
-
-
-def _pdf_encrypted_pinned_oracle() -> str:
-    """Pinned oracle for the encrypted-PDF tier: the six real
-    handlers (through AES-256 R6/R5) must decrypt to text IDENTICAL
-    to the PLAINTEXT fixture classes — asserted here by extracting
-    both and comparing md5s — the scheme-7 KNOWN-password class
-    must flag bare and decrypt identically via the candidate list
-    (r18), while the unknown-password scheme, the
-    non-Standard-handler swap and the torn cut flag with their
-    honest reasons (also asserted over sample ids)."""
-    import hashlib as _hl
-
-    from .operators import pdf as pdfmod
-
-    texts = {}
-    for cls in range(4):
-        pages = pdfmod._pdf_fixture_pages(cls)
-        plain = pdfmod.PdfDoc(pdfmod.pdf_encode(pages))
-        want = "\f".join(
-            plain.page_text(p) for p in plain.pages()
-        )
-        texts[cls] = (
-            1 + cls, len(want),
-            _hl.md5(want.encode("utf-8")).hexdigest(),
-        )
-        for scheme in range(6):
-            did = next(
-                d for d in range(cls, 8000, 4)
-                if (d // 4) % 8 == scheme and d % 17 and d % 13
-            )
-            doc = pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
-            got = "\f".join(doc.page_text(p) for p in doc.pages())
-            assert got == want, (cls, scheme)
-        # scheme 7: the KNOWN password class — flags without
-        # candidates, decrypts identically with them (r18)
-        did7 = next(
-            d for d in range(cls, 8000, 4)
-            if (d // 4) % 8 == 7 and d % 17 and d % 13
-        )
-        blob7 = pdfmod.build_pdf_encrypted_blob(did7)
-        try:
-            pdfmod.PdfDoc(blob7)
-            raise AssertionError("pw plant parsed bare: %d" % did7)
-        except pdfmod._Stub:
-            pass
-        doc7 = pdfmod.PdfDoc(
-            blob7, (b"wrong-guess", pdfmod._PDF_FIXTURE_PW)
-        )
-        got7 = "\f".join(doc7.page_text(p) for p in doc7.pages())
-        assert got7 == want, cls
-    for did in (17, 34, 51):
-        try:
-            pdfmod.PdfDoc(pdfmod.build_pdf_encrypted_blob(did))
-            raise AssertionError("torn plant parsed: %d" % did)
-        except pdfmod._Torn:
-            pass
-        except pdfmod._Stub:
-            pass  # a cut landing in the Encrypt dict flags too
-    # %13 custom-handler swaps + scheme-6 wrong pw (both parities)
-    wrongpw = [
-        next(d for d in range(cls, 8000, 4)
-             if (d // 4) % 8 == 6 and d % 17 and d % 13)
-        for cls in (0, 1)
-    ]
-    for did in [13, 26] + wrongpw:
-        try:
-            pdfmod.PdfDoc(
-                pdfmod.build_pdf_encrypted_blob(did),
-                (b"wrong-guess", pdfmod._PDF_FIXTURE_PW),
-            )
-            raise AssertionError("encrypted plant parsed: %d" % did)
-        except pdfmod._Stub as e:
-            assert str(e) == "encrypted", did
-    np_c = " ".join(
-        "WHEN cls = %d THEN %d" % (c, v[0]) for c, v in texts.items()
-    )
-    nc_c = " ".join(
-        "WHEN cls = %d THEN %d" % (c, v[1]) for c, v in texts.items()
-    )
-    md_c = " ".join(
-        "WHEN cls = %d THEN '%s'" % (c, v[2]) for c, v in texts.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 8 AS INTEGER) AS scheme,
-                 doc_id % 17 = 0 AS torn,
-                 doc_id % 17 <> 0 AND doc_id % 13 = 0 AS shell
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN torn OR shell OR scheme = 6 THEN NULL
-               ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_pages,
-          CASE WHEN torn OR shell OR scheme = 6 THEN NULL
-               ELSE CAST(CASE {nc_c} END AS INTEGER) END AS n_chars,
-          CASE WHEN torn OR shell OR scheme = 6 THEN NULL
-               ELSE CASE {md_c} END END AS text_md5,
-          NOT (torn OR shell OR scheme = 6) AS ok,
-          CASE WHEN torn THEN 'torn'
-               WHEN shell OR scheme = 6 THEN 'encrypted'
-               ELSE NULL END AS reason
-        FROM base
-    """
-
-
-def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encrypted-PDF standard security handler (operators/pdf.py
-    ``PdfDoc._setup_crypt`` + the stdlib-only RC4/AES-128 ciphers,
-    FIPS-197 KAT-pinned in pytest): the EMPTY-user-password fast
-    path — the common crawl case where encryption only restricts
-    printing — derives the file key (Algorithm 2 for /V 1-4;
-    Algorithm 2.A/2.B with /UE //OE unwrap and the /Perms receipt
-    for /V 5 AES-256 R5/R6), verifies /U (owner fallback via /O),
-    and decrypts streams (per-object keys for RC4/AESV2, the file
-    key directly for AESV3).  Since r18 a candidate-password list
-    threads through ``pdf_text`` → ``PdfDoc`` (Algorithm 2.A with
-    the UTF-8 password for /V5, Algorithm 4/5 for /V 1-4): the
-    scheme-7 class carries a KNOWN non-ASCII password and must
-    decrypt to text identical to the plaintext class, tried after
-    one wrong guess.  Decrypted text is pinned IDENTICAL to the
-    plaintext fixture classes (asserted in the oracle builder); an
-    unknown password, a non-Standard handler and torn documents
-    flag with honest reasons."""
-    from .operators import pdf as pdfmod
-
-    # the pure-Python parse/cipher work dominates and the small-SF
-    # parquet is a single row group: spread the id column first (the
-    # r15 adpcm pattern — one cheap long-column shuffle)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    out = pdfmod.pdf_text(
-        pdfmod.attach_pdf_encrypted_blob(docs),
-        passwords=(b"wrong-guess", pdfmod._PDF_FIXTURE_PW),
-    )
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_pages", "n_chars",
-        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
-        "ok", "reason",
-    )
-
-
-QUERIES["pdf_encrypted_text_check"] = pdf_encrypted_text_check
-ORACLES["pdf_encrypted_text_check"] = _pdf_encrypted_pinned_oracle()
-
-
-def _pdf_cid_pinned_oracle() -> str:
-    """Pinned oracle for the composite-font tier: both CMap variants
-    must extract the SAME multilingual text (asserted here), torn
-    cuts flag 'torn', dropped /ToUnicode flags 'font'."""
-    import hashlib as _hl
-
-    from .operators import pdf as pdfmod
-
-    texts = {}
-    for cls in range(4):
-        got = {}
-        for var in range(2):
-            did = next(
-                d for d in range(cls + 4 * var, 4000, 8)
-                if d % 17 and d % 13
-            )
-            doc = pdfmod.PdfDoc(pdfmod.build_pdf_cid_blob(did))
-            got[var] = "\f".join(
-                doc.page_text(p) for p in doc.pages()
-            )
-        assert got[0] == got[1], cls  # bfchar ≡ bfrange
-        assert pdfmod._PDF_CID_TEXTS[cls].split("\n")[0] in got[0]
-        texts[cls] = (
-            2, len(got[0]),
-            _hl.md5(got[0].encode("utf-8")).hexdigest(),
-        )
-    for did in (13, 26, 39):
-        doc = pdfmod.PdfDoc(pdfmod.build_pdf_cid_blob(did))
-        try:
-            [doc.page_text(p) for p in doc.pages()]
-            raise AssertionError("soup emitted: %d" % did)
-        except pdfmod._Stub as e:
-            assert str(e) == "font", did
-    np_c = " ".join(
-        "WHEN cls = %d THEN %d" % (c, v[0]) for c, v in texts.items()
-    )
-    nc_c = " ".join(
-        "WHEN cls = %d THEN %d" % (c, v[1]) for c, v in texts.items()
-    )
-    md_c = " ".join(
-        "WHEN cls = %d THEN '%s'" % (c, v[2]) for c, v in texts.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS torn,
-                 doc_id % 17 <> 0 AND doc_id % 13 = 0 AS nofont
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN torn OR nofont THEN NULL
-               ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_pages,
-          CASE WHEN torn OR nofont THEN NULL
-               ELSE CAST(CASE {nc_c} END AS INTEGER) END AS n_chars,
-          CASE WHEN torn OR nofont THEN NULL
-               ELSE CASE {md_c} END END AS text_md5,
-          NOT (torn OR nofont) AS ok,
-          CASE WHEN torn THEN 'torn'
-               WHEN nofont THEN 'font'
-               ELSE NULL END AS reason
-        FROM base
-    """
-
-
-def pdf_cid_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite-font PDF text (operators/pdf.py ``_parse_tounicode``
-    → ``_PdfFont`` → the ``Tf``-tracking ``extract_text_ops``):
-    /Type0 Identity-H fonts with 2-byte codes decode through their
-    /ToUnicode CMap (bfchar AND incremented-bfrange forms, pinned
-    identical) — the tier that reaches the non-latin-1 crawl text
-    the simple-font assumption cannot (Greek/Cyrillic/CJK classes).
-    A Type0 font WITHOUT a usable CMap flags 'font' — refusing beats
-    emitting code-point soup into dedup; %%17 cuts flag 'torn'."""
-    from .operators import pdf as pdfmod
-
-    # the pure-Python parse/cipher work dominates and the small-SF
-    # parquet is a single row group: spread the id column first (the
-    # r15 adpcm pattern — one cheap long-column shuffle)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    out = pdfmod.pdf_text(pdfmod.attach_pdf_cid_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_pages", "n_chars",
-        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
-        "ok", "reason",
-    )
-
-
-QUERIES["pdf_cid_text_check"] = pdf_cid_text_check
-ORACLES["pdf_cid_text_check"] = _pdf_cid_pinned_oracle()
-
-
-def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF embedded-image extraction (operators/pdf.py
-    ``PdfDoc.page_images`` → ``image_pixels`` → ``pdf_image_hashes``):
-    image XObjects decode through the EXISTING decoders — /DCTDecode
-    via the JPEG tier, Flate/raw 8-bpc DeviceRGB/DeviceGray samples
-    (PNG Up-predictor DecodeParms honored), /CCITTFaxDecode /K
-    -1 Group 4 and /K >= 0 Group 3 via functions/ccitt.py (the full
-    fax family; /BlackIs1, /Decode, /EndOfLine and /EncodedByteAlign
-    honored), and since r18 /JBIG2Decode via functions/jbig2.py
-    (MQ-coded generic regions templates 0-2 + TPGDON, MMR coding,
-    /JBIG2Globals-carried page info, AND the arithmetic symbol-
-    dictionary + text-region tier real scanned documents use; the
-    MQ coder is pinned against the T.88 Annex H.2 KAT; since r19
-    also the SDHUFF/SBHUFF Huffman spelling via
-    functions/jbig2_huff.py — standard tables B.1–B.5, custom
-    type-53 tables, MMR height-class collective bitmaps) — and
-    hash on the shared aHash/dHash grid, so PDFs join cross-format
-    image dedup.  The oracle builder asserts the invariants: the
-    three lossless packagings (flate / flate+predictor / raw) hash
-    identically to the raw pixels, the DCT packaging hashes to the
-    standalone JPEG's constants, and the eleven bilevel spellings
-    (four fax + seven JBIG2, including both symbol/text quadrant
-    splits) decode to the same thresholded plane.
-    %%17 cuts 20 bytes from the image stream (xref shifts → torn
-    document); %%13 relabels /JPXDecode at identical byte length or
-    drops bpc to 4 (the per-image honest stub) — both ok=false."""
-    from .operators import pdf as pdfmod
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    out = pdfmod.pdf_image_hashes(pdfmod.attach_pdf_image_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "page", "img_idx", "width", "height", "channels",
-        "ahash", "dhash", "ok",
-    )
-
-
-def _pdf_image_pinned_oracle() -> str:
-    """Pinned-constant oracle for ``pdf_image_hash_check`` over the
-    96 (pixel class × packaging) combos, decoded driver-side through
-    the REAL extraction path; cross-format invariants asserted here
-    so a drifting decoder fails the build, not just the driver."""
-    from .operators import pdf as pdfmod
-
-    import numpy as _np
-
-    rows = {}
-    for combo in range(96):
-        did = next(
-            d for d in range(combo, 8000, 96) if d % 17 and d % 13
-        )
-        doc = pdfmod.PdfDoc(pdfmod.build_pdf_image_blob(did))
-        (_name, obj), = doc.page_images(doc.pages()[0])
-        px = doc.image_pixels(obj)
-        rows[combo] = (
-            px.shape[2],
-            format(multimodal.image_ahash(px), "016x"),
-            format(multimodal.image_dhash(px), "016x"),
-        )
-    for cls in range(6):
-        raw_px = pdfmod._pdf_image_fixture_pixels(cls)
-        want = format(multimodal.image_ahash(raw_px), "016x")
-        # variants 1 (flate), 2 (flate-pred), 4 (raw) are lossless
-        for var in (1, 2, 4):
-            assert rows[cls + 6 * var][1] == want, (cls, var)
-        sj = multimodal.jpeg_decode_pixels(
-            multimodal.jpeg_encode(raw_px)
-        )
-        assert rows[cls][1] == format(
-            multimodal.image_ahash(sj), "016x"
-        ), cls
-        # both CCITT packagings (default vs /BlackIs1 + /Decode
-        # [1 0] + byte-align) decode to the SAME thresholded plane
-        luma = (
-            (
-                raw_px[:, :, 0].astype(_np.int64) * 299
-                + raw_px[:, :, 1].astype(_np.int64) * 587
-                + raw_px[:, :, 2].astype(_np.int64) * 114
-            ) // 1000
-        ).astype(_np.uint8)
-        bl = _np.where(luma >= 128, 255, 0).astype(
-            _np.uint8
-        )[:, :, None]
-        want_cc = format(multimodal.image_ahash(bl), "016x")
-        assert rows[cls + 6 * 5][1] == want_cc, cls
-        # b1 / G3 1-D / G3 mixed / the seven JBIG2 codings
-        # (MQ+TPGDON, template 2, MMR, globals-carried page info,
-        # template 1, arithmetic symbol/text, r19 Huffman
-        # symbol/text): identical
-        for var in (6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
-            assert rows[cls + 6 * var] == rows[cls + 6 * 5], (
-                cls, var,
-            )
-    chan = " ".join(
-        "WHEN doc_id %% 96 = %d THEN %d" % (c, v[0])
-        for c, v in rows.items()
-    )
-    ah = " ".join(
-        "WHEN doc_id %% 96 = %d THEN '%s'" % (c, v[1])
-        for c, v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN doc_id %% 96 = %d THEN '%s'" % (c, v[2])
-        for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CAST(0 AS INTEGER) AS page,
-          CAST(0 AS INTEGER) AS img_idx,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 16 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {chan} END)
-               END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {ah} END) END AS ahash,
-          CASE WHEN bad THEN NULL ELSE (CASE {dh} END) END AS dhash,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-QUERIES["pdf_image_hash_check"] = pdf_image_hash_check
-ORACLES["pdf_image_hash_check"] = _pdf_image_pinned_oracle()
-
-
-def _tiff_pinned_oracle() -> str:
-    """Pinned-constant oracle for the TIFF pixel tier over the 108
-    (pixel class × packaging) combos; packagings 0-9 are lossless,
-    so all ten must pin the SAME hashes per class (palette re-emits
-    gray planes as equal-channel RGB — identical luma hashes, 3
-    channels), packagings 10-11 (JPEG-in-TIFF, complete vs
-    JPEGTables-abbreviated) must pin the standalone JPEG constants —
-    and the four RGB classes reuse the PDF-image gradients, so their
-    hashes must equal that tier's raw-pixel constants (asserted
-    here: the cross-format dedup contract extends to TIFF)."""
-    import numpy as _np
-
-    from .operators import pdf as pdfmod
-
-    rows = {}
-    for combo in range(108):
-        did = next(
-            d for d in range(combo, 8000, 108) if d % 17 and d % 13
-        )
-        px = multimodal.tiff_decode_pixels(
-            multimodal.build_tiff_blob(did)
-        )
-        rows[combo] = (
-            px.shape[2],
-            format(multimodal.image_ahash(px), "016x"),
-            format(multimodal.image_dhash(px), "016x"),
-        )
-    for cls in range(6):
-        for var in range(1, 10):
-            assert rows[cls + 6 * var][1:] == rows[cls][1:], (
-                cls, var,
-            )
-            if var != 9:
-                assert rows[cls + 6 * var][0] == rows[cls][0]
-        # both JPEG spellings agree with each other and with the
-        # standalone JPEG decode of the same pixels
-        sj = multimodal.jpeg_decode_pixels(
-            multimodal.jpeg_encode(multimodal._tiff_fixture_pixels(cls))
-        )
-        want_j = format(multimodal.image_ahash(sj), "016x")
-        assert rows[cls + 6 * 10][1] == want_j, cls
-        assert rows[cls + 6 * 11] == rows[cls + 6 * 10], cls
-        # both G4 spellings (strips / tiles) pin the thresholded
-        # bilevel plane
-        px6 = multimodal._tiff_fixture_pixels(cls)
-        if px6.shape[2] == 3:
-            px6 = (
-                (
-                    px6[:, :, 0].astype(_np.int64) * 299
-                    + px6[:, :, 1].astype(_np.int64) * 587
-                    + px6[:, :, 2].astype(_np.int64) * 114
-                ) // 1000
-            ).astype(_np.uint8)[:, :, None]
-        bl6 = _np.where(px6 >= 128, 255, 0).astype(_np.uint8)
-        want_g = format(multimodal.image_ahash(bl6), "016x")
-        assert rows[cls + 6 * 12][1] == want_g, cls
-        for var in (13, 14, 15, 16, 17):  # tiles/MH/G3-2D/unc ===
-            assert rows[cls + 6 * var] == rows[cls + 6 * 12], (
-                cls, var,
-            )
-    for cls in range(4):
-        want = format(multimodal.image_ahash(
-            pdfmod._pdf_image_fixture_pixels(cls)
-        ), "016x")
-        assert rows[cls][1] == want, cls
-    return _hash_case_oracle(
-        {c: rows[c % 108] for c in range(108)},
-        "doc_id % 17 = 0 OR doc_id % 13 = 0",
-    )
-
-
-def tiff_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL TIFF pixel decode (operators/multimodal.py
-    ``tiff_decode_pixels`` behind ``decode_image_pixels``): strip
-    AND tile organization in both byte orders, chunky AND planar,
-    Compression 1/5/8/32773 plus new-style JPEG-in-TIFF (7, with
-    JPEGTables-abbreviated streams spliced) — the TIFF-LZW core has
-    the spec's EARLY code-width change with the encoder/decoder
-    off-by-one handled by keying both width schedules to the
-    emitted-code count — horizontal Predictor 2, WhiteIsZero
-    inversion, PackBits runs, Photometric-3 palettes (16-bit
-    ColorMap, 8/4-bit indices), and the CCITT fax family through
-    functions/ccitt.py — Group 4 strips AND tiles, Compression-2
-    1-D MH, Compression-3 mixed 2-D (T4Options honored, fill
-    tolerated).  All ten lossless packagings
-    of a class hash identically, the two JPEG spellings pin the
-    standalone JPEG constants, the two G4 spellings pin the
-    thresholded bilevel plane, and the RGB classes match the
-    PDF-image tier's constants (cross-format dedup).  Old-style
-    JPEG stays an honest stub; %%17 truncates mid-unit, %%13
-    relabels Compression 6 — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(
-        multimodal.attach_tiff_blob(docs)
-    )
-
-
-QUERIES["tiff_pixel_hash_check"] = tiff_pixel_hash_check
-ORACLES["tiff_pixel_hash_check"] = _tiff_pinned_oracle()
-
-
-def _ico_pinned_oracle() -> str:
-    """Pinned oracle for the ICO tier: all three packagings of a
-    class (32-bpp DIB / PNG-in-ICO / two-entry with the class image
-    largest) decode the SAME pixels — hashes keyed on class alone,
-    asserted equal to the PDF-image tier's raw-pixel constants."""
-    from .operators import pdf as pdfmod
-
-    rows = {}
-    for cls in range(6):
-        for var in range(3):
-            did = next(
-                d for d in range(cls + 6 * var, 4000, 18)
-                if d % 17 and d % 13
-            )
-            px = multimodal.ico_decode_pixels(
-                multimodal.build_ico_blob(did)
-            )
-            want = format(multimodal.image_ahash(
-                pdfmod._pdf_image_fixture_pixels(cls)
-            ), "016x")
-            got = format(multimodal.image_ahash(px), "016x")
-            assert got == want, (cls, var)
-            rows[cls] = (
-                px.shape[2],
-                got,
-                format(multimodal.image_dhash(px), "016x"),
-            )
-    return _hash_case_oracle(
-        rows, "doc_id % 17 = 0 OR doc_id % 13 = 0"
-    )
-
-
-def ico_pixel_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ICO/CUR favicon decode (operators/multimodal.py
-    ``ico_decode_pixels`` behind ``decode_image_pixels``): directory
-    walk picks the LARGEST entry; PNG-in-ICO delegates to the PNG
-    tier, classic doubled-height DIBs decode 32-bpp BGRA and 8-bpp
-    palette forms — all packagings hash to the class constants (which
-    equal the PDF-image tier's: favicons join cross-format dedup).
-    Other DIB depths/compressions are honest stubs; directory lies
-    and truncations flag.  %%17 truncates, %%13 relabels 16-bpp /
-    flips an IDAT byte — ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.image_pixel_hashes(
-        multimodal.attach_ico_blob(docs)
-    )
-
-
-QUERIES["ico_pixel_hash_check"] = ico_pixel_hash_check
-ORACLES["ico_pixel_hash_check"] = _ico_pinned_oracle()
-
-
-QUERIES["exif_oriented_dedup_check"] = exif_oriented_dedup_check
-ORACLES["exif_oriented_dedup_check"] = """
-    WITH m AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             1 + CAST((doc_id // 4) % 8 AS INTEGER) AS o,
-             doc_id % 17 = 0 AS torn
-      FROM documents)
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM m
-    GROUP BY cls, CASE WHEN torn AND o > 1 THEN o ELSE 0 END
-"""
-
-
-def _wav_codec_pinned_oracle() -> str:
-    """Pinned feature tuples per (format, waveform) fixture class,
-    computed driver-side through the same decode — the audio-codec
-    analogue of the image pinned oracles."""
-    rows = {}
-    for fmt_cls in range(4):
-        for wave_cls in range(4):
-            did = next(
-                d for d in (fmt_cls + 4 * wave_cls,
-                            fmt_cls + 4 * wave_cls + 16,
-                            fmt_cls + 4 * wave_cls + 32,
-                            fmt_cls + 4 * wave_cls + 48)
-                if d % 17 and d % 13
-                and d % 4 == fmt_cls and (d // 4) % 4 == wave_cls
-            )
-            rate, ch, arr = multimodal.wav_decode_samples(
-                multimodal.build_wav_codec_blob(did)
-            )
-            n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(arr)
-            rows[(fmt_cls, wave_cls)] = (
-                rate, ch, n, n * 1000 // rate, peak, abs_sum, zc
-            )
-    cases = {}
-    for col_i, col in enumerate(
-        ("sample_rate", "n_channels", "n_frames", "duration_ms",
-         "peak", "abs_sum", "zero_crossings")
-    ):
-        cases[col] = " ".join(
-            "WHEN fc = %d AND wc = %d THEN %d" % (f, w, v[col_i])
-            for (f, w), v in rows.items()
-        )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["sample_rate"]} END) END AS INTEGER)
-            AS sample_rate,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["n_channels"]} END) END AS INTEGER)
-            AS n_channels,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["n_frames"]} END) END AS BIGINT) AS n_frames,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["duration_ms"]} END) END AS BIGINT)
-            AS duration_ms,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["peak"]} END) END AS INTEGER) AS peak,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["abs_sum"]} END) END AS BIGINT) AS abs_sum,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["zero_crossings"]} END) END AS BIGINT)
-            AS zero_crossings,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     CAST(doc_id % 4 AS INTEGER) AS fc,
-                     CAST((doc_id // 4) % 4 AS INTEGER) AS wc,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def audio_codec_feature_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec-tier WAV decode (operators/multimodal.py
-    ``wav_decode_samples``): IEEE float32 scaled onto the int16 grid
-    and the two G.711 telephony companders — A-law and µ-law 256-entry
-    table expansion validated against independent reference
-    compressors in pytest — through the shared integer feature
-    extractor.  %%17 truncates (ok=false); %%13 relabels ADPCM (the
-    residual honest stub → ok=false)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.audio_pcm_features(
-        multimodal.attach_wav_codec_blob(docs)
-    )
-
-
-QUERIES["audio_codec_feature_check"] = audio_codec_feature_check
-ORACLES["audio_codec_feature_check"] = _wav_codec_pinned_oracle()
-
-
-def _adpcm_pinned_oracle() -> str:
-    """Pinned feature tuples per (wave, layout) IMA-ADPCM fixture
-    shape, computed driver-side through the same decode.  The builder
-    additionally asserts the LOSSY-CODEC invariance the tier claims:
-    the decoded mono stream's 1024-frame envelope hashes equal the
-    PCM SOURCE's window for window (IMA quantization error ≪ the
-    envelope margins on this wave family), for both the 256- and the
-    512-byte re-blocked layout — and that the torn (%17) and
-    corrupt-step-index (%13) plants decode to None for every
-    variant."""
-    rows = {}
-    for cls in range(4):
-        src_rate, _c, src = multimodal.wav_decode_samples(
-            multimodal.build_wav_align_blob(96 + cls)
-        )
-        for variant in range(3):
-            did = next(
-                d for d in range(200)
-                if d % 4 == cls and (d // 4) % 3 == variant
-                and d % 17 and d % 13
-            )
-            dec = multimodal.wav_decode_samples(
-                multimodal.build_adpcm_blob(did)
-            )
-            assert dec is not None, (cls, variant)
-            rate, ch, arr = dec
-            n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(arr)
-            rows[(cls, variant)] = (
-                rate, ch, n, n * 1000 // rate, peak, abs_sum, zc
-            )
-            if variant != 1:
-                for k in range(arr.shape[0] // 1024):
-                    a = multimodal.audio_envelope_hash(
-                        arr[k * 1024:(k + 1) * 1024]
-                    )
-                    b = multimodal.audio_envelope_hash(
-                        src[k * 1024:(k + 1) * 1024]
-                    )
-                    assert a == b, (cls, variant, k)
-    for plant in (17, 13):
-        for variant in range(3):
-            did = next(
-                d for d in range(0, 100000, plant)
-                if (d // 4) % 3 == variant
-                and (plant == 17 or d % 17)
-            )
-            assert multimodal.wav_decode_samples(
-                multimodal.build_adpcm_blob(did)
-            ) is None, (plant, did)
-    cases = {}
-    for col_i, col in enumerate(
-        ("sample_rate", "n_channels", "n_frames", "duration_ms",
-         "peak", "abs_sum", "zero_crossings")
-    ):
-        cases[col] = " ".join(
-            "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[col_i])
-            for (c, v), t in rows.items()
-        )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["sample_rate"]} END) END AS INTEGER)
-            AS sample_rate,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["n_channels"]} END) END AS INTEGER)
-            AS n_channels,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["n_frames"]} END) END AS BIGINT) AS n_frames,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["duration_ms"]} END) END AS BIGINT)
-            AS duration_ms,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["peak"]} END) END AS INTEGER) AS peak,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["abs_sum"]} END) END AS BIGINT) AS abs_sum,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["zero_crossings"]} END) END AS BIGINT)
-            AS zero_crossings,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     CAST(doc_id % 4 AS INTEGER) AS cls,
-                     CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL IMA/DVI ADPCM decode (operators/multimodal.py
-    ``_ima_adpcm_decode`` behind ``wav_decode_samples`` fmt 0x11):
-    per-channel block headers, interleaved 4-byte nibble groups, the
-    reference step/index tables — vectorized across blocks×channels
-    so cost scales with samples-per-block, validated against an
-    independent scalar re-implementation in pytest.  Closes the
-    former ADPCM honest stub (MS-ADPCM fmt 2 remains one).  Fixture:
-    4 envelope waves × (mono-256 / STEREO-256 / mono re-blocked 512)
-    layouts; %%17 tears the trailing block, %%13 corrupts a step
-    index past 88 — both refuse (ok=false), never silently-wrong
-    samples.  Map-side, no shuffle."""
-    # the decode dominates and the small-SF parquet is a single row
-    # group (one scan partition → sequential decode): spread the rows
-    # first — one cheap long-column shuffle, the standard move when a
-    # map-heavy stage follows a narrow scan
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    return multimodal.audio_pcm_features(
-        multimodal.attach_adpcm_blob(docs)
-    )
-
-
-QUERIES["adpcm_decode_check"] = adpcm_decode_check
-ORACLES["adpcm_decode_check"] = _adpcm_pinned_oracle()
-
-
-def _ms_adpcm_pinned_oracle() -> str:
-    """Pinned feature tuples per (wave, layout) MS-ADPCM fixture
-    shape, computed driver-side through the same decode; the builder
-    asserts the decoded mono envelope equals the PCM source's window
-    for window (both block layouts) and that the torn (%17) and
-    bad-predictor (%13) plants refuse for every variant."""
-    rows = {}
-    for cls in range(4):
-        src_rate, _c, src = multimodal.wav_decode_samples(
-            multimodal.build_wav_align_blob(96 + cls)
-        )
-        for variant in range(3):
-            did = next(
-                d for d in range(200)
-                if d % 4 == cls and (d // 4) % 3 == variant
-                and d % 17 and d % 13
-            )
-            dec = multimodal.wav_decode_samples(
-                multimodal.build_ms_adpcm_blob(did)
-            )
-            assert dec is not None, (cls, variant)
-            rate, ch, arr = dec
-            n, peak, abs_sum, zc = multimodal.audio_pcm_metrics(arr)
-            rows[(cls, variant)] = (
-                rate, ch, n, n * 1000 // rate, peak, abs_sum, zc
-            )
-            if variant != 1:
-                for k in range(arr.shape[0] // 1024):
-                    assert multimodal.audio_envelope_hash(
-                        arr[k * 1024:(k + 1) * 1024]
-                    ) == multimodal.audio_envelope_hash(
-                        src[k * 1024:(k + 1) * 1024]
-                    ), (cls, variant, k)
-    for plant in (17, 13):
-        for variant in range(3):
-            did = next(
-                d for d in range(0, 100000, plant)
-                if (d // 4) % 3 == variant
-                and (plant == 17 or d % 17)
-            )
-            assert multimodal.wav_decode_samples(
-                multimodal.build_ms_adpcm_blob(did)
-            ) is None, (plant, did)
-    cases = {}
-    for col_i, col in enumerate(
-        ("sample_rate", "n_channels", "n_frames", "duration_ms",
-         "peak", "abs_sum", "zero_crossings")
-    ):
-        cases[col] = " ".join(
-            "WHEN cls = %d AND var = %d THEN %d" % (c, v, t[col_i])
-            for (c, v), t in rows.items()
-        )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS id,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["sample_rate"]} END) END AS INTEGER)
-            AS sample_rate,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["n_channels"]} END) END AS INTEGER)
-            AS n_channels,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["n_frames"]} END) END AS BIGINT) AS n_frames,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["duration_ms"]} END) END AS BIGINT)
-            AS duration_ms,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["peak"]} END) END AS INTEGER) AS peak,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["abs_sum"]} END) END AS BIGINT) AS abs_sum,
-          CAST(CASE WHEN bad THEN 0 ELSE
-            (CASE {cases["zero_crossings"]} END) END AS BIGINT)
-            AS zero_crossings,
-          NOT bad AS ok
-        FROM (SELECT doc_id,
-                     CAST(doc_id % 4 AS INTEGER) AS cls,
-                     CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def ms_adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MS ADPCM decode (operators/multimodal.py
-    ``_ms_adpcm_decode`` behind ``wav_decode_samples`` fmt 2 at 4
-    bits): per-channel predictor/delta/sample block preambles, the 7
-    standard coefficient pairs (fixtures exercise ALL of them across
-    classes and variants), high-first nibbles, the 16-entry delta
-    adaptation table — vectorized across blocks×channels, pinned
-    against an independent scalar re-implementation in pytest.
-    Closes the last WAV-audio stub (fmt-2 claims at non-4-bit depths
-    remain the invalid-combination flag).  Fixture: 4 envelope waves
-    × (mono-256 / STEREO-256 / mono re-blocked 512) layouts; %%17
-    torn trailing block, %%13 predictor index 9 > 6 — both refuse,
-    never silently-wrong samples.  Map-side + the one spreading
-    shuffle (single-row-group scan)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    return multimodal.audio_pcm_features(
-        multimodal.attach_ms_adpcm_blob(docs)
-    )
-
-
-QUERIES["ms_adpcm_decode_check"] = ms_adpcm_decode_check
-ORACLES["ms_adpcm_decode_check"] = _ms_adpcm_pinned_oracle()
-
-
-def id3_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ID3v2 tag extraction (operators/multimodal.py
-    ``id3v2_frames`` → ``audio_id3_meta``): the audio face of the
-    EXIF tier — v2.3 plain / v2.4 syncsafe frame sizes, latin-1 /
-    UTF-16-BOM / UTF-8 text encodings, extended-header skip, title/
-    artist/album/year/track frames — metadata at header speed, frame
-    data untouched.  Fixture: 4 tag classes × (v2.3-latin1 /
-    v2.4-utf8 / v2.3-utf16) packagings that must parse IDENTICALLY
-    (the oracle states tags as pure arithmetic, so all three
-    packagings can only match by agreeing — incl. a non-ASCII
-    artist); %%17 shrinks the tag under its declared size (a frame
-    runs past the tag → ok=false, never a half-read tag)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    meta = multimodal.audio_id3_meta(
-        multimodal.attach_id3_mp3_blob(docs)
-    )
-    return meta.select(
-        F.col("id").alias("doc_id"),
-        "title", "artist", "album", "year", "track", "ok",
-    )
-
-
-def docx_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DOCX text extraction (operators/text.py ``docx_extract`` →
-    ``docx_text``): office documents ride the ZIP SOURCE — central-
-    directory walk with per-member CRC, then WordprocessingML runs
-    (paragraphs → newlines, mid-word split runs concatenated
-    invisibly, ``<w:tab/>`` → tab, XML entities decoded).  The oracle
-    RECONSTRUCTS the full text arithmetically, so extraction must be
-    the identity character-for-character.  Fixture: 4 paragraph
-    classes × (plain / split-run) variants — identical text; %%17
-    flips one byte inside ``word/document.xml`` (the member CRC
-    catches it), %%13 drops the part — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.docx_text(text.attach_docx_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_paragraphs", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["docx_text_check"] = docx_text_check
-ORACLES["docx_text_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-      FROM documents),
-    paras AS (
-      SELECT doc_id, cls,
-             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER) AS k
-      FROM base WHERE NOT bad),
-    texts AS (
-      SELECT doc_id, cls,
-             string_agg(
-               'class ' || cls || ' paragraph ' || k
-                 || ' with some words'
-                 || CASE WHEN k = 0
-                    THEN chr(9) || 'after a tab & specials < >'
-                    ELSE '' END,
-               chr(10) ORDER BY k) AS text
-      FROM paras GROUP BY doc_id, cls)
-    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
-           CAST(t.cls + 2 AS INTEGER) AS n_paragraphs,
-           CAST(length(t.text) AS INTEGER) AS n_chars,
-           t.text, TRUE AS ok
-    FROM texts t
-    UNION ALL
-    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-    FROM base WHERE bad
-"""
-
-
-def xlsx_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XLSX text extraction (operators/text.py ``xlsx_extract`` →
-    ``xlsx_text``): SpreadsheetML over the ZIP SOURCE — workbook-
-    declared sheet count enforced, shared-string resolution (deduped
-    indices), inlineStr runs, numeric ``<v>`` tokens, entities.  The
-    oracle reconstructs every cell arithmetically, so extraction must
-    be the identity character-for-character across BOTH encodings
-    (shared vs inlineStr variants produce identical text).  %%17
-    flips a byte inside sheet1 (member CRC catches it), %%13 renames
-    sheet1 (declared-count mismatch) — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.xlsx_text(text.attach_xlsx_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_sheets", "n_cells", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["xlsx_text_check"] = xlsx_text_check
-ORACLES["xlsx_text_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-      FROM documents),
-    dims AS (
-      SELECT doc_id, cls, CAST(1 + cls % 2 AS INTEGER) AS n_sheets,
-             CAST(3 + cls AS INTEGER) AS n_rows
-      FROM base WHERE NOT bad),
-    sheets AS (
-      SELECT doc_id, cls, n_sheets, n_rows,
-             CAST(unnest(generate_series(0, n_sheets - 1))
-                  AS INTEGER) AS s
-      FROM dims),
-    cells AS (
-      SELECT doc_id, cls, n_sheets, n_rows, s,
-             CAST(unnest(generate_series(0, n_rows - 1))
-                  AS INTEGER) AS r
-      FROM sheets),
-    texts AS (
-      SELECT doc_id, n_sheets, n_rows,
-             string_agg(
-               'word' || ((r * 7 + s) % 5) || chr(9) || (r * 13 + s)
-                 || chr(9) || 'cell r' || r || ' & <x>',
-               chr(10) ORDER BY s, r) AS text
-      FROM cells GROUP BY doc_id, n_sheets, n_rows)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(n_sheets AS INTEGER) AS n_sheets,
-           CAST(n_sheets * n_rows * 3 AS INTEGER) AS n_cells,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           text, TRUE AS ok
-    FROM texts
-    UNION ALL
-    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, FALSE
-    FROM base WHERE bad
-"""
-
-
-def pptx_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPTX text extraction (operators/text.py ``pptx_extract`` →
-    ``pptx_text``): DrawingML text over the ZIP SOURCE —
-    presentation-declared slide count enforced, ``<a:p>`` paragraphs
-    → lines, mid-word split ``<a:r>`` runs concatenated invisibly,
-    entities decoded.  Arithmetic full-text oracle (identity check);
-    %%17 flips a byte in slide1 (CRC), %%13 renames slide1
-    (declared-count mismatch) — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.pptx_text(text.attach_pptx_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_slides", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["pptx_text_check"] = pptx_text_check
-ORACLES["pptx_text_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-      FROM documents),
-    dims AS (
-      SELECT doc_id, cls, CAST(1 + cls AS INTEGER) AS n_slides
-      FROM base WHERE NOT bad),
-    slides AS (
-      SELECT doc_id, cls, n_slides,
-             CAST(unnest(generate_series(0, n_slides - 1))
-                  AS INTEGER) AS s
-      FROM dims),
-    paras AS (
-      SELECT doc_id, cls, n_slides, s,
-             CAST(unnest(generate_series(0, 1 + s % 2))
-                  AS INTEGER) AS k
-      FROM slides),
-    texts AS (
-      SELECT doc_id, n_slides,
-             string_agg(
-               'slide ' || s || ' para ' || k || ' of class ' || cls
-                 || CASE WHEN s = 0 AND k = 0
-                    THEN ' & specials < >' ELSE '' END,
-               chr(10) ORDER BY s, k) AS text
-      FROM paras GROUP BY doc_id, n_slides)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(n_slides AS INTEGER) AS n_slides,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           text, TRUE AS ok
-    FROM texts
-    UNION ALL
-    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-    FROM base WHERE bad
-"""
-
-
-def epub_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EPUB text extraction (operators/text.py ``epub_extract`` →
-    ``epub_text``): the book container over the ZIP SOURCE —
-    container.xml → OPF manifest → SPINE-ordered chapters (the
-    fixture stores chapter files in reverse archive order on odd
-    variants: reading order must come from the spine), XHTML
-    stripped with head/script/style dropped, entities decoded.
-    Arithmetic full-text oracle; %%17 flips a chapter byte (CRC),
-    %%13 renames the OPF — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.epub_text(text.attach_epub_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_chapters", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["epub_text_check"] = epub_text_check
-ORACLES["epub_text_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-      FROM documents),
-    chapters AS (
-      SELECT doc_id, cls,
-             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER) AS k
-      FROM base WHERE NOT bad),
-    texts AS (
-      SELECT doc_id, cls,
-             string_agg(
-               'chapter ' || k || ' of class ' || cls
-                 || ' with book words second line ' || k
-                 || CASE WHEN k = 0
-                    THEN ' errata & updates < >' ELSE '' END,
-               chr(10) ORDER BY k) AS text
-      FROM chapters GROUP BY doc_id, cls)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(cls + 2 AS INTEGER) AS n_chapters,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           text, TRUE AS ok
-    FROM texts
-    UNION ALL
-    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-    FROM base WHERE bad
-"""
-
-
-def rtf_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RTF text extraction (operators/text.py ``rtf_extract`` →
-    ``rtf_text``): group-aware control-word walk with destination
-    skipping (fonttbl/colortbl/info/{\\*…}), \\par newlines, \\tab,
-    cp1252 \\'hh hex AND \\uN unicode escapes (both encodings of the
-    same text pinned identical by the arithmetic oracle), \\uc
-    fallback accounting.  %%17 truncates (unbalanced groups), %%13
-    injects a cp1252-undefined byte — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.rtf_text(text.attach_rtf_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_paragraphs", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["rtf_text_check"] = rtf_text_check
-ORACLES["rtf_text_check"] = """
-    WITH base AS (
-      SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-             doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-      FROM documents),
-    paras AS (
-      SELECT doc_id, cls,
-             CAST(unnest(generate_series(0, cls + 1)) AS INTEGER) AS k
-      FROM base WHERE NOT bad),
-    texts AS (
-      SELECT doc_id, cls,
-             string_agg(
-               'class ' || cls || ' paragraph ' || k
-                 || ' with café words'
-                 || CASE WHEN k = 0
-                    THEN chr(9) || 'after tab {braces} \\ and ünïcode'
-                    ELSE '' END,
-               chr(10) ORDER BY k) AS text
-      FROM paras GROUP BY doc_id, cls)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(cls + 2 AS INTEGER) AS n_paragraphs,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           text, TRUE AS ok
-    FROM texts
-    UNION ALL
-    SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-    FROM base WHERE bad
-"""
-
-
-def _office_corpus_pinned_oracle() -> str:
-    """Pinned oracle for the composed office-corpus tier: per
-    (format, class) the token/char counts the five extractors must
-    feed the shared token expression — computed driver-side through
-    the SAME extraction functions."""
-    extractors = (
-        lambda b: (text.docx_extract(b) or (None, None))[1],
-        lambda b: (text.xlsx_extract(b) or (None, None, None))[2],
-        lambda b: (text.pptx_extract(b) or (None, None))[1],
-        lambda b: (text.epub_extract(b) or (None, None))[1],
-        lambda b: (text.rtf_extract(b) or (None, None))[1],
-    )
-    builders = (
-        text.build_docx_blob, text.build_xlsx_blob,
-        text.build_pptx_blob, text.build_epub_blob,
-        text.build_rtf_blob,
-    )
-    rows = {}
-    for fmt in range(5):
-        for cls in range(4):
-            did = next(
-                d for d in range(4000)
-                if d % 5 == fmt and d % 4 == cls
-                and d % 17 and d % 13
-            )
-            t = extractors[fmt](builders[fmt](did))
-            assert t is not None, (fmt, cls)
-            rows[(fmt, cls)] = (len(t.split()), len(t))
-    tok_c = " ".join(
-        "WHEN fmt = %d AND cls = %d THEN %d" % (f, c, v[0])
-        for (f, c), v in rows.items()
-    )
-    ch_c = " ".join(
-        "WHEN fmt = %d AND cls = %d THEN %d" % (f, c, v[1])
-        for (f, c), v in rows.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS fmt,
-                 CAST(doc_id % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, fmt,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(CASE {tok_c} END AS INTEGER) END AS n_tokens,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(CASE {ch_c} END AS INTEGER) END AS n_chars,
-          NOT bad AS ok
-        FROM base
-    """
-
-
-def office_corpus_token_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The INTEGRATION claim for the document-extraction family: five
-    tiers (DOCX / XLSX / PPTX / EPUB / RTF, picked by doc_id %% 5)
-    extract map-side and feed the SAME downstream Catalyst token
-    expression (``text.token_count``) — extraction output is corpus
-    text, not a dead end.  Per-format plants (%%17 / %%13) surface as
-    ok=false rows through the union.  Five map-side projections + a
-    zero-shuffle union: scan-parallel at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    faces = (
-        (text.attach_docx_blob, text.docx_text),
-        (text.attach_xlsx_blob, text.xlsx_text),
-        (text.attach_pptx_blob, text.pptx_text),
-        (text.attach_epub_blob, text.epub_text),
-        (text.attach_rtf_blob, text.rtf_text),
-    )
-    parts = []
-    for code, (attach, face) in enumerate(faces):
-        sub = docs.filter(F.col("doc_id") % 5 == code)
-        parts.append(
-            face(attach(sub)).select(
-                F.col("id").alias("doc_id"),
-                F.lit(code).cast("int").alias("fmt"),
-                "text", "ok",
-            )
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    return allp.select(
-        "doc_id", "fmt",
-        F.when(F.col("ok"), text.token_count(F.col("text")))
-        .cast("int").alias("n_tokens"),
-        F.when(F.col("ok"), F.length("text"))
-        .cast("int").alias("n_chars"),
-        "ok",
-    )
-
-
-QUERIES["office_corpus_token_check"] = office_corpus_token_check
-ORACLES["office_corpus_token_check"] = _office_corpus_pinned_oracle()
-
-
-def _eml_pinned_oracle() -> str:
-    """Pinned oracle for the mail tier, computed through the same
-    extraction: all five packagings of a class carry the same text
-    (html collapses the newline — the tag-strip convention, asserted
-    here), subjects/senders are class arithmetic."""
-    rows = {}
-    for cls in range(4):
-        for var in range(5):
-            did = next(
-                d for d in range(4000)
-                if d % 4 == cls and (d // 4) % 5 == var
-                and d % 17 and d % 13
-            )
-            got = text.eml_extract(text.build_eml_blob(did))
-            assert got is not None, (cls, var)
-            s, f, np_, t = got
-            assert s == "Subject line %d" % cls, (cls, var)
-            rows[(cls, var)] = (np_, t)
-    for cls in range(4):
-        plain = {rows[(cls, v)][1] for v in (0, 1, 2, 4)}
-        assert len(plain) == 1, cls
-        assert rows[(cls, 3)][1] == next(iter(plain)).replace(
-            "\n", " "
-        ), cls
-    np_c = " ".join(
-        "WHEN cls = %d AND var = %d THEN %d" % (c, v, r[0])
-        for (c, v), r in rows.items()
-    )
-    tx_c = " ".join(
-        "WHEN cls = %d AND var = %d THEN '%s'"
-        % (c, v, r[1].replace("'", "''").replace("\n", "' || chr(10) || '"))
-        for (c, v), r in rows.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 5 AS INTEGER) AS var,
-                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN bad THEN NULL
-               ELSE 'Subject line ' || cls END AS subject,
-          CASE WHEN bad THEN NULL
-               ELSE 'sender' || cls || '@example.org' END AS sender,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(CASE {np_c} END AS INTEGER) END AS n_parts,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(length(CASE {tx_c} END) AS INTEGER)
-               END AS n_chars,
-          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
-          NOT bad AS ok
-        FROM base
-    """
-
-
-def eml_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC 822 / MIME mail extraction (operators/text.py
-    ``eml_extract`` → ``eml_text``): stdlib ``email`` walks the
-    structure while transfer encodings decode STRICTLY here (base64
-    validated — the stdlib silently drops invalid chars — and
-    charsets strict, so corrupt bodies flag instead of garbling);
-    multipart/alternative prefers text/plain over the html rendering,
-    html strips through the shared tag collapse, RFC 2047 headers
-    decode.  All five packagings of a class pin the same text.
-    %%17 cuts the message before Subject (the only framing plain
-    mail has), %%13 corrupts the base64 alphabet / charset label —
-    ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.eml_text(text.attach_eml_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "subject", "sender", "n_parts", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["eml_text_check"] = eml_text_check
-ORACLES["eml_text_check"] = _eml_pinned_oracle()
-
-
-def _pin_text_lit(s: str) -> str:
-    """A python string → a DuckDB expression reproducing it exactly
-    (quotes doubled, tabs/newlines spelled chr())."""
-    return "'%s'" % (
-        s.replace("'", "''")
-        .replace("\t", "' || chr(9) || '")
-        .replace("\n", "' || chr(10) || '")
-    )
-
-
-def _odf_pinned_oracle() -> str:
-    """Pinned oracle for the OpenDocument tier, computed through the
-    extraction itself with structural asserts: kind follows doc_id %%
-    3, class (doc_id // 3) %% 4 scales units, and the ODF spellings
-    of tab / double-space / entities round-trip."""
-    rows = {}
-    for kind_i in range(3):
-        for cls in range(4):
-            did = next(
-                d for d in range(4000)
-                if d % 3 == kind_i and (d // 3) % 4 == cls
-                and d % 17 and d % 13
-            )
-            got = text.odf_extract(text.build_odf_blob(did))
-            assert got is not None, (kind_i, cls)
-            k, nu, t = got
-            assert k == ("odt", "ods", "odp")[kind_i], (kind_i, cls)
-            if k == "odt":
-                assert nu == 2 + cls and "\ttab  two" in t, cls
-            elif k == "ods":
-                assert nu == 1 + cls % 2 and "c&<0>" in t, cls
-            else:
-                assert nu == 2 + cls % 3, cls
-            rows[(kind_i, cls)] = (k, nu, t)
-    nu_c = " ".join(
-        "WHEN kind_i = %d AND cls = %d THEN %d" % (ki, c, r[1])
-        for (ki, c), r in rows.items()
-    )
-    tx_c = " ".join(
-        "WHEN kind_i = %d AND cls = %d THEN %s"
-        % (ki, c, _pin_text_lit(r[2]))
-        for (ki, c), r in rows.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS kind_i,
-                 CAST((doc_id // 3) % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN bad THEN NULL
-               ELSE CASE kind_i WHEN 0 THEN 'odt' WHEN 1 THEN 'ods'
-                    ELSE 'odp' END END AS kind,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(CASE {nu_c} END AS INTEGER) END AS n_units,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(length(CASE {tx_c} END) AS INTEGER)
-               END AS n_chars,
-          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
-          NOT bad AS ok
-        FROM base
-    """
-
-
-def odf_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OpenDocument extraction (operators/text.py ``odf_extract`` →
-    ``odf_text``): ODT paragraphs / ODS sheet grids (repeats
-    honored, padding trimmed, bombs refused) / ODP pages over the
-    ZIP SOURCE, dispatched on the ``mimetype`` member with the
-    manifest required.  ODF whitespace spellings (``<text:tab/>``,
-    ``<text:s text:c>``, ``<text:line-break/>``) round-trip; the
-    oracle pins extraction through the builder with structural
-    asserts.  %%17 flips a content.xml byte (CRC), %%13 renames
-    ``mimetype`` — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.odf_text(text.attach_odf_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "kind", "n_units", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["odf_text_check"] = odf_text_check
-ORACLES["odf_text_check"] = _odf_pinned_oracle()
-
-
-def _mbox_pinned_oracle() -> str:
-    """Pinned oracle for the mailbox tier: 1 + doc_id %% 3 messages
-    of class doc_id %% 4, every message body STARTING with a
-    ``From `` line so the mboxrd quoting round-trip is load-bearing
-    in every row."""
-    rows = {}
-    for nm_i in range(3):
-        for cls in range(4):
-            did = next(
-                d for d in range(4000)
-                if d % 3 == nm_i and d % 4 == cls
-                and d % 17 and d % 13
-            )
-            got = text.mbox_extract(text.build_mbox_blob(did))
-            assert got is not None, (nm_i, cls)
-            nm, t = got
-            assert nm == 1 + nm_i, (nm_i, cls)
-            assert t.startswith("[mbox subj %d-0] From the top" % cls)
-            rows[(nm_i, cls)] = (nm, t)
-    tx_c = " ".join(
-        "WHEN nm_i = %d AND cls = %d THEN %s"
-        % (ni, c, _pin_text_lit(r[1]))
-        for (ni, c), r in rows.items()
-    )
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS nm_i,
-                 CAST(doc_id % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-          FROM documents)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(1 + nm_i AS INTEGER) END AS n_messages,
-          CASE WHEN bad THEN NULL
-               ELSE CAST(length(CASE {tx_c} END) AS INTEGER)
-               END AS n_chars,
-          CASE WHEN bad THEN NULL ELSE CASE {tx_c} END END AS text,
-          NOT bad AS ok
-        FROM base
-    """
-
-
-def mbox_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mailbox extraction (operators/text.py ``mbox_extract`` →
-    ``mbox_text``): mboxrd envelope split with ``>From`` unquoting,
-    each message through the strict EML extractor (all three
-    transfer packagings cycle through every mailbox); one torn
-    message flags the whole mailbox.  %%17 beheads the first
-    message, %%13 corrupts a charset label — both ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = text.mbox_text(text.attach_mbox_blob(docs))
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "n_messages", "n_chars", "text", "ok",
-    )
-
-
-QUERIES["mbox_text_check"] = mbox_text_check
-ORACLES["mbox_text_check"] = _mbox_pinned_oracle()
-
-
-QUERIES["id3_meta_check"] = id3_meta_check
-ORACLES["id3_meta_check"] = """
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      CASE WHEN bad THEN NULL
-           ELSE 'Track Title ' || cls END AS title,
-      CASE WHEN bad THEN NULL
-           ELSE 'Artist é' || cls END AS artist,
-      CASE WHEN bad THEN NULL ELSE 'Album ' || cls END AS album,
-      CASE WHEN bad THEN NULL ELSE '202' || cls END AS year,
-      CASE WHEN bad THEN NULL
-           ELSE (cls + 1) || '/12' END AS track,
-      NOT bad AS ok
-    FROM (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS bad
-          FROM documents)
-"""
-
-
-def _gif_anim_pinned_oracle() -> str:
-    rows = {}
-    nf_case = []
-    for cls in range(6):
-        did = next(d for d in (cls, cls + 6, cls + 12) if d % 17)
-        frames = multimodal.gif_decode_frames(
-            multimodal.build_gif_anim_blob(did)
-        )
-        nf_case.append("WHEN %d THEN %d" % (cls, len(frames)))
-        for k, px in enumerate(frames):
-            rows[(cls, k)] = (
-                format(multimodal.image_ahash(px), "016x"),
-                format(multimodal.image_dhash(px), "016x"),
-            )
-    ah = " ".join(
-        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[0])
-        for (c, k), v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[1])
-        for (c, k), v in rows.items()
-    )
-    nfc = " ".join(nf_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, CASE cls {nfc} END AS nf
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, nf,
-                 CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
-                   AS frame_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, frame_idx,
-               CAST(nf AS INTEGER) AS n_frames,
-               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
-               CASE {ah} END AS ahash,
-               CASE {dh} END AS dhash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL,
-               CAST(0 AS INTEGER), CAST(0 AS INTEGER), NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def gif_anim_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANIMATED GIF decode (operators/multimodal.py
-    ``gif_decode_frames``: full GIF89a composition — disposal methods
-    restore-to-background / restore-to-previous, transparency holes,
-    sub-rectangle frames, the LZW core shared with the static path)
-    through the generalized animation-hash operator
-    (``video_frame_hashes``, which now dispatches AVI and GIF).  The
-    oracle pins per-(class, frame) hash constants of the COMPOSED
-    canvases — wrong disposal or transparency handling shifts pixels
-    outside the frame's own sub-rect and breaks the hash.  %%17
-    truncates (ok=false)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.video_frame_hashes(
-        multimodal.attach_gif_anim_blob(docs), backend="pure"
-    )
-
-
-QUERIES["gif_anim_frame_hash_check"] = gif_anim_frame_hash_check
-ORACLES["gif_anim_frame_hash_check"] = _gif_anim_pinned_oracle()
-
-
-def multimodal_header_meta_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-13 container formats through the REAL codec-free header
-    parser (operators/multimodal.py ``parse_media_header``): WebP
-    lossy/lossless/extended (VP8 sync-code dims, VP8L packed u32 with
-    the alpha bit, VP8X 24-bit canvas dims), FLAC STREAMINFO
-    (20-bit sample rate + 3-bit channels), and MP4 ISO-BMFF
-    (moov→trak→tkhd 16.16 fixed-point dims) — the formats a real
-    crawl's media mass actually arrives in.  Planted dims/rates are
-    pure doc_id arithmetic (the ``multimodal_header_meta`` pattern),
-    so the oracle states the expected parse while Spark must
-    genuinely parse the bytes.  Map-side, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_media_headers(
-        multimodal.attach_media_blob_v2(docs, id_col="doc_id")
-    )
-
-
-QUERIES["multimodal_header_meta_v2"] = multimodal_header_meta_v2
-
-ORACLES["multimodal_header_meta_v2"] = """
-    SELECT doc_id AS id,
-      CASE WHEN doc_id % 17 = 0 THEN NULL
-           WHEN doc_id % 5 IN (0, 1, 2) THEN 'image/webp'
-           WHEN doc_id % 5 = 3 THEN 'audio/flac'
-           ELSE 'video/mp4' END AS mime,
-      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 3 THEN NULL
-           ELSE CAST(16 + doc_id % 300 AS INT) END AS width,
-      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 3 THEN NULL
-           ELSE CAST(16 + (doc_id // 7) % 300 AS INT) END AS height,
-      CASE WHEN doc_id % 17 = 0 THEN NULL
-           WHEN doc_id % 5 IN (1, 2) AND doc_id % 2 = 1 THEN 4
-           WHEN doc_id % 5 IN (0, 1, 2) THEN 3
-           WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 2 AS INT)
-           ELSE 3 END AS channels,
-      CASE WHEN doc_id % 17 = 0 OR doc_id % 5 <> 3 THEN NULL
-           ELSE CAST(8000 * (1 + doc_id % 4) AS INT) END AS sample_rate,
-      doc_id % 17 <> 0 AS ok
-    FROM documents
-"""
-
-
-def _charset_pinned_oracle() -> str:
-    """Pinned-constant oracle for the charset-aware decode tier: the
-    expected (encoding, source, text-after-wet_extract) per fixture
-    class, computed driver-side through the same decode + strip path
-    (the codec-fixture pattern); the headless %11 plant degrades to
-    default-UTF-8 with NULL wet text."""
-    import re as _re
-
-    from .sources import warc as warcmod
-
-    rows = {}
-    for cls in range(8):
-        # a doc_id of this class that is NOT %11 (verified below)
-        did = next(d for d in (cls, cls + 8, cls + 16) if d % 11)
-        assert did % 11 != 0 and did % 8 == cls
-        text, enc, src = warcmod.decode_payload(
-            warcmod.build_charset_http_blob(did)
-        )
-        body = text.split("\r\n\r\n", 1)[1]
-        stripped = _re.sub(r"\s+", " ", _re.sub(r"<[^>]*>", " ", body)).strip()
-        rows[cls] = (enc, src, stripped.replace("'", "''"))
-    enc_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[0]) for c, v in rows.items()
-    )
-    src_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
-    )
-    txt_c = " ".join(
-        "WHEN doc_id %% 8 = %d THEN '%s'" % (c, v[2]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CASE WHEN headless THEN 'utf-8' ELSE (CASE {enc_c} END)
-            END AS encoding,
-          CASE WHEN headless THEN 'default' ELSE (CASE {src_c} END)
-            END AS encoding_source,
-          CAST(CASE WHEN headless THEN NULL ELSE 200 END AS INTEGER)
-            AS status,
-          CASE WHEN headless THEN NULL ELSE (CASE {txt_c} END) END AS text
-        FROM (SELECT doc_id, doc_id % 11 = 0 AS headless FROM documents)
-    """
-
-
-def charset_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charset-aware WARC/HTTP payload decode (sources/warc.py
-    ``decode_warc_payload_text``: BOM > HTTP Content-Type charset >
-    HTML meta prescan > UTF-8 default, WHATWG alias normalization,
-    head decoded latin-1 / body with the sniffed codec) composed with
-    ``wet_extract`` — latin-1, Shift-JIS, EUC-JP, windows-1252 and
-    UTF-16 fixtures must round-trip to EXACT text where a blind
-    ``CAST(payload AS STRING)`` produces U+FFFD mojibake.  The
-    ``encoding``/``encoding_source`` columns are surfaced so gates
-    can filter on them; the %%11 headless plant degrades cleanly."""
-    from .operators import web
-    from .sources import warc as warcmod
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    dec = warcmod.decode_warc_payload_text(
-        warcmod.attach_charset_http_blob(docs), id_col="id"
-    )
-    # the wet_extract projection inlined NEXT TO the encoding columns
-    # (wet_extract itself projects its four columns only; a join back
-    # would re-run the decode UDF and shuffle — one map-side select
-    # keeps the whole check scan-speed)
-    p = F.col("payload_text")
-    status = web.http_status(p)
-    ctype = web.http_header(p, "content-type")
-    is_html = (
-        (status >= 200) & (status < 300)
-        & F.lower(F.coalesce(ctype, F.lit(""))).startswith("text/html")
-    )
-    return dec.select(
-        F.col("id").alias("doc_id"),
-        "encoding",
-        "encoding_source",
-        status.alias("status"),
-        F.when(is_html, web.strip_html(web.http_body(p))).alias("text"),
-    )
-
-
-QUERIES["charset_decode_check"] = charset_decode_check
-ORACLES["charset_decode_check"] = _charset_pinned_oracle()
-
-
-def _video_frame_pinned_oracle() -> str:
-    """Pinned-constant oracle for the MJPEG-in-AVI frame-hash tier:
-    per (video class, frame index) hash pairs computed driver-side
-    through the real AVI walk + JPEG decode.  Constants are identical
-    for the baseline and progressive frame wrappers (same quantized
-    coefficients), so the oracle needs no wrapper key — which IS the
-    re-encode-merge claim under test."""
-    rows = {}
-    nf_case = []
-    for cls in range(6):
-        # a doc_id of this class that is neither the %17 truncation
-        # plant nor the progressive wrapper (constants are identical
-        # for both wrappers anyway — asserted in pytest)
-        did = next(
-            d for d in (cls, cls + 12, cls + 24)
-            if d % 17 != 0 and (d // 6) % 2 == 0
-        )
-        frames = multimodal.avi_mjpeg_frames(multimodal.build_avi_blob(did))
-        nf = len(frames)
-        nf_case.append("WHEN %d THEN %d" % (cls, nf))
-        for k, fb in enumerate(frames):
-            px = multimodal.jpeg_decode_pixels(fb)
-            rows[(cls, k)] = (
-                px.shape[1], px.shape[0],
-                format(multimodal.image_ahash(px), "016x"),
-                format(multimodal.image_dhash(px), "016x"),
-            )
-    ah = " ".join(
-        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[2])
-        for (c, k), v in rows.items()
-    )
-    dh = " ".join(
-        "WHEN cls = %d AND frame_idx = %d THEN '%s'" % (c, k, v[3])
-        for (c, k), v in rows.items()
-    )
-    nfc = " ".join(nf_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, CASE cls {nfc} END AS nf
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, nf,
-                 CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
-                   AS frame_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, frame_idx,
-               CAST(nf AS INTEGER) AS n_frames,
-               CAST(18 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
-               CASE {ah} END AS ahash,
-               CASE {dh} END AS dhash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL,
-               CAST(0 AS INTEGER), CAST(0 AS INTEGER), NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def video_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MJPEG-in-AVI video decode (operators/multimodal.py
-    ``avi_mjpeg_frames`` RIFF walk + ``jpeg_decode_pixels`` per frame,
-    via ``video_frame_hashes``): even-stride frame sampling and
-    per-frame perceptual hashes, row-expanding.  Fixture videos carry
-    2-4 md5-gradient frames; ``(doc_id // 6) %% 2`` re-encodes every
-    frame progressive — SAME pinned hashes either way (the
-    re-encode-merge contract); ``%% 17`` truncates mid-movi
-    (ok=false).  First oracle-exact VIDEO query — the frame-sample
-    tier stops being rows-only."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.video_frame_hashes(
-        multimodal.attach_avi_blob(docs), backend="pure"
-    )
-
-
-QUERIES["video_frame_hash_check"] = video_frame_hash_check
-ORACLES["video_frame_hash_check"] = _video_frame_pinned_oracle()
-
-
-def video_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate VIDEO detection (operators/multimodal.py
-    ``video_near_dup``): first-sampled-frame dHash signature through
-    the shared ``_hash_cluster`` core (exact collapse → capped bands +
-    aHash probe → Catalyst Hamming → components).  Baseline and
-    progressive re-encodes of each video class land on the identical
-    signature and merge in the exact-collapse stage; the six classes
-    sit ≥ 29 dHash bits apart (pinned in pytest), so clusters are
-    exactly the classes — which the oracle states arithmetically."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.video_near_dup(
-        multimodal.attach_avi_blob(docs), backend="pure"
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["video_near_dup_clusters"] = video_near_dup_clusters
-ORACLES["video_near_dup_clusters"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 6
-"""
-
-
-#: abbreviation-laden prefixes planted in-plan by doc_id % 5 — the
-#: documents fixture text contains no abbreviations, so without these
-#: the masked and unmasked tiers would be trivially identical and the
-#: oracle would never exercise the mask
-_ABBREV_PREFIXES = (
-    "Dr. Smith arrived early today. ",
-    "Mr. and Mrs. Jones met Prof. Lee. ",
-    "See fig. 4 in vol. 2 at pp. 7 here. ",
-    "Costs rose approx. ten units vs. last year, etc. ",
-    "The Univ. team from dept. no. 5 moved to St. James. ",
-)
-
-
-def sentence_stats_abbrev_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Abbreviation-aware sentence stats (operators/text.py
-    ``sentence_stats(abbrev_aware=True)``): the bounded
-    ``SENTENCE_ABBREVIATIONS`` set's trailing periods are masked to a
-    non-terminal sentinel before segmentation, so "Dr. Smith
-    arrived." is one sentence — the deterministic tier between the
-    raw terminal-run split and model-based splitters.  Every doc gets
-    an abbreviation-laden prefix planted in-plan (by doc_id %% 5, the
-    oracle replays it) because the fixture text has none — the naive
-    splitter over-counts every one of these prefixes, so exactness
-    here PROVES the mask fired.  Still one map-side projection;
-    pattern and set are generated from the same tuple (single source
-    of truth)."""
-    docs = load_table(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.concat(
-            F.element_at(
-                F.array(*[F.lit(p) for p in _ABBREV_PREFIXES]),
-                (F.col("doc_id") % 5).cast("int") + 1,
-            ),
-            F.col("text"),
-        ).alias("text"),
-    )
-    return text.sentence_stats(planted, abbrev_aware=True)
-
-
-QUERIES["sentence_stats_abbrev_docs"] = sentence_stats_abbrev_docs
-
-ORACLES["sentence_stats_abbrev_docs"] = """
-    WITH planted AS (
-      SELECT doc_id,
-             (CASE CAST(doc_id % 5 AS INTEGER)
-                WHEN 0 THEN '{p0}' WHEN 1 THEN '{p1}' WHEN 2 THEN '{p2}'
-                WHEN 3 THEN '{p3}' ELSE '{p4}' END) || text AS text
-      FROM documents),
-    masked AS (
-      SELECT doc_id,
-             regexp_replace(text, '{abbr_pat}',
-                            '\\1{sentinel}', 'g') AS text
-      FROM planted),
-    s AS (
-      SELECT doc_id,
-             regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents,
-             reverse(regexp_extract(reverse(text), '^[^.!?]*'))
-               AS trailer
-      FROM masked),
-    a AS (
-      SELECT doc_id, coalesce(len(sents), 0) AS n_term,
-             CASE WHEN length(trim(trailer)) > 0
-                  THEN list_append(sents, trailer) ELSE sents END AS alls
-      FROM s),
-    w AS (
-      SELECT doc_id, n_term, coalesce(len(alls), 0) AS n,
-             list_transform(
-               alls,
-               x -> len(regexp_extract_all(x, '{nonws}+'))) AS wc
-      FROM a)
-    SELECT doc_id,
-           CAST(n AS BIGINT) AS n_sentences,
-           CAST(n_term AS BIGINT) AS n_terminated,
-           CAST(coalesce(list_aggregate(wc, 'sum'), 0) AS BIGINT)
-             AS total_words,
-           CASE WHEN n > 0 THEN
-             CAST(coalesce(list_aggregate(wc, 'sum'), 0) // n AS BIGINT)
-           END AS mean_sentence_words,
-           CASE WHEN n > 0 THEN
-             CAST(list_aggregate(wc, 'max') AS BIGINT)
-           END AS max_sentence_words
-    FROM w
-""".replace("{nonws}", text.PORTABLE_NONWS).replace(
-    "{abbr_pat}", text.ABBREV_PERIOD_RE
-).replace("{sentinel}", text._ABBR_SENTINEL).replace(
-    "{p0}", _ABBREV_PREFIXES[0]
-).replace("{p1}", _ABBREV_PREFIXES[1]).replace(
-    "{p2}", _ABBREV_PREFIXES[2]
-).replace("{p3}", _ABBREV_PREFIXES[3]).replace(
-    "{p4}", _ABBREV_PREFIXES[4]
-)
-
-
-def video_aligned_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trim-tolerant video near-dup (operators/multimodal.py
-    ``video_near_dup_aligned``): videos cluster on ≥ 2 SHARED sampled
-    frame hashes, so the head-trimmed variant — whose different first
-    frame the signature tier (``video_near_dup``) misses BY DESIGN —
-    merges with its source and its progressive re-encode.  Fixture
-    classes own disjoint 4-frame ranges (variants share ≥ 3 frames,
-    classes share none, frame universe ≥ 22 dHash bits apart), so
-    clusters are exactly the base classes — stated arithmetically by
-    the oracle.  Exact-collapse on the frame-hash-set signature first;
-    capped per-hash buckets bound the pair join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.video_near_dup_aligned(
-        multimodal.attach_avi_trim_blob(docs), backend="pure"
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["video_aligned_dedup_clusters"] = video_aligned_dedup_clusters
-ORACLES["video_aligned_dedup_clusters"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-def _mp4_sample_pinned_oracle() -> str:
-    """Pinned-constant oracle for the codec-free MP4 sample-hash tier:
-    per (class, variant, sample index) the md5 of the exact encoded
-    sample bytes the stsz/stsc/stco walk must return, computed
-    driver-side through ``mp4_sample_ranges`` itself over the muxed
-    fixture — a wrong chunk-map resolution or off-by-one in the
-    offset arithmetic breaks the hash.  Variants 0 (chunk-per-sample)
-    and 2 (single-chunk re-mux) must pin IDENTICAL hashes — which IS
-    the re-mux-merge claim under test; variant 1 is the head trim."""
-    import hashlib as _hl
-
-    rows = {}
-    n_case = []
-    for cls in range(4):
-        for variant in range(3):
-            did = next(
-                d for d in range(48)
-                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
-            )
-            blob = multimodal.build_mp4_blob(did)
-            ranges = multimodal.mp4_sample_ranges(blob)
-            n_case.append(
-                "WHEN cls = %d AND var = %d THEN %d"
-                % (cls, variant, len(ranges))
-            )
-            for k, (off, sz) in enumerate(ranges):
-                rows[(cls, variant, k)] = _hl.md5(
-                    blob[off:off + sz]
-                ).hexdigest()
-    hc = " ".join(
-        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
-        % (c, v, k, h)
-        for (c, v, k), h in rows.items()
-    )
-    nc = " ".join(n_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, var, CASE {nc} END AS ns
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, var, ns,
-                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
-                   AS sample_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
-               CAST(ns AS INTEGER) AS n_samples,
-               CASE {hc} END AS sample_hash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def mp4_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec-free MP4 sample-table walk (operators/multimodal.py
-    ``mp4_sample_ranges`` → ``mp4_sample_hashes``): moov/trak/mdia/
-    minf/stbl parse, stsc chunk-map resolution, stsz sizes, stco
-    offsets, encoded-sample md5 — the byte tier that reaches the
-    dominant H.264/VP9/AV1-in-MP4 mass without decoding the codec.
-    Fixture: 4 sample classes × (full / head-trim / single-chunk
-    re-mux) variants; %% 17 truncates after mdat so the table is
-    gone (ok=false).  Map-side, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.mp4_sample_hashes(multimodal.attach_mp4_blob(docs))
-
-
-QUERIES["mp4_sample_hash_check"] = mp4_sample_hash_check
-ORACLES["mp4_sample_hash_check"] = _mp4_sample_pinned_oracle()
-
-
-def mp4_byte_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trim-tolerant MP4 byte-hash dedup (operators/multimodal.py
-    ``mp4_byte_dedup``): videos cluster on ≥ 2 shared encoded-sample
-    hashes via the shared-set clustering core, so the single-chunk
-    re-mux (identical hash set — collapses in the signature stage)
-    and the head-trimmed copy (3 of 4 samples shared) merge with the
-    full video while the 4 sample classes stay apart — stated
-    arithmetically by the oracle, exactly like the AVI alignment
-    tier."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.mp4_byte_dedup(multimodal.attach_mp4_blob(docs))
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["mp4_byte_dedup_clusters"] = mp4_byte_dedup_clusters
-ORACLES["mp4_byte_dedup_clusters"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-def _webm_sample_pinned_oracle() -> str:
-    """Pinned-constant oracle for the EBML/WebM sample walk: per
-    (class, container variant, sample index) the md5 of the exact
-    encoded frame bytes the Segment→Cluster→SimpleBlock walk must
-    return, computed driver-side through ``media_sample_ranges`` over
-    the muxed fixture.  Variants 0 (MP4) and 1 (the SAME samples
-    re-muxed WebM) must pin IDENTICAL hashes — encoded frames are
-    container-independent bytes, the cross-container-merge claim."""
-    import hashlib as _hl
-
-    rows = {}
-    n_case = []
-    for cls in range(4):
-        for variant in range(7):
-            did = next(
-                d for d in range(256)
-                if d % 4 == cls and (d // 4) % 7 == variant and d % 17
-            )
-            blob = multimodal.build_media_mux_blob(did)
-            ranges = multimodal.media_sample_ranges(blob)
-            n_case.append(
-                "WHEN cls = %d AND var = %d THEN %d"
-                % (cls, variant, len(ranges))
-            )
-            for k, (off, sz) in enumerate(ranges):
-                rows[(cls, variant, k)] = _hl.md5(
-                    blob[off:off + sz]
-                ).hexdigest()
-    for cls in range(4):
-        for k in range(4):
-            # MP4 == WebM re-mux == fMP4 re-package == every lacing,
-            # hash for hash
-            for var in (1, 3, 4, 5, 6):
-                assert rows[(cls, 0, k)] == rows[(cls, var, k)], \
-                    (cls, var, k)
-    # the %17 plant must be ok=false for EVERY variant: the classic
-    # layout guarantees it structurally (moov after mdat), the
-    # fragmented and laced ones empirically (the 2/3 cut lands inside
-    # an mdat/cluster, invalidating trailing ranges) — assert it so a
-    # fixture-size change can never silently flip the bad branch
-    for var in range(7):
-        did = next(
-            d for d in range(0, 100000, 17)
-            if (d // 4) % 7 == var
-        )
-        assert multimodal.media_sample_ranges(
-            multimodal.build_media_mux_blob(did)
-        ) is None, (did, var)
-    hc = " ".join(
-        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
-        % (c, v, k, h)
-        for (c, v, k), h in rows.items()
-    )
-    nc = " ".join(n_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 7 AS INTEGER) AS var,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, var, CASE {nc} END AS ns
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, var, ns,
-                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
-                   AS sample_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
-               CAST(ns AS INTEGER) AS n_samples,
-               CASE {hc} END AS sample_hash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def webm_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec-free WebM/Matroska sample walk (operators/multimodal.py
-    ``webm_sample_ranges``: EBML VINT parse, Segment → Cluster →
-    SimpleBlock/BlockGroup, with Xiph / EBML / fixed LACING expanded
-    per-frame) through the dispatching ``mp4_sample_hashes`` tier,
-    plus the FRAGMENTED-MP4 walk (moof → traf → tfhd/trun, the
-    DASH/CMAF layout streamed video ships).  Fixture: 4 sample
-    classes × (MP4 / WebM re-mux / WebM head-trim / fMP4 re-package /
-    Xiph-laced / EBML-laced / fixed-laced WebM) variants — all
-    non-trim variants of a class must hash IDENTICALLY (encoded
-    frames are container-, packaging- and lacing-independent);
-    %% 17 truncates (ok=false).  Map-side, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.mp4_sample_hashes(
-        multimodal.attach_media_mux_blob(docs)
-    )
-
-
-QUERIES["webm_sample_hash_check"] = webm_sample_hash_check
-ORACLES["webm_sample_hash_check"] = _webm_sample_pinned_oracle()
-
-
-def cross_container_video_dedup_check(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Cross-container video byte dedup (``mp4_byte_dedup`` over the
-    dispatching walk): an MP4 and its WebM re-mux carry byte-identical
-    encoded frames, so they collapse in the hash-SET signature stage,
-    and the WebM head-trim merges on ≥ 3 shared frame hashes — one
-    cluster per sample class across BOTH containers, stated
-    arithmetically by the oracle.  The merge that format-siloed dedup
-    (hashing whole files, or per-container tiers) structurally
-    misses."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.mp4_byte_dedup(
-        multimodal.attach_media_mux_blob(docs)
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["cross_container_video_dedup_check"] = cross_container_video_dedup_check
-ORACLES["cross_container_video_dedup_check"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-def _mp3_frame_pinned_oracle() -> str:
-    """Pinned-constant oracle for the MPEG audio frame-sync walk: per
-    (class, variant, frame index) the md5 of the exact frame bytes
-    the sync + version/layer/bitrate arithmetic must return, computed
-    driver-side through ``mp3_frame_ranges`` itself over the muxed
-    fixture.  Variants 0 (bare) and 2 (ID3v2+ID3v1 re-tag) must pin
-    IDENTICAL hashes — the tag-transparency claim; variant 1 is the
-    head trim.  The %17 torn-tail plant is asserted None for every
-    variant so a fixture-size change can never silently flip it."""
-    import hashlib as _hl
-
-    rows = {}
-    n_case = []
-    for cls in range(4):
-        for variant in range(3):
-            did = next(
-                d for d in range(48)
-                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
-            )
-            blob = multimodal.build_mp3_blob(did)
-            ranges = multimodal.mp3_frame_ranges(blob)
-            n_case.append(
-                "WHEN cls = %d AND var = %d THEN %d"
-                % (cls, variant, len(ranges))
-            )
-            for k, (off, sz) in enumerate(ranges):
-                rows[(cls, variant, k)] = _hl.md5(
-                    blob[off:off + sz]
-                ).hexdigest()
-    for cls in range(4):
-        for k in range(4):
-            # bare == re-tagged, frame for frame (tag transparency)
-            assert rows[(cls, 0, k)] == rows[(cls, 2, k)], (cls, k)
-    for var in range(3):
-        did = next(
-            d for d in range(0, 100000, 17) if (d // 4) % 3 == var
-        )
-        assert multimodal.media_sample_ranges(
-            multimodal.build_mp3_blob(did)
-        ) is None, (did, var)
-    hc = " ".join(
-        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
-        % (c, v, k, h)
-        for (c, v, k), h in rows.items()
-    )
-    nc = " ".join(n_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, var, CASE {nc} END AS ns
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, var, ns,
-                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
-                   AS sample_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
-               CAST(ns AS INTEGER) AS n_samples,
-               CASE {hc} END AS sample_hash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def mp3_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MPEG audio frame-sync walk (operators/multimodal.py
-    ``mp3_frame_ranges`` → the dispatching ``mp4_sample_hashes``
-    tier): ID3v2 syncsafe skip, ID3v1 trim, 11-bit sync chain with
-    the version/layer/bitrate/samplerate frame-length arithmetic —
-    the byte tier that reaches the dominant real-crawl audio mass
-    without any codec.  Fixture: 4 frame classes (VBR — every frame a
-    different bitrate index) × (bare / head-trim / ID3-re-tag)
-    variants; %% 17 tears the final frame (ok=false).  Map-side, no
-    shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.mp4_sample_hashes(multimodal.attach_mp3_blob(docs))
-
-
-QUERIES["mp3_frame_hash_check"] = mp3_frame_hash_check
-ORACLES["mp3_frame_hash_check"] = _mp3_frame_pinned_oracle()
-
-
-def _wav_mp3_frame_pinned_oracle() -> str:
-    """Pinned-constant oracle for the MP3-in-RIFF tier: per (class,
-    variant, frame index) the md5 the dispatching walk must return —
-    computed driver-side through ``media_sample_ranges`` over the
-    fixture.  Variants 0 (bare MP3) and 1 (the SAME frames inside a
-    RIFF fmt-0x55 WAV) must pin IDENTICAL hashes — the re-wrap
-    transparency claim the cross-container dedup rests on; variant 2
-    is the RIFF head trim.  Both plants asserted None."""
-    import hashlib as _hl
-
-    rows = {}
-    n_case = []
-    for cls in range(4):
-        for variant in range(3):
-            did = next(
-                d for d in range(1000)
-                if d % 4 == cls and (d // 4) % 3 == variant
-                and d % 17 and d % 13
-            )
-            blob = multimodal.build_wav_mp3_blob(did)
-            ranges = multimodal.media_sample_ranges(blob)
-            n_case.append(
-                "WHEN cls = %d AND var = %d THEN %d"
-                % (cls, variant, len(ranges))
-            )
-            for k, r in enumerate(ranges):
-                rows[(cls, variant, k)] = _hl.md5(
-                    multimodal._sample_bytes(blob, r)
-                ).hexdigest()
-    for cls in range(4):
-        for k in range(4):
-            assert rows[(cls, 0, k)] == rows[(cls, 1, k)], (cls, k)
-        for k in range(3):
-            assert rows[(cls, 1, k + 1)] == rows[(cls, 2, k)], (cls, k)
-    for did in range(120):
-        if did % 17 == 0 or did % 13 == 0:
-            assert multimodal.media_sample_ranges(
-                multimodal.build_wav_mp3_blob(did)
-            ) is None, did
-    hc = " ".join(
-        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
-        % (c, v, k, h)
-        for (c, v, k), h in rows.items()
-    )
-    nc = " ".join(n_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                 doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, var, CASE {nc} END AS ns
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, var, ns,
-                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
-                   AS sample_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
-               CAST(ns AS INTEGER) AS n_samples,
-               CASE {hc} END AS sample_hash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def wav_mp3_frame_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP3-in-RIFF (WAV fmt 0x55 — operators/multimodal.py
-    ``_wav_mp3_stream_span`` under the ``media_sample_ranges``
-    dispatch): the frame-sync walk runs over the RIFF data chunk with
-    blob-relative offsets, so a WAV shell around an MP3 stream hashes
-    FRAME-FOR-FRAME identically to the bare stream — closing the last
-    WAV codec stub at the scale-sane byte tier (sample decode of
-    MPEG audio stays the honest codec stub).  %%17 tears the data
-    chunk, %%13 relabels fmt 0x50 / breaks the bare sync — ok=false."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.mp4_sample_hashes(
-        multimodal.attach_wav_mp3_blob(docs)
-    )
-
-
-QUERIES["wav_mp3_frame_hash_check"] = wav_mp3_frame_hash_check
-ORACLES["wav_mp3_frame_hash_check"] = _wav_mp3_frame_pinned_oracle()
-
-
-def wav_mp3_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-container byte dedup over the MP3-in-RIFF universe: a
-    bare MP3, its RIFF fmt-0x55 re-wrap and the RIFF head-trim all
-    carry the same frame-hash signatures, so ``mp4_byte_dedup``
-    merges them — one cluster per frame class, stated arithmetically
-    by the oracle.  Whole-file hashing misses the moment a tool
-    re-containers the audio."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.mp4_byte_dedup(
-        multimodal.attach_wav_mp3_blob(docs)
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["wav_mp3_cross_dedup"] = wav_mp3_cross_dedup
-ORACLES["wav_mp3_cross_dedup"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-def mp3_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tag- and trim-tolerant MP3 byte dedup (``mp4_byte_dedup`` over
-    the dispatching frame walk, i.e. the ``_shared_hash_cluster``
-    core): a bare stream and its ID3-re-tagged copy carry identical
-    frame hash SETS (collapse in the signature stage) and the
-    head-trim shares 3 of 4 frames — one cluster per frame class,
-    stated arithmetically by the oracle.  The merge whole-file
-    hashing misses the moment a tagger touches the file."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.mp4_byte_dedup(multimodal.attach_mp3_blob(docs))
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["mp3_byte_dedup"] = mp3_byte_dedup
-ORACLES["mp3_byte_dedup"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-def _audio_window_pinned_oracle() -> str:
-    """Pinned-constant oracle for the windowed audio envelope tier:
-    per (class, variant, window index) the 16-hex hash the PCM decode
-    + per-window envelope must produce — computed driver-side through
-    ``audio_window_hashes``'s kernel over the fixture blobs.  The
-    PCM16 full clip (var 0) and its G.711 µ-law re-encode (var 2)
-    must pin IDENTICAL hashes window-for-window — the lossy-re-encode
-    invariance claim; var 1 is the head trim (window j+1 at index
-    j)."""
-    import hashlib as _hl  # noqa: F401  (parallel to siblings)
-
-    rows = {}
-    n_case = []
-    for cls in range(4):
-        for variant in range(3):
-            did = next(
-                d for d in range(48)
-                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
-            )
-            blob = multimodal.build_wav_align_blob(did)
-            dec = multimodal.wav_decode_samples(blob)
-            arr = dec[2]
-            n_win = arr.shape[0] // 1024
-            n_case.append(
-                "WHEN cls = %d AND var = %d THEN %d"
-                % (cls, variant, n_win)
-            )
-            for k in range(n_win):
-                rows[(cls, variant, k)] = format(
-                    multimodal.audio_envelope_hash(
-                        arr[k * 1024:(k + 1) * 1024]
-                    ),
-                    "016x",
-                )
-    for cls in range(4):
-        for k in range(4):
-            # PCM16 == µ-law re-encode, window for window
-            assert rows[(cls, 0, k)] == rows[(cls, 2, k)], (cls, k)
-        for k in range(3):
-            # head trim: window j+1 lands at index j, hash unchanged
-            assert rows[(cls, 1, k)] == rows[(cls, 0, k + 1)], (cls, k)
-    for var in range(3):
-        did = next(
-            d for d in range(0, 100000, 17) if (d // 4) % 3 == var
-        )
-        assert multimodal.wav_decode_samples(
-            multimodal.build_wav_align_blob(did)
-        ) is None, (did, var)
-    hc = " ".join(
-        "WHEN cls = %d AND var = %d AND win_idx = %d THEN '%s'"
-        % (c, v, k, h)
-        for (c, v, k), h in rows.items()
-    )
-    nc = " ".join(n_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, var, CASE {nc} END AS nw
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, var, nw,
-                 CAST(unnest(generate_series(0, nw - 1)) AS INTEGER)
-                   AS win_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, win_idx,
-               CAST(nw AS INTEGER) AS n_windows,
-               CASE {hc} END AS whash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def audio_window_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed audio envelope hashing (operators/multimodal.py
-    ``audio_window_hashes``): real PCM decode (PCM16 and the G.711
-    µ-law compander), one 64-bit energy-envelope hash per 1024-frame
-    window.  Fixture: 4 window classes × (full PCM16 / head-trim /
-    µ-law re-encode) variants — the re-encode must hash IDENTICALLY
-    window-for-window (quantization error ≤ 76 vs ≥ 11k envelope
-    margins) and the trim must shift indexes without changing hashes;
-    %% 17 truncates mid-data (ok=false).  Map-side, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.audio_window_hashes(
-        multimodal.attach_wav_align_blob(docs)
-    )
-
-
-QUERIES["audio_window_hash_check"] = audio_window_hash_check
-ORACLES["audio_window_hash_check"] = _audio_window_pinned_oracle()
-
-
-def audio_aligned_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trim-tolerant audio near-dup (operators/multimodal.py
-    ``audio_near_dup_aligned``, the audio sibling of
-    ``video_near_dup_aligned`` on the same ``_shared_hash_cluster``
-    core): clips cluster on ≥ 2 shared windowed envelope hashes, so
-    the head-trimmed copy — which the whole-clip signature tier
-    (``audio_hash_dedup``) misses BY DESIGN — merges with its source
-    and the source's lossy G.711 re-encode: one cluster per window
-    class, stated arithmetically by the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.audio_near_dup_aligned(
-        multimodal.attach_wav_align_blob(docs)
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["audio_aligned_dedup_clusters"] = audio_aligned_dedup_clusters
-ORACLES["audio_aligned_dedup_clusters"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-def _ogg_sample_pinned_oracle() -> str:
-    """Pinned-constant oracle for the Ogg page walk: per (class,
-    variant, packet index) the md5 of the exact reassembled packet
-    bytes the CRC-verified page walk must return, computed
-    driver-side through ``ogg_packet_ranges`` itself over the muxed
-    fixture.  Variants 0 (single-page) and 2 (re-paginated spanning
-    pages + re-tagged OpusTags) must pin IDENTICAL hashes — the
-    pagination/tag-transparency claim; variant 1 is the head trim.
-    The %17 torn-tail plant is asserted None for every variant so a
-    fixture-size change can never silently flip it."""
-    import hashlib as _hl
-
-    rows = {}
-    n_case = []
-    for cls in range(4):
-        for variant in range(3):
-            did = next(
-                d for d in range(48)
-                if d % 4 == cls and (d // 4) % 3 == variant and d % 17
-            )
-            blob = multimodal.build_ogg_blob(did)
-            ranges = multimodal.ogg_packet_ranges(blob)
-            n_case.append(
-                "WHEN cls = %d AND var = %d THEN %d"
-                % (cls, variant, len(ranges))
-            )
-            for k, r in enumerate(ranges):
-                rows[(cls, variant, k)] = _hl.md5(
-                    multimodal._sample_bytes(blob, r)
-                ).hexdigest()
-    for cls in range(4):
-        for k in range(4):
-            # single-page == re-paginated+re-tagged, packet for packet
-            assert rows[(cls, 0, k)] == rows[(cls, 2, k)], (cls, k)
-        for k in range(3):
-            # head trim: packet j+1 lands at index j, hash unchanged
-            assert rows[(cls, 1, k)] == rows[(cls, 0, k + 1)], (cls, k)
-    for var in range(3):
-        did = next(
-            d for d in range(0, 100000, 17) if (d // 4) % 3 == var
-        )
-        assert multimodal.media_sample_ranges(
-            multimodal.build_ogg_blob(did)
-        ) is None, (did, var)
-    hc = " ".join(
-        "WHEN cls = %d AND var = %d AND sample_idx = %d THEN '%s'"
-        % (c, v, k, h)
-        for (c, v, k), h in rows.items()
-    )
-    nc = " ".join(n_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS cls,
-                 CAST((doc_id // 4) % 3 AS INTEGER) AS var,
-                 doc_id % 17 = 0 AS bad
-          FROM documents),
-        okf AS (
-          SELECT doc_id, cls, var, CASE {nc} END AS ns
-          FROM base WHERE NOT bad),
-        expanded AS (
-          SELECT doc_id, cls, var, ns,
-                 CAST(unnest(generate_series(0, ns - 1)) AS INTEGER)
-                   AS sample_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS id, sample_idx,
-               CAST(ns AS INTEGER) AS n_samples,
-               CASE {hc} END AS sample_hash,
-               TRUE AS ok
-        FROM expanded
-        UNION ALL
-        SELECT CAST(doc_id AS BIGINT), NULL, NULL, NULL, FALSE
-        FROM base WHERE bad
-    """
-
-
-def ogg_sample_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ogg page walk (operators/multimodal.py ``ogg_packet_ranges`` →
-    the dispatching ``mp4_sample_hashes`` tier): RFC 3533 capture
-    pattern, PER-PAGE CRC verification (the non-reflected 0x04C11DB7
-    polynomial), lacing-table packet reassembly ACROSS pages and
-    multiplexed streams, magic-sniffed OpusHead/OpusTags //
-    Vorbis/Theora header skip — the other common crawl audio
-    container, codec-free.  Fixture: 4 packet classes (sizes
-    200/510/350/650 — every lacing shape incl. an exact 255-multiple)
-    × (single-page / head-trim / re-paginated-spanning + re-tagged)
-    variants; %% 17 tears the final page (ok=false).  Map-side, no
-    shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return multimodal.mp4_sample_hashes(multimodal.attach_ogg_blob(docs))
-
-
-QUERIES["ogg_sample_hash_check"] = ogg_sample_hash_check
-ORACLES["ogg_sample_hash_check"] = _ogg_sample_pinned_oracle()
-
-
-def cross_container_audio_dedup_check(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Cross-container AUDIO byte dedup (``mp4_byte_dedup`` over the
-    dispatching walk — the audio analogue of
-    ``cross_container_video_dedup_check``): an Ogg stream, its
-    re-paginated/re-tagged copy, and its WebM re-mux (Xiph- or
-    EBML-laced SimpleBlock) carry byte-identical codec packets —
-    identical hash SETS, collapsed in the signature stage — and the
-    Ogg head-trim merges on ≥ 3 shared packet hashes: one cluster per
-    packet class across BOTH containers, stated arithmetically by the
-    oracle.  The merge that container-siloed audio dedup structurally
-    misses."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = multimodal.mp4_byte_dedup(
-        multimodal.attach_audio_mux_blob(docs)
-    )
-    return clusters.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-QUERIES["cross_container_audio_dedup_check"] = cross_container_audio_dedup_check
-ORACLES["cross_container_audio_dedup_check"] = """
-    SELECT CAST(min(doc_id) AS BIGINT) AS cluster,
-           count(*) AS n_members
-    FROM documents
-    WHERE doc_id % 17 <> 0
-    GROUP BY doc_id % 4
-"""
-
-
-# Round-13 re-pointing (r12 verdict task): the two remaining
-# pre-real-decoder rows-only entries gain exact oracles.
-# multimodal_decode_stub replays the media-header arithmetic under the
-# image-decoder contract (WAV and truncated blobs are ok=false zeros);
-# multimodal_frame_sample pins the md5/length of the exact JPEG frame
-# bytes the AVI RIFF walk must return, per (class, wrapper, frame).
-ORACLES["multimodal_decode_stub"] = """
-    SELECT doc_id AS id,
-      CAST(CASE WHEN bad THEN 0 ELSE 16 + doc_id % 300 END AS INT)
-        AS width,
-      CAST(CASE WHEN bad THEN 0 ELSE 16 + (doc_id // 7) % 300 END AS INT)
-        AS height,
-      CAST(CASE WHEN bad THEN 0
-           WHEN doc_id % 5 = 0 THEN
-             CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
-                             WHEN 2 THEN 2 ELSE 4 END
-           WHEN doc_id % 5 = 1 THEN 1 + (doc_id % 2) * 2
-           WHEN doc_id % 5 = 2 THEN 3
-           ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
-           END AS INT) AS channels,
-      NOT bad AS ok
-    FROM (SELECT doc_id,
-                 doc_id % 17 = 0 OR doc_id % 5 = 4 AS bad
-          FROM documents)
-"""
-
-
-def _frame_sample_pinned_oracle() -> str:
-    import hashlib as _hl
-
-    rows = {}
-    nf_case = []
-    for cls in range(6):
-        for wrap in range(2):
-            did = next(
-                d for d in (cls + 6 * wrap, cls + 6 * wrap + 12,
-                            cls + 6 * wrap + 24)
-                if d % 17 != 0
-                and d % 6 == cls and (d // 6) % 2 == wrap
-            )
-            frames = multimodal.avi_mjpeg_frames(
-                multimodal.build_avi_blob(did)
-            )
-            if wrap == 0:
-                nf_case.append("WHEN %d THEN %d" % (cls, len(frames)))
-            for k, fb in enumerate(frames):
-                rows[(cls, wrap, k)] = (len(fb), _hl.md5(fb).hexdigest())
-    nb = " ".join(
-        "WHEN cls = %d AND wrap = %d AND frame_idx = %d THEN %d"
-        % (c, w, k, v[0]) for (c, w, k), v in rows.items()
-    )
-    md = " ".join(
-        "WHEN cls = %d AND wrap = %d AND frame_idx = %d THEN '%s'"
-        % (c, w, k, v[1]) for (c, w, k), v in rows.items()
-    )
-    nfc = " ".join(nf_case)
-    return f"""
-        WITH base AS (
-          SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
-                 CAST((doc_id // 6) % 2 AS INTEGER) AS wrap
-          FROM documents WHERE doc_id % 17 <> 0),
-        okf AS (
-          SELECT doc_id, cls, wrap, CASE cls {nfc} END AS nf FROM base),
-        expanded AS (
-          SELECT doc_id, cls, wrap,
-                 CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
-                   AS frame_idx
-          FROM okf)
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx,
-               CAST(CASE {nb} END AS BIGINT) AS n_bytes,
-               CASE {md} END AS frame_md5
-        FROM expanded
-    """
-
-
-ORACLES["multimodal_frame_sample"] = _frame_sample_pinned_oracle()
-
-
-def image_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-batch IMAGE dedup's per-slice body (streaming/ingest.py
-    ``image_survivors`` — the exact function the foreachBatch sink
-    runs), driven as two id-ordered slices with the second screened
-    against the first's dHashes, then folded: real pixel decode,
-    batch-internal exact collapse, cross-slice anti-join.  Because
-    the slice split is an id prefix, first-batch-wins equals the
-    global min-id keeper per distinct hash — the 24 PNG fixture
-    classes have 24 distinct dHashes (checked at oracle build), so
-    the oracle states survivors arithmetically: min ok doc_id per
-    class.  The near-dup tier deliberately runs at finalization
-    (see image_survivors), mirroring the crawl stack's cap rule."""
-    from .streaming.ingest import image_survivors
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    blobs = multimodal.attach_png_blob(docs)
-    empty = spark.createDataFrame([], "fingerprint string")
-    s1 = image_survivors(
-        blobs.filter(F.col("id") < 250), empty, backend="pure"
-    ).localCheckpoint(eager=True)
-    seen = s1.select(F.col("dhash").alias("fingerprint"))
-    s2 = image_survivors(
-        blobs.filter(F.col("id") >= 250), seen, backend="pure"
-    )
-    return s1.unionByName(s2).select(
-        F.col("id").alias("doc_id"), "dhash"
-    )
-
-
-def _image_ingest_oracle() -> str:
-    rows = {}
-    for cls in range(24):
-        px, pal = multimodal._png_fixture_pixels(cls)
-        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
-        rows[cls] = format(multimodal.image_dhash(dec), "016x")
-    assert len(set(rows.values())) == 24, "fixture classes must not collide"
-    dh = " ".join(
-        "WHEN cls = %d THEN '%s'" % (c, v) for c, v in rows.items()
-    )
-    return f"""
-        WITH ok_docs AS (
-          SELECT doc_id, CAST(doc_id % 24 AS INTEGER) AS cls
-          FROM documents
-          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0)
-        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
-               (CASE {dh} END) AS dhash
-        FROM ok_docs
-        GROUP BY cls
-    """
-
-
-QUERIES["image_ingest_check"] = image_ingest_check
-ORACLES["image_ingest_check"] = _image_ingest_oracle()
-
-
-def _image_finalize_oracle() -> str:
-    """Arithmetic oracle for the composed streaming-image pipeline:
-    survivors are min-ok-doc_id per PNG fixture class (the
-    image_ingest_check argument: id-prefix slices make
-    first-batch-wins equal global min-id per distinct dHash), and the
-    finalization near-dup tier must merge each base class with its
-    bottom-rows-perturbed variant (cls and cls+12).  The recall and
-    separation preconditions are ASSERTED here through the real
-    decode + hash path: every near-dup pair sits within the Hamming
-    threshold with its differing bits confined to one LSH band
-    (candidate guaranteed), every cross-class pair sits beyond it
-    (no false merges) — so clusters are exactly the 12 base-class
-    pairs, stated arithmetically."""
-    rows = {}
-    for cls in range(24):
-        px, pal = multimodal._png_fixture_pixels(cls)
-        dec = multimodal.png_decode_pixels(multimodal.png_encode(px, pal))
-        rows[cls] = multimodal.image_dhash(dec)
-    for b in range(12):
-        d = bin(rows[b] ^ rows[b + 12]).count("1")
-        assert 0 < d <= 6, (b, d)
-        # differing bits confined to ONE 16-bit band → LSH candidate
-        bands = sum(
-            1 for k in range(4)
-            if (rows[b] ^ rows[b + 12]) >> (16 * k) & 0xFFFF
-        )
-        assert bands == 1, (b, bands)
-    for a in range(12):
-        for c in range(a + 1, 12):
-            for xa in (a, a + 12):
-                for xc in (c, c + 12):
-                    assert bin(rows[xa] ^ rows[xc]).count("1") > 6
-    return """
-        WITH ok_docs AS (
-          SELECT doc_id, CAST(doc_id % 24 AS INTEGER) AS cls
-          FROM documents
-          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0),
-        survivors AS (
-          SELECT cls, min(doc_id) AS doc_id
-          FROM ok_docs GROUP BY cls)
-        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
-               CAST(min(t.doc_id) AS BIGINT) AS cluster
-        FROM survivors s
-        JOIN survivors t ON t.cls % 12 = s.cls % 12
-        GROUP BY s.doc_id
-    """
-
-
-def image_ingest_finalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED streaming image pipeline, end to end: three
-    id-ordered slices through ``image_survivors`` (each screened
-    against the dHashes the previous slices accumulated — the exact
-    foreachBatch body), survivors unioned, then the finalization
-    near-dup tier over the accumulated (id, dhash, ahash) rows via
-    ``image_hash_near_dup`` — the crawl_ingest_check pattern applied
-    to the multimodal sink, closing the r13 verdict's missing
-    composition oracle.  No pixel is re-decoded at finalization: the
-    survivors already carry their hashes."""
-    from .streaming.ingest import image_survivors
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    blobs = multimodal.attach_png_blob(docs)
-    empty = spark.createDataFrame([], "fingerprint string")
-    s1 = image_survivors(
-        blobs.filter(F.col("id") < 170), empty, backend="pure"
-    ).localCheckpoint(eager=True)
-    seen1 = s1.select(F.col("dhash").alias("fingerprint"))
-    s2 = image_survivors(
-        blobs.filter((F.col("id") >= 170) & (F.col("id") < 340)),
-        seen1, backend="pure",
-    ).localCheckpoint(eager=True)
-    seen2 = seen1.unionByName(
-        s2.select(F.col("dhash").alias("fingerprint"))
-    )
-    s3 = image_survivors(
-        blobs.filter(F.col("id") >= 340), seen2, backend="pure"
-    )
-    survivors = s1.unionByName(s2).unionByName(s3)
-    return multimodal.image_hash_near_dup(
-        survivors.select("id", "dhash", "ahash"), probe_ahash=True
-    ).select(F.col("id").alias("doc_id"), "cluster")
-
-
-QUERIES["image_ingest_finalize_check"] = image_ingest_finalize_check
-ORACLES["image_ingest_finalize_check"] = _image_finalize_oracle()
-
-
-def _image_resize_oracle() -> str:
-    """Pinned-constant oracle for the resize tier: per PNG fixture
-    class the md5 of the 8×8 bilinear thumbnail's PNG bytes, computed
-    driver-side through the very decode → resize → encode path under
-    test (a one-ULP interpolation difference or a wrong half-pixel
-    center breaks the hash).  %17 truncation and %13 relabel plants
-    pin ok=false rows."""
-    import hashlib as _hl
-
-    rows = {}
-    for cls in range(24):
-        did = next(
-            d for d in (cls, cls + 24, cls + 48)
-            if d % 17 and d % 13
-        )
-        blob = multimodal.build_png_blob(did)
-        px = multimodal.decode_image_pixels(blob, "pure")
-        small = multimodal.image_resize_pixels(px, 8, 8, "bilinear")
-        rows[cls] = (
-            small.shape[2],
-            _hl.md5(multimodal.png_encode(small)).hexdigest(),
-        )
-    ch = " ".join(
-        "WHEN cls = %d THEN %d" % (c, v[0]) for c, v in rows.items()
-    )
-    md = " ".join(
-        "WHEN cls = %d THEN '%s'" % (c, v[1]) for c, v in rows.items()
-    )
-    return f"""
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          CAST(CASE WHEN bad THEN 0 ELSE 8 END AS INTEGER) AS width,
-          CAST(CASE WHEN bad THEN 0 ELSE 8 END AS INTEGER) AS height,
-          CAST(CASE WHEN bad THEN 0 ELSE (CASE {ch} END)
-               END AS INTEGER) AS channels,
-          CASE WHEN bad THEN NULL ELSE (CASE {md} END) END AS thumb_md5,
-          NOT bad AS ok
-        FROM (SELECT doc_id, CAST(doc_id % 24 AS INTEGER) AS cls,
-                     doc_id % 17 = 0 OR doc_id % 13 = 0 AS bad
-              FROM documents)
-    """
-
-
-def image_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real decode → resize → lossless re-encode
-    (operators/multimodal.py ``resize_images`` over
-    ``image_resize_pixels``): the thumbnail/normalization step of a
-    multimodal training pipeline, as one map-side Arrow pass.  The
-    check resizes every PNG fixture to an 8×8 bilinear thumbnail and
-    md5s the re-encoded bytes against per-class constants computed
-    through the same kernel; truncated (%%17) and relabeled (%%13)
-    plants are ok=false rows.  Zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = multimodal.resize_images(
-        multimodal.attach_png_blob(docs), 8, 8,
-        mode="bilinear", backend="pure",
-    )
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "width", "height", "channels",
-        F.md5(F.col("content")).alias("thumb_md5"),
-        "ok",
-    )
-
-
-QUERIES["image_resize_check"] = image_resize_check
-ORACLES["image_resize_check"] = _image_resize_oracle()
 
 
 # Driver-verified window — an EXPLICIT name list (round 13, replacing
@@ -11470,3 +344,4 @@ def get_queries() -> dict[str, QueryFn]:
 
 def get_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
