@@ -524,19 +524,31 @@ def word_ngrams(
 
 
 def df_cap_frame(
-    df: DataFrame, min_cap: int = 5, frac: float = 0.1
+    df: DataFrame, min_cap: int = 5, frac: float = 0.1,
+    max_cap: "int | None" = None,
 ) -> DataFrame:
-    """One-row frame ``(_df_cap,)`` = max(min_cap, floor(N·frac)) with N
-    the row count of ``df`` — the document-frequency skew cap computed
-    INSIDE the plan.  Pass it as ``max_shingle_df``: the guard cross-joins
-    this single broadcast row instead of running a separate ``count()``
-    job on the driver before the query even starts."""
-    return df.agg(
-        F.greatest(
-            F.lit(min_cap).cast("long"),
-            F.floor(F.count(F.lit(1)) * F.lit(frac)).cast("long"),
-        ).alias("_df_cap")
+    """One-row frame ``(_df_cap,)`` = max(min_cap, floor(N·frac)),
+    clamped to ``max_cap`` when given, with N the row count of ``df``
+    — the document-frequency skew cap computed INSIDE the plan.  Pass
+    it as ``max_shingle_df``: the guard cross-joins this single
+    broadcast row instead of running a separate ``count()`` job on
+    the driver before the query even starts.
+
+    ``max_cap`` is the SCALE bound: per capped shingle the pair join
+    fans out up to cap² rows, so a purely RELATIVE cap (frac·N) makes
+    worst-case join work quadratic in corpus size — measured in the
+    round-19 10× suite anchor (contamination_hits 48.8× at 10×).
+    With an absolute ceiling the worst case is Σ_shingles cap² ≤
+    (N·L/cap)·cap² = N·L·cap — linear in N.  A shingle above a few
+    hundred documents is boilerplate, not signal, so the ceiling
+    costs no recall at the thresholds these operators run at."""
+    cap = F.greatest(
+        F.lit(min_cap).cast("long"),
+        F.floor(F.count(F.lit(1)) * F.lit(frac)).cast("long"),
     )
+    if max_cap is not None:
+        cap = F.least(cap, F.lit(int(max_cap)).cast("long"))
+    return df.agg(cap.alias("_df_cap"))
 
 
 def _apply_df_guard(

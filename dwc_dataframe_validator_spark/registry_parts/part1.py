@@ -535,7 +535,8 @@ def text_ngram_top_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     job before the query starts."""
     docs = load_table(spark, sf_dir, "documents")
     return text.jaccard_top_neighbor(
-        docs, n=2, max_shingle_df=text.df_cap_frame(docs)
+        docs, n=2,
+        max_shingle_df=text.df_cap_frame(docs, max_cap=500),
     )
 
 
@@ -1162,7 +1163,10 @@ def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram Jaccard against any benchmark doc reaches 0.5 — the overlap
     check exact fingerprints miss (this corpus's planted dups are
     near-dups, not byte-identical).  Same df skew guard as
-    text_ngram_top_neighbor."""
+    text_ngram_top_neighbor, clamped at 500 (r19): the relative cap
+    alone is quadratic at scale — see df_cap_frame.  At the
+    sf0.01/sf0.1 gate scales the clamp is inactive (caps 50/500),
+    so results are byte-identical to the unclamped form."""
     from ..operators.pipeline import ngram_contamination
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1175,7 +1179,7 @@ def contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~held),
         docs.filter(held),
         threshold=0.5,
-        max_shingle_df=text.df_cap_frame(docs),
+        max_shingle_df=text.df_cap_frame(docs, max_cap=500),
     )
 
 

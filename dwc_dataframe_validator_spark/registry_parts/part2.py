@@ -233,7 +233,8 @@ ORACLES: dict[str, str] = {
         -- than max(5, N/10) documents before pairing
         keep AS (
           SELECT shingle FROM grams0 GROUP BY shingle
-          HAVING count(*) <= greatest(5, (SELECT count(*) FROM documents) // 10)),
+          HAVING count(*) <= least(500,
+            greatest(5, (SELECT count(*) FROM documents) // 10))),
         grams AS (SELECT g.* FROM grams0 g JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
         pairs AS (
@@ -648,7 +649,8 @@ ORACLES: dict[str, str] = {
           FROM words),
         keep AS (
           SELECT shingle FROM grams0 GROUP BY shingle
-          HAVING count(*) <= greatest(5, (SELECT count(*) FROM documents) // 10)),
+          HAVING count(*) <= least(500,
+            greatest(5, (SELECT count(*) FROM documents) // 10))),
         grams AS (SELECT g.* FROM grams0 g JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS nsh FROM grams GROUP BY 1),
         pairs AS (

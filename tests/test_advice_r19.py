@@ -155,3 +155,16 @@ def test_tiff_compression6_adjudicated_stub():
     assert hit
     with pytest.raises(NotImplementedError, match="adjudicated"):
         mm.tiff_decode_pixels(bytes(blob))
+
+
+def test_df_cap_frame_absolute_ceiling(spark):
+    """r19 scale fix: the relative df cap clamps at max_cap, so the
+    pair join's worst-case fan-out stays linear in corpus size; at
+    the sf0.01/sf0.1 gate scales the clamp is inactive."""
+    from dwc_dataframe_validator_spark.operators import text as T
+
+    big = spark.range(100_000).toDF("doc_id")
+    assert T.df_cap_frame(big, max_cap=500).collect()[0][0] == 500
+    assert T.df_cap_frame(big).collect()[0][0] == 10_000
+    small = spark.range(500).toDF("doc_id")
+    assert T.df_cap_frame(small, max_cap=500).collect()[0][0] == 50
