@@ -36,10 +36,37 @@ Scope (the scanned-document mass a crawl meets):
   regions composed onto the page with the external combination
   operators, optional ``/JBIG2Globals`` prepended.
 
+Since round 19 the Huffman variants decode through
+``jbig2_huff.py`` (SDHUFF symbol dictionaries complete with the
+structurally-verified standard tables B.1–B.5 and MMR/raw
+height-class collective bitmaps; SBHUFF text regions with custom
+type-53 tables; runcode symbol-ID codes) — see that module's
+docstring for the B.6–B.15 / SDREFAGG-Huffman honest-flag
+boundary.
+
 Out of scope — an honest ``NotImplementedError`` flag, never a
-guessed bitmap: the Huffman-table variants (SDHUFF/SBHUFF),
-halftone regions and pattern dictionaries, unknown-length
-segments.  The reference
+guessed bitmap:
+
+- HALFTONE regions and pattern dictionaries (types 16/20/22/23) —
+  ADJUDICATED (r19, the JPX precedent).  The machinery they need
+  (generic-region decode for the pattern dictionary's collective
+  bitmap and for each gray-code bitplane) already exists here, but
+  the halftone GRID placement is a 16.8 fixed-point formula
+  (§6.6.5: per-cell x/y from HGX/HGY with the HRX/HRY vector,
+  including the sign-extension and >>8 rounding corners) whose
+  exact constants cannot be re-derived or cross-checked in this
+  offline container — and a mis-rounded grid composites every
+  pattern at subtly wrong positions: plausible-but-wrong pixels,
+  the exact failure mode this module's contract forbids.  Recall
+  statement: halftone coding targets dithered continuous-tone
+  content inside bilevel scans (rare in text documents — the
+  dominant JBIG2 mass is generic + symbol/text, both decoded
+  here); a crawl hitting material halftone mass would warrant
+  transcribing the grid formula from a spec copy (data entry into
+  the existing machinery), never guessing it.
+- unknown-length segments (0xFFFFFFFF data length).
+
+The reference
 (djtfmartin/dwc-dataframe-validator) has no media decode at all;
 this tier belongs to the repo's beyond-reference multimodal surface.
 
