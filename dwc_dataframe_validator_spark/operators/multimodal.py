@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import struct
 import zlib
@@ -5518,8 +5519,15 @@ def build_avi_trim_blob(doc_id: int) -> bytes:
     every frame re-encoded progressive (identical hashes).  All
     variants share ≥ 3 frames, so they merge under ``min_shared=2``;
     classes share none.  ``doc_id %% 17 == 0`` truncates (ok=false)."""
-    cls = doc_id % 4
-    variant = (doc_id // 4) % 3
+    # 24-blob universe (cls, variant, trunc) — memoized like
+    # _avi_blob_cached
+    return _avi_trim_blob_cached(
+        doc_id % 4, (doc_id // 4) % 3, doc_id % 17 == 0
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _avi_trim_blob_cached(cls: int, variant: int, trunc: bool) -> bytes:
     idxs = list(range(4 * cls, 4 * cls + 4))
     if variant == 1:
         idxs = idxs[1:]
@@ -5528,7 +5536,7 @@ def build_avi_trim_blob(doc_id: int) -> bytes:
         jpeg_encode(_video_seq_frame_px(j), progressive=prog) for j in idxs
     ]
     blob = avi_mjpeg_encode(frames, 18, 16)
-    if doc_id % 17 == 0:
+    if trunc:
         return blob[: len(blob) * 2 // 3]
     return blob
 
@@ -6739,8 +6747,15 @@ def build_media_mux_blob(doc_id: int) -> bytes:
     == 0`` truncates (MP4/fMP4: table or trailing fragment gone;
     WebM: cut cluster → short block walk fails) — ok=false either
     way."""
-    cls = doc_id % 4
-    variant = (doc_id // 4) % 7
+    # 56-blob universe (cls, variant, trunc) — memoized like
+    # _avi_blob_cached
+    return _media_mux_blob_cached(
+        doc_id % 4, (doc_id // 4) % 7, doc_id % 17 == 0
+    )
+
+
+@_functools.lru_cache(maxsize=128)
+def _media_mux_blob_cached(cls: int, variant: int, trunc: bool) -> bytes:
     idxs = list(range(4 * cls, 4 * cls + 4))
     if variant == 2:
         idxs = idxs[1:]
@@ -6763,7 +6778,7 @@ def build_media_mux_blob(doc_id: int) -> bytes:
         )
     else:
         blob = webm_mux(samples)
-    if doc_id % 17 == 0:
+    if trunc:
         return blob[: len(blob) * 2 // 3]
     return blob
 
@@ -7081,8 +7096,16 @@ def build_avi_blob(doc_id: int) -> bytes:
     ``%% 2`` would correlate with the class parity); frames alternate
     4:4:4 / 4:2:0 sampling.  ``doc_id %% 17 == 0`` truncates mid-movi
     (malformed → ok=false)."""
-    cls = doc_id % 6
-    prog = (doc_id // 6) % 2 == 1
+    # the blob depends only on (cls, prog, trunc) — a 24-blob
+    # universe memoized per worker (r19): identical bytes, and the
+    # pure-Python JPEG encode no longer scales with row count
+    return _avi_blob_cached(
+        doc_id % 6, (doc_id // 6) % 2 == 1, doc_id % 17 == 0
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _avi_blob_cached(cls: int, prog: bool, trunc: bool) -> bytes:
     frames_px = _avi_fixture_frames(cls)
     frames = [
         jpeg_encode(px, subsample=(k % 2 == 1), progressive=prog)
@@ -7090,7 +7113,7 @@ def build_avi_blob(doc_id: int) -> bytes:
     ]
     h, w = frames_px[0].shape[:2]
     blob = avi_mjpeg_encode(frames, w, h)
-    if doc_id % 17 == 0:
+    if trunc:
         return blob[: len(blob) * 2 // 3]
     return blob
 
