@@ -2547,7 +2547,12 @@ def build_gif_anim_blob(doc_id: int) -> bytes:
     path (sub-rects, transparency holes, disposal 1/2/3) runs at
     corpus scale.  ``doc_id %% 17`` truncates mid-stream (malformed →
     ok=false)."""
-    cls = doc_id % 6
+    # finite universe (cls, trunc17) — memoized (r19)
+    return _gif_anim_blob_cached(doc_id % 6, doc_id % 17 == 0)
+
+
+@_functools.lru_cache(maxsize=32)
+def _gif_anim_blob_cached(cls: int, trunc17: bool) -> bytes:
     nf = 2 + cls % 3
     frames = [(0, 0, _gif_anim_pattern(cls, 0, 16, 16), 1, None)]
     if nf >= 2:
@@ -2557,7 +2562,7 @@ def build_gif_anim_blob(doc_id: int) -> bytes:
     if nf >= 4:
         frames.append((0, 0, _gif_anim_pattern(cls, 3, 16, 16), 0, None))
     blob = gif_encode_anim(frames, _GIF_ANIM_PALETTE, 16, 16, bg_idx=1)
-    if doc_id % 17 == 0:
+    if trunc17:
         return blob[: len(blob) * 2 // 3]
     return blob
 
@@ -5000,15 +5005,24 @@ def build_jpeg_blob(doc_id: int) -> bytes:
     mid-scan (malformed → ok=false); %% 13 rewrites SOF0→SOF2,
     which since round 13 is an ILLEGAL-progressive corrupt plant
     (full-band scan under SOF2) → ok=false."""
-    cls = doc_id % 12
+    # finite universe (cls, plant13, trunc17) — memoized like
+    # _avi_blob_cached (r19): identical bytes, encode cost fixed
+    return _jpeg_blob_cached(
+        doc_id % 12, doc_id % 13 == 0 and doc_id % 17 != 0,
+        doc_id % 17 == 0,
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _jpeg_blob_cached(cls: int, plant13: bool, trunc17: bool) -> bytes:
     px = _jpeg_fixture_pixels(cls)
     blob = jpeg_encode(px, subsample=(px.shape[2] == 3 and cls % 2 == 1))
-    if doc_id % 13 == 0 and doc_id % 17 != 0:
+    if plant13:
         # r13: with SOF2 decode now real, this marker flip makes an
         # ILLEGAL progressive stream (full-band DC+AC scan) — the
         # corrupt-relabel plant, still ok=false
         return blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    if doc_id % 17 == 0:
+    if trunc17:
         return blob[: len(blob) * 2 // 3]  # cut inside the scan
     return blob
 
@@ -5043,10 +5057,16 @@ def build_jpeg_prog_blob(doc_id: int) -> bytes:
     coefficients), which is exactly the CDN-re-encode near-dup case
     the image dedup operators exist to catch.  %% 17 truncates
     mid-stream (malformed → ok=false)."""
-    cls = doc_id % 12
+    # finite universe (cls, mode, trunc17) — memoized (r19)
+    return _jpeg_prog_blob_cached(
+        doc_id % 12, doc_id % 3, doc_id % 17 == 0
+    )
+
+
+@_functools.lru_cache(maxsize=128)
+def _jpeg_prog_blob_cached(cls: int, mode: int, trunc17: bool) -> bytes:
     px = _jpeg_fixture_pixels(cls)
     sub = px.shape[2] == 3 and cls % 2 == 1
-    mode = doc_id % 3
     if mode == 0:
         blob = jpeg_encode(px, subsample=sub, progressive=True)
     elif mode == 1:
@@ -5054,7 +5074,7 @@ def build_jpeg_prog_blob(doc_id: int) -> bytes:
     else:
         blob = jpeg_encode(px, subsample=sub, progressive=True,
                            restart_interval=3)
-    if doc_id % 17 == 0:
+    if trunc17:
         return blob[: len(blob) * 3 // 5]  # cut inside a scan
     return blob
 
@@ -7167,8 +7187,14 @@ def build_xfmt_blob(row_id: int) -> bytes:
     the PNG of class ``d %% 8``, row ``2d+1`` the JPEG of the SAME
     frame — re-encoded copies of one picture in two formats, the
     canonical crawl near-dup."""
-    px = _xfmt_fixture_pixels((row_id // 2) % 8)
-    if row_id % 2 == 0:
+    # finite universe (cls, is_png) — memoized (r19)
+    return _xfmt_blob_cached((row_id // 2) % 8, row_id % 2 == 0)
+
+
+@_functools.lru_cache(maxsize=32)
+def _xfmt_blob_cached(cls: int, is_png: bool) -> bytes:
+    px = _xfmt_fixture_pixels(cls)
+    if is_png:
         return png_encode(px)
     return jpeg_encode(px)
 
