@@ -30,6 +30,31 @@ import struct
 import zlib
 from typing import Iterator
 
+
+def _fixture_memo(key_fn):
+    """Per-worker memoization for the deterministic fixture-blob
+    builders (r19): every builder depends on ``doc_id`` only through
+    a small reduced key (class modulus + plant flags), so the
+    pure-Python encode work is a finite universe re-run per row.
+    ``key_fn(doc_id)`` maps to that key; the wrapped builder runs
+    once per key and the bytes are reused — BYTE-IDENTICAL output
+    (pinned by old-vs-new probes in tests), the bench rows measure
+    the operators instead of fixture encoding."""
+    def deco(build):
+        cache: dict = {}
+
+        @_functools.wraps(build)
+        def wrapper(doc_id: int):
+            k = key_fn(int(doc_id))
+            b = cache.get(k)
+            if b is None:
+                b = cache[k] = build(doc_id)
+            return b
+
+        wrapper.__wrapped__ = build
+        return wrapper
+    return deco
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -1609,6 +1634,7 @@ def _png_fixture_pixels(cls: int):
     return px, pal
 
 
+@_fixture_memo(lambda d: (d % 24, d % 13 == 0, d % 17 == 0))
 def build_png_blob(doc_id: int) -> bytes:
     """REAL image bytes for the pixel-decode fixtures: a full valid
     PNG whose pixels depend ONLY on ``doc_id % 24`` (so the whole
@@ -1648,6 +1674,7 @@ def attach_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+@_fixture_memo(lambda d: (d % 24, d % 17 == 0))
 def build_png_i_blob(doc_id: int) -> bytes:
     """Adam7-INTERLACED twin of ``build_png_blob``: the same 24
     fixture frames re-encoded with ``interlace=True`` — PNG is
@@ -1687,6 +1714,7 @@ _BMP_RLE_PALETTE = bytes(
 )
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_bmp_rle_blob(doc_id: int) -> bytes:
     """REAL BI_RLE8 BMP bytes for the decode fixtures: frame = the
     luma plane of ``_bmp_fixture_pixels(doc_id %% 12)`` as palette
@@ -1705,6 +1733,7 @@ def build_bmp_rle_blob(doc_id: int) -> bytes:
     return blob
 
 
+@_fixture_memo(lambda d: (d % 48, d % 13 == 0, d % 17 == 0))
 def build_bmp_variant_blob(doc_id: int) -> bytes:
     """BMP variant-tier fixture (RLE4 + BI_BITFIELDS, the two
     compressions that were honest stubs until round 15): composite
@@ -2254,6 +2283,7 @@ def wav_adpcm_encode(rate: int, arr, block_align: int = 256) -> bytes:
     )
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_adpcm_blob(doc_id: int) -> bytes:
     """IMA-ADPCM WAV fixture: base class ``doc_id %% 4`` picks the
     envelope wave (the ``build_wav_align_blob`` class-0-variant
@@ -2293,6 +2323,7 @@ def build_adpcm_blob(doc_id: int) -> bytes:
     return blob
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_ms_adpcm_blob(doc_id: int) -> bytes:
     """MS-ADPCM WAV fixture, the fmt-2 sibling of
     ``build_adpcm_blob``: same envelope-wave classes (``doc_id %%
@@ -2474,6 +2505,7 @@ def wav_encode(rate: int, arr) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+@_fixture_memo(lambda d: (d % 8, d % 13 == 0, d % 17 == 0))
 def build_wav_blob(doc_id: int) -> bytes:
     """REAL audio bytes for the sample-decode fixtures: a full valid
     PCM16 WAV whose samples depend ONLY on ``doc_id % 8``, with two
@@ -2586,6 +2618,7 @@ def attach_gif_anim_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+@_fixture_memo(lambda d: (d % 16, d % 13 == 0, d % 17 == 0))
 def build_wav_codec_blob(doc_id: int) -> bytes:
     """WAV bytes for the codec-tier fixtures: format ``doc_id %% 4``
     — 0 PCM16 (control), 1 IEEE float32, 2 A-law, 3 µ-law — over a
@@ -2859,6 +2892,7 @@ def _wav_dedup_samples(cls: int):
     return 8000, 1, (amp * sign).astype(np.int16).reshape(1024, 1)
 
 
+@_fixture_memo(lambda d: (d % 16, d % 13 == 0, d % 17 == 0))
 def build_wav_dedup_blob(doc_id: int) -> bytes:
     """REAL audio bytes for the dedup fixtures: class = doc_id % 16
     (8 base envelopes + their perturbed variants)."""
@@ -3018,6 +3052,7 @@ def _audio_align_window(j: int):
     return (amp * sign).astype(np.int16).reshape(1024, 1)
 
 
+@_fixture_memo(lambda d: (d % 12, d % 17 == 0))
 def build_wav_align_blob(doc_id: int) -> bytes:
     """REAL audio bytes for the ALIGNMENT fixtures, mirroring the MP4
     classes: base class ``doc_id %% 4`` owns the disjoint window
@@ -3491,6 +3526,7 @@ def _gif_fixture_frame(cls: int):
     return idx, pal
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_gif_blob(doc_id: int) -> bytes:
     """REAL GIF bytes for the LZW-decode fixtures: frame depends only
     on ``doc_id % 12``; odd ids encode INTERLACED (same pixels, so
@@ -3929,6 +3965,7 @@ def _bmp_fixture_pixels(cls: int):
     return np.stack([r, g, bch], axis=2).astype(np.uint8)
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_bmp_blob(doc_id: int) -> bytes:
     """REAL BMP bytes for the decode fixtures: frame from
     ``doc_id % 12``; odd ids write TOP-DOWN DIBs (same pixels → same
@@ -6728,6 +6765,7 @@ def _mp4_fixture_sample(j: int) -> bytes:
     )
 
 
+@_fixture_memo(lambda d: (d % 12, d % 17 == 0))
 def build_mp4_blob(doc_id: int) -> bytes:
     """MP4 bytes for the byte-hash-tier fixtures, mirroring the AVI
     alignment classes: base class ``doc_id %% 4`` owns the disjoint
@@ -6841,6 +6879,7 @@ def attach_mp4_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_mp3_blob(doc_id: int) -> bytes:
     """MP3 bytes for the frame-hash-tier fixtures, mirroring the MP4
     classes: base class ``doc_id %% 4`` owns the disjoint frame range
@@ -6890,6 +6929,7 @@ def wav_mp3_encode(frames: list, rate: int = 44100) -> bytes:
     )
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_wav_mp3_blob(doc_id: int) -> bytes:
     """MP3-in-RIFF fixture, sharing ``build_mp3_blob``'s universal
     frame space: class ``doc_id %% 4`` owns frames ``4c..4c+3``;
@@ -6987,6 +7027,7 @@ def _opus_headers(retag: bool) -> list:
     return [head, tags]
 
 
+@_fixture_memo(lambda d: (d % 12, d % 13 == 0, d % 17 == 0))
 def build_ogg_blob(doc_id: int) -> bytes:
     """Ogg bytes for the packet-hash-tier fixtures, mirroring the MP3
     classes: base class ``doc_id %% 4`` owns the disjoint packet range
@@ -7033,6 +7074,7 @@ def attach_ogg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+@_fixture_memo(lambda d: (d % 20, d % 13 == 0, d % 17 == 0))
 def build_audio_mux_blob(doc_id: int) -> bytes:
     """Cross-container AUDIO fixture (the audio face of
     ``build_media_mux_blob``, own ``amux-`` seed space): base class
@@ -7551,6 +7593,7 @@ def image_oriented_hashes(
     )
 
 
+@_fixture_memo(lambda d: (d % 8, d % 17 == 0))
 def build_exif_jpeg_blob(doc_id: int) -> bytes:
     """EXIF-metadata fixture: a real baseline JPEG
     (``_jpeg_fixture_pixels`` class ``doc_id %% 4``) with an APP1
@@ -7597,6 +7640,7 @@ def attach_exif_jpeg_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+@_fixture_memo(lambda d: (d % 32, d % 17 == 0))
 def build_exif_png_blob(doc_id: int) -> bytes:
     """Orientation-packaging fixture: photo class ``doc_id %% 4``
     (an asymmetric RGB grid) stored under EXIF orientation ``1 +
@@ -7845,6 +7889,7 @@ def audio_id3_meta(
     )
 
 
+@_fixture_memo(lambda d: (d % 16, d % 17 == 0))
 def build_id3_mp3_blob(doc_id: int) -> bytes:
     """ID3-tagged MP3 fixture: the ``build_mp3_blob`` class-``doc_id
     %% 4`` frame stream with REAL ID3v2 tags; packaging ``(doc_id //
@@ -8687,6 +8732,7 @@ _TIFF_VARIANTS = (
 )
 
 
+@_fixture_memo(lambda d: (d % 108, d % 13 == 0, d % 17 == 0))
 def build_tiff_blob(doc_id: int) -> bytes:
     """TIFF fixture: pixel class ``doc_id %% 6`` × packaging variant
     ``(doc_id // 6) %% 18`` from ``_TIFF_VARIANTS`` — variants 0-9

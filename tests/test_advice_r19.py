@@ -168,3 +168,23 @@ def test_df_cap_frame_absolute_ceiling(spark):
     assert T.df_cap_frame(big).collect()[0][0] == 10_000
     small = spark.range(500).toDF("doc_id")
     assert T.df_cap_frame(small, max_cap=500).collect()[0][0] == 50
+
+
+def test_fixture_memo_keys_are_sound():
+    """Every memoized fixture builder must return bytes identical to
+    its un-cached core for ANY doc_id: the cache is keyed on a
+    reduced (class, plant) tuple, so a builder body that started
+    depending on doc_id outside its declared key would return stale
+    bytes — this probe (ids spanning several periods of every
+    universe, including the 13/17 plant lattice) catches it."""
+    from dwc_dataframe_validator_spark.operators import multimodal as mm
+
+    builders = [
+        getattr(mm, n) for n in dir(mm)
+        if n.startswith("build_") and hasattr(getattr(mm, n), "__wrapped__")
+    ]
+    assert len(builders) >= 20
+    for b in builders:
+        for did in list(range(0, 450)) + [13 * 17, 13 * 108 + 13,
+                                          17 * 108 + 17, 2211, 5099]:
+            assert b(did) == b.__wrapped__(did), (b.__name__, did)
