@@ -1902,6 +1902,10 @@ def pdf_encode(
     return full
 
 
+from .multimodal import _fixture_memo
+
+
+@_fixture_memo(lambda d: (d % 20, d % 13 == 0, d % 17 == 0))
 def build_pdf_blob(doc_id: int) -> bytes:
     """PDF fixture: class ``doc_id %% 4`` has ``1 + cls`` pages of
     deterministic multi-line text (every show-operator form, plus a
@@ -2470,6 +2474,7 @@ _PDF_IMG_KINDS = (
 )
 
 
+@_fixture_memo(lambda d: (d % 96, d % 13 == 0, d % 17 == 0))
 def build_pdf_image_blob(doc_id: int) -> bytes:
     """PDF-with-image fixture: pixel class ``doc_id %% 6``, packaging
     variant ``(doc_id // 6) %% 16`` from ``_PDF_IMG_KINDS`` — "gray"
@@ -2675,6 +2680,7 @@ _PDF_CID_TEXTS = (
 )
 
 
+@_fixture_memo(lambda d: (d % 8, d % 13 == 0, d % 17 == 0))
 def build_pdf_cid_blob(doc_id: int) -> bytes:
     """Composite-font PDF fixture: text class ``doc_id %% 4`` (four
     scripts latin-1 cannot carry), CMap variant ``(doc_id // 4) %%
@@ -2725,6 +2731,7 @@ def attach_pdf_cid_blob(
 _PDF_FIXTURE_PW = "sp\u00e4rk-18"
 
 
+@_fixture_memo(lambda d: (d % 32, d % 13 == 0, d % 17 == 0))
 def build_pdf_encrypted_blob(doc_id: int) -> bytes:
     """Encrypted-PDF fixture: page class ``doc_id %% 4`` (the SAME
     page text as ``build_pdf_blob``'s classes), scheme ``(doc_id //

@@ -178,12 +178,13 @@ def test_fixture_memo_keys_are_sound():
     bytes — this probe (ids spanning several periods of every
     universe, including the 13/17 plant lattice) catches it."""
     from dwc_dataframe_validator_spark.operators import multimodal as mm
+    from dwc_dataframe_validator_spark.operators import pdf as pdfmod
 
     builders = [
-        getattr(mm, n) for n in dir(mm)
-        if n.startswith("build_") and hasattr(getattr(mm, n), "__wrapped__")
+        getattr(m, n) for m in (mm, pdfmod) for n in dir(m)
+        if n.startswith("build_") and hasattr(getattr(m, n), "__wrapped__")
     ]
-    assert len(builders) >= 20
+    assert len(builders) >= 24
     for b in builders:
         for did in list(range(0, 450)) + [13 * 17, 13 * 108 + 13,
                                           17 * 108 + 17, 2211, 5099]:
