@@ -181,3 +181,30 @@ def test_std_tables_structural_invariants():
 
     for num, lines in H._STD_LINES.items():
         assert sum(Fraction(1, 2 ** ln[0]) for ln in lines) == 1
+
+
+def test_huffman_stream_fuzz_never_guesses():
+    """Bit-flipped and truncated SDHUFF/SBHUFF streams tear
+    (ValueError) or flag (NotImplementedError) or decode to a page
+    of whatever dimensions the (possibly corrupted) stream declares
+    — never a hang, a foreign exception, or a silent wrong-type
+    return (the arithmetic tier's fuzz contract)."""
+    import random
+
+    blob = J.encode_embedded_text_huff(
+        [G1, G2], [(0, 0, 0), (5, 0, 1)], 12, 4)
+    rng = random.Random(7)
+    for _trial in range(400):
+        b = bytearray(blob)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            out = J.decode_embedded(bytes(b))
+            assert out.ndim == 2
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(blob), 3):
+        try:
+            J.decode_embedded(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
