@@ -55,6 +55,8 @@ def _fixture_memo(key_fn):
         return wrapper
     return deco
 
+from ..functions.payload_cache import payload_memo as _payload_memo
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -1144,26 +1146,28 @@ def image_pixel_hashes(
     shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tail(b: bytes):
+            try:
+                px = decode_image_pixels(b, backend)
+            except NotImplementedError:
+                px = None  # pure backend JPEG-tier → flagged row
+            if px is None:
+                return (0, 0, 0, None, None, False)
+            h, w, ch = px.shape
+            return (w, h, ch, format(image_ahash(px), "016x"),
+                    format(image_dhash(px), "016x"), True)
+
+        tail = _payload_memo(tail)
         for pdf in batches:
             rows = []
             # the select below aliases id_col to "id" before the Arrow
             # hop, so the batch frame always carries "id" regardless of
             # the caller's column name
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                px = None
-                if payload is not None:
-                    try:
-                        px = decode_image_pixels(bytes(payload), backend)
-                    except NotImplementedError:
-                        px = None  # pure backend JPEG-tier → flagged row
-                if px is None:
+                if payload is None:
                     rows.append((i, 0, 0, 0, None, None, False))
                     continue
-                h, w, ch = px.shape
-                rows.append(
-                    (i, w, h, ch, format(image_ahash(px), "016x"),
-                     format(image_dhash(px), "016x"), True)
-                )
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "width", "height", "channels",
@@ -1253,23 +1257,24 @@ def resize_images(
     task failures)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tail(b: bytes):
+            try:
+                px = decode_image_pixels(b, backend)
+            except NotImplementedError:
+                px = None
+            if px is None:
+                return (0, 0, 0, None, False)
+            small = image_resize_pixels(px, out_w, out_h, mode)
+            return (out_w, out_h, small.shape[2], png_encode(small), True)
+
+        tail = _payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                px = None
-                if payload is not None:
-                    try:
-                        px = decode_image_pixels(bytes(payload), backend)
-                    except NotImplementedError:
-                        px = None
-                if px is None:
+                if payload is None:
                     rows.append((i, 0, 0, 0, None, False))
                     continue
-                small = image_resize_pixels(px, out_w, out_h, mode)
-                rows.append(
-                    (i, out_w, out_h, small.shape[2], png_encode(small),
-                     True)
-                )
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "width", "height", "channels",
@@ -2439,24 +2444,26 @@ def audio_pcm_features(
     Map-side Arrow batch pipeline, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tail(b: bytes):
+            try:
+                dec = wav_decode_samples(b)
+            except NotImplementedError:
+                dec = None  # float/compressed tier → flagged
+            if dec is None:
+                return (0, 0, 0, 0, 0, 0, 0, False)
+            rate, ch, arr = dec
+            n, peak, abs_sum, zc = audio_pcm_metrics(arr)
+            return (rate, ch, n, n * 1000 // rate, peak, abs_sum, zc,
+                    True)
+
+        tail = _payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                dec = None
-                if payload is not None:
-                    try:
-                        dec = wav_decode_samples(bytes(payload))
-                    except NotImplementedError:
-                        dec = None  # float/compressed tier → flagged
-                if dec is None:
+                if payload is None:
                     rows.append((i, 0, 0, 0, 0, 0, 0, 0, False))
                     continue
-                rate, ch, arr = dec
-                n, peak, abs_sum, zc = audio_pcm_metrics(arr)
-                rows.append(
-                    (i, rate, ch, n, n * 1000 // rate, peak, abs_sum,
-                     zc, True)
-                )
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "sample_rate", "n_channels", "n_frames",
@@ -2732,24 +2739,26 @@ def resample_audio(
     residual codec stubs yield ok=false rows with NULL content."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tail(b: bytes):
+            try:
+                dec = wav_decode_samples(b)
+            except NotImplementedError:
+                dec = None  # ADPCM/MP3-in-RIFF stub tier
+            if dec is None:
+                return (0, 0, 0, None, False)
+            rate, _ch, arr = dec
+            out = resample_pcm(arr, rate, dst_rate)
+            return (rate, dst_rate, out.shape[0],
+                    wav_encode(dst_rate, out), True)
+
+        tail = _payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                dec = None
-                if payload is not None:
-                    try:
-                        dec = wav_decode_samples(bytes(payload))
-                    except NotImplementedError:
-                        dec = None  # ADPCM/MP3-in-RIFF stub tier
-                if dec is None:
+                if payload is None:
                     rows.append((i, 0, 0, 0, None, False))
                     continue
-                rate, _ch, arr = dec
-                out = resample_pcm(arr, rate, dst_rate)
-                rows.append(
-                    (i, rate, dst_rate, out.shape[0],
-                     wav_encode(dst_rate, out), True)
-                )
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "src_rate", "dst_rate", "n_frames",
@@ -2802,23 +2811,25 @@ def audio_envelope_hashes(
     with NULL hash.  Map-side Arrow batch pipeline, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tail(b: bytes):
+            try:
+                dec = wav_decode_samples(b)
+            except NotImplementedError:
+                dec = None
+            if dec is None:
+                return (0, 0, None, False)
+            rate, _ch, arr = dec
+            return (rate, int(arr.shape[0]),
+                    format(audio_envelope_hash(arr), "016x"), True)
+
+        tail = _payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                dec = None
-                if payload is not None:
-                    try:
-                        dec = wav_decode_samples(bytes(payload))
-                    except NotImplementedError:
-                        dec = None
-                if dec is None:
+                if payload is None:
                     rows.append((i, 0, 0, None, False))
                     continue
-                rate, _ch, arr = dec
-                rows.append(
-                    (i, rate, int(arr.shape[0]),
-                     format(audio_envelope_hash(arr), "016x"), True)
-                )
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "sample_rate", "n_frames", "ehash", "ok"],
@@ -2978,26 +2989,32 @@ def audio_window_hashes(
     shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tails(b: bytes):
+            try:
+                dec = wav_decode_samples(b)
+            except NotImplementedError:
+                dec = None
+            n_win = 0 if dec is None else \
+                int(dec[2].shape[0]) // window_frames
+            if n_win == 0:
+                return ((None, None, None, False),)
+            arr = dec[2]
+            return tuple(
+                (k, n_win,
+                 format(audio_envelope_hash(
+                     arr[k * window_frames:(k + 1) * window_frames]
+                 ), "016x"), True)
+                for k in range(n_win)
+            )
+
+        tails = _payload_memo(tails)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                dec = None
-                if payload is not None:
-                    try:
-                        dec = wav_decode_samples(bytes(payload))
-                    except NotImplementedError:
-                        dec = None
-                n_win = 0 if dec is None else \
-                    int(dec[2].shape[0]) // window_frames
-                if n_win == 0:
+                if payload is None:
                     rows.append((i, None, None, None, False))
                     continue
-                arr = dec[2]
-                for k in range(n_win):
-                    h = audio_envelope_hash(
-                        arr[k * window_frames:(k + 1) * window_frames]
-                    )
-                    rows.append((i, k, n_win, format(h, "016x"), True))
+                rows.extend((i, *t) for t in tails(bytes(payload)))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "win_idx", "n_windows", "whash", "ok"],
@@ -5368,28 +5385,32 @@ def video_frame_hashes(
         raise ValueError(f"unknown pixel backend {backend!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tails(b: bytes):
+            pxs = _video_blob_frame_pixels(b, max_frames, backend)
+            if not pxs:
+                return ((None, None, 0, 0, None, None, False),)
+            n = len(pxs)
+            out = []
+            for k, px in enumerate(pxs):
+                if px is None:
+                    out.append((k, n, 0, 0, None, None, False))
+                    continue
+                h, w, _ch = px.shape
+                out.append(
+                    (k, n, w, h,
+                     format(image_ahash(px), "016x"),
+                     format(image_dhash(px), "016x"), True)
+                )
+            return tuple(out)
+
+        tails = _payload_memo(tails)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                pxs = None
-                if payload is not None:
-                    pxs = _video_blob_frame_pixels(
-                        bytes(payload), max_frames, backend
-                    )
-                if not pxs:
+                if payload is None:
                     rows.append((i, None, None, 0, 0, None, None, False))
                     continue
-                n = len(pxs)
-                for k, px in enumerate(pxs):
-                    if px is None:
-                        rows.append((i, k, n, 0, 0, None, None, False))
-                        continue
-                    h, w, _ch = px.shape
-                    rows.append(
-                        (i, k, n, w, h,
-                         format(image_ahash(px), "016x"),
-                         format(image_dhash(px), "016x"), True)
-                    )
+                rows.extend((i, *t) for t in tails(bytes(payload)))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "frame_idx", "n_frames", "width", "height",
@@ -6694,26 +6715,27 @@ def mp4_sample_hashes(
     import hashlib as _hl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tails(b: bytes):
+            ranges = media_sample_ranges(b)
+            if not ranges:
+                return ((None, None, None, False),)
+            n = min(max_samples, len(ranges))
+            step = max(1, len(ranges) // n)
+            return tuple(
+                (k, n,
+                 _hl.md5(_sample_bytes(b, ranges[k * step])).hexdigest(),
+                 True)
+                for k in range(n)
+            )
+
+        tails = _payload_memo(tails)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                ranges = None
-                if payload is not None:
-                    b = bytes(payload)
-                    ranges = media_sample_ranges(b)
-                if not ranges:
+                if payload is None:
                     rows.append((i, None, None, None, False))
                     continue
-                n = min(max_samples, len(ranges))
-                step = max(1, len(ranges) // n)
-                for k in range(n):
-                    rows.append(
-                        (i, k, n,
-                         _hl.md5(
-                             _sample_bytes(b, ranges[k * step])
-                         ).hexdigest(),
-                         True)
-                    )
+                rows.extend((i, *t) for t in tails(bytes(payload)))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "sample_idx", "n_samples",
@@ -7563,27 +7585,29 @@ def image_oriented_hashes(
     spec; undecodable pixels flag ok=false."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tail(b: bytes):
+            try:
+                px = decode_image_pixels(b, backend)
+            except NotImplementedError:
+                px = None
+            if px is None:
+                return (None, None, False)
+            meta = exif_parse(b) or {}
+            px = orient_normalize(px, meta.get("orientation", 1))
+            return (
+                format(image_ahash(px), "016x"),
+                format(image_dhash(px), "016x"),
+                True,
+            )
+
+        tail = _payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                px = None
-                if payload is not None:
-                    b = bytes(payload)
-                    try:
-                        px = decode_image_pixels(b, backend)
-                    except NotImplementedError:
-                        px = None
-                if px is None:
+                if payload is None:
                     rows.append((i, None, None, False))
                     continue
-                meta = exif_parse(b) or {}
-                px = orient_normalize(px, meta.get("orientation", 1))
-                rows.append((
-                    i,
-                    format(image_ahash(px), "016x"),
-                    format(image_dhash(px), "016x"),
-                    True,
-                ))
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows, columns=["id", "ahash", "dhash", "ok"]
             )

@@ -1669,27 +1669,30 @@ def pdf_text(
     Arrow boundary."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import _payload_memo
+
+        def tail(b: bytes):
+            if b[:5] != b"%PDF-":
+                return (None, None, None, False, "torn")
+            try:
+                doc = PdfDoc(b, passwords)
+                pages = doc.pages()
+                text = "\f".join(doc.page_text(p) for p in pages)
+                return (len(pages), len(text), text, True, None)
+            except _Stub as e:
+                return (None, None, None, False, str(e))
+            except (_Torn, RecursionError):
+                return (None, None, None, False, "torn")
+
+        tail = _payload_memo(tail)
         for pdf_batch in batches:
             rows = []
             for i, payload in zip(pdf_batch["id"],
                                   pdf_batch[content_col]):
-                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                if payload is None:
                     rows.append((i, None, None, None, False, "torn"))
                     continue
-                try:
-                    doc = PdfDoc(bytes(payload), passwords)
-                    pages = doc.pages()
-                    text = "\f".join(
-                        doc.page_text(p) for p in pages
-                    )
-                    rows.append(
-                        (i, len(pages), len(text), text, True, None)
-                    )
-                except _Stub as e:
-                    rows.append((i, None, None, None, False,
-                                 str(e)))
-                except (_Torn, RecursionError):
-                    rows.append((i, None, None, None, False, "torn"))
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "n_pages", "n_chars", "text", "ok",
@@ -1971,53 +1974,59 @@ def pdf_image_hashes(
     packagings.  A torn/encrypted document yields one flagged row;
     per-image stub tiers (CCITT/JBIG2/JPX, exotic colorspaces) flag
     that image only.  Map-side Arrow batches, no shuffle."""
-    from .multimodal import image_ahash, image_dhash
+    from .multimodal import _payload_memo, image_ahash, image_dhash
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tails(b: bytes):
+            if b[:5] != b"%PDF-":
+                return ((0, 0, 0, 0, 0, None, None, False, "torn"),)
+            try:
+                doc = PdfDoc(b)
+                pages = doc.pages()
+            except _Stub as e:
+                return ((0, 0, 0, 0, 0, None, None, False, str(e)),)
+            except (_Torn, RecursionError):
+                return ((0, 0, 0, 0, 0, None, None, False, "torn"),)
+            out = []
+            for pno, page in enumerate(pages):
+                try:
+                    imgs = doc.page_images(page)
+                except (_Torn, _Stub, RecursionError):
+                    out.append((pno, 0, 0, 0, 0, None, None,
+                                False, "torn"))
+                    continue
+                for k, (_name, obj) in enumerate(imgs):
+                    try:
+                        px = doc.image_pixels(obj)
+                    except _Stub as e:
+                        out.append((pno, k, 0, 0, 0, None,
+                                    None, False, str(e)))
+                        continue
+                    except (_Torn, RecursionError):
+                        out.append((pno, k, 0, 0, 0, None,
+                                    None, False, "torn"))
+                        continue
+                    h, w, c = px.shape
+                    out.append(
+                        (pno, k, w, h, c,
+                         format(image_ahash(px), "016x"),
+                         format(image_dhash(px), "016x"),
+                         True, None)
+                    )
+            return tuple(out)
+
+        tails = _payload_memo(tails)
         for pdf_batch in batches:
             rows = []
             for i, payload in zip(pdf_batch["id"],
                                   pdf_batch[content_col]):
-                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                if payload is None:
                     rows.append((i, 0, 0, 0, 0, 0, None, None,
                                  False, "torn"))
                     continue
-                try:
-                    doc = PdfDoc(bytes(payload))
-                    pages = doc.pages()
-                except _Stub as e:
-                    rows.append((i, 0, 0, 0, 0, 0, None, None,
-                                 False, str(e)))
-                    continue
-                except (_Torn, RecursionError):
-                    rows.append((i, 0, 0, 0, 0, 0, None, None,
-                                 False, "torn"))
-                    continue
-                for pno, page in enumerate(pages):
-                    try:
-                        imgs = doc.page_images(page)
-                    except (_Torn, _Stub, RecursionError):
-                        rows.append((i, pno, 0, 0, 0, 0, None, None,
-                                     False, "torn"))
-                        continue
-                    for k, (_name, obj) in enumerate(imgs):
-                        try:
-                            px = doc.image_pixels(obj)
-                        except _Stub as e:
-                            rows.append((i, pno, k, 0, 0, 0, None,
-                                         None, False, str(e)))
-                            continue
-                        except (_Torn, RecursionError):
-                            rows.append((i, pno, k, 0, 0, 0, None,
-                                         None, False, "torn"))
-                            continue
-                        h, w, c = px.shape
-                        rows.append(
-                            (i, pno, k, w, h, c,
-                             format(image_ahash(px), "016x"),
-                             format(image_dhash(px), "016x"),
-                             True, None)
-                        )
+                rows.extend(
+                    (i, *t) for t in tails(bytes(payload))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=["id", "page", "img_idx", "width", "height",

@@ -2435,18 +2435,23 @@ def docx_text(
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
+        def tail(b: bytes):
+            got = docx_extract(b)
+            if got is None:
+                return (None, None, None, False)
+            np_, text_s = got
+            return (np_, len(text_s), text_s, True)
+
+        tail = payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                got = (
-                    docx_extract(bytes(payload))
-                    if payload is not None else None
-                )
-                if got is None:
+                if payload is None:
                     rows.append((i, None, None, None, False))
                     continue
-                np_, text_s = got
-                rows.append((i, np_, len(text_s), text_s, True))
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "n_paragraphs", "n_chars", "text",
@@ -2745,19 +2750,24 @@ def _office_text_face(df, extract, out_cols, schema, content_col, id_col):
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
+        bad = (None,) * (len(out_cols) - 2) + (False,)
+
+        def tail(b: bytes):
+            got = extract(b)
+            if got is None:
+                return bad
+            return got + (True,)
+
+        tail = payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf[content_col]):
-                got = (
-                    extract(bytes(payload))
-                    if payload is not None else None
-                )
-                if got is None:
-                    rows.append(
-                        (i,) + (None,) * (len(out_cols) - 2) + (False,)
-                    )
-                else:
-                    rows.append((i,) + got + (True,))
+                if payload is None:
+                    rows.append((i, *bad))
+                    continue
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(rows, columns=out_cols)
 
     return df.select(F.col(id_col).alias("id"), content_col).mapInPandas(

@@ -278,6 +278,13 @@ def decode_tar_records(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
+        tails = payload_memo(
+            lambda raw: tuple(
+                t[1:] for t in _member_rows(None, raw, max_payload)
+            )
+        )
         for pdf in batches:
             rows = []
             for i, raw in zip(pdf[id_col], pdf[content_col]):
@@ -285,7 +292,7 @@ def decode_tar_records(
                     rows.append((i, 0, None, None, None, None, None,
                                  False))
                     continue
-                rows.extend(_member_rows(i, raw, max_payload))
+                rows.extend((i, *t) for t in tails(raw))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "member_index", "member_name", "key",

@@ -308,31 +308,33 @@ def decode_warc_records(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
         bad = (None, None, None, None, None, None, False)
+
+        def tail(b: bytes):
+            if b[:2] == _GZIP_MAGIC:
+                try:
+                    b = gzip.decompress(b)
+                except OSError:
+                    return bad
+            h, payload, _ = parse_warc_member(b)
+            if h is None:
+                return bad
+            dec = lambda k: (  # noqa: E731
+                h.get(k, b"").decode("utf-8", "replace") or None
+            )
+            return (dec(_H_TYPE), dec(_H_URI), dec(_H_DATE),
+                    dec(_H_CTYPE), len(payload), payload, True)
+
+        tail = payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 if blob is None:
                     rows.append((i, *bad))
                     continue
-                b = bytes(blob)
-                if b[:2] == _GZIP_MAGIC:
-                    try:
-                        b = gzip.decompress(b)
-                    except OSError:
-                        rows.append((i, *bad))
-                        continue
-                h, payload, _ = parse_warc_member(b)
-                if h is None:
-                    rows.append((i, *bad))
-                    continue
-                dec = lambda k: (  # noqa: E731
-                    h.get(k, b"").decode("utf-8", "replace") or None
-                )
-                rows.append(
-                    (i, dec(_H_TYPE), dec(_H_URI), dec(_H_DATE),
-                     dec(_H_CTYPE), len(payload), payload, True)
-                )
+                rows.append((i, *tail(bytes(blob))))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "warc_type", "target_uri", "warc_date",
@@ -1569,16 +1571,22 @@ def decode_warc_payload_text(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
+        def tail(b: bytes):
+            text, enc, source, ce, chunked, decoded = (
+                decode_payload_full(b)
+            )
+            return (enc, source, ce, chunked, decoded, text)
+
+        tail = payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[payload_col]):
                 if blob is None:
                     rows.append((i, None, None, None, None, None, None))
                     continue
-                text, enc, source, ce, chunked, decoded = (
-                    decode_payload_full(bytes(blob))
-                )
-                rows.append((i, enc, source, ce, chunked, decoded, text))
+                rows.append((i, *tail(bytes(blob))))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "encoding", "encoding_source",
@@ -2079,21 +2087,24 @@ def zstd_dict_decode(
     from typing import Iterator
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
         zd = _zstd_parse_dictionary(dictionary)
+
+        def tail(b: bytes):
+            got = _zstd_decode_pure(b, zd)
+            if got is None:
+                return (None, None, False)
+            return (len(got), got.decode("utf-8", "replace"), True)
+
+        tail = payload_memo(tail)
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[content_col]):
-                got = (
-                    _zstd_decode_pure(bytes(payload), zd)
-                    if payload is not None else None
-                )
-                if got is None:
+                if payload is None:
                     rows.append((i, None, None, False))
-                else:
-                    rows.append((
-                        i, len(got),
-                        got.decode("utf-8", "replace"), True,
-                    ))
+                    continue
+                rows.append((i, *tail(bytes(payload))))
             yield pd.DataFrame(
                 rows, columns=["id", "n_bytes", "text", "ok"]
             )
