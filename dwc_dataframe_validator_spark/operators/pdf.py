@@ -1654,6 +1654,55 @@ PDF_TEXT_SCHEMA = (
 )
 
 
+def _pdf_text_tail(b: bytes, passwords: tuple = ()) -> tuple:
+    """Per-payload text-extraction row tail shared by ``pdf_text``
+    (blob-column face) and ``pdf_text_from_ids`` (in-task fixture
+    face): (n_pages, n_chars, text, ok, reason)."""
+    if b[:5] != b"%PDF-":
+        return (None, None, None, False, "torn")
+    try:
+        doc = PdfDoc(b, passwords)
+        pages = doc.pages()
+        text = "\f".join(doc.page_text(p) for p in pages)
+        return (len(pages), len(text), text, True, None)
+    except _Stub as e:
+        return (None, None, None, False, str(e))
+    except (_Torn, RecursionError):
+        return (None, None, None, False, "torn")
+
+
+def pdf_text_from_ids(
+    df: DataFrame, build, id_col: str = "doc_id",
+    passwords: tuple = (),
+) -> DataFrame:
+    """``pdf_text`` over blobs BUILT IN-TASK: one ``mapInPandas``
+    builds each id's fixture blob and extracts its text in the same
+    task, so the payload bytes never cross the Arrow boundary at all
+    (guide §8 "move heavy bytes once" — here zero times; the
+    attach-then-decode composition ships every blob Python → JVM →
+    Python, which for the 180 KB composite-font fixtures is ~1 GB of
+    Arrow traffic per 5k rows and dominated the query).  Same output
+    schema and rows as ``pdf_text(attach(df))``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import _payload_memo
+
+        tail = _payload_memo(lambda b: _pdf_text_tail(b, passwords))
+        for pdf_batch in batches:
+            rows = [
+                (i, *tail(build(int(i)))) for i in pdf_batch[id_col]
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_pages", "n_chars", "text", "ok",
+                         "reason"],
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, PDF_TEXT_SCHEMA
+    )
+
+
 def pdf_text(
     df: DataFrame, content_col: str = "content", id_col: str = "id",
     passwords: tuple = (),
@@ -1671,20 +1720,7 @@ def pdf_text(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal import _payload_memo
 
-        def tail(b: bytes):
-            if b[:5] != b"%PDF-":
-                return (None, None, None, False, "torn")
-            try:
-                doc = PdfDoc(b, passwords)
-                pages = doc.pages()
-                text = "\f".join(doc.page_text(p) for p in pages)
-                return (len(pages), len(text), text, True, None)
-            except _Stub as e:
-                return (None, None, None, False, str(e))
-            except (_Torn, RecursionError):
-                return (None, None, None, False, "torn")
-
-        tail = _payload_memo(tail)
+        tail = _payload_memo(lambda b: _pdf_text_tail(b, passwords))
         for pdf_batch in batches:
             rows = []
             for i, payload in zip(pdf_batch["id"],

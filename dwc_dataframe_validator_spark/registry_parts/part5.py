@@ -1142,13 +1142,17 @@ def pdf_cid_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the pure-Python parse/cipher work dominates and the small-SF
     # parquet is a single row group: spread the id column first (the
-    # r15 adpcm pattern — one cheap long-column shuffle)
+    # r15 adpcm pattern — one cheap long-column shuffle).  r19 opt:
+    # the 180 KB composite-font blobs are built AND extracted in one
+    # task (pdf_text_from_ids) — identical rows to
+    # pdf_text(attach_pdf_cid_blob(docs)), but ~1 GB of blob bytes no
+    # longer crosses the Arrow boundary twice (guide §8)
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    out = pdfmod.pdf_text(pdfmod.attach_pdf_cid_blob(docs))
+    out = pdfmod.pdf_text_from_ids(docs, pdfmod.build_pdf_cid_blob)
     return out.select(
         F.col("id").alias("doc_id"),
         "n_pages", "n_chars",
