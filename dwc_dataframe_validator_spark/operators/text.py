@@ -2298,6 +2298,19 @@ def _fmt_vtt_ts(ms: int) -> str:
     return "%02d:%02d.%03d" % (ms // 60000, ms // 1000 % 60, ms % 1000)
 
 
+def _builder_memo(key_expr):
+    """Per-worker fixture-builder memoization on the brute-force-
+    verified reduced key (r19 opt round; same contract as
+    operators/multimodal._fixture_memo — byte-identical blobs,
+    bench rows measure the operators instead of fixture encoding)."""
+    def deco(build):
+        from ..operators.multimodal import _fixture_memo
+
+        return _fixture_memo(key_expr)(build)
+    return deco
+
+
+@_builder_memo(lambda d: (d % 4, (d // 4) % 2, d % 17 == 0))
 def build_subtitle_text(doc_id: int) -> str:
     """Subtitle fixture: class ``doc_id %% 4`` has ``2 + cls`` cues;
     cue ``j`` spans ``[800j + 13·cls, 800j + 13·cls + 900 + 7j)`` ms
@@ -2510,6 +2523,7 @@ def docx_encode(paragraphs: list, split_runs: bool = False) -> bytes:
     ])
 
 
+@_builder_memo(lambda d: (d % 4, (d // 4) % 2, d % 13 == 0, d % 17 == 0))
 def build_docx_blob(doc_id: int) -> bytes:
     """DOCX fixture: class ``doc_id %% 4`` has ``2 + cls`` paragraphs
     of deterministic text (one carries a TAB and XML specials
@@ -2944,6 +2958,7 @@ def pptx_encode(
     return zip_encode(members)
 
 
+@_builder_memo(lambda d: (d % 4, (d // 4) % 2, d % 13 == 0, d % 17 == 0))
 def build_xlsx_blob(doc_id: int) -> bytes:
     """XLSX fixture: class ``doc_id %% 4`` has ``1 + cls %% 2`` sheets
     × ``3 + cls`` rows × 3 cells — a shared-string word (5 distinct
@@ -2976,6 +2991,7 @@ def build_xlsx_blob(doc_id: int) -> bytes:
     return blob
 
 
+@_builder_memo(lambda d: (d % 4, (d // 4) % 2, d % 13 == 0, d % 17 == 0))
 def build_pptx_blob(doc_id: int) -> bytes:
     """PPTX fixture: class ``doc_id %% 4`` has ``1 + cls`` slides,
     slide ``s`` carrying ``2 + s %% 2`` paragraphs of deterministic
@@ -3194,6 +3210,7 @@ def epub_encode(chapters: list, shuffle: bool = False) -> bytes:
     )
 
 
+@_builder_memo(lambda d: (d % 4, (d // 4) % 2, d % 13 == 0, d % 17 == 0))
 def build_epub_blob(doc_id: int) -> bytes:
     """EPUB fixture: class ``doc_id %% 4`` has ``2 + cls`` chapters
     of deterministic text (entities in chapter 0); variant ``(doc_id
@@ -3451,6 +3468,7 @@ def rtf_encode(paragraphs: list, unicode_escapes: bool = False) -> bytes:
     return doc.encode("cp1252")
 
 
+@_builder_memo(lambda d: (d % 4, (d // 4) % 2, d % 13 == 0, d % 17 == 0))
 def build_rtf_blob(doc_id: int) -> bytes:
     """RTF fixture: class ``doc_id %% 4`` has ``2 + cls`` paragraphs
     (specials, a tab, accented cp1252 chars); variant ``(doc_id //
@@ -3703,6 +3721,7 @@ def eml_encode(
     raise ValueError(variant)
 
 
+@_builder_memo(lambda d: (d % 4, (d // 4) % 5, d % 13 == 0, d % 17 == 0))
 def build_eml_blob(doc_id: int) -> bytes:
     """EML fixture: class ``doc_id %% 4`` picks the body/subject
     (accents in class 1+), variant ``(doc_id // 4) %% 5`` the
@@ -4040,6 +4059,7 @@ def odf_encode(kind: str, payload) -> bytes:
     ])
 
 
+@_builder_memo(lambda d: (d % 3, (d // 3) % 4, d % 13 == 0, d % 17 == 0))
 def build_odf_blob(doc_id: int) -> bytes:
     """ODF fixture: kind ``doc_id %% 3`` (odt/ods/odp), class
     ``(doc_id // 3) %% 4`` scales the unit count; text carries
@@ -4173,6 +4193,7 @@ def mbox_text(
     )
 
 
+@_builder_memo(lambda d: (d % 4, d % 3, d % 13 == 0, d % 17 == 0))
 def build_mbox_blob(doc_id: int) -> bytes:
     """mbox fixture: ``1 + doc_id %% 3`` messages of class ``doc_id
     %% 4``; message ``k`` cycles packaging (7bit, base64, qp) and

@@ -332,8 +332,18 @@ def webdataset_samples(
     )
 
 
+def _tar_fixture_memo(build):
+    from ..operators.multimodal import _fixture_memo
+
+    return _fixture_memo(
+        lambda d: (d % 6, d % 13 == 0, d % 17 == 0)
+    )(build)
+
+
+@_tar_fixture_memo
 def build_tar_blob(doc_id: int) -> bytes:
-    """WebDataset shard fixture: class ``doc_id %% 6`` holds
+    """WebDataset shard fixture (memoized per worker on the reduced
+    key, the r19 _fixture_memo pattern): class ``doc_id %% 6`` holds
     ``2 + cls %% 3`` samples, each with a ``.jpg`` and a ``.txt``
     part plus a ``.meta.json`` part on even samples (the multi-dot
     extension case); member bytes are md5-stream data keyed by

@@ -1634,6 +1634,19 @@ _CHARSET_FIXTURES = (
 )
 
 
+def _builder_memo(key_expr):
+    """Per-worker fixture-builder memoization on the brute-force-
+    verified reduced key (r19 opt round; same contract as
+    operators/multimodal._fixture_memo — byte-identical blobs,
+    bench rows measure the operators instead of fixture encoding)."""
+    def deco(build):
+        from ..operators.multimodal import _fixture_memo
+
+        return _fixture_memo(key_expr)(build)
+    return deco
+
+
+@_builder_memo(lambda d: (d % 8, d % 11 == 0))
 def build_charset_http_blob(doc_id: int) -> bytes:
     """HTTP-response bytes for the charset-decode fixtures: class
     ``doc_id %% 8`` picks (codec, declaration channel, text) from
@@ -1676,6 +1689,7 @@ def build_charset_http_blob(doc_id: int) -> bytes:
     return head + b"\r\n" + body
 
 
+@_builder_memo(lambda d: (d % 8, d % 11 == 0))
 def build_encoded_http_blob(doc_id: int) -> bytes:
     """HTTP-response bytes for the wire-decode fixtures: class
     ``doc_id %% 8`` — 0 identity, 1 gzip, 2 zlib-wrapped deflate,
@@ -1798,6 +1812,7 @@ _BR_FIXTURE_12 = (
 )
 
 
+@_builder_memo(lambda d: (d % 14, d % 11 == 0))
 def build_content_encoding_blob(doc_id: int) -> bytes:
     """HTTP-response bytes for the br/zstd Content-Encoding fixtures:
     class ``doc_id %% 10`` — 0 brotli stored-mode, 1 zstd raw-block
@@ -2060,6 +2075,7 @@ def zstd_dict_fixture() -> tuple:
     )
 
 
+@_builder_memo(lambda d: (d % 4, d % 13 == 0, d % 17 == 0))
 def build_zstd_dict_blob(doc_id: int) -> bytes:
     """Dictionary-zstd fixture frame for one doc: class ``doc_id %
     4`` picks the frame.  ``% 17`` truncates the frame mid-block

@@ -230,8 +230,18 @@ def zip_encode(members: list, deflate: bool = False) -> bytes:
     return buf.getvalue()
 
 
+def _zip_fixture_memo(build):
+    from ..operators.multimodal import _fixture_memo
+
+    return _fixture_memo(
+        lambda d: (d % 6, d % 13 == 0, d % 17 == 0, d % 19 == 0)
+    )(build)
+
+
+@_zip_fixture_memo
 def build_zip_blob(doc_id: int) -> bytes:
-    """Zip shard fixture, the tar fixture's classes re-shipped as
+    """Zip shard fixture (memoized per worker on the reduced key, the
+    r19 _fixture_memo pattern), the tar fixture's classes re-shipped as
     zip: class ``doc_id %% 6`` holds ``2 + cls %% 3`` samples, each a
     ``.jpg`` + ``.txt`` (+ ``.meta.json`` on even samples) with
     md5-stream bytes keyed (cls, sample, ext) — SAME keys and hashes

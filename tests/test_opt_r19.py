@@ -48,6 +48,28 @@ def test_payload_memo_overflow_resets_and_stays_correct():
     assert len(calls) == len(payloads)
 
 
+def test_builder_memo_keys_reproduce_bytes():
+    """Every r19-memoized fixture builder must emit BYTE-IDENTICAL
+    blobs for ids sharing its reduced key — probed against the
+    undecorated builder over a span of the id domain."""
+    from dwc_dataframe_validator_spark.operators import text as TX
+    from dwc_dataframe_validator_spark.sources import tar as T
+    from dwc_dataframe_validator_spark.sources import warc as W
+    from dwc_dataframe_validator_spark.sources import zip as Z
+
+    for wrapped in (
+        W.build_encoded_http_blob, W.build_content_encoding_blob,
+        W.build_charset_http_blob, W.build_zstd_dict_blob,
+        TX.build_subtitle_text, TX.build_docx_blob, TX.build_xlsx_blob,
+        TX.build_pptx_blob, TX.build_epub_blob, TX.build_rtf_blob,
+        TX.build_eml_blob, TX.build_odf_blob, TX.build_mbox_blob,
+        T.build_tar_blob, Z.build_zip_blob,
+    ):
+        raw = wrapped.__wrapped__
+        for d in range(0, 600):
+            assert wrapped(d) == raw(d), (wrapped.__name__, d)
+
+
 @pytest.fixture(scope="module")
 def spark():
     from dwc_dataframe_validator_spark.sources.tables import local_session
