@@ -1572,16 +1572,14 @@ def subtitle_frame_align_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving pair set is pure fixture arithmetic, stated
     independently by the oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # the per-doc JPEG decode dominates and the small-SF parquet is a
-    # single row group (one scan partition): spread the video side
-    # before the decode — one cheap long-column shuffle
+    # r19 opt: the former id-spread repartition is removed — the
+    # per-task decode memo collapsed the per-doc JPEG decode to a
+    # cache probe, so the extra exchange cost more than it bought
+    # (guide §2.4); a real corpus scan arrives with its own
+    # parallelism
     frames = (
         multimodal.video_frame_hashes(
-            multimodal.attach_avi_blob(
-                docs.repartition(
-                    spark.sparkContext.defaultParallelism
-                )
-            )
+            multimodal.attach_avi_blob(docs)
         )
         .filter("ok")
         .select("id", "frame_idx")

@@ -1045,11 +1045,13 @@ def pdf_encrypted_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pure-Python parse/cipher work dominates and the small-SF
     # parquet is a single row group: spread the id column first (the
     # r15 adpcm pattern — one cheap long-column shuffle)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # r19 opt: the former id-spread repartition (the r15 adpcm
+    # pattern) is removed — the per-task decode memo collapsed the
+    # per-row Python cost to a cache probe, so the extra exchange and
+    # 32-way task fan-out now cost more than they buy (guide §2.4:
+    # remove shuffles outright); a real corpus scan arrives with its
+    # own parallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     out = pdfmod.pdf_text(
         pdfmod.attach_pdf_encrypted_blob(docs),
         passwords=(b"wrong-guess", pdfmod._PDF_FIXTURE_PW),
@@ -1147,11 +1149,13 @@ def pdf_cid_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task (pdf_text_from_ids) — identical rows to
     # pdf_text(attach_pdf_cid_blob(docs)), but ~1 GB of blob bytes no
     # longer crosses the Arrow boundary twice (guide §8)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # r19 opt: the former id-spread repartition (the r15 adpcm
+    # pattern) is removed — the per-task decode memo collapsed the
+    # per-row Python cost to a cache probe, so the extra exchange and
+    # 32-way task fan-out now cost more than they buy (guide §2.4:
+    # remove shuffles outright); a real corpus scan arrives with its
+    # own parallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     out = pdfmod.pdf_text_from_ids(docs, pdfmod.build_pdf_cid_blob)
     return out.select(
         F.col("id").alias("doc_id"),
@@ -1193,11 +1197,13 @@ def pdf_image_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops bpc to 4 (the per-image honest stub) — both ok=false."""
     from ..operators import pdf as pdfmod
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # r19 opt: the former id-spread repartition (the r15 adpcm
+    # pattern) is removed — the per-task decode memo collapsed the
+    # per-row Python cost to a cache probe, so the extra exchange and
+    # 32-way task fan-out now cost more than they buy (guide §2.4:
+    # remove shuffles outright); a real corpus scan arrives with its
+    # own parallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     out = pdfmod.pdf_image_hashes(pdfmod.attach_pdf_image_blob(docs))
     return out.select(
         F.col("id").alias("doc_id"),
@@ -1643,11 +1649,13 @@ def adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group (one scan partition → sequential decode): spread the rows
     # first — one cheap long-column shuffle, the standard move when a
     # map-heavy stage follows a narrow scan
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # r19 opt: the former id-spread repartition (the r15 adpcm
+    # pattern) is removed — the per-task decode memo collapsed the
+    # per-row Python cost to a cache probe, so the extra exchange and
+    # 32-way task fan-out now cost more than they buy (guide §2.4:
+    # remove shuffles outright); a real corpus scan arrives with its
+    # own parallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.audio_pcm_features(
         multimodal.attach_adpcm_blob(docs)
     )
@@ -1752,11 +1760,13 @@ def ms_adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     torn trailing block, %%13 predictor index 9 > 6 — both refuse,
     never silently-wrong samples.  Map-side + the one spreading
     shuffle (single-row-group scan)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # r19 opt: the former id-spread repartition (the r15 adpcm
+    # pattern) is removed — the per-task decode memo collapsed the
+    # per-row Python cost to a cache probe, so the extra exchange and
+    # 32-way task fan-out now cost more than they buy (guide §2.4:
+    # remove shuffles outright); a real corpus scan arrives with its
+    # own parallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.audio_pcm_features(
         multimodal.attach_ms_adpcm_blob(docs)
     )

@@ -512,13 +512,16 @@ def test_round16_extraction_plans_are_shuffle_free(spark):
         nodes = _nodes(spark, name)
         assert nodes.count("Exchange") == 0, (name, nodes)
         assert nodes.count("Sort") == 0, (name, nodes)
-    # the three Python-heaviest PDF checks spread the id column first
-    # (the r15 adpcm pattern): exactly ONE round-robin exchange, no
-    # sort — decode parallelism must not be capped by the narrow scan
+    # r19 opt: the three Python-heaviest PDF checks LOST their former
+    # id-spread exchange (the r15 adpcm pattern) — the per-task decode
+    # memo collapsed the per-row Python cost to a cache probe, so the
+    # extra exchange and task fan-out cost more than they bought
+    # (guide §2.4: remove shuffles outright).  They are now pure
+    # map-side: zero Exchange, zero Sort.
     for name in (
         "pdf_image_hash_check", "pdf_encrypted_text_check",
         "pdf_cid_text_check",
     ):
         nodes = _nodes(spark, name)
-        assert nodes.count("Exchange") == 1, (name, nodes)
+        assert nodes.count("Exchange") == 0, (name, nodes)
         assert nodes.count("Sort") == 0, (name, nodes)
