@@ -488,12 +488,20 @@ def test_round13_decode_queries_are_map_side(spark):
         "jpeg_progressive_hash_check",
         "charset_decode_check",
         "video_frame_hash_check",
-        "sentence_stats_abbrev_docs",
         "multimodal_frame_sample",
         "multimodal_decode_stub",
     ):
         nodes = _nodes(spark, name)
         assert nodes.count("Exchange") == 0, (name, nodes)
+    # r19 opt: sentence_stats routes through spread_small_scan — the
+    # degenerate single-split LOCAL scan gains exactly one adaptive
+    # repartition (4.2 s → 1.1 s at sf0.1: the whole regex pass used
+    # to serialize on one core); on a real corpus scan the spread is
+    # a pinned no-op (test_spread_small_scan_is_noop_on_wide_input),
+    # so the map-side/scan-speed claim still holds at 100 TB
+    nodes = _nodes(spark, "sentence_stats_abbrev_docs")
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("Sort") == 0, nodes
 
 
 def test_round16_extraction_plans_are_shuffle_free(spark):
