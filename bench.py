@@ -286,6 +286,27 @@ FROZEN33 = (
 assert len(FROZEN33) == 33 and set(FROZEN33) <= set(HEADLINE)
 
 
+def _canary_sec(spark) -> float:
+    """Fixed pure-JVM throughput probe (r20, VERDICT ask 4): one
+    codegen'd aggregate over a deterministic in-memory range — no
+    Python workers, no I/O, no data dependence — timed with the same
+    noop-sink methodology.  Run before and after the query loop and
+    recorded in the output JSON (additions-only; the per-query timing
+    and the stdout contract are untouched), so a degraded-throughput
+    window (the r19 frozen-33 artifact: untouched pure-JVM rows
+    reading uniformly ~2x slow) is self-evident from the artifact
+    instead of needing a control re-run."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    (
+        spark.range(0, 400_000_000, 1, 64)
+        .selectExpr("sum(id * 3 + 1) as s", "count(1) as n")
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(_t.perf_counter() - t0, 4)
+
+
 def main() -> None:
     # validate --out BEFORE the (minutes-long) bench loop: a missing
     # value should be a usage error up front, not a crash at the end
@@ -299,12 +320,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM/codegen path once with a trivial job
     spark.range(1).count()
+    canary_start = _canary_sec(spark)
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+    canary_end = _canary_sec(spark)
     total = round(sum(timings.values()), 4)
     frozen = FROZEN33  # the r3 frozen-baseline set (BASELINE.md)
     frozen_total = round(sum(timings[n] for n in frozen), 4)
@@ -324,6 +347,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            "canary_start_sec": canary_start,
+            "canary_end_sec": canary_end,
         }, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps({
@@ -335,6 +360,8 @@ def main() -> None:
         "detail_file": os.path.basename(local_path),
         "queries": {n: round(timings[n], 3) for n in frozen},
         "sf": sf_val,
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
     }, separators=(",", ":")))
     spark.stop()
 

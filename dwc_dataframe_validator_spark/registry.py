@@ -272,6 +272,18 @@ from .registry_parts.part6 import (  # noqa: F401 — underscore surface
 # quarantine_counts ← wet_main_content_docs
 # (http_content_encoding_check keeps the web/wire family; WET main-
 # content extraction stays pytest-pinned + local sweep).
+# Round-20 rotation (r19 VERDICT ask 2): the six queries the r19
+# optimization round rewired (decode memo + CID fusion + exchange
+# removals) AFTER their slots rotated out regain hard driver rows —
+# the exact inverse of the r19 swaps, so the driver independently
+# re-verifies the modified paths while the freshly-r19-green parity
+# singletons rotate back out:
+# pdf_cid_text_check ← ann_cosine_topk,
+# pdf_token_stats_check ← set_ops_nations,
+# xlsx_text_check ← rollup_date_counts,
+# mp3_frame_hash_check ← dedup_exact_groups,
+# audio_aligned_dedup_clusters ← multimodal_blob_meta,
+# image_ingest_finalize_check ← stream_session_counts.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "a2_column_counts",
@@ -292,7 +304,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fk_lineitem_orders",
     "http_content_encoding_check",
     "dedup_clusters",
-    "set_ops_nations",
+    "pdf_token_stats_check",
     "text_quality",
     "text_language_id_v2",
     "docx_text_check",
@@ -311,15 +323,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "stream_session_counts",
-    "dedup_exact_groups",
-    "ann_cosine_topk",
+    "image_ingest_finalize_check",
+    "mp3_frame_hash_check",
+    "pdf_cid_text_check",
     "jsonl_source_profile",
-    "multimodal_blob_meta",
+    "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
     "a12_top_k",
     "cross_container_audio_dedup_check",
-    "rollup_date_counts",
+    "xlsx_text_check",
     "tiff_pixel_hash_check",
     "window_running_totals",
     "office_corpus_token_check",

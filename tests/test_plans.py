@@ -149,7 +149,7 @@ DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "http_content_encoding_check",
     "dedup_clusters",
-    "set_ops_nations",
+    "pdf_token_stats_check",
     "text_quality",
     "text_language_id_v2",
     "docx_text_check",
@@ -168,15 +168,15 @@ DRIVER_WINDOW = [
     "numeric_profile",
     "asof_purchase_last_click",
     "range_join_event_sessions",
-    "stream_session_counts",
-    "dedup_exact_groups",
-    "ann_cosine_topk",
+    "image_ingest_finalize_check",
+    "mp3_frame_hash_check",
+    "pdf_cid_text_check",
     "jsonl_source_profile",
-    "multimodal_blob_meta",
+    "audio_aligned_dedup_clusters",
     "pdf_image_hash_check",
     "a12_top_k",
     "cross_container_audio_dedup_check",
-    "rollup_date_counts",
+    "xlsx_text_check",
     "tiff_pixel_hash_check",
     "window_running_totals",
     "office_corpus_token_check",
