@@ -699,10 +699,18 @@ def justext_paragraphs(
     df: DataFrame,
     payload_col: str = "payload_text",
     id_col: str = "doc_id",
+    carry: tuple = (),
 ) -> DataFrame:
     """Paragraph-level boilerplate classification over HTTP payloads
     (the ``wet_extract`` gating: 2xx + text/html only): one row per
     non-empty paragraph with features and both classes.
+
+    ``carry`` names document-level columns (functionally dependent on
+    ``id_col``) to pass through unchanged — they ride the explode and
+    the windows without affecting partitioning or classes (r20 opt:
+    lets ``crawl_survivors`` keep the URL alongside the text instead
+    of joining back through a second evaluation of the Python decode
+    lineage; default () is the historical shape).
 
     Context-free class:
       - ``bad``       link density > 20 % (5·links > words)
@@ -746,6 +754,7 @@ def justext_paragraphs(
     paras = F.when(is_html, html_paragraphs(http_body(p)))
     raw = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(paras).alias("_pi", "_chunk"),
     )
     n_links = (
@@ -761,6 +770,7 @@ def justext_paragraphs(
     feats = (
         raw.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.col("_pi"),
             txt.alias("para_text"),
             n_links.alias("n_links"),
@@ -848,16 +858,22 @@ def wet_main_content(
     df: DataFrame,
     payload_col: str = "payload_text",
     id_col: str = "doc_id",
+    carry: tuple = (),
 ) -> DataFrame:
     """Per-document main content after jusText-style classification:
     (id, main_text = the good paragraphs in order, n_paras_total,
     n_paras_good, n_chars_main).  Documents whose every paragraph is
     boilerplate yield main_text NULL (kept — the drop-accounting
     contract of wet_extract).  Same plan as ``justext_paragraphs``
-    plus ONE aggregation riding the window's partitioning."""
-    paras = justext_paragraphs(df, payload_col, id_col)
+    plus ONE aggregation riding the window's partitioning.
+
+    ``carry`` columns (document-level, functionally dependent on the
+    id — see ``justext_paragraphs``) become extra groupBy keys and
+    output columns after ``id_col``: same groups, since each id has
+    exactly one carry tuple."""
+    paras = justext_paragraphs(df, payload_col, id_col, carry=carry)
     good = F.col("final_class") == "good"
-    agg = paras.groupBy(id_col).agg(
+    agg = paras.groupBy(id_col, *carry).agg(
         F.count(F.lit(1)).alias("n_paras_total"),
         F.sum(good.cast("int")).alias("n_paras_good"),
         F.array_join(
@@ -874,6 +890,7 @@ def wet_main_content(
     )
     return agg.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.when(F.col("_mt") != "", F.col("_mt")).alias("main_text"),
         "n_paras_total",
         "n_paras_good",

@@ -326,6 +326,14 @@ def web_corpus_pipeline_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc as warcmod
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r20 opt (guide §2.5/§6): the jusText html/regex projection is
+    # pure map-side work before the first window exchange — an
+    # under-split local scan serializes it on one core.  Adaptive
+    # spread (no-op on real corpus scans); value-neutral (every
+    # downstream stage keys on doc_id / windows).
+    from ..operators.text import spread_small_scan
+
+    docs = spread_small_scan(docs, "doc_id")
     http = F.concat(
         F.lit(
             "HTTP/1.1 200 OK\r\n"
@@ -848,6 +856,14 @@ def wet_main_content_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import web
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r20 opt (guide §2.5/§6): the jusText html/regex projection is
+    # pure map-side work before the first window exchange — an
+    # under-split local scan serializes it on one core.  Adaptive
+    # spread (no-op on real corpus scans); value-neutral (every
+    # downstream stage keys on doc_id / windows).
+    from ..operators.text import spread_small_scan
+
+    docs = spread_small_scan(docs, "doc_id")
     return web.justext_paragraphs(
         docs.select("doc_id", _justext_payload_col().alias("payload_text"))
     ).select(
@@ -864,6 +880,14 @@ def wet_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import web
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r20 opt (guide §2.5/§6): the jusText html/regex projection is
+    # pure map-side work before the first window exchange — an
+    # under-split local scan serializes it on one core.  Adaptive
+    # spread (no-op on real corpus scans); value-neutral (every
+    # downstream stage keys on doc_id / windows).
+    from ..operators.text import spread_small_scan
+
+    docs = spread_small_scan(docs, "doc_id")
     return web.wet_main_content(
         docs.select("doc_id", _justext_payload_col().alias("payload_text"))
     )
@@ -882,6 +906,14 @@ def web_corpus_pipeline_v2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc as warcmod
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r20 opt (guide §2.5/§6): the jusText html/regex projection is
+    # pure map-side work before the first window exchange — an
+    # under-split local scan serializes it on one core.  Adaptive
+    # spread (no-op on real corpus scans); value-neutral (every
+    # downstream stage keys on doc_id / windows).
+    from ..operators.text import spread_small_scan
+
+    docs = spread_small_scan(docs, "doc_id")
     http = _justext_payload_col()
     rec = F.concat(
         F.lit(

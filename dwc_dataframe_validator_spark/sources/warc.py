@@ -347,6 +347,78 @@ def decode_warc_records(
     ).mapInPandas(run, out_schema)
 
 
+def decode_warc_records_text(
+    df: DataFrame, content_col: str = "record", id_col: str = "id"
+) -> DataFrame:
+    """FUSED parse + charset-aware payload text decode (r20 opt,
+    guide §4/§8 — the ``pdf_text_from_ids`` pattern): one
+    ``mapInPandas`` emitting, per record blob,
+
+        (id, target_uri, encoding, encoding_source, content_encoding,
+         chunked, body_decoded, payload_text, ok)
+
+    — row-identical by construction to the three-step composition
+    ``decode_warc_records → filter(ok) → decode_warc_payload_text``
+    plus the join back for ``target_uri`` (it calls the same
+    ``parse_warc_member`` and ``decode_payload_full`` tails), but the
+    multi-KB payload bytes never cross the Arrow boundary at all: the
+    un-fused chain shipped them Python→JVM→Python and evaluated the
+    parse mapper TWICE (once under the text decode, once under the
+    uri join — mapInPandas subtrees are opaque to Spark's subplan
+    reuse).  Rows whose WARC parse fails keep ``ok=false`` with NULL
+    fields (never consulting the text decoder — exactly what the
+    composition's ``filter("ok")`` guaranteed)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, target_uri string, encoding string, "
+        "encoding_source string, content_encoding string, "
+        "chunked boolean, body_decoded boolean, payload_text string, "
+        "ok boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.payload_cache import payload_memo
+
+        bad = (None, None, None, None, None, None, None, False)
+
+        def tail(b: bytes):
+            if b[:2] == _GZIP_MAGIC:
+                try:
+                    b = gzip.decompress(b)
+                except OSError:
+                    return bad
+            h, payload, _ = parse_warc_member(b)
+            if h is None:
+                return bad
+            uri = (
+                h.get(_H_URI, b"").decode("utf-8", "replace") or None
+            )
+            text, enc, source, ce, chunked, decoded = (
+                decode_payload_full(payload)
+            )
+            return (uri, enc, source, ce, chunked, decoded, text, True)
+
+        tail = payload_memo(tail)
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    rows.append((i, *bad))
+                    continue
+                rows.append((i, *tail(bytes(blob))))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "target_uri", "encoding",
+                         "encoding_source", "content_encoding",
+                         "chunked", "body_decoded", "payload_text",
+                         "ok"],
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[content_col].alias(content_col)
+    ).mapInPandas(run, out_schema)
+
+
 #: WHATWG-style charset label normalization (the bounded subset a
 #: crawl pipeline actually meets; Encoding Standard §4.2 maps the
 #: latin-1/ascii family to windows-1252 because that is what servers

@@ -258,43 +258,60 @@ def crawl_survivors(
     ``crawl_ingest_check`` — ONE code path, so the stream≡batch
     argument is structural, not coincidental.
 
-    Chain: ``decode_warc_records`` → ``wet_main_content`` (jusText;
-    boilerplate-only pages dropped) → optional C4 line cleanup →
-    optional Gopher document gate → batch-internal URL-variant
-    collapse (``url_dedup_keepers``: min id per normalized URL,
-    invalid URLs all kept) → bloom prescreen (when ``bloom_blob``
-    given, geometry k/m from the index meta) → anti-join against the
-    store (partition-pruned on ``fp_bucket`` when the store is the
+    Chain: ``decode_warc_records_text`` (fused WARC parse + charset
+    text decode, one Arrow pass — r20) → ``wet_main_content``
+    (jusText; boilerplate-only pages dropped; the URL rides through
+    as a carry column) → optional C4 line cleanup → optional Gopher
+    document gate → batch-internal URL-variant collapse
+    (``url_dedup_keepers``: min id per normalized URL, invalid URLs
+    all kept) → bloom prescreen (when ``bloom_blob`` given, geometry
+    k/m from the index meta) → anti-join against the store
+    (partition-pruned on ``fp_bucket`` when the store is the
     persisted partitioned form and ``prune_store_partitions``).
     Invalid-URL rows carry a NULL ``url_key``, survive every screen,
-    and must never be appended to the store."""
+    and must never be appended to the store (a NULL key never equals
+    a store fingerprint, so the plain anti-join preserves them)."""
     from ..operators import web
-    from ..sources.warc import decode_warc_payload_text, decode_warc_records
+    from ..sources.warc import decode_warc_records_text
 
-    parsed = decode_warc_records(
-        batch_df.select(id_col, record_col),
-        content_col=record_col,
-        id_col=id_col,
-    ).filter("ok")
     # r13: charset-aware payload decode (BOM > HTTP charset > meta >
     # UTF-8) replaces the blind CAST(payload AS STRING) — identical on
     # UTF-8/ASCII records, and the latin-1/Shift-JIS tail of a real
-    # crawl stops turning into U+FFFD mojibake before the gates
-    decoded = decode_warc_payload_text(
-        parsed.select(F.col(id_col).alias("doc_id"), "payload"),
-        id_col="doc_id",
-    )
+    # crawl stops turning into U+FFFD mojibake before the gates.
+    # r20 opt (guide §4/§8): the parse and the text decode are FUSED
+    # into one mapInPandas (decode_warc_records_text) and target_uri
+    # rides through the jusText aggregation as a carry column — the
+    # old decode_warc_records → decode_warc_payload_text chain shipped
+    # every payload Python→JVM→Python and then JOINED back to the
+    # parse output for the uri, re-evaluating the whole Python decode
+    # lineage a second time (mapInPandas subtrees are opaque to
+    # Spark's subplan reuse).  Row-identical by construction: same
+    # parse and decode tails, and the carry key (url) is functionally
+    # dependent on doc_id.
+    # r20 opt (guide §2.5/§6): the fused decode AND the jusText
+    # html/regex projection run map-side BEFORE the first window
+    # exchange, so an under-split local scan serializes the whole
+    # slice on one core.  spread_small_scan is adaptive (no-op on a
+    # real corpus scan, no-op on streaming frames); consistent
+    # same-session wins in 6/6 paired reps at sf0.1.  The r19 spread
+    # experiment that lost 2x used the UN-fused chain, whose spread
+    # multiplied two extra Python mapper evaluations.
+    from ..operators.text import spread_small_scan
+
+    parsed = decode_warc_records_text(
+        spread_small_scan(batch_df.select(id_col, record_col), id_col),
+        content_col=record_col,
+        id_col=id_col,
+    ).filter("ok")
     main = web.wet_main_content(
-        decoded.select("doc_id", "payload_text")
-    ).filter(F.col("main_text").isNotNull())
-    # target_uri rides back in on the decode's doc-id partitioning
-    kept = main.join(
         parsed.select(
             F.col(id_col).alias("doc_id"),
             F.col("target_uri").alias("url"),
+            "payload_text",
         ),
-        "doc_id",
-    ).select("doc_id", "url", "main_text")
+        carry=("url",),
+    ).filter(F.col("main_text").isNotNull())
+    kept = main.select("doc_id", "url", "main_text")
     if c4 is not None:
         from ..operators.text import c4_line_cleanup
 
@@ -326,20 +343,29 @@ def crawl_survivors(
     cand = dedup.withColumn(
         "url_key", F.md5(web.normalize_url(F.col("url")))
     )
+    if bloom_blob is None:
+        # r20 opt (guide §2.4): one left_anti join IS the
+        # invalid ∪ (valid ⟕̸ store) split — a NULL url_key never
+        # equals any store fingerprint, so invalid-URL rows survive
+        # the anti-join unconditionally, exactly the survive-every-
+        # screen contract.  The former filter/filter/union form
+        # evaluated the whole keeper lineage twice (each filter
+        # branch re-ran the Python decode + jusText + window chain —
+        # mapInPandas subtrees are opaque to subplan reuse).
+        return cand.join(
+            store.select(F.col("fingerprint").alias("url_key")),
+            "url_key",
+            "left_anti",
+        ).select(*cand.columns)
+    # the collapsed keepers feed both bloom branches (and the
+    # bucket collect) — materialize once, same as incremental_dedup
+    cand = cand.localCheckpoint(eager=True)
     invalid = cand.filter(F.col("url_key").isNull())
     valid = cand.filter(F.col("url_key").isNotNull())
-    if bloom_blob is None:
-        candidates, negatives = valid, None
-    else:
-        # the collapsed keepers feed both bloom branches (and the
-        # bucket collect) — materialize once, same as incremental_dedup
-        cand = cand.localCheckpoint(eager=True)
-        invalid = cand.filter(F.col("url_key").isNull())
-        valid = cand.filter(F.col("url_key").isNotNull())
-        hit = sketch.bloom_test_hex_bytes(F.col("url_key"), bloom_blob, k, m)
-        candidates, negatives = valid.filter(hit), valid.filter(~hit)
+    hit = sketch.bloom_test_hex_bytes(F.col("url_key"), bloom_blob, k, m)
+    candidates, negatives = valid.filter(hit), valid.filter(~hit)
     store_keys = store.select(F.col("fingerprint").alias("url_key"))
-    if prune_store_partitions and bloom_blob is not None:
+    if prune_store_partitions:
         buckets = [
             r["b"]
             for r in candidates.select(
@@ -352,8 +378,7 @@ def crawl_survivors(
             F.col("fp_bucket").isin(buckets)
         ).select(F.col("fingerprint").alias("url_key"))
     fresh = candidates.join(store_keys, "url_key", "left_anti")
-    out = fresh if negatives is None else negatives.unionByName(fresh)
-    return invalid.unionByName(out)
+    return invalid.unionByName(negatives.unionByName(fresh))
 
 
 def crawl_batch(
