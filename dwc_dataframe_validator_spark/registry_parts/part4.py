@@ -489,8 +489,13 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions, alphabetic-word fraction, stopword floor — per-document
     metrics, one violation flag per rule, and the overall pass bit,
     every one replayed bit-for-bit by the oracle."""
+    # r20 opt (guide §2.5/§6): pure map-side regex projection before
+    # any exchange — adaptive spread, same rationale as sentence_stats
+    # (no-op on real multi-split scans).  Warm A/B 0.85 -> 0.5 s.
     return text.gopher_quality_flags(
-        load_table(spark, sf_dir, "documents")
+        text.spread_small_scan(
+            load_table(spark, sf_dir, "documents"), "doc_id"
+        )
     )
 
 
@@ -574,7 +579,10 @@ def c4_cleanup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    return text.c4_line_cleanup(docs)
+    # r20 opt (guide §2.5/§6): the line split + per-line regex runs
+    # map-side before the reassembly — adaptive spread, same
+    # rationale as sentence_stats.  Warm A/B ~0.85 -> ~0.46 s.
+    return text.c4_line_cleanup(text.spread_small_scan(docs, "doc_id"))
 
 
 QUERIES["c4_cleanup_corpus"] = c4_cleanup_corpus
