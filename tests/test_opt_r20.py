@@ -97,3 +97,105 @@ def test_approx_bytes_counts_nested_tails():
     assert flat > len(b"abcd") + 2 * len("ef")
     nested = _approx_bytes([(b"abcd", "ef"), (b"abcd", "ef")])
     assert nested > 2 * _approx_bytes((b"abcd", "ef")) - 60
+
+
+def test_fused_warc_text_decode_equals_composition(spark):
+    """r20 crawl fusion pin: decode_warc_records_text must be
+    row-identical to decode_warc_records → filter(ok) →
+    decode_warc_payload_text plus the target_uri join, across
+    duplicate / NULL / corrupt / gzipped / empty / non-UTF-8
+    records (ok=false rows keep NULL fields)."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.sources import warc as W
+
+    latin = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+        "<html><body><p>caf\xe9 page</p></body></html>"
+    ).encode("latin-1")
+    rec_a = W.build_warc_record(
+        "http://x/a", latin, content_type="application/http"
+    )
+    rec_b = W.build_warc_record("http://x/b", b"plain body")
+    corrupt = b"WARC/1.0\r\nContent-Length: zzz\r\n\r\n"
+    rows = [(0, rec_a), (1, rec_a), (2, rec_b), (3, None), (4, corrupt),
+            (5, gzip.compress(rec_a)), (6, b"")]
+    df = spark.createDataFrame(rows, "id long, record binary")
+
+    fused = {r["id"]: r for r in W.decode_warc_records_text(df).collect()}
+    parsed = W.decode_warc_records(df).filter("ok")
+    decoded = {
+        r["id"]: r
+        for r in W.decode_warc_payload_text(
+            parsed.select("id", "payload"), id_col="id"
+        ).collect()
+    }
+    uri = {r["id"]: r["target_uri"] for r in parsed.collect()}
+
+    assert set(fused) == {i for i, _ in rows}
+    for i, _ in rows:
+        r = fused[i]
+        if i in decoded:
+            o = decoded[i]
+            assert r["ok"] is True
+            assert (
+                r["target_uri"], r["encoding"], r["encoding_source"],
+                r["content_encoding"], r["chunked"], r["body_decoded"],
+                r["payload_text"],
+            ) == (
+                uri[i], o["encoding"], o["encoding_source"],
+                o["content_encoding"], o["chunked"], o["body_decoded"],
+                o["payload_text"],
+            )
+        else:
+            assert r["ok"] is False
+            assert r["target_uri"] is None and r["payload_text"] is None
+
+
+def test_wet_main_content_carry_rides_unchanged(spark):
+    """r20 carry pin: wet_main_content(carry=...) must return exactly
+    the no-carry result plus the carried column (same groups — the
+    carry is functionally dependent on the id), including NULL carry
+    values, and the default signature must stay the historical
+    shape."""
+    from pyspark.sql import functions as F
+
+    from dwc_dataframe_validator_spark.operators import web
+
+    payload = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        "<html><body><div><a href='/'>Home</a> <a href='/a'>About</a>"
+        " <a href='/c'>Contact</a></div><p>%s</p>"
+        "<div>Copyright 2026 corpus example site All rights"
+        " reserved</div></body></html>"
+    )
+    good = (
+        "The quick brown fox and the lazy dog were seen by the river, "
+        "and they would not have been there if it was not for the food "
+        "that can be found by the water in these parts of the land."
+    )
+    rows = [
+        (1, "http://a.example/x", payload % good),
+        (2, None, payload % good),          # NULL carry survives
+        (3, "http://c.example/z", payload % "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, payload_text string")
+    plain = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in web.wet_main_content(df.select("doc_id", "payload_text")).collect()
+    }
+    carried = web.wet_main_content(df, carry=("url",))
+    assert carried.columns == [
+        "doc_id", "url", "main_text", "n_paras_total", "n_paras_good",
+        "n_chars_main",
+    ]
+    got = {r["doc_id"]: r for r in carried.collect()}
+    urls = dict((i, u) for i, u, _ in rows)
+    assert set(got) == set(plain)
+    for i, r in got.items():
+        assert r["url"] == urls[i]
+        assert (r["main_text"], r["n_paras_total"], r["n_paras_good"],
+                r["n_chars_main"]) == plain[i]
